@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access for the driver-generated parquet test data (TESTDATA.md).
+  *
+  * Tables: region nation customer supplier part orders lineitem events
+  * documents embeddings — one parquet file each under `sfDir`.
+  *
+  * Scans go through `spark.read.parquet` so Catalyst's DataSource v2 path
+  * gives us predicate pushdown, column pruning and row-group (batch) stats
+  * skipping for free — the Spark-native equivalent of the reference's
+  * ColumnTableScan batch-stats pruning (see SURVEY.md §2.1).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view named after the table, for the
+    * SQL-text entry path. Idempotent.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational analytics: TPC-H-shaped queries adapted to the columns
+  * present in the driver test data (TESTDATA.md). Mirrors the reference's
+  * golden-output TPC-H suite
+  * (reference: cluster/src/test/.../benchmark/TPCH_Queries.scala) —
+  * re-expressed as idiomatic Spark DataFrame plans so Catalyst handles
+  * pushdown, pruning, join selection and whole-stage codegen.
+  *
+  * Scale notes (100 TB design intent):
+  *  - every filter is a plain `Column` predicate → pushed into the parquet
+  *    scan (PushedFilters) with row-group stats skipping;
+  *  - small dimension tables (region/nation/supplier/customer at their
+  *    relative sizes) are explicitly `broadcast()` so the fact-table join
+  *    never shuffles the large side;
+  *  - aggregations are declarative groupBy/agg → partial (map-side) + final
+  *    HashAggregate, AQE coalesces post-shuffle partitions.
+  */
+object TpchQueries {
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+  private def r2(c: Column): Column = round(c, 2)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Q1: pricing summary report (scan + filter + multi-agg + sort) ----
+    QueryDef.sql(
+      "q1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2)          AS sum_qty,
+        |  round(sum(l_extendedprice), 2)     AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 2)          AS avg_qty,
+        |  round(avg(l_extendedprice), 2)     AS avg_price,
+        |  round(avg(l_discount), 4)          AS avg_disc,
+        |  count(*)                           AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+          r2(avg(col("l_quantity"))).as("avg_qty"),
+          r2(avg(col("l_extendedprice"))).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- Q6: forecast revenue change (tight scan filter + global agg) ----
+    QueryDef.sql(
+      "q6_forecast_revenue",
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.04 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+          col("l_discount").between(0.04, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(r2(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"))
+    },
+
+    // ---- Q3: shipping priority (3-way join + agg + top-N) ----
+    QueryDef.sql(
+      "q3_shipping_priority",
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.load(s, dir, "orders").filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
+      val li = Tables.load(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
+      // customer is the smallest side → broadcast; lineitem stays unshuffled
+      // on the orders join only if co-partitioned — at 100 TB that join
+      // shuffles on orderkey, which is the natural key for both sides.
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ---- Q5: local supplier volume (6-way join + agg) ----
+    QueryDef.sql(
+      "q5_local_supplier",
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |  JOIN orders   ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |  JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      val li = Tables.load(s, dir, "lineitem")
+      val supp = Tables.load(s, dir, "supplier")
+      val nat = Tables.load(s, dir, "nation")
+      val reg = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      // region→nation→supplier chain is tiny → broadcast the reduced dim
+      // into the fact side; customer also broadcasts at TPC-H ratios.
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ---- Q10: returned-item reporting (join + agg + top-N) ----
+    QueryDef.sql(
+      "q10_returned_items",
+      """SELECT c_custkey, c_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer
+        |  JOIN orders   ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-10-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-01-01 00:00:00"))
+      val li = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val nat = Tables.load(s, dir, "nation")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }
+  )
+}

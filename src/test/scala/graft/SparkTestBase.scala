@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for ScalaTest suites (one per suite). */
+trait SparkTestBase extends AnyFunSuite {
+  val sf: String = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkTestBase.session
+}
+
+object SparkTestBase {
+  // One JVM-wide session across suites: sbt forks a single test JVM and
+  // Spark local sessions are expensive to spin up per suite.
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
