@@ -12,7 +12,9 @@ object SparkEntry {
 
   /** All operator/query definitions, by module. */
   def allDefs: Seq[QueryDef] =
-    graft.queries.TpchQueries.defs
+    graft.queries.TpchQueries.defs ++
+      graft.queries.RelationalQueries.defs ++
+      graft.queries.EventQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, timestamp_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Table access for the driver-generated parquet test data (TESTDATA.md).
   *
@@ -17,8 +19,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map
+      // to its µs TimestampType. Read nanos as long and truncate to µs —
+      // the same truncation every µs-precision engine applies.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      else df
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** Register every table as a temp view named after the table, for the
     * SQL-text entry path. Idempotent.

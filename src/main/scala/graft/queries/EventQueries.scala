@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / event-log analytics over the `events` table: tumbling
+  * window aggregation, sessionization, semi-structured (JSON-ish) field
+  * extraction, and batch CDC-apply (the batch twin of the streaming
+  * upsert sink semantics — reference streaming/SnappySinkCallback.scala:119-236,
+  * where events carry an _eventType and the latest event per key wins).
+  *
+  * Timestamps are emitted as formatted strings: the source column is
+  * nanosecond-precision parquet, which Spark truncates to micros while
+  * DuckDB keeps ns — strings at second/hour granularity are engine-neutral.
+  */
+object EventQueries {
+
+  private def r2(c: Column): Column = round(c, 2)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- tumbling-window aggregation (batch twin of stream windowing) ----
+    QueryDef.sql(
+      "q_events_hourly",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |  event_type,
+        |  count(*) AS n,
+        |  round(sum("value"), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(
+          date_format(window(col("ts"), "1 hour").getField("start"), "yyyy-MM-dd HH:00").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("total_value"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+
+    // ---- sessionization: 30-min inactivity gap, window-function based ----
+    // Gap compares microsecond epochs (both engines truncate the source's
+    // ns timestamps to µs identically) — a 30min boundary case on a
+    // second-granularity cast would diverge between engines.
+    QueryDef.sql(
+      "q_events_sessionize",
+      """WITH marked AS (
+        |  SELECT user_id, event_id, "value", epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - coalesce(lag(epoch_us(ts)) OVER w, epoch_us(ts))
+        |              > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_id, "value",
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, round(sum("value"), 2) AS session_value
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("new_session",
+          when(col("ts_us") - coalesce(lag(col("ts_us"), 1).over(w), col("ts_us")) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(wRows).cast("bigint"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), r2(sum(col("value"))).as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // ---- semi-structured field extraction from the props JSON string ----
+    QueryDef.sql(
+      "q_events_json",
+      """SELECT k_bucket, count(*) AS n, round(avg("value"), 2) AS avg_value
+        |FROM (SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 10 AS k_bucket,
+        |             "value"
+        |      FROM events) t
+        |GROUP BY k_bucket
+        |ORDER BY k_bucket""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(
+          (get_json_object(col("props"), "$.k").cast("bigint") % 10).as("k_bucket"),
+          col("value"))
+        .groupBy(col("k_bucket"))
+        .agg(count(lit(1)).as("n"), r2(avg(col("value"))).as("avg_value"))
+        .orderBy(col("k_bucket"))
+    },
+
+    // ---- batch CDC-apply: latest event per user wins (upsert compaction) ----
+    QueryDef.sql(
+      "q_events_cdc_latest",
+      """SELECT user_id, event_id, event_type, round("value", 2) AS value
+        |FROM (SELECT user_id, event_id, event_type, "value",
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")).desc, col("event_id").desc)
+      Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), r2(col("value")).as("value"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- event funnel: users who signed up then purchased (ordered pair) ----
+    QueryDef.sql(
+      "q_events_funnel",
+      """SELECT count(*) AS n_converted
+        |FROM (
+        |  SELECT s.user_id
+        |  FROM (SELECT user_id, min(epoch_us(ts)) AS first_signup FROM events
+        |        WHERE event_type = 'signup' GROUP BY user_id) s
+        |  JOIN (SELECT user_id, max(epoch_us(ts)) AS last_purchase FROM events
+        |        WHERE event_type = 'purchase' GROUP BY user_id) p
+        |    ON s.user_id = p.user_id AND p.last_purchase > s.first_signup) t""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("first_signup"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(max(unix_micros(col("ts"))).as("last_purchase"))
+        .withColumnRenamed("user_id", "p_user_id")
+      signups.join(purchases,
+          col("user_id") === col("p_user_id") && col("last_purchase") > col("first_signup"))
+        .agg(count(lit(1)).as("n_converted"))
+    }
+  )
+}

@@ -1,0 +1,339 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage beyond the TPC-H slice: window functions,
+  * grouping sets / rollup / cube, set operations, semi/anti joins,
+  * distinct aggregates, pivot, subqueries and scalar-function surface.
+  * Mirrors the reference inventory in SURVEY.md §2.3-2.8 — all of these are
+  * stock Catalyst operators there and here; what we own is the semantic
+  * parity demonstrated against the DuckDB oracle.
+  */
+object RelationalQueries {
+
+  private def r2(c: Column): Column = round(c, 2)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- window: rank within partition (top-3 orders per segment) ----
+    QueryDef.sql(
+      "q_window_rank",
+      """SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS price, rn
+        |FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rn <= 3
+        |ORDER BY c_mktsegment, rn""".stripMargin) { (s, dir) =>
+      val ord = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("o_orderkey"),
+          r2(col("o_totalprice")).as("price"), col("rn"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    },
+
+    // ---- window: running aggregate + lag delta per customer ----
+    QueryDef.sql(
+      "q_window_running",
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        |  round(o_totalprice - coalesce(lag(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS delta_prev
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .withColumn("running_total",
+          r2(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+        .withColumn("delta_prev",
+          r2(col("o_totalprice") - coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0))))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_total"), col("delta_prev"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // ---- rollup with grouping bitmask ----
+    QueryDef.sql(
+      "q_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(r2(sum(col("l_quantity"))).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().cast("bigint").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- cube ----
+    QueryDef.sql(
+      "q_cube",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  count(*) AS n,
+        |  CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(r2(sum(col("o_totalprice"))).as("total"),
+          count(lit(1)).as("n"),
+          grouping_id().cast("bigint").as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+    },
+
+    // ---- grouping sets (SQL text path through our registered views) ----
+    QueryDef.sql(
+      "q_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  round(sum(l_extendedprice), 2) AS sum_price
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    },
+
+    // ---- set operations: UNION / UNION ALL / INTERSECT / EXCEPT ----
+    QueryDef.sql(
+      "q_set_ops",
+      """WITH big AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000),
+        |  urgent AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT 'union' AS op, count(*) AS n FROM (SELECT k FROM big UNION SELECT k FROM urgent) u
+        |UNION ALL
+        |SELECT 'union_all' AS op, count(*) AS n FROM (SELECT k FROM big UNION ALL SELECT k FROM urgent) ua
+        |UNION ALL
+        |SELECT 'intersect' AS op, count(*) AS n FROM (SELECT k FROM big INTERSECT SELECT k FROM urgent) i
+        |UNION ALL
+        |SELECT 'except' AS op, count(*) AS n FROM (SELECT k FROM big EXCEPT SELECT k FROM urgent) e
+        |ORDER BY op""".stripMargin) { (s, dir) =>
+      val ord = Tables.load(s, dir, "orders")
+      val big = ord.filter(col("o_totalprice") > 150000).select(col("o_custkey").as("k"))
+      val urgent = ord.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("k"))
+      def one(op: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      one("union", big.union(urgent).distinct())
+        .unionAll(one("union_all", big.unionAll(urgent)))
+        .unionAll(one("intersect", big.intersect(urgent)))
+        .unionAll(one("except", big.except(urgent)))
+        .orderBy(col("op"))
+    },
+
+    // ---- semi join (EXISTS) ----
+    QueryDef.sql(
+      "q_semi_join",
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 200000)
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- anti join (NOT EXISTS) ----
+    QueryDef.sql(
+      "q_anti_join",
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- outer joins: full outer with null handling ----
+    QueryDef.sql(
+      "q_outer_join",
+      """SELECT n_name, count(s_suppkey) AS n_suppliers
+        |FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_suppliers DESC, n_name""".stripMargin) { (s, dir) =>
+      val nat = Tables.load(s, dir, "nation")
+      val supp = Tables.load(s, dir, "supplier")
+      nat.join(supp, col("s_nationkey") === col("n_nationkey"), "left")
+        .groupBy(col("n_name"))
+        .agg(count(col("s_suppkey")).as("n_suppliers"))
+        .orderBy(col("n_suppliers").desc, col("n_name"))
+    },
+
+    // ---- distinct aggregates ----
+    QueryDef.sql(
+      "q_distinct_agg",
+      """SELECT c_mktsegment,
+        |  count(DISTINCT o_custkey)      AS n_customers,
+        |  count(DISTINCT o_orderpriority) AS n_priorities,
+        |  count(*)                        AS n_orders,
+        |  round(sum(DISTINCT round(o_totalprice, 0)), 2) AS sum_distinct_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val ord = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"),
+          count(lit(1)).as("n_orders"),
+          r2(sum_distinct(round(col("o_totalprice"), 0))).as("sum_distinct_price"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // ---- pivot (manual CASE aggregation as the oracle) ----
+    QueryDef.sql(
+      "q_pivot",
+      """SELECT l_linestatus,
+        |  round(coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'A'), 0), 2) AS A,
+        |  round(coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'N'), 0), 2) AS N,
+        |  round(coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'), 0), 2) AS R
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(r2(coalesce(sum(col("l_quantity")), lit(0.0))))
+        .orderBy(col("l_linestatus"))
+    },
+
+    // ---- correlated scalar subquery (SQL text path) ----
+    QueryDef.sql(
+      "q_subquery_scalar",
+      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+          |FROM customer c
+          |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+          |                   WHERE c2.c_nationkey = c.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // ---- IN subquery ----
+    QueryDef.sql(
+      "q_subquery_in",
+      """SELECT o_orderkey, o_custkey
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+        |  AND o_orderstatus = 'O'
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderkey, o_custkey
+          |FROM orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+          |  AND o_orderstatus = 'O'
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // ---- ordered top-k with ties broken deterministically ----
+    QueryDef.sql(
+      "q_topk_orders",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 15""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), r2(col("o_totalprice")).as("price"))
+        .limit(15)
+    },
+
+    // ---- scalar function surface (string/math/date/conditional) ----
+    QueryDef.sql(
+      "q_scalar_functions",
+      """SELECT l_orderkey, l_linenumber,
+        |  upper(l_returnflag)                      AS flag_upper,
+        |  concat_ws('-', l_returnflag, l_linestatus) AS flag_concat,
+        |  length(l_returnflag || l_linestatus)     AS flag_len,
+        |  lpad(CAST(l_linenumber AS VARCHAR), 3, '0') AS line_pad,
+        |  substring(l_returnflag || l_linestatus, 1, 1) AS flag_sub,
+        |  CAST(abs(l_quantity - 25) AS DOUBLE)     AS qty_center,
+        |  CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k,
+        |  round(sqrt(l_quantity), 4)               AS qty_sqrt,
+        |  round(ln(l_extendedprice), 4)            AS price_ln,
+        |  CAST(l_quantity AS BIGINT) % 7           AS qty_mod,
+        |  CAST(year(l_shipdate) AS INT)            AS ship_year,
+        |  CAST(month(l_shipdate) AS INT)           AS ship_month,
+        |  CASE WHEN l_discount > 0.05 THEN 'high' ELSE 'low' END AS disc_band,
+        |  coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+        |  greatest(l_tax, l_discount)              AS max_rate
+        |FROM lineitem
+        |WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          upper(col("l_returnflag")).as("flag_upper"),
+          concat_ws("-", col("l_returnflag"), col("l_linestatus")).as("flag_concat"),
+          length(concat(col("l_returnflag"), col("l_linestatus"))).as("flag_len"),
+          lpad(col("l_linenumber").cast("string"), 3, "0").as("line_pad"),
+          substring(concat(col("l_returnflag"), col("l_linestatus")), 1, 1).as("flag_sub"),
+          abs(col("l_quantity") - 25).cast("double").as("qty_center"),
+          ceil(col("l_extendedprice") / 1000).cast("bigint").as("price_k"),
+          round(sqrt(col("l_quantity")), 4).as("qty_sqrt"),
+          round(log(col("l_extendedprice")), 4).as("price_ln"),
+          (col("l_quantity").cast("bigint") % 7).as("qty_mod"),
+          year(col("l_shipdate")).cast("int").as("ship_year"),
+          month(col("l_shipdate")).cast("int").as("ship_month"),
+          when(col("l_discount") > 0.05, "high").otherwise("low").as("disc_band"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_or_none"),
+          greatest(col("l_tax"), col("l_discount")).as("max_rate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ---- lateral view / explode (UDTF surface, SURVEY §2.11) ----
+    QueryDef.sql(
+      "q_explode",
+      """SELECT doc_id, tok, count(*) AS n
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |      WHERE doc_id < 50) t
+        |WHERE tok <> ''
+        |GROUP BY doc_id, tok
+        |ORDER BY doc_id, tok""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("doc_id"), col("tok"))
+    }
+  )
+}
