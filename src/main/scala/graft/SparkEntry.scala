@@ -14,7 +14,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     graft.queries.TpchQueries.defs ++
       graft.queries.RelationalQueries.defs ++
-      graft.queries.EventQueries.defs
+      graft.queries.EventQueries.defs ++
+      graft.queries.PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,22 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+
+/** Public Column-API facade over the Catalyst-internal implementations in
+  * `org.apache.spark.sql.graft` (hosted there because they build on
+  * `private[sql]` Spark internals — the standard extension-library layout).
+  */
+object VectorExpressions {
+  def vec_dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.vec_dot(a, b)
+  def vec_cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.vec_cosine(a, b)
+  def vec_norm(a: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.vec_norm(a)
+}
+
+object TopKAggregate {
+  /** Distributed top-k (score, id) pairs per group, best-first. */
+  def topk_by(score: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.graft.TopKAggregate.topk_by(score, id, k)
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact (hash groupBy), n-gram Jaccard verification,
+  * MinHash+LSH candidate generation, SimHash bit-signatures.
+  *
+  * Scale design: every step is a shuffle on a bounded key (content hash,
+  * band hash, doc id) — never an all-pairs product. LSH banding turns the
+  * quadratic candidate problem into a per-bucket join; exact verification
+  * only touches candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup by full-content hash: one row per distinct content with
+    * the kept (minimum) id and the duplicate count. Single hash-shuffle.
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word n-gram shingles per document: (id, shingle). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = split(col(textCol), "\\s+")
+    docs.select(col(idCol).as("sid"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("sid"), explode(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)))
+        .as("shingle"))
+      .distinct()
+  }
+
+  /** Shingle-set sizes per doc: (sid, set_size). */
+  private def shingleSizes(sh: DataFrame): DataFrame =
+    sh.groupBy("sid").agg(count(lit(1)).as("set_size"))
+
+  /** Exact Jaccard for given candidate pairs (a, b) over a shingle table.
+    * Joins pairs→shingles on each side, counts the intersection, derives
+    * the union from per-doc set sizes. Cost ∝ candidate pairs, not n².
+    */
+  def jaccardVerify(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = shingleSizes(sh)
+    val inter = pairs
+      .join(sh.withColumnRenamed("sid", "a").withColumnRenamed("shingle", "sa"), "a")
+      .join(sh.withColumnRenamed("sid", "b").withColumnRenamed("shingle", "sb"), "b")
+      .filter(col("sa") === col("sb"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("sid", "a").withColumnRenamed("set_size", "size_a"), "a")
+      .join(sizes.withColumnRenamed("sid", "b").withColumnRenamed("set_size", "size_b"), "b")
+      .select(col("a"), col("b"),
+        (col("n_inter").cast("double") /
+          (col("size_a") + col("size_b") - col("n_inter"))).as("jaccard"))
+  }
+
+  /** MinHash signatures: k independent permutations approximated by seeded
+    * xxhash64; the signature is the per-seed minimum over the doc's
+    * shingles. One groupBy over the shingle table computes all k mins
+    * (map-side partial aggregation keeps the shuffle at k longs per doc).
+    */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
+    sh.groupBy("sid").agg(
+      array((0 until k).map(i => min(xxhash64(lit(i), col("shingle")))): _*).as("sig"))
+
+  /** LSH banding: (sid, band_idx, band_hash) with `rowsPerBand` signature
+    * rows hashed per band. More rows per band → higher precision, lower
+    * recall; rowsPerBand=1 maximizes recall (used when an exact verify
+    * step follows).
+    */
+  def lshBands(sig: DataFrame, rowsPerBand: Int): DataFrame =
+    sig.select(col("sid"), posexplode(col("sig")))
+      .withColumn("band_idx", (col("pos") / rowsPerBand).cast("int"))
+      .groupBy("sid", "band_idx")
+      .agg(xxhash64(col("band_idx"), sort_array(collect_list(col("col")))).as("band_hash"))
+
+  /** Candidate pairs: docs sharing any LSH band bucket. Self-join on the
+    * band key — shuffle is on (band_idx, band_hash), never all-pairs.
+    */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val l = bands.select(col("band_idx"), col("band_hash"), col("sid").as("a"))
+    val r = bands.select(col("band_idx"), col("band_hash"), col("sid").as("b"))
+    l.join(r, Seq("band_idx", "band_hash")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** End-to-end MinHash-LSH near-dup detection: shingle → sign → band →
+    * candidates → exact-Jaccard verify → threshold.
+    */
+  def minhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 1,
+      threshold: Double = 0.7): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleLen)
+    val cands = lshCandidates(lshBands(minhashSignatures(sh, numHashes), rowsPerBand))
+    jaccardVerify(cands, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash 64-bit signature per doc from its token stream: per bit,
+    * sum +1/-1 weighted by token-hash bit, take the sign. Computed with
+    * plain codegen'd aggregates (64 conditional sums), no UDF.
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("sid"),
+      explode(split(col(textCol), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitCols = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val bitSums = toks.groupBy("sid").agg(bitCols.head, bitCols.tail: _*)
+    bitSums.select(col("sid"),
+      (0 until 64).map(b =>
+        when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+        .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
+    * (pigeonhole: hamming ≤ 3 ⇒ some chunk identical), verified by exact
+    * hamming distance ≤ maxHamming.
+    */
+  def simhashNearDups(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = sig.select(col("sid"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk_val")
+    val l = chunks.select(col("chunk_idx"), col("chunk_val"),
+      col("sid").as("a"), col("simhash").as("sim_a"))
+    val r = chunks.select(col("chunk_idx"), col("chunk_val"),
+      col("sid").as("b"), col("simhash").as("sim_b"))
+    l.join(r, Seq("chunk_idx", "chunk_val")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

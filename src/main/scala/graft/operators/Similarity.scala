@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.functions.TopKAggregate.topk_by
+import graft.functions.VectorExpressions.vec_cosine
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — the query set broadcasts, the
+  * corpus streams once through a codegen'd cosine loop, and the custom
+  * [[graft.functions.TopKByScore]] aggregate reduces each partition to k
+  * rows before the single shuffle. At 100 TB the corpus scan dominates and
+  * parallelizes linearly; nothing materializes the corpus × query product
+  * beyond the fused loop.
+  *
+  * Scale path: signed-random-projection LSH — bucket the corpus by an
+  * n-bit hyperplane signature, probe only matching buckets, rerank
+  * exactly. Trades recall for touching ~corpus/2ⁿ per table.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for every query vector.
+    * Output: (query_id, rank, neighbor_id, score), rank 1-based.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("c_vec"))
+    c.join(broadcast(q), col("nid") =!= col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(topk_by(vec_cosine(col("q_vec"), col("c_vec")), col("nid"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("score"))
+  }
+
+  /** n-bit signed-random-projection signature. The hyperplanes are
+    * implicit: plane p's component for dimension i is ±1 from a splitmix64
+    * bit of (seed, p, i) — no plane matrix to distribute, fully
+    * deterministic across executors.
+    */
+  private def splitmixSign(seed: Long, p: Int, i: Int): Double = {
+    var z = seed + 0x9e3779b97f4a7c15L * ((p.toLong << 32) | (i.toLong & 0xffffffffL))
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Signature as a Column expression: sum of ±vec[i] per plane, sign bit
+    * packed into a long. Pure `functions._` composition (aggregate over a
+    * zipped index sequence) — codegen-compatible, no UDF.
+    */
+  private def signatureCol(vecCol: String, bits: Int, seed: Long) = {
+    val planes = (0 until bits).map { p =>
+      val dot = aggregate(
+        zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
+          (x, i) => x * element_at(
+            // ±1 lookup table per plane, small enough to inline as literal
+            array((0 until 64).map(d => lit(splitmixSign(seed, p, d))): _*),
+            (i % 64) + 1)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    planes.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH ANN: multi-table signature bucketing + exact rerank.
+    * Output: (query_id, rank, neighbor_id, score) — same shape as
+    * [[bruteForceTopK]] but only candidates sharing a bucket in ≥1 table
+    * are scored.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      bits: Int = 8, tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val sigs = (0 until tables).map(t => signatureCol(vecCol, bits, seed + t))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("c_vec"),
+      posexplode(array(sigs: _*)))
+      .withColumnRenamed("pos", "table_idx").withColumnRenamed("col", "sig")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      posexplode(array(sigs: _*)))
+      .withColumnRenamed("pos", "table_idx").withColumnRenamed("col", "sig")
+    val cands = c.join(broadcast(q), Seq("table_idx", "sig"))
+      .filter(col("nid") =!= col("query_id"))
+      .select("query_id", "q_vec", "nid", "c_vec").distinct()
+    cands
+      .groupBy(col("query_id"))
+      .agg(topk_by(vec_cosine(col("q_vec"), col("c_vec")), col("nid"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("score"))
+  }
+}

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object EventQueries {
 
-  private def r2(c: Column): Column = round(c, 2)
+  private def r2(c: Column): Column = graft.dr2(c)
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -1,0 +1,239 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorExpressions.vec_norm
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators exposed through the driver contract:
+  * text analysis, deduplication and embedding similarity over the
+  * `documents` / `embeddings` tables.
+  *
+  * Oracle notes: MinHash-LSH runs 32 single-row bands and then verifies
+  * candidates with EXACT Jaccard, so its output equals the all-pairs
+  * Jaccard result (miss probability (1-j)^32 ≤ 1e-16 at j ≥ 0.7) — the
+  * DuckDB oracle computes the all-pairs ground truth and a hash match
+  * doubles as a recall proof. SimHash and LSH-ANN use engine-specific
+  * hashes, so they get rows-only checks + property specs in ScalaTest.
+  */
+object PipelineQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- per-document surface statistics ----
+    QueryDef.sql(
+      "q_text_stats",
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_regex_tokens,
+        |  round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')), 4) AS avg_token_len,
+        |  round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+        |    / length(text), 4) AS punct_ratio
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.tokenStats(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          col("n_chars").cast("bigint").as("n_chars"),
+          col("n_tokens").cast("bigint").as("n_tokens"),
+          col("n_regex_tokens").cast("bigint").as("n_regex_tokens"),
+          col("avg_token_len"), col("punct_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // ---- corpus token accounting per source ----
+    QueryDef.sql(
+      "q_token_totals",
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_tokens
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.regexTokenCount(col("text"))).cast("bigint").as("total_tokens"))
+        .orderBy("source")
+    },
+
+    // ---- stopword-overlap language identification ----
+    QueryDef.sql(
+      "q_lang_id", {
+        val cases = TextAnalysis.langStopwords.map { case (lang, words) =>
+          s"sum(CASE WHEN tok IN (${words.map(w => s"'$w'").mkString(",")}) THEN 1 ELSE 0 END) AS s_$lang"
+        }.mkString(",\n  ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+           |  FROM documents),
+           |scored AS (
+           |  SELECT doc_id, $cases
+           |  FROM toks GROUP BY doc_id)
+           |SELECT doc_id,
+           |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+           |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+           |       WHEN s_de >= s_fr THEN 'de'
+           |       ELSE 'fr' END AS pred_lang,
+           |  CAST(greatest(s_en, s_es, s_de, s_fr) AS BIGINT) AS score
+           |FROM scored
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      TextAnalysis.langId(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---- composite quality score ----
+    QueryDef.sql(
+      "q_text_quality", {
+        val stop = TextAnalysis.langStopwords.flatMap(_._2).distinct
+          .map(w => s"'$w'").mkString(",")
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+           |  FROM documents),
+           |stop_stats AS (
+           |  SELECT doc_id, count(*) AS n_tokens,
+           |    sum(CASE WHEN tok IN ($stop) THEN 1 ELSE 0 END) AS n_stop
+           |  FROM toks GROUP BY doc_id),
+           |base AS (
+           |  SELECT doc_id, length(text) AS n_chars,
+           |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+           |      / length(text) AS punct_ratio
+           |  FROM documents)
+           |SELECT b.doc_id, s.n_tokens,
+           |  round(least(CAST(b.n_chars AS DOUBLE) / 500.0, 1.0) * 0.4 +
+           |        least(CAST(s.n_stop AS DOUBLE) / s.n_tokens * 5.0, 1.0) * 0.3 +
+           |        (1.0 - least(b.punct_ratio * 10.0, 1.0)) * 0.3, 4) AS quality
+           |FROM base b JOIN stop_stats s ON b.doc_id = s.doc_id
+           |ORDER BY b.doc_id""".stripMargin
+      }) { (s, dir) =>
+      TextAnalysis.qualityScore(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---- normalized content fingerprint ----
+    QueryDef.sql(
+      "q_fingerprint",
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+        |      ' +', ' ', 'g'))) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- exact dedup by content hash ----
+    QueryDef.sql(
+      "q_dedup_exact",
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      Dedup.exactDedup(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select("content_hash", "keep_id", "n_dups")
+        .orderBy("keep_id")
+    },
+
+    // ---- MinHash-LSH near-dup pairs, exact-Jaccard verified ----
+    // Oracle is the all-pairs ground truth: a hash match proves LSH
+    // recall 1.0 on this corpus (see object scaladoc).
+    QueryDef.sql(
+      "q_dedup_minhash_lsh",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(t) - 1),
+        |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |        FROM toks WHERE len(t) >= 3) u),
+        |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT i.a, i.b,
+        |  round(CAST(i.n_inter AS DOUBLE) / (sa.set_size + sb.set_size - i.n_inter), 4) AS jaccard
+        |FROM inter i
+        |  JOIN sizes sa ON i.a = sa.doc_id
+        |  JOIN sizes sb ON i.b = sb.doc_id
+        |WHERE CAST(i.n_inter AS DOUBLE) / (sa.set_size + sb.set_size - i.n_inter) >= 0.7
+        |ORDER BY i.a, i.b""".stripMargin) { (s, dir) =>
+      Dedup.minhashNearDups(Tables.load(s, dir, "documents"), "doc_id", "text",
+          shingleLen = 3, numHashes = 32, rowsPerBand = 1, threshold = 0.7)
+        .select(col("a"), col("b"), graft.dround(col("jaccard"), 4).as("jaccard"))
+        .orderBy("a", "b")
+    },
+
+    // ---- SimHash near-dup pairs (rows-only: engine-specific hashing) ----
+    QueryDef.rowsOnly("q_dedup_simhash") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.simhashNearDups(Dedup.simhashSignatures(docs, "doc_id", "text"),
+          maxHamming = 8)
+        .orderBy("a", "b")
+    },
+
+    // ---- brute-force cosine top-k ANN ----
+    QueryDef.sql(
+      "q_ann_bruteforce",
+      """WITH pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) AS s
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, rank, neighbor_id, round(s, 4) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY s DESC, neighbor_id) AS rank FROM pairs) t
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          graft.dround(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- LSH-bucketed ANN (rows-only: recall < 1 by design) ----
+    QueryDef.rowsOnly("q_ann_lsh") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 10, bits = 8, tables = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- vector norms (custom codegen expression vs oracle) ----
+    QueryDef.sql(
+      "q_embed_norms",
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> x * x))), 4) AS norm
+        |FROM embeddings
+        |WHERE vec_id < 100
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id"), graft.dround(vec_norm(col("embedding")), 4).as("norm"))
+        .orderBy("vec_id")
+    },
+
+    // ---- per-label embedding profile ----
+    QueryDef.sql(
+      "q_embed_label_profile",
+      """SELECT label, count(*) AS n,
+        |  round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> x * x)))), 4) AS avg_norm
+        |FROM embeddings
+        |GROUP BY label
+        |ORDER BY label""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          graft.dround(avg(vec_norm(col("embedding"))), 4).as("avg_norm"))
+        .orderBy("label")
+    }
+  )
+}

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
-  private def r2(c: Column): Column = round(c, 2)
+  private def r2(c: Column): Column = graft.dr2(c)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -206,7 +206,7 @@ object RelationalQueries {
           countDistinct(col("o_custkey")).as("n_customers"),
           countDistinct(col("o_orderpriority")).as("n_priorities"),
           count(lit(1)).as("n_orders"),
-          r2(sum_distinct(round(col("o_totalprice"), 0))).as("sum_distinct_price"))
+          r2(sum_distinct(graft.dround(col("o_totalprice"), 0))).as("sum_distinct_price"))
         .orderBy(col("c_mktsegment"))
     },
 
@@ -307,8 +307,8 @@ object RelationalQueries {
           substring(concat(col("l_returnflag"), col("l_linestatus")), 1, 1).as("flag_sub"),
           abs(col("l_quantity") - 25).cast("double").as("qty_center"),
           ceil(col("l_extendedprice") / 1000).cast("bigint").as("price_k"),
-          round(sqrt(col("l_quantity")), 4).as("qty_sqrt"),
-          round(log(col("l_extendedprice")), 4).as("price_ln"),
+          graft.dround(sqrt(col("l_quantity")), 4).as("qty_sqrt"),
+          graft.dround(log(col("l_extendedprice")), 4).as("price_ln"),
           (col("l_quantity").cast("bigint") % 7).as("qty_mod"),
           year(col("l_shipdate")).cast("int").as("ship_year"),
           month(col("l_shipdate")).cast("int").as("ship_month"),

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object TpchQueries {
 
   private def ts(s: String): Column = lit(s).cast("timestamp")
-  private def r2(c: Column): Column = round(c, 2)
+  private def r2(c: Column): Column = graft.dr2(c)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -53,7 +53,7 @@ object TpchQueries {
           r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
           r2(avg(col("l_quantity"))).as("avg_qty"),
           r2(avg(col("l_extendedprice"))).as("avg_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          graft.dround(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },

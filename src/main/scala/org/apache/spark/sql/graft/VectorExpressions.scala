@@ -1,0 +1,143 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding-vector math over
+  * `array<float>` columns, computed in double precision.
+  *
+  * These are whole-stage-codegen friendly (`doGenCode` emits a tight
+  * primitive loop over the ArrayData, no boxing, no UDF serialization),
+  * which is what makes brute-force similarity scans viable at scale:
+  * the per-row cost is a fused dot-product loop inside the generated
+  * stage, reading directly from the columnar scan.
+  *
+  * The reference has no vector ops (SURVEY.md §2.3 note) — this is part of
+  * the beyond-reference training-data-pipeline surface.
+  */
+object VectorExpressions {
+
+  private def dotLoop(a: ArrayData, b: ArrayData): (Double, Double, Double) = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0d; var na = 0d; var nb = 0d
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    (dot, na, nb)
+  }
+
+  /** dot(a, b) in double. Nulls propagate. */
+  case class VectorDot(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val (dot, _, _) = dotLoop(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      dot
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double ${ev.value}_acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  ${ev.value}_acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+           |}
+           |${ev.value} = ${ev.value}_acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** cosine(a, b) in double; 0.0 when either vector has zero norm. */
+  case class VectorCosine(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_cosine"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val (dot, na, nb) = dotLoop(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      if (na == 0d || nb == 0d) 0d else dot / math.sqrt(na * nb)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double x = (double) $a.getFloat($i);
+           |  double y = (double) $b.getFloat($i);
+           |  $dot += x * y; $na += x * x; $nb += y * y;
+           |}
+           |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** L2 norm of a float vector, in double. */
+  case class VectorNorm(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_norm"
+
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      var acc = 0d
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) { val x = arr.getFloat(i).toDouble; acc += x * x; i += 1 }
+      math.sqrt(acc)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  double x = (double) $a.getFloat($i);
+           |  $acc += x * x;
+           |}
+           |${ev.value} = java.lang.Math.sqrt($acc);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  // ---- Column-API surface ----
+  private def e(c: Column): Expression = ExpressionUtils.expression(c)
+  def vec_dot(a: Column, b: Column): Column = ExpressionUtils.column(VectorDot(e(a), e(b)))
+  def vec_cosine(a: Column, b: Column): Column = ExpressionUtils.column(VectorCosine(e(a), e(b)))
+  def vec_norm(a: Column): Column = ExpressionUtils.column(VectorNorm(e(a)))
+}

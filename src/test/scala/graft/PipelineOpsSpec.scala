@@ -1,0 +1,77 @@
+package graft
+
+import graft.functions.TopKAggregate.topk_by
+import graft.functions.VectorExpressions.{vec_cosine, vec_norm}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Property checks for the operators whose query output has no SQL oracle
+  * (engine-specific hashing / approximate recall).
+  */
+class PipelineOpsSpec extends SparkTestBase {
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  test("topk_by returns exactly the top-k ids, best-first, deterministic ties") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 5.0, 10L), (1L, 7.0, 11L), (1L, 7.0, 9L), (1L, 1.0, 12L),
+      (2L, 3.0, 20L), (2L, 4.0, 21L)
+    ).toDF("g", "score", "id")
+    val got = df.groupBy("g").agg(topk_by(col("score"), col("id"), 2).as("t"))
+      .select(col("g"), col("t.id").as("ids")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == Seq(9L, 11L)) // tie at 7.0 → smaller id first
+    assert(got(2L) == Seq(21L, 20L))
+  }
+
+  test("vec_cosine matches a reference implementation") {
+    val rows = emb.filter(col("vec_id") < 3).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+      .toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val a = emb.filter(col("vec_id") === 0).select(col("embedding").as("ea"))
+    val b = emb.filter(col("vec_id") === 1).select(col("embedding").as("eb"))
+    val got = a.crossJoin(b).select(vec_cosine(col("ea"), col("eb"))).head().getDouble(0)
+    assert(math.abs(got - cos(rows(0L), rows(1L))) < 1e-12)
+  }
+
+  test("lsh ANN finds a large fraction of true top-10 neighbors") {
+    val exact = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 10, bits = 8, tables = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8-bit buckets over 500 vecs: candidates ≈ corpus/256 per table ×4.
+    // We only require meaningful overlap — the point is the plumbing.
+    assert(approx.nonEmpty, "lsh returned no candidates")
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.05, s"suspiciously low lsh recall $recall")
+  }
+
+  test("simhash near-dups overlap heavily with exact-jaccard near-dups") {
+    val jacc = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.7)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashNearDups(
+        Dedup.simhashSignatures(docs, "doc_id", "text"), maxHamming = 8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jacc.nonEmpty, "no jaccard near-dups in corpus (data changed?)")
+    val recall = (jacc & sim).size.toDouble / jacc.size
+    assert(recall > 0.5, s"simhash missed too many jaccard dups: recall=$recall")
+  }
+
+  test("vec_norm positive and finite") {
+    val norms = emb.select(vec_norm(col("embedding")).as("n"))
+      .agg(min("n"), max("n")).head()
+    assert(norms.getDouble(0) > 0 && norms.getDouble(1) < 100)
+  }
+}
