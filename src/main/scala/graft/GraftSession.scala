@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.concurrent.TrieMap
+
+/** Session facade over SparkSession — the rebuild of SnappySession's
+  * managed-table surface (reference: core/.../SnappySession.scala:872-2171,
+  * sql/sources/StoreStrategy.scala, internal/ColumnTableBulkOps.scala).
+  *
+  * Design mapping (SURVEY.md §1.1, §7):
+  *  - "column table" = a cached (in-memory columnar) DataFrame registered
+  *    as a temp view. Spark's InMemoryRelation IS a compressed columnar
+  *    batch store with per-batch min/max stats pruning — the same
+  *    architecture as the reference's column store, minus GemFire
+  *    replication (an explicit non-goal, SURVEY.md §7).
+  *  - PARTITION_BY/BUCKETS ⇒ `repartition(buckets, cols)` before caching:
+  *    the cached plan keeps that HashPartitioning, so joins/aggs on the
+  *    partition key skip the Exchange — the reference's colocated-join
+  *    behavior (SnappyStrategies.getCollocatedPartitioning).
+  *  - Mutations are copy-on-write snapshots: each INSERT/PUT/UPDATE/DELETE
+  *    produces a new immutable cached plan and atomically swaps the
+  *    catalog entry — the analog of the reference's snapshot-isolated
+  *    batch + delta design (delta rewrite instead of in-place mutation).
+  *    Readers that captured the previous DataFrame keep a consistent view.
+  *
+  * At cluster scale the same API would sit over a DSv2 catalog with
+  * persistent storage; the semantics exposed to queries are identical.
+  */
+class GraftSession(val spark: SparkSession) {
+
+  /** Catalog entry for a managed table. */
+  case class TableState(
+      df: DataFrame,
+      keyColumns: Seq[String],
+      partitionBy: Seq[String],
+      buckets: Int)
+
+  private val tables = TrieMap.empty[String, TableState]
+
+  private def normalize(name: String): String = name.toLowerCase
+
+  /** CREATE TABLE ... USING column OPTIONS (partition_by, buckets,
+    * key_columns). Caches (columnar-izes) the data and registers a view.
+    */
+  def createTable(
+      name: String,
+      data: DataFrame,
+      keyColumns: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil,
+      buckets: Int = 32): DataFrame = {
+    val df =
+      if (partitionBy.nonEmpty)
+        data.repartition(buckets, partitionBy.map(col): _*)
+      else data
+    swap(normalize(name), TableState(df, keyColumns, partitionBy, buckets))
+  }
+
+  def table(name: String): DataFrame =
+    tables.getOrElse(normalize(name),
+      throw new IllegalArgumentException(s"graft table not found: $name")).df
+
+  def dropTable(name: String): Unit = {
+    tables.remove(normalize(name)).foreach(_.df.unpersist(blocking = false))
+    spark.catalog.dropTempView(normalize(name))
+  }
+
+  /** INSERT INTO: append rows (reference SnappySession.insert:1990). */
+  def insert(name: String, rows: DataFrame): DataFrame =
+    mutate(name)(st => st.df.unionByName(rows))
+
+  /** PUT INTO: key-based upsert. Matched target rows are replaced by the
+    * source row, unmatched source rows are inserted — the reference's
+    * LeftAnti/union split (ColumnTableBulkOps.scala:46-200), which is also
+    * exactly MERGE ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT with
+    * whole-row assignment. Requires key columns.
+    */
+  def putInto(name: String, source: DataFrame): DataFrame =
+    mutate(name) { st =>
+      require(st.keyColumns.nonEmpty, s"putInto($name) requires key_columns")
+      // If the source carries duplicate keys, last-writer-wins is not
+      // well-defined for a batch; keep the first by key order for
+      // determinism (the reference conflates by key in its sink path).
+      val srcDedup = source.dropDuplicates(st.keyColumns)
+      st.df.join(srcDedup, st.keyColumns, "left_anti")
+        .unionByName(srcDedup.select(st.df.columns.map(col): _*))
+    }
+
+  /** UPDATE table SET assignments WHERE condition
+    * (reference: execution/row/RowUpdateExec, columnar/ColumnUpdateExec —
+    * there a delta-column write; here a copy-on-write projection).
+    */
+  def update(name: String, condition: Column, assignments: (String, Column)*): DataFrame =
+    mutate(name) { st =>
+      val setMap = assignments.toMap
+      st.df.select(st.df.columns.map { c =>
+        setMap.get(c)
+          .map(newVal => when(condition, newVal).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    }
+
+  /** DELETE FROM table WHERE condition (reference ColumnDeleteExec — there
+    * a per-batch delete bitmap; here a retained-rows snapshot).
+    */
+  def delete(name: String, condition: Column): DataFrame =
+    mutate(name)(st => st.df.filter(!coalesce(condition, lit(false))))
+
+  private def mutate(name: String)(f: TableState => DataFrame): DataFrame = {
+    val key = normalize(name)
+    val st = tables.getOrElse(key,
+      throw new IllegalArgumentException(s"graft table not found: $name"))
+    val next =
+      if (st.partitionBy.nonEmpty)
+        f(st).repartition(st.buckets, st.partitionBy.map(col): _*)
+      else f(st)
+    // The new snapshot materializes (eagerly) BEFORE the catalog entry is
+    // swapped, reading from the still-live previous snapshot — readers
+    // never observe a partial mutation. Old snapshot blocks are released
+    // by the ContextCleaner once unreferenced.
+    swap(key, st.copy(df = next))
+  }
+
+  /** Materialize the new state as its own snapshot and swap it in.
+    * localCheckpoint both (a) stores the rows (MEMORY_AND_DISK), making
+    * every table read cache-served, and (b) cuts the lineage chain, so a
+    * long mutation history doesn't accrete an unbounded plan DAG (the
+    * classic iterative-mutation trap).
+    */
+  private def swap(key: String, st: TableState): DataFrame = {
+    val materialized = st.df.localCheckpoint(eager = true)
+    tables.put(key, st.copy(df = materialized))
+    materialized.createOrReplaceTempView(key)
+    materialized
+  }
+}
+
+object GraftSession {
+  private val sessions = TrieMap.empty[SparkSession, GraftSession]
+  /** One GraftSession per SparkSession. */
+  def apply(spark: SparkSession): GraftSession =
+    sessions.getOrElseUpdate(spark, new GraftSession(spark))
+}

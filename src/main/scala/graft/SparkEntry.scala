@@ -15,7 +15,9 @@ object SparkEntry {
     graft.queries.TpchQueries.defs ++
       graft.queries.RelationalQueries.defs ++
       graft.queries.EventQueries.defs ++
-      graft.queries.PipelineQueries.defs
+      graft.queries.PipelineQueries.defs ++
+      graft.queries.MutationQueries.defs ++
+      graft.queries.AqpQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

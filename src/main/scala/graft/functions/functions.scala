@@ -20,3 +20,9 @@ object TopKAggregate {
   def topk_by(score: Column, id: Column, k: Int): Column =
     org.apache.spark.sql.graft.TopKAggregate.topk_by(score, id, k)
 }
+
+object SketchFunctions {
+  /** Approximate top-k keys by frequency (CMS + candidate heap). */
+  def approx_topk(key: Column, k: Int, width: Int = 4096, depth: Int = 5): Column =
+    org.apache.spark.sql.graft.CmsTopKAggregate.approx_topk(key, k, width, depth)
+}

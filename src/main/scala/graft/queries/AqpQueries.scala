@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.{QueryDef, Tables, dr2, dround}
+import graft.functions.SketchFunctions.approx_topk
+import graft.operators.Aqp
+import org.apache.spark.sql.functions._
+
+/** Approximate Query Processing surface (SURVEY.md §1.6, §2.4): stratified
+  * sample tables, weighted aggregates with closed-form error bounds, CMS
+  * time-series top-k, and Spark's built-in sketches.
+  *
+  * Oracle strategy: the HT count estimate over a stratified sample is
+  * EXACTLY the stratum population count (weights are inverse inclusion
+  * probabilities), so q_aqp_count gets a real oracle. The CMS top-k at
+  * this cardinality/width is collision-free w.h.p. and its
+  * (count desc, key asc) order matches the exact oracle. Value-dependent
+  * sample aggregates (avg/sum, HLL, quantile sketches) are engine-specific
+  * → rows-only + property specs.
+  */
+object AqpQueries {
+
+  private def sampled(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Aqp.stratifiedSample(Tables.load(s, dir, "lineitem"),
+      qcs = Seq("l_returnflag", "l_linestatus"),
+      fraction = 0.1, reservoirFloor = 30,
+      rankKey = Seq("l_orderkey", "l_linenumber"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- HT count estimate == exact stratum counts (oracle-checkable) ----
+    QueryDef.sql(
+      "q_aqp_count",
+      """SELECT l_returnflag, count(*) AS count_est
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Aqp.approxSumCount(sampled(s, dir), "l_extendedprice", Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          dround(col("count_est"), 0).cast("bigint").as("count_est"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- weighted avg + closed-form CI (deterministic; no SQL oracle) ----
+    QueryDef.rowsOnly("q_aqp_avg_error") { (s, dir) =>
+      Aqp.approxAvgWithError(sampled(s, dir), "l_extendedprice",
+          qcs = Seq("l_returnflag", "l_linestatus"),
+          groupBy = Seq("l_returnflag"), confidence = 0.95)
+        .select(col("l_returnflag"),
+          dr2(col("estimate")).as("estimate"),
+          dr2(col("absolute_error")).as("absolute_error"),
+          dround(col("relative_error"), 4).as("relative_error"),
+          dr2(col("lower_bound")).as("lower_bound"),
+          dr2(col("upper_bound")).as("upper_bound"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- CMS time-series top-k vs exact oracle ----
+    QueryDef.sql(
+      "q_approx_topk_ts",
+      """SELECT day, rank, user_key, cnt
+        |FROM (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(user_id AS VARCHAR) AS user_key, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY strftime(date_trunc('day', ts), '%Y-%m-%d')
+        |      ORDER BY count(*) DESC, CAST(user_id AS VARCHAR)) AS rank
+        |  FROM events
+        |  GROUP BY 1, 2) t
+        |WHERE rank <= 5
+        |ORDER BY day, rank""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(approx_topk(col("user_id"), 5).as("topk"))
+        .select(col("day"), posexplode(col("topk")))
+        .select(col("day"), (col("pos") + 1).as("rank"),
+          col("col.key").as("user_key"), col("col.count").as("cnt"))
+        .orderBy("day", "rank")
+    },
+
+    // ---- built-in sketches: HLL distinct + approximate quantiles ----
+    QueryDef.rowsOnly("q_approx_sketches") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("median_approx"))
+        .orderBy("l_returnflag")
+    }
+  )
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.{GraftSession, QueryDef, Tables, dr2, dround}
+import org.apache.spark.sql.functions._
+
+/** DML / mutation semantics over GraftSession-managed column tables —
+  * the reference's big differentiator vs stock Spark (SURVEY.md §2.9:
+  * PutIntoTable / Update / Delete / Insert, ColumnTableBulkOps).
+  *
+  * Each query creates a managed table from driver parquet, applies the
+  * mutation through the session API (copy-on-write snapshot swap), and
+  * emits a deterministic projection of the final state; the DuckDB oracle
+  * reconstructs the same final state relationally.
+  */
+object MutationQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- PUT INTO: key-matched rows replaced, new keys inserted ----
+    QueryDef.sql(
+      "q_put_into",
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |         round(o_totalprice * 1.1, 2) AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 5 = 1),
+        |merged AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL SELECT * FROM src)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM merged
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      val orders = Tables.load(s, dir, "orders")
+      g.createTable("t_put", orders, keyColumns = Seq("o_orderkey"),
+        partitionBy = Seq("o_orderkey"), buckets = 8)
+      val updates = orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", dr2(col("o_totalprice") * 1.1))
+      val inserts = orders.filter(col("o_orderkey") % 5 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderstatus", lit("N"))
+      g.putInto("t_put", updates.unionByName(inserts))
+      g.table("t_put")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dr2(sum(col("o_totalprice"))).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- UPDATE ... SET ... WHERE ----
+    QueryDef.sql(
+      "q_update",
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE l_discount END), 2) AS sum_disc,
+        |  round(sum(CASE WHEN l_returnflag = 'R'
+        |                 THEN round(l_extendedprice * 0.95, 2)
+        |                 ELSE l_extendedprice END), 2) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      g.createTable("t_upd", Tables.load(s, dir, "lineitem"))
+      g.update("t_upd", col("l_returnflag") === "R",
+        "l_discount" -> lit(0.0),
+        "l_extendedprice" -> dr2(col("l_extendedprice") * 0.95))
+      g.table("t_upd")
+        .groupBy("l_returnflag")
+        .agg(dr2(sum(col("l_discount"))).as("sum_disc"),
+          dr2(sum(col("l_extendedprice"))).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- DELETE FROM ... WHERE ----
+    QueryDef.sql(
+      "q_delete",
+      """SELECT l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE NOT (l_quantity >= 40 AND l_returnflag = 'A')
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      g.createTable("t_del", Tables.load(s, dir, "lineitem"))
+      g.delete("t_del", col("l_quantity") >= 40 && col("l_returnflag") === "A")
+      g.table("t_del")
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), dr2(sum(col("l_quantity"))).as("sum_qty"))
+        .orderBy("l_linestatus")
+    },
+
+    // ---- INSERT INTO (append) ----
+    QueryDef.sql(
+      "q_insert",
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM (SELECT * FROM customer
+        |      UNION ALL
+        |      SELECT c_custkey + 1000000, c_name, c_nationkey,
+        |             round(c_acctbal / 2, 2), 'CLONED'
+        |      FROM customer WHERE c_nationkey < 3) t
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      val cust = Tables.load(s, dir, "customer")
+      g.createTable("t_ins", cust)
+      g.insert("t_ins", cust.filter(col("c_nationkey") < 3)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L)
+        .withColumn("c_acctbal", dr2(col("c_acctbal") / 2))
+        .withColumn("c_mktsegment", lit("CLONED")))
+      g.table("t_ins")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dr2(sum(col("c_acctbal"))).as("total_bal"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- mutation pipeline: put + update + delete compose correctly ----
+    QueryDef.sql(
+      "q_mutation_pipeline",
+      """WITH upd AS (
+        |  SELECT s_suppkey, s_name, s_nationkey,
+        |    CASE WHEN s_nationkey < 10 THEN round(s_acctbal + 100, 2)
+        |         ELSE s_acctbal END AS s_acctbal
+        |  FROM supplier)
+        |SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal
+        |FROM upd
+        |WHERE s_acctbal >= 0
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      g.createTable("t_pipe", Tables.load(s, dir, "supplier"),
+        keyColumns = Seq("s_suppkey"))
+      g.update("t_pipe", col("s_nationkey") < 10,
+        "s_acctbal" -> dr2(col("s_acctbal") + 100))
+      g.delete("t_pipe", col("s_acctbal") < 0)
+      g.table("t_pipe")
+        .select(col("s_suppkey"), col("s_name"), dr2(col("s_acctbal")).as("bal"))
+        .orderBy("s_suppkey")
+    }
+  )
+}

@@ -1,0 +1,170 @@
+package org.apache.spark.sql.graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/** Count-Min-Sketch + candidate-heap buffer for approximate heavy hitters.
+  *
+  * Rebuild of the reference's TopK structure semantics
+  * (reference: core/.../execution/TopK.scala:20 stub + TimeEpoch.scala:22,
+  * API SnappySession.createApproxTSTopK:958 — implementation closed-source;
+  * this is the textbook CMS+heap design from the public Cormode-
+  * Muthukrishnan paper the docs cite). Time bucketing comes from grouping
+  * by `window(ts, interval)` outside the aggregate, which reproduces the
+  * Hokusai-style per-epoch sketches.
+  *
+  * Candidate pool is `poolFactor × k` so merges between partitions don't
+  * prematurely drop border keys.
+  */
+final class CmsTopKBuffer(val width: Int, val depth: Int, val k: Int) {
+  val counts: Array[Long] = new Array[Long](width * depth)
+  val candidates: mutable.HashMap[String, Long] = mutable.HashMap.empty
+  // Generous pool: tie-groups at the rank-k boundary survive partial
+  // merges only if all tied keys are still in the pool when the final
+  // (count desc, key asc) cut happens.
+  private val pool = math.max(256, 8 * k)
+
+  private def rowHash(key: String, row: Int): Int = {
+    // splitmix64 over (key hash, row) — deterministic across JVMs.
+    var z = key.hashCode.toLong + 0x9e3779b97f4a7c15L * (row + 1)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (((z ^ (z >>> 31)) & Long.MaxValue) % width).toInt
+  }
+
+  def estimate(key: String): Long = {
+    var est = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      est = math.min(est, counts(r * width + rowHash(key, r)))
+      r += 1
+    }
+    est
+  }
+
+  def add(key: String, n: Long = 1L): Unit = {
+    var r = 0
+    while (r < depth) {
+      counts(r * width + rowHash(key, r)) += n
+      r += 1
+    }
+    refreshCandidate(key)
+  }
+
+  private def refreshCandidate(key: String): Unit = {
+    val est = estimate(key)
+    if (candidates.contains(key) || candidates.size < pool) {
+      candidates.update(key, est)
+    } else {
+      val (minKey, minEst) = candidates.minBy { case (ck, ce) => (ce, ck) }
+      if (est > minEst) {
+        candidates.remove(minKey)
+        candidates.update(key, est)
+      }
+    }
+  }
+
+  def merge(o: CmsTopKBuffer): Unit = {
+    var i = 0
+    while (i < counts.length) { counts(i) += o.counts(i); i += 1 }
+    // Re-estimate every candidate against the merged sketch, keep pool.
+    val all = (candidates.keySet ++ o.candidates.keySet).toSeq
+    candidates.clear()
+    all.foreach { key => candidates.update(key, estimate(key)) }
+    if (candidates.size > pool) {
+      val keep = candidates.toSeq.sortBy { case (key, est) => (-est, key) }.take(pool)
+      candidates.clear()
+      keep.foreach { case (key, est) => candidates.update(key, est) }
+    }
+  }
+
+  /** Top-k (key, count), count desc then key asc. */
+  def topK: Seq[(String, Long)] =
+    candidates.toSeq.sortBy { case (key, est) => (-est, key) }.take(k)
+}
+
+case class CmsTopK(
+    keyExpr: Expression,
+    k: Int,
+    width: Int = 4096,
+    depth: Int = 5,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[CmsTopKBuffer] {
+
+  override def children: Seq[Expression] = Seq(keyExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("key", StringType), StructField("count", LongType))))
+  override def prettyName: String = "approx_topk"
+
+  override def createAggregationBuffer(): CmsTopKBuffer =
+    new CmsTopKBuffer(width, depth, k)
+
+  override def update(buf: CmsTopKBuffer, input: InternalRow): CmsTopKBuffer = {
+    val v = keyExpr.eval(input)
+    if (v != null) buf.add(v.toString)
+    buf
+  }
+
+  override def merge(buf: CmsTopKBuffer, other: CmsTopKBuffer): CmsTopKBuffer = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: CmsTopKBuffer): Any =
+    new GenericArrayData(buf.topK.map { case (key, cnt) =>
+      InternalRow(UTF8String.fromString(key), cnt)
+    }.toArray[Any])
+
+  override def serialize(buf: CmsTopKBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.width); out.writeInt(buf.depth); out.writeInt(buf.k)
+    buf.counts.foreach(out.writeLong)
+    out.writeInt(buf.candidates.size)
+    buf.candidates.foreach { case (key, est) =>
+      out.writeUTF(key); out.writeLong(est)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): CmsTopKBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new CmsTopKBuffer(in.readInt(), in.readInt(), in.readInt())
+    var i = 0
+    while (i < buf.counts.length) { buf.counts(i) = in.readLong(); i += 1 }
+    val nc = in.readInt()
+    i = 0
+    while (i < nc) {
+      val key = in.readUTF(); val est = in.readLong()
+      buf.candidates.update(key, est)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CmsTopK =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsTopK =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(keyExpr = cs(0))
+}
+
+object CmsTopKAggregate {
+  /** Column API: approximate top-k keys by frequency within the group. */
+  def approx_topk(key: Column, k: Int, width: Int = 4096, depth: Int = 5): Column =
+    ExpressionUtils.column(
+      CmsTopK(ExpressionUtils.expression(key), k, width, depth).toAggregateExpression())
+}
