@@ -107,6 +107,16 @@ class GraftSession(val spark: SparkSession) {
   def delete(name: String, condition: Column): DataFrame =
     mutate(name)(st => st.df.filter(!coalesce(condition, lit(false))))
 
+  /** DELETE of every row whose key appears in `keys` — anti-join form, so
+    * deletes stream through a shuffle instead of a driver-side predicate
+    * (the scalable path for CDC delete batches).
+    */
+  def deleteKeys(name: String, keys: DataFrame): DataFrame =
+    mutate(name) { st =>
+      require(st.keyColumns.nonEmpty, s"deleteKeys($name) requires key_columns")
+      st.df.join(keys.select(st.keyColumns.map(col): _*), st.keyColumns, "left_anti")
+    }
+
   private def mutate(name: String)(f: TableState => DataFrame): DataFrame = {
     val key = normalize(name)
     val st = tables.getOrElse(key,

@@ -83,7 +83,7 @@ object AqpQueries {
         .agg(
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           countDistinct(col("l_orderkey")).as("exact_orders"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
             .as("median_approx"))
         .orderBy("l_returnflag")
     }

@@ -220,6 +220,18 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
+    // ---- multimodal: binary payload + batched stub decode (rows-only:
+    // feature extraction is engine-specific by design) ----
+    QueryDef.rowsOnly("q_multimodal_features") { (s, dir) =>
+      val media = graft.operators.Multimodal.asMediaTable(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      graft.operators.Multimodal.extractFeatures(media, dim = 16)
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          graft.dround(aggregate(col("features"), lit(0.0), (a, x) => a + x), 4)
+            .as("feature_mass"))
+        .orderBy("media_id")
+    },
+
     // ---- per-label embedding profile ----
     QueryDef.sql(
       "q_embed_label_profile",
