@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{CmsTopK, RowLevelSecurityRule, VectorExpressions => VE}
+
+/** Session extensions — the library's Catalyst integration point
+  * (the Spark-4 equivalent of the reference's SnappySessionState wiring,
+  * SURVEY.md §3.1): row-level-security analyzer rule + SQL registration
+  * of the custom expressions, so `spark.sql("SELECT vec_cosine(a,b) ...")`
+  * works next to the Column API.
+  *
+  * Usage: SparkSession.builder().withExtensions(new GraftExtensions) or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "built-in")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectResolutionRule(session => RowLevelSecurityRule(session))
+
+    e.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - double dot product of float vectors"),
+      (args: Seq[Expression]) => VE.VectorDot(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of float vectors"),
+      (args: Seq[Expression]) => VE.VectorCosine(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("vec_norm"),
+      info("vec_norm", "vec_norm(a) - L2 norm of a float vector"),
+      (args: Seq[Expression]) => VE.VectorNorm(args(0))))
+    e.injectFunction((FunctionIdentifier("approx_topk"),
+      info("approx_topk", "approx_topk(key, k) - CMS top-k keys by frequency"),
+      (args: Seq[Expression]) => CmsTopK(args(0),
+        args(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+  }
+}

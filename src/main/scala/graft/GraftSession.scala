@@ -107,6 +107,22 @@ class GraftSession(val spark: SparkSession) {
   def delete(name: String, condition: Column): DataFrame =
     mutate(name)(st => st.df.filter(!coalesce(condition, lit(false))))
 
+  // ---- row-level security (reference: CREATE POLICY, SURVEY.md §2.2) ----
+
+  /** CREATE POLICY name ON table USING filterSql [TO users]. Applied by
+    * [[org.apache.spark.sql.graft.RowLevelSecurityRule]] during analysis
+    * for sessions built with [[GraftExtensions]].
+    */
+  def createPolicy(name: String, table: String, filterSql: String,
+      users: Set[String] = Set("*")): Unit =
+    org.apache.spark.sql.graft.PolicyRegistry.create(name, table, filterSql, users)
+
+  def dropPolicy(name: String): Unit =
+    org.apache.spark.sql.graft.PolicyRegistry.drop(name)
+
+  def setCurrentUser(user: String): Unit =
+    org.apache.spark.sql.graft.PolicyRegistry.currentUser = user
+
   /** DELETE of every row whose key appears in `keys` — anti-join form, so
     * deletes stream through a shuffle instead of a driver-side predicate
     * (the scalable path for CDC delete batches).

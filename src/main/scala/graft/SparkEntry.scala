@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.EventQueries.defs ++
       graft.queries.PipelineQueries.defs ++
       graft.queries.MutationQueries.defs ++
-      graft.queries.AqpQueries.defs
+      graft.queries.AqpQueries.defs ++
+      graft.queries.SecurityQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,43 @@
+package graft.queries
+
+import graft.{GraftSession, QueryDef, Tables, dr2}
+
+/** Row-level security exercised through the SQL path: the policy filter
+  * is injected by the analyzer rule (GraftExtensions), invisible to the
+  * query text; the oracle writes the filter explicitly.
+  */
+object SecurityQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql(
+      "q_rls_policy",
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderstatus <> 'F' AND o_totalprice < 250000
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      Tables.registerAll(s, dir)
+      g.createPolicy("p_hide_f", "orders", "o_orderstatus <> 'F'", Set("analyst"))
+      g.createPolicy("p_cap", "orders", "o_totalprice < 250000", Set("*"))
+      g.setCurrentUser("analyst")
+      try {
+        // no WHERE in the query text — both predicates come from policies
+        val out = s.sql(
+          """SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total_raw
+            |FROM orders
+            |GROUP BY o_orderstatus
+            |ORDER BY o_orderstatus""".stripMargin)
+        import org.apache.spark.sql.functions.col
+        val res = out.select(col("o_orderstatus"), col("n"),
+          dr2(col("total_raw")).as("total"))
+        res.collect() // force execution while policies are active
+        res
+      } finally {
+        g.dropPolicy("p_hide_f")
+        g.dropPolicy("p_cap")
+        g.setCurrentUser("default")
+      }
+    }
+  )
+}
