@@ -13,6 +13,7 @@ object SparkEntry {
   /** All operator/query definitions, by module. */
   def allDefs: Seq[QueryDef] =
     graft.queries.TpchQueries.defs ++
+      graft.queries.TpchQueries2.defs ++
       graft.queries.RelationalQueries.defs ++
       graft.queries.EventQueries.defs ++
       graft.queries.PipelineQueries.defs ++
