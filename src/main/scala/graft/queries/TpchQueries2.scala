@@ -59,8 +59,7 @@ object TpchQueries2 {
         |    JOIN customer ON c_custkey = o_custkey
         |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |  WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-        |      OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))) t
+        |  WHERE n1.n_name < n2.n_name) t
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
@@ -75,8 +74,7 @@ object TpchQueries2 {
         .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
         .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
-        .filter((col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY") ||
-          (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE"))
+        .filter(col("supp_nation") < col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("int").as("l_year"))
         .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
