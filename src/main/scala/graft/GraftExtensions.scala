@@ -35,5 +35,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("approx_topk", "approx_topk(key, k) - CMS top-k keys by frequency"),
       (args: Seq[Expression]) => CmsTopK(args(0),
         args(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+
+    // reference io/snappydata/functions.scala:46-53: dsid() (executor
+    // member id — here the partition id, the Spark-native analog) and
+    // current_schema() (alias of current_database)
+    e.injectFunction((FunctionIdentifier("dsid"),
+      info("dsid", "dsid() - id of the executor partition computing the row"),
+      (_: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.SparkPartitionID()))
+    e.injectFunction((FunctionIdentifier("current_schema"),
+      info("current_schema", "current_schema() - current database name"),
+      (_: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.CurrentDatabase()))
   }
 }

@@ -61,14 +61,85 @@ class GraftSession(val spark: SparkSession) {
     tables.getOrElse(normalize(name),
       throw new IllegalArgumentException(s"graft table not found: $name")).df
 
+  def isManaged(name: String): Boolean = tables.contains(normalize(name))
+
+  /** SQL entry point: Snappy-specific statements (PUT INTO, UPDATE,
+    * DELETE, CREATE POLICY, CREATE TABLE ... USING column AS ...) plus
+    * everything stock Spark SQL parses. See [[GraftSql]].
+    */
+  def sql(text: String): DataFrame = GraftSql.sql(this, text)
+
+  /** CREATE SAMPLE TABLE (reference SnappySession.createSampleTable:872):
+    * a managed table holding a deterministic stratified sample of `base`
+    * with `_weight` columns for AQP aggregates (operators.Aqp).
+    */
+  def createSampleTable(
+      name: String,
+      base: DataFrame,
+      qcs: Seq[String],
+      fraction: Double,
+      reservoirFloor: Int = 50,
+      rankKey: Seq[String]): DataFrame =
+    createTable(name,
+      graft.operators.Aqp.stratifiedSample(base, qcs, fraction, reservoirFloor, rankKey))
+
+  /** createApproxTSTopK (reference SnappySession.createApproxTSTopK:958):
+    * materialize per-time-bucket approximate top-k of `keyCol` as a
+    * managed table queryable via [[queryApproxTSTopK]].
+    */
+  def createApproxTSTopK(
+      name: String,
+      base: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      timeInterval: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, posexplode, window}
+    val topk = base
+      .groupBy(window(c(tsCol), timeInterval).as("w"))
+      .agg(graft.functions.SketchFunctions.approx_topk(c(keyCol), k).as("topk"))
+      .select(c("w.start").as("bucket_start"), c("w.end").as("bucket_end"),
+        posexplode(c("topk")))
+      .select(c("bucket_start"), c("bucket_end"), (c("pos") + 1).as("rank"),
+        c("col.key").as("key"), c("col.count").as("count"))
+    createTable(name, topk)
+  }
+
+  /** queryApproxTSTopK (reference SnappySession.queryApproxTSTopK:2162):
+    * top-k within [start, end) merged across buckets.
+    */
+  def queryApproxTSTopK(name: String, start: String, end: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit, sum}
+    table(name)
+      .filter(c("bucket_start") >= lit(start).cast("timestamp") &&
+        c("bucket_end") <= lit(end).cast("timestamp"))
+      .groupBy(c("key"))
+      .agg(sum(c("count")).as("count"))
+      .orderBy(c("count").desc, c("key"))
+      .limit(k)
+  }
+
   def dropTable(name: String): Unit = {
     tables.remove(normalize(name)).foreach(_.df.unpersist(blocking = false))
     spark.catalog.dropTempView(normalize(name))
   }
 
+  /** Align a source to the target's column names: by name when they
+    * already match, positionally otherwise (classic INSERT semantics —
+    * lets `PUT INTO t SELECT k+1, v FROM ...` work without aliases).
+    */
+  private def alignColumns(target: DataFrame, source: DataFrame): DataFrame = {
+    require(source.columns.length == target.columns.length,
+      s"source has ${source.columns.length} columns, table has ${target.columns.length}")
+    if (source.columns.toSeq == target.columns.toSeq) source
+    else if (source.columns.toSet == target.columns.toSet)
+      source.select(target.columns.map(col): _*)
+    else source.toDF(target.columns.toSeq: _*)
+  }
+
   /** INSERT INTO: append rows (reference SnappySession.insert:1990). */
   def insert(name: String, rows: DataFrame): DataFrame =
-    mutate(name)(st => st.df.unionByName(rows))
+    mutate(name)(st => st.df.unionByName(alignColumns(st.df, rows)))
 
   /** PUT INTO: key-based upsert. Matched target rows are replaced by the
     * source row, unmatched source rows are inserted — the reference's
@@ -82,7 +153,7 @@ class GraftSession(val spark: SparkSession) {
       // If the source carries duplicate keys, last-writer-wins is not
       // well-defined for a batch; keep the first by key order for
       // determinism (the reference conflates by key in its sink path).
-      val srcDedup = source.dropDuplicates(st.keyColumns)
+      val srcDedup = alignColumns(st.df, source).dropDuplicates(st.keyColumns)
       st.df.join(srcDedup, st.keyColumns, "left_anti")
         .unionByName(srcDedup.select(st.df.columns.map(col): _*))
     }
