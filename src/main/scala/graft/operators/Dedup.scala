@@ -71,10 +71,16 @@ object Dedup {
     * step follows).
     */
   def lshBands(sig: DataFrame, rowsPerBand: Int): DataFrame =
-    sig.select(col("sid"), posexplode(col("sig")))
-      .withColumn("band_idx", (col("pos") / rowsPerBand).cast("int"))
-      .groupBy("sid", "band_idx")
-      .agg(xxhash64(col("band_idx"), sort_array(collect_list(col("col")))).as("band_hash"))
+    if (rowsPerBand == 1)
+      // fast path: each signature row IS a band — no re-grouping shuffle
+      sig.select(col("sid"), posexplode(col("sig")))
+        .select(col("sid"), col("pos").as("band_idx"),
+          xxhash64(col("pos"), col("col")).as("band_hash"))
+    else
+      sig.select(col("sid"), posexplode(col("sig")))
+        .withColumn("band_idx", (col("pos") / rowsPerBand).cast("int"))
+        .groupBy("sid", "band_idx")
+        .agg(xxhash64(col("band_idx"), sort_array(collect_list(col("col")))).as("band_hash"))
 
   /** Candidate pairs: docs sharing any LSH band bucket. Self-join on the
     * band key — shuffle is on (band_idx, band_hash), never all-pairs.
@@ -93,6 +99,10 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 1,
       threshold: Double = 0.7): DataFrame = {
+    // The shingle table feeds four consumers (signatures + both verify
+    // sides + sizes); its distinct-shuffle appears once per consumer in
+    // the plan and Spark's ReuseExchange collapses the duplicates, so no
+    // explicit materialization is needed (verified via graft.Explain).
     val sh = shingles(docs, idCol, textCol, shingleLen)
     val cands = lshCandidates(lshBands(minhashSignatures(sh, numHashes), rowsPerBand))
     jaccardVerify(cands, sh).filter(col("jaccard") >= threshold)

@@ -81,8 +81,10 @@ object AqpQueries {
       Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
+          // exact countDistinct deliberately NOT here: mixing it with the
+          // sketches forces an Expand (row multiplication); the
+          // approx-vs-exact comparison lives in AqpSpec
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
             .as("median_approx"))
         .orderBy("l_returnflag")

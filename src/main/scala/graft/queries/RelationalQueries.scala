@@ -63,6 +63,48 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // ---- window: RANGE frame + ntile + percent_rank ----
+    QueryDef.sql(
+      "q_window_range_frame",
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING), 2) AS nearby_total,
+        |  ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS quartile,
+        |  round(percent_rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey), 4) AS pct_rank
+        |FROM orders
+        |WHERE o_custkey < 20
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val rangeW = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+        .rangeBetween(-1000, 1000)
+      Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") < 20)
+        .select(col("o_custkey"), col("o_orderkey"),
+          graft.dr2(sum(col("o_totalprice")).over(rangeW)).as("nearby_total"),
+          ntile(4).over(byPrice).as("quartile"),
+          graft.dround(percent_rank().over(byPrice), 4).as("pct_rank"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // ---- complex types: sorted array aggregation + element access ----
+    QueryDef.sql(
+      "q_array_agg",
+      """SELECT l_returnflag,
+        |  list_sort(list(DISTINCT l_linenumber)) AS line_numbers,
+        |  list_sort(list(DISTINCT l_linenumber))[1] AS first_line
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sort_array(collect_set(col("l_linenumber"))).as("line_numbers"))
+        .select(col("l_returnflag"), col("line_numbers"),
+          element_at(col("line_numbers"), 1).as("first_line"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- rollup with grouping bitmask ----
     QueryDef.sql(
       "q_rollup",
