@@ -36,6 +36,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => CmsTopK(args(0),
         args(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
 
+    // DuckDB-parity rounding as a SQL function (see graft.dround scaladoc)
+    e.injectFunction((FunctionIdentifier("graft_round"),
+      info("graft_round", "graft_round(x, s) - round half-away-from-zero on the binary double"),
+      (args: Seq[Expression]) => VE.graftRoundExpr(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())))
+
     // reference io/snappydata/functions.scala:46-53: dsid() (executor
     // member id — here the partition id, the Spark-native analog) and
     // current_schema() (alias of current_database)

@@ -108,6 +108,39 @@ object Dedup {
     jaccardVerify(cands, sh).filter(col("jaccard") >= threshold)
   }
 
+  /** Embedding-cosine near-dup pairs over an `array<float>` column.
+    *
+    * `lshBits > 0`: signed-random-projection bucketing (multi-table) —
+    * only pairs sharing a signature bucket in some table are scored, then
+    * exact-cosine verified. The scale path: cost ∝ bucket sizes, never
+    * all-pairs. `lshBits = 0`: exact all-pairs scoring (quadratic —
+    * baseline / oracle path, fine for ≤10⁵ rows per group).
+    */
+  def embeddingNearDups(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, lshBits: Int = 0, lshTables: Int = 4): DataFrame = {
+    import graft.functions.VectorExpressions.vec_cosine
+    val base = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val pairs =
+      if (lshBits <= 0) {
+        val l = base.select(col("vid").as("a"), col("vec").as("va"))
+        val r = base.select(col("vid").as("b"), col("vec").as("vb"))
+        l.join(r, col("a") < col("b"))
+      } else {
+        val bucketed = Similarity.withSignatures(base, "vec", lshBits, lshTables)
+        val l = bucketed.select(col("table_idx"), col("sig"),
+          col("vid").as("a"), col("vec").as("va"))
+        val r = bucketed.select(col("table_idx"), col("sig"),
+          col("vid").as("b"), col("vec").as("vb"))
+        l.join(r, Seq("table_idx", "sig")).filter(col("a") < col("b"))
+          .select("a", "va", "b", "vb").distinct()
+      }
+    pairs
+      .withColumn("cosine", vec_cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+
   /** SimHash 64-bit signature per doc from its token stream: per bit,
     * sum +1/-1 weighted by token-hash bit, take the sign. Computed with
     * plain codegen'd aggregates (64 conditional sums), no UDF.

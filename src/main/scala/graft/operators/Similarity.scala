@@ -68,6 +68,16 @@ object Similarity {
     planes.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Attach (table_idx, sig) rows per input row: one n-bit signature per
+    * LSH table. Shared by [[lshTopK]] and [[Dedup.embeddingNearDups]].
+    */
+  def withSignatures(df: DataFrame, vecCol: String, bits: Int,
+      tables: Int, seed: Long = 42L): DataFrame = {
+    val sigs = (0 until tables).map(t => signatureCol(vecCol, bits, seed + t))
+    df.select(col("*"), posexplode(array(sigs: _*)))
+      .withColumnsRenamed(Map("pos" -> "table_idx", "col" -> "sig"))
+  }
+
   /** LSH ANN: multi-table signature bucketing + exact rerank.
     * Output: (query_id, rank, neighbor_id, score) — same shape as
     * [[bruteForceTopK]] but only candidates sharing a bucket in ≥1 table

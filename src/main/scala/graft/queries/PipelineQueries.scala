@@ -168,6 +168,22 @@ object PipelineQueries {
         .orderBy("a", "b")
     },
 
+    // ---- embedding-cosine near-dup pairs (exact baseline path) ----
+    QueryDef.sql(
+      "q_dedup_embedding",
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      Dedup.embeddingNearDups(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.35, lshBits = 0)
+        .select(col("a"), col("b"), graft.dround(col("cosine"), 4).as("cosine"))
+        .orderBy("a", "b")
+    },
+
     // ---- SimHash near-dup pairs (rows-only: engine-specific hashing) ----
     QueryDef.rowsOnly("q_dedup_simhash") { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")

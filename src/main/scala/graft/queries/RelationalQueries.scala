@@ -360,6 +360,42 @@ object RelationalQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // ---- scalar functions, wave 2: datetime arithmetic, string ops,
+    // math — cross-engine-exact subset only ----
+    QueryDef.sql(
+      "q_scalar_functions2",
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate + INTERVAL 7 DAY, '%Y-%m-%d')     AS ship_by,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_epoch_start,
+        |  CAST(instr(o_orderpriority, '-') AS BIGINT)            AS dash_pos,
+        |  repeat(left(o_orderstatus, 1), 3)                      AS status3,
+        |  right(o_orderpriority, 3)                              AS prio_tail,
+        |  CAST(ascii(o_orderstatus) AS BIGINT)                   AS status_ascii,
+        |  round(power(o_totalprice / 100000, 2), 4)              AS price_sq,
+        |  CAST(sign(o_totalprice - 150000) AS BIGINT)            AS above_mid,
+        |  round(cos(CAST(o_orderkey AS DOUBLE) / 1000), 4)       AS wave
+        |FROM orders
+        |WHERE o_orderkey < 100
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderkey,
+          |  date_format(o_orderdate + INTERVAL 7 DAYS, 'yyyy-MM-dd')     AS ship_by,
+          |  date_format(date_trunc('month', o_orderdate), 'yyyy-MM-dd')  AS order_month,
+          |  CAST(datediff(o_orderdate, TIMESTAMP '1995-01-01 00:00:00') AS BIGINT) AS days_since_epoch_start,
+          |  CAST(instr(o_orderpriority, '-') AS BIGINT)                  AS dash_pos,
+          |  repeat(left(o_orderstatus, 1), 3)                            AS status3,
+          |  right(o_orderpriority, 3)                                    AS prio_tail,
+          |  CAST(ascii(o_orderstatus) AS BIGINT)                         AS status_ascii,
+          |  graft_round(power(o_totalprice / 100000, 2), 4)              AS price_sq,
+          |  CAST(sign(o_totalprice - 150000) AS BIGINT)                  AS above_mid,
+          |  graft_round(cos(CAST(o_orderkey AS DOUBLE) / 1000), 4)       AS wave
+          |FROM orders
+          |WHERE o_orderkey < 100
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
     // ---- lateral view / explode (UDTF surface, SURVEY §2.11) ----
     QueryDef.sql(
       "q_explode",

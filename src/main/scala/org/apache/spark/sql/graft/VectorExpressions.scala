@@ -137,6 +137,22 @@ object VectorExpressions {
 
   // ---- Column-API surface ----
   private def e(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Catalyst tree for graft.dround (DuckDB-exact half-away-from-zero on
+    * the binary double; see graft.dround scaladoc) — the SQL-function
+    * form `graft_round(x, s)`.
+    */
+  def graftRoundExpr(arg: Expression, scale: Int): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, CaseWhen, Cast, Divide, Floor, GreaterThanOrEqual, Literal, Multiply, UnaryMinus}
+    val x = Cast(arg, DoubleType)
+    val p = Literal(math.pow(10, scale))
+    val scaled = Multiply(x, p)
+    val pos = Floor(Add(scaled, Literal(0.5)))
+    val neg = UnaryMinus(Floor(Add(UnaryMinus(scaled), Literal(0.5))))
+    Cast(Divide(
+      Cast(CaseWhen(Seq((GreaterThanOrEqual(x, Literal(0.0)), pos)), neg), DoubleType),
+      p), DoubleType)
+  }
   def vec_dot(a: Column, b: Column): Column = ExpressionUtils.column(VectorDot(e(a), e(b)))
   def vec_cosine(a: Column, b: Column): Column = ExpressionUtils.column(VectorCosine(e(a), e(b)))
   def vec_norm(a: Column): Column = ExpressionUtils.column(VectorNorm(e(a)))

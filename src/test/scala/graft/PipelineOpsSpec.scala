@@ -69,6 +69,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(recall > 0.5, s"simhash missed too many jaccard dups: recall=$recall")
   }
 
+  test("embedding LSH near-dup finds planted near-duplicate vectors") {
+    import spark.implicits._
+    // plant: vectors 1000+i are tiny perturbations of vectors i (cos ≈ 1)
+    val base = emb.limit(20).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+    val planted = base.map { case (id, v) =>
+      (id + 1000L, v.zipWithIndex.map { case (x, i) => x + (if (i == 0) 1e-4f else 0f) })
+    }
+    val all = (base ++ planted).toSeq.toDF("vec_id", "embedding")
+    val found = graft.operators.Dedup.embeddingNearDups(
+        all, "vec_id", "embedding", threshold = 0.99, lshBits = 8, lshTables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-identical vectors share every LSH bucket w.h.p. → all 20 found
+    val expected = base.map { case (id, _) => (id, id + 1000L) }.toSet
+    assert((expected & found) == expected,
+      s"missed planted dups: ${expected -- found}")
+  }
+
   test("vec_norm positive and finite") {
     val norms = emb.select(vec_norm(col("embedding")).as("n"))
       .agg(min("n"), max("n")).head()
