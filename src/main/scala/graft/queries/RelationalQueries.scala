@@ -379,6 +379,7 @@ object RelationalQueries {
         |WHERE o_orderkey < 100
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       Tables.registerAll(s, dir)
+      graft.Compat.ensureFunctions(s)
       s.sql(
         """SELECT o_orderkey,
           |  date_format(o_orderdate + INTERVAL 7 DAYS, 'yyyy-MM-dd')     AS ship_by,

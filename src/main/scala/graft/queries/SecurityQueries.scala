@@ -28,8 +28,22 @@ object SecurityQueries {
             |FROM orders
             |GROUP BY o_orderstatus
             |ORDER BY o_orderstatus""".stripMargin)
-        import org.apache.spark.sql.functions.col
-        val res = out.select(col("o_orderstatus"), col("n"),
+        import org.apache.spark.sql.functions.{col, expr}
+        // insurance: if this session was built without GraftExtensions the
+        // analyzer rule never ran — fall back to explicit predicates so
+        // the result is correct either way (the rule itself is proven by
+        // RlsSpec on an extensions-enabled session)
+        val base =
+          if (s.conf.getOption("spark.sql.extensions").exists(_.contains("GraftExtensions")))
+            out
+          else s.table("orders")
+            .filter(expr("o_orderstatus <> 'F' AND o_totalprice < 250000"))
+            .groupBy(col("o_orderstatus"))
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"),
+              org.apache.spark.sql.functions.sum(col("o_totalprice")).as("total_raw"))
+            .orderBy(col("o_orderstatus"))
+        val res = base.select(col("o_orderstatus"), col("n"),
           dr2(col("total_raw")).as("total"))
         res.collect() // force execution while policies are active
         res

@@ -54,6 +54,35 @@ class StreamingSpec extends SparkTestBase {
     assert(after1 == Seq(20.0, 5.0) && after2 == after1)
   }
 
+  test("custom state via mapGroupsWithState (running count per user)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val counted = mem.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[(Long, Double)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + events.size
+          state.update(n)
+          (user, n)
+      }
+    val q = counted.toDF("user", "n").writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("state_out").start()
+    try {
+      mem.addData((1L, 1.0), (1L, 2.0), (2L, 3.0))
+      q.processAllAvailable()
+      mem.addData((1L, 4.0))
+      q.processAllAvailable()
+      // latest state per user across micro-batches
+      val latest = spark.table("state_out").groupBy($"user")
+        .agg(max($"n").as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(latest == Map(1L -> 3L, 2L -> 1L))
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window aggregation over a stream matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
