@@ -21,6 +21,21 @@ object TopKAggregate {
     org.apache.spark.sql.graft.TopKAggregate.topk_by(score, id, k)
 }
 
+object TextFunctions {
+  /** MinHash signature of a text's word n-gram shingle set (one pass). */
+  def minhash_sig(text: Column, shingleLen: Int, numHashes: Int): Column =
+    org.apache.spark.sql.graft.TextHashExpressions.minhash_sig(text, shingleLen, numHashes)
+  /** Exact word n-gram Jaccard between two texts. */
+  def ngram_jaccard(a: Column, b: Column, n: Int): Column =
+    org.apache.spark.sql.graft.TextHashExpressions.ngram_jaccard(a, b, n)
+  /** Sorted distinct shingle hashes (one pass per document). */
+  def shingle_hashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.TextHashExpressions.shingle_hashes(text, n)
+  /** Jaccard of two sorted hash arrays (linear merge). */
+  def hash_jaccard(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.TextHashExpressions.hash_jaccard(a, b)
+}
+
 object SketchFunctions {
   /** Approximate top-k keys by frequency (CMS + candidate heap). */
   def approx_topk(key: Column, k: Int, width: Int = 4096, depth: Int = 5): Column =

@@ -108,6 +108,37 @@ object Dedup {
     jaccardVerify(cands, sh).filter(col("jaccard") >= threshold)
   }
 
+  /** Single-pass MinHash-LSH near-dup detection (the scale path).
+    *
+    * Unlike [[minhashNearDups]] (relational formulation: explode →
+    * distinct → k×min aggregation, several wide shuffles of the shingle
+    * table), this computes signatures with the
+    * [[org.apache.spark.sql.graft.MinHashSignature]] expression — one
+    * narrow pass over the documents — and verifies candidates with a
+    * per-pair [[org.apache.spark.sql.graft.NgramJaccard]] over the two
+    * texts. Shuffled data: (id, band) pairs and candidate id pairs only.
+    */
+  def minhashNearDupsFast(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    import graft.functions.TextFunctions.{hash_jaccard, minhash_sig, shingle_hashes}
+    val base = docs.select(col(idCol).as("sid"), col(textCol).as("txt"))
+    val bands = base
+      .select(col("sid"), posexplode(minhash_sig(col("txt"), shingleLen, numHashes)))
+      .select(col("sid"), col("pos").as("band_idx"), col("col").as("band_hash"))
+    val cands = lshCandidates(bands)
+    // verify against precomputed sorted shingle-hash arrays: per pair the
+    // exact Jaccard is a linear merge over ~|shingles| longs
+    val hashed = base.select(col("sid"), shingle_hashes(col("txt"), shingleLen).as("sh"))
+    cands
+      .join(hashed.select(col("sid").as("a"), col("sh").as("ha")), "a")
+      .join(hashed.select(col("sid").as("b"), col("sh").as("hb")), "b")
+      .withColumn("jaccard", hash_jaccard(col("ha"), col("hb")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
   /** Embedding-cosine near-dup pairs over an `array<float>` column.
     *
     * `lshBits > 0`: signed-random-projection bucketing (multi-table) —

@@ -161,9 +161,10 @@ object PipelineQueries {
         |WHERE CAST(i.n_inter AS DOUBLE) / (sa.set_size + sb.set_size - i.n_inter) >= 0.7
         |ORDER BY i.a, i.b""".stripMargin) { (s, dir) =>
       // 16 single-row bands: recall ≥ 1-(1-j)^16 ≈ 1-4e-9 at j ≥ 0.7,
-      // still effectively exact for the all-pairs oracle
-      Dedup.minhashNearDups(Tables.load(s, dir, "documents"), "doc_id", "text",
-          shingleLen = 3, numHashes = 16, rowsPerBand = 1, threshold = 0.7)
+      // still effectively exact for the all-pairs oracle; single-pass
+      // signature + per-pair verify (see Dedup.minhashNearDupsFast)
+      Dedup.minhashNearDupsFast(Tables.load(s, dir, "documents"), "doc_id", "text",
+          shingleLen = 3, numHashes = 16, threshold = 0.7)
         .select(col("a"), col("b"), graft.dround(col("jaccard"), 4).as("jaccard"))
         .orderBy("a", "b")
     },

@@ -1,0 +1,169 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/** Single-pass text-hashing expressions for dedup at scale.
+  *
+  * The relational formulation (explode shingles → distinct → 16×min agg)
+  * shuffles the exploded shingle table several times; these expressions
+  * compute the same results as a NARROW map over the document scan — no
+  * explode, no shuffle, one pass per row. The LSH pipeline then shuffles
+  * only (id, band) pairs and candidate ids.
+  */
+object TextHash {
+
+  @inline private def splitmix(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit hash of a shingle under permutation `seed`. */
+  @inline def shingleHash(s: String, seed: Long): Long =
+    splitmix(scala.util.hashing.MurmurHash3.stringHash(s).toLong ^ (seed * 0xc2b2ae3d27d4eb4fL))
+
+  def tokens(text: String): Array[String] =
+    text.trim.split("\\s+")
+
+  /** Distinct word n-gram shingles. */
+  def shingleSet(text: String, n: Int): mutable.HashSet[String] = {
+    val t = tokens(text)
+    val out = mutable.HashSet.empty[String]
+    var i = 0
+    while (i + n <= t.length) {
+      out.add(t.slice(i, i + n).mkString(" "))
+      i += 1
+    }
+    out
+  }
+
+  /** MinHash signature. Each shingle is string-hashed ONCE; the k
+    * "permutations" are cheap long-mixes of that hash — O(|shingles| ×
+    * (strlen + k)) instead of O(|shingles| × k × strlen).
+    */
+  def minhash(text: String, shingleLen: Int, numHashes: Int): Array[Long] = {
+    val hs = sortedShingleHashes(text, shingleLen)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < hs.length) {
+      val h = hs(j)
+      var i = 0
+      while (i < numHashes) {
+        val m = splitmix(h ^ (i.toLong * 0xc2b2ae3d27d4eb4fL))
+        if (m < sig(i)) sig(i) = m
+        i += 1
+      }
+      j += 1
+    }
+    sig
+  }
+
+  /** Sorted distinct 64-bit hashes of the text's shingle set — the
+    * per-document precomputation that makes pairwise verification a
+    * merge-intersection over longs (no per-pair string work). Collision
+    * probability within a pair's union (~128 hashes over 2^64) is ~4e-16.
+    */
+  def sortedShingleHashes(text: String, n: Int): Array[Long] = {
+    val sh = shingleSet(text, n)
+    val out = new Array[Long](sh.size)
+    var i = 0
+    sh.foreach { s => out(i) = shingleHash(s, 0L); i += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /** Jaccard of two sorted hash arrays by linear merge. */
+  def sortedJaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
+  def jaccard(a: String, b: String, n: Int): Double = {
+    val sa = shingleSet(a, n)
+    val sb = shingleSet(b, n)
+    if (sa.isEmpty && sb.isEmpty) 0.0
+    else {
+      var inter = 0
+      sa.foreach(s => if (sb.contains(s)) inter += 1)
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+  }
+}
+
+/** minhash_sig(text) — array of `numHashes` per-permutation minima. */
+case class MinHashSignature(child: Expression, shingleLen: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      TextHash.minhash(v.asInstanceOf[UTF8String].toString, shingleLen, numHashes))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ngram_jaccard(a, b) — exact word n-gram Jaccard similarity. */
+case class NgramJaccard(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "ngram_jaccard"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.jaccard(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString, n)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** shingle_hashes(text) — sorted distinct shingle hashes (see
+  * [[TextHash.sortedShingleHashes]]).
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      TextHash.sortedShingleHashes(v.asInstanceOf[UTF8String].toString, n))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** hash_jaccard(a, b) — Jaccard of two sorted hash arrays. */
+case class HashArrayJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hash_jaccard"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.sortedJaccard(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray())
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object TextHashExpressions {
+  def minhash_sig(text: Column, shingleLen: Int, numHashes: Int): Column =
+    ExpressionUtils.column(
+      MinHashSignature(ExpressionUtils.expression(text), shingleLen, numHashes))
+  def ngram_jaccard(a: Column, b: Column, n: Int): Column =
+    ExpressionUtils.column(
+      NgramJaccard(ExpressionUtils.expression(a), ExpressionUtils.expression(b), n))
+  def shingle_hashes(text: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text), n))
+  def hash_jaccard(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      HashArrayJaccard(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
