@@ -27,7 +27,11 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       if (df.schema("ts").dataType == LongType)
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        // integer division: `/` on Columns is DOUBLE division, which
+        // rounds in the 52-bit mantissa at epoch-nanos magnitude and can
+        // shift the truncated µs by one
+        df.withColumn("ts",
+          timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
       else df
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }

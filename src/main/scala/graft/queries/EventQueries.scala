@@ -110,6 +110,34 @@ object EventQueries {
         .orderBy(col("user_id"))
     },
 
+    // ---- as-of join: each purchase enriched with the latest prior
+    // signup of the same user (union-window implementation; DuckDB's
+    // native ASOF JOIN is the oracle) ----
+    QueryDef.sql(
+      "q_asof_join",
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+        |             round("value", 2) AS val FROM events)
+        |SELECT l.event_id, l.user_id, l.val,
+        |  r.event_id AS asof_event_id, r.ts_us AS asof_ts_us
+        |FROM (SELECT * FROM e WHERE event_type = 'purchase') l
+        |  ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'signup') r
+        |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+        |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("val", graft.dr2(col("value")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us", "val")
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      graft.operators.AsofJoin.asofJoin(
+          purchases, signups, by = Seq("user_id"),
+          leftTs = "ts_us", rightTs = "ts_us", rightOrder = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("val"),
+          col("asof_event_id"), col("asof_ts_us"))
+        .orderBy("event_id")
+    },
+
     // ---- event funnel: users who signed up then purchased (ordered pair) ----
     QueryDef.sql(
       "q_events_funnel",
