@@ -122,6 +122,27 @@ object MutationQueries {
         .orderBy("c_mktsegment")
     },
 
+    // ---- DSv2 column store: ingest + stats-skipped filtered scan ----
+    QueryDef.sql(
+      "q_column_store",
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 2000
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val fmt = "org.apache.spark.sql.graft.store.GraftColumnSource"
+      Tables.load(s, dir, "lineitem")
+        .orderBy("l_orderkey") // clustered ingest → tight batch stats
+        .write.format(fmt).option("table", "q_cs").option("batch_size", "4096")
+        .mode("overwrite").save()
+      s.read.format(fmt).option("table", "q_cs").load()
+        .filter(col("l_orderkey").between(1000, 2000))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dr2(sum(col("l_extendedprice"))).as("total"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- mutation pipeline: put + update + delete compose correctly ----
     QueryDef.sql(
       "q_mutation_pipeline",

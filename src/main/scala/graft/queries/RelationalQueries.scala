@@ -252,6 +252,31 @@ object RelationalQueries {
         .orderBy(col("c_mktsegment"))
     },
 
+    // ---- statistical aggregates ----
+    QueryDef.sql(
+      "q_stats_agg",
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4)                 AS qty_stddev,
+        |  round(var_samp(l_extendedprice), 2)               AS price_var,
+        |  round(corr(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_discount), 4)      AS qty_disc_covar,
+        |  round(min(l_extendedprice), 2)                    AS min_price,
+        |  round(max(l_extendedprice), 2)                    AS max_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          graft.dround(stddev_samp(col("l_quantity")), 4).as("qty_stddev"),
+          graft.dr2(var_samp(col("l_extendedprice"))).as("price_var"),
+          graft.dround(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+          graft.dround(covar_samp(col("l_quantity"), col("l_discount")), 4).as("qty_disc_covar"),
+          graft.dr2(min(col("l_extendedprice"))).as("min_price"),
+          graft.dr2(max(col("l_extendedprice"))).as("max_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- pivot (manual CASE aggregation as the oracle) ----
     QueryDef.sql(
       "q_pivot",

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.graft.store.GraftColumnStore
+import org.apache.spark.sql.functions._
+
+/** DSv2 column store: write/read roundtrip, per-batch min/max stats
+  * skipping, column pruning, columnar scan path.
+  */
+class ColumnStoreSpec extends SparkTestBase {
+
+  private val fmt = "org.apache.spark.sql.graft.store.GraftColumnSource"
+
+  private lazy val li = Tables.load(spark, sf, "lineitem")
+    .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+      "l_returnflag", "l_shipdate")
+    // sort so batches have tight, disjoint l_orderkey ranges — the
+    // layout a clustered ingest produces and stats skipping rewards
+    .orderBy("l_orderkey")
+
+  private lazy val written: Unit =
+    li.write.format(fmt).option("table", "cs_li").option("batch_size", "512")
+      .mode("overwrite").save()
+
+  private def store = { written; spark.read.format(fmt).option("table", "cs_li").load() }
+
+  test("roundtrip + batch stats skipping on a selective filter") {
+    val store = this.store
+    assert(store.count() == li.count())
+
+    val sk0 = GraftColumnStore.batchesSkipped.get()
+    val sc0 = GraftColumnStore.batchesScanned.get()
+    val got = store.filter(col("l_orderkey") === 42).collect()
+    val expected = li.filter(col("l_orderkey") === 42).collect()
+    assert(got.length == expected.length && got.length > 0)
+    val skipped = GraftColumnStore.batchesSkipped.get() - sk0
+    val scanned = GraftColumnStore.batchesScanned.get() - sc0
+    assert(skipped > 0, s"stats skipping never fired (scanned=$scanned)")
+    assert(scanned <= 2, s"point lookup should touch at most 2 batches, scanned $scanned")
+  }
+
+  test("filters are still exactly applied on surviving batches") {
+    val store = this.store
+    val a = store.filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .agg(count(lit(1)), sum("l_extendedprice")).head()
+    val b = li.filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .agg(count(lit(1)), sum("l_extendedprice")).head()
+    assert(a.getLong(0) == b.getLong(0))
+    assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-6)
+  }
+
+  test("column pruning reaches the scan") {
+    val store = this.store
+    val plan = store.select("l_returnflag").distinct()
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cols=[l_returnflag]"),
+      s"expected pruned read schema in scan description:\n$plan")
+  }
+
+  test("scan is columnar (no row pivot before codegen)") {
+    val df = store.groupBy("l_returnflag").count()
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"expected columnar scan:\n$plan")
+  }
+
+  test("aggregation over the store matches parquet") {
+    val store = this.store
+    val a = store.groupBy("l_returnflag").agg(sum("l_quantity").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = li.groupBy("l_returnflag").agg(sum("l_quantity").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+  }
+}
