@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TopKAggregate.topk_by
-import graft.functions.VectorExpressions.vec_cosine
+import graft.functions.VectorExpressions.{vec_cosine, vec_norm}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -66,6 +66,61 @@ object Similarity {
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     planes.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+    * corpus into `nlist` cells; each query probes its `nprobe` nearest
+    * cells and reranks exactly. The classic alternative to LSH when the
+    * data is clusterable: at 100 TB the corpus is scanned once to train
+    * (on a sample) + once to assign, and every query touches
+    * ~`nprobe/nlist` of the corpus.
+    *
+    * Vectors are L2-normalized before clustering so KMeans' euclidean
+    * cells align with cosine neighborhoods.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val normalize = {
+      val n = vec_norm(col(vecCol))
+      transform(col(vecCol), x => when(n > 0, x / n).otherwise(x))
+    }
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("c_vec"),
+      array_to_vector(normalize).as("fv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      array_to_vector(normalize).as("fv"))
+
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(c)
+    val assigned = model.transform(c).select(col("nid"), col("c_vec"), col("cell"))
+
+    // nprobe nearest cells per query: centers are tiny → literal DF
+    val centers = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray.map(_.toFloat).toSeq)
+    }.toSeq
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centersDf = centers.toDF("cell", "center")
+    val probes = q
+      .crossJoin(broadcast(centersDf))
+      .groupBy(col("query_id"))
+      .agg(topk_by(vec_cosine(col("q_vec"), col("center")), col("cell").cast("long"), nprobe)
+        .as("cells"))
+      .select(col("query_id"), explode(col("cells.id")).as("cell"))
+      .join(q.select(col("query_id"), col("q_vec")), "query_id")
+      .withColumn("cell", col("cell").cast("int"))
+
+    probes.join(assigned, "cell")
+      .filter(col("nid") =!= col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(topk_by(vec_cosine(col("q_vec"), col("c_vec")), col("nid"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("score"))
   }
 
   /** Attach (table_idx, sig) rows per input row: one n-bit signature per

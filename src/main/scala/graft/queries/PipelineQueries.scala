@@ -215,6 +215,15 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ---- IVF ANN: KMeans cells + nprobe rerank (rows-only: recall < 1) ----
+    QueryDef.rowsOnly("q_ann_ivf") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 10, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- LSH-bucketed ANN (rows-only: recall < 1 by design) ----
     QueryDef.rowsOnly("q_ann_lsh") { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")

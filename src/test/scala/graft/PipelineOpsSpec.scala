@@ -58,6 +58,21 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(recall > 0.05, s"suspiciously low lsh recall $recall")
   }
 
+  test("ivf ANN achieves solid recall vs brute force") {
+    val exact = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 10, nlist = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // probing half the cells (4 of 8) should recover well over half the
+    // true neighbors on clusterable data
+    assert(recall > 0.3, s"ivf recall too low: $recall")
+  }
+
   test("simhash near-dups overlap heavily with exact-jaccard near-dups") {
     val jacc = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.7)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
