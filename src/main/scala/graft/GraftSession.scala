@@ -83,6 +83,17 @@ class GraftSession(val spark: SparkSession) {
     createTable(name,
       graft.operators.Aqp.stratifiedSample(base, qcs, fraction, reservoirFloor, rankKey))
 
+  /** base view name → sample table name, consulted by the WITH ERROR
+    * rewrite (GraftSql + SampleRewrite).
+    */
+  val samples: TrieMap[String, String] = TrieMap.empty
+
+  /** Associate a base table/view with a sample table so `SELECT ...
+    * WITH ERROR f` queries against the base are rewritten onto it.
+    */
+  def registerSample(baseTable: String, sampleTable: String): Unit =
+    samples.put(baseTable.toLowerCase, sampleTable.toLowerCase)
+
   /** createApproxTSTopK (reference SnappySession.createApproxTSTopK:958):
     * materialize per-time-bucket approximate top-k of `keyCol` as a
     * managed table queryable via [[queryApproxTSTopK]].

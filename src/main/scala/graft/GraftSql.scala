@@ -31,6 +31,8 @@ object GraftSql {
     """(?is)\s*CREATE\s+TABLE\s+(\w+)\s+USING\s+(?:column|row)(?:\s+OPTIONS\s*\(([^)]*)\))?\s+AS\s+(SELECT\b.*)""".r
   private val dropPolicy: Regex =
     """(?is)\s*DROP\s+POLICY\s+(\w+)\s*""".r
+  private val withError: Regex =
+    """(?is)(.*\S)\s+WITH\s+ERROR\s+([0-9.]+)(?:\s+CONFIDENCE\s+([0-9.]+))?\s*""".r
 
   /** Parse OPTIONS (partition_by 'a,b', buckets '8', key_columns 'k'). */
   private def parseOptions(s: String): Map[String, String] =
@@ -41,6 +43,16 @@ object GraftSql {
   def sql(g: GraftSession, text: String): DataFrame = {
     val spark = g.spark
     text match {
+      // `SELECT ... WITH ERROR f [CONFIDENCE c]` — reference AQP SQL
+      // surface (docs/sde/hac_contracts.md): substitute the registered
+      // sample table and HT-weight the aggregates (SampleRewrite).
+      case withError(body, _, _) =>
+        g.samples.collectFirst {
+          case (base, sample)
+              if s"(?is).*\\b$base\\b.*".r.matches(body) =>
+            org.apache.spark.sql.graft.SampleRewrite.run(spark, body, base, sample)
+        }.getOrElse(spark.sql(body))
+
       case putInto(table, source) =>
         val src =
           if (source.trim.toUpperCase.startsWith("TABLE"))

@@ -40,6 +40,30 @@ object AqpQueries {
         .orderBy("l_returnflag")
     },
 
+    // ---- WITH ERROR SQL: sample substitution + HT-weighted aggregates.
+    // Count estimates are exact per stratum-aligned group (weights are
+    // inverse inclusion probabilities) → full oracle on the SQL path ----
+    QueryDef.sql(
+      "q_aqp_with_error_sql",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val g = graft.GraftSession(s)
+      graft.Tables.registerAll(s, dir)
+      g.createSampleTable("li_sample_sql", graft.Tables.load(s, dir, "lineitem"),
+        qcs = Seq("l_returnflag", "l_linestatus"), fraction = 0.1,
+        reservoirFloor = 30, rankKey = Seq("l_orderkey", "l_linenumber"))
+      g.registerSample("lineitem", "li_sample_sql")
+      try {
+        g.sql(
+          """SELECT l_returnflag, l_linestatus, count(*) AS n
+            |FROM lineitem
+            |GROUP BY l_returnflag, l_linestatus
+            |ORDER BY l_returnflag, l_linestatus WITH ERROR 0.1""".stripMargin)
+      } finally g.samples.remove("lineitem")
+    },
+
     // ---- weighted avg + closed-form CI (deterministic; no SQL oracle) ----
     QueryDef.rowsOnly("q_aqp_avg_error") { (s, dir) =>
       Aqp.approxAvgWithError(sampled(s, dir), "l_extendedprice",

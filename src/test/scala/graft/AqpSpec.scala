@@ -49,6 +49,33 @@ class AqpSpec extends SparkTestBase {
     }
   }
 
+  test("WITH ERROR sql rewrites onto the sample with weighted aggregates") {
+    val g = GraftSession(spark)
+    Tables.registerAll(spark, sf)
+    g.createSampleTable("li_sample_t", li,
+      qcs = Seq("l_returnflag", "l_linestatus"), fraction = 0.1,
+      reservoirFloor = 30, rankKey = Seq("l_orderkey", "l_linenumber"))
+    g.registerSample("lineitem", "li_sample_t")
+    try {
+      val approx = g.sql(
+        "SELECT l_returnflag, count(*) AS n, avg(l_extendedprice) AS m, " +
+          "sum(l_quantity) AS q FROM lineitem GROUP BY l_returnflag WITH ERROR 0.1")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      val exact = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), avg("l_extendedprice").as("m"), sum("l_quantity").as("q"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      exact.foreach { case (k, (n, m, q)) =>
+        val (an, am, aq) = approx(k)
+        assert(an == n, s"HT count must be exact: $an vs $n")
+        assert(math.abs(am - m) / m < 0.15, s"avg estimate too far: $am vs $m")
+        assert(math.abs(aq - q) / q < 0.15, s"sum estimate too far: $aq vs $q")
+      }
+      // the query really ran on the sample, not the base table
+      val scannedRows = g.table("li_sample_t").count()
+      assert(scannedRows < li.count() / 2, "sample is not smaller than base?")
+    } finally g.samples.remove("lineitem")
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val r = li.agg(
       approx_count_distinct(col("l_orderkey")).as("a"),
