@@ -73,6 +73,35 @@ object EventQueries {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // ---- native session windows (session_window) — oracle is the
+    // window-function gap formulation, which produces identical maximal
+    // sessions for a 30-min gap ----
+    QueryDef.sql(
+      "q_events_session_window",
+      """WITH marked AS (
+        |  SELECT user_id, "value", epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - coalesce(lag(epoch_us(ts)) OVER w, epoch_us(ts))
+        |              >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, "value", ts_us,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events,
+        |  round(sum("value"), 2) AS session_value
+        |FROM sessions
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), graft.dr2(sum(col("value"))).as("session_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    },
+
     // ---- semi-structured field extraction from the props JSON string ----
     QueryDef.sql(
       "q_events_json",
