@@ -21,4 +21,26 @@ package object graft {
 
   /** dround at 2 decimals — the default for currency-ish aggregates. */
   def dr2(c: Column): Column = dround(c, 2)
+
+  /** Order-insensitive money aggregate. Summing doubles is order-sensitive —
+    * at 100 TB the partial-agg merge order is nondeterministic, so a
+    * `round(sum(double), 2)` result can flip at a .005 boundary between runs
+    * (and between engines — that is exactly what broke q7 parity in round 1).
+    * Money columns in the test data are exact 2-decimal values, so casting
+    * the per-row expression to DECIMAL(18, decScale) recovers the exact
+    * value (decScale must cover the expression's true decimal digits:
+    * 2-digit price × 2-digit rate → 4; × another rate → 6). The decimal sum
+    * is then exact regardless of merge order; round HALF_UP in decimal
+    * (matches DuckDB's half-away-from-zero) and emit DOUBLE.
+    */
+  def decSum(c: Column, outScale: Int = 2, decScale: Int = 4): Column =
+    round(sum(c.cast(org.apache.spark.sql.types.DecimalType(18, decScale))), outScale)
+      .cast("double")
+
+  /** Exact decimal sum emitted as DOUBLE without rounding — for ratio
+    * numerators/denominators where the division happens in double space
+    * (pair with [[dround]] on the quotient).
+    */
+  def decSumRaw(c: Column, decScale: Int = 4): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, decScale))).cast("double")
 }

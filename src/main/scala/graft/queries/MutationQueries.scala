@@ -33,7 +33,7 @@ object MutationQueries {
         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
         |  UNION ALL SELECT * FROM src)
         |SELECT o_orderstatus, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS total
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM merged
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
@@ -50,7 +50,7 @@ object MutationQueries {
       g.putInto("t_put", updates.unionByName(inserts))
       g.table("t_put")
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"), dr2(sum(col("o_totalprice"))).as("total"))
+        .agg(count(lit(1)).as("n"), graft.decSum(col("o_totalprice")).as("total"))
         .orderBy("o_orderstatus")
     },
 
@@ -58,10 +58,10 @@ object MutationQueries {
     QueryDef.sql(
       "q_update",
       """SELECT l_returnflag,
-        |  round(sum(CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE l_discount END), 2) AS sum_disc,
-        |  round(sum(CASE WHEN l_returnflag = 'R'
+        |  CAST(round(sum(CAST(CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE l_discount END AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc,
+        |  CAST(round(sum(CAST(CASE WHEN l_returnflag = 'R'
         |                 THEN round(l_extendedprice * 0.95, 2)
-        |                 ELSE l_extendedprice END), 2) AS sum_price,
+        |                 ELSE l_extendedprice END AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY l_returnflag
@@ -73,8 +73,8 @@ object MutationQueries {
         "l_extendedprice" -> dr2(col("l_extendedprice") * 0.95))
       g.table("t_upd")
         .groupBy("l_returnflag")
-        .agg(dr2(sum(col("l_discount"))).as("sum_disc"),
-          dr2(sum(col("l_extendedprice"))).as("sum_price"),
+        .agg(graft.decSum(col("l_discount")).as("sum_disc"),
+          graft.decSum(col("l_extendedprice")).as("sum_price"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     },
@@ -101,7 +101,7 @@ object MutationQueries {
     QueryDef.sql(
       "q_insert",
       """SELECT c_mktsegment, count(*) AS n,
-        |  round(sum(c_acctbal), 2) AS total_bal
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
         |FROM (SELECT * FROM customer
         |      UNION ALL
         |      SELECT c_custkey + 1000000, c_name, c_nationkey,
@@ -118,7 +118,7 @@ object MutationQueries {
         .withColumn("c_mktsegment", lit("CLONED")))
       g.table("t_ins")
         .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n"), dr2(sum(col("c_acctbal"))).as("total_bal"))
+        .agg(count(lit(1)).as("n"), graft.decSum(col("c_acctbal")).as("total_bal"))
         .orderBy("c_mktsegment")
     },
 
@@ -126,7 +126,7 @@ object MutationQueries {
     QueryDef.sql(
       "q_column_store",
       """SELECT l_returnflag, count(*) AS n,
-        |  round(sum(l_extendedprice), 2) AS total
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 1000 AND 2000
         |GROUP BY l_returnflag
@@ -139,7 +139,7 @@ object MutationQueries {
       s.read.format(fmt).option("table", "q_cs").load()
         .filter(col("l_orderkey").between(1000, 2000))
         .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"), dr2(sum(col("l_extendedprice"))).as("total"))
+        .agg(count(lit(1)).as("n"), graft.decSum(col("l_extendedprice")).as("total"))
         .orderBy("l_returnflag")
     },
 

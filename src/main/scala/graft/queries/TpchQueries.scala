@@ -31,37 +31,40 @@ object TpchQueries {
     QueryDef.sql(
       "q1_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2)          AS sum_qty,
-        |  round(sum(l_extendedprice), 2)     AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 2)          AS avg_qty,
-        |  round(avg(l_extendedprice), 2)     AS avg_price,
-        |  round(avg(l_discount), 4)          AS avg_disc,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
         |  count(*)                           AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      import graft.{decSum, decSumRaw}
+      val n = count(lit(1))
       Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          r2(sum(col("l_quantity"))).as("sum_qty"),
-          r2(sum(col("l_extendedprice"))).as("sum_base_price"),
-          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
-          r2(avg(col("l_quantity"))).as("avg_qty"),
-          r2(avg(col("l_extendedprice"))).as("avg_price"),
-          graft.dround(avg(col("l_discount")), 4).as("avg_disc"),
-          count(lit(1)).as("count_order"))
+          decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice")).as("sum_base_price"),
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")),
+            outScale = 2, decScale = 6).as("sum_charge"),
+          graft.dround(decSumRaw(col("l_quantity")) / n, 2).as("avg_qty"),
+          graft.dround(decSumRaw(col("l_extendedprice")) / n, 2).as("avg_price"),
+          graft.dround(decSumRaw(col("l_discount")) / n, 4).as("avg_disc"),
+          n.as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
     // ---- Q6: forecast revenue change (tight scan filter + global agg) ----
     QueryDef.sql(
       "q6_forecast_revenue",
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -72,14 +75,14 @@ object TpchQueries {
           col("l_shipdate") < ts("1997-01-01 00:00:00") &&
           col("l_discount").between(0.04, 0.07) &&
           col("l_quantity") < 24)
-        .agg(r2(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"))
+        .agg(graft.decSum(col("l_extendedprice") * col("l_discount")).as("revenue"))
     },
 
     // ---- Q3: shipping priority (3-way join + agg + top-N) ----
     QueryDef.sql(
       "q3_shipping_priority",
       """SELECT l_orderkey,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
         |  o_orderdate
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON l_orderkey = o_orderkey
@@ -98,7 +101,7 @@ object TpchQueries {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .agg(graft.decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
@@ -108,7 +111,7 @@ object TpchQueries {
     QueryDef.sql(
       "q5_local_supplier",
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM customer
         |  JOIN orders   ON c_custkey = o_custkey
         |  JOIN lineitem ON l_orderkey = o_orderkey
@@ -136,7 +139,7 @@ object TpchQueries {
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .agg(graft.decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
@@ -144,7 +147,7 @@ object TpchQueries {
     QueryDef.sql(
       "q10_returned_items",
       """SELECT c_custkey, c_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
         |  c_acctbal, n_name
         |FROM customer
         |  JOIN orders   ON c_custkey = o_custkey
@@ -166,7 +169,7 @@ object TpchQueries {
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .agg(graft.decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)

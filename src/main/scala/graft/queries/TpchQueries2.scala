@@ -48,7 +48,8 @@ object TpchQueries2 {
     // ---- Q7: volume shipping between two nations (dual nation join) ----
     QueryDef.sql(
       "q7_volume_shipping",
-      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(round(sum(CAST(volume AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM (
         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |    CAST(year(l_shipdate) AS INT) AS l_year,
@@ -77,7 +78,7 @@ object TpchQueries2 {
         .filter(col("supp_nation") < col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("int").as("l_year"))
-        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .agg(graft.decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     },
 
@@ -85,8 +86,8 @@ object TpchQueries2 {
     QueryDef.sql(
       "q8_market_share",
       """SELECT o_year,
-        |  round(sum(CASE WHEN nation = 'BRAZIL' THEN volume ELSE 0 END)
-        |        / sum(volume), 4) AS mkt_share
+        |  round(CAST(sum(CAST(CASE WHEN nation = 'BRAZIL' THEN volume ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+        |        / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE), 4) AS mkt_share
         |FROM (
         |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |    l_extendedprice * (1 - l_discount) AS volume,
@@ -121,15 +122,16 @@ object TpchQueries2 {
         .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
         .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
         .agg(dround(
-          sum(when(col("nation") === "BRAZIL", col("volume")).otherwise(0.0)) /
-            sum(col("volume")), 4).as("mkt_share"))
+          graft.decSumRaw(when(col("nation") === "BRAZIL", col("volume")).otherwise(0.0)) /
+            graft.decSumRaw(col("volume")), 4).as("mkt_share"))
         .orderBy(col("o_year"))
     },
 
     // ---- Q9: product-type profit (retailprice as cost proxy) ----
     QueryDef.sql(
       "q9_product_profit",
-      """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+      """SELECT nation, o_year,
+        |  CAST(round(sum(CAST(amount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
         |FROM (
         |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
         |    l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1 AS amount
@@ -155,7 +157,7 @@ object TpchQueries2 {
             col("p_retailprice") * col("l_quantity") * 0.1)
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).cast("int").as("o_year"))
-        .agg(r2(sum(col("amount"))).as("sum_profit"))
+        .agg(graft.decSum(col("amount")).as("sum_profit"))
         .orderBy(col("nation"), col("o_year").desc)
     },
 
@@ -163,8 +165,8 @@ object TpchQueries2 {
     QueryDef.sql(
       "q12_quantity_bands",
       """SELECT band,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM (
         |  SELECT CASE WHEN l_quantity < 10 THEN 'small'
         |              WHEN l_quantity < 30 THEN 'medium'
@@ -215,9 +217,9 @@ object TpchQueries2 {
     // ---- Q14: promo revenue share ----
     QueryDef.sql(
       "q14_promo_revenue",
-      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-        |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+      """SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin) { (s, dir) =>
@@ -228,14 +230,15 @@ object TpchQueries2 {
       val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
       li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
         .agg(dround(lit(100.0) *
-          sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) / sum(rev), 4)
+          graft.decSumRaw(when(col("p_type") === "PROMO", rev).otherwise(0.0)) /
+            graft.decSumRaw(rev), 4)
           .as("promo_revenue"))
     },
 
     // ---- Q17: small-quantity-order revenue (correlated avg subquery) ----
     QueryDef.sql(
       "q17_small_quantity",
-      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly
         |FROM lineitem l1
         |  JOIN part ON p_partkey = l1.l_partkey
         |WHERE p_brand = 'Brand#1'
@@ -248,7 +251,7 @@ object TpchQueries2 {
       li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
         .join(partAvg, col("l_partkey") === col("avg_partkey"))
         .filter(col("l_quantity") < col("half_avg_qty"))
-        .agg(r2(sum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+        .agg(r2(graft.decSumRaw(col("l_extendedprice")) / 7.0).as("avg_yearly"))
     },
 
     // ---- Q18: large-volume customers (HAVING over grouped join) ----
@@ -279,7 +282,7 @@ object TpchQueries2 {
     // ---- Q19: discounted revenue (multi-disjunct predicate pushdown) ----
     QueryDef.sql(
       "q19_disjunct_revenue",
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
@@ -292,13 +295,14 @@ object TpchQueries2 {
           (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) && col("l_quantity").between(20, 40))
       li.join(broadcast(part), col("p_partkey") === col("l_partkey"))
         .filter(cond)
-        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .agg(graft.decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
     },
 
     // ---- Q22: global sales opportunity (anti join + scalar subquery) ----
     QueryDef.sql(
       "q22_sales_opportunity",
-      """SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+      """SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal
         |FROM customer c
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders o
@@ -314,7 +318,7 @@ object TpchQueries2 {
       cust.join(broadcast(avgBal)).filter(col("c_acctbal") > col("avg_bal"))
         .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
-        .agg(count(lit(1)).as("numcust"), r2(sum(col("c_acctbal"))).as("totacctbal"))
+        .agg(count(lit(1)).as("numcust"), graft.decSum(col("c_acctbal")).as("totacctbal"))
         .orderBy(col("c_nationkey"))
     }
   )
