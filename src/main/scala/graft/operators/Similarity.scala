@@ -37,51 +37,44 @@ object Similarity {
         col("col.id").as("neighbor_id"), col("col.score").as("score"))
   }
 
-  /** n-bit signed-random-projection signature. The hyperplanes are
-    * implicit: plane p's component for dimension i is ±1 from a splitmix64
-    * bit of (seed, p, i) — no plane matrix to distribute, fully
-    * deterministic across executors.
-    */
-  private def splitmixSign(seed: Long, p: Int, i: Int): Double = {
-    var z = seed + 0x9e3779b97f4a7c15L * ((p.toLong << 32) | (i.toLong & 0xffffffffL))
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    if ((z & 1L) == 0L) 1.0 else -1.0
-  }
-
   /** Signature as a Column expression: sum of ±vec[i] per plane, sign bit
-    * packed into a long. Pure `functions._` composition (aggregate over a
-    * zipped index sequence) — codegen-compatible, no UDF.
+    * packed into a long. The hyperplanes are implicit: plane p's component
+    * for dimension i is ±1 from bit 0 of `xxhash64(seed, p, i)` — computed
+    * inline per element, so the planes stay independent at ANY
+    * dimensionality (no lookup-table wraparound) and no plane matrix is
+    * distributed. Pure `functions._` composition — codegen-compatible,
+    * no UDF.
     */
   private def signatureCol(vecCol: String, bits: Int, seed: Long) = {
     val planes = (0 until bits).map { p =>
       val dot = aggregate(
         zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
-          (x, i) => x * element_at(
-            // ±1 lookup table per plane, small enough to inline as literal
-            array((0 until 64).map(d => lit(splitmixSign(seed, p, d))): _*),
-            (i % 64) + 1)),
+          (x, i) => x *
+            when(xxhash64(lit(seed), lit(p), i).bitwiseAND(1L) === 0L, 1.0)
+              .otherwise(-1.0)),
         lit(0.0d), (acc, x) => acc + x)
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     planes.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
-    * corpus into `nlist` cells; each query probes its `nprobe` nearest
-    * cells and reranks exactly. The classic alternative to LSH when the
-    * data is clusterable: at 100 TB the corpus is scanned once to train
-    * (on a sample) + once to assign, and every query touches
-    * ~`nprobe/nlist` of the corpus.
-    *
-    * Vectors are L2-normalized before clustering so KMeans' euclidean
-    * cells align with cosine neighborhoods.
+  /** IVF index: `centroids` (cell, center: array<float>) — nlist rows —
+    * and `assigned` (nid, c_vec, cell) — the corpus labeled by nearest
+    * centroid. Build once, persist (e.g. as GraftSession managed tables
+    * partitioned by cell), probe many times.
     */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+  case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+
+  /** Build the IVF coarse quantizer: KMeans over L2-normalized vectors
+    * (so euclidean cells align with cosine neighborhoods) + corpus
+    * assignment. At 100 TB this is the INDEXING job — the corpus is
+    * scanned once to train (on a sample) and once to assign — and must
+    * never sit on the query path (reference analog: a CREATE INDEX
+    * statement, not a SELECT).
+    */
+  def buildIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -91,30 +84,38 @@ object Similarity {
     }
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("c_vec"),
       array_to_vector(normalize).as("fv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      array_to_vector(normalize).as("fv"))
-
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(c)
     val assigned = model.transform(c).select(col("nid"), col("c_vec"), col("cell"))
 
-    // nprobe nearest cells per query: centers are tiny → literal DF
     val centers = model.clusterCenters.zipWithIndex.map { case (v, i) =>
       (i, v.toArray.map(_.toFloat).toSeq)
     }.toSeq
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centersDf = centers.toDF("cell", "center")
+    IvfIndex(centers.toDF("cell", "center"), assigned)
+  }
+
+  /** Probe-only IVF query: each query scores the (tiny, broadcast)
+    * centroid table for its `nprobe` nearest cells, joins the assigned
+    * corpus on `cell` (a partition-pruning join when `assigned` is stored
+    * partitioned by cell) and reranks exactly — touching ~nprobe/nlist of
+    * the corpus, with zero ML-fit work on the query path.
+    */
+  def ivfProbe(
+      index: IvfIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val probes = q
-      .crossJoin(broadcast(centersDf))
+      .crossJoin(broadcast(index.centroids))
       .groupBy(col("query_id"))
       .agg(topk_by(vec_cosine(col("q_vec"), col("center")), col("cell").cast("long"), nprobe)
         .as("cells"))
       .select(col("query_id"), explode(col("cells.id")).as("cell"))
-      .join(q.select(col("query_id"), col("q_vec")), "query_id")
+      .join(q, "query_id")
       .withColumn("cell", col("cell").cast("int"))
 
-    probes.join(assigned, "cell")
+    probes.join(index.assigned, "cell")
       .filter(col("nid") =!= col("query_id"))
       .groupBy(col("query_id"))
       .agg(topk_by(vec_cosine(col("q_vec"), col("c_vec")), col("nid"), k).as("topk"))
@@ -122,6 +123,17 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).as("rank"),
         col("col.id").as("neighbor_id"), col("col.score").as("score"))
   }
+
+  /** Build + probe in one call (spec/baseline convenience — real query
+    * paths should build once via [[buildIvfIndex]] and [[ivfProbe]] many
+    * times).
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame =
+    ivfProbe(buildIvfIndex(corpus, idCol, vecCol, nlist, seed),
+      queries, idCol, vecCol, k, nprobe)
 
   /** Attach (table_idx, sig) rows per input row: one n-bit signature per
     * LSH table. Shared by [[lshTopK]] and [[Dedup.embeddingNearDups]].

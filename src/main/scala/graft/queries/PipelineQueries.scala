@@ -169,7 +169,15 @@ object PipelineQueries {
         .orderBy("a", "b")
     },
 
-    // ---- embedding-cosine near-dup pairs (exact baseline path) ----
+    // ---- embedding-cosine near-dup pairs (exact, block-distributed) ----
+    // Threshold 0.35 in 64 dims is the near-random regime (every oracle
+    // pair on this corpus lies in [0.35, 0.5); random pairs average
+    // |cos| ≈ 0.125): SRP-LSH cannot reach recall 1 there at any (bits,
+    // tables), so the registered query uses the exact blocked-join path —
+    // quadratic work, but distributed across block-pair tasks with no
+    // BroadcastNestedLoopJoin (see Dedup.embeddingNearDups scaladoc).
+    // The LSH path stays the high-threshold scale tool (q_ann_lsh +
+    // PipelineOpsSpec cover it).
     QueryDef.sql(
       "q_dedup_embedding",
       """SELECT a.vec_id AS a, b.vec_id AS b,
@@ -180,7 +188,7 @@ object PipelineQueries {
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.35
         |ORDER BY a, b""".stripMargin) { (s, dir) =>
       Dedup.embeddingNearDups(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.35, lshBits = 0)
+          "vec_id", "embedding", threshold = 0.35, lshBits = 0, blocks = 8)
         .select(col("a"), col("b"), graft.dround(col("cosine"), 4).as("cosine"))
         .orderBy("a", "b")
     },
@@ -215,11 +223,25 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
-    // ---- IVF ANN: KMeans cells + nprobe rerank (rows-only: recall < 1) ----
+    // ---- IVF ANN: KMeans cells + nprobe rerank (rows-only: recall < 1).
+    // Build/probe split: the index (KMeans fit + assignment) materializes
+    // ONCE as managed tables — `cells` partitioned by cell so the probe
+    // join is exchange-free on the corpus side — and the query path is
+    // probe-only (the reference analog: CREATE INDEX vs SELECT).
     QueryDef.rowsOnly("q_ann_ivf") { (s, dir) =>
+      val g = graft.GraftSession(s)
+      val suffix = (dir.hashCode & 0x7fffffff).toString
+      val (cName, aName) = (s"ivf_centroids_$suffix", s"ivf_cells_$suffix")
+      if (!g.isManaged(cName)) {
+        val idx = Similarity.buildIvfIndex(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding", nlist = 16)
+        g.createTable(cName, idx.centroids)
+        g.createTable(aName, idx.assigned, partitionBy = Seq("cell"), buckets = 16)
+      }
+      val idx = Similarity.IvfIndex(g.table(cName), g.table(aName))
       val emb = Tables.load(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", 10, nlist = 16, nprobe = 4)
+      Similarity.ivfProbe(idx, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 10, nprobe = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy("query_id", "rank")
     },

@@ -102,6 +102,30 @@ class PipelineOpsSpec extends SparkTestBase {
       s"missed planted dups: ${expected -- found}")
   }
 
+  test("blocked exact embedding dedup: no BNLJ, matches naive all-pairs") {
+    val sub = emb.filter(col("vec_id") < 120)
+    val blocked = Dedup.embeddingNearDups(sub, "vec_id", "embedding",
+      threshold = 0.35, lshBits = 0, blocks = 4)
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"),
+      s"blocked path must not use BNLJ:\n$plan")
+    val got = blocked.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive reference: all pairs via local collect
+    val vs = sub.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val want = (for {
+      (i, vi) <- vs; (j, vj) <- vs
+      if i < j && cos(vi, vj) >= 0.35
+    } yield (i, j)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("vec_norm positive and finite") {
     val norms = emb.select(vec_norm(col("embedding")).as("n"))
       .agg(min("n"), max("n")).head()
