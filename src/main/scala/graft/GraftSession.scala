@@ -30,19 +30,30 @@ import scala.collection.concurrent.TrieMap
   */
 class GraftSession(val spark: SparkSession) {
 
-  /** Catalog entry for a managed table. */
+  /** Catalog entry for a managed table. `storeBacked` tables live in the
+    * graftstore DSv2 column store (delta/delete mutation, bucketed
+    * layout); the cached-DataFrame path remains for schemas the store
+    * doesn't hold (arrays etc.).
+    */
   case class TableState(
       df: DataFrame,
       keyColumns: Seq[String],
       partitionBy: Seq[String],
-      buckets: Int)
+      buckets: Int,
+      storeBacked: Boolean = false)
 
   private val tables = TrieMap.empty[String, TableState]
 
   private def normalize(name: String): String = name.toLowerCase
 
+  import org.apache.spark.sql.graft.store.{GraftColumnStore, GraftStoreOps}
+
   /** CREATE TABLE ... USING column OPTIONS (partition_by, buckets,
-    * key_columns). Caches (columnar-izes) the data and registers a view.
+    * key_columns). Data lands in the graftstore column store (sealed
+    * encoded batches + stats, delta row buffer, mutable via delete
+    * bitmaps / update deltas — see GraftColumnStore); a temp view exposes
+    * it to SQL. Schemas with store-unsupported types (arrays, maps) fall
+    * back to the cached-DataFrame snapshot path.
     */
   def createTable(
       name: String,
@@ -50,11 +61,27 @@ class GraftSession(val spark: SparkSession) {
       keyColumns: Seq[String] = Nil,
       partitionBy: Seq[String] = Nil,
       buckets: Int = 32): DataFrame = {
-    val df =
-      if (partitionBy.nonEmpty)
-        data.repartition(buckets, partitionBy.map(col): _*)
-      else data
-    swap(normalize(name), TableState(df, keyColumns, partitionBy, buckets))
+    val nm = normalize(name)
+    if (data.schema.fields.forall(f => GraftColumnStore.supportsType(f.dataType))) {
+      val w = data.write.format(GraftStoreOps.FORMAT).option("table", nm)
+        .option("key_columns", keyColumns.mkString(","))
+      val w2 =
+        if (partitionBy.nonEmpty)
+          w.option("partition_by", partitionBy.mkString(",")).option("buckets", buckets.toString)
+        else w
+      GraftColumnStore.drop(nm) // fresh layout (options win over a stale table)
+      w2.mode("overwrite").save()
+      val df = GraftStoreOps.read(spark, nm)
+      df.createOrReplaceTempView(nm)
+      tables.put(nm, TableState(df, keyColumns, partitionBy, buckets, storeBacked = true))
+      df
+    } else {
+      val df =
+        if (partitionBy.nonEmpty)
+          data.repartition(buckets, partitionBy.map(col): _*)
+        else data
+      swap(nm, TableState(df, keyColumns, partitionBy, buckets))
+    }
   }
 
   def table(name: String): DataFrame =
@@ -131,7 +158,10 @@ class GraftSession(val spark: SparkSession) {
   }
 
   def dropTable(name: String): Unit = {
-    tables.remove(normalize(name)).foreach(_.df.unpersist(blocking = false))
+    tables.remove(normalize(name)).foreach { st =>
+      if (st.storeBacked) GraftColumnStore.drop(normalize(name))
+      else st.df.unpersist(blocking = false)
+    }
     spark.catalog.dropTempView(normalize(name))
   }
 
@@ -148,46 +178,78 @@ class GraftSession(val spark: SparkSession) {
     else source.toDF(target.columns.toSeq: _*)
   }
 
-  /** INSERT INTO: append rows (reference SnappySession.insert:1990). */
-  def insert(name: String, rows: DataFrame): DataFrame =
-    mutate(name)(st => st.df.unionByName(alignColumns(st.df, rows)))
+  private def stateOf(name: String): TableState =
+    tables.getOrElse(normalize(name),
+      throw new IllegalArgumentException(s"graft table not found: $name"))
+
+  /** INSERT INTO: append rows (reference SnappySession.insert:1990).
+    * Store-backed: a bucketed DSv2 append — full batches seal, the
+    * remainder lands in the delta row buffer.
+    */
+  def insert(name: String, rows: DataFrame): DataFrame = {
+    val st = stateOf(name)
+    if (st.storeBacked) {
+      alignColumns(st.df, rows).write.format(GraftStoreOps.FORMAT)
+        .option("table", normalize(name)).mode("append").save()
+      table(name)
+    } else mutate(name)(s => s.df.unionByName(alignColumns(s.df, rows)))
+  }
 
   /** PUT INTO: key-based upsert. Matched target rows are replaced by the
     * source row, unmatched source rows are inserted — the reference's
     * LeftAnti/union split (ColumnTableBulkOps.scala:46-200), which is also
     * exactly MERGE ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT with
-    * whole-row assignment. Requires key columns.
+    * whole-row assignment. Requires key columns. Store-backed: matched
+    * rows die via per-batch delete bitmaps, the source appends — both
+    * O(source), not O(table) (GraftStoreOps.putInto).
     */
-  def putInto(name: String, source: DataFrame): DataFrame =
-    mutate(name) { st =>
+  def putInto(name: String, source: DataFrame): DataFrame = {
+    val st = stateOf(name)
+    if (st.storeBacked) {
       require(st.keyColumns.nonEmpty, s"putInto($name) requires key_columns")
+      GraftStoreOps.putInto(spark, normalize(name), source)
+      table(name)
+    } else mutate(name) { s =>
+      require(s.keyColumns.nonEmpty, s"putInto($name) requires key_columns")
       // If the source carries duplicate keys, last-writer-wins is not
       // well-defined for a batch; keep the first by key order for
       // determinism (the reference conflates by key in its sink path).
-      val srcDedup = alignColumns(st.df, source).dropDuplicates(st.keyColumns)
-      st.df.join(srcDedup, st.keyColumns, "left_anti")
-        .unionByName(srcDedup.select(st.df.columns.map(col): _*))
+      val srcDedup = alignColumns(s.df, source).dropDuplicates(s.keyColumns)
+      s.df.join(srcDedup, s.keyColumns, "left_anti")
+        .unionByName(srcDedup.select(s.df.columns.map(col): _*))
     }
+  }
 
-  /** UPDATE table SET assignments WHERE condition
-    * (reference: execution/row/RowUpdateExec, columnar/ColumnUpdateExec —
-    * there a delta-column write; here a copy-on-write projection).
+  /** UPDATE table SET assignments WHERE condition (reference
+    * ColumnUpdateExec / ColumnDeltaEncoder). Store-backed: per-(batch,
+    * column) update deltas written by tasks, merged at scan — O(delta)
+    * per statement (GraftStoreOps.update).
     */
-  def update(name: String, condition: Column, assignments: (String, Column)*): DataFrame =
-    mutate(name) { st =>
+  def update(name: String, condition: Column, assignments: (String, Column)*): DataFrame = {
+    val st = stateOf(name)
+    if (st.storeBacked) {
+      GraftStoreOps.update(spark, normalize(name), condition, assignments)
+      table(name)
+    } else mutate(name) { s =>
       val setMap = assignments.toMap
-      st.df.select(st.df.columns.map { c =>
+      s.df.select(s.df.columns.map { c =>
         setMap.get(c)
           .map(newVal => when(condition, newVal).otherwise(col(c)).as(c))
           .getOrElse(col(c))
       }: _*)
     }
+  }
 
-  /** DELETE FROM table WHERE condition (reference ColumnDeleteExec — there
-    * a per-batch delete bitmap; here a retained-rows snapshot).
+  /** DELETE FROM table WHERE condition (reference ColumnDeleteExec).
+    * Store-backed: per-batch delete bitmaps built task-side — O(delta).
     */
-  def delete(name: String, condition: Column): DataFrame =
-    mutate(name)(st => st.df.filter(!coalesce(condition, lit(false))))
+  def delete(name: String, condition: Column): DataFrame = {
+    val st = stateOf(name)
+    if (st.storeBacked) {
+      GraftStoreOps.delete(spark, normalize(name), condition)
+      table(name)
+    } else mutate(name)(s => s.df.filter(!coalesce(condition, lit(false))))
+  }
 
   // ---- row-level security (reference: CREATE POLICY, SURVEY.md §2.2) ----
 
@@ -205,15 +267,20 @@ class GraftSession(val spark: SparkSession) {
   def setCurrentUser(user: String): Unit =
     org.apache.spark.sql.graft.PolicyRegistry.currentUser = user
 
-  /** DELETE of every row whose key appears in `keys` — anti-join form, so
+  /** DELETE of every row whose key appears in `keys` — join form, so
     * deletes stream through a shuffle instead of a driver-side predicate
     * (the scalable path for CDC delete batches).
     */
-  def deleteKeys(name: String, keys: DataFrame): DataFrame =
-    mutate(name) { st =>
-      require(st.keyColumns.nonEmpty, s"deleteKeys($name) requires key_columns")
-      st.df.join(keys.select(st.keyColumns.map(col): _*), st.keyColumns, "left_anti")
+  def deleteKeys(name: String, keys: DataFrame): DataFrame = {
+    val st = stateOf(name)
+    require(st.keyColumns.nonEmpty, s"deleteKeys($name) requires key_columns")
+    if (st.storeBacked) {
+      GraftStoreOps.deleteKeys(spark, normalize(name), keys)
+      table(name)
+    } else mutate(name) { s =>
+      s.df.join(keys.select(s.keyColumns.map(col): _*), s.keyColumns, "left_anti")
     }
+  }
 
   private def mutate(name: String)(f: TableState => DataFrame): DataFrame = {
     val key = normalize(name)

@@ -1,12 +1,16 @@
 package org.apache.spark.sql.graft.store
 
 import java.util
+import java.util.OptionalLong
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources._
@@ -15,29 +19,33 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 import org.apache.spark.unsafe.types.UTF8String
 
+import scala.collection.immutable.BitSet
 import scala.jdk.CollectionConverters._
 
 /** DataSource v2 front-end for [[GraftColumnStore]] — the Spark-idiomatic
   * rebuild of the reference's column-table scan/write path
   * (reference: ColumnTableScan batch-stats skipping
   * core/.../columnar/ColumnTableScan.scala:900-980, filter pushdown
-  * StoreDataSourceStrategy.scala:55, writes ColumnInsertExec.scala:45).
+  * StoreDataSourceStrategy.scala:55, writes ColumnInsertExec.scala:45,
+  * bucketed outputPartitioning ExistingPlans.scala:49).
   *
-  * Capabilities: batch read (COLUMNAR — scans hand Spark `ColumnarBatch`es
-  * directly, no row pivot), filter pushdown with per-batch min/max/null
-  * stats skipping, column pruning (only requested vectors materialize),
-  * batch write with append/truncate.
-  *
-  * Single-JVM scope (local mode): batches live in a JVM-wide registry —
-  * on a real cluster this layer would sit over a distributed store with
-  * one InputPartition per (node, batch) exactly as the reference's bucket
-  * regions do; the planner-facing contract (pushdown, stats, columnar
-  * reads) is identical.
-  *
-  * Usage:
-  *   df.write.format("org.apache.spark.sql.graft.store.GraftColumnSource")
-  *     .option("table", "t").mode("append").save()
-  *   spark.read.format(...).option("table", "t").load()
+  * Capabilities:
+  *  - COLUMNAR batch read with per-batch min/max/null stats skipping and
+  *    column pruning; delete bitmaps and update deltas merged during the
+  *    read (reference ColumnFormatRelation.scala:137-161);
+  *  - hidden metadata columns `_graft_batch_id` / `_graft_row_idx`
+  *    addressing physical rows — the substrate for distributed
+  *    UPDATE/DELETE/PUT (see [[GraftStoreOps]]);
+  *  - bucketed writes: the Write REQUIRES a clustered distribution on the
+  *    bucket columns with exactly `buckets` partitions, so Spark routes
+  *    rows before they reach the writer and writer partition id == bucket
+  *    id; scans then report a bucket-grouped partitioning
+  *    (`KeyGroupedPartitioning` over `bucket(n, cols)`) so equi-joins of
+  *    co-bucketed tables plan without an Exchange (storage-partitioned
+  *    join; resolves through [[GraftCatalog]]'s bucket function);
+  *  - commit messages carry [[GraftColumnStore.BatchRef]]s — ids + stats,
+  *    never data; payloads are written by the tasks into the
+  *    executor-resident [[GraftColumnStore.BatchRegistry]].
   */
 class GraftColumnSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -48,25 +56,61 @@ class GraftColumnSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new GraftTable(properties.get("table"), schema,
-      Option(properties.get("batch_size")).map(_.toInt).getOrElse(4096))
+    GraftTable.fromOptions(properties.get("table"), schema, properties.asScala.toMap)
 
   override def supportsExternalMetadata(): Boolean = true
 }
 
-class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int)
-    extends Table with SupportsRead with SupportsWrite {
+object GraftTable {
+  val BATCH_ID_COL = "_graft_batch_id"
+  val ROW_IDX_COL = "_graft_row_idx"
+
+  def fromOptions(name: String, schema: StructType, props: Map[String, String]): GraftTable = {
+    // an existing table's physical layout wins over (stale) options
+    val existing = GraftColumnStore.get(name).map(_.snapshot)
+    val bucketBy = existing.map(_.bucketBy).getOrElse(
+      props.get("partition_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil))
+    val buckets = existing.map(_.numBuckets).getOrElse(
+      props.get("buckets").map(_.toInt).getOrElse(0))
+    val keys = existing.map(_.keyColumns).getOrElse(
+      props.get("key_columns").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil))
+    new GraftTable(name, schema, props.get("batch_size").map(_.toInt).getOrElse(4096),
+      bucketBy, buckets, keys)
+  }
+}
+
+class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
+    bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String])
+    extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
+  import GraftTable._
+
   override def name(): String = s"graftstore.$tableName"
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    if (bucketBy.nonEmpty && numBuckets > 0)
+      Array(Expressions.bucket(numBuckets, bucketBy: _*))
+    else Array.empty
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
+
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = BATCH_ID_COL
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+    },
+    new MetadataColumn {
+      override def name(): String = ROW_IDX_COL
+      override def dataType(): DataType = IntegerType
+      override def isNullable: Boolean = false
+    })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableName, tableSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(tableName, info.schema(), batchSize)
+    new GraftWriteBuilder(tableName, info.schema(), batchSize, bucketBy, numBuckets, keyColumns)
 }
 
 // ------------------------------- read path -------------------------------
@@ -92,32 +136,78 @@ class GraftScanBuilder(tableName: String, fullSchema: StructType)
   override def build(): Scan = new GraftScan(tableName, fullSchema, required, pushed)
 }
 
+/** Per-batch work unit shipped to readers: the ref plus its merge state
+  * (delete bitmap + ordered update-delta refs per column index).
+  */
+case class BatchWork(
+    ref: GraftColumnStore.BatchRef,
+    deletes: Option[BitSet],
+    updates: Map[Int, Vector[GraftColumnStore.ColumnDeltaRef]])
+
 class GraftScan(tableName: String, fullSchema: StructType,
-    required: StructType, filters: Array[Filter]) extends Scan with Batch {
+    required: StructType, filters: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning {
+
+  // one consistent snapshot for the whole scan (planning + stats)
+  private lazy val snapshot = GraftColumnStore(tableName).snapshot
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graftstore.$tableName pushed=[${filters.mkString(", ")}] cols=[${required.fieldNames.mkString(",")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val table = GraftColumnStore.get(tableName)
-      .getOrElse(throw new IllegalStateException(s"graftstore table dropped: $tableName"))
-    val all = table.batches.zipWithIndex
-    val kept = all.filter { case (b, _) => BatchPruning.mightMatch(b, fullSchema, filters) }
+  private def workFor(ref: GraftColumnStore.BatchRef): BatchWork =
+    BatchWork(ref, snapshot.deletes.get(ref.id),
+      snapshot.updates.getOrElse(ref.id, Map.empty))
+
+  private lazy val keptWork: Seq[BatchWork] = {
+    val all = snapshot.refs
+    val kept = all.filter { r =>
+      // columns with update deltas have stale stats → never prune on them
+      val updatedCols = snapshot.updates.getOrElse(r.id, Map.empty).keySet
+        .map(fullSchema.fields(_).name)
+      BatchPruning.mightMatch(r.stats, r.numRows, fullSchema, filters, updatedCols)
+    }
     GraftColumnStore.batchesSkipped.addAndGet(all.size - kept.size)
     GraftColumnStore.batchesScanned.addAndGet(kept.size)
-    kept.map { case (_, idx) =>
-      GraftInputPartition(tableName, idx): InputPartition
-    }.toArray
+    kept.map(workFor)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (snapshot.numBuckets > 0) {
+      // one partition per bucket (all buckets, so two co-bucketed scans
+      // always align group-for-group in a storage-partitioned join)
+      val byBucket = keptWork.groupBy(_.ref.bucketId)
+      (0 until snapshot.numBuckets).map { b =>
+        GraftBucketPartition(b, byBucket.getOrElse(b, Nil).toVector): InputPartition
+      }.toArray
+    } else keptWork.map(w => GraftBatchPartition(w): InputPartition).toArray
+
+  override def outputPartitioning(): Partitioning =
+    if (snapshot.numBuckets > 0)
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(snapshot.numBuckets, snapshot.bucketBy: _*)),
+        snapshot.numBuckets)
+    else new UnknownPartitioning(keptWork.size)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(1L, snapshot.sizeBytes))
+    override def numRows(): OptionalLong = OptionalLong.of(snapshot.rowCount)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(tableName, fullSchema, required)
+    new GraftReaderFactory(fullSchema, required)
 }
 
-case class GraftInputPartition(tableName: String, batchIdx: Int) extends InputPartition
+case class GraftBatchPartition(work: BatchWork) extends InputPartition
 
-class GraftReaderFactory(tableName: String, fullSchema: StructType, required: StructType)
+case class GraftBucketPartition(bucketId: Int, works: Vector[BatchWork])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucketId))
+}
+
+class GraftReaderFactory(fullSchema: StructType, required: StructType)
     extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
@@ -125,39 +215,80 @@ class GraftReaderFactory(tableName: String, fullSchema: StructType, required: St
     throw new UnsupportedOperationException("columnar-only source")
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    val p = partition.asInstanceOf[GraftInputPartition]
-    val batch = GraftColumnStore.get(p.tableName).get.batches(p.batchIdx)
+    val works = partition match {
+      case GraftBatchPartition(w) => Vector(w)
+      case GraftBucketPartition(_, ws) => ws
+    }
     new PartitionReader[ColumnarBatch] {
-      private var consumed = false
-      override def next(): Boolean = !consumed && { consumed = true; true }
-      override def get(): ColumnarBatch = {
-        val vectors: Array[ColumnVector] = required.fields.map { f =>
-          val srcIdx = fullSchema.fieldIndex(f.name)
-          val vec = new OnHeapColumnVector(batch.numRows, f.dataType)
-          fill(vec, f.dataType, batch.columns(srcIdx), batch.numRows)
-          vec: ColumnVector
-        }
-        new ColumnarBatch(vectors, batch.numRows)
-      }
+      private var idx = -1
+      override def next(): Boolean = { idx += 1; idx < works.length }
+      override def get(): ColumnarBatch = decode(works(idx))
       override def close(): Unit = ()
     }
   }
 
-  private def fill(vec: OnHeapColumnVector, dt: DataType, vals: Array[Any], n: Int): Unit = {
+  /** Decode one batch: stream-decode required columns, overlay update
+    * deltas in arrival order, drop deleted rows. `_graft_row_idx` stays
+    * the PHYSICAL index so mutation jobs address rows stably across
+    * earlier deletes.
+    */
+  private def decode(w: BatchWork): ColumnarBatch = {
+    val batch = GraftColumnStore.BatchRegistry.batch(w.ref.id)
+    val n = w.ref.numRows
+    val dels = w.deletes.getOrElse(BitSet.empty)
+    val live = n - dels.size
+    val vectors: Array[ColumnVector] = required.fields.map { f =>
+      val vec = new OnHeapColumnVector(live, f.dataType)
+      f.name match {
+        case GraftTable.BATCH_ID_COL =>
+          var o = 0
+          var i = 0
+          while (i < n) {
+            if (!dels(i)) { vec.putLong(o, w.ref.id); o += 1 }
+            i += 1
+          }
+        case GraftTable.ROW_IDX_COL =>
+          var o = 0
+          var i = 0
+          while (i < n) {
+            if (!dels(i)) { vec.putInt(o, i); o += 1 }
+            i += 1
+          }
+        case name =>
+          val srcIdx = fullSchema.fieldIndex(name)
+          val vals = batch.columns(srcIdx).toArray
+          w.updates.getOrElse(srcIdx, Vector.empty).foreach { dref =>
+            val d = GraftColumnStore.BatchRegistry.delta(dref.deltaId)
+            var k = 0
+            while (k < d.rows.length) { vals(d.rows(k)) = d.values(k); k += 1 }
+          }
+          fill(vec, f.dataType, vals, n, dels)
+      }
+      vec: ColumnVector
+    }
+    new ColumnarBatch(vectors, live)
+  }
+
+  private def fill(vec: OnHeapColumnVector, dt: DataType, vals: Array[Any],
+      n: Int, dels: BitSet): Unit = {
     var i = 0
+    var o = 0
     while (i < n) {
-      val v = vals(i)
-      if (v == null) vec.putNull(i)
-      else dt match {
-        case LongType | TimestampType | TimestampNTZType => vec.putLong(i, v.asInstanceOf[Long])
-        case IntegerType | DateType => vec.putInt(i, v.asInstanceOf[Int])
-        case DoubleType => vec.putDouble(i, v.asInstanceOf[Double])
-        case FloatType => vec.putFloat(i, v.asInstanceOf[Float])
-        case BooleanType => vec.putBoolean(i, v.asInstanceOf[Boolean])
-        case StringType =>
-          val b = v.asInstanceOf[UTF8String].getBytes
-          vec.putByteArray(i, b, 0, b.length)
-        case other => throw new UnsupportedOperationException(s"graftstore type: $other")
+      if (!dels(i)) {
+        val v = vals(i)
+        if (v == null) vec.putNull(o)
+        else dt match {
+          case LongType | TimestampType | TimestampNTZType => vec.putLong(o, v.asInstanceOf[Long])
+          case IntegerType | DateType => vec.putInt(o, v.asInstanceOf[Int])
+          case DoubleType => vec.putDouble(o, v.asInstanceOf[Double])
+          case FloatType => vec.putFloat(o, v.asInstanceOf[Float])
+          case BooleanType => vec.putBoolean(o, v.asInstanceOf[Boolean])
+          case StringType =>
+            val b = v.asInstanceOf[UTF8String].getBytes
+            vec.putByteArray(o, b, 0, b.length)
+          case other => throw new UnsupportedOperationException(s"graftstore type: $other")
+        }
+        o += 1
       }
       i += 1
     }
@@ -166,16 +297,20 @@ class GraftReaderFactory(tableName: String, fullSchema: StructType, required: St
 
 /** Batch skipping: a batch survives unless its stats PROVE no row can
   * satisfy some pushed conjunct (reference ColumnTableScan stats filter).
+  * Columns in `unprunable` (they carry update deltas, so sealed stats are
+  * stale) never prune.
   */
 object BatchPruning {
-  import GraftColumnStore.{compare, ColumnStats, StoreBatch}
+  import GraftColumnStore.{compare, ColumnStats}
 
-  def mightMatch(b: StoreBatch, schema: StructType, filters: Array[Filter]): Boolean =
-    filters.forall(f => mightMatchOne(b, schema, f))
+  def mightMatch(stats: Array[ColumnStats], numRows: Int, schema: StructType,
+      filters: Array[Filter], unprunable: Set[String] = Set.empty): Boolean =
+    filters.forall(f => mightMatchOne(stats, numRows, schema, f, unprunable))
 
-  private def statsFor(b: StoreBatch, schema: StructType, col: String): Option[(ColumnStats, DataType)] = {
+  private def statsFor(stats: Array[ColumnStats], schema: StructType,
+      col: String): Option[(ColumnStats, DataType)] = {
     val idx = schema.fieldNames.indexOf(col)
-    if (idx < 0) None else Some((b.stats(idx), schema.fields(idx).dataType))
+    if (idx < 0) None else Some((stats(idx), schema.fields(idx).dataType))
   }
 
   /** External (Filter) value → internal stats value. */
@@ -196,37 +331,42 @@ object BatchPruning {
     case _ => None
   }
 
-  private def mightMatchOne(b: StoreBatch, schema: StructType, f: Filter): Boolean = f match {
-    case EqualTo(c, v) => check(b, schema, c, v) { (dt, st, iv) =>
+  private def mightMatchOne(stats: Array[ColumnStats], numRows: Int,
+      schema: StructType, f: Filter, unprunable: Set[String]): Boolean = f match {
+    case EqualTo(c, v) => check(stats, numRows, schema, c, v, unprunable) { (dt, st, iv) =>
       st.min == null || (compare(dt, iv, st.min) >= 0 && compare(dt, iv, st.max) <= 0)
     }
-    case GreaterThan(c, v) => check(b, schema, c, v) { (dt, st, iv) =>
+    case GreaterThan(c, v) => check(stats, numRows, schema, c, v, unprunable) { (dt, st, iv) =>
       st.max == null || compare(dt, st.max, iv) > 0
     }
-    case GreaterThanOrEqual(c, v) => check(b, schema, c, v) { (dt, st, iv) =>
+    case GreaterThanOrEqual(c, v) => check(stats, numRows, schema, c, v, unprunable) { (dt, st, iv) =>
       st.max == null || compare(dt, st.max, iv) >= 0
     }
-    case LessThan(c, v) => check(b, schema, c, v) { (dt, st, iv) =>
+    case LessThan(c, v) => check(stats, numRows, schema, c, v, unprunable) { (dt, st, iv) =>
       st.min == null || compare(dt, st.min, iv) < 0
     }
-    case LessThanOrEqual(c, v) => check(b, schema, c, v) { (dt, st, iv) =>
+    case LessThanOrEqual(c, v) => check(stats, numRows, schema, c, v, unprunable) { (dt, st, iv) =>
       st.min == null || compare(dt, st.min, iv) <= 0
     }
-    case IsNull(c) =>
-      statsFor(b, schema, c).forall(_._1.nullCount > 0)
-    case IsNotNull(c) =>
-      statsFor(b, schema, c).forall(_._1.nullCount < b.numRows)
-    case And(l, r) => mightMatchOne(b, schema, l) && mightMatchOne(b, schema, r)
-    case Or(l, r) => mightMatchOne(b, schema, l) || mightMatchOne(b, schema, r)
-    case In(c, vs) => vs.exists(v => mightMatchOne(b, schema, EqualTo(c, v)))
+    case IsNull(c) => unprunable(c) ||
+      statsFor(stats, schema, c).forall(_._1.nullCount > 0)
+    case IsNotNull(c) => unprunable(c) ||
+      statsFor(stats, schema, c).forall(_._1.nullCount < numRows)
+    case And(l, r) => mightMatchOne(stats, numRows, schema, l, unprunable) &&
+      mightMatchOne(stats, numRows, schema, r, unprunable)
+    case Or(l, r) => mightMatchOne(stats, numRows, schema, l, unprunable) ||
+      mightMatchOne(stats, numRows, schema, r, unprunable)
+    case In(c, vs) => vs.exists(v => mightMatchOne(stats, numRows, schema, EqualTo(c, v), unprunable))
     case _ => true // unknown predicate: cannot prune
   }
 
-  private def check(b: StoreBatch, schema: StructType, c: String, v: Any)(
+  private def check(stats: Array[ColumnStats], numRows: Int, schema: StructType,
+      c: String, v: Any, unprunable: Set[String])(
       p: (DataType, ColumnStats, Any) => Boolean): Boolean =
-    statsFor(b, schema, c) match {
+    if (unprunable(c)) true
+    else statsFor(stats, schema, c) match {
       case Some((st, dt)) => internal(dt, v) match {
-        case Some(iv) => st.nullCount == b.numRows || p(dt, st, iv)
+        case Some(iv) => st.nullCount == numRows || p(dt, st, iv)
         case None => true
       }
       case None => true
@@ -235,44 +375,66 @@ object BatchPruning {
 
 // ------------------------------- write path ------------------------------
 
-class GraftWriteBuilder(tableName: String, writeSchema: StructType, batchSize: Int)
+class GraftWriteBuilder(tableName: String, writeSchema: StructType, batchSize: Int,
+    bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String])
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    override def requiredDistribution(): Distribution =
+      if (bucketBy.nonEmpty && numBuckets > 0)
+        Distributions.clustered(bucketBy.map(c => Expressions.column(c)).toArray)
+      else Distributions.unspecified()
+    override def requiredNumPartitions(): Int =
+      if (bucketBy.nonEmpty && numBuckets > 0) numBuckets else 0
+    override def requiredOrdering(): Array[SortOrder] = Array.empty
     override def toBatch: BatchWrite =
-      new GraftBatchWrite(tableName, writeSchema, batchSize, doTruncate)
+      new GraftBatchWrite(tableName, writeSchema, batchSize, doTruncate,
+        bucketBy, numBuckets, keyColumns)
   }
 }
 
-class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int, truncate: Boolean)
+class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
+    truncate: Boolean, bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String])
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(schema, batchSize)
+    new GraftWriterFactory(schema, batchSize, bucketBy.nonEmpty && numBuckets > 0)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // metadata-only commit: refs land in the snapshot, payloads are
+    // already resident where the tasks wrote them
     val table =
-      if (truncate) GraftColumnStore.createOrReplace(tableName, schema)
-      else GraftColumnStore.getOrCreate(tableName, schema)
-    messages.foreach {
-      case GraftCommit(batches) => batches.foreach(table.addBatch)
-      case _ =>
-    }
+      if (truncate) {
+        val t = GraftColumnStore.getOrCreate(tableName, schema, bucketBy, numBuckets, keyColumns)
+        t.replaceRefs(Vector.empty)
+        t
+      } else GraftColumnStore.getOrCreate(tableName, schema, bucketBy, numBuckets, keyColumns)
+    table.appendRefs(messages.flatMap {
+      case GraftCommit(refs) => refs
+      case _ => Nil
+    }.toIndexedSeq)
   }
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftColumnStore.BatchRegistry.release(
+      messages.flatMap { case GraftCommit(refs) => refs.map(_.id); case _ => Nil }, Nil)
 }
 
-case class GraftCommit(batches: Seq[GraftColumnStore.StoreBatch])
+case class GraftCommit(refs: Seq[GraftColumnStore.BatchRef])
     extends WriterCommitMessage
 
-class GraftWriterFactory(schema: StructType, batchSize: Int) extends DataWriterFactory {
+class GraftWriterFactory(schema: StructType, batchSize: Int, bucketed: Boolean)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val builder = new GraftColumnStore.BatchBuilder(schema, batchSize)
+      // bucketed writes demanded numPartitions == numBuckets, so the
+      // Spark partition id IS the bucket id
+      private val builder = new GraftColumnStore.BatchBuilder(
+        schema, batchSize, if (bucketed) partitionId else -1)
       override def write(record: InternalRow): Unit = builder.add(record)
       override def commit(): WriterCommitMessage = GraftCommit(builder.result())
-      override def abort(): Unit = ()
+      override def abort(): Unit = builder.abort()
       override def close(): Unit = ()
     }
 }

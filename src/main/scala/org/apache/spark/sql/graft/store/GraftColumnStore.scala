@@ -7,37 +7,282 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import scala.collection.concurrent.TrieMap
+import scala.collection.immutable.BitSet
+import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
-/** In-memory column store backing the `graftstore` DSv2 source — the
-  * from-scratch analog of the reference's column-batch storage
-  * (reference: encoders/.../columnar/ColumnBatch.scala:39 — sealed
-  * columnar batches with a per-column stats row,
-  * ColumnEncoding.scala:1011-1027 ColumnStatsSchema lower/upper/nullCount;
-  * scan-side batch skipping ColumnTableScan.scala:900-980).
+/** Core of the `graftstore` mutable column store — the from-scratch analog
+  * of the reference's column-batch storage with delta/delete mutation
+  * (reference: encoders/.../columnar/ColumnBatch.scala:39 sealed batches +
+  * stats row; ColumnDeltaEncoder.scala update deltas;
+  * ColumnDeleteExec.scala:35 per-batch delete bitmaps;
+  * ColumnFormatRelation.scala:137-161 delta/delete merge at scan;
+  * delta row buffer rolled into batches, docs/.../Literals.scala:138-147).
   *
-  * v1 scope: append-only sealed batches (mutation goes through
-  * GraftSession's snapshot tables), per-column min/max/nullCount stats
-  * used by the scan to skip batches against pushed filters. Values are
-  * stored column-major per batch, so reads serve Spark's vectorized
-  * `ColumnarBatch` path without row pivoting.
+  * Layout:
+  *  - Payloads (the actual column values) live in [[BatchRegistry]], a
+  *    process-wide store written DIRECTLY by writer/mutation tasks — the
+  *    executor-resident tier. Commit messages and table metadata carry
+  *    only [[BatchRef]]s (ids + stats + row counts): metadata-scale, never
+  *    data. On a multi-node cluster the registry maps to node-local bucket
+  *    regions (reference GemFire regions) with refs flowing to the
+  *    coordinator exactly as here.
+  *  - A table is an immutable [[TableSnapshot]] swapped atomically under
+  *    the table lock: sealed batch refs, small `isDelta` batches (the
+  *    row-buffer analog: sub-batch-size appends accumulate here until
+  *    compaction rolls them into full batches), per-batch delete bitmaps,
+  *    and per-batch per-column ordered update-delta refs. Scans capture
+  *    one snapshot at planning — readers never observe a partial
+  *    mutation (snapshot isolation, same contract as the reference's
+  *    snapshot transactions).
+  *  - Columns inside a sealed batch are ENCODED ([[ColumnData]]):
+  *    run-length for runs, dictionary for low cardinality, plain
+  *    otherwise (reference ColumnEncoding.scala:765-771,
+  *    DictionaryEncoding.scala). The scan decodes straight into Spark
+  *    `ColumnarBatch` vectors.
+  *
+  * Payload lifecycle: payloads are released on table DROP; truncation and
+  * compaction keep superseded payloads until drop so in-flight snapshot
+  * readers stay valid (a cluster build would ref-count per snapshot).
   */
 object GraftColumnStore {
 
-  /** One sealed batch: column-major values + per-column stats.
-    * Serializable: writer tasks ship sealed batches to the driver inside
-    * their commit messages.
+  // ------------------------------ encodings ------------------------------
+
+  /** One encoded column of a sealed batch. Decode is streaming
+    * ([[foreachValue]]) — no per-access binary search on run boundaries.
     */
+  sealed trait ColumnData extends Serializable {
+    def numRows: Int
+    /** Estimated in-memory footprint in bytes (encoding-cost model). */
+    def sizeBytes: Long
+    /** Stream (index, value-or-null) in row order. */
+    def foreachValue(f: (Int, Any) => Unit): Unit
+    /** Decode to a boxed array (mutation/merge convenience). */
+    final def toArray: Array[Any] = {
+      val out = new Array[Any](numRows)
+      foreachValue((i, v) => out(i) = v)
+      out
+    }
+  }
+
+  final case class PlainColumn(values: Array[Any]) extends ColumnData {
+    def numRows: Int = values.length
+    def sizeBytes: Long = values.foldLeft(0L)((acc, v) => acc + valueBytes(v))
+    def foreachValue(f: (Int, Any) => Unit): Unit = {
+      var i = 0
+      while (i < values.length) { f(i, values(i)); i += 1 }
+    }
+  }
+
+  /** Run-length encoding: value of run r covers [runEnds(r-1), runEnds(r)). */
+  final case class RunLengthColumn(numRows: Int, runValues: Array[Any],
+      runEnds: Array[Int]) extends ColumnData {
+    def sizeBytes: Long =
+      runValues.foldLeft(0L)((acc, v) => acc + valueBytes(v)) + 4L * runEnds.length
+    def foreachValue(f: (Int, Any) => Unit): Unit = {
+      var r = 0
+      var i = 0
+      while (r < runValues.length) {
+        val end = runEnds(r)
+        val v = runValues(r)
+        while (i < end) { f(i, v); i += 1 }
+        r += 1
+      }
+    }
+  }
+
+  /** Dictionary encoding: codes index into `dict`; code -1 = null. */
+  final case class DictColumn(dict: Array[Any], codes: Array[Int]) extends ColumnData {
+    def numRows: Int = codes.length
+    def sizeBytes: Long =
+      dict.foldLeft(0L)((acc, v) => acc + valueBytes(v)) + 4L * codes.length
+    def foreachValue(f: (Int, Any) => Unit): Unit = {
+      var i = 0
+      while (i < codes.length) {
+        val c = codes(i)
+        f(i, if (c < 0) null else dict(c))
+        i += 1
+      }
+    }
+  }
+
+  private def valueBytes(v: Any): Long = v match {
+    case null => 1L
+    case s: UTF8String => 8L + s.numBytes()
+    case _ => 8L
+  }
+
+  /** Pick the cheapest of plain / run-length / dictionary for a column.
+    * One pass computes run count and (capped) cardinality; exact cost
+    * model over the encodings above.
+    */
+  def encode(values: Array[Any]): ColumnData = {
+    val n = values.length
+    if (n == 0) return PlainColumn(values)
+    var runs = 1
+    val distinct = mutable.HashMap.empty[Any, Int]
+    val maxDict = 1 << 16
+    var i = 0
+    while (i < n) {
+      if (i > 0 && values(i) != values(i - 1)) runs += 1
+      if (distinct.size <= maxDict && values(i) != null)
+        distinct.getOrElseUpdate(values(i), distinct.size)
+      i += 1
+    }
+    val plainCost = values.foldLeft(0L)((a, v) => a + valueBytes(v))
+    val rleCost = plainCost / n * runs + 4L * runs // approx: avg value × runs
+    val dictCost =
+      if (distinct.size > maxDict) Long.MaxValue
+      else distinct.keys.foldLeft(0L)((a, v) => a + valueBytes(v)) + 4L * n
+    if (rleCost < plainCost && rleCost <= dictCost) {
+      val rv = ArrayBuffer.empty[Any]
+      val re = ArrayBuffer.empty[Int]
+      i = 0
+      while (i < n) {
+        if (i == 0 || values(i) != values(i - 1)) { rv += values(i); re += i }
+        i += 1
+      }
+      // convert run starts to run ends
+      val ends = new Array[Int](rv.length)
+      var r = 0
+      while (r < rv.length) {
+        ends(r) = if (r + 1 < rv.length) re(r + 1) else n
+        r += 1
+      }
+      RunLengthColumn(n, rv.toArray, ends)
+    } else if (dictCost < plainCost) {
+      val dict = new Array[Any](distinct.size)
+      distinct.foreach { case (v, c) => dict(c) = v }
+      val codes = new Array[Int](n)
+      i = 0
+      while (i < n) {
+        codes(i) = if (values(i) == null) -1 else distinct(values(i))
+        i += 1
+      }
+      DictColumn(dict, codes)
+    } else PlainColumn(values)
+  }
+
+  // ------------------------------ payloads -------------------------------
+
   final case class ColumnStats(min: Any, max: Any, nullCount: Int)
+
+  /** Sealed batch payload: encoded column-major values. */
   final class StoreBatch(
       val numRows: Int,
-      val columns: Array[Array[Any]], // column-major, boxed (v1)
-      val stats: Array[ColumnStats]) extends Serializable
+      val columns: Array[ColumnData]) extends Serializable {
+    def sizeBytes: Long = columns.foldLeft(0L)(_ + _.sizeBytes)
+  }
 
-  final class StoreTable(val name: String, val schema: StructType) {
-    val batches: ArrayBuffer[StoreBatch] = ArrayBuffer.empty
-    def addBatch(b: StoreBatch): Unit = synchronized { batches += b }
-    def rowCount: Long = synchronized(batches.map(_.numRows.toLong).sum)
+  /** Update-delta payload for one (batch, column): sorted physical row
+    * indices + new values (reference ColumnDeltaEncoder semantics).
+    */
+  final class ColumnDeltaPayload(
+      val rows: Array[Int],
+      val values: Array[Any]) extends Serializable
+
+  /** Process-wide payload tier — written directly by writer/mutation
+    * TASKS (executor-resident), read by scan tasks; only ids cross the
+    * driver. On a real cluster this is the node-local store.
+    */
+  object BatchRegistry {
+    private val nextId = new AtomicLong(0)
+    private val batches = TrieMap.empty[Long, StoreBatch]
+    private val deltas = TrieMap.empty[Long, ColumnDeltaPayload]
+
+    def putBatch(b: StoreBatch): Long = {
+      val id = nextId.incrementAndGet()
+      batches.put(id, b)
+      id
+    }
+    def batch(id: Long): StoreBatch = batches.getOrElse(id,
+      throw new IllegalStateException(s"graftstore batch payload missing: $id"))
+    def putDelta(d: ColumnDeltaPayload): Long = {
+      val id = nextId.incrementAndGet()
+      deltas.put(id, d)
+      id
+    }
+    def delta(id: Long): ColumnDeltaPayload = deltas.getOrElse(id,
+      throw new IllegalStateException(s"graftstore delta payload missing: $id"))
+    def release(batchIds: Iterable[Long], deltaIds: Iterable[Long]): Unit = {
+      batchIds.foreach(batches.remove)
+      deltaIds.foreach(deltas.remove)
+    }
+  }
+
+  // ------------------------------ metadata -------------------------------
+
+  /** Metadata-only handle to a batch payload — what commit messages and
+    * snapshots carry. `isDelta` marks row-buffer batches (sub-batch-size
+    * appends) that compaction rolls into full sealed batches.
+    */
+  final case class BatchRef(
+      id: Long,
+      bucketId: Int,
+      numRows: Int,
+      stats: Array[ColumnStats],
+      isDelta: Boolean) extends Serializable
+
+  final case class ColumnDeltaRef(deltaId: Long, numRows: Int)
+
+  /** Immutable table state; all mutation swaps the whole snapshot. */
+  final case class TableSnapshot(
+      schema: StructType,
+      bucketBy: Seq[String],
+      numBuckets: Int,
+      keyColumns: Seq[String],
+      refs: Vector[BatchRef],
+      deletes: Map[Long, BitSet],
+      updates: Map[Long, Map[Int, Vector[ColumnDeltaRef]]]) {
+    def rowCount: Long =
+      refs.map(r => r.numRows.toLong - deletes.get(r.id).map(_.size).getOrElse(0)).sum
+    def liveRows(ref: BatchRef): Int =
+      ref.numRows - deletes.get(ref.id).map(_.size).getOrElse(0)
+    def sizeBytes: Long = refs.map(r => BatchRegistry.batch(r.id).sizeBytes).sum
+  }
+
+  final class StoreTable(val name: String, initial: TableSnapshot) {
+    @volatile private var current: TableSnapshot = initial
+    def snapshot: TableSnapshot = current
+    def schema: StructType = current.schema
+
+    def mutate(f: TableSnapshot => TableSnapshot): TableSnapshot = synchronized {
+      current = f(current)
+      current
+    }
+
+    def appendRefs(newRefs: Seq[BatchRef]): Unit =
+      mutate(s => s.copy(refs = s.refs ++ newRefs))
+
+    /** Union new delete bitmaps in; fully-dead batches are dropped from
+      * the ref list (their payloads are released on table drop).
+      */
+    def applyDeletes(newDeletes: Map[Long, BitSet]): Unit = mutate { s =>
+      val merged = (s.deletes.keySet ++ newDeletes.keySet).map { id =>
+        id -> (s.deletes.getOrElse(id, BitSet.empty) | newDeletes.getOrElse(id, BitSet.empty))
+      }.toMap
+      val (dead, live) = s.refs.partition(r =>
+        merged.get(r.id).exists(_.size >= r.numRows))
+      s.copy(refs = live,
+        deletes = merged -- dead.map(_.id),
+        updates = s.updates -- dead.map(_.id))
+    }
+
+    /** Append update-delta refs (applied at scan in arrival order). */
+    def applyUpdates(newUpdates: Seq[(Long, Int, ColumnDeltaRef)]): Unit = mutate { s =>
+      var u = s.updates
+      newUpdates.foreach { case (batchId, colIdx, ref) =>
+        val perBatch = u.getOrElse(batchId, Map.empty)
+        val chain = perBatch.getOrElse(colIdx, Vector.empty) :+ ref
+        u = u.updated(batchId, perBatch.updated(colIdx, chain))
+      }
+      s.copy(updates = u)
+    }
+
+    /** Replace all content (compaction / truncate-write). */
+    def replaceRefs(newRefs: Vector[BatchRef]): Unit =
+      mutate(s => s.copy(refs = newRefs, deletes = Map.empty, updates = Map.empty))
   }
 
   private val tables = TrieMap.empty[String, StoreTable]
@@ -48,36 +293,56 @@ object GraftColumnStore {
   val batchesSkipped = new AtomicLong(0)
   val batchesScanned = new AtomicLong(0)
 
-  def createOrReplace(name: String, schema: StructType): StoreTable = {
-    val t = new StoreTable(name, schema)
+  def createOrReplace(name: String, schema: StructType,
+      bucketBy: Seq[String] = Nil, numBuckets: Int = 0,
+      keyColumns: Seq[String] = Nil): StoreTable = {
+    tables.remove(name).foreach(releaseAll)
+    val t = new StoreTable(name,
+      TableSnapshot(schema, bucketBy, numBuckets, keyColumns, Vector.empty, Map.empty, Map.empty))
     tables.put(name, t)
     t
   }
 
-  def getOrCreate(name: String, schema: StructType): StoreTable =
-    tables.getOrElseUpdate(name, new StoreTable(name, schema))
+  def getOrCreate(name: String, schema: StructType,
+      bucketBy: Seq[String] = Nil, numBuckets: Int = 0,
+      keyColumns: Seq[String] = Nil): StoreTable =
+    tables.getOrElseUpdate(name, new StoreTable(name,
+      TableSnapshot(schema, bucketBy, numBuckets, keyColumns, Vector.empty, Map.empty, Map.empty)))
 
   def get(name: String): Option[StoreTable] = tables.get(name)
 
-  def drop(name: String): Unit = tables.remove(name)
+  def apply(name: String): StoreTable = get(name).getOrElse(
+    throw new IllegalArgumentException(s"graftstore table not found: $name"))
 
-  /** Builder used by writers: buffers rows, seals a batch every
-    * `batchSize` rows (reference default 24 MB per batch; here row-count
-    * sealed for simplicity).
+  def drop(name: String): Unit = tables.remove(name).foreach(releaseAll)
+
+  private def releaseAll(t: StoreTable): Unit = {
+    val s = t.snapshot
+    BatchRegistry.release(s.refs.map(_.id),
+      s.updates.values.flatMap(_.values.flatten.map(_.deltaId)))
+  }
+
+  // ------------------------------- builder -------------------------------
+
+  /** Writer-task builder: buffers rows, seals an encoded batch every
+    * `batchSize` rows and registers the payload DIRECTLY in
+    * [[BatchRegistry]] (executor-resident); returns refs only. The final
+    * partial batch is sealed with `isDelta = true` — the row-buffer
+    * analog — so compaction can later roll small appends together.
     */
-  final class BatchBuilder(schema: StructType, batchSize: Int) {
+  final class BatchBuilder(schema: StructType, batchSize: Int, bucketId: Int) {
     private var buf = ArrayBuffer.empty[InternalRow]
-    private val sealedBatches = ArrayBuffer.empty[StoreBatch]
+    private val refs = ArrayBuffer.empty[BatchRef]
 
     def add(row: InternalRow): Unit = {
       buf += row.copy()
-      if (buf.length >= batchSize) seal()
+      if (buf.length >= batchSize) seal(isDelta = false)
     }
 
-    def seal(): Unit = if (buf.nonEmpty) {
+    private def seal(isDelta: Boolean): Unit = if (buf.nonEmpty) {
       val n = buf.length
       val fields = schema.fields
-      val cols = Array.ofDim[Array[Any]](fields.length)
+      val cols = Array.ofDim[ColumnData](fields.length)
       val stats = Array.ofDim[ColumnStats](fields.length)
       var c = 0
       while (c < fields.length) {
@@ -97,15 +362,24 @@ object GraftColumnStore {
           }
           i += 1
         }
-        cols(c) = vals
+        cols(c) = encode(vals)
         stats(c) = ColumnStats(min, max, nulls)
         c += 1
       }
-      sealedBatches += new StoreBatch(n, cols, stats)
+      val id = BatchRegistry.putBatch(new StoreBatch(n, cols))
+      refs += BatchRef(id, bucketId, n, stats, isDelta)
       buf = ArrayBuffer.empty[InternalRow]
     }
 
-    def result(): Seq[StoreBatch] = { seal(); sealedBatches.toSeq }
+    /** Seal the remainder (as a delta/row-buffer batch) and return refs. */
+    def result(): Seq[BatchRef] = { seal(isDelta = true); refs.toSeq }
+
+    /** Release everything this builder registered (task abort). */
+    def abort(): Unit = {
+      BatchRegistry.release(refs.map(_.id), Nil)
+      refs.clear()
+      buf = ArrayBuffer.empty[InternalRow]
+    }
   }
 
   def compare(dt: DataType, a: Any, b: Any): Int = dt match {
@@ -118,5 +392,12 @@ object GraftColumnStore {
     case StringType => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
     case BooleanType => java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
     case _ => 0
+  }
+
+  /** Types the store can hold (columnar encode + stats + vector fill). */
+  def supportsType(dt: DataType): Boolean = dt match {
+    case LongType | TimestampType | TimestampNTZType | IntegerType | DateType |
+         DoubleType | FloatType | StringType | BooleanType => true
+    case _ => false
   }
 }

@@ -1,0 +1,152 @@
+package org.apache.spark.sql.graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.BitSet
+import scala.collection.mutable
+import scala.collection.mutable.ArrayBuffer
+
+/** Distributed DML over graftstore tables — the rebuild of the
+  * reference's mutation executors (ColumnUpdateExec.scala:38 update
+  * deltas, ColumnDeleteExec.scala:35 delete bitmaps,
+  * ColumnTableBulkOps.scala put-into), expressed as Spark jobs over the
+  * store's hidden physical-address metadata columns.
+  *
+  * Scale shape: every op is O(delta), never O(table) —
+  *  - the matching rows are found by a normal pushed-down scan;
+  *  - per-batch artifacts (delete bitmaps / update-delta payloads) are
+  *    built by TASKS after a shuffle on `_graft_batch_id` (delta-sized),
+  *    with payloads registered executor-side;
+  *  - only metadata (batch ids, bitmap words, delta ids) returns to the
+  *    driver, which swaps the table snapshot atomically. Readers planned
+  *    before the swap keep their consistent snapshot (snapshot
+  *    isolation, reference snapshot-transaction semantics).
+  */
+object GraftStoreOps {
+
+  val FORMAT: String = classOf[GraftColumnSource].getName
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.format(FORMAT).option("table", table).load()
+
+  /** The scan plus its physical row address (hidden metadata columns). */
+  private def withAddress(spark: SparkSession, table: String): DataFrame = {
+    val df = read(spark, table)
+    df.select(df.metadataColumn(GraftTable.BATCH_ID_COL).as("_bid"),
+      df.metadataColumn(GraftTable.ROW_IDX_COL).as("_rid"), col("*"))
+  }
+
+  /** DELETE FROM table WHERE cond. */
+  def delete(spark: SparkSession, table: String, cond: Column): Unit =
+    deleteAddressed(spark, table,
+      withAddress(spark, table).filter(coalesce(cond, lit(false))))
+
+  /** DELETE every row whose key matches a row of `keys`. */
+  def deleteKeys(spark: SparkSession, table: String, keys: DataFrame): Unit = {
+    val t = GraftColumnStore(table)
+    val keyCols = t.snapshot.keyColumns
+    require(keyCols.nonEmpty, s"deleteKeys($table) requires key_columns")
+    deleteAddressed(spark, table,
+      withAddress(spark, table).join(keys.select(keyCols.map(col): _*), keyCols, "left_semi"))
+  }
+
+  /** Turn a DataFrame carrying (_bid, _rid) into per-batch delete bitmaps:
+    * shuffle on batch id, build bitmaps task-side, return only
+    * (id, bitmap-words) — bounded by numRows/8 bytes per touched batch.
+    */
+  private def deleteAddressed(spark: SparkSession, table: String, addressed: DataFrame): Unit = {
+    import spark.implicits._
+    val bitmaps = addressed.select(col("_bid"), col("_rid"))
+      .repartition(col("_bid"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        val acc = mutable.Map.empty[Long, mutable.BitSet]
+        it.foreach { case (b, r) => acc.getOrElseUpdate(b, mutable.BitSet.empty) += r }
+        acc.iterator.map { case (b, s) => (b, s.toBitMask) }
+      }
+      .collect()
+    if (bitmaps.nonEmpty)
+      GraftColumnStore(table).applyDeletes(
+        bitmaps.map { case (b, w) => b -> BitSet.fromBitMaskNoCopy(w) }.toMap)
+  }
+
+  /** UPDATE table SET assignments WHERE cond. New values are computed by
+    * the (codegen'd) scan+project, shuffled to co-locate per batch, and
+    * written as per-(batch, column) delta payloads registered
+    * executor-side; the driver receives delta REFS and swaps the
+    * snapshot. The scan already merges prior deltas, so repeated updates
+    * compose.
+    */
+  def update(spark: SparkSession, table: String, cond: Column,
+      assignments: Seq[(String, Column)]): Unit = {
+    import spark.implicits._
+    val t = GraftColumnStore(table)
+    val schema = t.schema
+    val colIdxs = assignments.map { case (n, _) => schema.fieldIndex(n) }.toArray
+    val dts = colIdxs.map(schema.fields(_).dataType)
+    val proj = withAddress(spark, table)
+      .filter(coalesce(cond, lit(false)))
+      .select(col("_bid") +: col("_rid") +:
+        assignments.map { case (n, c) => c.as(s"_new_$n") }: _*)
+    val refs = proj
+      .repartition(col("_bid"))
+      .mapPartitions { it =>
+        val convs = dts.map(CatalystTypeConverters.createToCatalystConverter)
+        val acc = mutable.Map.empty[Long, (ArrayBuffer[Int], Array[ArrayBuffer[Any]])]
+        it.foreach { row =>
+          val (rows, vals) = acc.getOrElseUpdate(row.getLong(0),
+            (ArrayBuffer.empty[Int], Array.fill(colIdxs.length)(ArrayBuffer.empty[Any])))
+          rows += row.getInt(1)
+          var k = 0
+          while (k < colIdxs.length) {
+            vals(k) += (if (row.isNullAt(2 + k)) null else convs(k)(row.get(2 + k)))
+            k += 1
+          }
+        }
+        acc.iterator.flatMap { case (bid, (rows, vals)) =>
+          val order = rows.indices.sortBy(rows(_)).toArray
+          val sortedRows = order.map(rows(_))
+          colIdxs.indices.map { k =>
+            val sortedVals = order.map(vals(k)(_))
+            val id = GraftColumnStore.BatchRegistry.putDelta(
+              new GraftColumnStore.ColumnDeltaPayload(sortedRows, sortedVals))
+            (bid, colIdxs(k), id, sortedRows.length)
+          }
+        }
+      }
+      .collect()
+    if (refs.nonEmpty)
+      t.applyUpdates(refs.toIndexedSeq.map { case (b, c, d, n) =>
+        (b, c, GraftColumnStore.ColumnDeltaRef(d, n))
+      })
+  }
+
+  /** PUT INTO (key upsert): matched target rows are superseded via the
+    * delete-bitmap path and the (key-deduplicated) source appends through
+    * the normal bucketed write — the LeftAnti/union split of the
+    * reference's ColumnTableBulkOps reformulated as delete + delta-insert,
+    * both O(source).
+    */
+  def putInto(spark: SparkSession, table: String, source: DataFrame): Unit = {
+    val t = GraftColumnStore(table)
+    val keyCols = t.snapshot.keyColumns
+    require(keyCols.nonEmpty, s"putInto($table) requires key_columns")
+    val cols = t.schema.fieldNames.toSeq
+    val src = (if (source.columns.toSeq == cols) source
+      else if (source.columns.toSet == cols.toSet) source.select(cols.map(col): _*)
+      else source.toDF(cols: _*)).dropDuplicates(keyCols)
+    deleteKeys(spark, table, src.select(keyCols.map(col): _*))
+    src.write.format(FORMAT).option("table", table).mode("append").save()
+  }
+
+  /** Roll delta row-buffer batches, delete bitmaps and update deltas into
+    * fresh sealed batches (reference: delta row buffer rolled into column
+    * batches). The merged view rewrites through the normal bucketed write
+    * path; the swap is atomic and in-flight snapshot readers stay valid.
+    */
+  def compact(spark: SparkSession, table: String): Unit =
+    read(spark, table).write.format(FORMAT).option("table", table)
+      .mode("overwrite").save()
+}

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.store.{GraftColumnStore, GraftStoreOps}
+
+/** The mutable-store substrate: update deltas, delete bitmaps, delta row
+  * buffer + compaction, encodings, metadata-only commits.
+  */
+class GraftStoreSpec extends SparkTestBase {
+
+  private def freshOrders(name: String, buckets: Int = 4): Unit = {
+    val g = GraftSession(spark)
+    g.createTable(name, Tables.load(spark, sf, "orders"),
+      keyColumns = Seq("o_orderkey"), partitionBy = Seq("o_orderkey"), buckets = buckets)
+  }
+
+  test("UPDATE writes column deltas, not a table rewrite") {
+    val g = GraftSession(spark)
+    freshOrders("s_upd")
+    val before = GraftColumnStore("s_upd").snapshot
+    val beforeIds = before.refs.map(_.id).toSet
+    val expected = g.table("s_upd")
+      .select(sum(when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+        .otherwise(col("o_totalprice"))).as("s")).head().getDouble(0)
+    g.update("s_upd", col("o_orderkey") % 7 === 0,
+      "o_totalprice" -> (col("o_totalprice") * 2))
+    val after = GraftColumnStore("s_upd").snapshot
+    assert(after.refs.map(_.id).toSet == beforeIds, "update must not rewrite batches")
+    assert(after.updates.nonEmpty, "update must record column deltas")
+    val got = g.table("s_upd").select(sum(col("o_totalprice"))).head().getDouble(0)
+    assert(math.abs(got - expected) < 1e-6)
+    // a second update composes on top of the first delta chain
+    g.update("s_upd", col("o_orderkey") % 7 === 0,
+      "o_totalprice" -> (col("o_totalprice") / 2))
+    val restored = g.table("s_upd").select(sum(col("o_totalprice"))).head().getDouble(0)
+    val original = Tables.load(spark, sf, "orders")
+      .select(sum(col("o_totalprice"))).head().getDouble(0)
+    assert(math.abs(restored - original) < 1e-6)
+    g.dropTable("s_upd")
+  }
+
+  test("DELETE sets per-batch bitmaps; fully-dead batches drop") {
+    val g = GraftSession(spark)
+    freshOrders("s_del")
+    val before = GraftColumnStore("s_del").snapshot
+    val total = Tables.load(spark, sf, "orders").count()
+    val toDie = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    g.delete("s_del", col("o_orderpriority") === "1-URGENT")
+    val after = GraftColumnStore("s_del").snapshot
+    assert(after.refs.map(_.id).toSet.subsetOf(before.refs.map(_.id).toSet))
+    assert(after.deletes.nonEmpty, "delete must record bitmaps")
+    assert(g.table("s_del").count() == total - toDie)
+    assert(g.table("s_del").filter(col("o_orderpriority") === "1-URGENT").count() == 0)
+    // delete everything → all refs die
+    g.delete("s_del", lit(true))
+    assert(g.table("s_del").count() == 0)
+    assert(GraftColumnStore("s_del").snapshot.refs.isEmpty,
+      "fully-deleted batches must be dropped from the snapshot")
+    g.dropTable("s_del")
+  }
+
+  test("PUT INTO upserts via bitmap-delete + append") {
+    val g = GraftSession(spark)
+    freshOrders("s_put")
+    val orders = Tables.load(spark, sf, "orders")
+    val src = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("UPSERTED"))
+      .unionByName(orders.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + 5000000L)
+        .withColumn("o_orderstatus", lit("FRESH")))
+    g.putInto("s_put", src)
+    val t = g.table("s_put")
+    val nMatched = orders.filter(col("o_orderkey") % 10 === 0).count()
+    val nNew = orders.filter(col("o_orderkey") % 10 === 1).count()
+    assert(t.count() == orders.count() + nNew)
+    assert(t.filter(col("o_orderstatus") === "UPSERTED").count() == nMatched)
+    assert(t.filter(col("o_orderstatus") === "FRESH").count() == nNew)
+    // keys unique after upsert
+    assert(t.groupBy("o_orderkey").count().filter(col("count") > 1).count() == 0)
+    g.dropTable("s_put")
+  }
+
+  test("delta row buffer: small appends stay delta until compaction") {
+    val g = GraftSession(spark)
+    freshOrders("s_buf", buckets = 2)
+    val small = Tables.load(spark, sf, "orders").limit(10)
+    g.insert("s_buf", small)
+    val snap = GraftColumnStore("s_buf").snapshot
+    assert(snap.refs.exists(_.isDelta), "sub-batch-size appends must be delta batches")
+    val before = g.table("s_buf").count()
+    GraftStoreOps.compact(spark, "s_buf")
+    val after = GraftColumnStore("s_buf").snapshot
+    assert(g.table("s_buf").count() == before, "compaction must preserve rows")
+    assert(after.deletes.isEmpty && after.updates.isEmpty,
+      "compaction folds merge state into sealed batches")
+    g.dropTable("s_buf")
+  }
+
+  test("encodings: dict/RLE beat plain on low-cardinality data, roundtrip exact") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val lowCard: Array[Any] =
+      Array.tabulate(4096)(i => UTF8String.fromString(s"val_${i % 5}"))
+    val enc = GraftColumnStore.encode(lowCard)
+    val plain = GraftColumnStore.PlainColumn(lowCard)
+    assert(!enc.isInstanceOf[GraftColumnStore.PlainColumn],
+      "5-value column must not stay plain")
+    assert(enc.sizeBytes < plain.sizeBytes / 2,
+      s"encoded=${enc.sizeBytes} plain=${plain.sizeBytes}")
+    assert(enc.toArray.toSeq == lowCard.toSeq)
+
+    val runs: Array[Any] = Array.tabulate(4096)(i => java.lang.Long.valueOf(i / 512L))
+    val encRuns = GraftColumnStore.encode(runs)
+    assert(encRuns.isInstanceOf[GraftColumnStore.RunLengthColumn])
+    assert(encRuns.toArray.toSeq == runs.toSeq)
+    assert(encRuns.sizeBytes < GraftColumnStore.PlainColumn(runs).sizeBytes / 10)
+
+    // store roundtrip with encoded columns stays exact
+    val g = GraftSession(spark)
+    freshOrders("s_enc")
+    val got = g.table("s_enc").groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.load(spark, sf, "orders").groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    g.dropTable("s_enc")
+  }
+
+  test("metadata columns are hidden from star but selectable") {
+    val g = GraftSession(spark)
+    freshOrders("s_meta")
+    val df = GraftStoreOps.read(spark, "s_meta")
+    assert(!df.columns.contains("_graft_batch_id"))
+    val withMeta = df.select(df.metadataColumn("_graft_batch_id").as("bid"),
+      df.metadataColumn("_graft_row_idx").as("rid"), col("o_orderkey"))
+    val n = withMeta.count()
+    assert(n == Tables.load(spark, sf, "orders").count())
+    // physical addresses are unique
+    assert(withMeta.select("bid", "rid").distinct().count() == n)
+    g.dropTable("s_meta")
+  }
+}
