@@ -313,7 +313,15 @@ class GraftSession(val spark: SparkSession) {
 
 object GraftSession {
   private val sessions = TrieMap.empty[SparkSession, GraftSession]
-  /** One GraftSession per SparkSession. */
+  /** One GraftSession per SparkSession. Registers the `graft` DSv2
+    * catalog (if the session didn't configure it) so `graft.t`
+    * identifiers and storage-partitioned joins resolve.
+    */
   def apply(spark: SparkSession): GraftSession =
-    sessions.getOrElseUpdate(spark, new GraftSession(spark))
+    sessions.getOrElseUpdate(spark, {
+      val key = "spark.sql.catalog.graft"
+      if (!spark.conf.getOption(key).isDefined)
+        spark.conf.set(key, "org.apache.spark.sql.graft.store.GraftCatalog")
+      new GraftSession(spark)
+    })
 }

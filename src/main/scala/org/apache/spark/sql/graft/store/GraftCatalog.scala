@@ -1,0 +1,138 @@
+package org.apache.spark.sql.graft.store
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{BucketTransform, Transform}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** DSv2 catalog for graftstore tables (`spark.sql.catalog.graft =
+  * ...GraftCatalog`): `spark.table("graft.t")`, `INSERT INTO graft.t`,
+  * `CREATE TABLE graft.t ... PARTITIONED BY (bucket(n, col))` all route
+  * here.
+  *
+  * The catalog is what makes the scan's bucket-grouped partitioning
+  * REAL to the planner: Spark resolves the scan-reported
+  * `bucket(n, cols)` transform through this catalog's FunctionCatalog,
+  * and two graftstore scans with the same bucket function + count become
+  * a storage-partitioned join — the reference's exchange-free colocated
+  * join (ExistingPlans.scala:49 outputPartitioning contract) on stock
+  * Spark machinery.
+  */
+class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  private def tableName(ident: Identifier): String = ident.name().toLowerCase
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    GraftColumnStore.tableNames.map(n => Identifier.of(Array.empty, n)).toArray
+
+  override def loadTable(ident: Identifier): Table = {
+    val nm = tableName(ident)
+    GraftColumnStore.get(nm) match {
+      case Some(t) =>
+        val s = t.snapshot
+        new GraftTable(nm, s.schema, 4096, s.bucketBy, s.numBuckets, s.keyColumns)
+      case None => throw new NoSuchTableException(ident.namespace().toSeq :+ ident.name())
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val nm = tableName(ident)
+    val (bucketBy: Seq[String], buckets: Int) = partitions.toSeq match {
+      case Seq(BucketTransform(n, cols, Nil)) =>
+        (cols.map(_.fieldNames.mkString(".")), n)
+      case Seq() => (Nil: Seq[String], 0)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graftstore supports only bucket(n, cols) partitioning, got: ${other.mkString(",")}")
+    }
+    val keys = Option(properties.get("key_columns"))
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    GraftColumnStore.createOrReplace(nm, schema, bucketBy, buckets, keys)
+    new GraftTable(nm, schema, Option(properties.get("batch_size")).map(_.toInt).getOrElse(4096),
+      bucketBy, buckets, keys)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graftstore: ALTER TABLE not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val existed = GraftColumnStore.get(tableName(ident)).isDefined
+    GraftColumnStore.drop(tableName(ident))
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graftstore: RENAME not supported")
+
+  override def tableExists(ident: Identifier): Boolean =
+    GraftColumnStore.get(tableName(ident)).isDefined
+
+  // ---- namespaces: single flat default namespace ----
+  override def listNamespaces(): Array[Array[String]] = Array(Array("default"))
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespace.isEmpty || namespace.sameElements(Array("default")))
+      Map.empty[String, String].asJava
+    else throw new IllegalArgumentException(s"no such namespace: ${namespace.mkString(".")}")
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("graftstore: flat namespace")
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graftstore: flat namespace")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = false
+
+  // ---- functions: the bucket transform ----
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+}
+
+/** The bucket V2 function backing `bucket(n, col)` transforms. Its result
+  * matches Spark's own HashPartitioning routing (murmur3 seed 42, pmod) —
+  * the exact distribution the write path's clustered requirement produced
+  * — so a planner-initiated shuffle-one-side SPJ stays correctly
+  * co-located with stored buckets.
+  */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String = "graftstore bucket(numBuckets, col)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket expects (numBuckets, key), got ${inputType.catalogString}")
+    val keyType = inputType.fields(1).dataType
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = s"graft.bucket($keyType)"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer = {
+        val n = input.getInt(0)
+        val v = input.get(1, keyType)
+        val h = Murmur3HashFunction.hash(v, keyType, 42L).toInt
+        val m = h % n
+        if (m < 0) m + n else m
+      }
+    }
+  }
+}

@@ -311,6 +311,8 @@ object GraftColumnStore {
 
   def get(name: String): Option[StoreTable] = tables.get(name)
 
+  def tableNames: Seq[String] = tables.keys.toSeq.sorted
+
   def apply(name: String): StoreTable = get(name).getOrElse(
     throw new IllegalArgumentException(s"graftstore table not found: $name"))
 

@@ -4,40 +4,73 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.functions._
 
-/** Scale-critical property: two managed tables created with the same
-  * PARTITION_BY/BUCKETS are colocated — joining them on the partition key
-  * plans WITHOUT a new shuffle on either side (the reference's
-  * collocated-join fast path, SnappyStrategies.getCollocatedPartitioning).
-  * Works because the materialized snapshot preserves the repartition's
-  * HashPartitioning as its outputPartitioning.
+/** Scale-critical property: two graftstore tables bucketed the same way
+  * are colocated — joining them on the bucket key plans WITHOUT an
+  * exchange on either input (the reference's collocated-join fast path,
+  * SnappyStrategies.getCollocatedPartitioning / ExistingPlans.scala:49).
+  * The store scan reports bucket-grouped KeyGroupedPartitioning resolved
+  * through GraftCatalog's bucket function, so stock Spark plans a
+  * storage-partitioned join. Broadcast is disabled in these tests —
+  * otherwise a small side would hide the property being proven.
   */
 class ColocationSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
 
-  test("colocated tables join without an exchange") {
+  private def withNoBroadcast[T](f: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try f finally spark.conf.set(key, old)
+  }
+
+  test("co-bucketed graftstore tables join without any input exchange") {
     val g = GraftSession(spark)
     val ord = Tables.load(spark, sf, "orders")
     val li = Tables.load(spark, sf, "lineitem")
     g.createTable("co_orders", ord, partitionBy = Seq("o_orderkey"), buckets = 4)
     g.createTable("co_lineitem", li, partitionBy = Seq("l_orderkey"), buckets = 4)
 
-    val joined = g.table("co_lineitem")
-      .join(g.table("co_orders"), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderstatus")).agg(sum(col("l_quantity")).as("q"))
-    joined.collect()
+    withNoBroadcast {
+      val joined = spark.table("graft.co_lineitem")
+        .join(spark.table("graft.co_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(sum(col("l_quantity")).as("q"))
+      joined.collect()
 
-    val exec = joined.queryExecution.executedPlan
-    val shuffles = collectWithSubqueries(exec) { case s: ShuffleExchangeExec => s }
-    // the only allowed exchange is the one AFTER the join for the final
-    // aggregation — neither join input may reshuffle
-    assert(shuffles.size <= 1,
-      s"expected colocated join without input shuffles, got ${shuffles.size}:\n$exec")
+      val exec = joined.queryExecution.executedPlan
+      val shuffles = collectWithSubqueries(exec) { case s: ShuffleExchangeExec => s }
+      // the only allowed exchange is the one AFTER the join for the final
+      // aggregation — neither join input may reshuffle
+      assert(shuffles.size <= 1,
+        s"expected storage-partitioned join without input shuffles, got ${shuffles.size}:\n$exec")
 
-    // and the result is still correct
-    val expected = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderstatus")).agg(sum(col("l_quantity")).as("q"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val got = joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(got == expected)
+      // and the result is still correct
+      val expected = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(sum(col("l_quantity")).as("q"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val got = joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == expected)
+    }
     g.dropTable("co_orders"); g.dropTable("co_lineitem")
+  }
+
+  test("aggregation on the bucket key reuses the stored partitioning") {
+    val g = GraftSession(spark)
+    g.createTable("co_agg", Tables.load(spark, sf, "orders"),
+      partitionBy = Seq("o_custkey"), buckets = 4)
+    withNoBroadcast {
+      val agg = spark.table("graft.co_agg")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      agg.collect()
+      val shuffles = collectWithSubqueries(agg.queryExecution.executedPlan) {
+        case s: ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"groupBy on the bucket key must not exchange:\n${agg.queryExecution.executedPlan}")
+      val got = agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Tables.load(spark, sf, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    }
+    g.dropTable("co_agg")
   }
 }
