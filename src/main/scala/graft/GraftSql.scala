@@ -32,7 +32,7 @@ object GraftSql {
   private val dropPolicy: Regex =
     """(?is)\s*DROP\s+POLICY\s+(\w+)\s*""".r
   private val withError: Regex =
-    """(?is)(.*\S)\s+WITH\s+ERROR\s+([0-9.]+)(?:\s+CONFIDENCE\s+([0-9.]+))?\s*""".r
+    """(?is)(.*\S)\s+WITH\s+ERROR\s+([0-9.]+)(?:\s+CONFIDENCE\s+([0-9.]+))?(?:\s+BEHAVIOR\s+'([a-z_]+)')?\s*""".r
 
   /** Parse OPTIONS (partition_by 'a,b', buckets '8', key_columns 'k'). */
   private def parseOptions(s: String): Map[String, String] =
@@ -43,14 +43,23 @@ object GraftSql {
   def sql(g: GraftSession, text: String): DataFrame = {
     val spark = g.spark
     text match {
-      // `SELECT ... WITH ERROR f [CONFIDENCE c]` — reference AQP SQL
-      // surface (docs/sde/hac_contracts.md): substitute the registered
-      // sample table and HT-weight the aggregates (SampleRewrite).
-      case withError(body, _, _) =>
+      // `SELECT ... WITH ERROR f [CONFIDENCE c] [BEHAVIOR 'b']` —
+      // reference AQP SQL surface (docs/sde/hac_contracts.md): substitute
+      // the registered sample table, HT-weight the aggregates, expand
+      // error result functions, enforce the bound per BEHAVIOR
+      // (SampleRewrite).
+      case withError(body, err, conf, behavior) =>
+        val params = org.apache.spark.sql.graft.SampleRewrite.AqpParams(
+          err.toDouble,
+          Option(conf).map(_.toDouble).getOrElse(0.95),
+          Option(behavior).map(_.toLowerCase).getOrElse("strict"))
+        require(Set("strict", "run_on_full_table", "do_nothing")(params.behavior),
+          s"WITH ERROR BEHAVIOR '${params.behavior}' not supported " +
+            "(strict | run_on_full_table | do_nothing)")
         g.samples.collectFirst {
           case (base, sample)
               if s"(?is).*\\b$base\\b.*".r.matches(body) =>
-            org.apache.spark.sql.graft.SampleRewrite.run(spark, body, base, sample)
+            org.apache.spark.sql.graft.SampleRewrite.run(spark, body, base, sample, params)
         }.getOrElse(spark.sql(body))
 
       case putInto(table, source) =>

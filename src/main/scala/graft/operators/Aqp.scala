@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate Query Processing: stratified sampling + closed-form error
@@ -19,12 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object Aqp {
 
-  /** Stratified sample with per-stratum reservoir floor.
+  /** Stratified sample with per-stratum reservoir floor — hash-threshold
+    * membership with EXACT stratum accounting.
     *
-    * Every stratum (distinct QCS combination) keeps
-    * `max(reservoirFloor, ceil(n_h * fraction))` rows chosen by hash rank;
-    * each kept row carries `_weight = n_h / kept_h` (its inverse inclusion
-    * probability) for unbiased Horvitz-Thompson estimates downstream.
+    * Scale shape (the reference's stratum reservoirs re-expressed for a
+    * shared-nothing scan): the data rows are NEVER shuffled. Two
+    * map-side-combined aggregations compute (a) exact stratum sizes n_h
+    * and (b) the exact realized sample size kept_h; both are tiny
+    * (|distinct QCS|) and broadcast back onto the scan. Membership is
+    * decided per row from the xxhash64 of its key: keep iff
+    * u(key) < target_h / n_h with target_h = max(floor, ceil(n_h·f)) —
+    * deterministic, so re-running reproduces the identical sample. Each
+    * kept row carries `_weight = n_h / kept_h` (inverse realized
+    * inclusion probability), so Horvitz-Thompson count/sum estimates per
+    * stratum-aligned group stay EXACTLY unbiased (Σ_weight = n_h).
+    *
+    * (The previous formulation ranked rows with `row_number() OVER
+    * (PARTITION BY qcs)` — one reducer per stratum, a single-partition
+    * sort at 100 TB. This one has no wide shuffle at all.)
     */
   def stratifiedSample(
       df: DataFrame,
@@ -32,18 +43,24 @@ object Aqp {
       fraction: Double,
       reservoirFloor: Int,
       rankKey: Seq[String]): DataFrame = {
-    val strat = Window.partitionBy(qcs.map(col): _*)
-    df
-      .withColumn("_rank", row_number().over(
-        strat.orderBy(xxhash64(rankKey.map(col): _*), col(rankKey.head))))
-      .withColumn("_n_h", count(lit(1)).over(strat))
-      .withColumn("_kept_h",
+    // uniform [0,1) from the deterministic row key
+    val u = (xxhash64(rankKey.map(col): _*).bitwiseAND(lit((1L << 40) - 1)))
+      .cast("double") / (1L << 40).toDouble
+    val sizes = df.groupBy(qcs.map(col): _*)
+      .agg(count(lit(1)).as("_n_h"))
+      .withColumn("_target_h",
         least(col("_n_h"),
           greatest(lit(reservoirFloor.toLong), ceil(col("_n_h") * fraction)))
           .cast("long"))
-      .filter(col("_rank") <= col("_kept_h"))
+    val candidates = df
+      .join(broadcast(sizes), qcs)
+      .filter(u < col("_target_h").cast("double") / col("_n_h"))
+    val kept = candidates.groupBy(qcs.map(col): _*)
+      .agg(count(lit(1)).as("_kept_h"))
+    candidates
+      .join(broadcast(kept), qcs)
       .withColumn("_weight", col("_n_h").cast("double") / col("_kept_h"))
-      .drop("_rank")
+      .drop("_target_h")
   }
 
   /** z-score for the standard confidence levels (reference default 0.95,

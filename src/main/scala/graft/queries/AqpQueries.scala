@@ -64,6 +64,41 @@ object AqpQueries {
       } finally g.samples.remove("lineitem")
     },
 
+    // ---- error result functions (hac_contracts.md): when grouping ==
+    // stratification the HT count is exact and every weight in a group is
+    // identical, so absolute_error == 0 and the bounds collapse onto the
+    // exact count — a DETERMINISTIC oracle for the error-function SQL
+    // surface, enforced under BEHAVIOR 'strict' ----
+    QueryDef.sql(
+      "q_aqp_error_bounds_sql",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(0.0 AS DOUBLE) AS abs_err,
+        |  CAST(count(*) AS DOUBLE) AS lo,
+        |  CAST(count(*) AS DOUBLE) AS hi
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val g = graft.GraftSession(s)
+      graft.Tables.registerAll(s, dir)
+      g.createSampleTable("li_sample_eb", graft.Tables.load(s, dir, "lineitem"),
+        qcs = Seq("l_returnflag", "l_linestatus"), fraction = 0.1,
+        reservoirFloor = 30, rankKey = Seq("l_orderkey", "l_linenumber"))
+      g.registerSample("lineitem", "li_sample_eb")
+      try {
+        g.sql(
+          """SELECT l_returnflag, l_linestatus, count(*) AS n,
+            |  absolute_error(n) AS abs_err,
+            |  lower_bound(n) AS lo, upper_bound(n) AS hi
+            |FROM lineitem
+            |GROUP BY l_returnflag, l_linestatus
+            |ORDER BY l_returnflag, l_linestatus
+            |WITH ERROR 0.1 CONFIDENCE 0.95 BEHAVIOR 'strict'""".stripMargin)
+          .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+            dround(col("abs_err"), 4).as("abs_err"),
+            dr2(col("lo")).as("lo"), dr2(col("hi")).as("hi"))
+      } finally g.samples.remove("lineitem")
+    },
+
     // ---- weighted avg + closed-form CI (deterministic; no SQL oracle) ----
     QueryDef.rowsOnly("q_aqp_avg_error") { (s, dir) =>
       Aqp.approxAvgWithError(sampled(s, dir), "l_extendedprice",

@@ -1,68 +1,297 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, Literal, Multiply}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.classic.Dataset
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, max => fmax}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** AQP sample-substitution rewrite — the reference's `WITH ERROR` hook
   * (reference: closed-source `sampleSnappyCase`, SnappySessionState.scala:69,
   * SURVEY.md §4 "the one genuinely custom optimizer piece"; SQL contract
-  * docs/sde/hac_contracts.md:38-74).
+  * docs/sde/hac_contracts.md:38-74, Literals.scala:259-303).
   *
-  * Given a parsed-but-unresolved plan over a base table that has a
-  * registered stratified sample, rewrite:
-  *  - `UnresolvedRelation(base)` → `UnresolvedRelation(sample)` (the
-  *    sample carries `_weight` = inverse inclusion probability);
-  *  - inside every Aggregate:
-  *      count(*)/count(1) → CAST(round(sum(_weight))) AS BIGINT  (HT count)
-  *      sum(x)            → sum(x * _weight)                      (HT total)
-  *      avg(x)            → sum(x * _weight) / sum(_weight)       (HT mean)
+  * Contract implemented:
+  *  - `SELECT ... WITH ERROR f [CONFIDENCE c] [BEHAVIOR 'b']`:
+  *    `UnresolvedRelation(base)` → `UnresolvedRelation(sample)` (the
+  *    sample carries `_weight` = inverse inclusion probability) and
+  *    inside every Aggregate:
+  *      count(*)/count(1) → CAST(round(sum(_weight))) AS BIGINT (HT count)
+  *      sum(x)            → sum(x * _weight)                    (HT total)
+  *      avg(x)            → sum(x * _weight) / sum(_weight)     (HT mean)
+  *  - result functions over an aliased aggregate (hac_contracts.md):
+  *      absolute_error(a) — half-width of the c-confidence interval,
+  *        from the with-replacement (Hansen-Hurwitz) variance estimator
+  *        V̂(T̂) = n·var_samp(w·x); avg uses ratio linearization
+  *        V̂(R̂) = n·(s²_wx − 2R̂·s_wx,w + R̂²·s²_w)/ (Σw)²;
+  *      relative_error(a) = absolute_error / |estimate|;
+  *      lower_bound(a) / upper_bound(a) = estimate ∓ absolute_error.
+  *  - BEHAVIOR (error-constraint semantics):
+  *      'strict' (default): reject aggregates that cannot be
+  *        HT-weighted (min/max/distinct/...), and fail after execution if
+  *        any supported aggregate's relative error exceeds `f`;
+  *      'run_on_full_table': same detection, but the remedy is to run
+  *        the ORIGINAL query on the base table (exact answer);
+  *      'do_nothing': best effort on the sample, never re-routes.
+  *
   * Operating on the UNRESOLVED tree keeps this a pure syntactic rule —
   * name resolution, type coercion and optimization all happen in the
   * stock analyzer afterwards.
   */
 object SampleRewrite {
 
+  final case class AqpParams(error: Double, confidence: Double, behavior: String)
+
+  /** Aggregates the HT weighting covers. */
+  private val supportedAggs = Set("count", "sum", "avg", "mean")
+  private val errorFns =
+    Set("absolute_error", "relative_error", "lower_bound", "upper_bound")
+  /** Aggregate-function names we can recognize syntactically (to detect
+    * UNSUPPORTED aggregates pre-resolution).
+    */
+  private val knownAggs: Set[String] = supportedAggs ++ Set(
+    "min", "max", "first", "last", "any_value", "stddev", "stddev_samp",
+    "stddev_pop", "variance", "var_samp", "var_pop", "percentile",
+    "percentile_approx", "median", "mode", "approx_count_distinct",
+    "count_distinct", "collect_list", "collect_set", "corr", "covar_samp",
+    "covar_pop", "skewness", "kurtosis", "sum_distinct", "avg_distinct")
+
   private def weight: Expression = UnresolvedAttribute("_weight")
 
   private def fn(name: String, args: Expression*): Expression =
     UnresolvedFunction(Seq(name), args.toSeq, isDistinct = false)
 
-  private def rewriteAgg(e: Expression): Expression = e match {
+  private def dlit(d: Double): Expression = Literal(d)
+
+  // ---- HT estimators ----
+  private def htCountD: Expression = fn("sum", weight)
+  private def htSum(x: Expression): Expression = fn("sum", Multiply(x, weight))
+  private def htAvg(x: Expression): Expression = Divide(htSum(x), fn("sum", weight))
+
+  private def varS(e: Expression): Expression =
+    fn("greatest", dlit(0.0), fn("coalesce", fn("var_samp", e), dlit(0.0)))
+  private def covS(a: Expression, b: Expression): Expression =
+    fn("coalesce", fn("covar_samp", a, b), dlit(0.0))
+  private def nRows: Expression = Cast(fn("count", Literal(1)), DoubleType)
+
+  /** Weighted not-null indicator for count(x). */
+  private def wNotNull(arg: Expression): Expression =
+    Multiply(weight, Cast(IsNotNull(arg), DoubleType))
+
+  /** Estimate of the aliased aggregate as a DOUBLE expression. */
+  private def estimateOf(kind: String, arg: Option[Expression]): Expression =
+    kind match {
+      case "count" => htCountD
+      case "countexpr" => fn("sum", wNotNull(arg.get))
+      case "sum" => htSum(arg.get)
+      case _ => htAvg(arg.get)
+    }
+
+  /** Half-width of the confidence interval (see scaladoc). */
+  private def absErrOf(kind: String, arg: Option[Expression], z: Double): Expression =
+    kind match {
+      case "count" =>
+        Multiply(dlit(z), fn("sqrt", Multiply(nRows, varS(weight))))
+      case "countexpr" =>
+        Multiply(dlit(z), fn("sqrt", Multiply(nRows, varS(wNotNull(arg.get)))))
+      case "sum" =>
+        Multiply(dlit(z), fn("sqrt", Multiply(nRows, varS(Multiply(arg.get, weight)))))
+      case _ =>
+        val wx = Multiply(arg.get, weight)
+        val r = htAvg(arg.get)
+        val vr = fn("greatest", dlit(0.0),
+          Add(Subtract(varS(wx), Multiply(Multiply(dlit(2.0), r), covS(wx, weight))),
+            Multiply(Multiply(r, r), varS(weight))))
+        Divide(Multiply(dlit(z), fn("sqrt", Multiply(nRows, vr))), fn("sum", weight))
+    }
+
+  private def isCountStar(args: Seq[Expression]): Boolean =
+    args.isEmpty || args == Seq(Literal(1)) || args.exists(_.isInstanceOf[UnresolvedStar])
+
+  /** A SELECT list containing a recognizable aggregate call — covers the
+    * no-GROUP-BY case where the parser emits Project, not Aggregate (the
+    * analyzer's GlobalAggregates rule hasn't run yet on this tree).
+    */
+  private def hasAggCall(exprs: Seq[Expression]): Boolean =
+    exprs.exists(_.exists {
+      case UnresolvedFunction(Seq(n), _, _, _, _, _, _) =>
+        knownAggs(n.toLowerCase) || errorFns(n.toLowerCase)
+      case _ => false
+    })
+
+  /** (alias → (aggKind, arg)) for the supported aliased aggregates of one
+    * SELECT list — the targets error functions may reference.
+    */
+  private def aliasTargets(exprs: Seq[NamedExpression]): Map[String, (String, Option[Expression])] =
+    exprs.collect {
+      case Alias(UnresolvedFunction(Seq(n), args, false, _, _, _, _), name)
+          if supportedAggs(n.toLowerCase) =>
+        val kind = n.toLowerCase match {
+          case "count" if isCountStar(args) => "count"
+          case "count" => "countexpr" // count(x): weight like sum of (x is not null)
+          case k => k
+        }
+        name.toLowerCase -> (kind, args.headOption)
+    }.toMap
+
+  private def rewriteAgg(e: Expression, targets: Map[String, (String, Option[Expression])],
+      z: Double): Expression = e match {
     case UnresolvedFunction(Seq(n), args, false, _, _, _, _)
-        if n.equalsIgnoreCase("count") &&
-          (args.isEmpty || args == Seq(Literal(1)) ||
-            args.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedStar])) =>
+        if n.equalsIgnoreCase("count") && isCountStar(args) =>
       Cast(fn("round", fn("sum", weight)), LongType)
+    case UnresolvedFunction(Seq(n), Seq(arg), false, _, _, _, _)
+        if n.equalsIgnoreCase("count") =>
+      Cast(fn("round", fn("sum", wNotNull(arg))), LongType)
     case UnresolvedFunction(Seq(n), Seq(arg), false, _, _, _, _)
         if n.equalsIgnoreCase("sum") =>
       fn("sum", Multiply(arg, weight))
     case UnresolvedFunction(Seq(n), Seq(arg), false, _, _, _, _)
         if n.equalsIgnoreCase("avg") || n.equalsIgnoreCase("mean") =>
       Divide(fn("sum", Multiply(arg, weight)), fn("sum", weight))
-    case other => other.mapChildren(rewriteAgg)
+    case UnresolvedFunction(Seq(n), Seq(arg), false, _, _, _, _)
+        if errorFns(n.toLowerCase) =>
+      val target = arg match {
+        case UnresolvedAttribute(parts) => parts.last.toLowerCase
+        case Literal(s, _) => String.valueOf(s).toLowerCase
+        case other => throw new IllegalArgumentException(
+          s"${n.toLowerCase}(...) expects the alias of an aggregate in the same SELECT, got: $other")
+      }
+      val (kind, kArg) = targets.getOrElse(target,
+        throw new IllegalArgumentException(
+          s"${n.toLowerCase}($target): no supported aggregate aliased '$target' in this SELECT " +
+            s"(error functions apply to count(*)/sum/avg aliases)"))
+      val est = estimateOf(kind, kArg)
+      val abs = absErrOf(kind, kArg, z)
+      n.toLowerCase match {
+        case "absolute_error" => abs
+        case "relative_error" => Divide(abs, fn("nullif", fn("abs", est), dlit(0.0)))
+        case "lower_bound" => Subtract(est, abs)
+        case "upper_bound" => Add(est, abs)
+      }
+    case other => other.mapChildren(rewriteAgg(_, targets, z))
   }
 
-  /** Rewrite `plan` to run on `sampleTable` wherever `baseTable` appears. */
-  def rewrite(plan: LogicalPlan, baseTable: String, sampleTable: String): LogicalPlan =
+  /** Aggregate functions in the plan the HT weighting cannot cover. */
+  def unsupportedAggs(plan: LogicalPlan): Seq[String] = {
+    val found = scala.collection.mutable.LinkedHashSet.empty[String]
+    def scan(exprs: Seq[Expression]): Unit =
+      exprs.foreach(_.foreach {
+        case UnresolvedFunction(Seq(n), _, distinct, _, _, _, _) =>
+          val ln = n.toLowerCase
+          if ((knownAggs(ln) && !supportedAggs(ln)) || (supportedAggs(ln) && distinct))
+            found += (if (distinct) s"$ln(DISTINCT)" else ln)
+        case _ =>
+      })
+    plan.foreach {
+      case a: Aggregate => scan(a.aggregateExpressions)
+      case p: Project if hasAggCall(p.projectList) => scan(p.projectList)
+      case _ =>
+    }
+    found.toSeq
+  }
+
+  /** Rewrite `plan` to run on `sampleTable` wherever `baseTable` appears;
+    * HT-weight the aggregates and expand error functions.
+    */
+  def rewrite(plan: LogicalPlan, baseTable: String, sampleTable: String,
+      confidence: Double): LogicalPlan = {
+    val z = graft.operators.Aqp.zScore(confidence)
     plan.transformUp {
       case r: UnresolvedRelation
           if r.multipartIdentifier.map(_.toLowerCase) == Seq(baseTable.toLowerCase) =>
         UnresolvedRelation(Seq(sampleTable))
       case a: Aggregate =>
+        val targets = aliasTargets(a.aggregateExpressions)
         a.copy(aggregateExpressions = a.aggregateExpressions.map(ne =>
-          rewriteAgg(ne).asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression]))
+          rewriteAgg(ne, targets, z).asInstanceOf[NamedExpression]))
+      case p: Project if hasAggCall(p.projectList) =>
+        // global aggregate without GROUP BY: still a Project pre-analysis
+        val targets = aliasTargets(p.projectList)
+        p.copy(projectList = p.projectList.map(ne =>
+          rewriteAgg(ne, targets, z).asInstanceOf[NamedExpression]))
     }
+  }
 
-  /** Parse `sql` (already stripped of the WITH ERROR suffix), substitute
-    * the sample, and return the rewritten DataFrame.
+  /** As [[rewrite]], but additionally APPEND hidden `_rel_err_i` columns
+    * to the topmost Aggregate — one per supported aliased aggregate — for
+    * the post-execution error-bound check.
     */
-  def run(spark: SparkSession, sql: String, baseTable: String, sampleTable: String): DataFrame = {
+  private def rewriteWithErrCols(plan: LogicalPlan, baseTable: String,
+      sampleTable: String, confidence: Double): (LogicalPlan, Seq[String]) = {
+    val z = graft.operators.Aqp.zScore(confidence)
+    // targets come from the ORIGINAL select list (pre-weighting)
+    val targets = plan.collectFirst {
+      case oa: Aggregate => aliasTargets(oa.aggregateExpressions)
+      case op: Project if hasAggCall(op.projectList) => aliasTargets(op.projectList)
+    }.getOrElse(Map.empty)
+    if (targets.isEmpty) return (rewrite(plan, baseTable, sampleTable, confidence), Nil)
+    var errCols = Seq.empty[String]
+    val extra = targets.toSeq.zipWithIndex.map { case ((_, (kind, arg)), i) =>
+      val name = s"_rel_err_$i"
+      errCols :+= name
+      Alias(Divide(absErrOf(kind, arg, z),
+        fn("nullif", fn("abs", estimateOf(kind, arg)), dlit(0.0))), name)()
+    }
+    var done = false
+    val out = rewrite(plan, baseTable, sampleTable, confidence).transformDown {
+      case a: Aggregate if !done =>
+        done = true
+        a.copy(aggregateExpressions = a.aggregateExpressions ++ extra)
+      case p: Project if !done && hasAggCall(p.projectList) =>
+        done = true
+        p.copy(projectList = p.projectList ++ extra)
+    }
+    (out, errCols)
+  }
+
+  /** Parse `sql` (already stripped of the WITH ERROR suffix), apply the
+    * behavior contract, and return the resulting DataFrame.
+    */
+  def run(spark: SparkSession, sql: String, baseTable: String, sampleTable: String,
+      params: AqpParams): DataFrame = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val parsed = classic.sessionState.sqlParser.parsePlan(sql)
-    Dataset.ofRows(classic, rewrite(parsed, baseTable, sampleTable))
+    val bad = unsupportedAggs(parsed)
+    params.behavior match {
+      case "strict" if bad.nonEmpty =>
+        throw new IllegalArgumentException(
+          s"WITH ERROR BEHAVIOR 'strict': aggregate(s) ${bad.mkString(", ")} cannot be " +
+            "estimated from a sample; use BEHAVIOR 'run_on_full_table' or 'do_nothing'")
+      case "run_on_full_table" if bad.nonEmpty =>
+        classic.sql(sql)
+      case b =>
+        lazy val rewritten = Dataset.ofRows(classic,
+          rewrite(parsed, baseTable, sampleTable, params.confidence))
+        if (b == "do_nothing") rewritten
+        else {
+          // enforce the requested error bound on the supported aggregates
+          val (checkedPlan, errCols) =
+            rewriteWithErrCols(parsed, baseTable, sampleTable, params.confidence)
+          if (errCols.isEmpty) rewritten
+          else {
+            val checked = Dataset.ofRows(classic, checkedPlan)
+            val safe = errCols.map(c => org.apache.spark.sql.functions.coalesce(
+              col(c), org.apache.spark.sql.functions.lit(0.0)))
+            val worstCol =
+              if (safe.size == 1) safe.head
+              else org.apache.spark.sql.functions.greatest(safe: _*)
+            val worstRow = checked.agg(fmax(worstCol)).head()
+            val worst = if (worstRow.isNullAt(0)) 0.0 else worstRow.getDouble(0)
+            if (worst > params.error) {
+              if (b == "run_on_full_table") classic.sql(sql)
+              else throw new IllegalStateException(
+                f"WITH ERROR BEHAVIOR 'strict': observed relative error $worst%.4f exceeds " +
+                  f"the requested bound ${params.error}%.4f at confidence ${params.confidence}%.2f; " +
+                  "use a larger sample, a looser bound, or BEHAVIOR 'run_on_full_table'")
+            } else rewritten
+          }
+        }
+    }
   }
+
+  /** Back-compat entry (defaults: 95% confidence, best-effort). */
+  def run(spark: SparkSession, sql: String, baseTable: String, sampleTable: String): DataFrame =
+    run(spark, sql, baseTable, sampleTable, AqpParams(1.0, 0.95, "do_nothing"))
 }

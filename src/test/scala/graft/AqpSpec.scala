@@ -11,16 +11,28 @@ class AqpSpec extends SparkTestBase {
     fraction = 0.1, reservoirFloor = 30,
     rankKey = Seq("l_orderkey", "l_linenumber"))
 
-  test("stratified sample is deterministic and respects floor+fraction") {
+  test("stratified sample is deterministic, tracks floor+fraction, HT-exact weights") {
     val a = sample.agg(count(lit(1))).head().getLong(0)
     val b = sample.agg(count(lit(1))).head().getLong(0)
     assert(a == b && a > 0)
     val perStratum = sample.groupBy("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("kept"), first("_n_h").as("n_h")).collect()
+      .agg(count(lit(1)).as("kept"), first("_n_h").as("n_h"),
+        sum("_weight").as("w_sum")).collect()
     perStratum.foreach { r =>
       val kept = r.getAs[Long]("kept"); val nh = r.getAs[Long]("n_h")
-      assert(kept >= math.min(nh, 30L), s"floor violated: $r")
-      assert(kept <= math.max(30L, math.ceil(nh * 0.1).toLong), s"too many kept: $r")
+      // hash-threshold membership: tiny strata keep everything (p = 1);
+      // larger strata realize a binomial count around the target — allow
+      // 5 sigma
+      if (nh <= 30L) assert(kept == nh, s"small stratum must keep all: $r")
+      else {
+        val target = math.max(30.0, math.ceil(nh * 0.1))
+        val p = target / nh
+        val sigma = math.sqrt(nh * p * (1 - p))
+        assert(math.abs(kept - target) <= 5 * sigma + 1,
+          s"kept=$kept target=$target sigma=$sigma: $r")
+      }
+      // weights always account for the REALIZED sample: sum == n_h exactly
+      assert(math.abs(r.getAs[Double]("w_sum") - nh) < 1e-6, s"HT weight sum: $r")
     }
   }
 
@@ -59,7 +71,7 @@ class AqpSpec extends SparkTestBase {
     try {
       val approx = g.sql(
         "SELECT l_returnflag, count(*) AS n, avg(l_extendedprice) AS m, " +
-          "sum(l_quantity) AS q FROM lineitem GROUP BY l_returnflag WITH ERROR 0.1")
+          "sum(l_quantity) AS q FROM lineitem GROUP BY l_returnflag WITH ERROR 0.5")
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
       val exact = li.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), avg("l_extendedprice").as("m"), sum("l_quantity").as("q"))
@@ -74,6 +86,108 @@ class AqpSpec extends SparkTestBase {
       val scannedRows = g.table("li_sample_t").count()
       assert(scannedRows < li.count() / 2, "sample is not smaller than base?")
     } finally g.samples.remove("lineitem")
+  }
+
+  private def withSample[T](name: String)(f: GraftSession => T): T = {
+    val g = GraftSession(spark)
+    Tables.registerAll(spark, sf)
+    g.createSampleTable(name, li,
+      qcs = Seq("l_returnflag", "l_linestatus"), fraction = 0.1,
+      reservoirFloor = 30, rankKey = Seq("l_orderkey", "l_linenumber"))
+    g.registerSample("lineitem", name)
+    try f(g) finally g.samples.remove("lineitem")
+  }
+
+  test("error result functions: exact-count groups have zero error, bounds collapse") {
+    withSample("li_sample_ef") { g =>
+      // grouping == stratification ⇒ HT count is exact ⇒ all weights in a
+      // group are equal ⇒ var_samp(_weight) = 0 ⇒ absolute_error = 0 and
+      // the bounds collapse onto the estimate (deterministic oracle)
+      val rows = g.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  absolute_error(n) AS abs_err, relative_error(n) AS rel_err,
+          |  lower_bound(n) AS lo, upper_bound(n) AS hi
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |WITH ERROR 0.1 CONFIDENCE 0.95""".stripMargin).collect()
+      assert(rows.nonEmpty)
+      val exact = li.groupBy("l_returnflag", "l_linestatus").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      rows.foreach { r =>
+        val key = (r.getString(0), r.getString(1))
+        assert(r.getLong(2) == exact(key), s"count not exact at $key")
+        assert(math.abs(r.getDouble(3)) < 1e-6, s"abs_err must be 0 at $key")
+        assert(math.abs(r.getDouble(5) - exact(key)) < 1e-6)
+        assert(math.abs(r.getDouble(6) - exact(key)) < 1e-6)
+      }
+    }
+  }
+
+  test("error result functions: avg CI from SQL brackets the truth") {
+    withSample("li_sample_ci") { g =>
+      val got = g.sql(
+        """SELECT l_returnflag, avg(l_extendedprice) AS m,
+          |  absolute_error(m) AS e, lower_bound(m) AS lo, upper_bound(m) AS hi
+          |FROM lineitem GROUP BY l_returnflag
+          |WITH ERROR 0.5 CONFIDENCE 0.95""".stripMargin).collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      val truth = li.groupBy("l_returnflag").agg(avg("l_extendedprice"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      truth.foreach { case (k, t) =>
+        val (m, e, lo, hi) = got(k)
+        assert(e > 0, s"avg over non-constant data must have positive error at $k")
+        assert(math.abs((m - lo) - e) < 1e-9 && math.abs((hi - m) - e) < 1e-9)
+        assert(t >= lo && t <= hi, s"group $k: true $t outside [$lo, $hi]")
+      }
+    }
+  }
+
+  test("BEHAVIOR strict rejects non-estimable aggregates") {
+    withSample("li_sample_strict") { g =>
+      val e = intercept[IllegalArgumentException] {
+        g.sql("SELECT l_returnflag, min(l_extendedprice) AS lo FROM lineitem " +
+          "GROUP BY l_returnflag WITH ERROR 0.1 BEHAVIOR 'strict'")
+      }
+      assert(e.getMessage.contains("min"))
+      // count(DISTINCT) is equally non-estimable from an HT sample
+      val e2 = intercept[IllegalArgumentException] {
+        g.sql("SELECT count(DISTINCT l_orderkey) AS d FROM lineitem WITH ERROR 0.1")
+      }
+      assert(e2.getMessage.toLowerCase.contains("distinct"))
+    }
+  }
+
+  test("BEHAVIOR strict enforces the requested error bound") {
+    withSample("li_sample_bound") { g =>
+      val e = intercept[IllegalStateException] {
+        // avg sampling error is far above 0.000001%
+        g.sql("SELECT avg(l_extendedprice) AS m FROM lineitem " +
+          "WITH ERROR 0.00000001 CONFIDENCE 0.99 BEHAVIOR 'strict'").collect()
+      }
+      assert(e.getMessage.contains("exceeds"))
+    }
+  }
+
+  test("BEHAVIOR run_on_full_table re-routes to exact execution") {
+    withSample("li_sample_full") { g =>
+      // unsupported aggregate → exact run on the base table
+      val viaMin = g.sql("SELECT min(l_extendedprice) AS lo FROM lineitem " +
+        "WITH ERROR 0.1 BEHAVIOR 'run_on_full_table'").head().getDouble(0)
+      val exactMin = li.agg(min("l_extendedprice")).head().getDouble(0)
+      assert(viaMin == exactMin)
+      // bound violation → exact run on the base table
+      val viaAvg = g.sql("SELECT avg(l_extendedprice) AS m FROM lineitem " +
+        "WITH ERROR 0.00000001 BEHAVIOR 'run_on_full_table'").head().getDouble(0)
+      val exactAvg = li.agg(avg("l_extendedprice")).head().getDouble(0)
+      assert(viaAvg == exactAvg)
+    }
+  }
+
+  test("BEHAVIOR do_nothing stays best-effort on the sample") {
+    withSample("li_sample_dn") { g =>
+      val n = g.sql("SELECT count(*) AS n FROM lineitem " +
+        "WITH ERROR 0.00000001 BEHAVIOR 'do_nothing'").head().getLong(0)
+      assert(n == li.count(), "HT count still exact; no bound check, no reroute")
+    }
   }
 
   test("approx_count_distinct within 10% of exact") {
