@@ -54,6 +54,41 @@ class StreamingSpec extends SparkTestBase {
     assert(after1 == Seq(20.0, 5.0) && after2 == after1)
   }
 
+  test("cdc sink stays exactly-once across a simulated restart") {
+    val g = GraftSession(spark)
+    import spark.implicits._
+    g.createTable("s_restart", Seq((1L, "v1"), (2L, "v2")).toDF("k", "v"),
+      keyColumns = Seq("k"))
+    val sink = CdcSink(g, "s_restart", Seq("k"), "ord", queryName = "q_restart")
+    // batch 0: DELETE k=1 then re-INSERT k=1 with a new value + insert k=3
+    val batch0 = Seq(
+      (1L, "dead", CdcSink.Delete, 1L), (1L, "reborn", CdcSink.Insert, 2L),
+      (3L, "v3", CdcSink.Insert, 3L)).toDF("k", "v", "_eventType", "ord")
+    sink.apply(batch0, batchId = 0)
+    val after = g.table("s_restart").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after == Seq((1L, "reborn"), (2L, "v2"), (3L, "v3")))
+
+    // "restart": a brand-new sink instance (fresh process state) replays
+    // the checkpointed last batch — the store-persisted watermark makes
+    // it a no-op even though no in-memory state survived
+    val sinkAfterRestart = CdcSink(g, "s_restart", Seq("k"), "ord", queryName = "q_restart")
+    assert(CdcSink.lastCommitted(g, "q_restart", "s_restart").contains(0L),
+      "batch watermark must be persisted in the store, not the process")
+    sinkAfterRestart.apply(batch0, batchId = 0)
+    val afterReplay = g.table("s_restart").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(afterReplay == after, "replayed batch after restart must be a no-op")
+
+    // a genuinely new batch still applies
+    sinkAfterRestart.apply(
+      Seq((2L, "v2b", CdcSink.Update, 10L)).toDF("k", "v", "_eventType", "ord"),
+      batchId = 1)
+    val v2 = g.table("s_restart").filter($"k" === 2L).head().getString(1)
+    assert(v2 == "v2b")
+    g.dropTable("s_restart")
+  }
+
   test("custom state via mapGroupsWithState (running count per user)") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
