@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(session => RowLevelSecurityRule(session))
 
+    // Snappy statement surface (PUT INTO, UPDATE/DELETE on managed
+    // tables, CREATE POLICY, CREATE SAMPLE TABLE, CREATE TABLE USING
+    // column AS ...) — a combinator grammar delegating embedded
+    // expressions/queries to the stock parser.
+    e.injectParser((session, delegate) =>
+      new org.apache.spark.sql.graft.parser.GraftSqlParser(session, delegate))
+
     e.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - double dot product of float vectors"),
       (args: Seq[Expression]) => VE.VectorDot(args(0), args(1))))

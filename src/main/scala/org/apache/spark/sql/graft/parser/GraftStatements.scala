@@ -1,0 +1,161 @@
+package org.apache.spark.sql.graft.parser
+
+import scala.util.parsing.combinator.RegexParsers
+
+/** Grammar for the Snappy-specific statement surface (reference:
+  * SnappyParser.put:1173 / putValuesOperation:1220, update:1177,
+  * delete:1198, SnappyDDLParser.createPolicy:392, createTable:301,
+  * CREATE SAMPLE TABLE). A real combinator grammar, not regexes: quoted
+  * identifiers, nested parentheses, string literals and subqueries in
+  * WHERE/SET/source position all tokenize correctly. Embedded
+  * EXPRESSIONS and QUERIES are captured as balanced text chunks and
+  * handed to Spark's own parser (delegate.parseExpression/parsePlan) by
+  * [[GraftSqlParser]] — the statement skeleton is ours, the expression
+  * language is Spark's, exactly the reference's split.
+  */
+object GraftStatements extends RegexParsers {
+
+  sealed trait Stmt
+  /** PUT INTO t (SELECT ...|VALUES ...|TABLE x) */
+  final case class PutInto(table: String, sourceSql: String) extends Stmt
+  /** UPDATE t SET a = expr, ... WHERE expr */
+  final case class Update(table: String, assigns: Seq[(String, String)],
+      whereSql: String) extends Stmt
+  /** DELETE FROM t WHERE expr */
+  final case class Delete(table: String, whereSql: String) extends Stmt
+  /** CREATE POLICY p ON t [FOR SELECT] [TO u1,u2] USING expr */
+  final case class CreatePolicy(name: String, table: String, users: Seq[String],
+      filterSql: String) extends Stmt
+  final case class DropPolicy(name: String) extends Stmt
+  /** CREATE SAMPLE TABLE s ON base OPTIONS (qcs 'a,b', fraction '0.1', ...) */
+  final case class CreateSampleTable(name: String, base: String,
+      options: Map[String, String]) extends Stmt
+  /** CREATE TABLE t USING column|row [OPTIONS (...)] AS SELECT ... */
+  final case class CreateTableUsing(name: String, provider: String,
+      options: Map[String, String], selectSql: String) extends Stmt
+
+  override def skipWhitespace = true
+
+  private def kw(s: String): Parser[String] = ("(?i)" + s + "\\b").r
+
+  private def ident: Parser[String] =
+    "`" ~> "[^`]+".r <~ "`" |
+    "\"" ~> "[^\"]+".r <~ "\"" |
+    """[a-zA-Z_][a-zA-Z0-9_]*""".r
+
+  private def quoted: Parser[String] = "'" ~> "[^']*".r <~ "'"
+
+  private def options: Parser[Map[String, String]] =
+    "(" ~> repsep(ident ~ quoted ^^ { case k ~ v => k.toLowerCase -> v }, ",") <~ ")" ^^ (_.toMap)
+
+  /** Everything to the end of the input (trimmed); must be non-empty. */
+  private def restAll: Parser[String] = new Parser[String] {
+    def apply(in: Input): ParseResult[String] = {
+      val src = in.source
+      val start = handleWhiteSpace(src, in.offset)
+      val text = src.subSequence(start, src.length).toString.trim
+      if (text.isEmpty) Failure("expected more input", in)
+      else Success(text, in.drop(src.length - in.offset))
+    }
+  }
+
+  /** Balanced text chunk up to a TOP-LEVEL stop keyword or (optionally) a
+    * top-level comma — parenthesis-depth and quote aware, so subqueries,
+    * function calls and string/backquoted literals pass through intact.
+    */
+  private def chunkUntil(stops: Seq[String], stopAtComma: Boolean): Parser[String] =
+    new Parser[String] {
+      def apply(in: Input): ParseResult[String] = {
+        val src = in.source
+        val start = handleWhiteSpace(src, in.offset)
+        var i = start
+        var depth = 0
+        var end = -1
+        def stopAt(j: Int): Boolean = stops.exists { s =>
+          j + s.length <= src.length &&
+            src.subSequence(j, j + s.length).toString.equalsIgnoreCase(s) &&
+            (j + s.length == src.length ||
+              !Character.isLetterOrDigit(src.charAt(j + s.length))) &&
+            (j == start || !Character.isLetterOrDigit(src.charAt(j - 1)))
+        }
+        while (i < src.length && end < 0) {
+          src.charAt(i) match {
+            case '(' => depth += 1; i += 1
+            case ')' => depth -= 1; i += 1
+            case q @ ('\'' | '"' | '`') =>
+              i += 1
+              while (i < src.length && src.charAt(i) != q) i += 1
+              i += 1
+            case ',' if depth == 0 && stopAtComma => end = i
+            case _ =>
+              if (depth == 0 && stopAt(i)) end = i else i += 1
+          }
+        }
+        if (end < 0) end = src.length
+        val text = src.subSequence(start, end).toString.trim
+        if (text.isEmpty) Failure("empty expression", in)
+        else Success(text, in.drop(end - in.offset))
+      }
+    }
+
+  // ---- statements ----
+
+  private def putInto: Parser[Stmt] =
+    kw("PUT") ~> kw("INTO") ~> ident ~ restAll ^^ { case t ~ src =>
+      val s = src.trim
+      if (s.toUpperCase.startsWith("TABLE"))
+        PutInto(t, s"SELECT * FROM ${s.split("\\s+")(1)}")
+      else PutInto(t, s)
+    }
+
+  private def assignment: Parser[(String, String)] =
+    ident ~ ("=" ~> chunkUntil(Seq("WHERE"), stopAtComma = true)) ^^ {
+      case k ~ v => k -> v
+    }
+
+  private def update: Parser[Stmt] =
+    kw("UPDATE") ~> ident ~ (kw("SET") ~> rep1sep(assignment, ",")) ~
+      (kw("WHERE") ~> restAll) ^^ { case t ~ as ~ w => Update(t, as, w) }
+
+  private def delete: Parser[Stmt] =
+    kw("DELETE") ~> kw("FROM") ~> ident ~ (kw("WHERE") ~> restAll) ^^ {
+      case t ~ w => Delete(t, w)
+    }
+
+  private def createPolicy: Parser[Stmt] =
+    kw("CREATE") ~> kw("POLICY") ~> ident ~ (kw("ON") ~> ident) ~
+      opt(kw("FOR") ~ kw("SELECT")) ~
+      opt(kw("TO") ~> rep1sep("""[A-Za-z0-9_*]+""".r, ",")) ~
+      (kw("USING") ~> restAll) ^^ { case n ~ t ~ _ ~ users ~ f =>
+        CreatePolicy(n, t, users.getOrElse(Seq("*")),
+          f.trim.stripPrefix("(").stripSuffix(")"))
+      }
+
+  private def dropPolicy: Parser[Stmt] =
+    kw("DROP") ~> kw("POLICY") ~> ident ^^ DropPolicy.apply
+
+  private def createSample: Parser[Stmt] =
+    kw("CREATE") ~> kw("SAMPLE") ~> kw("TABLE") ~> ident ~
+      (kw("ON") ~> ident) ~ (kw("OPTIONS") ~> options) ^^ {
+        case n ~ base ~ o => CreateSampleTable(n, base, o)
+      }
+
+  private def createTableUsing: Parser[Stmt] =
+    kw("CREATE") ~> kw("TABLE") ~> ident ~
+      (kw("USING") ~> (kw("COLUMN") | kw("ROW"))) ~
+      opt(kw("OPTIONS") ~> options) ~ (kw("AS") ~> restAll) ^^ {
+        case n ~ p ~ o ~ sel =>
+          CreateTableUsing(n, p.toLowerCase, o.getOrElse(Map.empty), sel)
+      }
+
+  private def statement: Parser[Stmt] =
+    putInto | createPolicy | dropPolicy | createSample | createTableUsing |
+      update | delete
+
+  /** None = not a graft statement (caller delegates to Spark's parser). */
+  def parse(text: String): Option[Stmt] = {
+    val cleaned = text.trim.stripSuffix(";").trim
+    val r = parseAll(statement, cleaned)
+    if (r.successful) Some(r.get) else None
+  }
+}

@@ -38,6 +38,78 @@ class SqlSurfaceSpec extends SparkTestBase {
     g.dropTable("sql_t")
   }
 
+  test("parser handles quoted identifiers, subqueries in WHERE, commas in SET") {
+    Tables.registerAll(spark, sf)
+    // all statements through PLAIN spark.sql — the injected parser, not
+    // the GraftSql facade
+    spark.sql("CREATE TABLE parse_t USING column OPTIONS (key_columns 'o_orderkey') " +
+      "AS SELECT * FROM orders")
+    val g2 = GraftSession(spark)
+    assert(g2.table("parse_t").count() == 1500)
+
+    // subquery in WHERE (the old regex dispatcher choked on these)
+    spark.sql("UPDATE `parse_t` SET o_totalprice = round(o_totalprice * 2, 2), " +
+      "o_orderstatus = 'X' " +
+      "WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 1)")
+    val nUpdated = g2.table("parse_t").filter(col("o_orderstatus") === "X").count()
+    val nExpected = spark.sql("SELECT count(*) FROM orders WHERE o_custkey IN " +
+      "(SELECT c_custkey FROM customer WHERE c_nationkey = 1)").head().getLong(0)
+    assert(nUpdated == nExpected && nUpdated > 0)
+
+    // DELETE with a scalar subquery comparison
+    spark.sql("DELETE FROM parse_t WHERE o_totalprice > " +
+      "(SELECT avg(o_totalprice) * 3 FROM orders)")
+    assert(g2.table("parse_t").count() < 1500)
+
+    // PUT INTO ... VALUES (reference putValuesOperation) — positional
+    spark.sql("PUT INTO parse_t VALUES (9999991, 1, 'V', 1.0, TIMESTAMP '1996-01-01', 'LOW'), " +
+      "(9999992, 2, 'V', 2.0, TIMESTAMP '1996-01-02', 'LOW')")
+    assert(g2.table("parse_t").filter(col("o_orderstatus") === "V").count() == 2)
+    g2.dropTable("parse_t")
+  }
+
+  test("CREATE SAMPLE TABLE SQL + WITH ERROR routes through it") {
+    Tables.registerAll(spark, sf)
+    val g2 = GraftSession(spark)
+    spark.sql("CREATE SAMPLE TABLE li_sql_sample ON lineitem OPTIONS " +
+      "(qcs 'l_returnflag,l_linestatus', fraction '0.1', " +
+      "strataReservoirSize '30', rankKey 'l_orderkey,l_linenumber')")
+    try {
+      assert(g2.table("li_sql_sample").columns.contains("_weight"))
+      val approx = g2.sql("SELECT l_returnflag, count(*) AS n FROM lineitem " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag WITH ERROR 0.1")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = spark.table("lineitem").groupBy("l_returnflag").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(approx == exact, "HT count over the SQL-created sample must be exact")
+    } finally {
+      g2.samples.remove("lineitem")
+      g2.dropTable("li_sql_sample")
+    }
+  }
+
+  test("CREATE/DROP POLICY via plain spark.sql") {
+    Tables.registerAll(spark, sf)
+    val g2 = GraftSession(spark)
+    g2.createTable("pol_t", Tables.load(spark, sf, "supplier"))
+    spark.sql("CREATE POLICY pol_low ON pol_t TO analyst USING s_nationkey < 5")
+    // policies attach at name resolution — query through SQL, like users do
+    def maxNation(): Long =
+      spark.sql("SELECT max(s_nationkey) FROM pol_t").head().getAs[Number](0).longValue()
+    try {
+      g2.setCurrentUser("analyst")
+      assert(maxNation() < 5)
+      g2.setCurrentUser("admin_x")
+      assert(maxNation() >= 5)
+      spark.sql("DROP POLICY pol_low")
+      g2.setCurrentUser("analyst")
+      assert(maxNation() >= 5)
+    } finally {
+      g2.setCurrentUser("admin_x")
+      g2.dropTable("pol_t")
+    }
+  }
+
   test("sample table + approx ts topk session APIs") {
     val ev = Tables.load(spark, sf, "events")
     g.createSampleTable("ev_sample", ev, qcs = Seq("event_type"),
