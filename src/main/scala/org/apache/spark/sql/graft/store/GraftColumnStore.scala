@@ -115,25 +115,30 @@ object GraftColumnStore {
 
   /** Pick the cheapest of plain / run-length / dictionary for a column.
     * One pass computes run count and (capped) cardinality; exact cost
-    * model over the encodings above.
+    * model over the encodings above. Dictionary tracking aborts once
+    * cardinality exceeds n/4 (dict can't win there), so unique key
+    * columns don't pay the full hash-map toll.
     */
   def encode(values: Array[Any]): ColumnData = {
     val n = values.length
     if (n == 0) return PlainColumn(values)
     var runs = 1
-    val distinct = mutable.HashMap.empty[Any, Int]
-    val maxDict = 1 << 16
+    val maxDict = math.max(16, n / 4)
+    var distinct: mutable.HashMap[Any, Int] = mutable.HashMap.empty
+    var plainCost = 0L
     var i = 0
     while (i < n) {
       if (i > 0 && values(i) != values(i - 1)) runs += 1
-      if (distinct.size <= maxDict && values(i) != null)
+      if (distinct != null && values(i) != null) {
         distinct.getOrElseUpdate(values(i), distinct.size)
+        if (distinct.size > maxDict) distinct = null // dict can't win
+      }
+      plainCost += valueBytes(values(i))
       i += 1
     }
-    val plainCost = values.foldLeft(0L)((a, v) => a + valueBytes(v))
     val rleCost = plainCost / n * runs + 4L * runs // approx: avg value × runs
     val dictCost =
-      if (distinct.size > maxDict) Long.MaxValue
+      if (distinct == null) Long.MaxValue
       else distinct.keys.foldLeft(0L)((a, v) => a + valueBytes(v)) + 4L * n
     if (rleCost < plainCost && rleCost <= dictCost) {
       val rv = ArrayBuffer.empty[Any]
@@ -333,30 +338,41 @@ object GraftColumnStore {
     * analog — so compaction can later roll small appends together.
     */
   final class BatchBuilder(schema: StructType, batchSize: Int, bucketId: Int) {
-    private var buf = ArrayBuffer.empty[InternalRow]
+    private val fields = schema.fields
+    private val isString = fields.map(_.dataType == StringType)
+    // column-direct buffering: values extract (and strings clone — the
+    // scan may reuse its row buffer) as rows arrive, so no whole-row
+    // UnsafeRow copies accumulate
+    private var colBuf = Array.fill(fields.length)(new Array[Any](batchSize))
+    private var n = 0
     private val refs = ArrayBuffer.empty[BatchRef]
 
     def add(row: InternalRow): Unit = {
-      buf += row.copy()
-      if (buf.length >= batchSize) seal(isDelta = false)
+      var c = 0
+      while (c < fields.length) {
+        colBuf(c)(n) =
+          if (row.isNullAt(c)) null
+          else if (isString(c)) row.getUTF8String(c).clone()
+          else row.get(c, fields(c).dataType)
+        c += 1
+      }
+      n += 1
+      if (n >= batchSize) seal(isDelta = false)
     }
 
-    private def seal(isDelta: Boolean): Unit = if (buf.nonEmpty) {
-      val n = buf.length
-      val fields = schema.fields
+    private def seal(isDelta: Boolean): Unit = if (n > 0) {
       val cols = Array.ofDim[ColumnData](fields.length)
       val stats = Array.ofDim[ColumnStats](fields.length)
       var c = 0
       while (c < fields.length) {
         val dt = fields(c).dataType
-        val vals = new Array[Any](n)
+        val vals = if (n == batchSize) colBuf(c) else colBuf(c).take(n)
         var nulls = 0
         var min: Any = null
         var max: Any = null
         var i = 0
         while (i < n) {
-          val v = if (buf(i).isNullAt(c)) null else buf(i).get(c, dt)
-          vals(i) = v
+          val v = vals(i)
           if (v == null) nulls += 1
           else {
             if (min == null || compare(dt, v, min) < 0) min = v
@@ -370,7 +386,8 @@ object GraftColumnStore {
       }
       val id = BatchRegistry.putBatch(new StoreBatch(n, cols))
       refs += BatchRef(id, bucketId, n, stats, isDelta)
-      buf = ArrayBuffer.empty[InternalRow]
+      colBuf = Array.fill(fields.length)(new Array[Any](batchSize))
+      n = 0
     }
 
     /** Seal the remainder (as a delta/row-buffer batch) and return refs. */
@@ -380,7 +397,7 @@ object GraftColumnStore {
     def abort(): Unit = {
       BatchRegistry.release(refs.map(_.id), Nil)
       refs.clear()
-      buf = ArrayBuffer.empty[InternalRow]
+      n = 0
     }
   }
 
