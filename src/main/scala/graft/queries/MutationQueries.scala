@@ -143,6 +143,22 @@ object MutationQueries {
         .orderBy("l_returnflag")
     },
 
+    // ---- point lookup on the bucketed key: scans exactly the buckets
+    // the keys hash to (reference PRIMARY-KEY lookup → one bucket region);
+    // GraftStoreSpec asserts the pruning, the oracle the values ----
+    QueryDef.sql(
+      "q_point_lookup",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey IN (1, 2, 3)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      g.createTable("t_pt", Tables.load(s, dir, "orders"),
+        keyColumns = Seq("o_orderkey"), partitionBy = Seq("o_orderkey"), buckets = 16)
+      g.table("t_pt").filter(col("o_orderkey").isin(1L, 2L, 3L))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // ---- mutation pipeline: put + update + delete compose correctly ----
     QueryDef.sql(
       "q_mutation_pipeline",

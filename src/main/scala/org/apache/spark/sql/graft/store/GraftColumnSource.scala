@@ -173,12 +173,54 @@ class GraftScan(tableName: String, fullSchema: StructType,
     kept.map(workFor)
   }
 
+  /** Bucket pruning for key point lookups (reference: PRIMARY KEY lookups
+    * route to one bucket region, RowFormatRelation/GemFire get): when the
+    * pushed conjuncts pin EVERY bucket column with EqualTo/In, only the
+    * buckets those key values hash to are scanned. The hash chain is
+    * identical to Spark's HashPartitioning (murmur3, seed 42) — the
+    * distribution the bucketed write required.
+    */
+  private def targetBuckets: Option[Set[Int]] = {
+    if (snapshot.numBuckets <= 0) return None
+    val eq = scala.collection.mutable.Map.empty[String, Seq[Any]]
+    filters.foreach {
+      case EqualTo(c, v) if v != null => eq(c) = Seq(v)
+      case EqualNullSafe(c, v) if v != null => eq(c) = Seq(v)
+      case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
+        eq(c) = eq.get(c).map(_.intersect(vs.toSeq)).getOrElse(vs.toSeq)
+      case _ =>
+    }
+    if (!snapshot.bucketBy.forall(eq.contains)) return None
+    val perCol = snapshot.bucketBy.map { c =>
+      val dt = fullSchema.fields(fullSchema.fieldIndex(c)).dataType
+      val internals = eq(c).flatMap(v => BatchPruning.internal(dt, v).map(_ -> dt))
+      if (internals.size != eq(c).size) return None // unconvertible value
+      internals
+    }
+    if (perCol.map(_.size.toLong).product > 64) return None // combinatorial cap
+    val combos = perCol.foldLeft(Seq(Seq.empty[(Any, org.apache.spark.sql.types.DataType)])) {
+      (acc, vals) => acc.flatMap(prefix => vals.map(prefix :+ _))
+    }
+    Some(combos.map { combo =>
+      var h = 42L
+      combo.foreach { case (v, dt) =>
+        h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(v, dt, h)
+      }
+      val m = h.toInt % snapshot.numBuckets
+      if (m < 0) m + snapshot.numBuckets else m
+    }.toSet)
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
     if (snapshot.numBuckets > 0) {
       // one partition per bucket (all buckets, so two co-bucketed scans
-      // always align group-for-group in a storage-partitioned join)
+      // always align group-for-group in a storage-partitioned join) —
+      // unless a key point lookup prunes to specific buckets
       val byBucket = keptWork.groupBy(_.ref.bucketId)
-      (0 until snapshot.numBuckets).map { b =>
+      val wanted = targetBuckets
+      val ids = (0 until snapshot.numBuckets).filter(b => wanted.forall(_.contains(b)))
+      GraftColumnStore.bucketsPruned.addAndGet(snapshot.numBuckets - ids.size)
+      ids.map { b =>
         GraftBucketPartition(b, byBucket.getOrElse(b, Nil).toVector): InputPartition
       }.toArray
     } else keptWork.map(w => GraftBatchPartition(w): InputPartition).toArray
@@ -314,7 +356,7 @@ object BatchPruning {
   }
 
   /** External (Filter) value → internal stats value. */
-  private def internal(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+  private[store] def internal(dt: DataType, v: Any): Option[Any] = (dt, v) match {
     case (_, null) => None
     case (StringType, s: String) => Some(UTF8String.fromString(s))
     case (TimestampType | TimestampNTZType, t: java.sql.Timestamp) =>

@@ -297,6 +297,7 @@ object GraftColumnStore {
     */
   val batchesSkipped = new AtomicLong(0)
   val batchesScanned = new AtomicLong(0)
+  val bucketsPruned = new AtomicLong(0)
 
   def createOrReplace(name: String, schema: StructType,
       bucketBy: Seq[String] = Nil, numBuckets: Int = 0,

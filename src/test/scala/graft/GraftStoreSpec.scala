@@ -126,6 +126,33 @@ class GraftStoreSpec extends SparkTestBase {
     g.dropTable("s_enc")
   }
 
+  test("key point lookup prunes to one bucket (PK-lookup analog)") {
+    val g = GraftSession(spark)
+    freshOrders("s_pk", buckets = 8)
+    val skippedBefore = GraftColumnStore.bucketsPruned.get()
+    val hit = GraftStoreOps.read(spark, "s_pk")
+      .filter(col("o_orderkey") === 100L).collect()
+    assert(hit.length == 1 && hit.head.getAs[Long]("o_orderkey") == 100L)
+    // planInputPartitions may run more than once per query (planning +
+    // execution) — assert per-invocation pruning of exactly 7 of 8
+    val pruned = GraftColumnStore.bucketsPruned.get() - skippedBefore
+    assert(pruned > 0 && pruned % 7 == 0,
+      s"point lookup must scan exactly 1 of 8 buckets per planning, pruned=$pruned")
+    // IN-list prunes to at most |values| buckets
+    val before2 = GraftColumnStore.bucketsPruned.get()
+    val three = GraftStoreOps.read(spark, "s_pk")
+      .filter(col("o_orderkey").isin(100L, 200L, 300L)).collect()
+    assert(three.length == 3)
+    assert(GraftColumnStore.bucketsPruned.get() - before2 >= 5)
+    // non-key predicates scan all buckets, results stay exact
+    val all = GraftStoreOps.read(spark, "s_pk")
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    val want = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(all == want)
+    g.dropTable("s_pk")
+  }
+
   test("metadata columns are hidden from star but selectable") {
     val g = GraftSession(spark)
     freshOrders("s_meta")
