@@ -63,7 +63,15 @@ class GraftSession(val spark: SparkSession) {
       buckets: Int = 32): DataFrame = {
     val nm = normalize(name)
     if (data.schema.fields.forall(f => GraftColumnStore.supportsType(f.dataType))) {
-      val w = data.write.format(GraftStoreOps.FORMAT).option("table", nm)
+      // bucketed writes parallelize via the required clustered
+      // distribution; unbucketed ingest would inherit the source's
+      // partitioning (often a single small file) — spread it
+      val cores = spark.sparkContext.defaultParallelism
+      val src =
+        if (partitionBy.isEmpty && data.rdd.getNumPartitions < cores)
+          data.repartition(cores)
+        else data
+      val w = src.write.format(GraftStoreOps.FORMAT).option("table", nm)
         .option("key_columns", keyColumns.mkString(","))
       val w2 =
         if (partitionBy.nonEmpty)

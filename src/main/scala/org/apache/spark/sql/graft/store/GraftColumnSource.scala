@@ -223,7 +223,16 @@ class GraftScan(tableName: String, fullSchema: StructType,
       ids.map { b =>
         GraftBucketPartition(b, byBucket.getOrElse(b, Nil).toVector): InputPartition
       }.toArray
-    } else keptWork.map(w => GraftBatchPartition(w): InputPartition).toArray
+    } else {
+      // group contiguous batches so partition count tracks the cluster's
+      // parallelism, not the batch count — per-task overhead would
+      // otherwise dominate small-batch scans
+      val target = math.max(1, math.min(keptWork.size,
+        org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism))
+      if (keptWork.isEmpty) Array.empty
+      else keptWork.grouped(math.max(1, (keptWork.size + target - 1) / target))
+        .map(ws => GraftBatchGroupPartition(ws.toVector): InputPartition).toArray
+    }
 
   override def outputPartitioning(): Partitioning =
     if (snapshot.numBuckets > 0)
@@ -241,7 +250,7 @@ class GraftScan(tableName: String, fullSchema: StructType,
     new GraftReaderFactory(fullSchema, required)
 }
 
-case class GraftBatchPartition(work: BatchWork) extends InputPartition
+case class GraftBatchGroupPartition(works: Vector[BatchWork]) extends InputPartition
 
 case class GraftBucketPartition(bucketId: Int, works: Vector[BatchWork])
     extends InputPartition with HasPartitionKey {
@@ -258,7 +267,7 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType)
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val works = partition match {
-      case GraftBatchPartition(w) => Vector(w)
+      case GraftBatchGroupPartition(ws) => ws
       case GraftBucketPartition(_, ws) => ws
     }
     new PartitionReader[ColumnarBatch] {
@@ -298,41 +307,150 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType)
           }
         case name =>
           val srcIdx = fullSchema.fieldIndex(name)
-          val vals = batch.columns(srcIdx).toArray
-          w.updates.getOrElse(srcIdx, Vector.empty).foreach { dref =>
-            val d = GraftColumnStore.BatchRegistry.delta(dref.deltaId)
-            var k = 0
-            while (k < d.rows.length) { vals(d.rows(k)) = d.values(k); k += 1 }
+          val updates = w.updates.getOrElse(srcIdx, Vector.empty)
+          if (updates.isEmpty) {
+            // streaming decode, no intermediate materialization
+            fillStreaming(vec, f.dataType, batch.columns(srcIdx), dels, live)
+          } else {
+            val vals = batch.columns(srcIdx).toArray
+            updates.foreach { dref =>
+              val d = GraftColumnStore.BatchRegistry.delta(dref.deltaId)
+              var k = 0
+              while (k < d.rows.length) { vals(d.rows(k)) = d.values(k); k += 1 }
+            }
+            fillStreaming(vec, f.dataType, GraftColumnStore.PlainColumn(vals), dels, live)
           }
-          fill(vec, f.dataType, vals, n, dels)
       }
       vec: ColumnVector
     }
     new ColumnarBatch(vectors, live)
   }
 
-  private def fill(vec: OnHeapColumnVector, dt: DataType, vals: Array[Any],
-      n: Int, dels: BitSet): Unit = {
-    var i = 0
-    var o = 0
-    while (i < n) {
-      if (!dels(i)) {
-        val v = vals(i)
-        if (v == null) vec.putNull(o)
-        else dt match {
-          case LongType | TimestampType | TimestampNTZType => vec.putLong(o, v.asInstanceOf[Long])
-          case IntegerType | DateType => vec.putInt(o, v.asInstanceOf[Int])
-          case DoubleType => vec.putDouble(o, v.asInstanceOf[Double])
-          case FloatType => vec.putFloat(o, v.asInstanceOf[Float])
-          case BooleanType => vec.putBoolean(o, v.asInstanceOf[Boolean])
-          case StringType =>
-            val b = v.asInstanceOf[UTF8String].getBytes
-            vec.putByteArray(o, b, 0, b.length)
-          case other => throw new UnsupportedOperationException(s"graftstore type: $other")
+  /** Binary dictionary for string vectors (Spark's ColumnDictionary has
+    * no binary form) — dictionary-encoded store columns surface to the
+    * vector as dictionary ids, zero per-row byte copies.
+    */
+  private class BinaryDictionary(values: Array[Array[Byte]])
+      extends org.apache.spark.sql.execution.vectorized.Dictionary {
+    override def decodeToBinary(id: Int): Array[Byte] = values(id)
+    override def decodeToInt(id: Int): Int = throw new UnsupportedOperationException
+    override def decodeToLong(id: Int): Long = throw new UnsupportedOperationException
+    override def decodeToFloat(id: Int): Float = throw new UnsupportedOperationException
+    override def decodeToDouble(id: Int): Double = throw new UnsupportedOperationException
+  }
+
+  /** Stream decoded values into the vector; the type dispatch is hoisted
+    * out of the per-value loop and dictionary/run-length STRING columns
+    * transfer as dictionary ids instead of copied bytes.
+    */
+  private def fillStreaming(vec: OnHeapColumnVector, dt: DataType,
+      col: GraftColumnStore.ColumnData, dels: BitSet, live: Int): Unit = {
+    import GraftColumnStore.{DictColumn, DoubleColumn, IntColumn, LongColumn, RunLengthColumn}
+    val hasDels0 = dels.nonEmpty
+    col match {
+      // primitive columns: bulk transfer when dense, primitive loop else
+      case LongColumn(vals, nulls) =>
+        if (!hasDels0 && nulls.isEmpty) vec.putLongs(0, vals.length, vals, 0)
+        else {
+          var i = 0
+          var o = 0
+          while (i < vals.length) {
+            if (!hasDels0 || !dels(i)) {
+              if (nulls(i)) vec.putNull(o) else vec.putLong(o, vals(i))
+              o += 1
+            }
+            i += 1
+          }
         }
+        return
+      case DoubleColumn(vals, nulls) =>
+        if (!hasDels0 && nulls.isEmpty) vec.putDoubles(0, vals.length, vals, 0)
+        else {
+          var i = 0
+          var o = 0
+          while (i < vals.length) {
+            if (!hasDels0 || !dels(i)) {
+              if (nulls(i)) vec.putNull(o) else vec.putDouble(o, vals(i))
+              o += 1
+            }
+            i += 1
+          }
+        }
+        return
+      case IntColumn(vals, nulls) =>
+        if (!hasDels0 && nulls.isEmpty) vec.putInts(0, vals.length, vals, 0)
+        else {
+          var i = 0
+          var o = 0
+          while (i < vals.length) {
+            if (!hasDels0 || !dels(i)) {
+              if (nulls(i)) vec.putNull(o) else vec.putInt(o, vals(i))
+              o += 1
+            }
+            i += 1
+          }
+        }
+        return
+      case _ =>
+    }
+    if (dt == StringType) col match {
+      case DictColumn(dict, codes) =>
+        val ids = vec.reserveDictionaryIds(live)
+        vec.setDictionary(new BinaryDictionary(
+          dict.map(v => if (v == null) null else v.asInstanceOf[UTF8String].getBytes)))
+        var i = 0
+        var o = 0
+        while (i < codes.length) {
+          if (!hasDels0 || !dels(i)) {
+            val c = codes(i)
+            if (c < 0) vec.putNull(o) else ids.putInt(o, c)
+            o += 1
+          }
+          i += 1
+        }
+        return
+      case r: RunLengthColumn =>
+        val ids = vec.reserveDictionaryIds(live)
+        vec.setDictionary(new BinaryDictionary(
+          r.runValues.map(v => if (v == null) null else v.asInstanceOf[UTF8String].getBytes)))
+        var run = 0
+        var i = 0
+        var o = 0
+        while (run < r.runValues.length) {
+          val end = r.runEnds(run)
+          val isNull = r.runValues(run) == null
+          while (i < end) {
+            if (!hasDels0 || !dels(i)) {
+              if (isNull) vec.putNull(o) else ids.putInt(o, run)
+              o += 1
+            }
+            i += 1
+          }
+          run += 1
+        }
+        return
+      case _ =>
+    }
+    val put: (Int, Any) => Unit = dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        (o, v) => vec.putLong(o, v.asInstanceOf[Long])
+      case IntegerType | DateType => (o, v) => vec.putInt(o, v.asInstanceOf[Int])
+      case DoubleType => (o, v) => vec.putDouble(o, v.asInstanceOf[Double])
+      case FloatType => (o, v) => vec.putFloat(o, v.asInstanceOf[Float])
+      case BooleanType => (o, v) => vec.putBoolean(o, v.asInstanceOf[Boolean])
+      case StringType => (o, v) => {
+        val b = v.asInstanceOf[UTF8String].getBytes
+        vec.putByteArray(o, b, 0, b.length)
+      }
+      case other => throw new UnsupportedOperationException(s"graftstore type: $other")
+    }
+    val hasDels = dels.nonEmpty
+    var o = 0
+    col.foreachValue { (i, v) =>
+      if (!hasDels || !dels(i)) {
+        if (v == null) vec.putNull(o) else put(o, v)
         o += 1
       }
-      i += 1
     }
   }
 }

@@ -75,6 +75,36 @@ object GraftColumnStore {
     }
   }
 
+  /** Primitive plain columns: unboxed storage, bulk vector transfer on
+    * the scan (a no-copy `putLongs` when the column has no nulls).
+    */
+  final case class LongColumn(values: Array[Long], nulls: BitSet) extends ColumnData {
+    def numRows: Int = values.length
+    def sizeBytes: Long = 8L * values.length
+    def foreachValue(f: (Int, Any) => Unit): Unit = {
+      var i = 0
+      while (i < values.length) { f(i, if (nulls(i)) null else values(i)); i += 1 }
+    }
+  }
+
+  final case class DoubleColumn(values: Array[Double], nulls: BitSet) extends ColumnData {
+    def numRows: Int = values.length
+    def sizeBytes: Long = 8L * values.length
+    def foreachValue(f: (Int, Any) => Unit): Unit = {
+      var i = 0
+      while (i < values.length) { f(i, if (nulls(i)) null else values(i)); i += 1 }
+    }
+  }
+
+  final case class IntColumn(values: Array[Int], nulls: BitSet) extends ColumnData {
+    def numRows: Int = values.length
+    def sizeBytes: Long = 4L * values.length
+    def foreachValue(f: (Int, Any) => Unit): Unit = {
+      var i = 0
+      while (i < values.length) { f(i, if (nulls(i)) null else values(i)); i += 1 }
+    }
+  }
+
   /** Run-length encoding: value of run r covers [runEnds(r-1), runEnds(r)). */
   final case class RunLengthColumn(numRows: Int, runValues: Array[Any],
       runEnds: Array[Int]) extends ColumnData {
@@ -119,7 +149,12 @@ object GraftColumnStore {
     * cardinality exceeds n/4 (dict can't win there), so unique key
     * columns don't pay the full hash-map toll.
     */
-  def encode(values: Array[Any]): ColumnData = {
+  def encode(values: Array[Any]): ColumnData = encode(values, null)
+
+  /** As [[encode]], materializing a "plain" choice as an unboxed
+    * primitive column when the data type allows.
+    */
+  def encode(values: Array[Any], dt: DataType): ColumnData = {
     val n = values.length
     if (n == 0) return PlainColumn(values)
     var runs = 1
@@ -166,7 +201,32 @@ object GraftColumnStore {
         i += 1
       }
       DictColumn(dict, codes)
-    } else PlainColumn(values)
+    } else typedPlain(values, dt)
+  }
+
+  private def typedPlain(values: Array[Any], dt: DataType): ColumnData = {
+    val n = values.length
+    var nulls = BitSet.empty
+    var i = 0
+    while (i < n) { if (values(i) == null) nulls += i; i += 1 }
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        val out = new Array[Long](n)
+        i = 0
+        while (i < n) { if (!nulls(i)) out(i) = values(i).asInstanceOf[Long]; i += 1 }
+        LongColumn(out, nulls)
+      case DoubleType =>
+        val out = new Array[Double](n)
+        i = 0
+        while (i < n) { if (!nulls(i)) out(i) = values(i).asInstanceOf[Double]; i += 1 }
+        DoubleColumn(out, nulls)
+      case IntegerType | DateType =>
+        val out = new Array[Int](n)
+        i = 0
+        while (i < n) { if (!nulls(i)) out(i) = values(i).asInstanceOf[Int]; i += 1 }
+        IntColumn(out, nulls)
+      case _ => PlainColumn(values)
+    }
   }
 
   // ------------------------------ payloads -------------------------------
@@ -177,7 +237,8 @@ object GraftColumnStore {
   final class StoreBatch(
       val numRows: Int,
       val columns: Array[ColumnData]) extends Serializable {
-    def sizeBytes: Long = columns.foldLeft(0L)(_ + _.sizeBytes)
+    // cached: estimateStatistics asks at every planning
+    lazy val sizeBytes: Long = columns.foldLeft(0L)(_ + _.sizeBytes)
   }
 
   /** Update-delta payload for one (batch, column): sorted physical row
@@ -381,7 +442,7 @@ object GraftColumnStore {
           }
           i += 1
         }
-        cols(c) = encode(vals)
+        cols(c) = encode(vals, dt)
         stats(c) = ColumnStats(min, max, nulls)
         c += 1
       }
