@@ -50,6 +50,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftCreateSampleTableCommand(n, base, opts)
       case Some(CreateTableUsing(n, _, opts, sel)) =>
         GraftCreateTableCommand(n, opts, delegate.parsePlan(sel))
+      case Some(CreateStreamTable(n, schema, provider, opts)) =>
+        schema.foreach(delegate.parseTableSchema) // validate at statement time
+        GraftCreateStreamTableCommand(n, schema, provider, opts)
       case _ => delegate.parsePlan(sqlText)
     }
 
@@ -137,6 +140,26 @@ case class GraftCreateSampleTableCommand(name: String, base: String,
       reservoirFloor = options.getOrElse("stratareservoirsize", "50").toInt,
       rankKey = rankKey)
     g.registerSample(base, name)
+    Nil
+  }
+}
+
+/** CREATE STREAM TABLE (reference SnappyDDLParser stream DDL): registers
+  * a Structured-Streaming source as a named view, so stream SQL
+  * (`SELECT ... FROM s`) composes with the rest of the surface and the
+  * result is started with `writeStream` as usual.
+  */
+case class GraftCreateStreamTableCommand(name: String, schemaSql: Option[String],
+    provider: String, options: Map[String, String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    var reader = spark.readStream.format(provider)
+    schemaSql.foreach(s =>
+      reader = reader.schema(classic.sessionState.sqlParser.parseTableSchema(s)))
+    options.foreach { case (k, v) => reader = reader.option(k, v) }
+    val df = reader.load() // the path option (if any) rides along
+
+    df.createOrReplaceTempView(name.toLowerCase)
     Nil
   }
 }

@@ -33,6 +33,9 @@ object GraftStatements extends RegexParsers {
   /** CREATE TABLE t USING column|row [OPTIONS (...)] AS SELECT ... */
   final case class CreateTableUsing(name: String, provider: String,
       options: Map[String, String], selectSql: String) extends Stmt
+  /** CREATE STREAM TABLE s [(schema)] USING provider OPTIONS (...) */
+  final case class CreateStreamTable(name: String, schemaSql: Option[String],
+      provider: String, options: Map[String, String]) extends Stmt
 
   override def skipWhitespace = true
 
@@ -98,6 +101,32 @@ object GraftStatements extends RegexParsers {
       }
     }
 
+  /** Balanced parenthesized chunk; yields the inner text. */
+  private def parenChunk: Parser[String] = new Parser[String] {
+    def apply(in: Input): ParseResult[String] = {
+      val src = in.source
+      val start = handleWhiteSpace(src, in.offset)
+      if (start >= src.length || src.charAt(start) != '(')
+        return Failure("expected (", in)
+      var i = start + 1
+      var depth = 1
+      while (i < src.length && depth > 0) {
+        src.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case q @ ('\'' | '"' | '`') =>
+            i += 1
+            while (i < src.length && src.charAt(i) != q) i += 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (depth != 0) Failure("unbalanced parentheses", in)
+      else Success(src.subSequence(start + 1, i - 1).toString.trim,
+        in.drop(i - in.offset))
+    }
+  }
+
   // ---- statements ----
 
   private def putInto: Parser[Stmt] =
@@ -148,9 +177,16 @@ object GraftStatements extends RegexParsers {
           CreateTableUsing(n, p.toLowerCase, o.getOrElse(Map.empty), sel)
       }
 
+  private def createStream: Parser[Stmt] =
+    kw("CREATE") ~> kw("STREAM") ~> kw("TABLE") ~> ident ~ opt(parenChunk) ~
+      (kw("USING") ~> """[A-Za-z0-9_.]+""".r) ~ opt(kw("OPTIONS") ~> options) ^^ {
+        case n ~ schema ~ p ~ o =>
+          CreateStreamTable(n, schema.filter(_.nonEmpty), p, o.getOrElse(Map.empty))
+      }
+
   private def statement: Parser[Stmt] =
-    putInto | createPolicy | dropPolicy | createSample | createTableUsing |
-      update | delete
+    putInto | createPolicy | dropPolicy | createSample | createStream |
+      createTableUsing | update | delete
 
   /** None = not a graft statement (caller delegates to Spark's parser). */
   def parse(text: String): Option[Stmt] = {

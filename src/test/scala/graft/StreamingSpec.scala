@@ -118,6 +118,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("CREATE STREAM TABLE registers a streaming source queryable by SQL") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stream").toFile
+    Files.writeString(new java.io.File(dir, "a.json").toPath,
+      """{"k": 1, "v": 10.0}
+        |{"k": 2, "v": 20.0}""".stripMargin)
+    Files.writeString(new java.io.File(dir, "b.json").toPath,
+      """{"k": 1, "v": 5.0}""".stripMargin)
+    spark.sql(s"CREATE STREAM TABLE s_files (k LONG, v DOUBLE) USING json " +
+      s"OPTIONS (path '${dir.getAbsolutePath}', maxFilesPerTrigger '10')")
+    val agg = spark.sql("SELECT k, sum(v) AS total FROM s_files GROUP BY k")
+    assert(agg.isStreaming, "stream table must yield a streaming DataFrame")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("s_files_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("s_files_out").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == Map(1L -> 15.0, 2L -> 20.0))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("s_files")
+    }
+  }
+
   test("watermarked tumbling-window aggregation over a stream matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
