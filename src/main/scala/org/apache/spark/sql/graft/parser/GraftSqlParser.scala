@@ -53,6 +53,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case Some(CreateStreamTable(n, schema, provider, opts)) =>
         schema.foreach(delegate.parseTableSchema) // validate at statement time
         GraftCreateStreamTableCommand(n, schema, provider, opts)
+      case Some(CreateIndex(_, t, cols)) if g.isManaged(t.toLowerCase) =>
+        GraftCreateIndexCommand(t.toLowerCase, cols)
+      case Some(DropIndex(_, t)) if g.isManaged(t.toLowerCase) =>
+        GraftDropIndexCommand(t.toLowerCase)
       case _ => delegate.parsePlan(sqlText)
     }
 
@@ -140,6 +144,21 @@ case class GraftCreateSampleTableCommand(name: String, base: String,
       reservoirFloor = options.getOrElse("stratareservoirsize", "50").toInt,
       rankKey = rankKey)
     g.registerSample(base, name)
+    Nil
+  }
+}
+
+case class GraftCreateIndexCommand(table: String, columns: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    org.apache.spark.sql.graft.store.GraftStoreOps.createIndex(spark, table, columns)
+    Nil
+  }
+}
+
+case class GraftDropIndexCommand(table: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    org.apache.spark.sql.graft.store.GraftStoreOps.dropIndex(spark, table)
     Nil
   }
 }

@@ -36,6 +36,10 @@ object GraftStatements extends RegexParsers {
   /** CREATE STREAM TABLE s [(schema)] USING provider OPTIONS (...) */
   final case class CreateStreamTable(name: String, schemaSql: Option[String],
       provider: String, options: Map[String, String]) extends Stmt
+  /** CREATE INDEX i ON t (cols) / DROP INDEX i ON t */
+  final case class CreateIndex(name: String, table: String,
+      columns: Seq[String]) extends Stmt
+  final case class DropIndex(name: String, table: String) extends Stmt
 
   override def skipWhitespace = true
 
@@ -184,9 +188,18 @@ object GraftStatements extends RegexParsers {
           CreateStreamTable(n, schema.filter(_.nonEmpty), p, o.getOrElse(Map.empty))
       }
 
+  private def createIndex: Parser[Stmt] =
+    kw("CREATE") ~> kw("INDEX") ~> ident ~ (kw("ON") ~> ident) ~
+      ("(" ~> rep1sep(ident, ",") <~ ")") ^^ { case n ~ t ~ cs => CreateIndex(n, t, cs) }
+
+  private def dropIndex: Parser[Stmt] =
+    kw("DROP") ~> kw("INDEX") ~> ident ~ (kw("ON") ~> ident) ^^ {
+      case n ~ t => DropIndex(n, t)
+    }
+
   private def statement: Parser[Stmt] =
     putInto | createPolicy | dropPolicy | createSample | createStream |
-      createTableUsing | update | delete
+      createIndex | dropIndex | createTableUsing | update | delete
 
   /** None = not a graft statement (caller delegates to Spark's parser). */
   def parse(text: String): Option[Stmt] = {

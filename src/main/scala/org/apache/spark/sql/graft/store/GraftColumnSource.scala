@@ -74,13 +74,15 @@ object GraftTable {
       props.get("buckets").map(_.toInt).getOrElse(0))
     val keys = existing.map(_.keyColumns).getOrElse(
       props.get("key_columns").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil))
+    val sortBy = props.get("sort_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
     new GraftTable(name, schema, props.get("batch_size").map(_.toInt).getOrElse(4096),
-      bucketBy, buckets, keys)
+      bucketBy, buckets, keys, sortBy)
   }
 }
 
 class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
-    bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String])
+    bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String],
+    sortBy: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
   import GraftTable._
 
@@ -110,7 +112,8 @@ class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
     new GraftScanBuilder(tableName, tableSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(tableName, info.schema(), batchSize, bucketBy, numBuckets, keyColumns)
+    new GraftWriteBuilder(tableName, info.schema(), batchSize, bucketBy, numBuckets,
+      keyColumns, sortBy)
 }
 
 // ------------------------------- read path -------------------------------
@@ -536,7 +539,8 @@ object BatchPruning {
 // ------------------------------- write path ------------------------------
 
 class GraftWriteBuilder(tableName: String, writeSchema: StructType, batchSize: Int,
-    bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String])
+    bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String],
+    sortBy: Seq[String] = Nil)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -548,15 +552,21 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType, batchSize: I
       else Distributions.unspecified()
     override def requiredNumPartitions(): Int =
       if (bucketBy.nonEmpty && numBuckets > 0) numBuckets else 0
-    override def requiredOrdering(): Array[SortOrder] = Array.empty
+    // index clustering: Spark sorts each writer partition on the index
+    // columns, so every sealed batch covers a narrow key range and the
+    // scan's min/max skipping becomes the index probe
+    override def requiredOrdering(): Array[SortOrder] =
+      sortBy.map(c => Expressions.sort(Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
     override def toBatch: BatchWrite =
       new GraftBatchWrite(tableName, writeSchema, batchSize, doTruncate,
-        bucketBy, numBuckets, keyColumns)
+        bucketBy, numBuckets, keyColumns, sortBy)
   }
 }
 
 class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
-    truncate: Boolean, bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String])
+    truncate: Boolean, bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String],
+    sortBy: Seq[String] = Nil)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(schema, batchSize, bucketBy.nonEmpty && numBuckets > 0)
@@ -574,6 +584,7 @@ class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
       case GraftCommit(refs) => refs
       case _ => Nil
     }.toIndexedSeq)
+    if (truncate) table.mutate(_.copy(sortedBy = sortBy))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

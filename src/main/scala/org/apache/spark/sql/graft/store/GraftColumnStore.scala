@@ -292,7 +292,11 @@ object GraftColumnStore {
 
   final case class ColumnDeltaRef(deltaId: Long, numRows: Int)
 
-  /** Immutable table state; all mutation swaps the whole snapshot. */
+  /** Immutable table state; all mutation swaps the whole snapshot.
+    * `sortedBy` records index clustering (CREATE INDEX): batches were
+    * written key-ordered, so per-batch min/max stats on those columns are
+    * narrow and the scan's stats skipping IS the index probe.
+    */
   final case class TableSnapshot(
       schema: StructType,
       bucketBy: Seq[String],
@@ -300,7 +304,8 @@ object GraftColumnStore {
       keyColumns: Seq[String],
       refs: Vector[BatchRef],
       deletes: Map[Long, BitSet],
-      updates: Map[Long, Map[Int, Vector[ColumnDeltaRef]]]) {
+      updates: Map[Long, Map[Int, Vector[ColumnDeltaRef]]],
+      sortedBy: Seq[String] = Nil) {
     def rowCount: Long =
       refs.map(r => r.numRows.toLong - deletes.get(r.id).map(_.size).getOrElse(0)).sum
     def liveRows(ref: BatchRef): Int =

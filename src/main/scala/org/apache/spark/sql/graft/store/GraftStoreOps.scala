@@ -149,4 +149,30 @@ object GraftStoreOps {
   def compact(spark: SparkSession, table: String): Unit =
     read(spark, table).write.format(FORMAT).option("table", table)
       .mode("overwrite").save()
+
+  /** CREATE INDEX (reference SnappySession.createIndex:1760) — the
+    * columnar re-expression of a key index: rewrite the table with each
+    * writer partition SORTED on the index columns, so every sealed batch
+    * covers a narrow key range and the scan's per-batch min/max skipping
+    * becomes the index probe (lookups/ranges on the indexed columns touch
+    * only the batches that can contain them — the lakehouse clustering
+    * play). Bucketed layout is preserved; O(table) once at build, like
+    * any index build.
+    */
+  def createIndex(spark: SparkSession, table: String, columns: Seq[String],
+      batchSize: Int = 4096): Unit = {
+    val t = GraftColumnStore(table)
+    columns.foreach(c => require(t.schema.fieldNames.contains(c),
+      s"CREATE INDEX: no column '$c' in $table"))
+    read(spark, table).write.format(FORMAT).option("table", table)
+      .option("sort_by", columns.mkString(","))
+      .option("batch_size", batchSize.toString)
+      .mode("overwrite").save()
+  }
+
+  /** DROP INDEX: clears the clustering metadata (the physical order is
+    * harmless to keep).
+    */
+  def dropIndex(spark: SparkSession, table: String): Unit =
+    GraftColumnStore(table).mutate(_.copy(sortedBy = Nil))
 }

@@ -153,6 +153,46 @@ class GraftStoreSpec extends SparkTestBase {
     g.dropTable("s_pk")
   }
 
+  test("CREATE INDEX re-clusters batches so stats skipping becomes the probe") {
+    // shuffle orders into random batch order (o_totalprice spread wide in
+    // every batch → stats can't skip); small batches so there is a real
+    // batch population at test scale
+    Tables.load(spark, sf, "orders").orderBy(xxhash64(col("o_orderkey")))
+      .write.format(GraftStoreOps.FORMAT).option("table", "s_idx")
+      .option("batch_size", "128").mode("overwrite").save()
+    def scanCounts(f: => Unit): (Long, Long) = {
+      val s0 = GraftColumnStore.batchesScanned.get()
+      val k0 = GraftColumnStore.batchesSkipped.get()
+      f
+      (GraftColumnStore.batchesScanned.get() - s0,
+        GraftColumnStore.batchesSkipped.get() - k0)
+    }
+    // a mid-distribution range: every random 128-row batch straddles it
+    // (min << 50k << max), so unsorted stats cannot skip
+    val range = col("o_totalprice").between(50000.0, 60000.0)
+    val expected = Tables.load(spark, sf, "orders").filter(range).count()
+    val (scanBefore, _) = scanCounts {
+      assert(GraftStoreOps.read(spark, "s_idx").filter(range).count() == expected)
+    }
+    GraftStoreOps.createIndex(spark, "s_idx", Seq("o_totalprice"), batchSize = 128)
+    assert(GraftColumnStore("s_idx").snapshot.sortedBy == Seq("o_totalprice"))
+    val (scanAfter, skippedAfter) = scanCounts {
+      assert(GraftStoreOps.read(spark, "s_idx").filter(range).count() == expected)
+    }
+    assert(scanAfter < scanBefore / 2 && skippedAfter > 0,
+      s"index must shrink the scanned-batch set: before=$scanBefore after=$scanAfter skipped=$skippedAfter")
+
+    // SQL surface round-trip on a session-managed table
+    val g = GraftSession(spark)
+    g.createTable("s_idx_sql", Tables.load(spark, sf, "orders"))
+    spark.sql("CREATE INDEX idx_price ON s_idx_sql (o_totalprice)")
+    assert(GraftColumnStore("s_idx_sql").snapshot.sortedBy == Seq("o_totalprice"))
+    spark.sql("DROP INDEX idx_price ON s_idx_sql")
+    assert(GraftColumnStore("s_idx_sql").snapshot.sortedBy.isEmpty)
+    g.dropTable("s_idx_sql")
+    GraftColumnStore.drop("s_idx")
+  }
+
   test("metadata columns are hidden from star but selectable") {
     val g = GraftSession(spark)
     freshOrders("s_meta")
