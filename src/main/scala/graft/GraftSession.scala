@@ -104,6 +104,24 @@ class GraftSession(val spark: SparkSession) {
     */
   def sql(text: String): DataFrame = GraftSql.sql(this, text)
 
+  /** ALTER TABLE: rebuild the table from a transformed view of itself,
+    * preserving keys/bucketing (reference SnappySession.alterTable —
+    * there metadata-plus-rowstore-rewrite; here a relayout through the
+    * normal bucketed write).
+    */
+  def alterTable(name: String)(f: DataFrame => DataFrame): DataFrame = {
+    val st = stateOf(name)
+    val next = f(table(name))
+    st.keyColumns.foreach(k => require(next.columns.contains(k),
+      s"alterTable($name) cannot drop key column $k"))
+    st.partitionBy.foreach(p => require(next.columns.contains(p),
+      s"alterTable($name) cannot drop bucket column $p"))
+    // materialize BEFORE the overwrite drops the old store table — the
+    // transformed plan reads from it
+    val frozen = next.localCheckpoint(true)
+    createTable(name, frozen, st.keyColumns, st.partitionBy, st.buckets)
+  }
+
   /** CREATE SAMPLE TABLE (reference SnappySession.createSampleTable:872):
     * a managed table holding a deterministic stratified sample of `base`
     * with `_weight` columns for AQP aggregates (operators.Aqp).

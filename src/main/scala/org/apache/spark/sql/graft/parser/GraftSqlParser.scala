@@ -57,6 +57,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftCreateIndexCommand(t.toLowerCase, cols)
       case Some(DropIndex(_, t)) if g.isManaged(t.toLowerCase) =>
         GraftDropIndexCommand(t.toLowerCase)
+      case Some(AlterAddColumn(t, c, dt)) if g.isManaged(t.toLowerCase) =>
+        delegate.parseDataType(dt) // validate at statement time
+        GraftAlterAddColumnCommand(t.toLowerCase, c, dt)
+      case Some(AlterDropColumn(t, c)) if g.isManaged(t.toLowerCase) =>
+        GraftAlterDropColumnCommand(t.toLowerCase, c)
       case _ => delegate.parsePlan(sqlText)
     }
 
@@ -144,6 +149,25 @@ case class GraftCreateSampleTableCommand(name: String, base: String,
       reservoirFloor = options.getOrElse("stratareservoirsize", "50").toInt,
       rankKey = rankKey)
     g.registerSample(base, name)
+    Nil
+  }
+}
+
+case class GraftAlterAddColumnCommand(table: String, column: String,
+    dataTypeSql: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val dt = classic.sessionState.sqlParser.parseDataType(dataTypeSql)
+    graft.GraftSession(spark).alterTable(table)(df =>
+      df.withColumn(column, org.apache.spark.sql.functions.lit(null).cast(dt)))
+    Nil
+  }
+}
+
+case class GraftAlterDropColumnCommand(table: String, column: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.GraftSession(spark).alterTable(table)(_.drop(column))
     Nil
   }
 }

@@ -40,6 +40,10 @@ object GraftStatements extends RegexParsers {
   final case class CreateIndex(name: String, table: String,
       columns: Seq[String]) extends Stmt
   final case class DropIndex(name: String, table: String) extends Stmt
+  /** ALTER TABLE t ADD COLUMN c type / DROP COLUMN c */
+  final case class AlterAddColumn(table: String, column: String,
+      dataTypeSql: String) extends Stmt
+  final case class AlterDropColumn(table: String, column: String) extends Stmt
 
   override def skipWhitespace = true
 
@@ -197,9 +201,22 @@ object GraftStatements extends RegexParsers {
       case n ~ t => DropIndex(n, t)
     }
 
+  private def alterAdd: Parser[Stmt] =
+    kw("ALTER") ~> kw("TABLE") ~> ident ~
+      (kw("ADD") ~> opt(kw("COLUMN")) ~> ident) ~ restAll ^^ {
+        case t ~ c ~ dt => AlterAddColumn(t, c, dt)
+      }
+
+  private def alterDrop: Parser[Stmt] =
+    kw("ALTER") ~> kw("TABLE") ~> ident ~
+      (kw("DROP") ~> opt(kw("COLUMN")) ~> ident) ^^ {
+        case t ~ c => AlterDropColumn(t, c)
+      }
+
   private def statement: Parser[Stmt] =
     putInto | createPolicy | dropPolicy | createSample | createStream |
-      createIndex | dropIndex | createTableUsing | update | delete
+      createIndex | dropIndex | createTableUsing | alterDrop | alterAdd |
+      update | delete
 
   /** None = not a graft statement (caller delegates to Spark's parser). */
   def parse(text: String): Option[Stmt] = {

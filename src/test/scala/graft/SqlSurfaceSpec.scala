@@ -68,6 +68,27 @@ class SqlSurfaceSpec extends SparkTestBase {
     g2.dropTable("parse_t")
   }
 
+  test("ALTER TABLE ADD/DROP COLUMN via SQL") {
+    val g2 = GraftSession(spark)
+    g2.createTable("alt_t", Tables.load(spark, sf, "supplier"),
+      keyColumns = Seq("s_suppkey"))
+    spark.sql("ALTER TABLE alt_t ADD COLUMN note STRING")
+    assert(g2.table("alt_t").columns.contains("note"))
+    assert(g2.table("alt_t").filter(col("note").isNull).count() ==
+      g2.table("alt_t").count(), "added column starts all-null")
+    // the new column is mutable like any other
+    spark.sql("UPDATE alt_t SET note = 'flagged' WHERE s_suppkey < 5")
+    assert(g2.table("alt_t").filter(col("note") === "flagged").count() ==
+      Tables.load(spark, sf, "supplier").filter(col("s_suppkey") < 5).count())
+    spark.sql("ALTER TABLE alt_t DROP COLUMN note")
+    assert(!g2.table("alt_t").columns.contains("note"))
+    // key column protected
+    intercept[IllegalArgumentException] {
+      spark.sql("ALTER TABLE alt_t DROP COLUMN s_suppkey")
+    }
+    g2.dropTable("alt_t")
+  }
+
   test("CREATE SAMPLE TABLE SQL + WITH ERROR routes through it") {
     Tables.registerAll(spark, sf)
     val g2 = GraftSession(spark)
