@@ -199,6 +199,42 @@ object Dedup {
         greatest(col("a"), col("b")).as("b"), col("cosine"))
   }
 
+  /** Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
+    * by iterative min-label propagation, the canonical "which docs are
+    * the same document" step after any pairwise dedup. Output:
+    * (doc_id, cluster_id) for every doc appearing in a pair, cluster_id =
+    * min doc id of the component (the kept representative).
+    *
+    * Scale shape: each round is one shuffle join of (edges ⋈ labels) +
+    * a min-aggregation — label propagation converges in O(component
+    * diameter) rounds (dup clusters are near-cliques, so typically 2-3);
+    * lineage is cut per round. No driver-side graph, no all-pairs step.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val neighborMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id2")).agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, col("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash 64-bit signature per doc from its token stream: per bit,
     * sum +1/-1 weighted by token-hash bit, take the sign. Computed with
     * plain codegen'd aggregates (64 conditional sums), no UDF.

@@ -169,6 +169,42 @@ object PipelineQueries {
         .orderBy("a", "b")
     },
 
+    // ---- near-dup pairs resolved into duplicate clusters (connected
+    // components, min-id representative). Oracle: DuckDB recursive CTE
+    // over the same exact-Jaccard pair set — transitive closure parity ----
+    QueryDef.sql(
+      "q_dedup_clusters",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(t) - 1),
+        |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |        FROM toks WHERE len(t) >= 3) u),
+        |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |pairs AS (
+        |  SELECT i.a, i.b FROM inter i
+        |    JOIN sizes sa ON i.a = sa.doc_id
+        |    JOIN sizes sb ON i.b = sb.doc_id
+        |  WHERE CAST(i.n_inter AS DOUBLE) / (sa.set_size + sb.set_size - i.n_inter) >= 0.7),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION SELECT b, a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach
+        |GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.minhashNearDupsFast(Tables.load(s, dir, "documents"),
+        "doc_id", "text", shingleLen = 3, numHashes = 16, threshold = 0.7)
+      Dedup.dupClusters(pairs).orderBy("doc_id")
+    },
+
     // ---- embedding-cosine near-dup pairs (exact, block-distributed) ----
     // Threshold 0.35 in 64 dims is the near-random regime (every oracle
     // pair on this corpus lies in [0.35, 0.5); random pairs average

@@ -126,6 +126,15 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("dupClusters: transitive closure with min-id representatives") {
+    import spark.implicits._
+    // two chains + a singleton pair: {1,2,3,4} via 1-2,2-3,3-4; {10,11}
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("vec_norm positive and finite") {
     val norms = emb.select(vec_norm(col("embedding")).as("n"))
       .agg(min("n"), max("n")).head()
