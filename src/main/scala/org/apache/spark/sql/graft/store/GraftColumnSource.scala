@@ -148,11 +148,32 @@ case class BatchWork(
     updates: Map[Int, Vector[GraftColumnStore.ColumnDeltaRef]])
 
 class GraftScan(tableName: String, fullSchema: StructType,
-    required: StructType, filters: Array[Filter])
-    extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning {
+    required: StructType, pushedFilters: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning
+    with SupportsRuntimeFiltering {
 
   // one consistent snapshot for the whole scan (planning + stats)
   private lazy val snapshot = GraftColumnStore(tableName).snapshot
+
+  /** Runtime (dynamic-partition-pruning) filters: Spark hands the
+    * realized join-key values of a completed broadcast side here before
+    * partitions are planned — they prune buckets and batches exactly
+    * like statically pushed predicates (the reference's join pushdown
+    * into bucket regions).
+    */
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only columns surviving pruning: Spark resolves these against the
+    // scan OUTPUT (and join keys are necessarily in the output)
+    required.fieldNames.filterNot(n =>
+      n == GraftTable.BATCH_ID_COL || n == GraftTable.ROW_IDX_COL)
+      .map(Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters
+
+  private def filters: Array[Filter] = pushedFilters ++ runtimeFilters
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -163,7 +184,14 @@ class GraftScan(tableName: String, fullSchema: StructType,
     BatchWork(ref, snapshot.deletes.get(ref.id),
       snapshot.updates.getOrElse(ref.id, Map.empty))
 
-  private lazy val keptWork: Seq[BatchWork] = {
+  // recomputed when runtime filters arrive; cached per filter state so
+  // pruning (and its telemetry) runs once per planning
+  @volatile private var cachedKept: (Array[Filter], Seq[BatchWork]) = null
+
+  private def keptWork: Seq[BatchWork] = {
+    val rf = runtimeFilters
+    val c = cachedKept
+    if (c != null && (c._1 eq rf)) return c._2
     val all = snapshot.refs
     val kept = all.filter { r =>
       // columns with update deltas have stale stats → never prune on them
@@ -173,7 +201,9 @@ class GraftScan(tableName: String, fullSchema: StructType,
     }
     GraftColumnStore.batchesSkipped.addAndGet(all.size - kept.size)
     GraftColumnStore.batchesScanned.addAndGet(kept.size)
-    kept.map(workFor)
+    val works = kept.map(workFor)
+    cachedKept = (rf, works)
+    works
   }
 
   /** Bucket pruning for key point lookups (reference: PRIMARY KEY lookups
@@ -519,7 +549,8 @@ object BatchPruning {
       mightMatchOne(stats, numRows, schema, r, unprunable)
     case Or(l, r) => mightMatchOne(stats, numRows, schema, l, unprunable) ||
       mightMatchOne(stats, numRows, schema, r, unprunable)
-    case In(c, vs) => vs.exists(v => mightMatchOne(stats, numRows, schema, EqualTo(c, v), unprunable))
+    case In(c, vs) if vs.length <= 256 => // cap: huge runtime IN-lists aren't worth per-batch checks
+      vs.exists(v => mightMatchOne(stats, numRows, schema, EqualTo(c, v), unprunable))
     case _ => true // unknown predicate: cannot prune
   }
 

@@ -153,6 +153,24 @@ class GraftStoreSpec extends SparkTestBase {
     g.dropTable("s_pk")
   }
 
+  test("runtime (DPP) filters prune buckets like pushed filters") {
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.graft.store.GraftScanBuilder
+    import org.apache.spark.sql.sources.EqualTo
+    val g = GraftSession(spark)
+    freshOrders("s_dpp", buckets = 8)
+    val schema = GraftColumnStore("s_dpp").schema
+    val scan = new GraftScanBuilder("s_dpp", schema).build()
+    val rf = scan.asInstanceOf[SupportsRuntimeFiltering]
+    assert(rf.filterAttributes().map(_.fieldNames.head).contains("o_orderkey"))
+    val before = scan.toBatch.planInputPartitions().length
+    assert(before == 8, "all buckets before the runtime filter arrives")
+    rf.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("o_orderkey", 100L)))
+    val after = scan.toBatch.planInputPartitions().length
+    assert(after == 1, s"runtime key filter must prune to one bucket, got $after")
+    g.dropTable("s_dpp")
+  }
+
   test("CREATE INDEX re-clusters batches so stats skipping becomes the probe") {
     // shuffle orders into random batch order (o_totalprice spread wide in
     // every batch → stats can't skip); small batches so there is a real
