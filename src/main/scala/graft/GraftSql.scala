@@ -1,7 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, window}
+import org.apache.spark.sql.DataFrame
 
 import scala.util.matching.Regex
 
