@@ -280,6 +280,57 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // ---- linear-regression aggregates ----
+    QueryDef.sql(
+      "q_regression",
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 2)     AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 4)        AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          graft.dr2(regr_slope(col("l_extendedprice"), col("l_quantity"))).as("slope"),
+          graft.dr2(regr_intercept(col("l_extendedprice"), col("l_quantity"))).as("intercept"),
+          graft.dround(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- window navigation: first/last/nth value, lead/lag ----
+    QueryDef.sql(
+      "q_window_navigation",
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+        |  nth_value(o_totalprice, 2) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  lag(o_totalprice, 1) OVER w AS prev_price
+        |FROM orders
+        |WHERE o_custkey < 20
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val byKey = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val full = byKey.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") < 20)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(byKey).as("first_price"),
+          last(col("o_totalprice")).over(full).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(full).as("second_price"),
+          lead(col("o_totalprice"), 1).over(byKey).as("next_price"),
+          lag(col("o_totalprice"), 1).over(byKey).as("prev_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
     // ---- pivot (manual CASE aggregation as the oracle) ----
     QueryDef.sql(
       "q_pivot",
