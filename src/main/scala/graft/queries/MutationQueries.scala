@@ -159,6 +159,29 @@ object MutationQueries {
         .orderBy("o_orderkey")
     },
 
+    // ---- colocated join through the catalog: two tables bucketed the
+    // same way join via storage-partitioned join (no input exchange —
+    // property proven in ColocationSpec; here the surface is graded
+    // end-to-end through `graft.<table>` identifiers) ----
+    QueryDef.sql(
+      "q_colocated_join",
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      g.createTable("co_ord", Tables.load(s, dir, "orders"),
+        partitionBy = Seq("o_custkey"), buckets = 8)
+      g.createTable("co_cust", Tables.load(s, dir, "customer"),
+        partitionBy = Seq("c_custkey"), buckets = 8)
+      s.table("graft.co_ord")
+        .join(s.table("graft.co_cust"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), graft.decSum(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")
+    },
+
     // ---- mutation pipeline: put + update + delete compose correctly ----
     QueryDef.sql(
       "q_mutation_pipeline",
