@@ -404,23 +404,159 @@ object GraftColumnStore {
     * partial batch is sealed with `isDelta = true` — the row-buffer
     * analog — so compaction can later roll small appends together.
     */
+  // ---- typed per-column accumulation (no boxing for primitives) ----
+
+  private sealed trait ColBuilder {
+    def add(row: InternalRow, c: Int, i: Int): Unit
+    /** Seal the first n values → (encoded column, stats); resets. */
+    def seal(n: Int): (ColumnData, ColumnStats)
+  }
+
+  private final class LongColBuilder(size: Int) extends ColBuilder {
+    private var vals = new Array[Long](size)
+    private var nulls = mutable.BitSet.empty
+    def add(row: InternalRow, c: Int, i: Int): Unit =
+      if (row.isNullAt(c)) nulls += i else vals(i) = row.getLong(c)
+    def seal(n: Int): (ColumnData, ColumnStats) = {
+      var min = Long.MaxValue
+      var max = Long.MinValue
+      var runs = 1
+      var i = 0
+      while (i < n) {
+        if (!nulls(i)) {
+          val v = vals(i)
+          if (v < min) min = v
+          if (v > max) max = v
+        }
+        if (i > 0 && (vals(i) != vals(i - 1) || nulls(i) != nulls(i - 1))) runs += 1
+        i += 1
+      }
+      val out = if (n == size) vals else java.util.Arrays.copyOf(vals, n)
+      val nullCount = nulls.size
+      val col: ColumnData =
+        if (runs.toLong * 12 < n.toLong * 8 / 2) // RLE at least halves it
+          encode(LongColumn(out, BitSet.fromBitMaskNoCopy(nulls.toBitMask)).toArray,
+            LongType)
+        else LongColumn(out, BitSet.fromBitMaskNoCopy(nulls.toBitMask))
+      val st = ColumnStats(if (nullCount == n) null else min,
+        if (nullCount == n) null else max, nullCount)
+      vals = new Array[Long](size)
+      nulls = mutable.BitSet.empty
+      (col, st)
+    }
+  }
+
+  private final class DoubleColBuilder(size: Int) extends ColBuilder {
+    private var vals = new Array[Double](size)
+    private var nulls = mutable.BitSet.empty
+    def add(row: InternalRow, c: Int, i: Int): Unit =
+      if (row.isNullAt(c)) nulls += i else vals(i) = row.getDouble(c)
+    def seal(n: Int): (ColumnData, ColumnStats) = {
+      var min = Double.MaxValue
+      var max = Double.MinValue
+      var i = 0
+      while (i < n) {
+        if (!nulls(i)) {
+          val v = vals(i)
+          if (v < min) min = v
+          if (v > max) max = v
+        }
+        i += 1
+      }
+      val out = if (n == size) vals else java.util.Arrays.copyOf(vals, n)
+      val nullCount = nulls.size
+      val col = DoubleColumn(out, BitSet.fromBitMaskNoCopy(nulls.toBitMask))
+      val st = ColumnStats(if (nullCount == n) null else min,
+        if (nullCount == n) null else max, nullCount)
+      vals = new Array[Double](size)
+      nulls = mutable.BitSet.empty
+      (col, st)
+    }
+  }
+
+  private final class IntColBuilder(size: Int) extends ColBuilder {
+    private var vals = new Array[Int](size)
+    private var nulls = mutable.BitSet.empty
+    def add(row: InternalRow, c: Int, i: Int): Unit =
+      if (row.isNullAt(c)) nulls += i else vals(i) = row.getInt(c)
+    def seal(n: Int): (ColumnData, ColumnStats) = {
+      var min = Int.MaxValue
+      var max = Int.MinValue
+      var i = 0
+      while (i < n) {
+        if (!nulls(i)) {
+          val v = vals(i)
+          if (v < min) min = v
+          if (v > max) max = v
+        }
+        i += 1
+      }
+      val out = if (n == size) vals else java.util.Arrays.copyOf(vals, n)
+      val nullCount = nulls.size
+      val col = IntColumn(out, BitSet.fromBitMaskNoCopy(nulls.toBitMask))
+      val st = ColumnStats(if (nullCount == n) null else min,
+        if (nullCount == n) null else max, nullCount)
+      vals = new Array[Int](size)
+      nulls = mutable.BitSet.empty
+      (col, st)
+    }
+  }
+
+  /** Generic boxed path (strings — cloned, the scan reuses row buffers —
+    * plus booleans/floats and anything else).
+    */
+  private final class AnyColBuilder(size: Int, dt: DataType) extends ColBuilder {
+    private val isString = dt == StringType
+    private var vals = new Array[Any](size)
+    def add(row: InternalRow, c: Int, i: Int): Unit =
+      vals(i) =
+        if (row.isNullAt(c)) null
+        else if (isString) row.getUTF8String(c).clone()
+        else row.get(c, dt)
+    def seal(n: Int): (ColumnData, ColumnStats) = {
+      val out =
+        if (n == size) vals
+        else {
+          val o = new Array[Any](n)
+          System.arraycopy(vals, 0, o, 0, n)
+          o
+        }
+      var nulls = 0
+      var min: Any = null
+      var max: Any = null
+      var i = 0
+      while (i < n) {
+        val v = out(i)
+        if (v == null) nulls += 1
+        else {
+          if (min == null || compare(dt, v, min) < 0) min = v
+          if (max == null || compare(dt, v, max) > 0) max = v
+        }
+        i += 1
+      }
+      val col = encode(out, dt)
+      vals = new Array[Any](size)
+      (col, ColumnStats(min, max, nulls))
+    }
+  }
+
   final class BatchBuilder(schema: StructType, batchSize: Int, bucketId: Int) {
     private val fields = schema.fields
-    private val isString = fields.map(_.dataType == StringType)
-    // column-direct buffering: values extract (and strings clone — the
-    // scan may reuse its row buffer) as rows arrive, so no whole-row
-    // UnsafeRow copies accumulate
-    private var colBuf = Array.fill(fields.length)(new Array[Any](batchSize))
+    private val builders: Array[ColBuilder] = fields.map { f =>
+      f.dataType match {
+        case LongType | TimestampType | TimestampNTZType => new LongColBuilder(batchSize)
+        case DoubleType => new DoubleColBuilder(batchSize)
+        case IntegerType | DateType => new IntColBuilder(batchSize)
+        case dt => new AnyColBuilder(batchSize, dt)
+      }
+    }
     private var n = 0
     private val refs = ArrayBuffer.empty[BatchRef]
 
     def add(row: InternalRow): Unit = {
       var c = 0
       while (c < fields.length) {
-        colBuf(c)(n) =
-          if (row.isNullAt(c)) null
-          else if (isString(c)) row.getUTF8String(c).clone()
-          else row.get(c, fields(c).dataType)
+        builders(c).add(row, c, n)
         c += 1
       }
       n += 1
@@ -432,28 +568,13 @@ object GraftColumnStore {
       val stats = Array.ofDim[ColumnStats](fields.length)
       var c = 0
       while (c < fields.length) {
-        val dt = fields(c).dataType
-        val vals = if (n == batchSize) colBuf(c) else colBuf(c).take(n)
-        var nulls = 0
-        var min: Any = null
-        var max: Any = null
-        var i = 0
-        while (i < n) {
-          val v = vals(i)
-          if (v == null) nulls += 1
-          else {
-            if (min == null || compare(dt, v, min) < 0) min = v
-            if (max == null || compare(dt, v, max) > 0) max = v
-          }
-          i += 1
-        }
-        cols(c) = encode(vals, dt)
-        stats(c) = ColumnStats(min, max, nulls)
+        val (col, st) = builders(c).seal(n)
+        cols(c) = col
+        stats(c) = st
         c += 1
       }
       val id = BatchRegistry.putBatch(new StoreBatch(n, cols))
       refs += BatchRef(id, bucketId, n, stats, isDelta)
-      colBuf = Array.fill(fields.length)(new Array[Any](batchSize))
       n = 0
     }
 
