@@ -117,20 +117,27 @@ object GraftBucketFunction extends UnboundFunction {
   override def description(): String = "graftstore bucket(numBuckets, col)"
 
   override def bind(inputType: StructType): BoundFunction = {
-    require(inputType.fields.length == 2,
-      s"bucket expects (numBuckets, key), got ${inputType.catalogString}")
-    val keyType = inputType.fields(1).dataType
+    require(inputType.fields.length >= 2,
+      s"bucket expects (numBuckets, key...), got ${inputType.catalogString}")
+    val keyTypes = inputType.fields.drop(1).map(_.dataType)
     new ScalarFunction[Integer] {
-      override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+      override def inputTypes(): Array[DataType] = IntegerType +: keyTypes
       override def resultType(): DataType = IntegerType
       override def name(): String = "bucket"
-      override def canonicalName(): String = s"graft.bucket($keyType)"
+      override def canonicalName(): String =
+        s"graft.bucket(${keyTypes.mkString(",")})"
       override def isResultNullable: Boolean = false
       override def produceResult(input: InternalRow): Integer = {
         val n = input.getInt(0)
-        val v = input.get(1, keyType)
-        val h = Murmur3HashFunction.hash(v, keyType, 42L).toInt
-        val m = h % n
+        // seed-chained murmur3 over the key columns — identical to
+        // HashPartitioning's routing of the bucketed write
+        var h = 42L
+        var i = 0
+        while (i < keyTypes.length) {
+          h = Murmur3HashFunction.hash(input.get(i + 1, keyTypes(i)), keyTypes(i), h)
+          i += 1
+        }
+        val m = h.toInt % n
         if (m < 0) m + n else m
       }
     }

@@ -52,6 +52,32 @@ class ColocationSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     g.dropTable("co_orders"); g.dropTable("co_lineitem")
   }
 
+  test("multi-column bucketed tables stay correct (SPJ limited to 1 key upstream)") {
+    // Spark's storage-partitioned-join machinery resolves only
+    // single-column bucket transforms today; multi-column bucketed
+    // graftstore tables still route writes consistently and answer
+    // correctly — the join just pays its exchanges.
+    val g = GraftSession(spark)
+    val ord = Tables.load(spark, sf, "orders")
+    g.createTable("co_m1", ord,
+      partitionBy = Seq("o_custkey", "o_orderpriority"), buckets = 4)
+    g.createTable("co_m2", ord.select(col("o_custkey").as("k"),
+        col("o_orderpriority").as("p"), col("o_totalprice").as("tp")),
+      partitionBy = Seq("k", "p"), buckets = 4)
+    withNoBroadcast {
+      val n = spark.table("graft.co_m1")
+        .join(spark.table("graft.co_m2"),
+          col("o_custkey") === col("k") && col("o_orderpriority") === col("p"))
+        .count()
+      val want = ord.join(ord.select(col("o_custkey").as("k"),
+          col("o_orderpriority").as("p"), col("o_totalprice").as("tp")),
+        col("o_custkey") === col("k") && col("o_orderpriority") === col("p"))
+        .count()
+      assert(n == want)
+    }
+    g.dropTable("co_m1"); g.dropTable("co_m2")
+  }
+
   test("aggregation on the bucket key reuses the stored partitioning") {
     val g = GraftSession(spark)
     g.createTable("co_agg", Tables.load(spark, sf, "orders"),
