@@ -40,13 +40,14 @@ class GraftSession(val spark: SparkSession) {
       keyColumns: Seq[String],
       partitionBy: Seq[String],
       buckets: Int,
-      storeBacked: Boolean = false)
+      storeBacked: Boolean = false,
+      rowBacked: Boolean = false)
 
   private val tables = TrieMap.empty[String, TableState]
 
   private def normalize(name: String): String = name.toLowerCase
 
-  import org.apache.spark.sql.graft.store.{GraftColumnStore, GraftStoreOps}
+  import org.apache.spark.sql.graft.store.{GraftColumnStore, GraftRowOps, GraftRowStore, GraftStoreOps}
 
   /** CREATE TABLE ... USING column OPTIONS (partition_by, buckets,
     * key_columns). Data lands in the graftstore column store (sealed
@@ -60,9 +61,30 @@ class GraftSession(val spark: SparkSession) {
       data: DataFrame,
       keyColumns: Seq[String] = Nil,
       partitionBy: Seq[String] = Nil,
-      buckets: Int = 32): DataFrame = {
+      buckets: Int = 32,
+      provider: String = "column"): DataFrame = {
     val nm = normalize(name)
-    if (data.schema.fields.forall(f => GraftColumnStore.supportsType(f.dataType))) {
+    if (provider == "row") {
+      // row table (reference RowFormatRelation): row-major packs with a
+      // per-pack PRIMARY-KEY index; point lookups resolve by index probe
+      (keyColumns ++ partitionBy).foreach(c =>
+        require(GraftColumnStore.supportsType(
+          data.schema.fields(data.schema.fieldIndex(c)).dataType),
+          s"row table $name: key/bucket column $c has an unsupported type"))
+      GraftRowStore.drop(nm) // fresh layout (options win over a stale table)
+      val w = data.write.format(GraftRowOps.FORMAT).option("table", nm)
+        .option("key_columns", keyColumns.mkString(","))
+      val w2 =
+        if (partitionBy.nonEmpty)
+          w.option("partition_by", partitionBy.mkString(",")).option("buckets", buckets.toString)
+        else w
+      w2.mode("overwrite").save()
+      val df = GraftRowOps.read(spark, nm)
+      df.createOrReplaceTempView(nm)
+      tables.put(nm, TableState(df, keyColumns, partitionBy, buckets,
+        storeBacked = false, rowBacked = true))
+      df
+    } else if (data.schema.fields.forall(f => GraftColumnStore.supportsType(f.dataType))) {
       // bucketed writes parallelize via the required clustered
       // distribution; unbucketed ingest would inherit the source's
       // partitioning (often a single small file) — spread it
@@ -119,7 +141,8 @@ class GraftSession(val spark: SparkSession) {
     // materialize BEFORE the overwrite drops the old store table — the
     // transformed plan reads from it
     val frozen = next.localCheckpoint(true)
-    createTable(name, frozen, st.keyColumns, st.partitionBy, st.buckets)
+    createTable(name, frozen, st.keyColumns, st.partitionBy, st.buckets,
+      provider = if (st.rowBacked) "row" else "column")
   }
 
   /** CREATE SAMPLE TABLE (reference SnappySession.createSampleTable:872):
@@ -185,7 +208,8 @@ class GraftSession(val spark: SparkSession) {
 
   def dropTable(name: String): Unit = {
     tables.remove(normalize(name)).foreach { st =>
-      if (st.storeBacked) GraftColumnStore.drop(normalize(name))
+      if (st.rowBacked) GraftRowStore.drop(normalize(name))
+      else if (st.storeBacked) GraftColumnStore.drop(normalize(name))
       else st.df.unpersist(blocking = false)
     }
     spark.catalog.dropTempView(normalize(name))
@@ -214,7 +238,11 @@ class GraftSession(val spark: SparkSession) {
     */
   def insert(name: String, rows: DataFrame): DataFrame = {
     val st = stateOf(name)
-    if (st.storeBacked) {
+    if (st.rowBacked) {
+      alignColumns(st.df, rows).write.format(GraftRowOps.FORMAT)
+        .option("table", normalize(name)).mode("append").save()
+      table(name)
+    } else if (st.storeBacked) {
       alignColumns(st.df, rows).write.format(GraftStoreOps.FORMAT)
         .option("table", normalize(name)).mode("append").save()
       table(name)
@@ -231,7 +259,11 @@ class GraftSession(val spark: SparkSession) {
     */
   def putInto(name: String, source: DataFrame): DataFrame = {
     val st = stateOf(name)
-    if (st.storeBacked) {
+    if (st.rowBacked) {
+      require(st.keyColumns.nonEmpty, s"putInto($name) requires key_columns")
+      GraftRowOps.put(spark, normalize(name), source)
+      table(name)
+    } else if (st.storeBacked) {
       require(st.keyColumns.nonEmpty, s"putInto($name) requires key_columns")
       GraftStoreOps.putInto(spark, normalize(name), source)
       table(name)
@@ -253,7 +285,10 @@ class GraftSession(val spark: SparkSession) {
     */
   def update(name: String, condition: Column, assignments: (String, Column)*): DataFrame = {
     val st = stateOf(name)
-    if (st.storeBacked) {
+    if (st.rowBacked) {
+      GraftRowOps.update(spark, normalize(name), condition, assignments)
+      table(name)
+    } else if (st.storeBacked) {
       GraftStoreOps.update(spark, normalize(name), condition, assignments)
       table(name)
     } else mutate(name) { s =>
@@ -271,7 +306,10 @@ class GraftSession(val spark: SparkSession) {
     */
   def delete(name: String, condition: Column): DataFrame = {
     val st = stateOf(name)
-    if (st.storeBacked) {
+    if (st.rowBacked) {
+      GraftRowOps.delete(spark, normalize(name), condition)
+      table(name)
+    } else if (st.storeBacked) {
       GraftStoreOps.delete(spark, normalize(name), condition)
       table(name)
     } else mutate(name)(s => s.df.filter(!coalesce(condition, lit(false))))
@@ -300,7 +338,10 @@ class GraftSession(val spark: SparkSession) {
   def deleteKeys(name: String, keys: DataFrame): DataFrame = {
     val st = stateOf(name)
     require(st.keyColumns.nonEmpty, s"deleteKeys($name) requires key_columns")
-    if (st.storeBacked) {
+    if (st.rowBacked) {
+      GraftRowOps.deleteKeys(spark, normalize(name), keys)
+      table(name)
+    } else if (st.storeBacked) {
       GraftStoreOps.deleteKeys(spark, normalize(name), keys)
       table(name)
     } else mutate(name) { s =>

@@ -182,6 +182,56 @@ object MutationQueries {
         .orderBy("c_mktsegment")
     },
 
+    // ---- row table: PK point lookup resolves by index probe (reference
+    // RowFormatRelation + GemFire region get; RowTableSpec proves the
+    // single-probe-partition plan, the oracle the values) ----
+    QueryDef.sql(
+      "q_row_point_lookup",
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer WHERE c_custkey IN (10, 20, 30)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      g.createTable("t_rowpt", Tables.load(s, dir, "customer"),
+        keyColumns = Seq("c_custkey"), partitionBy = Seq("c_custkey"),
+        buckets = 16, provider = "row")
+      g.table("t_rowpt").filter(col("c_custkey").isin(10L, 20L, 30L))
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    // ---- row table DML: update + delete + PK upsert compose (every op
+    // is an index-probe tombstone + append — O(delta), never O(table)) ----
+    QueryDef.sql(
+      "q_row_table_dml",
+      """WITH upd AS (
+        |  SELECT s_suppkey, s_name, s_nationkey,
+        |    CASE WHEN s_nationkey < 10 THEN round(s_acctbal + 100, 2)
+        |         ELSE s_acctbal END AS s_acctbal
+        |  FROM supplier),
+        |del AS (SELECT * FROM upd WHERE s_acctbal >= 0),
+        |put AS (SELECT s_suppkey, s_name, s_nationkey, 0.0 AS s_acctbal
+        |        FROM supplier WHERE s_suppkey % 7 = 0),
+        |merged AS (
+        |  SELECT * FROM del
+        |  WHERE s_suppkey NOT IN (SELECT s_suppkey FROM put)
+        |  UNION ALL SELECT * FROM put)
+        |SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS bal
+        |FROM merged ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      val supp = Tables.load(s, dir, "supplier")
+      g.createTable("t_rowdml", supp, keyColumns = Seq("s_suppkey"),
+        partitionBy = Seq("s_suppkey"), buckets = 8, provider = "row")
+      g.update("t_rowdml", col("s_nationkey") < 10,
+        "s_acctbal" -> dr2(col("s_acctbal") + 100))
+      g.delete("t_rowdml", col("s_acctbal") < 0)
+      g.putInto("t_rowdml", supp.filter(col("s_suppkey") % 7 === 0)
+        .withColumn("s_acctbal", lit(0.0)))
+      g.table("t_rowdml")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          dr2(col("s_acctbal")).as("bal"))
+        .orderBy("s_suppkey")
+    },
+
     // ---- mutation pipeline: put + update + delete compose correctly ----
     QueryDef.sql(
       "q_mutation_pipeline",

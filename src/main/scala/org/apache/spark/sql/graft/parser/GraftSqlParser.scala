@@ -48,8 +48,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case Some(DropPolicy(n)) => GraftDropPolicyCommand(n)
       case Some(CreateSampleTable(n, base, opts)) =>
         GraftCreateSampleTableCommand(n, base, opts)
-      case Some(CreateTableUsing(n, _, opts, sel)) =>
-        GraftCreateTableCommand(n, opts, delegate.parsePlan(sel))
+      case Some(CreateTableUsing(n, provider, opts, sel)) =>
+        GraftCreateTableCommand(n, provider, opts, delegate.parsePlan(sel))
       case Some(CreateStreamTable(n, schema, provider, opts)) =>
         schema.foreach(delegate.parseTableSchema) // validate at statement time
         GraftCreateStreamTableCommand(n, schema, provider, opts)
@@ -207,15 +207,16 @@ case class GraftCreateStreamTableCommand(name: String, schemaSql: Option[String]
   }
 }
 
-case class GraftCreateTableCommand(name: String, options: Map[String, String],
-    source: LogicalPlan) extends LeafRunnableCommand {
+case class GraftCreateTableCommand(name: String, provider: String,
+    options: Map[String, String], source: LogicalPlan) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     graft.GraftSession(spark).createTable(name, Dataset.ofRows(classic, source),
       keyColumns = options.get("key_columns").toSeq.flatMap(_.split(",").map(_.trim)),
       partitionBy = options.get("partition_by").toSeq.flatMap(_.split(",").map(_.trim)),
-      buckets = options.getOrElse("buckets", "32").toInt)
+      buckets = options.getOrElse("buckets", "32").toInt,
+      provider = provider)
     Nil
   }
 }

@@ -37,7 +37,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
   private def tableName(ident: Identifier): String = ident.name().toLowerCase
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    GraftColumnStore.tableNames.map(n => Identifier.of(Array.empty, n)).toArray
+    (GraftColumnStore.tableNames ++ GraftRowStore.tableNames)
+      .map(n => Identifier.of(Array.empty, n)).toArray
 
   override def loadTable(ident: Identifier): Table = {
     val nm = tableName(ident)
@@ -45,7 +46,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       case Some(t) =>
         val s = t.snapshot
         new GraftTable(nm, s.schema, 4096, s.bucketBy, s.numBuckets, s.keyColumns)
-      case None => throw new NoSuchTableException(ident.namespace().toSeq :+ ident.name())
+      case None => GraftRowStore.get(nm) match {
+        case Some(t) =>
+          val s = t.snapshot
+          new GraftRowTable(nm, s.schema, s.keyColumns, s.bucketBy, s.numBuckets)
+        case None =>
+          throw new NoSuchTableException(ident.namespace().toSeq :+ ident.name())
+      }
     }
   }
 
@@ -71,8 +78,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     throw new UnsupportedOperationException("graftstore: ALTER TABLE not supported")
 
   override def dropTable(ident: Identifier): Boolean = {
-    val existed = GraftColumnStore.get(tableName(ident)).isDefined
-    GraftColumnStore.drop(tableName(ident))
+    val nm = tableName(ident)
+    val existed = GraftColumnStore.get(nm).isDefined || GraftRowStore.get(nm).isDefined
+    GraftColumnStore.drop(nm)
+    GraftRowStore.drop(nm)
     existed
   }
 
@@ -80,7 +89,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     throw new UnsupportedOperationException("graftstore: RENAME not supported")
 
   override def tableExists(ident: Identifier): Boolean =
-    GraftColumnStore.get(tableName(ident)).isDefined
+    GraftColumnStore.get(tableName(ident)).isDefined ||
+      GraftRowStore.get(tableName(ident)).isDefined
 
   // ---- namespaces: single flat default namespace ----
   override def listNamespaces(): Array[Array[String]] = Array(Array("default"))

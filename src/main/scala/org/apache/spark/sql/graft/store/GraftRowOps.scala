@@ -1,0 +1,196 @@
+package org.apache.spark.sql.graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.BitSet
+import scala.collection.mutable
+
+/** Distributed DML over graftrow tables (reference: RowUpdateExec /
+  * RowDeleteExec / RowInsertExec prepared-statement writes in
+  * core/.../execution/row/, and ColumnTableBulkOps put-into —
+  * here against the row store, where every op resolves through the
+  * per-pack key index).
+  *
+  * Scale shape: all ops are O(delta) —
+  *  - key-addressed ops (put, deleteKeys) shuffle the SOURCE on the
+  *    bucket routing, then probe pack indexes task-side; no table scan;
+  *  - predicate ops (update, delete) locate victims via a normal
+  *    pushed-down scan over the hidden address columns;
+  *  - mutation = tombstone + append: new row versions land in new packs
+  *    written by the tasks, only metadata (pack refs, tombstone bitmaps)
+  *    returns to the driver, which swaps the snapshot atomically.
+  */
+object GraftRowOps {
+
+  val FORMAT: String = classOf[GraftRowSource].getName
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.format(FORMAT).option("table", table).load()
+
+  private def withAddress(spark: SparkSession, table: String): DataFrame = {
+    val df = read(spark, table)
+    df.select(df.metadataColumn(GraftRowTable.PACK_ID_COL).as("_pid"),
+      df.metadataColumn(GraftRowTable.ROW_IDX_COL).as("_rid"), col("*"))
+  }
+
+  /** PUT INTO (upsert): for each source row, the live row with the same
+    * key (if any) is tombstoned and the source row appended — both sides
+    * resolved task-side after one shuffle of the SOURCE onto the bucket
+    * routing (reference: PK-routed put against the bucket region).
+    */
+  def put(spark: SparkSession, table: String, source: DataFrame): Unit = {
+    val t = GraftRowStore(table)
+    val snap = t.snapshot
+    require(snap.keyColumns.nonEmpty, s"graftrow.put($table) requires key_columns")
+    val cols = snap.schema.fieldNames.toSeq
+    val src = (if (source.columns.toSeq == cols) source
+      else if (source.columns.toSet == cols.toSet) source.select(cols.map(col): _*)
+      else source.toDF(cols: _*)).dropDuplicates(snap.keyColumns)
+    val routed =
+      if (snap.numBuckets > 0)
+        src.repartition(snap.numBuckets, snap.bucketBy.map(col): _*)
+      else src
+    val bucketed = snap.numBuckets > 0 && snap.bucketBy == snap.keyColumns
+    val refsByBucket = snap.refs.groupBy(_.bucketId)
+    val allRefs = snap.refs
+    val tomb = snap.tombstones
+    val schema = snap.schema
+    val keyCols = snap.keyColumns
+
+    val results = routed.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      val keyOrds = keyCols.map(schema.fieldIndex).toArray
+      val keyTypes = keyOrds.map(schema.fields(_).dataType)
+      val candidates = if (bucketed) refsByBucket.getOrElse(pid, Vector.empty) else allRefs
+      val tombstones = mutable.Map.empty[Long, mutable.BitSet]
+      val buf = mutable.ArrayBuffer.empty[org.apache.spark.sql.catalyst.InternalRow]
+      val newRefs = mutable.ArrayBuffer.empty[GraftRowStore.PackRef]
+      val bucketId = if (snap.numBuckets > 0) pid else -1
+      def seal(): Unit = if (buf.nonEmpty) {
+        val pack = new GraftRowStore.RowPack(buf.toArray, keyOrds, keyTypes)
+        newRefs += GraftRowStore.PackRef(GraftRowStore.PackRegistry.put(pack),
+          bucketId, pack.numRows)
+        buf.clear()
+      }
+      it.foreach { r =>
+        val row = r.copy()
+        val key = GraftRowStore.keyOf(row, keyOrds, keyTypes)
+        candidates.foreach { ref =>
+          val slot = GraftRowStore.PackRegistry.pack(ref.id).index.get(key)
+          if (slot != null && !tomb.get(ref.id).exists(_.contains(slot.intValue())))
+            tombstones.getOrElseUpdate(ref.id, mutable.BitSet.empty) += slot.intValue()
+        }
+        buf += row
+        if (buf.length >= GraftRowTable.PACK_SIZE) seal()
+      }
+      seal()
+      Iterator.single((tombstones.map { case (k, v) => k -> v.toBitMask }.toMap,
+        newRefs.toSeq))
+    }.collect()
+
+    val mergedTomb = mutable.Map.empty[Long, BitSet]
+    val mergedRefs = mutable.ArrayBuffer.empty[GraftRowStore.PackRef]
+    results.foreach { case (tm, rs) =>
+      tm.foreach { case (id, words) =>
+        val bs = BitSet.fromBitMaskNoCopy(words)
+        mergedTomb(id) = mergedTomb.get(id).map(_ | bs).getOrElse(bs)
+      }
+      mergedRefs ++= rs
+    }
+    t.applyMutation(mergedTomb.toMap, mergedRefs.toSeq)
+  }
+
+  /** DELETE every row whose key matches a row of `keys` — the source is
+    * bucket-routed and resolved by index probe; no table scan.
+    */
+  def deleteKeys(spark: SparkSession, table: String, keys: DataFrame): Unit = {
+    val t = GraftRowStore(table)
+    val snap = t.snapshot
+    require(snap.keyColumns.nonEmpty, s"graftrow.deleteKeys($table) requires key_columns")
+    val src = keys.select(snap.keyColumns.map(col): _*).dropDuplicates(snap.keyColumns)
+    val bucketed = snap.numBuckets > 0 && snap.bucketBy == snap.keyColumns
+    val routed =
+      if (bucketed) src.repartition(snap.numBuckets, snap.bucketBy.map(col): _*)
+      else src
+    val refsByBucket = snap.refs.groupBy(_.bucketId)
+    val allRefs = snap.refs
+    val tomb = snap.tombstones
+    val keySchema = org.apache.spark.sql.types.StructType(
+      snap.keyColumns.map(c => snap.schema.fields(snap.schema.fieldIndex(c))))
+
+    val results = routed.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      val keyOrds = keySchema.fieldNames.indices.toArray
+      val keyTypes = keySchema.fields.map(_.dataType)
+      val candidates = if (bucketed) refsByBucket.getOrElse(pid, Vector.empty) else allRefs
+      val tombstones = mutable.Map.empty[Long, mutable.BitSet]
+      it.foreach { r =>
+        val key = GraftRowStore.keyOf(r, keyOrds, keyTypes)
+        candidates.foreach { ref =>
+          val slot = GraftRowStore.PackRegistry.pack(ref.id).index.get(key)
+          if (slot != null && !tomb.get(ref.id).exists(_.contains(slot.intValue())))
+            tombstones.getOrElseUpdate(ref.id, mutable.BitSet.empty) += slot.intValue()
+        }
+      }
+      Iterator.single(tombstones.map { case (k, v) => k -> v.toBitMask }.toMap)
+    }.collect()
+
+    val merged = mutable.Map.empty[Long, BitSet]
+    results.foreach(_.foreach { case (id, words) =>
+      val bs = BitSet.fromBitMaskNoCopy(words)
+      merged(id) = merged.get(id).map(_ | bs).getOrElse(bs)
+    })
+    if (merged.nonEmpty) t.applyMutation(merged.toMap, Nil)
+  }
+
+  /** DELETE FROM table WHERE cond: victims located by pushed-down scan on
+    * the hidden addresses, tombstoned per pack.
+    */
+  def delete(spark: SparkSession, table: String, cond: Column): Unit = {
+    import spark.implicits._
+    val bitmaps = withAddress(spark, table)
+      .filter(coalesce(cond, lit(false)))
+      .select(col("_pid"), col("_rid"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        val acc = mutable.Map.empty[Long, mutable.BitSet]
+        it.foreach { case (p, r) => acc.getOrElseUpdate(p, mutable.BitSet.empty) += r }
+        acc.iterator.map { case (p, s) => (p, s.toBitMask) }
+      }
+      .collect()
+    if (bitmaps.nonEmpty) {
+      val merged = mutable.Map.empty[Long, BitSet]
+      bitmaps.foreach { case (id, words) =>
+        val bs = BitSet.fromBitMaskNoCopy(words)
+        merged(id) = merged.get(id).map(_ | bs).getOrElse(bs)
+      }
+      GraftRowStore(table).applyMutation(merged.toMap, Nil)
+    }
+  }
+
+  /** UPDATE table SET assignments WHERE cond: new row versions are
+    * computed by the (codegen'd) scan+project and re-put; key and bucket
+    * columns cannot be assigned (reference: PK columns are immutable).
+    */
+  def update(spark: SparkSession, table: String, cond: Column,
+      assignments: Seq[(String, Column)]): Unit = {
+    val t = GraftRowStore(table)
+    val snap = t.snapshot
+    require(snap.keyColumns.nonEmpty, s"graftrow.update($table) requires key_columns")
+    assignments.foreach { case (n, _) =>
+      require(!snap.keyColumns.contains(n) && !snap.bucketBy.contains(n),
+        s"graftrow.update($table): cannot assign key/bucket column $n")
+    }
+    val setMap = assignments.toMap
+    val updated = read(spark, table)
+      .filter(coalesce(cond, lit(false)))
+      .select(snap.schema.fieldNames.map(c =>
+        setMap.get(c).map(_.as(c)).getOrElse(col(c))).toSeq: _*)
+    // put tombstones the old version by key and appends the new one
+    put(spark, table, updated)
+  }
+
+  /** Roll tombstoned packs into fresh dense ones (pack GC). */
+  def compact(spark: SparkSession, table: String): Unit =
+    read(spark, table).write.format(FORMAT).option("table", table)
+      .mode("overwrite").save()
+}

@@ -1,0 +1,461 @@
+package org.apache.spark.sql.graft.store
+
+import java.util
+import java.util.OptionalLong
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.collection.immutable.BitSet
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+/** DataSource v2 front-end for [[GraftRowStore]] — the Spark-idiomatic
+  * rebuild of the reference's row-table scan/write path (reference:
+  * RowFormatRelation.scala:46, RowTableScan.scala:40, point lookups =
+  * GemFire region get routed by the PK hash).
+  *
+  * Capabilities:
+  *  - ROW read (no columnar decode — this is the row-oriented tier);
+  *  - **index-probe point lookups**: when the pushed conjuncts pin every
+  *    key column with EqualTo/In, planning probes the per-pack key
+  *    indexes (bucket-routed when the table is bucketed by the keys) and
+  *    emits a single partition holding just the matching row addresses —
+  *    no scan task per bucket, the planner-side analog of the reference's
+  *    routed get;
+  *  - bucket pruning + bucket-grouped `KeyGroupedPartitioning`, so
+  *    row⋈row and row⋈column joins on the shared bucket function plan as
+  *    storage-partitioned joins without an Exchange;
+  *  - bucketed writes via the same clustered-distribution contract as the
+  *    column store (writer partition id == bucket id); keyed writes
+  *    enforce the PRIMARY-KEY invariant (duplicate key ⇒ constraint
+  *    violation — reference row-table INSERT semantics; PUT INTO is the
+  *    upsert path, [[GraftRowOps.put]]);
+  *  - hidden metadata columns `_graft_pack_id` / `_graft_row_idx` for
+  *    addressed DML (see [[GraftRowOps]]);
+  *  - commit messages carry [[GraftRowStore.PackRef]]s — ids + counts,
+  *    never rows.
+  */
+class GraftRowSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val name = options.get("table")
+    GraftRowStore.get(name).map(_.schema)
+      .getOrElse(throw new IllegalArgumentException(s"graftrow table not found: $name"))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    GraftRowTable.fromOptions(properties.get("table"), schema, properties.asScala.toMap)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object GraftRowTable {
+  val PACK_ID_COL = "_graft_pack_id"
+  val ROW_IDX_COL = "_graft_row_idx"
+  val PACK_SIZE = 32768
+
+  def fromOptions(name: String, schema: StructType, props: Map[String, String]): GraftRowTable = {
+    val existing = GraftRowStore.get(name).map(_.snapshot)
+    val keys = existing.map(_.keyColumns).getOrElse(
+      props.get("key_columns").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil))
+    val bucketBy = existing.map(_.bucketBy).getOrElse(
+      props.get("partition_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil))
+    val buckets = existing.map(_.numBuckets).getOrElse(
+      props.get("buckets").map(_.toInt).getOrElse(0))
+    new GraftRowTable(name, schema, keys, bucketBy, buckets)
+  }
+}
+
+class GraftRowTable(tableName: String, tableSchema: StructType,
+    keyColumns: Seq[String], bucketBy: Seq[String], numBuckets: Int)
+    extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
+  import GraftRowTable._
+
+  override def name(): String = s"graftrow.$tableName"
+  override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    if (bucketBy.nonEmpty && numBuckets > 0)
+      Array(Expressions.bucket(numBuckets, bucketBy: _*))
+    else Array.empty
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = PACK_ID_COL
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+    },
+    new MetadataColumn {
+      override def name(): String = ROW_IDX_COL
+      override def dataType(): DataType = IntegerType
+      override def isNullable: Boolean = false
+    })
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftRowScanBuilder(tableName, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftRowWriteBuilder(tableName, info.schema(), keyColumns, bucketBy, numBuckets)
+}
+
+// ------------------------------- read path -------------------------------
+
+class GraftRowScanBuilder(tableName: String, fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // index probes / bucket pruning only narrow the partitions; report
+    // all filters as residual so Spark still evaluates them exactly
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new GraftRowScan(tableName, fullSchema, required, pushed)
+}
+
+/** Work units: a bucket (or pack group) to scan, or a probe result. */
+case class RowPackPartition(bucketId: Int, refs: Vector[GraftRowStore.PackRef],
+    tombstones: Map[Long, BitSet]) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucketId))
+}
+case class RowPackGroupPartition(refs: Vector[GraftRowStore.PackRef],
+    tombstones: Map[Long, BitSet]) extends InputPartition
+/** Already-resolved row addresses from a planning-time index probe. */
+case class RowProbePartition(addresses: Seq[(Long, Int)]) extends InputPartition
+
+class GraftRowScan(tableName: String, fullSchema: StructType,
+    required: StructType, pushedFilters: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning {
+
+  private lazy val snapshot = GraftRowStore(tableName).snapshot
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graftrow.$tableName pushed=[${pushedFilters.mkString(", ")}] cols=[${required.fieldNames.mkString(",")}]"
+
+  /** Key combos from pushed EqualTo/In conjuncts pinning every key column
+    * (converted to internal values); None unless the predicate is a full
+    * primary-key lookup.
+    */
+  private def keyCombos: Option[Seq[GraftRowStore.RowKey]] = {
+    val keyCols = snapshot.keyColumns
+    if (keyCols.isEmpty) return None
+    val eq = scala.collection.mutable.Map.empty[String, Seq[Any]]
+    pushedFilters.foreach {
+      case EqualTo(c, v) if v != null => eq(c) = Seq(v)
+      case EqualNullSafe(c, v) if v != null => eq(c) = Seq(v)
+      case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
+        eq(c) = eq.get(c).map(_.intersect(vs.toSeq)).getOrElse(vs.toSeq)
+      case _ =>
+    }
+    if (!keyCols.forall(eq.contains)) return None
+    val perCol = keyCols.map { c =>
+      val dt = fullSchema.fields(fullSchema.fieldIndex(c)).dataType
+      val internals = eq(c).flatMap(v => BatchPruning.internal(dt, v))
+      if (internals.size != eq(c).size) return None
+      internals
+    }
+    if (perCol.map(_.size.toLong).product > 256) return None
+    Some(perCol.foldLeft(Seq(Seq.empty[Any])) { (acc, vals) =>
+      acc.flatMap(prefix => vals.map(prefix :+ _))
+    }.map(GraftRowStore.RowKey))
+  }
+
+  /** Buckets the pushed conjuncts allow, when they pin every bucket
+    * column (same murmur3-seed-42 chain as the write distribution).
+    */
+  private def targetBuckets: Option[Set[Int]] = {
+    if (snapshot.numBuckets <= 0) return None
+    val eq = scala.collection.mutable.Map.empty[String, Seq[Any]]
+    pushedFilters.foreach {
+      case EqualTo(c, v) if v != null => eq(c) = Seq(v)
+      case EqualNullSafe(c, v) if v != null => eq(c) = Seq(v)
+      case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
+        eq(c) = eq.get(c).map(_.intersect(vs.toSeq)).getOrElse(vs.toSeq)
+      case _ =>
+    }
+    if (!snapshot.bucketBy.forall(eq.contains)) return None
+    val perCol = snapshot.bucketBy.map { c =>
+      val dt = fullSchema.fields(fullSchema.fieldIndex(c)).dataType
+      val internals = eq(c).flatMap(v => BatchPruning.internal(dt, v).map(_ -> dt))
+      if (internals.size != eq(c).size) return None
+      internals
+    }
+    if (perCol.map(_.size.toLong).product > 64) return None
+    val combos = perCol.foldLeft(Seq(Seq.empty[(Any, DataType)])) { (acc, vals) =>
+      acc.flatMap(prefix => vals.map(prefix :+ _))
+    }
+    Some(combos.map { combo =>
+      var h = 42L
+      combo.foreach { case (v, dt) =>
+        h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(v, dt, h)
+      }
+      val m = h.toInt % snapshot.numBuckets
+      if (m < 0) m + snapshot.numBuckets else m
+    }.toSet)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val combos = keyCombos
+    if (combos.isDefined) {
+      // full-PK lookup: probe pack indexes instead of scanning. When the
+      // table is bucketed BY the key columns the probe touches only the
+      // packs of the buckets the keys hash to (the routed get); in a
+      // cluster this probe is an RPC to those bucket's hosts.
+      val byBucket = snapshot.refs.groupBy(_.bucketId)
+      val keyIsBucket = snapshot.bucketBy == snapshot.keyColumns &&
+        snapshot.numBuckets > 0
+      val ords = snapshot.keyOrdinals
+      val kts = snapshot.keyTypes
+      val addresses = combos.get.flatMap { key =>
+        val candidates =
+          if (keyIsBucket) {
+            var h = 42L
+            var i = 0
+            while (i < ords.length) {
+              h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+                .hash(key.values(i), kts(i), h)
+              i += 1
+            }
+            val m = h.toInt % snapshot.numBuckets
+            byBucket.getOrElse(if (m < 0) m + snapshot.numBuckets else m, Vector.empty)
+          } else snapshot.refs
+        GraftRowStore.indexProbes.incrementAndGet()
+        snapshot.probe(key, candidates)
+      }
+      return Array(RowProbePartition(addresses))
+    }
+    if (snapshot.numBuckets > 0) {
+      val byBucket = snapshot.refs.groupBy(_.bucketId)
+      val wanted = targetBuckets
+      val ids = (0 until snapshot.numBuckets).filter(b => wanted.forall(_.contains(b)))
+      ids.map { b =>
+        val refs = byBucket.getOrElse(b, Vector.empty)
+        GraftRowStore.packsScanned.addAndGet(refs.size)
+        RowPackPartition(b, refs,
+          snapshot.tombstones.filter(t => refs.exists(_.id == t._1))): InputPartition
+      }.toArray
+    } else {
+      val refs = snapshot.refs
+      GraftRowStore.packsScanned.addAndGet(refs.size)
+      if (refs.isEmpty) return Array.empty
+      val target = math.max(1, math.min(refs.size,
+        org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism))
+      refs.grouped(math.max(1, (refs.size + target - 1) / target)).map { g =>
+        RowPackGroupPartition(g.toVector,
+          snapshot.tombstones.filter(t => g.exists(_.id == t._1))): InputPartition
+      }.toArray
+    }
+  }
+
+  override def outputPartitioning(): Partitioning =
+    if (snapshot.numBuckets > 0 && keyCombos.isEmpty)
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(snapshot.numBuckets, snapshot.bucketBy: _*)),
+        snapshot.numBuckets)
+    else new UnknownPartitioning(1)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(math.max(1L, snapshot.rowCount * fullSchema.defaultSize))
+    override def numRows(): OptionalLong = OptionalLong.of(snapshot.rowCount)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftRowReaderFactory(fullSchema, required)
+}
+
+class GraftRowReaderFactory(fullSchema: StructType, required: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val srcOrdinals: Array[Int] = required.fields.map { f =>
+      f.name match {
+        case GraftRowTable.PACK_ID_COL => -1
+        case GraftRowTable.ROW_IDX_COL => -2
+        case n => fullSchema.fieldIndex(n)
+      }
+    }
+    val srcTypes: Array[DataType] = required.fields.map(_.dataType)
+
+    def project(packId: Long, slot: Int, row: InternalRow): InternalRow = {
+      val out = new Array[Any](srcOrdinals.length)
+      var i = 0
+      while (i < srcOrdinals.length) {
+        out(i) = srcOrdinals(i) match {
+          case -1 => packId
+          case -2 => slot
+          case o => row.get(o, srcTypes(i))
+        }
+        i += 1
+      }
+      new GenericInternalRow(out)
+    }
+
+    val it: Iterator[InternalRow] = partition match {
+      case RowProbePartition(addresses) =>
+        addresses.iterator.map { case (packId, slot) =>
+          project(packId, slot, GraftRowStore.PackRegistry.pack(packId).rows(slot))
+        }
+      case p: RowPackPartition => packIterator(p.refs, p.tombstones, project)
+      case p: RowPackGroupPartition => packIterator(p.refs, p.tombstones, project)
+    }
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) row = it.next(); h }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+
+  private def packIterator(refs: Vector[GraftRowStore.PackRef],
+      tombstones: Map[Long, BitSet],
+      project: (Long, Int, InternalRow) => InternalRow): Iterator[InternalRow] =
+    refs.iterator.flatMap { ref =>
+      val pack = GraftRowStore.PackRegistry.pack(ref.id)
+      val dead = tombstones.getOrElse(ref.id, BitSet.empty)
+      Iterator.range(0, pack.numRows)
+        .filterNot(dead.contains)
+        .map(slot => project(ref.id, slot, pack.rows(slot)))
+    }
+}
+
+// ------------------------------- write path ------------------------------
+
+class GraftRowWriteBuilder(tableName: String, writeSchema: StructType,
+    keyColumns: Seq[String], bucketBy: Seq[String], numBuckets: Int)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    // bucketed: cluster on the bucket columns so partition id == bucket
+    // id; unbucketed-but-keyed: cluster on the keys so the per-task
+    // duplicate check still sees every copy of a key
+    override def requiredDistribution(): Distribution =
+      if (bucketBy.nonEmpty && numBuckets > 0)
+        Distributions.clustered(bucketBy.map(c => Expressions.column(c)).toArray)
+      else if (keyColumns.nonEmpty)
+        Distributions.clustered(keyColumns.map(c => Expressions.column(c)).toArray)
+      else Distributions.unspecified()
+    override def requiredNumPartitions(): Int =
+      if (bucketBy.nonEmpty && numBuckets > 0) numBuckets else 0
+    override def requiredOrdering(): Array[SortOrder] = Array.empty
+    override def toBatch: BatchWrite =
+      new GraftRowBatchWrite(tableName, writeSchema, keyColumns, bucketBy, numBuckets,
+        doTruncate)
+  }
+}
+
+class GraftRowBatchWrite(tableName: String, schema: StructType, keyColumns: Seq[String],
+    bucketBy: Seq[String], numBuckets: Int, truncate: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // append must respect the PK invariant against EXISTING rows: ship
+    // the current refs (metadata) so writer tasks can probe pack indexes
+    val existing: Map[Int, Vector[GraftRowStore.PackRef]] =
+      if (keyColumns.isEmpty || truncate) Map.empty
+      else GraftRowStore.get(tableName)
+        .map(t => t.snapshot.refs.groupBy(_.bucketId)
+          .map { case (k, v) => k -> v })
+        .getOrElse(Map.empty)
+    val tomb: Map[Long, BitSet] =
+      if (keyColumns.isEmpty || truncate) Map.empty
+      else GraftRowStore.get(tableName).map(_.snapshot.tombstones).getOrElse(Map.empty)
+    new GraftRowWriterFactory(schema, keyColumns,
+      bucketBy.nonEmpty && numBuckets > 0, existing, tomb)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val table =
+      if (truncate) {
+        val t = GraftRowStore.getOrCreate(tableName, schema, keyColumns, bucketBy, numBuckets)
+        t.replaceRefs(Vector.empty)
+        t
+      } else GraftRowStore.getOrCreate(tableName, schema, keyColumns, bucketBy, numBuckets)
+    table.appendRefs(messages.flatMap {
+      case GraftRowCommit(refs) => refs
+      case _ => Nil
+    }.toIndexedSeq)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftRowStore.PackRegistry.release(
+      messages.flatMap { case GraftRowCommit(refs) => refs.map(_.id); case _ => Nil })
+}
+
+case class GraftRowCommit(refs: Seq[GraftRowStore.PackRef]) extends WriterCommitMessage
+
+class GraftRowWriterFactory(schema: StructType, keyColumns: Seq[String], bucketed: Boolean,
+    existing: Map[Int, Vector[GraftRowStore.PackRef]],
+    existingTombstones: Map[Long, BitSet]) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val bucketId = if (bucketed) partitionId else -1
+      private val keyOrds = keyColumns.map(schema.fieldIndex).toArray
+      private val keyTypes = keyOrds.map(schema.fields(_).dataType)
+      private val seen = new java.util.HashSet[GraftRowStore.RowKey]()
+      // existing packs this task's rows could collide with: its bucket
+      // when bucketed, every pack otherwise (keys were clustered, so all
+      // copies of a key land in this task either way)
+      private val collidable: Vector[GraftRowStore.PackRef] =
+        if (keyOrds.isEmpty) Vector.empty
+        else if (bucketed) existing.getOrElse(bucketId, Vector.empty)
+        else existing.values.flatten.toVector
+      private val buf = ArrayBuffer.empty[InternalRow]
+      private val refs = ArrayBuffer.empty[GraftRowStore.PackRef]
+
+      override def write(record: InternalRow): Unit = {
+        val row = record.copy()
+        if (keyOrds.nonEmpty) {
+          val key = GraftRowStore.keyOf(row, keyOrds, keyTypes)
+          if (!seen.add(key))
+            throw new IllegalStateException(
+              s"graftrow: duplicate primary key in insert batch: ${key.values.mkString(",")}")
+          collidable.foreach { r =>
+            val slot = GraftRowStore.PackRegistry.pack(r.id).index.get(key)
+            if (slot != null &&
+                !existingTombstones.get(r.id).exists(_.contains(slot.intValue())))
+              throw new IllegalStateException(
+                s"graftrow: primary key already exists: ${key.values.mkString(",")} (use PUT INTO to upsert)")
+          }
+        }
+        buf += row
+        if (buf.length >= GraftRowTable.PACK_SIZE) seal()
+      }
+
+      private def seal(): Unit = if (buf.nonEmpty) {
+        val pack = new GraftRowStore.RowPack(buf.toArray, keyOrds, keyTypes)
+        refs += GraftRowStore.PackRef(GraftRowStore.PackRegistry.put(pack), bucketId,
+          pack.numRows)
+        buf.clear()
+      }
+
+      override def commit(): WriterCommitMessage = { seal(); GraftRowCommit(refs.toSeq) }
+      override def abort(): Unit = {
+        GraftRowStore.PackRegistry.release(refs.map(_.id))
+        refs.clear()
+        buf.clear()
+      }
+      override def close(): Unit = ()
+    }
+}

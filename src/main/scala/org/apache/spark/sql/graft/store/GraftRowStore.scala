@@ -1,0 +1,189 @@
+package org.apache.spark.sql.graft.store
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.immutable.BitSet
+
+/** Core of the `graftrow` mutable ROW store — the from-scratch analog of
+  * the reference's row tables (reference: core/.../execution/row/
+  * RowFormatRelation.scala:46 row-oriented mutable tables,
+  * RowFormatScanRDD.scala:52 scans, SnappySession.createIndex:1760 key
+  * index; GemFire region get = primary-key point lookup).
+  *
+  * Where the column store optimizes scans (encodings, batch stats), the
+  * row store optimizes POINT ACCESS: rows are stored row-major in
+  * immutable packs, each pack carrying a key→slot hash index built by the
+  * writing task. A full-primary-key predicate never scans — planning
+  * probes the index of the (bucket-routed) packs and emits just the
+  * matching addresses (reference: PK lookups route to one bucket region
+  * and do a region get).
+  *
+  * Layout mirrors [[GraftColumnStore]]'s executor-resident design:
+  *  - pack payloads (rows + index) live in [[GraftRowStore.PackRegistry]],
+  *    written directly by tasks; commit messages and snapshots carry only
+  *    [[GraftRowStore.PackRef]]s (ids + counts) — metadata, never data.
+  *    On a cluster the registry maps to node-local bucket regions and the
+  *    planning-time index probe becomes the routed get RPC.
+  *  - a table is an immutable [[GraftRowStore.RowSnapshot]] swapped
+  *    atomically: pack refs + per-pack tombstone bitmaps. EVERY mutation
+  *    is tombstone + append (update = tombstone old version + append new),
+  *    so packs and their indexes are never rewritten in place and a scan's
+  *    captured snapshot stays consistent (snapshot isolation). With the
+  *    primary-key invariant (at most one live row per key) enforced by the
+  *    write paths, "latest version" needs no timestamps.
+  */
+object GraftRowStore {
+
+  /** Equality/hash wrapper for a key tuple of internal values
+    * (UTF8String/Long/... all hash structurally through the Seq).
+    */
+  final case class RowKey(values: Seq[Any])
+
+  /** Row-pack payload: row-major rows plus (for keyed tables) a key→slot
+    * index built once here, task-side — the store's B-tree analog, local
+    * to the pack exactly like the reference's per-region indexes.
+    */
+  final class RowPack(
+      val rows: Array[InternalRow],
+      keyOrdinals: Array[Int],
+      keyTypes: Array[DataType]) extends Serializable {
+    // value type MUST be java.lang.Integer: with a Scala Int value type,
+    // get() on a missing key returns null and unboxes to 0 — a phantom
+    // match on slot 0
+    val index: java.util.HashMap[RowKey, java.lang.Integer] =
+      if (keyOrdinals.isEmpty) null
+      else {
+        val m = new java.util.HashMap[RowKey, java.lang.Integer](rows.length * 2)
+        var i = 0
+        while (i < rows.length) {
+          m.put(keyOf(rows(i), keyOrdinals, keyTypes), Integer.valueOf(i))
+          i += 1
+        }
+        m
+      }
+    def numRows: Int = rows.length
+  }
+
+  def keyOf(row: InternalRow, ordinals: Array[Int], types: Array[DataType]): RowKey = {
+    val vs = new Array[Any](ordinals.length)
+    var i = 0
+    while (i < ordinals.length) {
+      vs(i) = row.get(ordinals(i), types(i))
+      i += 1
+    }
+    RowKey(vs.toSeq)
+  }
+
+  /** Process-wide payload tier (executor-resident; see class doc). */
+  object PackRegistry {
+    private val nextId = new AtomicLong(0)
+    private val packs = TrieMap.empty[Long, RowPack]
+
+    def put(p: RowPack): Long = {
+      val id = nextId.incrementAndGet()
+      packs.put(id, p)
+      id
+    }
+    def pack(id: Long): RowPack = packs.getOrElse(id,
+      throw new IllegalStateException(s"graftrow pack payload missing: $id"))
+    def release(ids: Iterable[Long]): Unit = ids.foreach(packs.remove)
+  }
+
+  /** Metadata-only handle — what commits and snapshots carry. */
+  final case class PackRef(id: Long, bucketId: Int, numRows: Int) extends Serializable
+
+  final case class RowSnapshot(
+      schema: StructType,
+      keyColumns: Seq[String],
+      bucketBy: Seq[String],
+      numBuckets: Int,
+      refs: Vector[PackRef],
+      tombstones: Map[Long, BitSet]) {
+    def rowCount: Long =
+      refs.map(r => r.numRows.toLong - tombstones.get(r.id).map(_.size).getOrElse(0)).sum
+    def keyOrdinals: Array[Int] = keyColumns.map(schema.fieldIndex).toArray
+    def keyTypes: Array[DataType] =
+      keyColumns.map(c => schema.fields(schema.fieldIndex(c)).dataType).toArray
+    /** Live slot for a key among the given refs, probing pack indexes. */
+    def probe(key: RowKey, candidates: Seq[PackRef]): Option[(Long, Int)] = {
+      candidates.foreach { r =>
+        val idx = PackRegistry.pack(r.id).index
+        if (idx != null) {
+          val slot = idx.get(key)
+          if (slot != null && !tombstones.get(r.id).exists(_.contains(slot)))
+            return Some((r.id, slot.intValue()))
+        }
+      }
+      None
+    }
+  }
+
+  final class RowTable(val name: String, initial: RowSnapshot) {
+    @volatile private var current: RowSnapshot = initial
+    def snapshot: RowSnapshot = current
+    def schema: StructType = current.schema
+
+    def mutate(f: RowSnapshot => RowSnapshot): RowSnapshot = synchronized {
+      current = f(current)
+      current
+    }
+
+    def appendRefs(newRefs: Seq[PackRef]): Unit =
+      mutate(s => s.copy(refs = s.refs ++ newRefs))
+
+    /** Union tombstones in and append in one atomic swap (the upsert
+      * commit); fully-dead packs drop off the ref list.
+      */
+    def applyMutation(newTombstones: Map[Long, BitSet], newRefs: Seq[PackRef]): Unit =
+      mutate { s =>
+        val merged = (s.tombstones.keySet ++ newTombstones.keySet).map { id =>
+          id -> (s.tombstones.getOrElse(id, BitSet.empty) |
+            newTombstones.getOrElse(id, BitSet.empty))
+        }.toMap
+        val (dead, live) = (s.refs ++ newRefs).partition(r =>
+          merged.get(r.id).exists(_.size >= r.numRows))
+        s.copy(refs = live, tombstones = merged -- dead.map(_.id))
+      }
+
+    def replaceRefs(newRefs: Vector[PackRef]): Unit =
+      mutate(s => s.copy(refs = newRefs, tombstones = Map.empty))
+  }
+
+  private val tables = TrieMap.empty[String, RowTable]
+
+  /** Planning telemetry, asserted by specs: point lookups must probe
+    * indexes, not scan.
+    */
+  val indexProbes = new AtomicLong(0)
+  val packsScanned = new AtomicLong(0)
+
+  def createOrReplace(name: String, schema: StructType, keyColumns: Seq[String],
+      bucketBy: Seq[String], numBuckets: Int): RowTable = {
+    tables.remove(name).foreach(releaseAll)
+    val t = new RowTable(name,
+      RowSnapshot(schema, keyColumns, bucketBy, numBuckets, Vector.empty, Map.empty))
+    tables.put(name, t)
+    t
+  }
+
+  def getOrCreate(name: String, schema: StructType, keyColumns: Seq[String],
+      bucketBy: Seq[String], numBuckets: Int): RowTable =
+    tables.getOrElseUpdate(name, new RowTable(name,
+      RowSnapshot(schema, keyColumns, bucketBy, numBuckets, Vector.empty, Map.empty)))
+
+  def get(name: String): Option[RowTable] = tables.get(name)
+
+  def apply(name: String): RowTable = get(name).getOrElse(
+    throw new IllegalArgumentException(s"graftrow table not found: $name"))
+
+  def tableNames: Seq[String] = tables.keys.toSeq.sorted
+
+  def drop(name: String): Unit = tables.remove(name).foreach(releaseAll)
+
+  private def releaseAll(t: RowTable): Unit =
+    PackRegistry.release(t.snapshot.refs.map(_.id))
+}

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.store.{GraftRowOps, GraftRowStore}
+
+/** Row tables (reference RowFormatRelation.scala:46): row-major keyed
+  * store with per-pack PK indexes. Properties proven here:
+  *  - scans return exactly the source rows;
+  *  - a full-primary-key predicate resolves by INDEX PROBE at planning
+  *    (single input partition, probe telemetry), not a scan;
+  *  - the PK invariant: INSERT of an existing key is a constraint
+  *    violation, PUT INTO upserts;
+  *  - update/delete/deleteKeys are tombstone+append and compose;
+  *  - a co-bucketed row⋈column join plans without input exchanges
+  *    (both stores report the same bucket function).
+  */
+class RowTableSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
+
+  private def g = GraftSession(spark)
+
+  test("row table scan returns the source rows") {
+    val cust = Tables.load(spark, sf, "customer")
+    g.createTable("r_cust", cust, keyColumns = Seq("c_custkey"),
+      partitionBy = Seq("c_custkey"), buckets = 4, provider = "row")
+    val got = g.table("r_cust").orderBy("c_custkey").collect()
+    val exp = cust.orderBy("c_custkey").collect()
+    assert(got.toSeq == exp.toSeq)
+    g.dropTable("r_cust")
+  }
+
+  test("full-PK point lookup is an index probe, not a scan") {
+    val cust = Tables.load(spark, sf, "customer")
+    g.createTable("r_pt", cust, keyColumns = Seq("c_custkey"),
+      partitionBy = Seq("c_custkey"), buckets = 8, provider = "row")
+    val probesBefore = GraftRowStore.indexProbes.get()
+    val q = g.table("r_pt").filter(col("c_custkey").isin(1L, 5L, 9L))
+      .select("c_custkey", "c_name")
+    val rows = q.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L, 9L))
+    assert(GraftRowStore.indexProbes.get() - probesBefore >= 3,
+      "expected planning-time index probes")
+    assert(q.rdd.getNumPartitions == 1,
+      "a point lookup must plan a single probe partition")
+    g.dropTable("r_pt")
+  }
+
+  test("INSERT of an existing primary key is rejected; PUT INTO upserts") {
+    val supp = Tables.load(spark, sf, "supplier")
+    g.createTable("r_pk", supp, keyColumns = Seq("s_suppkey"),
+      partitionBy = Seq("s_suppkey"), buckets = 4, provider = "row")
+    val dupe = supp.filter(col("s_suppkey") === 1L)
+    val ex = intercept[Exception] { g.insert("r_pk", dupe) }
+    def causes(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(causes(ex).exists(m => m != null && m.contains("primary key")))
+
+    val before = g.table("r_pk").count()
+    g.putInto("r_pk", dupe.withColumn("s_acctbal", lit(9999.0)))
+    assert(g.table("r_pk").count() == before, "upsert of existing key must not grow")
+    val bal = g.table("r_pk").filter(col("s_suppkey") === 1L)
+      .select("s_acctbal").collect().map(_.getDouble(0))
+    assert(bal.toSeq == Seq(9999.0))
+    g.dropTable("r_pk")
+  }
+
+  test("update/delete/deleteKeys compose (tombstone + append)") {
+    val supp = Tables.load(spark, sf, "supplier")
+    g.createTable("r_mut", supp, keyColumns = Seq("s_suppkey"),
+      partitionBy = Seq("s_suppkey"), buckets = 4, provider = "row")
+    g.update("r_mut", col("s_nationkey") < 5, "s_acctbal" -> lit(0.0))
+    g.delete("r_mut", col("s_nationkey") === 24)
+    g.deleteKeys("r_mut", spark.range(1, 3).select(col("id").as("s_suppkey")))
+
+    val expected = supp
+      .withColumn("s_acctbal",
+        when(col("s_nationkey") < 5, 0.0).otherwise(col("s_acctbal")))
+      .filter(col("s_nationkey") =!= 24 && !col("s_suppkey").isin(1L, 2L))
+      .orderBy("s_suppkey").collect()
+    val got = g.table("r_mut").orderBy("s_suppkey").collect()
+    assert(got.toSeq == expected.toSeq)
+
+    // compaction drops tombstones without changing content
+    GraftRowOps.compact(spark, "r_mut")
+    val afterCompact = g.table("r_mut").orderBy("s_suppkey").collect()
+    assert(afterCompact.toSeq == expected.toSeq)
+    g.dropTable("r_mut")
+  }
+
+  test("co-bucketed row table joins a column table without input exchanges") {
+    val ord = Tables.load(spark, sf, "orders")
+    val cust = Tables.load(spark, sf, "customer")
+    g.createTable("r_co_cust", cust, keyColumns = Seq("c_custkey"),
+      partitionBy = Seq("c_custkey"), buckets = 4, provider = "row")
+    g.createTable("r_co_ord", ord, partitionBy = Seq("o_custkey"), buckets = 4)
+
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val joined = spark.table("graft.r_co_ord")
+        .join(spark.table("graft.r_co_cust"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      joined.collect()
+      val shuffles = collectWithSubqueries(joined.queryExecution.executedPlan) {
+        case s: ShuffleExchangeExec => s
+      }
+      assert(shuffles.size <= 1,
+        s"row⋈column SPJ expected; got ${shuffles.size} shuffles:\n${joined.queryExecution.executedPlan}")
+      val exp = ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == exp)
+    } finally spark.conf.set(key, old)
+    g.dropTable("r_co_cust"); g.dropTable("r_co_ord")
+  }
+
+  test("SQL surface: CREATE TABLE USING row + UPDATE/DELETE/PUT INTO") {
+    Tables.load(spark, sf, "supplier").createOrReplaceTempView("supplier")
+    g.sql("CREATE TABLE r_sql USING row OPTIONS (key_columns 's_suppkey', " +
+      "partition_by 's_suppkey', buckets '4') AS SELECT * FROM supplier")
+    g.sql("UPDATE r_sql SET s_acctbal = 0.0 WHERE s_nationkey < 5")
+    g.sql("DELETE FROM r_sql WHERE s_nationkey = 24")
+    g.sql("PUT INTO r_sql SELECT s_suppkey + 100000, s_name, 99, s_acctbal " +
+      "FROM supplier WHERE s_suppkey <= 2")
+    val got = g.table("r_sql").orderBy("s_suppkey").collect()
+    val supp = Tables.load(spark, sf, "supplier")
+    val expected = supp
+      .withColumn("s_acctbal",
+        when(col("s_nationkey") < 5, 0.0).otherwise(col("s_acctbal")))
+      .filter(col("s_nationkey") =!= 24)
+      .unionByName(supp.filter(col("s_suppkey") <= 2)
+        .withColumn("s_suppkey", col("s_suppkey") + 100000L)
+        .withColumn("s_nationkey", lit(99).cast("int")))
+      .orderBy("s_suppkey").collect()
+    assert(got.toSeq == expected.toSeq)
+    g.dropTable("r_sql")
+  }
+}
