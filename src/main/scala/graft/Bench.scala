@@ -38,7 +38,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.allDefs.map { d =>
+    // dev loop: SPARK_GRAFT_ONLY=q_a,q_b restricts the run
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.allDefs
+      .filter(d => only.forall(_.contains(d.name)))
+      .map { d =>
       val t =
         try {
           timeOne(d.fn) // warmup

@@ -13,6 +13,8 @@ object VectorExpressions {
     org.apache.spark.sql.graft.VectorExpressions.vec_cosine(a, b)
   def vec_norm(a: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.vec_norm(a)
+  def srp_sigs(a: Column, bits: Int, tables: Int, seed: Long = 42L): Column =
+    org.apache.spark.sql.graft.VectorExpressions.srp_sigs(a, bits, tables, seed)
 }
 
 object TopKAggregate {

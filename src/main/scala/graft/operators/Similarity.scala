@@ -37,26 +37,16 @@ object Similarity {
         col("col.id").as("neighbor_id"), col("col.score").as("score"))
   }
 
-  /** Signature as a Column expression: sum of ±vec[i] per plane, sign bit
-    * packed into a long. The hyperplanes are implicit: plane p's component
-    * for dimension i is ±1 from bit 0 of `xxhash64(seed, p, i)` — computed
-    * inline per element, so the planes stay independent at ANY
-    * dimensionality (no lookup-table wraparound) and no plane matrix is
-    * distributed. Pure `functions._` composition — codegen-compatible,
-    * no UDF.
+  /** All LSH-table signatures in one fused codegen pass
+    * ([[graft.functions.VectorExpressions.srp_sigs]]): hyperplane
+    * components are ±1 from bits of one per-dimension hash, so the planes
+    * stay independent at any dimensionality, no plane matrix is
+    * distributed, and the per-row cost is one hash + `planes` adds per
+    * dimension (a functions-composed formulation pays one hash per
+    * dimension PER PLANE — measured 3× slower at 8 bits × 4 tables).
     */
-  private def signatureCol(vecCol: String, bits: Int, seed: Long) = {
-    val planes = (0 until bits).map { p =>
-      val dot = aggregate(
-        zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
-          (x, i) => x *
-            when(xxhash64(lit(seed), lit(p), i).bitwiseAND(1L) === 0L, 1.0)
-              .otherwise(-1.0)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    planes.reduce((a, b) => a.bitwiseOR(b))
-  }
+  private def signaturesCol(vecCol: String, bits: Int, tables: Int, seed: Long) =
+    graft.functions.VectorExpressions.srp_sigs(col(vecCol), bits, tables, seed)
 
   /** IVF index: `centroids` (cell, center: array<float>) — nlist rows —
     * and `assigned` (nid, c_vec, cell) — the corpus labeled by nearest
@@ -139,11 +129,9 @@ object Similarity {
     * LSH table. Shared by [[lshTopK]] and [[Dedup.embeddingNearDups]].
     */
   def withSignatures(df: DataFrame, vecCol: String, bits: Int,
-      tables: Int, seed: Long = 42L): DataFrame = {
-    val sigs = (0 until tables).map(t => signatureCol(vecCol, bits, seed + t))
-    df.select(col("*"), posexplode(array(sigs: _*)))
+      tables: Int, seed: Long = 42L): DataFrame =
+    df.select(col("*"), posexplode(signaturesCol(vecCol, bits, tables, seed)))
       .withColumnsRenamed(Map("pos" -> "table_idx", "col" -> "sig"))
-  }
 
   /** LSH ANN: multi-table signature bucketing + exact rerank.
     * Output: (query_id, rank, neighbor_id, score) — same shape as
@@ -154,19 +142,23 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       bits: Int = 8, tables: Int = 4, seed: Long = 42L): DataFrame = {
-    val sigs = (0 until tables).map(t => signatureCol(vecCol, bits, seed + t))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("c_vec"),
-      posexplode(array(sigs: _*)))
+      posexplode(signaturesCol(vecCol, bits, tables, seed)))
       .withColumnRenamed("pos", "table_idx").withColumnRenamed("col", "sig")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      posexplode(array(sigs: _*)))
+      posexplode(signaturesCol(vecCol, bits, tables, seed)))
       .withColumnRenamed("pos", "table_idx").withColumnRenamed("col", "sig")
+    // score BEFORE the dedup shuffle: a pair hit in several tables scores
+    // more than once (cheap fused loop), but the distinct then moves only
+    // (id, id, score) — never the vectors
     val cands = c.join(broadcast(q), Seq("table_idx", "sig"))
       .filter(col("nid") =!= col("query_id"))
-      .select("query_id", "q_vec", "nid", "c_vec").distinct()
+      .select(col("query_id"), col("nid"),
+        vec_cosine(col("q_vec"), col("c_vec")).as("score"))
+      .distinct()
     cands
       .groupBy(col("query_id"))
-      .agg(topk_by(vec_cosine(col("q_vec"), col("c_vec")), col("nid"), k).as("topk"))
+      .agg(topk_by(col("score"), col("nid"), k).as("topk"))
       .select(col("query_id"), posexplode(col("topk")))
       .select(col("query_id"), (col("pos") + 1).as("rank"),
         col("col.id").as("neighbor_id"), col("col.score").as("score"))

@@ -135,6 +135,99 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Signed-random-projection LSH signatures for `tables` tables of
+    * `bits` hyperplanes each, in ONE fused pass over the vector.
+    *
+    * Plane components are ±1 derived from bits of `XXH64(dim, seed+blk)`
+    * — one hash per dimension per 64-plane block (vs. one per dimension
+    * PER PLANE in a functions-composed formulation: 32× fewer hashes at
+    * 8 bits × 4 tables), planes independent at any dimensionality.
+    * Output: array<long>, one packed signature per table.
+    */
+  case class SrpSignatures(child: Expression, bits: Int, tables: Int, seed: Long)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(bits > 0 && bits <= 64 && tables > 0, "srp_sigs: 1..64 bits per table")
+    private val planes = bits * tables
+    private val blocks = (planes + 63) / 64
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "srp_sigs"
+
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val acc = new Array[Double](planes)
+      var i = 0
+      while (i < n) {
+        val x = arr.getFloat(i).toDouble
+        var b = 0
+        while (b < blocks) {
+          val mask = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(i.toLong, seed + b)
+          var p = b * 64
+          val end = math.min(planes, p + 64)
+          while (p < end) {
+            acc(p) += (if (((mask >>> (p & 63)) & 1L) == 0L) x else -x)
+            p += 1
+          }
+          b += 1
+        }
+        i += 1
+      }
+      val sigs = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var s = 0L
+        var p = 0
+        while (p < bits) {
+          if (acc(t * bits + p) >= 0) s |= (1L << p)
+          p += 1
+        }
+        sigs(t) = s
+        t += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val b = ctx.freshName("b")
+        val p = ctx.freshName("p")
+        val t = ctx.freshName("t")
+        val acc = ctx.freshName("acc")
+        val mask = ctx.freshName("mask")
+        val end = ctx.freshName("end")
+        val sigs = ctx.freshName("sigs")
+        val s = ctx.freshName("s")
+        val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+        s"""
+           |double[] $acc = new double[$planes];
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  double x = (double) $a.getFloat($i);
+           |  for (int $b = 0; $b < $blocks; $b++) {
+           |    long $mask = $xxh.hashLong((long) $i, ${seed}L + $b);
+           |    int $end = java.lang.Math.min($planes, $b * 64 + 64);
+           |    for (int $p = $b * 64; $p < $end; $p++) {
+           |      $acc[$p] += ((($mask >>> ($p & 63)) & 1L) == 0L) ? x : -x;
+           |    }
+           |  }
+           |}
+           |long[] $sigs = new long[$tables];
+           |for (int $t = 0; $t < $tables; $t++) {
+           |  long $s = 0L;
+           |  for (int $p = 0; $p < $bits; $p++) {
+           |    if ($acc[$t * $bits + $p] >= 0) $s |= (1L << $p);
+           |  }
+           |  $sigs[$t] = $s;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ---- Column-API surface ----
   private def e(c: Column): Expression = ExpressionUtils.expression(c)
 
@@ -153,6 +246,8 @@ object VectorExpressions {
       Cast(CaseWhen(Seq((GreaterThanOrEqual(x, Literal(0.0)), pos)), neg), DoubleType),
       p), DoubleType)
   }
+  def srp_sigs(a: Column, bits: Int, tables: Int, seed: Long): Column =
+    ExpressionUtils.column(SrpSignatures(e(a), bits, tables, seed))
   def vec_dot(a: Column, b: Column): Column = ExpressionUtils.column(VectorDot(e(a), e(b)))
   def vec_cosine(a: Column, b: Column): Column = ExpressionUtils.column(VectorCosine(e(a), e(b)))
   def vec_norm(a: Column): Column = ExpressionUtils.column(VectorNorm(e(a)))

@@ -45,7 +45,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     GraftColumnStore.get(nm) match {
       case Some(t) =>
         val s = t.snapshot
-        new GraftTable(nm, s.schema, 4096, s.bucketBy, s.numBuckets, s.keyColumns)
+        new GraftTable(nm, s.schema, 16384, s.bucketBy, s.numBuckets, s.keyColumns)
       case None => GraftRowStore.get(nm) match {
         case Some(t) =>
           val s = t.snapshot
@@ -70,7 +70,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     val keys = Option(properties.get("key_columns"))
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
     GraftColumnStore.createOrReplace(nm, schema, bucketBy, buckets, keys)
-    new GraftTable(nm, schema, Option(properties.get("batch_size")).map(_.toInt).getOrElse(4096),
+    new GraftTable(nm, schema, Option(properties.get("batch_size")).map(_.toInt).getOrElse(16384),
       bucketBy, buckets, keys)
   }
 

@@ -75,7 +75,7 @@ object GraftTable {
     val keys = existing.map(_.keyColumns).getOrElse(
       props.get("key_columns").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil))
     val sortBy = props.get("sort_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
-    new GraftTable(name, schema, props.get("batch_size").map(_.toInt).getOrElse(4096),
+    new GraftTable(name, schema, props.get("batch_size").map(_.toInt).getOrElse(16384),
       bucketBy, buckets, keys, sortBy)
   }
 }

@@ -134,9 +134,13 @@ object GraftStoreOps {
     val keyCols = t.snapshot.keyColumns
     require(keyCols.nonEmpty, s"putInto($table) requires key_columns")
     val cols = t.schema.fieldNames.toSeq
+    // one materialization feeds both the delete and the append — a
+    // consistent source view (reference ColumnTableBulkOps caches the
+    // source join for the same reason) and no recomputed dedup shuffle
     val src = (if (source.columns.toSeq == cols) source
       else if (source.columns.toSet == cols.toSet) source.select(cols.map(col): _*)
       else source.toDF(cols: _*)).dropDuplicates(keyCols)
+      .localCheckpoint(false)
     deleteKeys(spark, table, src.select(keyCols.map(col): _*))
     src.write.format(FORMAT).option("table", table).mode("append").save()
   }
@@ -160,7 +164,7 @@ object GraftStoreOps {
     * any index build.
     */
   def createIndex(spark: SparkSession, table: String, columns: Seq[String],
-      batchSize: Int = 4096): Unit = {
+      batchSize: Int = 16384): Unit = {
     val t = GraftColumnStore(table)
     columns.foreach(c => require(t.schema.fieldNames.contains(c),
       s"CREATE INDEX: no column '$c' in $table"))
