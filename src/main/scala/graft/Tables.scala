@@ -19,7 +19,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  // memoized per (session, dir, table): spark.read.parquet re-reads the
+  // footer for schema inference on every call, which adds up when query
+  // builders run repeatedly (bench/verify loops). The cached DataFrame is
+  // an immutable logical plan — safe to share.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((spark, sfDir, name), loadUncached(spark, sfDir, name))
+
+  private def loadUncached(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map
       // to its µs TimestampType. Read nanos as long and truncate to µs —

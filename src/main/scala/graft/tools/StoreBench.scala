@@ -121,6 +121,25 @@ object StoreBench {
           sum(round(col("l_discount") * 1e4).cast("long")), count(lit(1)))
         .write.format("noop").mode("overwrite").save()
     }
+    // decompose q_aqp_with_error_sql
+    graft.Tables.registerAll(spark, sfDir)
+    g.createSampleTable("li_sample_d", li,
+      qcs = Seq("l_returnflag", "l_linestatus"), fraction = 0.1,
+      reservoirFloor = 30, rankKey = Seq("l_orderkey", "l_linenumber"))
+    g.registerSample("lineitem", "li_sample_d")
+    time("aqp WITH ERROR sql") {
+      g.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM lineitem
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus WITH ERROR 0.1""".stripMargin)
+        .write.format("noop").mode("overwrite").save()
+    }
+    g.samples.remove("lineitem")
+    time("sample table agg only") {
+      g.table("li_sample_d").groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1))).write.format("noop").mode("overwrite").save()
+    }
     time("parquet scan-agg strings") {
       li.groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)), sum("l_quantity"))

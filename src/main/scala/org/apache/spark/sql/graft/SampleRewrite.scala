@@ -271,7 +271,9 @@ object SampleRewrite {
             rewriteWithErrCols(parsed, baseTable, sampleTable, params.confidence)
           if (errCols.isEmpty) rewritten
           else {
-            val checked = Dataset.ofRows(classic, checkedPlan)
+            // one execution serves both the bound check and the returned
+            // result (the aggregate would otherwise run twice)
+            val checked = Dataset.ofRows(classic, checkedPlan).localCheckpoint(true)
             val safe = errCols.map(c => org.apache.spark.sql.functions.coalesce(
               col(c), org.apache.spark.sql.functions.lit(0.0)))
             val worstCol =
@@ -285,7 +287,7 @@ object SampleRewrite {
                 f"WITH ERROR BEHAVIOR 'strict': observed relative error $worst%.4f exceeds " +
                   f"the requested bound ${params.error}%.4f at confidence ${params.confidence}%.2f; " +
                   "use a larger sample, a looser bound, or BEHAVIOR 'run_on_full_table'")
-            } else rewritten
+            } else checked.drop(errCols: _*)
           }
         }
     }
