@@ -475,6 +475,33 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType)
         val b = v.asInstanceOf[UTF8String].getBytes
         vec.putByteArray(o, b, 0, b.length)
       }
+      case ArrayType(et, _) =>
+        // element data accumulates in the child vector; each row records
+        // its (offset, length) slice
+        val child = vec.arrayData()
+        var offset = 0
+        val putElem: (Int, org.apache.spark.sql.catalyst.util.ArrayData, Int) => Unit =
+          et match {
+            case FloatType => (pos, arr, j) => child.putFloat(pos, arr.getFloat(j))
+            case DoubleType => (pos, arr, j) => child.putDouble(pos, arr.getDouble(j))
+            case IntegerType => (pos, arr, j) => child.putInt(pos, arr.getInt(j))
+            case LongType => (pos, arr, j) => child.putLong(pos, arr.getLong(j))
+            case other =>
+              throw new UnsupportedOperationException(s"graftstore array element: $other")
+          }
+        (o, v) => {
+          val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          val len = arr.numElements()
+          child.reserve(offset + len)
+          var j = 0
+          while (j < len) {
+            if (arr.isNullAt(j)) child.putNull(offset + j)
+            else putElem(offset + j, arr, j)
+            j += 1
+          }
+          vec.putArray(o, offset, len)
+          offset += len
+        }
       case other => throw new UnsupportedOperationException(s"graftstore type: $other")
     }
     val hasDels = dels.nonEmpty

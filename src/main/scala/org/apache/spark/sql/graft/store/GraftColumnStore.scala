@@ -503,15 +503,18 @@ object GraftColumnStore {
   }
 
   /** Generic boxed path (strings — cloned, the scan reuses row buffers —
-    * plus booleans/floats and anything else).
+    * plus booleans/floats, arrays, and anything else).
     */
   private final class AnyColBuilder(size: Int, dt: DataType) extends ColBuilder {
     private val isString = dt == StringType
+    private val isArray = dt.isInstanceOf[ArrayType]
+    private val hasStats = statsComparable(dt)
     private var vals = new Array[Any](size)
     def add(row: InternalRow, c: Int, i: Int): Unit =
       vals(i) =
         if (row.isNullAt(c)) null
         else if (isString) row.getUTF8String(c).clone()
+        else if (isArray) row.getArray(c).copy() // scan row buffers are reused
         else row.get(c, dt)
     def seal(n: Int): (ColumnData, ColumnStats) = {
       val out =
@@ -528,13 +531,14 @@ object GraftColumnStore {
       while (i < n) {
         val v = out(i)
         if (v == null) nulls += 1
-        else {
+        else if (hasStats) {
           if (min == null || compare(dt, v, min) < 0) min = v
           if (max == null || compare(dt, v, max) > 0) max = v
         }
         i += 1
       }
-      val col = encode(out, dt)
+      // arrays: no run/dict scan (hashing whole vectors buys nothing)
+      val col = if (isArray) PlainColumn(out) else encode(out, dt)
       vals = new Array[Any](size)
       (col, ColumnStats(min, max, nulls))
     }
@@ -601,10 +605,21 @@ object GraftColumnStore {
     case _ => 0
   }
 
+  /** Types with meaningful min/max batch stats (orderable scalars). */
+  def statsComparable(dt: DataType): Boolean = dt match {
+    case LongType | TimestampType | TimestampNTZType | IntegerType | DateType |
+         DoubleType | FloatType | StringType | BooleanType => true
+    case _ => false
+  }
+
   /** Types the store can hold (columnar encode + stats + vector fill). */
   def supportsType(dt: DataType): Boolean = dt match {
     case LongType | TimestampType | TimestampNTZType | IntegerType | DateType |
          DoubleType | FloatType | StringType | BooleanType => true
+    case ArrayType(et, _) => et match {
+      case FloatType | DoubleType | IntegerType | LongType => true
+      case _ => false
+    }
     case _ => false
   }
 }

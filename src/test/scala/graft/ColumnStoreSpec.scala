@@ -63,6 +63,39 @@ class ColumnStoreSpec extends SparkTestBase {
     assert(plan.contains("ColumnarToRow"), s"expected columnar scan:\n$plan")
   }
 
+  test("array columns (embeddings) roundtrip with null elements and rows") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    emb.write.format(fmt).option("table", "cs_emb").option("batch_size", "64")
+      .mode("overwrite").save()
+    val back = spark.read.format(fmt).option("table", "cs_emb").load()
+    // full-content equality, order-insensitive by id
+    val a = back.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a == b)
+    // null rows + null elements survive
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    val rows = java.util.Arrays.asList(
+      Row(1L, Seq(1.0, 2.0)), Row(2L, null), Row(3L, Seq(3.0, null, 5.0)))
+    spark.createDataFrame(rows, schema)
+      .write.format(fmt).option("table", "cs_nulls").mode("overwrite").save()
+    val got = spark.read.format(fmt).option("table", "cs_nulls").load()
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(2L).isEmpty)
+    assert(got(3L).get.asInstanceOf[scala.collection.Seq[Any]].toList == List(3.0, null, 5.0))
+    // vector math runs on the store-backed column
+    val n = back.selectExpr(
+      "aggregate(embedding, 0D, (s, x) -> s + CAST(x AS DOUBLE) * x) AS sq")
+      .agg(sum("sq")).head().getDouble(0)
+    val m = emb.selectExpr(
+      "aggregate(embedding, 0D, (s, x) -> s + CAST(x AS DOUBLE) * x) AS sq")
+      .agg(sum("sq")).head().getDouble(0)
+    assert(math.abs(n - m) < 1e-3)
+  }
+
   test("aggregation over the store matches parquet") {
     val store = this.store
     val a = store.groupBy("l_returnflag").agg(sum("l_quantity").as("q"))

@@ -143,6 +143,34 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("watermarked stream-stream interval join (impressions ⋈ clicks)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val imp = MemoryStream[(Long, java.sql.Timestamp)]
+    val clk = MemoryStream[(Long, java.sql.Timestamp)]
+    val impDf = imp.toDF().toDF("ad_id", "imp_ts").withWatermark("imp_ts", "10 minutes")
+    val clkDf = clk.toDF().toDF("ad_id_c", "clk_ts").withWatermark("clk_ts", "10 minutes")
+    // click attributes to an impression of the same ad within 5 minutes —
+    // both sides keep bounded state thanks to the watermark + time bound
+    val joined = impDf.join(clkDf,
+      expr("ad_id = ad_id_c AND clk_ts >= imp_ts AND clk_ts <= imp_ts + interval 5 minutes"))
+      .select($"ad_id", $"imp_ts", $"clk_ts")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib_out").start()
+    try {
+      imp.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:01:00")))
+      clk.addData(
+        (1L, ts("2024-01-01 10:03:00")),  // within 5 min → attributed
+        (2L, ts("2024-01-01 10:09:00")),  // 8 min after → NOT attributed
+        (3L, ts("2024-01-01 10:02:00"))) // no impression → dropped
+      q.processAllAvailable()
+      val got = spark.table("attrib_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2))).toSet
+      assert(got == Set((1L, ts("2024-01-01 10:03:00"))))
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window aggregation over a stream matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
