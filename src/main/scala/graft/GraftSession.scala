@@ -313,6 +313,51 @@ class GraftSession(val spark: SparkSession) {
     } else mutate(name)(s => s.df.filter(!coalesce(condition, lit(false))))
   }
 
+  // ---- Row-varargs API sugar (reference SnappySession.insert:1990,
+  // put:2031, update:2054, delete:2119 — the JDBC-ish point mutation
+  // surface; each returns the affected-row count) ----
+
+  private def rowsToDf(name: String, rows: Seq[org.apache.spark.sql.Row]): DataFrame = {
+    val schema = stateOf(name).df.schema
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** session.insert(table, Row(...), ...) — appends the literal rows. */
+  def insertRows(name: String, rows: org.apache.spark.sql.Row*): Int = {
+    insert(name, rowsToDf(name, rows)); rows.length
+  }
+
+  /** session.put(table, Row(...), ...) — key-based upsert of literal rows. */
+  def putRows(name: String, rows: org.apache.spark.sql.Row*): Int = {
+    putInto(name, rowsToDf(name, rows)); rows.length
+  }
+
+  /** session.update(table, filterExpr, newValues, updateColumns*) —
+    * SET updateColumns(i) = newValues(i) WHERE filterExpr. Returns the
+    * matched-row count (computed on the pre-mutation snapshot).
+    */
+  def updateRows(name: String, filterExpr: String,
+      newColumnValues: org.apache.spark.sql.Row, updateColumns: String*): Int = {
+    require(newColumnValues.length == updateColumns.length,
+      s"update($name): ${updateColumns.length} columns but ${newColumnValues.length} values")
+    val cond = expr(filterExpr)
+    val n = table(name).filter(cond).count().toInt
+    update(name, cond,
+      updateColumns.zipWithIndex.map { case (c, i) =>
+        c -> lit(newColumnValues.get(i))
+      }: _*)
+    n
+  }
+
+  /** session.delete(table, filterExpr) — returns the deleted-row count. */
+  def deleteWhere(name: String, filterExpr: String): Int = {
+    val cond = expr(filterExpr)
+    val n = table(name).filter(cond).count().toInt
+    delete(name, cond)
+    n
+  }
+
   // ---- row-level security (reference: CREATE POLICY, SURVEY.md §2.2) ----
 
   /** CREATE POLICY name ON table USING filterSql [TO users]. Applied by

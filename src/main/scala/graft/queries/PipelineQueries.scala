@@ -259,6 +259,37 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ---- brute-force ANN over a graftstore-backed corpus: the embedding
+    // column lives in the columnar store (array<float> columns, per-row
+    // offset/length slices in the batch vectors) and streams through the
+    // same fused cosine + TopKByScore plan — proves the store's array
+    // path end-to-end under the oracle, not just in specs ----
+    QueryDef.sql(
+      "q_ann_store",
+      """WITH pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) AS s
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id >= 10 AND q.vec_id < 20 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, rank, neighbor_id, round(s, 4) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY s DESC, neighbor_id) AS rank FROM pairs) t
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val g = graft.GraftSession(s)
+      val name = s"ann_corpus_${dir.hashCode & 0x7fffffff}"
+      if (!g.isManaged(name))
+        g.createTable(name, Tables.load(s, dir, "embeddings"))
+      val emb = g.table(name)
+      Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          graft.dround(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- IVF ANN: KMeans cells + nprobe rerank (rows-only: recall < 1).
     // Build/probe split: the index (KMeans fit + assignment) materializes
     // ONCE as managed tables — `cells` partitioned by cell so the probe
