@@ -38,6 +38,12 @@ object TextFunctions {
     org.apache.spark.sql.graft.TextHashExpressions.hash_jaccard(a, b)
 }
 
+object MoneyFunctions {
+  /** Exact 128-bit sum of a pre-scaled LONG column → DECIMAL(38, scale). */
+  def int128_sum(scaled: Column, scale: Int): Column =
+    org.apache.spark.sql.graft.Int128Sum.int128_sum(scaled, scale)
+}
+
 object SketchFunctions {
   /** Approximate top-k keys by frequency (CMS + candidate heap). */
   def approx_topk(key: Column, k: Int, width: Int = 4096, depth: Int = 5): Column =
