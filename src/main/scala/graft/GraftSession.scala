@@ -204,6 +204,14 @@ class GraftSession(val spark: SparkSession) {
       .limit(k)
   }
 
+  /** TRUNCATE TABLE: empty the table, keep its layout (keys, bucketing,
+    * provider) — reference SnappyDDLParser.truncateTable:627. Implemented
+    * as a relayout from the empty relation, so sealed batches / row packs
+    * are dropped rather than tombstoned.
+    */
+  def truncateTable(name: String): DataFrame =
+    alterTable(name)(df => df.filter(lit(false)))
+
   def dropTable(name: String): Unit = {
     tables.remove(normalize(name)).foreach { st =>
       if (st.rowBacked) GraftRowStore.drop(normalize(name))

@@ -33,9 +33,10 @@ object GraftSql {
           err.toDouble,
           Option(conf).map(_.toDouble).getOrElse(0.95),
           Option(behavior).map(_.toLowerCase).getOrElse("strict"))
-        require(Set("strict", "run_on_full_table", "do_nothing")(params.behavior),
-          s"WITH ERROR BEHAVIOR '${params.behavior}' not supported " +
-            "(strict | run_on_full_table | do_nothing)")
+        require(Set("strict", "run_on_full_table", "partial_run_on_base_table",
+          "local_omit", "do_nothing")(params.behavior),
+          s"WITH ERROR BEHAVIOR '${params.behavior}' not supported (strict | " +
+            "run_on_full_table | partial_run_on_base_table | local_omit | do_nothing)")
         g.samples.collectFirst {
           case (base, sample)
               if s"(?is).*\\b$base\\b.*".r.matches(body) =>

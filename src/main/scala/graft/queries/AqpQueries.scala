@@ -111,6 +111,65 @@ object AqpQueries {
       } finally g.samples.remove("lineitem")
     },
 
+    // ---- BEHAVIOR local_omit: grouping == stratification ⇒ the HT count's
+    // estimated error is exactly 0 (constant weights per group) and it
+    // survives an impossible bound, while the avg's real sampling error
+    // trips it ⇒ avg comes back NULL. Deterministic either way → oracle ----
+    QueryDef.sql(
+      "q_aqp_local_omit",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(NULL AS DOUBLE) AS m
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val g = graft.GraftSession(s)
+      graft.Tables.registerAll(s, dir)
+      if (!g.isManaged("li_sample_lo"))
+        g.createSampleTable("li_sample_lo", graft.Tables.load(s, dir, "lineitem"),
+          qcs = Seq("l_returnflag", "l_linestatus"), fraction = 0.1,
+          reservoirFloor = 30, rankKey = Seq("l_orderkey", "l_linenumber"))
+      g.registerSample("lineitem", "li_sample_lo")
+      try {
+        g.sql(
+          """SELECT l_returnflag, l_linestatus, count(*) AS n,
+            |  avg(l_extendedprice) AS m
+            |FROM lineitem
+            |GROUP BY l_returnflag, l_linestatus
+            |ORDER BY l_returnflag, l_linestatus
+            |WITH ERROR 0.00000001 BEHAVIOR 'local_omit'""".stripMargin)
+      } finally g.samples.remove("lineitem")
+    },
+
+    // ---- BEHAVIOR partial_run_on_base_table: an impossible bound fails
+    // every group, so every group is re-computed EXACTLY on the base table
+    // (decimal sums ⇒ order-insensitive) — deterministic → full oracle ----
+    QueryDef.sql(
+      "q_aqp_partial_run",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS s
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val g = graft.GraftSession(s)
+      graft.Tables.registerAll(s, dir)
+      if (!g.isManaged("li_sample_pr"))
+        g.createSampleTable("li_sample_pr", graft.Tables.load(s, dir, "lineitem"),
+          qcs = Seq("l_returnflag", "l_linestatus"), fraction = 0.1,
+          reservoirFloor = 30, rankKey = Seq("l_orderkey", "l_linenumber"))
+      g.registerSample("lineitem", "li_sample_pr")
+      try {
+        g.sql(
+          """SELECT l_returnflag, l_linestatus, count(*) AS n,
+            |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS s
+            |FROM lineitem
+            |GROUP BY l_returnflag, l_linestatus
+            |WITH ERROR 0.00000001 BEHAVIOR 'partial_run_on_base_table'""".stripMargin)
+          .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+            dr2(col("s")).cast("double").as("s"))
+          .orderBy("l_returnflag", "l_linestatus")
+      } finally g.samples.remove("lineitem")
+    },
+
     // ---- weighted avg + closed-form CI (deterministic; no SQL oracle) ----
     QueryDef.rowsOnly("q_aqp_avg_error") { (s, dir) =>
       Aqp.approxAvgWithError(sampled(s, dir), "l_extendedprice",

@@ -34,7 +34,20 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *        any supported aggregate's relative error exceeds `f`;
   *      'run_on_full_table': same detection, but the remedy is to run
   *        the ORIGINAL query on the base table (exact answer);
+  *      'local_omit': per-ROW remedy — an aggregate value whose relative
+  *        error exceeds `f` is replaced by NULL, the rest of the row
+  *        survives (hac_contracts.md "the value is replaced by a special
+  *        value like null");
+  *      'partial_run_on_base_table': per-GROUP remedy — groups that
+  *        exceed the bound are re-computed exactly on the base table and
+  *        merged (duplicate-free) with the passing sample-derived groups;
   *      'do_nothing': best effort on the sample, never re-routes.
+  *  - base-table re-runs evaluate error functions per the contract:
+  *      absolute_error/relative_error → 0, lower/upper_bound → NULL
+  *      (hac_contracts.md "Error Functions" notes).
+  *  - reserved alias prefix `sample_`: an aggregate aliased `sample_x`
+  *    is NOT HT-weighted — it returns the true answer on the sample
+  *    table itself (hac_contracts.md "Reserved Keywords").
   *
   * Operating on the UNRESOLVED tree keeps this a pure syntactic rule —
   * name resolution, type coercion and optimization all happen in the
@@ -124,10 +137,16 @@ object SampleRewrite {
   /** (alias → (aggKind, arg)) for the supported aliased aggregates of one
     * SELECT list — the targets error functions may reference.
     */
+  /** Reserved alias prefix: `sample_x` aggregates return true sample-table
+    * answers (never weighted, never error-checked).
+    */
+  private def isSampleAlias(name: String): Boolean =
+    name.toLowerCase.startsWith("sample_")
+
   private def aliasTargets(exprs: Seq[NamedExpression]): Map[String, (String, Option[Expression])] =
     exprs.collect {
       case Alias(UnresolvedFunction(Seq(n), args, false, _, _, _, _), name)
-          if supportedAggs(n.toLowerCase) =>
+          if supportedAggs(n.toLowerCase) && !isSampleAlias(name) =>
         val kind = n.toLowerCase match {
           case "count" if isCountStar(args) => "count"
           case "count" => "countexpr" // count(x): weight like sum of (x is not null)
@@ -173,17 +192,29 @@ object SampleRewrite {
     case other => other.mapChildren(rewriteAgg(_, targets, z))
   }
 
+  /** Top-level select-list rewrite honoring the `sample_` reserved alias. */
+  private def rewriteNamed(ne: NamedExpression,
+      targets: Map[String, (String, Option[Expression])], z: Double): NamedExpression =
+    ne match {
+      case a @ Alias(_, name) if isSampleAlias(name) => a
+      case other => rewriteAgg(other, targets, z).asInstanceOf[NamedExpression]
+    }
+
   /** Aggregate functions in the plan the HT weighting cannot cover. */
   def unsupportedAggs(plan: LogicalPlan): Seq[String] = {
     val found = scala.collection.mutable.LinkedHashSet.empty[String]
     def scan(exprs: Seq[Expression]): Unit =
-      exprs.foreach(_.foreach {
-        case UnresolvedFunction(Seq(n), _, distinct, _, _, _, _) =>
-          val ln = n.toLowerCase
-          if ((knownAggs(ln) && !supportedAggs(ln)) || (supportedAggs(ln) && distinct))
-            found += (if (distinct) s"$ln(DISTINCT)" else ln)
-        case _ =>
-      })
+      exprs.foreach {
+        // `sample_x` aliases are true sample answers — any aggregate is fine
+        case Alias(_, name) if isSampleAlias(name) =>
+        case e => e.foreach {
+          case UnresolvedFunction(Seq(n), _, distinct, _, _, _, _) =>
+            val ln = n.toLowerCase
+            if ((knownAggs(ln) && !supportedAggs(ln)) || (supportedAggs(ln) && distinct))
+              found += (if (distinct) s"$ln(DISTINCT)" else ln)
+          case _ =>
+        }
+      }
     plan.foreach {
       case a: Aggregate => scan(a.aggregateExpressions)
       case p: Project if hasAggCall(p.projectList) => scan(p.projectList)
@@ -204,22 +235,48 @@ object SampleRewrite {
         UnresolvedRelation(Seq(sampleTable))
       case a: Aggregate =>
         val targets = aliasTargets(a.aggregateExpressions)
-        a.copy(aggregateExpressions = a.aggregateExpressions.map(ne =>
-          rewriteAgg(ne, targets, z).asInstanceOf[NamedExpression]))
+        a.copy(aggregateExpressions =
+          a.aggregateExpressions.map(rewriteNamed(_, targets, z)))
       case p: Project if hasAggCall(p.projectList) =>
         // global aggregate without GROUP BY: still a Project pre-analysis
         val targets = aliasTargets(p.projectList)
-        p.copy(projectList = p.projectList.map(ne =>
-          rewriteAgg(ne, targets, z).asInstanceOf[NamedExpression]))
+        p.copy(projectList = p.projectList.map(rewriteNamed(_, targets, z)))
     }
   }
 
+  /** Rewrite for EXACT base-table execution (BEHAVIOR re-routes): the
+    * query text still contains error result functions, which have no
+    * meaning on the full table — the contract pins them to
+    * absolute/relative_error = 0 and lower/upper_bound = NULL.
+    */
+  def rewriteForBase(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case UnresolvedFunction(Seq(n), Seq(_), false, _, _, _, _)
+          if errorFns(n.toLowerCase) =>
+        n.toLowerCase match {
+          case "absolute_error" | "relative_error" => dlit(0.0)
+          case _ => Literal(null, DoubleType)
+        }
+    }
+
+  /** Simple-attribute GROUP BY column names of the topmost Aggregate —
+    * the merge keys for 'partial_run_on_base_table'. Empty when there is
+    * no grouping or the keys are computed expressions (⇒ caller falls
+    * back to a full base-table run).
+    */
+  private def groupingColumnNames(plan: LogicalPlan): Seq[String] =
+    plan.collectFirst { case a: Aggregate => a.groupingExpressions } match {
+      case Some(ge) if ge.nonEmpty && ge.forall(_.isInstanceOf[UnresolvedAttribute]) =>
+        ge.map(_.asInstanceOf[UnresolvedAttribute].nameParts.last)
+      case _ => Nil
+    }
+
   /** As [[rewrite]], but additionally APPEND hidden `_rel_err_i` columns
     * to the topmost Aggregate — one per supported aliased aggregate — for
-    * the post-execution error-bound check.
+    * the post-execution error-bound check. Returns (plan, alias→errCol).
     */
   private def rewriteWithErrCols(plan: LogicalPlan, baseTable: String,
-      sampleTable: String, confidence: Double): (LogicalPlan, Seq[String]) = {
+      sampleTable: String, confidence: Double): (LogicalPlan, Seq[(String, String)]) = {
     val z = graft.operators.Aqp.zScore(confidence)
     // targets come from the ORIGINAL select list (pre-weighting)
     val targets = plan.collectFirst {
@@ -227,10 +284,10 @@ object SampleRewrite {
       case op: Project if hasAggCall(op.projectList) => aliasTargets(op.projectList)
     }.getOrElse(Map.empty)
     if (targets.isEmpty) return (rewrite(plan, baseTable, sampleTable, confidence), Nil)
-    var errCols = Seq.empty[String]
-    val extra = targets.toSeq.zipWithIndex.map { case ((_, (kind, arg)), i) =>
+    var errCols = Seq.empty[(String, String)]
+    val extra = targets.toSeq.zipWithIndex.map { case ((alias, (kind, arg)), i) =>
       val name = s"_rel_err_$i"
-      errCols :+= name
+      errCols :+= (alias -> name)
       Alias(Divide(absErrOf(kind, arg, z),
         fn("nullif", fn("abs", estimateOf(kind, arg)), dlit(0.0))), name)()
     }
@@ -251,43 +308,73 @@ object SampleRewrite {
     */
   def run(spark: SparkSession, sql: String, baseTable: String, sampleTable: String,
       params: AqpParams): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, greatest, lit, when}
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val parsed = classic.sessionState.sqlParser.parsePlan(sql)
+    // exact execution on the base table, error functions pinned to 0/NULL
+    def exactRun(): DataFrame = Dataset.ofRows(classic, rewriteForBase(parsed))
     val bad = unsupportedAggs(parsed)
     params.behavior match {
       case "strict" if bad.nonEmpty =>
         throw new IllegalArgumentException(
           s"WITH ERROR BEHAVIOR 'strict': aggregate(s) ${bad.mkString(", ")} cannot be " +
             "estimated from a sample; use BEHAVIOR 'run_on_full_table' or 'do_nothing'")
-      case "run_on_full_table" if bad.nonEmpty =>
-        classic.sql(sql)
+      case ("run_on_full_table" | "partial_run_on_base_table") if bad.nonEmpty =>
+        exactRun()
       case b =>
         lazy val rewritten = Dataset.ofRows(classic,
           rewrite(parsed, baseTable, sampleTable, params.confidence))
         if (b == "do_nothing") rewritten
         else {
           // enforce the requested error bound on the supported aggregates
-          val (checkedPlan, errCols) =
+          val (checkedPlan, errPairs) =
             rewriteWithErrCols(parsed, baseTable, sampleTable, params.confidence)
-          if (errCols.isEmpty) rewritten
+          if (errPairs.isEmpty) rewritten
           else {
+            val errCols = errPairs.map(_._2)
             // one execution serves both the bound check and the returned
             // result (the aggregate would otherwise run twice)
             val checked = Dataset.ofRows(classic, checkedPlan).localCheckpoint(true)
-            val safe = errCols.map(c => org.apache.spark.sql.functions.coalesce(
-              col(c), org.apache.spark.sql.functions.lit(0.0)))
-            val worstCol =
-              if (safe.size == 1) safe.head
-              else org.apache.spark.sql.functions.greatest(safe: _*)
-            val worstRow = checked.agg(fmax(worstCol)).head()
-            val worst = if (worstRow.isNullAt(0)) 0.0 else worstRow.getDouble(0)
-            if (worst > params.error) {
-              if (b == "run_on_full_table") classic.sql(sql)
-              else throw new IllegalStateException(
-                f"WITH ERROR BEHAVIOR 'strict': observed relative error $worst%.4f exceeds " +
-                  f"the requested bound ${params.error}%.4f at confidence ${params.confidence}%.2f; " +
-                  "use a larger sample, a looser bound, or BEHAVIOR 'run_on_full_table'")
-            } else checked.drop(errCols: _*)
+            val safe = errCols.map(c => coalesce(col(c), lit(0.0)))
+            val worstCol = if (safe.size == 1) safe.head else greatest(safe: _*)
+            b match {
+              case "local_omit" =>
+                // per-row remedy: null out just the offending estimates
+                val errOf = errPairs.map { case (a, e) => a.toLowerCase -> e }.toMap
+                val out = checked.columns.filterNot(errCols.toSet).map { c =>
+                  errOf.get(c.toLowerCase) match {
+                    case Some(ec) =>
+                      when(coalesce(col(ec), lit(0.0)) <= params.error, col(c)).as(c)
+                    case None => col(c)
+                  }
+                }
+                checked.select(out.toSeq: _*)
+              case _ =>
+                val worstRow = checked.agg(fmax(worstCol)).head()
+                val worst = if (worstRow.isNullAt(0)) 0.0 else worstRow.getDouble(0)
+                if (worst <= params.error) checked.drop(errCols: _*)
+                else b match {
+                  case "run_on_full_table" => exactRun()
+                  case "partial_run_on_base_table" =>
+                    val keys = groupingColumnNames(parsed)
+                    if (keys.isEmpty) exactRun() // global agg: all-or-nothing
+                    else {
+                      val passing =
+                        checked.filter(worstCol <= params.error).drop(errCols: _*)
+                      val failingKeys = checked.filter(worstCol > params.error)
+                        .select(keys.map(col): _*).distinct()
+                      // failing groups are few by construction — broadcast
+                      // the key set; the exact side shuffles only its scan
+                      val exactFailing =
+                        exactRun().join(broadcast(failingKeys), keys, "left_semi")
+                      passing.unionByName(exactFailing)
+                    }
+                  case _ => throw new IllegalStateException(
+                    f"WITH ERROR BEHAVIOR 'strict': observed relative error $worst%.4f exceeds " +
+                      f"the requested bound ${params.error}%.4f at confidence ${params.confidence}%.2f; " +
+                      "use a larger sample, a looser bound, or BEHAVIOR 'run_on_full_table'")
+                }
+            }
           }
         }
     }

@@ -62,6 +62,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftAlterAddColumnCommand(t.toLowerCase, c, dt)
       case Some(AlterDropColumn(t, c)) if g.isManaged(t.toLowerCase) =>
         GraftAlterDropColumnCommand(t.toLowerCase, c)
+      case Some(TruncateTable(t)) if g.isManaged(t.toLowerCase) =>
+        GraftTruncateTableCommand(t.toLowerCase)
       case _ => delegate.parsePlan(sqlText)
     }
 
@@ -176,6 +178,13 @@ case class GraftCreateIndexCommand(table: String, columns: Seq[String])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     org.apache.spark.sql.graft.store.GraftStoreOps.createIndex(spark, table, columns)
+    Nil
+  }
+}
+
+case class GraftTruncateTableCommand(table: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.GraftSession(spark).truncateTable(table)
     Nil
   }
 }

@@ -44,6 +44,8 @@ object GraftStatements extends RegexParsers {
   final case class AlterAddColumn(table: String, column: String,
       dataTypeSql: String) extends Stmt
   final case class AlterDropColumn(table: String, column: String) extends Stmt
+  /** TRUNCATE TABLE t (reference SnappyDDLParser.truncateTable:627) */
+  final case class TruncateTable(table: String) extends Stmt
 
   override def skipWhitespace = true
 
@@ -213,10 +215,13 @@ object GraftStatements extends RegexParsers {
         case t ~ c => AlterDropColumn(t, c)
       }
 
+  private def truncateTable: Parser[Stmt] =
+    kw("TRUNCATE") ~> kw("TABLE") ~> ident ^^ TruncateTable.apply
+
   private def statement: Parser[Stmt] =
     putInto | createPolicy | dropPolicy | createSample | createStream |
       createIndex | dropIndex | createTableUsing | alterDrop | alterAdd |
-      update | delete
+      truncateTable | update | delete
 
   /** None = not a graft statement (caller delegates to Spark's parser). */
   def parse(text: String): Option[Stmt] = {

@@ -182,6 +182,81 @@ class AqpSpec extends SparkTestBase {
     }
   }
 
+  test("BEHAVIOR local_omit nulls only the offending estimates") {
+    withSample("li_sample_lo") { g =>
+      // grouping == stratification ⇒ weights constant per group ⇒ the
+      // count's ESTIMATED rel err is exactly 0 and it survives even an
+      // impossible bound; avg has real sampling error and is nulled —
+      // same row, same query
+      val rows = g.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n, avg(l_extendedprice) AS m
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |WITH ERROR 0.00000001 BEHAVIOR 'local_omit'""".stripMargin).collect()
+      assert(rows.nonEmpty)
+      val exactN = li.groupBy("l_returnflag", "l_linestatus").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      rows.foreach { r =>
+        assert(r.getLong(2) == exactN((r.getString(0), r.getString(1))),
+          "exact count must survive")
+        assert(r.isNullAt(3), "imprecise avg must be omitted (null)")
+      }
+      // loose bound: nothing omitted
+      val loose = g.sql(
+        """SELECT l_returnflag, count(*) AS n, avg(l_extendedprice) AS m
+          |FROM lineitem GROUP BY l_returnflag
+          |WITH ERROR 0.5 BEHAVIOR 'local_omit'""".stripMargin).collect()
+      loose.foreach(r => assert(!r.isNullAt(2), "loose bound must keep the avg"))
+    }
+  }
+
+  test("BEHAVIOR partial_run_on_base_table merges exact groups for violations") {
+    withSample("li_sample_pr") { g =>
+      // impossible bound ⇒ every group's avg violates ⇒ every group comes
+      // back exact from the base table (deterministic outcome)
+      val got = g.sql(
+        """SELECT l_returnflag, avg(l_extendedprice) AS m
+          |FROM lineitem GROUP BY l_returnflag
+          |WITH ERROR 0.00000001 BEHAVIOR 'partial_run_on_base_table'""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val exact = li.groupBy("l_returnflag").agg(avg("l_extendedprice"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == exact, "all-violating groups must be exact")
+      // loose bound ⇒ nothing re-routed, estimates stay sample-derived and
+      // every group appears exactly once
+      val loose = g.sql(
+        """SELECT l_returnflag, avg(l_extendedprice) AS m
+          |FROM lineitem GROUP BY l_returnflag
+          |WITH ERROR 0.5 BEHAVIOR 'partial_run_on_base_table'""".stripMargin).collect()
+      assert(loose.map(_.getString(0)).distinct.length == exact.size)
+    }
+  }
+
+  test("base-table re-runs pin error functions to 0 / NULL") {
+    withSample("li_sample_ef0") { g =>
+      val r = g.sql(
+        """SELECT avg(l_extendedprice) AS m, absolute_error(m) AS e,
+          |  relative_error(m) AS re, lower_bound(m) AS lo, upper_bound(m) AS hi
+          |FROM lineitem
+          |WITH ERROR 0.00000001 BEHAVIOR 'run_on_full_table'""".stripMargin).head()
+      assert(r.getDouble(0) == li.agg(avg("l_extendedprice")).head().getDouble(0))
+      assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+      assert(r.isNullAt(3) && r.isNullAt(4))
+    }
+  }
+
+  test("sample_ reserved alias returns true sample-table answers") {
+    withSample("li_sample_resv") { g =>
+      val r = g.sql(
+        "SELECT count(*) AS n, count(*) AS sample_n FROM lineitem WITH ERROR 0.5")
+        .head()
+      val baseN = li.count()
+      val sampleN = g.table("li_sample_resv").count()
+      assert(r.getLong(0) == baseN, "n is the HT estimate of the base count (exact here)")
+      assert(r.getLong(1) == sampleN, "sample_n is the raw sample-table count")
+      assert(sampleN < baseN)
+    }
+  }
+
   test("BEHAVIOR do_nothing stays best-effort on the sample") {
     withSample("li_sample_dn") { g =>
       val n = g.sql("SELECT count(*) AS n FROM lineitem " +

@@ -68,6 +68,22 @@ class SqlSurfaceSpec extends SparkTestBase {
     g2.dropTable("parse_t")
   }
 
+  test("TRUNCATE TABLE empties but keeps layout; unmanaged names delegate") {
+    Tables.registerAll(spark, sf)
+    g.sql("CREATE TABLE trunc_t USING column OPTIONS (key_columns 's_suppkey', " +
+      "partition_by 's_suppkey', buckets '4') AS SELECT * FROM supplier")
+    assert(g.table("trunc_t").count() > 0)
+    spark.sql("TRUNCATE TABLE trunc_t") // through the injected parser
+    assert(g.table("trunc_t").count() == 0)
+    // layout survives: inserts and keyed upserts still work post-truncate
+    g.sql("PUT INTO trunc_t SELECT * FROM supplier WHERE s_suppkey <= 3")
+    assert(g.table("trunc_t").count() ==
+      spark.table("supplier").filter(col("s_suppkey") <= 3).count())
+    g.dropTable("trunc_t")
+    // a TRUNCATE on a non-managed identifier flows to Spark's own parser
+    intercept[Exception] { spark.sql("TRUNCATE TABLE no_such_graft_table") }
+  }
+
   test("ALTER TABLE ADD/DROP COLUMN via SQL") {
     val g2 = GraftSession(spark)
     g2.createTable("alt_t", Tables.load(spark, sf, "supplier"),
