@@ -223,13 +223,15 @@ object Dedup {
     while (!converged && it < maxIters) {
       val neighborMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("id2")).agg(min(col("label")).as("nmin"))
+      // carry the previous label alongside the new one, so the
+      // convergence check is a cheap scan of the checkpointed frame
+      // instead of a second join per round
       val next = labels.join(neighborMin, col("id") === col("id2"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select("id", "label")
       it += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))

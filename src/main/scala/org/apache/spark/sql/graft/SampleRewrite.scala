@@ -349,26 +349,29 @@ object SampleRewrite {
                   }
                 }
                 checked.select(out.toSeq: _*)
+              case "partial_run_on_base_table" if groupingColumnNames(parsed).nonEmpty =>
+                // per-group split needs no global error check — build the
+                // merged result lazily in ONE plan: passing sample groups
+                // union exact re-runs of the failing groups. When nothing
+                // fails, the broadcast key set is empty and AQE's empty-
+                // relation propagation prunes the base-table scan.
+                val keys = groupingColumnNames(parsed)
+                val passing =
+                  checked.filter(worstCol <= params.error).drop(errCols: _*)
+                val failingKeys = checked.filter(worstCol > params.error)
+                  .select(keys.map(col): _*).distinct()
+                // failing groups are few by construction — broadcast the
+                // key set; the exact side shuffles only its scan
+                val exactFailing =
+                  exactRun().join(broadcast(failingKeys), keys, "left_semi")
+                passing.unionByName(exactFailing)
               case _ =>
                 val worstRow = checked.agg(fmax(worstCol)).head()
                 val worst = if (worstRow.isNullAt(0)) 0.0 else worstRow.getDouble(0)
                 if (worst <= params.error) checked.drop(errCols: _*)
                 else b match {
-                  case "run_on_full_table" => exactRun()
-                  case "partial_run_on_base_table" =>
-                    val keys = groupingColumnNames(parsed)
-                    if (keys.isEmpty) exactRun() // global agg: all-or-nothing
-                    else {
-                      val passing =
-                        checked.filter(worstCol <= params.error).drop(errCols: _*)
-                      val failingKeys = checked.filter(worstCol > params.error)
-                        .select(keys.map(col): _*).distinct()
-                      // failing groups are few by construction — broadcast
-                      // the key set; the exact side shuffles only its scan
-                      val exactFailing =
-                        exactRun().join(broadcast(failingKeys), keys, "left_semi")
-                      passing.unionByName(exactFailing)
-                    }
+                  // partial_run over a GLOBAL aggregate: all-or-nothing
+                  case "run_on_full_table" | "partial_run_on_base_table" => exactRun()
                   case _ => throw new IllegalStateException(
                     f"WITH ERROR BEHAVIOR 'strict': observed relative error $worst%.4f exceeds " +
                       f"the requested bound ${params.error}%.4f at confidence ${params.confidence}%.2f; " +
