@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB design intent):
   *  - every filter is a plain `Column` predicate → pushed into the parquet
   *    scan (PushedFilters) with row-group stats skipping;
-  *  - small dimension tables (region/nation/supplier/customer at their
+  *  - provably-small dimension tables (region/nation/supplier at their
   *    relative sizes) are explicitly `broadcast()` so the fact-table join
-  *    never shuffles the large side;
+  *    never shuffles the large side; SF-scaling dims (customer, part at
+  *    high SF) carry no hint — AQE size-gates the broadcast so the plan
+  *    degrades to a shuffle join instead of an OOM at 100×;
   *  - aggregations are declarative groupBy/agg → partial (map-side) + final
   *    HashAggregate, AQE coalesces post-shuffle partitions.
   */
@@ -95,11 +97,11 @@ object TpchQueries {
       val cust = Tables.load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord = Tables.load(s, dir, "orders").filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
       val li = Tables.load(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
-      // customer is the smallest side → broadcast; lineitem stays unshuffled
-      // on the orders join only if co-partitioned — at 100 TB that join
-      // shuffles on orderkey, which is the natural key for both sides.
+      // lineitem⋈orders shuffles on orderkey (the natural key for both
+      // sides at 100 TB). customer scales with SF, so no broadcast hint:
+      // AQE broadcasts it while it fits and shuffles on o_custkey beyond.
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(graft.decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
@@ -132,9 +134,9 @@ object TpchQueries {
       val nat = Tables.load(s, dir, "nation")
       val reg = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
       // region→nation→supplier chain is tiny → broadcast the reduced dim
-      // into the fact side; customer also broadcasts at TPC-H ratios.
+      // into the fact side; customer scales with SF → size-gated by AQE.
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
@@ -166,7 +168,7 @@ object TpchQueries {
       val li = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
       val nat = Tables.load(s, dir, "nation")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
         .agg(graft.decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))

@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * (no partsupp / shipmode / commitdate — those queries are re-targeted to
   * equivalent plan shapes: EXISTS-agg, two-sided nation joins, correlated
   * avg subqueries, HAVING groups, multi-disjunct pushdown).
-  * Broadcast choices follow TPC-H size ratios: part/customer/supplier/
-  * nation/region broadcast; orders/lineitem shuffle on their join key.
+  * Broadcast choices follow TPC-H size ratios: part/supplier/nation/region
+  * broadcast; customer carries no hint (it scales with SF — AQE size-gates
+  * the broadcast); orders/lineitem shuffle on their join key.
   */
 object TpchQueries2 {
 
@@ -72,7 +73,7 @@ object TpchQueries2 {
       val n2 = nat.select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
       li.join(ord, col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
-        .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+        .join(cust, col("c_custkey") === col("o_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
         .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
         .filter(col("supp_nation") < col("cust_nation"))
@@ -115,7 +116,7 @@ object TpchQueries2 {
       li.join(broadcast(part), col("p_partkey") === col("l_partkey"))
         .join(ord, col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
-        .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+        .join(cust, col("c_custkey") === col("o_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
         .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
         .join(broadcast(reg), col("n2_region") === col("r_regionkey"))
@@ -273,7 +274,7 @@ object TpchQueries2 {
         .agg(sum(col("l_quantity")).as("total_qty"))
         .filter(col("total_qty") > 150)
       bigOrders.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+        .join(cust, col("c_custkey") === col("o_custkey"))
         .select(col("c_custkey"), col("o_orderkey"),
           r2(col("o_totalprice")).as("price"), r2(col("total_qty")).as("total_qty"))
         .orderBy(col("price").desc, col("o_orderkey"))

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.classic.Dataset
 import org.apache.spark.sql.functions.{col, max => fmax}
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -259,16 +259,88 @@ object SampleRewrite {
         }
     }
 
-  /** Simple-attribute GROUP BY column names of the topmost Aggregate —
-    * the merge keys for 'partial_run_on_base_table'. Empty when there is
-    * no grouping or the keys are computed expressions (⇒ caller falls
-    * back to a full base-table run).
+  /** Topmost select list (None when the query has no recognizable
+    * aggregate select list).
     */
-  private def groupingColumnNames(plan: LogicalPlan): Seq[String] =
-    plan.collectFirst { case a: Aggregate => a.groupingExpressions } match {
-      case Some(ge) if ge.nonEmpty && ge.forall(_.isInstanceOf[UnresolvedAttribute]) =>
-        ge.map(_.asInstanceOf[UnresolvedAttribute].nameParts.last)
+  private def selectList(plan: LogicalPlan): Option[Seq[NamedExpression]] =
+    plan.collectFirst {
+      case a: Aggregate => a.aggregateExpressions
+      case p: Project if hasAggCall(p.projectList) => p.projectList
+    }
+
+  /** Output-column merge keys for 'partial_run_on_base_table': each simple
+    * GROUP BY attribute resolved through the select list — either a bare
+    * attribute of the same name or an alias of one (`l_returnflag AS rf`
+    * merges on `rf`). Empty when grouping is absent, computed, or a
+    * grouping name never surfaces as an output column (⇒ caller falls
+    * back to the all-or-nothing base-table rerun).
+    */
+  private def mergeKeyNames(plan: LogicalPlan): Seq[String] =
+    plan.collectFirst { case a: Aggregate => a } match {
+      case Some(a) if a.groupingExpressions.nonEmpty &&
+          a.groupingExpressions.forall(_.isInstanceOf[UnresolvedAttribute]) =>
+        val resolved = a.groupingExpressions.map { g =>
+          val gname = g.asInstanceOf[UnresolvedAttribute].nameParts.last.toLowerCase
+          a.aggregateExpressions.collectFirst {
+            case u: UnresolvedAttribute if u.nameParts.last.toLowerCase == gname =>
+              u.nameParts.last
+            case Alias(u: UnresolvedAttribute, aname)
+                if u.nameParts.last.toLowerCase == gname => aname
+          }
+        }
+        if (resolved.forall(_.isDefined)) resolved.map(_.get) else Nil
       case _ => Nil
+    }
+
+  /** Output column names of the topmost select list; None when any entry
+    * is unnamed (e.g. `SELECT *`).
+    */
+  private def outputNamesOf(plan: LogicalPlan): Option[Seq[String]] =
+    selectList(plan).flatMap { es =>
+      val names = es.map {
+        case Alias(_, n) => Some(n)
+        case u: UnresolvedAttribute => Some(u.nameParts.last)
+        case _ => None
+      }
+      if (names.forall(_.isDefined)) Some(names.map(_.get)) else None
+    }
+
+  /** `sample_`-aliased output columns of the topmost select list. */
+  private def sampleAliasNames(plan: LogicalPlan): Seq[String] =
+    selectList(plan).map(_.collect {
+      case Alias(_, n) if isSampleAlias(n) => n
+    }).getOrElse(Nil)
+
+  /** Relation-substitution only (no aggregate weighting). */
+  private def substituteRelation(plan: LogicalPlan, baseTable: String,
+      sampleTable: String): LogicalPlan =
+    plan.transformUp {
+      case r: UnresolvedRelation
+          if r.multipartIdentifier.map(_.toLowerCase) == Seq(baseTable.toLowerCase) =>
+        UnresolvedRelation(Seq(sampleTable))
+    }
+
+  /** The original query's topmost ORDER BY, looking through LIMIT. */
+  private def topmostSort(plan: LogicalPlan): Option[Sort] = plan match {
+    case s: Sort => Some(s)
+    case l: GlobalLimit => topmostSort(l.child)
+    case l: LocalLimit => topmostSort(l.child)
+    case _ => None
+  }
+
+  /** Re-apply the original query's topmost ORDER BY on a merged result —
+    * union/join outputs are unordered, which would silently drop the
+    * query's ordering contract. No-op when the sort expressions cannot
+    * resolve against the merged output (sort key absent from the SELECT
+    * list — the merge itself is still correct, just unordered).
+    */
+  private def reapplySort(classic: org.apache.spark.sql.classic.SparkSession,
+      df: DataFrame, parsed: LogicalPlan): DataFrame =
+    topmostSort(parsed) match {
+      case Some(s) =>
+        try Dataset.ofRows(classic, Sort(s.order, s.global, df.queryExecution.analyzed))
+        catch { case _: org.apache.spark.sql.AnalysisException => df }
+      case None => df
     }
 
   /** As [[rewrite]], but additionally APPEND hidden `_rel_err_i` columns
@@ -311,8 +383,30 @@ object SampleRewrite {
     import org.apache.spark.sql.functions.{broadcast, coalesce, greatest, lit, when}
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val parsed = classic.sessionState.sqlParser.parsePlan(sql)
+    // `sample_x` aliases must return true sample-table answers even when
+    // the behavior re-routes the rest of the query to the base table
+    // (reserved-alias contract) — compute them on the (unweighted) sample
+    // side and join them back over the merge keys.
+    def withSampleCols(base: DataFrame): DataFrame = {
+      val sampleCols = sampleAliasNames(parsed)
+      if (sampleCols.isEmpty) return base
+      val keys = mergeKeyNames(parsed)
+      val grouping = parsed.collectFirst { case a: Aggregate => a.groupingExpressions }
+        .getOrElse(Nil)
+      outputNamesOf(parsed) match {
+        case Some(names) if keys.nonEmpty || grouping.isEmpty =>
+          val sampleSide = Dataset.ofRows(classic,
+            substituteRelation(parsed, baseTable, sampleTable))
+            .select((keys ++ sampleCols).map(col): _*)
+          val joined =
+            if (keys.nonEmpty) base.drop(sampleCols: _*).join(sampleSide, keys, "left")
+            else base.drop(sampleCols: _*).crossJoin(sampleSide)
+          reapplySort(classic, joined.select(names.map(col): _*), parsed)
+        case _ => base // unresolvable keys: keep base-table values
+      }
+    }
     // exact execution on the base table, error functions pinned to 0/NULL
-    def exactRun(): DataFrame = Dataset.ofRows(classic, rewriteForBase(parsed))
+    def exactRun(): DataFrame = withSampleCols(Dataset.ofRows(classic, rewriteForBase(parsed)))
     val bad = unsupportedAggs(parsed)
     params.behavior match {
       case "strict" if bad.nonEmpty =>
@@ -349,13 +443,15 @@ object SampleRewrite {
                   }
                 }
                 checked.select(out.toSeq: _*)
-              case "partial_run_on_base_table" if groupingColumnNames(parsed).nonEmpty =>
+              case "partial_run_on_base_table" if mergeKeyNames(parsed).nonEmpty =>
                 // per-group split needs no global error check — build the
                 // merged result lazily in ONE plan: passing sample groups
                 // union exact re-runs of the failing groups. When nothing
                 // fails, the broadcast key set is empty and AQE's empty-
-                // relation propagation prunes the base-table scan.
-                val keys = groupingColumnNames(parsed)
+                // relation propagation prunes the base-table scan. Keys
+                // are OUTPUT-column names (grouping names resolved through
+                // select-list aliases).
+                val keys = mergeKeyNames(parsed)
                 val passing =
                   checked.filter(worstCol <= params.error).drop(errCols: _*)
                 val failingKeys = checked.filter(worstCol > params.error)
@@ -364,7 +460,8 @@ object SampleRewrite {
                 // key set; the exact side shuffles only its scan
                 val exactFailing =
                   exactRun().join(broadcast(failingKeys), keys, "left_semi")
-                passing.unionByName(exactFailing)
+                // the union is unordered — restore the query's ORDER BY
+                reapplySort(classic, passing.unionByName(exactFailing), parsed)
               case _ =>
                 val worstRow = checked.agg(fmax(worstCol)).head()
                 val worst = if (worstRow.isNullAt(0)) 0.0 else worstRow.getDouble(0)

@@ -231,6 +231,53 @@ class AqpSpec extends SparkTestBase {
     }
   }
 
+  test("partial_run: aliased grouping column merges via the output alias, ORDER BY kept") {
+    withSample("li_sample_pralias") { g =>
+      // grouping column aliased in the SELECT (GROUP BY name ≠ output
+      // name) + ORDER BY over the alias: merge keys must resolve through
+      // the alias and the union must come back sorted
+      val got = g.sql(
+        """SELECT l_returnflag AS rf, avg(l_extendedprice) AS m
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY rf DESC
+          |WITH ERROR 0.00000001 BEHAVIOR 'partial_run_on_base_table'""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val exact = li.groupBy(col("l_returnflag").as("rf"))
+        .agg(avg("l_extendedprice").as("m")).orderBy(col("rf").desc)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(got == exact, "aliased-key merge must be exact AND ordered")
+    }
+  }
+
+  test("partial_run: ORDER BY preserved when groups split between sample and base") {
+    withSample("li_sample_prsort") { g =>
+      // loose bound ⇒ all groups pass on the sample; the point is the
+      // ordering contract survives the union-shaped plan
+      val rows = g.sql(
+        """SELECT l_returnflag, count(*) AS n
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag
+          |WITH ERROR 0.5 BEHAVIOR 'partial_run_on_base_table'""".stripMargin)
+        .collect().map(_.getString(0)).toSeq
+      assert(rows == rows.sorted, s"result must honor ORDER BY: $rows")
+      assert(rows.nonEmpty)
+    }
+  }
+
+  test("sample_ alias returns sample answers even on base-table reroutes") {
+    withSample("li_sample_rsv2") { g =>
+      // min() forces the run_on_full_table reroute; the reserved-alias
+      // contract says sample_n must STILL be the raw sample-table count
+      val r = g.sql(
+        "SELECT count(*) AS n, count(*) AS sample_n, min(l_extendedprice) AS lo " +
+          "FROM lineitem WITH ERROR 0.1 BEHAVIOR 'run_on_full_table'").head()
+      assert(r.getLong(0) == li.count(), "n exact from the base table")
+      assert(r.getLong(1) == g.table("li_sample_rsv2").count(),
+        "sample_n from the sample table even though the query rerouted")
+      assert(r.getDouble(2) == li.agg(min("l_extendedprice")).head().getDouble(0))
+    }
+  }
+
   test("base-table re-runs pin error functions to 0 / NULL") {
     withSample("li_sample_ef0") { g =>
       val r = g.sql(
