@@ -11,10 +11,15 @@ import org.apache.spark.sql.functions._
   * is closed-source, so the math here is standard stratified-sampling
   * theory as in the public CIDR'17 paper).
   *
-  * Sampling is DETERMINISTIC: membership is decided by the xxhash64 rank
-  * of the row's key within its stratum, not an RNG — re-running the
-  * pipeline reproduces the identical sample, and at scale it costs one
-  * shuffle on the QCS (stratification) columns.
+  * Sampling is DETERMINISTIC and ENGINE-PORTABLE: membership is decided
+  * by a uniform value derived from the md5 of the row's key — not an RNG
+  * and not an engine-private hash — so re-running the pipeline reproduces
+  * the identical sample AND an external SQL engine (the DuckDB oracle)
+  * can reconstruct the exact same sample from the base table, which turns
+  * every value-dependent sample aggregate into a hash-checkable result.
+  * md5 costs more than xxhash64 per row, but it is paid once at sample
+  * BUILD time over ~16 bytes of key per row — immaterial next to the
+  * base-table scan it rides on.
   */
 object Aqp {
 
@@ -26,9 +31,9 @@ object Aqp {
     * map-side-combined aggregations compute (a) exact stratum sizes n_h
     * and (b) the exact realized sample size kept_h; both are tiny
     * (|distinct QCS|) and broadcast back onto the scan. Membership is
-    * decided per row from the xxhash64 of its key: keep iff
-    * u(key) < target_h / n_h with target_h = max(floor, ceil(n_h·f)) —
-    * deterministic, so re-running reproduces the identical sample. Each
+    * decided per row from the first 40 bits of md5('|'-joined key): keep
+    * iff u(key) < target_h / n_h with target_h = max(floor, ceil(n_h·f))
+    * — deterministic, so re-running reproduces the identical sample. Each
     * kept row carries `_weight = n_h / kept_h` (inverse realized
     * inclusion probability), so Horvitz-Thompson count/sum estimates per
     * stratum-aligned group stay EXACTLY unbiased (Σ_weight = n_h).
@@ -43,9 +48,11 @@ object Aqp {
       fraction: Double,
       reservoirFloor: Int,
       rankKey: Seq[String]): DataFrame = {
-    // uniform [0,1) from the deterministic row key
-    val u = (xxhash64(rankKey.map(col): _*).bitwiseAND(lit((1L << 40) - 1)))
-      .cast("double") / (1L << 40).toDouble
+    // uniform [0,1) from the deterministic row key; md5 (not xxhash64) so
+    // the DuckDB oracle can replay the identical sample:
+    //   CAST('0x' || substr(md5(k1 || '|' || k2), 1, 10) AS BIGINT) / 2^40
+    val u = conv(substring(md5(concat_ws("|", rankKey.map(col): _*)), 1, 10), 16, 10)
+      .cast("long").cast("double") / (1L << 40).toDouble
     val sizes = df.groupBy(qcs.map(col): _*)
       .agg(count(lit(1)).as("_n_h"))
       .withColumn("_target_h",

@@ -237,32 +237,60 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** SimHash 64-bit signature per doc from its token stream: per bit,
-    * sum +1/-1 weighted by token-hash bit, take the sign. Computed with
-    * plain codegen'd aggregates (64 conditional sums), no UDF.
+  /** Engine-portable 60-bit token hash: the first 15 hex chars of md5,
+    * parsed as a long. DuckDB computes the identical value
+    * (`CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)`), so simhash
+    * signatures built on it are byte-identical across engines — that is
+    * what upgrades the simhash query from rows-only to a hash-checked
+    * oracle. ~3× slower per token than xxhash64; use the default
+    * xxhash64 when cross-engine parity is not needed.
     */
-  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** SimHash signature per doc from its token stream: per bit, sum +1/-1
+    * weighted by token-hash bit, take the sign. Computed with plain
+    * codegen'd aggregates (`sigBits` conditional sums), no UDF.
+    *
+    * `tokenHash` defaults to xxhash64 (fast path); pass [[md5Hash60]]
+    * with `sigBits = 60` for the engine-portable variant.
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column = xxhash64(_), sigBits: Int = 64): DataFrame = {
     val toks = docs.select(col(idCol).as("sid"),
       explode(split(col(textCol), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitCols = (0 until 64).map { b =>
+      .withColumn("h", tokenHash(col("tok")))
+    val bitCols = (0 until sigBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
     val bitSums = toks.groupBy("sid").agg(bitCols.head, bitCols.tail: _*)
     bitSums.select(col("sid"),
-      (0 until 64).map(b =>
+      (0 until sigBits).map(b =>
         when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
         .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
-    * (pigeonhole: hamming ≤ 3 ⇒ some chunk identical), verified by exact
-    * hamming distance ≤ maxHamming.
+  /** SimHash near-dup pairs: candidates share one of `numChunks` chunks of
+    * `sigBits / numChunks` bits (pigeonhole: hamming < numChunks ⇒ some
+    * chunk identical — recall 1 requires maxHamming ≤ numChunks - 1),
+    * verified by exact hamming distance ≤ maxHamming.
+    *
+    * Chunk-width trade-off at scale: the default 4×16-bit chunks keep
+    * buckets tiny on web-scale corpora but only guarantee recall for
+    * hamming ≤ 3; a larger `maxHamming` needs `numChunks > maxHamming`,
+    * whose narrower chunks collide more — acceptable for corpus slices,
+    * wrong as the single index over 10¹¹ documents (there, raise sigBits
+    * instead so chunks stay wide).
     */
-  def simhashNearDups(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDups(sig: DataFrame, maxHamming: Int = 3,
+      numChunks: Int = 4, sigBits: Int = 64): DataFrame = {
+    require(maxHamming < numChunks,
+      s"pigeonhole recall guarantee needs maxHamming < numChunks, got $maxHamming/$numChunks")
+    val width = sigBits / numChunks
+    val mask = (1L << width) - 1
     val chunks = sig.select(col("sid"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      posexplode(array((0 until numChunks).map(c =>
+        shiftright(col("simhash"), c * width).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk_val")
     val l = chunks.select(col("chunk_idx"), col("chunk_val"),
       col("sid").as("a"), col("simhash").as("sim_a"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -65,26 +65,29 @@ object Multimodal {
 
   /** Partition-batched feature extraction over the media table.
     * Output: (media_id, modality, n_bytes, features array<double>).
+    *
+    * Stays a `Dataset.mapPartitions` (typed, encoder-backed) rather than
+    * dropping to `df.rdd`: the transform remains inside the DataFrame
+    * lineage — columnar input feeds the deserializer directly, the plan
+    * is not severed, and downstream operators keep codegen — while still
+    * giving the one-decoder-init-per-partition batch shape a real codec
+    * needs.
     */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
     val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("modality", StringType),
-      StructField("n_bytes", LongType),
-      StructField("features", ArrayType(DoubleType))))
-    val rdd = media.select("media_id", "modality", "payload").rdd
+    import spark.implicits._
+    media.select("media_id", "modality", "payload")
+      .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         // one "codec handle" per partition — the init-once batch shape
         // a real decoder needs
-        rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          Row(r.getAs[Long]("media_id"), r.getAs[String]("modality"),
+        rows.map { case (id, modality, payload) =>
+          (id, modality,
             if (payload == null) 0L else payload.length.toLong,
-            decodeStub(payload, dim).toSeq)
+            decodeStub(payload, dim))
         }
       }
-    spark.createDataFrame(rdd, outSchema)
+      .toDF("media_id", "modality", "n_bytes", "features")
   }
 
   /** STUB "resize / re-encode": truncate or zero-pad the payload to

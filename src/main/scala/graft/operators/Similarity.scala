@@ -125,6 +125,29 @@ object Similarity {
     ivfProbe(buildIvfIndex(corpus, idCol, vecCol, nlist, seed),
       queries, idCol, vecCol, k, nprobe)
 
+  /** Recall CLAIM for an approximate ANN result: per query, does the
+    * approximate top-k contain at least `minHits` of the TRUE (brute-
+    * force) top-k? The exact hit set depends on engine-private hashes /
+    * clustering, but the bound is an engine-independent fact an external
+    * oracle can pin — this is what upgrades the approximate ANN queries
+    * from rows-only to hash-checked rows (thresholds chosen from
+    * [[graft.tools.AccuracyProbe]] measurements with ≥ 25% margin).
+    */
+  def recallClaim(
+      corpus: DataFrame, queries: DataFrame, approx: DataFrame,
+      idCol: String, vecCol: String, k: Int, minHits: Int,
+      claimCol: String): DataFrame = {
+    val bf = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = bf.join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("_n_hit"))
+    queries.select(col(idCol).as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("_n_hit"), lit(0L)) >= minHits).as(claimCol))
+  }
+
   /** Attach (table_idx, sig) rows per input row: one n-bit signature per
     * LSH table. Shared by [[lshTopK]] and [[Dedup.embeddingNearDups]].
     */

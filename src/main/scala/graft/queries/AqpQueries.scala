@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * probabilities), so q_aqp_count gets a real oracle. The CMS top-k at
   * this cardinality/width is collision-free w.h.p. and its
   * (count desc, key asc) order matches the exact oracle. Value-dependent
-  * sample aggregates (avg/sum, HLL, quantile sketches) are engine-specific
-  * → rows-only + property specs.
+  * sample aggregates (avg + CI) are hash-checked too: the sampler's
+  * membership hash is engine-portable, so DuckDB replays the exact sample
+  * and recomputes the estimator. Engine-private sketches (HLL, quantile)
+  * emit accuracy CLAIMS the oracle pins instead.
   */
 object AqpQueries {
 
@@ -170,8 +172,47 @@ object AqpQueries {
       } finally g.samples.remove("lineitem")
     },
 
-    // ---- weighted avg + closed-form CI (deterministic; no SQL oracle) ----
-    QueryDef.rowsOnly("q_aqp_avg_error") { (s, dir) =>
+    // ---- weighted avg + closed-form CI, fully hash-checked: the sampler's
+    // membership hash is engine-portable (md5-derived), so the oracle
+    // REPLAYS the exact sample from the base table and recomputes the
+    // stratified-HT estimate, variance and CI in DuckDB ----
+    QueryDef.sql(
+      "q_aqp_avg_error",
+      """WITH sizes AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS n_h,
+        |    least(count(*), greatest(30, CAST(ceil(count(*) * 0.1) AS BIGINT))) AS target_h
+        |  FROM lineitem GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT li.l_returnflag, li.l_linestatus, li.l_extendedprice, s.n_h
+        |  FROM lineitem li JOIN sizes s USING (l_returnflag, l_linestatus)
+        |  WHERE CAST('0x' || substr(md5(li.l_orderkey::VARCHAR || '|' || li.l_linenumber::VARCHAR), 1, 10) AS BIGINT)
+        |        / 1099511627776.0 < CAST(s.target_h AS DOUBLE) / s.n_h),
+        |kept AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS kept_h
+        |  FROM cand GROUP BY 1, 2),
+        |per_stratum AS (
+        |  SELECT c.l_returnflag, c.l_linestatus,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    any_value(CAST(c.n_h AS DOUBLE) / k.kept_h) AS w,
+        |    avg(c.l_extendedprice) AS mean,
+        |    coalesce(var_samp(c.l_extendedprice), 0.0) AS s2
+        |  FROM cand c JOIN kept k USING (l_returnflag, l_linestatus)
+        |  GROUP BY 1, 2),
+        |grouped AS (
+        |  SELECT l_returnflag,
+        |    sum(n * w) AS n_est,
+        |    sum(n * w * mean) AS total_est,
+        |    sum((n * w) * (n * w) * greatest(0.0, 1.0 - n / (n * w)) * s2 / n) AS var_total
+        |  FROM per_stratum GROUP BY 1)
+        |SELECT l_returnflag,
+        |  round(total_est / n_est, 2) AS estimate,
+        |  round(1.959963984540054 * sqrt(var_total) / n_est, 2) AS absolute_error,
+        |  round(1.959963984540054 * sqrt(var_total) / n_est
+        |        / abs(total_est / n_est), 4) AS relative_error,
+        |  round(total_est / n_est - 1.959963984540054 * sqrt(var_total) / n_est, 2) AS lower_bound,
+        |  round(total_est / n_est + 1.959963984540054 * sqrt(var_total) / n_est, 2) AS upper_bound
+        |FROM grouped
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       Aqp.approxAvgWithError(sampled(s, dir), "l_extendedprice",
           qcs = Seq("l_returnflag", "l_linestatus"),
           groupBy = Seq("l_returnflag"), confidence = 0.95)
@@ -206,17 +247,39 @@ object AqpQueries {
         .orderBy("day", "rank")
     },
 
-    // ---- built-in sketches: HLL distinct + approximate quantiles ----
-    QueryDef.rowsOnly("q_approx_sketches") { (s, dir) =>
+    // ---- built-in sketches: HLL distinct + approximate quantiles.
+    // Oracle: the exact distinct count (hash-checked value) plus two
+    // accuracy CLAIMS the oracle pins — the HLL estimate at rsd 0.02 must
+    // land within 5% of exact (measured ≤ 3% at both SFs,
+    // graft.tools.AccuracyProbe), and the approx median (accuracy 1000 ⇒
+    // rank error ≤ 0.1%) must lie between the exact 49th and 51st
+    // percentiles. Sketch internals are engine-specific; the bounds are
+    // not. (The exact countDistinct+percentile columns exist for the
+    // verification contract — the Expand they force is the price of a
+    // checkable claim, not part of the recommended sketch-only plan.) ----
+    QueryDef.sql(
+      "q_approx_sketches",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  CAST(1 AS BOOLEAN) AS hll_within_5pct,
+        |  CAST(1 AS BOOLEAN) AS median_within_rank
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          // exact countDistinct deliberately NOT here: mixing it with the
-          // sketches forces an Expand (row multiplication); the
-          // approx-vs-exact comparison lives in AqpSpec
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("median_approx"))
+            .as("median_approx"),
+          expr("percentile(l_extendedprice, 0.49)").as("p49"),
+          expr("percentile(l_extendedprice, 0.51)").as("p51"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders")) <=
+            col("exact_orders").cast("double") * 0.05).as("hll_within_5pct"),
+          (col("median_approx") >= col("p49") &&
+            col("median_approx") <= col("p51")).as("median_within_rank"))
         .orderBy("l_returnflag")
     }
   )

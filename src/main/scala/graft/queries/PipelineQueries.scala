@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   * candidates with EXACT Jaccard, so its output equals the all-pairs
   * Jaccard result (miss probability (1-j)^32 ≤ 1e-16 at j ≥ 0.7) — the
   * DuckDB oracle computes the all-pairs ground truth and a hash match
-  * doubles as a recall proof. SimHash and LSH-ANN use engine-specific
-  * hashes, so they get rows-only checks + property specs in ScalaTest.
+  * doubles as a recall proof. SimHash runs on the PORTABLE md5-derived
+  * token hash with a lossless (pigeonhole-sound) chunk count, so the
+  * oracle recomputes identical signatures and the match is exact. The
+  * approximate-recall ANN paths (LSH, IVF) emit per-query recall CLAIMS
+  * (`found_ge_3`) whose bound the oracle pins — the hit sets are
+  * engine-specific, the bound is not.
   */
 object PipelineQueries {
 
@@ -229,11 +233,35 @@ object PipelineQueries {
         .orderBy("a", "b")
     },
 
-    // ---- SimHash near-dup pairs (rows-only: engine-specific hashing) ----
-    QueryDef.rowsOnly("q_dedup_simhash") { (s, dir) =>
+    // ---- SimHash near-dup pairs, hash-checked end to end: the portable
+    // md5-derived 60-bit token hash makes the signatures byte-identical in
+    // DuckDB, and 10 chunks make the pigeonhole candidate step lossless at
+    // hamming ≤ 8 (< numChunks), so the banded-join result EQUALS the
+    // oracle's all-pairs hamming scan ----
+    QueryDef.sql(
+      "q_dedup_simhash",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(unnest(string_split_regex(text, '\s+'))), 1, 15) AS BIGINT) AS h
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM toks, range(0, 60) r(b)
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id, sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+        |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      Dedup.simhashNearDups(Dedup.simhashSignatures(docs, "doc_id", "text"),
-          maxHamming = 8)
+      Dedup.simhashNearDups(
+          Dedup.simhashSignatures(docs, "doc_id", "text",
+            tokenHash = Dedup.md5Hash60, sigBits = 60),
+          maxHamming = 8, numChunks = 10, sigBits = 60)
+        .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
         .orderBy("a", "b")
     },
 
@@ -290,12 +318,20 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
-    // ---- IVF ANN: KMeans cells + nprobe rerank (rows-only: recall < 1).
-    // Build/probe split: the index (KMeans fit + assignment) materializes
-    // ONCE as managed tables — `cells` partitioned by cell so the probe
-    // join is exchange-free on the corpus side — and the query path is
-    // probe-only (the reference analog: CREATE INDEX vs SELECT).
-    QueryDef.rowsOnly("q_ann_ivf") { (s, dir) =>
+    // ---- IVF ANN: KMeans cells + nprobe rerank. Build/probe split: the
+    // index (KMeans fit + assignment) materializes ONCE as managed tables
+    // — `cells` partitioned by cell so the probe join is exchange-free on
+    // the corpus side — and the query path is probe-only (the reference
+    // analog: CREATE INDEX vs SELECT).
+    // Oracle: a recall CLAIM the oracle pins — probing 4/16 cells must
+    // recover ≥ 3 of each query's true top-10 (measured ≥ 4 at sf0.01 and
+    // sf0.1, graft.tools.AccuracyProbe; the exact hit set is
+    // engine-specific, the bound is not) ----
+    QueryDef.sql(
+      "q_ann_ivf",
+      """SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS found_ge_3
+        |FROM embeddings WHERE vec_id < 10
+        |ORDER BY query_id""".stripMargin) { (s, dir) =>
       val g = graft.GraftSession(s)
       val suffix = (dir.hashCode & 0x7fffffff).toString
       val (cName, aName) = (s"ivf_centroids_$suffix", s"ivf_cells_$suffix")
@@ -307,19 +343,30 @@ object PipelineQueries {
       }
       val idx = Similarity.IvfIndex(g.table(cName), g.table(aName))
       val emb = Tables.load(s, dir, "embeddings")
-      Similarity.ivfProbe(idx, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", 10, nprobe = 4)
-        .select(col("query_id"), col("rank"), col("neighbor_id"))
-        .orderBy("query_id", "rank")
+      val queries = emb.filter(col("vec_id") < 10)
+      val approx = Similarity.ivfProbe(idx, queries, "vec_id", "embedding", 10, nprobe = 4)
+      Similarity.recallClaim(emb, queries, approx, "vec_id", "embedding",
+          k = 10, minHits = 3, claimCol = "found_ge_3")
+        .orderBy("query_id")
     },
 
-    // ---- LSH-bucketed ANN (rows-only: recall < 1 by design) ----
-    QueryDef.rowsOnly("q_ann_lsh") { (s, dir) =>
+    // ---- LSH-bucketed ANN. Oracle: same recall-claim pattern — 8 tables
+    // of 4-bit signatures must recover ≥ 3 of each true top-10 (measured
+    // ≥ 5 at both SFs, graft.tools.AccuracyProbe). 4-bit×8-table probes
+    // ~half this small corpus; at scale, raise bits with corpus size to
+    // keep bucket occupancy constant ----
+    QueryDef.sql(
+      "q_ann_lsh",
+      """SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS found_ge_3
+        |FROM embeddings WHERE vec_id < 10
+        |ORDER BY query_id""".stripMargin) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", 10, bits = 8, tables = 4)
-        .select(col("query_id"), col("rank"), col("neighbor_id"))
-        .orderBy("query_id", "rank")
+      val queries = emb.filter(col("vec_id") < 10)
+      val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10,
+        bits = 4, tables = 8)
+      Similarity.recallClaim(emb, queries, approx, "vec_id", "embedding",
+          k = 10, minHits = 3, claimCol = "found_ge_3")
+        .orderBy("query_id")
     },
 
     // ---- vector norms (custom codegen expression vs oracle) ----
@@ -337,15 +384,34 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
-    // ---- multimodal: binary payload + batched stub decode (rows-only:
-    // feature extraction is engine-specific by design) ----
-    QueryDef.rowsOnly("q_multimodal_features") { (s, dir) =>
+    // ---- multimodal: binary payload + batched stub decode. The decode
+    // stub (L1-normalized byte histogram mod 16) is deterministic over the
+    // payload bytes, and the corpus is ASCII, so DuckDB reproduces every
+    // feature component from the text — a full hash-check of the payload
+    // plumbing, modality mapping, metadata and the mapPartitions decode
+    // batch shape ----
+    QueryDef.sql(
+      "q_multimodal_features", {
+        val fcols = (0 until 16).map(j =>
+          s"round(sum(CASE WHEN ascii(c) % 16 = $j THEN 1 ELSE 0 END) / CAST(length(text) AS DOUBLE), 4) AS f$j")
+          .mkString(",\n  ")
+        s"""SELECT doc_id AS media_id,
+           |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+           |       ELSE 'video' END AS modality,
+           |  CAST(length(text) AS BIGINT) AS n_bytes,
+           |  $fcols
+           |FROM (SELECT doc_id, text, unnest(string_split(text, '')) AS c
+           |      FROM documents) t
+           |GROUP BY doc_id, text
+           |ORDER BY media_id""".stripMargin
+      }) { (s, dir) =>
       val media = graft.operators.Multimodal.asMediaTable(
         Tables.load(s, dir, "documents"), "doc_id", "text")
-      graft.operators.Multimodal.extractFeatures(media, dim = 16)
-        .select(col("media_id"), col("modality"), col("n_bytes"),
-          graft.dround(aggregate(col("features"), lit(0.0), (a, x) => a + x), 4)
-            .as("feature_mass"))
+      val feats = graft.operators.Multimodal.extractFeatures(media, dim = 16)
+      feats.select(
+          Seq(col("media_id"), col("modality"), col("n_bytes")) ++
+            (0 until 16).map(j =>
+              graft.dround(element_at(col("features"), j + 1), 4).as(s"f$j")): _*)
         .orderBy("media_id")
     },
 

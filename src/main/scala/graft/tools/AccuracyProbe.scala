@@ -1,0 +1,67 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev diagnostic (not part of the driver contract): per-query recall of
+  * the approximate ANN paths vs brute force, and built-in-sketch accuracy,
+  * at each test SF — the measurements behind the threshold constants used
+  * by the oracle-checked accuracy-claim queries (q_ann_lsh, q_ann_ivf,
+  * q_approx_sketches).
+  */
+object AccuracyProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def measure(sf: String): Unit = {
+      val dir = s"/root/testdata/$sf"
+      val emb = Tables.load(spark, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id")
+
+      def recalls(m: DataFrame): Seq[Long] = {
+        val hits = bf.join(m.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (0L until 10L).map(q => hits.getOrElse(q, 0L))
+      }
+
+      for ((b, t) <- Seq((8, 4), (6, 8), (4, 8))) {
+        val r = recalls(Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10,
+          bits = b, tables = t))
+        println(s"[probe] $sf LSH bits=$b tables=$t min=${r.min} hits=${r.mkString(",")}")
+      }
+      for ((nl, np) <- Seq((16, 4), (16, 6))) {
+        val r = recalls(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+          nlist = nl, nprobe = np))
+        println(s"[probe] $sf IVF nlist=$nl nprobe=$np min=${r.min} hits=${r.mkString(",")}")
+      }
+
+      val li = Tables.load(spark, dir, "lineitem")
+      li.groupBy("l_returnflag").agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("a"),
+          countDistinct(col("l_orderkey")).as("e"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("m"),
+          expr("percentile(l_extendedprice, 0.49)").as("p49"),
+          expr("percentile(l_extendedprice, 0.51)").as("p51"))
+        .collect().foreach { r =>
+          val (a, e) = (r.getLong(1), r.getLong(2))
+          println(f"[probe] $sf sketch ${r.getString(0)} hll_rel=${math.abs(a - e).toDouble / e}%.4f " +
+            s"median_in_p49_p51=${r.getDouble(3) >= r.getDouble(4) && r.getDouble(3) <= r.getDouble(5)}")
+        }
+    }
+
+    measure("sf0.01")
+    measure("sf0.1")
+    spark.stop()
+  }
+}

@@ -76,8 +76,10 @@ class PipelineOpsSpec extends SparkTestBase {
   test("simhash near-dups overlap heavily with exact-jaccard near-dups") {
     val jacc = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.7)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // maxHamming 8 needs > 8 chunks for the pigeonhole recall guarantee
     val sim = Dedup.simhashNearDups(
-        Dedup.simhashSignatures(docs, "doc_id", "text"), maxHamming = 8)
+        Dedup.simhashSignatures(docs, "doc_id", "text"),
+        maxHamming = 8, numChunks = 10)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(jacc.nonEmpty, "no jaccard near-dups in corpus (data changed?)")
     val recall = (jacc & sim).size.toDouble / jacc.size
