@@ -118,6 +118,12 @@ class GraftSession(val spark: SparkSession) {
 
   def isManaged(name: String): Boolean = tables.contains(normalize(name))
 
+  /** True when the table lives in the graftstore column store (mutable
+    * batches + stats pruning), not the cached-DataFrame fallback.
+    */
+  def isStoreBacked(name: String): Boolean =
+    tables.get(normalize(name)).exists(_.storeBacked)
+
   /** SQL entry point: Snappy-specific statements (PUT INTO, UPDATE,
     * DELETE, CREATE POLICY, CREATE TABLE ... USING column AS ...) plus
     * everything stock Spark SQL parses. See [[GraftSql]].

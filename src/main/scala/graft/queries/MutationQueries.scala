@@ -143,6 +143,39 @@ object MutationQueries {
         .orderBy("l_returnflag")
     },
 
+    // ---- DSv2 column store with DECIMAL columns: scaled-long encoding,
+    // decimal batch stats, decimal filter — asserts NO cached-DF fallback
+    // (the money-type path a real schema hits first). Source doubles are
+    // exact 2-decimal values, so the decimal cast is representation-exact
+    // in both engines and the sums compare exactly ----
+    QueryDef.sql(
+      "q_column_store_decimal",
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  CAST(min(CAST(l_discount AS DECIMAL(4,3))) AS DOUBLE) AS min_disc,
+        |  CAST(max(CAST(l_discount AS DECIMAL(4,3))) AS DOUBLE) AS max_disc
+        |FROM lineitem
+        |WHERE CAST(l_extendedprice AS DECIMAL(12,2)) > CAST(50000.00 AS DECIMAL(12,2))
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      val dec = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(12,2)").as("price"),
+          col("l_discount").cast("decimal(4,3)").as("disc"))
+      g.createTable("t_dec", dec)
+      require(g.isStoreBacked("t_dec"),
+        "decimal schema must land in the graftstore, not the cached-DF fallback")
+      g.table("t_dec")
+        .filter(col("price") > lit(BigDecimal("50000.00")).cast("decimal(12,2)"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("total"),
+          min(col("disc")).cast("double").as("min_disc"),
+          max(col("disc")).cast("double").as("max_disc"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- point lookup on the bucketed key: scans exactly the buckets
     // the keys hash to (reference PRIMARY-KEY lookup → one bucket region);
     // GraftStoreSpec asserts the pruning, the oracle the values ----

@@ -140,11 +140,12 @@ class GraftScanBuilder(tableName: String, fullSchema: StructType)
 }
 
 /** Per-batch work unit shipped to readers: the ref plus its merge state
-  * (delete bitmap + ordered update-delta refs per column index).
+  * (delete-bitmap REF + ordered update-delta refs per column index —
+  * payloads resolve from the executor-resident registry at decode).
   */
 case class BatchWork(
     ref: GraftColumnStore.BatchRef,
-    deletes: Option[BitSet],
+    deletes: Option[GraftColumnStore.DeleteRef],
     updates: Map[Int, Vector[GraftColumnStore.ColumnDeltaRef]])
 
 class GraftScan(tableName: String, fullSchema: StructType,
@@ -319,7 +320,9 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType)
   private def decode(w: BatchWork): ColumnarBatch = {
     val batch = GraftColumnStore.BatchRegistry.batch(w.ref.id)
     val n = w.ref.numRows
-    val dels = w.deletes.getOrElse(BitSet.empty)
+    // bitmap payload resolves task-side from the registry; the planned
+    // work item carried only the ref
+    val dels = w.deletes.map(_.bitset).getOrElse(BitSet.empty)
     val live = n - dels.size
     val vectors: Array[ColumnVector] = required.fields.map { f =>
       val vec = new OnHeapColumnVector(live, f.dataType)
@@ -424,6 +427,33 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType)
           }
         }
         return
+      case GraftColumnStore.DecimalColumn(vals, nulls, precision, _) =>
+        // OnHeapColumnVector stores DECIMAL(p≤9) as ints, (p≤18) as longs
+        // — transfer the unscaled values directly, no Decimal boxing
+        if (precision <= Decimal.MAX_INT_DIGITS) {
+          var i = 0
+          var o = 0
+          while (i < vals.length) {
+            if (!hasDels0 || !dels(i)) {
+              if (nulls(i)) vec.putNull(o) else vec.putInt(o, vals(i).toInt)
+              o += 1
+            }
+            i += 1
+          }
+        } else if (!hasDels0 && nulls.isEmpty) {
+          vec.putLongs(0, vals.length, vals, 0)
+        } else {
+          var i = 0
+          var o = 0
+          while (i < vals.length) {
+            if (!hasDels0 || !dels(i)) {
+              if (nulls(i)) vec.putNull(o) else vec.putLong(o, vals(i))
+              o += 1
+            }
+            i += 1
+          }
+        }
+        return
       case _ =>
     }
     if (dt == StringType) col match {
@@ -471,10 +501,12 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType)
       case DoubleType => (o, v) => vec.putDouble(o, v.asInstanceOf[Double])
       case FloatType => (o, v) => vec.putFloat(o, v.asInstanceOf[Float])
       case BooleanType => (o, v) => vec.putBoolean(o, v.asInstanceOf[Boolean])
-      case StringType => (o, v) => {
+      case StringType | _: CharType | _: VarcharType => (o, v) => {
         val b = v.asInstanceOf[UTF8String].getBytes
         vec.putByteArray(o, b, 0, b.length)
       }
+      case d: DecimalType =>
+        (o, v) => vec.putDecimal(o, v.asInstanceOf[Decimal], d.precision)
       case ArrayType(et, _) =>
         // element data accumulates in the child vector; each row records
         // its (offset, length) slice
@@ -548,6 +580,8 @@ object BatchPruning {
     case (DoubleType, n: Number) => Some(n.doubleValue())
     case (FloatType, n: Number) => Some(n.floatValue())
     case (BooleanType, bb: java.lang.Boolean) => Some(bb.booleanValue())
+    case (_: DecimalType, d: java.math.BigDecimal) => Some(Decimal(d))
+    case (_: DecimalType, d: BigDecimal) => Some(Decimal(d))
     case _ => None
   }
 

@@ -105,6 +105,23 @@ object GraftColumnStore {
     }
   }
 
+  /** DECIMAL(p ≤ 18) column: unscaled longs (the scaled-long encoding —
+    * reference ColumnEncoding stores small decimals as longs too). Generic
+    * consumers see boxed [[Decimal]]s; the scan has a primitive fast path.
+    */
+  final case class DecimalColumn(values: Array[Long], nulls: BitSet,
+      precision: Int, scale: Int) extends ColumnData {
+    def numRows: Int = values.length
+    def sizeBytes: Long = 8L * values.length
+    def foreachValue(f: (Int, Any) => Unit): Unit = {
+      var i = 0
+      while (i < values.length) {
+        f(i, if (nulls(i)) null else Decimal(values(i), precision, scale))
+        i += 1
+      }
+    }
+  }
+
   /** Run-length encoding: value of run r covers [runEnds(r-1), runEnds(r)). */
   final case class RunLengthColumn(numRows: Int, runValues: Array[Any],
       runEnds: Array[Int]) extends ColumnData {
@@ -225,6 +242,14 @@ object GraftColumnStore {
         i = 0
         while (i < n) { if (!nulls(i)) out(i) = values(i).asInstanceOf[Int]; i += 1 }
         IntColumn(out, nulls)
+      case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
+        val out = new Array[Long](n)
+        i = 0
+        while (i < n) {
+          if (!nulls(i)) out(i) = values(i).asInstanceOf[Decimal].toUnscaledLong
+          i += 1
+        }
+        DecimalColumn(out, nulls, d.precision, d.scale)
       case _ => PlainColumn(values)
     }
   }
@@ -256,6 +281,7 @@ object GraftColumnStore {
     private val nextId = new AtomicLong(0)
     private val batches = TrieMap.empty[Long, StoreBatch]
     private val deltas = TrieMap.empty[Long, ColumnDeltaPayload]
+    private val bitmaps = TrieMap.empty[Long, Array[Long]]
 
     def putBatch(b: StoreBatch): Long = {
       val id = nextId.incrementAndGet()
@@ -271,9 +297,22 @@ object GraftColumnStore {
     }
     def delta(id: Long): ColumnDeltaPayload = deltas.getOrElse(id,
       throw new IllegalStateException(s"graftstore delta payload missing: $id"))
-    def release(batchIds: Iterable[Long], deltaIds: Iterable[Long]): Unit = {
+    /** Delete-bitmap payload (bitmask words) — written by delete TASKS,
+      * resolved by scan tasks; commit messages carry only the id
+      * (same executor-resident design as batch/delta payloads).
+      */
+    def putBitmap(words: Array[Long]): Long = {
+      val id = nextId.incrementAndGet()
+      bitmaps.put(id, words)
+      id
+    }
+    def bitmapWords(id: Long): Array[Long] = bitmaps.getOrElse(id,
+      throw new IllegalStateException(s"graftstore delete-bitmap payload missing: $id"))
+    def release(batchIds: Iterable[Long], deltaIds: Iterable[Long],
+        bitmapIds: Iterable[Long] = Nil): Unit = {
       batchIds.foreach(batches.remove)
       deltaIds.foreach(deltas.remove)
+      bitmapIds.foreach(bitmaps.remove)
     }
   }
 
@@ -292,6 +331,16 @@ object GraftColumnStore {
 
   final case class ColumnDeltaRef(deltaId: Long, numRows: Int)
 
+  /** Metadata-only handle to a per-batch delete-bitmap payload: the id in
+    * [[BatchRegistry]] plus the popcount (so snapshot row accounting
+    * never touches the payload). At 100 TB a 10% delete returns refs —
+    * ~24 bytes per touched batch — to the driver instead of ~numRows/8
+    * bitmap bytes.
+    */
+  final case class DeleteRef(bitmapId: Long, cardinality: Int) extends Serializable {
+    def bitset: BitSet = BitSet.fromBitMaskNoCopy(BatchRegistry.bitmapWords(bitmapId))
+  }
+
   /** Immutable table state; all mutation swaps the whole snapshot.
     * `sortedBy` records index clustering (CREATE INDEX): batches were
     * written key-ordered, so per-batch min/max stats on those columns are
@@ -303,13 +352,13 @@ object GraftColumnStore {
       numBuckets: Int,
       keyColumns: Seq[String],
       refs: Vector[BatchRef],
-      deletes: Map[Long, BitSet],
+      deletes: Map[Long, DeleteRef],
       updates: Map[Long, Map[Int, Vector[ColumnDeltaRef]]],
       sortedBy: Seq[String] = Nil) {
     def rowCount: Long =
-      refs.map(r => r.numRows.toLong - deletes.get(r.id).map(_.size).getOrElse(0)).sum
+      refs.map(r => r.numRows.toLong - deletes.get(r.id).map(_.cardinality).getOrElse(0)).sum
     def liveRows(ref: BatchRef): Int =
-      ref.numRows - deletes.get(ref.id).map(_.size).getOrElse(0)
+      ref.numRows - deletes.get(ref.id).map(_.cardinality).getOrElse(0)
     def sizeBytes: Long = refs.map(r => BatchRegistry.batch(r.id).sizeBytes).sum
   }
 
@@ -326,15 +375,24 @@ object GraftColumnStore {
     def appendRefs(newRefs: Seq[BatchRef]): Unit =
       mutate(s => s.copy(refs = s.refs ++ newRefs))
 
-    /** Union new delete bitmaps in; fully-dead batches are dropped from
-      * the ref list (their payloads are released on table drop).
+    /** Union new delete-bitmap REFS in; fully-dead batches are dropped
+      * from the ref list (payloads are released on table drop). When a
+      * batch already carries a bitmap, the union payload is built where
+      * the batch lives — the registry tier, not the commit path; only
+      * refs move through the snapshot swap.
       */
-    def applyDeletes(newDeletes: Map[Long, BitSet]): Unit = mutate { s =>
+    def applyDeletes(newDeletes: Map[Long, DeleteRef]): Unit = mutate { s =>
       val merged = (s.deletes.keySet ++ newDeletes.keySet).map { id =>
-        id -> (s.deletes.getOrElse(id, BitSet.empty) | newDeletes.getOrElse(id, BitSet.empty))
+        val ref = (s.deletes.get(id), newDeletes.get(id)) match {
+          case (Some(a), Some(b)) =>
+            val u = a.bitset | b.bitset
+            DeleteRef(BatchRegistry.putBitmap(u.toBitMask), u.size)
+          case (a, b) => a.orElse(b).get
+        }
+        id -> ref
       }.toMap
       val (dead, live) = s.refs.partition(r =>
-        merged.get(r.id).exists(_.size >= r.numRows))
+        merged.get(r.id).exists(_.cardinality >= r.numRows))
       s.copy(refs = live,
         deletes = merged -- dead.map(_.id),
         updates = s.updates -- dead.map(_.id))
@@ -393,7 +451,8 @@ object GraftColumnStore {
   private def releaseAll(t: StoreTable): Unit = {
     val s = t.snapshot
     BatchRegistry.release(s.refs.map(_.id),
-      s.updates.values.flatMap(_.values.flatten.map(_.deltaId)))
+      s.updates.values.flatMap(_.values.flatten.map(_.deltaId)),
+      s.deletes.values.map(_.bitmapId))
   }
 
   // ------------------------------- builder -------------------------------
@@ -502,11 +561,47 @@ object GraftColumnStore {
     }
   }
 
+  /** DECIMAL(p ≤ 18): unscaled-long accumulation, no boxing. Stats are
+    * stored as [[Decimal]]s so pruning compares uniformly.
+    */
+  private final class DecimalColBuilder(size: Int, precision: Int, scale: Int)
+      extends ColBuilder {
+    private var vals = new Array[Long](size)
+    private var nulls = mutable.BitSet.empty
+    def add(row: InternalRow, c: Int, i: Int): Unit =
+      if (row.isNullAt(c)) nulls += i
+      else vals(i) = row.getDecimal(c, precision, scale).toUnscaledLong
+    def seal(n: Int): (ColumnData, ColumnStats) = {
+      var min = Long.MaxValue
+      var max = Long.MinValue
+      var i = 0
+      while (i < n) {
+        if (!nulls(i)) {
+          val v = vals(i)
+          if (v < min) min = v
+          if (v > max) max = v
+        }
+        i += 1
+      }
+      val out = if (n == size) vals else java.util.Arrays.copyOf(vals, n)
+      val nullCount = nulls.size
+      val col = DecimalColumn(out, BitSet.fromBitMaskNoCopy(nulls.toBitMask),
+        precision, scale)
+      val st = ColumnStats(
+        if (nullCount == n) null else Decimal(min, precision, scale),
+        if (nullCount == n) null else Decimal(max, precision, scale), nullCount)
+      vals = new Array[Long](size)
+      nulls = mutable.BitSet.empty
+      (col, st)
+    }
+  }
+
   /** Generic boxed path (strings — cloned, the scan reuses row buffers —
     * plus booleans/floats, arrays, and anything else).
     */
   private final class AnyColBuilder(size: Int, dt: DataType) extends ColBuilder {
-    private val isString = dt == StringType
+    private val isString = dt == StringType ||
+      dt.isInstanceOf[CharType] || dt.isInstanceOf[VarcharType]
     private val isArray = dt.isInstanceOf[ArrayType]
     private val hasStats = statsComparable(dt)
     private var vals = new Array[Any](size)
@@ -551,6 +646,8 @@ object GraftColumnStore {
         case LongType | TimestampType | TimestampNTZType => new LongColBuilder(batchSize)
         case DoubleType => new DoubleColBuilder(batchSize)
         case IntegerType | DateType => new IntColBuilder(batchSize)
+        case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
+          new DecimalColBuilder(batchSize, d.precision, d.scale)
         case dt => new AnyColBuilder(batchSize, dt)
       }
     }
@@ -600,8 +697,10 @@ object GraftColumnStore {
       java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
     case DoubleType => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
     case FloatType => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
-    case StringType => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    case StringType | _: CharType | _: VarcharType =>
+      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
     case BooleanType => java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+    case _: DecimalType => a.asInstanceOf[Decimal].compareTo(b.asInstanceOf[Decimal])
     case _ => 0
   }
 
@@ -609,13 +708,19 @@ object GraftColumnStore {
   def statsComparable(dt: DataType): Boolean = dt match {
     case LongType | TimestampType | TimestampNTZType | IntegerType | DateType |
          DoubleType | FloatType | StringType | BooleanType => true
+    case _: DecimalType | _: CharType | _: VarcharType => true
     case _ => false
   }
 
-  /** Types the store can hold (columnar encode + stats + vector fill). */
+  /** Types the store can hold (columnar encode + stats + vector fill).
+    * DECIMAL(p ≤ 18) stores as unscaled longs; wider decimals ride the
+    * boxed path. CHAR/VARCHAR store as strings (Spark enforces their
+    * length/padding semantics above the source, like every v2 source).
+    */
   def supportsType(dt: DataType): Boolean = dt match {
     case LongType | TimestampType | TimestampNTZType | IntegerType | DateType |
          DoubleType | FloatType | StringType | BooleanType => true
+    case _: DecimalType | _: CharType | _: VarcharType => true
     case ArrayType(et, _) => et match {
       case FloatType | DoubleType | IntegerType | LongType => true
       case _ => false

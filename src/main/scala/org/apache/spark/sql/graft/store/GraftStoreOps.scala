@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.functions._
 
-import scala.collection.immutable.BitSet
+
 import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
@@ -53,23 +53,29 @@ object GraftStoreOps {
   }
 
   /** Turn a DataFrame carrying (_bid, _rid) into per-batch delete bitmaps:
-    * shuffle on batch id, build bitmaps task-side, return only
-    * (id, bitmap-words) — bounded by numRows/8 bytes per touched batch.
+    * shuffle on batch id, build bitmaps task-side and register the
+    * payloads in the executor-resident [[GraftColumnStore.BatchRegistry]]
+    * — only (batchId, bitmapRef, cardinality) triples return to the
+    * driver (the same payload/ref split the update-delta path uses). A
+    * 100 TB table deleting 10% of its rows ships ~24 bytes per touched
+    * batch through the driver, not ~numRows/8 bitmap bytes.
     */
   private def deleteAddressed(spark: SparkSession, table: String, addressed: DataFrame): Unit = {
     import spark.implicits._
-    val bitmaps = addressed.select(col("_bid"), col("_rid"))
+    val refs = addressed.select(col("_bid"), col("_rid"))
       .repartition(col("_bid"))
       .as[(Long, Int)]
       .mapPartitions { it =>
         val acc = mutable.Map.empty[Long, mutable.BitSet]
         it.foreach { case (b, r) => acc.getOrElseUpdate(b, mutable.BitSet.empty) += r }
-        acc.iterator.map { case (b, s) => (b, s.toBitMask) }
+        acc.iterator.map { case (b, s) =>
+          (b, GraftColumnStore.BatchRegistry.putBitmap(s.toBitMask), s.size)
+        }
       }
       .collect()
-    if (bitmaps.nonEmpty)
+    if (refs.nonEmpty)
       GraftColumnStore(table).applyDeletes(
-        bitmaps.map { case (b, w) => b -> BitSet.fromBitMaskNoCopy(w) }.toMap)
+        refs.map { case (b, id, n) => b -> GraftColumnStore.DeleteRef(id, n) }.toMap)
   }
 
   /** UPDATE table SET assignments WHERE cond. New values are computed by

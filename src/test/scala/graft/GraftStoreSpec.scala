@@ -60,6 +60,84 @@ class GraftStoreSpec extends SparkTestBase {
     g.dropTable("s_del")
   }
 
+  test("DELETE commits carry bitmap REFS; payloads live in the registry and union-merge") {
+    val g = GraftSession(spark)
+    freshOrders("s_dref")
+    g.delete("s_dref", col("o_orderkey") % 10 === 0)
+    val snap1 = GraftColumnStore("s_dref").snapshot
+    assert(snap1.deletes.nonEmpty)
+    val card1 = snap1.deletes.values.map(_.cardinality.toLong).sum
+    // the snapshot holds refs whose payloads resolve from the registry —
+    // the driver-side metadata is O(touched batches), not O(deleted rows)
+    snap1.deletes.values.foreach { ref =>
+      val words = GraftColumnStore.BatchRegistry.bitmapWords(ref.bitmapId)
+      assert(java.lang.Long.bitCount(words.map(java.lang.Long.bitCount(_).toLong).sum) >= 0)
+      assert(words.map(java.lang.Long.bitCount(_).toLong).sum == ref.cardinality,
+        "ref cardinality must equal payload popcount")
+    }
+    val total = Tables.load(spark, sf, "orders").count()
+    val dead1 = Tables.load(spark, sf, "orders").filter(col("o_orderkey") % 10 === 0).count()
+    assert(card1 == dead1)
+    assert(g.table("s_dref").count() == total - dead1)
+    // a second overlapping delete union-merges payloads (not refs-only append)
+    g.delete("s_dref", col("o_orderkey") % 5 === 0)
+    val snap2 = GraftColumnStore("s_dref").snapshot
+    val dead2 = Tables.load(spark, sf, "orders").filter(col("o_orderkey") % 5 === 0 ||
+      col("o_orderkey") % 10 === 0).count()
+    assert(snap2.deletes.values.map(_.cardinality.toLong).sum == dead2)
+    assert(g.table("s_dref").count() == total - dead2)
+    g.dropTable("s_dref")
+  }
+
+  test("DECIMAL columns: store-backed, scaled-long encoding, stats skip, mutation") {
+    val g = GraftSession(spark)
+    val dec = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"))
+    g.createTable("s_dec", dec, keyColumns = Seq("l_orderkey", "l_linenumber"))
+    assert(g.isStoreBacked("s_dec"), "decimal schema must not fall back to cached DF")
+    val snap = GraftColumnStore("s_dec").snapshot
+    val batch = GraftColumnStore.BatchRegistry.batch(snap.refs.head.id)
+    assert(batch.columns(2).isInstanceOf[GraftColumnStore.DecimalColumn],
+      s"price must use the scaled-long decimal encoding, got ${batch.columns(2).getClass}")
+    // exact roundtrip: decimal sums are exact integers in cents
+    val want = dec.agg(sum("price")).head().getDecimal(0)
+    val got = g.table("s_dec").agg(sum("price")).head().getDecimal(0)
+    assert(got.compareTo(want) == 0, s"$got != $want")
+
+    // decimal batch stats skip: clustered ingest, mid-range filter
+    Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice").cast("decimal(12,2)").as("price"))
+      .orderBy("price")
+      .write.format(GraftStoreOps.FORMAT).option("table", "s_dec_idx")
+      .option("batch_size", "1024").mode("overwrite").save()
+    val s0 = GraftColumnStore.batchesSkipped.get()
+    val lo = new java.math.BigDecimal("30000.00")
+    val hi = new java.math.BigDecimal("31000.00")
+    val expected = dec.filter(col("price") >= lit(lo) && col("price") < lit(hi)).count()
+    val n = GraftStoreOps.read(spark, "s_dec_idx")
+      .filter(col("price") >= lit(lo) && col("price") < lit(hi)).count()
+    assert(n == expected)
+    assert(GraftColumnStore.batchesSkipped.get() > s0,
+      "decimal min/max stats must prune clustered batches")
+    GraftColumnStore.drop("s_dec_idx")
+
+    // decimal update delta + delete with a decimal predicate
+    val k = g.table("s_dec").select("l_orderkey", "l_linenumber").head()
+    g.update("s_dec",
+      col("l_orderkey") === k.getLong(0) && col("l_linenumber") === k.getInt(1),
+      "price" -> lit(new java.math.BigDecimal("9999.99")).cast("decimal(12,2)"))
+    val updated = g.table("s_dec")
+      .filter(col("l_orderkey") === k.getLong(0) && col("l_linenumber") === k.getInt(1))
+      .head().getDecimal(2)
+    assert(updated.compareTo(new java.math.BigDecimal("9999.99")) == 0)
+    val big = new java.math.BigDecimal("90000.00")
+    val keep = g.table("s_dec").filter(col("price") <= lit(big)).count()
+    g.delete("s_dec", col("price") > lit(big))
+    assert(g.table("s_dec").count() == keep)
+    g.dropTable("s_dec")
+  }
+
   test("PUT INTO upserts via bitmap-delete + append") {
     val g = GraftSession(spark)
     freshOrders("s_put")
