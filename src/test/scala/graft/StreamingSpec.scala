@@ -89,6 +89,46 @@ class StreamingSpec extends SparkTestBase {
     g.dropTable("s_restart")
   }
 
+  test("cdc sink retries transient failures and stays exactly-once") {
+    val g = GraftSession(spark)
+    import spark.implicits._
+    g.createTable("s_retry", Seq((1L, 10.0)).toDF("k", "amt"), keyColumns = Seq("k"))
+    val sink = CdcSink(g, "s_retry", Seq("k"), "ord", queryName = "q_retry",
+      retryWaitMs = 1)
+    // first two apply attempts die mid-batch; the third succeeds —
+    // reference DefaultSnappySinkCallback's bounded retry loop
+    var failures = 2
+    CdcSink.failureInjector = () =>
+      if (failures > 0) { failures -= 1; throw new RuntimeException("transient") }
+    try {
+      sink.apply(Seq((1L, 20.0, CdcSink.Update, 1L), (2L, 5.0, CdcSink.Insert, 2L))
+        .toDF("k", "amt", "_eventType", "ord"), batchId = 0)
+    } finally CdcSink.failureInjector = () => ()
+    val got = g.table("s_retry").orderBy("k").collect().map(_.getDouble(1)).toSeq
+    assert(got == Seq(20.0, 5.0), "batch must land exactly once despite retries")
+    assert(failures == 0, "injector must have fired twice")
+    assert(CdcSink.lastCommitted(g, "q_retry", "s_retry").contains(0L))
+    g.dropTable("s_retry")
+  }
+
+  test("cdc state lookup is a driver-local index probe, not a scan") {
+    val g = GraftSession(spark)
+    // record a few hundred (query, table) states, then probe one:
+    // the probe must not launch a Spark job (tracked via a job listener)
+    (1 to 200).foreach(i => CdcSink.record(g, s"q_$i", s"t_$i", i.toLong))
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(CdcSink.lastCommitted(g, "q_137", "t_137").contains(137L))
+      Thread.sleep(200) // let any (unexpected) job-start events drain
+      assert(jobs == 0, "state lookup must be a store probe, not a Spark job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("custom state via mapGroupsWithState (running count per user)") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
