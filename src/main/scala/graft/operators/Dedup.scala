@@ -257,11 +257,18 @@ object Dedup {
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       tokenHash: Column => Column = xxhash64(_), sigBits: Int = 64): DataFrame = {
+    // pre-aggregate to (doc, token, count) so the token hash — md5 in the
+    // engine-portable variant, the dominant per-row cost — is computed
+    // once per DISTINCT token of a doc, and the sigBits conditional sums
+    // consume the smaller weighted stream (identical totals: a token seen
+    // k times contributes ±k per bit either way)
     val toks = docs.select(col(idCol).as("sid"),
       explode(split(col(textCol), "\\s+")).as("tok"))
+      .groupBy("sid", "tok").agg(count(lit(1)).as("cnt"))
       .withColumn("h", tokenHash(col("tok")))
     val bitCols = (0 until sigBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$b")
     }
     val bitSums = toks.groupBy("sid").agg(bitCols.head, bitCols.tail: _*)
     bitSums.select(col("sid"),
@@ -296,10 +303,15 @@ object Dedup {
       col("sid").as("a"), col("simhash").as("sim_a"))
     val r = chunks.select(col("chunk_idx"), col("chunk_val"),
       col("sid").as("b"), col("simhash").as("sim_b"))
+    // hamming-filter BEFORE the distinct: narrow chunks make the raw
+    // candidate stream large (64 buckets per 6-bit chunk ⇒ ~pairs/chunks
+    // of the corpus), and all of it is codegen-filterable in the join's
+    // output pipeline — deduplicate only the few surviving pairs, never
+    // the full candidate set
     l.join(r, Seq("chunk_idx", "chunk_val")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

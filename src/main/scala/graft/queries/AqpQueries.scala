@@ -252,11 +252,14 @@ object AqpQueries {
     // accuracy CLAIMS the oracle pins — the HLL estimate at rsd 0.02 must
     // land within 5% of exact (measured ≤ 3% at both SFs,
     // graft.tools.AccuracyProbe), and the approx median (accuracy 1000 ⇒
-    // rank error ≤ 0.1%) must lie between the exact 49th and 51st
+    // rank error ≤ 0.1%) must sit between the exact 49th and 51st
     // percentiles. Sketch internals are engine-specific; the bounds are
-    // not. (The exact countDistinct+percentile columns exist for the
-    // verification contract — the Expand they force is the price of a
-    // checkable claim, not part of the recommended sketch-only plan.) ----
+    // not. The rank claim is verified by COUNTING rows on either side of
+    // the sketch median (two codegen'd hash aggregates + a broadcast of
+    // one row per group) — never by an exact percentile() aggregate,
+    // which buffers every group value in memory and is the wrong shape
+    // at 100 TB. m ≥ p49 ⟺ frac(x ≤ m) ≥ 0.49; m ≤ p51 ⟺
+    // frac(x < m) ≤ 0.51. ----
     QueryDef.sql(
       "q_approx_sketches",
       """SELECT l_returnflag,
@@ -266,20 +269,37 @@ object AqpQueries {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .groupBy("l_returnflag")
+      val li = Tables.load(s, dir, "lineitem")
+      // KEEP countDistinct in its own aggregation: mixing a DISTINCT
+      // aggregate (Expand) with a typed-imperative one (percentile_approx
+      // forces ObjectHashAggregate for the whole node) measured 11 s where
+      // the two separate aggregations take 1.3 s combined (ScratchProbe).
+      val distincts = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      val approxes = li.groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("median_approx"),
-          expr("percentile(l_extendedprice, 0.49)").as("p49"),
-          expr("percentile(l_extendedprice, 0.51)").as("p51"))
+            .as("median_approx"))
+      // 3 rows — materialize once; it feeds both the broadcast side of
+      // the rank count and the final join
+      val sketches = approxes.join(distincts, "l_returnflag")
+        .localCheckpoint(true)
+      val ranks = li.select(col("l_returnflag").as("rf"), col("l_extendedprice"))
+        .join(broadcast(sketches.select(col("l_returnflag").as("rf"),
+          col("median_approx"))), "rf")
+        .groupBy("rf")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") <= col("median_approx"), 1L)
+            .otherwise(0L)).as("n_le"),
+          sum(when(col("l_extendedprice") < col("median_approx"), 1L)
+            .otherwise(0L)).as("n_lt"))
+      sketches.join(ranks, col("l_returnflag") === col("rf"))
         .select(col("l_returnflag"), col("exact_orders"),
           (abs(col("approx_orders") - col("exact_orders")) <=
             col("exact_orders").cast("double") * 0.05).as("hll_within_5pct"),
-          (col("median_approx") >= col("p49") &&
-            col("median_approx") <= col("p51")).as("median_within_rank"))
+          (col("n_le").cast("double") >= col("n") * 0.49 &&
+            col("n_lt").cast("double") <= col("n") * 0.51).as("median_within_rank"))
         .orderBy("l_returnflag")
     }
   )

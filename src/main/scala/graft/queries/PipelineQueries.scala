@@ -257,10 +257,14 @@ object PipelineQueries {
         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
         |ORDER BY a, b""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      Dedup.simhashNearDups(
-          Dedup.simhashSignatures(docs, "doc_id", "text",
-            tokenHash = Dedup.md5Hash60, sigBits = 60),
-          maxHamming = 8, numChunks = 10, sigBits = 60)
+      // materialize the signatures once: both sides of the chunk
+      // self-join read them, and the signature subtree (explode + two
+      // shuffled aggregations + md5 per distinct token) is the dominant
+      // cost — without the checkpoint it executes twice
+      val sig = Dedup.simhashSignatures(docs, "doc_id", "text",
+          tokenHash = Dedup.md5Hash60, sigBits = 60)
+        .localCheckpoint(true)
+      Dedup.simhashNearDups(sig, maxHamming = 8, numChunks = 10, sigBits = 60)
         .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
         .orderBy("a", "b")
     },
