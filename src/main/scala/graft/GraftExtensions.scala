@@ -49,6 +49,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => VE.graftRoundExpr(args(0),
         args(1).eval().asInstanceOf[Number].intValue())))
 
+    // bootstrap error estimation (reference NumBootStrapTrials contract,
+    // Literals.scala:259-303) — composable surface: bootstrap_trials
+    // yields the raw per-trial estimates so non-linear estimators get CIs
+    // closed-form can't provide; bootstrap_ci turns any ARRAY<DOUBLE> of
+    // trials into a percentile interval
+    e.injectFunction((FunctionIdentifier("bootstrap_trials"),
+      info("bootstrap_trials",
+        "bootstrap_trials(x, w, mode, trials, seed) - poissonized-bootstrap trial estimates"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graft.BootstrapTrials(
+          args(0), args(1), args(2), args(3), args(4)).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("bootstrap_ci"),
+      info("bootstrap_ci",
+        "bootstrap_ci(trials, confidence) - percentile CI struct(abs_err, lo, hi)"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graft.BootstrapCI(args(0), args(1))))
+
     // reference io/snappydata/functions.scala:46-53: dsid() (executor
     // member id — here the partition id, the Spark-native analog) and
     // current_schema() (alias of current_database)

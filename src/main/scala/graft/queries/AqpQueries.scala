@@ -225,6 +225,55 @@ object AqpQueries {
         .orderBy("l_returnflag")
     },
 
+    // ---- bootstrap error estimation (reference NumBootStrapTrials):
+    // poissonized resampling with a counter-based multiplier stream is
+    // fully deterministic, so its CI claims are stable facts the oracle
+    // pins — containment of the true mean, interval ordering, and an
+    // error magnitude inside a wide measured band (rel. err. < 10% at
+    // fraction 0.1; measured ≈1% at both SFs) ----
+    QueryDef.sql(
+      "q_aqp_bootstrap",
+      """SELECT l_returnflag,
+        |  CAST(1 AS BOOLEAN) AS ci_contains_truth,
+        |  CAST(1 AS BOOLEAN) AS ci_ordered,
+        |  CAST(1 AS BOOLEAN) AS err_scale_sane,
+        |  200 AS trials
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graft.SampleRewrite
+      val g = graft.GraftSession(s)
+      graft.Tables.registerAll(s, dir)
+      val name = s"li_aqp_sample_${dir.hashCode & 0x7fffffff}"
+      if (!g.isManaged(name))
+        g.createSampleTable(name, Tables.load(s, dir, "lineitem"),
+          qcs = Seq("l_returnflag", "l_linestatus"),
+          fraction = 0.1, reservoirFloor = 30,
+          rankKey = Seq("l_orderkey", "l_linenumber"))
+      g.registerSample("lineitem", name)
+      s.conf.set(SampleRewrite.CLOSED_FORM_KEY, "false")
+      s.conf.set(SampleRewrite.TRIALS_KEY, "200")
+      val ci =
+        try g.sql(
+          """SELECT l_returnflag, avg(l_extendedprice) AS m,
+            |  absolute_error(m) AS e, lower_bound(m) AS lo, upper_bound(m) AS hi
+            |FROM lineitem GROUP BY l_returnflag
+            |WITH ERROR 0.9 CONFIDENCE 0.95 BEHAVIOR 'do_nothing'""".stripMargin)
+        finally {
+          s.conf.unset(SampleRewrite.CLOSED_FORM_KEY)
+          s.conf.unset(SampleRewrite.TRIALS_KEY)
+          g.samples.remove("lineitem")
+        }
+      val exact = Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag").agg(avg("l_extendedprice").as("t"))
+      ci.join(broadcast(exact), "l_returnflag")
+        .select(col("l_returnflag"),
+          (col("lo") <= col("t") && col("t") <= col("hi")).as("ci_contains_truth"),
+          (col("lo") <= col("m") && col("m") <= col("hi")).as("ci_ordered"),
+          (col("e") > 0 && col("e") < col("m") * 0.1).as("err_scale_sane"),
+          lit(200).as("trials"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- CMS time-series top-k vs exact oracle ----
     QueryDef.sql(
       "q_approx_topk_ts",

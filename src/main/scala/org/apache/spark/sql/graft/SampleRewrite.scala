@@ -57,6 +57,29 @@ object SampleRewrite {
 
   final case class AqpParams(error: Double, confidence: Double, behavior: String)
 
+  /** Error-estimation strategy (reference `ClosedFormEstimates` /
+    * `NumBootStrapTrials` session properties, Literals.scala:259-303).
+    * Closed-form is the default: zero extra aggregation state. Bootstrap
+    * replaces the normal-theory interval with the percentile interval of
+    * `trials` poissonized resamples ([[BootstrapTrials]]) — covers skewed
+    * strata where the normal interval under-covers, at 2·trials doubles
+    * of aggregation state per group.
+    */
+  sealed trait ErrorEstimator
+  case object ClosedForm extends ErrorEstimator
+  final case class Bootstrap(trials: Int, seed: Long) extends ErrorEstimator
+
+  val CLOSED_FORM_KEY = "spark.sql.graft.aqp.closedFormEstimates"
+  val TRIALS_KEY = "spark.sql.graft.aqp.numBootstrapTrials"
+  val SEED_KEY = "spark.sql.graft.aqp.bootstrapSeed"
+
+  /** The session's configured estimator (defaults: closed-form). */
+  def estimatorOf(spark: SparkSession): ErrorEstimator =
+    if (spark.conf.get(CLOSED_FORM_KEY, "true").toBoolean) ClosedForm
+    else Bootstrap(
+      spark.conf.get(TRIALS_KEY, "100").toInt,
+      spark.conf.get(SEED_KEY, "2026").toLong)
+
   /** Aggregates the HT weighting covers. */
   private val supportedAggs = Set("count", "sum", "avg", "mean")
   private val errorFns =
@@ -101,6 +124,32 @@ object SampleRewrite {
       case "sum" => htSum(arg.get)
       case _ => htAvg(arg.get)
     }
+
+  // ---- bootstrap estimators ([[BootstrapTrials]]/[[BootstrapCI]]) ----
+
+  /** The per-trial resample aggregate for an aliased aggregate kind. Four
+    * error functions over one alias build four copies of this expression;
+    * the physical planner dedups semantically-equal aggregates, so the
+    * trials buffer is computed once per alias.
+    */
+  private def bootstrapTrialsOf(kind: String, arg: Option[Expression],
+      bs: Bootstrap): Expression = {
+    val (value, mode) = kind match {
+      case "count" => (dlit(1.0), "sum")
+      case "countexpr" => (Cast(IsNotNull(arg.get), DoubleType), "sum")
+      case "sum" => (arg.get, "sum")
+      case _ => (arg.get, "ratio")
+    }
+    org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
+      BootstrapTrials(value, weight, Literal(mode), Literal(bs.trials), Literal(bs.seed)),
+      org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+      isDistinct = false)
+  }
+
+  /** STRUCT<abs_err, lo, hi> of the percentile CI over the trials. */
+  private def bootstrapCiOf(kind: String, arg: Option[Expression],
+      confidence: Double, bs: Bootstrap): Expression =
+    BootstrapCI(bootstrapTrialsOf(kind, arg, bs), dlit(confidence))
 
   /** Half-width of the confidence interval (see scaladoc). */
   private def absErrOf(kind: String, arg: Option[Expression], z: Double): Expression =
@@ -155,8 +204,21 @@ object SampleRewrite {
         name.toLowerCase -> (kind, args.headOption)
     }.toMap
 
+  /** Error-expansion context: normal z for closed-form, confidence for
+    * the bootstrap percentile interval.
+    */
+  private final case class EstCtx(z: Double, confidence: Double, est: ErrorEstimator)
+
+  /** abs-err expression under the configured estimator. */
+  private def absErrCtx(kind: String, arg: Option[Expression], ctx: EstCtx): Expression =
+    ctx.est match {
+      case ClosedForm => absErrOf(kind, arg, ctx.z)
+      case bs: Bootstrap =>
+        GetStructField(bootstrapCiOf(kind, arg, ctx.confidence, bs), 0, Some("abs_err"))
+    }
+
   private def rewriteAgg(e: Expression, targets: Map[String, (String, Option[Expression])],
-      z: Double): Expression = e match {
+      ctx: EstCtx): Expression = e match {
     case UnresolvedFunction(Seq(n), args, false, _, _, _, _)
         if n.equalsIgnoreCase("count") && isCountStar(args) =>
       Cast(fn("round", fn("sum", weight)), LongType)
@@ -182,22 +244,29 @@ object SampleRewrite {
           s"${n.toLowerCase}($target): no supported aggregate aliased '$target' in this SELECT " +
             s"(error functions apply to count(*)/sum/avg aliases)"))
       val est = estimateOf(kind, kArg)
-      val abs = absErrOf(kind, kArg, z)
-      n.toLowerCase match {
-        case "absolute_error" => abs
-        case "relative_error" => Divide(abs, fn("nullif", fn("abs", est), dlit(0.0)))
-        case "lower_bound" => Subtract(est, abs)
-        case "upper_bound" => Add(est, abs)
+      val abs = absErrCtx(kind, kArg, ctx)
+      (n.toLowerCase, ctx.est) match {
+        case ("absolute_error", _) => abs
+        case ("relative_error", _) =>
+          Divide(abs, fn("nullif", fn("abs", est), dlit(0.0)))
+        // bootstrap bounds are the (possibly asymmetric) percentile
+        // interval itself — keeping the estimator's skew is the point
+        case ("lower_bound", bs: Bootstrap) =>
+          GetStructField(bootstrapCiOf(kind, kArg, ctx.confidence, bs), 1, Some("lo"))
+        case ("upper_bound", bs: Bootstrap) =>
+          GetStructField(bootstrapCiOf(kind, kArg, ctx.confidence, bs), 2, Some("hi"))
+        case ("lower_bound", _) => Subtract(est, abs)
+        case ("upper_bound", _) => Add(est, abs)
       }
-    case other => other.mapChildren(rewriteAgg(_, targets, z))
+    case other => other.mapChildren(rewriteAgg(_, targets, ctx))
   }
 
   /** Top-level select-list rewrite honoring the `sample_` reserved alias. */
   private def rewriteNamed(ne: NamedExpression,
-      targets: Map[String, (String, Option[Expression])], z: Double): NamedExpression =
+      targets: Map[String, (String, Option[Expression])], ctx: EstCtx): NamedExpression =
     ne match {
       case a @ Alias(_, name) if isSampleAlias(name) => a
-      case other => rewriteAgg(other, targets, z).asInstanceOf[NamedExpression]
+      case other => rewriteAgg(other, targets, ctx).asInstanceOf[NamedExpression]
     }
 
   /** Aggregate functions in the plan the HT weighting cannot cover. */
@@ -227,8 +296,8 @@ object SampleRewrite {
     * HT-weight the aggregates and expand error functions.
     */
   def rewrite(plan: LogicalPlan, baseTable: String, sampleTable: String,
-      confidence: Double): LogicalPlan = {
-    val z = graft.operators.Aqp.zScore(confidence)
+      confidence: Double, estimator: ErrorEstimator = ClosedForm): LogicalPlan = {
+    val ctx = EstCtx(graft.operators.Aqp.zScore(confidence), confidence, estimator)
     plan.transformUp {
       case r: UnresolvedRelation
           if r.multipartIdentifier.map(_.toLowerCase) == Seq(baseTable.toLowerCase) =>
@@ -236,11 +305,11 @@ object SampleRewrite {
       case a: Aggregate =>
         val targets = aliasTargets(a.aggregateExpressions)
         a.copy(aggregateExpressions =
-          a.aggregateExpressions.map(rewriteNamed(_, targets, z)))
+          a.aggregateExpressions.map(rewriteNamed(_, targets, ctx)))
       case p: Project if hasAggCall(p.projectList) =>
         // global aggregate without GROUP BY: still a Project pre-analysis
         val targets = aliasTargets(p.projectList)
-        p.copy(projectList = p.projectList.map(rewriteNamed(_, targets, z)))
+        p.copy(projectList = p.projectList.map(rewriteNamed(_, targets, ctx)))
     }
   }
 
@@ -348,23 +417,25 @@ object SampleRewrite {
     * the post-execution error-bound check. Returns (plan, alias→errCol).
     */
   private def rewriteWithErrCols(plan: LogicalPlan, baseTable: String,
-      sampleTable: String, confidence: Double): (LogicalPlan, Seq[(String, String)]) = {
-    val z = graft.operators.Aqp.zScore(confidence)
+      sampleTable: String, confidence: Double,
+      estimator: ErrorEstimator): (LogicalPlan, Seq[(String, String)]) = {
+    val ctx = EstCtx(graft.operators.Aqp.zScore(confidence), confidence, estimator)
     // targets come from the ORIGINAL select list (pre-weighting)
     val targets = plan.collectFirst {
       case oa: Aggregate => aliasTargets(oa.aggregateExpressions)
       case op: Project if hasAggCall(op.projectList) => aliasTargets(op.projectList)
     }.getOrElse(Map.empty)
-    if (targets.isEmpty) return (rewrite(plan, baseTable, sampleTable, confidence), Nil)
+    if (targets.isEmpty)
+      return (rewrite(plan, baseTable, sampleTable, confidence, estimator), Nil)
     var errCols = Seq.empty[(String, String)]
     val extra = targets.toSeq.zipWithIndex.map { case ((alias, (kind, arg)), i) =>
       val name = s"_rel_err_$i"
       errCols :+= (alias -> name)
-      Alias(Divide(absErrOf(kind, arg, z),
+      Alias(Divide(absErrCtx(kind, arg, ctx),
         fn("nullif", fn("abs", estimateOf(kind, arg)), dlit(0.0))), name)()
     }
     var done = false
-    val out = rewrite(plan, baseTable, sampleTable, confidence).transformDown {
+    val out = rewrite(plan, baseTable, sampleTable, confidence, estimator).transformDown {
       case a: Aggregate if !done =>
         done = true
         a.copy(aggregateExpressions = a.aggregateExpressions ++ extra)
@@ -408,6 +479,7 @@ object SampleRewrite {
     // exact execution on the base table, error functions pinned to 0/NULL
     def exactRun(): DataFrame = withSampleCols(Dataset.ofRows(classic, rewriteForBase(parsed)))
     val bad = unsupportedAggs(parsed)
+    val estimator = estimatorOf(spark)
     params.behavior match {
       case "strict" if bad.nonEmpty =>
         throw new IllegalArgumentException(
@@ -417,12 +489,12 @@ object SampleRewrite {
         exactRun()
       case b =>
         lazy val rewritten = Dataset.ofRows(classic,
-          rewrite(parsed, baseTable, sampleTable, params.confidence))
+          rewrite(parsed, baseTable, sampleTable, params.confidence, estimator))
         if (b == "do_nothing") rewritten
         else {
           // enforce the requested error bound on the supported aggregates
           val (checkedPlan, errPairs) =
-            rewriteWithErrCols(parsed, baseTable, sampleTable, params.confidence)
+            rewriteWithErrCols(parsed, baseTable, sampleTable, params.confidence, estimator)
           if (errPairs.isEmpty) rewritten
           else {
             val errCols = errPairs.map(_._2)

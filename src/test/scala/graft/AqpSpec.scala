@@ -319,4 +319,91 @@ class AqpSpec extends SparkTestBase {
     val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
     assert(math.abs(a - e) / e < 0.10, s"approx $a vs exact $e")
   }
+
+  private def withBootstrap[T](trials: Int)(f: => T): T = {
+    import org.apache.spark.sql.graft.SampleRewrite
+    spark.conf.set(SampleRewrite.CLOSED_FORM_KEY, "false")
+    spark.conf.set(SampleRewrite.TRIALS_KEY, trials.toString)
+    try f finally {
+      spark.conf.unset(SampleRewrite.CLOSED_FORM_KEY)
+      spark.conf.unset(SampleRewrite.TRIALS_KEY)
+    }
+  }
+
+  test("bootstrap estimator: deterministic percentile CI brackets the truth") {
+    withSample("li_sample_bs") { g =>
+      withBootstrap(200) {
+        val q =
+          """SELECT l_returnflag, avg(l_extendedprice) AS m,
+            |  absolute_error(m) AS e, lower_bound(m) AS lo, upper_bound(m) AS hi
+            |FROM lineitem GROUP BY l_returnflag
+            |WITH ERROR 0.5 CONFIDENCE 0.95""".stripMargin
+        def run() = g.sql(q).collect()
+          .map(r => r.getString(0) ->
+            (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+        val got = run()
+        // counter-based multiplier stream: identical across executions
+        assert(got == run(), "bootstrap must be deterministic")
+        val truth = li.groupBy("l_returnflag").agg(avg("l_extendedprice"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        truth.foreach { case (k, t) =>
+          val (m, e, lo, hi) = got(k)
+          assert(lo <= hi && e > 0, s"degenerate interval at $k")
+          assert(math.abs(e - (hi - lo) / 2) < 1e-9, "abs_err is the CI half-width")
+          assert(t >= lo && t <= hi, s"group $k: true $t outside bootstrap [$lo, $hi]")
+          assert(m >= lo && m <= hi, s"group $k: estimate $m outside its own CI")
+        }
+      }
+    }
+  }
+
+  test("bootstrap beats closed-form on a skewed stratum (asymmetric CI)") {
+    withSample("li_sample_skew") { g =>
+      // cube the price: heavy right skew — the HT-sum's sampling
+      // distribution is visibly non-normal at stratum sample sizes, which
+      // is exactly where the normal-theory interval is wrong
+      val q =
+        """SELECT l_returnflag,
+          |  sum(l_extendedprice * l_extendedprice * l_extendedprice) AS s,
+          |  lower_bound(s) AS lo, upper_bound(s) AS hi
+          |FROM lineitem GROUP BY l_returnflag
+          |WITH ERROR 0.9 CONFIDENCE 0.9""".stripMargin
+      val bs = withBootstrap(400)(g.sql(q).collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap)
+      val truth = li.groupBy("l_returnflag")
+        .agg(sum(pow(col("l_extendedprice"), 3)).as("s"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      var asymmetric = 0
+      truth.foreach { case (k, t) =>
+        val (est, lo, hi) = bs(k)
+        assert(t >= lo && t <= hi, s"group $k: true $t outside bootstrap [$lo, $hi]")
+        // percentile CI keeps the estimator's skew: bounds need not be
+        // symmetric around the point estimate (closed-form forces them to)
+        if (math.abs((hi - est) - (est - lo)) > 1e-6 * est) asymmetric += 1
+      }
+      assert(asymmetric > 0, "percentile CI on cubed prices should be asymmetric somewhere")
+    }
+  }
+
+  test("bootstrap_trials/bootstrap_ci compose CIs for non-linear estimators") {
+    withSample("li_sample_nl") { g =>
+      // discount-weighted price ratio: sum(price*disc)/sum(price) — a
+      // non-linear (ratio-of-sums) estimator closed-form has no formula
+      // for; trials of both sums share multipliers (same (x,w) key would
+      // differ — use zip_with over two PAIRED trial arrays)
+      val r = g.sql(
+        """SELECT bootstrap_ci(
+          |    zip_with(
+          |      bootstrap_trials(l_extendedprice * l_discount, _weight, 'sum', 200, 7),
+          |      bootstrap_trials(l_extendedprice, _weight, 'sum', 200, 7),
+          |      (a, b) -> a / b),
+          |    0.95) AS ci
+          |FROM li_sample_nl""".stripMargin).head().getStruct(0)
+      val (absErr, lo, hi) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      val t = li.agg(sum(col("l_extendedprice") * col("l_discount")) / sum(col("l_extendedprice")))
+        .head().getDouble(0)
+      assert(absErr > 0 && lo < hi)
+      assert(t >= lo && t <= hi, s"true ratio $t outside bootstrap [$lo, $hi]")
+    }
+  }
 }
