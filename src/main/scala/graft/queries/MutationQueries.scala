@@ -232,6 +232,28 @@ object MutationQueries {
         .orderBy("c_custkey")
     },
 
+    // ---- row table secondary index (reference createIndex:1760): a
+    // range predicate on the indexed column prunes packs via driver-side
+    // (min,max) stats and binary-searches the survivors' sorted-slot
+    // arrays — RowTableSpec proves the pruning telemetry, the oracle the
+    // values. Range-partitioned ingest gives the stats pruning power ----
+    QueryDef.sql(
+      "q_row_range_lookup",
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > 50000 AND o_totalprice <= 80000
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      g.createTable("t_rowrange",
+        Tables.load(s, dir, "orders").repartitionByRange(16, col("o_totalprice")),
+        provider = "row")
+      g.sql("CREATE INDEX t_rowrange_price ON t_rowrange (o_totalprice)")
+      g.table("t_rowrange")
+        .filter(col("o_totalprice") > 50000.0 && col("o_totalprice") <= 80000.0)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // ---- row table DML: update + delete + PK upsert compose (every op
     // is an index-probe tombstone + append — O(delta), never O(table)) ----
     QueryDef.sql(

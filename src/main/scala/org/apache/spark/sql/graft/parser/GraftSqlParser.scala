@@ -177,7 +177,13 @@ case class GraftAlterDropColumnCommand(table: String, column: String)
 case class GraftCreateIndexCommand(table: String, columns: Seq[String])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    org.apache.spark.sql.graft.store.GraftStoreOps.createIndex(spark, table, columns)
+    // row tables get per-column secondary indexes (sorted-slot arrays +
+    // pack stats); column tables get clustering (sorted batch rewrite)
+    if (org.apache.spark.sql.graft.store.GraftRowStore.get(table).isDefined)
+      columns.foreach(c =>
+        org.apache.spark.sql.graft.store.GraftRowOps.createIndex(spark, table, c))
+    else
+      org.apache.spark.sql.graft.store.GraftStoreOps.createIndex(spark, table, columns)
     Nil
   }
 }
@@ -191,7 +197,10 @@ case class GraftTruncateTableCommand(table: String) extends LeafRunnableCommand 
 
 case class GraftDropIndexCommand(table: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    org.apache.spark.sql.graft.store.GraftStoreOps.dropIndex(spark, table)
+    if (org.apache.spark.sql.graft.store.GraftRowStore.get(table).isDefined)
+      org.apache.spark.sql.graft.store.GraftRowOps.dropIndexes(table)
+    else
+      org.apache.spark.sql.graft.store.GraftStoreOps.dropIndex(spark, table)
     Nil
   }
 }

@@ -193,4 +193,47 @@ object GraftRowOps {
   def compact(spark: SparkSession, table: String): Unit =
     read(spark, table).write.format(FORMAT).option("table", table)
       .mode("overwrite").save()
+
+  /** CREATE INDEX on a row-table column (reference
+    * SnappySession.createIndex:1760 — B-tree secondary indexes with range
+    * scans). Distributed build, metadata commit: one task per pack group
+    * materializes the executor-resident sorted-slot array
+    * ([[GraftRowStore.SortedSlotRegistry]]) and returns only the pack's
+    * (min, max) of the column — a handful of values per pack — which the
+    * driver installs as planning-time pruning stats. O(table·log pack)
+    * once at build, like any index build; data never moves.
+    */
+  def createIndex(spark: SparkSession, table: String, column: String): Unit = {
+    val t = GraftRowStore(table)
+    val snap = t.snapshot
+    val ordinal = snap.schema.fieldIndex(column)
+    val dt = snap.schema.fields(ordinal).dataType
+    val ids = snap.refs.map(_.id)
+    val stats: Map[Long, (Any, Any)] =
+      if (ids.isEmpty) Map.empty
+      else spark.sparkContext
+        .parallelize(ids, math.max(1,
+          math.min(ids.size, spark.sparkContext.defaultParallelism)))
+        .map { pid =>
+          val (slots, nonNull) =
+            GraftRowStore.SortedSlotRegistry.sortedSlots(pid, column, ordinal, dt)
+          if (nonNull == 0) (pid, null: Any, null: Any)
+          else {
+            val rows = GraftRowStore.PackRegistry.pack(pid).rows
+            (pid, rows(slots(0)).get(ordinal, dt),
+              rows(slots(nonNull - 1)).get(ordinal, dt))
+          }
+        }
+        .collect()
+        .collect { case (pid, mn, mx) if mn != null => pid -> (mn, mx) }
+        .toMap
+    t.mutate(s => s.copy(indexes =
+      s.indexes + (column.toLowerCase -> GraftRowStore.IndexStats(column, stats))))
+  }
+
+  /** DROP INDEX: clears the secondary-index metadata (memoized sorted
+    * arrays are harmless to keep; they die with their packs).
+    */
+  def dropIndexes(table: String): Unit =
+    GraftRowStore(table).mutate(_.copy(indexes = Map.empty))
 }

@@ -67,9 +67,11 @@ object GraftRowTable {
   def fromOptions(name: String, schema: StructType, props: Map[String, String]): GraftRowTable = {
     val existing = GraftRowStore.get(name).map(_.snapshot)
     val keys = existing.map(_.keyColumns).getOrElse(
-      props.get("key_columns").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil))
+      props.get("key_columns").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil))
     val bucketBy = existing.map(_.bucketBy).getOrElse(
-      props.get("partition_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil))
+      props.get("partition_by").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil))
     val buckets = existing.map(_.numBuckets).getOrElse(
       props.get("buckets").map(_.toInt).getOrElse(0))
     new GraftRowTable(name, schema, keys, bucketBy, buckets)
@@ -139,6 +141,21 @@ case class RowPackGroupPartition(refs: Vector[GraftRowStore.PackRef],
     tombstones: Map[Long, BitSet]) extends InputPartition
 /** Already-resolved row addresses from a planning-time index probe. */
 case class RowProbePartition(addresses: Seq[(Long, Int)]) extends InputPartition
+/** Secondary-index range scan over stats-surviving packs: each task
+  * binary-searches the pack's sorted-slot array and emits only the
+  * matching contiguous slice. Bounds carry internal values;
+  * `inc` = bound is inclusive.
+  */
+case class RowRangePartition(refs: Vector[GraftRowStore.PackRef],
+    tombstones: Map[Long, BitSet], column: String, ordinal: Int, dt: DataType,
+    lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)]) extends InputPartition
+
+/** Planning artifact of [[GraftRowScan.rangeProbe]]: the tightest range
+  * on one indexed column plus the index's per-pack stats.
+  */
+case class RowRangeSpec(column: String, ordinal: Int, dt: DataType,
+    lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)],
+    stats: Map[Long, (Any, Any)])
 
 class GraftRowScan(tableName: String, fullSchema: StructType,
     required: StructType, pushedFilters: Array[Filter])
@@ -213,6 +230,62 @@ class GraftRowScan(tableName: String, fullSchema: StructType,
     }.toSet)
   }
 
+  /** Range constraint on a secondary-indexed column, assembled from the
+    * pushed conjuncts (tightest lower/upper bound wins; IN collapses to
+    * its envelope — the residual filter keeps exactness either way).
+    */
+  private def rangeProbe: Option[RowRangeSpec] = {
+    if (snapshot.indexes.isEmpty) return None
+    snapshot.indexes.keys.toSeq.sorted.iterator.flatMap { key =>
+      val ix = snapshot.indexes(key)
+      val idx = fullSchema.fieldNames.indexWhere(_.equalsIgnoreCase(ix.column))
+      if (idx < 0) None
+      else {
+        val dt = fullSchema.fields(idx).dataType
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(dt)
+        var lo: Option[(Any, Boolean)] = None
+        var hi: Option[(Any, Boolean)] = None
+        def low(v: Any, inc: Boolean): Unit =
+          BatchPruning.internal(dt, v).foreach { iv =>
+            lo = Some(lo match {
+              case Some((cur, cinc)) =>
+                val c = ord.compare(iv, cur)
+                if (c > 0 || (c == 0 && !inc)) (iv, inc) else (cur, cinc)
+              case None => (iv, inc)
+            })
+          }
+        def high(v: Any, inc: Boolean): Unit =
+          BatchPruning.internal(dt, v).foreach { iv =>
+            hi = Some(hi match {
+              case Some((cur, cinc)) =>
+                val c = ord.compare(iv, cur)
+                if (c < 0 || (c == 0 && !inc)) (iv, inc) else (cur, cinc)
+              case None => (iv, inc)
+            })
+          }
+        val c = ix.column
+        pushedFilters.foreach {
+          case GreaterThan(n, v) if n.equalsIgnoreCase(c) && v != null => low(v, false)
+          case GreaterThanOrEqual(n, v) if n.equalsIgnoreCase(c) && v != null => low(v, true)
+          case LessThan(n, v) if n.equalsIgnoreCase(c) && v != null => high(v, false)
+          case LessThanOrEqual(n, v) if n.equalsIgnoreCase(c) && v != null => high(v, true)
+          case EqualTo(n, v) if n.equalsIgnoreCase(c) && v != null =>
+            low(v, true); high(v, true)
+          case In(n, vs) if n.equalsIgnoreCase(c) && vs.nonEmpty && !vs.contains(null) =>
+            val ivs = vs.toSeq.flatMap(v => BatchPruning.internal(dt, v))
+            if (ivs.size == vs.length) {
+              low(ivs.reduce((a, b) => if (ord.compare(a, b) <= 0) a else b), true)
+              high(ivs.reduce((a, b) => if (ord.compare(a, b) >= 0) a else b), true)
+            }
+          case _ =>
+        }
+        if (lo.isEmpty && hi.isEmpty) None
+        else Some(RowRangeSpec(ix.column, idx, dt, lo, hi, ix.packRange))
+      }
+    }.nextOption()
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val combos = keyCombos
     if (combos.isDefined) {
@@ -243,6 +316,38 @@ class GraftRowScan(tableName: String, fullSchema: StructType,
       }
       return Array(RowProbePartition(addresses))
     }
+    rangeProbe match {
+      case Some(spec) =>
+        // secondary-index range scan: stats prune whole packs at
+        // planning (metadata only — pack payloads never leave their
+        // executors), survivors get binary-searched task-side
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(spec.dt)
+        val kept = snapshot.refs.filter { r =>
+          spec.stats.get(r.id) match {
+            case Some((mn, mx)) =>
+              val okLo = spec.lo.forall { case (v, inc) =>
+                val c = ord.compare(mx, v); c > 0 || (c == 0 && inc)
+              }
+              val okHi = spec.hi.forall { case (v, inc) =>
+                val c = ord.compare(mn, v); c < 0 || (c == 0 && inc)
+              }
+              okLo && okHi
+            case None => true // packs appended after the index build
+          }
+        }
+        GraftRowStore.rangePacksPruned.addAndGet(snapshot.refs.size - kept.size)
+        GraftRowStore.rangePacksProbed.addAndGet(kept.size)
+        if (kept.isEmpty) return Array.empty
+        val target = math.max(1, math.min(kept.size,
+          org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism))
+        return kept.grouped(math.max(1, (kept.size + target - 1) / target)).map { g =>
+          RowRangePartition(g.toVector,
+            snapshot.tombstones.filter(t => g.exists(_.id == t._1)),
+            spec.column, spec.ordinal, spec.dt, spec.lo, spec.hi): InputPartition
+        }.toArray
+      case None =>
+    }
     if (snapshot.numBuckets > 0) {
       val byBucket = snapshot.refs.groupBy(_.bucketId)
       val wanted = targetBuckets
@@ -267,7 +372,7 @@ class GraftRowScan(tableName: String, fullSchema: StructType,
   }
 
   override def outputPartitioning(): Partitioning =
-    if (snapshot.numBuckets > 0 && keyCombos.isEmpty)
+    if (snapshot.numBuckets > 0 && keyCombos.isEmpty && rangeProbe.isEmpty)
       new KeyGroupedPartitioning(
         Array(Expressions.bucket(snapshot.numBuckets, snapshot.bucketBy: _*)),
         snapshot.numBuckets)
@@ -317,6 +422,40 @@ class GraftRowReaderFactory(fullSchema: StructType, required: StructType)
         }
       case p: RowPackPartition => packIterator(p.refs, p.tombstones, project)
       case p: RowPackGroupPartition => packIterator(p.refs, p.tombstones, project)
+      case p: RowRangePartition =>
+        // binary search the pack's sorted-slot array: emit only the
+        // contiguous matching slice (residual filters re-check exactly)
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(p.dt)
+        p.refs.iterator.flatMap { ref =>
+          val rows = GraftRowStore.PackRegistry.pack(ref.id).rows
+          val (slots, nonNull) = GraftRowStore.SortedSlotRegistry
+            .sortedSlots(ref.id, p.column, p.ordinal, p.dt)
+          def valueAt(i: Int): Any = rows(slots(i)).get(p.ordinal, p.dt)
+          var start = 0
+          p.lo.foreach { case (v, inc) =>
+            var a = 0; var b = nonNull
+            while (a < b) {
+              val m = (a + b) >>> 1
+              val c = ord.compare(valueAt(m), v)
+              if (c < 0 || (c == 0 && !inc)) a = m + 1 else b = m
+            }
+            start = a
+          }
+          var end = nonNull
+          p.hi.foreach { case (v, inc) =>
+            var a = start; var b = nonNull
+            while (a < b) {
+              val m = (a + b) >>> 1
+              val c = ord.compare(valueAt(m), v)
+              if (c < 0 || (c == 0 && inc)) a = m + 1 else b = m
+            }
+            end = a
+          }
+          val dead = p.tombstones.getOrElse(ref.id, BitSet.empty)
+          Iterator.range(start, end).map(slots(_)).filterNot(dead.contains)
+            .map(slot => project(ref.id, slot, rows(slot)))
+        }
     }
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _

@@ -96,13 +96,59 @@ object GraftRowStore {
   /** Metadata-only handle — what commits and snapshots carry. */
   final case class PackRef(id: Long, bucketId: Int, numRows: Int) extends Serializable
 
+  /** Secondary-index metadata (reference SnappySession.createIndex:1760 —
+    * B-tree indexes on arbitrary row-table columns). Split by tier like
+    * everything else in this store:
+    *  - DRIVER-side: per-pack (min, max) of the indexed column — a few
+    *    internal values per pack, so planning prunes whole packs from a
+    *    range scan without touching data;
+    *  - EXECUTOR-side: per-pack slot arrays sorted by the indexed column
+    *    ([[SortedSlotRegistry]]), built lazily and memoized, so the
+    *    in-pack range scan is a binary search + contiguous slice — the
+    *    per-region sorted index of the reference, local to each pack.
+    * Packs appended AFTER the index build have no stats entry: they are
+    * never pruned (correct, just unoptimized) and their sorted arrays
+    * materialize on first probe.
+    */
+  final case class IndexStats(column: String, packRange: Map[Long, (Any, Any)])
+
+  /** Executor-resident sorted-slot arrays for secondary indexes. Packs
+    * are immutable, so a (packId, column) entry never invalidates;
+    * entries die with their pack's release.
+    */
+  object SortedSlotRegistry {
+    private val cache = TrieMap.empty[(Long, String), (Array[Int], Int)]
+
+    /** Slots of the pack ordered by the column (nulls LAST), plus the
+      * count of non-null slots (searches clamp to it).
+      */
+    def sortedSlots(packId: Long, column: String, ordinal: Int,
+        dt: DataType): (Array[Int], Int) =
+      cache.getOrElseUpdate((packId, column), {
+        val rows = PackRegistry.pack(packId).rows
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(dt)
+        val (nonNull, nulls) =
+          Array.range(0, rows.length).partition(s => !rows(s).isNullAt(ordinal))
+        val sorted = nonNull.sortWith((a, b) =>
+          ord.compare(rows(a).get(ordinal, dt), rows(b).get(ordinal, dt)) < 0)
+        (sorted ++ nulls, sorted.length)
+      })
+
+    def release(packIds: Iterable[Long]): Unit = {
+      val dead = packIds.toSet
+      cache.keys.filter(k => dead(k._1)).foreach(cache.remove)
+    }
+  }
+
   final case class RowSnapshot(
       schema: StructType,
       keyColumns: Seq[String],
       bucketBy: Seq[String],
       numBuckets: Int,
       refs: Vector[PackRef],
-      tombstones: Map[Long, BitSet]) {
+      tombstones: Map[Long, BitSet],
+      indexes: Map[String, IndexStats] = Map.empty) {
     def rowCount: Long =
       refs.map(r => r.numRows.toLong - tombstones.get(r.id).map(_.size).getOrElse(0)).sum
     def keyOrdinals: Array[Int] = keyColumns.map(schema.fieldIndex).toArray
@@ -160,6 +206,11 @@ object GraftRowStore {
     */
   val indexProbes = new AtomicLong(0)
   val packsScanned = new AtomicLong(0)
+  /** Secondary-index range scans: packs pruned by stats at planning, and
+    * packs actually binary-searched by tasks.
+    */
+  val rangePacksPruned = new AtomicLong(0)
+  val rangePacksProbed = new AtomicLong(0)
 
   def createOrReplace(name: String, schema: StructType, keyColumns: Seq[String],
       bucketBy: Seq[String], numBuckets: Int): RowTable = {
@@ -184,6 +235,8 @@ object GraftRowStore {
 
   def drop(name: String): Unit = tables.remove(name).foreach(releaseAll)
 
-  private def releaseAll(t: RowTable): Unit =
+  private def releaseAll(t: RowTable): Unit = {
     PackRegistry.release(t.snapshot.refs.map(_.id))
+    SortedSlotRegistry.release(t.snapshot.refs.map(_.id))
+  }
 }

@@ -138,4 +138,70 @@ class RowTableSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(got.toSeq == expected.toSeq)
     g.dropTable("r_sql")
   }
+
+  test("secondary index: range scan prunes packs, binary-searches survivors") {
+    // range-partitioned ingest clusters each pack on o_totalprice, so the
+    // index's per-pack (min, max) stats carry real pruning power — the
+    // same clustering-at-ingest play as the columnar createIndex
+    val ord = Tables.load(spark, sf, "orders")
+      .repartitionByRange(8, col("o_totalprice"))
+    g.createTable("r_ridx", ord, provider = "row")
+    g.sql("CREATE INDEX r_ridx_price ON r_ridx (o_totalprice)")
+    val snap = GraftRowStore("r_ridx").snapshot
+    assert(snap.indexes.contains("o_totalprice"), "index metadata installed")
+    val totalPacks = snap.refs.size
+    assert(totalPacks >= 4, s"expected multiple packs, got $totalPacks")
+
+    val (prunedBefore, probedBefore) =
+      (GraftRowStore.rangePacksPruned.get(), GraftRowStore.rangePacksProbed.get())
+    val q = g.table("r_ridx")
+      .filter(col("o_totalprice") > 50000.0 && col("o_totalprice") <= 100000.0)
+      .select("o_orderkey", "o_totalprice")
+    val got = q.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val exp = Tables.load(spark, sf, "orders")
+      .filter(col("o_totalprice") > 50000.0 && col("o_totalprice") <= 100000.0)
+      .select("o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(got == exp, "range scan must return exactly the matching rows")
+    val pruned = GraftRowStore.rangePacksPruned.get() - prunedBefore
+    val probed = GraftRowStore.rangePacksProbed.get() - probedBefore
+    assert(probed > 0 && probed < totalPacks,
+      s"stats should prune packs: probed $probed of $totalPacks")
+    assert(pruned > 0, "pruning telemetry must move")
+
+    // tombstones are honored inside the sorted slice
+    GraftRowOps.delete(spark, "r_ridx",
+      col("o_totalprice") > 50000.0 && col("o_totalprice") <= 60000.0)
+    val afterDelete = g.table("r_ridx")
+      .filter(col("o_totalprice") > 50000.0 && col("o_totalprice") <= 100000.0)
+      .count()
+    assert(afterDelete == exp.count(_._2 > 60000.0), "deleted rows must not resurface")
+
+    // packs appended after the index build have no stats: never pruned,
+    // still correct
+    g.insert("r_ridx", Tables.load(spark, sf, "orders")
+      .filter(col("o_totalprice") <= 50000.0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .limit(50))
+    val withAppend = g.table("r_ridx")
+      .filter(col("o_totalprice") > 50000.0 && col("o_totalprice") <= 100000.0)
+      .count()
+    assert(withAppend == afterDelete, "appended out-of-range rows don't match")
+    g.dropTable("r_ridx")
+  }
+
+  test("secondary index: equality and open ranges on a text column") {
+    val cust = Tables.load(spark, sf, "customer")
+      .repartitionByRange(4, col("c_mktsegment"))
+    g.createTable("r_rtxt", cust, provider = "row")
+    GraftRowOps.createIndex(spark, "r_rtxt", "c_mktsegment")
+    val got = g.table("r_rtxt").filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    val exp = cust.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == exp && got.nonEmpty)
+    val ge = g.table("r_rtxt").filter(col("c_mktsegment") >= "MACHINERY").count()
+    assert(ge == cust.filter(col("c_mktsegment") >= "MACHINERY").count())
+    g.dropTable("r_rtxt")
+  }
 }
