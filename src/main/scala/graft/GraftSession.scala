@@ -87,11 +87,23 @@ class GraftSession(val spark: SparkSession) {
     } else if (data.schema.fields.forall(f => GraftColumnStore.supportsType(f.dataType))) {
       // bucketed writes parallelize via the required clustered
       // distribution; unbucketed ingest inherits the source's
-      // partitioning — at scale that is the source's split count, and for
-      // small local sources a forced repartition costs more in shuffle
-      // than it buys in encode parallelism (measured 2.3x on a
-      // single-file ingest)
-      val w = data.write.format(GraftStoreOps.FORMAT).option("table", nm)
+      // partitioning — at scale that is the source's split count. When a
+      // BIG source arrives in few splits (one 100 GB parquet file), the
+      // encode stage would serialize on those few tasks, so repartition
+      // up to the cluster's parallelism; below the size floor the extra
+      // shuffle costs more than the encode parallelism buys (measured
+      // 2.3x slower on a small single-file ingest).
+      val ingest =
+        if (partitionBy.nonEmpty) data
+        else {
+          val cores = spark.sparkContext.defaultParallelism
+          val floor = spark.conf.get(GraftSession.INGEST_MIN_BYTES_KEY,
+            (256L << 20).toString).toLong
+          val splits = data.rdd.getNumPartitions
+          val bytes = data.queryExecution.optimizedPlan.stats.sizeInBytes
+          if (splits < cores && bytes > floor) data.repartition(cores) else data
+        }
+      val w = ingest.write.format(GraftStoreOps.FORMAT).option("table", nm)
         .option("key_columns", keyColumns.mkString(","))
       val w2 =
         if (partitionBy.nonEmpty)
@@ -117,6 +129,11 @@ class GraftSession(val spark: SparkSession) {
       throw new IllegalArgumentException(s"graft table not found: $name")).df
 
   def isManaged(name: String): Boolean = tables.contains(normalize(name))
+
+  /** Catalog metadata of a managed table (layout introspection —
+    * COLOCATE_WITH validation and the like).
+    */
+  def tableState(name: String): Option[TableState] = tables.get(normalize(name))
 
   /** True when the table lives in the graftstore column store (mutable
     * batches + stats pruning), not the cached-DataFrame fallback.
@@ -436,6 +453,12 @@ class GraftSession(val spark: SparkSession) {
 }
 
 object GraftSession {
+  /** Size floor under which an unbucketed ingest keeps the source's
+    * partitioning (the repartition shuffle would cost more than the
+    * encode parallelism it buys on small data).
+    */
+  val INGEST_MIN_BYTES_KEY = "spark.sql.graft.ingest.minRepartitionBytes"
+
   private val sessions = TrieMap.empty[SparkSession, GraftSession]
   /** One GraftSession per SparkSession. Registers the `graft` DSv2
     * catalog (if the session didn't configure it) so `graft.t`

@@ -26,8 +26,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   private def g = graft.GraftSession(session)
 
-  override def parsePlan(sqlText: String): LogicalPlan =
-    GraftStatements.parse(sqlText) match {
+  /** Temp views qualify for the external-DML view-swap path; graft-
+    * managed tables and everything in a real catalog do not (the former
+    * have their own DML, the latter keep Spark's native row-level ops).
+    */
+  private def isExternalDmlTarget(t: String): Boolean =
+    !g.isManaged(t.toLowerCase) &&
+      session.catalog.tableExists(t) &&
+      (try session.catalog.getTable(t).isTemporary catch { case _: Exception => false })
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val rewritten = StreamWindowRewrite(sqlText)
+    GraftStatements.parse(rewritten) match {
       case Some(PutInto(t, src)) =>
         GraftPutIntoCommand(t, delegate.parsePlan(src))
       case Some(Update(t, assigns, where)) if g.isManaged(t.toLowerCase) =>
@@ -40,6 +50,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case Some(Delete(t, where)) if g.isManaged(t.toLowerCase) =>
         delegate.parseExpression(where)
         GraftDeleteCommand(t, where)
+      // DML on EXTERNAL tables (reference DMLExternalTable,
+      // SnappyDDLParser.scala:1068): an unmanaged temp view (e.g. a
+      // registered parquet/JDBC relation) supports UPDATE/DELETE by
+      // recomputing the view over its ORIGINAL source plan — the files
+      // are never touched; catalog DSv2 tables still flow to Spark's
+      // native row-level DML unchanged
+      case Some(Update(t, assigns, where)) if isExternalDmlTarget(t) =>
+        assigns.foreach { case (_, v) => delegate.parseExpression(v) }
+        delegate.parseExpression(where)
+        GraftExternalUpdateCommand(t, assigns, where)
+      case Some(Delete(t, where)) if isExternalDmlTarget(t) =>
+        delegate.parseExpression(where)
+        GraftExternalDeleteCommand(t, where)
+      case Some(CreateFunction(n, cls, ret, jar)) =>
+        ret.foreach(delegate.parseDataType) // validate at statement time
+        GraftCreateFunctionCommand(n, cls, ret, jar)
       case Some(CreatePolicy(n, t, users, filter)) =>
         // validate the filter expression now (parse errors surface at
         // statement time, like any DDL)
@@ -48,8 +74,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case Some(DropPolicy(n)) => GraftDropPolicyCommand(n)
       case Some(CreateSampleTable(n, base, opts)) =>
         GraftCreateSampleTableCommand(n, base, opts)
-      case Some(CreateTableUsing(n, provider, opts, sel)) =>
-        GraftCreateTableCommand(n, provider, opts, delegate.parsePlan(sel))
+      case Some(CreateTableUsing(n, provider, schema, opts, sel)) =>
+        // empty-table form: materialize the schema as an empty relation
+        val source = sel.map(delegate.parsePlan).getOrElse {
+          val st = delegate.parseTableSchema(schema.get)
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+            org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(st))
+        }
+        GraftCreateTableCommand(n, provider, opts, source)
       case Some(CreateStreamTable(n, schema, provider, opts)) =>
         schema.foreach(delegate.parseTableSchema) // validate at statement time
         GraftCreateStreamTableCommand(n, schema, provider, opts)
@@ -64,15 +96,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftAlterDropColumnCommand(t.toLowerCase, c)
       case Some(TruncateTable(t)) if g.isManaged(t.toLowerCase) =>
         GraftTruncateTableCommand(t.toLowerCase)
-      case _ => delegate.parsePlan(sqlText)
+      case _ => delegate.parsePlan(rewritten)
     }
+  }
 
   // the trait DEFAULT ignores the parameters — route to the delegate's
   // real implementation (graft statements themselves take no parameters)
   override def parsePlanWithParameters(sqlText: String,
-      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
-    if (GraftStatements.parse(sqlText).isDefined) parsePlan(sqlText)
-    else delegate.parsePlanWithParameters(sqlText, ctx)
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan = {
+    val rewritten = StreamWindowRewrite(sqlText)
+    if (GraftStatements.parse(rewritten).isDefined) parsePlan(rewritten)
+    else delegate.parsePlanWithParameters(rewritten, ctx)
+  }
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
@@ -221,20 +256,200 @@ case class GraftCreateStreamTableCommand(name: String, schemaSql: Option[String]
     val df = reader.load() // the path option (if any) rides along
 
     df.createOrReplaceTempView(name.toLowerCase)
+    // event-time column for the WINDOW (DURATION, SLIDE) clause sugar:
+    // explicit `timecolumn` option, else the first timestamp field
+    options.get("timecolumn")
+      .orElse(df.schema.fields
+        .find(_.dataType == org.apache.spark.sql.types.TimestampType).map(_.name))
+      .foreach(c => GraftStreamRegistry.put(name.toLowerCase, c))
     Nil
   }
 }
 
 case class GraftCreateTableCommand(name: String, provider: String,
-    options: Map[String, String], source: LogicalPlan) extends LeafRunnableCommand {
+    options: Map[String, String], source: LogicalPlan)
+    extends LeafRunnableCommand with org.apache.spark.internal.Logging {
+
+  /** Operational options from the reference's DDL surface
+    * (StoreUtils.scala:42-58) that have no analog in this engine's
+    * executor-resident snapshot store: accepted so ported DDL scripts run
+    * verbatim, logged so nobody believes they took effect. PERSISTENCE /
+    * DISKSTORE / OVERFLOW manage GemFire disk tiers (snapshots here are
+    * rebuilt from source or checkpoint); EVICTION_BY / EXPIRE manage
+    * region memory (Spark executors size via storage memory); REDUNDANCY
+    * is replica count (a cluster deployment concern).
+    */
+  private val opsOnlyOptions = Set("persistence", "persistent", "diskstore",
+    "overflow", "eviction_by", "expire", "redundancy")
+  private val knownOptions =
+    opsOnlyOptions ++ Set("key_columns", "partition_by", "buckets", "colocate_with")
+
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    graft.GraftSession(spark).createTable(name, Dataset.ofRows(classic, source),
-      keyColumns = options.get("key_columns").toSeq.flatMap(_.split(",").map(_.trim)),
-      partitionBy = options.get("partition_by").toSeq.flatMap(_.split(",").map(_.trim)),
-      buckets = options.getOrElse("buckets", "32").toInt,
+    val g = graft.GraftSession(spark)
+    options.keys.filter(opsOnlyOptions).foreach(k => logWarning(
+      s"CREATE TABLE $name: option '$k' accepted for DDL compatibility but ignored " +
+        "(operational tiering/replication is not managed by this engine)"))
+    options.keys.filterNot(knownOptions).foreach(k =>
+      logWarning(s"CREATE TABLE $name: unknown option '$k' ignored"))
+    var partitionBy = options.get("partition_by").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    var buckets = options.get("buckets").map(_.toInt)
+    // COLOCATE_WITH: colocation here IS shared bucketing (co-bucketed
+    // tables join via storage-partitioned joins with no exchange) — so
+    // inherit the target's bucket count, and reject an explicit layout
+    // that cannot colocate
+    options.get("colocate_with").map(_.trim.toLowerCase).foreach { target =>
+      val ts = g.tableState(target).getOrElse(throw new IllegalArgumentException(
+        s"CREATE TABLE $name: COLOCATE_WITH '$target' is not a managed table"))
+      require(ts.partitionBy.nonEmpty,
+        s"CREATE TABLE $name: COLOCATE_WITH '$target' is not partitioned")
+      buckets.filter(_ != ts.buckets).foreach { b =>
+        throw new IllegalArgumentException(
+          s"CREATE TABLE $name: BUCKETS $b cannot colocate with '$target' " +
+            s"(${ts.buckets} buckets)")
+      }
+      require(partitionBy.isEmpty || partitionBy.size == ts.partitionBy.size,
+        s"CREATE TABLE $name: PARTITION_BY arity ${partitionBy.size} cannot colocate " +
+          s"with '$target' (${ts.partitionBy.size} columns)")
+      buckets = Some(ts.buckets)
+      if (partitionBy.isEmpty) partitionBy = ts.partitionBy
+    }
+    g.createTable(name, Dataset.ofRows(classic, source),
+      keyColumns = options.get("key_columns").toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+      partitionBy = partitionBy,
+      buckets = buckets.getOrElse(32),
       provider = provider)
     Nil
   }
+}
+
+/** CREATE FUNCTION f AS class [RETURNS type] [USING JAR 'path']
+  * (reference SnappyDDLParser.createFunction:765): loads the class
+  * through the session resource loader (so USING JAR works like ADD JAR)
+  * and registers it in the session function registry. Supported shapes:
+  * `org.apache.spark.sql.api.java.UDF1..UDF5` (RETURNS required — the
+  * JVM erases the generic return) and `UserDefinedAggregateFunction`.
+  */
+case class GraftCreateFunctionCommand(name: String, className: String,
+    returnsSql: Option[String], jarPath: Option[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    jarPath.foreach(classic.sessionState.resourceLoader.addJar(_))
+    val cls = java.lang.Class.forName(className, true,
+      org.apache.spark.util.Utils.getContextOrSparkClassLoader)
+    val instance = cls.getDeclaredConstructor().newInstance()
+    def ret: DataType = returnsSql.map(classic.sessionState.sqlParser.parseDataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"CREATE FUNCTION $name: RETURNS <type> is required for UDF classes " +
+          "(the JVM erases the generic return type)"))
+    import org.apache.spark.sql.api.java._
+    instance match {
+      case f: UDF1[_, _] =>
+        spark.udf.register(name, f.asInstanceOf[UDF1[Any, Any]], ret)
+      case f: UDF2[_, _, _] =>
+        spark.udf.register(name, f.asInstanceOf[UDF2[Any, Any, Any]], ret)
+      case f: UDF3[_, _, _, _] =>
+        spark.udf.register(name, f.asInstanceOf[UDF3[Any, Any, Any, Any]], ret)
+      case f: UDF4[_, _, _, _, _] =>
+        spark.udf.register(name, f.asInstanceOf[UDF4[Any, Any, Any, Any, Any]], ret)
+      case f: UDF5[_, _, _, _, _, _] =>
+        spark.udf.register(name, f.asInstanceOf[UDF5[Any, Any, Any, Any, Any, Any]], ret)
+      case f: org.apache.spark.sql.expressions.UserDefinedAggregateFunction =>
+        spark.udf.register(name, f)
+      case other => throw new IllegalArgumentException(
+        s"CREATE FUNCTION $name: unsupported class ${other.getClass.getName} — " +
+          "implement org.apache.spark.sql.api.java.UDF1..UDF5 or " +
+          "UserDefinedAggregateFunction")
+    }
+    Nil
+  }
+}
+
+/** UPDATE on an external (unmanaged temp-view) table: the view is
+  * re-registered over its original source plan with the assignments
+  * applied conditionally — session-level DML semantics without touching
+  * the underlying files (reference DMLExternalTable routes DML to the
+  * external relation; a read-only file relation gets the view tier).
+  * `spark.table(view)` inlines the view at analysis, so the new plan
+  * references the SOURCE, never the view name — no self-reference.
+  */
+case class GraftExternalUpdateCommand(table: String, assigns: Seq[(String, String)],
+    where: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+    val df = spark.table(table)
+    val names = df.schema.fieldNames
+    val setOf = assigns.map { case (k, v) =>
+      val c = names.find(_.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(s"UPDATE $table: no column '$k'"))
+      c -> v
+    }.toMap
+    val cond = coalesce(expr(where), lit(false))
+    val updated = df.select(names.map { c =>
+      setOf.get(c) match {
+        case Some(e) => when(cond, expr(e).cast(df.schema(c).dataType)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }.toSeq: _*)
+    updated.createOrReplaceTempView(table)
+    Nil
+  }
+}
+
+/** DELETE on an external (unmanaged temp-view) table — see
+  * [[GraftExternalUpdateCommand]].
+  */
+case class GraftExternalDeleteCommand(table: String, where: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    spark.table(table)
+      .filter(not(coalesce(expr(where), lit(false))))
+      .createOrReplaceTempView(table)
+    Nil
+  }
+}
+
+/** Event-time columns of registered stream tables, for the
+  * `WINDOW (DURATION d, SLIDE s)` clause sugar.
+  */
+object GraftStreamRegistry {
+  private val cols = scala.collection.concurrent.TrieMap.empty[String, String]
+  def put(table: String, timeColumn: String): Unit = cols.put(table, timeColumn)
+  def timeColumn(table: String): Option[String] = cols.get(table)
+}
+
+/** Textual sugar for the reference's stream WINDOW clause
+  * (SnappyParser.streamWindowOptions:552-558, WindowLogicalPlan.scala:24):
+  * `FROM stream_t WINDOW (DURATION 10 SECONDS [, SLIDE 5 SECONDS])`
+  * becomes a subquery attaching `window(timeCol, '10 seconds'
+  * [, '5 seconds']) AS window`, so `GROUP BY window` aggregates per
+  * window epoch — the Structured-Streaming-native expression of the
+  * reference's windowed DStream batches. Applies only to tables
+  * registered by CREATE STREAM TABLE with a known event-time column;
+  * any other WINDOW text is left for Spark to parse.
+  */
+object StreamWindowRewrite {
+  private val Win =
+    ("""(?is)\bFROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+WINDOW\s*\(\s*DURATION\s+(\d+)\s+""" +
+      """([A-Za-z]+)\s*(?:,\s*SLIDE\s+(\d+)\s+([A-Za-z]+)\s*)?\)""").r
+
+  def apply(sql: String): String =
+    Win.replaceAllIn(sql, m => {
+      val t = m.group(1)
+      GraftStreamRegistry.timeColumn(t.toLowerCase) match {
+        case Some(ts) =>
+          val dur = s"${m.group(2)} ${m.group(3).toLowerCase}"
+          val win = Option(m.group(4)) match {
+            case Some(s) => s"window($ts, '$dur', '$s ${m.group(5).toLowerCase}')"
+            case None => s"window($ts, '$dur')"
+          }
+          scala.util.matching.Regex.quoteReplacement(
+            s"FROM (SELECT *, $win AS window FROM $t) $t")
+        case None => scala.util.matching.Regex.quoteReplacement(m.matched)
+      }
+    })
 }

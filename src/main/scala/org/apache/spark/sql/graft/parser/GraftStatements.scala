@@ -30,9 +30,13 @@ object GraftStatements extends RegexParsers {
   /** CREATE SAMPLE TABLE s ON base OPTIONS (qcs 'a,b', fraction '0.1', ...) */
   final case class CreateSampleTable(name: String, base: String,
       options: Map[String, String]) extends Stmt
-  /** CREATE TABLE t USING column|row [OPTIONS (...)] AS SELECT ... */
+  /** CREATE TABLE t [(schema)] USING column|row [OPTIONS (...)] [AS SELECT ...]
+    * (reference SnappyDDLParser.createTable:301 — both the schema-ful
+    * empty-table form and CTAS).
+    */
   final case class CreateTableUsing(name: String, provider: String,
-      options: Map[String, String], selectSql: String) extends Stmt
+      schemaSql: Option[String], options: Map[String, String],
+      selectSql: Option[String]) extends Stmt
   /** CREATE STREAM TABLE s [(schema)] USING provider OPTIONS (...) */
   final case class CreateStreamTable(name: String, schemaSql: Option[String],
       provider: String, options: Map[String, String]) extends Stmt
@@ -46,6 +50,12 @@ object GraftStatements extends RegexParsers {
   final case class AlterDropColumn(table: String, column: String) extends Stmt
   /** TRUNCATE TABLE t (reference SnappyDDLParser.truncateTable:627) */
   final case class TruncateTable(table: String) extends Stmt
+  /** CREATE FUNCTION f AS class [RETURNS type] [USING JAR 'path']
+    * (reference SnappyDDLParser.createFunction:765 — the RETURNS clause
+    * is Snappy-specific; stock Spark's CREATE FUNCTION lacks it).
+    */
+  final case class CreateFunction(name: String, className: String,
+      returnsSql: Option[String], jarPath: Option[String]) extends Stmt
 
   override def skipWhitespace = true
 
@@ -180,12 +190,13 @@ object GraftStatements extends RegexParsers {
       }
 
   private def createTableUsing: Parser[Stmt] =
-    kw("CREATE") ~> kw("TABLE") ~> ident ~
+    kw("CREATE") ~> kw("TABLE") ~> ident ~ opt(parenChunk) ~
       (kw("USING") ~> (kw("COLUMN") | kw("ROW"))) ~
-      opt(kw("OPTIONS") ~> options) ~ (kw("AS") ~> restAll) ^^ {
-        case n ~ p ~ o ~ sel =>
-          CreateTableUsing(n, p.toLowerCase, o.getOrElse(Map.empty), sel)
-      }
+      opt(kw("OPTIONS") ~> options) ~ opt(kw("AS") ~> restAll) ^? ({
+        case n ~ schema ~ p ~ o ~ sel if schema.exists(_.nonEmpty) || sel.isDefined =>
+          CreateTableUsing(n, p.toLowerCase, schema.filter(_.nonEmpty),
+            o.getOrElse(Map.empty), sel)
+      }, _ => "CREATE TABLE needs a (schema) or an AS SELECT")
 
   private def createStream: Parser[Stmt] =
     kw("CREATE") ~> kw("STREAM") ~> kw("TABLE") ~> ident ~ opt(parenChunk) ~
@@ -202,6 +213,14 @@ object GraftStatements extends RegexParsers {
     kw("DROP") ~> kw("INDEX") ~> ident ~ (kw("ON") ~> ident) ^^ {
       case n ~ t => DropIndex(n, t)
     }
+
+  private def createFunction: Parser[Stmt] =
+    kw("CREATE") ~> kw("FUNCTION") ~> ident ~
+      (kw("AS") ~> """[A-Za-z0-9_.$]+""".r) ~
+      opt(kw("RETURNS") ~> chunkUntil(Seq("USING"), stopAtComma = false)) ~
+      opt(kw("USING") ~> kw("JAR") ~> quoted) ^^ {
+        case n ~ cls ~ ret ~ jar => CreateFunction(n, cls, ret, jar)
+      }
 
   private def alterAdd: Parser[Stmt] =
     kw("ALTER") ~> kw("TABLE") ~> ident ~
@@ -220,8 +239,8 @@ object GraftStatements extends RegexParsers {
 
   private def statement: Parser[Stmt] =
     putInto | createPolicy | dropPolicy | createSample | createStream |
-      createIndex | dropIndex | createTableUsing | alterDrop | alterAdd |
-      truncateTable | update | delete
+      createIndex | dropIndex | createFunction | createTableUsing |
+      alterDrop | alterAdd | truncateTable | update | delete
 
   /** None = not a graft statement (caller delegates to Spark's parser). */
   def parse(text: String): Option[Stmt] = {

@@ -14,6 +14,31 @@ class GraftStoreSpec extends SparkTestBase {
       keyColumns = Seq("o_orderkey"), partitionBy = Seq("o_orderkey"), buckets = buckets)
   }
 
+  test("unbucketed ingest repartitions up when a big source has few splits") {
+    val g = GraftSession(spark)
+    val oneSplit = Tables.load(spark, sf, "orders").coalesce(1)
+    // below the size floor: keep the source's single partition (the
+    // shuffle would cost more than the encode parallelism buys)
+    g.createTable("s_ing_small", oneSplit)
+    assert(GraftColumnStore("s_ing_small").snapshot.refs.map(_.bucketId).distinct.size <= 1 ||
+      GraftColumnStore("s_ing_small").snapshot.refs.size >= 1)
+    val smallTasks = GraftColumnStore("s_ing_small").snapshot.refs.size
+    // floor lowered to 1 byte: the same single-split source must fan out
+    // to the cluster's parallelism before encoding
+    spark.conf.set(GraftSession.INGEST_MIN_BYTES_KEY, "1")
+    try {
+      g.createTable("s_ing_big", oneSplit)
+      val bigTasks = GraftColumnStore("s_ing_big").snapshot.refs.size
+      assert(bigTasks > smallTasks,
+        s"expected fan-out above the floor: $bigTasks vs $smallTasks encode tasks")
+      // data intact after the repartition
+      assert(g.table("s_ing_big").count() == oneSplit.count())
+    } finally {
+      spark.conf.unset(GraftSession.INGEST_MIN_BYTES_KEY)
+      g.dropTable("s_ing_small"); g.dropTable("s_ing_big")
+    }
+  }
+
   test("UPDATE writes column deltas, not a table rewrite") {
     val g = GraftSession(spark)
     freshOrders("s_upd")

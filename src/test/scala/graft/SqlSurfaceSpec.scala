@@ -7,6 +7,12 @@ import org.apache.spark.sql.functions._
   */
 case class Line(l_orderkey: Long, l_quantity: Double, l_returnflag: String)
 
+/** Loaded by CREATE FUNCTION ... AS (reflection target). */
+class TwiceUdf extends org.apache.spark.sql.api.java.UDF1[java.lang.Long, java.lang.Long] {
+  override def call(x: java.lang.Long): java.lang.Long =
+    if (x == null) null else java.lang.Long.valueOf(x * 2)
+}
+
 class SqlSurfaceSpec extends SparkTestBase {
 
   private lazy val g = GraftSession(spark)
@@ -197,5 +203,121 @@ class SqlSurfaceSpec extends SparkTestBase {
       .groupBy("l_returnflag").agg(sum("l_quantity"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     byFlag.foreach { case (k, v) => assert(math.abs(v - oracle(k)) < 1e-6) }
+  }
+
+  test("verbatim reference DDL: schema-ful CREATE TABLE + ops options accepted") {
+    val g = GraftSession(spark)
+    // a CREATE TABLE lifted from the reference's docs: explicit schema,
+    // no AS SELECT, GemFire operational options — must parse, create an
+    // empty store-backed table, and warn-and-continue on the ops options
+    g.sql("""CREATE TABLE ddl_parity (
+      |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+      |USING column OPTIONS (
+      |  PARTITION_BY 'o_custkey', BUCKETS '8',
+      |  REDUNDANCY '1', PERSISTENCE 'ASYNCHRONOUS',
+      |  EVICTION_BY 'LRUHEAPPERCENT', OVERFLOW 'true',
+      |  EXPIRE '3600', DISKSTORE 'ds1')""".stripMargin)
+    assert(g.isManaged("ddl_parity") && g.isStoreBacked("ddl_parity"))
+    assert(g.table("ddl_parity").count() == 0)
+    assert(g.table("ddl_parity").schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))
+    g.insert("ddl_parity", Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice").limit(100))
+    assert(g.table("ddl_parity").count() == 100)
+    g.dropTable("ddl_parity")
+  }
+
+  test("CREATE FUNCTION ... AS class RETURNS type registers a session UDF") {
+    g.sql("CREATE FUNCTION g_twice AS graft.TwiceUdf RETURNS BIGINT")
+    Tables.registerAll(spark, sf)
+    val got = spark.sql(
+      "SELECT g_twice(o_orderkey) AS d FROM orders ORDER BY o_orderkey LIMIT 3")
+      .collect().map(_.getLong(0)).toSeq
+    val exp = Tables.load(spark, sf, "orders").orderBy("o_orderkey")
+      .limit(3).collect().map(_.getAs[Long]("o_orderkey") * 2).toSeq
+    assert(got == exp)
+    // a class that is no UDF fails with a pointed message
+    val ex = intercept[Exception] {
+      g.sql("CREATE FUNCTION g_bad AS java.lang.Object RETURNS BIGINT")
+    }
+    assert(ex.getMessage.contains("unsupported class"))
+  }
+
+  test("UPDATE/DELETE on an external (unmanaged view) table swap the view") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ext").toFile
+    Tables.load(spark, sf, "supplier").write.mode("overwrite")
+      .parquet(dir.getAbsolutePath)
+    spark.read.parquet(dir.getAbsolutePath).createOrReplaceTempView("ext_supp")
+    try {
+      assert(!g.isManaged("ext_supp"))
+      g.sql("UPDATE ext_supp SET s_acctbal = 0.0 WHERE s_nationkey < 5")
+      g.sql("DELETE FROM ext_supp WHERE s_nationkey = 24")
+      val got = spark.table("ext_supp").orderBy("s_suppkey").collect()
+      val supp = Tables.load(spark, sf, "supplier")
+      val exp = supp
+        .withColumn("s_acctbal",
+          when(col("s_nationkey") < 5, 0.0).otherwise(col("s_acctbal")))
+        .filter(col("s_nationkey") =!= 24)
+        .orderBy("s_suppkey").collect()
+      assert(got.toSeq == exp.toSeq)
+      // the underlying files are untouched (view-tier DML only)
+      assert(spark.read.parquet(dir.getAbsolutePath).count() == supp.count())
+    } finally spark.catalog.dropTempView("ext_supp")
+  }
+
+  test("stream WINDOW (DURATION, SLIDE) clause rewrites to window() grouping") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_win").toFile
+    Files.writeString(new java.io.File(dir, "a.json").toPath,
+      """{"ts": "2026-01-01T00:00:05.000Z", "v": 1.0}
+        |{"ts": "2026-01-01T00:00:15.000Z", "v": 2.0}
+        |{"ts": "2026-01-01T00:00:25.000Z", "v": 4.0}""".stripMargin)
+    spark.sql(s"CREATE STREAM TABLE s_win (ts TIMESTAMP, v DOUBLE) USING json " +
+      s"OPTIONS (path '${dir.getAbsolutePath}')")
+    val agg = spark.sql(
+      "SELECT window, sum(v) AS total FROM s_win " +
+        "WINDOW (DURATION 10 SECONDS) GROUP BY window")
+    assert(agg.isStreaming)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("s_win_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("s_win_out")
+        .selectExpr("window.start", "total").collect()
+        .map(r => r.getTimestamp(0).toInstant.toString -> r.getDouble(1)).toMap
+      assert(got == Map(
+        "2026-01-01T00:00:00Z" -> 1.0,
+        "2026-01-01T00:00:10Z" -> 2.0,
+        "2026-01-01T00:00:20Z" -> 4.0), s"got $got")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("s_win")
+    }
+  }
+
+  test("COLOCATE_WITH inherits the target layout and rejects incompatibles") {
+    val g = GraftSession(spark)
+    Tables.registerAll(spark, sf)
+    g.sql("CREATE TABLE co_base USING column OPTIONS (PARTITION_BY 'o_custkey', " +
+      "BUCKETS '8') AS SELECT * FROM orders")
+    g.sql("CREATE TABLE co_child USING column OPTIONS (PARTITION_BY 'c_custkey', " +
+      "COLOCATE_WITH 'co_base') AS SELECT * FROM customer")
+    assert(g.tableState("co_child").get.buckets == 8, "buckets inherited from target")
+    // co-bucketed ⇒ the join plans with no input exchange (the point of
+    // colocation); proven in detail in ColocationSpec — sanity-check rows
+    val n = g.table("co_child").join(g.table("co_base"),
+      col("c_custkey") === col("o_custkey")).count()
+    assert(n == Tables.load(spark, sf, "orders").count())
+    val ex = intercept[Exception] {
+      g.sql("CREATE TABLE co_bad USING column OPTIONS (BUCKETS '4', " +
+        "COLOCATE_WITH 'co_base') AS SELECT * FROM customer")
+    }
+    assert(ex.getMessage.contains("cannot colocate"))
+    val ex2 = intercept[Exception] {
+      g.sql("CREATE TABLE co_bad2 USING column OPTIONS (" +
+        "COLOCATE_WITH 'no_such_table') AS SELECT * FROM customer")
+    }
+    assert(ex2.getMessage.contains("not a managed table"))
+    g.dropTable("co_child"); g.dropTable("co_base")
   }
 }
