@@ -99,9 +99,13 @@ class GraftSession(val spark: SparkSession) {
           val cores = spark.sparkContext.defaultParallelism
           val floor = spark.conf.get(GraftSession.INGEST_MIN_BYTES_KEY,
             (256L << 20).toString).toLong
-          val splits = data.rdd.getNumPartitions
+          // size gate FIRST: logical stats are metadata; the split count
+          // (data.rdd) costs a full physical planning pass, so only big
+          // sources pay it
           val bytes = data.queryExecution.optimizedPlan.stats.sizeInBytes
-          if (splits < cores && bytes > floor) data.repartition(cores) else data
+          if (bytes > floor && data.rdd.getNumPartitions < cores)
+            data.repartition(cores)
+          else data
         }
       val w = ingest.write.format(GraftStoreOps.FORMAT).option("table", nm)
         .option("key_columns", keyColumns.mkString(","))

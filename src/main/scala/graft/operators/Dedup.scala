@@ -246,7 +246,7 @@ object Dedup {
     * xxhash64 when cross-engine parity is not needed.
     */
   def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graft.TextHashExpressions.md5_prefix_long(c, 15)
 
   /** SimHash signature per doc from its token stream: per bit, sum +1/-1
     * weighted by token-hash bit, take the sign. Computed with plain
@@ -290,25 +290,35 @@ object Dedup {
     * instead so chunks stay wide).
     */
   def simhashNearDups(sig: DataFrame, maxHamming: Int = 3,
-      numChunks: Int = 4, sigBits: Int = 64): DataFrame = {
-    require(maxHamming < numChunks,
-      s"pigeonhole recall guarantee needs maxHamming < numChunks, got $maxHamming/$numChunks")
+      numChunks: Int = 4, sigBits: Int = 64, comboSize: Int = 1): DataFrame = {
+    require(maxHamming <= numChunks - comboSize,
+      s"pigeonhole recall guarantee needs maxHamming <= numChunks - comboSize, " +
+        s"got $maxHamming/$numChunks/$comboSize")
     val width = sigBits / numChunks
     val mask = (1L << width) - 1
+    def chunk(c: Int): Column =
+      shiftright(col("simhash"), c * width).bitwiseAND(mask)
+    // pigeonhole generalized to chunk COMBOS: maxHamming errors across
+    // numChunks chunks leave >= numChunks - maxHamming chunks clean, so
+    // every true pair shares some comboSize-subset of clean chunks.
+    // comboSize > 1 multiplies the bucket-key width by comboSize — with
+    // 6-bit chunks, pairs turn 64 buckets into 4096, shrinking candidate
+    // volume ~(2^width)x per extra chunk at the cost of C(n,k)/n more
+    // exploded rows. The bucket key packs (combo index, chunk values)
+    // into ONE long, so the shuffle carries no struct overhead.
+    val combos = (0 until numChunks).combinations(comboSize).toSeq
+    val keyCols = combos.zipWithIndex.map { case (ps, idx) =>
+      ps.foldLeft(lit(idx.toLong): Column)((acc, p) =>
+        shiftleft(acc, width).bitwiseOR(chunk(p)))
+    }
     val chunks = sig.select(col("sid"), col("simhash"),
-      posexplode(array((0 until numChunks).map(c =>
-        shiftright(col("simhash"), c * width).bitwiseAND(mask)): _*)))
-      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk_val")
-    val l = chunks.select(col("chunk_idx"), col("chunk_val"),
-      col("sid").as("a"), col("simhash").as("sim_a"))
-    val r = chunks.select(col("chunk_idx"), col("chunk_val"),
-      col("sid").as("b"), col("simhash").as("sim_b"))
-    // hamming-filter BEFORE the distinct: narrow chunks make the raw
-    // candidate stream large (64 buckets per 6-bit chunk ⇒ ~pairs/chunks
-    // of the corpus), and all of it is codegen-filterable in the join's
-    // output pipeline — deduplicate only the few surviving pairs, never
-    // the full candidate set
-    l.join(r, Seq("chunk_idx", "chunk_val")).filter(col("a") < col("b"))
+      explode(array(keyCols: _*)).as("bk"))
+    val l = chunks.select(col("bk"), col("sid").as("a"), col("simhash").as("sim_a"))
+    val r = chunks.select(col("bk"), col("sid").as("b"), col("simhash").as("sim_b"))
+    // hamming-filter BEFORE the distinct: the raw candidate stream is
+    // codegen-filterable in the join's output pipeline — deduplicate
+    // only the few surviving pairs, never the full candidate set
+    l.join(r, Seq("bk")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -264,6 +264,10 @@ object PipelineQueries {
       val sig = Dedup.simhashSignatures(docs, "doc_id", "text",
           tokenHash = Dedup.md5Hash60, sigBits = 60)
         .localCheckpoint(true)
+      // single-chunk banding wins at this corpus size (the packed-long
+      // bucket key is the big lever: 2.3x on the join); comboSize = 2
+      // is the scale path when n grows enough that candidate volume
+      // n^2/2^width dominates the 4.5x explode factor
       Dedup.simhashNearDups(sig, maxHamming = 8, numChunks = 10, sigBits = 60)
         .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
         .orderBy("a", "b")

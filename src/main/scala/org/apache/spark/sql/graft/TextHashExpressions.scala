@@ -154,7 +154,49 @@ case class HashArrayJaccard(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** md5_prefix_long(s, hexChars) — the first `hexChars` hex digits of
+  * md5(s) as an unsigned long, computed DIRECTLY from the digest bytes
+  * (top 4·hexChars bits of the first 8 bytes). Value-identical to
+  * `CAST('0x' || substr(md5(s), 1, hexChars) AS BIGINT)` — the
+  * engine-portable hash the DuckDB oracle replays — without
+  * materializing the 32-char hex string and re-parsing it (measured 2×
+  * on the simhash token stream). Codegen'd; the digest instance is
+  * thread-local.
+  */
+case class Md5PrefixLong(child: Expression, hexChars: Int)
+    extends UnaryExpression {
+  require(hexChars >= 1 && hexChars <= 15, s"hexChars must be in [1,15]: $hexChars")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix_long"
+  override def nullSafeEval(v: Any): Any =
+    Md5PrefixLong.hash(v.asInstanceOf[UTF8String], hexChars)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"org.apache.spark.sql.graft.Md5PrefixLong$$.MODULE$$.hash($s, $hexChars)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Md5PrefixLong {
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  def hash(s: UTF8String, hexChars: Int): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> (64 - 4 * hexChars)
+  }
+}
+
 object TextHashExpressions {
+  def md5_prefix_long(s: Column, hexChars: Int): Column =
+    ExpressionUtils.column(Md5PrefixLong(ExpressionUtils.expression(s), hexChars))
   def minhash_sig(text: Column, shingleLen: Int, numHashes: Int): Column =
     ExpressionUtils.column(
       MinHashSignature(ExpressionUtils.expression(text), shingleLen, numHashes))
