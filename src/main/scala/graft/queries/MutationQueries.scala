@@ -176,6 +176,42 @@ object MutationQueries {
         .orderBy("l_returnflag")
     },
 
+    // ---- DSv2 column store with MAP/STRUCT/nested-array columns
+    // (reference ComplexTypeSerializerImpl): complex values roundtrip
+    // through the store's batch builders and recursive vector writers;
+    // the oracle checks EXTRACTIONS of every container, which inverts the
+    // construction — so a value lost or misaligned anywhere in the
+    // encode/decode path breaks the hash ----
+    QueryDef.sql(
+      "q_column_store_complex",
+      """SELECT o_orderkey,
+        |  o_custkey AS meta_ck,
+        |  o_orderstatus AS meta_st,
+        |  round(o_totalprice, 2) AS prio_val,
+        |  round(o_totalprice * 2, 2) AS arr_p2
+        |FROM orders
+        |WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      val src = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          struct(col("o_custkey").as("ck"), col("o_orderstatus").as("st")).as("meta"),
+          map(col("o_orderpriority"), col("o_totalprice")).as("prio_price"),
+          array(struct(col("o_totalprice").as("p"),
+            (col("o_totalprice") * 2).as("p2"))).as("price_rows"))
+      g.createTable("t_complex", src)
+      require(g.isStoreBacked("t_complex"),
+        "map/struct schema must land in the graftstore, not the cached-DF fallback")
+      g.table("t_complex").select(
+          col("o_orderkey"),
+          col("meta.ck").as("meta_ck"),
+          col("meta.st").as("meta_st"),
+          dr2(element_at(col("prio_price"), col("o_orderpriority"))).as("prio_val"),
+          dr2(col("price_rows").getItem(0).getField("p2")).as("arr_p2"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- point lookup on the bucketed key: scans exactly the buckets
     // the keys hash to (reference PRIMARY-KEY lookup → one bucket region);
     // GraftStoreSpec asserts the pruning, the oracle the values ----

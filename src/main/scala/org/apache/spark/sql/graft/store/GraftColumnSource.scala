@@ -134,7 +134,14 @@ class GraftScanBuilder(tableName: String, fullSchema: StructType)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // top-level pruning only: batches hold WHOLE container values, so a
+    // nested-pruned struct type saves no store reads but would misalign
+    // the position-based vector writers — report the full column type
+    // and let Spark project the nested fields above (the v2 pushdown
+    // rule rebuilds the relation output from the scan's readSchema)
+    required = StructType(requiredSchema.fields.map { f =>
+      if (fullSchema.fieldNames.contains(f.name)) fullSchema(f.name) else f
+    })
 
   override def build(): Scan = new GraftScan(tableName, fullSchema, required, pushed)
 }
@@ -494,48 +501,7 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType)
         return
       case _ =>
     }
-    val put: (Int, Any) => Unit = dt match {
-      case LongType | TimestampType | TimestampNTZType =>
-        (o, v) => vec.putLong(o, v.asInstanceOf[Long])
-      case IntegerType | DateType => (o, v) => vec.putInt(o, v.asInstanceOf[Int])
-      case DoubleType => (o, v) => vec.putDouble(o, v.asInstanceOf[Double])
-      case FloatType => (o, v) => vec.putFloat(o, v.asInstanceOf[Float])
-      case BooleanType => (o, v) => vec.putBoolean(o, v.asInstanceOf[Boolean])
-      case StringType | _: CharType | _: VarcharType => (o, v) => {
-        val b = v.asInstanceOf[UTF8String].getBytes
-        vec.putByteArray(o, b, 0, b.length)
-      }
-      case d: DecimalType =>
-        (o, v) => vec.putDecimal(o, v.asInstanceOf[Decimal], d.precision)
-      case ArrayType(et, _) =>
-        // element data accumulates in the child vector; each row records
-        // its (offset, length) slice
-        val child = vec.arrayData()
-        var offset = 0
-        val putElem: (Int, org.apache.spark.sql.catalyst.util.ArrayData, Int) => Unit =
-          et match {
-            case FloatType => (pos, arr, j) => child.putFloat(pos, arr.getFloat(j))
-            case DoubleType => (pos, arr, j) => child.putDouble(pos, arr.getDouble(j))
-            case IntegerType => (pos, arr, j) => child.putInt(pos, arr.getInt(j))
-            case LongType => (pos, arr, j) => child.putLong(pos, arr.getLong(j))
-            case other =>
-              throw new UnsupportedOperationException(s"graftstore array element: $other")
-          }
-        (o, v) => {
-          val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          val len = arr.numElements()
-          child.reserve(offset + len)
-          var j = 0
-          while (j < len) {
-            if (arr.isNullAt(j)) child.putNull(offset + j)
-            else putElem(offset + j, arr, j)
-            j += 1
-          }
-          vec.putArray(o, offset, len)
-          offset += len
-        }
-      case other => throw new UnsupportedOperationException(s"graftstore type: $other")
-    }
+    val put: (Int, Any) => Unit = valueWriter(dt, vec)
     val hasDels = dels.nonEmpty
     var o = 0
     col.foreachValue { (i, v) =>
@@ -545,6 +511,94 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType)
       }
     }
   }
+
+  /** Recursive internal-value writer into a writable vector — one
+    * closure tree per column, built once per batch so the per-value path
+    * is dispatch-free. Covers every scalar plus ARRAY / MAP / STRUCT at
+    * any nesting depth: array and map writers keep a running element
+    * offset in their child vectors and record each row's (offset, len)
+    * slice; struct children are row-aligned with the parent. Values are
+    * NON-NULL at entry — each container handles its own element/field
+    * nulls, the caller the top-level ones.
+    */
+  private def valueWriter(dt: DataType,
+      vec: org.apache.spark.sql.execution.vectorized.WritableColumnVector): (Int, Any) => Unit =
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        (o, v) => vec.putLong(o, v.asInstanceOf[Long])
+      case IntegerType | DateType => (o, v) => vec.putInt(o, v.asInstanceOf[Int])
+      case DoubleType => (o, v) => vec.putDouble(o, v.asInstanceOf[Double])
+      case FloatType => (o, v) => vec.putFloat(o, v.asInstanceOf[Float])
+      case BooleanType => (o, v) => vec.putBoolean(o, v.asInstanceOf[Boolean])
+      case ByteType => (o, v) => vec.putByte(o, v.asInstanceOf[Byte])
+      case ShortType => (o, v) => vec.putShort(o, v.asInstanceOf[Short])
+      case StringType | _: CharType | _: VarcharType => (o, v) => {
+        val b = v.asInstanceOf[UTF8String].getBytes
+        vec.putByteArray(o, b, 0, b.length)
+      }
+      case BinaryType => (o, v) => {
+        val b = v.asInstanceOf[Array[Byte]]
+        vec.putByteArray(o, b, 0, b.length)
+      }
+      case d: DecimalType =>
+        (o, v) => vec.putDecimal(o, v.asInstanceOf[Decimal], d.precision)
+      case ArrayType(et, _) =>
+        val child = vec.arrayData()
+        val putElem = valueWriter(et, child)
+        var offset = 0
+        (o, v) => {
+          val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          val len = arr.numElements()
+          child.reserve(offset + len)
+          var j = 0
+          while (j < len) {
+            if (arr.isNullAt(j)) child.putNull(offset + j)
+            else putElem(offset + j, arr.get(j, et))
+            j += 1
+          }
+          vec.putArray(o, offset, len)
+          offset += len
+        }
+      case MapType(kt, vt, _) =>
+        val keys = vec.getChild(0)
+        val values = vec.getChild(1)
+        val putKey = valueWriter(kt, keys)
+        val putVal = valueWriter(vt, values)
+        var offset = 0
+        (o, v) => {
+          val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+          val len = m.numElements()
+          keys.reserve(offset + len)
+          values.reserve(offset + len)
+          val ka = m.keyArray()
+          val va = m.valueArray()
+          var j = 0
+          while (j < len) {
+            putKey(offset + j, ka.get(j, kt)) // map keys are never null
+            if (va.isNullAt(j)) values.putNull(offset + j)
+            else putVal(offset + j, va.get(j, vt))
+            j += 1
+          }
+          vec.putArray(o, offset, len)
+          offset += len
+        }
+      case st: StructType =>
+        val fieldTypes = st.fields.map(_.dataType)
+        val putFields = fieldTypes.zipWithIndex.map { case (ft, k) =>
+          valueWriter(ft, vec.getChild(k))
+        }
+        (o, v) => {
+          val row = v.asInstanceOf[InternalRow]
+          var k = 0
+          while (k < putFields.length) {
+            if (row.isNullAt(k)) vec.getChild(k).putNull(o)
+            else putFields(k)(o, row.get(k, fieldTypes(k)))
+            k += 1
+          }
+          vec.putNotNull(o)
+        }
+      case other => throw new UnsupportedOperationException(s"graftstore type: $other")
+    }
 }
 
 /** Batch skipping: a batch survives unless its stats PROVE no row can

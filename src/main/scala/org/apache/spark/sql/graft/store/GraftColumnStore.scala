@@ -597,19 +597,27 @@ object GraftColumnStore {
   }
 
   /** Generic boxed path (strings — cloned, the scan reuses row buffers —
-    * plus booleans/floats, arrays, and anything else).
+    * plus booleans/floats, arrays/maps/structs, and anything else).
     */
   private final class AnyColBuilder(size: Int, dt: DataType) extends ColBuilder {
     private val isString = dt == StringType ||
       dt.isInstanceOf[CharType] || dt.isInstanceOf[VarcharType]
     private val isArray = dt.isInstanceOf[ArrayType]
+    private val isMap = dt.isInstanceOf[MapType]
+    private val structFields = dt match {
+      case st: StructType => st.fields.length
+      case _ => -1
+    }
     private val hasStats = statsComparable(dt)
     private var vals = new Array[Any](size)
     def add(row: InternalRow, c: Int, i: Int): Unit =
       vals(i) =
         if (row.isNullAt(c)) null
         else if (isString) row.getUTF8String(c).clone()
-        else if (isArray) row.getArray(c).copy() // scan row buffers are reused
+        // containers: scan row buffers are reused — deep-copy to own them
+        else if (isArray) row.getArray(c).copy()
+        else if (isMap) row.getMap(c).copy()
+        else if (structFields >= 0) row.getStruct(c, structFields).copy()
         else row.get(c, dt)
     def seal(n: Int): (ColumnData, ColumnStats) = {
       val out =
@@ -632,8 +640,11 @@ object GraftColumnStore {
         }
         i += 1
       }
-      // arrays: no run/dict scan (hashing whole vectors buys nothing)
-      val col = if (isArray) PlainColumn(out) else encode(out, dt)
+      // containers: no run/dict scan — hashing whole vectors buys
+      // nothing, and generic map/struct rows lack stable value equality
+      val col =
+        if (isArray || isMap || structFields >= 0) PlainColumn(out)
+        else encode(out, dt)
       vals = new Array[Any](size)
       (col, ColumnStats(min, max, nulls))
     }
@@ -701,13 +712,16 @@ object GraftColumnStore {
       a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
     case BooleanType => java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
     case _: DecimalType => a.asInstanceOf[Decimal].compareTo(b.asInstanceOf[Decimal])
+    case ByteType => java.lang.Byte.compare(a.asInstanceOf[Byte], b.asInstanceOf[Byte])
+    case ShortType => java.lang.Short.compare(a.asInstanceOf[Short], b.asInstanceOf[Short])
     case _ => 0
   }
 
   /** Types with meaningful min/max batch stats (orderable scalars). */
   def statsComparable(dt: DataType): Boolean = dt match {
     case LongType | TimestampType | TimestampNTZType | IntegerType | DateType |
-         DoubleType | FloatType | StringType | BooleanType => true
+         DoubleType | FloatType | StringType | BooleanType | ByteType |
+         ShortType => true
     case _: DecimalType | _: CharType | _: VarcharType => true
     case _ => false
   }
@@ -719,12 +733,12 @@ object GraftColumnStore {
     */
   def supportsType(dt: DataType): Boolean = dt match {
     case LongType | TimestampType | TimestampNTZType | IntegerType | DateType |
-         DoubleType | FloatType | StringType | BooleanType => true
+         DoubleType | FloatType | StringType | BooleanType | ByteType |
+         ShortType | BinaryType => true
     case _: DecimalType | _: CharType | _: VarcharType => true
-    case ArrayType(et, _) => et match {
-      case FloatType | DoubleType | IntegerType | LongType => true
-      case _ => false
-    }
+    case ArrayType(et, _) => supportsType(et)
+    case MapType(kt, vt, _) => supportsType(kt) && supportsType(vt)
+    case st: StructType => st.fields.forall(f => supportsType(f.dataType))
     case _ => false
   }
 }

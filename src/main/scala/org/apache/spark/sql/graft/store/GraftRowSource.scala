@@ -127,7 +127,12 @@ class GraftRowScanBuilder(tableName: String, fullSchema: StructType)
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // top-level pruning only (see GraftColumnScanBuilder): packs hold
+    // whole rows, and the projector reads stored values by full type
+    required = StructType(requiredSchema.fields.map { f =>
+      if (fullSchema.fieldNames.contains(f.name)) fullSchema(f.name) else f
+    })
   override def build(): Scan = new GraftRowScan(tableName, fullSchema, required, pushed)
 }
 

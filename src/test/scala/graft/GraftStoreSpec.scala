@@ -163,6 +163,47 @@ class GraftStoreSpec extends SparkTestBase {
     g.dropTable("s_dec")
   }
 
+  test("MAP/STRUCT/nested-array columns: store-backed roundtrip + mutation") {
+    val g = GraftSession(spark)
+    val src = Tables.load(spark, sf, "orders").limit(500).select(
+      col("o_orderkey"),
+      col("o_totalprice"),
+      struct(col("o_custkey").as("ck"), col("o_orderstatus").as("st")).as("meta"),
+      map(col("o_orderpriority"), col("o_totalprice")).as("prio_price"),
+      array(struct(col("o_totalprice").as("p"),
+        (col("o_totalprice") * 2).as("p2"))).as("price_rows"))
+    g.createTable("s_complex", src)
+    assert(g.isStoreBacked("s_complex"),
+      "map/struct schema must land in the graftstore, not the cached-DF fallback")
+    val got = g.table("s_complex").orderBy("o_orderkey").collect()
+    val exp = src.orderBy("o_orderkey").collect()
+    assert(got.toSeq == exp.toSeq, "complex columns must roundtrip exactly")
+
+    // scalar pushdown/stats still work with complex columns in the schema
+    val one = g.table("s_complex").filter(col("o_totalprice") > 100000.0)
+    assert(one.count() == src.filter(col("o_totalprice") > 100000.0).count())
+
+    // mutation: scalar update + delete compose while complex columns ride along
+    GraftStoreOps.update(spark, "s_complex", col("o_totalprice") < 50000.0,
+      Seq("o_totalprice" -> lit(0.0)))
+    GraftStoreOps.delete(spark, "s_complex", col("o_totalprice") === 0.0)
+    val after = g.table("s_complex")
+    assert(after.count() == src.filter(col("o_totalprice") >= 50000.0).count())
+    // struct/map fields extract correctly post-mutation
+    val ck = after.select(col("meta.ck")).collect().map(_.getLong(0)).sorted.toSeq
+    val ckExp = src.filter(col("o_totalprice") >= 50000.0)
+      .select(col("meta.ck")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ck == ckExp)
+
+    // update a MAP column (delta payload carries MapData)
+    GraftStoreOps.update(spark, "s_complex", lit(true),
+      Seq("prio_price" -> map_concat(col("prio_price"), map(lit("X"), lit(1.0)))))
+    val allHaveX = g.table("s_complex")
+      .filter(element_at(col("prio_price"), "X").isNotNull).count()
+    assert(allHaveX == after.count(), "map update must reach every row")
+    g.dropTable("s_complex")
+  }
+
   test("PUT INTO upserts via bitmap-delete + append") {
     val g = GraftSession(spark)
     freshOrders("s_put")
