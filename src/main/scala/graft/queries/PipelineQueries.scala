@@ -139,6 +139,77 @@ object PipelineQueries {
         .orderBy("keep_id")
     },
 
+    // ---- composed corpus curation: quality filter -> exact dedup ->
+    // language ID -> per-language stats, the standard training-data
+    // curation funnel as ONE declarative pipeline. Every stage is a
+    // proven-above operator; composing them here proves the stages agree
+    // on keys/rounding end to end (the oracle recomputes the whole
+    // funnel in SQL). Scale shape: each stage is a doc_id-keyed shuffle
+    // or scan fuse — nothing quadratic, nothing through the driver ----
+    QueryDef.sql(
+      "q_corpus_curation", {
+        val stop = TextAnalysis.langStopwords.flatMap(_._2).distinct
+          .map(w => s"'$w'").mkString(",")
+        val cases = TextAnalysis.langStopwords.map { case (lang, words) =>
+          s"sum(CASE WHEN tok IN (${words.map(w => s"'$w'").mkString(",")}) THEN 1 ELSE 0 END) AS s_$lang"
+        }.mkString(",\n  ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+           |  FROM documents),
+           |stop_stats AS (
+           |  SELECT doc_id, count(*) AS n_tokens,
+           |    sum(CASE WHEN tok IN ($stop) THEN 1 ELSE 0 END) AS n_stop
+           |  FROM toks GROUP BY doc_id),
+           |base AS (
+           |  SELECT doc_id, length(text) AS n_chars,
+           |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+           |      / length(text) AS punct_ratio
+           |  FROM documents),
+           |quality AS (
+           |  SELECT b.doc_id, s.n_tokens,
+           |    round(least(CAST(b.n_chars AS DOUBLE) / 500.0, 1.0) * 0.4 +
+           |          least(CAST(s.n_stop AS DOUBLE) / s.n_tokens * 5.0, 1.0) * 0.3 +
+           |          (1.0 - least(b.punct_ratio * 10.0, 1.0)) * 0.3, 4) AS quality
+           |  FROM base b JOIN stop_stats s USING (doc_id)),
+           |kept_q AS (
+           |  SELECT d.doc_id, d.text, q.n_tokens, q.quality
+           |  FROM documents d JOIN quality q USING (doc_id)
+           |  WHERE q.quality >= 0.5),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM kept_q GROUP BY md5(text)),
+           |kept AS (SELECT k2.* FROM kept_q k2 JOIN keep USING (doc_id)),
+           |ktoks AS (
+           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+           |  FROM kept),
+           |lscores AS (SELECT doc_id, $cases FROM ktoks GROUP BY doc_id),
+           |lang AS (
+           |  SELECT doc_id,
+           |    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+           |         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+           |         WHEN s_de >= s_fr THEN 'de'
+           |         ELSE 'fr' END AS pred_lang
+           |  FROM lscores)
+           |SELECT l.pred_lang, count(*) AS n_docs,
+           |  CAST(sum(k.n_tokens) AS BIGINT) AS total_tokens,
+           |  round(avg(k.quality), 4) AS avg_quality
+           |FROM lang l JOIN kept k USING (doc_id)
+           |GROUP BY l.pred_lang
+           |ORDER BY l.pred_lang""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      val keptQ = docs.join(quality.filter(col("quality") >= 0.5), "doc_id")
+      val keep = Dedup.exactDedup(keptQ, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val kept = keptQ.join(keep, "doc_id")
+      TextAnalysis.langId(kept, "doc_id", "text")
+        .join(kept.select("doc_id", "n_tokens", "quality"), "doc_id")
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          graft.dround(avg(col("quality")), 4).as("avg_quality"))
+        .orderBy("pred_lang")
+    },
+
     // ---- MinHash-LSH near-dup pairs, exact-Jaccard verified ----
     // Oracle is the all-pairs ground truth: a hash match proves LSH
     // recall 1.0 on this corpus (see object scaladoc).

@@ -295,6 +295,35 @@ class SqlSurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("stream WINDOW clause with SLIDE yields overlapping windows") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_win2").toFile
+    Files.writeString(new java.io.File(dir, "a.json").toPath,
+      """{"ts": "2026-01-01T00:00:05.000Z", "v": 1.0}
+        |{"ts": "2026-01-01T00:00:12.000Z", "v": 2.0}""".stripMargin)
+    spark.sql(s"CREATE STREAM TABLE s_win2 (ts TIMESTAMP, v DOUBLE) USING json " +
+      s"OPTIONS (path '${dir.getAbsolutePath}')")
+    val agg = spark.sql(
+      "SELECT window, sum(v) AS total FROM s_win2 " +
+        "WINDOW (DURATION 10 SECONDS, SLIDE 5 SECONDS) GROUP BY window")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("s_win2_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("s_win2_out")
+        .selectExpr("window.start", "total").collect()
+        .map(r => r.getTimestamp(0).toInstant.toString -> r.getDouble(1)).toMap
+      // each event lands in TWO sliding windows
+      assert(got == Map(
+        "2026-01-01T00:00:00Z" -> 1.0,
+        "2026-01-01T00:00:05Z" -> 3.0,
+        "2026-01-01T00:00:10Z" -> 2.0), s"got $got")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("s_win2")
+    }
+  }
+
   test("COLOCATE_WITH inherits the target layout and rejects incompatibles") {
     val g = GraftSession(spark)
     Tables.registerAll(spark, sf)
