@@ -321,6 +321,89 @@ object TpchQueries2 {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("numcust"), graft.decSum(col("c_acctbal")).as("totacctbal"))
         .orderBy(col("c_nationkey"))
+    },
+
+    // ---- TPC-H q15: top supplier by quarterly revenue. The revenue
+    // "view" materializes once and feeds both the winner filter and the
+    // scalar-max subquery; sums are exact decimals (Int128Sum), so the
+    // = max(total_revenue) comparison is exact in BOTH engines — a
+    // double-sum equality would be engine-order-dependent ----
+    QueryDef.sql(
+      "q15_top_supplier",
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val revenue = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1996-04-01 00:00:00"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(graft.decSumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+      val maxRev = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+      Tables.load(s, dir, "supplier")
+        .join(revenue, col("s_suppkey") === col("supplier_no"))
+        .join(broadcast(maxRev))
+        .filter(col("total_revenue") === col("max_revenue"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total_revenue"), 2).cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    // ---- TPC-H q21 (shape-adapted): suppliers who alone failed an
+    // order. The synthetic lineitem has no commit/receipt dates, so the
+    // canonical "kept orders waiting" predicate maps to the returnflag:
+    // supplier s has an 'R' line in a finished order, some OTHER supplier
+    // shares the order (EXISTS), and no other supplier's line in it is
+    // 'R' (NOT EXISTS). The semi/anti self-joins on l_orderkey are the
+    // canonical plan; supplier/nation broadcast ----
+    QueryDef.sql(
+      "q21_waiting_suppliers",
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |  JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |  JOIN orders ON o_orderkey = l1.l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND n_name LIKE 'NATION_1%'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o1"), col("l_suppkey").as("s1"))
+      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      val ordF = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      val suppNat = Tables.load(s, dir, "supplier")
+        .join(Tables.load(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").like("NATION_1%"))
+        .select(col("s_suppkey"), col("s_name"))
+      l1.join(ordF, col("o1") === col("o_orderkey"))
+        .join(l2, col("o2") === col("o1") && col("s2") =!= col("s1"), "left_semi")
+        .join(l3, col("o3") === col("o1") && col("s3") =!= col("s1"), "left_anti")
+        .join(broadcast(suppNat), col("s1") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
     }
   )
 }
