@@ -437,7 +437,18 @@ object StreamWindowRewrite {
     ("""(?is)\bFROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+WINDOW\s*\(\s*DURATION\s+(\d+)\s+""" +
       """([A-Za-z]+)\s*(?:,\s*SLIDE\s+(\d+)\s+([A-Za-z]+)\s*)?\)""").r
 
+  /** ANSI `FETCH FIRST n ROWS ONLY` (reference
+    * SnappyParser.queryOrganization:738-786) — Spark's grammar only has
+    * LIMIT; rewrite the ANSI spelling to it.
+    */
+  private val FetchFirst =
+    """(?is)\bFETCH\s+FIRST\s+(?:(\d+)\s+)?ROWS?\s+ONLY""".r
+
   def apply(sql: String): String =
+    FetchFirst.replaceAllIn(rewriteWindows(sql),
+      m => s"LIMIT ${Option(m.group(1)).getOrElse("1")}")
+
+  private def rewriteWindows(sql: String): String =
     Win.replaceAllIn(sql, m => {
       val t = m.group(1)
       GraftStreamRegistry.timeColumn(t.toLowerCase) match {

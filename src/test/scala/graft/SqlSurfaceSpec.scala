@@ -324,6 +324,18 @@ class SqlSurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("ANSI FETCH FIRST n ROWS ONLY parses as LIMIT") {
+    Tables.registerAll(spark, sf)
+    val got = spark.sql(
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey FETCH FIRST 3 ROWS ONLY")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 1L, 2L))
+    val one = spark.sql(
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey FETCH FIRST ROW ONLY")
+      .collect().map(_.getLong(0)).toSeq
+    assert(one == Seq(0L))
+  }
+
   test("COLOCATE_WITH inherits the target layout and rejects incompatibles") {
     val g = GraftSession(spark)
     Tables.registerAll(spark, sf)
