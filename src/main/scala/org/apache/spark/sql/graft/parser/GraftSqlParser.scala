@@ -75,9 +75,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case Some(CreateSampleTable(n, base, opts)) =>
         GraftCreateSampleTableCommand(n, base, opts)
       case Some(CreateTableUsing(n, provider, schema, opts, sel)) =>
-        // empty-table form: materialize the schema as an empty relation
+        // empty-table form: materialize the schema as an empty relation.
+        // CHAR/VARCHAR must surface as STRING (+ metadata) — Spark plans
+        // may not carry raw char/varchar output types
         val source = sel.map(delegate.parsePlan).getOrElse {
-          val st = delegate.parseTableSchema(schema.get)
+          val st = org.apache.spark.sql.catalyst.util.CharVarcharUtils
+            .replaceCharVarcharWithStringInSchema(delegate.parseTableSchema(schema.get))
           org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
             org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(st))
         }

@@ -324,6 +324,23 @@ class SqlSurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("CHAR/VARCHAR columns: DDL create, padding semantics, catalog listing") {
+    import spark.implicits._
+    g.sql("CREATE TABLE chartab (code CHAR(4), name VARCHAR(10), v DOUBLE) USING column")
+    assert(g.isStoreBacked("chartab"))
+    g.insert("chartab", Seq(("AB", "hello", 1.0), ("CDEF", "world", 2.0))
+      .toDF("code", "name", "v"))
+    // CHAR(4) write-side padding reaches the store
+    val lens = g.table("chartab").select(length(col("code"))).collect().map(_.getInt(0))
+    assert(lens.forall(_ == 4), s"CHAR(4) must pad: ${lens.toSeq}")
+    assert(g.table("chartab").orderBy("v").collect().map(_.getString(0)).toSeq ==
+      Seq("AB  ", "CDEF"))
+    // the DSv2 catalog lists managed tables
+    val listed = spark.sql("SHOW TABLES IN graft").collect().map(_.getString(1))
+    assert(listed.contains("chartab"), s"SHOW TABLES IN graft: ${listed.toSeq}")
+    g.dropTable("chartab")
+  }
+
   test("ANSI FETCH FIRST n ROWS ONLY parses as LIMIT") {
     Tables.registerAll(spark, sf)
     val got = spark.sql(
