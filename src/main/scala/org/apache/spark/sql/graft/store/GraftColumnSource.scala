@@ -75,8 +75,12 @@ object GraftTable {
     val keys = existing.map(_.keyColumns).getOrElse(
       props.get("key_columns").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil))
     val sortBy = props.get("sort_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
-    new GraftTable(name, schema, props.get("batch_size").map(_.toInt).getOrElse(16384),
-      bucketBy, buckets, keys, sortBy)
+    // batch size is part of the table's physical layout: an explicit
+    // option wins, else the existing table's size, else the default —
+    // so a compact() rewrite keeps the granularity the index was built at
+    val batchSize = props.get("batch_size").map(_.toInt)
+      .orElse(existing.map(_.batchSize)).getOrElse(16384)
+    new GraftTable(name, schema, batchSize, bucketBy, buckets, keys, sortBy)
   }
 }
 
@@ -730,7 +734,7 @@ class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
       case GraftCommit(refs) => refs
       case _ => Nil
     }.toIndexedSeq)
-    if (truncate) table.mutate(_.copy(sortedBy = sortBy))
+    if (truncate) table.mutate(_.copy(sortedBy = sortBy, batchSize = batchSize))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -354,7 +354,8 @@ object GraftColumnStore {
       refs: Vector[BatchRef],
       deletes: Map[Long, DeleteRef],
       updates: Map[Long, Map[Int, Vector[ColumnDeltaRef]]],
-      sortedBy: Seq[String] = Nil) {
+      sortedBy: Seq[String] = Nil,
+      batchSize: Int = 16384) {
     def rowCount: Long =
       refs.map(r => r.numRows.toLong - deletes.get(r.id).map(_.cardinality).getOrElse(0)).sum
     def liveRows(ref: BatchRef): Int =

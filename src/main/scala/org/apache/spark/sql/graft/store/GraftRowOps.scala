@@ -189,10 +189,23 @@ object GraftRowOps {
     put(spark, table, updated)
   }
 
-  /** Roll tombstoned packs into fresh dense ones (pack GC). */
-  def compact(spark: SparkSession, table: String): Unit =
-    read(spark, table).write.format(FORMAT).option("table", table)
+  /** Roll tombstoned packs into fresh dense ones (pack GC). Secondary
+    * indexes are rebuilt over the fresh packs afterwards — their stats
+    * keyed the OLD pack ids, so without the rebuild every range scan
+    * would degrade to an unpruned (still correct) full scan.
+    */
+  def compact(spark: SparkSession, table: String): Unit = {
+    val indexed = GraftRowStore(table).snapshot.indexes.values.map(_.column).toSeq
+    val df = read(spark, table)
+    // cluster each writer partition on the indexed columns so the fresh
+    // packs keep narrow (min, max) ranges — pruning power, not just
+    // correctness, survives the compaction
+    val clustered =
+      if (indexed.nonEmpty) df.sortWithinPartitions(indexed.map(col): _*) else df
+    clustered.write.format(FORMAT).option("table", table)
       .mode("overwrite").save()
+    indexed.foreach(c => createIndex(spark, table, c))
+  }
 
   /** CREATE INDEX on a row-table column (reference
     * SnappySession.createIndex:1760 — B-tree secondary indexes with range

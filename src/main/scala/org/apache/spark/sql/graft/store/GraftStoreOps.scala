@@ -155,10 +155,16 @@ object GraftStoreOps {
     * fresh sealed batches (reference: delta row buffer rolled into column
     * batches). The merged view rewrites through the normal bucketed write
     * path; the swap is atomic and in-flight snapshot readers stay valid.
+    * Index clustering survives: the rewrite re-applies the table's
+    * `sortedBy` so the fresh batches keep narrow key ranges (otherwise a
+    * compaction would silently degrade every index probe to a full scan).
     */
-  def compact(spark: SparkSession, table: String): Unit =
-    read(spark, table).write.format(FORMAT).option("table", table)
+  def compact(spark: SparkSession, table: String): Unit = {
+    val sorted = GraftColumnStore(table).snapshot.sortedBy
+    val w = read(spark, table).write.format(FORMAT).option("table", table)
+    (if (sorted.nonEmpty) w.option("sort_by", sorted.mkString(",")) else w)
       .mode("overwrite").save()
+  }
 
   /** CREATE INDEX (reference SnappySession.createIndex:1760) — the
     * columnar re-expression of a key index: rewrite the table with each

@@ -344,6 +344,19 @@ class GraftStoreSpec extends SparkTestBase {
     assert(scanAfter < scanBefore / 2 && skippedAfter > 0,
       s"index must shrink the scanned-batch set: before=$scanBefore after=$scanAfter skipped=$skippedAfter")
 
+    // compaction keeps the clustering: deltas roll up, sortedBy and the
+    // stats-skipping power survive
+    GraftStoreOps.update(spark, "s_idx", col("o_totalprice") < 1000.0,
+      Seq("o_orderpriority" -> lit("X-COMPACTED")))
+    GraftStoreOps.compact(spark, "s_idx")
+    assert(GraftColumnStore("s_idx").snapshot.sortedBy == Seq("o_totalprice"),
+      "compact must preserve index clustering metadata")
+    val (scanCompacted, skippedCompacted) = scanCounts {
+      assert(GraftStoreOps.read(spark, "s_idx").filter(range).count() == expected)
+    }
+    assert(skippedCompacted > 0 && scanCompacted < scanBefore / 2,
+      s"clustering must survive compaction: scanned=$scanCompacted skipped=$skippedCompacted")
+
     // SQL surface round-trip on a session-managed table
     val g = GraftSession(spark)
     g.createTable("s_idx_sql", Tables.load(spark, sf, "orders"))

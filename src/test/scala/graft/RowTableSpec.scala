@@ -190,6 +190,33 @@ class RowTableSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     g.dropTable("r_ridx")
   }
 
+  test("secondary index survives compaction with rebuilt stats") {
+    val ord = Tables.load(spark, sf, "orders")
+      .repartitionByRange(8, col("o_totalprice"))
+    g.createTable("r_cidx", ord, provider = "row")
+    GraftRowOps.createIndex(spark, "r_cidx", "o_totalprice")
+    // tombstone some rows, then compact: packs are rewritten with fresh
+    // ids — stats must re-key to them and pruning must still bite
+    GraftRowOps.delete(spark, "r_cidx", col("o_totalprice") < 10000.0)
+    GraftRowOps.compact(spark, "r_cidx")
+    val snap = GraftRowStore("r_cidx").snapshot
+    assert(snap.indexes.contains("o_totalprice"), "index metadata survives compact")
+    val stats = snap.indexes("o_totalprice").packRange
+    assert(snap.refs.forall(r => stats.contains(r.id)),
+      "stats must cover the POST-compact packs")
+    val probedBefore = GraftRowStore.rangePacksProbed.get()
+    val prunedBefore = GraftRowStore.rangePacksPruned.get()
+    val got = g.table("r_cidx")
+      .filter(col("o_totalprice") > 50000.0 && col("o_totalprice") <= 60000.0).count()
+    val exp = Tables.load(spark, sf, "orders")
+      .filter(col("o_totalprice") > 50000.0 && col("o_totalprice") <= 60000.0).count()
+    assert(got == exp)
+    assert(GraftRowStore.rangePacksPruned.get() - prunedBefore > 0,
+      "rebuilt stats must prune post-compact packs")
+    assert(GraftRowStore.rangePacksProbed.get() - probedBefore < snap.refs.size)
+    g.dropTable("r_cidx")
+  }
+
   test("secondary index: equality and open ranges on a text column") {
     val cust = Tables.load(spark, sf, "customer")
       .repartitionByRange(4, col("c_mktsegment"))
