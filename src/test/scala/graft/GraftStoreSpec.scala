@@ -368,6 +368,42 @@ class GraftStoreSpec extends SparkTestBase {
     GraftColumnStore.drop("s_idx")
   }
 
+  test("snapshot isolation: planned readers keep their snapshot; concurrent updates serialize") {
+    val g = GraftSession(spark)
+    freshOrders("s_snap")
+    val total = Tables.load(spark, sf, "orders").count()
+    // physically plan a reader BEFORE any mutation: its scan captured
+    // the then-current snapshot. (A fresh action like count() replans
+    // and sees the new snapshot — the contract is per planned query.)
+    val planned = GraftStoreOps.read(spark, "s_snap").queryExecution.executedPlan
+    GraftStoreOps.delete(spark, "s_snap", lit(true)) // delete EVERYTHING
+    assert(GraftStoreOps.read(spark, "s_snap").count() == 0, "new readers see the delete")
+    assert(planned.executeCollect().length == total,
+      "a reader planned before the delete must keep its captured snapshot")
+
+    // concurrent writers: disjoint updates from many threads — mutate()
+    // swaps are synchronized, so all land, none lost
+    freshOrders("s_conc")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val updates = (0 until 8).map { k =>
+      Future(GraftStoreOps.update(spark, "s_conc",
+        col("o_orderkey") % 8 === k,
+        Seq("o_orderpriority" -> concat(lit(s"P$k-"), col("o_orderpriority")))))
+    }
+    Await.result(Future.sequence(updates), 120.seconds)
+    val marked = GraftStoreOps.read(spark, "s_conc")
+      .filter(col("o_orderpriority").startsWith("P")).count()
+    assert(marked == total, s"all concurrent updates must land: $marked of $total")
+    // each row carries exactly ITS residue's marker
+    val wrong = GraftStoreOps.read(spark, "s_conc")
+      .filter(!col("o_orderpriority").startsWith(concat(lit("P"), col("o_orderkey") % 8, lit("-"))))
+      .count()
+    assert(wrong == 0, s"updates must not cross predicates: $wrong rows")
+    g.dropTable("s_snap"); g.dropTable("s_conc")
+  }
+
   test("metadata columns are hidden from star but selectable") {
     val g = GraftSession(spark)
     freshOrders("s_meta")
