@@ -96,4 +96,21 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " ")))
+
+  /** PII patterns for corpus scrubbing, shared by the Column API and the
+    * SQL oracles. Engine-portable subset (identical semantics under
+    * Java regex and RE2): no backreferences, no lookaround.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    // URLs FIRST (addresses embedded in a URL vanish with it)
+    "https?://[^\\s]+" -> "[URL]",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "[IP]")
+
+  /** Redact URLs, e-mail addresses and IPv4 literals — the standard
+    * pre-training scrub pass, as chained codegen `regexp_replace`s that
+    * fuse into the document scan (no UDF, full column pruning).
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
 }

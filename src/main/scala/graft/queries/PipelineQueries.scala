@@ -139,6 +139,53 @@ object PipelineQueries {
         .orderBy("keep_id")
     },
 
+    // ---- PII redaction (pre-training scrub): the synthetic corpus has
+    // no PII, so each doc is deterministically AUGMENTED with a
+    // fabricated email/URL/IP derived from its id — both engines build
+    // the identical dirty text, redact with the same engine-portable
+    // patterns, and the md5 of the result is hash-compared, so pattern
+    // semantics, replacement order (URL before EMAIL before IP) and
+    // all-occurrence replacement are all pinned ----
+    QueryDef.sql(
+      "q_text_redact",
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@mail-' || (doc_id % 7) ||
+        |    '.example.com or https://host' || (doc_id % 5) ||
+        |    '.example.org/p?u=admin@inner.io from 10.0.' || (doc_id % 256) ||
+        |    '.99 today' AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(t, 'https?://[^\s]+', '[URL]', 'g'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS r
+        |  FROM dirty)
+        |SELECT doc_id, md5(r) AS redacted_hash,
+        |  CAST((length(r) - length(replace(r, '[EMAIL]', ''))) / 7 AS BIGINT) AS n_email,
+        |  CAST((length(r) - length(replace(r, '[URL]', ''))) / 5 AS BIGINT) AS n_url,
+        |  CAST((length(r) - length(replace(r, '[IP]', ''))) / 4 AS BIGINT) AS n_ip
+        |FROM red ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val dirty = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail-"), col("doc_id") % 7,
+          lit(".example.com or https://host"), col("doc_id") % 5,
+          lit(".example.org/p?u=admin@inner.io from 10.0."), col("doc_id") % 256,
+          lit(".99 today")).as("t"))
+      val red = dirty.select(col("doc_id"),
+        TextAnalysis.redactPii(col("t")).as("r"))
+      red.select(col("doc_id"), md5(col("r")).as("redacted_hash"),
+          ((length(col("r")) - length(regexp_replace(col("r"), "\\[EMAIL\\]", "")))
+            / 7).cast("bigint").as("n_email"),
+          ((length(col("r")) - length(regexp_replace(col("r"), "\\[URL\\]", "")))
+            / 5).cast("bigint").as("n_url"),
+          ((length(col("r")) - length(regexp_replace(col("r"), "\\[IP\\]", "")))
+            / 4).cast("bigint").as("n_ip"))
+        .orderBy("doc_id")
+    },
+
     // ---- composed corpus curation: quality filter -> exact dedup ->
     // language ID -> per-language stats, the standard training-data
     // curation funnel as ONE declarative pipeline. Every stage is a

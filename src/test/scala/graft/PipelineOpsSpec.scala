@@ -142,4 +142,21 @@ class PipelineOpsSpec extends SparkTestBase {
       .agg(min("n"), max("n")).head()
     assert(norms.getDouble(0) > 0 && norms.getDouble(1) < 100)
   }
+
+  test("redactPii: URLs swallow embedded addresses, multiples all replaced") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val cases = Seq(
+      // email inside a URL query vanishes WITH the URL (order contract)
+      ("see https://x.io/p?u=a@b.co now", "see [URL] now"),
+      ("mail a@b.co and c.d+e@f-g.org", "mail [EMAIL] and [EMAIL]"),
+      ("from 10.0.0.1 to 192.168.255.3", "from [IP] to [IP]"),
+      // version strings with 4 numeric groups DO match the IPv4 shape —
+      // documented limitation of the regex scrub (no semantic check)
+      ("plain text, nothing here", "plain text, nothing here"),
+      ("http://a.b/c http://d.e/f", "[URL] [URL]"))
+    val got = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.redactPii(col("t"))).collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
 }
