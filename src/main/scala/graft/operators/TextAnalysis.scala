@@ -113,4 +113,25 @@ object TextAnalysis {
     */
   def redactPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
+  /** Context-window chunking: split each document into `chunkTokens`-token
+    * chunks overlapping by `overlap` tokens — the standard pre-training
+    * windowing pass. Pure array expressions (`sequence` of chunk starts →
+    * `transform`/`slice` → `posexplode`), so the fan-out happens inside
+    * whole-stage codegen with no UDF and no shuffle: each scan task emits
+    * its own chunk rows. Output: (id, chunk_idx, chunk_text).
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"chunk($chunkTokens, $overlap): need chunkTokens > overlap >= 0")
+    val stride = chunkTokens - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride))
+    docs.select(col(idCol),
+        posexplode(transform(starts,
+          s => array_join(slice(toks, s + 1, lit(chunkTokens)), " "))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk_text")
+  }
 }

@@ -139,6 +139,32 @@ object PipelineQueries {
         .orderBy("keep_id")
     },
 
+    // ---- context-window chunking: 50-token chunks, 10-token overlap —
+    // chunk boundaries, overlap stride and content are all hash-checked
+    // (md5 per chunk); the fan-out is pure codegen array expressions, so
+    // at 100 TB each scan task emits its own chunk rows with no shuffle ----
+    QueryDef.sql(
+      "q_text_chunk",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, CAST(start // 40 AS INT) AS chunk_idx,
+        |    array_to_string(t[start + 1 : start + 50], ' ') AS chunk_text
+        |  FROM toks, UNNEST(generate_series(0, greatest(len(t) - 1, 0), 40)) AS u(start))
+        |SELECT doc_id, chunk_idx, md5(chunk_text) AS chunk_hash,
+        |  CAST(length(chunk_text) - length(replace(chunk_text, ' ', '')) + 1 AS BIGINT)
+        |    AS n_tokens
+        |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      TextAnalysis.chunk(Tables.load(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 50, overlap = 10)
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("chunk_text")).as("chunk_hash"),
+          (length(col("chunk_text")) -
+            length(regexp_replace(col("chunk_text"), " ", "")) + 1)
+            .cast("bigint").as("n_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // ---- PII redaction (pre-training scrub): the synthetic corpus has
     // no PII, so each doc is deterministically AUGMENTED with a
     // fabricated email/URL/IP derived from its id — both engines build
