@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.VectorExpressions.vec_norm
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Similarity, Splits, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators exposed through the driver contract:
@@ -137,6 +137,35 @@ object PipelineQueries {
       Dedup.exactDedup(Tables.load(s, dir, "documents"), "doc_id", "text")
         .select("content_hash", "keep_id", "n_dups")
         .orderBy("keep_id")
+    },
+
+    // ---- deterministic train/validation/test split: membership from
+    // the md5 of the row key (the sampler's engine-portable construction),
+    // so the oracle replays the EXACT assignment — re-runs reproduce it,
+    // appends never reshuffle it, and the scan-fused expression costs one
+    // md5 per row with no shuffle ----
+    QueryDef.sql(
+      "q_data_split",
+      """WITH u AS (
+        |  SELECT text,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS BIGINT)
+        |      / 1099511627776.0 AS u
+        |  FROM documents),
+        |assigned AS (
+        |  SELECT CASE WHEN u < 0.8 THEN 'train'
+        |              WHEN u < 0.9 THEN 'validation'
+        |              ELSE 'test' END AS split_name, text
+        |  FROM u)
+        |SELECT split_name, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+        |FROM assigned GROUP BY split_name ORDER BY split_name""".stripMargin) { (s, dir) =>
+      Splits.assign(Tables.load(s, dir, "documents"), Seq("doc_id"),
+          Seq("train" -> 8.0, "validation" -> 1.0, "test" -> 1.0))
+        .groupBy(col("_split").as("split_name"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(trim(col("text")), "\\s+"))).cast("bigint")
+            .as("total_tokens"))
+        .orderBy("split_name")
     },
 
     // ---- context-window chunking: 50-token chunks, 10-token overlap —
