@@ -46,3 +46,42 @@ object Splits {
     df.withColumn("_split", expr)
   }
 }
+
+/** Domain-weighted mixture resampling — the data-mixing pass of a
+  * pretraining pipeline (fixed target proportions per domain, DoReMi-
+  * style): deterministically DOWN-sample each domain so the output
+  * follows the target mixture at the largest feasible size
+  * (`cap = min_d n_d / p_d`; keep rate `r_d = cap·p_d / n_d ≤ 1`).
+  *
+  * Scale shape: one map-combined count per domain (|domains| rows of
+  * METADATA to the driver — never data), then membership is the same
+  * scan-fused md5-threshold test as [[Splits]]/the AQP sampler:
+  * deterministic, append-stable, and replayable by an external engine.
+  * Rows of domains absent from `targets` are dropped.
+  */
+object Mixture {
+
+  def resample(df: DataFrame, domainCol: String, idCol: String,
+      targets: Seq[(String, Double)], salt: String = "mix"): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "resample: targets must be non-empty with positive weights")
+    val tot = targets.map(_._2).sum
+    val counts = df.groupBy(col(domainCol)).count().collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    targets.foreach { case (d, _) =>
+      require(counts.contains(d), s"resample: no rows for target domain '$d'")
+    }
+    val withP = targets.map { case (d, w) => (d, w / tot) }
+    val cap = withP.map { case (d, p) => counts(d) / p }.min
+    val rates = withP.map { case (d, p) =>
+      d -> math.min(1.0, cap * p / counts(d))
+    }
+    val u = org.apache.spark.sql.graft.TextHashExpressions
+      .md5_prefix_long(concat(col(idCol).cast("string"), lit("|" + salt)), 10)
+      .cast("double") / (1L << 40).toDouble
+    val rateCol = rates.foldRight(lit(0.0): Column) { case ((d, r), els) =>
+      when(col(domainCol) === d, lit(r)).otherwise(els)
+    }
+    df.filter(u < rateCol)
+  }
+}

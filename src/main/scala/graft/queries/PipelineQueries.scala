@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.VectorExpressions.vec_norm
-import graft.operators.{Dedup, Similarity, Splits, TextAnalysis}
+import graft.operators.{Dedup, Mixture, Similarity, Splits, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators exposed through the driver contract:
@@ -137,6 +137,32 @@ object PipelineQueries {
       Dedup.exactDedup(Tables.load(s, dir, "documents"), "doc_id", "text")
         .select("content_hash", "keep_id", "n_dups")
         .orderBy("keep_id")
+    },
+
+    // ---- domain-weighted mixture resampling (the pretraining
+    // data-mixing pass): down-sample each language to a fixed target
+    // mixture at the largest feasible size; membership is the
+    // md5-threshold test, so the oracle replays the EXACT kept set ----
+    QueryDef.sql(
+      "q_domain_mix",
+      """WITH targets(domain, w) AS (
+        |  VALUES ('en', 4.0), ('de', 1.0), ('es', 1.0), ('fr', 1.0), ('zh', 1.0)),
+        |p AS (SELECT domain, w / (SELECT sum(w) FROM targets) AS p FROM targets),
+        |counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |cap AS (SELECT min(c.n / p.p) AS cap FROM counts c JOIN p ON c.lang = p.domain),
+        |rates AS (
+        |  SELECT c.lang, least(1.0, (SELECT cap FROM cap) * p.p / c.n) AS r
+        |  FROM counts c JOIN p ON c.lang = p.domain),
+        |kept AS (
+        |  SELECT d.lang FROM documents d JOIN rates ON d.lang = rates.lang
+        |  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 1, 10) AS BIGINT)
+        |        / 1099511627776.0 < rates.r)
+        |SELECT lang, count(*) AS n_kept FROM kept
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Mixture.resample(Tables.load(s, dir, "documents"), "lang", "doc_id",
+          Seq("en" -> 4.0, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
     },
 
     // ---- deterministic train/validation/test split: membership from
