@@ -114,6 +114,29 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
 
+  /** Repetition statistics — the classic corpus-quality signals
+    * (duplicate-content heuristics as in the public Gopher/RefinedWeb
+    * filtering rules): per document, the fraction of tokens covered by
+    * the single most frequent token / 2-gram / 3-gram. High values flag
+    * boilerplate and generated spam. One explode + one map-combined
+    * aggregation per n — the grouped stream is (doc, gram) keyed, so at
+    * 100 TB it shuffles compressed counts, never text.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    def gramFrac(n: Int): DataFrame = {
+      val grams = docs.select(col(idCol), explode(transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        s => array_join(slice(toks, s + 1, lit(n)), " "))).as("g"))
+      grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col(idCol)).agg(
+          (max(col("c")).cast("double") / sum(col("c"))).as(s"top${n}gram_frac"))
+    }
+    gramFrac(1)
+      .join(gramFrac(2), idCol)
+      .join(gramFrac(3), idCol)
+  }
+
   /** Context-window chunking: split each document into `chunkTokens`-token
     * chunks overlapping by `overlap` tokens — the standard pre-training
     * windowing pass. Pure array expressions (`sequence` of chunk starts →

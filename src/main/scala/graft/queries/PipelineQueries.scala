@@ -139,6 +139,37 @@ object PipelineQueries {
         .orderBy("keep_id")
     },
 
+    // ---- repetition statistics (Gopher/RefinedWeb-style quality
+    // signals): per-doc fraction of tokens covered by the most frequent
+    // token / 2-gram / 3-gram — boilerplate and generated spam flags ----
+    QueryDef.sql(
+      "q_text_repetition", {
+        def frac(n: Int) =
+          s"""f$n AS (
+             |  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top${n}gram_frac
+             |  FROM (SELECT doc_id, g, count(*) AS c FROM
+             |        (SELECT doc_id, array_to_string(t[s + 1 : s + $n], ' ') AS g
+             |         FROM toks, UNNEST(generate_series(0, greatest(len(t) - $n, 0))) AS u(s)) gg
+             |        GROUP BY doc_id, g) cc
+             |  GROUP BY doc_id)""".stripMargin
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+           |  FROM documents),
+           |${frac(1)},
+           |${frac(2)},
+           |${frac(3)}
+           |SELECT doc_id, top1gram_frac, top2gram_frac, top3gram_frac
+           |FROM f1 JOIN f2 USING (doc_id) JOIN f3 USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      TextAnalysis.repetitionStats(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          graft.dround(col("top1gram_frac"), 6).as("top1gram_frac"),
+          graft.dround(col("top2gram_frac"), 6).as("top2gram_frac"),
+          graft.dround(col("top3gram_frac"), 6).as("top3gram_frac"))
+        .orderBy("doc_id")
+    },
+
     // ---- domain-weighted mixture resampling (the pretraining
     // data-mixing pass): down-sample each language to a fixed target
     // mixture at the largest feasible size; membership is the
