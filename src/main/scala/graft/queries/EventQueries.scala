@@ -21,6 +21,34 @@ object EventQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // ---- ordered funnel with a per-step time bound: users completing
+    // view -> click -> purchase, each step within 24h of the previous.
+    // The per-step cohort aggregation chain shuffles (user, ts) pairs
+    // only and shrinks monotonically — no full-stream windows, no
+    // per-user event collection ----
+    QueryDef.sql(
+      "q_events_funnel_steps",
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t2 + INTERVAL 24 HOUR GROUP BY e.user_id)
+        |SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1) AS users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step""".stripMargin) { (s, dir) =>
+      graft.operators.Funnel.funnel(Tables.load(s, dir, "events"),
+          "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), maxGap = "24 HOUR")
+        .orderBy("step")
+    },
+
     // ---- tumbling-window aggregation (batch twin of stream windowing) ----
     QueryDef.sql(
       "q_events_hourly",
