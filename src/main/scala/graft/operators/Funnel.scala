@@ -24,8 +24,12 @@ object Funnel {
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String], maxGap: String = ""): DataFrame = {
     require(steps.nonEmpty, "funnel: need at least one step")
+    // each cohort materializes ONCE (localCheckpoint): it feeds both its
+    // own count and every later step's chain — without the checkpoint the
+    // step-1 full-stream scan would re-execute once per union branch
     val first = events.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t1"))
+      .localCheckpoint(true)
     val cohorts = steps.zipWithIndex.tail.scanLeft(first) {
       case (prev, (step, i)) =>
         val afterPrev = col(tsCol) > col(s"_t$i")
@@ -36,6 +40,7 @@ object Funnel {
           .join(prev, userCol)
           .filter(inWindow)
           .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"_t${i + 1}"))
+          .localCheckpoint(true)
     }
     cohorts.zip(steps).zipWithIndex.map { case ((cohort, step), i) =>
       cohort.agg(count(lit(1)).as("users"))
