@@ -47,4 +47,30 @@ object Funnel {
         .select(lit(i + 1).as("step"), lit(step).as("step_name"), col("users"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Cohort retention matrix: users grouped by the period of their first
+    * event (the cohort), counted in every later period they were active —
+    * (cohort, period_offset, n_users). Two user-keyed aggregations (first
+    * period, distinct active periods) and one join; event payloads never
+    * shuffle. `period` is a `date_trunc` unit; offsets are exact because
+    * both sides truncate to the same period boundaries.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+      period: String = "week"): DataFrame = {
+    val periodDays = period.toLowerCase match {
+      case "week" => 7
+      case "day" => 1
+      case other => throw new IllegalArgumentException(
+        s"retention: unsupported period '$other' (week | day)")
+    }
+    val p = date_trunc(period, col(tsCol))
+    val first = events.groupBy(col(userCol)).agg(min(p).as("_cohort"))
+    val active = events.select(col(userCol), p.as("_p")).distinct()
+    active.join(first, userCol)
+      .groupBy(
+        date_format(col("_cohort"), "yyyy-MM-dd").as("cohort"),
+        (datediff(col("_p"), col("_cohort")) / periodDays).cast("int")
+          .as("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

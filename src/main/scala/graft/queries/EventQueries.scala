@@ -49,6 +49,26 @@ object EventQueries {
         .orderBy("step")
     },
 
+    // ---- weekly cohort retention matrix: users by first-seen week,
+    // counted in each later week they were active ----
+    QueryDef.sql(
+      "q_events_retention",
+      """WITH firsts AS (
+        |  SELECT user_id, min(date_trunc('week', ts)) AS cohort
+        |  FROM events GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+        |  CAST(date_diff('day', cohort, wk) / 7 AS INT) AS period_offset,
+        |  count(*) AS n_users
+        |FROM active JOIN firsts USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort, period_offset""".stripMargin) { (s, dir) =>
+      graft.operators.Funnel.retention(Tables.load(s, dir, "events"),
+          "user_id", "ts", period = "week")
+        .orderBy("cohort", "period_offset")
+    },
+
     // ---- tumbling-window aggregation (batch twin of stream windowing) ----
     QueryDef.sql(
       "q_events_hourly",
