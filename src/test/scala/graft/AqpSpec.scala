@@ -385,6 +385,34 @@ class AqpSpec extends SparkTestBase {
     }
   }
 
+  test("bootstrap estimator drives the behavior contract (local_omit)") {
+    withSample("li_sample_bsb") { g =>
+      withBootstrap(100) {
+        // impossible bound: every bootstrap relative error exceeds it, so
+        // local_omit must NULL every estimate while keeping the rows
+        val strictFail = intercept[IllegalStateException] {
+          g.sql("SELECT l_returnflag, avg(l_extendedprice) AS m FROM lineitem " +
+            "GROUP BY l_returnflag WITH ERROR 0.0000000001 BEHAVIOR 'strict'")
+            .collect()
+        }
+        assert(strictFail.getMessage.contains("exceeds"))
+        val omitted = g.sql(
+          "SELECT l_returnflag, avg(l_extendedprice) AS m FROM lineitem " +
+            "GROUP BY l_returnflag WITH ERROR 0.0000000001 BEHAVIOR 'local_omit'")
+          .collect()
+        assert(omitted.nonEmpty)
+        assert(omitted.forall(_.isNullAt(1)),
+          "local_omit under bootstrap must null estimates exceeding the bound")
+        // loose bound: everything passes untouched
+        val kept = g.sql(
+          "SELECT l_returnflag, avg(l_extendedprice) AS m FROM lineitem " +
+            "GROUP BY l_returnflag WITH ERROR 0.9 BEHAVIOR 'local_omit'")
+          .collect()
+        assert(kept.forall(!_.isNullAt(1)))
+      }
+    }
+  }
+
   test("bootstrap_trials/bootstrap_ci compose CIs for non-linear estimators") {
     withSample("li_sample_nl") { g =>
       // discount-weighted price ratio: sum(price*disc)/sum(price) — a
