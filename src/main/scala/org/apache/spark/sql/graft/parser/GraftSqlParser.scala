@@ -448,8 +448,33 @@ object StreamWindowRewrite {
     """(?is)\bFETCH\s+FIRST\s+(?:(\d+)\s+)?ROWS?\s+ONLY""".r
 
   def apply(sql: String): String =
-    FetchFirst.replaceAllIn(rewriteWindows(sql),
-      m => s"LIMIT ${Option(m.group(1)).getOrElse("1")}")
+    mapOutsideQuotes(sql)(s =>
+      FetchFirst.replaceAllIn(rewriteWindows(s),
+        m => s"LIMIT ${Option(m.group(1)).getOrElse("1")}"))
+
+  /** Apply `f` only to the text OUTSIDE quoted spans ('...', "...",
+    * `...`) — the rewrites must never touch string literals or quoted
+    * identifiers, and neither pattern can legally span a quote boundary.
+    */
+  private def mapOutsideQuotes(sql: String)(f: String => String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var start = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case q @ ('\'' | '"' | '`') =>
+          out.append(f(sql.substring(start, i)))
+          var j = i + 1
+          while (j < sql.length && sql.charAt(j) != q) j += 1
+          out.append(sql.substring(i, math.min(j + 1, sql.length)))
+          i = j + 1
+          start = i
+        case _ => i += 1
+      }
+    }
+    if (start < sql.length) out.append(f(sql.substring(start)))
+    out.toString
+  }
 
   private def rewriteWindows(sql: String): String =
     Win.replaceAllIn(sql, m => {

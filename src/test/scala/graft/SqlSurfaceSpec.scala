@@ -351,6 +351,11 @@ class SqlSurfaceSpec extends SparkTestBase {
       "SELECT o_orderkey FROM orders ORDER BY o_orderkey FETCH FIRST ROW ONLY")
       .collect().map(_.getLong(0)).toSeq
     assert(one == Seq(0L))
+    // the rewrite must never touch quoted literals
+    val literal = spark.sql(
+      "SELECT 'use FETCH FIRST 3 ROWS ONLY here' AS s FETCH FIRST 1 ROW ONLY")
+      .head().getString(0)
+    assert(literal == "use FETCH FIRST 3 ROWS ONLY here")
   }
 
   test("COLOCATE_WITH inherits the target layout and rejects incompatibles") {
