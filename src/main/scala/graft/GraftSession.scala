@@ -248,6 +248,33 @@ class GraftSession(val spark: SparkSession) {
     spark.catalog.dropTempView(normalize(name))
   }
 
+  /** Live statistics of every managed table — the reference's
+    * `SYS.TABLESTATS` virtual table (its dashboards poll
+    * `select * from sys.TABLESTATS`). METADATA-ONLY: counts/sizes come
+    * from snapshot refs, no table is scanned; cached-DataFrame fallback
+    * tables report row_count -1 (a count would run a job).
+    */
+  def tableStats: DataFrame = {
+    val rows = tables.toSeq.sortBy(_._1).map { case (name, st) =>
+      if (st.rowBacked) {
+        val s = GraftRowStore(name).snapshot
+        (name, "row", s.rowCount, s.refs.size.toLong,
+          s.refs.map(r => r.numRows.toLong * s.schema.defaultSize).sum,
+          s.numBuckets, s.keyColumns.mkString(","),
+          s.indexes.keys.toSeq.sorted.mkString(","))
+      } else if (st.storeBacked) {
+        val s = GraftColumnStore(name).snapshot
+        (name, "column", s.rowCount, s.refs.size.toLong, s.sizeBytes,
+          s.numBuckets, s.keyColumns.mkString(","), s.sortedBy.mkString(","))
+      } else {
+        (name, "cached", -1L, -1L, -1L, st.buckets,
+          st.keyColumns.mkString(","), "")
+      }
+    }
+    spark.createDataFrame(rows).toDF("table_name", "provider", "row_count",
+      "batch_count", "size_bytes", "buckets", "key_columns", "indexed_columns")
+  }
+
   /** Align a source to the target's column names: by name when they
     * already match, positionally otherwise (classic INSERT semantics —
     * lets `PUT INTO t SELECT k+1, v FROM ...` work without aliases).

@@ -324,6 +324,31 @@ class SqlSurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("tableStats: SYS.TABLESTATS analog reports metadata-only live stats") {
+    g.createTable("ts_col", Tables.load(spark, sf, "orders"),
+      keyColumns = Seq("o_orderkey"), partitionBy = Seq("o_orderkey"), buckets = 4)
+    g.createTable("ts_row", Tables.load(spark, sf, "supplier"),
+      keyColumns = Seq("s_suppkey"), provider = "row")
+    try {
+      val stats = g.tableStats.collect()
+        .map(r => r.getString(0) -> r).toMap
+      val colRow = stats("ts_col")
+      assert(colRow.getString(1) == "column")
+      assert(colRow.getLong(2) == Tables.load(spark, sf, "orders").count())
+      assert(colRow.getLong(3) > 0 && colRow.getLong(4) > 0)
+      assert(colRow.getInt(5) == 4 && colRow.getString(6) == "o_orderkey")
+      val rowRow = stats("ts_row")
+      assert(rowRow.getString(1) == "row")
+      assert(rowRow.getLong(2) == Tables.load(spark, sf, "supplier").count())
+      // stats track mutation
+      g.delete("ts_row", col("s_nationkey") === 0)
+      val after = g.tableStats.filter(col("table_name") === "ts_row")
+        .head().getLong(2)
+      assert(after == Tables.load(spark, sf, "supplier")
+        .filter(col("s_nationkey") =!= 0).count())
+    } finally { g.dropTable("ts_col"); g.dropTable("ts_row") }
+  }
+
   test("CHAR/VARCHAR columns: DDL create, padding semantics, catalog listing") {
     import spark.implicits._
     g.sql("CREATE TABLE chartab (code CHAR(4), name VARCHAR(10), v DOUBLE) USING column")
