@@ -238,9 +238,13 @@ class GraftRowScan(tableName: String, fullSchema: StructType,
   /** Range constraint on a secondary-indexed column, assembled from the
     * pushed conjuncts (tightest lower/upper bound wins; IN collapses to
     * its envelope — the residual filter keeps exactness either way).
+    * Yields to BUCKET pruning when the predicate pins the bucket columns:
+    * that path prunes at least as hard AND keeps the bucket-grouped
+    * output partitioning storage-partitioned joins rely on.
     */
   private def rangeProbe: Option[RowRangeSpec] = {
     if (snapshot.indexes.isEmpty) return None
+    if (snapshot.numBuckets > 0 && targetBuckets.isDefined) return None
     snapshot.indexes.keys.toSeq.sorted.iterator.flatMap { key =>
       val ix = snapshot.indexes(key)
       val idx = fullSchema.fieldNames.indexWhere(_.equalsIgnoreCase(ix.column))

@@ -217,6 +217,27 @@ class RowTableSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     g.dropTable("r_cidx")
   }
 
+  test("secondary index yields to bucket pruning on bucket-column equality") {
+    val cust = Tables.load(spark, sf, "customer")
+    g.createTable("r_bidx", cust, partitionBy = Seq("c_custkey"), buckets = 8,
+      provider = "row")
+    GraftRowOps.createIndex(spark, "r_bidx", "c_custkey")
+    val probedBefore = GraftRowStore.rangePacksProbed.get()
+    val q = g.table("r_bidx").filter(col("c_custkey") === 7L).select("c_custkey", "c_name")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    assert(GraftRowStore.rangePacksProbed.get() == probedBefore,
+      "bucket-pinning equality must take the bucket path, not the range index")
+    assert(q.rdd.getNumPartitions == 1,
+      "bucket pruning must narrow the scan to the key's bucket")
+    // a real RANGE on the same column still uses the index (buckets can't
+    // prune ranges — the hash destroys order)
+    val got = g.table("r_bidx").filter(col("c_custkey") < 10L).count()
+    assert(got == cust.filter(col("c_custkey") < 10L).count())
+    assert(GraftRowStore.rangePacksProbed.get() > probedBefore,
+      "a range predicate on the indexed column must probe the index")
+    g.dropTable("r_bidx")
+  }
+
   test("secondary index: equality and open ranges on a text column") {
     val cust = Tables.load(spark, sf, "customer")
       .repartitionByRange(4, col("c_mktsegment"))
