@@ -184,16 +184,30 @@ class GraftSession(val spark: SparkSession) {
     createTable(name,
       graft.operators.Aqp.stratifiedSample(base, qcs, fraction, reservoirFloor, rankKey))
 
-  /** base view name → sample table name, consulted by the WITH ERROR
-    * rewrite (GraftSql + SampleRewrite).
+  /** base view name → registered sample tables (with their QCS),
+    * consulted by the WITH ERROR rewrite (GraftSql + SampleRewrite).
+    * Several samples may serve one base; the rewrite picks the one whose
+    * QCS best matches the query's grouping (reference: HAC queries route
+    * to the most appropriate sample table).
     */
-  val samples: TrieMap[String, String] = TrieMap.empty
+  val samples: TrieMap[String, Vector[GraftSession.SampleInfo]] = TrieMap.empty
 
   /** Associate a base table/view with a sample table so `SELECT ...
     * WITH ERROR f` queries against the base are rewritten onto it.
+    * `qcs` (the sample's stratification columns) drives selection when
+    * several samples are registered; re-registering a sample name
+    * replaces its entry.
     */
-  def registerSample(baseTable: String, sampleTable: String): Unit =
-    samples.put(baseTable.toLowerCase, sampleTable.toLowerCase)
+  def registerSample(baseTable: String, sampleTable: String,
+      qcs: Seq[String] = Nil): Unit = {
+    val info = GraftSession.SampleInfo(sampleTable.toLowerCase,
+      qcs.map(_.toLowerCase))
+    samples.updateWith(baseTable.toLowerCase) {
+      case Some(existing) =>
+        Some(existing.filterNot(_.table == info.table) :+ info)
+      case None => Some(Vector(info))
+    }
+  }
 
   /** createApproxTSTopK (reference SnappySession.createApproxTSTopK:958):
     * materialize per-time-bucket approximate top-k of `keyCol` as a
@@ -484,6 +498,9 @@ class GraftSession(val spark: SparkSession) {
 }
 
 object GraftSession {
+  /** A registered sample table and its stratification columns. */
+  final case class SampleInfo(table: String, qcs: Seq[String])
+
   /** Size floor under which an unbucketed ingest keeps the source's
     * partitioning (the repartition shuffle would cost more than the
     * encode parallelism it buys on small data).

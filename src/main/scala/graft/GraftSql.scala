@@ -38,12 +38,47 @@ object GraftSql {
           s"WITH ERROR BEHAVIOR '${params.behavior}' not supported (strict | " +
             "run_on_full_table | partial_run_on_base_table | local_omit | do_nothing)")
         g.samples.collectFirst {
-          case (base, sample)
-              if s"(?is).*\\b$base\\b.*".r.matches(body) =>
+          case (base, candidates)
+              if candidates.nonEmpty && s"(?is).*\\b$base\\b.*".r.matches(body) =>
+            val sample = GraftSql.selectSample(spark, body, candidates)
             org.apache.spark.sql.graft.SampleRewrite.run(spark, body, base, sample, params)
         }.getOrElse(spark.sql(body))
 
       case _ => spark.sql(text)
     }
+  }
+
+  /** Pick the registered sample whose QCS best matches the query's
+    * grouping columns (reference: HAC queries route to the most
+    * appropriate sample table). Scoring: a sample whose QCS is a SUBSET
+    * of the grouping wins outright (stratification ⊆ grouping ⇒ HT
+    * counts are exact per group), then largest overlap, then
+    * registration order. With one candidate there is nothing to choose.
+    */
+  def selectSample(spark: org.apache.spark.sql.SparkSession, sql: String,
+      candidates: Vector[GraftSession.SampleInfo]): String = {
+    if (candidates.size == 1) return candidates.head.table
+    val grouping: Set[String] =
+      try {
+        val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val plan = classic.sessionState.sqlParser.parsePlan(sql)
+        val cols = scala.collection.mutable.Set.empty[String]
+        plan.foreach {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+            a.groupingExpressions.foreach {
+              case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                cols += u.nameParts.last.toLowerCase
+              case _ =>
+            }
+          case _ =>
+        }
+        cols.toSet
+      } catch { case _: Exception => Set.empty }
+    candidates.zipWithIndex.maxBy { case (c, idx) =>
+      val overlap = c.qcs.count(grouping)
+      val subsetBonus = if (c.qcs.nonEmpty && c.qcs.forall(grouping)) 1000 else 0
+      // negated index: earliest registration wins ties
+      (subsetBonus + overlap, -idx)
+    }._1.table
   }
 }

@@ -385,6 +385,42 @@ class AqpSpec extends SparkTestBase {
     }
   }
 
+  test("multiple registered samples route by QCS match") {
+    import GraftSession.SampleInfo
+    val wide = SampleInfo("s_rf_ls", Seq("l_returnflag", "l_linestatus"))
+    val narrow = SampleInfo("s_ls", Seq("l_linestatus"))
+    def pick(sql: String) = GraftSql.selectSample(spark, sql, Vector(wide, narrow))
+    // both QCS are subsets of the grouping: larger overlap wins
+    assert(pick("SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem " +
+      "GROUP BY l_returnflag, l_linestatus") == "s_rf_ls")
+    // only the narrow QCS is covered by the grouping
+    assert(pick("SELECT l_linestatus, count(*) AS n FROM lineitem " +
+      "GROUP BY l_linestatus") == "s_ls")
+    // no grouping signal: registration order wins
+    assert(pick("SELECT count(*) AS n FROM lineitem") == "s_rf_ls")
+
+    // e2e: two registered samples, WITH ERROR still answers exactly for
+    // a stratum-aligned grouping
+    val g = GraftSession(spark)
+    Tables.registerAll(spark, sf)
+    g.createSampleTable("s_multi_a", li,
+      qcs = Seq("l_returnflag", "l_linestatus"), fraction = 0.1,
+      reservoirFloor = 30, rankKey = Seq("l_orderkey", "l_linenumber"))
+    g.createSampleTable("s_multi_b", li,
+      qcs = Seq("l_linestatus"), fraction = 0.1,
+      reservoirFloor = 30, rankKey = Seq("l_orderkey", "l_linenumber"))
+    g.registerSample("lineitem", "s_multi_a", Seq("l_returnflag", "l_linestatus"))
+    g.registerSample("lineitem", "s_multi_b", Seq("l_linestatus"))
+    try {
+      val got = g.sql("SELECT l_linestatus, count(*) AS n FROM lineitem " +
+        "GROUP BY l_linestatus WITH ERROR 0.1").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = li.groupBy("l_linestatus").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == exact, "stratum-aligned HT counts must be exact")
+    } finally g.samples.remove("lineitem")
+  }
+
   test("bootstrap estimator drives the behavior contract (local_omit)") {
     withSample("li_sample_bsb") { g =>
       withBootstrap(100) {
