@@ -56,10 +56,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // trials into a percentile interval
     e.injectFunction((FunctionIdentifier("bootstrap_trials"),
       info("bootstrap_trials",
-        "bootstrap_trials(x, w, mode, trials, seed) - poissonized-bootstrap trial estimates"),
+        "bootstrap_trials(x, w, mode, trials, seed[, rowKey]) - poissonized-bootstrap trial estimates"),
       (args: Seq[Expression]) =>
-        org.apache.spark.sql.graft.BootstrapTrials(
-          args(0), args(1), args(2), args(3), args(4)).toAggregateExpression()))
+        (if (args.length >= 6)
+          org.apache.spark.sql.graft.BootstrapTrials(
+            args(0), args(1), args(2), args(3), args(4), args(5))
+        else
+          org.apache.spark.sql.graft.BootstrapTrials(
+            args(0), args(1), args(2), args(3), args(4))).toAggregateExpression()))
     e.injectFunction((FunctionIdentifier("bootstrap_ci"),
       info("bootstrap_ci",
         "bootstrap_ci(trials, confidence) - percentile CI struct(abs_err, lo, hi)"),

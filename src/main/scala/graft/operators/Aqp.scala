@@ -51,9 +51,7 @@ object Aqp {
     // uniform [0,1) from the deterministic row key; md5 (not xxhash64) so
     // the DuckDB oracle can replay the identical sample:
     //   CAST('0x' || substr(md5(k1 || '|' || k2), 1, 10) AS BIGINT) / 2^40
-    val u = org.apache.spark.sql.graft.TextHashExpressions
-      .md5_prefix_long(concat_ws("|", rankKey.map(col): _*), 10)
-      .cast("double") / (1L << 40).toDouble
+    val u = Splits.uniform(rankKey)
     val sizes = df.groupBy(qcs.map(col): _*)
       .agg(count(lit(1)).as("_n_h"))
       .withColumn("_target_h",

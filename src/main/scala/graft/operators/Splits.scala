@@ -19,11 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object Splits {
 
-  /** Uniform [0, 1) from the '|'-joined key columns. */
-  def uniform(rankKey: Seq[String]): Column =
+  /** Uniform [0, 1) from the '|'-joined key expressions — THE
+    * engine-portable membership hash (first 40 md5 bits). Every
+    * hash-threshold operator (AQP sampler, splits, mixture) MUST build
+    * its uniform through here: the construction is load-bearing for
+    * DuckDB oracle replay, and a drifted copy would silently break
+    * hash-checked parity.
+    */
+  def uniformOf(keys: Seq[Column]): Column =
     org.apache.spark.sql.graft.TextHashExpressions
-      .md5_prefix_long(concat_ws("|", rankKey.map(col): _*), 10)
+      .md5_prefix_long(concat_ws("|", keys: _*), 10)
       .cast("double") / (1L << 40).toDouble
+
+  /** Uniform [0, 1) from named key columns. */
+  def uniform(rankKey: Seq[String]): Column = uniformOf(rankKey.map(col))
 
   /** Append a `_split` column assigning each row to one of `splits`
     * (name → weight; weights need not sum to 1 — they are normalized).
@@ -76,9 +85,7 @@ object Mixture {
     val rates = withP.map { case (d, p) =>
       d -> math.min(1.0, cap * p / counts(d))
     }
-    val u = org.apache.spark.sql.graft.TextHashExpressions
-      .md5_prefix_long(concat(col(idCol).cast("string"), lit("|" + salt)), 10)
-      .cast("double") / (1L << 40).toDouble
+    val u = Splits.uniformOf(Seq(col(idCol).cast("string"), lit(salt)))
     val rateCol = rates.foldRight(lit(0.0): Column) { case ((d, r), els) =>
       when(col(domainCol) === d, lit(r)).otherwise(els)
     }

@@ -49,7 +49,7 @@ case class CdcSink(
     queryName: String = "cdc",
     eventTypeCol: String = "_eventType",
     maxRetries: Int = 3,
-    retryWaitMs: Long = 50) {
+    retryWaitMs: Long = 50) extends org.apache.spark.internal.Logging {
 
   def apply(batch: DataFrame, batchId: Long): Unit = {
     if (CdcSink.lastCommitted(session, queryName, table).exists(_ >= batchId))
@@ -63,6 +63,8 @@ case class CdcSink(
       } catch {
         case e: Exception if attempt < maxRetries =>
           attempt += 1
+          logWarning(s"CdcSink: batch $batchId apply failed " +
+            s"(attempt $attempt of $maxRetries), retrying in ${retryWaitMs * attempt} ms: $e")
           Thread.sleep(retryWaitMs * attempt)
       }
     }

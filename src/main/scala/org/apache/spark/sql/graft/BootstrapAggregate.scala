@@ -38,13 +38,15 @@ import org.apache.spark.sql.types._
   * is never reshuffled or re-scanned.
   *
   * DETERMINISM: multiplicities come from a counter-based splitmix64
-  * stream keyed on (seed, xxhash-style mix of the row's (x, w) bits,
-  * trial) — not an RNG with state — so re-running the query reproduces
-  * identical trials regardless of partitioning or merge order (the same
-  * property the md5 sampler gives the sample itself). Duplicate (x, w)
-  * rows share multiplicities, which mildly correlates their resampling;
-  * with a `rankKey`-derived sample the pairs are near-distinct and the
-  * effect is negligible (documented limitation of keying on content).
+  * stream keyed on (seed, row identity, trial) — not an RNG with state —
+  * so re-running the query reproduces identical trials regardless of
+  * partitioning or merge order (the same property the md5 sampler gives
+  * the sample itself). The row identity is `xxhash64` over all columns
+  * (supplied by the WITH ERROR rewrite): rows that merely share (x, w)
+  * still draw independently, which matters most for count(*) where every
+  * row of a stratum is (1, w). Bare SQL calls without a key fall back to
+  * content bits (exact duplicate VALUES then share draws — fine for
+  * near-distinct value columns, wrong for constants).
   *
   * Composability: `bootstrap_trials` returns the raw ARRAY<DOUBLE> of
   * per-trial estimates, so any non-linear estimator a user can phrase
@@ -64,6 +66,7 @@ case class BootstrapTrials(
     mode: Expression, // 'sum' | 'ratio' (foldable string)
     trialsExpr: Expression, // foldable int
     seedExpr: Expression, // foldable long
+    keyExpr: Expression = Literal(null, LongType), // per-row identity (LONG)
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Double]] {
@@ -71,7 +74,7 @@ case class BootstrapTrials(
   override def prettyName: String = "bootstrap_trials"
 
   override def children: Seq[Expression] =
-    Seq(value, weight, mode, trialsExpr, seedExpr)
+    Seq(value, weight, mode, trialsExpr, seedExpr, keyExpr)
 
   private lazy val ratio: Boolean =
     String.valueOf(mode.eval()).equalsIgnoreCase("ratio")
@@ -93,7 +96,11 @@ case class BootstrapTrials(
     if (t < 2 || t > 10000)
       return TypeCheckResult.TypeCheckFailure(
         s"bootstrap_trials: trials must be in [2, 10000], got $t")
-    TypeCheckResult.TypeCheckSuccess
+    keyExpr.dataType match {
+      case LongType | NullType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bootstrap_trials: key must be a LONG row identity (e.g. xxhash64(*)), got $other")
+    }
   }
 
   override def nullable: Boolean = false
@@ -114,11 +121,18 @@ case class BootstrapTrials(
     val x = xAny.asInstanceOf[Double]
     val w = wAny.asInstanceOf[Double]
     val wx = w * x
-    // content-keyed counter stream: mix(seed, bits(x), bits(w)) is the
-    // per-row key; each trial reads key + t through splitmix64
-    val rowKey = BootstrapTrials.mix(
-      BootstrapTrials.mix(seed, java.lang.Double.doubleToLongBits(x)),
-      java.lang.Double.doubleToLongBits(w))
+    // counter stream keyed on the row IDENTITY when one is supplied
+    // (xxhash64 over all columns in the WITH ERROR rewrite) — duplicate
+    // (x, w) pairs then still draw independent multiplicities. Without a
+    // key (bare SQL calls) fall back to content bits, where exact
+    // duplicate values share draws: fatal for count(*) (every row of a
+    // stratum has (1, w)), mild for near-distinct value columns.
+    val kAny = keyExpr.eval(input)
+    val rowKey =
+      if (kAny != null) BootstrapTrials.mix(seed, kAny.asInstanceOf[Long])
+      else BootstrapTrials.mix(
+        BootstrapTrials.mix(seed, java.lang.Double.doubleToLongBits(x)),
+        java.lang.Double.doubleToLongBits(w))
     val b = trials
     var t = 0
     while (t < b) {
@@ -175,7 +189,8 @@ case class BootstrapTrials(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): BootstrapTrials =
     copy(value = newChildren(0), weight = newChildren(1), mode = newChildren(2),
-      trialsExpr = newChildren(3), seedExpr = newChildren(4))
+      trialsExpr = newChildren(3), seedExpr = newChildren(4),
+      keyExpr = newChildren(5))
 }
 
 object BootstrapTrials {
@@ -245,7 +260,7 @@ case class BootstrapCI(child: Expression, confidenceExpr: Expression)
     StructField("abs_err", DoubleType, nullable = false),
     StructField("lo", DoubleType, nullable = false),
     StructField("hi", DoubleType, nullable = false)))
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = true // null child OR empty trials array
 
   private lazy val confidence: Double =
     BootstrapTrials.numOf(confidenceExpr.eval())
@@ -253,6 +268,7 @@ case class BootstrapCI(child: Expression, confidenceExpr: Expression)
   override def nullSafeEval(arr: Any, conf: Any): Any = {
     val a = arr.asInstanceOf[ArrayData].toDoubleArray.sorted
     val n = a.length
+    if (n == 0) return null // no trials, no interval
     // interpolated type-7 quantile (matches DuckDB/NumPy default)
     def q(p: Double): Double = {
       val h = p * (n - 1)

@@ -140,8 +140,15 @@ object SampleRewrite {
       case "sum" => (arg.get, "sum")
       case _ => (arg.get, "ratio")
     }
+    // row identity: xxhash64 over ALL columns — without it, rows sharing
+    // (x, w) would share multiplicities, which for count(*) collapses a
+    // whole stratum (constant (1, weight)) into ONE Poisson draw per
+    // trial and inflates the CI to the stratum total
+    val rowKey = fn("xxhash64",
+      org.apache.spark.sql.catalyst.analysis.UnresolvedStar(None))
     org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
-      BootstrapTrials(value, weight, Literal(mode), Literal(bs.trials), Literal(bs.seed)),
+      BootstrapTrials(value, weight, Literal(mode), Literal(bs.trials),
+        Literal(bs.seed), rowKey),
       org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
       isDistinct = false)
   }

@@ -188,7 +188,7 @@ case class GraftCreateSampleTableCommand(name: String, base: String,
       fraction = options.getOrElse("fraction", "0.1").toDouble,
       reservoirFloor = options.getOrElse("stratareservoirsize", "50").toInt,
       rankKey = rankKey)
-    g.registerSample(base, name)
+    g.registerSample(base, name, qcs)
     Nil
   }
 }
@@ -464,8 +464,14 @@ object StreamWindowRewrite {
       sql.charAt(i) match {
         case q @ ('\'' | '"' | '`') =>
           out.append(f(sql.substring(start, i)))
+          // backslash escapes are live inside '...'/"..." (Spark's
+          // default dialect): skip the escaped char so the scanner stays
+          // in sync; backticked identifiers have no escapes
           var j = i + 1
-          while (j < sql.length && sql.charAt(j) != q) j += 1
+          while (j < sql.length && sql.charAt(j) != q) {
+            if (q != '`' && sql.charAt(j) == '\\' && j + 1 < sql.length) j += 2
+            else j += 1
+          }
           out.append(sql.substring(i, math.min(j + 1, sql.length)))
           i = j + 1
           start = i

@@ -382,21 +382,34 @@ object GraftColumnStore {
       * the batch lives — the registry tier, not the commit path; only
       * refs move through the snapshot swap.
       */
-    def applyDeletes(newDeletes: Map[Long, DeleteRef]): Unit = mutate { s =>
-      val merged = (s.deletes.keySet ++ newDeletes.keySet).map { id =>
-        val ref = (s.deletes.get(id), newDeletes.get(id)) match {
-          case (Some(a), Some(b)) =>
-            val u = a.bitset | b.bitset
-            DeleteRef(BatchRegistry.putBitmap(u.toBitMask), u.size)
-          case (a, b) => a.orElse(b).get
+    def applyDeletes(newDeletes: Map[Long, DeleteRef]): Unit = {
+      val supersededBitmaps = Seq.newBuilder[Long]
+      val deadBatches = Seq.newBuilder[Long]
+      val deadDeltas = Seq.newBuilder[Long]
+      mutate { s =>
+        val merged = (s.deletes.keySet ++ newDeletes.keySet).map { id =>
+          val ref = (s.deletes.get(id), newDeletes.get(id)) match {
+            case (Some(a), Some(b)) =>
+              val u = a.bitset | b.bitset
+              // both input payloads are superseded by the union
+              supersededBitmaps += a.bitmapId += b.bitmapId
+              DeleteRef(BatchRegistry.putBitmap(u.toBitMask), u.size)
+            case (a, b) => a.orElse(b).get
+          }
+          id -> ref
+        }.toMap
+        val (dead, live) = s.refs.partition(r =>
+          merged.get(r.id).exists(_.cardinality >= r.numRows))
+        dead.foreach { r =>
+          deadBatches += r.id
+          merged.get(r.id).foreach(supersededBitmaps += _.bitmapId)
+          s.updates.get(r.id).foreach(_.values.flatten.foreach(deadDeltas += _.deltaId))
         }
-        id -> ref
-      }.toMap
-      val (dead, live) = s.refs.partition(r =>
-        merged.get(r.id).exists(_.cardinality >= r.numRows))
-      s.copy(refs = live,
-        deletes = merged -- dead.map(_.id),
-        updates = s.updates -- dead.map(_.id))
+        s.copy(refs = live,
+          deletes = merged -- dead.map(_.id),
+          updates = s.updates -- dead.map(_.id))
+      }
+      retire(deadBatches.result(), deadDeltas.result(), supersededBitmaps.result())
     }
 
     /** Append update-delta refs (applied at scan in arrival order). */
@@ -410,9 +423,38 @@ object GraftColumnStore {
       s.copy(updates = u)
     }
 
-    /** Replace all content (compaction / truncate-write). */
-    def replaceRefs(newRefs: Vector[BatchRef]): Unit =
-      mutate(s => s.copy(refs = newRefs, deletes = Map.empty, updates = Map.empty))
+    /** Replace all content (compaction / truncate-write); the ENTIRE
+      * previous snapshot's payloads retire (without this, every
+      * compaction leaked the pre-compact table).
+      */
+    def replaceRefs(newRefs: Vector[BatchRef]): Unit = {
+      var old: TableSnapshot = null
+      mutate { s => old = s; s.copy(refs = newRefs, deletes = Map.empty, updates = Map.empty) }
+      retire(old.refs.map(_.id),
+        old.updates.values.flatMap(_.values.flatten.map(_.deltaId)).toSeq,
+        old.deletes.values.map(_.bitmapId).toSeq)
+    }
+
+    // ---- epoch-lag payload GC -------------------------------------------
+    // Payloads superseded by a snapshot swap are released ONE MUTATION
+    // LATER: a reader planned before swap N can still resolve them while
+    // it runs; by the time swap N+1 commits it has either finished or was
+    // planned against a newer snapshot. Single-process-grade grace — the
+    // distributed analog is the reference's region-version GC. Unreleased
+    // retirees are flushed by releaseAll on drop.
+    private var retiredBatches: Seq[Long] = Nil
+    private var retiredDeltas: Seq[Long] = Nil
+    private var retiredBitmaps: Seq[Long] = Nil
+
+    private def retire(batches: Seq[Long], deltas: Seq[Long],
+        bitmaps: Seq[Long]): Unit = synchronized {
+      BatchRegistry.release(retiredBatches, retiredDeltas, retiredBitmaps)
+      retiredBatches = batches
+      retiredDeltas = deltas
+      retiredBitmaps = bitmaps
+    }
+
+    private[store] def flushRetired(): Unit = retire(Nil, Nil, Nil)
   }
 
   private val tables = TrieMap.empty[String, StoreTable]
@@ -450,6 +492,7 @@ object GraftColumnStore {
   def drop(name: String): Unit = tables.remove(name).foreach(releaseAll)
 
   private def releaseAll(t: StoreTable): Unit = {
+    t.flushRetired()
     val s = t.snapshot
     BatchRegistry.release(s.refs.map(_.id),
       s.updates.values.flatMap(_.values.flatten.map(_.deltaId)),

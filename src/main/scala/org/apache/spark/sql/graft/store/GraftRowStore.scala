@@ -182,21 +182,47 @@ object GraftRowStore {
       mutate(s => s.copy(refs = s.refs ++ newRefs))
 
     /** Union tombstones in and append in one atomic swap (the upsert
-      * commit); fully-dead packs drop off the ref list.
+      * commit); fully-dead packs drop off the ref list and RETIRE (their
+      * payloads release one mutation later — without this, a streaming
+      * sink upserting one state row per micro-batch leaked a pack per
+      * batch for the JVM's lifetime).
       */
-    def applyMutation(newTombstones: Map[Long, BitSet], newRefs: Seq[PackRef]): Unit =
+    def applyMutation(newTombstones: Map[Long, BitSet], newRefs: Seq[PackRef]): Unit = {
+      var dead: Seq[Long] = Nil
       mutate { s =>
         val merged = (s.tombstones.keySet ++ newTombstones.keySet).map { id =>
           id -> (s.tombstones.getOrElse(id, BitSet.empty) |
             newTombstones.getOrElse(id, BitSet.empty))
         }.toMap
-        val (dead, live) = (s.refs ++ newRefs).partition(r =>
+        val (deadRefs, live) = (s.refs ++ newRefs).partition(r =>
           merged.get(r.id).exists(_.size >= r.numRows))
-        s.copy(refs = live, tombstones = merged -- dead.map(_.id))
+        dead = deadRefs.map(_.id)
+        s.copy(refs = live, tombstones = merged -- dead)
       }
+      retire(dead)
+    }
 
-    def replaceRefs(newRefs: Vector[PackRef]): Unit =
-      mutate(s => s.copy(refs = newRefs, tombstones = Map.empty))
+    /** Replace all content (compaction / truncate-write); the previous
+      * snapshot's packs retire.
+      */
+    def replaceRefs(newRefs: Vector[PackRef]): Unit = {
+      var old: Seq[Long] = Nil
+      mutate { s => old = s.refs.map(_.id); s.copy(refs = newRefs, tombstones = Map.empty) }
+      retire(old)
+    }
+
+    // epoch-lag payload GC (see GraftColumnStore.StoreTable.retire): packs
+    // superseded at swap N release at swap N+1, so a reader planned
+    // against the old snapshot can finish; drop flushes the remainder.
+    private var retiredPacks: Seq[Long] = Nil
+
+    private def retire(packs: Seq[Long]): Unit = synchronized {
+      PackRegistry.release(retiredPacks)
+      SortedSlotRegistry.release(retiredPacks)
+      retiredPacks = packs
+    }
+
+    private[store] def flushRetired(): Unit = retire(Nil)
   }
 
   private val tables = TrieMap.empty[String, RowTable]
@@ -236,6 +262,7 @@ object GraftRowStore {
   def drop(name: String): Unit = tables.remove(name).foreach(releaseAll)
 
   private def releaseAll(t: RowTable): Unit = {
+    t.flushRetired()
     PackRegistry.release(t.snapshot.refs.map(_.id))
     SortedSlotRegistry.release(t.snapshot.refs.map(_.id))
   }

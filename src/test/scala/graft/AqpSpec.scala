@@ -421,6 +421,28 @@ class AqpSpec extends SparkTestBase {
     } finally g.samples.remove("lineitem")
   }
 
+  test("bootstrap count(*) draws per-ROW multiplicities, not per-stratum") {
+    withSample("li_sample_cnt") { g =>
+      withBootstrap(200) {
+        // every row of a stratum shares (x=1, w): without the xxhash64(*)
+        // row identity the whole stratum would collapse to one Poisson
+        // draw per trial and the relative error would be ~100%
+        val rows = g.sql(
+          """SELECT l_returnflag, count(*) AS n, relative_error(n) AS re
+            |FROM lineitem GROUP BY l_returnflag
+            |WITH ERROR 0.9 CONFIDENCE 0.95 BEHAVIOR 'do_nothing'""".stripMargin)
+          .collect()
+        assert(rows.nonEmpty)
+        rows.foreach { r =>
+          val re = r.getDouble(2)
+          assert(re < 0.2,
+            s"bootstrap count rel. error must reflect per-row resampling: " +
+              s"${r.getString(0)} -> $re")
+        }
+      }
+    }
+  }
+
   test("bootstrap estimator drives the behavior contract (local_omit)") {
     withSample("li_sample_bsb") { g =>
       withBootstrap(100) {
