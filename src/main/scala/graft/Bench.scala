@@ -52,6 +52,14 @@ object Bench {
             System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
             -1.0
         }
+      // Isolate queries from each other's heap context: a full GC after
+      // each query frees dropped localCheckpoint blocks (the
+      // ContextCleaner reclaims checkpoint/broadcast state only once the
+      // referencing objects are collected) so a heavy query does not tax
+      // its run-order neighbors' timings. Without this, round-over-round
+      // comparisons conflate query changes with run-order heap drift.
+      System.gc()
+      Thread.sleep(200) // let the ContextCleaner drain its queue
       d.name -> t
     }
 
@@ -59,7 +67,16 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the full per-query JSON as a committed artifact: the
+    // driver scrapes only a truncated stdout tail, which has lost the
+    // head of the query map in past rounds. bench_out.json is the
+    // authoritative record.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -123,14 +123,24 @@ object TextAnalysis {
     * 100 TB it shuffles compressed counts, never text.
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(lower(trim(col(textCol))), "\\s+")
+    // Materialize the token array ONCE per row in its own projection.
+    // Spark does not hoist loop-invariant subexpressions out of
+    // higher-order-function lambdas, so referencing split(text) directly
+    // inside transform() would re-split the full document once per gram
+    // position — O(T²) character work. Projecting to an attribute first
+    // (the Dedup.shingles pattern) keeps the lambda body a cheap slice
+    // over an already-built array. toks is referenced more than once, so
+    // CollapseProject will not inline it back into the generator.
+    val tokenized = docs.select(col(idCol),
+      split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+    val toks = col("__toks")
     // three independent explode→count→ratio pipelines, joined on the doc
     // id. (A fused single-explode variant emitting (n, gram) structs
     // measured 2.8x SLOWER — the flattened struct array defeats codegen
     // and triples the widest shuffle's key width; three narrow scans
     // pipeline better.)
     def gramFrac(n: Int): DataFrame = {
-      val grams = docs.select(col(idCol), explode(transform(
+      val grams = tokenized.select(col(idCol), explode(transform(
         sequence(lit(0), greatest(size(toks) - n, lit(0))),
         s => array_join(slice(toks, s + 1, lit(n)), " "))).as("g"))
       grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
@@ -154,9 +164,14 @@ object TextAnalysis {
     require(chunkTokens > overlap && overlap >= 0,
       s"chunk($chunkTokens, $overlap): need chunkTokens > overlap >= 0")
     val stride = chunkTokens - overlap
-    val toks = split(trim(col(textCol)), "\\s+")
+    // Token array materialized once per row (see repetitionStats note) —
+    // the transform lambda then slices the attribute instead of
+    // re-splitting the full text once per chunk position.
+    val tokenized = docs.select(col(idCol),
+      split(trim(col(textCol)), "\\s+").as("__toks"))
+    val toks = col("__toks")
     val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride))
-    docs.select(col(idCol),
+    tokenized.select(col(idCol),
         posexplode(transform(starts,
           s => array_join(slice(toks, s + 1, lit(chunkTokens)), " "))))
       .withColumnRenamed("pos", "chunk_idx")

@@ -33,7 +33,7 @@ object RelationalQueries {
       val cust = Tables.load(s, dir, "customer")
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("c_mktsegment"), col("o_orderkey"),
@@ -245,7 +245,7 @@ object RelationalQueries {
         |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
       val ord = Tables.load(s, dir, "orders")
       val cust = Tables.load(s, dir, "customer")
-      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
           countDistinct(col("o_custkey")).as("n_customers"),

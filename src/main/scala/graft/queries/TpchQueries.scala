@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB design intent):
   *  - every filter is a plain `Column` predicate → pushed into the parquet
   *    scan (PushedFilters) with row-group stats skipping;
-  *  - provably-small dimension tables (region/nation/supplier at their
-  *    relative sizes) are explicitly `broadcast()` so the fact-table join
-  *    never shuffles the large side; SF-scaling dims (customer, part at
-  *    high SF) carry no hint — AQE size-gates the broadcast so the plan
-  *    degrades to a shuffle join instead of an OOM at 100×;
+  *  - only GENUINELY constant dimension tables (region = 5 rows, nation =
+  *    25 rows at every SF) are explicitly `broadcast()`; every SF-scaling
+  *    table (customer, part, supplier, and any derived frame over them)
+  *    carries NO hint — `broadcast()` is mandatory, not advisory, so a
+  *    hard hint on an SF×N-row side OOMs the build side at 100× while
+  *    AQE's size gate picks BroadcastHashJoin at bench scale anyway and
+  *    degrades to a shuffle join when the side outgrows the threshold
+  *    (asserted by BroadcastPolicySpec);
   *  - aggregations are declarative groupBy/agg → partial (map-side) + final
   *    HashAggregate, AQE coalesces post-shuffle partitions.
   */
@@ -133,11 +136,11 @@ object TpchQueries {
       val supp = Tables.load(s, dir, "supplier")
       val nat = Tables.load(s, dir, "nation")
       val reg = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
-      // region→nation→supplier chain is tiny → broadcast the reduced dim
-      // into the fact side; customer scales with SF → size-gated by AQE.
+      // region→nation are constant-size → broadcast; supplier/customer
+      // scale with SF → no hint, AQE size-gates the broadcast.
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))

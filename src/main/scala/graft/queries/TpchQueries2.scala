@@ -5,12 +5,14 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Second TPC-H wave, adapted to the columns present in the test schema
-  * (no partsupp / shipmode / commitdate — those queries are re-targeted to
+  * (no shipmode / commitdate — those queries are re-targeted to
   * equivalent plan shapes: EXISTS-agg, two-sided nation joins, correlated
-  * avg subqueries, HAVING groups, multi-disjunct pushdown).
-  * Broadcast choices follow TPC-H size ratios: part/supplier/nation/region
-  * broadcast; customer carries no hint (it scales with SF — AQE size-gates
-  * the broadcast); orders/lineitem shuffle on their join key.
+  * avg subqueries, HAVING groups, multi-disjunct pushdown). The four
+  * partsupp queries (q2/q11/q16/q20) live in [[TpchQueries3]] over a
+  * deterministic synthesized partsupp.
+  * Broadcast policy (see TpchQueries + BroadcastPolicySpec): only
+  * constant-size nation/region and single-row aggregates carry hints;
+  * part/supplier/customer scale with SF and are left to AQE's size gate.
   */
 object TpchQueries2 {
 
@@ -72,7 +74,7 @@ object TpchQueries2 {
       val n1 = nat.select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
       val n2 = nat.select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
       li.join(ord, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
+        .join(supp, col("s_suppkey") === col("l_suppkey"))
         .join(cust, col("c_custkey") === col("o_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
         .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
@@ -113,9 +115,9 @@ object TpchQueries2 {
       val n1 = nat.select(col("n_nationkey").as("n1_key"), col("n_name").as("nation"))
       val n2 = nat.select(col("n_nationkey").as("n2_key"), col("n_regionkey").as("n2_region"))
       val reg = Tables.load(s, dir, "region").filter(col("r_name") === "AMERICA")
-      li.join(broadcast(part), col("p_partkey") === col("l_partkey"))
+      li.join(part, col("p_partkey") === col("l_partkey"))
         .join(ord, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
+        .join(supp, col("s_suppkey") === col("l_suppkey"))
         .join(cust, col("c_custkey") === col("o_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
         .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
@@ -149,8 +151,8 @@ object TpchQueries2 {
       val supp = Tables.load(s, dir, "supplier")
       val ord = Tables.load(s, dir, "orders")
       val nat = Tables.load(s, dir, "nation")
-      li.join(broadcast(part), col("p_partkey") === col("l_partkey"))
-        .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
+      li.join(part, col("p_partkey") === col("l_partkey"))
+        .join(supp, col("s_suppkey") === col("l_suppkey"))
         .join(ord, col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .withColumn("amount",
@@ -229,7 +231,7 @@ object TpchQueries2 {
           col("l_shipdate") < ts("1996-04-01 00:00:00"))
       val part = Tables.load(s, dir, "part")
       val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
-      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
         .agg(dround(lit(100.0) *
           graft.decSumRaw(when(col("p_type") === "PROMO", rev).otherwise(0.0)) /
             graft.decSumRaw(rev), 4)
@@ -249,7 +251,7 @@ object TpchQueries2 {
       val part = Tables.load(s, dir, "part").filter(col("p_brand") === "Brand#1")
       val partAvg = li.groupBy(col("l_partkey").as("avg_partkey"))
         .agg((avg(col("l_quantity")) * 0.5).as("half_avg_qty"))
-      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
         .join(partAvg, col("l_partkey") === col("avg_partkey"))
         .filter(col("l_quantity") < col("half_avg_qty"))
         .agg(r2(graft.decSumRaw(col("l_extendedprice")) / 7.0).as("avg_yearly"))
@@ -294,7 +296,7 @@ object TpchQueries2 {
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 21)) ||
           (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) && col("l_quantity").between(10, 30)) ||
           (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) && col("l_quantity").between(20, 40))
-      li.join(broadcast(part), col("p_partkey") === col("l_partkey"))
+      li.join(part, col("p_partkey") === col("l_partkey"))
         .filter(cond)
         .agg(graft.decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
     },
@@ -399,7 +401,7 @@ object TpchQueries2 {
       l1.join(ordF, col("o1") === col("o_orderkey"))
         .join(l2, col("o2") === col("o1") && col("s2") =!= col("s1"), "left_semi")
         .join(l3, col("o3") === col("o1") && col("s3") =!= col("s1"), "left_anti")
-        .join(broadcast(suppNat), col("s1") === col("s_suppkey"))
+        .join(suppNat, col("s1") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))

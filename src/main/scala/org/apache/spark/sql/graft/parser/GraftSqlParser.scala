@@ -465,11 +465,17 @@ object StreamWindowRewrite {
         case q @ ('\'' | '"' | '`') =>
           out.append(f(sql.substring(start, i)))
           // backslash escapes are live inside '...'/"..." (Spark's
-          // default dialect): skip the escaped char so the scanner stays
-          // in sync; backticked identifiers have no escapes
+          // default dialect) and a DOUBLED closing quote is the SQL
+          // escape for the quote itself ('it''s', `a``b`): skip both so
+          // the scanner stays in sync and the rewrites never fire on
+          // text inside a literal
           var j = i + 1
-          while (j < sql.length && sql.charAt(j) != q) {
-            if (q != '`' && sql.charAt(j) == '\\' && j + 1 < sql.length) j += 2
+          var closed = false
+          while (j < sql.length && !closed) {
+            val c = sql.charAt(j)
+            if (q != '`' && c == '\\' && j + 1 < sql.length) j += 2
+            else if (c == q && j + 1 < sql.length && sql.charAt(j + 1) == q) j += 2
+            else if (c == q) closed = true
             else j += 1
           }
           out.append(sql.substring(i, math.min(j + 1, sql.length)))

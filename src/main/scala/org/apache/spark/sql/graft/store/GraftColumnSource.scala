@@ -164,8 +164,22 @@ class GraftScan(tableName: String, fullSchema: StructType,
     extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
 
-  // one consistent snapshot for the whole scan (planning + stats)
-  private lazy val snapshot = GraftColumnStore(tableName).snapshot
+  // One consistent snapshot for the whole scan (planning + stats),
+  // captured together with a reader lease so payloads it references
+  // survive concurrent mutations until the last partition reader closes
+  // (see LeaseGc). The lease is sealed with the partition count at
+  // planInputPartitions; each reader's close() releases one unit.
+  private lazy val pinned: (GraftColumnStore.TableSnapshot, Long) = {
+    val t = GraftColumnStore(tableName)
+    val p = t.pinSnapshot()
+    // this scan keeps its lease alive; if the plan is discarded without
+    // running, the Cleaner force-drops the lease once the scan (and any
+    // reader factory) become unreachable
+    t.addLeaseOwner(p._2, this)
+    p
+  }
+  private def snapshot = pinned._1
+  private def leaseId = pinned._2
 
   /** Runtime (dynamic-partition-pruning) filters: Spark hands the
     * realized join-key values of a completed broadcast side here before
@@ -256,7 +270,15 @@ class GraftScan(tableName: String, fullSchema: StructType,
     }.toSet)
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = planPartitions()
+    // seal (or re-seal, after runtime-filter re-planning — no readers
+    // have started by then) the lease with the planned reader count
+    GraftColumnStore.get(tableName).foreach(_.sealLease(leaseId, parts.length))
+    parts
+  }
+
+  private def planPartitions(): Array[InputPartition] =
     if (snapshot.numBuckets > 0) {
       // one partition per bucket (all buckets, so two co-bucketed scans
       // always align group-for-group in a storage-partitioned join) —
@@ -291,8 +313,11 @@ class GraftScan(tableName: String, fullSchema: StructType,
     override def numRows(): OptionalLong = OptionalLong.of(snapshot.rowCount)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(fullSchema, required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val f = new GraftReaderFactory(fullSchema, required, tableName, leaseId)
+    GraftColumnStore.get(tableName).foreach(_.addLeaseOwner(leaseId, f))
+    f
+  }
 }
 
 case class GraftBatchGroupPartition(works: Vector[BatchWork]) extends InputPartition
@@ -303,7 +328,8 @@ case class GraftBucketPartition(bucketId: Int, works: Vector[BatchWork])
     new GenericInternalRow(Array[Any](bucketId))
 }
 
-class GraftReaderFactory(fullSchema: StructType, required: StructType)
+class GraftReaderFactory(fullSchema: StructType, required: StructType,
+    tableName: String, leaseId: Long)
     extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
@@ -317,9 +343,13 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType)
     }
     new PartitionReader[ColumnarBatch] {
       private var idx = -1
+      private var closed = false
       override def next(): Boolean = { idx += 1; idx < works.length }
       override def get(): ColumnarBatch = decode(works(idx))
-      override def close(): Unit = ()
+      override def close(): Unit = if (!closed) {
+        closed = true
+        GraftColumnStore.get(tableName).foreach(_.releasePartition(leaseId))
+      }
     }
   }
 

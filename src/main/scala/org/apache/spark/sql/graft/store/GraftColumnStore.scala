@@ -363,14 +363,47 @@ object GraftColumnStore {
     def sizeBytes: Long = refs.map(r => BatchRegistry.batch(r.id).sizeBytes).sum
   }
 
+  /** Payload ids superseded by one snapshot swap. */
+  final case class Retirees(batches: Seq[Long], deltas: Seq[Long], bitmaps: Seq[Long]) {
+    def isEmpty: Boolean = batches.isEmpty && deltas.isEmpty && bitmaps.isEmpty
+  }
+
   final class StoreTable(val name: String, initial: TableSnapshot) {
     @volatile private var current: TableSnapshot = initial
     def snapshot: TableSnapshot = current
     def schema: StructType = current.schema
 
-    def mutate(f: TableSnapshot => TableSnapshot): TableSnapshot = synchronized {
-      current = f(current)
-      current
+    // Reader-lease payload GC (see [[LeaseGc]]): payloads superseded by a
+    // swap stay resolvable until every scan pinned to an older snapshot
+    // has closed its last partition reader.
+    private val gc = new LeaseGc[Retirees](r =>
+      BatchRegistry.release(r.batches, r.deltas, r.bitmaps))
+
+    /** Atomically capture the snapshot AND open a reader lease at its
+      * epoch — scans call this once, then [[sealLease]] with the planned
+      * partition count; each partition reader's close() calls
+      * [[releasePartition]].
+      */
+    def pinSnapshot(): (TableSnapshot, Long) = synchronized { (current, gc.pin()) }
+    def sealLease(leaseId: Long, partitions: Int): Unit = gc.seal(leaseId, partitions)
+    def releasePartition(leaseId: Long): Unit = gc.releaseOne(leaseId)
+    def addLeaseOwner(leaseId: Long, owner: AnyRef): Unit = gc.addOwner(leaseId, owner)
+    /** (live leases, pending retiree sets) — spec telemetry. */
+    def gcStats: (Int, Int) = gc.stats
+
+    def mutate(f: TableSnapshot => TableSnapshot): TableSnapshot =
+      mutateRetiring { s => (f(s), None) }
+
+    /** Snapshot swap + retiree recording in ONE critical section: two
+      * concurrent commits can no longer interleave swap and retire (the
+      * round-4 epoch-lag bug that shrank the grace window to zero).
+      */
+    def mutateRetiring(
+        f: TableSnapshot => (TableSnapshot, Option[Retirees])): TableSnapshot = synchronized {
+      val (next, retirees) = f(current)
+      current = next
+      gc.onSwap(retirees.filterNot(_.isEmpty))
+      next
     }
 
     def appendRefs(newRefs: Seq[BatchRef]): Unit =
@@ -383,10 +416,10 @@ object GraftColumnStore {
       * refs move through the snapshot swap.
       */
     def applyDeletes(newDeletes: Map[Long, DeleteRef]): Unit = {
-      val supersededBitmaps = Seq.newBuilder[Long]
-      val deadBatches = Seq.newBuilder[Long]
-      val deadDeltas = Seq.newBuilder[Long]
-      mutate { s =>
+      mutateRetiring { s =>
+        val supersededBitmaps = Seq.newBuilder[Long]
+        val deadBatches = Seq.newBuilder[Long]
+        val deadDeltas = Seq.newBuilder[Long]
         val merged = (s.deletes.keySet ++ newDeletes.keySet).map { id =>
           val ref = (s.deletes.get(id), newDeletes.get(id)) match {
             case (Some(a), Some(b)) =>
@@ -405,11 +438,13 @@ object GraftColumnStore {
           merged.get(r.id).foreach(supersededBitmaps += _.bitmapId)
           s.updates.get(r.id).foreach(_.values.flatten.foreach(deadDeltas += _.deltaId))
         }
-        s.copy(refs = live,
+        (s.copy(refs = live,
           deletes = merged -- dead.map(_.id),
-          updates = s.updates -- dead.map(_.id))
+          updates = s.updates -- dead.map(_.id)),
+          Some(Retirees(deadBatches.result(), deadDeltas.result(),
+            supersededBitmaps.result())))
       }
-      retire(deadBatches.result(), deadDeltas.result(), supersededBitmaps.result())
+      ()
     }
 
     /** Append update-delta refs (applied at scan in arrival order). */
@@ -428,33 +463,16 @@ object GraftColumnStore {
       * compaction leaked the pre-compact table).
       */
     def replaceRefs(newRefs: Vector[BatchRef]): Unit = {
-      var old: TableSnapshot = null
-      mutate { s => old = s; s.copy(refs = newRefs, deletes = Map.empty, updates = Map.empty) }
-      retire(old.refs.map(_.id),
-        old.updates.values.flatMap(_.values.flatten.map(_.deltaId)).toSeq,
-        old.deletes.values.map(_.bitmapId).toSeq)
+      mutateRetiring { s =>
+        (s.copy(refs = newRefs, deletes = Map.empty, updates = Map.empty),
+          Some(Retirees(s.refs.map(_.id),
+            s.updates.values.flatMap(_.values.flatten.map(_.deltaId)).toSeq,
+            s.deletes.values.map(_.bitmapId).toSeq)))
+      }
+      ()
     }
 
-    // ---- epoch-lag payload GC -------------------------------------------
-    // Payloads superseded by a snapshot swap are released ONE MUTATION
-    // LATER: a reader planned before swap N can still resolve them while
-    // it runs; by the time swap N+1 commits it has either finished or was
-    // planned against a newer snapshot. Single-process-grade grace — the
-    // distributed analog is the reference's region-version GC. Unreleased
-    // retirees are flushed by releaseAll on drop.
-    private var retiredBatches: Seq[Long] = Nil
-    private var retiredDeltas: Seq[Long] = Nil
-    private var retiredBitmaps: Seq[Long] = Nil
-
-    private def retire(batches: Seq[Long], deltas: Seq[Long],
-        bitmaps: Seq[Long]): Unit = synchronized {
-      BatchRegistry.release(retiredBatches, retiredDeltas, retiredBitmaps)
-      retiredBatches = batches
-      retiredDeltas = deltas
-      retiredBitmaps = bitmaps
-    }
-
-    private[store] def flushRetired(): Unit = retire(Nil, Nil, Nil)
+    private[store] def flushRetired(): Unit = gc.flushAll()
   }
 
   private val tables = TrieMap.empty[String, StoreTable]

@@ -166,7 +166,17 @@ class GraftRowScan(tableName: String, fullSchema: StructType,
     required: StructType, pushedFilters: Array[Filter])
     extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning {
 
-  private lazy val snapshot = GraftRowStore(tableName).snapshot
+  // snapshot + reader lease, captured atomically (see LeaseGc): packs
+  // this scan references survive concurrent mutations until the last
+  // partition reader closes
+  private lazy val pinned: (GraftRowStore.RowSnapshot, Long) = {
+    val t = GraftRowStore(tableName)
+    val p = t.pinSnapshot()
+    t.addLeaseOwner(p._2, this) // see the column-scan analog
+    p
+  }
+  private def snapshot = pinned._1
+  private def leaseId = pinned._2
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -296,6 +306,12 @@ class GraftRowScan(tableName: String, fullSchema: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    val parts = planPartitions()
+    GraftRowStore.get(tableName).foreach(_.sealLease(leaseId, parts.length))
+    parts
+  }
+
+  private def planPartitions(): Array[InputPartition] = {
     val combos = keyCombos
     if (combos.isDefined) {
       // full-PK lookup: probe pack indexes instead of scanning. When the
@@ -393,11 +409,15 @@ class GraftRowScan(tableName: String, fullSchema: StructType,
     override def numRows(): OptionalLong = OptionalLong.of(snapshot.rowCount)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftRowReaderFactory(fullSchema, required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val f = new GraftRowReaderFactory(fullSchema, required, tableName, leaseId)
+    GraftRowStore.get(tableName).foreach(_.addLeaseOwner(leaseId, f))
+    f
+  }
 }
 
-class GraftRowReaderFactory(fullSchema: StructType, required: StructType)
+class GraftRowReaderFactory(fullSchema: StructType, required: StructType,
+    tableName: String, leaseId: Long)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -468,9 +488,13 @@ class GraftRowReaderFactory(fullSchema: StructType, required: StructType)
     }
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
+      private var closed = false
       override def next(): Boolean = { val h = it.hasNext; if (h) row = it.next(); h }
       override def get(): InternalRow = row
-      override def close(): Unit = ()
+      override def close(): Unit = if (!closed) {
+        closed = true
+        GraftRowStore.get(tableName).foreach(_.releasePartition(leaseId))
+      }
     }
   }
 

@@ -173,9 +173,30 @@ object GraftRowStore {
     def snapshot: RowSnapshot = current
     def schema: StructType = current.schema
 
-    def mutate(f: RowSnapshot => RowSnapshot): RowSnapshot = synchronized {
-      current = f(current)
-      current
+    // Reader-lease payload GC (see [[LeaseGc]] and the column-store
+    // analog): superseded packs stay resolvable until every scan pinned
+    // to an older snapshot closes its last partition reader.
+    private val gc = new LeaseGc[Seq[Long]](packs => {
+      PackRegistry.release(packs)
+      SortedSlotRegistry.release(packs)
+    })
+
+    def pinSnapshot(): (RowSnapshot, Long) = synchronized { (current, gc.pin()) }
+    def sealLease(leaseId: Long, partitions: Int): Unit = gc.seal(leaseId, partitions)
+    def releasePartition(leaseId: Long): Unit = gc.releaseOne(leaseId)
+    def addLeaseOwner(leaseId: Long, owner: AnyRef): Unit = gc.addOwner(leaseId, owner)
+    def gcStats: (Int, Int) = gc.stats
+
+    def mutate(f: RowSnapshot => RowSnapshot): RowSnapshot =
+      mutateRetiring { s => (f(s), None) }
+
+    /** Snapshot swap + retiree recording in one critical section. */
+    def mutateRetiring(
+        f: RowSnapshot => (RowSnapshot, Option[Seq[Long]])): RowSnapshot = synchronized {
+      val (next, retirees) = f(current)
+      current = next
+      gc.onSwap(retirees.filterNot(_.isEmpty))
+      next
     }
 
     def appendRefs(newRefs: Seq[PackRef]): Unit =
@@ -188,41 +209,30 @@ object GraftRowStore {
       * batch for the JVM's lifetime).
       */
     def applyMutation(newTombstones: Map[Long, BitSet], newRefs: Seq[PackRef]): Unit = {
-      var dead: Seq[Long] = Nil
-      mutate { s =>
+      mutateRetiring { s =>
         val merged = (s.tombstones.keySet ++ newTombstones.keySet).map { id =>
           id -> (s.tombstones.getOrElse(id, BitSet.empty) |
             newTombstones.getOrElse(id, BitSet.empty))
         }.toMap
         val (deadRefs, live) = (s.refs ++ newRefs).partition(r =>
           merged.get(r.id).exists(_.size >= r.numRows))
-        dead = deadRefs.map(_.id)
-        s.copy(refs = live, tombstones = merged -- dead)
+        val dead = deadRefs.map(_.id)
+        (s.copy(refs = live, tombstones = merged -- dead), Some(dead))
       }
-      retire(dead)
+      ()
     }
 
     /** Replace all content (compaction / truncate-write); the previous
       * snapshot's packs retire.
       */
     def replaceRefs(newRefs: Vector[PackRef]): Unit = {
-      var old: Seq[Long] = Nil
-      mutate { s => old = s.refs.map(_.id); s.copy(refs = newRefs, tombstones = Map.empty) }
-      retire(old)
+      mutateRetiring { s =>
+        (s.copy(refs = newRefs, tombstones = Map.empty), Some(s.refs.map(_.id)))
+      }
+      ()
     }
 
-    // epoch-lag payload GC (see GraftColumnStore.StoreTable.retire): packs
-    // superseded at swap N release at swap N+1, so a reader planned
-    // against the old snapshot can finish; drop flushes the remainder.
-    private var retiredPacks: Seq[Long] = Nil
-
-    private def retire(packs: Seq[Long]): Unit = synchronized {
-      PackRegistry.release(retiredPacks)
-      SortedSlotRegistry.release(retiredPacks)
-      retiredPacks = packs
-    }
-
-    private[store] def flushRetired(): Unit = retire(Nil)
+    private[store] def flushRetired(): Unit = gc.flushAll()
   }
 
   private val tables = TrieMap.empty[String, RowTable]

@@ -417,4 +417,74 @@ class GraftStoreSpec extends SparkTestBase {
     assert(withMeta.select("bid", "rid").distinct().count() == n)
     g.dropTable("s_meta")
   }
+
+  test("reader leases: an open scan survives multiple retiring mutations") {
+    val g = GraftSession(spark)
+    freshOrders("s_gc")
+    val total = Tables.load(spark, sf, "orders").count()
+    // open a scan and start draining it — the lease is sealed with the
+    // planned partition count and readers release one unit each as
+    // toLocalIterator finishes their partition
+    val it = GraftStoreOps.read(spark, "s_gc").toLocalIterator()
+    var n = 0L
+    while (n < 10 && it.hasNext) { it.next(); n += 1 }
+    // two compactions: EACH retires the entire previous batch set. Under
+    // round-4 epoch-lag GC the second released the first's retirees
+    // while this scan was still draining → "batch payload missing".
+    GraftStoreOps.compact(spark, "s_gc")
+    GraftStoreOps.compact(spark, "s_gc")
+    while (it.hasNext) { it.next(); n += 1 }
+    assert(n == total, s"open scan must drain its pinned snapshot: $n of $total rows")
+    // the drained scan released its lease; nothing left pending
+    val (leases, pend) = GraftColumnStore("s_gc").gcStats
+    assert(leases == 0 && pend == 0, s"expected drained GC state, got ($leases, $pend)")
+    g.dropTable("s_gc")
+  }
+
+  test("reader leases: a planned-but-never-executed scan cannot pin retirees forever") {
+    val g = GraftSession(spark)
+    freshOrders("s_gc2")
+    // physical planning pins (and seals) a lease, but the plan never
+    // runs — in a separate frame so the plan is unreachable afterwards
+    def planOnce(): Unit = {
+      GraftStoreOps.read(spark, "s_gc2").queryExecution.executedPlan
+      ()
+    }
+    planOnce()
+    // repeated compaction retires a full batch set per swap; the
+    // abandoned lease would pin every one of them
+    (0 until 10).foreach(_ => GraftStoreOps.compact(spark, "s_gc2"))
+    // once the abandoned plan is collected, the Cleaner force-drops its
+    // lease and the pending retirees drain
+    val deadline = System.currentTimeMillis() + 20000
+    var pend = GraftColumnStore("s_gc2").gcStats._2
+    while (pend > 0 && System.currentTimeMillis() < deadline) {
+      System.gc(); Thread.sleep(100)
+      pend = GraftColumnStore("s_gc2").gcStats._2
+    }
+    assert(pend == 0,
+      s"abandoned planning lease must stop blocking GC, $pend retiree sets pending")
+    assert(GraftStoreOps.read(spark, "s_gc2").count() == Tables.load(spark, sf, "orders").count())
+    g.dropTable("s_gc2")
+  }
+
+  test("reader leases: row-store scan survives retiring upserts (CDC-shaped)") {
+    val g = GraftSession(spark)
+    val cust = Tables.load(spark, sf, "customer")
+    g.createTable("r_gc", cust, keyColumns = Seq("c_custkey"),
+      partitionBy = Seq("c_custkey"), buckets = 4, provider = "row")
+    val total = cust.count()
+    val it = g.table("r_gc").toLocalIterator()
+    var n = 0L
+    while (n < 5 && it.hasNext) { it.next(); n += 1 }
+    // repeated full-overlap upserts: each PUT tombstones every pack it
+    // supersedes — fully-dead packs RETIRE each swap (the advisor's
+    // fast-CDC-writer vs slow-scan race)
+    (0 until 3).foreach { _ =>
+      org.apache.spark.sql.graft.store.GraftRowOps.put(spark, "r_gc", cust)
+    }
+    while (it.hasNext) { it.next(); n += 1 }
+    assert(n == total, s"open row scan must drain its pinned snapshot: $n of $total")
+    g.dropTable("r_gc")
+  }
 }
