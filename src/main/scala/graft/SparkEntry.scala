@@ -14,6 +14,7 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     graft.queries.TpchQueries.defs ++
       graft.queries.TpchQueries2.defs ++
+      graft.queries.TpchQueries3.defs ++
       graft.queries.RelationalQueries.defs ++
       graft.queries.EventQueries.defs ++
       graft.queries.PipelineQueries.defs ++

@@ -35,6 +35,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       session.catalog.tableExists(t) &&
       (try session.catalog.getTable(t).isTemporary catch { case _: Exception => false })
 
+  /** Persistent session-catalog tables backed by a FILE source qualify
+    * for copy-on-write DML (reference DMLExternalTable on external
+    * relations): the formats have no native row-level ops, so UPDATE /
+    * DELETE rewrite the table — the same CoW contract lakehouse formats
+    * apply. V2 catalogs (e.g. `graft.t`) and temp views never land here.
+    */
+  private def isCatalogCowDmlTarget(t: String): Boolean = {
+    if (g.isManaged(t.toLowerCase) || !session.catalog.tableExists(t)) return false
+    try {
+      if (session.catalog.getTable(t).isTemporary) return false
+      val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val meta = classic.sessionState.catalog
+        .getTableMetadata(delegate.parseTableIdentifier(t))
+      meta.provider.exists(p =>
+        Set("parquet", "orc", "json", "csv", "text").contains(p.toLowerCase))
+    } catch { case _: Exception => false }
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan = {
     val rewritten = StreamWindowRewrite(sqlText)
     GraftStatements.parse(rewritten) match {
@@ -63,6 +81,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case Some(Delete(t, where)) if isExternalDmlTarget(t) =>
         delegate.parseExpression(where)
         GraftExternalDeleteCommand(t, where)
+      // persistent file-source catalog tables: copy-on-write rewrite
+      case Some(Update(t, assigns, where)) if isCatalogCowDmlTarget(t) =>
+        assigns.foreach { case (_, v) => delegate.parseExpression(v) }
+        delegate.parseExpression(where)
+        GraftCatalogCowCommand(t, assigns, Some(where))
+      case Some(Delete(t, where)) if isCatalogCowDmlTarget(t) =>
+        delegate.parseExpression(where)
+        GraftCatalogCowCommand(t, Nil, Some(where), isDelete = true)
       case Some(CreateFunction(n, cls, ret, jar)) =>
         ret.foreach(delegate.parseDataType) // validate at statement time
         GraftCreateFunctionCommand(n, cls, ret, jar)
@@ -371,33 +397,47 @@ case class GraftCreateFunctionCommand(name: String, className: String,
   }
 }
 
+/** Plan-depth control for repeated view-swap DML: each UPDATE/DELETE on
+  * a temp view re-registers the view over a plan wrapping the previous
+  * one, so a loop of N statements would otherwise build an N-deep plan
+  * (the classic iterative-mutation trap). Every `maxChain` chained ops
+  * the frame is localCheckpoint'ed — lineage cut, depth bounded by the
+  * chain cap, results identical. The checkpoint stores the frame's rows
+  * on the executors (MEMORY_AND_DISK): session-tier DML over read-only
+  * files is inherently materialized state, exactly the view tier the
+  * reference's DMLExternalTable provides.
+  */
+object GraftExternalDml {
+  val maxChain = 4
+  private val chained = scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  def register(table: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val key = table.toLowerCase
+    val n = chained.getOrElse(key, 0) + 1
+    if (n >= maxChain) {
+      df.localCheckpoint(eager = true).createOrReplaceTempView(table)
+      chained.put(key, 0)
+    } else {
+      df.createOrReplaceTempView(table)
+      chained.put(key, n)
+    }
+  }
+}
+
 /** UPDATE on an external (unmanaged temp-view) table: the view is
   * re-registered over its original source plan with the assignments
   * applied conditionally — session-level DML semantics without touching
   * the underlying files (reference DMLExternalTable routes DML to the
   * external relation; a read-only file relation gets the view tier).
   * `spark.table(view)` inlines the view at analysis, so the new plan
-  * references the SOURCE, never the view name — no self-reference.
+  * references the SOURCE, never the view name — no self-reference; and
+  * [[GraftExternalDml]] bounds the plan depth across repeated DML.
   */
 case class GraftExternalUpdateCommand(table: String, assigns: Seq[(String, String)],
     where: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
-    val df = spark.table(table)
-    val names = df.schema.fieldNames
-    val setOf = assigns.map { case (k, v) =>
-      val c = names.find(_.equalsIgnoreCase(k)).getOrElse(
-        throw new IllegalArgumentException(s"UPDATE $table: no column '$k'"))
-      c -> v
-    }.toMap
-    val cond = coalesce(expr(where), lit(false))
-    val updated = df.select(names.map { c =>
-      setOf.get(c) match {
-        case Some(e) => when(cond, expr(e).cast(df.schema(c).dataType)).otherwise(col(c)).as(c)
-        case None => col(c)
-      }
-    }.toSeq: _*)
-    updated.createOrReplaceTempView(table)
+    GraftExternalDml.register(table,
+      GraftCatalogCowCommand.applyUpdate(spark.table(table), table, assigns, where))
     Nil
   }
 }
@@ -409,10 +449,56 @@ case class GraftExternalDeleteCommand(table: String, where: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-    spark.table(table)
-      .filter(not(coalesce(expr(where), lit(false))))
-      .createOrReplaceTempView(table)
+    GraftExternalDml.register(table,
+      spark.table(table).filter(not(coalesce(expr(where), lit(false)))))
     Nil
+  }
+}
+
+/** UPDATE/DELETE on a persistent file-source catalog table:
+  * copy-on-write — the surviving/updated rows are materialized
+  * (localCheckpoint severs the plan's dependency on the target, which
+  * Spark otherwise rejects as read-and-overwrite) and written back with
+  * INSERT OVERWRITE. O(table) per statement, the standard CoW contract
+  * for formats without row-level ops; row-level O(delta) DML is what
+  * the graft store itself is for.
+  */
+case class GraftCatalogCowCommand(table: String, assigns: Seq[(String, String)],
+    where: Option[String], isDelete: Boolean = false) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val df = spark.table(table)
+    val next =
+      if (isDelete)
+        df.filter(not(coalesce(expr(where.get), lit(false))))
+      else
+        GraftCatalogCowCommand.applyUpdate(df, table, assigns, where.getOrElse("true"))
+    next.localCheckpoint(eager = true)
+      .write.mode("overwrite").insertInto(table)
+    Nil
+  }
+}
+
+object GraftCatalogCowCommand {
+  /** The conditional-assignment projection shared by the view-swap and
+    * copy-on-write paths.
+    */
+  def applyUpdate(df: org.apache.spark.sql.DataFrame, table: String,
+      assigns: Seq[(String, String)], where: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+    val names = df.schema.fieldNames
+    val setOf = assigns.map { case (k, v) =>
+      val c = names.find(_.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(s"UPDATE $table: no column '$k'"))
+      c -> v
+    }.toMap
+    val cond = coalesce(expr(where), lit(false))
+    df.select(names.map { c =>
+      setOf.get(c) match {
+        case Some(e) => when(cond, expr(e).cast(df.schema(c).dataType)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }.toSeq: _*)
   }
 }
 

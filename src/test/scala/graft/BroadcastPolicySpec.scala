@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{RelationalQueries, TpchQueries, TpchQueries2}
+import graft.queries.{RelationalQueries, TpchQueries, TpchQueries2, TpchQueries3}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, ResolvedHint}
 
 /** Broadcast-hint policy: `broadcast()` is mandatory, not advisory — a
@@ -32,7 +32,8 @@ class BroadcastPolicySpec extends SparkTestBase {
   }
 
   test("no broadcast hint on an SF-scaling relation in any TPC-H/relational query") {
-    val defs = TpchQueries.defs ++ TpchQueries2.defs ++ RelationalQueries.defs
+    val defs = TpchQueries.defs ++ TpchQueries2.defs ++ TpchQueries3.defs ++
+      RelationalQueries.defs
     defs.foreach { d =>
       val analyzed = d.fn(spark, sf).queryExecution.analyzed
       hints(analyzed).filterNot(scaleSafe).foreach { h =>

@@ -265,6 +265,58 @@ class SqlSurfaceSpec extends SparkTestBase {
     } finally spark.catalog.dropTempView("ext_supp")
   }
 
+  test("repeated external DML keeps the view plan depth bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ext_chain").toFile
+    Tables.load(spark, sf, "supplier").write.mode("overwrite")
+      .parquet(dir.getAbsolutePath)
+    spark.read.parquet(dir.getAbsolutePath).createOrReplaceTempView("ext_chain")
+    try {
+      def depth(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+        1 + (if (p.children.isEmpty) 0 else p.children.map(depth).max)
+      (1 to 10).foreach { k =>
+        spark.sql(s"UPDATE ext_chain SET s_acctbal = s_acctbal + 1.0 WHERE s_suppkey >= $k")
+      }
+      // without chain capping this plan is ~10 projections deep; the
+      // checkpoint every maxChain ops bounds it
+      val d = depth(spark.table("ext_chain").queryExecution.analyzed)
+      assert(d <= 3 * org.apache.spark.sql.graft.parser.GraftExternalDml.maxChain,
+        s"external-DML view plan depth must stay bounded, got $d")
+      // semantics intact: row k was incremented once per statement with
+      // threshold <= its key (keys 0..N-1; statement k hits keys >= k)
+      val got = spark.table("ext_chain")
+        .select(col("s_suppkey"), col("s_acctbal")).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val exp = Tables.load(spark, sf, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal")).collect()
+          .map(r => r.getLong(0) -> (r.getDouble(1) + math.min(r.getLong(0), 10L)))
+          .toMap
+      exp.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-9, s"key $k") }
+    } finally spark.catalog.dropTempView("ext_chain")
+  }
+
+  test("UPDATE/DELETE on a persistent file-source catalog table: copy-on-write") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cow").toFile
+    Tables.load(spark, sf, "supplier").write.mode("overwrite")
+      .option("path", new java.io.File(wh, "cat_supp").getAbsolutePath)
+      .saveAsTable("cat_supp")
+    try {
+      assert(!spark.catalog.getTable("cat_supp").isTemporary)
+      g.sql("UPDATE cat_supp SET s_acctbal = 0.0 WHERE s_nationkey < 5")
+      g.sql("DELETE FROM cat_supp WHERE s_nationkey = 24")
+      val got = spark.table("cat_supp").orderBy("s_suppkey").collect()
+      val exp = Tables.load(spark, sf, "supplier")
+        .withColumn("s_acctbal",
+          when(col("s_nationkey") < 5, 0.0).otherwise(col("s_acctbal")))
+        .filter(col("s_nationkey") =!= 24)
+        .orderBy("s_suppkey").collect()
+      assert(got.toSeq == exp.toSeq)
+      // CoW persists: a FRESH scan of the catalog table (new plan, no
+      // view tier) sees the mutation
+      assert(spark.sql("SELECT count(*) FROM cat_supp WHERE s_nationkey = 24")
+        .head().getLong(0) == 0)
+    } finally spark.sql("DROP TABLE IF EXISTS cat_supp")
+  }
+
   test("stream WINDOW (DURATION, SLIDE) clause rewrites to window() grouping") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_win").toFile
