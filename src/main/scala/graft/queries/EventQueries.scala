@@ -159,9 +159,14 @@ object EventQueries {
         |      FROM events) t
         |GROUP BY k_bucket
         |ORDER BY k_bucket""".stripMargin) { (s, dir) =>
+      // regexp_extract, not get_json_object: the same single-key
+      // extraction the oracle runs, and RegExpExtract is codegen'd while
+      // GetJsonObject is a CodegenFallback that breaks the
+      // scan→project→partial-agg whole-stage pipeline (JsonProbe: 2.4×)
       Tables.load(s, dir, "events")
         .select(
-          (get_json_object(col("props"), "$.k").cast("bigint") % 10).as("k_bucket"),
+          (regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("bigint") % 10)
+            .as("k_bucket"),
           col("value"))
         .groupBy(col("k_bucket"))
         .agg(count(lit(1)).as("n"), r2(avg(col("value"))).as("avg_value"))

@@ -40,6 +40,18 @@ object StoreBench {
           .agg(count(lit(1)), sum("l_quantity"))
           .write.format("noop").mode("overwrite").save()
       }
+      // dictionary-grouping fast path: aggregate pushdown on vs off
+      // (single dict-encoded group column → per-batch code-indexed
+      // accumulators vs Spark's row-wise string-hashing HashAggregate)
+      for (push <- Seq(true, false)) {
+        spark.conf.set("spark.sql.graft.aggPushdown", push.toString)
+        time(s"dict-groupBy push=$push bs=$bs") {
+          df.groupBy("l_returnflag")
+            .agg(count(lit(1)), sum("l_quantity"), max("l_extendedprice"))
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      spark.conf.unset("spark.sql.graft.aggPushdown")
     }
     val docs = graft.Tables.load(spark, sfDir, "documents")
     docs.write.format("noop").mode("overwrite").save()

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write._
@@ -123,10 +124,12 @@ class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
 // ------------------------------- read path -------------------------------
 
 class GraftScanBuilder(tableName: String, fullSchema: StructType)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var aggSpec: Option[GraftAggPushdown.AggSpec] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // stats can only PRUNE batches, never fully evaluate a predicate →
@@ -137,17 +140,55 @@ class GraftScanBuilder(tableName: String, fullSchema: StructType)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** PARTIAL aggregate pushdown (see [[GraftAggPushdown]]): Spark only
+    * offers an aggregation when no post-scan filter remains — and this
+    * source reports every filter as residual — so an accepted push is
+    * always over the full live table.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    if (conf.getConfString(GraftAggPushdown.CONF_KEY, "true") != "true" ||
+        pushed.nonEmpty) return false
+    GraftAggPushdown.translate(aggregation, fullSchema, conf.ansiEnabled) match {
+      case Some(spec) =>
+        // bucket-key grouping guard: when the group keys cover the
+        // bucket columns, the UN-pushed plan aggregates in one phase
+        // with ZERO exchange (the storage-partitioned scan already
+        // satisfies the grouping). Pushing would replace that with an
+        // unpartitioned agg scan + shuffle — strictly worse.
+        val snap = GraftColumnStore.get(tableName).map(_.snapshot)
+        val bucketCovered = snap.exists { s =>
+          s.numBuckets > 0 && s.bucketBy.nonEmpty &&
+            s.bucketBy.forall { b =>
+              val i = fullSchema.fieldNames.indexWhere(_.equalsIgnoreCase(b))
+              spec.groupCols.contains(i)
+            }
+        }
+        if (bucketCovered) return false
+        aggSpec = Some(spec)
+        GraftColumnStore.aggPushes.incrementAndGet()
+        true
+      case None => false
+    }
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     // top-level pruning only: batches hold WHOLE container values, so a
     // nested-pruned struct type saves no store reads but would misalign
     // the position-based vector writers — report the full column type
     // and let Spark project the nested fields above (the v2 pushdown
-    // rule rebuilds the relation output from the scan's readSchema)
-    required = StructType(requiredSchema.fields.map { f =>
-      if (fullSchema.fieldNames.contains(f.name)) fullSchema(f.name) else f
-    })
+    // rule rebuilds the relation output from the scan's readSchema).
+    // A pushed aggregation fixes the read schema itself.
+    if (aggSpec.isEmpty) {
+      required = StructType(requiredSchema.fields.map { f =>
+        if (fullSchema.fieldNames.contains(f.name)) fullSchema(f.name) else f
+      })
+    }
 
-  override def build(): Scan = new GraftScan(tableName, fullSchema, required, pushed)
+  override def build(): Scan = aggSpec match {
+    case Some(spec) => new GraftAggScan(tableName, fullSchema, spec)
+    case None => new GraftScan(tableName, fullSchema, required, pushed)
+  }
 }
 
 /** Per-batch work unit shipped to readers: the ref plus its merge state

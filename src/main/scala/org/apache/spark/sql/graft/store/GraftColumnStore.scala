@@ -483,6 +483,11 @@ object GraftColumnStore {
   val batchesSkipped = new AtomicLong(0)
   val batchesScanned = new AtomicLong(0)
   val bucketsPruned = new AtomicLong(0)
+  /** Aggregate pushdown telemetry: accepted pushes / batches served by
+    * the dictionary code-indexed fast path (asserted by specs).
+    */
+  val aggPushes = new AtomicLong(0)
+  val aggDictBatches = new AtomicLong(0)
 
   def createOrReplace(name: String, schema: StructType,
       bucketBy: Seq[String] = Nil, numBuckets: Int = 0,

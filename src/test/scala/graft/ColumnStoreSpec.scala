@@ -48,19 +48,33 @@ class ColumnStoreSpec extends SparkTestBase {
     assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-6)
   }
 
+  /** These two assert properties of the NORMAL columnar scan path, so
+    * they pin aggregate pushdown off — with it on, both plans collapse
+    * into a pushed aggregation (AggPushdownSpec covers that side).
+    */
+  private def withoutAggPushdown[T](body: => T): T = {
+    spark.conf.set(org.apache.spark.sql.graft.store.GraftAggPushdown.CONF_KEY, "false")
+    try body finally spark.conf.unset(
+      org.apache.spark.sql.graft.store.GraftAggPushdown.CONF_KEY)
+  }
+
   test("column pruning reaches the scan") {
-    val store = this.store
-    val plan = store.select("l_returnflag").distinct()
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("cols=[l_returnflag]"),
-      s"expected pruned read schema in scan description:\n$plan")
+    withoutAggPushdown {
+      val store = this.store
+      val plan = store.select("l_returnflag").distinct()
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("cols=[l_returnflag]"),
+        s"expected pruned read schema in scan description:\n$plan")
+    }
   }
 
   test("scan is columnar (no row pivot before codegen)") {
-    val df = store.groupBy("l_returnflag").count()
-    df.collect() // finalize the adaptive plan
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("ColumnarToRow"), s"expected columnar scan:\n$plan")
+    withoutAggPushdown {
+      val df = store.groupBy("l_returnflag").count()
+      df.collect() // finalize the adaptive plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ColumnarToRow"), s"expected columnar scan:\n$plan")
+    }
   }
 
   test("array columns (embeddings) roundtrip with null elements and rows") {
