@@ -143,6 +143,41 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(norms.getDouble(0) > 0 && norms.getDouble(1) < 100)
   }
 
+  test("top_gram_fracs matches brute-force string gram counting") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // brute force over strings — the exact contract of the former
+    // explode→groupBy pipeline: for len < n, ONE partial gram (frac 1.0)
+    def ref(text: String, n: Int): Double = {
+      val t = text.trim.toLowerCase.split("\\s+")
+      val grams =
+        if (t.length < n) Seq(t.mkString(" "))
+        else (0 to t.length - n).map(s => t.slice(s, s + n).mkString(" "))
+      grams.groupBy(identity).values.map(_.size).max.toDouble / grams.size
+    }
+    val texts = Seq(
+      "the cat sat on the mat the cat sat again",
+      "a a a a a",                       // degenerate full repetition
+      "one",                             // single token: len < 2, 3
+      "",                                // empty text → [""]
+      "x y",                             // len < 3 for the 3-gram
+      "spam spam spam ham spam spam eggs ham ham spam")
+    val got = TextAnalysis.repetitionStats(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("doc_id").collect()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val r = got(i)
+      assert(math.abs(r.getDouble(1) - ref(t, 1)) < 1e-12, s"doc $i 1-gram")
+      assert(math.abs(r.getDouble(2) - ref(t, 2)) < 1e-12, s"doc $i 2-gram")
+      assert(math.abs(r.getDouble(3) - ref(t, 3)) < 1e-12, s"doc $i 3-gram")
+    }
+    // null text rows: expression is null-safe (row survives with nulls)
+    val nullRow = TextAnalysis.repetitionStats(
+      Seq((0L, Option.empty[String])).toDF("doc_id", "text"), "doc_id", "text").collect()
+    assert(nullRow.length == 1 && nullRow(0).isNullAt(1))
+  }
+
   test("redactPii: URLs swallow embedded addresses, multiples all replaced") {
     import spark.implicits._
     import graft.operators.TextAnalysis
