@@ -324,4 +324,42 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Benchmark decontamination — the standard eval-set hygiene pass for
+    * pre-training corpora (as published for GPT-3 §C / PaLM / Llama):
+    * a training document is CONTAMINATED when it shares any full word
+    * `n`-gram with any benchmark document. Returns the distinct
+    * contaminated train ids (the drop list).
+    *
+    * Plan shape: both sides expand to word n-grams inside their scan
+    * (same `sequence`/`slice` fan-out as [[shingles]], no UDF), then a
+    * LEFT SEMI join on the gram keeps the first match per train gram, and
+    * the final distinct reduces to the id column only. The benchmark side
+    * is an eval set — constant-size relative to the corpus — so AQE picks
+    * a broadcast semi-join at scale and the train grams are filtered
+    * INSIDE their scan tasks: nothing shuffles except the surviving
+    * contaminated ids. No hard broadcast hint: if the bench side ever
+    * outgrows the threshold, the plan degrades to a bounded-key
+    * (gram-keyed) shuffle join instead of an OOM — pre-hash the grams
+    * (md5Hash60) if that shuffle's key width ever matters.
+    *
+    * Documents with fewer than `n` tokens produce no grams and cannot be
+    * contaminated — the conventional semantics (short docs are handled by
+    * the exact-dedup pass, not n-gram overlap).
+    */
+  def ngramContamination(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val toks = split(lower(trim(col(textCol))), "\\s+")
+      df.select(col(idCol), toks.as("__toks"))
+        .filter(size(col("__toks")) >= n)
+        .select(col(idCol), explode(
+          transform(sequence(lit(0), size(col("__toks")) - n),
+            s => array_join(slice(col("__toks"), s + 1, lit(n)), " ")))
+          .as("__g"))
+    }
+    grams(train)
+      .join(grams(bench).select(col("__g")).distinct(), Seq("__g"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
 }

@@ -139,6 +139,33 @@ object PipelineQueries {
         .orderBy("keep_id")
     },
 
+    // ---- benchmark decontamination (the GPT-3/PaLM-style eval-hygiene
+    // pass): training docs sharing any full word n-gram with the
+    // "benchmark" slice (doc_id % 20 = 7 stands in for an eval set) are
+    // flagged for dropping. n=4 exercises real overlap on this synthetic
+    // corpus; production decontamination uses the same plan at n=8..13 ----
+    QueryDef.sql(
+      "q_decontaminate",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[s + 1 : s + 4], ' ') AS g
+        |  FROM toks, UNNEST(generate_series(0, len(t) - 4)) AS u(s)
+        |  WHERE len(t) >= 4),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 7)
+        |SELECT DISTINCT doc_id
+        |FROM grams
+        |WHERE doc_id % 20 <> 7 AND g IN (SELECT g FROM bench)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.ngramContamination(
+          docs.filter(col("doc_id") % 20 =!= 7),
+          docs.filter(col("doc_id") % 20 === 7),
+          "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+    },
+
     // ---- repetition statistics (Gopher/RefinedWeb-style quality
     // signals): per-doc fraction of tokens covered by the most frequent
     // token / 2-gram / 3-gram — boilerplate and generated spam flags ----

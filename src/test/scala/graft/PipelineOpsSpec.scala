@@ -143,6 +143,27 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(norms.getDouble(0) > 0 && norms.getDouble(1) < 100)
   }
 
+  test("ngramContamination flags exactly the docs sharing a full n-gram") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words then the quick brown fox appears here"), // shares 4-gram
+      (2L, "the quick brown wolf is a different animal"),         // only 3 shared
+      (3L, "JUMPS OVER THE LAZY end"),                            // case-folded match
+      (4L, "dog lazy the over jumps"),                            // reversed: no n-gram
+      (5L, "fox brown")                                           // < n tokens
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramContamination(train, bench, "doc_id", "text", n = 4)
+      .as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L))
+    // plan shape: the semi join must not shuffle the train grams when the
+    // bench side is broadcastable
+    val plan = Dedup.ngramContamination(train, bench, "doc_id", "text", 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+  }
+
   test("top_gram_fracs matches brute-force string gram counting") {
     import spark.implicits._
     import graft.operators.TextAnalysis
