@@ -515,11 +515,11 @@ object PipelineQueries {
         |ORDER BY a, b""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       // materialize the signatures once: both sides of the chunk
-      // self-join read them, and the signature subtree (explode + two
-      // shuffled aggregations + md5 per distinct token) is the dominant
-      // cost — without the checkpoint it executes twice
-      val sig = Dedup.simhashSignatures(docs, "doc_id", "text",
-          tokenHash = Dedup.md5Hash60, sigBits = 60)
+      // self-join read them, and the signature computation (md5 per
+      // distinct token) is the dominant cost — without the checkpoint it
+      // executes twice
+      val sig = Dedup.simhashSignaturesFast(docs, "doc_id", "text",
+          sigBits = 60, md5Portable = true)
         .localCheckpoint(true)
       // single-chunk banding wins at this corpus size (the packed-long
       // bucket key is the big lever: 2.3x on the join); comboSize = 2

@@ -272,6 +272,83 @@ object TopGramFracs {
   }
 }
 
+/** simhash_sig(tokens) — the document's SimHash signature as one per-row
+  * expression: count token occurrences in a per-row hash map, hash each
+  * DISTINCT token once (xxhash64, or the md5-derived 60-bit prefix when
+  * `md5Portable` — the variant a SQL oracle can replay), accumulate
+  * ±count per bit, take signs. Value-identical to the relational
+  * explode → groupBy(doc, token) → 60-conditional-sum pipeline, which
+  * shuffles every (doc, token) pair and then a 60-column aggregate row
+  * per doc; this computes inside the scan projection — zero shuffles at
+  * any corpus size. Tokens must already be split (pass the `split()`
+  * column) so tokenization stays engine-identical with the oracle's
+  * `string_split_regex`.
+  */
+case class SimHashSig(child: Expression, sigBits: Int, md5Portable: Boolean)
+    extends UnaryExpression {
+  require(sigBits >= 1 && sigBits <= 64, s"sigBits must be in [1,64]: $sigBits")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_sig_expr"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string> input, got ${other.catalogString}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    SimHashSig.sig(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      sigBits, md5Portable)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"org.apache.spark.sql.graft.SimHashSig$$.MODULE$$.sig($s, $sigBits, $md5Portable)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHashSig {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def sig(arr: ArrayData, sigBits: Int, md5Portable: Boolean): Long = {
+    val len = arr.numElements()
+    // count per DISTINCT token first so the expensive hash (md5 in the
+    // portable variant) runs once per distinct token, not per occurrence
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    var i = 0
+    while (i < len) {
+      val t = arr.getUTF8String(i)
+      if (t != null) counts.merge(t, 1, (a: Integer, b: Integer) => a + b)
+      i += 1
+    }
+    val acc = new Array[Int](sigBits)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val t = e.getKey
+      val c: Int = e.getValue
+      val h =
+        if (md5Portable) Md5PrefixLong.hash(t, 15)
+        else XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      var b = 0
+      while (b < sigBits) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += c else acc(b) -= c
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < sigBits) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
 object Md5PrefixLong {
   private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
@@ -303,4 +380,7 @@ object TextHashExpressions {
       HashArrayJaccard(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def top_gram_fracs(tokens: Column, maxN: Int): Column =
     ExpressionUtils.column(TopGramFracs(ExpressionUtils.expression(tokens), maxN))
+  def simhash_sig_expr(tokens: Column, sigBits: Int, md5Portable: Boolean): Column =
+    ExpressionUtils.column(
+      SimHashSig(ExpressionUtils.expression(tokens), sigBits, md5Portable))
 }

@@ -143,6 +143,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(norms.getDouble(0) > 0 && norms.getDouble(1) < 100)
   }
 
+  test("simhashSignaturesFast is bit-identical to the relational formulation") {
+    val sample = docs.filter(col("doc_id") < 200)
+    def collectSigs(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // portable md5 variant (the oracle-replayable one used by the query)
+    val relMd5 = collectSigs(Dedup.simhashSignatures(sample, "doc_id", "text",
+      tokenHash = Dedup.md5Hash60, sigBits = 60))
+    val fastMd5 = collectSigs(Dedup.simhashSignaturesFast(sample, "doc_id", "text",
+      sigBits = 60, md5Portable = true))
+    assert(fastMd5 == relMd5)
+    // default xxhash64 variant (same seed 42 as functions.xxhash64)
+    val relXx = collectSigs(Dedup.simhashSignatures(sample, "doc_id", "text"))
+    val fastXx = collectSigs(Dedup.simhashSignaturesFast(sample, "doc_id", "text"))
+    assert(fastXx == relXx)
+  }
+
   test("ngramContamination flags exactly the docs sharing a full n-gram") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
