@@ -196,12 +196,16 @@ class GraftSession(val spark: SparkSession) {
     * WITH ERROR f` queries against the base are rewritten onto it.
     * `qcs` (the sample's stratification columns) drives selection when
     * several samples are registered; re-registering a sample name
-    * replaces its entry.
+    * replaces its entry. Pass `params` (the sample's build parameters)
+    * to ALSO keep the sample fresh under [[insert]] on the base table —
+    * the reference's `SampleInsertExec` fan-in
+    * (execution/aqp/SampleInsertExec.scala:30).
     */
   def registerSample(baseTable: String, sampleTable: String,
-      qcs: Seq[String] = Nil): Unit = {
+      qcs: Seq[String] = Nil,
+      params: Option[GraftSession.SampleParams] = None): Unit = {
     val info = GraftSession.SampleInfo(sampleTable.toLowerCase,
-      qcs.map(_.toLowerCase))
+      qcs.map(_.toLowerCase), params)
     samples.updateWith(baseTable.toLowerCase) {
       case Some(existing) =>
         Some(existing.filterNot(_.table == info.table) :+ info)
@@ -308,20 +312,53 @@ class GraftSession(val spark: SparkSession) {
 
   /** INSERT INTO: append rows (reference SnappySession.insert:1990).
     * Store-backed: a bucketed DSv2 append — full batches seal, the
-    * remainder lands in the delta row buffer.
+    * remainder lands in the delta row buffer. Registered samples of the
+    * base (with known build parameters) receive a stratified sample of
+    * the SAME batch — see [[maintainSamples]].
     */
   def insert(name: String, rows: DataFrame): DataFrame = {
     val st = stateOf(name)
-    if (st.rowBacked) {
-      alignColumns(st.df, rows).write.format(GraftRowOps.FORMAT)
-        .option("table", normalize(name)).mode("append").save()
-      table(name)
-    } else if (st.storeBacked) {
-      alignColumns(st.df, rows).write.format(GraftStoreOps.FORMAT)
-        .option("table", normalize(name)).mode("append").save()
-      table(name)
-    } else mutate(name)(s => s.df.unionByName(alignColumns(s.df, rows)))
+    val aligned = alignColumns(st.df, rows)
+    val out =
+      if (st.rowBacked) {
+        aligned.write.format(GraftRowOps.FORMAT)
+          .option("table", normalize(name)).mode("append").save()
+        table(name)
+      } else if (st.storeBacked) {
+        aligned.write.format(GraftStoreOps.FORMAT)
+          .option("table", normalize(name)).mode("append").save()
+        table(name)
+      } else mutate(name)(s => s.df.unionByName(aligned))
+    maintainSamples(name, aligned)
+    out
   }
+
+  /** Fan a base-table insert into its registered samples — the
+    * reference's `SampleInsertExec` (execution/aqp/SampleInsertExec
+    * .scala:30) fans inserts into sample reservoirs; here each increment
+    * is stratified with the sample's own build parameters and appended.
+    *
+    * Statistics: every batch is an independent Horvitz-Thompson sample
+    * of its own rows (per-batch `_weight` = batch-stratum population /
+    * batch-stratum kept), so the union remains an unbiased weighted
+    * sample of the full table — it is exactly stratification by
+    * (ingest batch × QCS). `sum(_weight)` over the sample always equals
+    * the base row count. The per-batch reservoir floor keeps small
+    * increments representable at the cost of a slightly larger sample
+    * than a full rebuild would produce (more strata); weights absorb the
+    * difference, estimators are unaffected. UPDATE/DELETE do not
+    * propagate (matches the reference, whose samples are insert-
+    * maintained only — rebuild the sample after heavy rewrites).
+    */
+  private def maintainSamples(baseName: String, newRows: DataFrame): Unit =
+    samples.get(normalize(baseName)).foreach { infos =>
+      infos.foreach { info =>
+        info.params.foreach { p =>
+          insert(info.table, graft.operators.Aqp.stratifiedSample(
+            newRows, info.qcs, p.fraction, p.reservoirFloor, p.rankKey))
+        }
+      }
+    }
 
   /** PUT INTO: key-based upsert. Matched target rows are replaced by the
     * source row, unmatched source rows are inserted — the reference's
@@ -498,8 +535,18 @@ class GraftSession(val spark: SparkSession) {
 }
 
 object GraftSession {
-  /** A registered sample table and its stratification columns. */
-  final case class SampleInfo(table: String, qcs: Seq[String])
+  /** Sampling parameters a registered sample was built with — carried in
+    * [[SampleInfo]] so base-table inserts can fan a consistent increment
+    * into the sample (the reference's `SampleInsertExec` behavior).
+    */
+  final case class SampleParams(
+      fraction: Double, reservoirFloor: Int, rankKey: Seq[String])
+
+  /** A registered sample table, its stratification columns, and (when
+    * known) the parameters to maintain it under base-table inserts.
+    */
+  final case class SampleInfo(table: String, qcs: Seq[String],
+      params: Option[SampleParams] = None)
 
   /** Size floor under which an unbucketed ingest keeps the source's
     * partitioning (the repartition shuffle would cost more than the

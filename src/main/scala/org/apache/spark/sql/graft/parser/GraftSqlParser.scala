@@ -209,12 +209,15 @@ case class GraftCreateSampleTableCommand(name: String, base: String,
       .getOrElse(throw new IllegalArgumentException(
         "CREATE SAMPLE TABLE requires OPTIONS (rankKey '<unique key cols>') for deterministic sampling"))
     val g = graft.GraftSession(spark)
+    val fraction = options.getOrElse("fraction", "0.1").toDouble
+    val floor = options.getOrElse("stratareservoirsize", "50").toInt
     g.createSampleTable(name, spark.table(base),
-      qcs = qcs,
-      fraction = options.getOrElse("fraction", "0.1").toDouble,
-      reservoirFloor = options.getOrElse("stratareservoirsize", "50").toInt,
+      qcs = qcs, fraction = fraction, reservoirFloor = floor,
       rankKey = rankKey)
-    g.registerSample(base, name, qcs)
+    // params registered ⇒ future inserts into the base fan a consistent
+    // stratified increment into this sample (SampleInsertExec analog)
+    g.registerSample(base, name, qcs,
+      Some(graft.GraftSession.SampleParams(fraction, floor, rankKey)))
     Nil
   }
 }

@@ -61,6 +61,51 @@ class AqpSpec extends SparkTestBase {
     }
   }
 
+  test("base-table inserts fan into registered samples (SampleInsertExec analog)") {
+    val g = GraftSession(spark)
+    val base = li.filter(col("l_orderkey") <= 2000)
+    g.createTable("si_base", base)
+    g.createSampleTable("si_sample", g.table("si_base"),
+      qcs = Seq("l_returnflag"), fraction = 0.1,
+      reservoirFloor = 20, rankKey = Seq("l_orderkey", "l_linenumber"))
+    g.registerSample("si_base", "si_sample", Seq("l_returnflag"),
+      Some(GraftSession.SampleParams(0.1, 20, Seq("l_orderkey", "l_linenumber"))))
+    try {
+      val before = g.table("si_sample").count()
+      // insert a batch carrying a brand-new stratum value (rank keys
+      // shifted so membership hashes are fresh)
+      val inc = g.table("si_base").limit(2000)
+        .withColumn("l_orderkey", col("l_orderkey") + 1000000)
+        .withColumn("l_returnflag", lit("Z"))
+        .localCheckpoint(true) // freeze: reads si_base, which the insert mutates
+      g.insert("si_base", inc)
+      val sample = g.table("si_sample")
+      // new stratum must be represented (reservoir floor guarantees it)
+      assert(sample.filter(col("l_returnflag") === "Z").count() > 0,
+        "inserted stratum missing from maintained sample")
+      assert(sample.count() > before)
+      // Horvitz-Thompson invariant survives incremental maintenance:
+      // sum of weights == exact base row count, overall and per stratum
+      val htTotal = sample.agg(sum(col("_weight"))).collect()(0).getDouble(0)
+      val baseTotal = g.table("si_base").count()
+      assert(math.abs(htTotal - baseTotal) < 1e-6, s"HT $htTotal vs $baseTotal")
+      val htZ = sample.filter(col("l_returnflag") === "Z")
+        .agg(sum(col("_weight"))).collect()(0).getDouble(0)
+      val baseZ = g.table("si_base").filter(col("l_returnflag") === "Z").count()
+      assert(math.abs(htZ - baseZ) < 1e-6, s"HT(Z) $htZ vs $baseZ")
+      // unregistered-params samples stay untouched by design: re-register
+      // without params, insert again, sample count must not change
+      g.registerSample("si_base", "si_sample", Seq("l_returnflag"))
+      val frozen = g.table("si_sample").count()
+      g.insert("si_base", inc.limit(50))
+      assert(g.table("si_sample").count() == frozen)
+    } finally {
+      g.samples.remove("si_base")
+      g.dropTable("si_sample")
+      g.dropTable("si_base")
+    }
+  }
+
   test("WITH ERROR sql rewrites onto the sample with weighted aggregates") {
     val g = GraftSession(spark)
     Tables.registerAll(spark, sf)
