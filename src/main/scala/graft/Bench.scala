@@ -43,14 +43,15 @@ object Bench {
     val results = SparkEntry.allDefs
       .filter(d => only.forall(_.contains(d.name)))
       .map { d =>
-      val t =
+      val (t, tMin) =
         try {
           timeOne(d.fn) // warmup
-          (0 until runs).map(_ => timeOne(d.fn)).sum / runs
+          val ts = (0 until runs).map(_ => timeOne(d.fn))
+          (ts.sum / runs, ts.min)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
-            -1.0
+            (-1.0, -1.0)
         }
       // Isolate queries from each other's heap context: a full GC after
       // each query frees dropped localCheckpoint blocks (the
@@ -60,15 +61,22 @@ object Bench {
       // comparisons conflate query changes with run-order heap drift.
       System.gc()
       Thread.sleep(200) // let the ContextCleaner drain its queue
-      d.name -> t
+      (d.name, t, tMin)
     }
 
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // per-query MIN of the timed runs too: on a noisy host the mean
+    // conflates machine stalls with plan cost — min-of-N is the
+    // noise-robust statistic for round-over-round comparison
+    val qsMin = results
+      .map { case (k, _, m) => "\"" + k + "\":" + f"$m%.4f" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val line =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,""" +
+        f""""queries_min":$qsMin,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full per-query JSON as a committed artifact: the
     // driver scrapes only a truncated stdout tail, which has lost the

@@ -91,4 +91,32 @@ object Mixture {
     }
     df.filter(u < rateCol)
   }
+
+  /** Token-budget packing — the "best docs until the budget is spent"
+    * selection every pre-training mix ends with: per domain, rank
+    * documents by quality (deterministic id tie-break) and keep the
+    * prefix whose cumulative token count stays within `budgetPerDomain`.
+    * Returns (id, domain, n_tokens, quality, cum_tokens) for the kept
+    * prefix.
+    *
+    * Scale shape: the quality signals are per-row scan projections
+    * ([[TextAnalysis.qualityScore]]), so the operator's only shuffle is
+    * the window's partition-by-domain exchange — and that stream carries
+    * (id, domain, two numbers), never text. Skew note: one window
+    * partition per domain serializes per-domain ranking; with few huge
+    * domains, pre-aggregate to (doc, n_tokens, quality) buckets or
+    * range-partition by (domain, quality band) before the final exact
+    * prefix — the budget cut only needs ORDER within the top of each
+    * domain.
+    */
+  def tokenBudgetPack(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String, budgetPerDomain: Long): DataFrame = {
+    require(budgetPerDomain > 0, s"budgetPerDomain must be positive: $budgetPerDomain")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(col("quality").desc, col(idCol))
+    graft.operators.TextAnalysis.qualityScore(docs, idCol, textCol, carry = Seq(domainCol))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetPerDomain)
+  }
 }

@@ -48,14 +48,17 @@ object TextAnalysis {
   /** Stopword-overlap language ID. Returns (id, pred_lang, score) where
     * score is the winning language's stopword hit count. Deterministic
     * tie-break: language list order (en > es > de > fr).
+    *
+    * Per-language hit counts are per-row dictionary probes
+    * (`array_count_in` over the token array), so the whole operator is a
+    * scan projection — the former explode → token-level groupBy → join
+    * shuffled every (doc, token) pair for a per-document answer.
     */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
-    val scoreCols = langStopwords.map { case (lang, words) =>
-      sum(when(col("tok").isin(words: _*), 1).otherwise(0)).as(s"s_$lang")
-    }
-    val scored = toks.groupBy(col(idCol)).agg(scoreCols.head, scoreCols.tail: _*)
+    val toks = split(lower(col(textCol)), "\\s+")
+    val scored = docs.select(col(idCol) +: langStopwords.map { case (lang, words) =>
+      TextHashExpressions.array_count_in(toks, words).as(s"s_$lang")
+    }: _*)
     val Seq(en, es, de, fr) = langStopwords.map(l => col(s"s_${l._1}"))
     scored.select(
       col(idCol),
@@ -69,26 +72,28 @@ object TextAnalysis {
   /** Composite quality score in [0,1]: length saturation + stopword
     * density + punctuation cleanliness. Formula is the usual linear mix
     * of heuristic sub-scores used in corpus-quality filtering.
+    *
+    * Entirely per-row (`array_count_in` for the stopword probe), so it
+    * fuses into the document scan — no token shuffle, no join.
     */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val allStop = langStopwords.flatMap(_._2).distinct
-    val toks = docs.select(col(idCol), explode(split(lower(t), "\\s+")).as("tok"))
-    val stopStats = toks.groupBy(col(idCol)).agg(
-      count(lit(1)).as("n_tokens"),
-      sum(when(col("tok").isin(allStop: _*), 1).otherwise(0)).as("n_stop"))
-    val base = docs.select(col(idCol), length(t).as("n_chars"),
-      (length(regexp_replace(t, "[a-zA-Z0-9\\s]", "")).cast("double") / length(t))
-        .as("punct_ratio"))
-    base.join(stopStats, idCol)
-      .select(
-        col(idCol),
+    val toks = split(lower(t), "\\s+")
+    docs.select((col(idCol) +: carry.map(col)) ++ Seq(
+        size(toks).cast("bigint").as("n_tokens"),
+        TextHashExpressions.array_count_in(toks, allStop).as("n_stop"),
+        length(t).as("n_chars"),
+        (length(regexp_replace(t, "[a-zA-Z0-9\\s]", "")).cast("double") / length(t))
+          .as("punct_ratio")): _*)
+      .select((col(idCol) +: carry.map(col)) ++ Seq(
         col("n_tokens"),
         graft.dround(
           least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.4 +
             least(col("n_stop").cast("double") / col("n_tokens") * 5.0, lit(1.0)) * 0.3 +
             (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.3,
-          4).as("quality"))
+          4).as("quality")): _*)
   }
 
   /** Content fingerprint: md5 over the normalized text (lower-cased,

@@ -223,6 +223,43 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
+    // ---- token-budget packing: per language, keep the best-quality
+    // docs while the cumulative token count fits the budget — the final
+    // selection step of a pre-training mix. The oracle replays the exact
+    // kept prefix (same quality formula, same deterministic tie-break) ----
+    QueryDef.sql(
+      "q_token_budget", {
+        val stop = TextAnalysis.langStopwords.flatMap(_._2).distinct
+          .map(w => s"'$w'").mkString(",")
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+           |  FROM documents),
+           |stop_stats AS (
+           |  SELECT doc_id, count(*) AS n_tokens,
+           |    sum(CASE WHEN tok IN ($stop) THEN 1 ELSE 0 END) AS n_stop
+           |  FROM toks GROUP BY doc_id),
+           |q AS (
+           |  SELECT d.doc_id, d.lang, s.n_tokens,
+           |    round(least(CAST(length(d.text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+           |          least(CAST(s.n_stop AS DOUBLE) / s.n_tokens * 5.0, 1.0) * 0.3 +
+           |          (1.0 - least(CAST(length(regexp_replace(d.text,
+           |             '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+           |             / length(d.text) * 10.0, 1.0)) * 0.3, 4) AS quality
+           |  FROM documents d JOIN stop_stats s ON d.doc_id = s.doc_id),
+           |r AS (
+           |  SELECT doc_id, lang, n_tokens, quality,
+           |    sum(n_tokens) OVER (PARTITION BY lang
+           |                        ORDER BY quality DESC, doc_id) AS cum_tokens
+           |  FROM q)
+           |SELECT doc_id, lang, n_tokens, quality, cum_tokens
+           |FROM r WHERE cum_tokens <= 2000
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      Mixture.tokenBudgetPack(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "lang", budgetPerDomain = 2000L)
+        .orderBy("doc_id")
+    },
+
     // ---- deterministic train/validation/test split: membership from
     // the md5 of the row key (the sampler's engine-portable construction),
     // so the oracle replays the EXACT assignment — re-runs reproduce it,

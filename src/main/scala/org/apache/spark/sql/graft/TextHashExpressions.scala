@@ -272,6 +272,60 @@ object TopGramFracs {
   }
 }
 
+/** array_count_in(arr, values) — how many elements of `arr` (with
+  * repetition) belong to the constant string set `values`. The per-row
+  * form of `explode → sum(when(tok.isin(values), 1))`: dictionary-probe
+  * operators (stopword density, language ID) become pure scan
+  * projections instead of a token-level shuffle + per-doc aggregate +
+  * join back. Codegen'd; the probe set is built once per expression
+  * instance and shipped as a codegen reference object.
+  */
+case class ArrayCountIn(child: Expression, values: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "array_count_in"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string> input, got ${other.catalogString}")
+    }
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](values.size * 2)
+    values.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
+  override def nullSafeEval(v: Any): Any =
+    ArrayCountIn.count(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], set)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val setRef = ctx.addReferenceObj("probeSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, s =>
+      s"org.apache.spark.sql.graft.ArrayCountIn$$.MODULE$$.count($s, $setRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ArrayCountIn {
+  def count(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      set: java.util.HashSet[UTF8String]): Int = {
+    val len = arr.numElements()
+    var n = 0
+    var i = 0
+    while (i < len) {
+      val t = arr.getUTF8String(i)
+      if (t != null && set.contains(t)) n += 1
+      i += 1
+    }
+    n
+  }
+}
+
 /** simhash_sig(tokens) — the document's SimHash signature as one per-row
   * expression: count token occurrences in a per-row hash map, hash each
   * DISTINCT token once (xxhash64, or the md5-derived 60-bit prefix when
@@ -383,4 +437,6 @@ object TextHashExpressions {
   def simhash_sig_expr(tokens: Column, sigBits: Int, md5Portable: Boolean): Column =
     ExpressionUtils.column(
       SimHashSig(ExpressionUtils.expression(tokens), sigBits, md5Portable))
+  def array_count_in(arr: Column, values: Seq[String]): Column =
+    ExpressionUtils.column(ArrayCountIn(ExpressionUtils.expression(arr), values))
 }

@@ -159,6 +159,39 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(fastXx == relXx)
   }
 
+  test("tokenBudgetPack keeps the exact best-quality prefix, one shuffle") {
+    import graft.operators.{Mixture, TextAnalysis}
+    val packed = Mixture.tokenBudgetPack(docs, "doc_id", "text", "lang", 1500L)
+    val rows = packed.collect()
+    assert(rows.nonEmpty)
+    // the budget holds per domain
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rs) =>
+      val tot = rs.map(_.getAs[Long]("n_tokens")).sum
+      assert(tot <= 1500L, s"$lang over budget: $tot")
+    }
+    // kept set == greedy quality-desc prefix computed independently
+    val quality = TextAnalysis.qualityScore(docs, "doc_id", "text", carry = Seq("lang"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("quality")))
+    val expect = quality.groupBy(_._2).valuesIterator.flatMap { ds =>
+      var budget = 1500L
+      ds.sortBy(d => (-d._4, d._1)).takeWhile { d =>
+        budget -= d._3; budget >= 0
+      }.map(_._1)
+    }.toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == expect)
+    // the quality signals are scan projections: the whole plan needs ONE
+    // exchange (the window's partition-by-domain)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(packed.queryExecution.executedPlan) {
+        case s: ShuffleExchangeExec => s
+      }.size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
+  }
+
   test("ngramContamination flags exactly the docs sharing a full n-gram") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
