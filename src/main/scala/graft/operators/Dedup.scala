@@ -112,25 +112,31 @@ object Dedup {
     *
     * Unlike [[minhashNearDups]] (relational formulation: explode →
     * distinct → k×min aggregation, several wide shuffles of the shingle
-    * table), this computes signatures with the
-    * [[org.apache.spark.sql.graft.MinHashSignature]] expression — one
-    * narrow pass over the documents — and verifies candidates with a
-    * per-pair [[org.apache.spark.sql.graft.NgramJaccard]] over the two
-    * texts. Shuffled data: (id, band) pairs and candidate id pairs only.
+    * table), this shingles each document EXACTLY ONCE: the
+    * [[org.apache.spark.sql.graft.MinHashFull]] expression emits both
+    * the signature (→ LSH bands) and the sorted shingle-hash array
+    * (→ per-pair exact-Jaccard merge) from one pass, and the compact
+    * (sid, sig, sh) frame is materialized so the band explode and the
+    * two verification join sides all read it instead of re-scanning
+    * text. Shuffled data: (id, band) pairs, candidate id pairs, and the
+    * ~|shingles|-long hash arrays of candidate-pair members only.
     */
   def minhashNearDupsFast(
       docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numHashes: Int = 16,
       threshold: Double = 0.7): DataFrame = {
-    import graft.functions.TextFunctions.{hash_jaccard, minhash_sig, shingle_hashes}
-    val base = docs.select(col(idCol).as("sid"), col(textCol).as("txt"))
+    import graft.functions.TextFunctions.hash_jaccard
+    val base = docs
+      .select(col(idCol).as("sid"),
+        org.apache.spark.sql.graft.TextHashExpressions
+          .minhash_full(col(textCol), shingleLen, numHashes).as("m"))
+      .select(col("sid"), col("m.sig").as("sig"), col("m.sh").as("sh"))
+      .localCheckpoint(true)
     val bands = base
-      .select(col("sid"), posexplode(minhash_sig(col("txt"), shingleLen, numHashes)))
+      .select(col("sid"), posexplode(col("sig")))
       .select(col("sid"), col("pos").as("band_idx"), col("col").as("band_hash"))
     val cands = lshCandidates(bands)
-    // verify against precomputed sorted shingle-hash arrays: per pair the
-    // exact Jaccard is a linear merge over ~|shingles| longs
-    val hashed = base.select(col("sid"), shingle_hashes(col("txt"), shingleLen).as("sh"))
+    val hashed = base.select(col("sid"), col("sh"))
     cands
       .join(hashed.select(col("sid").as("a"), col("sh").as("ha")), "a")
       .join(hashed.select(col("sid").as("b"), col("sh").as("hb")), "b")

@@ -50,8 +50,11 @@ object TextHash {
     * "permutations" are cheap long-mixes of that hash — O(|shingles| ×
     * (strlen + k)) instead of O(|shingles| × k × strlen).
     */
-  def minhash(text: String, shingleLen: Int, numHashes: Int): Array[Long] = {
-    val hs = sortedShingleHashes(text, shingleLen)
+  def minhash(text: String, shingleLen: Int, numHashes: Int): Array[Long] =
+    minhashOf(sortedShingleHashes(text, shingleLen), numHashes)
+
+  /** MinHash signature from precomputed shingle hashes. */
+  def minhashOf(hs: Array[Long], numHashes: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var j = 0
     while (j < hs.length) {
@@ -138,6 +141,29 @@ case class ShingleHashes(child: Expression, n: Int)
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(
       TextHash.sortedShingleHashes(v.asInstanceOf[UTF8String].toString, n))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** minhash_full(text) — struct(sig, sh): the MinHash signature AND the
+  * sorted shingle-hash array from ONE shingling pass. The LSH pipeline
+  * needs both (bands from `sig`, per-pair verification from `sh`);
+  * computing them with separate expressions shingles every document
+  * twice — this expression derives the signature from the hash set it
+  * already built. Value-identical to
+  * `struct(minhash_sig(text), shingle_hashes(text))`.
+  */
+case class MinHashFull(child: Expression, shingleLen: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sh", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "minhash_full"
+  override def nullSafeEval(v: Any): Any = {
+    val hs = TextHash.sortedShingleHashes(v.asInstanceOf[UTF8String].toString, shingleLen)
+    org.apache.spark.sql.catalyst.InternalRow(
+      new GenericArrayData(TextHash.minhashOf(hs, numHashes)),
+      new GenericArrayData(hs))
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -439,4 +465,7 @@ object TextHashExpressions {
       SimHashSig(ExpressionUtils.expression(tokens), sigBits, md5Portable))
   def array_count_in(arr: Column, values: Seq[String]): Column =
     ExpressionUtils.column(ArrayCountIn(ExpressionUtils.expression(arr), values))
+  def minhash_full(text: Column, shingleLen: Int, numHashes: Int): Column =
+    ExpressionUtils.column(
+      MinHashFull(ExpressionUtils.expression(text), shingleLen, numHashes))
 }

@@ -159,6 +159,21 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(fastXx == relXx)
   }
 
+  test("minhash_full equals struct(minhash_sig, shingle_hashes)") {
+    import graft.functions.TextFunctions.{minhash_sig, shingle_hashes}
+    val sample = docs.filter(col("doc_id") < 100)
+    val fused = sample.select(col("doc_id"),
+        org.apache.spark.sql.graft.TextHashExpressions
+          .minhash_full(col("text"), 3, 16).as("m"))
+      .select(col("doc_id"), col("m.sig"), col("m.sh"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+    val separate = sample.select(col("doc_id"),
+        minhash_sig(col("text"), 3, 16).as("sig"),
+        shingle_hashes(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+    assert(fused == separate)
+  }
+
   test("tokenBudgetPack keeps the exact best-quality prefix, one shuffle") {
     import graft.operators.{Mixture, TextAnalysis}
     val packed = Mixture.tokenBudgetPack(docs, "doc_id", "text", "lang", 1500L)
