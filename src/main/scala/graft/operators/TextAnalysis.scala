@@ -54,19 +54,20 @@ object TextAnalysis {
     * scan projection — the former explode → token-level groupBy → join
     * shuffled every (doc, token) pair for a per-document answer.
     */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def langId(docs: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
     val toks = split(lower(col(textCol)), "\\s+")
-    val scored = docs.select(col(idCol) +: langStopwords.map { case (lang, words) =>
-      TextHashExpressions.array_count_in(toks, words).as(s"s_$lang")
-    }: _*)
+    val scored = docs.select((col(idCol) +: carry.map(col)) ++
+      langStopwords.map { case (lang, words) =>
+        TextHashExpressions.array_count_in(toks, words).as(s"s_$lang")
+      }: _*)
     val Seq(en, es, de, fr) = langStopwords.map(l => col(s"s_${l._1}"))
-    scored.select(
-      col(idCol),
+    scored.select((col(idCol) +: carry.map(col)) ++ Seq(
       when(en >= es && en >= de && en >= fr, "en")
         .when(es >= de && es >= fr, "es")
         .when(de >= fr, "de")
         .otherwise("fr").as("pred_lang"),
-      greatest(en, es, de, fr).cast("bigint").as("score"))
+      greatest(en, es, de, fr).cast("bigint").as("score")): _*)
   }
 
   /** Composite quality score in [0,1]: length saturation + stopword

@@ -418,14 +418,21 @@ object PipelineQueries {
            |GROUP BY l.pred_lang
            |ORDER BY l.pred_lang""".stripMargin
       }) { (s, dir) =>
+      // quality and language ID are scan projections (per-row probes),
+      // so the funnel needs no self-joins: project → filter → one
+      // window shuffle for the exact-dup keep (min doc_id per content
+      // hash) → final groupBy. Two exchanges end to end, text never
+      // shuffles (the window key is md5(text)).
       val docs = Tables.load(s, dir, "documents")
-      val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
-      val keptQ = docs.join(quality.filter(col("quality") >= 0.5), "doc_id")
-      val keep = Dedup.exactDedup(keptQ, "doc_id", "text")
-        .select(col("keep_id").as("doc_id"))
-      val kept = keptQ.join(keep, "doc_id")
-      TextAnalysis.langId(kept, "doc_id", "text")
-        .join(kept.select("doc_id", "n_tokens", "quality"), "doc_id")
+      val keptQ = TextAnalysis.qualityScore(docs, "doc_id", "text",
+          carry = Seq("text"))
+        .filter(col("quality") >= 0.5)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+      val kept = keptQ
+        .withColumn("__keep", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("__keep"))
+      TextAnalysis.langId(kept, "doc_id", "text",
+          carry = Seq("n_tokens", "quality"))
         .groupBy("pred_lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
