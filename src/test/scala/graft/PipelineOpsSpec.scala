@@ -159,6 +159,48 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(fastXx == relXx)
   }
 
+  test("quantize8: reconstruction within range/510, constant vector to zeros") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.25f, 3.0f, 0.0f)),
+      (2L, Array(7.0f, 7.0f, 7.0f, 7.0f)) // constant: range 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantize8(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getSeq[Int](3))).toMap
+    val (vmin, vmax, q) = out(1L)
+    assert(vmin == -1.25 && vmax == 3.0)
+    val range = vmax - vmin
+    val orig = Seq(0.5, -1.25, 3.0, 0.0)
+    q.zip(orig).foreach { case (qi, x) =>
+      assert(qi >= 0 && qi <= 255)
+      val dequant = vmin + qi * range / 255.0
+      assert(math.abs(dequant - x) <= range / 510.0 + 1e-12, s"$x -> $qi -> $dequant")
+    }
+    assert(out(2L)._3 == Seq(0, 0, 0, 0))
+    // per-row operator: zero exchanges
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = Similarity.quantize8(emb, "vec_id", "embedding")
+    val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(plan.queryExecution.executedPlan) {
+        case s: ShuffleExchangeExec => s
+      }.size
+    assert(exchanges == 0)
+  }
+
+  test("lshCandidates bucket cap drops degenerate buckets, keeps the rest") {
+    import spark.implicits._
+    // bucket h=100 has 50 members (degenerate), h=200 has 2 (a real pair)
+    val bands = ((1L to 50L).map(i => (i, 0, 100L)) ++ Seq((60L, 0, 200L), (61L, 0, 200L)))
+      .toDF("sid", "band_idx", "band_hash")
+    val capped = Dedup.lshCandidates(bands, maxBucketSize = Some(10))
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((60L, 61L)), s"got $capped")
+    // without the cap the degenerate bucket contributes 50*49/2 pairs
+    assert(Dedup.lshCandidates(bands).count() == 50L * 49 / 2 + 1)
+  }
+
   test("minhash_full equals struct(minhash_sig, shingle_hashes)") {
     import graft.functions.TextFunctions.{minhash_sig, shingle_hashes}
     val sample = docs.filter(col("doc_id") < 100)
