@@ -204,6 +204,8 @@ class GraftSession(val spark: SparkSession) {
   def registerSample(baseTable: String, sampleTable: String,
       qcs: Seq[String] = Nil,
       params: Option[GraftSession.SampleParams] = None): Unit = {
+    require(normalize(baseTable) != normalize(sampleTable),
+      s"a table cannot be registered as its own sample: $baseTable")
     val info = GraftSession.SampleInfo(sampleTable.toLowerCase,
       qcs.map(_.toLowerCase), params)
     samples.updateWith(baseTable.toLowerCase) {
@@ -258,12 +260,19 @@ class GraftSession(val spark: SparkSession) {
     alterTable(name)(df => df.filter(lit(false)))
 
   def dropTable(name: String): Unit = {
-    tables.remove(normalize(name)).foreach { st =>
-      if (st.rowBacked) GraftRowStore.drop(normalize(name))
-      else if (st.storeBacked) GraftColumnStore.drop(normalize(name))
+    val nm = normalize(name)
+    tables.remove(nm).foreach { st =>
+      if (st.rowBacked) GraftRowStore.drop(nm)
+      else if (st.storeBacked) GraftColumnStore.drop(nm)
       else st.df.unpersist(blocking = false)
     }
-    spark.catalog.dropTempView(normalize(name))
+    // retire every sample registration involving the table — a stale
+    // entry would make the next base-table INSERT fail inside
+    // maintainSamples (fan-in to a dropped sample), after the base
+    // write already committed
+    samples.remove(nm)
+    samples.mapValuesInPlace { (_, infos) => infos.filterNot(_.table == nm) }
+    spark.catalog.dropTempView(nm)
   }
 
   /** Live statistics of every managed table — the reference's

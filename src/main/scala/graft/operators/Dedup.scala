@@ -143,6 +143,12 @@ object Dedup {
     * two verification join sides all read it instead of re-scanning
     * text. Shuffled data: (id, band) pairs, candidate id pairs, and the
     * ~|shingles|-long hash arrays of candidate-pair members only.
+    *
+    * Resource note: the checkpoint's blocks are reclaimed by Spark's
+    * ContextCleaner once the returned frame (and its plan) become
+    * unreachable — in long-lived sessions invoking this repeatedly,
+    * drop the result reference when done (the bench harness additionally
+    * runs System.gc() between queries for deterministic reclamation).
     */
   def minhashNearDupsFast(
       docs: DataFrame, idCol: String, textCol: String,
@@ -291,9 +297,12 @@ object Dedup {
     */
   def simhashSignaturesFast(docs: DataFrame, idCol: String, textCol: String,
       sigBits: Int = 64, md5Portable: Boolean = false): DataFrame =
-    docs.select(col(idCol).as("sid"),
-      org.apache.spark.sql.graft.TextHashExpressions.simhash_sig_expr(
-        split(col(textCol), "\\s+"), sigBits, md5Portable).as("simhash"))
+    // NULL-text docs are dropped, matching the relational formulation
+    // (explode of null emits no token rows, so the doc never aggregates)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("sid"),
+        org.apache.spark.sql.graft.TextHashExpressions.simhash_sig_expr(
+          split(col(textCol), "\\s+"), sigBits, md5Portable).as("simhash"))
 
   /** SimHash signature per doc from its token stream: per bit, sum +1/-1
     * weighted by token-hash bit, take the sign. Computed with plain

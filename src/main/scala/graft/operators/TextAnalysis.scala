@@ -57,7 +57,10 @@ object TextAnalysis {
   def langId(docs: DataFrame, idCol: String, textCol: String,
       carry: Seq[String] = Nil): DataFrame = {
     val toks = split(lower(col(textCol)), "\\s+")
-    val scored = docs.select((col(idCol) +: carry.map(col)) ++
+    // NULL-text docs are dropped (see qualityScore note) — otherwise the
+    // when-chain's null conditions would default them to the last lang
+    val scored = docs.filter(col(textCol).isNotNull)
+      .select((col(idCol) +: carry.map(col)) ++
       langStopwords.map { case (lang, words) =>
         TextHashExpressions.array_count_in(toks, words).as(s"s_$lang")
       }: _*)
@@ -82,7 +85,10 @@ object TextAnalysis {
     val t = col(textCol)
     val allStop = langStopwords.flatMap(_._2).distinct
     val toks = split(lower(t), "\\s+")
-    docs.select((col(idCol) +: carry.map(col)) ++ Seq(
+    // NULL-text docs are dropped, matching the relational formulation
+    // (explode of null emits nothing → inner join omits the doc) and
+    // the SQL oracles' unnest semantics
+    docs.filter(t.isNotNull).select((col(idCol) +: carry.map(col)) ++ Seq(
         size(toks).cast("bigint").as("n_tokens"),
         TextHashExpressions.array_count_in(toks, allStop).as("n_stop"),
         length(t).as("n_chars"),
@@ -141,7 +147,9 @@ object TextAnalysis {
     // __fr is projected to its own attribute so the three element
     // extracts below reference one computed array; CollapseProject will
     // not inline a non-cheap expression into multiple consumers.
-    docs.select(col(idCol),
+    // NULL-text docs are dropped (the explode formulation and the SQL
+    // oracle both omit them).
+    docs.filter(col(textCol).isNotNull).select(col(idCol),
         TextHashExpressions.top_gram_fracs(
           split(lower(trim(col(textCol))), "\\s+"), 3).as("__fr"))
       .select(col(idCol),

@@ -111,30 +111,37 @@ object TpchQueries3 {
       "q11_important_stock",
       s"""$PS_SQL,
         |national AS (
-        |  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+        |  SELECT ps_partkey,
+        |    CAST(ps_supplycost AS DECIMAL(12,2)) * ps_availqty AS v
         |  FROM partsupp
         |    JOIN supplier ON ps_suppkey = s_suppkey
         |    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
         |)
-        |SELECT ps_partkey, round(sum(v), 2) AS value
+        |SELECT ps_partkey, CAST(sum(v) AS DOUBLE) AS value
         |FROM national
         |GROUP BY ps_partkey
         |HAVING sum(v) > (SELECT sum(v) * 0.001 FROM national)
         |ORDER BY value DESC, ps_partkey""".stripMargin) { (s, dir) =>
       val supp = Tables.load(s, dir, "supplier")
       val nat = Tables.load(s, dir, "nation").filter(col("n_name") === "NATION_3")
+      // the HAVING threshold compares against a global sum: keep the
+      // arithmetic DECIMAL end to end (supplycost has exactly 2
+      // decimals, so the cast is representation-exact) — a double sum
+      // is partition-order-dependent and could flip a borderline group
+      // against the oracle's differently-ordered sum
       val national = partsupp(s, dir)
         .join(supp, col("ps_suppkey") === col("s_suppkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .select(col("ps_partkey"),
-          (col("ps_supplycost") * col("ps_availqty")).as("v"))
-      val threshold = national.agg((sum(col("v")) * 0.001).as("thr"))
+          (col("ps_supplycost").cast("decimal(12,2)") * col("ps_availqty")).as("v"))
+      val threshold = national.agg(
+        (sum(col("v")) * lit(new java.math.BigDecimal("0.001"))).as("thr"))
       national.groupBy(col("ps_partkey"))
         .agg(sum(col("v")).as("raw_value"))
         // single-row global aggregate → broadcast is provably safe
         .join(broadcast(threshold))
         .filter(col("raw_value") > col("thr"))
-        .select(col("ps_partkey"), r2(col("raw_value")).as("value"))
+        .select(col("ps_partkey"), col("raw_value").cast("double").as("value"))
         .orderBy(col("value").desc, col("ps_partkey"))
     },
 

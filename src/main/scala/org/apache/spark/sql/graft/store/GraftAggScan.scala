@@ -161,7 +161,6 @@ class GraftAggScan(tableName: String, fullSchema: StructType,
         works.grouped(math.max(1, (works.size + target - 1) / target))
           .map(ws => GraftAggPartition(ws.toVector): InputPartition).toArray
       }
-    GraftColumnStore.get(tableName).foreach(_.sealLease(leaseId, parts.length))
     parts
   }
 
@@ -183,13 +182,10 @@ class GraftAggReaderFactory(fullSchema: StructType,
     val rows = aggregate(works).iterator
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
-      private var closed = false
       override def next(): Boolean = { val h = rows.hasNext; if (h) row = rows.next(); h }
       override def get(): InternalRow = row
-      override def close(): Unit = if (!closed) {
-        closed = true
-        GraftColumnStore.get(tableName).foreach(_.releasePartition(leaseId))
-      }
+      // reachability-driven release (LeaseGc) — see the column-source note
+      override def close(): Unit = ()
     }
   }
 

@@ -311,13 +311,7 @@ class GraftScan(tableName: String, fullSchema: StructType,
     }.toSet)
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val parts = planPartitions()
-    // seal (or re-seal, after runtime-filter re-planning — no readers
-    // have started by then) the lease with the planned reader count
-    GraftColumnStore.get(tableName).foreach(_.sealLease(leaseId, parts.length))
-    parts
-  }
+  override def planInputPartitions(): Array[InputPartition] = planPartitions()
 
   private def planPartitions(): Array[InputPartition] =
     if (snapshot.numBuckets > 0) {
@@ -384,13 +378,12 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
     }
     new PartitionReader[ColumnarBatch] {
       private var idx = -1
-      private var closed = false
       override def next(): Boolean = { idx += 1; idx < works.length }
       override def get(): ColumnarBatch = decode(works(idx))
-      override def close(): Unit = if (!closed) {
-        closed = true
-        GraftColumnStore.get(tableName).foreach(_.releasePartition(leaseId))
-      }
+      // payload release is reachability-driven (LeaseGc): a close-based
+      // countdown would free payloads a re-execution of this cached plan
+      // (or a sibling partition racing a task retry) still needs
+      override def close(): Unit = ()
     }
   }
 

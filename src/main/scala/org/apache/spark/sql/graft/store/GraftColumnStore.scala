@@ -374,19 +374,19 @@ object GraftColumnStore {
     def schema: StructType = current.schema
 
     // Reader-lease payload GC (see [[LeaseGc]]): payloads superseded by a
-    // swap stay resolvable until every scan pinned to an older snapshot
-    // has closed its last partition reader.
+    // swap stay resolvable while any scan pinned to an older snapshot is
+    // still reachable (a physical plan is multi-execution, so lease
+    // lifetime is reachability of the Scan/reader factory, not a count
+    // of one execution's reader closes).
     private val gc = new LeaseGc[Retirees](r =>
       BatchRegistry.release(r.batches, r.deltas, r.bitmaps))
 
     /** Atomically capture the snapshot AND open a reader lease at its
-      * epoch — scans call this once, then [[sealLease]] with the planned
-      * partition count; each partition reader's close() calls
-      * [[releasePartition]].
+      * epoch — scans call this once, then register themselves (and their
+      * reader factory) via [[addLeaseOwner]]; the lease drops when every
+      * owner is unreachable.
       */
     def pinSnapshot(): (TableSnapshot, Long) = synchronized { (current, gc.pin()) }
-    def sealLease(leaseId: Long, partitions: Int): Unit = gc.seal(leaseId, partitions)
-    def releasePartition(leaseId: Long): Unit = gc.releaseOne(leaseId)
     def addLeaseOwner(leaseId: Long, owner: AnyRef): Unit = gc.addOwner(leaseId, owner)
     /** (live leases, pending retiree sets) — spec telemetry. */
     def gcStats: (Int, Int) = gc.stats

@@ -305,11 +305,7 @@ class GraftRowScan(tableName: String, fullSchema: StructType,
     }.nextOption()
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val parts = planPartitions()
-    GraftRowStore.get(tableName).foreach(_.sealLease(leaseId, parts.length))
-    parts
-  }
+  override def planInputPartitions(): Array[InputPartition] = planPartitions()
 
   private def planPartitions(): Array[InputPartition] = {
     val combos = keyCombos
@@ -488,13 +484,10 @@ class GraftRowReaderFactory(fullSchema: StructType, required: StructType,
     }
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
-      private var closed = false
       override def next(): Boolean = { val h = it.hasNext; if (h) row = it.next(); h }
       override def get(): InternalRow = row
-      override def close(): Unit = if (!closed) {
-        closed = true
-        GraftRowStore.get(tableName).foreach(_.releasePartition(leaseId))
-      }
+      // reachability-driven release (LeaseGc) — see the column-source note
+      override def close(): Unit = ()
     }
   }
 

@@ -174,16 +174,14 @@ object GraftRowStore {
     def schema: StructType = current.schema
 
     // Reader-lease payload GC (see [[LeaseGc]] and the column-store
-    // analog): superseded packs stay resolvable until every scan pinned
-    // to an older snapshot closes its last partition reader.
+    // analog): superseded packs stay resolvable while any scan pinned to
+    // an older snapshot is still reachable.
     private val gc = new LeaseGc[Seq[Long]](packs => {
       PackRegistry.release(packs)
       SortedSlotRegistry.release(packs)
     })
 
     def pinSnapshot(): (RowSnapshot, Long) = synchronized { (current, gc.pin()) }
-    def sealLease(leaseId: Long, partitions: Int): Unit = gc.seal(leaseId, partitions)
-    def releasePartition(leaseId: Long): Unit = gc.releaseOne(leaseId)
     def addLeaseOwner(leaseId: Long, owner: AnyRef): Unit = gc.addOwner(leaseId, owner)
     def gcStats: (Int, Int) = gc.stats
 

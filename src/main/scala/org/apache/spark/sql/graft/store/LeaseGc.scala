@@ -13,41 +13,46 @@ import scala.collection.mutable
   * writer — e.g. a CDC sink committing every ~50 ms — could outrun while
   * a long scan was still draining).
   *
-  * Protocol:
+  * Lease lifetime is REACHABILITY of the plan objects, nothing else:
+  *
   *  - `pin()` — taken when a scan captures its snapshot (inside the
   *    table's mutate lock, so snapshot and lease epoch agree).
-  *  - `seal(id, n)` — at `planInputPartitions`, with the planned
-  *    partition count. Runtime-filter re-planning may seal again with a
-  *    new count (no readers have started by then).
-  *  - `releaseOne(id)` — from each `PartitionReader.close()`; the lease
-  *    drops when the last planned partition closes.
+  *  - `addOwner(id, o)` — registers the Scan (and later the reader
+  *    factory) as lease owners via [[java.lang.ref.Cleaner]]; when ALL
+  *    owners are unreachable no reader can ever be created (or
+  *    re-created) against the lease, and it drops.
   *  - `onSwap(retirees)` — from inside the table's mutate lock (swap and
-  *    retiree recording are ATOMIC — two concurrent commits can no
-  *    longer interleave swap/retire and shrink each other's grace).
-  *    Retirees free once no live lease is pinned at or before the epoch
-  *    they retired at.
+  *    retiree recording are ATOMIC). Retirees free once no live lease is
+  *    pinned at or before the epoch they retired at.
   *
-  * A plan that is costed or explained but never executed would pin its
-  * lease forever (physical planning triggers partition planning, so such
-  * leases ARE sealed — a count of open partitions that will never run).
-  * Each lease therefore tracks its owner objects (the Scan, and the
-  * reader factory if one was created) with a [[java.lang.ref.Cleaner]]:
-  * when every owner is unreachable, no further reader can possibly be
-  * created against the lease, and it force-drops — the same
-  * reachability-driven reclamation Spark's ContextCleaner applies to
-  * shuffle and broadcast state. While a query runs, its Dataset keeps
-  * the scan reachable and running tasks keep the factory reachable, so
-  * live readers are never unpinned.
+  * Earlier versions ALSO dropped the lease when the last planned
+  * partition reader closed ("seal with partition count at
+  * planInputPartitions, count down on reader close"). That was unsound
+  * twice over: (a) a Spark physical plan is MULTI-execution — a cached
+  * Dataset re-runs the same BatchScanExec with its cached partitions and
+  * never re-plans, so counting one execution's closes frees payloads a
+  * second execution still needs; (b) a retried task closes a NEW reader
+  * for the SAME partition, double-counting the release and freeing
+  * payloads while sibling partitions are mid-read. Reachability has
+  * neither problem — while any Dataset (or running task) can still reach
+  * the scan, the lease holds. This is exactly the discipline Spark's own
+  * ContextCleaner applies to shuffle and broadcast state: prompt frees
+  * are traded for GC-driven certainty. Callers that need deterministic
+  * reclamation points run `System.gc()` (as graft.Bench does between
+  * queries).
   *
   * All methods are O(live leases) and driver-side (the store registry is
   * single-JVM; executors in local mode share it).
   */
 final class LeaseGc[R](free: R => Unit) {
   private final class Lease(val epoch: Long) {
-    /** -1 = unsealed (planning); otherwise partitions still open. */
-    var outstanding: Int = -1
-    /** Owner objects registered; 0 owners + cleaner fired = abandoned. */
+    /** Owner objects registered; reaches 0 only via Cleaner callbacks. */
     var owners: Int = 0
+    /** True once at least one owner was ever registered — guards the
+      * window between pin() and the first addOwner, during which an
+      * owners==0 lease must NOT be treated as abandoned.
+      */
+    var owned: Boolean = false
   }
 
   private var epoch = 0L
@@ -69,34 +74,21 @@ final class LeaseGc[R](free: R => Unit) {
     nextId
   }
 
-  def seal(id: Long, partitions: Int): Unit = synchronized {
-    leases.get(id).foreach { l =>
-      l.outstanding = partitions
-      if (partitions <= 0) { leases -= id; drain() }
-    }
-  }
-
-  def releaseOne(id: Long): Unit = synchronized {
-    leases.get(id).foreach { l =>
-      if (l.outstanding > 0) {
-        l.outstanding -= 1
-        if (l.outstanding == 0) { leases -= id; drain() }
-      }
-    }
-  }
-
   /** Register `owner` as keeping lease `id` alive; when ALL registered
-    * owners become unreachable the lease force-drops (abandoned plan).
+    * owners become unreachable the lease drops and its epoch stops
+    * pinning retirees.
     */
   def addOwner(id: Long, owner: AnyRef): Unit = {
-    synchronized { leases.get(id).foreach(_.owners += 1) }
+    synchronized {
+      leases.get(id).foreach { l => l.owners += 1; l.owned = true }
+    }
     LeaseGc.cleaner.register(owner, () => ownerGone(id))
   }
 
   private def ownerGone(id: Long): Unit = synchronized {
     leases.get(id).foreach { l =>
       l.owners -= 1
-      if (l.owners <= 0) { leases -= id; drain() }
+      if (l.owners <= 0 && l.owned) { leases -= id; drain() }
     }
   }
 
@@ -120,6 +112,5 @@ final class LeaseGc[R](free: R => Unit) {
 }
 
 object LeaseGc {
-  /** One daemon cleaner thread for all store tables. */
   private val cleaner = java.lang.ref.Cleaner.create()
 }

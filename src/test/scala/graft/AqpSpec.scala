@@ -99,6 +99,17 @@ class AqpSpec extends SparkTestBase {
       val frozen = g.table("si_sample").count()
       g.insert("si_base", inc.limit(50))
       assert(g.table("si_sample").count() == frozen)
+      // dropping a sample table retires its registration: the next base
+      // insert must not fail on fan-in to a dead table
+      g.registerSample("si_base", "si_sample", Seq("l_returnflag"),
+        Some(GraftSession.SampleParams(0.1, 20, Seq("l_orderkey", "l_linenumber"))))
+      g.dropTable("si_sample")
+      g.insert("si_base", inc.limit(10)) // would throw with a stale entry
+      assert(g.samples.get("si_base").forall(_.forall(_.table != "si_sample")))
+      // self-registration is rejected outright (would recurse on insert)
+      intercept[IllegalArgumentException] {
+        g.registerSample("si_base", "si_base", Seq("l_returnflag"))
+      }
     } finally {
       g.samples.remove("si_base")
       g.dropTable("si_sample")

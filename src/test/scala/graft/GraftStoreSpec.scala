@@ -422,23 +422,54 @@ class GraftStoreSpec extends SparkTestBase {
     val g = GraftSession(spark)
     freshOrders("s_gc")
     val total = Tables.load(spark, sf, "orders").count()
-    // open a scan and start draining it — the lease is sealed with the
-    // planned partition count and readers release one unit each as
-    // toLocalIterator finishes their partition
-    val it = GraftStoreOps.read(spark, "s_gc").toLocalIterator()
-    var n = 0L
-    while (n < 10 && it.hasNext) { it.next(); n += 1 }
-    // two compactions: EACH retires the entire previous batch set. Under
-    // round-4 epoch-lag GC the second released the first's retirees
-    // while this scan was still draining → "batch payload missing".
-    GraftStoreOps.compact(spark, "s_gc")
-    GraftStoreOps.compact(spark, "s_gc")
-    while (it.hasNext) { it.next(); n += 1 }
+    // open a scan and start draining it — the lease pins the snapshot's
+    // payloads while the scan is reachable. Drain inside a def so the
+    // iterator/plan reference dies with the frame (reachability is what
+    // releases the lease).
+    def drainAcrossCompactions(): Long = {
+      val it = GraftStoreOps.read(spark, "s_gc").toLocalIterator()
+      var n = 0L
+      while (n < 10 && it.hasNext) { it.next(); n += 1 }
+      // two compactions: EACH retires the entire previous batch set.
+      // Under round-4 epoch-lag GC the second released the first's
+      // retirees while this scan was still draining → "batch payload
+      // missing".
+      GraftStoreOps.compact(spark, "s_gc")
+      GraftStoreOps.compact(spark, "s_gc")
+      while (it.hasNext) { it.next(); n += 1 }
+      n
+    }
+    val n = drainAcrossCompactions()
     assert(n == total, s"open scan must drain its pinned snapshot: $n of $total rows")
-    // the drained scan released its lease; nothing left pending
-    val (leases, pend) = GraftColumnStore("s_gc").gcStats
-    assert(leases == 0 && pend == 0, s"expected drained GC state, got ($leases, $pend)")
+    // lease release is reachability-driven (a plan is multi-execution,
+    // so reader-close counting would be unsound): once nothing holds the
+    // scan, GC drops the lease and the retirees drain
+    val deadline = System.currentTimeMillis() + 20000
+    var state = GraftColumnStore("s_gc").gcStats
+    while ((state._1 > 0 || state._2 > 0) && System.currentTimeMillis() < deadline) {
+      System.gc(); Thread.sleep(100)
+      state = GraftColumnStore("s_gc").gcStats
+    }
+    assert(state == ((0, 0)), s"expected drained GC state, got $state")
     g.dropTable("s_gc")
+  }
+
+  test("reader leases: a cached plan re-executes correctly across mutations") {
+    val g = GraftSession(spark)
+    freshOrders("s_gc3")
+    val total = Tables.load(spark, sf, "orders").count()
+    // hold ONE DataFrame and execute it, fully draining all its readers
+    val df = GraftStoreOps.read(spark, "s_gc3")
+    assert(df.count() == total)
+    // two retiring mutations AFTER the first execution completed — under
+    // close-counting GC the drained lease was dropped here and the
+    // compactions freed the old payloads the cached plan still addresses
+    GraftStoreOps.compact(spark, "s_gc3")
+    GraftStoreOps.compact(spark, "s_gc3")
+    // re-executing the SAME Dataset (cached physical plan, cached
+    // partitions) must still resolve its pinned snapshot's payloads
+    assert(df.count() == total, "cached plan re-execution hit released payloads")
+    g.dropTable("s_gc3")
   }
 
   test("reader leases: a planned-but-never-executed scan cannot pin retirees forever") {

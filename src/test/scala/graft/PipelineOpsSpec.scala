@@ -299,10 +299,11 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(math.abs(r.getDouble(2) - ref(t, 2)) < 1e-12, s"doc $i 2-gram")
       assert(math.abs(r.getDouble(3) - ref(t, 3)) < 1e-12, s"doc $i 3-gram")
     }
-    // null text rows: expression is null-safe (row survives with nulls)
+    // null text rows are DROPPED — the explode formulation and the SQL
+    // oracle both omit them, and the per-row form must agree
     val nullRow = TextAnalysis.repetitionStats(
       Seq((0L, Option.empty[String])).toDF("doc_id", "text"), "doc_id", "text").collect()
-    assert(nullRow.length == 1 && nullRow(0).isNullAt(1))
+    assert(nullRow.isEmpty)
   }
 
   test("redactPii: URLs swallow embedded addresses, multiples all replaced") {
