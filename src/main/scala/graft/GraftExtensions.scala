@@ -70,6 +70,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         org.apache.spark.sql.graft.BootstrapCI(args(0), args(1))))
 
+    // the text-hash/dedup expression family in SQL (the Column API
+    // wrappers live in graft.functions.TextFunctions) — literal
+    // parameters are evaluated at registration, mirroring approx_topk
+    def intArg(args: Seq[Expression], i: Int): Int =
+      args(i).eval().asInstanceOf[Number].intValue()
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(text, shingleLen, numHashes) - MinHash signature"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graft.MinHashSignature(args(0),
+          intArg(args, 1), intArg(args, 2))))
+    e.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(text, n) - sorted distinct shingle hashes"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graft.ShingleHashes(args(0), intArg(args, 1))))
+    e.injectFunction((FunctionIdentifier("ngram_jaccard"),
+      info("ngram_jaccard", "ngram_jaccard(a, b, n) - exact word n-gram Jaccard"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graft.NgramJaccard(args(0), args(1), intArg(args, 2))))
+    e.injectFunction((FunctionIdentifier("hash_jaccard"),
+      info("hash_jaccard", "hash_jaccard(a, b) - Jaccard of two sorted hash arrays"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graft.HashArrayJaccard(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("md5_prefix_long"),
+      info("md5_prefix_long", "md5_prefix_long(s, hexChars) - md5 prefix as unsigned long"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graft.Md5PrefixLong(args(0), intArg(args, 1))))
+    e.injectFunction((FunctionIdentifier("top_gram_fracs"),
+      info("top_gram_fracs", "top_gram_fracs(tokens, maxN) - top n-gram coverage fractions"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graft.TopGramFracs(args(0), intArg(args, 1))))
+    e.injectFunction((FunctionIdentifier("simhash_sig"),
+      info("simhash_sig", "simhash_sig(tokens, sigBits, md5Portable) - SimHash signature"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graft.SimHashSig(args(0), intArg(args, 1),
+          args(2).eval() == true)))
+    e.injectFunction((FunctionIdentifier("array_count_in"),
+      info("array_count_in", "array_count_in(arr, v1, v2, ...) - count of elements in the set"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graft.ArrayCountIn(args(0),
+          args.tail.map(_.eval().toString))))
+
     // reference io/snappydata/functions.scala:46-53: dsid() (executor
     // member id — here the partition id, the Spark-native analog) and
     // current_schema() (alias of current_database)

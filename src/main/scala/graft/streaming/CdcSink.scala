@@ -39,6 +39,12 @@ import scala.collection.immutable.BitSet
   *    Safe because a conflated batch is idempotent per key — a retry
   *    after a partial apply converges to the same final state.
   *
+  * Registered SAMPLE tables of the target are NOT maintained by this
+  * sink: CDC applies key-based upserts/deletes, and sample maintenance
+  * follows the insert-only contract (`GraftSession.maintainSamples` —
+  * matching the reference, whose `SampleInsertExec` fans inserts, not
+  * updates). Rebuild samples after heavy CDC rewrites.
+  *
   * Usage: `df.writeStream.foreachBatch(CdcSink(g, "table", Seq("k"), "ord").apply _)`.
   */
 case class CdcSink(

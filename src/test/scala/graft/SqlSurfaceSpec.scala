@@ -435,6 +435,34 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(literal == "use FETCH FIRST 3 ROWS ONLY here")
   }
 
+  test("text-hash/dedup expression family is callable from SQL") {
+    Tables.registerAll(spark, sf)
+    // SQL results must equal the Column-API expressions they register
+    val row = spark.sql(
+      """SELECT doc_id,
+        |  ngram_jaccard(text, text, 3) AS self_j,
+        |  md5_prefix_long(text, 15) AS h,
+        |  top_gram_fracs(split(lower(trim(text)), '\\s+'), 2) AS fr,
+        |  simhash_sig(split(text, '\\s+'), 60, true) AS sim,
+        |  array_count_in(split(lower(text), '\\s+'), 'the', 'and', 'of') AS stops,
+        |  size(shingle_hashes(text, 3)) AS n_sh,
+        |  size(minhash_sig(text, 3, 16)) AS k
+        |FROM documents WHERE doc_id = 7""".stripMargin).head()
+    assert(row.getDouble(1) == 1.0) // self-Jaccard
+    val text = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") === 7).head().getAs[String]("text")
+    assert(row.getLong(2) ==
+      org.apache.spark.sql.graft.Md5PrefixLong.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), 15))
+    assert(row.getSeq[Double](3).length == 2)
+    val simApi = graft.operators.Dedup.simhashSignaturesFast(
+      Tables.load(spark, sf, "documents").filter(col("doc_id") === 7),
+      "doc_id", "text", sigBits = 60, md5Portable = true)
+      .head().getLong(1)
+    assert(row.getLong(4) == simApi)
+    assert(row.getInt(5) >= 0 && row.getInt(6) > 0 && row.getInt(7) == 16)
+  }
+
   test("COLOCATE_WITH inherits the target layout and rejects incompatibles") {
     val g = GraftSession(spark)
     Tables.registerAll(spark, sf)
