@@ -749,6 +749,30 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    // ---- multimodal frame sampling: every-nth fixed-size byte window
+    // of each "video" payload becomes a frame row — the explode shape of
+    // video→frame extraction, payload bytes replayed by the oracle (the
+    // corpus is ASCII, so byte windows == char windows) ----
+    QueryDef.sql(
+      "q_multimodal_frames",
+      """WITH video AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+        |frames AS (
+        |  SELECT doc_id, k, substr(text, CAST(k * 128 + 1 AS BIGINT), 64) AS frame
+        |  FROM video, UNNEST(generate_series(0,
+        |    CAST(floor((length(text) - 1) / 128.0) AS BIGINT))) AS u(k))
+        |SELECT doc_id AS media_id, CAST(k AS INT) AS frame_idx,
+        |  md5(frame) AS frame_md5
+        |FROM frames
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      val media = graft.operators.Multimodal.asMediaTable(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      graft.operators.Multimodal.sampleFrames(media, frameBytes = 64, everyNth = 2)
+        .select(col("media_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("media_id", "frame_idx")
+    },
+
     // ---- per-label embedding profile ----
     QueryDef.sql(
       "q_embed_label_profile",
