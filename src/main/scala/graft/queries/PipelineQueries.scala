@@ -139,6 +139,38 @@ object PipelineQueries {
         .orderBy("keep_id")
     },
 
+    // ---- span-level dedup (C4-style boilerplate removal): drop every
+    // non-overlapping 4-token span occurring in >= 2 docs, reassemble;
+    // the rebuilt text of every doc is md5-replayed by the oracle ----
+    QueryDef.sql(
+      "q_dedup_spans",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |spans AS (
+        |  SELECT doc_id, k, array_to_string(t[(k*4+1):(k*4+4)], ' ') AS span
+        |  FROM toks, UNNEST(generate_series(0,
+        |    CAST(ceil(len(t)/4.0) AS BIGINT) - 1)) AS u(k)),
+        |dup AS (
+        |  SELECT span FROM spans GROUP BY span
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |flagged AS (
+        |  SELECT s.doc_id, s.k, s.span, d.span IS NOT NULL AS is_dup
+        |  FROM spans s LEFT JOIN dup d USING (span))
+        |SELECT doc_id,
+        |  count(*) FILTER (WHERE NOT is_dup) AS n_spans_kept,
+        |  count(*) FILTER (WHERE is_dup) AS n_spans_removed,
+        |  md5(coalesce(string_agg(CASE WHEN NOT is_dup THEN span END,
+        |    ' ' ORDER BY k), '')) AS clean_md5
+        |FROM flagged GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.spanDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
+          spanTokens = 4)
+        .select(col("doc_id"), col("n_spans_kept"), col("n_spans_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
     // ---- benchmark decontamination (the GPT-3/PaLM-style eval-hygiene
     // pass): training docs sharing any full word n-gram with the
     // "benchmark" slice (doc_id % 20 = 7 stands in for an eval set) are

@@ -270,6 +270,33 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
   }
 
+  test("spanDedup removes planted boilerplate spans, reassembles in order") {
+    import spark.implicits._
+    // spans of 2: docs 1-3 share the boilerplate span "accept all cookies"
+    // is cut as ("accept all", "cookies ...") — plant a 2-token banner so
+    // the span boundary is exact
+    val docs = Seq(
+      (1L, "cookie banner alpha beta gamma delta"),
+      (2L, "cookie banner epsilon zeta eta theta"),
+      (3L, "iota kappa cookie banner"),
+      (4L, "unique words only here none repeated"),
+      (5L, "cookie banner") // nothing but boilerplate → empty clean text
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, "doc_id", "text", spanTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, 1L, "alpha beta gamma delta")))
+    assert(got(2L) == ((2L, 1L, "epsilon zeta eta theta")))
+    assert(got(3L) == ((1L, 1L, "iota kappa")))
+    assert(got(4L) == ((3L, 0L, "unique words only here none repeated")))
+    assert(got(5L) == ((0L, 1L, "")))
+    // an odd-length doc keeps its short tail span
+    val odd = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val oddGot = Dedup.spanDedup(odd, "doc_id", "text", spanTokens = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(oddGot(1L) == "c" && oddGot(2L) == "d")
+  }
+
   test("top_gram_fracs matches brute-force string gram counting") {
     import spark.implicits._
     import graft.operators.TextAnalysis
