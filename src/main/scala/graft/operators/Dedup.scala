@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, in increasing
@@ -80,6 +81,64 @@ object Dedup {
               when(col("__kept"), struct(col("k"), col("span"))))),
             s => s.getField("span")),
           " ").as("clean_text"))
+  }
+
+  /** Exact duplicated-substring detection (the distributed shape of
+    * suffix-array substring dedup as published for LM training corpora):
+    * every OVERLAPPING `windowTokens`-token window is fingerprinted, a
+    * window whose fingerprint occurs at least `minCount` times corpus-wide
+    * (within-doc repeats included) is duplicated, and per document the
+    * duplicated window positions merge into maximal token ranges — the
+    * substrings a dedup pass would cut. Unlike [[spanDedup]] (aligned
+    * non-overlapping spans), overlapping windows catch duplicated text at
+    * ANY offset.
+    *
+    * Output: (doc_id, range_start, range_end, n_windows) — token-index
+    * ranges (0-based, inclusive), one row per maximal duplicated range.
+    *
+    * Scale shape: windows are fingerprinted INSIDE the scan to 60-bit
+    * longs ([[md5Hash60]] — engine-portable, which is what lets a SQL
+    * oracle replay the exact dup set), so the counting shuffle carries
+    * ~12 bytes per window instead of `windowTokens` tokens of text; the
+    * duplicate set is one hash-keyed count; the semi join back is
+    * AQE-broadcast while the dup set fits and a bounded-key shuffle
+    * beyond; the island merge sorts only the DUPLICATED positions per doc
+    * (a tiny fraction of the corpus), never the full window stream. Cost
+    * is linear in corpus tokens × windowTokens for the hashing — a
+    * Rabin-Karp rolling-hash expression would drop that to linear in
+    * tokens alone at the price of engine portability.
+    */
+  def dupSubstringRanges(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, minCount: Int = 2): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens too small: $windowTokens")
+    require(minCount >= 2, s"minCount below 2 flags everything: $minCount")
+    val toks = split(col(textCol), "\\s+")
+    val wins = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("sid"), toks.as("t"))
+      .filter(size(col("t")) >= windowTokens)
+      .select(col("sid"), posexplode(
+        transform(sequence(lit(0), size(col("t")) - windowTokens),
+          p => md5Hash60(array_join(slice(col("t"), p + 1, lit(windowTokens)), " ")))))
+      .select(col("sid"), col("pos").as("p"), col("col").as("wh"))
+    val dup = wins.groupBy("wh").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount)
+      .select("wh")
+    val byDoc = Window.partitionBy("sid").orderBy("p")
+    wins.join(dup, Seq("wh"), "left_semi")
+      .withColumn("__prev", lag(col("p"), 1).over(byDoc))
+      // consecutive duplicated windows whose ranges overlap share an
+      // island; a gap wider than windowTokens-1 positions starts a new one
+      .withColumn("__brk",
+        when(col("__prev").isNull ||
+          col("p") - col("__prev") > windowTokens - 1, 1).otherwise(0))
+      .withColumn("__g", sum(col("__brk")).over(byDoc))
+      .groupBy(col("sid").as("doc_id"), col("__g"))
+      .agg(
+        min(col("p")).cast("long").as("range_start"),
+        (max(col("p")) + windowTokens - 1).cast("long").as("range_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("__g")
   }
 
   /** Distinct word n-gram shingles per document: (id, shingle). */

@@ -171,6 +171,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- exact duplicated-substring ranges: overlapping 8-token windows
+    // fingerprinted with the engine-portable 60-bit md5 prefix; windows
+    // repeated corpus-wide merge into maximal per-doc token ranges ----
+    QueryDef.sql(
+      "q_dedup_substrings",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |wins AS (
+        |  SELECT doc_id, p, CAST('0x' || substr(md5(
+        |      array_to_string(t[(p+1):(p+8)], ' ')), 1, 15) AS BIGINT) AS wh
+        |  FROM toks, UNNEST(generate_series(0, len(t) - 8)) AS u(p)
+        |  WHERE len(t) >= 8),
+        |dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+        |dw AS (SELECT doc_id, p FROM wins JOIN dup USING (wh)),
+        |isl AS (
+        |  SELECT doc_id, p, CASE WHEN lag(p) OVER w IS NOT NULL
+        |    AND p - lag(p) OVER w <= 7 THEN 0 ELSE 1 END AS brk
+        |  FROM dw WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |grp AS (
+        |  SELECT doc_id, p, sum(brk) OVER
+        |    (PARTITION BY doc_id ORDER BY p) AS g
+        |  FROM isl)
+        |SELECT doc_id, min(p) AS range_start, max(p) + 7 AS range_end,
+        |  count(*) AS n_windows
+        |FROM grp GROUP BY doc_id, g
+        |ORDER BY doc_id, range_start""".stripMargin) { (s, dir) =>
+      Dedup.dupSubstringRanges(Tables.load(s, dir, "documents"),
+          "doc_id", "text", windowTokens = 8)
+        .orderBy("doc_id", "range_start")
+    },
+
     // ---- benchmark decontamination (the GPT-3/PaLM-style eval-hygiene
     // pass): training docs sharing any full word n-gram with the
     // "benchmark" slice (doc_id % 20 = 7 stands in for an eval set) are

@@ -297,6 +297,35 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(oddGot(1L) == "c" && oddGot(2L) == "d")
   }
 
+  test("dupSubstringRanges finds offset-shifted shared substrings") {
+    import spark.implicits._
+    val shared = (1 to 6).map(i => s"dup$i").mkString(" ") // 6 shared tokens
+    val docs = Seq(
+      (1L, s"u1 u2 $shared v1 v2 v3"),    // shared at tokens 2..7
+      (2L, s"$shared w1 w2 w3 w4 w5"),    // same substring at tokens 0..5
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8"),    // nothing duplicated
+      (4L, s"r1 r2 r3 $shared r4 $shared")// within-doc handled too
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSubstringRanges(docs, "doc_id", "text", windowTokens = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: windows at p=2 only (exactly the 6 shared tokens) → [2,7]
+    // doc 2: window at p=0 → [0,5]
+    // doc 4: two disjoint copies → two ranges [3,8] and [10,15]
+    assert(got.toSeq == Seq(
+      (1L, 2L, 7L, 1L), (2L, 0L, 5L, 1L),
+      (4L, 3L, 8L, 1L), (4L, 10L, 15L, 1L)))
+    // a contiguous longer overlap merges its overlapping windows
+    val long = Seq(
+      (1L, s"$shared extra $shared"),     // 13 tokens, all windows dup'd...
+      (2L, s"$shared extra $shared"))     // ...because doc 2 is identical
+      .toDF("doc_id", "text")
+    val merged = Dedup.dupSubstringRanges(long, "doc_id", "text", windowTokens = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(merged.toSeq.sortBy(_._1) == Seq((1L, 0L, 12L, 8L), (2L, 0L, 12L, 8L)))
+  }
+
   test("top_gram_fracs matches brute-force string gram counting") {
     import spark.implicits._
     import graft.operators.TextAnalysis
