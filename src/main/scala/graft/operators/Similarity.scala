@@ -187,6 +187,51 @@ object Similarity {
         col("col.id").as("neighbor_id"), col("col.score").as("score"))
   }
 
+  /** Nearest-centroid assignment against a CONSTANT centroid set, fused
+    * into the scan: one codegen'd [[vec_cosine]] per centroid and a
+    * `greatest(struct(score, -cid))` argmax — no join, no shuffle, no
+    * higher-order function (HOF bodies fall back to interpreted eval).
+    * Ties break toward the smaller centroid id. The centroid set rides
+    * the plan as literals, the same driver-side footprint as a KMeans
+    * model's centers ([[buildIvfIndex]]); it must stay index-sized
+    * (10²-10⁴), which it is by construction for coarse quantizers.
+    */
+  def semanticAssign(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])]): DataFrame = {
+    require(centroids.nonEmpty, "centroid set is empty")
+    val best = centroids.map { case (cid, cv) =>
+      struct(vec_cosine(col(vecCol), typedLit(cv)).as("s"),
+        lit(-cid).as("negCid"))
+    }.reduce(greatest(_, _))
+    vecs.select(col(idCol), col(vecCol),
+      (-best.getField("negCid")).cast("long").as("cluster_id"))
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs: cluster the corpus
+    * with [[semanticAssign]], then score pairs WITHIN each cluster only —
+    * clustering is what turns the corpus-quadratic problem into a
+    * per-cluster one. Output: (cluster_id, a, b, cosine), a < b.
+    *
+    * Scale shape: assignment is a pure map; the pair generation is an
+    * equi-join on cluster_id, so work is Σ|cluster|²/2 across tasks and
+    * nothing is all-pairs. The centroid count must scale with the corpus
+    * (SemDeDup uses ~√n clusters) to keep clusters bounded; for a fat
+    * cluster beyond task memory, compose with the block-partitioned pair
+    * join of [[Dedup.embeddingNearDups]] inside the cluster key.
+    */
+  def semanticNearDups(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])], threshold: Double): DataFrame = {
+    val assigned = semanticAssign(vecs, idCol, vecCol, centroids)
+    val l = assigned.select(col("cluster_id"),
+      col(idCol).as("a"), col(vecCol).as("va"))
+    val r = assigned.select(col("cluster_id"),
+      col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, Seq("cluster_id")).filter(col("a") < col("b"))
+      .withColumn("cosine", vec_cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("cluster_id", "a", "b", "cosine")
+  }
+
   /** Per-vector int8 scalar quantization — the standard vector-store
     * ingestion pass (4× smaller than float32, dequantization error
     * ≤ range/510 per component). Each vector maps to

@@ -782,6 +782,37 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
+    // ---- SemDeDup-style semantic dedup: nearest-centroid clustering
+    // (deterministic seed centroids = first 8 vectors, so the oracle
+    // replays the assignment), then near-dup pairs scored WITHIN
+    // clusters only ----
+    QueryDef.sql(
+      "q_semantic_dedup",
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |assign AS (
+        |  SELECT vec_id, cid, v FROM (
+        |    SELECT e.vec_id, c.vec_id AS cid, e.v,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.vec_id) AS rn
+        |    FROM e, (SELECT * FROM e WHERE vec_id < 8) c) t
+        |  WHERE rn = 1)
+        |SELECT a.cid AS cluster_id, a.vec_id AS a, b.vec_id AS b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+      Similarity.semanticNearDups(emb, "vec_id", "embedding", centroids,
+          threshold = 0.4)
+        .select(col("cluster_id"), col("a"), col("b"),
+          graft.dround(col("cosine"), 4).as("cosine"))
+        .orderBy("a", "b")
+    },
+
     // ---- multimodal: binary payload + batched stub decode. The decode
     // stub (L1-normalized byte histogram mod 16) is deterministic over the
     // payload bytes, and the corpus is ASCII, so DuckDB reproduces every

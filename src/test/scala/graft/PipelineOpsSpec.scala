@@ -326,6 +326,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(merged.toSeq.sortBy(_._1) == Seq((1L, 0L, 12L, 8L), (2L, 0L, 12L, 8L)))
   }
 
+  test("semanticAssign is shuffle-free; semanticNearDups pairs within clusters only") {
+    import spark.implicits._
+    val centroids = Seq(0 -> Seq(1f, 0f), 1 -> Seq(0f, 1f))
+    val vecs = Seq(
+      (10L, Seq(1f, 0.1f)),   // cluster 0
+      (11L, Seq(0.95f, 0.2f)),// cluster 0, near-dup of 10
+      (20L, Seq(0.1f, 1f)),   // cluster 1
+      (21L, Seq(-1f, 0.05f))  // cluster 1 (cos vs c0 is negative)
+    ).toDF("vec_id", "embedding")
+    val assigned = Similarity.semanticAssign(vecs, "vec_id", "embedding", centroids)
+    val got = assigned.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(10L -> 0L, 11L -> 0L, 20L -> 1L, 21L -> 1L))
+    // assignment is a pure scan projection: no exchange in the plan
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    val pairs = Similarity.semanticNearDups(vecs, "vec_id", "embedding",
+        centroids, threshold = 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // only the planted cluster-0 near-dup survives; nothing cross-cluster
+    assert(pairs.toSeq == Seq((10L, 11L)))
+  }
+
   test("top_gram_fracs matches brute-force string gram counting") {
     import spark.implicits._
     import graft.operators.TextAnalysis
