@@ -20,6 +20,43 @@ object TextAnalysis {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
+  /** Unigram-LM cross-entropy per document — the statistical shape of
+    * perplexity quality filtering (as published for CCNet/CC-style corpus
+    * cleaning, with the n-gram LM reduced to its unigram core): score a
+    * document by the mean negative log-probability of its tokens under a
+    * unigram model fit on `model` (defaults to the scored corpus itself —
+    * self-entropy flags repetitive/boilerplate docs as LOW and
+    * rare-token-heavy docs as HIGH). Tokens unseen in the model take the
+    * add-one floor 1/(N+1). Output: (id, n_tokens, xent).
+    *
+    * Scale shape: the vocabulary aggregation is token-keyed with map-side
+    * partials (result bounded by vocab size, not corpus size); the
+    * scoring join is token-keyed — AQE broadcasts the vocab while it
+    * fits, and a web-scale vocab degrades to a bounded-key shuffle join,
+    * never all-pairs; the per-doc mean is one doc-keyed aggregation of
+    * (sum, count) partials. The model total rides as a broadcast
+    * single-row frame, not a driver-side collect on the data path.
+    */
+  def unigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+      model: Option[DataFrame] = None): DataFrame = {
+    def tokens(df: DataFrame) = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__did"),
+        explode(split(col(textCol), "\\s+")).as("__tok"))
+    val vocab = tokens(model.getOrElse(docs))
+      .groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val total = vocab.agg(sum(col("__c")).as("__n"))
+    tokens(docs)
+      .join(vocab, Seq("__tok"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy(col("__did").as(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        avg(-log(when(col("__c").isNotNull,
+            col("__c").cast("double") / col("__n"))
+          .otherwise(lit(1.0) / (col("__n") + 1)))).as("xent"))
+  }
+
   /** Per-document surface statistics. */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -114,6 +114,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- unigram-LM cross-entropy (perplexity-filter shape): every doc
+    // scored by mean -ln p(token) under the corpus's own unigram model;
+    // boilerplate-heavy docs score low, rare-token docs high ----
+    QueryDef.sql(
+      "q_lm_score",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |n AS (SELECT sum(c) AS total FROM vocab)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(-ln(c / CAST(total AS DOUBLE))), 6) AS xent_r
+        |FROM toks JOIN vocab USING (tok), n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.unigramCrossEntropy(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          graft.dround(col("xent"), 6).as("xent_r"))
+        .orderBy("doc_id")
+    },
+
     // ---- normalized content fingerprint ----
     QueryDef.sql(
       "q_fingerprint",

@@ -348,6 +348,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(pairs.toSeq == Seq((10L, 11L)))
   }
 
+  test("unigramCrossEntropy matches hand math; OOV takes the add-one floor") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val corpus = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // N = 5; counts a=2 b=2 c=1
+    val got = TextAnalysis.unigramCrossEntropy(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - math.log(5.0 / 2)) < 1e-12)
+    assert(math.abs(got(2L)._2 - (math.log(5.0 / 2) + math.log(5.0)) / 2) < 1e-12)
+    // unseen token against an external model: p = 1/(N+1)
+    val unseen = Seq((3L, "d")).toDF("doc_id", "text")
+    val oov = TextAnalysis.unigramCrossEntropy(unseen, "doc_id", "text",
+      model = Some(corpus)).collect()
+    assert(oov.length == 1 && math.abs(oov(0).getDouble(2) - math.log(6.0)) < 1e-12)
+  }
+
   test("top_gram_fracs matches brute-force string gram counting") {
     import spark.implicits._
     import graft.operators.TextAnalysis
