@@ -22,6 +22,31 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Incremental exact dedup — the production ingest loop, where a
+    * persistent fingerprint REGISTRY (one `content_hash` row per document
+    * ever accepted) deduplicates each incoming batch without rescanning
+    * the historical corpus. Returns the batch rows that are globally new:
+    * their hash is absent from `registry`, and within the batch the
+    * smallest id claims the hash. Append the returned hashes to the
+    * registry afterwards to complete the loop (materialize the result
+    * first — the committed registry update must not feed back into the
+    * batch's own anti-join).
+    *
+    * Scale shape: per-batch work is one hash-keyed min-aggregation plus
+    * one anti join against the registry — cost ∝ batch, never ∝ history.
+    * Keep the registry in a hash-bucketed store table (row table keyed
+    * on content_hash): the anti join then shuffles ONLY the incoming
+    * batch to the registry's bucketing, and the registry side streams
+    * with zero exchange (the storage-partitioned-join path).
+    */
+  def incrementalDedup(batch: DataFrame, idCol: String, textCol: String,
+      registry: DataFrame): DataFrame = {
+    val hashed = batch.withColumn("content_hash", md5(col(textCol)))
+    val first = hashed.groupBy(col("content_hash")).agg(min(col(idCol)).as(idCol))
+    hashed.join(first, Seq("content_hash", idCol), "left_semi")
+      .join(registry.select(col("content_hash")), Seq("content_hash"), "left_anti")
+  }
+
   /** Span-level dedup (C4 / RefinedWeb-style boilerplate removal): the
     * token stream of each document is cut into NON-overlapping spans of
     * `spanTokens` tokens (the last span may be shorter), any span whose

@@ -54,6 +54,35 @@ object Splits {
       }
     df.withColumn("_split", expr)
   }
+
+  /** Deterministic per-epoch shuffle + sharding — the data-loader
+    * ordering pass of a distributed training run: every row gets a
+    * `(shard, pos)` address for the given epoch, derived from
+    * md5(key|epoch) so (a) each epoch is a fresh pseudorandom
+    * permutation, (b) re-runs and resumed jobs reproduce it exactly, and
+    * (c) an external engine can replay the full order (same portable
+    * construction as [[uniformOf]]).
+    *
+    * Scale shape: the hash is scan-fused; the only exchange is the
+    * partition-by-shard window, and each shard is corpus/numShards rows —
+    * numShards tracks the reader count (hundreds-plus at 100 TB), so
+    * per-shard sorts stay bounded and no global sort ever happens. Write
+    * the result partitioned by shard and each reader streams its shard in
+    * `pos` order.
+    */
+  def epochShuffle(df: DataFrame, rankKey: Seq[String], epoch: Int,
+      numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be positive: $numShards")
+    val h = org.apache.spark.sql.graft.TextHashExpressions.md5_prefix_long(
+      concat_ws("|", (rankKey.map(col) :+ lit(s"ep$epoch")): _*), 10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_shard"))
+      .orderBy(col("__h") +: rankKey.map(col): _*)
+    df.withColumn("__h", h)
+      .withColumn("_shard", pmod(col("__h"), lit(numShards)).cast("int"))
+      .withColumn("_pos", row_number().over(w).cast("long") - 1)
+      .drop("__h")
+  }
 }
 
 /** Domain-weighted mixture resampling — the data-mixing pass of a

@@ -160,6 +160,39 @@ object PipelineQueries {
         .orderBy("keep_id")
     },
 
+    // ---- incremental dedup against a store-backed fingerprint registry:
+    // the even-doc half is "history" (its hashes live in a hash-bucketed
+    // row table); the incoming batch is every third doc, so its even
+    // members are already registered and must be dropped while its odd
+    // members are new and kept ----
+    QueryDef.sql(
+      "q_dedup_incremental",
+      """WITH hist AS (
+        |  SELECT DISTINCT md5(text) AS content_hash FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |inc AS (
+        |  SELECT doc_id, md5(text) AS content_hash FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |first AS (
+        |  SELECT content_hash, min(doc_id) AS doc_id FROM inc
+        |  GROUP BY content_hash)
+        |SELECT f.doc_id, f.content_hash FROM first f
+        |LEFT JOIN hist h USING (content_hash)
+        |WHERE h.content_hash IS NULL
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val g = graft.GraftSession(s)
+      val docs = Tables.load(s, dir, "documents")
+      g.createTable("t_dedup_registry",
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(md5(col("text")).as("content_hash")).distinct(),
+        keyColumns = Seq("content_hash"), partitionBy = Seq("content_hash"),
+        buckets = 8, provider = "row")
+      Dedup.incrementalDedup(docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", g.table("t_dedup_registry"))
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    },
+
     // ---- span-level dedup (C4-style boilerplate removal): drop every
     // non-overlapping 4-token span occurring in >= 2 docs, reassemble;
     // the rebuilt text of every doc is md5-replayed by the oracle ----
@@ -372,6 +405,25 @@ object PipelineQueries {
           sum(size(split(trim(col("text")), "\\s+"))).cast("bigint")
             .as("total_tokens"))
         .orderBy("split_name")
+    },
+
+    // ---- deterministic per-epoch shuffle + sharding: every doc's
+    // (shard, pos) reader address for epoch 7 replayed by the oracle ----
+    QueryDef.sql(
+      "q_epoch_shuffle",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|ep7'),
+        |      1, 10) AS BIGINT) AS hv
+        |  FROM documents)
+        |SELECT doc_id, CAST(hv % 4 AS INT) AS shard,
+        |  row_number() OVER (PARTITION BY hv % 4 ORDER BY hv, doc_id) - 1
+        |    AS pos
+        |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Splits.epochShuffle(Tables.load(s, dir, "documents"), Seq("doc_id"),
+          epoch = 7, numShards = 4)
+        .select(col("doc_id"), col("_shard").as("shard"), col("_pos").as("pos"))
+        .orderBy("doc_id")
     },
 
     // ---- context-window chunking: 50-token chunks, 10-token overlap —

@@ -365,6 +365,42 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(oov.length == 1 && math.abs(oov(0).getDouble(2) - math.log(6.0)) < 1e-12)
   }
 
+  test("incrementalDedup: two-batch ingest loop against a store registry") {
+    import spark.implicits._
+    val g = graft.GraftSession(spark)
+    val batch1 = Seq((1L, "aa"), (2L, "bb"), (3L, "aa")).toDF("doc_id", "text")
+    val empty = batch1.select(md5(col("text")).as("content_hash")).limit(0)
+    val kept1 = Dedup.incrementalDedup(batch1, "doc_id", "text", empty)
+    assert(kept1.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // commit batch1's fingerprints, then ingest batch2 against them
+    g.createTable("t_inc_registry", kept1.select("content_hash"),
+      keyColumns = Seq("content_hash"), partitionBy = Seq("content_hash"),
+      buckets = 4, provider = "row")
+    val batch2 = Seq((4L, "bb"), (5L, "cc"), (6L, "cc")).toDF("doc_id", "text")
+    val kept2 = Dedup.incrementalDedup(batch2, "doc_id", "text",
+      g.table("t_inc_registry")).localCheckpoint(true)
+    assert(kept2.select("doc_id").as[Long].collect().toSeq == Seq(5L))
+    g.insert("t_inc_registry", kept2.select("content_hash"))
+    assert(g.table("t_inc_registry").count() == 3)
+  }
+
+  test("epochShuffle: dense per-shard positions, epoch-dependent, reproducible") {
+    import graft.operators.Splits
+    def addr(epoch: Int): Map[Long, (Int, Long)] =
+      Splits.epochShuffle(docs.select("doc_id"), Seq("doc_id"), epoch, numShards = 4)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val e1 = addr(1)
+    // positions within each shard are exactly 0..|shard|-1
+    e1.values.groupBy(_._1).foreach { case (_, members) =>
+      val ps = members.map(_._2).toSeq.sorted
+      assert(ps == (0L until ps.size).toSeq)
+    }
+    // a different epoch reorders; the same epoch reproduces exactly
+    val e2 = addr(2)
+    assert(e1 != e2)
+    assert(addr(1) == e1)
+  }
+
   test("top_gram_fracs matches brute-force string gram counting") {
     import spark.implicits._
     import graft.operators.TextAnalysis
