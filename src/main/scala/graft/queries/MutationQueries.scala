@@ -132,9 +132,16 @@ object MutationQueries {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       val fmt = "org.apache.spark.sql.graft.store.GraftColumnSource"
+      // clustered ingest → tight batch stats, via the write path's
+      // sort_by (requiredOrdering → a LOCAL per-partition sort). A global
+      // orderBy would add a range EXCHANGE of the whole table before the
+      // write — at 100 TB that shuffle dwarfs the write itself, while
+      // batch-stats pruning only needs batches to be narrow, which a
+      // partition-local sort already guarantees (round-5 ScratchProbe:
+      // the range exchange alone cost ~2x the store write).
       Tables.load(s, dir, "lineitem")
-        .orderBy("l_orderkey") // clustered ingest → tight batch stats
         .write.format(fmt).option("table", "q_cs").option("batch_size", "4096")
+        .option("sort_by", "l_orderkey")
         .mode("overwrite").save()
       s.read.format(fmt).option("table", "q_cs").load()
         .filter(col("l_orderkey").between(1000, 2000))
