@@ -57,6 +57,40 @@ object TextAnalysis {
           .otherwise(lit(1.0) / (col("__n") + 1)))).as("xent"))
   }
 
+  /** TF–IDF keyword extraction (linear-idf variant): the top-k terms per
+    * document ranked by tf × (N/df). Doc-length normalization and the
+    * corpus constant N don't change a per-document ranking, so the score
+    * reduces to cnt/df — ONE IEEE division both engines round
+    * identically, keeping the oracle hash exact (log-idf is not portable:
+    * ln() implementations differ in the last ulp across engines).
+    * Terms are lowercase alphabetic runs of length ≥ 4 (stopword-ish
+    * short tokens drop out with the length floor).
+    *
+    * Scale shape: a (doc, term)-keyed aggregation (tf), a term-keyed
+    * aggregation over tf (df — bounded by vocab, computed from tf so the
+    * token stream is read once), a term-keyed join (AQE broadcasts the
+    * vocab side while it fits, degrades to shuffle join beyond), and a
+    * doc-partitioned window for the top-k. No all-pairs, no driver data.
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term").rlike("^[a-z]{4,}$"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("score", col("cnt").cast("double") / col("dfreq"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"),
+        graft.dround(col("score"), 6).as("score"), col("rk"))
+  }
+
   /** Per-document surface statistics. */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

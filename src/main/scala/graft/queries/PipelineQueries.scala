@@ -941,6 +941,31 @@ object PipelineQueries {
         .orderBy("media_id", "frame_idx")
     },
 
+    // ---- TF-IDF keyword extraction: top-3 terms per document ----
+    QueryDef.sql(
+      "q_tfidf_keywords",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS cnt
+        |  FROM tok WHERE regexp_full_match(term, '[a-z]{4,}')
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(cnt AS DOUBLE) / dfreq AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(cnt AS DOUBLE) / dfreq DESC, tf.term) AS rk
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, round(score, 6) AS score, CAST(rk AS INT) AS rk
+        |FROM scored WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+      TextAnalysis.tfidfKeywords(
+          Tables.load(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rk")
+    },
+
     // ---- per-label embedding profile ----
     QueryDef.sql(
       "q_embed_label_profile",
