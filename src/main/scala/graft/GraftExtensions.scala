@@ -105,6 +105,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         org.apache.spark.sql.graft.SimHashSig(args(0), intArg(args, 1),
           args(2).eval() == true)))
+    e.injectFunction((FunctionIdentifier("rolling_window_hash"),
+      info("rolling_window_hash",
+        "rolling_window_hash(tokens, windowLen) - Rabin-Karp window fingerprints"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graft.RollingWindowHash(args(0), intArg(args, 1))))
     e.injectFunction((FunctionIdentifier("array_count_in"),
       info("array_count_in", "array_count_in(arr, v1, v2, ...) - count of elements in the set"),
       (args: Seq[Expression]) =>

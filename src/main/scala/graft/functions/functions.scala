@@ -36,6 +36,11 @@ object TextFunctions {
   /** Jaccard of two sorted hash arrays (linear merge). */
   def hash_jaccard(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.TextHashExpressions.hash_jaccard(a, b)
+  /** Rabin-Karp fingerprints of every windowLen-token window (one md5
+    * per token + O(1) per window — linear in tokens).
+    */
+  def rolling_window_hash(tokens: Column, windowLen: Int): Column =
+    org.apache.spark.sql.graft.TextHashExpressions.rolling_window_hash(tokens, windowLen)
 }
 
 object MoneyFunctions {

@@ -121,17 +121,18 @@ object Dedup {
     * Output: (doc_id, range_start, range_end, n_windows) — token-index
     * ranges (0-based, inclusive), one row per maximal duplicated range.
     *
-    * Scale shape: windows are fingerprinted INSIDE the scan to 60-bit
-    * longs ([[md5Hash60]] — engine-portable, which is what lets a SQL
-    * oracle replay the exact dup set), so the counting shuffle carries
-    * ~12 bytes per window instead of `windowTokens` tokens of text; the
+    * Scale shape: windows are fingerprinted INSIDE the scan by the
+    * codegen'd Rabin-Karp expression
+    * [[org.apache.spark.sql.graft.RollingWindowHash]] — one md5 per
+    * TOKEN plus O(1) field ops per window (linear in corpus tokens,
+    * where the md5-of-rejoined-window formulation paid tokens ×
+    * windowTokens character work; both remain engine-portable, so the
+    * SQL oracle replays the exact dup set). The counting shuffle
+    * carries ~12 bytes per window instead of the window text; the
     * duplicate set is one hash-keyed count; the semi join back is
     * AQE-broadcast while the dup set fits and a bounded-key shuffle
-    * beyond; the island merge sorts only the DUPLICATED positions per doc
-    * (a tiny fraction of the corpus), never the full window stream. Cost
-    * is linear in corpus tokens × windowTokens for the hashing — a
-    * Rabin-Karp rolling-hash expression would drop that to linear in
-    * tokens alone at the price of engine portability.
+    * beyond; the island merge sorts only the DUPLICATED positions per
+    * doc (a tiny fraction of the corpus), never the full window stream.
     */
   def dupSubstringRanges(docs: DataFrame, idCol: String, textCol: String,
       windowTokens: Int, minCount: Int = 2): DataFrame = {
@@ -143,8 +144,8 @@ object Dedup {
       .select(col(idCol).as("sid"), toks.as("t"))
       .filter(size(col("t")) >= windowTokens)
       .select(col("sid"), posexplode(
-        transform(sequence(lit(0), size(col("t")) - windowTokens),
-          p => md5Hash60(array_join(slice(col("t"), p + 1, lit(windowTokens)), " ")))))
+        org.apache.spark.sql.graft.TextHashExpressions
+          .rolling_window_hash(col("t"), windowTokens)))
       .select(col("sid"), col("pos").as("p"), col("col").as("wh"))
     val dup = wins.groupBy("wh").agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minCount)

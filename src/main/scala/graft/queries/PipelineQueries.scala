@@ -234,8 +234,16 @@ object PipelineQueries {
         |  SELECT doc_id, string_split_regex(text, '\s+') AS t
         |  FROM documents WHERE text IS NOT NULL),
         |wins AS (
-        |  SELECT doc_id, p, CAST('0x' || substr(md5(
-        |      array_to_string(t[(p+1):(p+8)], ' ')), 1, 15) AS BIGINT) AS wh
+        |  -- RollingWindowHash replay: per-token 60-bit md5 prefixes
+        |  -- combined polynomially over the 2^61-1 field; pw = B^(8-j)
+        |  -- for B = 1000003, exact in HUGEINT arithmetic
+        |  SELECT doc_id, p,
+        |    CAST(list_sum(list_transform(generate_series(1, 8), j ->
+        |      (CAST(CAST('0x' || substr(md5(t[p+j]), 1, 15) AS BIGINT) AS HUGEINT)
+        |       * ([1501076012712181523, 2133831443680070909, 618155284961614297,
+        |           168760150033166695, 1000009000027000027, 1000006000009,
+        |           1000003, 1][j])) % 2305843009213693951))
+        |      % 2305843009213693951 AS BIGINT) AS wh
         |  FROM toks, UNNEST(generate_series(0, len(t) - 8)) AS u(p)
         |  WHERE len(t) >= 8),
         |dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),

@@ -429,6 +429,94 @@ object SimHashSig {
   }
 }
 
+/** rolling_window_hash(tokens) — polynomial fingerprint of EVERY
+  * `windowLen`-token window of the document, one linear pass: each token
+  * is md5-hashed ONCE (60-bit prefix, the [[Md5PrefixLong]] definition,
+  * so a SQL oracle can replay token hashes portably) and window
+  * fingerprints roll in O(1) per position over the Mersenne field
+  * 2^61-1 — h(p) = Σ th(t[p+j])·B^(W-1-j) mod M. The direct
+  * formulation (md5 of the re-concatenated window text per position,
+  * what `transform(sequence(...), slice…)` expresses) is O(tokens × W)
+  * character work; this is O(tokens) — the suffix-array-dedup scaling
+  * fix the Dedup scaladoc previously only documented as possible.
+  *
+  * Output: array of numTokens-windowLen+1 fingerprints (empty when the
+  * document is shorter than one window). Oracle replay: per position,
+  * Σ (md5h(token) · pw[j]) % M with pw[j] = B^(W-1-j) mod M inlined as
+  * literals — exact in DuckDB HUGEINT arithmetic.
+  */
+case class RollingWindowHash(child: Expression, windowLen: Int)
+    extends UnaryExpression {
+  require(windowLen >= 2 && windowLen <= 64,
+    s"windowLen must be in [2,64]: $windowLen")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_window_hash"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string> input, got ${other.catalogString}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    RollingWindowHash.hashes(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], windowLen)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"org.apache.spark.sql.graft.RollingWindowHash$$.MODULE$$.hashes($s, $windowLen)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object RollingWindowHash {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** Mersenne prime 2^61-1: `2^61 ≡ 1 (mod M)` folds a 128-bit product
+    * into the field with two shifts and two adds.
+    */
+  val M: Long = (1L << 61) - 1
+
+  /** Polynomial base — any value in (1, M); fixed for oracle parity. */
+  val B: Long = 1000003L
+
+  /** (a·b) mod M for a, b ∈ [0, 2^61): the 128-bit product hi·2^64+lo
+    * reduces via 2^64 ≡ 8 and 2^61 ≡ 1 to 8·hi + (lo>>>61) + (lo&M),
+    * every term < 2^61 so the sum can't overflow a signed long.
+    */
+  @inline def mulmod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    (8L * hi + (lo >>> 61) + (lo & M)) % M
+  }
+
+  def hashes(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < w) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = Md5PrefixLong.hash(arr.getUTF8String(i), 15); i += 1 }
+    var pw = 1L // B^(w-1) mod M — the outgoing token's weight
+    i = 0
+    while (i < w - 1) { pw = mulmod(pw, B); i += 1 }
+    val out = new Array[Long](n - w + 1)
+    var h = 0L
+    i = 0
+    while (i < w) { h = (mulmod(h, B) + th(i)) % M; i += 1 }
+    out(0) = h
+    var p = 1
+    while (p <= n - w) {
+      val without = (h - mulmod(th(p - 1), pw) + M) % M
+      h = (mulmod(without, B) + th(p + w - 1)) % M
+      out(p) = h
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object Md5PrefixLong {
   private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
@@ -468,4 +556,7 @@ object TextHashExpressions {
   def minhash_full(text: Column, shingleLen: Int, numHashes: Int): Column =
     ExpressionUtils.column(
       MinHashFull(ExpressionUtils.expression(text), shingleLen, numHashes))
+  def rolling_window_hash(tokens: Column, windowLen: Int): Column =
+    ExpressionUtils.column(
+      RollingWindowHash(ExpressionUtils.expression(tokens), windowLen))
 }

@@ -437,6 +437,41 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(nullRow.isEmpty)
   }
 
+  test("rolling_window_hash equals the direct polynomial; edge lengths") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.{Md5PrefixLong, RollingWindowHash, TextHashExpressions}
+    import org.apache.spark.unsafe.types.UTF8String
+    // direct (non-rolling) reference: h(p) = Σ th(t[p+j])·B^(W-1-j) mod M
+    def ref(tokens: Array[String], w: Int): Seq[Long] = {
+      import RollingWindowHash.{B, M, mulmod}
+      val th = tokens.map(t => Md5PrefixLong.hash(UTF8String.fromString(t), 15))
+      (0 to tokens.length - w).map { p =>
+        var h = 0L
+        (0 until w).foreach { j => h = (mulmod(h, B) + th(p + j)) % M }
+        h
+      }
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "a b c d",                // exactly one window at w=4
+      "a b c",                  // shorter than the window → empty
+      "x x x x x x x x x x")    // repeated token: equal windows must collide
+    for (w <- Seq(2, 4, 8)) {
+      val got = texts.toDF("text")
+        .select(TextHashExpressions.rolling_window_hash(
+          split(col("text"), "\\s+"), w).as("h"))
+        .collect().map(_.getSeq[Long](0))
+      texts.zip(got).foreach { case (t, g) =>
+        val toks = t.split("\\s+")
+        if (toks.length < w) assert(g.isEmpty, s"w=$w '$t'")
+        else assert(g == ref(toks, w), s"w=$w '$t'")
+      }
+    }
+    // identical windows at different offsets/docs fingerprint identically
+    val rep = "x x x x x x x x x x".split(" ")
+    assert(ref(rep, 4).distinct.size == 1)
+  }
+
   test("redactPii: URLs swallow embedded addresses, multiples all replaced") {
     import spark.implicits._
     import graft.operators.TextAnalysis
