@@ -496,6 +496,59 @@ class GraftSession(val spark: SparkSession) {
   def setCurrentUser(user: String): Unit =
     org.apache.spark.sql.graft.PolicyRegistry.currentUser = user
 
+  // ---- streaming-context parity (reference SnappyStreamingContext:
+  // STREAMING INIT <interval> / STREAMING START / STREAMING STOP SQL,
+  // registerCQ API). Continuous queries here are Structured Streaming
+  // queries over the CREATE STREAM TABLE views; a started CQ lands in an
+  // in-memory sink view of the CQ's own name — the Structured-Streaming
+  // expression of reference registerCQ + SchemaDStream.registerAsTable.
+  @volatile private var streamBatchInterval: Option[String] = None
+  private val registeredCqs = TrieMap.empty[String, String]
+  private val runningCqs =
+    scala.collection.mutable.Buffer.empty[org.apache.spark.sql.streaming.StreamingQuery]
+
+  /** STREAMING INIT: micro-batch trigger interval for CQs started next
+    * (e.g. "2 seconds"). The reference binds this at context creation;
+    * Structured Streaming binds it per query, so INIT before START.
+    */
+  def streamingInit(interval: String): Unit = streamBatchInterval = Some(interval)
+
+  /** Register a continuous query by name (reference registerCQ). */
+  def registerCQ(name: String, sql: String): Unit =
+    registeredCqs.put(normalize(name), sql)
+
+  /** STREAMING START: run every registered CQ. Append mode when the
+    * query supports it (watermarked aggs, stateless transforms); queries
+    * whose sinks need the full updated result (unwatermarked aggs) fall
+    * back to complete mode — the same always-current-answer semantics
+    * the reference's CQ result tables provide.
+    */
+  def streamingStart(): Seq[org.apache.spark.sql.streaming.StreamingQuery] =
+    this.synchronized {
+      import org.apache.spark.sql.streaming.Trigger
+      val started = registeredCqs.toSeq.sortBy(_._1).map { case (n, q) =>
+        def writer = {
+          val w = spark.sql(q).writeStream.queryName(n).format("memory")
+          streamBatchInterval.map(i => w.trigger(Trigger.ProcessingTime(i))).getOrElse(w)
+        }
+        try writer.outputMode("append").start()
+        catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            writer.outputMode("complete").start()
+        }
+      }
+      runningCqs ++= started
+      started
+    }
+
+  /** STREAMING STOP: stop the CQs this context started (registrations
+    * survive, matching the reference's restartable streaming context).
+    */
+  def streamingStop(): Unit = this.synchronized {
+    runningCqs.foreach(q => if (q.isActive) q.stop())
+    runningCqs.clear()
+  }
+
   /** DELETE of every row whose key appears in `keys` — join form, so
     * deletes stream through a shuffle instead of a driver-side predicate
     * (the scalable path for CDC delete batches).

@@ -125,6 +125,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftAlterDropColumnCommand(t.toLowerCase, c)
       case Some(TruncateTable(t)) if g.isManaged(t.toLowerCase) =>
         GraftTruncateTableCommand(t.toLowerCase)
+      case Some(CreateTableLike(n, s)) =>
+        GraftCreateTableLikeCommand(n, s)
+      case Some(StreamingCtl(a, arg)) =>
+        GraftStreamingCtlCommand(a, arg)
       case _ => delegate.parsePlan(rewritten)
     }
   }
@@ -268,6 +272,58 @@ case class GraftDropIndexCommand(table: String) extends LeafRunnableCommand {
       org.apache.spark.sql.graft.store.GraftRowOps.dropIndexes(table)
     else
       org.apache.spark.sql.graft.store.GraftStoreOps.dropIndex(spark, table)
+    Nil
+  }
+}
+
+/** CREATE TABLE t LIKE src (reference SnappyDDLParser.createTableLike:349):
+  * an EMPTY managed table replicating the source's schema and — when the
+  * source is itself managed — its physical layout (provider, bucketing,
+  * key columns), so the clone colocates with its original.
+  */
+case class GraftCreateTableLikeCommand(name: String, source: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val g = graft.GraftSession(spark)
+    g.tableState(source.toLowerCase) match {
+      case Some(ts) =>
+        g.createTable(name, g.table(source).limit(0), ts.keyColumns,
+          ts.partitionBy, ts.buckets, if (ts.rowBacked) "row" else "column")
+      case None =>
+        g.createTable(name, spark.table(source).limit(0))
+    }
+    Nil
+  }
+}
+
+/** STREAMING INIT <interval> / START / STOP (reference
+  * SnappyDDLParser.streamContext:875) — drives the session's CQ context
+  * ([[graft.GraftSession.streamingStart]]).
+  */
+case class GraftStreamingCtlCommand(action: String, arg: Option[String])
+    extends LeafRunnableCommand {
+  private def normalizeInterval(s: String): String = {
+    val p = "(?i)^(\\d+)\\s*([a-z]+)$".r
+    s.trim.stripSuffix(";").trim match {
+      case p(n, u) =>
+        val unit = u.toLowerCase match {
+          case "ms" | "milli" | "millis" | "millisecond" | "milliseconds" => "milliseconds"
+          case "s" | "sec" | "secs" | "second" | "seconds" => "seconds"
+          case "m" | "min" | "mins" | "minute" | "minutes" => "minutes"
+          case other => other
+        }
+        s"$n $unit"
+      case other => other
+    }
+  }
+  override def run(spark: SparkSession): Seq[Row] = {
+    val g = graft.GraftSession(spark)
+    action match {
+      case "init" => g.streamingInit(normalizeInterval(arg.getOrElse(
+        throw new IllegalArgumentException("STREAMING INIT requires an interval"))))
+      case "start" => g.streamingStart()
+      case "stop" => g.streamingStop()
+    }
     Nil
   }
 }

@@ -56,6 +56,12 @@ object GraftStatements extends RegexParsers {
     */
   final case class CreateFunction(name: String, className: String,
       returnsSql: Option[String], jarPath: Option[String]) extends Stmt
+  /** CREATE TABLE t LIKE src (reference SnappyDDLParser.createTableLike:349). */
+  final case class CreateTableLike(name: String, source: String) extends Stmt
+  /** STREAMING INIT <interval> / START / STOP (reference
+    * SnappyDDLParser.streamContext:875).
+    */
+  final case class StreamingCtl(action: String, arg: Option[String]) extends Stmt
 
   override def skipWhitespace = true
 
@@ -237,10 +243,22 @@ object GraftStatements extends RegexParsers {
   private def truncateTable: Parser[Stmt] =
     kw("TRUNCATE") ~> kw("TABLE") ~> ident ^^ TruncateTable.apply
 
+  private def createTableLike: Parser[Stmt] =
+    kw("CREATE") ~> kw("TABLE") ~> ident ~ (kw("LIKE") ~> ident) ^^ {
+      case n ~ s => CreateTableLike(n, s)
+    }
+
+  private def streamingCtl: Parser[Stmt] =
+    kw("STREAMING") ~> (
+      kw("INIT") ~> restAll ^^ (d => StreamingCtl("init", Some(d))) |
+      kw("START") ^^^ StreamingCtl("start", None) |
+      kw("STOP") ^^^ StreamingCtl("stop", None))
+
   private def statement: Parser[Stmt] =
     putInto | createPolicy | dropPolicy | createSample | createStream |
-      createIndex | dropIndex | createFunction | createTableUsing |
-      alterDrop | alterAdd | truncateTable | update | delete
+      createIndex | dropIndex | createFunction | createTableLike |
+      createTableUsing | alterDrop | alterAdd | truncateTable |
+      streamingCtl | update | delete
 
   /** None = not a graft statement (caller delegates to Spark's parser). */
   def parse(text: String): Option[Stmt] = {

@@ -44,6 +44,27 @@ class SqlSurfaceSpec extends SparkTestBase {
     g.dropTable("sql_t")
   }
 
+  test("CREATE TABLE LIKE clones schema and layout, starts empty") {
+    Tables.registerAll(spark, sf)
+    g.sql("CREATE TABLE like_src USING column OPTIONS (key_columns 'o_orderkey', " +
+      "partition_by 'o_orderkey', buckets '4') AS SELECT * FROM orders")
+    g.sql("CREATE TABLE like_dst LIKE like_src")
+    assert(g.table("like_dst").count() == 0)
+    assert(g.table("like_dst").schema == g.table("like_src").schema)
+    // layout replicated → the clone colocates with the original
+    val ts = g.tableState("like_dst").get
+    assert(ts.partitionBy == Seq("o_orderkey") && ts.buckets == 4 &&
+      ts.keyColumns == Seq("o_orderkey"))
+    // the clone is a live managed table: keyed DML works immediately
+    g.sql("PUT INTO like_dst SELECT * FROM orders WHERE o_orderkey < 10")
+    assert(g.table("like_dst").count() == 10)
+    // LIKE over an unmanaged view clones just the schema
+    g.sql("CREATE TABLE like_plain LIKE orders")
+    assert(g.table("like_plain").count() == 0)
+    assert(g.table("like_plain").schema == spark.table("orders").schema)
+    g.dropTable("like_src"); g.dropTable("like_dst"); g.dropTable("like_plain")
+  }
+
   test("parser handles quoted identifiers, subqueries in WHERE, commas in SET") {
     Tables.registerAll(spark, sf)
     // all statements through PLAIN spark.sql — the injected parser, not

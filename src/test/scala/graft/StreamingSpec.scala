@@ -183,6 +183,34 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("STREAMING INIT/START/STOP drives registered CQs end-to-end") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_cq").toFile
+    Files.writeString(new java.io.File(dir, "a.json").toPath,
+      """{"k": 1, "v": 10.0}
+        |{"k": 2, "v": 20.0}
+        |{"k": 1, "v": 5.0}""".stripMargin)
+    val g = GraftSession(spark)
+    spark.sql(s"CREATE STREAM TABLE s_cq (k LONG, v DOUBLE) USING json " +
+      s"OPTIONS (path '${dir.getAbsolutePath}')")
+    g.registerCQ("cq_totals", "SELECT k, sum(v) AS total FROM s_cq GROUP BY k")
+    spark.sql("STREAMING INIT 1 SECONDS")
+    spark.sql("STREAMING START")
+    try {
+      val q = spark.streams.active.find(_.name == "cq_totals").get
+      q.processAllAvailable()
+      // CQ result lands in a view named after the CQ (registerAsTable analog)
+      val got = spark.table("cq_totals").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == Map(1L -> 15.0, 2L -> 20.0))
+    } finally {
+      spark.sql("STREAMING STOP")
+      spark.catalog.dropTempView("s_cq")
+    }
+    assert(!spark.streams.active.exists(_.name == "cq_totals"),
+      "STREAMING STOP must stop the CQ")
+  }
+
   test("watermarked stream-stream interval join (impressions ⋈ clicks)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
