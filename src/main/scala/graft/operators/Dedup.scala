@@ -79,6 +79,11 @@ object Dedup {
     require(spanTokens >= 1, s"spanTokens must be positive: $spanTokens")
     require(minDupDocs >= 2, s"minDupDocs below 2 removes everything: $minDupDocs")
     val toks = split(col(textCol), "\\s+")
+    // spans carry their 60-bit fingerprint from the scan: the corpus-wide
+    // duplicate detection then shuffles (hash, sid) pairs — ~16 bytes per
+    // span — instead of the span TEXT (which would re-shuffle the whole
+    // corpus); the text rides only the final doc-keyed rebuild, which
+    // needs it anyway. Engine-portable hash, so the oracle replays it.
     val spans = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("sid"), toks.as("t"))
@@ -87,12 +92,13 @@ object Dedup {
           sequence(lit(0),
             ceil(size(col("t")) / lit(spanTokens.toDouble)).cast("int") - 1),
           k => array_join(slice(col("t"), k * spanTokens + 1, lit(spanTokens)), " "))))
-      .select(col("sid"), col("pos").as("k"), col("col").as("span"))
-    val dup = spans.groupBy("span")
+      .select(col("sid"), col("pos").as("k"), col("col").as("span"),
+        md5Hash60(col("col")).as("__wh"))
+    val dup = spans.groupBy("__wh")
       .agg(count_distinct(col("sid")).as("__ndocs"))
       .filter(col("__ndocs") >= minDupDocs)
-      .select(col("span"), lit(true).as("__dup"))
-    spans.join(dup, Seq("span"), "left")
+      .select(col("__wh"), lit(true).as("__dup"))
+    spans.join(dup, Seq("__wh"), "left")
       .withColumn("__kept", col("__dup").isNull)
       .groupBy(col("sid").as("doc_id"))
       .agg(

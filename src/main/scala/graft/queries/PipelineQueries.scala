@@ -205,12 +205,16 @@ object PipelineQueries {
         |  SELECT doc_id, k, array_to_string(t[(k*4+1):(k*4+4)], ' ') AS span
         |  FROM toks, UNNEST(generate_series(0,
         |    CAST(ceil(len(t)/4.0) AS BIGINT) - 1)) AS u(k)),
+        |hashed AS (
+        |  SELECT doc_id, k, span,
+        |    CAST('0x' || substr(md5(span), 1, 15) AS BIGINT) AS wh
+        |  FROM spans),
         |dup AS (
-        |  SELECT span FROM spans GROUP BY span
+        |  SELECT wh FROM hashed GROUP BY wh
         |  HAVING count(DISTINCT doc_id) >= 2),
         |flagged AS (
-        |  SELECT s.doc_id, s.k, s.span, d.span IS NOT NULL AS is_dup
-        |  FROM spans s LEFT JOIN dup d USING (span))
+        |  SELECT s.doc_id, s.k, s.span, d.wh IS NOT NULL AS is_dup
+        |  FROM hashed s LEFT JOIN dup d USING (wh))
         |SELECT doc_id,
         |  count(*) FILTER (WHERE NOT is_dup) AS n_spans_kept,
         |  count(*) FILTER (WHERE is_dup) AS n_spans_removed,
