@@ -404,6 +404,58 @@ class GraftStoreSpec extends SparkTestBase {
     g.dropTable("s_snap"); g.dropTable("s_conc")
   }
 
+  test("scans racing a fast writer: atomic states only, no missing payloads") {
+    // The ADVICE-flagged scenario: a CdcSink-speed writer committing
+    // back-to-back upserts while readers keep planning fresh scans.
+    // Every scan must observe an ATOMIC state — for the single-swap
+    // UPDATE path exactly one round's tag across the touched keys; for
+    // the two-swap PUT INTO path (bitmap-delete swap + append swap) at
+    // most one tag with the keys allowed to be momentarily absent — and
+    // no scan may ever resolve a released payload ("payload missing"),
+    // which is precisely what reader leases guarantee under rapid
+    // retirement.
+    val g = GraftSession(spark)
+    freshOrders("s_race")
+    val base = Tables.load(spark, sf, "orders").count()
+    val touched = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderkey") < 200).count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writer = Future {
+      (1 to 6).foreach { i =>
+        GraftStoreOps.update(spark, "s_race", col("o_orderkey") < 200,
+          Seq("o_orderpriority" -> lit(s"U$i")))
+      }
+      (1 to 6).foreach { i =>
+        val src = Tables.load(spark, sf, "orders")
+          .filter(col("o_orderkey") < 200)
+          .withColumn("o_orderpriority", lit(s"P$i"))
+        GraftStoreOps.putInto(spark, "s_race", src)
+      }
+    }
+    var scans = 0
+    while (!writer.isCompleted) {
+      val df = GraftStoreOps.read(spark, "s_race")
+      // one planned query = one snapshot: tags must be uniform
+      val tags = df.filter(col("o_orderkey") < 200)
+        .select("o_orderpriority").distinct().collect()
+        .map(_.getString(0)).filter(t => t.startsWith("U") || t.startsWith("P"))
+      assert(tags.length <= 1, s"mixed mutation rounds in one snapshot: ${tags.toSeq}")
+      val n = df.count()
+      assert(n == base || n == base - touched,
+        s"scan count $n is not an atomic state (base=$base touched=$touched)")
+      scans += 1
+    }
+    Await.result(writer, 180.seconds)
+    assert(scans > 0, "the reader loop must have raced the writer at least once")
+    val finalTags = GraftStoreOps.read(spark, "s_race")
+      .filter(col("o_orderkey") < 200)
+      .select("o_orderpriority").distinct().collect().map(_.getString(0)).toSeq
+    assert(finalTags == Seq("P6"), s"final state must be the last round: $finalTags")
+    g.dropTable("s_race")
+  }
+
   test("metadata columns are hidden from star but selectable") {
     val g = GraftSession(spark)
     freshOrders("s_meta")
