@@ -183,6 +183,37 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming first-seen dedup: later batches' duplicates drop, state survives") {
+    import graft.streaming.StreamingDedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF.toDF("id", "text")
+    val deduped = StreamingDedup.firstSeen(src,
+      graft.operators.Dedup.md5Hash60(col("text")))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_out").start()
+    try {
+      mem.addData((1L, "alpha doc"), (2L, "beta doc"))
+      q.processAllAvailable()
+      assert(spark.table("sdedup_out").count() == 2)
+      // batch 2: one replay of "alpha doc" (different id), one new doc —
+      // the replay must drop on the state from batch 1
+      mem.addData((3L, "alpha doc"), (4L, "gamma doc"))
+      q.processAllAvailable()
+      val got = spark.table("sdedup_out").select("id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "alpha doc", 2L -> "beta doc", 4L -> "gamma doc"),
+        s"first occurrence wins across batches: $got")
+      // a second replay in a third batch still drops
+      mem.addData((5L, "beta doc"))
+      q.processAllAvailable()
+      assert(spark.table("sdedup_out").count() == 3)
+    } finally {
+      q.stop()
+    }
+  }
+
   test("STREAMING INIT/START/STOP drives registered CQs end-to-end") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_cq").toFile
