@@ -308,6 +308,16 @@ class GraftAggReaderFactory(fullSchema: StructType,
               if w.ref.stats(c).max != null ||
                 w.ref.numRows == w.ref.stats(c).nullCount =>
             acc.challengeMax(k, w.ref.stats(c).max); true
+          // integer SUM from the seal-time batch sum. Available only
+          // when the batch's own sum did not overflow (else the stat is
+          // null and the row loop reproduces Spark's per-value overflow
+          // behavior); cross-batch accumulation goes through addLong,
+          // which addExact-checks under ANSI. Like Spark's own JDBC SUM
+          // pushdown, the pushed evaluation order is batch-wise.
+          case (SumLongOp(c), k) if w.ref.stats(c).longSum != null =>
+            acc.addLong(k, w.ref.stats(c).longSum); true
+          case (SumLongOp(c), k) if w.ref.numRows == w.ref.stats(c).nullCount =>
+            true // all-null batch contributes nothing
           case _ => false
         }
         if (loopOps.nonEmpty) accumulateLoop(w, acc, loopOps)

@@ -256,7 +256,16 @@ object GraftColumnStore {
 
   // ------------------------------ payloads -------------------------------
 
-  final case class ColumnStats(min: Any, max: Any, nullCount: Int)
+  /** Per-(batch, column) stats. `longSum` is the exact sum of non-null
+    * values for integer-typed columns — it lets a clean-batch global SUM
+    * serve from refs alone, O(batches) with the payload untouched. null
+    * = unavailable: non-integer column, all-null batch, or the batch's
+    * own sum overflowed a long (tracked at seal; the scan then falls
+    * back to the row loop, which reproduces Spark's per-value ANSI
+    * overflow error faithfully).
+    */
+  final case class ColumnStats(min: Any, max: Any, nullCount: Int,
+      longSum: java.lang.Long = null)
 
   /** Sealed batch payload: encoded column-major values. */
   final class StoreBatch(
@@ -546,6 +555,8 @@ object GraftColumnStore {
     def seal(n: Int): (ColumnData, ColumnStats) = {
       var min = Long.MaxValue
       var max = Long.MinValue
+      var sum = 0L
+      var ovf = false
       var runs = 1
       var i = 0
       while (i < n) {
@@ -553,6 +564,9 @@ object GraftColumnStore {
           val v = vals(i)
           if (v < min) min = v
           if (v > max) max = v
+          val ns = sum + v
+          if (((sum ^ ns) & (v ^ ns)) < 0) ovf = true // see ColumnStats
+          sum = ns
         }
         if (i > 0 && (vals(i) != vals(i - 1) || nulls(i) != nulls(i - 1))) runs += 1
         i += 1
@@ -565,7 +579,8 @@ object GraftColumnStore {
             LongType)
         else LongColumn(out, BitSet.fromBitMaskNoCopy(nulls.toBitMask))
       val st = ColumnStats(if (nullCount == n) null else min,
-        if (nullCount == n) null else max, nullCount)
+        if (nullCount == n) null else max, nullCount,
+        if (nullCount == n || ovf) null else java.lang.Long.valueOf(sum))
       vals = new Array[Long](size)
       nulls = mutable.BitSet.empty
       (col, st)
@@ -608,12 +623,14 @@ object GraftColumnStore {
     def seal(n: Int): (ColumnData, ColumnStats) = {
       var min = Int.MaxValue
       var max = Int.MinValue
+      var sum = 0L // int sums widen to long (Spark's sum(int) type)
       var i = 0
       while (i < n) {
         if (!nulls(i)) {
           val v = vals(i)
           if (v < min) min = v
           if (v > max) max = v
+          sum += v
         }
         i += 1
       }
@@ -621,7 +638,8 @@ object GraftColumnStore {
       val nullCount = nulls.size
       val col = IntColumn(out, BitSet.fromBitMaskNoCopy(nulls.toBitMask))
       val st = ColumnStats(if (nullCount == n) null else min,
-        if (nullCount == n) null else max, nullCount)
+        if (nullCount == n) null else max, nullCount,
+        if (nullCount == n) null else java.lang.Long.valueOf(sum))
       vals = new Array[Int](size)
       nulls = mutable.BitSet.empty
       (col, st)

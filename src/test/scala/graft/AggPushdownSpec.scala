@@ -49,7 +49,45 @@ class AggPushdownSpec extends SparkTestBase {
     val gOff2 = withPushdown(false) { sortedRows(grouped) }
     val gOn2 = withPushdown(true) { sortedRows(grouped) }
     assert(gOn2 == gOff2, "pushdown over mutated table must match")
+    val glOff2 = withPushdown(false) { sortedRows(global) }
+    val glOn2 = withPushdown(true) { sortedRows(global) }
+    assert(glOn2 == glOff2, "global pushdown over mutated table must match")
     g.dropTable("agg_li")
+  }
+
+  test("stats-served integer sums: nulls, negatives, all-null batches") {
+    import spark.implicits._
+    // one all-null batch, negatives, and int widening — the edge shapes
+    // of the seal-time longSum (batch_size 4 forces multiple batches)
+    val rows = Seq[(Long, java.lang.Long, java.lang.Integer)](
+      (1L, 10L, 7), (2L, -20L, -3), (3L, null, null), (4L, 30L, 1),
+      (5L, null, null), (6L, null, null), (7L, null, null), (8L, null, null),
+      (9L, 1L << 60, Int.MaxValue), (10L, -(1L << 59), Int.MinValue))
+    val df = rows.toDF("k", "lv", "iv")
+    df.write.format(GraftStoreOps.FORMAT).option("table", "agg_sum_edge")
+      .option("batch_size", "4").mode("overwrite").save()
+    def global = GraftStoreOps.read(spark, "agg_sum_edge")
+      .agg(sum("lv").as("sl"), sum("iv").as("si"), count("lv").as("cl"))
+    val off = withPushdown(false) { sortedRows(global) }
+    val on = withPushdown(true) { sortedRows(global) }
+    assert(on == off, s"stats-served sums must match the row loop: $on vs $off")
+    GraftColumnStore.drop("agg_sum_edge")
+
+    // intra-batch overflow: the seal nulls the stat, the fallback row
+    // loop reproduces Spark's ANSI per-value overflow error — the pushed
+    // and un-pushed plans FAIL THE SAME WAY
+    val big = Seq[(Long, java.lang.Long)](
+      (1L, Long.MaxValue), (2L, 10L), (3L, 5L)).toDF("k", "lv")
+    big.write.format(GraftStoreOps.FORMAT).option("table", "agg_sum_ovf")
+      .option("batch_size", "4").mode("overwrite").save()
+    def ovfSum = GraftStoreOps.read(spark, "agg_sum_ovf").agg(sum("lv")).collect()
+    val offErr = withPushdown(false) { intercept[Exception](ovfSum) }
+    val onErr = withPushdown(true) { intercept[Exception](ovfSum) }
+    assert(offErr.getMessage.contains("overflow") ||
+      offErr.getCause != null, s"baseline must overflow: $offErr")
+    assert(onErr.getMessage.contains("overflow") ||
+      onErr.getCause != null, s"pushed plan must overflow identically: $onErr")
+    GraftColumnStore.drop("agg_sum_ovf")
   }
 
   test("plan pushes; dict-encoded group column takes the code-indexed path") {
