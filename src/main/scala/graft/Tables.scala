@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table access for the driver-generated parquet test data (TESTDATA.md).
   *
@@ -31,18 +31,28 @@ object Tables {
 
   private def loadUncached(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map
-      // to its µs TimestampType. Read nanos as long and truncate to µs —
-      // the same truncation every µs-precision engine applies.
+      // events.ts has shipped as either TIMESTAMP(NANOS) or TIMESTAMP(µs,
+      // no-UTC-adjust) parquet across driver testdata generations; make
+      // the loaded frame's ts a plain µs TimestampType instant either way
+      // so downstream `unix_micros`/window logic is generation-agnostic.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      if (df.schema("ts").dataType == LongType)
-        // integer division: `/` on Columns is DOUBLE division, which
-        // rounds in the 52-bit mantissa at epoch-nanos magnitude and can
-        // shift the truncated µs by one
-        df.withColumn("ts",
-          timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
-      else df
+      df.schema("ts").dataType match {
+        case LongType =>
+          // nanos read as long; truncate to µs with integer division
+          // (`/` on Columns is DOUBLE division, which rounds in the
+          // 52-bit mantissa at epoch-nanos magnitude and can shift the
+          // truncated µs by one)
+          df.withColumn("ts",
+            timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+        case TimestampNTZType =>
+          // µs-no-timezone parquet infers as TIMESTAMP_NTZ in Spark 4;
+          // reinterpret the wall-clock as a UTC instant (sessions run
+          // with spark.sql.session.timeZone=UTC, so the µs value is
+          // unchanged — exactly how the DuckDB oracle reads the column)
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

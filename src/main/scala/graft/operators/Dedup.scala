@@ -424,6 +424,29 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Canonical-representative selection: for each duplicate cluster,
+    * keep the "best" member (longest document, ties broken by lowest
+    * id) and report the cluster's size and total length — the keep/drop
+    * decision step that follows near-dup clustering in a curation
+    * pipeline (drop everything whose `doc_id != canonical_doc`).
+    *
+    * Scale shape: one equi-join of the cluster labels onto the corpus
+    * (both sides keyed by doc id) and ONE hash aggregate keyed by
+    * cluster id. The representative is picked inside the aggregate via
+    * `min(struct(-len, id))` — no window, no second shuffle, map-side
+    * combinable.
+    */
+  def canonicalDocs(clusters: DataFrame, docs: DataFrame,
+                    idCol: String, lenCol: String): DataFrame =
+    clusters
+      .join(docs.select(col(idCol).as("doc_id"), col(lenCol).as("len")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        min(struct((-col("len")).as("neg_len"), col("doc_id").as("d")))
+          .getField("d").as("canonical_doc"),
+        count(lit(1)).as("n_members"),
+        sum(col("len")).as("total_len"))
+
   /** Engine-portable 60-bit token hash: the first 15 hex chars of md5,
     * parsed as a long. DuckDB computes the identical value
     * (`CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)`), so simhash

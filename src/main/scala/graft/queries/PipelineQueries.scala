@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.VectorExpressions.vec_norm
-import graft.operators.{Dedup, Mixture, Similarity, Splits, TextAnalysis}
+import graft.operators.{Dedup, Mixture, Retrieval, Similarity, Splits, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators exposed through the driver contract:
@@ -976,6 +976,90 @@ object PipelineQueries {
       TextAnalysis.tfidfKeywords(
           Tables.load(s, dir, "documents"), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rk")
+    },
+
+    // ---- BM25 ranked retrieval (fixed query-term set; tf computed
+    // inside the scan, corpus stats reduce to one broadcast row) ----
+    QueryDef.sql(
+      "q_bm25_search",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf_0,
+        |    CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE) AS tf_1,
+        |    CAST(len(list_filter(toks, x -> x = 'sort')) AS DOUBLE) AS tf_2
+        |  FROM d),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+        |    sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+        |    sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+        |  FROM t)
+        |SELECT doc_id, round(
+        |    ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+        |      * tf_0 * 2.2 / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
+        |      * tf_1 * 2.2 / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))
+        |      * tf_2 * 2.2 / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+        |  4) AS bm25
+        |FROM t, s
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      Retrieval.bm25(Tables.load(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "dup", "sort"), k1 = 1.2, b = 0.75, topK = 20)
+    },
+
+    // ---- canonical-representative selection over near-dup clusters:
+    // the keep/drop step after clustering (keep the longest member).
+    // Oracle replays the exact-Jaccard transitive closure (recall-1
+    // LSH, see module scaladoc) and the same pick inside plain SQL ----
+    QueryDef.sql(
+      "q_dedup_canonical",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(t) - 1),
+        |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |        FROM toks WHERE len(t) >= 3) u),
+        |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |pairs AS (
+        |  SELECT i.a, i.b FROM inter i
+        |    JOIN sizes sa ON i.a = sa.doc_id
+        |    JOIN sizes sb ON i.b = sb.doc_id
+        |  WHERE CAST(i.n_inter AS DOUBLE) / (sa.set_size + sb.set_size - i.n_inter) >= 0.7),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION SELECT b, a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |j AS (
+        |  SELECT c.cluster_id, c.doc_id, d.n_chars,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY d.n_chars DESC, c.doc_id) AS rn
+        |  FROM cl c JOIN documents d USING (doc_id))
+        |SELECT cluster_id,
+        |  max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+        |  count(*) AS n_members,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_len
+        |FROM j GROUP BY cluster_id
+        |ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minhashNearDupsFast(docs, "doc_id", "text",
+        shingleLen = 3, numHashes = 16, threshold = 0.7)
+      Dedup.canonicalDocs(Dedup.dupClusters(pairs), docs, "doc_id", "n_chars")
+        .orderBy("cluster_id")
     },
 
     // ---- per-label embedding profile ----

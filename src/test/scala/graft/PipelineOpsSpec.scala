@@ -488,4 +488,47 @@ class PipelineOpsSpec extends SparkTestBase {
       .select(TextAnalysis.redactPii(col("t"))).collect().map(_.getString(0)).toSeq
     assert(got == cases.map(_._2), s"got $got")
   }
+
+  test("bm25 matches a reference implementation on a tiny corpus") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val corpus = Seq(
+      (1L, "spark sort spark merge"),
+      (2L, "sort sort sort sort sort sort"),
+      (3L, "dup spark"),
+      (4L, "alpha beta gamma"))
+    val df = corpus.toDF("doc_id", "text")
+    val terms = Seq("spark", "dup")
+    // reference scorer
+    val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    def score(id: Long): Double = terms.map { term =>
+      val df_t = toks.values.count(_.contains(term)).toDouble
+      val tf = toks(id).count(_ == term).toDouble
+      val idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * toks(id).size / avgdl))
+    }.sum
+    val want = corpus.map(_._1)
+      .map(id => id -> BigDecimal(score(id)).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      .sortBy { case (id, s) => (-s, id) }.take(3)
+    val got = Retrieval.bm25(df, "doc_id", "text", terms, topK = 3)
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDouble(1))).toSeq
+    assert(got.map(_._1) == want.map(_._1), s"got $got want $want")
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert((g - w).abs <= BigDecimal("0.0001"), s"got $got want $want") }
+  }
+
+  test("canonicalDocs picks longest member, ties by lowest id, one row per cluster") {
+    import spark.implicits._
+    val clusters = Seq((10L, 1L), (11L, 1L), (12L, 1L), (20L, 2L), (21L, 2L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq((10L, 5L), (11L, 9L), (12L, 9L), (20L, 4L), (21L, 4L))
+      .toDF("doc_id", "n_chars")
+    val got = Dedup.canonicalDocs(clusters, docs, "doc_id", "n_chars")
+      .orderBy("cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // cluster 1: 11 and 12 tie at len 9 → lower id 11; cluster 2: tie → 20
+    assert(got.toSeq == Seq((1L, 11L, 3L, 23L), (2L, 20L, 2L, 8L)))
+  }
 }
