@@ -255,4 +255,32 @@ object Similarity {
               .cast("int")))
           .as("q"))
   }
+
+  /** Per-label centroid statistics: member count and the L2 norm of the
+    * component-wise mean vector — the class-centroid computation behind
+    * SemDeDup-style pruning and IVF cell seeding, as a pure DataFrame
+    * aggregation.
+    *
+    * Scale shape: `posexplode` fans each vector into (label, pos, v)
+    * rows INSIDE the scan task and the mean reduces map-side per
+    * (label, pos) — shuffled rows are O(labels × dim), independent of
+    * corpus size; the final per-label fold over dim components is a
+    * second O(labels × dim) aggregate. No vector ever reaches the
+    * driver.
+    */
+  def labelCentroids(emb: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val comp = emb
+      .select(col(labelCol).as("label"),
+        posexplode(transform(col(vecCol), _.cast("double"))))
+    val counts = emb.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n"))
+    comp
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col")).as("c"))
+      .groupBy(col("label"))
+      .agg(sqrt(sum(col("c") * col("c"))).as("__norm"))
+      .join(counts, "label")
+      .select(col("label"), col("n"),
+        graft.dround(col("__norm"), 4).as("centroid_norm"))
+  }
 }

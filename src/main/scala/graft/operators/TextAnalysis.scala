@@ -254,4 +254,28 @@ object TextAnalysis {
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_text")
   }
+
+  /** Corpus vocabulary: per-token total occurrence count and document
+    * frequency, top-k by count — the "build the tokenizer vocab" step of
+    * a training pipeline (and the raw input to BPE-merge selection).
+    *
+    * Scale shape: the token stream explodes inside the scan tasks and
+    * reduces through TWO map-side-combinable aggregates — (token, doc)
+    * pre-aggregation for exact doc frequency, then token-keyed totals —
+    * so shuffled bytes are O(distinct (token, doc) pairs), not O(corpus
+    * tokens); top-k is a sort-limit over O(vocab) rows with k-row
+    * per-partition partials.
+    */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame =
+    docs
+      .select(col(idCol).as("__doc"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .groupBy(col("token"), col("__doc"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("token"))
+      .agg(sum(col("__n")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(topK)
 }

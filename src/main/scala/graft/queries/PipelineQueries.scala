@@ -1013,6 +1013,44 @@ object PipelineQueries {
         terms = Seq("spark", "dup", "sort"), k1 = 1.2, b = 0.75, topK = 20)
     },
 
+    // ---- corpus vocabulary (tokenizer-vocab construction): exact
+    // per-token totals + doc frequency via two map-combinable aggs ----
+    QueryDef.sql(
+      "q_vocab_topk",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |td AS (
+        |  SELECT token, doc_id, count(*) AS n FROM t GROUP BY token, doc_id)
+        |SELECT token, CAST(sum(n) AS BIGINT) AS n_occurrences,
+        |  count(*) AS n_docs
+        |FROM td GROUP BY token
+        |ORDER BY n_occurrences DESC, token
+        |LIMIT 15""".stripMargin) { (s, dir) =>
+      TextAnalysis.vocabulary(Tables.load(s, dir, "documents"),
+        "doc_id", "text", topK = 15)
+    },
+
+    // ---- per-label centroid profile (SemDeDup/IVF seeding): the
+    // component-wise mean vector reduced to (count, centroid norm) ----
+    QueryDef.sql(
+      "q_embed_centroids",
+      """WITH e AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS v
+        |  FROM embeddings),
+        |c AS (SELECT label, pos, avg(v) AS c FROM e GROUP BY label, pos),
+        |n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+        |SELECT label, n, round(sqrt(sum(c * c)), 4) AS centroid_norm
+        |FROM c JOIN n USING (label)
+        |GROUP BY label, n
+        |ORDER BY label""".stripMargin) { (s, dir) =>
+      Similarity.labelCentroids(Tables.load(s, dir, "embeddings"),
+          "label", "embedding")
+        .orderBy("label")
+    },
+
     // ---- canonical-representative selection over near-dup clusters:
     // the keep/drop step after clustering (keep the longest member).
     // Oracle replays the exact-Jaccard transitive closure (recall-1
