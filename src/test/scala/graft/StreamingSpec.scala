@@ -270,6 +270,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static join sees the dimension table's latest snapshot per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val g = GraftSession(spark)
+    g.createTable("stream_dims",
+      Seq((1L, "bronze"), (2L, "silver")).toDF("user_id", "tier"),
+      keyColumns = Seq("user_id"))
+    val mem = MemoryStream[(Long, Double)]
+    // the reference's canonical stream pattern: a stream enriched by a
+    // MUTABLE dimension table — each micro-batch must re-resolve the
+    // store snapshot, so dimension updates between batches are visible
+    // to later batches (and only to them)
+    val joined = mem.toDF().toDF("uid", "amount")
+      .join(g.table("stream_dims"), $"uid" === $"user_id")
+      .select($"uid", $"tier", $"amount")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").start()
+    try {
+      mem.addData((1L, 10.0))
+      q.processAllAvailable()
+      g.update("stream_dims", col("user_id") === 1L, "tier" -> lit("gold"))
+      mem.addData((1L, 20.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got == Set((1L, "bronze", 10.0), (1L, "gold", 20.0)), s"got $got")
+    } finally { q.stop(); g.dropTable("stream_dims") }
+  }
+
   test("watermarked tumbling-window aggregation over a stream matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
