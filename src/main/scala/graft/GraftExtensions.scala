@@ -114,7 +114,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("array_count_in", "array_count_in(arr, v1, v2, ...) - count of elements in the set"),
       (args: Seq[Expression]) =>
         org.apache.spark.sql.graft.ArrayCountIn(args(0),
-          args.tail.map(_.eval().toString))))
+          args.tail.map { e =>
+            // clean analysis-time error instead of an NPE / unbound-eval
+            // crash on non-literal or NULL value arguments
+            require(e.foldable,
+              "array_count_in: values must be string literals")
+            val v = e.eval()
+            require(v != null,
+              "array_count_in: values must be non-null string literals")
+            v.toString
+          })))
 
     // reference io/snappydata/functions.scala:46-53: dsid() (executor
     // member id — here the partition id, the Spark-native analog) and

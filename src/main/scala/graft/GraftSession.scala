@@ -526,19 +526,26 @@ class GraftSession(val spark: SparkSession) {
   def streamingStart(): Seq[org.apache.spark.sql.streaming.StreamingQuery] =
     this.synchronized {
       import org.apache.spark.sql.streaming.Trigger
-      val started = registeredCqs.toSeq.sortBy(_._1).map { case (n, q) =>
+      // track each CQ the moment it starts: if a LATER registration fails
+      // to start, the ones already running stay in runningCqs so
+      // STREAMING STOP still reaches them (no orphaned queries)
+      val started = scala.collection.mutable.Buffer
+        .empty[org.apache.spark.sql.streaming.StreamingQuery]
+      registeredCqs.toSeq.sortBy(_._1).foreach { case (n, q) =>
         def writer = {
           val w = spark.sql(q).writeStream.queryName(n).format("memory")
           streamBatchInterval.map(i => w.trigger(Trigger.ProcessingTime(i))).getOrElse(w)
         }
-        try writer.outputMode("append").start()
-        catch {
-          case _: org.apache.spark.sql.AnalysisException =>
-            writer.outputMode("complete").start()
-        }
+        val sq =
+          try writer.outputMode("append").start()
+          catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              writer.outputMode("complete").start()
+          }
+        runningCqs += sq
+        started += sq
       }
-      runningCqs ++= started
-      started
+      started.toSeq
     }
 
   /** STREAMING STOP: stop the CQs this context started (registrations

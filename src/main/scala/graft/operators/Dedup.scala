@@ -41,9 +41,19 @@ object Dedup {
     */
   def incrementalDedup(batch: DataFrame, idCol: String, textCol: String,
       registry: DataFrame): DataFrame = {
+    // the within-batch min-id SEMI join runs on a null-coalesced key (md5
+    // output is 32 hex chars, so the sentinel can't collide): a plain
+    // equi-join drops null keys, which would silently discard EVERY
+    // null-text row instead of keeping the class's min-id representative.
+    // The registry ANTI join stays on the RAW column — anti-join
+    // semantics already pass null keys through (null matches nothing, so
+    // the row is "new", exactly the oracle's LEFT JOIN ... IS NULL
+    // behavior), and the untouched key keeps the bucketed registry's
+    // zero-exchange storage-partitioned join path intact.
     val hashed = batch.withColumn("content_hash", md5(col(textCol)))
-    val first = hashed.groupBy(col("content_hash")).agg(min(col(idCol)).as(idCol))
-    hashed.join(first, Seq("content_hash", idCol), "left_semi")
+      .withColumn("__hkey", coalesce(col("content_hash"), lit("null-text")))
+    val first = hashed.groupBy(col("__hkey")).agg(min(col(idCol)).as(idCol))
+    hashed.join(first, Seq("__hkey", idCol), "left_semi").drop("__hkey")
       .join(registry.select(col("content_hash")), Seq("content_hash"), "left_anti")
   }
 

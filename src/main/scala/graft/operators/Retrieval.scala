@@ -38,7 +38,10 @@ object Retrieval {
            topK: Int = 20): DataFrame = {
     require(terms.nonEmpty && terms.size <= 32, "terms must be a small fixed set")
     val toks = split(lower(trim(col(textCol))), "\\s+")
+    // null-text guard: without it, ANSI-off size(null) = -1 poisons dl,
+    // avgdl and every tf — corrupting all scores, not just the null row
     val base = docs
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), toks.as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
     val withTf = terms.indices.foldLeft(base) { case (df, i) =>

@@ -31,7 +31,12 @@ object StreamingDedup {
     */
   def firstSeen(df: DataFrame, fingerprint: Column,
       ttl: Option[String] = None): DataFrame = {
-    val withFp = df.withColumn("_fingerprint", fingerprint.cast("long"))
+    // null fingerprints (e.g. a null text column) group under a sentinel
+    // instead of NPE-ing the groupByKey extractor — the first null-content
+    // row passes, later ones dedup against it, matching the batch twin's
+    // null-as-one-dedup-class contract
+    val withFp = df.withColumn("_fingerprint",
+      coalesce(fingerprint.cast("long"), lit(Long.MinValue)))
     val schema = withFp.schema
     val fpIdx = schema.fieldIndex("_fingerprint")
     val rowEnc = Encoders.row(schema)

@@ -497,7 +497,15 @@ object RollingWindowHash {
     if (n < w) return new GenericArrayData(Array.emptyLongArray)
     val th = new Array[Long](n)
     var i = 0
-    while (i < n) { th(i) = Md5PrefixLong.hash(arr.getUTF8String(i), 15); i += 1 }
+    while (i < n) {
+      // a null element (the array type admits containsNull) hashes to 0
+      // instead of NPE-ing the task — deterministic and collision-safe
+      // enough for window fingerprints (0 is also md5-reachable only
+      // with ~2^-60 probability)
+      th(i) =
+        if (arr.isNullAt(i)) 0L else Md5PrefixLong.hash(arr.getUTF8String(i), 15)
+      i += 1
+    }
     var pw = 1L // B^(w-1) mod M — the outgoing token's weight
     i = 0
     while (i < w - 1) { pw = mulmod(pw, B); i += 1 }

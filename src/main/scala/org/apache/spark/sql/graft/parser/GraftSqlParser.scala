@@ -125,7 +125,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftAlterDropColumnCommand(t.toLowerCase, c)
       case Some(TruncateTable(t)) if g.isManaged(t.toLowerCase) =>
         GraftTruncateTableCommand(t.toLowerCase)
-      case Some(CreateTableLike(n, s)) =>
+      // guard like TRUNCATE/ALTER: hijack the native statement only for
+      // graft-managed sources and temp views (which clone into managed
+      // tables) — CREATE TABLE LIKE over a PERSISTENT catalog table must
+      // keep Spark's native persistent-table/provider semantics
+      case Some(CreateTableLike(n, s)) if g.isManaged(s.toLowerCase) ||
+          (try session.catalog.getTable(s).isTemporary
+           catch { case _: Exception => true }) =>
         GraftCreateTableLikeCommand(n, s)
       case Some(StreamingCtl(a, arg)) =>
         GraftStreamingCtlCommand(a, arg)

@@ -519,6 +519,34 @@ class PipelineOpsSpec extends SparkTestBase {
       assert((g - w).abs <= BigDecimal("0.0001"), s"got $got want $want") }
   }
 
+  test("null-content robustness: incrementalDedup keeps the min-id null-text row; bm25 ignores null docs; hash functions don't NPE") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // incrementalDedup: null texts form one dedup class, min id survives
+    val batch = Seq((1L, "aa"), (2L, null), (3L, null), (4L, "bb"))
+      .toDF("doc_id", "text")
+    val empty = batch.select(md5(col("text")).as("content_hash")).limit(0)
+    val kept = Dedup.incrementalDedup(batch, "doc_id", "text", empty)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 4L), s"got $kept")
+    // bm25: a null-text doc neither scores nor poisons corpus stats
+    val scored = Retrieval.bm25(
+      Seq((1L, "spark x"), (2L, null)).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("spark"), topK = 5).collect()
+    assert(scored.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(scored.head.getDouble(1) > 0)
+    // rolling_window_hash: null array elements hash as a sentinel, no NPE
+    val rwh = spark.sql(
+      "SELECT rolling_window_hash(array('a', cast(null as string), 'b'), 2) AS h")
+      .head().getSeq[Long](0)
+    assert(rwh.length == 2)
+    // array_count_in: NULL literal value → clean error, not an NPE
+    val err = intercept[Exception] {
+      spark.sql("SELECT array_count_in(array('a'), 'a', NULL)").collect()
+    }
+    assert(err.getMessage.contains("non-null string literals"), err.getMessage)
+  }
+
   test("canonicalDocs picks longest member, ties by lowest id, one row per cluster") {
     import spark.implicits._
     val clusters = Seq((10L, 1L), (11L, 1L), (12L, 1L), (20L, 2L), (21L, 2L))

@@ -270,6 +270,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming first-seen dedup survives null fingerprints (one null-class representative passes)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val deduped = graft.streaming.StreamingDedup.firstSeen(
+      mem.toDF().toDF("id", "text"),
+      graft.operators.Dedup.md5Hash60(col("text")))
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("nullfp_out").start()
+    try {
+      mem.addData((1L, "aa"), (2L, null), (3L, null))
+      q.processAllAvailable()
+      val got = spark.table("nullfp_out").select("id").as[Long].collect().toSet
+      // one representative of the null-fingerprint class passes; the
+      // query does NOT die with an NPE reading the group key
+      assert(got.contains(1L) && got.size == 2 && (got - 1L).subsetOf(Set(2L, 3L)),
+        s"got $got")
+      mem.addData((4L, null))
+      q.processAllAvailable()
+      assert(spark.table("nullfp_out").count() == 2, "later null content must dedup")
+    } finally q.stop()
+  }
+
   test("stream-static join sees the dimension table's latest snapshot per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
