@@ -335,9 +335,15 @@ class GraftAggReaderFactory(fullSchema: StructType,
     val batch = BatchRegistry.batch(w.ref.id)
     val n = w.ref.numRows
     val dels = w.deletes.map(_.bitset).getOrElse(BitSet.empty)
+    // memoized per column: on batches carrying update deltas the merge
+    // materializes the full column — without the cache an op probed here
+    // and rejected would re-merge the same column again below
+    val mergedCache = scala.collection.mutable.Map.empty[Int, ColumnData]
+    def merged(c: Int): ColumnData =
+      mergedCache.getOrElseUpdate(c, mergedColumn(w, batch, c))
     val remaining = ops.filterNot { case (op, k) =>
       if (dels.isEmpty) {
-        (op, opCol(op).map(c => mergedColumn(w, batch, c)).orNull) match {
+        (op, opCol(op).map(merged).orNull) match {
           case (SumDoubleOp(_), DoubleColumn(v, nulls)) =>
             val noNulls = nulls.isEmpty
             var s = 0.0
@@ -369,7 +375,7 @@ class GraftAggReaderFactory(fullSchema: StructType,
     }
     if (remaining.isEmpty) return
     val accs = remaining.map { case (op, _) =>
-      opCol(op).map(c => accessor(mergedColumn(w, batch, c))).orNull
+      opCol(op).map(c => accessor(merged(c))).orNull
     }
     var i = 0
     while (i < n) {

@@ -45,7 +45,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     GraftColumnStore.get(nm) match {
       case Some(t) =>
         val s = t.snapshot
-        new GraftTable(nm, s.schema, 16384, s.bucketBy, s.numBuckets, s.keyColumns)
+        // carry the snapshot's batch size and index clustering so
+        // catalog-routed INSERTs keep the granularity/sort the table's
+        // index was built at (the "stats skipping IS the index probe"
+        // property depends on both)
+        new GraftTable(nm, s.schema, s.batchSize, s.bucketBy, s.numBuckets,
+          s.keyColumns, s.sortedBy)
       case None => GraftRowStore.get(nm) match {
         case Some(t) =>
           val s = t.snapshot
@@ -59,6 +64,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val nm = tableName(ident)
+    // TableCatalog contract: plain CREATE TABLE on an existing table must
+    // fail — silently replacing would destroy its data (Spark routes
+    // CREATE OR REPLACE / IF NOT EXISTS decisions above this call)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        ident.namespace().toSeq :+ ident.name())
     val (bucketBy: Seq[String], buckets: Int) = partitions.toSeq match {
       case Seq(BucketTransform(n, cols, Nil)) =>
         (cols.map(_.fieldNames.mkString(".")), n)
@@ -139,16 +150,9 @@ object GraftBucketFunction extends UnboundFunction {
       override def isResultNullable: Boolean = false
       override def produceResult(input: InternalRow): Integer = {
         val n = input.getInt(0)
-        // seed-chained murmur3 over the key columns — identical to
-        // HashPartitioning's routing of the bucketed write
-        var h = 42L
-        var i = 0
-        while (i < keyTypes.length) {
-          h = Murmur3HashFunction.hash(input.get(i + 1, keyTypes(i)), keyTypes(i), h)
-          i += 1
-        }
-        val m = h.toInt % n
-        if (m < 0) m + n else m
+        // shared seed-42 murmur3 routing — identical to the write
+        // distribution and the scan-side pruning (BucketRouting)
+        BucketRouting.bucketOfRow(input, 1, keyTypes, n)
       }
     }
   }

@@ -280,36 +280,9 @@ class GraftScan(tableName: String, fullSchema: StructType,
     * identical to Spark's HashPartitioning (murmur3, seed 42) — the
     * distribution the bucketed write required.
     */
-  private def targetBuckets: Option[Set[Int]] = {
-    if (snapshot.numBuckets <= 0) return None
-    val eq = scala.collection.mutable.Map.empty[String, Seq[Any]]
-    filters.foreach {
-      case EqualTo(c, v) if v != null => eq(c) = Seq(v)
-      case EqualNullSafe(c, v) if v != null => eq(c) = Seq(v)
-      case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
-        eq(c) = eq.get(c).map(_.intersect(vs.toSeq)).getOrElse(vs.toSeq)
-      case _ =>
-    }
-    if (!snapshot.bucketBy.forall(eq.contains)) return None
-    val perCol = snapshot.bucketBy.map { c =>
-      val dt = fullSchema.fields(fullSchema.fieldIndex(c)).dataType
-      val internals = eq(c).flatMap(v => BatchPruning.internal(dt, v).map(_ -> dt))
-      if (internals.size != eq(c).size) return None // unconvertible value
-      internals
-    }
-    if (perCol.map(_.size.toLong).product > 64) return None // combinatorial cap
-    val combos = perCol.foldLeft(Seq(Seq.empty[(Any, org.apache.spark.sql.types.DataType)])) {
-      (acc, vals) => acc.flatMap(prefix => vals.map(prefix :+ _))
-    }
-    Some(combos.map { combo =>
-      var h = 42L
-      combo.foreach { case (v, dt) =>
-        h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(v, dt, h)
-      }
-      val m = h.toInt % snapshot.numBuckets
-      if (m < 0) m + snapshot.numBuckets else m
-    }.toSet)
-  }
+  private def targetBuckets: Option[Set[Int]] =
+    BucketRouting.targetBuckets(filters, snapshot.bucketBy,
+      snapshot.numBuckets, fullSchema)
 
   override def planInputPartitions(): Array[InputPartition] = planPartitions()
 
@@ -788,17 +761,31 @@ class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // metadata-only commit: refs land in the snapshot, payloads are
     // already resident where the tasks wrote them
-    val table =
-      if (truncate) {
-        val t = GraftColumnStore.getOrCreate(tableName, schema, bucketBy, numBuckets, keyColumns)
-        t.replaceRefs(Vector.empty)
-        t
-      } else GraftColumnStore.getOrCreate(tableName, schema, bucketBy, numBuckets, keyColumns)
-    table.appendRefs(messages.flatMap {
+    val table = GraftColumnStore.getOrCreate(tableName, schema, bucketBy, numBuckets, keyColumns)
+    val newRefs = messages.flatMap {
       case GraftCommit(refs) => refs
       case _ => Nil
-    }.toIndexedSeq)
-    if (truncate) table.mutate(_.copy(sortedBy = sortBy, batchSize = batchSize))
+    }.toVector
+    if (truncate) {
+      // ONE atomic swap: old refs out, new refs + layout metadata in —
+      // a reader planning concurrently sees either the full old table
+      // or the full new one, never the empty intermediate a separate
+      // replace-then-append pair would expose (compact() depends on
+      // this to be a safe online rewrite)
+      table.mutateRetiring { s =>
+        (s.copy(refs = newRefs, deletes = Map.empty, updates = Map.empty,
+            sortedBy = sortBy, batchSize = batchSize),
+          Some(GraftColumnStore.Retirees(s.refs.map(_.id),
+            s.updates.values.flatMap(_.values.flatten.map(_.deltaId)).toSeq,
+            s.deletes.values.map(_.bitmapId).toSeq)))
+      }
+      ()
+    } else GraftColumnStore.takeStagedDeletes(tableName) match {
+      // an upsert staged matched-key deletes for this append: apply
+      // them and the new refs in ONE swap (atomic PUT INTO)
+      case Some(staged) => table.applyDeletes(staged, newRefs)
+      case None => table.appendRefs(newRefs)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -424,7 +424,13 @@ object GraftColumnStore {
       * the batch lives — the registry tier, not the commit path; only
       * refs move through the snapshot swap.
       */
-    def applyDeletes(newDeletes: Map[Long, DeleteRef]): Unit = {
+    /** Optionally also appends `alsoAppend` refs in the SAME snapshot
+      * swap — the atomic delete+append a key upsert needs (a reader
+      * never observes the matched keys deleted but their replacements
+      * not yet present).
+      */
+    def applyDeletes(newDeletes: Map[Long, DeleteRef],
+        alsoAppend: Seq[BatchRef] = Nil): Unit = {
       mutateRetiring { s =>
         val supersededBitmaps = Seq.newBuilder[Long]
         val deadBatches = Seq.newBuilder[Long]
@@ -447,7 +453,7 @@ object GraftColumnStore {
           merged.get(r.id).foreach(supersededBitmaps += _.bitmapId)
           s.updates.get(r.id).foreach(_.values.flatten.foreach(deadDeltas += _.deltaId))
         }
-        (s.copy(refs = live,
+        (s.copy(refs = live ++ alsoAppend,
           deletes = merged -- dead.map(_.id),
           updates = s.updates -- dead.map(_.id)),
           Some(Retirees(deadBatches.result(), deadDeltas.result(),
@@ -485,6 +491,21 @@ object GraftColumnStore {
   }
 
   private val tables = TrieMap.empty[String, StoreTable]
+
+  /** Delete refs staged by an upsert for the table's NEXT append commit:
+    * the commit applies them and the new batch refs in one atomic
+    * snapshot swap (see [[StoreTable.applyDeletes]]), so the upsert
+    * never exposes a matched-keys-deleted-but-not-replaced state. The
+    * stager must drop (and release) its staged refs if the append fails.
+    */
+  private val stagedDeletes = TrieMap.empty[String, Map[Long, DeleteRef]]
+  def stageDeletes(table: String, refs: Map[Long, DeleteRef]): Unit =
+    stagedDeletes.updateWith(table) {
+      case Some(prev) => Some(prev ++ refs)
+      case None => Some(refs)
+    }
+  def takeStagedDeletes(table: String): Option[Map[Long, DeleteRef]] =
+    stagedDeletes.remove(table)
 
   /** Scan-side telemetry: batches skipped by stats since JVM start
     * (asserted by specs to prove pruning actually happens).
@@ -593,14 +614,23 @@ object GraftColumnStore {
     def add(row: InternalRow, c: Int, i: Int): Unit =
       if (row.isNullAt(c)) nulls += i else vals(i) = row.getDouble(c)
     def seal(n: Int): (ColumnData, ColumnStats) = {
-      var min = Double.MaxValue
-      var max = Double.MinValue
+      // Double.compare ordering (NaN greatest, -0.0 < 0.0) — primitive
+      // </> would exclude NaN from both bounds, so a {1.0, NaN} batch
+      // would seal max=1.0 and `WHERE x > 100` (true for NaN under
+      // Spark semantics) would wrongly prune the batch; an all-NaN
+      // batch would seal garbage sentinel bounds
+      var first = true
+      var min = 0.0
+      var max = 0.0
       var i = 0
       while (i < n) {
         if (!nulls(i)) {
           val v = vals(i)
-          if (v < min) min = v
-          if (v > max) max = v
+          if (first) { min = v; max = v; first = false }
+          else {
+            if (java.lang.Double.compare(v, min) < 0) min = v
+            if (java.lang.Double.compare(v, max) > 0) max = v
+          }
         }
         i += 1
       }

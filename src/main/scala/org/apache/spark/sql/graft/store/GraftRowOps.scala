@@ -41,7 +41,21 @@ object GraftRowOps {
     */
   def put(spark: SparkSession, table: String, source: DataFrame): Unit = {
     val t = GraftRowStore(table)
-    val snap = t.snapshot
+    // pin a reader lease for the probe job: its tasks resolve pack
+    // payloads from this snapshot, and a concurrent mutation would
+    // otherwise free retired packs mid-job (only the scan path pinned
+    // leases before). The op object keeps the lease alive until the
+    // fence below.
+    val (snap, leaseId) = t.pinSnapshot()
+    val leaseOwner = new Object
+    t.addLeaseOwner(leaseId, leaseOwner)
+    try putInner(spark, t, snap, source)
+    finally java.lang.ref.Reference.reachabilityFence(leaseOwner)
+  }
+
+  private def putInner(spark: SparkSession, t: GraftRowStore.RowTable,
+      snap: GraftRowStore.RowSnapshot, source: DataFrame): Unit = {
+    val table = t.name
     require(snap.keyColumns.nonEmpty, s"graftrow.put($table) requires key_columns")
     val cols = snap.schema.fieldNames.toSeq
     val src = (if (source.columns.toSeq == cols) source
@@ -105,7 +119,17 @@ object GraftRowOps {
     */
   def deleteKeys(spark: SparkSession, table: String, keys: DataFrame): Unit = {
     val t = GraftRowStore(table)
-    val snap = t.snapshot
+    // pinned lease for the probe job — see put()
+    val (snap, leaseId) = t.pinSnapshot()
+    val leaseOwner = new Object
+    t.addLeaseOwner(leaseId, leaseOwner)
+    try deleteKeysInner(t, snap, keys)
+    finally java.lang.ref.Reference.reachabilityFence(leaseOwner)
+  }
+
+  private def deleteKeysInner(t: GraftRowStore.RowTable,
+      snap: GraftRowStore.RowSnapshot, keys: DataFrame): Unit = {
+    val table = t.name
     require(snap.keyColumns.nonEmpty, s"graftrow.deleteKeys($table) requires key_columns")
     val src = keys.select(snap.keyColumns.map(col): _*).dropDuplicates(snap.keyColumns)
     val bucketed = snap.numBuckets > 0 && snap.bucketBy == snap.keyColumns

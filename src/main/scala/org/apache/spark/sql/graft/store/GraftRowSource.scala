@@ -214,36 +214,9 @@ class GraftRowScan(tableName: String, fullSchema: StructType,
   /** Buckets the pushed conjuncts allow, when they pin every bucket
     * column (same murmur3-seed-42 chain as the write distribution).
     */
-  private def targetBuckets: Option[Set[Int]] = {
-    if (snapshot.numBuckets <= 0) return None
-    val eq = scala.collection.mutable.Map.empty[String, Seq[Any]]
-    pushedFilters.foreach {
-      case EqualTo(c, v) if v != null => eq(c) = Seq(v)
-      case EqualNullSafe(c, v) if v != null => eq(c) = Seq(v)
-      case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
-        eq(c) = eq.get(c).map(_.intersect(vs.toSeq)).getOrElse(vs.toSeq)
-      case _ =>
-    }
-    if (!snapshot.bucketBy.forall(eq.contains)) return None
-    val perCol = snapshot.bucketBy.map { c =>
-      val dt = fullSchema.fields(fullSchema.fieldIndex(c)).dataType
-      val internals = eq(c).flatMap(v => BatchPruning.internal(dt, v).map(_ -> dt))
-      if (internals.size != eq(c).size) return None
-      internals
-    }
-    if (perCol.map(_.size.toLong).product > 64) return None
-    val combos = perCol.foldLeft(Seq(Seq.empty[(Any, DataType)])) { (acc, vals) =>
-      acc.flatMap(prefix => vals.map(prefix :+ _))
-    }
-    Some(combos.map { combo =>
-      var h = 42L
-      combo.foreach { case (v, dt) =>
-        h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(v, dt, h)
-      }
-      val m = h.toInt % snapshot.numBuckets
-      if (m < 0) m + snapshot.numBuckets else m
-    }.toSet)
-  }
+  private def targetBuckets: Option[Set[Int]] =
+    BucketRouting.targetBuckets(pushedFilters, snapshot.bucketBy,
+      snapshot.numBuckets, fullSchema)
 
   /** Range constraint on a secondary-indexed column, assembled from the
     * pushed conjuncts (tightest lower/upper bound wins; IN collapses to
@@ -321,17 +294,11 @@ class GraftRowScan(tableName: String, fullSchema: StructType,
       val kts = snapshot.keyTypes
       val addresses = combos.get.flatMap { key =>
         val candidates =
-          if (keyIsBucket) {
-            var h = 42L
-            var i = 0
-            while (i < ords.length) {
-              h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
-                .hash(key.values(i), kts(i), h)
-              i += 1
-            }
-            val m = h.toInt % snapshot.numBuckets
-            byBucket.getOrElse(if (m < 0) m + snapshot.numBuckets else m, Vector.empty)
-          } else snapshot.refs
+          if (keyIsBucket)
+            byBucket.getOrElse(
+              BucketRouting.bucketOf(key.values, kts, snapshot.numBuckets),
+              Vector.empty)
+          else snapshot.refs
         GraftRowStore.indexProbes.incrementAndGet()
         snapshot.probe(key, candidates)
       }
@@ -535,31 +502,39 @@ class GraftRowBatchWrite(tableName: String, schema: StructType, keyColumns: Seq[
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // append must respect the PK invariant against EXISTING rows: ship
-    // the current refs (metadata) so writer tasks can probe pack indexes
+    // the current refs (metadata) so writer tasks can probe pack indexes.
+    // Refs and tombstones come from ONE pinned snapshot (not two racy
+    // reads), and the pinned lease — owned by the factory, which stays
+    // reachable for the write job's duration — keeps those packs
+    // resolvable if a concurrent mutation retires them mid-write.
+    val pinned =
+      if (keyColumns.isEmpty || truncate) None
+      else GraftRowStore.get(tableName).map { t =>
+        val (snap, leaseId) = t.pinSnapshot(); (t, snap, leaseId)
+      }
     val existing: Map[Int, Vector[GraftRowStore.PackRef]] =
-      if (keyColumns.isEmpty || truncate) Map.empty
-      else GraftRowStore.get(tableName)
-        .map(t => t.snapshot.refs.groupBy(_.bucketId)
-          .map { case (k, v) => k -> v })
+      pinned.map(_._2.refs.groupBy(_.bucketId).map { case (k, v) => k -> v })
         .getOrElse(Map.empty)
     val tomb: Map[Long, BitSet] =
-      if (keyColumns.isEmpty || truncate) Map.empty
-      else GraftRowStore.get(tableName).map(_.snapshot.tombstones).getOrElse(Map.empty)
-    new GraftRowWriterFactory(schema, keyColumns,
+      pinned.map(_._2.tombstones).getOrElse(Map.empty)
+    val factory = new GraftRowWriterFactory(schema, keyColumns,
       bucketBy.nonEmpty && numBuckets > 0, existing, tomb)
+    pinned.foreach { case (t, _, leaseId) => t.addLeaseOwner(leaseId, factory) }
+    factory
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val table =
-      if (truncate) {
-        val t = GraftRowStore.getOrCreate(tableName, schema, keyColumns, bucketBy, numBuckets)
-        t.replaceRefs(Vector.empty)
-        t
-      } else GraftRowStore.getOrCreate(tableName, schema, keyColumns, bucketBy, numBuckets)
-    table.appendRefs(messages.flatMap {
+    val table = GraftRowStore.getOrCreate(tableName, schema, keyColumns, bucketBy, numBuckets)
+    val newRefs = messages.flatMap {
       case GraftRowCommit(refs) => refs
       case _ => Nil
-    }.toIndexedSeq)
+    }.toVector
+    if (truncate)
+      // ONE atomic swap (see the column-store commit): concurrent
+      // planners see the full old or full new table, never an empty
+      // intermediate
+      table.replaceRefs(newRefs)
+    else table.appendRefs(newRefs)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -256,9 +256,20 @@ object GraftRowStore {
   }
 
   def getOrCreate(name: String, schema: StructType, keyColumns: Seq[String],
-      bucketBy: Seq[String], numBuckets: Int): RowTable =
+      bucketBy: Seq[String], numBuckets: Int): RowTable = {
+    // the PK uniqueness check on INSERT/PUT probes only the row's own
+    // bucket, which is sound ONLY when the key determines the bucket —
+    // the same partitioning-column-within-PK rule the reference's
+    // partitioned tables enforce. Reject the unsound layout at creation
+    // instead of silently accepting cross-bucket duplicates later.
+    require(keyColumns.isEmpty || bucketBy.isEmpty ||
+        bucketBy.forall(keyColumns.contains),
+      s"graftrow table $name: partition_by (${bucketBy.mkString(",")}) must be " +
+        s"a subset of key_columns (${keyColumns.mkString(",")}) so the key " +
+        "determines the bucket (per-bucket PK checks stay sound)")
     tables.getOrElseUpdate(name, new RowTable(name,
       RowSnapshot(schema, keyColumns, bucketBy, numBuckets, Vector.empty, Map.empty)))
+  }
 
   def get(name: String): Option[RowTable] = tables.get(name)
 

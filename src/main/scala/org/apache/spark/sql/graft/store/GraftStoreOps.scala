@@ -61,8 +61,18 @@ object GraftStoreOps {
     * batch through the driver, not ~numRows/8 bitmap bytes.
     */
   private def deleteAddressed(spark: SparkSession, table: String, addressed: DataFrame): Unit = {
+    val refs = collectDeleteRefs(spark, addressed)
+    if (refs.nonEmpty) GraftColumnStore(table).applyDeletes(refs)
+  }
+
+  /** Run the bitmap-building job and register the payloads, WITHOUT
+    * committing: the caller either applies the returned refs (one swap)
+    * or stages them for an append commit to apply atomically.
+    */
+  private def collectDeleteRefs(spark: SparkSession,
+      addressed: DataFrame): Map[Long, GraftColumnStore.DeleteRef] = {
     import spark.implicits._
-    val refs = addressed.select(col("_bid"), col("_rid"))
+    addressed.select(col("_bid"), col("_rid"))
       .repartition(col("_bid"))
       .as[(Long, Int)]
       .mapPartitions { it =>
@@ -73,9 +83,8 @@ object GraftStoreOps {
         }
       }
       .collect()
-    if (refs.nonEmpty)
-      GraftColumnStore(table).applyDeletes(
-        refs.map { case (b, id, n) => b -> GraftColumnStore.DeleteRef(id, n) }.toMap)
+      .map { case (b, id, n) => b -> GraftColumnStore.DeleteRef(id, n) }
+      .toMap
   }
 
   /** UPDATE table SET assignments WHERE cond. New values are computed by
@@ -90,6 +99,17 @@ object GraftStoreOps {
     import spark.implicits._
     val t = GraftColumnStore(table)
     val schema = t.schema
+    // same guard as the row store: deltas update a row IN PLACE, so
+    // assigning a bucket/key column would leave the row physically in
+    // its old bucket while its key claims another — bucket pruning and
+    // storage-partitioned joins would then silently miss it
+    locally {
+      val snap = t.snapshot
+      assignments.foreach { case (n, _) =>
+        require(!snap.keyColumns.contains(n) && !snap.bucketBy.contains(n),
+          s"graftstore.update($table): cannot assign key/bucket column $n")
+      }
+    }
     val colIdxs = assignments.map { case (n, _) => schema.fieldIndex(n) }.toArray
     val dts = colIdxs.map(schema.fields(_).dataType)
     val proj = withAddress(spark, table)
@@ -147,8 +167,22 @@ object GraftStoreOps {
       else if (source.columns.toSet == cols.toSet) source.select(cols.map(col): _*)
       else source.toDF(cols: _*)).dropDuplicates(keyCols)
       .localCheckpoint(false)
-    deleteKeys(spark, table, src.select(keyCols.map(col): _*))
-    src.write.format(FORMAT).option("table", table).mode("append").save()
+    // matched-key delete bitmaps are computed WITHOUT committing and
+    // staged for the append's commit, which applies both in one atomic
+    // snapshot swap: no reader observes keys deleted but not replaced,
+    // and a failed append leaves the table untouched (staged payloads
+    // are released below)
+    val staged = collectDeleteRefs(spark,
+      withAddress(spark, table).join(
+        src.select(keyCols.map(col): _*), keyCols, "left_semi"))
+    if (staged.nonEmpty) GraftColumnStore.stageDeletes(table, staged)
+    try src.write.format(FORMAT).option("table", table).mode("append").save()
+    catch {
+      case e: Throwable =>
+        GraftColumnStore.takeStagedDeletes(table).foreach(d =>
+          GraftColumnStore.BatchRegistry.release(Nil, Nil, d.values.map(_.bitmapId)))
+        throw e
+    }
   }
 
   /** Roll delta row-buffer batches, delete bitmaps and update deltas into

@@ -118,4 +118,47 @@ class ColumnStoreSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(a == b)
   }
+
+  test("NaN doubles enter batch stats: no false pruning, MAX serves NaN") {
+    import spark.implicits._
+    Seq((1L, 1.0), (2L, Double.NaN), (3L, 2.0)).toDF("id", "x")
+      .coalesce(1)
+      .write.format(fmt).option("table", "cs_nan").mode("overwrite").save()
+    val t = spark.read.format(fmt).option("table", "cs_nan").load()
+    // Spark semantics: NaN > any finite value — a max stat that ignored
+    // NaN (sealing max=2.0) would wrongly stats-prune this filter
+    val hit = t.filter(col("x") > 100.0).collect()
+    assert(hit.map(_.getLong(0)).toSeq == Seq(2L), s"got ${hit.toSeq}")
+    assert(t.agg(max("x")).head().getDouble(0).isNaN)
+    // all-NaN batch seals NaN bounds, not garbage sentinels
+    Seq((9L, Double.NaN)).toDF("id", "x")
+      .write.format(fmt).option("table", "cs_nan2").mode("overwrite").save()
+    val t2 = spark.read.format(fmt).option("table", "cs_nan2").load()
+    assert(t2.agg(min("x")).head().getDouble(0).isNaN)
+    assert(t2.filter(col("x") > 0.0).count() == 1)
+  }
+
+  test("update rejects key/bucket column assignments (row would not move buckets)") {
+    val g = GraftSession(spark)
+    import spark.implicits._
+    g.createTable("cs_guard", Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      keyColumns = Seq("k"), partitionBy = Seq("k"), buckets = 4)
+    val err = intercept[Exception] {
+      g.update("cs_guard", col("k") === 1L, "k" -> lit(9L))
+    }
+    assert(err.getMessage.contains("cannot assign key/bucket column"), err.getMessage)
+    g.dropTable("cs_guard")
+  }
+
+  test("catalog CREATE TABLE on an existing table fails instead of replacing") {
+    spark.sql("DROP TABLE IF EXISTS graft.cat_dup")
+    spark.sql("CREATE TABLE graft.cat_dup (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.cat_dup VALUES (1, 'a')")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.cat_dup (k BIGINT, v STRING) USING graft")
+    }
+    // the data survived the failed CREATE
+    assert(spark.table("graft.cat_dup").count() == 1)
+    spark.sql("DROP TABLE graft.cat_dup")
+  }
 }
