@@ -73,4 +73,52 @@ object Funnel {
           .as("period_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Last-touch attribution: credit every conversion event to the user's
+    * most recent touch event (any type in `touchTypes`) that happened
+    * strictly before it and within `maxGap` — the standard marketing-
+    * attribution join, expressed as ONE per-user window pass instead of a
+    * self-join: `last(touch, ignoreNulls)` over rows up to (but not
+    * including) the conversion row picks the latest preceding touch in
+    * (ts, event id) order. Conversions with no in-window touch keep NULL
+    * attribution (they count as organic). Output: (conversion event id,
+    * user, conversion ts, touch event id, touch type, gap seconds).
+    *
+    * Scale shape: the type filter pushes into the scan so only touch and
+    * conversion rows survive; the single window exchange is user-keyed
+    * and carries (user, ts, id, type) — never event payloads. No
+    * self-join, no per-user collect; per-partition state is one struct.
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, touchTypes: Seq[String],
+      convType: String, maxGapUs: Long = 0L): DataFrame = {
+    require(touchTypes.nonEmpty, "lastTouchAttribution: need touch types")
+    require(!touchTypes.contains(convType),
+      s"lastTouchAttribution: conversion type '$convType' cannot also be a touch")
+    val tsUs = unix_micros(col(tsCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(tsUs, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val isTouch = col(typeCol).isin(touchTypes: _*)
+    val touch = last(
+      when(isTouch, struct(tsUs.as("ts_us"), col(idCol).as("id"),
+        col(typeCol).as("typ"))),
+      ignoreNulls = true).over(w)
+    val attributed = events
+      .filter(isTouch || col(typeCol) === convType)
+      .withColumn("__ts_us", tsUs)
+      .withColumn("__touch", touch)
+      .filter(col(typeCol) === convType)
+    val inWindow =
+      if (maxGapUs <= 0L) col("__touch").isNotNull
+      else col("__touch.ts_us") >= col("__ts_us") - maxGapUs
+    attributed.select(
+      col(idCol).as("conversion_id"),
+      col(userCol).as("user_id"),
+      col("__ts_us").as("conv_ts_us"),
+      when(inWindow, col("__touch.id")).as("touch_id"),
+      when(inWindow, col("__touch.typ")).as("touch_type"),
+      when(inWindow, col("__ts_us") - col("__touch.ts_us")).as("gap_us"))
+  }
 }

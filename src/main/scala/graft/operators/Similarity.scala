@@ -283,4 +283,48 @@ object Similarity {
       .select(col("label"), col("n"),
         graft.dround(col("__norm"), 4).as("centroid_norm"))
   }
+
+  /** Exact k-nearest-neighbor GRAPH over the corpus — every vector's
+    * top-k cosine neighbors, the substrate of kNN-graph clustering,
+    * SemDeDup refinement, and graph-based ANN index construction
+    * (HNSW/NSG build from exactly this edge list). Output:
+    * (src, rank, dst, cosine), rank 1-based, ties toward the smaller id
+    * (the [[graft.functions.TopKByScore]] contract).
+    *
+    * Scale shape: here the corpus IS the query set, so the
+    * [[bruteForceTopK]] broadcast is the wrong tool. Ordered pairs
+    * instead materialize through the block-partitioned self-join of
+    * [[Dedup.embeddingNearDups]] — each side replicated `blocks`×,
+    * blocks² independent tasks, NO BroadcastNestedLoopJoin and no
+    * single-task cartesian — and each task's pairs reduce through
+    * k-row [[graft.functions.TopKByScore]] partials before the one
+    * src-keyed shuffle (k rows per src, never the n² pair stream).
+    * Quadratic work is inherent to the EXACT graph; beyond ~10⁶ vectors
+    * build the approximate graph instead: assign cells with
+    * [[buildIvfIndex]] and run the same topk_by reduction within cells
+    * ([[semanticNearDups]] shape), or LSH-bucket with
+    * [[withSignatures]].
+    */
+  def knnGraph(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      blocks: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(blocks >= 1, s"blocks must be positive: $blocks")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val blockPairs = (for { g1 <- 0 until blocks; g2 <- 0 until blocks }
+      yield (g1, g2)).toDF("g1", "g2")
+    val base = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .withColumn("g", pmod(xxhash64(col("vid")), lit(blocks)).cast("int"))
+    val l = base.select(col("g").as("g1"), col("vid").as("src"), col("vec").as("va"))
+      .join(broadcast(blockPairs), "g1")
+    val r = base.select(col("g").as("g2"), col("vid").as("dst"), col("vec").as("vb"))
+      .join(broadcast(blockPairs), "g2")
+    l.join(r, Seq("g1", "g2"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"))
+      .agg(topk_by(vec_cosine(col("va"), col("vb")), col("dst"), k).as("topk"))
+      .select(col("src"), posexplode(col("topk")))
+      .select(col("src"), (col("pos") + 1).as("rank"),
+        col("col.id").as("dst"), col("col.score").as("cosine"))
+  }
 }

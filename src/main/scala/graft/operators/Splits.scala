@@ -148,4 +148,31 @@ object Mixture {
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budgetPerDomain)
   }
+
+  /** Class-balanced subsampling — cap every class at `perClass` rows,
+    * chosen by a deterministic pseudorandom rank (the portable md5
+    * uniform of [[Splits.uniformOf]], id tie-break): the standard
+    * rebalancing pass before fine-tuning on skewed label distributions.
+    * Unlike [[resample]] (fixed mixture PROPORTIONS at the largest
+    * feasible size) this fixes an absolute per-class COUNT, so minority
+    * classes pass through whole while majority classes are cut to size.
+    *
+    * Scale shape: one window exchange keyed by the class column carrying
+    * (id, class, hash) — never payloads; rows per window partition =
+    * class size. For few huge classes, pre-filter with a hash-threshold
+    * pass (keep rate ≈ perClass·fudge/n_class via one metadata count) so
+    * the exact rank only sees the expected survivors — same skew note as
+    * [[tokenBudgetPack]].
+    */
+  def classBalance(df: DataFrame, classCol: String, idCol: String,
+      perClass: Int, salt: String = "bal"): DataFrame = {
+    require(perClass >= 1, s"perClass must be positive: $perClass")
+    val u = Splits.uniformOf(Seq(col(idCol).cast("string"), lit(salt)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol))
+      .orderBy(u, col(idCol))
+    df.withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= perClass)
+      .drop("_rank")
+  }
 }

@@ -278,4 +278,82 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(topK)
+
+  /** Hashing-trick linear text classifier — the fastText/quality-
+    * classifier SHAPE (token → hashed feature id → weight; document
+    * score = mean feature weight + bias) with the weight table replaced
+    * by a deterministic md5-derived pseudo-weight in [-1, 1), so the
+    * whole model is engine-portable and the oracle can replay every
+    * score exactly. A real deployment drops in a trained weight table
+    * (token-keyed join, AQE-broadcast while it fits) without changing
+    * the plan shape; the pseudo-weight variant exercises — and
+    * hash-checks — the full scoring machinery.
+    *
+    * Floating sums are order-sensitive, so the fold accumulates the RAW
+    * 40-bit integer hashes (exact, order-independent, overflow-free
+    * below 2²³ tokens/doc) and converts to the mean weight
+    * `(Σh/n)/2³⁹ − 1` with two IEEE ops at the end — both engines
+    * compute the identical double. Output: (id, n_tokens, score).
+    *
+    * Scale shape: a pure scan projection — one md5 per token inside
+    * whole-stage codegen, zero shuffles, zero joins.
+    */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+      bias: Double = 0.0, salt: String = "w"): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val hash = (t: Column) =>
+      org.apache.spark.sql.graft.TextHashExpressions
+        .md5_prefix_long(concat(t, lit("|" + salt)), 10)
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__toks"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (aggregate(col("__toks"), lit(0L), (acc, t) => acc + hash(t))
+          .cast("double") / size(col("__toks")) / (1L << 39).toDouble
+          - 1.0 + bias).as("score"))
+  }
+
+  /** DSIR-shape importance scoring: rank raw documents by how much more
+    * likely a TARGET-domain unigram LM finds them than the RAW-corpus
+    * unigram LM — score = mean over tokens of
+    * `log p_target(tok) - log p_raw(tok)` (the per-token log importance
+    * weight of Data Selection via Importance Resampling, with the
+    * hashed-bigram features reduced to their unigram core). Positive
+    * scores mean "looks like the target domain"; selection is a
+    * threshold or top-k over the score. Unseen tokens take each model's
+    * add-one floor `1/(N+1)` — same convention as
+    * [[unigramCrossEntropy]]. Output: (id, n_tokens, log_ratio).
+    *
+    * Scale shape: the doc token stream explodes ONCE and joins two
+    * token-keyed vocab frames (each bounded by vocab size, AQE-broadcast
+    * while small, bounded-key shuffle beyond); model totals ride as
+    * broadcast single-row frames; the per-doc mean is one doc-keyed
+    * aggregation of (sum, count) partials. No all-pairs, no driver data.
+    */
+  def importanceScore(docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame): DataFrame = {
+    def tokens(df: DataFrame) = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__did"),
+        explode(split(col(textCol), "\\s+")).as("__tok"))
+    def vocab(df: DataFrame, cnt: String) =
+      tokens(df).groupBy("__tok").agg(count(lit(1)).as(cnt))
+    val vt = vocab(target, "__ct")
+    val vr = vocab(docs, "__cr")
+    val totals = vt.agg(sum(col("__ct")).as("__nt"))
+      .crossJoin(vr.agg(sum(col("__cr")).as("__nr")))
+    def logp(c: Column, n: Column) =
+      log(when(c.isNotNull, c.cast("double") / n)
+        .otherwise(lit(1.0) / (n + 1)))
+    tokens(docs)
+      .join(vt, Seq("__tok"), "left")
+      .join(vr, Seq("__tok"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("__did").as(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        avg(logp(col("__ct"), col("__nt")) - logp(col("__cr"), col("__nr")))
+          .as("log_ratio"))
+  }
 }

@@ -240,6 +240,40 @@ object EventQueries {
       signups.join(purchases,
           col("user_id") === col("p_user_id") && col("last_purchase") > col("first_signup"))
         .agg(count(lit(1)).as("n_converted"))
+    },
+
+    // ---- last-touch attribution: every purchase credited to the user's
+    // latest click/view strictly before it and within 1 hour; organic
+    // purchases keep NULL attribution. One user-keyed window pass — the
+    // oracle replays it with three IGNORE-NULLS last_value calls that
+    // all pick the same preceding-touch row ----
+    QueryDef.sql(
+      "q_events_attribution",
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+        |a AS (
+        |  SELECT event_id, user_id, event_type, ts_us,
+        |    last_value(CASE WHEN event_type IN ('click', 'view') THEN ts_us END
+        |      IGNORE NULLS) OVER w AS t_ts,
+        |    last_value(CASE WHEN event_type IN ('click', 'view') THEN event_id END
+        |      IGNORE NULLS) OVER w AS t_id,
+        |    last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+        |      IGNORE NULLS) OVER w AS t_typ
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id AS conversion_id, user_id, ts_us AS conv_ts_us,
+        |  CASE WHEN t_ts >= ts_us - 3600000000 THEN t_id END AS touch_id,
+        |  CASE WHEN t_ts >= ts_us - 3600000000 THEN t_typ END AS touch_type,
+        |  CASE WHEN t_ts >= ts_us - 3600000000 THEN ts_us - t_ts END AS gap_us
+        |FROM a WHERE event_type = 'purchase'
+        |ORDER BY conversion_id""".stripMargin) { (s, dir) =>
+      graft.operators.Funnel.lastTouchAttribution(
+          Tables.load(s, dir, "events"), "user_id", "ts", "event_type",
+          "event_id", touchTypes = Seq("click", "view"),
+          convType = "purchase", maxGapUs = 3600000000L)
+        .orderBy("conversion_id")
     }
   )
 }

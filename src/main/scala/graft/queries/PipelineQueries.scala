@@ -1114,6 +1114,105 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           graft.dround(avg(vec_norm(col("embedding"))), 4).as("avg_norm"))
         .orderBy("label")
+    },
+
+    // ---- class-balanced subsampling: cap every language at 40 docs by
+    // the deterministic md5 rank (minority classes pass through whole).
+    // Oracle replays the identical rank — raw 40-bit hash order equals
+    // the uniform's order (division by 2^40 is monotonic) ----
+    QueryDef.sql(
+      "q_class_balance",
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|bal'), 1, 10) AS BIGINT),
+        |      doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 40
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Mixture.classBalance(Tables.load(s, dir, "documents"),
+          "lang", "doc_id", perClass = 40)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // ---- hashing-trick linear classifier scoring (fastText shape):
+    // every score exactly replayed — the token fold sums exact integer
+    // hashes, so only the final two IEEE ops touch floating point ----
+    QueryDef.sql(
+      "q_quality_classifier",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    sum(CAST('0x' || substr(md5(t || '|w'), 1, 10) AS BIGINT)) AS sh
+        |  FROM toks GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  round(CAST(sh AS DOUBLE) / n_tokens / 549755813888.0 - 1.0, 4) AS score
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.hashedLinearScore(Tables.load(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          graft.dround(col("score"), 4).as("score"))
+        .orderBy("doc_id")
+    },
+
+    // ---- DSIR-shape importance scoring: every doc scored by the
+    // unigram log-likelihood ratio of the target-domain LM (lang='en'
+    // docs) vs the raw-corpus LM; oracle refits both models in SQL ----
+    QueryDef.sql(
+      "q_importance_score",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |ttoks AS (
+        |  SELECT t.doc_id, t.t FROM toks t
+        |  JOIN documents d ON d.doc_id = t.doc_id AND d.lang = 'en'),
+        |vt AS (SELECT t, count(*) AS ct FROM ttoks GROUP BY t),
+        |vr AS (SELECT t, count(*) AS cr FROM toks GROUP BY t),
+        |tot AS (SELECT (SELECT sum(ct) FROM vt) AS nt,
+        |               (SELECT sum(cr) FROM vr) AS nr)
+        |SELECT toks.doc_id, count(*) AS n_tokens,
+        |  round(avg(
+        |    ln(CASE WHEN vt.ct IS NOT NULL THEN vt.ct / CAST(tot.nt AS DOUBLE)
+        |            ELSE 1.0 / (tot.nt + 1) END)
+        |    - ln(CASE WHEN vr.cr IS NOT NULL THEN vr.cr / CAST(tot.nr AS DOUBLE)
+        |              ELSE 1.0 / (tot.nr + 1) END)), 6) AS log_ratio_r
+        |FROM toks
+        |  LEFT JOIN vt ON vt.t = toks.t
+        |  LEFT JOIN vr ON vr.t = toks.t, tot
+        |GROUP BY toks.doc_id ORDER BY toks.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.importanceScore(docs, "doc_id", "text",
+          target = docs.filter(col("lang") === "en"))
+        .select(col("doc_id"), col("n_tokens"),
+          graft.dround(col("log_ratio"), 6).as("log_ratio_r"))
+        .orderBy("doc_id")
+    },
+
+    // ---- exact kNN graph over the embedding corpus (k=3): the edge
+    // list graph-ANN indexes build from. Block-partitioned ordered-pair
+    // join + k-row TopKByScore partials; oracle is the all-pairs window
+    // ranking with the same (score DESC, id ASC) tie rule ----
+    QueryDef.sql(
+      "q_knn_graph",
+      """WITH p AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS c
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT src, dst, c,
+        |        row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rank
+        |      FROM p)
+        |SELECT src, rank, dst, round(c, 4) AS cosine
+        |FROM r WHERE rank <= 3
+        |ORDER BY src, rank""".stripMargin) { (s, dir) =>
+      Similarity.knnGraph(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 3)
+        .select(col("src"), col("rank"), col("dst"),
+          graft.dround(col("cosine"), 4).as("cosine"))
+        .orderBy("src", "rank")
     }
   )
 }

@@ -559,4 +559,88 @@ class PipelineOpsSpec extends SparkTestBase {
     // cluster 1: 11 and 12 tie at len 9 → lower id 11; cluster 2: tie → 20
     assert(got.toSeq == Seq((1L, 11L, 3L, 23L), (2L, 20L, 2L, 8L)))
   }
+
+  test("classBalance caps majority classes, passes minorities whole, reruns identical") {
+    import graft.operators.Mixture
+    import spark.implicits._
+    val df = ((1 to 50).map(i => (i.toLong, "big")) ++
+      Seq((100L, "small"), (101L, "small"))).toDF("id", "cls")
+    def keep() = Mixture.classBalance(df, "cls", "id", perClass = 10)
+      .select("id", "cls").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val k1 = keep()
+    assert(k1.count(_._2 == "big") == 10)
+    assert(k1.count(_._2 == "small") == 2)
+    assert(keep() == k1, "classBalance must be deterministic across runs")
+  }
+
+  test("hashedLinearScore equals the hand-computed mean hash weight") {
+    import org.apache.spark.sql.graft.Md5PrefixLong
+    import org.apache.spark.unsafe.types.UTF8String
+    import spark.implicits._
+    val text = "alpha beta gamma"
+    val df = Seq((1L, text)).toDF("id", "text")
+    val got = graft.operators.TextAnalysis.hashedLinearScore(df, "id", "text")
+      .head()
+    val hs = text.split(" ").map(t =>
+      Md5PrefixLong.hash(UTF8String.fromString(t + "|w"), 10))
+    val expected = hs.sum.toDouble / 3 / (1L << 39).toDouble - 1.0
+    assert(got.getLong(1) == 3L)
+    assert(math.abs(got.getDouble(2) - expected) < 1e-15)
+    assert(expected > -1.0 && expected < 1.0)
+  }
+
+  test("importanceScore: target-like docs score positive, off-target negative") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "x x x", "t"), (2L, "x x y", "t"),
+      (3L, "y y y", "r"), (4L, "y y x", "r")
+    ).toDF("id", "text", "dom")
+    val scored = graft.operators.TextAnalysis
+      .importanceScore(corpus, "id", "text", target = corpus.filter($"dom" === "t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // target LM: p(x)=5/6, p(y)=1/6; raw LM: p(x)=p(y)=1/2
+    val px = math.log(5.0 / 6) - math.log(0.5)
+    val py = math.log(1.0 / 6) - math.log(0.5)
+    assert(math.abs(scored(1L) - px) < 1e-12)
+    assert(math.abs(scored(3L) - py) < 1e-12)
+    assert(math.abs(scored(2L) - (2 * px + py) / 3) < 1e-12)
+    assert(scored(1L) > 0 && scored(3L) < 0)
+  }
+
+  test("knnGraph edges equal bruteForceTopK over the same corpus") {
+    val sub = emb.filter(col("vec_id") < 40)
+    val graph = Similarity.knnGraph(sub, "vec_id", "embedding", k = 3, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(sub, sub, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(graph == brute)
+    assert(graph.size == 40 * 3)
+  }
+
+  test("lastTouchAttribution: latest in-window touch wins, organic stays NULL") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val events = Seq(
+      // user 1: click@10, view@20 → purchase@25 attributes to view@20
+      (1L, 1L, "click", ts(10)), (2L, 1L, "view", ts(20)),
+      (3L, 1L, "purchase", ts(25)),
+      // user 2: touch too old for the 60s gap → NULL attribution
+      (4L, 2L, "click", ts(0)), (5L, 2L, "purchase", ts(100)),
+      // user 3: purchase with no touch at all → NULL
+      (6L, 3L, "purchase", ts(50)),
+      // user 1 second purchase@30: still the view@20 (not the purchase@25)
+      (7L, 1L, "purchase", ts(30))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.operators.Funnel.lastTouchAttribution(
+        events, "user_id", "ts", "event_type", "event_id",
+        touchTypes = Seq("click", "view"), convType = "purchase",
+        maxGapUs = 60L * 1000 * 1000)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(5)))))
+      .toMap
+    assert(got(3L) == Some((2L, 5L * 1000 * 1000)))
+    assert(got(7L) == Some((2L, 10L * 1000 * 1000)))
+    assert(got(5L).isEmpty)
+    assert(got(6L).isEmpty)
+  }
 }
