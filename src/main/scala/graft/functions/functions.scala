@@ -15,6 +15,8 @@ object VectorExpressions {
     org.apache.spark.sql.graft.VectorExpressions.vec_norm(a)
   def srp_sigs(a: Column, bits: Int, tables: Int, seed: Long = 42L): Column =
     org.apache.spark.sql.graft.VectorExpressions.srp_sigs(a, bits, tables, seed)
+  def topk_cosine_local(pack: Column, query: Column, selfId: Column, k: Int): Column =
+    org.apache.spark.sql.graft.VectorExpressions.topk_cosine_local(pack, query, selfId, k)
 }
 
 object TopKAggregate {

@@ -292,18 +292,23 @@ object Similarity {
     * (the [[graft.functions.TopKByScore]] contract).
     *
     * Scale shape: here the corpus IS the query set, so the
-    * [[bruteForceTopK]] broadcast is the wrong tool. Ordered pairs
-    * instead materialize through the block-partitioned self-join of
-    * [[Dedup.embeddingNearDups]] — each side replicated `blocks`×,
-    * blocks² independent tasks, NO BroadcastNestedLoopJoin and no
-    * single-task cartesian — and each task's pairs reduce through
-    * k-row [[graft.functions.TopKByScore]] partials before the one
-    * src-keyed shuffle (k rows per src, never the n² pair stream).
-    * Quadratic work is inherent to the EXACT graph; beyond ~10⁶ vectors
-    * build the approximate graph instead: assign cells with
-    * [[buildIvfIndex]] and run the same topk_by reduction within cells
-    * ([[semanticNearDups]] shape), or LSH-bucket with
-    * [[withSignatures]].
+    * [[bruteForceTopK]] broadcast is the wrong tool. The corpus packs
+    * into `blocks` rows (one `array<struct<id, vec>>` per block); every
+    * query row replicates once per block (an equi-join against the
+    * literal combo frame — no BroadcastNestedLoopJoin, no cartesian)
+    * and probes the matching pack through the fused
+    * [[graft.functions.VectorExpressions.topk_cosine_local]] kernel, so
+    * the n² pair stream NEVER materializes as rows — each probe emits k
+    * structs, and per-block winners merge through k-row
+    * [[graft.functions.TopKByScore]] partials in the one src-keyed
+    * shuffle (the join-row formulation measured 4× slower at sf0.1:
+    * 3.5 s vs 0.8 s — pair-row materialization, not cosine flops,
+    * dominated it). Pick `blocks` so a pack stays O(MB): replication is
+    * queries×blocks rows, pack bytes are corpus/blocks each. Quadratic
+    * WORK is inherent to the EXACT graph; beyond ~10⁶ vectors build the
+    * approximate graph instead: assign cells with [[buildIvfIndex]] and
+    * probe within cells ([[semanticNearDups]] shape), or LSH-bucket
+    * with [[withSignatures]].
     */
   def knnGraph(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       blocks: Int = 8): DataFrame = {
@@ -311,18 +316,30 @@ object Similarity {
     require(blocks >= 1, s"blocks must be positive: $blocks")
     val spark = vecs.sparkSession
     import spark.implicits._
-    val blockPairs = (for { g1 <- 0 until blocks; g2 <- 0 until blocks }
-      yield (g1, g2)).toDF("g1", "g2")
+    import graft.functions.VectorExpressions.topk_cosine_local
+    val combos = (for { g <- 0 until blocks; g2 <- 0 until blocks }
+      yield (g, g2)).toDF("g", "g2")
     val base = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
       .withColumn("g", pmod(xxhash64(col("vid")), lit(blocks)).cast("int"))
-    val l = base.select(col("g").as("g1"), col("vid").as("src"), col("vec").as("va"))
-      .join(broadcast(blockPairs), "g1")
-    val r = base.select(col("g").as("g2"), col("vid").as("dst"), col("vec").as("vb"))
-      .join(broadcast(blockPairs), "g2")
-    l.join(r, Seq("g1", "g2"))
-      .filter(col("src") =!= col("dst"))
+    val packs = base.groupBy(col("g").as("g2"))
+      .agg(collect_list(struct(col("vid").as("id"), col("vec"))).as("pack"))
+    // The probe stage is CPU-bound, not size-bound: without an explicit
+    // spread, broadcast joins inherit the (tiny) source partitioning and
+    // the whole n²/blocks² cosine work lands in one task — and AQE would
+    // coalesce a size-based shuffle right back. The explicit-count
+    // round-robin pins probe parallelism to the cluster, a few hundred
+    // lightweight rows per task; at fleet scale the pack join degrades
+    // to a g2-keyed shuffle join whose parallelism is `blocks` (sized
+    // with the corpus), and packs never replicate per probe row.
+    val parallelism = math.max(vecs.sparkSession.sparkContext.defaultParallelism,
+      blocks)
+    base.join(broadcast(combos), "g")
+      .repartition(parallelism)
+      .join(packs, "g2")
+      .select(col("vid").as("src"),
+        posexplode(topk_cosine_local(col("pack"), col("vec"), col("vid"), k)))
       .groupBy(col("src"))
-      .agg(topk_by(vec_cosine(col("va"), col("vb")), col("dst"), k).as("topk"))
+      .agg(topk_by(col("col.score"), col("col.id"), k).as("topk"))
       .select(col("src"), posexplode(col("topk")))
       .select(col("src"), (col("pos") + 1).as("rank"),
         col("col.id").as("dst"), col("col.score").as("cosine"))
