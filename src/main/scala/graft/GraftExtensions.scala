@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(session => RowLevelSecurityRule(session))
+    e.injectResolutionRule(session => org.apache.spark.sql.graft.GrantCheckRule(session))
 
     // Snappy statement surface (PUT INTO, UPDATE/DELETE on managed
     // tables, CREATE POLICY, CREATE SAMPLE TABLE, CREATE TABLE USING

@@ -61,3 +61,90 @@ case class RowLevelSecurityRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
   }
 }
+
+/** Table-level privileges: `GRANT/REVOKE <priv> ON t TO/FROM user` —
+  * the rebuild of the reference's SQL-routed authorization surface
+  * (reference: SnappyDDLParser.grantRevokeExternal:837, which forwards
+  * grant/revoke to the store's SQL auth). A table becomes RESTRICTED on
+  * its first GRANT: from then on only the owner and granted users pass
+  * the check; REVOKE removes privileges, and dropping the last grant
+  * keeps the table restricted (matching SQL-auth semantics — revoking
+  * everyone does not re-open the table).
+  *
+  * Enforcement is at the SQL/analysis surface like the reference's
+  * (SELECT via [[GrantCheckRule]] during resolution; mutation statements
+  * check in their commands). `PolicyRegistry.currentUser` doubles as the
+  * session identity, so RLS and grants agree on who is asking.
+  */
+object GrantRegistry {
+
+  private val grants = TrieMap.empty[(String, String), Set[String]]
+  private val restricted = TrieMap.empty[String, String] // table -> owner
+
+  def grant(table: String, users: Seq[String], privs: Seq[String],
+      owner: String = "admin"): Unit = {
+    val t = table.toLowerCase
+    restricted.putIfAbsent(t, owner)
+    val ps = privs.map(_.toUpperCase).toSet
+    users.foreach { u =>
+      val key = (t, u.toLowerCase)
+      grants.put(key, grants.getOrElse(key, Set.empty) ++ ps)
+    }
+  }
+
+  def revoke(table: String, users: Seq[String], privs: Seq[String]): Unit = {
+    val t = table.toLowerCase
+    val ps = privs.map(_.toUpperCase).toSet
+    users.foreach { u =>
+      val key = (t, u.toLowerCase)
+      val left =
+        if (ps.contains("ALL")) Set.empty[String]
+        else grants.getOrElse(key, Set.empty) -- ps
+      if (left.isEmpty) grants.remove(key) else grants.put(key, left)
+    }
+  }
+
+  /** True when `user` may perform `priv` on `table` (tables with no
+    * grants ever issued are unrestricted).
+    */
+  def allowed(table: String, user: String, priv: String): Boolean = {
+    val t = table.toLowerCase
+    restricted.get(t) match {
+      case None => true
+      case Some(owner) =>
+        val u = user.toLowerCase
+        u == owner.toLowerCase || {
+          val ps = grants.getOrElse((t, u), Set.empty)
+          ps.contains("ALL") || ps.contains(priv.toUpperCase)
+        }
+    }
+  }
+
+  def check(table: String, priv: String): Unit = {
+    val user = PolicyRegistry.currentUser
+    if (!allowed(table, user, priv))
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3105",
+        messageParameters = Map("message" ->
+          s"user '$user' lacks $priv permission on table '$table'"))
+  }
+
+  def clear(): Unit = { grants.clear(); restricted.clear() }
+
+  def isEmpty: Boolean = restricted.isEmpty
+}
+
+/** Analyzer rule enforcing SELECT grants: any restricted relation read by
+  * a non-privileged user fails analysis (mutation privileges are checked
+  * in the Graft DML commands, which is where those statements route).
+  */
+case class GrantCheckRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (GrantRegistry.isEmpty) return plan
+    plan.foreachUp {
+      case SubqueryAlias(ident, _) => GrantRegistry.check(ident.name, "SELECT")
+      case _ =>
+    }
+    plan
+  }
+}

@@ -135,6 +135,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftCreateTableLikeCommand(n, s)
       case Some(StreamingCtl(a, arg)) =>
         GraftStreamingCtlCommand(a, arg)
+      case Some(GrantRevoke(isGrant, privs, t, users)) =>
+        GraftGrantRevokeCommand(isGrant, privs, t, users)
       case _ => delegate.parsePlan(rewritten)
     }
   }
@@ -170,6 +172,7 @@ case class GraftPutIntoCommand(table: String, source: LogicalPlan)
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.graft.GrantRegistry.check(table, "INSERT")
     graft.GraftSession(spark).putInto(table, Dataset.ofRows(classic, source))
     Nil
   }
@@ -179,6 +182,7 @@ case class GraftUpdateCommand(table: String, assigns: Seq[(String, String)],
     where: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.expr
+    org.apache.spark.sql.graft.GrantRegistry.check(table, "UPDATE")
     graft.GraftSession(spark).update(table, expr(where),
       assigns.map { case (k, e) => k -> expr(e) }: _*)
     Nil
@@ -189,7 +193,19 @@ case class GraftDeleteCommand(table: String, where: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.expr
+    org.apache.spark.sql.graft.GrantRegistry.check(table, "DELETE")
     graft.GraftSession(spark).delete(table, expr(where))
+    Nil
+  }
+}
+
+case class GraftGrantRevokeCommand(isGrant: Boolean, privs: Seq[String],
+    table: String, users: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.graft.{GrantRegistry, PolicyRegistry}
+    if (isGrant)
+      GrantRegistry.grant(table, users, privs, owner = PolicyRegistry.currentUser)
+    else GrantRegistry.revoke(table, users, privs)
     Nil
   }
 }

@@ -63,6 +63,9 @@ object GraftStatements extends RegexParsers {
     */
   final case class StreamingCtl(action: String, arg: Option[String]) extends Stmt
 
+  final case class GrantRevoke(isGrant: Boolean, privs: Seq[String],
+      table: String, users: Seq[String]) extends Stmt
+
   override def skipWhitespace = true
 
   private def kw(s: String): Parser[String] = ("(?i)" + s + "\\b").r
@@ -254,11 +257,25 @@ object GraftStatements extends RegexParsers {
       kw("START") ^^^ StreamingCtl("start", None) |
       kw("STOP") ^^^ StreamingCtl("stop", None))
 
+  // GRANT/REVOKE <priv, ...> ON [TABLE] t TO/FROM user[, ...]
+  // (reference SnappyDDLParser.grantRevokeExternal:837)
+  private def privWord: Parser[String] =
+    (kw("SELECT") | kw("INSERT") | kw("UPDATE") | kw("DELETE") |
+      kw("ALL")) ^^ (_.toUpperCase)
+
+  private def grantRevoke: Parser[Stmt] =
+    (kw("GRANT") ^^^ true | kw("REVOKE") ^^^ false) ~
+      rep1sep(privWord, ",") ~
+      (kw("ON") ~> opt(kw("TABLE")) ~> ident) ~
+      ((kw("TO") | kw("FROM")) ~> rep1sep(ident, ",")) ^^ {
+        case isGrant ~ privs ~ t ~ users => GrantRevoke(isGrant, privs, t, users)
+      }
+
   private def statement: Parser[Stmt] =
     putInto | createPolicy | dropPolicy | createSample | createStream |
       createIndex | dropIndex | createFunction | createTableLike |
       createTableUsing | alterDrop | alterAdd | truncateTable |
-      streamingCtl | update | delete
+      streamingCtl | grantRevoke | update | delete
 
   /** None = not a graft statement (caller delegates to Spark's parser). */
   def parse(text: String): Option[Stmt] = {

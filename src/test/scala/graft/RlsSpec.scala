@@ -29,6 +29,61 @@ class RlsSpec extends SparkTestBase {
     }
   }
 
+  test("GRANT/REVOKE: select gate, mutation gate, owner immunity") {
+    import org.apache.spark.sql.graft.GrantRegistry
+    val g = GraftSession(spark)
+    Tables.registerAll(spark, sf)
+    try {
+      g.setCurrentUser("owner_a")
+      spark.sql("GRANT SELECT ON TABLE nation TO alice")
+
+      // owner always passes
+      assert(spark.sql("SELECT count(*) FROM nation").head().getLong(0) == 25)
+
+      // granted user passes
+      g.setCurrentUser("alice")
+      assert(spark.sql("SELECT count(*) FROM nation").head().getLong(0) == 25)
+
+      // ungranted user fails analysis
+      g.setCurrentUser("mallory")
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT count(*) FROM nation").collect()
+      }
+      assert(e.getMessage.contains("lacks SELECT"))
+
+      // unrestricted tables stay open for everyone
+      assert(spark.sql("SELECT count(*) FROM region").head().getLong(0) == 5)
+
+      // SELECT grant does not imply UPDATE on a managed table
+      g.setCurrentUser("owner_a")
+      spark.sql("CREATE TABLE gr_t USING column AS SELECT * FROM nation")
+      spark.sql("GRANT SELECT ON gr_t TO alice")
+      g.setCurrentUser("alice")
+      val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("UPDATE gr_t SET n_name = 'X' WHERE n_nationkey = 1")
+      }
+      assert(e2.getMessage.contains("lacks UPDATE"))
+
+      // after GRANT UPDATE it goes through
+      g.setCurrentUser("owner_a")
+      spark.sql("GRANT UPDATE ON gr_t TO alice")
+      g.setCurrentUser("alice")
+      spark.sql("UPDATE gr_t SET n_name = 'X' WHERE n_nationkey = 1")
+
+      // REVOKE closes the gate again
+      g.setCurrentUser("owner_a")
+      spark.sql("REVOKE SELECT, UPDATE ON gr_t FROM alice")
+      g.setCurrentUser("alice")
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT count(*) FROM gr_t").collect()
+      }
+    } finally {
+      g.setCurrentUser("default")
+      GrantRegistry.clear()
+      spark.sql("DROP TABLE IF EXISTS gr_t")
+    }
+  }
+
   test("sql-registered custom functions work through the extension") {
     Tables.registerAll(spark, sf)
     val r = spark.sql(
