@@ -314,6 +314,51 @@ object TextAnalysis {
           - 1.0 + bias).as("score"))
   }
 
+  /** Bigram-LM cross-entropy — one LM order up from
+    * [[unigramCrossEntropy]], the statistical core of KenLM-style
+    * perplexity filtering: score a document by the mean negative log of
+    * the add-one-smoothed conditional bigram probability
+    * `p(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)` under counts fit on
+    * the scored corpus itself (V = corpus unigram vocabulary size;
+    * `c(w1 ·)` counts w1 as a bigram prefix, so the two count tables
+    * come from ONE bigram stream). Documents under two tokens have no
+    * bigrams and drop out. Output: (id, n_bigrams, xent2).
+    *
+    * Scale shape: the bigram stream explodes inside the scan and reduces
+    * through bigram-keyed map-side-combinable aggregates (bounded by
+    * bigram vocabulary, not corpus size); scoring joins are
+    * bigram/prefix-keyed (AQE broadcasts while small, bounded-key
+    * shuffles beyond); V and nothing else crosses the driver — it rides
+    * as a broadcast single-row frame.
+    */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), "\\s+")
+    val bigrams = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__did"), toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("__did"), explode(
+        transform(sequence(lit(1), size(col("__t")) - 1),
+          i => concat_ws(" ", element_at(col("__t"), i), element_at(col("__t"), i + 1))))
+        .as("__bg"))
+    val c2 = bigrams.groupBy("__bg").agg(count(lit(1)).as("__c2"))
+    val c1 = c2
+      .withColumn("__w1", substring_index(col("__bg"), " ", 1))
+      .groupBy("__w1").agg(sum(col("__c2")).as("__c1"))
+    val vocab = docs.filter(col(textCol).isNotNull)
+      .select(explode(toks).as("__tok")).agg(count_distinct(col("__tok")).as("__v"))
+    bigrams
+      .join(c2, "__bg")
+      .withColumn("__w1", substring_index(col("__bg"), " ", 1))
+      .join(c1, "__w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("__did").as(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        avg(-log((col("__c2") + 1).cast("double") / (col("__c1") + col("__v"))))
+          .as("xent2"))
+  }
+
   /** DSIR-shape importance scoring: rank raw documents by how much more
     * likely a TARGET-domain unigram LM finds them than the RAW-corpus
     * unigram LM — score = mean over tokens of

@@ -1191,6 +1191,70 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- bigram-LM cross-entropy (KenLM-shape perplexity filtering,
+    // one order above q_lm_score): add-one-smoothed p(w2|w1), counts and
+    // vocabulary refit by the oracle ----
+    QueryDef.sql(
+      "q_lm_bigram",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+        |  FROM toks WHERE len(t) >= 2),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL) u)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  round(avg(-ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v))), 6) AS xent2_r
+        |FROM bg b
+        |  JOIN c2 USING (bg)
+        |  JOIN c1 ON c1.w1 = split_part(b.bg, ' ', 1), v
+        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.bigramCrossEntropy(Tables.load(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          graft.dround(col("xent2"), 6).as("xent2_r"))
+        .orderBy("doc_id")
+    },
+
+    // ---- quantile binning: decile boundaries from ONE exact-percentile
+    // aggregate, then a scan-fused bucket assignment — the scalable form
+    // of ntile (a global ntile window is a single-reducer sort at
+    // 100 TB; boundary-compare binning is one agg + one scan) ----
+    QueryDef.sql(
+      "q_length_deciles",
+      """WITH b AS (
+        |  SELECT quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        |  FROM documents),
+        |assigned AS (
+        |  -- boundaries round to 6 decimals on BOTH sides: interpolated
+        |  -- quantiles of integer data can differ in the last ulp across
+        |  -- engines, and an unrounded boundary within an ulp of an
+        |  -- integer length would flip that whole length's bucket
+        |  SELECT d.n_chars,
+        |    1 + CAST(sum(CASE WHEN d.n_chars > round(q, 6) THEN 1 ELSE 0 END) AS INT) AS decile
+        |  FROM documents d, (SELECT unnest(qs) AS q FROM b) u
+        |  GROUP BY d.doc_id, d.n_chars)
+        |SELECT decile, count(*) AS n, min(n_chars) AS min_len, max(n_chars) AS max_len
+        |FROM assigned GROUP BY decile ORDER BY decile""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val qs = docs.agg(percentile(col("n_chars"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("qs"))
+      docs.crossJoin(broadcast(qs))
+        .select(col("n_chars"),
+          (aggregate(col("qs"), lit(0),
+            (acc, q) => acc + when(col("n_chars") > graft.dround(q, 6), 1).otherwise(0)) + 1)
+            .as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("min_len"), max(col("n_chars")).as("max_len"))
+        .orderBy("decile")
+    },
+
     // ---- exact kNN graph over the embedding corpus (k=3): the edge
     // list graph-ANN indexes build from. Block-partitioned ordered-pair
     // join + k-row TopKByScore partials; oracle is the all-pairs window

@@ -492,6 +492,32 @@ object RelationalQueries {
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("doc_id"), col("tok"))
+    },
+
+    // ---- ntile window (§2.5): customer account-balance quartiles
+    // within each nation, reduced to per-(nation, quartile) stats; the
+    // window key is the nation — same bounded-partition window pattern
+    // as the other q_window_* queries ----
+    QueryDef.sql(
+      "q_ntile_quartiles",
+      """WITH q AS (
+        |  SELECT c_nationkey, c_acctbal,
+        |    ntile(4) OVER (PARTITION BY c_nationkey
+        |                   ORDER BY c_acctbal, c_custkey) AS quartile
+        |  FROM customer)
+        |SELECT c_nationkey, quartile, count(*) AS n,
+        |  round(avg(c_acctbal), 4) AS avg_bal
+        |FROM q GROUP BY c_nationkey, quartile
+        |ORDER BY c_nationkey, quartile""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.load(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"))
+        .groupBy(col("c_nationkey"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          graft.dround(avg(col("c_acctbal")), 4).as("avg_bal"))
+        .orderBy(col("c_nationkey"), col("quartile"))
     }
   )
 }

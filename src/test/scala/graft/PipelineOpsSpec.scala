@@ -607,6 +607,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(scored(1L) > 0 && scored(3L) < 0)
   }
 
+  test("bigramCrossEntropy matches hand math; sub-2-token docs drop out") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b a b"), (2L, "x")).toDF("id", "text")
+    val got = graft.operators.TextAnalysis.bigramCrossEntropy(corpus, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // bigrams: "a b"(c2=2), "b a"(1), "a b"; prefixes: a->2, b->1; V=3 (a,b,x)
+    val pab = 3.0 / (2 + 3) // (2+1)/(c1(a)+V)
+    val pba = 2.0 / (1 + 3)
+    val expected = -(math.log(pab) + math.log(pba) + math.log(pab)) / 3
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - expected) < 1e-12)
+    assert(!got.contains(2L))
+  }
+
   test("knnGraph edges equal bruteForceTopK over the same corpus") {
     val sub = emb.filter(col("vec_id") < 40)
     val graph = Similarity.knnGraph(sub, "vec_id", "embedding", k = 3, blocks = 4)
