@@ -158,6 +158,51 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming last-touch attribution matches the batch operator on in-order batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // (event_id, user_id, event_type, ts) — split into two in-order
+    // micro-batches; the second batch's conversion must attribute to a
+    // touch carried in STATE from the first batch
+    val batch1 = Seq(
+      (1L, 1L, "click", ts(10)), (2L, 1L, "view", ts(20)),
+      (3L, 1L, "purchase", ts(25)),
+      (4L, 2L, "click", ts(0)))
+    val batch2 = Seq(
+      (5L, 2L, "purchase", ts(100)), // touch too old for the 60s gap
+      (6L, 3L, "purchase", ts(50)), // organic
+      (7L, 1L, "purchase", ts(30))) // view@20 from batch 1's state
+    val mem = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val out = graft.streaming.StreamingAttribution.lastTouch(
+      mem.toDS().toDF("event_id", "user_id", "event_type", "ts"),
+      "user_id", "ts", "event_type", "event_id",
+      touchTypes = Seq("click", "view"), convType = "purchase",
+      maxGapUs = 60L * 1000 * 1000)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(5)) -1L else r.getLong(5))).toSet
+      val batch = graft.operators.Funnel.lastTouchAttribution(
+          (batch1 ++ batch2).toDF("event_id", "user_id", "event_type", "ts"),
+          "user_id", "ts", "event_type", "event_id",
+          touchTypes = Seq("click", "view"), convType = "purchase",
+          maxGapUs = 60L * 1000 * 1000)
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(5)) -1L else r.getLong(5))).toSet
+      assert(streamed == batch)
+      assert(streamed == Set((3L, 2L, 5000000L), (5L, -1L, -1L),
+        (6L, -1L, -1L), (7L, 2L, 10000000L)))
+    } finally q.stop()
+  }
+
   test("CREATE STREAM TABLE registers a streaming source queryable by SQL") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_stream").toFile
