@@ -69,4 +69,53 @@ object Retrieval {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Hybrid lexical+semantic retrieval fused by Reciprocal Rank Fusion
+    * (Cormack et al., SIGIR'09 — the standard ensemble for BM25 +
+    * dense-vector search): each arm contributes `1 / (rrfK + rank)` for
+    * its top-`armK` hits, fused scores rank the final top-`topK`. The
+    * lexical arm is [[bm25]] over the query terms; the semantic arm is
+    * cosine similarity against the query embedding (here: the corpus
+    * vector with id `queryVecId`, so the whole operator is replayable).
+    * Arm ranks tie-break by id over the ROUNDED arm scores — integral
+    * ranks make the fused score bit-exact across engines. Output:
+    * (id, rrf, r_lex, r_sem) — NULL arm rank when the doc only surfaced
+    * in the other arm.
+    *
+    * Scale shape: each arm is a corpus scan reduced to `armK` rows
+    * (BM25's 1-row stats broadcast + sort-limit partials; one fused
+    * cosine per vector + sort-limit partials); fusion is a full outer
+    * join of two armK-row frames — bounded work after the scans,
+    * nothing quadratic, no payload shuffles.
+    */
+  def hybridRrf(docs: DataFrame, embs: DataFrame,
+      idCol: String, textCol: String, vecIdCol: String, vecCol: String,
+      terms: Seq[String], queryVecId: Long,
+      rrfK: Int = 60, armK: Int = 100, topK: Int = 20): DataFrame = {
+    import graft.functions.VectorExpressions.vec_cosine
+    val lexW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col(idCol))
+    val lex = bm25(docs, idCol, textCol, terms, topK = armK)
+      .withColumn("r_lex", row_number().over(lexW))
+      .select(col(idCol).as("id"), col("r_lex"))
+    val qv = embs.filter(col(vecIdCol) === queryVecId)
+      .select(col(vecCol).as("__qv"))
+    val semW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col(vecIdCol))
+    val sem = embs.crossJoin(broadcast(qv))
+      .select(col(vecIdCol),
+        graft.dround(vec_cosine(col(vecCol), col("__qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col(vecIdCol))
+      .limit(armK)
+      .withColumn("r_sem", row_number().over(semW))
+      .select(col(vecIdCol).as("id"), col("r_sem"))
+    lex.join(sem, Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_sem")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(topK)
+      .select(col("id"), graft.dround(col("rrf"), 6).as("rrf"),
+        col("r_lex"), col("r_sem"))
+  }
 }

@@ -1013,6 +1013,62 @@ object PipelineQueries {
         terms = Seq("spark", "dup", "sort"), k1 = 1.2, b = 0.75, topK = 20)
     },
 
+    // ---- hybrid retrieval: BM25 + query-embedding cosine fused by
+    // Reciprocal Rank Fusion; arm ranks computed over ROUNDED arm
+    // scores (id tie-break) so the integral ranks — and therefore the
+    // fused score — are bit-exact across engines ----
+    QueryDef.sql(
+      "q_hybrid_retrieval",
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |t AS (
+        |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf_0,
+        |    CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE) AS tf_1,
+        |    CAST(len(list_filter(toks, x -> x = 'sort')) AS DOUBLE) AS tf_2
+        |  FROM d),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+        |    sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+        |    sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+        |  FROM t),
+        |lexall AS (
+        |  SELECT doc_id, round(
+        |      ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+        |        * tf_0 * 2.2 / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
+        |        * tf_1 * 2.2 / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))
+        |        * tf_2 * 2.2 / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+        |    4) AS bm25
+        |  FROM t, s),
+        |lex AS (
+        |  SELECT doc_id AS id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+        |  FROM lexall QUALIFY r_lex <= 100),
+        |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |semall AS (
+        |  SELECT vec_id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |                                 CAST(q AS DOUBLE[])), 4) AS cos
+        |  FROM embeddings, qv),
+        |sem AS (
+        |  SELECT vec_id AS id, row_number() OVER (ORDER BY cos DESC, vec_id) AS r_sem
+        |  FROM semall QUALIFY r_sem <= 100)
+        |SELECT coalesce(lex.id, sem.id) AS id,
+        |  round(coalesce(1.0 / (60 + r_lex), 0) + coalesce(1.0 / (60 + r_sem), 0), 6) AS rrf,
+        |  r_lex, r_sem
+        |FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+        |ORDER BY coalesce(1.0 / (60 + r_lex), 0) + coalesce(1.0 / (60 + r_sem), 0) DESC,
+        |  coalesce(lex.id, sem.id)
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      Retrieval.hybridRrf(
+        Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"),
+        "doc_id", "text", "vec_id", "embedding",
+        terms = Seq("spark", "dup", "sort"), queryVecId = 0L)
+    },
+
     // ---- corpus vocabulary (tokenizer-vocab construction): exact
     // per-token totals + doc frequency via two map-combinable aggs ----
     QueryDef.sql(
