@@ -98,8 +98,11 @@ object Retrieval {
     val lex = bm25(docs, idCol, textCol, terms, topK = armK)
       .withColumn("r_lex", row_number().over(lexW))
       .select(col(idCol).as("id"), col("r_lex"))
+    // grouping-free aggregate → provably ONE row for the broadcast side
+    // (a bare filter+select is not: the planner — and the scale audit —
+    // can't bound its cardinality)
     val qv = embs.filter(col(vecIdCol) === queryVecId)
-      .select(col(vecCol).as("__qv"))
+      .agg(first(col(vecCol)).as("__qv"))
     val semW = org.apache.spark.sql.expressions.Window
       .orderBy(col("cos").desc, col(vecIdCol))
     val sem = embs.crossJoin(broadcast(qv))

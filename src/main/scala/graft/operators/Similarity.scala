@@ -344,4 +344,47 @@ object Similarity {
       .select(col("src"), (col("pos") + 1).as("rank"),
         col("col.id").as("dst"), col("col.score").as("cosine"))
   }
+
+  /** Hard-negative mining for contrastive training: every vector's top-k
+    * most-similar neighbors carrying a DIFFERENT label — the
+    * high-similarity cross-label pairs a dual-encoder trains against.
+    * Same packed-kernel machinery as [[knnGraph]], with packs keyed by
+    * (block, label) so the label inequality prunes BEFORE the kernel
+    * runs: a probe row meets only the packs of other labels, and the
+    * per-src top-k is computed after the filter (a prebuilt all-label
+    * graph cannot answer this — its top-k may be all same-label).
+    * Output: (src, rank, dst, cosine).
+    *
+    * Scale shape: [[knnGraph]]'s — the pack count grows to
+    * blocks × |labels| (still bounded), probe replication to
+    * blocks × (|labels| − 1) rows per vector, pair work unchanged and
+    * fully kernel-fused; k-row `TopKByScore` partials feed the one
+    * src-keyed shuffle.
+    */
+  def hardNegatives(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, blocks: Int = 8): DataFrame = {
+    import graft.functions.VectorExpressions.topk_cosine_local
+    require(k >= 1, s"k must be positive: $k")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val combos = (for { g <- 0 until blocks; g2 <- 0 until blocks }
+      yield (g, g2)).toDF("g", "g2")
+    val base = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"),
+        col(labelCol).as("lbl"))
+      .withColumn("g", pmod(xxhash64(col("vid")), lit(blocks)).cast("int"))
+    val packs = base.groupBy(col("g").as("g2"), col("lbl").as("lbl_b"))
+      .agg(collect_list(struct(col("vid").as("id"), col("vec"))).as("pack"))
+    val parallelism = math.max(spark.sparkContext.defaultParallelism, blocks)
+    base.join(broadcast(combos), "g")
+      .repartition(parallelism)
+      .join(packs, Seq("g2"))
+      .filter(col("lbl") =!= col("lbl_b"))
+      .select(col("vid").as("src"),
+        posexplode(topk_cosine_local(col("pack"), col("vec"), col("vid"), k)))
+      .groupBy(col("src"))
+      .agg(topk_by(col("col.score"), col("col.id"), k).as("topk"))
+      .select(col("src"), posexplode(col("topk")))
+      .select(col("src"), (col("pos") + 1).as("rank"),
+        col("col.id").as("dst"), col("col.score").as("cosine"))
+  }
 }

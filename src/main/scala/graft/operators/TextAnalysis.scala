@@ -314,6 +314,38 @@ object TextAnalysis {
           - 1.0 + bias).as("score"))
   }
 
+  /** One-row corpus profile — the "data card" summary a curation run
+    * reports: document count, total whitespace tokens, length min/max/
+    * mean, Shannon entropy of the language distribution (nats), and the
+    * exact-duplicate rate (1 − distinct content hashes / docs).
+    *
+    * Scale shape: one full-scan aggregation with map-side partials for
+    * the scalar stats, one lang-keyed aggregate (bounded by |languages|)
+    * for the entropy, and one content-hash distinct-count (the same
+    * hash-keyed shuffle class as exact dedup); the three single-row
+    * frames cross-join at the end — driver traffic is one row.
+    */
+  def corpusProfile(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, lenCol: String): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+    val scalars = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(trim(col(textCol)), "\\s+")).cast("long")).as("total_tokens"),
+      min(col(lenCol)).cast("long").as("min_len"),
+      max(col(lenCol)).cast("long").as("max_len"),
+      graft.dround(avg(col(lenCol)), 4).as("avg_len"))
+    val langTotal = base.agg(count(lit(1)).as("__tot"))
+    val entropy = base.groupBy(col(langCol)).agg(count(lit(1)).as("__n"))
+      .crossJoin(broadcast(langTotal))
+      .select((col("__n").cast("double") / col("__tot")).as("__p"))
+      .agg(graft.dround(-sum(col("__p") * log(col("__p"))), 6).as("lang_entropy"))
+    val dups = base.agg(count_distinct(md5(col(textCol))).as("__uniq"),
+        count(lit(1)).as("__n"))
+      .select(graft.dround(
+        lit(1.0) - col("__uniq").cast("double") / col("__n"), 6).as("dup_rate"))
+    scalars.crossJoin(entropy).crossJoin(dups)
+  }
+
   /** Bigram-LM cross-entropy — one LM order up from
     * [[unigramCrossEntropy]], the statistical core of KenLM-style
     * perplexity filtering: score a document by the mean negative log of

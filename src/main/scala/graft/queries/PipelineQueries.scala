@@ -1247,6 +1247,57 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- hard-negative mining (contrastive-training data prep): each
+    // vector's top-3 most-similar neighbors with a DIFFERENT label —
+    // high-similarity cross-label pairs are the canonical hard negatives.
+    // Same packed-kernel kNN machinery, label filter after the graph ----
+    QueryDef.sql(
+      "q_hard_negatives",
+      """WITH p AS (
+        |  SELECT a.vec_id AS src, a.label AS src_label, b.vec_id AS dst,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS c
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id <> b.vec_id AND a.label <> b.label),
+        |r AS (SELECT src, dst, c,
+        |        row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rank
+        |      FROM p)
+        |SELECT src, rank, dst, round(c, 4) AS cosine
+        |FROM r WHERE rank <= 3
+        |ORDER BY src, rank""".stripMargin) { (s, dir) =>
+      Similarity.hardNegatives(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", k = 3)
+        .select(col("src"), col("rank"), col("dst"),
+          graft.dround(col("cosine"), 4).as("cosine"))
+        .orderBy("src", "rank")
+    },
+
+    // ---- one-row corpus profile (the data card): volume, token and
+    // length stats, language entropy, exact-dup rate — the summary a
+    // curation run reports; every figure recomputed by the oracle ----
+    QueryDef.sql(
+      "q_corpus_profile",
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_toks,
+        |    md5(text) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |langs AS (
+        |  SELECT CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM t) AS p
+        |  FROM t GROUP BY lang),
+        |dups AS (SELECT count(*) AS n_unique FROM (SELECT DISTINCT h FROM t) u)
+        |SELECT (SELECT count(*) FROM t) AS n_docs,
+        |  (SELECT CAST(sum(n_toks) AS BIGINT) FROM t) AS total_tokens,
+        |  (SELECT CAST(min(n_chars) AS BIGINT) FROM t) AS min_len,
+        |  (SELECT CAST(max(n_chars) AS BIGINT) FROM t) AS max_len,
+        |  (SELECT round(avg(n_chars), 4) FROM t) AS avg_len,
+        |  (SELECT round(-sum(p * ln(p)), 6) FROM langs) AS lang_entropy,
+        |  (SELECT round(1.0 - CAST(n_unique AS DOUBLE) / (SELECT count(*) FROM t), 6)
+        |   FROM dups) AS dup_rate""".stripMargin) { (s, dir) =>
+      TextAnalysis.corpusProfile(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "lang", "n_chars")
+    },
+
     // ---- bigram-LM cross-entropy (KenLM-shape perplexity filtering,
     // one order above q_lm_score): add-one-smoothed p(w2|w1), counts and
     // vocabulary refit by the oracle ----

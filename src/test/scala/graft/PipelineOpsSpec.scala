@@ -631,6 +631,36 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(graph.size == 40 * 3)
   }
 
+  test("hardNegatives: top-k cross-label only, matches a naive recomputation") {
+    val sub = emb.filter(col("vec_id") < 60)
+    val got = graft.operators.Similarity
+      .hardNegatives(sub, "vec_id", "embedding", "label", k = 2, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val labels = sub.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // no same-label edge may appear
+    assert(got.forall { case (s, _, d) => labels(s) != labels(d) })
+    // naive check: per src, the best cross-label neighbors by cosine
+    val vecs = sub.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0d; var na = 0d; var nb = 0d
+      for (i <- a.indices) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      if (na == 0 || nb == 0) 0 else dot / math.sqrt(na * nb)
+    }
+    val naive = vecs.keys.flatMap { s =>
+      vecs.keys.filter(d => d != s && labels(d) != labels(s))
+        .map(d => (d, cos(vecs(s), vecs(d))))
+        .toSeq.sortBy { case (d, c) => (-c, d) }
+        .take(2).zipWithIndex
+        .map { case ((d, _), i) => (s, i + 1, d) }
+    }.toSet
+    assert(got == naive)
+  }
+
   test("lastTouchAttribution: latest in-window touch wins, organic stays NULL") {
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
