@@ -494,6 +494,47 @@ object RelationalQueries {
         .orderBy(col("doc_id"), col("tok"))
     },
 
+    // ---- LATERAL correlated subquery (top-2 orders per customer):
+    // the SQL-standard form of a per-row dependent subquery; Spark
+    // plans it as a rewritten window/join, DuckDB natively ----
+    QueryDef.sql(
+      "q_lateral_join",
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_custkey < 100
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey < 100
+        ORDER BY c.c_custkey, t.o_orderkey""")
+    },
+
+    // ---- listagg / string_agg (§2.8): ordered DISTINCT concatenation ----
+    QueryDef.sql(
+      "q_listagg",
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o_orderstatus,
+          listagg(DISTINCT o_orderpriority, ',')
+            WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+          count(*) AS n
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")
+    },
+
     // ---- ntile window (§2.5): customer account-balance quartiles
     // within each nation, reduced to per-(nation, quartile) stats; the
     // window key is the nation — same bounded-partition window pattern
