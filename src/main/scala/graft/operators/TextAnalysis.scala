@@ -314,6 +314,69 @@ object TextAnalysis {
           - 1.0 + bias).as("score"))
   }
 
+  /** BPE merge selection (Sennrich et al., ACL'16) — the tokenizer-
+    * training step [[vocabulary]] is the raw input to: starting from
+    * character symbols, repeatedly merge the adjacent symbol pair with
+    * the highest corpus weight (ties: weight desc, then (left, right)
+    * ascending), applying each merge left-to-right non-overlapping in
+    * every word. Output: (rank, left, right, weight) — the ordered merge
+    * table a BPE tokenizer ships.
+    *
+    * Scale shape: the corpus token stream reduces ONCE to a
+    * (word, count) table bounded by vocabulary, and every merge step is
+    * one pair-keyed aggregation + one argmax over that bounded table —
+    * the classic iterative build job (KMeans/IVF class): the driver
+    * receives exactly ONE metadata row per step (the winning pair),
+    * never data; per-step lineage is cut so N merges stay N independent
+    * jobs. The merge application is a pure array fold expression — the
+    * fold (carry the last output symbol, coalesce when it is `left` and
+    * the next is `right`) is provably equivalent to the left-to-right
+    * scan because a merged symbol `left||right` can never equal `left`.
+    */
+  def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be positive: $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), split(col("__w"), "").as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val best = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("l"),
+              element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("w"))
+        .orderBy(col("w").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, w) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, a, b, w))
+        val fold = aggregate(
+          slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+          slice(col("syms"), 1, 1),
+          (acc, x) => when(element_at(acc, -1) === a && x === b,
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+        words = words.select(col("cnt"), fold.as("syms")).localCheckpoint(true)
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "weight")
+  }
+
   /** One-row corpus profile — the "data card" summary a curation run
     * reports: document count, total whitespace tokens, length min/max/
     * mean, Shannon entropy of the language distribution (nats), and the

@@ -1298,6 +1298,108 @@ object PipelineQueries {
         "doc_id", "text", "lang", "n_chars")
     },
 
+    // ---- BPE merge selection (tokenizer training): 4 merge rounds,
+    // fully replayed by the oracle — each round is one pair-count CTE,
+    // one argmax, and a list_reduce fold applying the merge with the
+    // same left-to-right non-overlap semantics as the Spark fold ----
+    QueryDef.sql(
+      "q_bpe_merges",
+      """|WITH w0 AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS word
+        |    FROM documents WHERE text IS NOT NULL) u
+        |  WHERE word <> '' GROUP BY word),
+        |s0 AS (SELECT cnt, regexp_extract_all(word, '.') AS syms FROM w0),
+        |p1 AS (
+        |  SELECT split_part(pair, chr(1), 1) AS l, split_part(pair, chr(1), 2) AS r,
+        |    CAST(sum(cnt) AS BIGINT) AS w
+        |  FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+        |      i -> syms[i] || chr(1) || syms[i+1])) AS pair
+        |    FROM s0 WHERE len(syms) >= 2) u
+        |  GROUP BY 1, 2),
+        |b1 AS (SELECT l, r, w FROM p1 ORDER BY w DESC, l, r LIMIT 1),
+        |s1 AS (
+        |  SELECT cnt,
+        |    string_split(list_reduce(syms,
+        |      (acc, x) -> CASE
+        |        WHEN split_part(acc, chr(1), -1) = b1.l AND x = b1.r
+        |          THEN CASE WHEN len(acc) = len(split_part(acc, chr(1), -1))
+        |                    THEN b1.l || b1.r
+        |                    ELSE substr(acc, 1, len(acc) - len(split_part(acc, chr(1), -1)) - 1)
+        |                         || chr(1) || b1.l || b1.r END
+        |        ELSE acc || chr(1) || x END), chr(1)) AS syms
+        |  FROM s0, b1),
+        |p2 AS (
+        |  SELECT split_part(pair, chr(1), 1) AS l, split_part(pair, chr(1), 2) AS r,
+        |    CAST(sum(cnt) AS BIGINT) AS w
+        |  FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+        |      i -> syms[i] || chr(1) || syms[i+1])) AS pair
+        |    FROM s1 WHERE len(syms) >= 2) u
+        |  GROUP BY 1, 2),
+        |b2 AS (SELECT l, r, w FROM p2 ORDER BY w DESC, l, r LIMIT 1),
+        |s2 AS (
+        |  SELECT cnt,
+        |    string_split(list_reduce(syms,
+        |      (acc, x) -> CASE
+        |        WHEN split_part(acc, chr(1), -1) = b2.l AND x = b2.r
+        |          THEN CASE WHEN len(acc) = len(split_part(acc, chr(1), -1))
+        |                    THEN b2.l || b2.r
+        |                    ELSE substr(acc, 1, len(acc) - len(split_part(acc, chr(1), -1)) - 1)
+        |                         || chr(1) || b2.l || b2.r END
+        |        ELSE acc || chr(1) || x END), chr(1)) AS syms
+        |  FROM s1, b2),
+        |p3 AS (
+        |  SELECT split_part(pair, chr(1), 1) AS l, split_part(pair, chr(1), 2) AS r,
+        |    CAST(sum(cnt) AS BIGINT) AS w
+        |  FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+        |      i -> syms[i] || chr(1) || syms[i+1])) AS pair
+        |    FROM s2 WHERE len(syms) >= 2) u
+        |  GROUP BY 1, 2),
+        |b3 AS (SELECT l, r, w FROM p3 ORDER BY w DESC, l, r LIMIT 1),
+        |s3 AS (
+        |  SELECT cnt,
+        |    string_split(list_reduce(syms,
+        |      (acc, x) -> CASE
+        |        WHEN split_part(acc, chr(1), -1) = b3.l AND x = b3.r
+        |          THEN CASE WHEN len(acc) = len(split_part(acc, chr(1), -1))
+        |                    THEN b3.l || b3.r
+        |                    ELSE substr(acc, 1, len(acc) - len(split_part(acc, chr(1), -1)) - 1)
+        |                         || chr(1) || b3.l || b3.r END
+        |        ELSE acc || chr(1) || x END), chr(1)) AS syms
+        |  FROM s2, b3),
+        |p4 AS (
+        |  SELECT split_part(pair, chr(1), 1) AS l, split_part(pair, chr(1), 2) AS r,
+        |    CAST(sum(cnt) AS BIGINT) AS w
+        |  FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+        |      i -> syms[i] || chr(1) || syms[i+1])) AS pair
+        |    FROM s3 WHERE len(syms) >= 2) u
+        |  GROUP BY 1, 2),
+        |b4 AS (SELECT l, r, w FROM p4 ORDER BY w DESC, l, r LIMIT 1),
+        |s4 AS (
+        |  SELECT cnt,
+        |    string_split(list_reduce(syms,
+        |      (acc, x) -> CASE
+        |        WHEN split_part(acc, chr(1), -1) = b4.l AND x = b4.r
+        |          THEN CASE WHEN len(acc) = len(split_part(acc, chr(1), -1))
+        |                    THEN b4.l || b4.r
+        |                    ELSE substr(acc, 1, len(acc) - len(split_part(acc, chr(1), -1)) - 1)
+        |                         || chr(1) || b4.l || b4.r END
+        |        ELSE acc || chr(1) || x END), chr(1)) AS syms
+        |  FROM s3, b4)
+        |SELECT * FROM (
+        |  SELECT 1 AS rank, l AS left, r AS right, w AS weight FROM b1
+        |  UNION ALL SELECT 2, l, r, w FROM b2
+        |  UNION ALL SELECT 3, l, r, w FROM b3
+        |  UNION ALL SELECT 4, l, r, w FROM b4) m
+        |ORDER BY rank""".stripMargin) { (s, dir) =>
+      TextAnalysis.bpeMerges(Tables.load(s, dir, "documents"),
+        "doc_id", "text", numMerges = 4)
+    },
+
     // ---- bigram-LM cross-entropy (KenLM-shape perplexity filtering,
     // one order above q_lm_score): add-one-smoothed p(w2|w1), counts and
     // vocabulary refit by the oracle ----

@@ -607,6 +607,18 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(scored(1L) > 0 && scored(3L) < 0)
   }
 
+  test("bpeMerges: hand-checked merge order, left-to-right non-overlap, tie-break") {
+    import spark.implicits._
+    // "aaab" x3, "ab" x2: pair counts round 1: (a,a)=6, (a,b)=5 -> merge (a,a)
+    // non-overlap: "aaab" -> [aa, a, b] (NOT [aa, aa...]);
+    // round 2: (aa,a)=3, (a,b)=5 -> merge (a,b);
+    // round 3: "aaab"=[aa,ab] x3, "ab"=[ab] x2 -> (aa,ab)=3
+    val corpus = Seq((1L, "aaab aaab aaab ab ab")).toDF("id", "text")
+    val got = graft.operators.TextAnalysis.bpeMerges(corpus, "id", "text", 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a", "a", 6L), (2, "a", "b", 5L), (3, "aa", "ab", 3L)))
+  }
+
   test("bigramCrossEntropy matches hand math; sub-2-token docs drop out") {
     import spark.implicits._
     val corpus = Seq((1L, "a b a b"), (2L, "x")).toDF("id", "text")
