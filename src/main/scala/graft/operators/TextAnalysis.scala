@@ -335,15 +335,49 @@ object TextAnalysis {
     */
   def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
       numMerges: Int): DataFrame = {
-    require(numMerges >= 1, s"numMerges must be positive: $numMerges")
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeTrain(docs, textCol, numMerges)._1
+      .toDF("rank", "left", "right", "weight")
+  }
+
+  /** Apply a learned BPE segmentation back to the corpus: per document,
+    * the whitespace word count and the total symbol count after
+    * `numMerges` merge rounds — the "how many tokens will this corpus
+    * cost" accounting step of tokenizer training. Output:
+    * (id, n_words, n_syms).
+    *
+    * Scale shape: the final (word → symbols) table from [[bpeMerges]]'s
+    * build loop is vocabulary-bounded, so encoding is one word-keyed
+    * join (AQE broadcasts the vocab while it fits) + one doc-keyed
+    * aggregation — the corpus token stream is read once.
+    */
+  def bpeEncodeStats(docs: DataFrame, idCol: String, textCol: String,
+      numMerges: Int): DataFrame = {
+    val lens = bpeTrain(docs, textCol, numMerges)._2
+      .select(col("__w"), size(col("syms")).as("__len"))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+      .join(lens, "__w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__len")).cast("long").as("n_syms"))
+  }
+
+  /** Shared BPE build loop: returns (merge table rows, final word →
+    * symbol-array frame with columns (__w, cnt, syms)).
+    */
+  private def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(numMerges >= 1, s"numMerges must be positive: $numMerges")
     var words = docs
       .filter(col(textCol).isNotNull)
       .select(explode(split(col(textCol), "\\s+")).as("__w"))
       .filter(col("__w") =!= "")
       .groupBy("__w").agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"), split(col("__w"), "").as("syms"))
+      .select(col("__w"), col("cnt"), split(col("__w"), "").as("syms"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
@@ -370,11 +404,12 @@ object TextAnalysis {
           (acc, x) => when(element_at(acc, -1) === a && x === b,
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
             .otherwise(concat(acc, array(x))))
-        words = words.select(col("cnt"), fold.as("syms")).localCheckpoint(true)
+        words = words.select(col("__w"), col("cnt"), fold.as("syms"))
+          .localCheckpoint(true)
         step += 1
       }
     }
-    merges.toSeq.toDF("rank", "left", "right", "weight")
+    (merges.toSeq, words)
   }
 
   /** One-row corpus profile — the "data card" summary a curation run

@@ -1400,6 +1400,109 @@ object PipelineQueries {
         "doc_id", "text", numMerges = 4)
     },
 
+    // ---- BPE encoding accounting: per-document symbol counts after
+    // the 4 learned merges — the "what will tokenization cost" pass;
+    // the oracle retrains the merges and re-encodes every document ----
+    QueryDef.sql(
+      "q_bpe_encode",
+      """|WITH w0 AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS word
+        |    FROM documents WHERE text IS NOT NULL) u
+        |  WHERE word <> '' GROUP BY word),
+        |s0 AS (SELECT word, cnt, regexp_extract_all(word, '.') AS syms FROM w0),
+        |p1 AS (
+        |  SELECT split_part(pair, chr(1), 1) AS l, split_part(pair, chr(1), 2) AS r,
+        |    CAST(sum(cnt) AS BIGINT) AS w
+        |  FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+        |      i -> syms[i] || chr(1) || syms[i+1])) AS pair
+        |    FROM s0 WHERE len(syms) >= 2) u
+        |  GROUP BY 1, 2),
+        |b1 AS (SELECT l, r FROM p1 ORDER BY w DESC, l, r LIMIT 1),
+        |s1 AS (
+        |  SELECT word, cnt,
+        |    string_split(list_reduce(syms,
+        |      (acc, x) -> CASE
+        |        WHEN split_part(acc, chr(1), -1) = b1.l AND x = b1.r
+        |          THEN CASE WHEN len(acc) = len(split_part(acc, chr(1), -1))
+        |                    THEN b1.l || b1.r
+        |                    ELSE substr(acc, 1, len(acc) - len(split_part(acc, chr(1), -1)) - 1)
+        |                         || chr(1) || b1.l || b1.r END
+        |        ELSE acc || chr(1) || x END), chr(1)) AS syms
+        |  FROM s0, b1),
+        |p2 AS (
+        |  SELECT split_part(pair, chr(1), 1) AS l, split_part(pair, chr(1), 2) AS r,
+        |    CAST(sum(cnt) AS BIGINT) AS w
+        |  FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+        |      i -> syms[i] || chr(1) || syms[i+1])) AS pair
+        |    FROM s1 WHERE len(syms) >= 2) u
+        |  GROUP BY 1, 2),
+        |b2 AS (SELECT l, r FROM p2 ORDER BY w DESC, l, r LIMIT 1),
+        |s2 AS (
+        |  SELECT word, cnt,
+        |    string_split(list_reduce(syms,
+        |      (acc, x) -> CASE
+        |        WHEN split_part(acc, chr(1), -1) = b2.l AND x = b2.r
+        |          THEN CASE WHEN len(acc) = len(split_part(acc, chr(1), -1))
+        |                    THEN b2.l || b2.r
+        |                    ELSE substr(acc, 1, len(acc) - len(split_part(acc, chr(1), -1)) - 1)
+        |                         || chr(1) || b2.l || b2.r END
+        |        ELSE acc || chr(1) || x END), chr(1)) AS syms
+        |  FROM s1, b2),
+        |p3 AS (
+        |  SELECT split_part(pair, chr(1), 1) AS l, split_part(pair, chr(1), 2) AS r,
+        |    CAST(sum(cnt) AS BIGINT) AS w
+        |  FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+        |      i -> syms[i] || chr(1) || syms[i+1])) AS pair
+        |    FROM s2 WHERE len(syms) >= 2) u
+        |  GROUP BY 1, 2),
+        |b3 AS (SELECT l, r FROM p3 ORDER BY w DESC, l, r LIMIT 1),
+        |s3 AS (
+        |  SELECT word, cnt,
+        |    string_split(list_reduce(syms,
+        |      (acc, x) -> CASE
+        |        WHEN split_part(acc, chr(1), -1) = b3.l AND x = b3.r
+        |          THEN CASE WHEN len(acc) = len(split_part(acc, chr(1), -1))
+        |                    THEN b3.l || b3.r
+        |                    ELSE substr(acc, 1, len(acc) - len(split_part(acc, chr(1), -1)) - 1)
+        |                         || chr(1) || b3.l || b3.r END
+        |        ELSE acc || chr(1) || x END), chr(1)) AS syms
+        |  FROM s2, b3),
+        |p4 AS (
+        |  SELECT split_part(pair, chr(1), 1) AS l, split_part(pair, chr(1), 2) AS r,
+        |    CAST(sum(cnt) AS BIGINT) AS w
+        |  FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+        |      i -> syms[i] || chr(1) || syms[i+1])) AS pair
+        |    FROM s3 WHERE len(syms) >= 2) u
+        |  GROUP BY 1, 2),
+        |b4 AS (SELECT l, r FROM p4 ORDER BY w DESC, l, r LIMIT 1),
+        |s4 AS (
+        |  SELECT word, cnt,
+        |    string_split(list_reduce(syms,
+        |      (acc, x) -> CASE
+        |        WHEN split_part(acc, chr(1), -1) = b4.l AND x = b4.r
+        |          THEN CASE WHEN len(acc) = len(split_part(acc, chr(1), -1))
+        |                    THEN b4.l || b4.r
+        |                    ELSE substr(acc, 1, len(acc) - len(split_part(acc, chr(1), -1)) - 1)
+        |                         || chr(1) || b4.l || b4.r END
+        |        ELSE acc || chr(1) || x END), chr(1)) AS syms
+        |  FROM s3, b4),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT t.doc_id, count(*) AS n_words, CAST(sum(len(s4.syms)) AS BIGINT) AS n_syms
+        |FROM toks t JOIN s4 ON s4.word = t.word
+        |WHERE t.word <> ''
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.bpeEncodeStats(Tables.load(s, dir, "documents"),
+          "doc_id", "text", numMerges = 4)
+        .orderBy("doc_id")
+    },
+
     // ---- bigram-LM cross-entropy (KenLM-shape perplexity filtering,
     // one order above q_lm_score): add-one-smoothed p(w2|w1), counts and
     // vocabulary refit by the oracle ----
