@@ -314,6 +314,47 @@ object TextAnalysis {
           - 1.0 + bias).as("score"))
   }
 
+  /** Gopher-style rule-based quality filter (Rae et al. 2021, §A1.1 —
+    * the published heuristic battery behind MassiveText, minus the
+    * n-gram repetition rules which live in [[repetitionStats]]): word
+    * count bounds, mean-word-length bounds, alphabetic-word fraction,
+    * and a stopword-presence check, each surfaced as its own flag plus
+    * the conjunctive `keep`. All thresholds compare exact int/int ratio
+    * divisions, so the flags are engine-portable bit-for-bit. Output:
+    * (id, n_words, r_wordcount, r_meanwordlen, r_alpha, r_stopwords,
+    * keep).
+    *
+    * Scale shape: a pure scan projection over the token array — zero
+    * shuffles, zero joins; the rule battery fuses into whole-stage
+    * codegen next to whatever filter consumes `keep`.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopwords: Int = 2): DataFrame = {
+    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val toks = split(trim(col(textCol)), "\\s+")
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__t"))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_words"),
+        col("__t"))
+      .select(col(idCol), col("n_words"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("r_wordcount"),
+        (aggregate(col("__t"), lit(0L), (acc, x) => acc + length(x))
+          .cast("double") / col("n_words"))
+          .between(minMeanLen, maxMeanLen).as("r_meanwordlen"),
+        (size(filter(col("__t"), x => x.rlike("[a-z]"))).cast("double")
+          / col("n_words") > minAlphaFrac).as("r_alpha"),
+        (size(array_intersect(col("__t"),
+          array(stopwords.map(lit): _*))) >= minStopwords).as("r_stopwords"))
+      .withColumn("keep",
+        col("r_wordcount") && col("r_meanwordlen") && col("r_alpha") &&
+          col("r_stopwords"))
+  }
+
   /** BPE merge selection (Sennrich et al., ACL'16) — the tokenizer-
     * training step [[vocabulary]] is the raw input to: starting from
     * character symbols, repeatedly merge the adjacent symbol pair with

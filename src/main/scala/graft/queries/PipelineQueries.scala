@@ -1298,6 +1298,34 @@ object PipelineQueries {
         "doc_id", "text", "lang", "n_chars")
     },
 
+    // ---- Gopher rule battery (published MassiveText heuristics):
+    // per-rule flags + conjunctive keep, every flag an exact int/int
+    // ratio compare so the oracle replays bit-for-bit ----
+    QueryDef.sql(
+      "q_gopher_rules",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS mwl,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |      / len(toks) AS af,
+        |    len(list_intersect(toks,
+        |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS sw
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  n_words >= 50 AND n_words <= 100000 AS r_wordcount,
+        |  mwl >= 3.0 AND mwl <= 10.0 AS r_meanwordlen,
+        |  af > 0.8 AS r_alpha,
+        |  sw >= 2 AS r_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+        |    AND af > 0.8 AND sw >= 2 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.gopherRules(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // ---- BPE merge selection (tokenizer training): 4 merge rounds,
     // fully replayed by the oracle — each round is one pair-count CTE,
     // one argmax, and a list_reduce fold applying the merge with the

@@ -338,6 +338,53 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-fed windowed approx top-k (TopK structures over a stream) matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // (ts, key): two 10-minute windows with different top keys
+    val rows = Seq(
+      (ts("2024-01-01 10:01:00"), "a"), (ts("2024-01-01 10:02:00"), "a"),
+      (ts("2024-01-01 10:03:00"), "b"), (ts("2024-01-01 10:04:00"), "a"),
+      (ts("2024-01-01 10:12:00"), "c"), (ts("2024-01-01 10:13:00"), "c"),
+      (ts("2024-01-01 10:14:00"), "b"))
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    // reference parity: approx TopK structures are STREAM-fed
+    // (createApproxTSTopK over a stream table) — here the same CMS+heap
+    // aggregate runs inside a watermarked streaming window
+    val agg = mem.toDF().toDF("ts", "key")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window($"ts", "10 minutes").as("w"))
+      .agg(graft.functions.SketchFunctions.approx_topk($"key", 2).as("topk"))
+      .select($"w.start".as("ws"), posexplode($"topk"))
+      .select($"ws", (col("pos") + 1).as("rank"), $"col.key", $"col.count")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("topk_stream_out").start()
+    try {
+      mem.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(4): _*)
+      q.processAllAvailable()
+      // close both windows past the watermark
+      mem.addData((ts("2024-01-01 10:30:00"), "z"))
+      q.processAllAvailable()
+      val streamed = spark.table("topk_stream_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getInt(1), r.getString(2), r.getLong(3)))
+        .toSet
+      val batch = rows.toDF("ts", "key")
+        .groupBy(window($"ts", "10 minutes").as("w"))
+        .agg(graft.functions.SketchFunctions.approx_topk($"key", 2).as("topk"))
+        .select($"w.start".as("ws"), posexplode($"topk"))
+        .select($"ws", (col("pos") + 1).as("rank"), $"col.key", $"col.count")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getInt(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch)
+      assert(streamed.exists { case (_, r, k, c) => r == 1 && k == "a" && c == 3 })
+      assert(streamed.exists { case (_, r, k, c) => r == 1 && k == "c" && c == 2 })
+    } finally q.stop()
+  }
+
   test("stream-static join sees the dimension table's latest snapshot per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
