@@ -49,4 +49,48 @@ class SourcesSpec extends SparkTestBase {
       .filter(col("o_orderstatus") === "O").count()
     assert(pruned.count() == expected)
   }
+
+  test("orc roundtrip preserves schema and values") {
+    val dir = tmp("graft_orc")
+    val nat = Tables.load(spark, sf, "nation")
+    nat.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == 25)
+    assert(back.schema == nat.schema)
+    assert(back.agg(sum("n_nationkey")).head().getLong(0) ==
+      nat.agg(sum("n_nationkey")).head().getLong(0))
+  }
+
+  test("jdbc external table (embedded Derby): write, read, filter pushdown, join with store") {
+    // the reference's row tables double as JDBC-accessible SQL tables
+    // (its connector "smart connector" mode reads them over JDBC); the
+    // Spark-native analog is an external JDBC relation — written, read
+    // back, predicate-pushed, and joined against a graft store table
+    // the db path must not pre-exist (Derby refuses a non-empty dir)
+    val url = s"jdbc:derby:${tmp("graft_derby")}/db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val nat = Tables.load(spark, sf, "nation")
+    nat.write.mode("overwrite").jdbc(url, "NATION_J", props)
+    val back = spark.read.jdbc(url, "NATION_J", props)
+    assert(back.count() == 25)
+
+    // filter pushdown reaches the JDBC scan
+    val filtered = back.filter(col("n_regionkey") === 0)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"),
+      s"expected JDBC filter pushdown in:\n$plan")
+    assert(filtered.count() == nat.filter(col("n_regionkey") === 0).count())
+
+    // join the JDBC dimension against a graft-managed store table
+    val g = GraftSession(spark)
+    g.createTable("jdbc_join_t",
+      Tables.load(spark, sf, "customer").select("c_custkey", "c_nationkey"))
+    try {
+      val joined = g.table("jdbc_join_t")
+        .join(back, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").count()
+      assert(joined.count() == 25)
+    } finally g.dropTable("jdbc_join_t")
+  }
 }
