@@ -505,11 +505,42 @@ object GraftExternalDml {
   }
 }
 
-/** UPDATE on an external (unmanaged temp-view) table: the view is
-  * re-registered over its original source plan with the assignments
-  * applied conditionally — session-level DML semantics without touching
-  * the underlying files (reference DMLExternalTable routes DML to the
-  * external relation; a read-only file relation gets the view tier).
+/** DML passthrough to external JDBC relations — the literal behavior of
+  * the reference's `DMLExternalTable` (SnappyDDLParser.scala:1068):
+  * UPDATE/DELETE text is forwarded to the database that owns the table,
+  * which executes it natively; the Spark relation sees the change on its
+  * next scan. Used when an external DML target's view resolves to a
+  * JDBCRelation; non-JDBC relations fall back to the view tier.
+  */
+object GraftJdbcDml {
+  import org.apache.spark.sql.execution.datasources.LogicalRelation
+  import org.apache.spark.sql.execution.datasources.jdbc.{JDBCOptions, JDBCRelation}
+
+  /** JDBC options of the relation behind `table`'s plan, if any. */
+  def jdbcOptionsOf(spark: SparkSession, table: String): Option[JDBCOptions] =
+    spark.table(table).queryExecution.analyzed.collectFirst {
+      case l: LogicalRelation if l.relation.isInstanceOf[JDBCRelation] =>
+        l.relation.asInstanceOf[JDBCRelation].jdbcOptions
+    }
+
+  /** Execute a raw statement on the relation's database. */
+  def execute(opts: JDBCOptions, sql: String): Unit = {
+    opts.driverClass // ensures the driver registers (lazy val side effect)
+    val conn = java.sql.DriverManager.getConnection(
+      opts.url, opts.asConnectionProperties)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(sql) finally st.close()
+    } finally conn.close()
+  }
+}
+
+/** UPDATE on an external (unmanaged temp-view) table. A JDBC-backed view
+  * forwards the statement to its database (reference DMLExternalTable
+  * passthrough, [[GraftJdbcDml]]). Otherwise the view is re-registered
+  * over its original source plan with the assignments applied
+  * conditionally — session-level DML semantics without touching the
+  * underlying files (a read-only file relation gets the view tier).
   * `spark.table(view)` inlines the view at analysis, so the new plan
   * references the SOURCE, never the view name — no self-reference; and
   * [[GraftExternalDml]] bounds the plan depth across repeated DML.
@@ -517,8 +548,22 @@ object GraftExternalDml {
 case class GraftExternalUpdateCommand(table: String, assigns: Seq[(String, String)],
     where: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftExternalDml.register(table,
-      GraftCatalogCowCommand.applyUpdate(spark.table(table), table, assigns, where))
+    GraftJdbcDml.jdbcOptionsOf(spark, table) match {
+      case Some(opts) =>
+        // Spark's JDBC writer creates tables with QUOTED (case-exact)
+        // column names — quote the SET keys through the same dialect;
+        // the WHERE text is passthrough (written in the target dialect,
+        // like the reference's forwarded SQL)
+        val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(opts.url)
+        val sets = assigns
+          .map { case (k, v) => s"${dialect.quoteIdentifier(k)} = $v" }
+          .mkString(", ")
+        GraftJdbcDml.execute(opts,
+          s"UPDATE ${opts.tableOrQuery} SET $sets WHERE $where")
+      case None =>
+        GraftExternalDml.register(table,
+          GraftCatalogCowCommand.applyUpdate(spark.table(table), table, assigns, where))
+    }
     Nil
   }
 }
@@ -530,8 +575,14 @@ case class GraftExternalDeleteCommand(table: String, where: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-    GraftExternalDml.register(table,
-      spark.table(table).filter(not(coalesce(expr(where), lit(false)))))
+    GraftJdbcDml.jdbcOptionsOf(spark, table) match {
+      case Some(opts) =>
+        GraftJdbcDml.execute(opts,
+          s"DELETE FROM ${opts.tableOrQuery} WHERE $where")
+      case None =>
+        GraftExternalDml.register(table,
+          spark.table(table).filter(not(coalesce(expr(where), lit(false)))))
+    }
     Nil
   }
 }

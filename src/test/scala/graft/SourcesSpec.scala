@@ -92,5 +92,22 @@ class SourcesSpec extends SparkTestBase {
         .groupBy("n_name").count()
       assert(joined.count() == 25)
     } finally g.dropTable("jdbc_join_t")
+
+    // UPDATE/DELETE on the registered JDBC view forwards to the database
+    // (DMLExternalTable passthrough): Derby executes, Spark re-reads
+    // WHERE text is forwarded verbatim, so it is written in the TARGET
+    // database's dialect — Derby needs quoted (case-exact) identifiers
+    back.createOrReplaceTempView("nation_jdbc")
+    spark.sql("""UPDATE nation_jdbc SET n_name = 'GRAFTLAND' WHERE "n_nationkey" = 3""")
+    val renamed = spark.read.jdbc(url, "NATION_J", props)
+      .filter(col("n_nationkey") === 3).select("n_name").head().getString(0)
+    assert(renamed == "GRAFTLAND")
+    spark.sql("""DELETE FROM nation_jdbc WHERE "n_regionkey" = 0""")
+    assert(spark.read.jdbc(url, "NATION_J", props).count() ==
+      25 - nat.filter(col("n_regionkey") === 0).count())
+    // the registered view itself sees the database's new state
+    assert(spark.table("nation_jdbc").count() ==
+      25 - nat.filter(col("n_regionkey") === 0).count())
+    spark.catalog.dropTempView("nation_jdbc")
   }
 }
