@@ -929,6 +929,38 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    // ---- multimodal payloads THROUGH the column store: the media table
+    // (binary payload + typed metadata) ingests into a graftstore table
+    // and features extract from the store scan — binary columns are
+    // first-class store citizens, modality filter pushed to the scan ----
+    QueryDef.sql(
+      "q_multimodal_store", {
+        val fcols = (0 until 16).map(j =>
+          s"round(sum(CASE WHEN ascii(c) % 16 = $j THEN 1 ELSE 0 END) / CAST(length(text) AS DOUBLE), 4) AS f$j")
+          .mkString(",\n  ")
+        s"""SELECT doc_id AS media_id,
+           |  CAST(length(text) AS BIGINT) AS n_bytes,
+           |  $fcols
+           |FROM (SELECT doc_id, text, unnest(string_split(text, '')) AS c
+           |      FROM documents WHERE CAST(doc_id % 3 AS INT) = 2) t
+           |GROUP BY doc_id, text
+           |ORDER BY media_id""".stripMargin
+      }) { (s, dir) =>
+      val fmt = "org.apache.spark.sql.graft.store.GraftColumnSource"
+      graft.operators.Multimodal.asMediaTable(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .write.format(fmt).option("table", "q_mm_store")
+        .mode("overwrite").save()
+      val stored = s.read.format(fmt).option("table", "q_mm_store").load()
+        .filter(col("modality") === "video")
+      graft.operators.Multimodal.extractFeatures(stored, dim = 16)
+        .select(
+          Seq(col("media_id"), col("n_bytes")) ++
+            (0 until 16).map(j =>
+              graft.dround(element_at(col("features"), j + 1), 4).as(s"f$j")): _*)
+        .orderBy("media_id")
+    },
+
     // ---- multimodal frame sampling: every-nth fixed-size byte window
     // of each "video" payload becomes a frame row — the explode shape of
     // video→frame extraction, payload bytes replayed by the oracle (the
