@@ -242,6 +242,56 @@ object EventQueries {
         .agg(count(lit(1)).as("n_converted"))
     },
 
+    // ---- per-type z-score standardization of event values (feature
+    // normalization): one stats agg per type (bounded), broadcast back,
+    // scan-fused transform ----
+    QueryDef.sql(
+      "q_zscore_events",
+      """WITH s AS (
+        |  SELECT event_type, avg("value") AS mu, stddev_samp("value") AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type,
+        |  round(("value" - mu) / sd, 4) AS z
+        |FROM events e JOIN s USING (event_type)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val stats = ev.groupBy("event_type")
+        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+      ev.join(stats, "event_type")
+        .select(col("event_id"), col("event_type"),
+          graft.dround((col("value") - col("mu")) / col("sd"), 4).as("z"))
+        .orderBy("event_id")
+    },
+
+    // ---- hourly volume anomaly flags per event type: hours whose count
+    // exceeds that type's mean + 2 sigma across hours; the threshold is
+    // rounded on both sides so constant-volume types (sd = 0, threshold
+    // = the count itself) can't flip on an engine ulp ----
+    QueryDef.sql(
+      "q_events_anomaly",
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+        |  FROM events GROUP BY event_type, hr),
+        |s AS (
+        |  SELECT event_type,
+        |    round(avg(n) + 2 * coalesce(stddev_samp(n), 0), 6) AS thr
+        |  FROM h GROUP BY event_type)
+        |SELECT h.event_type, epoch_us(hr) AS hr_us, n, n > thr AS is_anomaly
+        |FROM h JOIN s USING (event_type)
+        |ORDER BY event_type, hr_us""".stripMargin) { (s, dir) =>
+      val hourly = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val thr = hourly.groupBy("event_type")
+        .agg(graft.dround(
+          avg(col("n")) + lit(2) * coalesce(stddev_samp(col("n")), lit(0.0)),
+          6).as("thr"))
+      hourly.join(thr, "event_type")
+        .select(col("event_type"), unix_micros(col("hr")).as("hr_us"),
+          col("n"), (col("n") > col("thr")).as("is_anomaly"))
+        .orderBy("event_type", "hr_us")
+    },
+
     // ---- last-touch attribution: every purchase credited to the user's
     // latest click/view strictly before it and within 1 hour; organic
     // purchases keep NULL attribution. One user-keyed window pass — the

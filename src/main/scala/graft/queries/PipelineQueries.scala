@@ -1330,6 +1330,34 @@ object PipelineQueries {
         "doc_id", "text", "lang", "n_chars")
     },
 
+    // ---- per-group winsorization (outlier clamping for training
+    // features): clamp doc lengths to each source's [p05, p95];
+    // boundaries from one exact-percentile agg per group, rounded on
+    // both sides against interpolation-ulp flips, then a scan-fused
+    // clamp — same scalable shape as q_length_deciles ----
+    QueryDef.sql(
+      "q_winsorize",
+      """WITH b AS (
+        |  SELECT source,
+        |    round(quantile_cont(n_chars, 0.05), 6) AS lo,
+        |    round(quantile_cont(n_chars, 0.95), 6) AS hi
+        |  FROM documents GROUP BY source)
+        |SELECT doc_id, d.source,
+        |  round(greatest(least(CAST(n_chars AS DOUBLE), hi), lo), 4) AS w_len
+        |FROM documents d JOIN b USING (source)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val bounds = docs.groupBy("source")
+        .agg(graft.dround(percentile(col("n_chars"), lit(0.05)), 6).as("lo"),
+          graft.dround(percentile(col("n_chars"), lit(0.95)), 6).as("hi"))
+      docs.join(bounds, "source")
+        .select(col("doc_id"), col("source"),
+          graft.dround(
+            greatest(least(col("n_chars").cast("double"), col("hi")), col("lo")),
+            4).as("w_len"))
+        .orderBy("doc_id")
+    },
+
     // ---- Gopher rule battery (published MassiveText heuristics):
     // per-rule flags + conjunctive keep, every flag an exact int/int
     // ratio compare so the oracle replays bit-for-bit ----
