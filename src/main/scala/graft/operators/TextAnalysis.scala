@@ -518,16 +518,21 @@ object TextAnalysis {
       .groupBy("__w1").agg(sum(col("__c2")).as("__c1"))
     val vocab = docs.filter(col(textCol).isNotNull)
       .select(explode(toks).as("__tok")).agg(count_distinct(col("__tok")).as("__v"))
-    bigrams
-      .join(c2, "__bg")
+    // score once per DISTINCT bigram (bounded by bigram vocabulary), so
+    // the corpus bigram stream pays ONE bounded-key join, not two
+    val scores = c2
       .withColumn("__w1", substring_index(col("__bg"), " ", 1))
       .join(c1, "__w1")
       .crossJoin(broadcast(vocab))
+      .select(col("__bg"),
+        (-log((col("__c2") + 1).cast("double") / (col("__c1") + col("__v"))))
+          .as("__nlp"))
+    bigrams
+      .join(scores, "__bg")
       .groupBy(col("__did").as(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),
-        avg(-log((col("__c2") + 1).cast("double") / (col("__c1") + col("__v"))))
-          .as("xent2"))
+        avg(col("__nlp")).as("xent2"))
   }
 
   /** DSIR-shape importance scoring: rank raw documents by how much more
