@@ -331,16 +331,18 @@ object TextAnalysis {
   def gopherRules(docs: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000,
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
-      minAlphaFrac: Double = 0.8, minStopwords: Int = 2): DataFrame = {
+      minAlphaFrac: Double = 0.8, minStopwords: Int = 2,
+      carry: Seq[String] = Nil): DataFrame = {
     val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val toks = split(trim(col(textCol)), "\\s+")
+    val carried = carry.map(col)
     docs
       .filter(col(textCol).isNotNull)
-      .select(col(idCol), toks.as("__t"))
-      .select(col(idCol),
-        size(col("__t")).cast("long").as("n_words"),
-        col("__t"))
-      .select(col(idCol), col("n_words"),
+      .select(col(idCol) +: toks.as("__t") +: carried: _*)
+      .select(col(idCol) +:
+        size(col("__t")).cast("long").as("n_words") +:
+        col("__t") +: carried: _*)
+      .select(col(idCol) +: col("n_words") +: carried ++: Seq(
         (col("n_words") >= minWords && col("n_words") <= maxWords)
           .as("r_wordcount"),
         (aggregate(col("__t"), lit(0L), (acc, x) => acc + length(x))
@@ -349,7 +351,7 @@ object TextAnalysis {
         (size(filter(col("__t"), x => x.rlike("[a-z]"))).cast("double")
           / col("n_words") > minAlphaFrac).as("r_alpha"),
         (size(array_intersect(col("__t"),
-          array(stopwords.map(lit): _*))) >= minStopwords).as("r_stopwords"))
+          array(stopwords.map(lit): _*))) >= minStopwords).as("r_stopwords")): _*)
       .withColumn("keep",
         col("r_wordcount") && col("r_meanwordlen") && col("r_alpha") &&
           col("r_stopwords"))

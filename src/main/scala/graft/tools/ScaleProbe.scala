@@ -1,0 +1,66 @@
+package graft.tools
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-linearity rehearsal (dev tool): runs three headline shapes —
+  * scan-agg (q1), filtered scan (q6), and a fact⋈dim join-agg — over
+  * 1×/4×/16× in-memory multiples of sf0.1 lineitem (payload replicated
+  * per-partition with a replica column so cardinalities and group keys
+  * scale honestly, no files written), and prints seconds per scale. The
+  * point is the CURVE: near-linear growth means the plan has no
+  * super-linear step (driver collects, global sorts, broadcast blowups)
+  * hiding below bench scale. Results are interleaved min-of-3 per scale
+  * (the host shows multi-second noise phases — see PERF_NOTES).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val li = Tables.load(spark, dir, "lineitem")
+    val part = Tables.load(spark, dir, "part")
+
+    def replicate(mult: Int) =
+      li.crossJoin(spark.range(mult).toDF("__rep"))
+        .withColumn("l_orderkey",
+          col("l_orderkey") + col("__rep") * lit(100000000L))
+        .drop("__rep")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val mults = Seq(1, 4, 16)
+    val frames = mults.map(m => m -> { val df = replicate(m); df.count(); df }).toMap
+    val arms: Seq[(String, Int => Unit)] = Seq(
+      ("q1_scan_agg", m => frames(m)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))
+        .collect()),
+      ("q6_filter", m => frames(m)
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice") * col("l_discount"))).collect()),
+      ("join_agg", m => frames(m)
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").agg(sum("l_quantity")).collect()))
+
+    val results = scala.collection.mutable.Map.empty[(String, Int), Double]
+    for (round <- 1 to 3; (name, f) <- arms; m <- mults) {
+      val t = time(f(m))
+      val key = (name, m)
+      results(key) = math.min(results.getOrElse(key, Double.MaxValue), t)
+    }
+    println("arm,mult,sec,ratio_vs_1x")
+    for ((name, _) <- arms; m <- mults) {
+      val t = results((name, m))
+      println(f"$name,$m,$t%.3f,${t / results((name, 1))}%.2f")
+    }
+    spark.stop()
+  }
+}

@@ -338,6 +338,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming curation funnel: rule filter + first-seen dedup across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // quality rules are stateless scan projections, so the same batch
+    // operator composes onto a stream unchanged; dedup carries state
+    val good = ("word " * 60).trim + " the of and that" // passes every rule
+    val short = "too short"                          // fails word count
+    val batch1 = Seq((1L, good), (2L, short), (3L, good + " unique3"))
+    val batch2 = Seq((4L, good), (5L, good + " unique5"), (6L, short))
+    val mem = MemoryStream[(Long, String)]
+    val curated = graft.streaming.StreamingDedup.firstSeen(
+      graft.operators.TextAnalysis.gopherRules(
+          mem.toDS().toDF("doc_id", "text"), "doc_id", "text",
+          carry = Seq("text"))
+        .filter($"keep"),
+      org.apache.spark.sql.graft.TextHashExpressions.md5_prefix_long($"text", 15))
+    val q = curated.writeStream.outputMode("append").format("memory")
+      .queryName("curate_out").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val kept = spark.table("curate_out").select("doc_id").as[Long].collect().toSet
+      // 2/6 fail rules; 4 duplicates 1's content ACROSS batches -> dropped
+      assert(kept == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("stream-fed windowed approx top-k (TopK structures over a stream) matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
