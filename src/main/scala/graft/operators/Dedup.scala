@@ -280,6 +280,37 @@ object Dedup {
   /** End-to-end MinHash-LSH near-dup detection: shingle → sign → band →
     * candidates → exact-Jaccard verify → threshold.
     */
+  /** Shingle CONTAINMENT pairs: |A ∩ B| / |A| ≥ threshold — the
+    * asymmetric near-dup measure (Broder's containment) that catches
+    * "document A is a subset/quote of document B" where Jaccard stays
+    * low because B is much larger. Emits BOTH directions when both
+    * clear the threshold. Output: (a, b, containment) = fraction of a's
+    * shingles also in b.
+    *
+    * Scale shape: identical to the exact-Jaccard verify — the
+    * intersection joins are shingle-keyed (never all-pairs: only pairs
+    * actually SHARING a shingle materialize), sizes are one doc-keyed
+    * aggregate, and the containment division is per surviving pair. For
+    * web-scale corpora gate the pair stream with [[lshCandidates]]
+    * first, exactly like the Jaccard path.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val sh = shingles(docs, idCol, textCol, shingleLen)
+    val sizes = shingleSizes(sh)
+    val inter = sh.select(col("sid").as("a"), col("shingle"))
+      .join(sh.select(col("sid").as("b"), col("shingle")), "shingle")
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("sid").as("a"), col("set_size").as("size_a")), "a")
+      .withColumn("containment",
+        col("n_inter").cast("double") / col("size_a"))
+      .filter(col("containment") >= threshold)
+      .select("a", "b", "containment")
+  }
+
   def minhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 1,

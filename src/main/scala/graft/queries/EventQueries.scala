@@ -242,6 +242,33 @@ object EventQueries {
         .agg(count(lit(1)).as("n_converted"))
     },
 
+    // ---- behavioral transition matrix (first-order Markov counts):
+    // consecutive event-type pairs per user in (ts, id) order — the
+    // "what do users do next" analysis behind path/flow charts. One
+    // user-keyed window pass carrying (type, ts, id); counts reduce
+    // map-side to the |types|² matrix ----
+    QueryDef.sql(
+      "q_events_transitions",
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type, count(*) AS n
+        |FROM o WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, next_type
+        |ORDER BY prev_type, next_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "next_type")
+    },
+
     // ---- per-type z-score standardization of event values (feature
     // normalization): one stats agg per type (bounded), broadcast back,
     // scan-fused transform ----

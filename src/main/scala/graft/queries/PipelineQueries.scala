@@ -867,6 +867,95 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
+    // ---- shingle containment pairs (Broder's asymmetric near-dup:
+    // catches subset/quote documents Jaccard misses). Shingle-keyed
+    // intersection joins — only pairs sharing a shingle materialize ----
+    QueryDef.sql(
+      "q_dedup_containment",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(t) - 1),
+        |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |        FROM toks WHERE len(t) >= 3) u),
+        |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b,
+        |  round(CAST(n_inter AS DOUBLE) / sa.set_size, 4) AS containment
+        |FROM inter JOIN sizes sa ON a = sa.doc_id
+        |WHERE CAST(n_inter AS DOUBLE) / sa.set_size >= 0.5
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      Dedup.containmentPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", shingleLen = 3, threshold = 0.5)
+        .select(col("a"), col("b"),
+          graft.dround(col("containment"), 4).as("containment"))
+        .orderBy("a", "b")
+    },
+
+    // ---- ANN over int8-quantized vectors: brute-force top-3 on the
+    // DEQUANTIZED corpus — the memory-bound search mode (4x smaller
+    // residency); quantization, dequantization, every cosine and every
+    // rank replayed exactly (ranks over rounded scores, id tie-break) ----
+    QueryDef.sql(
+      "q_ann_quantized",
+      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM d),
+        |qz AS (
+        |  SELECT vec_id, vmin, vmax,
+        |    CASE WHEN vmax = vmin THEN list_transform(v, x -> 0)
+        |         ELSE list_transform(v,
+        |           x -> CAST(round((x - vmin) * 255.0 / (vmax - vmin)) AS INT)) END AS q
+        |  FROM m),
+        |dq AS (
+        |  SELECT vec_id,
+        |    list_transform(q, qi -> vmin + qi * (vmax - vmin) / 255.0) AS dv
+        |  FROM qz),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nid,
+        |    list_sum(list_transform(range(1, len(c.dv) + 1),
+        |      i -> c.dv[i] * q.dv[i])) AS dot,
+        |    list_sum(list_transform(c.dv, x -> x * x)) AS na,
+        |    list_sum(list_transform(q.dv, x -> x * x)) AS nb
+        |  FROM dq c JOIN dq q ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |sc AS (
+        |  SELECT query_id, nid,
+        |    round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |               ELSE dot / sqrt(na * nb) END, 4) AS cos_r
+        |  FROM p),
+        |r AS (SELECT query_id, nid, cos_r,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY cos_r DESC, nid) AS rank
+        |      FROM sc)
+        |SELECT query_id, rank, nid, cos_r FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val quant = Similarity.quantize8(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding")
+      def deq = transform(col("q"),
+        qi => col("vmin") + qi.cast("double") * (col("vmax") - col("vmin")) / 255.0)
+      val corpus = quant.select(col("vec_id").as("nid"), deq.as("cv"))
+      val queries = quant.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), deq.as("qv"))
+      val dot = aggregate(zip_with(col("cv"), col("qv"), (x, y) => x * y),
+        lit(0.0), (a, x) => a + x)
+      val na = aggregate(col("cv"), lit(0.0), (a, x) => a + x * x)
+      val nb = aggregate(col("qv"), lit(0.0), (a, x) => a + x * x)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos_r").desc, col("nid"))
+      corpus.join(broadcast(queries), col("nid") =!= col("query_id"))
+        .select(col("query_id"), col("nid"),
+          graft.dround(when(na === 0.0 || nb === 0.0, 0.0)
+            .otherwise(dot / sqrt(na * nb)), 4).as("cos_r"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("query_id", "rank", "nid", "cos_r")
+        .orderBy("query_id", "rank")
+    },
+
     // ---- SemDeDup-style semantic dedup: nearest-centroid clustering
     // (deterministic seed centroids = first 8 vectors, so the oracle
     // replays the assignment), then near-dup pairs scored WITHIN

@@ -46,7 +46,8 @@ class ScaleAuditSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     * any NEW query that introduces a BNLJ still fails the audit.
     */
   private val annQueryBatchBroadcast: Set[String] =
-    Set("q_ann_bruteforce", "q_ann_store", "q_ann_lsh", "q_ann_ivf")
+    Set("q_ann_bruteforce", "q_ann_store", "q_ann_lsh", "q_ann_ivf",
+      "q_ann_quantized")
 
   test("no query plans a cartesian product or an unbounded BNLJ") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
