@@ -494,6 +494,45 @@ object RelationalQueries {
         .orderBy(col("doc_id"), col("tok"))
     },
 
+    // ---- scalar function wave 3 (§2.8): edit distance, translate,
+    // pads, hex, bit ops, log/trig ----
+    QueryDef.sql(
+      "q_scalar_functions3",
+      """SELECT s_suppkey,
+        |  CAST(levenshtein(s_name, 'Supplier#000000001') AS BIGINT) AS name_dist,
+        |  translate(s_name, '#0', '_x')                      AS name_tr,
+        |  lpad(CAST(s_suppkey AS VARCHAR), 8, '0')           AS key_pad,
+        |  rpad(left(s_name, 8), 12, '.')                     AS name_pad,
+        |  hex(CAST(s_suppkey AS BIGINT))                     AS key_hex,
+        |  CAST(xor(s_suppkey, 255) AS BIGINT)                AS key_xor,
+        |  CAST(s_suppkey & 15 AS BIGINT)                     AS key_and,
+        |  round(log2(CAST(s_suppkey + 1 AS DOUBLE)), 4)      AS key_log2,
+        |  round(log10(CAST(s_suppkey + 1 AS DOUBLE)), 4)     AS key_log10,
+        |  round(degrees(atan2(CAST(s_suppkey AS DOUBLE), 100.0)), 4) AS key_deg,
+        |  reverse(right(s_name, 4))                          AS name_rev
+        |FROM supplier
+        |WHERE s_suppkey < 60
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.Compat.ensureFunctions(s)
+      s.sql(
+        """SELECT s_suppkey,
+          |  CAST(levenshtein(s_name, 'Supplier#000000001') AS BIGINT) AS name_dist,
+          |  translate(s_name, '#0', '_x')                      AS name_tr,
+          |  lpad(CAST(s_suppkey AS STRING), 8, '0')            AS key_pad,
+          |  rpad(left(s_name, 8), 12, '.')                     AS name_pad,
+          |  hex(CAST(s_suppkey AS BIGINT))                     AS key_hex,
+          |  CAST(s_suppkey ^ 255 AS BIGINT)                    AS key_xor,
+          |  CAST(s_suppkey & 15 AS BIGINT)                     AS key_and,
+          |  graft_round(log2(CAST(s_suppkey + 1 AS DOUBLE)), 4)  AS key_log2,
+          |  graft_round(log10(CAST(s_suppkey + 1 AS DOUBLE)), 4) AS key_log10,
+          |  graft_round(degrees(atan2(CAST(s_suppkey AS DOUBLE), 100.0)), 4) AS key_deg,
+          |  reverse(right(s_name, 4))                          AS name_rev
+          |FROM supplier
+          |WHERE s_suppkey < 60
+          |ORDER BY s_suppkey""".stripMargin)
+    },
+
     // ---- LATERAL correlated subquery (top-2 orders per customer):
     // the SQL-standard form of a per-row dependent subquery; Spark
     // plans it as a rewritten window/join, DuckDB natively ----
