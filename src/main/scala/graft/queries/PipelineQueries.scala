@@ -1419,6 +1419,47 @@ object PipelineQueries {
         "doc_id", "text", "lang", "n_chars")
     },
 
+    // ---- CCNet-style perplexity bucketing: docs split into
+    // head/middle/tail by LM cross-entropy terciles — the published
+    // CommonCrawl curation scheme (head = most-fluent third). Bucketing
+    // compares ROUNDED xent against ROUNDED boundaries, so the
+    // assignment is exactly replayable (q_lm_score proves round-6 xent
+    // matches across engines) ----
+    QueryDef.sql(
+      "q_ccnet_buckets",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |n AS (SELECT sum(c) AS total FROM vocab),
+        |x AS (
+        |  SELECT doc_id, round(avg(-ln(c / CAST(total AS DOUBLE))), 6) AS xent_r
+        |  FROM toks JOIN vocab USING (tok), n
+        |  GROUP BY doc_id),
+        |b AS (
+        |  SELECT round(quantile_cont(xent_r, 0.33), 6) AS b1,
+        |         round(quantile_cont(xent_r, 0.67), 6) AS b2
+        |  FROM x)
+        |SELECT doc_id, xent_r,
+        |  CASE WHEN xent_r <= b1 THEN 'head'
+        |       WHEN xent_r <= b2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM x, b
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val xent = TextAnalysis.unigramCrossEntropy(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), graft.dround(col("xent"), 6).as("xent_r"))
+      val bounds = xent.agg(
+        graft.dround(percentile(col("xent_r"), lit(0.33)), 6).as("b1"),
+        graft.dround(percentile(col("xent_r"), lit(0.67)), 6).as("b2"))
+      xent.crossJoin(broadcast(bounds))
+        .select(col("doc_id"), col("xent_r"),
+          when(col("xent_r") <= col("b1"), "head")
+            .when(col("xent_r") <= col("b2"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    },
+
     // ---- per-group winsorization (outlier clamping for training
     // features): clamp doc lengths to each source's [p05, p95];
     // boundaries from one exact-percentile agg per group, rounded on

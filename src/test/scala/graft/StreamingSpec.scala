@@ -414,6 +414,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("watermark drops late data: an event older than the watermark never surfaces") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "10 minutes").as("w"))
+      .agg(sum($"v").as("total"), count(lit(1)).as("n"))
+      .select($"w.start".as("ws"), $"total", $"n")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("late_out").start()
+    try {
+      mem.addData((ts("2024-01-01 10:01:00"), 1.0), (ts("2024-01-01 10:02:00"), 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past the 10:00 window...
+      mem.addData((ts("2024-01-01 11:00:00"), 5.0))
+      q.processAllAvailable()
+      // ...then send a LATE row for the closed window: it must be dropped
+      mem.addData((ts("2024-01-01 10:03:00"), 100.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 12:00:00"), 7.0)) // close the 11:00 window
+      q.processAllAvailable()
+      val got = spark.table("late_out").collect()
+        .map(r => r.getTimestamp(0).toString -> (r.getDouble(1), r.getLong(2))).toMap
+      assert(got("2024-01-01 10:00:00.0") == ((3.0, 2L)),
+        s"late row leaked into the closed window: $got")
+      assert(got("2024-01-01 11:00:00.0") == ((5.0, 1L)))
+    } finally q.stop()
+  }
+
   test("stream-static join sees the dimension table's latest snapshot per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
