@@ -311,7 +311,28 @@ object Similarity {
     * with [[withSignatures]].
     */
   def knnGraph(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-      blocks: Int = 8): DataFrame = {
+      blocks: Int = 8): DataFrame =
+    packedTopKGraph(vecs, idCol, vecCol, k, blocks, crossKey = None)
+
+  /** Shared packed-kernel graph pipeline behind [[knnGraph]] and
+    * [[hardNegatives]]: block-pack the corpus (additionally keyed by
+    * `crossKey` when set), replicate each probe row once per target
+    * block, probe through the fused kernel, merge per-src winners.
+    * With `crossKey`, packs of the probe row's own key value are
+    * filtered out BEFORE the kernel runs (the hard-negative label
+    * inequality).
+    *
+    * The probe stage is CPU-bound, not size-bound: without an explicit
+    * spread, broadcast joins inherit the (tiny) source partitioning and
+    * the whole n²/blocks² cosine work lands in one task — and AQE would
+    * coalesce a size-based shuffle right back. The explicit-count
+    * round-robin pins probe parallelism to the cluster, a few hundred
+    * lightweight rows per task; at fleet scale the pack join degrades
+    * to a g2-keyed shuffle join whose parallelism is `blocks` (sized
+    * with the corpus), and packs never replicate per probe row.
+    */
+  private def packedTopKGraph(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, blocks: Int, crossKey: Option[String]): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
     require(blocks >= 1, s"blocks must be positive: $blocks")
     val spark = vecs.sparkSession
@@ -319,23 +340,20 @@ object Similarity {
     import graft.functions.VectorExpressions.topk_cosine_local
     val combos = (for { g <- 0 until blocks; g2 <- 0 until blocks }
       yield (g, g2)).toDF("g", "g2")
-    val base = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-      .withColumn("g", pmod(xxhash64(col("vid")), lit(blocks)).cast("int"))
-    val packs = base.groupBy(col("g").as("g2"))
+    val base = (crossKey match {
+      case Some(c) => vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"),
+        col(c).as("__xk"))
+      case None => vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    }).withColumn("g", pmod(xxhash64(col("vid")), lit(blocks)).cast("int"))
+    val packKeys = col("g").as("g2") +:
+      crossKey.map(_ => col("__xk").as("__xk_b")).toSeq
+    val packs = base.groupBy(packKeys: _*)
       .agg(collect_list(struct(col("vid").as("id"), col("vec"))).as("pack"))
-    // The probe stage is CPU-bound, not size-bound: without an explicit
-    // spread, broadcast joins inherit the (tiny) source partitioning and
-    // the whole n²/blocks² cosine work lands in one task — and AQE would
-    // coalesce a size-based shuffle right back. The explicit-count
-    // round-robin pins probe parallelism to the cluster, a few hundred
-    // lightweight rows per task; at fleet scale the pack join degrades
-    // to a g2-keyed shuffle join whose parallelism is `blocks` (sized
-    // with the corpus), and packs never replicate per probe row.
-    val parallelism = math.max(vecs.sparkSession.sparkContext.defaultParallelism,
-      blocks)
-    base.join(broadcast(combos), "g")
+    val parallelism = math.max(spark.sparkContext.defaultParallelism, blocks)
+    val probes = base.join(broadcast(combos), "g")
       .repartition(parallelism)
-      .join(packs, "g2")
+      .join(packs, Seq("g2"))
+    crossKey.fold(probes)(_ => probes.filter(col("__xk") =!= col("__xk_b")))
       .select(col("vid").as("src"),
         posexplode(topk_cosine_local(col("pack"), col("vec"), col("vid"), k)))
       .groupBy(col("src"))
@@ -362,29 +380,6 @@ object Similarity {
     * src-keyed shuffle.
     */
   def hardNegatives(vecs: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, k: Int, blocks: Int = 8): DataFrame = {
-    import graft.functions.VectorExpressions.topk_cosine_local
-    require(k >= 1, s"k must be positive: $k")
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val combos = (for { g <- 0 until blocks; g2 <- 0 until blocks }
-      yield (g, g2)).toDF("g", "g2")
-    val base = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"),
-        col(labelCol).as("lbl"))
-      .withColumn("g", pmod(xxhash64(col("vid")), lit(blocks)).cast("int"))
-    val packs = base.groupBy(col("g").as("g2"), col("lbl").as("lbl_b"))
-      .agg(collect_list(struct(col("vid").as("id"), col("vec"))).as("pack"))
-    val parallelism = math.max(spark.sparkContext.defaultParallelism, blocks)
-    base.join(broadcast(combos), "g")
-      .repartition(parallelism)
-      .join(packs, Seq("g2"))
-      .filter(col("lbl") =!= col("lbl_b"))
-      .select(col("vid").as("src"),
-        posexplode(topk_cosine_local(col("pack"), col("vec"), col("vid"), k)))
-      .groupBy(col("src"))
-      .agg(topk_by(col("col.score"), col("col.id"), k).as("topk"))
-      .select(col("src"), posexplode(col("topk")))
-      .select(col("src"), (col("pos") + 1).as("rank"),
-        col("col.id").as("dst"), col("col.score").as("cosine"))
-  }
+      labelCol: String, k: Int, blocks: Int = 8): DataFrame =
+    packedTopKGraph(vecs, idCol, vecCol, k, blocks, crossKey = Some(labelCol))
 }

@@ -278,7 +278,7 @@ object EventQueries {
         |  SELECT event_type, avg("value") AS mu, stddev_samp("value") AS sd
         |  FROM events GROUP BY event_type)
         |SELECT event_id, e.event_type,
-        |  round(("value" - mu) / sd, 4) AS z
+        |  round(("value" - mu) / nullif(sd, 0), 4) AS z
         |FROM events e JOIN s USING (event_type)
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
       val ev = Tables.load(s, dir, "events")
@@ -286,7 +286,10 @@ object EventQueries {
         .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
       ev.join(stats, "event_type")
         .select(col("event_id"), col("event_type"),
-          graft.dround((col("value") - col("mu")) / col("sd"), 4).as("z"))
+          // nullif(sd, 0): a constant-valued type has sd = 0 and would
+          // emit NaN z-scores (0/0), which no oracle hash can match
+          graft.dround((col("value") - col("mu")) /
+            when(col("sd") =!= 0.0, col("sd")), 4).as("z"))
         .orderBy("event_id")
     },
 

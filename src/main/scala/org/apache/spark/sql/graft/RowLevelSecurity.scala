@@ -38,17 +38,42 @@ object PolicyRegistry {
   def clear(): Unit = policies.clear()
 }
 
-/** Analyzer rule: wrap any relation (matched by its subquery alias) that
+/** True when a SubqueryAlias child is an actual RELATION (base table,
+  * DSv2 table, or registered view) rather than an arbitrary subplan — a
+  * user-written `region AS nation` alias or a CTE named like a governed
+  * table wraps a Project/Aggregate/other alias, NOT a relation, and must
+  * not trip table-name-keyed security rules.
+  */
+private[graft] object RelationAlias {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+  import org.apache.spark.sql.catalyst.plans.logical.View
+  import org.apache.spark.sql.execution.datasources.LogicalRelation
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  def isRelation(child: LogicalPlan): Boolean = child match {
+    case _: LogicalRelation | _: DataSourceV2Relation | _: View |
+         _: UnresolvedRelation => true
+    // an RLS-injected policy Filter still aliases the relation itself —
+    // the grant check must keep seeing through it
+    case Filter(_, grandchild) => isRelation(grandchild)
+    case _ => false
+  }
+}
+
+/** Analyzer rule: wrap any RELATION (matched by its subquery alias) that
   * has active policies in a Filter over the parsed policy predicates.
   * Runs during resolution, so the injected predicate resolves against the
-  * relation's own attributes like a hand-written WHERE clause.
+  * relation's own attributes like a hand-written WHERE clause. Aliases
+  * over non-relations (CTEs, `x AS governed_name`) are ignored — the
+  * name match applies only where the name IS the table.
   */
 case class RowLevelSecurityRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private val applied = TreeNodeTag[Boolean]("graft.rls.applied")
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case s @ SubqueryAlias(ident, child) if s.getTagValue(applied).isEmpty =>
+    case s @ SubqueryAlias(ident, child) if s.getTagValue(applied).isEmpty &&
+        RelationAlias.isRelation(child) =>
       val policies = PolicyRegistry.forTable(ident.name)
       if (policies.isEmpty) s
       else {
@@ -81,26 +106,48 @@ object GrantRegistry {
   private val grants = TrieMap.empty[(String, String), Set[String]]
   private val restricted = TrieMap.empty[String, String] // table -> owner
 
+  /** GRANT/REVOKE are themselves privileged: once a table is restricted,
+    * only its owner may change its grants (SQL-auth semantics — without
+    * this, any user could grant themselves in, or seize an open table by
+    * being first to GRANT; the first GRANT still restricts and records
+    * the REQUESTER as owner, which is the table-creating session in the
+    * SQL flow).
+    */
+  private def requireOwner(t: String, requester: String): Unit =
+    restricted.get(t).foreach { owner =>
+      if (owner.toLowerCase != requester.toLowerCase)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3105",
+          messageParameters = Map("message" ->
+            s"only owner '$owner' may change grants on table '$t' (requester '$requester')"))
+    }
+
   def grant(table: String, users: Seq[String], privs: Seq[String],
-      owner: String = "admin"): Unit = {
+      requester: String): Unit = {
     val t = table.toLowerCase
-    restricted.putIfAbsent(t, owner)
+    requireOwner(t, requester)
+    restricted.putIfAbsent(t, requester)
     val ps = privs.map(_.toUpperCase).toSet
     users.foreach { u =>
-      val key = (t, u.toLowerCase)
-      grants.put(key, grants.getOrElse(key, Set.empty) ++ ps)
+      grants.updateWith((t, u.toLowerCase)) {
+        case Some(existing) => Some(existing ++ ps)
+        case None => Some(ps)
+      }
     }
   }
 
-  def revoke(table: String, users: Seq[String], privs: Seq[String]): Unit = {
+  def revoke(table: String, users: Seq[String], privs: Seq[String],
+      requester: String): Unit = {
     val t = table.toLowerCase
+    requireOwner(t, requester)
     val ps = privs.map(_.toUpperCase).toSet
     users.foreach { u =>
-      val key = (t, u.toLowerCase)
-      val left =
-        if (ps.contains("ALL")) Set.empty[String]
-        else grants.getOrElse(key, Set.empty) -- ps
-      if (left.isEmpty) grants.remove(key) else grants.put(key, left)
+      grants.updateWith((t, u.toLowerCase)) {
+        case Some(existing) =>
+          val left = if (ps.contains("ALL")) Set.empty[String] else existing -- ps
+          if (left.isEmpty) None else Some(left)
+        case None => None
+      }
     }
   }
 
@@ -134,15 +181,19 @@ object GrantRegistry {
   def isEmpty: Boolean = restricted.isEmpty
 }
 
-/** Analyzer rule enforcing SELECT grants: any restricted relation read by
+/** Analyzer rule enforcing SELECT grants: any restricted RELATION read by
   * a non-privileged user fails analysis (mutation privileges are checked
   * in the Graft DML commands, which is where those statements route).
+  * Only aliases directly over relations are checked — a CTE or
+  * `x AS restricted_name` alias shares the name, not the data
+  * ([[RelationAlias]]).
   */
 case class GrantCheckRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (GrantRegistry.isEmpty) return plan
     plan.foreachUp {
-      case SubqueryAlias(ident, _) => GrantRegistry.check(ident.name, "SELECT")
+      case SubqueryAlias(ident, child) if RelationAlias.isRelation(child) =>
+        GrantRegistry.check(ident.name, "SELECT")
       case _ =>
     }
     plan

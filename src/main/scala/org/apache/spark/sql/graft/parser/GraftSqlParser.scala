@@ -203,9 +203,11 @@ case class GraftGrantRevokeCommand(isGrant: Boolean, privs: Seq[String],
     table: String, users: Seq[String]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.graft.{GrantRegistry, PolicyRegistry}
+    // the registry authorizes the requester itself (owner-only mutation)
     if (isGrant)
-      GrantRegistry.grant(table, users, privs, owner = PolicyRegistry.currentUser)
-    else GrantRegistry.revoke(table, users, privs)
+      GrantRegistry.grant(table, users, privs, requester = PolicyRegistry.currentUser)
+    else
+      GrantRegistry.revoke(table, users, privs, requester = PolicyRegistry.currentUser)
     Nil
   }
 }
@@ -516,11 +518,19 @@ object GraftJdbcDml {
   import org.apache.spark.sql.execution.datasources.LogicalRelation
   import org.apache.spark.sql.execution.datasources.jdbc.{JDBCOptions, JDBCRelation}
 
-  /** JDBC options of the relation behind `table`'s plan, if any. */
+  /** JDBC options of the relation behind `table`'s plan — only when the
+    * relation maps to a real database TABLE (a relation registered via
+    * the `query` option wraps a generated subquery string that no
+    * database accepts as a DML target; those fall back to the view
+    * tier).
+    */
   def jdbcOptionsOf(spark: SparkSession, table: String): Option[JDBCOptions] =
     spark.table(table).queryExecution.analyzed.collectFirst {
       case l: LogicalRelation if l.relation.isInstanceOf[JDBCRelation] =>
         l.relation.asInstanceOf[JDBCRelation].jdbcOptions
+    }.filter { opts =>
+      val t = opts.tableOrQuery.trim
+      !t.startsWith("(") && !t.toUpperCase.startsWith("SELECT")
     }
 
   /** Execute a raw statement on the relation's database. */
@@ -548,6 +558,7 @@ object GraftJdbcDml {
 case class GraftExternalUpdateCommand(table: String, assigns: Seq[(String, String)],
     where: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    org.apache.spark.sql.graft.GrantRegistry.check(table, "UPDATE")
     GraftJdbcDml.jdbcOptionsOf(spark, table) match {
       case Some(opts) =>
         // Spark's JDBC writer creates tables with QUOTED (case-exact)
@@ -575,6 +586,7 @@ case class GraftExternalDeleteCommand(table: String, where: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    org.apache.spark.sql.graft.GrantRegistry.check(table, "DELETE")
     GraftJdbcDml.jdbcOptionsOf(spark, table) match {
       case Some(opts) =>
         GraftJdbcDml.execute(opts,
@@ -599,6 +611,8 @@ case class GraftCatalogCowCommand(table: String, assigns: Seq[(String, String)],
     where: Option[String], isDelete: Boolean = false) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    org.apache.spark.sql.graft.GrantRegistry.check(table,
+      if (isDelete) "DELETE" else "UPDATE")
     val df = spark.table(table)
     val next =
       if (isDelete)

@@ -263,12 +263,18 @@ object GraftStatements extends RegexParsers {
     (kw("SELECT") | kw("INSERT") | kw("UPDATE") | kw("DELETE") |
       kw("ALL")) ^^ (_.toUpperCase)
 
+  // the user-list keyword is bound to the head: GRANT...TO, REVOKE...FROM
+  // (accepting the crosswired forms would let a typo mutate grants)
   private def grantRevoke: Parser[Stmt] =
-    (kw("GRANT") ^^^ true | kw("REVOKE") ^^^ false) ~
-      rep1sep(privWord, ",") ~
+    kw("GRANT") ~> rep1sep(privWord, ",") ~
       (kw("ON") ~> opt(kw("TABLE")) ~> ident) ~
-      ((kw("TO") | kw("FROM")) ~> rep1sep(ident, ",")) ^^ {
-        case isGrant ~ privs ~ t ~ users => GrantRevoke(isGrant, privs, t, users)
+      (kw("TO") ~> rep1sep(ident, ",")) ^^ {
+        case privs ~ t ~ users => GrantRevoke(isGrant = true, privs, t, users)
+      } |
+    kw("REVOKE") ~> rep1sep(privWord, ",") ~
+      (kw("ON") ~> opt(kw("TABLE")) ~> ident) ~
+      (kw("FROM") ~> rep1sep(ident, ",")) ^^ {
+        case privs ~ t ~ users => GrantRevoke(isGrant = false, privs, t, users)
       }
 
   private def statement: Parser[Stmt] =

@@ -77,6 +77,31 @@ class RlsSpec extends SparkTestBase {
       intercept[org.apache.spark.sql.AnalysisException] {
         spark.sql("SELECT count(*) FROM gr_t").collect()
       }
+
+      // GRANT itself is privileged: a non-owner cannot grant themselves in
+      g.setCurrentUser("mallory")
+      val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("GRANT SELECT ON nation TO mallory")
+      }
+      assert(e3.getMessage.contains("only owner"))
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("REVOKE SELECT ON nation FROM alice")
+      }
+
+      // crosswired keyword forms must not parse as grant statements
+      // (they fall through to Spark's parser, which rejects them)
+      intercept[Exception] {
+        spark.sql("REVOKE SELECT ON nation TO alice")
+      }
+      assert(org.apache.spark.sql.graft.GrantRegistry
+        .allowed("nation", "alice", "SELECT"), "crosswired REVOKE must not fire")
+
+      // a CTE or table alias sharing a restricted name is NOT the table
+      assert(spark.sql(
+        "WITH nation AS (SELECT 1 AS x) SELECT count(*) FROM nation")
+        .head().getLong(0) == 1)
+      assert(spark.sql("SELECT count(*) FROM region AS nation")
+        .head().getLong(0) == 5)
     } finally {
       g.setCurrentUser("default")
       GrantRegistry.clear()
