@@ -683,7 +683,15 @@ object BatchPruning {
   private def mightMatchOne(stats: Array[ColumnStats], numRows: Int,
       schema: StructType, f: Filter, unprunable: Set[String]): Boolean = f match {
     case EqualTo(c, v) => check(stats, numRows, schema, c, v, unprunable) { (dt, st, iv) =>
-      st.min == null || (compare(dt, iv, st.min) >= 0 && compare(dt, iv, st.max) <= 0)
+      (st.min == null ||
+        (compare(dt, iv, st.min) >= 0 && compare(dt, iv, st.max) <= 0)) &&
+        // string value digest: literal bits absent ⇒ value provably not
+        // in this batch, even inside [min, max] (the dictionary-
+        // membership prune — see ColumnStats.valueBloom)
+        (dt != StringType || st.valueBloom == 0L || {
+          val bits = GraftColumnStore.bloomBits(iv)
+          (st.valueBloom & bits) == bits
+        })
     }
     case GreaterThan(c, v) => check(stats, numRows, schema, c, v, unprunable) { (dt, st, iv) =>
       st.max == null || compare(dt, st.max, iv) > 0

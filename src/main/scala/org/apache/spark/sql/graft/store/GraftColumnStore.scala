@@ -264,8 +264,23 @@ object GraftColumnStore {
     * back to the row loop, which reproduces Spark's per-value ANSI
     * overflow error faithfully).
     */
+  /** `valueBloom`: 64-bit two-hash bloom over a STRING column's distinct
+    * batch values (0 = no digest) — the dictionary-membership analog of
+    * the reference's dictionary-optimized access: an equality literal
+    * whose bits are absent proves the batch holds no matching row even
+    * when it falls inside [min, max], which is exactly the case for
+    * low-cardinality (dictionary-encodable) columns where range stats
+    * are useless. Saturates harmlessly toward all-ones as cardinality
+    * grows.
+    */
   final case class ColumnStats(min: Any, max: Any, nullCount: Int,
-      longSum: java.lang.Long = null)
+      longSum: java.lang.Long = null, valueBloom: Long = 0L)
+
+  /** Two bloom bits for a string value (UTF8String hash). */
+  def bloomBits(v: Any): Long = {
+    val h = v.asInstanceOf[UTF8String].hashCode()
+    (1L << (h & 63)) | (1L << ((h >>> 8) & 63))
+  }
 
   /** Sealed batch payload: encoded column-major values. */
   final class StoreBatch(
@@ -745,6 +760,7 @@ object GraftColumnStore {
       var nulls = 0
       var min: Any = null
       var max: Any = null
+      var bloom = 0L
       var i = 0
       while (i < n) {
         val v = out(i)
@@ -752,6 +768,7 @@ object GraftColumnStore {
         else if (hasStats) {
           if (min == null || compare(dt, v, min) < 0) min = v
           if (max == null || compare(dt, v, max) > 0) max = v
+          if (isString) bloom |= bloomBits(v)
         }
         i += 1
       }
@@ -764,7 +781,7 @@ object GraftColumnStore {
           java.lang.Boolean.getBoolean("graft.store.plainOnly")) PlainColumn(out)
         else encode(out, dt)
       vals = new Array[Any](size)
-      (col, ColumnStats(min, max, nulls))
+      (col, ColumnStats(min, max, nulls, valueBloom = bloom))
     }
   }
 

@@ -270,6 +270,40 @@ class GraftStoreSpec extends SparkTestBase {
     g.dropTable("s_enc")
   }
 
+  test("string value-digest prunes equality misses inside [min,max] (dictionary-membership analog)") {
+    import org.apache.spark.sql.graft.store.{GraftColumnStore, GraftStoreOps}
+    import spark.implicits._
+    // every batch spans ["aaa","zzz"] in min/max (sentinels planted at
+    // both ends), so range stats can NEVER prune an equality literal —
+    // only the per-batch value digest can prove 'absent' is not there.
+    // Cardinality stays LOW per batch (8 distinct + sentinels): that is
+    // the dictionary-encodable regime the digest exists for — hundreds
+    // of distinct values would saturate the 64-bit bloom (by design)
+    val rows = (0 until 4).flatMap { b =>
+      Seq((b * 1000L, "aaa"), (b * 1000L + 1, "zzz")) ++
+        (2 until 500).map(i => (b * 1000L + i, s"val_${b}_${i % 8}"))
+    }
+    rows.toDF("id", "s")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.format(GraftStoreOps.FORMAT).option("table", "s_bloom")
+      .option("batch_size", "500").mode("overwrite").save()
+    try {
+      val skipped0 = GraftColumnStore.batchesSkipped.get()
+      // present value: exactly its own batch survives, others digest-prune
+      assert(GraftStoreOps.read(spark, "s_bloom")
+        .filter($"s" === "val_2_4").count() > 0)
+      val skippedPresent = GraftColumnStore.batchesSkipped.get() - skipped0
+      assert(skippedPresent >= 3,
+        s"digest must prune the 3 batches not holding the value, got $skippedPresent")
+      // absent value inside every batch's [min,max]: all batches prune
+      val s1 = GraftColumnStore.batchesSkipped.get()
+      assert(GraftStoreOps.read(spark, "s_bloom")
+        .filter($"s" === "bbb_absent").count() == 0)
+      assert(GraftColumnStore.batchesSkipped.get() - s1 >= 4,
+        "digest must prune every batch for an absent in-range literal")
+    } finally GraftColumnStore.drop("s_bloom")
+  }
+
   test("key point lookup prunes to one bucket (PK-lookup analog)") {
     val g = GraftSession(spark)
     freshOrders("s_pk", buckets = 8)
