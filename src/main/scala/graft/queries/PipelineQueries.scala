@@ -419,6 +419,94 @@ object PipelineQueries {
         .orderBy("split_name")
     },
 
+    // ---- split-leakage audit: NEAR-duplicate pairs whose members land
+    // in DIFFERENT splits of q_data_split's assignment — id-keyed splits
+    // leak through content duplicates, and this is the decontamination
+    // check that catches it (exact-hash overlap is subsumed: an exact
+    // dup is a Jaccard-1 pair). Oracle = all-pairs ground truth joined
+    // to the replayed split assignment ----
+    QueryDef.sql(
+      "q_split_leakage",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(t) - 1),
+        |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |        FROM toks WHERE len(t) >= 3) u),
+        |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.a, i.b FROM inter i
+        |    JOIN sizes sa ON i.a = sa.doc_id
+        |    JOIN sizes sb ON i.b = sb.doc_id
+        |  WHERE CAST(i.n_inter AS DOUBLE) / (sa.set_size + sb.set_size - i.n_inter) >= 0.7),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'validation'
+        |         ELSE 'test' END AS s
+        |  FROM (SELECT doc_id,
+        |          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS BIGINT)
+        |            / 1099511627776.0 AS u
+        |        FROM documents) v)
+        |SELECT p.a, p.b, spa.s AS split_a, spb.s AS split_b
+        |FROM pairs p
+        |  JOIN sp spa ON spa.doc_id = p.a
+        |  JOIN sp spb ON spb.doc_id = p.b
+        |WHERE spa.s <> spb.s
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val splits = Splits.assign(docs, Seq("doc_id"),
+          Seq("train" -> 8.0, "validation" -> 1.0, "test" -> 1.0))
+        .select(col("doc_id"), col("_split"))
+      val pairs = Dedup.minhashNearDupsFast(docs, "doc_id", "text",
+        shingleLen = 3, numHashes = 16, threshold = 0.7)
+      pairs
+        .join(splits.select(col("doc_id").as("a"), col("_split").as("split_a")), "a")
+        .join(splits.select(col("doc_id").as("b"), col("_split").as("split_b")), "b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select("a", "b", "split_a", "split_b")
+        .orderBy("a", "b")
+    },
+
+    // ---- declared-vs-predicted language confusion matrix (label
+    // quality audit): the langId heuristic cross-tabulated against the
+    // metadata lang column ----
+    QueryDef.sql(
+      "q_lang_confusion", {
+        val cases = TextAnalysis.langStopwords.map { case (lang, words) =>
+          s"sum(CASE WHEN tok IN (${words.map(w => s"'$w'").mkString(",")}) THEN 1 ELSE 0 END) AS s_$lang"
+        }.mkString(",\n  ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+           |  FROM documents),
+           |scored AS (
+           |  SELECT doc_id, $cases
+           |  FROM toks GROUP BY doc_id),
+           |pred AS (
+           |  SELECT doc_id,
+           |    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+           |         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+           |         WHEN s_de >= s_fr THEN 'de'
+           |         ELSE 'fr' END AS pred_lang
+           |  FROM scored)
+           |SELECT d.lang AS declared, p.pred_lang AS predicted, count(*) AS n
+           |FROM pred p JOIN documents d USING (doc_id)
+           |GROUP BY declared, predicted
+           |ORDER BY declared, predicted""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.langId(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang").as("declared")), "doc_id")
+        .groupBy(col("declared"), col("pred_lang").as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("declared", "predicted")
+    },
+
     // ---- deterministic per-epoch shuffle + sharding: every doc's
     // (shard, pos) reader address for epoch 7 replayed by the oracle ----
     QueryDef.sql(
