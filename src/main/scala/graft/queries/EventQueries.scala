@@ -242,6 +242,41 @@ object EventQueries {
         .agg(count(lit(1)).as("n_converted"))
     },
 
+    // ---- DAU/WAU engagement: per week, the mean daily active users,
+    // the weekly active users, and the stickiness ratio — two
+    // user-distinct aggregations and a week-keyed join ----
+    QueryDef.sql(
+      "q_events_dau_wau",
+      """WITH daily AS (
+        |  SELECT date_trunc('week', ts) AS wk, date_trunc('day', ts) AS day,
+        |    count(DISTINCT user_id) AS dau
+        |  FROM events GROUP BY wk, day),
+        |weekly AS (
+        |  SELECT date_trunc('week', ts) AS wk, count(DISTINCT user_id) AS wau
+        |  FROM events GROUP BY wk)
+        |SELECT strftime(d.wk, '%Y-%m-%d') AS week,
+        |  round(avg(CAST(dau AS DOUBLE)), 4) AS avg_dau,
+        |  any_value(wau) AS wau,
+        |  round(avg(CAST(dau AS DOUBLE)) / any_value(wau), 4) AS stickiness
+        |FROM daily d JOIN weekly w USING (wk)
+        |GROUP BY d.wk ORDER BY week""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val daily = ev.groupBy(date_trunc("week", col("ts")).as("wk"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(count_distinct(col("user_id")).as("dau"))
+      val weekly = ev.groupBy(date_trunc("week", col("ts")).as("wk"))
+        .agg(count_distinct(col("user_id")).as("wau"))
+      daily.join(weekly, "wk")
+        .groupBy(col("wk"))
+        .agg(graft.dround(avg(col("dau").cast("double")), 4).as("avg_dau"),
+          first(col("wau")).as("wau"),
+          graft.dround(avg(col("dau").cast("double")) / first(col("wau")), 4)
+            .as("stickiness"))
+        .select(date_format(col("wk"), "yyyy-MM-dd").as("week"),
+          col("avg_dau"), col("wau"), col("stickiness"))
+        .orderBy("week")
+    },
+
     // ---- behavioral transition matrix (first-order Markov counts):
     // consecutive event-type pairs per user in (ts, id) order — the
     // "what do users do next" analysis behind path/flow charts. One
