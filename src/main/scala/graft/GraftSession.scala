@@ -62,7 +62,8 @@ class GraftSession(val spark: SparkSession) {
       keyColumns: Seq[String] = Nil,
       partitionBy: Seq[String] = Nil,
       buckets: Int = 32,
-      provider: String = "column"): DataFrame = {
+      provider: String = "column",
+      compression: String = "none"): DataFrame = {
     val nm = normalize(name)
     if (provider == "row") {
       // row table (reference RowFormatRelation): row-major packs with a
@@ -109,6 +110,7 @@ class GraftSession(val spark: SparkSession) {
         }
       val w = ingest.write.format(GraftStoreOps.FORMAT).option("table", nm)
         .option("key_columns", keyColumns.mkString(","))
+        .option("compression", compression)
       val w2 =
         if (partitionBy.nonEmpty)
           w.option("partition_by", partitionBy.mkString(",")).option("buckets", buckets.toString)

@@ -394,7 +394,8 @@ case class GraftCreateTableCommand(name: String, provider: String,
   private val opsOnlyOptions = Set("persistence", "persistent", "diskstore",
     "overflow", "eviction_by", "expire", "redundancy")
   private val knownOptions =
-    opsOnlyOptions ++ Set("key_columns", "partition_by", "buckets", "colocate_with")
+    opsOnlyOptions ++ Set("key_columns", "partition_by", "buckets", "colocate_with",
+      "compression")
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
@@ -433,7 +434,10 @@ case class GraftCreateTableCommand(name: String, provider: String,
         .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
       partitionBy = partitionBy,
       buckets = buckets.getOrElse(32),
-      provider = provider)
+      provider = provider,
+      // COMPRESSION (StoreUtils.scala:42-58): honored, not ops-ignored —
+      // sealed batches deflate through LZ4 at rest
+      compression = options.get("compression").map(_.toLowerCase).getOrElse("none"))
     Nil
   }
 }

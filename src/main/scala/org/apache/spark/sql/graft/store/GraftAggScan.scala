@@ -270,7 +270,7 @@ class GraftAggReaderFactory(fullSchema: StructType,
   /** Column values with any update deltas merged (boxed path). */
   private def mergedColumn(w: BatchWork, batch: StoreBatch, col: Int): ColumnData = {
     val updates = w.updates.getOrElse(col, Vector.empty)
-    if (updates.isEmpty) batch.columns(col)
+    if (updates.isEmpty) batch.columns(col).materialized
     else {
       val vals = batch.columns(col).toArray
       updates.foreach { dref =>

@@ -81,13 +81,20 @@ object GraftTable {
     // so a compact() rewrite keeps the granularity the index was built at
     val batchSize = props.get("batch_size").map(_.toInt)
       .orElse(existing.map(_.batchSize)).getOrElse(16384)
-    new GraftTable(name, schema, batchSize, bucketBy, buckets, keys, sortBy)
+    // at-rest codec, like batch size part of the physical layout — an
+    // explicit option wins, else the existing table's codec (so compact/
+    // createIndex rewrites keep compressing), else uncompressed
+    val compression = props.get("compression").map(_.toLowerCase)
+      .orElse(existing.map(_.compression)).getOrElse("none")
+    require(compression == "none" || compression == "lz4",
+      s"graftstore: unsupported compression '$compression' (none | lz4)")
+    new GraftTable(name, schema, batchSize, bucketBy, buckets, keys, sortBy, compression)
   }
 }
 
 class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
     bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String],
-    sortBy: Seq[String] = Nil)
+    sortBy: Seq[String] = Nil, compression: String = "none")
     extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
   import GraftTable._
 
@@ -118,7 +125,7 @@ class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(tableName, info.schema(), batchSize, bucketBy, numBuckets,
-      keyColumns, sortBy)
+      keyColumns, sortBy, compression)
 }
 
 // ------------------------------- read path -------------------------------
@@ -428,9 +435,12 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
     * transfer as dictionary ids instead of copied bytes.
     */
   private def fillStreaming(vec: OnHeapColumnVector, dt: DataType,
-      col: GraftColumnStore.ColumnData, dels: BitSet, live: Int): Unit = {
+      col0: GraftColumnStore.ColumnData, dels: BitSet, live: Int): Unit = {
     import GraftColumnStore.{DictColumn, DoubleColumn, IntColumn, LongColumn, RunLengthColumn}
     val hasDels0 = dels.nonEmpty
+    // LZ4 tables: inflate once per (batch, column) so the dispatch below
+    // sees the concrete encoding and keeps its bulk/dictionary transfers
+    val col = col0.materialized
     col match {
       // primitive columns: bulk transfer when dense, primitive loop else
       case LongColumn(vals, nulls) =>
@@ -735,7 +745,7 @@ object BatchPruning {
 
 class GraftWriteBuilder(tableName: String, writeSchema: StructType, batchSize: Int,
     bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String],
-    sortBy: Seq[String] = Nil)
+    sortBy: Seq[String] = Nil, compression: String = "none")
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -755,16 +765,17 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType, batchSize: I
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
     override def toBatch: BatchWrite =
       new GraftBatchWrite(tableName, writeSchema, batchSize, doTruncate,
-        bucketBy, numBuckets, keyColumns, sortBy)
+        bucketBy, numBuckets, keyColumns, sortBy, compression)
   }
 }
 
 class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
     truncate: Boolean, bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String],
-    sortBy: Seq[String] = Nil)
+    sortBy: Seq[String] = Nil, compression: String = "none")
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(schema, batchSize, bucketBy.nonEmpty && numBuckets > 0)
+    new GraftWriterFactory(schema, batchSize, bucketBy.nonEmpty && numBuckets > 0,
+      compression == "lz4")
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // metadata-only commit: refs land in the snapshot, payloads are
@@ -782,17 +793,25 @@ class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
       // this to be a safe online rewrite)
       table.mutateRetiring { s =>
         (s.copy(refs = newRefs, deletes = Map.empty, updates = Map.empty,
-            sortedBy = sortBy, batchSize = batchSize),
+            sortedBy = sortBy, batchSize = batchSize, compression = compression),
           Some(GraftColumnStore.Retirees(s.refs.map(_.id),
             s.updates.values.flatMap(_.values.flatten.map(_.deltaId)).toSeq,
             s.deletes.values.map(_.bitmapId).toSeq)))
       }
       ()
-    } else GraftColumnStore.takeStagedDeletes(tableName) match {
-      // an upsert staged matched-key deletes for this append: apply
-      // them and the new refs in ONE swap (atomic PUT INTO)
-      case Some(staged) => table.applyDeletes(staged, newRefs)
-      case None => table.appendRefs(newRefs)
+    } else {
+      // record the codec as table layout metadata (first write to a fresh
+      // table appends — without this a later compact() would resolve the
+      // existing snapshot's default and silently stop compressing)
+      if (table.snapshot.compression != compression) {
+        table.mutate(_.copy(compression = compression))
+      }
+      GraftColumnStore.takeStagedDeletes(tableName) match {
+        // an upsert staged matched-key deletes for this append: apply
+        // them and the new refs in ONE swap (atomic PUT INTO)
+        case Some(staged) => table.applyDeletes(staged, newRefs)
+        case None => table.appendRefs(newRefs)
+      }
     }
   }
 
@@ -804,14 +823,15 @@ class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
 case class GraftCommit(refs: Seq[GraftColumnStore.BatchRef])
     extends WriterCommitMessage
 
-class GraftWriterFactory(schema: StructType, batchSize: Int, bucketed: Boolean)
+class GraftWriterFactory(schema: StructType, batchSize: Int, bucketed: Boolean,
+    compress: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       // bucketed writes demanded numPartitions == numBuckets, so the
       // Spark partition id IS the bucket id
       private val builder = new GraftColumnStore.BatchBuilder(
-        schema, batchSize, if (bucketed) partitionId else -1)
+        schema, batchSize, if (bucketed) partitionId else -1, compress)
       override def write(record: InternalRow): Unit = builder.add(record)
       override def commit(): WriterCommitMessage = GraftCommit(builder.result())
       override def abort(): Unit = builder.abort()

@@ -58,11 +58,58 @@ object GraftColumnStore {
     def sizeBytes: Long
     /** Stream (index, value-or-null) in row order. */
     def foreachValue(f: (Int, Any) => Unit): Unit
+    /** The directly-readable form: `this` for every encoding except
+      * [[CompressedColumn]], which inflates a transient copy. Scan/agg
+      * fast paths call this once per (batch, column) access so their
+      * type dispatch sees the concrete encoding underneath.
+      */
+    def materialized: ColumnData = this
     /** Decode to a boxed array (mutation/merge convenience). */
     final def toArray: Array[Any] = {
       val out = new Array[Any](numRows)
       foreachValue((i, v) => out(i) = v)
       out
+    }
+  }
+
+  /** At-rest LZ4-compressed sealed column (reference batch-level codecs:
+    * encoders/.../store/CompressionCodecId.scala + CompressionUtils.scala;
+    * `COMPRESSION` table option, core/.../sql/store/StoreUtils.scala:42-58).
+    * The payload is the Java-serialized encoded column deflated through an
+    * LZ4 block stream; every read inflates a TRANSIENT copy and drops it —
+    * the same memory-for-CPU trade the reference makes by decompressing
+    * per scan rather than caching inflated buffers. Opt-in per table via
+    * `OPTIONS (compression 'lz4')`: the store is a hot in-memory tier, so
+    * the default stays uncompressed. Update deltas and delete bitmaps are
+    * never compressed (they are small and short-lived by construction).
+    */
+  final case class CompressedColumn(numRows: Int, rawSizeBytes: Long,
+      bytes: Array[Byte]) extends ColumnData {
+    def sizeBytes: Long = bytes.length.toLong
+    override def materialized: ColumnData = {
+      val in = new java.io.ObjectInputStream(new net.jpountz.lz4.LZ4BlockInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      try in.readObject().asInstanceOf[ColumnData] finally in.close()
+    }
+    def foreachValue(f: (Int, Any) => Unit): Unit = materialized.foreachValue(f)
+  }
+
+  object CompressedColumn {
+    /** Wrap `col` when LZ4 actually pays: above a floor (tiny columns are
+      * all fixed overhead) and saving at least 10%. Encodings compose —
+      * a dictionary or run-length column deflates further when its
+      * payload still has byte-level redundancy.
+      */
+    def deflate(col: ColumnData): ColumnData = {
+      if (col.sizeBytes < 2048) return col
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.ObjectOutputStream(new net.jpountz.lz4.LZ4BlockOutputStream(bos))
+      out.writeObject(col)
+      out.close()
+      val bytes = bos.toByteArray
+      if (bytes.length.toLong * 10 <= col.sizeBytes * 9) {
+        CompressedColumn(col.numRows, col.sizeBytes, bytes)
+      } else col
     }
   }
 
@@ -379,7 +426,8 @@ object GraftColumnStore {
       deletes: Map[Long, DeleteRef],
       updates: Map[Long, Map[Int, Vector[ColumnDeltaRef]]],
       sortedBy: Seq[String] = Nil,
-      batchSize: Int = 16384) {
+      batchSize: Int = 16384,
+      compression: String = "none") {
     def rowCount: Long =
       refs.map(r => r.numRows.toLong - deletes.get(r.id).map(_.cardinality).getOrElse(0)).sum
     def liveRows(ref: BatchRef): Int =
@@ -785,7 +833,8 @@ object GraftColumnStore {
     }
   }
 
-  final class BatchBuilder(schema: StructType, batchSize: Int, bucketId: Int) {
+  final class BatchBuilder(schema: StructType, batchSize: Int, bucketId: Int,
+      compress: Boolean = false) {
     private val fields = schema.fields
     private val builders: Array[ColBuilder] = fields.map { f =>
       f.dataType match {
@@ -816,7 +865,7 @@ object GraftColumnStore {
       var c = 0
       while (c < fields.length) {
         val (col, st) = builders(c).seal(n)
-        cols(c) = col
+        cols(c) = if (compress) CompressedColumn.deflate(col) else col
         stats(c) = st
         c += 1
       }

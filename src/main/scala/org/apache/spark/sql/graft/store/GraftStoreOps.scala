@@ -194,9 +194,10 @@ object GraftStoreOps {
     * compaction would silently degrade every index probe to a full scan).
     */
   def compact(spark: SparkSession, table: String): Unit = {
-    val sorted = GraftColumnStore(table).snapshot.sortedBy
+    val snap = GraftColumnStore(table).snapshot
     val w = read(spark, table).write.format(FORMAT).option("table", table)
-    (if (sorted.nonEmpty) w.option("sort_by", sorted.mkString(",")) else w)
+      .option("compression", snap.compression)
+    (if (snap.sortedBy.nonEmpty) w.option("sort_by", snap.sortedBy.mkString(",")) else w)
       .mode("overwrite").save()
   }
 

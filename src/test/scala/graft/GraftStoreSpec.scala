@@ -604,4 +604,56 @@ class GraftStoreSpec extends SparkTestBase {
     assert(n == total, s"open row scan must drain its pinned snapshot: $n of $total")
     g.dropTable("r_gc")
   }
+
+  test("COMPRESSION 'lz4': smaller at-rest footprint, identical answers, mutation intact") {
+    val g = GraftSession(spark)
+    val docs = Tables.load(spark, sf, "documents")
+    g.createTable("s_lz4", docs, compression = "lz4")
+    g.createTable("s_raw", docs)
+    val zipped = GraftColumnStore("s_lz4").snapshot
+    val plain = GraftColumnStore("s_raw").snapshot
+    assert(zipped.compression == "lz4" && plain.compression == "none")
+    // text-heavy batches must actually deflate (strings carry the bulk)
+    assert(zipped.sizeBytes < plain.sizeBytes,
+      s"lz4 snapshot ${zipped.sizeBytes}B must undercut plain ${plain.sizeBytes}B")
+    val some = zipped.refs.flatMap(r =>
+      GraftColumnStore.BatchRegistry.batch(r.id).columns.collect {
+        case c: GraftColumnStore.CompressedColumn => c
+      })
+    assert(some.nonEmpty, "at least one sealed column should be CompressedColumn")
+    // identical answers through the columnar scan (string + numeric paths)
+    val q = (t: String) => g.table(t)
+      .groupBy("lang").agg(count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
+      .orderBy("lang").collect().toSeq
+    assert(q("s_lz4") == q("s_raw"))
+    // mutations run against compressed batches: deltas/bitmaps compose
+    g.update("s_lz4", col("doc_id") % 5 === 0, "lang" -> lit("xx"))
+    g.delete("s_lz4", col("doc_id") % 7 === 0)
+    val expect = docs.withColumn("lang",
+        when(col("doc_id") % 5 === 0, lit("xx")).otherwise(col("lang")))
+      .filter(col("doc_id") % 7 =!= 0)
+      .groupBy("lang").count().orderBy("lang").collect().toSeq
+    val got = g.table("s_lz4").groupBy("lang").count().orderBy("lang").collect().toSeq
+    assert(got == expect)
+    // compact keeps the codec (layout metadata, like batch size)
+    GraftStoreOps.compact(spark, "s_lz4")
+    val after = GraftColumnStore("s_lz4").snapshot
+    assert(after.compression == "lz4")
+    assert(after.refs.flatMap(r =>
+      GraftColumnStore.BatchRegistry.batch(r.id).columns.collect {
+        case c: GraftColumnStore.CompressedColumn => c
+      }).nonEmpty, "compaction must re-deflate sealed columns")
+    assert(g.table("s_lz4").groupBy("lang").count().orderBy("lang").collect().toSeq == expect)
+    g.dropTable("s_lz4"); g.dropTable("s_raw")
+  }
+
+  test("COMPRESSION in CREATE TABLE DDL reaches the store") {
+    val g = GraftSession(spark)
+    Tables.load(spark, sf, "documents").createOrReplaceTempView("cmp_src")
+    spark.sql("CREATE TABLE s_lz4_ddl USING column " +
+      "OPTIONS (compression 'lz4') AS SELECT * FROM cmp_src")
+    assert(GraftColumnStore("s_lz4_ddl").snapshot.compression == "lz4")
+    assert(spark.table("s_lz4_ddl").count() == spark.table("cmp_src").count())
+    g.dropTable("s_lz4_ddl")
+  }
 }
