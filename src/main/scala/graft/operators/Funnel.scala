@@ -121,4 +121,34 @@ object Funnel {
       when(inWindow, col("__touch.typ")).as("touch_type"),
       when(inWindow, col("__ts_us") - col("__touch.ts_us")).as("gap_us"))
   }
+
+  /** Top event paths: the most frequent length-`steps` sequences of
+    * consecutive event types per user (clickstream path mining — the
+    * k-step generalization of the first-order transition matrix).
+    * Output: the `k` most common paths as (step_1..step_n, n_paths),
+    * ties broken by path ascending.
+    *
+    * Scale shape: ONE user-keyed window pass (same shuffle the
+    * transition matrix pays — lead(i) for all i share one sort), then a
+    * count agg bounded by |types|^steps and a k-row top-k. No self-joins,
+    * nothing quadratic in events.
+    */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, steps: Int, k: Int): DataFrame = {
+    require(steps >= 2, s"topPaths: need at least 2 steps, got $steps")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val stepCols = (1 to steps).map { i =>
+      (if (i == 1) col(typeCol) else lead(col(typeCol), i - 1).over(w))
+        .as(s"step_$i")
+    }
+    val paths = events.select(stepCols: _*)
+      .filter(stepCols.indices.map(i => col(s"step_${i + 1}").isNotNull)
+        .reduce(_ && _))
+      .groupBy((1 to steps).map(i => col(s"step_$i")): _*)
+      .agg(count(lit(1)).as("n_paths"))
+    paths.orderBy(col("n_paths").desc +: (1 to steps).map(i => col(s"step_$i")): _*)
+      .limit(k)
+  }
 }

@@ -121,4 +121,35 @@ object Retrieval {
       .select(col("id"), graft.dround(col("rrf"), 6).as("rrf"),
         col("r_lex"), col("r_sem"))
   }
+
+  /** Inverted-index build job: per term, the document frequency and the
+    * full posting list (sorted doc ids) — the artifact a search engine's
+    * index shards ship. Restricted here to the `topTerms` highest-df
+    * terms (ties: term ascending) so the driver-facing result stays
+    * bounded; the unbounded variant is the same plan minus the top-k.
+    * Posting lists surface as an md5 digest of the comma-joined sorted
+    * ids — engine-portable and constant-width however long the list.
+    *
+    * Scale shape: one (term, doc) distinct agg + one term-keyed
+    * collect_set, both shuffling (term, doc_id) pairs once; posting
+    * lists build WHERE THE TERM LIVES (no driver collect). A real
+    * deployment would range-shard terms; the plan is shard-oblivious.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      topTerms: Int): DataFrame = {
+    val postings = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        // numeric sort BEFORE the string cast (lexicographic "10"<"2"
+        // would desync engines), md5 over the comma-joined ids
+        md5(concat_ws(",",
+          transform(sort_array(collect_set(col("__doc"))), x => x.cast("string"))))
+          .as("postings_md5"))
+    postings.orderBy(col("df").desc, col("term")).limit(topTerms)
+  }
 }

@@ -537,6 +537,76 @@ object TextAnalysis {
         avg(col("__nlp")).as("xent2"))
   }
 
+  /** Collocation mining: rank adjacent word pairs by LIFT —
+    * `c12 · N / (c1 · c2)` over bigram count c12, unigram counts c1/c2
+    * and corpus token count N (the pointwise-mutual-information statistic
+    * without the log, so the score is ONE integer-ratio IEEE division and
+    * replays bit-exactly on any engine). The collocation table is what a
+    * phrase-merging tokenizer step ("new york" → "new_york") consumes.
+    * Output: (w1, w2, c12, lift) for bigrams with c12 ≥ `minCount`.
+    *
+    * Scale shape: the corpus token stream reduces ONCE to bigram-vocab-
+    * and unigram-vocab-bounded count tables; scoring is two vocab-keyed
+    * joins on the BOUNDED bigram table (AQE broadcasts them while they
+    * fit), never a second pass over the corpus.
+    */
+  def collocations(docs: DataFrame, textCol: String,
+      minCount: Long = 1L): DataFrame = {
+    val toks = split(col(textCol), "\\s+")
+    val base = docs.filter(col(textCol).isNotNull)
+    val c2 = base
+      .filter(size(toks) >= 2)
+      .select(explode(
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .as("__bg"))
+      .groupBy("__bg").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val c1 = base
+      .select(explode(toks).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+    val total = base
+      .select(size(toks).cast("long").as("__n"))
+      .agg(sum(col("__n")).as("__total"))
+    c2
+      .withColumn("w1", substring_index(col("__bg"), " ", 1))
+      .withColumn("w2", substring_index(col("__bg"), " ", -1))
+      .join(c1.select(col("__w").as("w1"), col("__c").as("__c1")), "w1")
+      .join(c1.select(col("__w").as("w2"), col("__c").as("__c2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"),
+        ((col("c12") * col("__total")).cast("double") /
+          (col("__c1") * col("__c2"))).as("lift"))
+  }
+
+  /** Vocabulary coverage accounting: for the top-`k` corpus tokens by
+    * frequency (ties: token ascending), the per-token and cumulative
+    * fraction of all token occurrences they cover — the "how large must
+    * the vocab be" curve of tokenizer design. Output:
+    * (rank, token, cnt, frac, cum_frac).
+    *
+    * Scale shape: one token-keyed count agg (vocab-bounded), a k-row
+    * top-k, and a window over those k rows only.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = split(col(textCol), "\\s+")
+    val counts = docs.filter(col(textCol).isNotNull)
+      .select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    counts
+      .orderBy(col("cnt").desc, col("token")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("__cum", sum(col("cnt")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("cnt"),
+        (col("cnt").cast("double") / col("__total")).as("frac"),
+        (col("__cum").cast("double") / col("__total")).as("cum_frac"))
+  }
+
   /** DSIR-shape importance scoring: rank raw documents by how much more
     * likely a TARGET-domain unigram LM finds them than the RAW-corpus
     * unigram LM — score = mean over tokens of

@@ -389,6 +389,25 @@ object EventQueries {
           "event_id", touchTypes = Seq("click", "view"),
           convType = "purchase", maxGapUs = 3600000000L)
         .orderBy("conversion_id")
+    },
+
+    // ---- path mining: most frequent 3-step event-type sequences (the
+    // k-step generalization of the transition matrix: one user-keyed
+    // window pass, count agg bounded by |types|³) ----
+    QueryDef.sql(
+      "q_events_paths",
+      """WITH s AS (
+        |  SELECT event_type AS step_1,
+        |    lead(event_type, 1) OVER w AS step_2,
+        |    lead(event_type, 2) OVER w AS step_3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT step_1, step_2, step_3, count(*) AS n_paths
+        |FROM s WHERE step_2 IS NOT NULL AND step_3 IS NOT NULL
+        |GROUP BY step_1, step_2, step_3
+        |ORDER BY n_paths DESC, step_1, step_2, step_3 LIMIT 10""".stripMargin) { (s, dir) =>
+      graft.operators.Funnel.topPaths(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id", steps = 3, k = 10)
     }
   )
 }

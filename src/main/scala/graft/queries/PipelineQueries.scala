@@ -1895,6 +1895,85 @@ object PipelineQueries {
         .select(col("src"), col("rank"), col("dst"),
           graft.dround(col("cosine"), 4).as("cosine"))
         .orderBy("src", "rank")
+    },
+
+    // ---- collocation mining (phrase detection): top bigrams by lift
+    // c12·N/(c1·c2) — PMI without the log, so the score is one integer
+    // ratio and replays bit-exactly. Vocab-bounded count tables, two
+    // bounded joins, never a second corpus pass ----
+    QueryDef.sql(
+      "q_collocations",
+      """WITH base AS (
+        |  SELECT string_split_regex(text, '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+        |  FROM base WHERE len(t) >= 2),
+        |c2 AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+        |         count(*) AS c12
+        |       FROM bg GROUP BY 1, 2 HAVING count(*) >= 20),
+        |c1 AS (SELECT w, count(*) AS c
+        |       FROM (SELECT unnest(t) AS w FROM base) u GROUP BY w),
+        |n AS (SELECT sum(len(t)) AS total FROM base)
+        |SELECT c2.w1, c2.w2, c2.c12,
+        |  round(CAST(c2.c12 * n.total AS DOUBLE) / (a.c * b.c), 6) AS lift_r
+        |FROM c2
+        |  JOIN c1 a ON a.w = c2.w1
+        |  JOIN c1 b ON b.w = c2.w2, n
+        |ORDER BY lift_r DESC, w1, w2 LIMIT 20""".stripMargin) { (s, dir) =>
+      TextAnalysis.collocations(Tables.load(s, dir, "documents"),
+          "text", minCount = 20L)
+        .select(col("w1"), col("w2"), col("c12"),
+          graft.dround(col("lift"), 6).as("lift_r"))
+        .orderBy(col("lift_r").desc, col("w1"), col("w2")).limit(20)
+    },
+
+    // ---- vocabulary coverage curve: top-k tokens by frequency + the
+    // cumulative fraction of the corpus they cover (the vocab-size
+    // design curve). One vocab-bounded agg, k-row window ----
+    QueryDef.sql(
+      "q_vocab_coverage",
+      """WITH c AS (
+        |  SELECT tok AS token, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS tok
+        |    FROM documents WHERE text IS NOT NULL) u
+        |  GROUP BY tok),
+        |n AS (SELECT sum(cnt) AS total FROM c),
+        |top AS (SELECT token, cnt,
+        |          row_number() OVER (ORDER BY cnt DESC, token) AS rank
+        |        FROM c ORDER BY cnt DESC, token LIMIT 15)
+        |SELECT rank, token, cnt,
+        |  round(CAST(cnt AS DOUBLE) / n.total, 6) AS frac_r,
+        |  round(CAST(sum(cnt) OVER (ORDER BY rank) AS DOUBLE) / n.total, 6) AS cum_r
+        |FROM top, n
+        |ORDER BY rank""".stripMargin) { (s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.load(s, dir, "documents"), "text", k = 15)
+        .select(col("rank"), col("token"), col("cnt"),
+          graft.dround(col("frac"), 6).as("frac_r"),
+          graft.dround(col("cum_frac"), 6).as("cum_r"))
+        .orderBy("rank")
+    },
+
+    // ---- inverted-index build: per-term document frequency + posting
+    // list (sorted doc ids, md5-digested for a bounded result). The
+    // (term, doc) stream shuffles once; lists build where the term
+    // lives ----
+    QueryDef.sql(
+      "q_inverted_index",
+      """WITH td AS (
+        |  SELECT DISTINCT doc_id, tok AS term FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |    FROM documents WHERE text IS NOT NULL) u
+        |  WHERE tok <> ''),
+        |p AS (
+        |  SELECT term, count(*) AS df,
+        |    md5(array_to_string(list_sort(list(doc_id)), ',')) AS postings_md5
+        |  FROM td GROUP BY term)
+        |SELECT term, df, postings_md5 FROM p
+        |ORDER BY df DESC, term LIMIT 25""".stripMargin) { (s, dir) =>
+      Retrieval.invertedIndex(Tables.load(s, dir, "documents"),
+          "doc_id", "text", topTerms = 25)
+        .orderBy(col("df").desc, col("term"))
     }
   )
 }

@@ -598,6 +598,34 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           graft.dround(avg(col("c_acctbal")), 4).as("avg_bal"))
         .orderBy(col("c_nationkey"), col("quartile"))
+    },
+
+    // ---- entity resolution: blocked fuzzy matching over part names —
+    // block on the name's last word, levenshtein over DISTINCT name
+    // pairs only (vocabulary-bounded), record-pair counts recovered
+    // arithmetically. The quadratic compare never sees the record
+    // stream ----
+    QueryDef.sql(
+      "q_entity_match",
+      """WITH g AS (
+        |  SELECT split_part(p_name, ' ', -1) AS block, p_name AS name, count(*) AS n
+        |  FROM part WHERE p_name IS NOT NULL GROUP BY 1, 2),
+        |cross_pairs AS (
+        |  SELECT a.block, a.name AS name1, b.name AS name2,
+        |    levenshtein(a.name, b.name) AS dist,
+        |    CAST(a.n * b.n AS BIGINT) AS n_pairs
+        |  FROM g a JOIN g b ON a.block = b.block AND a.name < b.name
+        |  WHERE levenshtein(a.name, b.name) <= 4),
+        |within AS (
+        |  SELECT block, name AS name1, name AS name2, 0 AS dist,
+        |    CAST(n * (n - 1) / 2 AS BIGINT) AS n_pairs
+        |  FROM g WHERE n >= 2)
+        |SELECT * FROM cross_pairs UNION ALL SELECT * FROM within
+        |ORDER BY block, name1, name2""".stripMargin) { (s, dir) =>
+      graft.operators.EntityResolution.resolvePairs(
+          Tables.load(s, dir, "part"), "p_name",
+          substring_index(col("p_name"), " ", -1), maxDist = 4)
+        .orderBy("block", "name1", "name2")
     }
   )
 }
