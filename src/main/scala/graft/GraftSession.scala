@@ -63,7 +63,8 @@ class GraftSession(val spark: SparkSession) {
       partitionBy: Seq[String] = Nil,
       buckets: Int = 32,
       provider: String = "column",
-      compression: String = "none"): DataFrame = {
+      compression: String = "none",
+      evictionBudgetBytes: Long = 0L): DataFrame = {
     val nm = normalize(name)
     if (provider == "row") {
       // row table (reference RowFormatRelation): row-major packs with a
@@ -111,6 +112,7 @@ class GraftSession(val spark: SparkSession) {
       val w = ingest.write.format(GraftStoreOps.FORMAT).option("table", nm)
         .option("key_columns", keyColumns.mkString(","))
         .option("compression", compression)
+        .option("eviction_budget_bytes", evictionBudgetBytes.toString)
       val w2 =
         if (partitionBy.nonEmpty)
           w.option("partition_by", partitionBy.mkString(",")).option("buckets", buckets.toString)

@@ -401,7 +401,20 @@ case class GraftCreateTableCommand(name: String, provider: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val g = graft.GraftSession(spark)
-    options.keys.filter(opsOnlyOptions).foreach(k => logWarning(
+    // EVICTION_BY 'LRUMEMSIZE <mb>' WITH OVERFLOW 'true' is HONORED
+    // (reference GemFire LRU-overflow regions): past-budget sealed
+    // batches spill to the store's disk tier, scans fault them back
+    // transiently. Other eviction policies (LRUHEAPPERCENT, LRUCOUNT,
+    // destroy-on-evict) stay accept-and-ignore below.
+    val overflowBudgetBytes: Long = (for {
+      ev <- options.get("eviction_by").map(_.trim.toUpperCase)
+      if ev.startsWith("LRUMEMSIZE")
+      if options.get("overflow").exists(_.trim.equalsIgnoreCase("true"))
+      mb <- ev.stripPrefix("LRUMEMSIZE").trim.toLongOption
+    } yield mb << 20).getOrElse(0L)
+    val honoredOps: Set[String] =
+      if (overflowBudgetBytes > 0L) Set("eviction_by", "overflow") else Set.empty
+    options.keys.filter(opsOnlyOptions).filterNot(honoredOps).foreach(k => logWarning(
       s"CREATE TABLE $name: option '$k' accepted for DDL compatibility but ignored " +
         "(operational tiering/replication is not managed by this engine)"))
     options.keys.filterNot(knownOptions).foreach(k =>
@@ -437,7 +450,8 @@ case class GraftCreateTableCommand(name: String, provider: String,
       provider = provider,
       // COMPRESSION (StoreUtils.scala:42-58): honored, not ops-ignored —
       // sealed batches deflate through LZ4 at rest
-      compression = options.get("compression").map(_.toLowerCase).getOrElse("none"))
+      compression = options.get("compression").map(_.toLowerCase).getOrElse("none"),
+      evictionBudgetBytes = overflowBudgetBytes)
     Nil
   }
 }

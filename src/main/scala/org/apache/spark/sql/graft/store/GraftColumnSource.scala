@@ -88,13 +88,19 @@ object GraftTable {
       .orElse(existing.map(_.compression)).getOrElse("none")
     require(compression == "none" || compression == "lz4",
       s"graftstore: unsupported compression '$compression' (none | lz4)")
-    new GraftTable(name, schema, batchSize, bucketBy, buckets, keys, sortBy, compression)
+    // LRU-overflow budget (EVICTION_BY 'LRUMEMSIZE n' + OVERFLOW 'true'):
+    // resident-payload cap in bytes; 0 disables the disk tier
+    val evictionBudget = props.get("eviction_budget_bytes").map(_.toLong)
+      .orElse(existing.map(_.evictionBudget)).getOrElse(0L)
+    new GraftTable(name, schema, batchSize, bucketBy, buckets, keys, sortBy,
+      compression, evictionBudget)
   }
 }
 
 class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
     bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String],
-    sortBy: Seq[String] = Nil, compression: String = "none")
+    sortBy: Seq[String] = Nil, compression: String = "none",
+    evictionBudget: Long = 0L)
     extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
   import GraftTable._
 
@@ -125,7 +131,7 @@ class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(tableName, info.schema(), batchSize, bucketBy, numBuckets,
-      keyColumns, sortBy, compression)
+      keyColumns, sortBy, compression, evictionBudget)
 }
 
 // ------------------------------- read path -------------------------------
@@ -745,7 +751,8 @@ object BatchPruning {
 
 class GraftWriteBuilder(tableName: String, writeSchema: StructType, batchSize: Int,
     bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String],
-    sortBy: Seq[String] = Nil, compression: String = "none")
+    sortBy: Seq[String] = Nil, compression: String = "none",
+    evictionBudget: Long = 0L)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -765,13 +772,14 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType, batchSize: I
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
     override def toBatch: BatchWrite =
       new GraftBatchWrite(tableName, writeSchema, batchSize, doTruncate,
-        bucketBy, numBuckets, keyColumns, sortBy, compression)
+        bucketBy, numBuckets, keyColumns, sortBy, compression, evictionBudget)
   }
 }
 
 class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
     truncate: Boolean, bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String],
-    sortBy: Seq[String] = Nil, compression: String = "none")
+    sortBy: Seq[String] = Nil, compression: String = "none",
+    evictionBudget: Long = 0L)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(schema, batchSize, bucketBy.nonEmpty && numBuckets > 0,
@@ -793,7 +801,8 @@ class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
       // this to be a safe online rewrite)
       table.mutateRetiring { s =>
         (s.copy(refs = newRefs, deletes = Map.empty, updates = Map.empty,
-            sortedBy = sortBy, batchSize = batchSize, compression = compression),
+            sortedBy = sortBy, batchSize = batchSize, compression = compression,
+            evictionBudget = evictionBudget),
           Some(GraftColumnStore.Retirees(s.refs.map(_.id),
             s.updates.values.flatMap(_.values.flatten.map(_.deltaId)).toSeq,
             s.deletes.values.map(_.bitmapId).toSeq)))
@@ -803,8 +812,9 @@ class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
       // record the codec as table layout metadata (first write to a fresh
       // table appends — without this a later compact() would resolve the
       // existing snapshot's default and silently stop compressing)
-      if (table.snapshot.compression != compression) {
-        table.mutate(_.copy(compression = compression))
+      if (table.snapshot.compression != compression ||
+          table.snapshot.evictionBudget != evictionBudget) {
+        table.mutate(_.copy(compression = compression, evictionBudget = evictionBudget))
       }
       GraftColumnStore.takeStagedDeletes(tableName) match {
         // an upsert staged matched-key deletes for this append: apply
@@ -813,6 +823,9 @@ class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
         case None => table.appendRefs(newRefs)
       }
     }
+    // LRU-overflow: spill past-budget batches to the disk tier now that
+    // the snapshot carries the new refs
+    GraftColumnStore.enforceEviction(tableName)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -354,13 +354,82 @@ object GraftColumnStore {
     private val deltas = TrieMap.empty[Long, ColumnDeltaPayload]
     private val bitmaps = TrieMap.empty[Long, Array[Long]]
 
+    // ---- disk tier (EVICTION_BY 'LRUMEMSIZE n' + OVERFLOW 'true',
+    // reference StoreUtils.scala:42-58 / GemFire LRU-overflow regions):
+    // spilled batches live as LZ4-deflated serialized files; access
+    // reloads a TRANSIENT copy (not re-cached — a reload that re-entered
+    // the resident tier would thrash against the budget it was evicted
+    // for). On a cluster these files are executor-local disk, exactly
+    // where the payloads already live. Sizes and access ticks are
+    // metadata so planning (estimateStatistics) and the LRU policy never
+    // touch payloads.
+    private val spilledFiles = TrieMap.empty[Long, java.nio.file.Path]
+    private val batchSizes = TrieMap.empty[Long, Long]
+    private val accessTick = new AtomicLong
+    private val lastAccess = TrieMap.empty[Long, Long]
+    private lazy val spillDir = {
+      val d = java.nio.file.Files.createTempDirectory("graft-overflow-")
+      d.toFile.deleteOnExit()
+      d
+    }
+
     def putBatch(b: StoreBatch): Long = {
       val id = nextId.incrementAndGet()
       batches.put(id, b)
+      batchSizes.put(id, b.sizeBytes)
+      lastAccess.put(id, accessTick.incrementAndGet())
       id
     }
-    def batch(id: Long): StoreBatch = batches.getOrElse(id,
-      throw new IllegalStateException(s"graftstore batch payload missing: $id"))
+    def batch(id: Long): StoreBatch = {
+      lastAccess.put(id, accessTick.incrementAndGet())
+      batches.get(id) match {
+        case Some(b) => b
+        case None => spilledFiles.get(id) match {
+          case Some(path) =>
+            val in = new java.io.ObjectInputStream(new net.jpountz.lz4.LZ4BlockInputStream(
+              java.nio.file.Files.newInputStream(path)))
+            try in.readObject().asInstanceOf[StoreBatch] finally in.close()
+          case None =>
+            throw new IllegalStateException(s"graftstore batch payload missing: $id")
+        }
+      }
+    }
+    /** Resident (heap) payload size; 0 once spilled. */
+    def residentBytes(id: Long): Long =
+      if (batches.contains(id)) batchSizes.getOrElse(id, 0L) else 0L
+    def sizeBytes(id: Long): Long = batchSizes.getOrElse(id, 0L)
+    def isResident(id: Long): Boolean = batches.contains(id)
+    /** Move one resident batch to the disk tier (no-op if already there
+      * or unknown). Synchronized per call so two concurrent evictions of
+      * the same id don't double-write.
+      */
+    def spill(id: Long): Unit = synchronized {
+      batches.get(id).foreach { b =>
+        val path = spillDir.resolve(s"batch-$id.lz4")
+        val out = new java.io.ObjectOutputStream(new net.jpountz.lz4.LZ4BlockOutputStream(
+          java.nio.file.Files.newOutputStream(path)))
+        try out.writeObject(b) finally out.close()
+        spilledFiles.put(id, path)
+        batches.remove(id)
+      }
+    }
+    /** LRU eviction: spill least-recently-accessed resident batches from
+      * `ids` until their resident total is ≤ `budgetBytes`.
+      */
+    def enforceBudget(ids: Seq[Long], budgetBytes: Long): Unit = {
+      var resident = ids.map(residentBytes).sum
+      if (resident <= budgetBytes) return
+      val lru = ids.filter(isResident)
+        .sortBy(id => lastAccess.getOrElse(id, 0L))
+      var i = 0
+      while (resident > budgetBytes && i < lru.length) {
+        val id = lru(i)
+        val sz = residentBytes(id)
+        spill(id)
+        resident -= sz
+        i += 1
+      }
+    }
     def putDelta(d: ColumnDeltaPayload): Long = {
       val id = nextId.incrementAndGet()
       deltas.put(id, d)
@@ -381,7 +450,12 @@ object GraftColumnStore {
       throw new IllegalStateException(s"graftstore delete-bitmap payload missing: $id"))
     def release(batchIds: Iterable[Long], deltaIds: Iterable[Long],
         bitmapIds: Iterable[Long] = Nil): Unit = {
-      batchIds.foreach(batches.remove)
+      batchIds.foreach { id =>
+        batches.remove(id)
+        batchSizes.remove(id)
+        lastAccess.remove(id)
+        spilledFiles.remove(id).foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
       deltaIds.foreach(deltas.remove)
       bitmapIds.foreach(bitmaps.remove)
     }
@@ -427,12 +501,17 @@ object GraftColumnStore {
       updates: Map[Long, Map[Int, Vector[ColumnDeltaRef]]],
       sortedBy: Seq[String] = Nil,
       batchSize: Int = 16384,
-      compression: String = "none") {
+      compression: String = "none",
+      evictionBudget: Long = 0L) {
     def rowCount: Long =
       refs.map(r => r.numRows.toLong - deletes.get(r.id).map(_.cardinality).getOrElse(0)).sum
     def liveRows(ref: BatchRef): Int =
       ref.numRows - deletes.get(ref.id).map(_.cardinality).getOrElse(0)
-    def sizeBytes: Long = refs.map(r => BatchRegistry.batch(r.id).sizeBytes).sum
+    // registry size METADATA, not payloads — planning must never fault
+    // a spilled batch back in just to estimate statistics
+    def sizeBytes: Long = refs.map(r => BatchRegistry.sizeBytes(r.id)).sum
+    /** Heap-resident payload bytes (spilled batches count 0). */
+    def residentBytes: Long = refs.map(r => BatchRegistry.residentBytes(r.id)).sum
   }
 
   /** Payload ids superseded by one snapshot swap. */
@@ -581,6 +660,19 @@ object GraftColumnStore {
     */
   val aggPushes = new AtomicLong(0)
   val aggDictBatches = new AtomicLong(0)
+
+  /** EVICTION_BY 'LRUMEMSIZE n' + OVERFLOW 'true' enforcement (reference
+    * GemFire LRU-overflow regions): spill the table's least-recently-
+    * accessed sealed batches to the registry's disk tier until the
+    * resident payload fits the budget. Called after every write commit;
+    * scans fault spilled batches back in TRANSIENTLY (never re-cached).
+    */
+  def enforceEviction(name: String): Unit = get(name).foreach { t =>
+    val s = t.snapshot
+    if (s.evictionBudget > 0L) {
+      BatchRegistry.enforceBudget(s.refs.map(_.id), s.evictionBudget)
+    }
+  }
 
   def createOrReplace(name: String, schema: StructType,
       bucketBy: Seq[String] = Nil, numBuckets: Int = 0,

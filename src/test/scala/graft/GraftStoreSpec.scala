@@ -647,6 +647,62 @@ class GraftStoreSpec extends SparkTestBase {
     g.dropTable("s_lz4"); g.dropTable("s_raw")
   }
 
+  test("EVICTION_BY LRUMEMSIZE + OVERFLOW: past-budget batches spill to disk, answers exact") {
+    val g = GraftSession(spark)
+    val li = Tables.load(spark, sf, "lineitem")
+    val expectCount = li.count()
+    val expectAgg = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity")).as("q")).orderBy("l_returnflag").collect().toSeq
+    g.createTable("s_evict", li, evictionBudgetBytes = 50000L)
+    val snap = GraftColumnStore("s_evict").snapshot
+    assert(snap.evictionBudget == 50000L)
+    assert(snap.residentBytes <= 50000L,
+      s"resident ${snap.residentBytes}B must fit the 50000B budget")
+    assert(snap.refs.exists(r => !GraftColumnStore.BatchRegistry.isResident(r.id)),
+      "past-budget batches must be on the disk tier")
+    // scans fault spilled batches back transiently — answers unchanged
+    assert(g.table("s_evict").count() == expectCount)
+    assert(g.table("s_evict").groupBy("l_returnflag")
+      .agg(sum(col("l_quantity")).as("q")).orderBy("l_returnflag")
+      .collect().toSeq == expectAgg)
+    // mutation against spilled batches: deltas/bitmaps compose over the
+    // disk-resident payload
+    g.update("s_evict", col("l_returnflag") === "R", "l_quantity" -> lit(1.0))
+    g.delete("s_evict", col("l_returnflag") === "N")
+    val expect2 = li
+      .withColumn("l_quantity",
+        when(col("l_returnflag") === "R", lit(1.0)).otherwise(col("l_quantity")))
+      .filter(col("l_returnflag") =!= "N")
+      .groupBy("l_returnflag").agg(sum(col("l_quantity")).as("q"))
+      .orderBy("l_returnflag").collect().toSeq
+    assert(g.table("s_evict").groupBy("l_returnflag")
+      .agg(sum(col("l_quantity")).as("q")).orderBy("l_returnflag")
+      .collect().toSeq == expect2)
+    // compaction rewrites through the write path: budget re-enforced
+    GraftStoreOps.compact(spark, "s_evict")
+    val after = GraftColumnStore("s_evict").snapshot
+    assert(after.evictionBudget == 50000L && after.residentBytes <= 50000L)
+    assert(g.table("s_evict").groupBy("l_returnflag")
+      .agg(sum(col("l_quantity")).as("q")).orderBy("l_returnflag")
+      .collect().toSeq == expect2)
+    g.dropTable("s_evict")
+  }
+
+  test("EVICTION_BY in DDL: LRUMEMSIZE+OVERFLOW honored, other policies stay ignored") {
+    val g = GraftSession(spark)
+    Tables.load(spark, sf, "orders").createOrReplaceTempView("ev_src")
+    spark.sql("CREATE TABLE s_evict_ddl USING column " +
+      "OPTIONS (eviction_by 'LRUMEMSIZE 1', overflow 'true') AS SELECT * FROM ev_src")
+    assert(GraftColumnStore("s_evict_ddl").snapshot.evictionBudget == (1L << 20))
+    assert(spark.table("s_evict_ddl").count() == spark.table("ev_src").count())
+    g.dropTable("s_evict_ddl")
+    // LRUHEAPPERCENT (GemFire heap policy) remains accept-and-ignore
+    spark.sql("CREATE TABLE s_evict_ddl2 USING column " +
+      "OPTIONS (eviction_by 'LRUHEAPPERCENT', overflow 'true') AS SELECT * FROM ev_src")
+    assert(GraftColumnStore("s_evict_ddl2").snapshot.evictionBudget == 0L)
+    g.dropTable("s_evict_ddl2")
+  }
+
   test("COMPRESSION in CREATE TABLE DDL reaches the store") {
     val g = GraftSession(spark)
     Tables.load(spark, sf, "documents").createOrReplaceTempView("cmp_src")
