@@ -552,21 +552,26 @@ object TextAnalysis {
     */
   def collocations(docs: DataFrame, textCol: String,
       minCount: Long = 1L): DataFrame = {
-    val toks = split(col(textCol), "\\s+")
+    // project the token ARRAY first: an element_at(split(...), i) inside
+    // the transform lambda would re-split the full text once per bigram
+    // position (the O(T²) higher-order-function trap — Spark does not
+    // hoist loop-invariant subexpressions out of lambda bodies)
     val base = docs.filter(col(textCol).isNotNull)
+      .select(split(col(textCol), "\\s+").as("__t"))
     val c2 = base
-      .filter(size(toks) >= 2)
+      .filter(size(col("__t")) >= 2)
       .select(explode(
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        transform(sequence(lit(1), size(col("__t")) - 1),
+          i => concat_ws(" ",
+            element_at(col("__t"), i), element_at(col("__t"), i + 1))))
         .as("__bg"))
       .groupBy("__bg").agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= minCount)
     val c1 = base
-      .select(explode(toks).as("__w"))
+      .select(explode(col("__t")).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__c"))
     val total = base
-      .select(size(toks).cast("long").as("__n"))
+      .select(size(col("__t")).cast("long").as("__n"))
       .agg(sum(col("__n")).as("__total"))
     c2
       .withColumn("w1", substring_index(col("__bg"), " ", 1))
