@@ -376,7 +376,8 @@ object GraftColumnStore {
     def putBatch(b: StoreBatch): Long = {
       val id = nextId.incrementAndGet()
       batches.put(id, b)
-      batchSizes.put(id, b.sizeBytes)
+      // sizes stay LAZY (see sizeBytes) — the O(rows) size fold on seal
+      // would tax every ingest for a statistic only planning asks for
       lastAccess.put(id, accessTick.incrementAndGet())
       id
     }
@@ -396,8 +397,22 @@ object GraftColumnStore {
     }
     /** Resident (heap) payload size; 0 once spilled. */
     def residentBytes(id: Long): Long =
-      if (batches.contains(id)) batchSizes.getOrElse(id, 0L) else 0L
-    def sizeBytes(id: Long): Long = batchSizes.getOrElse(id, 0L)
+      if (batches.contains(id)) sizeBytes(id) else 0L
+    /** Size metadata, computed on first ask and memoized — planning and
+      * the LRU policy read this; spilled batches keep their last
+      * resident size so estimateStatistics never faults payloads in.
+      */
+    def sizeBytes(id: Long): Long = batchSizes.get(id) match {
+      case Some(s) => s
+      case None =>
+        batches.get(id) match {
+          case Some(b) =>
+            val s = b.sizeBytes
+            batchSizes.put(id, s)
+            s
+          case None => 0L
+        }
+    }
     def isResident(id: Long): Boolean = batches.contains(id)
     /** Move one resident batch to the disk tier (no-op if already there
       * or unknown). Synchronized per call so two concurrent evictions of
@@ -405,6 +420,7 @@ object GraftColumnStore {
       */
     def spill(id: Long): Unit = synchronized {
       batches.get(id).foreach { b =>
+        batchSizes.put(id, b.sizeBytes) // pin size metadata before the payload leaves heap
         val path = spillDir.resolve(s"batch-$id.lz4")
         val out = new java.io.ObjectOutputStream(new net.jpountz.lz4.LZ4BlockOutputStream(
           java.nio.file.Files.newOutputStream(path)))
