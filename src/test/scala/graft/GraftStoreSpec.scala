@@ -703,6 +703,36 @@ class GraftStoreSpec extends SparkTestBase {
     g.dropTable("s_evict_ddl2")
   }
 
+  test("feature interaction: lz4 + eviction + buckets + index + full DML cycle") {
+    val g = GraftSession(spark)
+    val orders = Tables.load(spark, sf, "orders")
+    g.createTable("s_all", orders, keyColumns = Seq("o_orderkey"),
+      partitionBy = Seq("o_orderkey"), buckets = 4,
+      compression = "lz4", evictionBudgetBytes = 60000L)
+    GraftStoreOps.createIndex(spark, "s_all", Seq("o_orderdate"), batchSize = 2048)
+    val snap = GraftColumnStore("s_all").snapshot
+    assert(snap.compression == "lz4" && snap.evictionBudget == 60000L &&
+      snap.sortedBy == Seq("o_orderdate") && snap.numBuckets == 4)
+    assert(snap.residentBytes <= 60000L)
+    // full DML cycle against compressed + partially-spilled batches
+    g.update("s_all", col("o_orderstatus") === "O", "o_totalprice" -> lit(1.0))
+    g.delete("s_all", col("o_orderkey") % 10 === 3)
+    g.putInto("s_all", orders.filter(col("o_orderkey") % 100 === 3))
+    val expect = {
+      val upd = orders.withColumn("o_totalprice",
+        when(col("o_orderstatus") === "O", lit(1.0)).otherwise(col("o_totalprice")))
+      val afterDel = upd.filter(col("o_orderkey") % 10 =!= 3)
+      val putBack = orders.filter(col("o_orderkey") % 100 === 3)
+      afterDel.unionByName(putBack)
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s")).head()
+    }
+    val got = g.table("s_all")
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s")).head()
+    assert(got.getLong(0) == expect.getLong(0))
+    assert(math.abs(got.getDouble(1) - expect.getDouble(1)) < 1e-4)
+    g.dropTable("s_all")
+  }
+
   test("COMPRESSION in CREATE TABLE DDL reaches the store") {
     val g = GraftSession(spark)
     Tables.load(spark, sf, "documents").createOrReplaceTempView("cmp_src")
