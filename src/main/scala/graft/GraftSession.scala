@@ -76,6 +76,7 @@ class GraftSession(val spark: SparkSession) {
       GraftRowStore.drop(nm) // fresh layout (options win over a stale table)
       val w = data.write.format(GraftRowOps.FORMAT).option("table", nm)
         .option("key_columns", keyColumns.mkString(","))
+        .option("eviction_budget_bytes", evictionBudgetBytes.toString)
       val w2 =
         if (partitionBy.nonEmpty)
           w.option("partition_by", partitionBy.mkString(",")).option("buckets", buckets.toString)

@@ -74,12 +74,16 @@ object GraftRowTable {
         .getOrElse(Nil))
     val buckets = existing.map(_.numBuckets).getOrElse(
       props.get("buckets").map(_.toInt).getOrElse(0))
-    new GraftRowTable(name, schema, keys, bucketBy, buckets)
+    // LRU-overflow budget (EVICTION_BY 'LRUMEMSIZE n' + OVERFLOW 'true')
+    val evictionBudget = props.get("eviction_budget_bytes").map(_.toLong)
+      .orElse(existing.map(_.evictionBudget)).getOrElse(0L)
+    new GraftRowTable(name, schema, keys, bucketBy, buckets, evictionBudget)
   }
 }
 
 class GraftRowTable(tableName: String, tableSchema: StructType,
-    keyColumns: Seq[String], bucketBy: Seq[String], numBuckets: Int)
+    keyColumns: Seq[String], bucketBy: Seq[String], numBuckets: Int,
+    evictionBudget: Long = 0L)
     extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
   import GraftRowTable._
 
@@ -109,7 +113,8 @@ class GraftRowTable(tableName: String, tableSchema: StructType,
     new GraftRowScanBuilder(tableName, tableSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftRowWriteBuilder(tableName, info.schema(), keyColumns, bucketBy, numBuckets)
+    new GraftRowWriteBuilder(tableName, info.schema(), keyColumns, bucketBy, numBuckets,
+      evictionBudget)
 }
 
 // ------------------------------- read path -------------------------------
@@ -473,7 +478,8 @@ class GraftRowReaderFactory(fullSchema: StructType, required: StructType,
 // ------------------------------- write path ------------------------------
 
 class GraftRowWriteBuilder(tableName: String, writeSchema: StructType,
-    keyColumns: Seq[String], bucketBy: Seq[String], numBuckets: Int)
+    keyColumns: Seq[String], bucketBy: Seq[String], numBuckets: Int,
+    evictionBudget: Long = 0L)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -493,12 +499,13 @@ class GraftRowWriteBuilder(tableName: String, writeSchema: StructType,
     override def requiredOrdering(): Array[SortOrder] = Array.empty
     override def toBatch: BatchWrite =
       new GraftRowBatchWrite(tableName, writeSchema, keyColumns, bucketBy, numBuckets,
-        doTruncate)
+        doTruncate, evictionBudget)
   }
 }
 
 class GraftRowBatchWrite(tableName: String, schema: StructType, keyColumns: Seq[String],
-    bucketBy: Seq[String], numBuckets: Int, truncate: Boolean) extends BatchWrite {
+    bucketBy: Seq[String], numBuckets: Int, truncate: Boolean,
+    evictionBudget: Long = 0L) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // append must respect the PK invariant against EXISTING rows: ship
@@ -525,6 +532,11 @@ class GraftRowBatchWrite(tableName: String, schema: StructType, keyColumns: Seq[
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val table = GraftRowStore.getOrCreate(tableName, schema, keyColumns, bucketBy, numBuckets)
+    // record the LRU-overflow budget as layout metadata (the mutate also
+    // triggers the first enforcement pass)
+    if (table.snapshot.evictionBudget != evictionBudget) {
+      table.mutate(_.copy(evictionBudget = evictionBudget))
+    }
     val newRefs = messages.flatMap {
       case GraftRowCommit(refs) => refs
       case _ => Nil

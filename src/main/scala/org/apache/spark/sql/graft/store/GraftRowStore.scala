@@ -78,19 +78,92 @@ object GraftRowStore {
     RowKey(vs.toSeq)
   }
 
-  /** Process-wide payload tier (executor-resident; see class doc). */
+  /** Process-wide payload tier (executor-resident; see class doc).
+    * Carries the same LRU disk-overflow tier as the column store's
+    * BatchRegistry (EVICTION_BY 'LRUMEMSIZE n' + OVERFLOW 'true'): spilled
+    * packs live as LZ4-deflated serialized files and fault back
+    * TRANSIENTLY per access — hot packs (point-lookup working set) stay
+    * resident by LRU, cold ones pay a disk read. Sizes are estimated
+    * lazily and memoized (packs are immutable).
+    */
   object PackRegistry {
     private val nextId = new AtomicLong(0)
     private val packs = TrieMap.empty[Long, RowPack]
+    private val spilledFiles = TrieMap.empty[Long, java.nio.file.Path]
+    private val packSizes = TrieMap.empty[Long, Long]
+    private val accessTick = new AtomicLong
+    private val lastAccess = TrieMap.empty[Long, Long]
+    private lazy val spillDir = {
+      val d = java.nio.file.Files.createTempDirectory("graft-row-overflow-")
+      d.toFile.deleteOnExit()
+      d
+    }
 
     def put(p: RowPack): Long = {
       val id = nextId.incrementAndGet()
       packs.put(id, p)
+      lastAccess.put(id, accessTick.incrementAndGet())
       id
     }
-    def pack(id: Long): RowPack = packs.getOrElse(id,
-      throw new IllegalStateException(s"graftrow pack payload missing: $id"))
-    def release(ids: Iterable[Long]): Unit = ids.foreach(packs.remove)
+    def pack(id: Long): RowPack = {
+      lastAccess.put(id, accessTick.incrementAndGet())
+      packs.get(id) match {
+        case Some(p) => p
+        case None => spilledFiles.get(id) match {
+          case Some(path) =>
+            val in = new java.io.ObjectInputStream(new net.jpountz.lz4.LZ4BlockInputStream(
+              java.nio.file.Files.newInputStream(path)))
+            try in.readObject().asInstanceOf[RowPack] finally in.close()
+          case None =>
+            throw new IllegalStateException(s"graftrow pack payload missing: $id")
+        }
+      }
+    }
+    def isResident(id: Long): Boolean = packs.contains(id)
+    def residentBytes(id: Long): Long =
+      if (packs.contains(id)) sizeBytes(id) else 0L
+    def sizeBytes(id: Long): Long = packSizes.get(id) match {
+      case Some(s) => s
+      case None =>
+        packs.get(id) match {
+          case Some(p) =>
+            val s = org.apache.spark.util.SizeEstimator.estimate(p.rows)
+            packSizes.put(id, s)
+            s
+          case None => 0L
+        }
+    }
+    def spill(id: Long): Unit = synchronized {
+      packs.get(id).foreach { p =>
+        packSizes.put(id, sizeBytes(id)) // pin before the payload leaves heap
+        val path = spillDir.resolve(s"pack-$id.lz4")
+        val out = new java.io.ObjectOutputStream(new net.jpountz.lz4.LZ4BlockOutputStream(
+          java.nio.file.Files.newOutputStream(path)))
+        try out.writeObject(p) finally out.close()
+        spilledFiles.put(id, path)
+        packs.remove(id)
+      }
+    }
+    /** LRU eviction over `ids` until resident total ≤ `budgetBytes`. */
+    def enforceBudget(ids: Seq[Long], budgetBytes: Long): Unit = {
+      var resident = ids.map(residentBytes).sum
+      if (resident <= budgetBytes) return
+      val lru = ids.filter(isResident).sortBy(id => lastAccess.getOrElse(id, 0L))
+      var i = 0
+      while (resident > budgetBytes && i < lru.length) {
+        val id = lru(i)
+        val sz = residentBytes(id)
+        spill(id)
+        resident -= sz
+        i += 1
+      }
+    }
+    def release(ids: Iterable[Long]): Unit = ids.foreach { id =>
+      packs.remove(id)
+      packSizes.remove(id)
+      lastAccess.remove(id)
+      spilledFiles.remove(id).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   /** Metadata-only handle — what commits and snapshots carry. */
@@ -148,7 +221,8 @@ object GraftRowStore {
       numBuckets: Int,
       refs: Vector[PackRef],
       tombstones: Map[Long, BitSet],
-      indexes: Map[String, IndexStats] = Map.empty) {
+      indexes: Map[String, IndexStats] = Map.empty,
+      evictionBudget: Long = 0L) {
     def rowCount: Long =
       refs.map(r => r.numRows.toLong - tombstones.get(r.id).map(_.size).getOrElse(0)).sum
     def keyOrdinals: Array[Int] = keyColumns.map(schema.fieldIndex).toArray
@@ -188,12 +262,19 @@ object GraftRowStore {
     def mutate(f: RowSnapshot => RowSnapshot): RowSnapshot =
       mutateRetiring { s => (f(s), None) }
 
-    /** Snapshot swap + retiree recording in one critical section. */
+    /** Snapshot swap + retiree recording in one critical section. Every
+      * swap re-enforces the LRU-overflow budget (no-op when disabled) so
+      * appends, upserts and tombstone merges all keep the resident set
+      * within EVICTION_BY's cap.
+      */
     def mutateRetiring(
         f: RowSnapshot => (RowSnapshot, Option[Seq[Long]])): RowSnapshot = synchronized {
       val (next, retirees) = f(current)
       current = next
       gc.onSwap(retirees.filterNot(_.isEmpty))
+      if (next.evictionBudget > 0L) {
+        PackRegistry.enforceBudget(next.refs.map(_.id), next.evictionBudget)
+      }
       next
     }
 

@@ -252,4 +252,32 @@ class RowTableSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(ge == cust.filter(col("c_mktsegment") >= "MACHINERY").count())
     g.dropTable("r_rtxt")
   }
+
+  test("row-table LRU overflow: spilled packs serve point lookups, upserts, scans") {
+    val cust = Tables.load(spark, sf, "customer")
+    g.createTable("r_evict", cust, keyColumns = Seq("c_custkey"),
+      partitionBy = Seq("c_custkey"), buckets = 4, provider = "row",
+      evictionBudgetBytes = 4000L)
+    val snap = GraftRowStore("r_evict").snapshot
+    assert(snap.evictionBudget == 4000L)
+    assert(snap.refs.map(r => GraftRowStore.PackRegistry.residentBytes(r.id)).sum <= 4000L)
+    assert(snap.refs.exists(r => !GraftRowStore.PackRegistry.isResident(r.id)),
+      "past-budget packs must be on the disk tier")
+    // point lookup faults the pack back transiently
+    val row = g.table("r_evict").filter(col("c_custkey") === 42L)
+      .select("c_custkey", "c_name").head()
+    assert(row.getLong(0) == 42L)
+    // full scan + upsert against spilled packs
+    assert(g.table("r_evict").count() == cust.count())
+    GraftRowOps.put(spark, "r_evict",
+      cust.filter(col("c_custkey") < 10).withColumn("c_acctbal", lit(0.0)))
+    val z = g.table("r_evict").filter(col("c_custkey") < 10)
+      .agg(org.apache.spark.sql.functions.sum(col("c_acctbal"))).head().getDouble(0)
+    assert(z == 0.0)
+    assert(g.table("r_evict").count() == cust.count())
+    // budget still enforced after the upsert's mutation swap
+    val after = GraftRowStore("r_evict").snapshot
+    assert(after.refs.map(r => GraftRowStore.PackRegistry.residentBytes(r.id)).sum <= 4000L)
+    g.dropTable("r_evict")
+  }
 }
