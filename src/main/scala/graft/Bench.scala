@@ -90,7 +90,10 @@ object Bench {
     // driver scrapes only a truncated stdout tail, which has lost the
     // head of the query map in past rounds. bench_out.json is the
     // authoritative record.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // A SPARK_GRAFT_ONLY dev loop must not clobber the committed full
+    // record with a partial one — restricted runs write a scratch file.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "/tmp/bench_out_partial.json" else "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
