@@ -584,6 +584,66 @@ object TextAnalysis {
           (col("__c1") * col("__c2"))).as("lift"))
   }
 
+  /** N-gram novelty: per document, the fraction of its DISTINCT word
+    * n-grams that appear in no other document (corpus document-frequency
+    * 1) — a uniqueness/memorization-risk signal: low-novelty documents
+    * are recombinations of corpus-common phrasing, high-novelty ones
+    * carry unique content. Output: (id, n_shingles, novel, novel_frac).
+    *
+    * Scale shape: reuses the dedup family's shingle stream — one
+    * (doc, shingle) distinct, one shingle-keyed df agg (bounded by
+    * shingle vocabulary), one join back, one doc-keyed agg. Linear in
+    * corpus shingles; no self-join (contrast [[Dedup.containmentPairs]]).
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = Dedup.shingles(docs, idCol, textCol, n)
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    sh.join(df, "shingle")
+      .groupBy(col("sid").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("novel"))
+      .withColumn("novel_frac",
+        col("novel").cast("double") / col("n_shingles"))
+  }
+
+  /** Concat-and-chop sequence packing accounting (the GPT-style
+    * pretraining batch layout): documents concatenate in a deterministic
+    * order (doc id) within each source domain and chop into fixed
+    * `ctxLen`-token training sequences. Output per (source, seq_id):
+    * how many documents the sequence spans (= cross-document attention
+    * boundaries + 1) and its token fill — the "how many sequences, how
+    * fragmented" accounting a data loader ships.
+    *
+    * Scale shape: ONE per-source window cumsum over (source, doc-order)
+    * — a prefix sum, shuffling each source's (id, token-count) pairs
+    * once — then a scan-fused span fan-out (each doc explodes to the
+    * sequences it overlaps, ≤ tokens/ctxLen + 1 rows) and a
+    * (source, seq)-keyed agg. At petabyte scale the cumsum runs
+    * per-shard with shard-offset rebasing (two metadata-size passes);
+    * the plan below is the single-shard form.
+    */
+  def seqPacking(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, ctxLen: Int): DataFrame = {
+    require(ctxLen >= 1, s"ctxLen must be positive: $ctxLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col(idCol))
+    val toked = docs.filter(col(textCol).isNotNull)
+      .select(col(sourceCol), col(idCol),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("__n"))
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .withColumn("__start", col("__cum") - col("__n"))
+    toked
+      .select(col(sourceCol), col("__n"), col("__cum"), col("__start"),
+        explode(sequence(
+          floor(col("__start") / ctxLen),
+          floor((col("__cum") - 1) / ctxLen))).as("seq_id"))
+      .groupBy(col(sourceCol), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("__cum"), (col("seq_id") + 1) * ctxLen) -
+          greatest(col("__start"), col("seq_id") * ctxLen)).as("n_tokens"))
+  }
+
   /** Vocabulary coverage accounting: for the top-`k` corpus tokens by
     * frequency (ties: token ascending), the per-token and cumulative
     * fraction of all token occurrences they cover — the "how large must

@@ -1974,6 +1974,61 @@ object PipelineQueries {
       Retrieval.invertedIndex(Tables.load(s, dir, "documents"),
           "doc_id", "text", topTerms = 25)
         .orderBy(col("df").desc, col("term"))
+    },
+
+    // ---- n-gram novelty (uniqueness / memorization-risk signal): per
+    // doc, fraction of its distinct trigrams with corpus df = 1. Linear
+    // shingle-keyed shapes, no self-join ----
+    QueryDef.sql(
+      "q_ngram_novelty",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(t) - 1),
+        |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |        FROM toks WHERE len(t) >= 3) u),
+        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+        |SELECT s.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+        |  round(CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS novel_frac_r
+        |FROM sh s JOIN df USING (shingle)
+        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.ngramNovelty(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("n_shingles"), col("novel"),
+          graft.dround(col("novel_frac"), 6).as("novel_frac_r"))
+        .orderBy("doc_id")
+    },
+
+    // ---- concat-and-chop sequence packing (ctx 512): per training
+    // sequence, documents spanned + token fill. One per-source window
+    // cumsum, scan-fused span fan-out ----
+    QueryDef.sql(
+      "q_seq_packing",
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT source, doc_id, n,
+        |    sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM t),
+        |s AS (
+        |  SELECT source, n, cum, cum - n AS st,
+        |    unnest(range(CAST((cum - n) // 512 AS BIGINT),
+        |                 CAST((cum - 1) // 512 + 1 AS BIGINT))) AS seq_id
+        |  FROM c)
+        |SELECT source, seq_id, count(*) AS n_docs,
+        |  CAST(sum(least(cum, (seq_id + 1) * 512)
+        |    - greatest(st, seq_id * 512)) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY source, seq_id
+        |ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.seqPacking(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "source", ctxLen = 512)
+        .orderBy("source", "seq_id")
     }
   )
 }
