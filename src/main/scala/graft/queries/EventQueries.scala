@@ -403,7 +403,7 @@ object EventQueries {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT step_1, step_2, step_3, count(*) AS n_paths
-        |FROM s WHERE step_2 IS NOT NULL AND step_3 IS NOT NULL
+        |FROM s WHERE step_1 IS NOT NULL AND step_2 IS NOT NULL AND step_3 IS NOT NULL
         |GROUP BY step_1, step_2, step_3
         |ORDER BY n_paths DESC, step_1, step_2, step_3 LIMIT 10""".stripMargin) { (s, dir) =>
       graft.operators.Funnel.topPaths(Tables.load(s, dir, "events"),

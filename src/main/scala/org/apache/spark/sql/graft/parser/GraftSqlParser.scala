@@ -414,6 +414,13 @@ case class GraftCreateTableCommand(name: String, provider: String,
     } yield mb << 20).getOrElse(0L)
     val honoredOps: Set[String] =
       if (overflowBudgetBytes > 0L) Set("eviction_by", "overflow") else Set.empty
+    // COMPRESSION is a column-store codec (at-rest batch deflate); row
+    // packs have no encoded-column form to deflate, so warn rather than
+    // letting the user believe a row table compresses
+    if (provider == "row" && options.contains("compression")) {
+      logWarning(s"CREATE TABLE $name: COMPRESSION applies to column tables only — ignored " +
+        "for USING row")
+    }
     options.keys.filter(opsOnlyOptions).filterNot(honoredOps).foreach(k => logWarning(
       s"CREATE TABLE $name: option '$k' accepted for DDL compatibility but ignored " +
         "(operational tiering/replication is not managed by this engine)"))

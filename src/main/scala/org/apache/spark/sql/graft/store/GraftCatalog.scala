@@ -49,12 +49,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
         // catalog-routed INSERTs keep the granularity/sort the table's
         // index was built at (the "stats skipping IS the index probe"
         // property depends on both)
+        // ...and the codec/eviction budget, or a catalog-routed INSERT
+        // would silently reset the table to uncompressed/unevicted
         new GraftTable(nm, s.schema, s.batchSize, s.bucketBy, s.numBuckets,
-          s.keyColumns, s.sortedBy)
+          s.keyColumns, s.sortedBy, s.compression, s.evictionBudget)
       case None => GraftRowStore.get(nm) match {
         case Some(t) =>
           val s = t.snapshot
-          new GraftRowTable(nm, s.schema, s.keyColumns, s.bucketBy, s.numBuckets)
+          new GraftRowTable(nm, s.schema, s.keyColumns, s.bucketBy, s.numBuckets,
+            s.evictionBudget)
         case None =>
           throw new NoSuchTableException(ident.namespace().toSeq :+ ident.name())
       }
@@ -81,8 +84,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     val keys = Option(properties.get("key_columns"))
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
     GraftColumnStore.createOrReplace(nm, schema, bucketBy, buckets, keys)
+    val compression = Option(properties.get("compression"))
+      .map(_.toLowerCase).getOrElse("none")
+    val evictionBudget = Option(properties.get("eviction_budget_bytes"))
+      .map(_.toLong).getOrElse(0L)
     new GraftTable(nm, schema, Option(properties.get("batch_size")).map(_.toInt).getOrElse(16384),
-      bucketBy, buckets, keys)
+      bucketBy, buckets, keys, Nil, compression, evictionBudget)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

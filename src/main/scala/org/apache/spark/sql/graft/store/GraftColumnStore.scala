@@ -382,11 +382,17 @@ object GraftColumnStore {
       id
     }
     def batch(id: Long): StoreBatch = {
-      lastAccess.put(id, accessTick.incrementAndGet())
+      // touch AFTER the hit — a blind put racing a release would leave a
+      // permanent lastAccess entry for a dead id (the residual
+      // hit-then-release window leaks one long per race; bounded by
+      // concurrent scans, negligible)
       batches.get(id) match {
-        case Some(b) => b
+        case Some(b) =>
+          lastAccess.put(id, accessTick.incrementAndGet())
+          b
         case None => spilledFiles.get(id) match {
           case Some(path) =>
+            lastAccess.put(id, accessTick.incrementAndGet())
             val in = new java.io.ObjectInputStream(new net.jpountz.lz4.LZ4BlockInputStream(
               java.nio.file.Files.newInputStream(path)))
             try in.readObject().asInstanceOf[StoreBatch] finally in.close()
@@ -420,7 +426,7 @@ object GraftColumnStore {
       */
     def spill(id: Long): Unit = synchronized {
       batches.get(id).foreach { b =>
-        batchSizes.put(id, b.sizeBytes) // pin size metadata before the payload leaves heap
+        batchSizes.put(id, sizeBytes(id)) // pin (memoized) size before the payload leaves heap
         val path = spillDir.resolve(s"batch-$id.lz4")
         val out = new java.io.ObjectOutputStream(new net.jpountz.lz4.LZ4BlockOutputStream(
           java.nio.file.Files.newOutputStream(path)))
@@ -464,8 +470,12 @@ object GraftColumnStore {
     }
     def bitmapWords(id: Long): Array[Long] = bitmaps.getOrElse(id,
       throw new IllegalStateException(s"graftstore delete-bitmap payload missing: $id"))
+    // synchronized WITH spill(): an unsynchronized release racing a spill
+    // could interleave after spill's payload read but before its
+    // spilledFiles.put, resurrecting a file entry for a released id (disk
+    // leak + batch(id) silently serving a dead payload)
     def release(batchIds: Iterable[Long], deltaIds: Iterable[Long],
-        bitmapIds: Iterable[Long] = Nil): Unit = {
+        bitmapIds: Iterable[Long] = Nil): Unit = synchronized {
       batchIds.foreach { id =>
         batches.remove(id)
         batchSizes.remove(id)

@@ -76,6 +76,11 @@ object GraftRowOps {
       val keyOrds = keyCols.map(schema.fieldIndex).toArray
       val keyTypes = keyOrds.map(schema.fields(_).dataType)
       val candidates = if (bucketed) refsByBucket.getOrElse(pid, Vector.empty) else allRefs
+      // resolve candidate packs ONCE per task: pack() deserializes a
+      // SPILLED pack from disk per call, so a per-row fetch would pay
+      // O(rows x spilled packs) inflations
+      val candidatePacks = candidates.map(ref =>
+        ref.id -> GraftRowStore.PackRegistry.pack(ref.id))
       val tombstones = mutable.Map.empty[Long, mutable.BitSet]
       val buf = mutable.ArrayBuffer.empty[org.apache.spark.sql.catalyst.InternalRow]
       val newRefs = mutable.ArrayBuffer.empty[GraftRowStore.PackRef]
@@ -89,10 +94,10 @@ object GraftRowOps {
       it.foreach { r =>
         val row = r.copy()
         val key = GraftRowStore.keyOf(row, keyOrds, keyTypes)
-        candidates.foreach { ref =>
-          val slot = GraftRowStore.PackRegistry.pack(ref.id).index.get(key)
-          if (slot != null && !tomb.get(ref.id).exists(_.contains(slot.intValue())))
-            tombstones.getOrElseUpdate(ref.id, mutable.BitSet.empty) += slot.intValue()
+        candidatePacks.foreach { case (id, pack) =>
+          val slot = pack.index.get(key)
+          if (slot != null && !tomb.get(id).exists(_.contains(slot.intValue())))
+            tombstones.getOrElseUpdate(id, mutable.BitSet.empty) += slot.intValue()
         }
         buf += row
         if (buf.length >= GraftRowTable.PACK_SIZE) seal()
@@ -146,13 +151,16 @@ object GraftRowOps {
       val keyOrds = keySchema.fieldNames.indices.toArray
       val keyTypes = keySchema.fields.map(_.dataType)
       val candidates = if (bucketed) refsByBucket.getOrElse(pid, Vector.empty) else allRefs
+      // pack resolution hoisted out of the row loop — see put()
+      val candidatePacks = candidates.map(ref =>
+        ref.id -> GraftRowStore.PackRegistry.pack(ref.id))
       val tombstones = mutable.Map.empty[Long, mutable.BitSet]
       it.foreach { r =>
         val key = GraftRowStore.keyOf(r, keyOrds, keyTypes)
-        candidates.foreach { ref =>
-          val slot = GraftRowStore.PackRegistry.pack(ref.id).index.get(key)
-          if (slot != null && !tomb.get(ref.id).exists(_.contains(slot.intValue())))
-            tombstones.getOrElseUpdate(ref.id, mutable.BitSet.empty) += slot.intValue()
+        candidatePacks.foreach { case (id, pack) =>
+          val slot = pack.index.get(key)
+          if (slot != null && !tomb.get(id).exists(_.contains(slot.intValue())))
+            tombstones.getOrElseUpdate(id, mutable.BitSet.empty) += slot.intValue()
         }
       }
       Iterator.single(tombstones.map { case (k, v) => k -> v.toBitMask }.toMap)

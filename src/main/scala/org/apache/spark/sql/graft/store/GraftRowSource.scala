@@ -297,15 +297,20 @@ class GraftRowScan(tableName: String, fullSchema: StructType,
         snapshot.numBuckets > 0
       val ords = snapshot.keyOrdinals
       val kts = snapshot.keyTypes
-      val addresses = combos.get.flatMap { key =>
-        val candidates =
-          if (keyIsBucket)
-            byBucket.getOrElse(
-              BucketRouting.bucketOf(key.values, kts, snapshot.numBuckets),
-              Vector.empty)
-          else snapshot.refs
+      val keyed = combos.get.map { key =>
+        key -> (if (keyIsBucket)
+          byBucket.getOrElse(
+            BucketRouting.bucketOf(key.values, kts, snapshot.numBuckets),
+            Vector.empty)
+        else snapshot.refs)
+      }
+      // each candidate pack fetched once across ALL keys (a spilled pack
+      // would otherwise deserialize per key)
+      val resolved = GraftRowStore.PackRegistry.resolvePacks(
+        keyed.flatMap(_._2.map(_.id)).distinct)
+      val addresses = keyed.flatMap { case (key, candidates) =>
         GraftRowStore.indexProbes.incrementAndGet()
-        snapshot.probe(key, candidates)
+        snapshot.probe(key, candidates, resolved)
       }
       return Array(RowProbePartition(addresses))
     }
@@ -414,8 +419,12 @@ class GraftRowReaderFactory(fullSchema: StructType, required: StructType,
 
     val it: Iterator[InternalRow] = partition match {
       case RowProbePartition(addresses) =>
+        // distinct packs fetched once (spilled packs deserialize per
+        // pack() call, and one pack commonly serves many addresses)
+        val probePacks = GraftRowStore.PackRegistry
+          .resolvePacks(addresses.map(_._1).distinct)
         addresses.iterator.map { case (packId, slot) =>
-          project(packId, slot, GraftRowStore.PackRegistry.pack(packId).rows(slot))
+          project(packId, slot, probePacks(packId).rows(slot))
         }
       case p: RowPackPartition => packIterator(p.refs, p.tombstones, project)
       case p: RowPackGroupPartition => packIterator(p.refs, p.tombstones, project)
@@ -426,8 +435,10 @@ class GraftRowReaderFactory(fullSchema: StructType, required: StructType,
           .getInterpretedOrdering(p.dt)
         p.refs.iterator.flatMap { ref =>
           val rows = GraftRowStore.PackRegistry.pack(ref.id).rows
+          // rows passed through so a sorted-slot cache miss does not
+          // deserialize the same (possibly spilled) pack a second time
           val (slots, nonNull) = GraftRowStore.SortedSlotRegistry
-            .sortedSlots(ref.id, p.column, p.ordinal, p.dt)
+            .sortedSlots(ref.id, p.column, p.ordinal, p.dt, Some(rows))
           def valueAt(i: Int): Any = rows(slots(i)).get(p.ordinal, p.dt)
           var start = 0
           p.lo.foreach { case (v, inc) =>
@@ -573,6 +584,11 @@ class GraftRowWriterFactory(schema: StructType, keyColumns: Seq[String], buckete
         if (keyOrds.isEmpty) Vector.empty
         else if (bucketed) existing.getOrElse(bucketId, Vector.empty)
         else existing.values.flatten.toVector
+      // packs resolved ONCE per writer task: a spilled pack deserializes
+      // from disk on every PackRegistry.pack call, so the per-record
+      // PK-collision probe must not fetch per row
+      private lazy val collidablePacks: Vector[(Long, GraftRowStore.RowPack)] =
+        collidable.map(r => r.id -> GraftRowStore.PackRegistry.pack(r.id))
       private val buf = ArrayBuffer.empty[InternalRow]
       private val refs = ArrayBuffer.empty[GraftRowStore.PackRef]
 
@@ -583,10 +599,10 @@ class GraftRowWriterFactory(schema: StructType, keyColumns: Seq[String], buckete
           if (!seen.add(key))
             throw new IllegalStateException(
               s"graftrow: duplicate primary key in insert batch: ${key.values.mkString(",")}")
-          collidable.foreach { r =>
-            val slot = GraftRowStore.PackRegistry.pack(r.id).index.get(key)
+          collidablePacks.foreach { case (id, pack) =>
+            val slot = pack.index.get(key)
             if (slot != null &&
-                !existingTombstones.get(r.id).exists(_.contains(slot.intValue())))
+                !existingTombstones.get(id).exists(_.contains(slot.intValue())))
               throw new IllegalStateException(
                 s"graftrow: primary key already exists: ${key.values.mkString(",")} (use PUT INTO to upsert)")
           }

@@ -106,11 +106,16 @@ object GraftRowStore {
       id
     }
     def pack(id: Long): RowPack = {
-      lastAccess.put(id, accessTick.incrementAndGet())
+      // touch AFTER the hit (see BatchRegistry.batch) — and note per-ROW
+      // probe loops must hoist pack() out of the loop (a spilled pack
+      // deserializes per call); see resolvePacks below
       packs.get(id) match {
-        case Some(p) => p
+        case Some(p) =>
+          lastAccess.put(id, accessTick.incrementAndGet())
+          p
         case None => spilledFiles.get(id) match {
           case Some(path) =>
+            lastAccess.put(id, accessTick.incrementAndGet())
             val in = new java.io.ObjectInputStream(new net.jpountz.lz4.LZ4BlockInputStream(
               java.nio.file.Files.newInputStream(path)))
             try in.readObject().asInstanceOf[RowPack] finally in.close()
@@ -119,6 +124,12 @@ object GraftRowStore {
         }
       }
     }
+    /** Fetch a set of packs ONCE for a task-scoped loop: per-row probe
+      * loops must not call [[pack]] per row — a spilled pack would
+      * deserialize from disk on every call.
+      */
+    def resolvePacks(ids: Iterable[Long]): Map[Long, RowPack] =
+      ids.map(id => id -> pack(id)).toMap
     def isResident(id: Long): Boolean = packs.contains(id)
     def residentBytes(id: Long): Long =
       if (packs.contains(id)) sizeBytes(id) else 0L
@@ -158,11 +169,14 @@ object GraftRowStore {
         i += 1
       }
     }
-    def release(ids: Iterable[Long]): Unit = ids.foreach { id =>
-      packs.remove(id)
-      packSizes.remove(id)
-      lastAccess.remove(id)
-      spilledFiles.remove(id).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    // synchronized WITH spill() — see BatchRegistry.release
+    def release(ids: Iterable[Long]): Unit = synchronized {
+      ids.foreach { id =>
+        packs.remove(id)
+        packSizes.remove(id)
+        lastAccess.remove(id)
+        spilledFiles.remove(id).foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }
   }
 
@@ -196,9 +210,11 @@ object GraftRowStore {
       * count of non-null slots (searches clamp to it).
       */
     def sortedSlots(packId: Long, column: String, ordinal: Int,
-        dt: DataType): (Array[Int], Int) =
+        dt: DataType, knownRows: Option[Array[InternalRow]] = None): (Array[Int], Int) =
       cache.getOrElseUpdate((packId, column), {
-        val rows = PackRegistry.pack(packId).rows
+        // caller-supplied rows avoid re-deserializing a spilled pack the
+        // call site already fetched
+        val rows = knownRows.getOrElse(PackRegistry.pack(packId).rows)
         val ord = org.apache.spark.sql.catalyst.util.TypeUtils
           .getInterpretedOrdering(dt)
         val (nonNull, nulls) =
@@ -228,10 +244,14 @@ object GraftRowStore {
     def keyOrdinals: Array[Int] = keyColumns.map(schema.fieldIndex).toArray
     def keyTypes: Array[DataType] =
       keyColumns.map(c => schema.fields(schema.fieldIndex(c)).dataType).toArray
-    /** Live slot for a key among the given refs, probing pack indexes. */
-    def probe(key: RowKey, candidates: Seq[PackRef]): Option[(Long, Int)] = {
+    /** Live slot for a key among the given refs, probing pack indexes.
+      * `resolved` lets a multi-key caller fetch each (possibly spilled)
+      * pack once instead of per key.
+      */
+    def probe(key: RowKey, candidates: Seq[PackRef],
+        resolved: Map[Long, RowPack] = Map.empty): Option[(Long, Int)] = {
       candidates.foreach { r =>
-        val idx = PackRegistry.pack(r.id).index
+        val idx = resolved.getOrElse(r.id, PackRegistry.pack(r.id)).index
         if (idx != null) {
           val slot = idx.get(key)
           if (slot != null && !tombstones.get(r.id).exists(_.contains(slot)))

@@ -733,6 +733,25 @@ class GraftStoreSpec extends SparkTestBase {
     g.dropTable("s_all")
   }
 
+  test("catalog-routed INSERT keeps the table's codec and eviction budget") {
+    val g = GraftSession(spark)
+    val docs = Tables.load(spark, sf, "documents")
+    g.createTable("s_cat_keep", docs, compression = "lz4",
+      evictionBudgetBytes = 1L << 20)
+    val before = GraftColumnStore("s_cat_keep").snapshot
+    assert(before.compression == "lz4" && before.evictionBudget == (1L << 20))
+    // the INSERT resolves the table through GraftCatalog.loadTable — the
+    // write must NOT reset the layout metadata
+    spark.sql("INSERT INTO graft.s_cat_keep SELECT * FROM graft.s_cat_keep LIMIT 5")
+    val after = GraftColumnStore("s_cat_keep").snapshot
+    assert(after.compression == "lz4",
+      "catalog-routed INSERT must not reset the codec")
+    assert(after.evictionBudget == (1L << 20),
+      "catalog-routed INSERT must not reset the eviction budget")
+    assert(spark.table("graft.s_cat_keep").count() == docs.count() + 5)
+    g.dropTable("s_cat_keep")
+  }
+
   test("COMPRESSION in CREATE TABLE DDL reaches the store") {
     val g = GraftSession(spark)
     Tables.load(spark, sf, "documents").createOrReplaceTempView("cmp_src")
