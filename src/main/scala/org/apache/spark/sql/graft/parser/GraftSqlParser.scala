@@ -118,6 +118,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftCreateIndexCommand(t.toLowerCase, cols)
       case Some(DropIndex(_, t)) if g.isManaged(t.toLowerCase) =>
         GraftDropIndexCommand(t.toLowerCase)
+      case Some(OptimizeZorder(t, cols)) if g.isManaged(t.toLowerCase) =>
+        GraftOptimizeZorderCommand(t.toLowerCase, cols)
       case Some(AlterAddColumn(t, c, dt)) if g.isManaged(t.toLowerCase) =>
         delegate.parseDataType(dt) // validate at statement time
         GraftAlterAddColumnCommand(t.toLowerCase, c, dt)
@@ -279,6 +281,18 @@ case class GraftCreateIndexCommand(table: String, columns: Seq[String])
         org.apache.spark.sql.graft.store.GraftRowOps.createIndex(spark, table, c))
     else
       org.apache.spark.sql.graft.store.GraftStoreOps.createIndex(spark, table, columns)
+    Nil
+  }
+}
+
+/** OPTIMIZE t ZORDER BY (a, b, ...) — multi-column clustering rewrite of
+  * a managed column table (see [[GraftStoreOps.zorderBy]] for the plan
+  * shape and why it beats a single-column sort on box predicates).
+  */
+case class GraftOptimizeZorderCommand(table: String, columns: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    org.apache.spark.sql.graft.store.GraftStoreOps.zorderBy(spark, table, columns)
     Nil
   }
 }

@@ -44,6 +44,8 @@ object GraftStatements extends RegexParsers {
   final case class CreateIndex(name: String, table: String,
       columns: Seq[String]) extends Stmt
   final case class DropIndex(name: String, table: String) extends Stmt
+  /** OPTIMIZE t ZORDER BY (cols) — multi-column clustering rewrite. */
+  final case class OptimizeZorder(table: String, columns: Seq[String]) extends Stmt
   /** ALTER TABLE t ADD COLUMN c type / DROP COLUMN c */
   final case class AlterAddColumn(table: String, column: String,
       dataTypeSql: String) extends Stmt
@@ -223,6 +225,10 @@ object GraftStatements extends RegexParsers {
       case n ~ t => DropIndex(n, t)
     }
 
+  private def optimizeZorder: Parser[Stmt] =
+    kw("OPTIMIZE") ~> ident ~ (kw("ZORDER") ~> kw("BY") ~>
+      "(" ~> rep1sep(ident, ",") <~ ")") ^^ { case t ~ cs => OptimizeZorder(t, cs) }
+
   private def createFunction: Parser[Stmt] =
     kw("CREATE") ~> kw("FUNCTION") ~> ident ~
       (kw("AS") ~> """[A-Za-z0-9_.$]+""".r) ~
@@ -279,7 +285,7 @@ object GraftStatements extends RegexParsers {
 
   private def statement: Parser[Stmt] =
     putInto | createPolicy | dropPolicy | createSample | createStream |
-      createIndex | dropIndex | createFunction | createTableLike |
+      createIndex | dropIndex | optimizeZorder | createFunction | createTableLike |
       createTableUsing | alterDrop | alterAdd | truncateTable |
       streamingCtl | grantRevoke | update | delete
 

@@ -733,6 +733,59 @@ class GraftStoreSpec extends SparkTestBase {
     g.dropTable("s_all")
   }
 
+  test("Z-ORDER clustering prunes multi-column box predicates") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    def freshly(name: String): Unit = {
+      li.write.format(GraftStoreOps.FORMAT).option("table", name)
+        .option("batch_size", "256").mode("overwrite").save()
+    }
+    freshly("s_z_plain")
+    freshly("s_z")
+    GraftStoreOps.zorderBy(spark, "s_z", Seq("l_quantity", "l_extendedprice"),
+      bits = 8, batchSize = 256)
+    val box = col("l_quantity").between(10.0, 20.0) &&
+      col("l_extendedprice").between(20000.0, 40000.0)
+    val expect = li.filter(box).count()
+    def scannedDuring(name: String): (Long, Long) = {
+      val s0 = GraftColumnStore.batchesScanned.get()
+      val k0 = GraftColumnStore.batchesSkipped.get()
+      val n = GraftStoreOps.read(spark, name).filter(box).count()
+      assert(n == expect, s"$name box count $n != $expect")
+      (GraftColumnStore.batchesScanned.get() - s0,
+        GraftColumnStore.batchesSkipped.get() - k0)
+    }
+    val (plainScanned, _) = scannedDuring("s_z_plain")
+    val (zScanned, zSkipped) = scannedDuring("s_z")
+    assert(zSkipped > 0, "z-ordered batches must stats-prune the box predicate")
+    assert(zScanned < plainScanned,
+      s"z-order must scan fewer batches: $zScanned vs $plainScanned")
+    // narrowness holds on EACH column individually (the single-sort
+    // failure mode is uselessness on the second column)
+    Seq(col("l_quantity") < 5.0, col("l_extendedprice") < 10000.0).foreach { p =>
+      val k0 = GraftColumnStore.batchesSkipped.get()
+      assert(GraftStoreOps.read(spark, "s_z").filter(p).count() == li.filter(p).count())
+      assert(GraftColumnStore.batchesSkipped.get() > k0,
+        s"z-order must prune on $p too")
+    }
+    GraftColumnStore.drop("s_z_plain"); GraftColumnStore.drop("s_z")
+  }
+
+  test("OPTIMIZE ... ZORDER BY SQL form clusters a managed table") {
+    val g = GraftSession(spark)
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    g.createTable("s_zsql", li)
+    spark.sql("OPTIMIZE s_zsql ZORDER BY (l_quantity, l_extendedprice)")
+    val box = col("l_quantity").between(10.0, 20.0) &&
+      col("l_extendedprice").between(20000.0, 40000.0)
+    val k0 = GraftColumnStore.batchesSkipped.get()
+    assert(g.table("s_zsql").filter(box).count() == li.filter(box).count())
+    assert(GraftColumnStore.batchesSkipped.get() > k0,
+      "the SQL rewrite must leave stats-prunable clustering")
+    g.dropTable("s_zsql")
+  }
+
   test("catalog-routed INSERT keeps the table's codec and eviction budget") {
     val g = GraftSession(spark)
     val docs = Tables.load(spark, sf, "documents")
