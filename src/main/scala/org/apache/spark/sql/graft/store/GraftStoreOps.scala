@@ -251,8 +251,6 @@ object GraftStoreOps {
     require(columns.size >= 2, s"zorderBy: need >= 2 columns, got $columns")
     require(columns.size * bits <= 60, s"zorderBy: ${columns.size} cols x $bits bits > 60")
     val t = GraftColumnStore(table)
-    require(t.snapshot.bucketBy.isEmpty,
-      s"zorderBy: $table is bucketed — per-bucket z-ordering not supported yet")
     val schema = t.schema
     columns.foreach { c =>
       require(schema.fieldNames.contains(c), s"zorderBy: no column '$c' in $table")
@@ -286,16 +284,63 @@ object GraftStoreOps {
             shiftright(b, bit).bitwiseAND(lit(1L)), bit * buckets.size + ci))
         }
       }
-    val parts = math.max(df.rdd.getNumPartitions, 1)
     val cols = df.columns.toSeq
-    df.crossJoin(broadcast(bounds))
-      .withColumn("__z", zValue(columns.map(bucketOf)))
-      .repartitionByRange(parts, col("__z"))
-      .sortWithinPartitions("__z")
-      .select(cols.map(col): _*)
-      .write.format(FORMAT).option("table", table)
-      .option("batch_size", batchSize.toString)
-      .option("compression", t.snapshot.compression)
-      .mode("overwrite").save()
+    val snap = t.snapshot
+    if (snap.bucketBy.isEmpty) {
+      df.crossJoin(broadcast(bounds))
+        .withColumn("__z", zValue(columns.map(bucketOf)))
+        .repartitionByRange(math.max(df.rdd.getNumPartitions, 1), col("__z"))
+        .sortWithinPartitions("__z")
+        .select(cols.map(col): _*)
+        .write.format(FORMAT).option("table", table)
+        .option("batch_size", batchSize.toString)
+        .option("compression", t.snapshot.compression)
+        .mode("overwrite").save()
+    } else {
+      // Per-bucket z-ordering. The DSv2 write path cannot carry a
+      // computed sort key (its required ordering speaks schema columns,
+      // and pre-shuffled input would be collapsed by CollapseRepartition/
+      // EliminateSorts), so the bucketed rewrite seals batches manually:
+      // rows route by the store's OWN bucket function (BucketRouting —
+      // identity of layout is what colocation depends on), each bucket
+      // task sorts its rows by the z-value and seals through BatchBuilder,
+      // and the commit is one atomic replaceRefs swap. Same task-side
+      // payload/metadata-ref split as the write path.
+      val zdf = df.crossJoin(broadcast(bounds))
+        .withColumn("__z", zValue(columns.map(bucketOf)))
+        .select(cols.map(col) :+ col("__z"): _*)
+      val bucketOrds = snap.bucketBy.map(schema.fieldIndex).toArray
+      val bucketTypes = bucketOrds.map(schema.fields(_).dataType)
+      val zIdx = cols.length
+      val numBuckets = snap.numBuckets
+      val compress = snap.compression == "lz4"
+      val rowSchema = schema
+      val newRefs = zdf.queryExecution.toRdd
+        .map { row =>
+          val copied = row.copy()
+          (BucketRouting.bucketOf(
+            bucketOrds.indices.map(i => copied.get(bucketOrds(i), bucketTypes(i))),
+            bucketTypes.toSeq, numBuckets), copied)
+        }
+        .partitionBy(new org.apache.spark.Partitioner {
+          override def numPartitions: Int = numBuckets
+          override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+        })
+        .mapPartitionsWithIndex { (bucketId, it) =>
+          val rows = it.map(_._2).toArray
+          java.util.Arrays.sort(rows, (a: org.apache.spark.sql.catalyst.InternalRow,
+              b: org.apache.spark.sql.catalyst.InternalRow) =>
+            java.lang.Long.compare(a.getLong(zIdx), b.getLong(zIdx)))
+          // BatchBuilder reads exactly rowSchema.length leading fields, so
+          // the trailing __z column never reaches the sealed batch
+          val builder = new GraftColumnStore.BatchBuilder(
+            rowSchema, batchSize, bucketId, compress)
+          rows.foreach(builder.add)
+          builder.result().iterator
+        }
+        .collect().toVector
+      t.replaceRefs(newRefs)
+      GraftColumnStore.enforceEviction(table)
+    }
   }
 }
