@@ -644,6 +644,86 @@ object TextAnalysis {
           greatest(col("__start"), col("seq_id") * ctxLen)).as("n_tokens"))
   }
 
+  /** Skip-gram co-occurrence pairs (word2vec/SGNS training-data prep):
+    * ordered (center, context) token pairs within `window` positions,
+    * counted corpus-wide. Distinct from bigram collocation: context
+    * reaches past adjacency, and (a,b) at distance 1..window all count.
+    * Output: (w1, w2, n_pairs) for pairs with n_pairs ≥ `minCount`.
+    *
+    * Scale shape: the pair stream fans out ≤ window rows per token
+    * INSIDE the scan (array-index lambda over the projected token
+    * array — no positions self-join), then one pair-keyed count agg
+    * bounded by co-occurring vocabulary².
+    */
+  def skipgramPairs(docs: DataFrame, textCol: String, window: Int,
+      minCount: Long = 1L): DataFrame = {
+    require(window >= 1, s"window must be positive: $window")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(split(col(textCol), "\\s+").as("__t"))
+    base
+      .filter(size(col("__t")) >= 2)
+      .select(explode(flatten(
+        transform(sequence(lit(1), size(col("__t")) - 1), i =>
+          transform(
+            sequence(lit(1), least(lit(window), size(col("__t")) - i)),
+            d => concat_ws(" ",
+              element_at(col("__t"), i), element_at(col("__t"), i + d))))))
+        .as("__pair"))
+      .groupBy("__pair").agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minCount)
+      .select(substring_index(col("__pair"), " ", 1).as("w1"),
+        substring_index(col("__pair"), " ", -1).as("w2"),
+        col("n_pairs"))
+  }
+
+  /** Weak-supervision label resolution (the Snorkel/labeling-function
+    * shape): each labeling function votes keep(1) / drop(0) / abstain
+    * (NULL); a document's label is the majority of NON-abstaining votes,
+    * NULL on a tie or all-abstain. The three built-in LFs are published
+    * heuristics over the corpus surface: length band, stopword presence,
+    * repetition cap. Output: (id, lf_1..lf_3, n_votes, label).
+    *
+    * Scale shape: pure scan projection — every LF is a column expression
+    * over the token array; no shuffle at all.
+    */
+  def weakLabels(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val toksOf = split(trim(col(textCol)), "\\s+")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), toksOf.as("__t"))
+    val n = size(col("__t"))
+    // LF1: length band — too short/long is drop, mid-band keeps, near
+    // the boundary abstains
+    val lf1 = when(n.between(20, 2000), 1)
+      .when(n < 10 || n > 5000, 0)
+      .otherwise(lit(null).cast("int"))
+    // LF2: stopword presence — natural language keeps; zero stopwords
+    // drops; one abstains
+    val sw = size(array_intersect(col("__t"), array(stopwords.map(lit): _*)))
+    val lf2 = when(sw >= 2, 1).when(sw === 0, 0).otherwise(lit(null).cast("int"))
+    // LF3: repetition cap — a dominant token above 20% of the doc drops;
+    // under 10% keeps; between abstains
+    val topFrac = expr(
+      "aggregate(transform(array_distinct(__t), " +
+        "x -> size(filter(__t, y -> y = x))), 0, (a, c) -> greatest(a, c))")
+      .cast("double") / n
+    val lf3 = when(topFrac < 0.10, 1).when(topFrac > 0.20, 0)
+      .otherwise(lit(null).cast("int"))
+    base
+      .select(col(idCol), lf1.as("lf_1"), lf2.as("lf_2"), lf3.as("lf_3"))
+      .withColumn("n_votes",
+        (lit(3) - col("lf_1").isNull.cast("int") - col("lf_2").isNull.cast("int")
+          - col("lf_3").isNull.cast("int")))
+      .withColumn("__keeps",
+        coalesce(col("lf_1"), lit(0)) + coalesce(col("lf_2"), lit(0)) +
+          coalesce(col("lf_3"), lit(0)))
+      .withColumn("label",
+        when(col("__keeps") * 2 > col("n_votes"), 1)
+          .when(col("__keeps") * 2 < col("n_votes"), 0)
+          .otherwise(lit(null).cast("int")))
+      .drop("__keeps")
+  }
+
   /** Vocabulary coverage accounting: for the top-`k` corpus tokens by
     * frequency (ties: token ascending), the per-token and cumulative
     * fraction of all token occurrences they cover — the "how large must

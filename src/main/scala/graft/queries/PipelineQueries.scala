@@ -2029,6 +2029,64 @@ object PipelineQueries {
       TextAnalysis.seqPacking(Tables.load(s, dir, "documents"),
           "doc_id", "text", "source", ctxLen = 512)
         .orderBy("source", "seq_id")
+    },
+
+    // ---- skip-gram co-occurrence pairs (word2vec prep): (center,
+    // context) within 3 positions; scan-fused pair fan-out, one
+    // vocab²-bounded count agg ----
+    QueryDef.sql(
+      "q_skipgram_pairs",
+      """WITH base AS (
+        |  SELECT string_split_regex(text, '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT unnest(flatten(list_transform(range(1, len(t)), i ->
+        |    list_transform(range(1, least(3, len(t) - i) + 1),
+        |      d -> t[i] || ' ' || t[i+d])))) AS pair
+        |  FROM base WHERE len(t) >= 2)
+        |SELECT split_part(pair, ' ', 1) AS w1, split_part(pair, ' ', 2) AS w2,
+        |  count(*) AS n_pairs
+        |FROM p GROUP BY 1, 2 HAVING count(*) >= 50
+        |ORDER BY n_pairs DESC, w1, w2 LIMIT 25""".stripMargin) { (s, dir) =>
+      TextAnalysis.skipgramPairs(Tables.load(s, dir, "documents"),
+          "text", window = 3, minCount = 50L)
+        .orderBy(col("n_pairs").desc, col("w1"), col("w2")).limit(25)
+    },
+
+    // ---- weak-supervision label resolution (Snorkel shape): three
+    // heuristic labeling functions vote keep/drop/abstain, majority of
+    // non-abstaining votes wins, NULL on tie; pure scan projection ----
+    QueryDef.sql(
+      "q_weak_labels",
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (
+        |  SELECT doc_id, len(t) AS n,
+        |    len(list_intersect(t,
+        |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS sw,
+        |    CAST(list_max(list_transform(list_distinct(t),
+        |      x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / len(t) AS topfrac
+        |  FROM base),
+        |v AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n BETWEEN 20 AND 2000 THEN 1
+        |         WHEN n < 10 OR n > 5000 THEN 0 END AS lf_1,
+        |    CASE WHEN sw >= 2 THEN 1 WHEN sw = 0 THEN 0 END AS lf_2,
+        |    CASE WHEN topfrac < 0.10 THEN 1 WHEN topfrac > 0.20 THEN 0 END AS lf_3
+        |  FROM f),
+        |w AS (
+        |  SELECT doc_id, lf_1, lf_2, lf_3,
+        |    3 - CAST(lf_1 IS NULL AS INT) - CAST(lf_2 IS NULL AS INT)
+        |      - CAST(lf_3 IS NULL AS INT) AS n_votes,
+        |    COALESCE(lf_1, 0) + COALESCE(lf_2, 0) + COALESCE(lf_3, 0) AS keeps
+        |  FROM v)
+        |SELECT doc_id, lf_1, lf_2, lf_3, n_votes,
+        |  CASE WHEN 2 * keeps > n_votes THEN 1
+        |       WHEN 2 * keeps < n_votes THEN 0 END AS label
+        |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.weakLabels(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 }
