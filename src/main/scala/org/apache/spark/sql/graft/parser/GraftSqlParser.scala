@@ -426,8 +426,15 @@ case class GraftCreateTableCommand(name: String, provider: String,
       if options.get("overflow").exists(_.trim.equalsIgnoreCase("true"))
       mb <- ev.stripPrefix("LRUMEMSIZE").trim.toLongOption
     } yield mb << 20).getOrElse(0L)
+    // LRUHEAPPERCENT + OVERFLOW: participate in the GLOBAL heap-pressure
+    // pool (all such tables share one resident budget, spilled LRU
+    // across tables) — honored for column tables
+    val heapOverflow = provider != "row" &&
+      options.get("eviction_by").exists(_.trim.toUpperCase.startsWith("LRUHEAPPERCENT")) &&
+      options.get("overflow").exists(_.trim.equalsIgnoreCase("true"))
     val honoredOps: Set[String] =
-      if (overflowBudgetBytes > 0L) Set("eviction_by", "overflow") else Set.empty
+      if (overflowBudgetBytes > 0L || heapOverflow) Set("eviction_by", "overflow")
+      else Set.empty
     // COMPRESSION is a column-store codec (at-rest batch deflate); row
     // packs have no encoded-column form to deflate, so warn rather than
     // letting the user believe a row table compresses
@@ -473,6 +480,12 @@ case class GraftCreateTableCommand(name: String, provider: String,
       // sealed batches deflate through LZ4 at rest
       compression = options.get("compression").map(_.toLowerCase).getOrElse("none"),
       evictionBudgetBytes = overflowBudgetBytes)
+    if (heapOverflow) {
+      org.apache.spark.sql.graft.store.GraftColumnStore
+        .setHeapOverflow(name.toLowerCase, enabled = true)
+      org.apache.spark.sql.graft.store.GraftColumnStore
+        .enforceEviction(name.toLowerCase)
+    }
     Nil
   }
 }

@@ -687,16 +687,38 @@ object GraftColumnStore {
   val aggPushes = new AtomicLong(0)
   val aggDictBatches = new AtomicLong(0)
 
+  // ---- EVICTION_BY 'LRUHEAPPERCENT [n]' + OVERFLOW 'true' (GemFire's
+  // heap-pressure policy): participating tables share ONE global
+  // resident budget — a fraction of the JVM max heap — and spill LRU
+  // ACROSS tables when their combined resident payload crosses it. This
+  // is engine metadata (which tables participate), not physical layout,
+  // so it lives here rather than in snapshots; compaction keeps it
+  // because the registry is keyed by table name.
+  private val heapOverflowTables = TrieMap.empty[String, Unit]
+  @volatile var heapOverflowBudgetBytes: Long =
+    (Runtime.getRuntime.maxMemory() * 0.8).toLong
+  def setHeapOverflow(name: String, enabled: Boolean): Unit =
+    if (enabled) heapOverflowTables.put(name, ()) else heapOverflowTables.remove(name)
+  def isHeapOverflow(name: String): Boolean = heapOverflowTables.contains(name)
+
   /** EVICTION_BY 'LRUMEMSIZE n' + OVERFLOW 'true' enforcement (reference
     * GemFire LRU-overflow regions): spill the table's least-recently-
     * accessed sealed batches to the registry's disk tier until the
     * resident payload fits the budget. Called after every write commit;
     * scans fault spilled batches back in TRANSIENTLY (never re-cached).
+    * Also re-enforces the global heap-percent pool when the table
+    * participates in it.
     */
-  def enforceEviction(name: String): Unit = get(name).foreach { t =>
-    val s = t.snapshot
-    if (s.evictionBudget > 0L) {
-      BatchRegistry.enforceBudget(s.refs.map(_.id), s.evictionBudget)
+  def enforceEviction(name: String): Unit = {
+    get(name).foreach { t =>
+      val s = t.snapshot
+      if (s.evictionBudget > 0L) {
+        BatchRegistry.enforceBudget(s.refs.map(_.id), s.evictionBudget)
+      }
+    }
+    if (heapOverflowTables.contains(name)) {
+      val pool = heapOverflowTables.keys.flatMap(get).flatMap(_.snapshot.refs.map(_.id)).toSeq
+      BatchRegistry.enforceBudget(pool, heapOverflowBudgetBytes)
     }
   }
 
@@ -723,7 +745,10 @@ object GraftColumnStore {
   def apply(name: String): StoreTable = get(name).getOrElse(
     throw new IllegalArgumentException(s"graftstore table not found: $name"))
 
-  def drop(name: String): Unit = tables.remove(name).foreach(releaseAll)
+  def drop(name: String): Unit = {
+    heapOverflowTables.remove(name)
+    tables.remove(name).foreach(releaseAll)
+  }
 
   private def releaseAll(t: StoreTable): Unit = {
     t.flushRetired()

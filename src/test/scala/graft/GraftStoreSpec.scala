@@ -696,11 +696,30 @@ class GraftStoreSpec extends SparkTestBase {
     assert(GraftColumnStore("s_evict_ddl").snapshot.evictionBudget == (1L << 20))
     assert(spark.table("s_evict_ddl").count() == spark.table("ev_src").count())
     g.dropTable("s_evict_ddl")
-    // LRUHEAPPERCENT (GemFire heap policy) remains accept-and-ignore
-    spark.sql("CREATE TABLE s_evict_ddl2 USING column " +
-      "OPTIONS (eviction_by 'LRUHEAPPERCENT', overflow 'true') AS SELECT * FROM ev_src")
-    assert(GraftColumnStore("s_evict_ddl2").snapshot.evictionBudget == 0L)
-    g.dropTable("s_evict_ddl2")
+    // LRUHEAPPERCENT (GemFire heap-pressure policy): participating tables
+    // share ONE global resident budget and spill LRU ACROSS tables
+    val oldBudget = GraftColumnStore.heapOverflowBudgetBytes
+    try {
+      spark.sql("CREATE TABLE s_heap1 USING column " +
+        "OPTIONS (eviction_by 'LRUHEAPPERCENT', overflow 'true') AS SELECT * FROM ev_src")
+      assert(GraftColumnStore.isHeapOverflow("s_heap1"))
+      assert(GraftColumnStore("s_heap1").snapshot.evictionBudget == 0L,
+        "heap policy must not masquerade as a per-table byte budget")
+      // tight global pool: the SECOND table's creation must push the
+      // combined resident set under the pool by spilling LRU across both
+      GraftColumnStore.heapOverflowBudgetBytes = 50000L
+      spark.sql("CREATE TABLE s_heap2 USING column " +
+        "OPTIONS (eviction_by 'LRUHEAPPERCENT', overflow 'true') AS SELECT * FROM ev_src")
+      val pool = Seq("s_heap1", "s_heap2")
+        .flatMap(t => GraftColumnStore(t).snapshot.refs.map(_.id))
+      assert(pool.map(GraftColumnStore.BatchRegistry.residentBytes).sum <= 50000L,
+        "the global heap pool must be enforced across tables")
+      assert(pool.exists(id => !GraftColumnStore.BatchRegistry.isResident(id)))
+      // both tables still answer exactly from the mixed tiers
+      assert(spark.table("s_heap1").count() == spark.table("ev_src").count())
+      assert(spark.table("s_heap2").count() == spark.table("ev_src").count())
+      g.dropTable("s_heap1"); g.dropTable("s_heap2")
+    } finally GraftColumnStore.heapOverflowBudgetBytes = oldBudget
   }
 
   test("feature interaction: lz4 + eviction + buckets + index + full DML cycle") {
