@@ -659,7 +659,7 @@ object TextAnalysis {
       minCount: Long = 1L): DataFrame = {
     require(window >= 1, s"window must be positive: $window")
     val base = docs.filter(col(textCol).isNotNull)
-      .select(split(col(textCol), "\\s+").as("__t"))
+      .select(split(trim(col(textCol)), "\\s+").as("__t"))
     base
       .filter(size(col("__t")) >= 2)
       .select(explode(flatten(

@@ -2037,7 +2037,7 @@ object PipelineQueries {
     QueryDef.sql(
       "q_skipgram_pairs",
       """WITH base AS (
-        |  SELECT string_split_regex(text, '\s+') AS t
+        |  SELECT string_split_regex(trim(text), '\s+') AS t
         |  FROM documents WHERE text IS NOT NULL),
         |p AS (
         |  SELECT unnest(flatten(list_transform(range(1, len(t)), i ->

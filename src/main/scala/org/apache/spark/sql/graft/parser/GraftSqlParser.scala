@@ -426,11 +426,21 @@ case class GraftCreateTableCommand(name: String, provider: String,
       if options.get("overflow").exists(_.trim.equalsIgnoreCase("true"))
       mb <- ev.stripPrefix("LRUMEMSIZE").trim.toLongOption
     } yield mb << 20).getOrElse(0L)
-    // LRUHEAPPERCENT + OVERFLOW: participate in the GLOBAL heap-pressure
-    // pool (all such tables share one resident budget, spilled LRU
-    // across tables) — honored for column tables
-    val heapOverflow = provider != "row" &&
-      options.get("eviction_by").exists(_.trim.toUpperCase.startsWith("LRUHEAPPERCENT")) &&
+    // LRUHEAPPERCENT [n] + OVERFLOW: participate in the GLOBAL
+    // heap-pressure pool (all such tables share one resident budget,
+    // spilled LRU across tables) — honored for column tables. An
+    // explicit percent re-sizes the global pool (last DDL wins, like
+    // GemFire's resource-manager threshold); a bare LRUHEAPPERCENT
+    // joins the pool at its current size.
+    val heapPct: Option[Option[Long]] =
+      options.get("eviction_by").map(_.trim.toUpperCase)
+        .filter(_.startsWith("LRUHEAPPERCENT"))
+        .flatMap { ev =>
+          val rest = ev.stripPrefix("LRUHEAPPERCENT").trim
+          if (rest.isEmpty) Some(None)
+          else rest.toLongOption.filter(p => p > 0 && p <= 100).map(Some(_))
+        }
+    val heapOverflow = provider != "row" && heapPct.isDefined &&
       options.get("overflow").exists(_.trim.equalsIgnoreCase("true"))
     val honoredOps: Set[String] =
       if (overflowBudgetBytes > 0L || heapOverflow) Set("eviction_by", "overflow")
@@ -481,6 +491,12 @@ case class GraftCreateTableCommand(name: String, provider: String,
       compression = options.get("compression").map(_.toLowerCase).getOrElse("none"),
       evictionBudgetBytes = overflowBudgetBytes)
     if (heapOverflow) {
+      heapPct.flatten.foreach { pct =>
+        val budget = Runtime.getRuntime.maxMemory() / 100L * pct
+        logWarning(s"CREATE TABLE $name: global heap-overflow pool set to $pct% " +
+          s"of max heap ($budget bytes)")
+        org.apache.spark.sql.graft.store.GraftColumnStore.heapOverflowBudgetBytes = budget
+      }
       org.apache.spark.sql.graft.store.GraftColumnStore
         .setHeapOverflow(name.toLowerCase, enabled = true)
       org.apache.spark.sql.graft.store.GraftColumnStore

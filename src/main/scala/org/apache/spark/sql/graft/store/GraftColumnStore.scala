@@ -725,6 +725,7 @@ object GraftColumnStore {
   def createOrReplace(name: String, schema: StructType,
       bucketBy: Seq[String] = Nil, numBuckets: Int = 0,
       keyColumns: Seq[String] = Nil): StoreTable = {
+    heapOverflowTables.remove(name) // a replacement never inherits pool membership
     tables.remove(name).foreach(releaseAll)
     val t = new StoreTable(name,
       TableSnapshot(schema, bucketBy, numBuckets, keyColumns, Vector.empty, Map.empty, Map.empty))

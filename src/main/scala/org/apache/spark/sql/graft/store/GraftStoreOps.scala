@@ -246,10 +246,13 @@ object GraftStoreOps {
     * range order — per-bucket z-ordering is the follow-up).
     */
   def zorderBy(spark: SparkSession, table: String, columns: Seq[String],
-      bits: Int = 8, batchSize: Int = 4096): Unit = {
+      bits: Int = 8, batchSize: Int = -1): Unit = {
     import org.apache.spark.sql.functions._
     require(columns.size >= 2, s"zorderBy: need >= 2 columns, got $columns")
     require(columns.size * bits <= 60, s"zorderBy: ${columns.size} cols x $bits bits > 60")
+    require(GraftColumnStore.get(table).isDefined,
+      s"OPTIMIZE ZORDER: '$table' is not a managed COLUMN table " +
+        "(row tables and cached-DataFrame fallbacks have no batch stats to cluster)")
     val t = GraftColumnStore(table)
     val schema = t.schema
     columns.foreach { c =>
@@ -260,22 +263,27 @@ object GraftStoreOps {
           org.apache.spark.sql.types.DateType,
         s"zorderBy: column '$c' is not numeric")
     }
+    // DATE can't cast to DOUBLE (ANSI); route through days-since-epoch
+    def numOf(c: String): org.apache.spark.sql.Column =
+      if (schema.fields(schema.fieldIndex(c)).dataType ==
+          org.apache.spark.sql.types.DateType) unix_date(col(c)).cast("double")
+      else col(c).cast("double")
     val df = read(spark, table)
     val nB = 1 << bits
     // ONE pass computes every column's quantile boundaries (metadata-size)
     val bounds = df.agg(
-      percentile_approx(col(columns.head).cast("double"),
+      percentile_approx(numOf(columns.head),
         array((1 until nB).map(i => lit(i.toDouble / nB)): _*), lit(10000))
         .as(s"__q_${columns.head}"),
       columns.tail.map(c =>
-        percentile_approx(col(c).cast("double"),
+        percentile_approx(numOf(c),
           array((1 until nB).map(i => lit(i.toDouble / nB)): _*), lit(10000))
           .as(s"__q_$c")): _*)
     // scan-fused bucket id per column (boundary-compare, nulls → bucket 0)
     def bucketOf(c: String): org.apache.spark.sql.Column =
       when(col(c).isNull, lit(0L)).otherwise(
         aggregate(col(s"__q_$c"), lit(0L),
-          (acc, b) => acc + when(col(c).cast("double") > b, 1L).otherwise(0L)))
+          (acc, b) => acc + when(numOf(c) > b, 1L).otherwise(0L)))
     // bit-interleave the bucket ids into the z-value
     def zValue(buckets: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
       (0 until bits).foldLeft(lit(0L)) { (acc, bit) =>
@@ -286,6 +294,9 @@ object GraftStoreOps {
       }
     val cols = df.columns.toSeq
     val snap = t.snapshot
+    // the rewrite keeps the table's batch granularity unless the caller
+    // overrides (compact() makes the same promise)
+    val sealSize = if (batchSize > 0) batchSize else snap.batchSize
     if (snap.bucketBy.isEmpty) {
       df.crossJoin(broadcast(bounds))
         .withColumn("__z", zValue(columns.map(bucketOf)))
@@ -293,7 +304,7 @@ object GraftStoreOps {
         .sortWithinPartitions("__z")
         .select(cols.map(col): _*)
         .write.format(FORMAT).option("table", table)
-        .option("batch_size", batchSize.toString)
+        .option("batch_size", sealSize.toString)
         .option("compression", t.snapshot.compression)
         .mode("overwrite").save()
     } else {
@@ -315,32 +326,45 @@ object GraftStoreOps {
       val numBuckets = snap.numBuckets
       val compress = snap.compression == "lz4"
       val rowSchema = schema
-      val newRefs = zdf.queryExecution.toRdd
+      // repartitionAndSortWithinPartitions on a (bucket, z) key: Spark's
+      // shuffle-sort streams each bucket's rows in z order, so a task
+      // holds BATCHES, never the whole bucket (a bucket of a 100 TB
+      // table cannot sit in one array)
+      val keyed = zdf.queryExecution.toRdd
         .map { row =>
           val copied = row.copy()
-          (BucketRouting.bucketOf(
+          val b = BucketRouting.bucketOf(
             bucketOrds.indices.map(i => copied.get(bucketOrds(i), bucketTypes(i))),
-            bucketTypes.toSeq, numBuckets), copied)
+            bucketTypes.toSeq, numBuckets)
+          ((b, copied.getLong(zIdx)), copied)
         }
-        .partitionBy(new org.apache.spark.Partitioner {
-          override def numPartitions: Int = numBuckets
-          override def getPartition(key: Any): Int = key.asInstanceOf[Int]
-        })
+      val byBucket = new org.apache.spark.Partitioner {
+        override def numPartitions: Int = numBuckets
+        override def getPartition(key: Any): Int = key.asInstanceOf[(Int, Long)]._1
+      }
+      val newRefs = keyed
+        .repartitionAndSortWithinPartitions(byBucket)
         .mapPartitionsWithIndex { (bucketId, it) =>
-          val rows = it.map(_._2).toArray
-          java.util.Arrays.sort(rows, (a: org.apache.spark.sql.catalyst.InternalRow,
-              b: org.apache.spark.sql.catalyst.InternalRow) =>
-            java.lang.Long.compare(a.getLong(zIdx), b.getLong(zIdx)))
           // BatchBuilder reads exactly rowSchema.length leading fields, so
-          // the trailing __z column never reaches the sealed batch
+          // the trailing __z column never reaches the sealed batch;
+          // payloads registered by a FAILED attempt are released on the
+          // task's error path (the DSv2 abort analog — a retry's
+          // successful attempt re-registers fresh ids)
           val builder = new GraftColumnStore.BatchBuilder(
-            rowSchema, batchSize, bucketId, compress)
-          rows.foreach(builder.add)
-          builder.result().iterator
+            rowSchema, sealSize, bucketId, compress)
+          try {
+            it.foreach { case (_, row) => builder.add(row) }
+            builder.result().iterator
+          } catch { case e: Throwable => builder.abort(); throw e }
         }
         .collect().toVector
-      t.replaceRefs(newRefs)
-      GraftColumnStore.enforceEviction(table)
+      try {
+        t.replaceRefs(newRefs)
+        GraftColumnStore.enforceEviction(table)
+      } catch { case e: Throwable =>
+        GraftColumnStore.BatchRegistry.release(newRefs.map(_.id), Nil)
+        throw e
+      }
     }
   }
 }

@@ -830,7 +830,16 @@ class GraftStoreSpec extends SparkTestBase {
     val li = Tables.load(spark, sf, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     g.createTable("s_zsql", li)
+    // granularity is PRESERVED by the rewrite (like compact) — shrink it
+    // first so the tiny sf0.001 table spans multiple batches
+    li.write.format(GraftStoreOps.FORMAT).option("table", "s_zsql")
+      .option("batch_size", "256").mode("overwrite").save()
+    val before = GraftColumnStore("s_zsql").snapshot
     spark.sql("OPTIMIZE s_zsql ZORDER BY (l_quantity, l_extendedprice)")
+    val after = GraftColumnStore("s_zsql").snapshot
+    assert(after.refs.map(_.id).toSet != before.refs.map(_.id).toSet,
+      "the SQL form must rewrite the batches")
+    assert(after.batchSize == 256, "the rewrite must keep the table's granularity")
     val box = col("l_quantity").between(10.0, 20.0) &&
       col("l_extendedprice").between(20000.0, 40000.0)
     val k0 = GraftColumnStore.batchesSkipped.get()
