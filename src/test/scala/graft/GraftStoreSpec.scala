@@ -790,6 +790,23 @@ class GraftStoreSpec extends SparkTestBase {
     GraftColumnStore.drop("s_z_plain"); GraftColumnStore.drop("s_z")
   }
 
+  test("Z-ORDER accepts DATE columns (days-since-epoch bucketing, no ANSI cast error)") {
+    val ord = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"),
+        col("o_totalprice"))
+    ord.write.format(GraftStoreOps.FORMAT).option("table", "s_zdate")
+      .option("batch_size", "256").mode("overwrite").save()
+    GraftStoreOps.zorderBy(spark, "s_zdate", Seq("o_date", "o_totalprice"))
+    val probe = ord.orderBy("o_date").limit(1).head().getDate(1)
+    val box = col("o_date") === lit(probe) && col("o_totalprice") < 50000.0
+    val k0 = GraftColumnStore.batchesSkipped.get()
+    assert(GraftStoreOps.read(spark, "s_zdate").filter(box).count() ==
+      ord.filter(box).count())
+    assert(GraftColumnStore.batchesSkipped.get() > k0,
+      "date z-order must stats-prune")
+    GraftColumnStore.drop("s_zdate")
+  }
+
   test("Z-ORDER on a BUCKETED table: per-bucket clustering, layout preserved") {
     val g = GraftSession(spark)
     val li = Tables.load(spark, sf, "lineitem")
