@@ -293,18 +293,24 @@ class GraftSession(val spark: SparkSession) {
         (name, "row", s.rowCount, s.refs.size.toLong,
           s.refs.map(r => r.numRows.toLong * s.schema.defaultSize).sum,
           s.numBuckets, s.keyColumns.mkString(","),
-          s.indexes.keys.toSeq.sorted.mkString(","))
+          s.indexes.keys.toSeq.sorted.mkString(","),
+          s.refs.map(r => GraftRowStore.PackRegistry.residentBytes(r.id)).sum,
+          "none")
       } else if (st.storeBacked) {
         val s = GraftColumnStore(name).snapshot
         (name, "column", s.rowCount, s.refs.size.toLong, s.sizeBytes,
-          s.numBuckets, s.keyColumns.mkString(","), s.sortedBy.mkString(","))
+          s.numBuckets, s.keyColumns.mkString(","), s.sortedBy.mkString(","),
+          // memory-tier observability: resident vs spilled shows the
+          // LRU-overflow state; the codec explains the footprint
+          s.residentBytes, s.compression)
       } else {
         (name, "cached", -1L, -1L, -1L, st.buckets,
-          st.keyColumns.mkString(","), "")
+          st.keyColumns.mkString(","), "", -1L, "none")
       }
     }
     spark.createDataFrame(rows).toDF("table_name", "provider", "row_count",
-      "batch_count", "size_bytes", "buckets", "key_columns", "indexed_columns")
+      "batch_count", "size_bytes", "buckets", "key_columns", "indexed_columns",
+      "resident_bytes", "compression")
   }
 
   /** Align a source to the target's column names: by name when they

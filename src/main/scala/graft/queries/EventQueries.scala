@@ -408,6 +408,46 @@ object EventQueries {
         |ORDER BY n_paths DESC, step_1, step_2, step_3 LIMIT 10""".stripMargin) { (s, dir) =>
       graft.operators.Funnel.topPaths(Tables.load(s, dir, "events"),
         "user_id", "ts", "event_type", "event_id", steps = 3, k = 10)
+    },
+
+    // ---- RFM segmentation (CRM/user-value analytics): recency from the
+    // corpus's last day, purchase frequency, monetary total; fixed-band
+    // segments keep the assignment engine-portable (quantile bands are
+    // the q_length_deciles pattern if needed). One user-keyed agg plus a
+    // broadcast single-row max ----
+    QueryDef.sql(
+      "q_events_rfm",
+      """WITH mx AS (SELECT CAST(max(ts) AS DATE) AS max_d FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |    date_diff('day', CAST(max(ts) AS DATE), mx.max_d) AS r_days,
+        |    CAST(count(*) AS BIGINT) AS f,
+        |    round(CAST(sum(CASE WHEN event_type = 'purchase' THEN value
+        |      ELSE 0 END) AS DOUBLE), 4) AS m_r
+        |  FROM events, mx GROUP BY user_id, mx.max_d)
+        |SELECT user_id, r_days, f, m_r,
+        |  CASE WHEN r_days <= 7 AND f >= 20 AND m_r > 100 THEN 'champion'
+        |       WHEN r_days <= 7 THEN 'recent'
+        |       WHEN f >= 20 THEN 'frequent'
+        |       ELSE 'dormant' END AS segment
+        |FROM u ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val mx = ev.agg(to_date(max(col("ts"))).as("max_d"))
+      ev.groupBy("user_id")
+        .agg(max(col("ts")).as("__last"),
+          count(lit(1)).as("f"),
+          graft.dround(sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0))), 4).as("m_r"))
+        .crossJoin(broadcast(mx))
+        .select(col("user_id"),
+          datediff(col("max_d"), to_date(col("__last"))).cast("long").as("r_days"),
+          col("f"), col("m_r"))
+        .withColumn("segment",
+          when(col("r_days") <= 7 && col("f") >= 20 && col("m_r") > 100, "champion")
+            .when(col("r_days") <= 7, "recent")
+            .when(col("f") >= 20, "frequent")
+            .otherwise("dormant"))
+        .orderBy("user_id")
     }
   )
 }

@@ -58,6 +58,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     GraftStatements.parse(rewritten) match {
       case Some(PutInto(t, src)) =>
         GraftPutIntoCommand(t, delegate.parsePlan(src))
+      // native MERGE INTO syntax, canonical-upsert form, on MANAGED
+      // tables → the PUT INTO path (same contract); other targets keep
+      // Spark's row-level MERGE
+      case Some(MergeInto(t, src, on, clauses)) if g.isManaged(t.toLowerCase) =>
+        GraftMergeIntoCommand(t.toLowerCase, src, on, clauses)
       case Some(Update(t, assigns, where)) if g.isManaged(t.toLowerCase) =>
         // validate all embedded expressions NOW (statement-time parse
         // errors); the command re-parses at run — commands must not carry
@@ -293,6 +298,40 @@ case class GraftOptimizeZorderCommand(table: String, columns: Seq[String])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     org.apache.spark.sql.graft.store.GraftStoreOps.zorderBy(spark, table, columns)
+    Nil
+  }
+}
+
+/** MERGE INTO t USING s ON <key equalities> WHEN MATCHED THEN UPDATE
+  * SET * WHEN NOT MATCHED THEN INSERT * — the canonical upsert, which is
+  * exactly PUT INTO's contract, accepted so ported Spark/Delta-style SQL
+  * runs against managed tables. Any richer clause set (conditions,
+  * per-column SETs, DELETE branches) is rejected with a pointer to the
+  * dedicated DML surface rather than silently approximated.
+  */
+case class GraftMergeIntoCommand(table: String, source: String,
+    onCond: String, clauses: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val canon = clauses.trim.replaceAll("\\s+", " ").toUpperCase
+    require(canon == "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+      s"MERGE INTO $table: only the canonical upsert form is supported " +
+        "(WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *) — " +
+        "use PUT INTO / GraftSession.putInto or UPDATE/DELETE for richer merges")
+    val g = graft.GraftSession(spark)
+    val keys = g.tableState(table).map(_.keyColumns).getOrElse(Nil)
+    require(keys.nonEmpty, s"MERGE INTO $table: the table has no KEY_COLUMNS")
+    // the ON condition must be exactly the key-equality conjunction
+    // (unqualified, after stripping the two relation qualifiers)
+    val stripped = onCond.toLowerCase
+      .replaceAll(s"\\b${java.util.regex.Pattern.quote(table.toLowerCase)}\\.", "")
+      .replaceAll(s"\\b${java.util.regex.Pattern.quote(source.toLowerCase)}\\.", "")
+      .replaceAll("\\s+", "")
+    val conjuncts = stripped.split("(?i)and").toSeq.sorted
+    val expected = keys.map(k => s"${k.toLowerCase}=${k.toLowerCase}").sorted
+    require(conjuncts == expected,
+      s"MERGE INTO $table: ON must be the key-equality conjunction over " +
+        s"(${keys.mkString(", ")}), got: $onCond")
+    g.putInto(table, spark.table(source))
     Nil
   }
 }

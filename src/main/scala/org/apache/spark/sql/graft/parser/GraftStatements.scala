@@ -18,6 +18,13 @@ object GraftStatements extends RegexParsers {
   sealed trait Stmt
   /** PUT INTO t (SELECT ...|VALUES ...|TABLE x) */
   final case class PutInto(table: String, sourceSql: String) extends Stmt
+  /** MERGE INTO t USING src ON cond WHEN MATCHED THEN UPDATE SET *
+    * WHEN NOT MATCHED THEN INSERT * — the canonical upsert form only
+    * (it is exactly PUT INTO's contract); richer clauses are rejected
+    * with a pointer to PUT INTO / the DataFrame API.
+    */
+  final case class MergeInto(table: String, source: String,
+      onCond: String, clauses: String) extends Stmt
   /** UPDATE t SET a = expr, ... WHERE expr */
   final case class Update(table: String, assigns: Seq[(String, String)],
       whereSql: String) extends Stmt
@@ -160,6 +167,12 @@ object GraftStatements extends RegexParsers {
 
   // ---- statements ----
 
+  private def mergeInto: Parser[Stmt] =
+    kw("MERGE") ~> kw("INTO") ~> ident ~ (kw("USING") ~> ident) ~
+      (kw("ON") ~> chunkUntil(Seq("WHEN"), stopAtComma = false)) ~ restAll ^^ {
+        case t ~ src ~ on ~ clauses => MergeInto(t, src, on.trim, clauses.trim)
+      }
+
   private def putInto: Parser[Stmt] =
     kw("PUT") ~> kw("INTO") ~> ident ~ restAll ^^ { case t ~ src =>
       val s = src.trim
@@ -284,7 +297,7 @@ object GraftStatements extends RegexParsers {
       }
 
   private def statement: Parser[Stmt] =
-    putInto | createPolicy | dropPolicy | createSample | createStream |
+    mergeInto | putInto | createPolicy | dropPolicy | createSample | createStream |
       createIndex | dropIndex | optimizeZorder | createFunction | createTableLike |
       createTableUsing | alterDrop | alterAdd | truncateTable |
       streamingCtl | grantRevoke | update | delete

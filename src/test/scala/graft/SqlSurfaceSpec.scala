@@ -509,4 +509,34 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(ex2.getMessage.contains("not a managed table"))
     g.dropTable("co_child"); g.dropTable("co_base")
   }
+
+  test("MERGE INTO (canonical upsert form) runs as PUT INTO on managed tables") {
+    val g = GraftSession(spark)
+    val supp = Tables.load(spark, sf, "supplier")
+    g.createTable("m_tgt", supp, keyColumns = Seq("s_suppkey"),
+      partitionBy = Seq("s_suppkey"), buckets = 4)
+    supp.filter(col("s_suppkey") <= 3)
+      .withColumn("s_acctbal", lit(7777.0))
+      .createOrReplaceTempView("m_src")
+    val before = g.table("m_tgt").count()
+    spark.sql("MERGE INTO m_tgt USING m_src ON m_tgt.s_suppkey = m_src.s_suppkey " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(g.table("m_tgt").count() == before, "pure-update merge must not grow")
+    val bals = g.table("m_tgt").filter(col("s_suppkey") <= 3)
+      .select("s_acctbal").collect().map(_.getDouble(0)).toSet
+    assert(bals == Set(7777.0))
+    // richer clause sets are rejected, not approximated
+    val ex = intercept[Exception] {
+      spark.sql("MERGE INTO m_tgt USING m_src ON m_tgt.s_suppkey = m_src.s_suppkey " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    assert(ex.getMessage.contains("canonical upsert form"))
+    // the ON condition must be the key-equality conjunction
+    val ex2 = intercept[Exception] {
+      spark.sql("MERGE INTO m_tgt USING m_src ON m_tgt.s_nationkey = m_src.s_nationkey " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(ex2.getMessage.contains("key-equality"))
+    g.dropTable("m_tgt")
+  }
 }
