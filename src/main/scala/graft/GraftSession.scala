@@ -137,6 +137,25 @@ class GraftSession(val spark: SparkSession) {
     tables.getOrElse(normalize(name),
       throw new IllegalArgumentException(s"graft table not found: $name")).df
 
+  /** Durable checkpoint / re-hydration of a store-backed table (the
+    * session-level PERSISTENCE/DISKSTORE analog — see
+    * [[org.apache.spark.sql.graft.store.GraftStoreOps.checkpoint]]).
+    */
+  def checkpointTable(name: String, dir: String): Unit = {
+    require(isStoreBacked(name), s"checkpointTable($name): not a store-backed table")
+    GraftStoreOps.checkpoint(spark, normalize(name), dir)
+  }
+
+  def restoreTable(name: String, dir: String): DataFrame = {
+    val nm = normalize(name)
+    val df = GraftStoreOps.restore(spark, nm, dir)
+    df.createOrReplaceTempView(nm)
+    val s = GraftColumnStore(nm).snapshot
+    tables.put(nm, TableState(df, s.keyColumns, s.bucketBy,
+      math.max(s.numBuckets, 0), storeBacked = true))
+    df
+  }
+
   def isManaged(name: String): Boolean = tables.contains(normalize(name))
 
   /** Catalog metadata of a managed table (layout introspection —

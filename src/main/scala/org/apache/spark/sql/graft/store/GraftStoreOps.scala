@@ -367,4 +367,52 @@ object GraftStoreOps {
       }
     }
   }
+
+  /** Durable checkpoint of a managed column table (the session-level
+    * analog of the reference's PERSISTENCE/DISKSTORE recovery story —
+    * GemFire disk stores re-hydrate regions on restart; here an explicit
+    * checkpoint/restore pair re-hydrates a store table across JVMs.
+    * Automatic cluster recovery stays an ops non-goal, SURVEY §7).
+    * Layout is part of the checkpoint: buckets, keys, clustering, batch
+    * size, codec and eviction budget all survive the round-trip. The
+    * data lands as parquet (snapshot-consistent — one scan), the layout
+    * as a properties manifest.
+    */
+  def checkpoint(spark: SparkSession, table: String, dir: String): Unit = {
+    val snap = GraftColumnStore(table).snapshot
+    read(spark, table).write.mode("overwrite").parquet(s"$dir/data")
+    val p = new java.util.Properties()
+    p.setProperty("partition_by", snap.bucketBy.mkString(","))
+    p.setProperty("buckets", snap.numBuckets.toString)
+    p.setProperty("key_columns", snap.keyColumns.mkString(","))
+    p.setProperty("sort_by", snap.sortedBy.mkString(","))
+    p.setProperty("batch_size", snap.batchSize.toString)
+    p.setProperty("compression", snap.compression)
+    p.setProperty("eviction_budget_bytes", snap.evictionBudget.toString)
+    val out = java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(dir, "layout.properties"))
+    try p.store(out, s"graftstore checkpoint of $table") finally out.close()
+  }
+
+  /** Re-hydrate a checkpointed table (fresh JVM or after a drop): the
+    * manifest's layout drives the normal bucketed write path, so the
+    * restored table is byte-for-byte the same KIND of table — colocated
+    * joins, index clustering, codec and budgets all behave as before.
+    */
+  def restore(spark: SparkSession, table: String, dir: String): DataFrame = {
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(dir, "layout.properties"))
+    try p.load(in) finally in.close()
+    val df = spark.read.parquet(s"$dir/data")
+    GraftColumnStore.drop(table)
+    var w = df.write.format(FORMAT).option("table", table)
+    Seq("partition_by", "buckets", "key_columns", "sort_by", "batch_size",
+      "compression", "eviction_budget_bytes").foreach { k =>
+      val v = p.getProperty(k, "")
+      if (v.nonEmpty && !(k == "buckets" && v == "0")) w = w.option(k, v)
+    }
+    w.mode("overwrite").save()
+    read(spark, table)
+  }
 }
