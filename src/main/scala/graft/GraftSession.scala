@@ -142,18 +142,36 @@ class GraftSession(val spark: SparkSession) {
     * [[org.apache.spark.sql.graft.store.GraftStoreOps.checkpoint]]).
     */
   def checkpointTable(name: String, dir: String): Unit = {
-    require(isStoreBacked(name), s"checkpointTable($name): not a store-backed table")
-    GraftStoreOps.checkpoint(spark, normalize(name), dir)
+    val nm = normalize(name)
+    if (tables.get(nm).exists(_.rowBacked)) GraftRowOps.checkpoint(spark, nm, dir)
+    else {
+      require(isStoreBacked(name), s"checkpointTable($name): not a store-backed table")
+      GraftStoreOps.checkpoint(spark, nm, dir)
+    }
   }
 
   def restoreTable(name: String, dir: String): DataFrame = {
     val nm = normalize(name)
-    val df = GraftStoreOps.restore(spark, nm, dir)
-    df.createOrReplaceTempView(nm)
-    val s = GraftColumnStore(nm).snapshot
-    tables.put(nm, TableState(df, s.keyColumns, s.bucketBy,
-      math.max(s.numBuckets, 0), storeBacked = true))
-    df
+    // the manifest knows which store the table came from
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(dir, "layout.properties"))
+    try p.load(in) finally in.close()
+    if (p.getProperty("provider", "column") == "row") {
+      val df = GraftRowOps.restore(spark, nm, dir)
+      df.createOrReplaceTempView(nm)
+      val s = GraftRowStore(nm).snapshot
+      tables.put(nm, TableState(df, s.keyColumns, s.bucketBy,
+        math.max(s.numBuckets, 0), rowBacked = true))
+      df
+    } else {
+      val df = GraftStoreOps.restore(spark, nm, dir)
+      df.createOrReplaceTempView(nm)
+      val s = GraftColumnStore(nm).snapshot
+      tables.put(nm, TableState(df, s.keyColumns, s.bucketBy,
+        math.max(s.numBuckets, 0), storeBacked = true))
+      df
+    }
   }
 
   def isManaged(name: String): Boolean = tables.contains(normalize(name))

@@ -281,4 +281,42 @@ object GraftRowOps {
     */
   def dropIndexes(table: String): Unit =
     GraftRowStore(table).mutate(_.copy(indexes = Map.empty))
+
+  /** Durable checkpoint / restore of a row table — the row-side twin of
+    * [[GraftStoreOps.checkpoint]]: snapshot-consistent parquet + layout
+    * manifest; secondary indexes are recorded by COLUMN and rebuilt at
+    * restore (their stats key the new pack ids).
+    */
+  def checkpoint(spark: SparkSession, table: String, dir: String): Unit = {
+    val snap = GraftRowStore(table).snapshot
+    read(spark, table).write.mode("overwrite").parquet(s"$dir/data")
+    val p = new java.util.Properties()
+    p.setProperty("provider", "row")
+    p.setProperty("partition_by", snap.bucketBy.mkString(","))
+    p.setProperty("buckets", snap.numBuckets.toString)
+    p.setProperty("key_columns", snap.keyColumns.mkString(","))
+    p.setProperty("indexed", snap.indexes.values.map(_.column).toSeq.sorted.mkString(","))
+    p.setProperty("eviction_budget_bytes", snap.evictionBudget.toString)
+    val out = java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(dir, "layout.properties"))
+    try p.store(out, s"graftrow checkpoint of $table") finally out.close()
+  }
+
+  def restore(spark: SparkSession, table: String, dir: String): org.apache.spark.sql.DataFrame = {
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(dir, "layout.properties"))
+    try p.load(in) finally in.close()
+    val df = spark.read.parquet(s"$dir/data")
+    GraftRowStore.drop(table)
+    var w = df.write.format(FORMAT).option("table", table)
+    Seq("partition_by", "buckets", "key_columns", "eviction_budget_bytes").foreach { k =>
+      val v = p.getProperty(k, "")
+      if (v.nonEmpty && !(k == "buckets" && v == "0")) w = w.option(k, v)
+    }
+    w.mode("overwrite").save()
+    p.getProperty("indexed", "").split(",").filter(_.nonEmpty)
+      .foreach(c => createIndex(spark, table, c))
+    read(spark, table)
+  }
 }

@@ -253,6 +253,27 @@ class RowTableSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     g.dropTable("r_rtxt")
   }
 
+  test("row-table checkpoint/restore keeps keys, buckets and rebuilds indexes") {
+    val supp = Tables.load(spark, sf, "supplier")
+    g.createTable("r_ckpt", supp, keyColumns = Seq("s_suppkey"),
+      partitionBy = Seq("s_suppkey"), buckets = 4, provider = "row")
+    GraftRowOps.createIndex(spark, "r_ckpt", "s_acctbal")
+    g.update("r_ckpt", col("s_nationkey") === 0, "s_acctbal" -> lit(1.5))
+    val expect = g.table("r_ckpt").orderBy("s_suppkey").collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-rckpt-").toString
+    g.checkpointTable("r_ckpt", dir)
+    g.dropTable("r_ckpt")
+    g.restoreTable("r_ckpt", dir)
+    val snap = GraftRowStore("r_ckpt").snapshot
+    assert(snap.keyColumns == Seq("s_suppkey") && snap.numBuckets == 4)
+    assert(snap.indexes.contains("s_acctbal"), "indexes rebuild at restore")
+    assert(g.table("r_ckpt").orderBy("s_suppkey").collect().toSeq == expect)
+    // PK invariant intact: upsert replaces, insert of dup still rejected
+    g.putInto("r_ckpt", supp.filter(col("s_suppkey") === 1L))
+    assert(g.table("r_ckpt").count() == supp.count())
+    g.dropTable("r_ckpt")
+  }
+
   test("row-table LRU overflow: spilled packs serve point lookups, upserts, scans") {
     val cust = Tables.load(spark, sf, "customer")
     g.createTable("r_evict", cust, keyColumns = Seq("c_custkey"),
