@@ -153,10 +153,7 @@ class GraftSession(val spark: SparkSession) {
   def restoreTable(name: String, dir: String): DataFrame = {
     val nm = normalize(name)
     // the manifest knows which store the table came from
-    val p = new java.util.Properties()
-    val in = java.nio.file.Files.newInputStream(
-      java.nio.file.Paths.get(dir, "layout.properties"))
-    try p.load(in) finally in.close()
+    val p = org.apache.spark.sql.graft.store.GraftManifest.read(spark, dir)
     if (p.getProperty("provider", "column") == "row") {
       val df = GraftRowOps.restore(spark, nm, dir)
       df.createOrReplaceTempView(nm)

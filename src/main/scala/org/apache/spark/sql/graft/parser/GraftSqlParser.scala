@@ -61,8 +61,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       // native MERGE INTO syntax, canonical-upsert form, on MANAGED
       // tables → the PUT INTO path (same contract); other targets keep
       // Spark's row-level MERGE
-      case Some(MergeInto(t, src, on, clauses)) if g.isManaged(t.toLowerCase) =>
-        GraftMergeIntoCommand(t.toLowerCase, src, on, clauses)
+      case Some(m: MergeInto) if g.isManaged(m.table.toLowerCase) =>
+        GraftMergeIntoCommand(m.table.toLowerCase, m.source, m.onCond, m.clauses,
+          (m.targetAlias.toSeq ++ m.sourceAlias.toSeq ++
+            Seq(m.table, m.source)).map(_.toLowerCase))
       case Some(Update(t, assigns, where)) if g.isManaged(t.toLowerCase) =>
         // validate all embedded expressions NOW (statement-time parse
         // errors); the command re-parses at run — commands must not carry
@@ -153,7 +155,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parsePlanWithParameters(sqlText: String,
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan = {
     val rewritten = StreamWindowRewrite(sqlText)
-    if (GraftStatements.parse(rewritten).isDefined) parsePlan(rewritten)
+    // a statement our grammar RECOGNIZES but parsePlan would hand back
+    // to the delegate anyway (MERGE on a non-managed table) must keep
+    // its parameter bindings — routing through parsePlan would drop them
+    val intercepted = GraftStatements.parse(rewritten).exists {
+      case m: GraftStatements.MergeInto => g.isManaged(m.table.toLowerCase)
+      case _ => true
+    }
+    if (intercepted) parsePlan(rewritten)
     else delegate.parsePlanWithParameters(rewritten, ctx)
   }
 
@@ -310,7 +319,8 @@ case class GraftOptimizeZorderCommand(table: String, columns: Seq[String])
   * dedicated DML surface rather than silently approximated.
   */
 case class GraftMergeIntoCommand(table: String, source: String,
-    onCond: String, clauses: String) extends LeafRunnableCommand {
+    onCond: String, clauses: String, qualifiers: Seq[String])
+    extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val canon = clauses.trim.replaceAll("\\s+", " ").toUpperCase
     require(canon == "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
@@ -320,18 +330,29 @@ case class GraftMergeIntoCommand(table: String, source: String,
     val g = graft.GraftSession(spark)
     val keys = g.tableState(table).map(_.keyColumns).getOrElse(Nil)
     require(keys.nonEmpty, s"MERGE INTO $table: the table has no KEY_COLUMNS")
-    // the ON condition must be exactly the key-equality conjunction
-    // (unqualified, after stripping the two relation qualifiers)
-    val stripped = onCond.toLowerCase
-      .replaceAll(s"\\b${java.util.regex.Pattern.quote(table.toLowerCase)}\\.", "")
-      .replaceAll(s"\\b${java.util.regex.Pattern.quote(source.toLowerCase)}\\.", "")
-      .replaceAll("\\s+", "")
-    val conjuncts = stripped.split("(?i)and").toSeq.sorted
+    // the ON condition must be exactly the key-equality conjunction,
+    // unqualified after stripping relation names AND aliases. Split on
+    // word-boundary AND *before* collapsing whitespace — a key column
+    // containing the letters "and" must not split
+    val unqual = qualifiers.foldLeft(onCond.toLowerCase) { (acc, q) =>
+      acc.replaceAll(s"\\b${java.util.regex.Pattern.quote(q)}\\.", "")
+    }
+    val conjuncts = unqual.split("(?i)\\band\\b")
+      .map(_.replaceAll("[\\s()]+", "")).toSeq.sorted
     val expected = keys.map(k => s"${k.toLowerCase}=${k.toLowerCase}").sorted
     require(conjuncts == expected,
       s"MERGE INTO $table: ON must be the key-equality conjunction over " +
         s"(${keys.mkString(", ")}), got: $onCond")
-    g.putInto(table, spark.table(source))
+    // SQL MERGE errors on multiple source rows per key; putInto would
+    // silently first-wins — keep MERGE's contract
+    val src = spark.table(source)
+    val dup = src.groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+      .count().filter(org.apache.spark.sql.functions.col("count") > 1).limit(1).count()
+    require(dup == 0,
+      s"MERGE INTO $table: multiple source rows share a key — MERGE requires " +
+        "unique source keys (dedupe the source, or use PUT INTO for " +
+        "first-wins semantics)")
+    g.putInto(table, src)
     Nil
   }
 }

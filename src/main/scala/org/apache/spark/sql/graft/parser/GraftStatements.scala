@@ -24,7 +24,9 @@ object GraftStatements extends RegexParsers {
     * with a pointer to PUT INTO / the DataFrame API.
     */
   final case class MergeInto(table: String, source: String,
-      onCond: String, clauses: String) extends Stmt
+      onCond: String, clauses: String,
+      targetAlias: Option[String] = None,
+      sourceAlias: Option[String] = None) extends Stmt
   /** UPDATE t SET a = expr, ... WHERE expr */
   final case class Update(table: String, assigns: Seq[(String, String)],
       whereSql: String) extends Stmt
@@ -167,10 +169,19 @@ object GraftStatements extends RegexParsers {
 
   // ---- statements ----
 
+  /** An identifier that is NOT the given keyword (so an optional alias
+    * can't swallow the next clause's keyword).
+    */
+  private def identExcept(stop: String): Parser[String] =
+    ident ^? ({ case s if !s.equalsIgnoreCase(stop) => s },
+      s => s"'$s' cannot alias here")
+
   private def mergeInto: Parser[Stmt] =
-    kw("MERGE") ~> kw("INTO") ~> ident ~ (kw("USING") ~> ident) ~
+    kw("MERGE") ~> kw("INTO") ~> ident ~ opt(identExcept("USING")) ~
+      (kw("USING") ~> ident) ~ opt(identExcept("ON")) ~
       (kw("ON") ~> chunkUntil(Seq("WHEN"), stopAtComma = false)) ~ restAll ^^ {
-        case t ~ src ~ on ~ clauses => MergeInto(t, src, on.trim, clauses.trim)
+        case t ~ ta ~ src ~ sa ~ on ~ clauses =>
+          MergeInto(t, src, on.trim, clauses.trim, ta, sa)
       }
 
   private def putInto: Parser[Stmt] =

@@ -802,7 +802,7 @@ class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
       table.mutateRetiring { s =>
         (s.copy(refs = newRefs, deletes = Map.empty, updates = Map.empty,
             sortedBy = sortBy, batchSize = batchSize, compression = compression,
-            evictionBudget = evictionBudget),
+            evictionBudget = evictionBudget, zorderedBy = Nil),
           Some(GraftColumnStore.Retirees(s.refs.map(_.id),
             s.updates.values.flatMap(_.values.flatten.map(_.deltaId)).toSeq,
             s.deletes.values.map(_.bitmapId).toSeq)))

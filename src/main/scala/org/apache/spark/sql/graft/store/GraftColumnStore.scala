@@ -528,7 +528,8 @@ object GraftColumnStore {
       sortedBy: Seq[String] = Nil,
       batchSize: Int = 16384,
       compression: String = "none",
-      evictionBudget: Long = 0L) {
+      evictionBudget: Long = 0L,
+      zorderedBy: Seq[String] = Nil) {
     def rowCount: Long =
       refs.map(r => r.numRows.toLong - deletes.get(r.id).map(_.cardinality).getOrElse(0)).sum
     def liveRows(ref: BatchRef): Int =

@@ -1,0 +1,32 @@
+package org.apache.spark.sql.graft.store
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared checkpoint-manifest IO for both stores. Goes through the
+  * Hadoop filesystem of the checkpoint URI — the parquet data does, and
+  * a manifest written with local-file APIs would strand any hdfs://
+  * s3a:// or even file:/ checkpoint half-written (the whole point of a
+  * checkpoint is re-hydration from shared storage on another JVM).
+  */
+object GraftManifest {
+  private val FILE = "layout.properties"
+
+  def write(spark: SparkSession, dir: String,
+      entries: Seq[(String, String)], comment: String): Unit = {
+    val p = new java.util.Properties()
+    entries.foreach { case (k, v) => p.setProperty(k, v) }
+    val path = new org.apache.hadoop.fs.Path(dir, FILE)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try p.store(out, comment) finally out.close()
+  }
+
+  def read(spark: SparkSession, dir: String): java.util.Properties = {
+    val p = new java.util.Properties()
+    val path = new org.apache.hadoop.fs.Path(dir, FILE)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    try p.load(in) finally in.close()
+    p
+  }
+}

@@ -290,23 +290,18 @@ object GraftRowOps {
   def checkpoint(spark: SparkSession, table: String, dir: String): Unit = {
     val snap = GraftRowStore(table).snapshot
     read(spark, table).write.mode("overwrite").parquet(s"$dir/data")
-    val p = new java.util.Properties()
-    p.setProperty("provider", "row")
-    p.setProperty("partition_by", snap.bucketBy.mkString(","))
-    p.setProperty("buckets", snap.numBuckets.toString)
-    p.setProperty("key_columns", snap.keyColumns.mkString(","))
-    p.setProperty("indexed", snap.indexes.values.map(_.column).toSeq.sorted.mkString(","))
-    p.setProperty("eviction_budget_bytes", snap.evictionBudget.toString)
-    val out = java.nio.file.Files.newOutputStream(
-      java.nio.file.Paths.get(dir, "layout.properties"))
-    try p.store(out, s"graftrow checkpoint of $table") finally out.close()
+    GraftManifest.write(spark, dir, Seq(
+      "provider" -> "row",
+      "partition_by" -> snap.bucketBy.mkString(","),
+      "buckets" -> snap.numBuckets.toString,
+      "key_columns" -> snap.keyColumns.mkString(","),
+      "indexed" -> snap.indexes.values.map(_.column).toSeq.sorted.mkString(","),
+      "eviction_budget_bytes" -> snap.evictionBudget.toString),
+      s"graftrow checkpoint of $table")
   }
 
   def restore(spark: SparkSession, table: String, dir: String): org.apache.spark.sql.DataFrame = {
-    val p = new java.util.Properties()
-    val in = java.nio.file.Files.newInputStream(
-      java.nio.file.Paths.get(dir, "layout.properties"))
-    try p.load(in) finally in.close()
+    val p = GraftManifest.read(spark, dir)
     val df = spark.read.parquet(s"$dir/data")
     GraftRowStore.drop(table)
     var w = df.write.format(FORMAT).option("table", table)

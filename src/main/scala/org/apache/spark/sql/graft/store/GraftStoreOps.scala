@@ -199,6 +199,12 @@ object GraftStoreOps {
       .option("compression", snap.compression)
     (if (snap.sortedBy.nonEmpty) w.option("sort_by", snap.sortedBy.mkString(",")) else w)
       .mode("overwrite").save()
+    // a z-ordered table re-clusters after the rewrite (the bucketed
+    // write's shuffle scrambles the curve; sort_by only covers the
+    // single-column clustering)
+    if (snap.zorderedBy.nonEmpty) {
+      zorderBy(spark, table, snap.zorderedBy)
+    }
   }
 
   /** CREATE INDEX (reference SnappySession.createIndex:1760) — the
@@ -307,6 +313,10 @@ object GraftStoreOps {
         .option("batch_size", sealSize.toString)
         .option("compression", t.snapshot.compression)
         .mode("overwrite").save()
+      // record the clustering as layout metadata (checkpoint/compact
+      // re-cluster from it; the overwrite itself reset the claim)
+      GraftColumnStore(table).mutate(_.copy(zorderedBy = columns))
+      ()
     } else {
       // Per-bucket z-ordering. The DSv2 write path cannot carry a
       // computed sort key (its required ordering speaks schema columns,
@@ -360,6 +370,11 @@ object GraftStoreOps {
         .collect().toVector
       try {
         t.replaceRefs(newRefs)
+        // record clustering AND the seal granularity as layout metadata —
+        // the DSv2 path records batch_size via its commit; this manual
+        // path must too, or a later compact() re-seals at the stale size
+        // (one batch per bucket = nothing left to prune)
+        t.mutate(_.copy(zorderedBy = columns, batchSize = sealSize))
         GraftColumnStore.enforceEviction(table)
       } catch { case e: Throwable =>
         GraftColumnStore.BatchRegistry.release(newRefs.map(_.id), Nil)
@@ -381,17 +396,17 @@ object GraftStoreOps {
   def checkpoint(spark: SparkSession, table: String, dir: String): Unit = {
     val snap = GraftColumnStore(table).snapshot
     read(spark, table).write.mode("overwrite").parquet(s"$dir/data")
-    val p = new java.util.Properties()
-    p.setProperty("partition_by", snap.bucketBy.mkString(","))
-    p.setProperty("buckets", snap.numBuckets.toString)
-    p.setProperty("key_columns", snap.keyColumns.mkString(","))
-    p.setProperty("sort_by", snap.sortedBy.mkString(","))
-    p.setProperty("batch_size", snap.batchSize.toString)
-    p.setProperty("compression", snap.compression)
-    p.setProperty("eviction_budget_bytes", snap.evictionBudget.toString)
-    val out = java.nio.file.Files.newOutputStream(
-      java.nio.file.Paths.get(dir, "layout.properties"))
-    try p.store(out, s"graftstore checkpoint of $table") finally out.close()
+    GraftManifest.write(spark, dir, Seq(
+      "provider" -> "column",
+      "partition_by" -> snap.bucketBy.mkString(","),
+      "buckets" -> snap.numBuckets.toString,
+      "key_columns" -> snap.keyColumns.mkString(","),
+      "sort_by" -> snap.sortedBy.mkString(","),
+      "zorder_by" -> snap.zorderedBy.mkString(","),
+      "batch_size" -> snap.batchSize.toString,
+      "compression" -> snap.compression,
+      "eviction_budget_bytes" -> snap.evictionBudget.toString),
+      s"graftstore checkpoint of $table")
   }
 
   /** Re-hydrate a checkpointed table (fresh JVM or after a drop): the
@@ -400,10 +415,7 @@ object GraftStoreOps {
     * joins, index clustering, codec and budgets all behave as before.
     */
   def restore(spark: SparkSession, table: String, dir: String): DataFrame = {
-    val p = new java.util.Properties()
-    val in = java.nio.file.Files.newInputStream(
-      java.nio.file.Paths.get(dir, "layout.properties"))
-    try p.load(in) finally in.close()
+    val p = GraftManifest.read(spark, dir)
     val df = spark.read.parquet(s"$dir/data")
     GraftColumnStore.drop(table)
     var w = df.write.format(FORMAT).option("table", table)
@@ -413,6 +425,10 @@ object GraftStoreOps {
       if (v.nonEmpty && !(k == "buckets" && v == "0")) w = w.option(k, v)
     }
     w.mode("overwrite").save()
+    // z-clustering is physical row order, which the restore write's
+    // bucket shuffle does not preserve — re-cluster from the manifest
+    val zcols = p.getProperty("zorder_by", "").split(",").filter(_.nonEmpty).toSeq
+    if (zcols.nonEmpty) zorderBy(spark, table, zcols)
     read(spark, table)
   }
 }

@@ -839,6 +839,16 @@ class GraftStoreSpec extends SparkTestBase {
       li.filter(col("l_orderkey") === 17L).count())
     assert(GraftColumnStore.bucketsPruned.get() > b0,
       "bucket routing must survive the z-order rewrite")
+    // compaction re-clusters from the recorded z-order metadata (the
+    // bucket shuffle would otherwise scramble the curve silently)
+    assert(after.zorderedBy == Seq("l_quantity", "l_extendedprice"))
+    GraftStoreOps.compact(spark, "s_zb")
+    val post = GraftColumnStore("s_zb").snapshot
+    assert(post.zorderedBy == Seq("l_quantity", "l_extendedprice"))
+    val k1 = GraftColumnStore.batchesSkipped.get()
+    assert(g.table("s_zb").filter(box).count() == li.filter(box).count())
+    assert(GraftColumnStore.batchesSkipped.get() > k1,
+      "z-clustering must survive compaction")
     g.dropTable("s_zb")
   }
 

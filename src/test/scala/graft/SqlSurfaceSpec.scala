@@ -537,6 +537,19 @@ class SqlSurfaceSpec extends SparkTestBase {
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
     }
     assert(ex2.getMessage.contains("key-equality"))
+    // the Delta-docs aliased form parses and routes too
+    spark.sql("MERGE INTO m_tgt t USING m_src s ON (t.s_suppkey = s.s_suppkey) " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(g.table("m_tgt").count() == before)
+    // duplicate source keys are a MERGE error, never first-wins
+    supp.filter(col("s_suppkey") <= 2)
+      .unionByName(supp.filter(col("s_suppkey") <= 2))
+      .createOrReplaceTempView("m_dup")
+    val ex3 = intercept[Exception] {
+      spark.sql("MERGE INTO m_tgt USING m_dup ON m_tgt.s_suppkey = m_dup.s_suppkey " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(ex3.getMessage.contains("unique source keys"))
     g.dropTable("m_tgt")
   }
 }
