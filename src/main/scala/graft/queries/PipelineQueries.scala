@@ -955,6 +955,32 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
+    // ---- per-label embedding norm statistics: the embedding-health
+    // audit (collapsed / exploding norms flag bad encoder batches) — and
+    // an oracle pin of the custom codegen'd vec_norm expression against
+    // an independent engine's arithmetic ----
+    QueryDef.sql(
+      "q_embed_norms",
+      """WITH n AS (
+        |  SELECT label,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> x * x))) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(min(nrm), 4) AS min_r,
+        |  round(max(nrm), 4) AS max_r,
+        |  round(avg(nrm), 4) AS avg_r
+        |FROM n GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("label"), graft.functions.VectorExpressions.vec_norm(col("embedding")).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          graft.dround(min(col("nrm")), 4).as("min_r"),
+          graft.dround(max(col("nrm")), 4).as("max_r"),
+          graft.dround(avg(col("nrm")), 4).as("avg_r"))
+        .orderBy("label")
+    },
+
     // ---- shingle containment pairs (Broder's asymmetric near-dup:
     // catches subset/quote documents Jaccard misses). Shingle-keyed
     // intersection joins — only pairs sharing a shingle materialize ----
