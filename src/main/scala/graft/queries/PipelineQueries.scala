@@ -960,7 +960,7 @@ object PipelineQueries {
     // an oracle pin of the custom codegen'd vec_norm expression against
     // an independent engine's arithmetic ----
     QueryDef.sql(
-      "q_embed_norms",
+      "q_embed_norm_stats",
       """WITH n AS (
         |  SELECT label,
         |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
