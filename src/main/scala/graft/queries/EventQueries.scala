@@ -410,6 +410,55 @@ object EventQueries {
         "user_id", "ts", "event_type", "event_id", steps = 3, k = 10)
     },
 
+    // ---- session-duration distribution: sessionized durations into
+    // fixed engagement bands (bounce / short / medium / long) — fixed
+    // boundaries keep the assignment portable; the sessionize pass is
+    // the same one user-keyed window chain as q_events_sessionize ----
+    QueryDef.sql(
+      "q_events_session_hist",
+      """WITH marked AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - coalesce(lag(epoch_us(ts)) OVER w, epoch_us(ts))
+        |              > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked),
+        |dur AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |    (max(ts_us) - min(ts_us)) / 1000000 AS dur_s
+        |  FROM sessions GROUP BY user_id, session_id)
+        |SELECT CASE WHEN n_events = 1 THEN 'bounce'
+        |            WHEN dur_s < 300 THEN 'short'
+        |            WHEN dur_s < 3600 THEN 'medium'
+        |            ELSE 'long' END AS band,
+        |  count(*) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events
+        |FROM dur GROUP BY band ORDER BY band""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("new_session",
+          when(col("ts_us") - coalesce(lag(col("ts_us"), 1).over(w), col("ts_us")) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(wRows))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          ((max(col("ts_us")) - min(col("ts_us"))) / 1000000L).as("dur_s"))
+        .select(
+          when(col("n_events") === 1, "bounce")
+            .when(col("dur_s") < 300, "short")
+            .when(col("dur_s") < 3600, "medium")
+            .otherwise("long").as("band"),
+          col("n_events"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+        .orderBy("band")
+    },
+
     // ---- RFM segmentation (CRM/user-value analytics): recency from the
     // corpus's last day, purchase frequency, monetary total; fixed-band
     // segments keep the assignment engine-portable (quantile bands are
