@@ -205,12 +205,13 @@ object AqpQueries {
         |    sum((n * w) * (n * w) * greatest(0.0, 1.0 - n / (n * w)) * s2 / n) AS var_total
         |  FROM per_stratum GROUP BY 1)
         |SELECT l_returnflag,
-        |  round(total_est / n_est, 2) AS estimate,
-        |  round(1.959963984540054 * sqrt(var_total) / n_est, 2) AS absolute_error,
-        |  round(1.959963984540054 * sqrt(var_total) / n_est
-        |        / abs(total_est / n_est), 4) AS relative_error,
-        |  round(total_est / n_est - 1.959963984540054 * sqrt(var_total) / n_est, 2) AS lower_bound,
-        |  round(total_est / n_est + 1.959963984540054 * sqrt(var_total) / n_est, 2) AS upper_bound
+        |  (sign(total_est / n_est) * floor(abs(total_est / n_est) * 100.0 + 0.5) / 100.0) AS estimate,
+        |  (sign(1.959963984540054 * sqrt(var_total) / n_est) * floor(abs(1.959963984540054 * sqrt(var_total) / n_est) * 100.0 + 0.5) / 100.0) AS absolute_error,
+        |  (sign(1.959963984540054 * sqrt(var_total) / n_est
+        |        / abs(total_est / n_est)) * floor(abs(1.959963984540054 * sqrt(var_total) / n_est
+        |        / abs(total_est / n_est)) * 10000.0 + 0.5) / 10000.0) AS relative_error,
+        |  (sign(total_est / n_est - 1.959963984540054 * sqrt(var_total) / n_est) * floor(abs(total_est / n_est - 1.959963984540054 * sqrt(var_total) / n_est) * 100.0 + 0.5) / 100.0) AS lower_bound,
+        |  (sign(total_est / n_est + 1.959963984540054 * sqrt(var_total) / n_est) * floor(abs(total_est / n_est + 1.959963984540054 * sqrt(var_total) / n_est) * 100.0 + 0.5) / 100.0) AS upper_bound
         |FROM grouped
         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       Aqp.approxAvgWithError(sampled(s, dir), "l_extendedprice",

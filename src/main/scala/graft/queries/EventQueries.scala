@@ -75,7 +75,7 @@ object EventQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
         |  event_type,
         |  count(*) AS n,
-        |  round(sum("value"), 2) AS total_value
+        |  (sign(sum("value")) * floor(abs(sum("value")) * 100.0 + 0.5) / 100.0) AS total_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin) { (s, dir) =>
@@ -104,7 +104,7 @@ object EventQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM marked)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-        |  count(*) AS n_events, round(sum("value"), 2) AS session_value
+        |  count(*) AS n_events, (sign(sum("value")) * floor(abs(sum("value")) * 100.0 + 0.5) / 100.0) AS session_value
         |FROM sessions
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
@@ -137,7 +137,7 @@ object EventQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM marked)
         |SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events,
-        |  round(sum("value"), 2) AS session_value
+        |  (sign(sum("value")) * floor(abs(sum("value")) * 100.0 + 0.5) / 100.0) AS session_value
         |FROM sessions
         |GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
@@ -153,7 +153,7 @@ object EventQueries {
     // ---- semi-structured field extraction from the props JSON string ----
     QueryDef.sql(
       "q_events_json",
-      """SELECT k_bucket, count(*) AS n, round(avg("value"), 2) AS avg_value
+      """SELECT k_bucket, count(*) AS n, (sign(avg("value")) * floor(abs(avg("value")) * 100.0 + 0.5) / 100.0) AS avg_value
         |FROM (SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 10 AS k_bucket,
         |             "value"
         |      FROM events) t
@@ -176,7 +176,7 @@ object EventQueries {
     // ---- batch CDC-apply: latest event per user wins (upsert compaction) ----
     QueryDef.sql(
       "q_events_cdc_latest",
-      """SELECT user_id, event_id, event_type, round("value", 2) AS value
+      """SELECT user_id, event_id, event_type, (sign("value") * floor(abs("value") * 100.0 + 0.5) / 100.0) AS value
         |FROM (SELECT user_id, event_id, event_type, "value",
         |        row_number() OVER (PARTITION BY user_id
         |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
@@ -198,7 +198,7 @@ object EventQueries {
     QueryDef.sql(
       "q_asof_join",
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
-        |             round("value", 2) AS val FROM events)
+        |             (sign("value") * floor(abs("value") * 100.0 + 0.5) / 100.0) AS val FROM events)
         |SELECT l.event_id, l.user_id, l.val,
         |  r.event_id AS asof_event_id, r.ts_us AS asof_ts_us
         |FROM (SELECT * FROM e WHERE event_type = 'purchase') l
@@ -255,9 +255,9 @@ object EventQueries {
         |  SELECT date_trunc('week', ts) AS wk, count(DISTINCT user_id) AS wau
         |  FROM events GROUP BY wk)
         |SELECT strftime(d.wk, '%Y-%m-%d') AS week,
-        |  round(avg(CAST(dau AS DOUBLE)), 4) AS avg_dau,
+        |  (sign(avg(CAST(dau AS DOUBLE))) * floor(abs(avg(CAST(dau AS DOUBLE))) * 10000.0 + 0.5) / 10000.0) AS avg_dau,
         |  any_value(wau) AS wau,
-        |  round(avg(CAST(dau AS DOUBLE)) / any_value(wau), 4) AS stickiness
+        |  (sign(avg(CAST(dau AS DOUBLE)) / any_value(wau)) * floor(abs(avg(CAST(dau AS DOUBLE)) / any_value(wau)) * 10000.0 + 0.5) / 10000.0) AS stickiness
         |FROM daily d JOIN weekly w USING (wk)
         |GROUP BY d.wk ORDER BY week""".stripMargin) { (s, dir) =>
       val ev = Tables.load(s, dir, "events")
@@ -313,7 +313,7 @@ object EventQueries {
         |  SELECT event_type, avg("value") AS mu, stddev_samp("value") AS sd
         |  FROM events GROUP BY event_type)
         |SELECT event_id, e.event_type,
-        |  round(("value" - mu) / nullif(sd, 0), 4) AS z
+        |  (sign(("value" - mu) / nullif(sd, 0)) * floor(abs(("value" - mu) / nullif(sd, 0)) * 10000.0 + 0.5) / 10000.0) AS z
         |FROM events e JOIN s USING (event_type)
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
       val ev = Tables.load(s, dir, "events")
@@ -339,7 +339,7 @@ object EventQueries {
         |  FROM events GROUP BY event_type, hr),
         |s AS (
         |  SELECT event_type,
-        |    round(avg(n) + 2 * coalesce(stddev_samp(n), 0), 6) AS thr
+        |    (sign(avg(n) + 2 * coalesce(stddev_samp(n), 0)) * floor(abs(avg(n) + 2 * coalesce(stddev_samp(n), 0)) * 1000000.0 + 0.5) / 1000000.0) AS thr
         |  FROM h GROUP BY event_type)
         |SELECT h.event_type, epoch_us(hr) AS hr_us, n, n > thr AS is_anomaly
         |FROM h JOIN s USING (event_type)
@@ -471,8 +471,9 @@ object EventQueries {
         |  SELECT user_id,
         |    date_diff('day', CAST(max(ts) AS DATE), mx.max_d) AS r_days,
         |    CAST(count(*) AS BIGINT) AS f,
-        |    round(CAST(sum(CASE WHEN event_type = 'purchase' THEN value
-        |      ELSE 0 END) AS DOUBLE), 4) AS m_r
+        |    (sign(CAST(sum(CASE WHEN event_type = 'purchase' THEN value
+        |      ELSE 0 END) AS DOUBLE)) * floor(abs(CAST(sum(CASE WHEN event_type = 'purchase' THEN value
+        |      ELSE 0 END) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS m_r
         |  FROM events, mx GROUP BY user_id, mx.max_d)
         |SELECT user_id, r_days, f, m_r,
         |  CASE WHEN r_days <= 7 AND f >= 20 AND m_r > 100 THEN 'champion'

@@ -21,7 +21,7 @@ object MutationQueries {
       "q_put_into",
       """WITH src AS (
         |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
-        |         round(o_totalprice * 1.1, 2) AS o_totalprice,
+        |         (sign(o_totalprice * 1.1) * floor(abs(o_totalprice * 1.1) * 100.0 + 0.5) / 100.0) AS o_totalprice,
         |         o_orderdate, o_orderpriority
         |  FROM orders WHERE o_orderkey % 5 = 0
         |  UNION ALL
@@ -60,7 +60,7 @@ object MutationQueries {
       """SELECT l_returnflag,
         |  CAST(round(sum(CAST(CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE l_discount END AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc,
         |  CAST(round(sum(CAST(CASE WHEN l_returnflag = 'R'
-        |                 THEN round(l_extendedprice * 0.95, 2)
+        |                 THEN (sign(l_extendedprice * 0.95) * floor(abs(l_extendedprice * 0.95) * 100.0 + 0.5) / 100.0)
         |                 ELSE l_extendedprice END AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
         |  count(*) AS n
         |FROM lineitem
@@ -83,7 +83,7 @@ object MutationQueries {
     QueryDef.sql(
       "q_delete",
       """SELECT l_linestatus, count(*) AS n,
-        |  round(sum(l_quantity), 2) AS sum_qty
+        |  (sign(sum(l_quantity)) * floor(abs(sum(l_quantity)) * 100.0 + 0.5) / 100.0) AS sum_qty
         |FROM lineitem
         |WHERE NOT (l_quantity >= 40 AND l_returnflag = 'A')
         |GROUP BY l_linestatus
@@ -105,7 +105,7 @@ object MutationQueries {
         |FROM (SELECT * FROM customer
         |      UNION ALL
         |      SELECT c_custkey + 1000000, c_name, c_nationkey,
-        |             round(c_acctbal / 2, 2), 'CLONED'
+        |             (sign(c_acctbal / 2) * floor(abs(c_acctbal / 2) * 100.0 + 0.5) / 100.0), 'CLONED'
         |      FROM customer WHERE c_nationkey < 3) t
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
@@ -194,8 +194,8 @@ object MutationQueries {
       """SELECT o_orderkey,
         |  o_custkey AS meta_ck,
         |  o_orderstatus AS meta_st,
-        |  round(o_totalprice, 2) AS prio_val,
-        |  round(o_totalprice * 2, 2) AS arr_p2
+        |  (sign(o_totalprice) * floor(abs(o_totalprice) * 100.0 + 0.5) / 100.0) AS prio_val,
+        |  (sign(o_totalprice * 2) * floor(abs(o_totalprice * 2) * 100.0 + 0.5) / 100.0) AS arr_p2
         |FROM orders
         |WHERE o_orderkey <= 2000
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
@@ -303,7 +303,7 @@ object MutationQueries {
       "q_row_table_dml",
       """WITH upd AS (
         |  SELECT s_suppkey, s_name, s_nationkey,
-        |    CASE WHEN s_nationkey < 10 THEN round(s_acctbal + 100, 2)
+        |    CASE WHEN s_nationkey < 10 THEN (sign(s_acctbal + 100) * floor(abs(s_acctbal + 100) * 100.0 + 0.5) / 100.0)
         |         ELSE s_acctbal END AS s_acctbal
         |  FROM supplier),
         |del AS (SELECT * FROM upd WHERE s_acctbal >= 0),
@@ -313,7 +313,7 @@ object MutationQueries {
         |  SELECT * FROM del
         |  WHERE s_suppkey NOT IN (SELECT s_suppkey FROM put)
         |  UNION ALL SELECT * FROM put)
-        |SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS bal
+        |SELECT s_suppkey, s_name, s_nationkey, (sign(s_acctbal) * floor(abs(s_acctbal) * 100.0 + 0.5) / 100.0) AS bal
         |FROM merged ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
       val g = GraftSession(s)
       val supp = Tables.load(s, dir, "supplier")
@@ -335,10 +335,10 @@ object MutationQueries {
       "q_mutation_pipeline",
       """WITH upd AS (
         |  SELECT s_suppkey, s_name, s_nationkey,
-        |    CASE WHEN s_nationkey < 10 THEN round(s_acctbal + 100, 2)
+        |    CASE WHEN s_nationkey < 10 THEN (sign(s_acctbal + 100) * floor(abs(s_acctbal + 100) * 100.0 + 0.5) / 100.0)
         |         ELSE s_acctbal END AS s_acctbal
         |  FROM supplier)
-        |SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal
+        |SELECT s_suppkey, s_name, (sign(s_acctbal) * floor(abs(s_acctbal) * 100.0 + 0.5) / 100.0) AS bal
         |FROM upd
         |WHERE s_acctbal >= 0
         |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>

@@ -31,10 +31,12 @@ object PipelineQueries {
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_regex_tokens,
-        |  round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-        |    / len(string_split_regex(trim(text), '\s+')), 4) AS avg_token_len,
-        |  round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
-        |    / length(text), 4) AS punct_ratio
+        |  (sign(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+'))) * floor(abs(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+'))) * 10000.0 + 0.5) / 10000.0) AS avg_token_len,
+        |  (sign(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+        |    / length(text)) * floor(abs(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+        |    / length(text)) * 10000.0 + 0.5) / 10000.0) AS punct_ratio
         |FROM documents
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.tokenStats(Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -104,9 +106,11 @@ object PipelineQueries {
            |      / length(text) AS punct_ratio
            |  FROM documents)
            |SELECT b.doc_id, s.n_tokens,
-           |  round(least(CAST(b.n_chars AS DOUBLE) / 500.0, 1.0) * 0.4 +
+           |  (sign(least(CAST(b.n_chars AS DOUBLE) / 500.0, 1.0) * 0.4 +
            |        least(CAST(s.n_stop AS DOUBLE) / s.n_tokens * 5.0, 1.0) * 0.3 +
-           |        (1.0 - least(b.punct_ratio * 10.0, 1.0)) * 0.3, 4) AS quality
+           |        (1.0 - least(b.punct_ratio * 10.0, 1.0)) * 0.3) * floor(abs(least(CAST(b.n_chars AS DOUBLE) / 500.0, 1.0) * 0.4 +
+           |        least(CAST(s.n_stop AS DOUBLE) / s.n_tokens * 5.0, 1.0) * 0.3 +
+           |        (1.0 - least(b.punct_ratio * 10.0, 1.0)) * 0.3) * 10000.0 + 0.5) / 10000.0) AS quality
            |FROM base b JOIN stop_stats s ON b.doc_id = s.doc_id
            |ORDER BY b.doc_id""".stripMargin
       }) { (s, dir) =>
@@ -125,7 +129,7 @@ object PipelineQueries {
         |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
         |n AS (SELECT sum(c) AS total FROM vocab)
         |SELECT doc_id, count(*) AS n_tokens,
-        |  round(avg(-ln(c / CAST(total AS DOUBLE))), 6) AS xent_r
+        |  (sign(avg(-ln(c / CAST(total AS DOUBLE)))) * floor(abs(avg(-ln(c / CAST(total AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0) AS xent_r
         |FROM toks JOIN vocab USING (tok), n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.unigramCrossEntropy(
@@ -303,7 +307,7 @@ object PipelineQueries {
       "q_text_repetition", {
         def frac(n: Int) =
           s"""f$n AS (
-             |  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top${n}gram_frac
+             |  SELECT doc_id, (sign(CAST(max(c) AS DOUBLE) / sum(c)) * floor(abs(CAST(max(c) AS DOUBLE) / sum(c)) * 1000000.0 + 0.5) / 1000000.0) AS top${n}gram_frac
              |  FROM (SELECT doc_id, g, count(*) AS c FROM
              |        (SELECT doc_id, array_to_string(t[s + 1 : s + $n], ' ') AS g
              |         FROM toks, UNNEST(generate_series(0, greatest(len(t) - $n, 0))) AS u(s)) gg
@@ -370,11 +374,15 @@ object PipelineQueries {
            |  FROM toks GROUP BY doc_id),
            |q AS (
            |  SELECT d.doc_id, d.lang, s.n_tokens,
-           |    round(least(CAST(length(d.text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+           |    (sign(least(CAST(length(d.text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
            |          least(CAST(s.n_stop AS DOUBLE) / s.n_tokens * 5.0, 1.0) * 0.3 +
            |          (1.0 - least(CAST(length(regexp_replace(d.text,
            |             '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
-           |             / length(d.text) * 10.0, 1.0)) * 0.3, 4) AS quality
+           |             / length(d.text) * 10.0, 1.0)) * 0.3) * floor(abs(least(CAST(length(d.text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+           |          least(CAST(s.n_stop AS DOUBLE) / s.n_tokens * 5.0, 1.0) * 0.3 +
+           |          (1.0 - least(CAST(length(regexp_replace(d.text,
+           |             '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+           |             / length(d.text) * 10.0, 1.0)) * 0.3) * 10000.0 + 0.5) / 10000.0) AS quality
            |  FROM documents d JOIN stop_stats s ON d.doc_id = s.doc_id),
            |r AS (
            |  SELECT doc_id, lang, n_tokens, quality,
@@ -627,9 +635,11 @@ object PipelineQueries {
            |  FROM documents),
            |quality AS (
            |  SELECT b.doc_id, s.n_tokens,
-           |    round(least(CAST(b.n_chars AS DOUBLE) / 500.0, 1.0) * 0.4 +
+           |    (sign(least(CAST(b.n_chars AS DOUBLE) / 500.0, 1.0) * 0.4 +
            |          least(CAST(s.n_stop AS DOUBLE) / s.n_tokens * 5.0, 1.0) * 0.3 +
-           |          (1.0 - least(b.punct_ratio * 10.0, 1.0)) * 0.3, 4) AS quality
+           |          (1.0 - least(b.punct_ratio * 10.0, 1.0)) * 0.3) * floor(abs(least(CAST(b.n_chars AS DOUBLE) / 500.0, 1.0) * 0.4 +
+           |          least(CAST(s.n_stop AS DOUBLE) / s.n_tokens * 5.0, 1.0) * 0.3 +
+           |          (1.0 - least(b.punct_ratio * 10.0, 1.0)) * 0.3) * 10000.0 + 0.5) / 10000.0) AS quality
            |  FROM base b JOIN stop_stats s USING (doc_id)),
            |kept_q AS (
            |  SELECT d.doc_id, d.text, q.n_tokens, q.quality
@@ -650,7 +660,7 @@ object PipelineQueries {
            |  FROM lscores)
            |SELECT l.pred_lang, count(*) AS n_docs,
            |  CAST(sum(k.n_tokens) AS BIGINT) AS total_tokens,
-           |  round(avg(k.quality), 4) AS avg_quality
+           |  (sign(avg(k.quality)) * floor(abs(avg(k.quality)) * 10000.0 + 0.5) / 10000.0) AS avg_quality
            |FROM lang l JOIN kept k USING (doc_id)
            |GROUP BY l.pred_lang
            |ORDER BY l.pred_lang""".stripMargin
@@ -696,7 +706,7 @@ object PipelineQueries {
         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
         |  GROUP BY x.doc_id, y.doc_id)
         |SELECT i.a, i.b,
-        |  round(CAST(i.n_inter AS DOUBLE) / (sa.set_size + sb.set_size - i.n_inter), 4) AS jaccard
+        |  (sign(CAST(i.n_inter AS DOUBLE) / (sa.set_size + sb.set_size - i.n_inter)) * floor(abs(CAST(i.n_inter AS DOUBLE) / (sa.set_size + sb.set_size - i.n_inter)) * 10000.0 + 0.5) / 10000.0) AS jaccard
         |FROM inter i
         |  JOIN sizes sa ON i.a = sa.doc_id
         |  JOIN sizes sb ON i.b = sb.doc_id
@@ -759,8 +769,9 @@ object PipelineQueries {
     QueryDef.sql(
       "q_dedup_embedding",
       """SELECT a.vec_id AS a, b.vec_id AS b,
-        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        |  (sign(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[]))) * floor(abs(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[]))) * 10000.0 + 0.5) / 10000.0) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.35
@@ -820,7 +831,7 @@ object PipelineQueries {
         |                           CAST(c.embedding AS DOUBLE[])) AS s
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
-        |SELECT query_id, rank, neighbor_id, round(s, 4) AS score
+        |SELECT query_id, rank, neighbor_id, (sign(s) * floor(abs(s) * 10000.0 + 0.5) / 10000.0) AS score
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY s DESC, neighbor_id) AS rank FROM pairs) t
         |WHERE rank <= 10
@@ -846,7 +857,7 @@ object PipelineQueries {
         |                           CAST(c.embedding AS DOUBLE[])) AS s
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id >= 10 AND q.vec_id < 20 AND c.vec_id <> q.vec_id)
-        |SELECT query_id, rank, neighbor_id, round(s, 4) AS score
+        |SELECT query_id, rank, neighbor_id, (sign(s) * floor(abs(s) * 10000.0 + 0.5) / 10000.0) AS score
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY s DESC, neighbor_id) AS rank FROM pairs) t
         |WHERE rank <= 10
@@ -919,8 +930,9 @@ object PipelineQueries {
     QueryDef.sql(
       "q_embed_norms",
       """SELECT vec_id,
-        |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-        |    x -> x * x))), 4) AS norm
+        |  (sign(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> x * x)))) * floor(abs(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> x * x)))) * 10000.0 + 0.5) / 10000.0) AS norm
         |FROM embeddings
         |WHERE vec_id < 100
         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
@@ -939,7 +951,7 @@ object PipelineQueries {
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |m AS (
         |  SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM d)
-        |SELECT vec_id, round(vmin, 6) AS vmin_r, round(vmax, 6) AS vmax_r,
+        |SELECT vec_id, (sign(vmin) * floor(abs(vmin) * 1000000.0 + 0.5) / 1000000.0) AS vmin_r, (sign(vmax) * floor(abs(vmax) * 1000000.0 + 0.5) / 1000000.0) AS vmax_r,
         |  md5(array_to_string(
         |    CASE WHEN vmax = vmin THEN list_transform(v, x -> 0)
         |         ELSE list_transform(v,
@@ -967,9 +979,9 @@ object PipelineQueries {
         |      x -> x * x))) AS nrm
         |  FROM embeddings)
         |SELECT label, count(*) AS n_vecs,
-        |  round(min(nrm), 4) AS min_r,
-        |  round(max(nrm), 4) AS max_r,
-        |  round(avg(nrm), 4) AS avg_r
+        |  (sign(min(nrm)) * floor(abs(min(nrm)) * 10000.0 + 0.5) / 10000.0) AS min_r,
+        |  (sign(max(nrm)) * floor(abs(max(nrm)) * 10000.0 + 0.5) / 10000.0) AS max_r,
+        |  (sign(avg(nrm)) * floor(abs(avg(nrm)) * 10000.0 + 0.5) / 10000.0) AS avg_r
         |FROM n GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "embeddings")
         .select(col("label"), graft.functions.VectorExpressions.vec_norm(col("embedding")).as("nrm"))
@@ -1000,7 +1012,7 @@ object PipelineQueries {
         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
         |  GROUP BY 1, 2)
         |SELECT a, b,
-        |  round(CAST(n_inter AS DOUBLE) / sa.set_size, 4) AS containment
+        |  (sign(CAST(n_inter AS DOUBLE) / sa.set_size) * floor(abs(CAST(n_inter AS DOUBLE) / sa.set_size) * 10000.0 + 0.5) / 10000.0) AS containment
         |FROM inter JOIN sizes sa ON a = sa.doc_id
         |WHERE CAST(n_inter AS DOUBLE) / sa.set_size >= 0.5
         |ORDER BY a, b""".stripMargin) { (s, dir) =>
@@ -1038,8 +1050,9 @@ object PipelineQueries {
         |  FROM dq c JOIN dq q ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
         |sc AS (
         |  SELECT query_id, nid,
-        |    round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
-        |               ELSE dot / sqrt(na * nb) END, 4) AS cos_r
+        |    (sign(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |               ELSE dot / sqrt(na * nb) END) * floor(abs(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |               ELSE dot / sqrt(na * nb) END) * 10000.0 + 0.5) / 10000.0) AS cos_r
         |  FROM p),
         |r AS (SELECT query_id, nid, cos_r,
         |        row_number() OVER (PARTITION BY query_id
@@ -1086,7 +1099,7 @@ object PipelineQueries {
         |    FROM e, (SELECT * FROM e WHERE vec_id < 8) c) t
         |  WHERE rn = 1)
         |SELECT a.cid AS cluster_id, a.vec_id AS a, b.vec_id AS b,
-        |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |  (sign(list_cosine_similarity(a.v, b.v)) * floor(abs(list_cosine_similarity(a.v, b.v)) * 10000.0 + 0.5) / 10000.0) AS cosine
         |FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         |ORDER BY a, b""".stripMargin) { (s, dir) =>
@@ -1110,7 +1123,7 @@ object PipelineQueries {
     QueryDef.sql(
       "q_multimodal_features", {
         val fcols = (0 until 16).map(j =>
-          s"round(sum(CASE WHEN ascii(c) % 16 = $j THEN 1 ELSE 0 END) / CAST(length(text) AS DOUBLE), 4) AS f$j")
+          s"(sign(sum(CASE WHEN ascii(c) % 16 = $j THEN 1 ELSE 0 END) / CAST(length(text) AS DOUBLE)) * floor(abs(sum(CASE WHEN ascii(c) % 16 = $j THEN 1 ELSE 0 END) / CAST(length(text) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS f$j")
           .mkString(",\n  ")
         s"""SELECT doc_id AS media_id,
            |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -1139,7 +1152,7 @@ object PipelineQueries {
     QueryDef.sql(
       "q_multimodal_store", {
         val fcols = (0 until 16).map(j =>
-          s"round(sum(CASE WHEN ascii(c) % 16 = $j THEN 1 ELSE 0 END) / CAST(length(text) AS DOUBLE), 4) AS f$j")
+          s"(sign(sum(CASE WHEN ascii(c) % 16 = $j THEN 1 ELSE 0 END) / CAST(length(text) AS DOUBLE)) * floor(abs(sum(CASE WHEN ascii(c) % 16 = $j THEN 1 ELSE 0 END) / CAST(length(text) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS f$j")
           .mkString(",\n  ")
         s"""SELECT doc_id AS media_id,
            |  CAST(length(text) AS BIGINT) AS n_bytes,
@@ -1205,7 +1218,7 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY tf.doc_id
         |      ORDER BY CAST(cnt AS DOUBLE) / dfreq DESC, tf.term) AS rk
         |  FROM tf JOIN df USING (term))
-        |SELECT doc_id, term, round(score, 6) AS score, CAST(rk AS INT) AS rk
+        |SELECT doc_id, term, (sign(score) * floor(abs(score) * 1000000.0 + 0.5) / 1000000.0) AS score, CAST(rk AS INT) AS rk
         |FROM scored WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
       TextAnalysis.tfidfKeywords(
@@ -1285,14 +1298,15 @@ object PipelineQueries {
         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
         |semall AS (
         |  SELECT vec_id,
-        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        |                                 CAST(q AS DOUBLE[])), 4) AS cos
+        |    (sign(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |                                 CAST(q AS DOUBLE[]))) * floor(abs(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |                                 CAST(q AS DOUBLE[]))) * 10000.0 + 0.5) / 10000.0) AS cos
         |  FROM embeddings, qv),
         |sem AS (
         |  SELECT vec_id AS id, row_number() OVER (ORDER BY cos DESC, vec_id) AS r_sem
         |  FROM semall QUALIFY r_sem <= 100)
         |SELECT coalesce(lex.id, sem.id) AS id,
-        |  round(coalesce(1.0 / (60 + r_lex), 0) + coalesce(1.0 / (60 + r_sem), 0), 6) AS rrf,
+        |  (sign(coalesce(1.0 / (60 + r_lex), 0) + coalesce(1.0 / (60 + r_sem), 0)) * floor(abs(coalesce(1.0 / (60 + r_lex), 0) + coalesce(1.0 / (60 + r_sem), 0)) * 1000000.0 + 0.5) / 1000000.0) AS rrf,
         |  r_lex, r_sem
         |FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
         |ORDER BY coalesce(1.0 / (60 + r_lex), 0) + coalesce(1.0 / (60 + r_sem), 0) DESC,
@@ -1333,7 +1347,7 @@ object PipelineQueries {
         |  FROM embeddings),
         |c AS (SELECT label, pos, avg(v) AS c FROM e GROUP BY label, pos),
         |n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
-        |SELECT label, n, round(sqrt(sum(c * c)), 4) AS centroid_norm
+        |SELECT label, n, (sign(sqrt(sum(c * c))) * floor(abs(sqrt(sum(c * c))) * 10000.0 + 0.5) / 10000.0) AS centroid_norm
         |FROM c JOIN n USING (label)
         |GROUP BY label, n
         |ORDER BY label""".stripMargin) { (s, dir) =>
@@ -1395,8 +1409,9 @@ object PipelineQueries {
     QueryDef.sql(
       "q_embed_label_profile",
       """SELECT label, count(*) AS n,
-        |  round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-        |    x -> x * x)))), 4) AS avg_norm
+        |  (sign(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> x * x))))) * floor(abs(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> x * x))))) * 10000.0 + 0.5) / 10000.0) AS avg_norm
         |FROM embeddings
         |GROUP BY label
         |ORDER BY label""".stripMargin) { (s, dir) =>
@@ -1440,7 +1455,7 @@ object PipelineQueries {
         |    sum(CAST('0x' || substr(md5(t || '|w'), 1, 10) AS BIGINT)) AS sh
         |  FROM toks GROUP BY doc_id)
         |SELECT doc_id, n_tokens,
-        |  round(CAST(sh AS DOUBLE) / n_tokens / 549755813888.0 - 1.0, 4) AS score
+        |  (sign(CAST(sh AS DOUBLE) / n_tokens / 549755813888.0 - 1.0) * floor(abs(CAST(sh AS DOUBLE) / n_tokens / 549755813888.0 - 1.0) * 10000.0 + 0.5) / 10000.0) AS score
         |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.hashedLinearScore(Tables.load(s, dir, "documents"),
           "doc_id", "text")
@@ -1465,11 +1480,15 @@ object PipelineQueries {
         |tot AS (SELECT (SELECT sum(ct) FROM vt) AS nt,
         |               (SELECT sum(cr) FROM vr) AS nr)
         |SELECT toks.doc_id, count(*) AS n_tokens,
-        |  round(avg(
+        |  (sign(avg(
         |    ln(CASE WHEN vt.ct IS NOT NULL THEN vt.ct / CAST(tot.nt AS DOUBLE)
         |            ELSE 1.0 / (tot.nt + 1) END)
         |    - ln(CASE WHEN vr.cr IS NOT NULL THEN vr.cr / CAST(tot.nr AS DOUBLE)
-        |              ELSE 1.0 / (tot.nr + 1) END)), 6) AS log_ratio_r
+        |              ELSE 1.0 / (tot.nr + 1) END))) * floor(abs(avg(
+        |    ln(CASE WHEN vt.ct IS NOT NULL THEN vt.ct / CAST(tot.nt AS DOUBLE)
+        |            ELSE 1.0 / (tot.nt + 1) END)
+        |    - ln(CASE WHEN vr.cr IS NOT NULL THEN vr.cr / CAST(tot.nr AS DOUBLE)
+        |              ELSE 1.0 / (tot.nr + 1) END))) * 1000000.0 + 0.5) / 1000000.0) AS log_ratio_r
         |FROM toks
         |  LEFT JOIN vt ON vt.t = toks.t
         |  LEFT JOIN vr ON vr.t = toks.t, tot
@@ -1497,7 +1516,7 @@ object PipelineQueries {
         |r AS (SELECT src, dst, c,
         |        row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rank
         |      FROM p)
-        |SELECT src, rank, dst, round(c, 4) AS cosine
+        |SELECT src, rank, dst, (sign(c) * floor(abs(c) * 10000.0 + 0.5) / 10000.0) AS cosine
         |FROM r WHERE rank <= 3
         |ORDER BY src, rank""".stripMargin) { (s, dir) =>
       Similarity.hardNegatives(Tables.load(s, dir, "embeddings"),
@@ -1525,9 +1544,9 @@ object PipelineQueries {
         |  (SELECT CAST(sum(n_toks) AS BIGINT) FROM t) AS total_tokens,
         |  (SELECT CAST(min(n_chars) AS BIGINT) FROM t) AS min_len,
         |  (SELECT CAST(max(n_chars) AS BIGINT) FROM t) AS max_len,
-        |  (SELECT round(avg(n_chars), 4) FROM t) AS avg_len,
-        |  (SELECT round(-sum(p * ln(p)), 6) FROM langs) AS lang_entropy,
-        |  (SELECT round(1.0 - CAST(n_unique AS DOUBLE) / (SELECT count(*) FROM t), 6)
+        |  (SELECT (sign(avg(n_chars)) * floor(abs(avg(n_chars)) * 10000.0 + 0.5) / 10000.0) FROM t) AS avg_len,
+        |  (SELECT (sign(-sum(p * ln(p))) * floor(abs(-sum(p * ln(p))) * 1000000.0 + 0.5) / 1000000.0) FROM langs) AS lang_entropy,
+        |  (SELECT (sign(1.0 - CAST(n_unique AS DOUBLE) / (SELECT count(*) FROM t)) * floor(abs(1.0 - CAST(n_unique AS DOUBLE) / (SELECT count(*) FROM t)) * 1000000.0 + 0.5) / 1000000.0)
         |   FROM dups) AS dup_rate""".stripMargin) { (s, dir) =>
       TextAnalysis.corpusProfile(Tables.load(s, dir, "documents"),
         "doc_id", "text", "lang", "n_chars")
@@ -1547,12 +1566,12 @@ object PipelineQueries {
         |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
         |n AS (SELECT sum(c) AS total FROM vocab),
         |x AS (
-        |  SELECT doc_id, round(avg(-ln(c / CAST(total AS DOUBLE))), 6) AS xent_r
+        |  SELECT doc_id, (sign(avg(-ln(c / CAST(total AS DOUBLE)))) * floor(abs(avg(-ln(c / CAST(total AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0) AS xent_r
         |  FROM toks JOIN vocab USING (tok), n
         |  GROUP BY doc_id),
         |b AS (
-        |  SELECT round(quantile_cont(xent_r, 0.33), 6) AS b1,
-        |         round(quantile_cont(xent_r, 0.67), 6) AS b2
+        |  SELECT (sign(quantile_cont(xent_r, 0.33)) * floor(abs(quantile_cont(xent_r, 0.33)) * 1000000.0 + 0.5) / 1000000.0) AS b1,
+        |         (sign(quantile_cont(xent_r, 0.67)) * floor(abs(quantile_cont(xent_r, 0.67)) * 1000000.0 + 0.5) / 1000000.0) AS b2
         |  FROM x)
         |SELECT doc_id, xent_r,
         |  CASE WHEN xent_r <= b1 THEN 'head'
@@ -1583,11 +1602,11 @@ object PipelineQueries {
       "q_winsorize",
       """WITH b AS (
         |  SELECT source,
-        |    round(quantile_cont(n_chars, 0.05), 6) AS lo,
-        |    round(quantile_cont(n_chars, 0.95), 6) AS hi
+        |    (sign(quantile_cont(n_chars, 0.05)) * floor(abs(quantile_cont(n_chars, 0.05)) * 1000000.0 + 0.5) / 1000000.0) AS lo,
+        |    (sign(quantile_cont(n_chars, 0.95)) * floor(abs(quantile_cont(n_chars, 0.95)) * 1000000.0 + 0.5) / 1000000.0) AS hi
         |  FROM documents GROUP BY source)
         |SELECT doc_id, d.source,
-        |  round(greatest(least(CAST(n_chars AS DOUBLE), hi), lo), 4) AS w_len
+        |  (sign(greatest(least(CAST(n_chars AS DOUBLE), hi), lo)) * floor(abs(greatest(least(CAST(n_chars AS DOUBLE), hi), lo)) * 10000.0 + 0.5) / 10000.0) AS w_len
         |FROM documents d JOIN b USING (source)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
@@ -1853,7 +1872,7 @@ object PipelineQueries {
         |  SELECT unnest(string_split_regex(text, '\s+')) AS tok
         |  FROM documents WHERE text IS NOT NULL) u)
         |SELECT b.doc_id, count(*) AS n_bigrams,
-        |  round(avg(-ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v))), 6) AS xent2_r
+        |  (sign(avg(-ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)))) * floor(abs(avg(-ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)))) * 1000000.0 + 0.5) / 1000000.0) AS xent2_r
         |FROM bg b
         |  JOIN c2 USING (bg)
         |  JOIN c1 ON c1.w1 = split_part(b.bg, ' ', 1), v
@@ -1880,7 +1899,7 @@ object PipelineQueries {
         |  -- engines, and an unrounded boundary within an ulp of an
         |  -- integer length would flip that whole length's bucket
         |  SELECT d.n_chars,
-        |    1 + CAST(sum(CASE WHEN d.n_chars > round(q, 6) THEN 1 ELSE 0 END) AS INT) AS decile
+        |    1 + CAST(sum(CASE WHEN d.n_chars > (sign(q) * floor(abs(q) * 1000000.0 + 0.5) / 1000000.0) THEN 1 ELSE 0 END) AS INT) AS decile
         |  FROM documents d, (SELECT unnest(qs) AS q FROM b) u
         |  GROUP BY d.doc_id, d.n_chars)
         |SELECT decile, count(*) AS n, min(n_chars) AS min_len, max(n_chars) AS max_len
@@ -1913,7 +1932,7 @@ object PipelineQueries {
         |r AS (SELECT src, dst, c,
         |        row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rank
         |      FROM p)
-        |SELECT src, rank, dst, round(c, 4) AS cosine
+        |SELECT src, rank, dst, (sign(c) * floor(abs(c) * 10000.0 + 0.5) / 10000.0) AS cosine
         |FROM r WHERE rank <= 3
         |ORDER BY src, rank""".stripMargin) { (s, dir) =>
       Similarity.knnGraph(Tables.load(s, dir, "embeddings"),
@@ -1942,7 +1961,7 @@ object PipelineQueries {
         |       FROM (SELECT unnest(t) AS w FROM base) u GROUP BY w),
         |n AS (SELECT sum(len(t)) AS total FROM base)
         |SELECT c2.w1, c2.w2, c2.c12,
-        |  round(CAST(c2.c12 * n.total AS DOUBLE) / (a.c * b.c), 6) AS lift_r
+        |  (sign(CAST(c2.c12 * n.total AS DOUBLE) / (a.c * b.c)) * floor(abs(CAST(c2.c12 * n.total AS DOUBLE) / (a.c * b.c)) * 1000000.0 + 0.5) / 1000000.0) AS lift_r
         |FROM c2
         |  JOIN c1 a ON a.w = c2.w1
         |  JOIN c1 b ON b.w = c2.w2, n
@@ -1969,8 +1988,8 @@ object PipelineQueries {
         |          row_number() OVER (ORDER BY cnt DESC, token) AS rank
         |        FROM c ORDER BY cnt DESC, token LIMIT 15)
         |SELECT rank, token, cnt,
-        |  round(CAST(cnt AS DOUBLE) / n.total, 6) AS frac_r,
-        |  round(CAST(sum(cnt) OVER (ORDER BY rank) AS DOUBLE) / n.total, 6) AS cum_r
+        |  (sign(CAST(cnt AS DOUBLE) / n.total) * floor(abs(CAST(cnt AS DOUBLE) / n.total) * 1000000.0 + 0.5) / 1000000.0) AS frac_r,
+        |  (sign(CAST(sum(cnt) OVER (ORDER BY rank) AS DOUBLE) / n.total) * floor(abs(CAST(sum(cnt) OVER (ORDER BY rank) AS DOUBLE) / n.total) * 1000000.0 + 0.5) / 1000000.0) AS cum_r
         |FROM top, n
         |ORDER BY rank""".stripMargin) { (s, dir) =>
       TextAnalysis.vocabCoverage(Tables.load(s, dir, "documents"), "text", k = 15)
@@ -2018,8 +2037,9 @@ object PipelineQueries {
         |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
         |SELECT s.doc_id, count(*) AS n_shingles,
         |  CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel,
-        |  round(CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*), 6) AS novel_frac_r
+        |  (sign(CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*)) * floor(abs(CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*)) * 1000000.0 + 0.5) / 1000000.0) AS novel_frac_r
         |FROM sh s JOIN df USING (shingle)
         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.ngramNovelty(Tables.load(s, dir, "documents"),

@@ -21,7 +21,7 @@ object RelationalQueries {
     // ---- window: rank within partition (top-3 orders per segment) ----
     QueryDef.sql(
       "q_window_rank",
-      """SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS price, rn
+      """SELECT c_mktsegment, o_orderkey, (sign(o_totalprice) * floor(abs(o_totalprice) * 100.0 + 0.5) / 100.0) AS price, rn
         |FROM (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY c_mktsegment
@@ -45,11 +45,14 @@ object RelationalQueries {
     QueryDef.sql(
       "q_window_running",
       """SELECT o_custkey, o_orderkey,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |  (sign(sum(o_totalprice) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
-        |  round(o_totalprice - coalesce(lag(o_totalprice) OVER (
-        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS delta_prev
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * floor(abs(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0) AS running_total,
+        |  (sign(o_totalprice - coalesce(lag(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0)) * floor(abs(o_totalprice - coalesce(lag(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0)) * 100.0 + 0.5) / 100.0) AS delta_prev
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
@@ -67,11 +70,13 @@ object RelationalQueries {
     QueryDef.sql(
       "q_window_range_frame",
       """SELECT o_custkey, o_orderkey,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
-        |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING), 2) AS nearby_total,
+        |  (sign(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)) * floor(abs(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)) * 100.0 + 0.5) / 100.0) AS nearby_total,
         |  ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS quartile,
-        |  round(percent_rank() OVER (PARTITION BY o_custkey
-        |    ORDER BY o_totalprice, o_orderkey), 4) AS pct_rank
+        |  (sign(percent_rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey)) * floor(abs(percent_rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey)) * 10000.0 + 0.5) / 10000.0) AS pct_rank
         |FROM orders
         |WHERE o_custkey < 20
         |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
@@ -112,7 +117,7 @@ object RelationalQueries {
     QueryDef.sql(
       "q_rollup",
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  (sign(sum(l_quantity)) * floor(abs(sum(l_quantity)) * 100.0 + 0.5) / 100.0) AS sum_qty,
         |  count(*) AS n,
         |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
@@ -130,7 +135,7 @@ object RelationalQueries {
     QueryDef.sql(
       "q_cube",
       """SELECT o_orderstatus, o_orderpriority,
-        |  round(sum(o_totalprice), 2) AS total,
+        |  (sign(sum(o_totalprice)) * floor(abs(sum(o_totalprice)) * 100.0 + 0.5) / 100.0) AS total,
         |  count(*) AS n,
         |  CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
         |FROM orders
@@ -148,14 +153,14 @@ object RelationalQueries {
     QueryDef.sql(
       "q_grouping_sets",
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  round(sum(l_extendedprice), 2) AS sum_price
+        |  (sign(sum(l_extendedprice)) * floor(abs(sum(l_extendedprice)) * 100.0 + 0.5) / 100.0) AS sum_price
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql(
         """SELECT l_returnflag, l_linestatus, count(*) AS n,
-          |  round(sum(l_extendedprice), 2) AS sum_price
+          |  (sign(sum(l_extendedprice)) * floor(abs(sum(l_extendedprice)) * 100.0 + 0.5) / 100.0) AS sum_price
           |FROM lineitem
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
@@ -239,7 +244,7 @@ object RelationalQueries {
         |  count(DISTINCT o_custkey)      AS n_customers,
         |  count(DISTINCT o_orderpriority) AS n_priorities,
         |  count(*)                        AS n_orders,
-        |  round(sum(DISTINCT round(o_totalprice, 0)), 2) AS sum_distinct_price
+        |  (sign(sum(DISTINCT (sign(o_totalprice) * floor(abs(o_totalprice) * 1.0 + 0.5) / 1.0))) * floor(abs(sum(DISTINCT (sign(o_totalprice) * floor(abs(o_totalprice) * 1.0 + 0.5) / 1.0))) * 100.0 + 0.5) / 100.0) AS sum_distinct_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
@@ -259,12 +264,12 @@ object RelationalQueries {
     QueryDef.sql(
       "q_stats_agg",
       """SELECT l_returnflag,
-        |  round(stddev_samp(l_quantity), 4)                 AS qty_stddev,
-        |  round(var_samp(l_extendedprice), 2)               AS price_var,
-        |  round(corr(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
-        |  round(covar_samp(l_quantity, l_discount), 4)      AS qty_disc_covar,
-        |  round(min(l_extendedprice), 2)                    AS min_price,
-        |  round(max(l_extendedprice), 2)                    AS max_price
+        |  (sign(stddev_samp(l_quantity)) * floor(abs(stddev_samp(l_quantity)) * 10000.0 + 0.5) / 10000.0)                 AS qty_stddev,
+        |  (sign(var_samp(l_extendedprice)) * floor(abs(var_samp(l_extendedprice)) * 100.0 + 0.5) / 100.0)               AS price_var,
+        |  (sign(corr(l_quantity, l_extendedprice)) * floor(abs(corr(l_quantity, l_extendedprice)) * 10000.0 + 0.5) / 10000.0)       AS qty_price_corr,
+        |  (sign(covar_samp(l_quantity, l_discount)) * floor(abs(covar_samp(l_quantity, l_discount)) * 10000.0 + 0.5) / 10000.0)      AS qty_disc_covar,
+        |  (sign(min(l_extendedprice)) * floor(abs(min(l_extendedprice)) * 100.0 + 0.5) / 100.0)                    AS min_price,
+        |  (sign(max(l_extendedprice)) * floor(abs(max(l_extendedprice)) * 100.0 + 0.5) / 100.0)                    AS max_price
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
@@ -284,9 +289,9 @@ object RelationalQueries {
     QueryDef.sql(
       "q_regression",
       """SELECT l_returnflag,
-        |  round(regr_slope(l_extendedprice, l_quantity), 2)     AS slope,
-        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
-        |  round(regr_r2(l_extendedprice, l_quantity), 4)        AS r2,
+        |  (sign(regr_slope(l_extendedprice, l_quantity)) * floor(abs(regr_slope(l_extendedprice, l_quantity)) * 100.0 + 0.5) / 100.0)     AS slope,
+        |  (sign(regr_intercept(l_extendedprice, l_quantity)) * floor(abs(regr_intercept(l_extendedprice, l_quantity)) * 100.0 + 0.5) / 100.0) AS intercept,
+        |  (sign(regr_r2(l_extendedprice, l_quantity)) * floor(abs(regr_r2(l_extendedprice, l_quantity)) * 10000.0 + 0.5) / 10000.0)        AS r2,
         |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
         |FROM lineitem
         |GROUP BY l_returnflag
@@ -335,9 +340,9 @@ object RelationalQueries {
     QueryDef.sql(
       "q_pivot",
       """SELECT l_linestatus,
-        |  round(coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'A'), 0), 2) AS A,
-        |  round(coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'N'), 0), 2) AS N,
-        |  round(coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'), 0), 2) AS R
+        |  (sign(coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'A'), 0)) * floor(abs(coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'A'), 0)) * 100.0 + 0.5) / 100.0) AS A,
+        |  (sign(coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'N'), 0)) * floor(abs(coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'N'), 0)) * 100.0 + 0.5) / 100.0) AS N,
+        |  (sign(coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'), 0)) * floor(abs(coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'), 0)) * 100.0 + 0.5) / 100.0) AS R
         |FROM lineitem
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
@@ -351,14 +356,14 @@ object RelationalQueries {
     // ---- correlated scalar subquery (SQL text path) ----
     QueryDef.sql(
       "q_subquery_scalar",
-      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+      """SELECT c_custkey, (sign(c_acctbal) * floor(abs(c_acctbal) * 100.0 + 0.5) / 100.0) AS acctbal
         |FROM customer c
         |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
         |                   WHERE c2.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql(
-        """SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        """SELECT c_custkey, (sign(c_acctbal) * floor(abs(c_acctbal) * 100.0 + 0.5) / 100.0) AS acctbal
           |FROM customer c
           |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
           |                   WHERE c2.c_nationkey = c.c_nationkey)
@@ -385,7 +390,7 @@ object RelationalQueries {
     // ---- ordered top-k with ties broken deterministically ----
     QueryDef.sql(
       "q_topk_orders",
-      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+      """SELECT o_orderkey, (sign(o_totalprice) * floor(abs(o_totalprice) * 100.0 + 0.5) / 100.0) AS price
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 15""".stripMargin) { (s, dir) =>
@@ -406,8 +411,8 @@ object RelationalQueries {
         |  substring(l_returnflag || l_linestatus, 1, 1) AS flag_sub,
         |  CAST(abs(l_quantity - 25) AS DOUBLE)     AS qty_center,
         |  CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k,
-        |  round(sqrt(l_quantity), 4)               AS qty_sqrt,
-        |  round(ln(l_extendedprice), 4)            AS price_ln,
+        |  (sign(sqrt(l_quantity)) * floor(abs(sqrt(l_quantity)) * 10000.0 + 0.5) / 10000.0)               AS qty_sqrt,
+        |  (sign(ln(l_extendedprice)) * floor(abs(ln(l_extendedprice)) * 10000.0 + 0.5) / 10000.0)            AS price_ln,
         |  CAST(l_quantity AS BIGINT) % 7           AS qty_mod,
         |  CAST(year(l_shipdate) AS INT)            AS ship_year,
         |  CAST(month(l_shipdate) AS INT)           AS ship_month,
@@ -451,9 +456,9 @@ object RelationalQueries {
         |  repeat(left(o_orderstatus, 1), 3)                      AS status3,
         |  right(o_orderpriority, 3)                              AS prio_tail,
         |  CAST(ascii(o_orderstatus) AS BIGINT)                   AS status_ascii,
-        |  round(power(o_totalprice / 100000, 2), 4)              AS price_sq,
+        |  (sign(power(o_totalprice / 100000, 2)) * floor(abs(power(o_totalprice / 100000, 2)) * 10000.0 + 0.5) / 10000.0)              AS price_sq,
         |  CAST(sign(o_totalprice - 150000) AS BIGINT)            AS above_mid,
-        |  round(cos(CAST(o_orderkey AS DOUBLE) / 1000), 4)       AS wave
+        |  (sign(cos(CAST(o_orderkey AS DOUBLE) / 1000)) * floor(abs(cos(CAST(o_orderkey AS DOUBLE) / 1000)) * 10000.0 + 0.5) / 10000.0)       AS wave
         |FROM orders
         |WHERE o_orderkey < 100
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
@@ -506,9 +511,9 @@ object RelationalQueries {
         |  hex(CAST(s_suppkey AS BIGINT))                     AS key_hex,
         |  CAST(xor(s_suppkey, 255) AS BIGINT)                AS key_xor,
         |  CAST(s_suppkey & 15 AS BIGINT)                     AS key_and,
-        |  round(log2(CAST(s_suppkey + 1 AS DOUBLE)), 4)      AS key_log2,
-        |  round(log10(CAST(s_suppkey + 1 AS DOUBLE)), 4)     AS key_log10,
-        |  round(degrees(atan2(CAST(s_suppkey AS DOUBLE), 100.0)), 4) AS key_deg,
+        |  (sign(log2(CAST(s_suppkey + 1 AS DOUBLE))) * floor(abs(log2(CAST(s_suppkey + 1 AS DOUBLE))) * 10000.0 + 0.5) / 10000.0)      AS key_log2,
+        |  (sign(log10(CAST(s_suppkey + 1 AS DOUBLE))) * floor(abs(log10(CAST(s_suppkey + 1 AS DOUBLE))) * 10000.0 + 0.5) / 10000.0)     AS key_log10,
+        |  (sign(degrees(atan2(CAST(s_suppkey AS DOUBLE), 100.0))) * floor(abs(degrees(atan2(CAST(s_suppkey AS DOUBLE), 100.0))) * 10000.0 + 0.5) / 10000.0) AS key_deg,
         |  reverse(right(s_name, 4))                          AS name_rev
         |FROM supplier
         |WHERE s_suppkey < 60
@@ -586,7 +591,7 @@ object RelationalQueries {
         |                   ORDER BY c_acctbal, c_custkey) AS quartile
         |  FROM customer)
         |SELECT c_nationkey, quartile, count(*) AS n,
-        |  round(avg(c_acctbal), 4) AS avg_bal
+        |  (sign(avg(c_acctbal)) * floor(abs(avg(c_acctbal)) * 10000.0 + 0.5) / 10000.0) AS avg_bal
         |FROM q GROUP BY c_nationkey, quartile
         |ORDER BY c_nationkey, quartile""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("c_nationkey"))

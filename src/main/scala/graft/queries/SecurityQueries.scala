@@ -11,7 +11,7 @@ object SecurityQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
       "q_rls_policy",
-      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      """SELECT o_orderstatus, count(*) AS n, (sign(sum(o_totalprice)) * floor(abs(sum(o_totalprice)) * 100.0 + 0.5) / 100.0) AS total
         |FROM orders
         |WHERE o_orderstatus <> 'F' AND o_totalprice < 250000
         |GROUP BY o_orderstatus

@@ -40,9 +40,9 @@ object TpchQueries {
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
         |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
         |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS avg_qty,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS avg_price,
-        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |  (sign(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)) * floor(abs(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0) AS avg_qty,
+        |  (sign(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)) * floor(abs(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0) AS avg_price,
+        |  (sign(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*)) * floor(abs(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0) AS avg_disc,
         |  count(*)                           AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -89,8 +89,9 @@ object TpchQueries2 {
     QueryDef.sql(
       "q8_market_share",
       """SELECT o_year,
-        |  round(CAST(sum(CAST(CASE WHEN nation = 'BRAZIL' THEN volume ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
-        |        / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE), 4) AS mkt_share
+        |  (sign(CAST(sum(CAST(CASE WHEN nation = 'BRAZIL' THEN volume ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+        |        / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE)) * floor(abs(CAST(sum(CAST(CASE WHEN nation = 'BRAZIL' THEN volume ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+        |        / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS mkt_share
         |FROM (
         |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |    l_extendedprice * (1 - l_discount) AS volume,
@@ -220,9 +221,11 @@ object TpchQueries2 {
     // ---- Q14: promo revenue share ----
     QueryDef.sql(
       "q14_promo_revenue",
-      """SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+      """SELECT (sign(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
         |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
-        |  / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_revenue
+        |  / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)) * floor(abs(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin) { (s, dir) =>
@@ -241,7 +244,7 @@ object TpchQueries2 {
     // ---- Q17: small-quantity-order revenue (correlated avg subquery) ----
     QueryDef.sql(
       "q17_small_quantity",
-      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+      """SELECT (sign(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0) * floor(abs(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0) * 100.0 + 0.5) / 100.0) AS avg_yearly
         |FROM lineitem l1
         |  JOIN part ON p_partkey = l1.l_partkey
         |WHERE p_brand = 'Brand#1'
@@ -260,8 +263,8 @@ object TpchQueries2 {
     // ---- Q18: large-volume customers (HAVING over grouped join) ----
     QueryDef.sql(
       "q18_large_volume",
-      """SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price,
-        |  round(total_qty, 2) AS total_qty
+      """SELECT c_custkey, o_orderkey, (sign(o_totalprice) * floor(abs(o_totalprice) * 100.0 + 0.5) / 100.0) AS price,
+        |  (sign(total_qty) * floor(abs(total_qty) * 100.0 + 0.5) / 100.0) AS total_qty
         |FROM (
         |  SELECT l_orderkey AS o_orderkey, sum(l_quantity) AS total_qty
         |  FROM lineitem GROUP BY l_orderkey) x

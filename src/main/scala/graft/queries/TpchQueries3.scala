@@ -72,8 +72,8 @@ object TpchQueries3 {
         |min_cost AS (
         |  SELECT ps_partkey, min(ps_supplycost) AS mc FROM regional GROUP BY ps_partkey
         |)
-        |SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
-        |       p_partkey, round(ps_supplycost, 2) AS ps_supplycost
+        |SELECT (sign(s_acctbal) * floor(abs(s_acctbal) * 100.0 + 0.5) / 100.0) AS s_acctbal, s_name, n_name,
+        |       p_partkey, (sign(ps_supplycost) * floor(abs(ps_supplycost) * 100.0 + 0.5) / 100.0) AS ps_supplycost
         |FROM regional
         |  JOIN part ON p_partkey = ps_partkey AND p_size = 15
         |  JOIN min_cost ON min_cost.ps_partkey = regional.ps_partkey
@@ -177,7 +177,7 @@ object TpchQueries3 {
     QueryDef.sql(
       "q20_potential_promotion",
       s"""$PS_SQL
-        |SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+        |SELECT s_name, (sign(s_acctbal) * floor(abs(s_acctbal) * 100.0 + 0.5) / 100.0) AS s_acctbal
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WHERE n_name = 'NATION_3'
         |  AND s_suppkey IN (
