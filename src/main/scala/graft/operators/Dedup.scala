@@ -293,12 +293,37 @@ object Dedup {
     * aggregate, and the containment division is per surviving pair. For
     * web-scale corpora gate the pair stream with [[lshCandidates]]
     * first, exactly like the Jaccard path.
+    *
+    * `maxShingleDf` is the hot-shingle skew guard, the analog of
+    * [[lshCandidates]]' `maxBucketSize`: a single stop-shingle shared by
+    * m documents yields m² join rows in one task, so at web scale one
+    * boilerplate phrase turns the shingle-keyed join quadratic. When
+    * set, shingles with document frequency above the cap are DROPPED
+    * before the self-join (one cheap aggregation on the shingle key).
+    * Containment then under-counts intersections that run through
+    * dropped stop-shingles only — acceptable exactly where the guard
+    * fires, because a shingle shared by thousands of documents carries
+    * no containment signal. Default None preserves exact semantics (the
+    * oracle query proves exactness without the cap on this corpus).
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleLen: Int = 3, threshold: Double = 0.5,
+      maxShingleDf: Option[Int] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
-    val sh = shingles(docs, idCol, textCol, shingleLen)
-    val sizes = shingleSizes(sh)
+    val shAll = shingles(docs, idCol, textCol, shingleLen)
+    // sizes come from the UNgated shingle table: |A| is a property of the
+    // document, not of the guard
+    val sizes = shingleSizes(shAll)
+    val sh = maxShingleDf match {
+      case Some(cap) =>
+        require(cap >= 2, s"maxShingleDf must allow pairs: $cap")
+        val rare = shAll.groupBy("shingle")
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap)
+          .select("shingle")
+        shAll.join(rare, "shingle")
+      case None => shAll
+    }
     val inter = sh.select(col("sid").as("a"), col("shingle"))
       .join(sh.select(col("sid").as("b"), col("shingle")), "shingle")
       .filter(col("a") =!= col("b"))

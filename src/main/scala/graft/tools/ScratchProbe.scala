@@ -1,81 +1,118 @@
 package graft.tools
 
 import graft.Tables
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Throwaway perf probe (not part of the library surface).
   *
-  * Current target: attribute `q_column_store` ingest time. The host shows
-  * large noise PHASES (whole seconds of slowdown that migrate between
-  * unrelated queries across runs — see StoreBench round-5 A/B), so arms
-  * are INTERLEAVED per round rather than timed back-to-back: each round
-  * times every arm once, and per-arm minima across rounds are comparable
-  * even when a noise phase eats one round.
+  * Current target: attribute the `q_scalar_functions` r5 regression
+  * (0.23 s → 1.51 s, stable across runs — VERDICT r5 "What's wrong #2").
+  * Arms decompose the query: full body, plan-only, dround-free,
+  * column-subset halves, plus `q_dedup_exact` (the other flagged query).
+  * Arms are INTERLEAVED per round (host noise phases — see PERF_NOTES §1);
+  * per-arm minima across rounds are the comparable statistic.
   */
 object ScratchProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.catalog.graft", "org.apache.spark.sql.graft.store.GraftCatalog")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    val fmt = "org.apache.spark.sql.graft.store.GraftColumnSource"
-    val li = Tables.load(spark, dir, "lineitem")
-    val sorted = li.orderBy("l_orderkey")
+
+    def scalarBase(): DataFrame = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_orderkey") <= 100)
+
+    def fullSelect(df: DataFrame): DataFrame = df.select(
+      col("l_orderkey"), col("l_linenumber"),
+      upper(col("l_returnflag")).as("flag_upper"),
+      concat_ws("-", col("l_returnflag"), col("l_linestatus")).as("flag_concat"),
+      length(concat(col("l_returnflag"), col("l_linestatus"))).as("flag_len"),
+      lpad(col("l_linenumber").cast("string"), 3, "0").as("line_pad"),
+      substring(concat(col("l_returnflag"), col("l_linestatus")), 1, 1).as("flag_sub"),
+      abs(col("l_quantity") - 25).cast("double").as("qty_center"),
+      ceil(col("l_extendedprice") / 1000).cast("bigint").as("price_k"),
+      graft.dround(sqrt(col("l_quantity")), 4).as("qty_sqrt"),
+      graft.dround(log(col("l_extendedprice")), 4).as("price_ln"),
+      (col("l_quantity").cast("bigint") % 7).as("qty_mod"),
+      year(col("l_shipdate")).cast("int").as("ship_year"),
+      month(col("l_shipdate")).cast("int").as("ship_month"),
+      when(col("l_discount") > 0.05, "high").otherwise("low").as("disc_band"),
+      coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_or_none"),
+      greatest(col("l_tax"), col("l_discount")).as("max_rate"))
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
 
     def arm(name: String)(f: => Unit): (String, () => Double) =
       (name, () => { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 })
 
     val arms = Seq(
-      arm("sort+noop (no store)") {
-        sorted.write.format("noop").mode("overwrite").save()
+      arm("full query (as benched)") {
+        noop(fullSelect(scalarBase()).orderBy(col("l_orderkey"), col("l_linenumber")))
       },
-      arm("sort+store bs=4096 auto") {
-        System.clearProperty("graft.store.plainOnly")
-        sorted.write.format(fmt).option("table", "sp_a").option("batch_size", "4096")
-          .mode("overwrite").save()
+      arm("plan only (executedPlan forced)") {
+        fullSelect(scalarBase()).orderBy(col("l_orderkey"), col("l_linenumber"))
+          .queryExecution.executedPlan
       },
-      arm("sort+store bs=4096 plain") {
-        System.setProperty("graft.store.plainOnly", "true")
-        sorted.write.format(fmt).option("table", "sp_p").option("batch_size", "4096")
-          .mode("overwrite").save()
-        System.clearProperty("graft.store.plainOnly")
+      arm("no orderBy") {
+        noop(fullSelect(scalarBase()))
       },
-      arm("sort+store bs=16384 auto") {
-        System.clearProperty("graft.store.plainOnly")
-        sorted.write.format(fmt).option("table", "sp_b").option("batch_size", "16384")
-          .mode("overwrite").save()
+      arm("no dround cols") {
+        noop(scalarBase().select(
+          col("l_orderkey"), col("l_linenumber"),
+          upper(col("l_returnflag")).as("flag_upper"),
+          concat_ws("-", col("l_returnflag"), col("l_linestatus")).as("flag_concat"),
+          length(concat(col("l_returnflag"), col("l_linestatus"))).as("flag_len"),
+          lpad(col("l_linenumber").cast("string"), 3, "0").as("line_pad"),
+          substring(concat(col("l_returnflag"), col("l_linestatus")), 1, 1).as("flag_sub"),
+          abs(col("l_quantity") - 25).cast("double").as("qty_center"),
+          ceil(col("l_extendedprice") / 1000).cast("bigint").as("price_k"),
+          (col("l_quantity").cast("bigint") % 7).as("qty_mod"),
+          year(col("l_shipdate")).cast("int").as("ship_year"),
+          month(col("l_shipdate")).cast("int").as("ship_month"),
+          when(col("l_discount") > 0.05, "high").otherwise("low").as("disc_band"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_or_none"),
+          greatest(col("l_tax"), col("l_discount")).as("max_rate"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")))
       },
-      arm("unsorted store bs=4096 auto") {
-        System.clearProperty("graft.store.plainOnly")
-        li.write.format(fmt).option("table", "sp_u").option("batch_size", "4096")
-          .mode("overwrite").save()
+      arm("keys+dround only") {
+        noop(scalarBase().select(
+          col("l_orderkey"), col("l_linenumber"),
+          graft.dround(sqrt(col("l_quantity")), 4).as("qty_sqrt"),
+          graft.dround(log(col("l_extendedprice")), 4).as("price_ln"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")))
       },
-      arm("sort_by store bs=4096 auto") {
-        System.clearProperty("graft.store.plainOnly")
-        li.write.format(fmt).option("table", "sp_s").option("batch_size", "4096")
-          .option("sort_by", "l_orderkey")
-          .mode("overwrite").save()
-      })
-
-    // warmup every arm once
-    arms.foreach { case (_, f) => f() }
-    val rounds = 5
-    val acc = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (r <- 1 to rounds) {
-      arms.foreach { case (n, f) =>
-        val t = f()
-        acc(n) = t :: acc.getOrElse(n, Nil)
-        println(f"[probe] round $r $n%-30s $t%.3f s")
+      arm("scan+filter only") {
+        noop(scalarBase().select(col("l_orderkey"), col("l_linenumber")))
+      },
+      arm("q_dedup_exact (as benched)") {
+        noop(graft.SparkEntry.queries("q_dedup_exact")(spark, dir))
+      },
+      arm("q_scalar_functions2 (sibling)") {
+        noop(graft.SparkEntry.queries("q_scalar_functions2")(spark, dir))
       }
-      System.gc()
+    )
+
+    // warmup every arm once, then interleave rounds
+    arms.foreach { case (_, f) => f() }
+    val rounds = 4
+    val acc = scala.collection.mutable.Map.empty[String, List[Double]]
+    (1 to rounds).foreach { _ =>
+      arms.foreach { case (n, f) =>
+        acc(n) = f() :: acc.getOrElse(n, Nil)
+      }
     }
-    println("--- minima ---")
+    println("== ScratchProbe: q_scalar_functions decomposition (sf0.1) ==")
     arms.foreach { case (n, _) =>
-      println(f"[probe] MIN $n%-30s ${acc(n).min}%.3f s")
+      val ts = acc(n)
+      println(f"$n%-36s min=${ts.min}%.3f  all=${ts.reverse.map(t => f"$t%.3f").mkString(",")}")
     }
-    spark.stop()
   }
 }

@@ -105,6 +105,26 @@ object StoreBench {
           .write.format("noop").mode("overwrite").save()
       }
     }
+    // dictionary-code join fast path (DictJoin) vs Spark's broadcast
+    // hash join, same store table + same dimension, identical output
+    {
+      import spark.implicits._
+      li.write.format(fmt).option("table", "sb_dj").option("batch_size", "16384")
+        .mode("overwrite").save()
+      val dim = Seq(("R", 1, "returned"), ("A", 2, "acked"), ("N", 3, "new"))
+        .toDF("flag", "rank", "label")
+      val probe = spark.read.format(fmt).option("table", "sb_dj").load()
+      time("string join: spark BHJ") {
+        probe.join(broadcast(dim), probe("l_returnflag") === dim("flag"))
+          .drop(dim("flag"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("string join: dictJoin") {
+        org.apache.spark.sql.graft.store.DictJoin
+          .dictJoin(spark, "sb_dj", "l_returnflag", dim, "flag")
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     // q1 aggregation variants
     val lif = li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
     time("q1 double sums") {

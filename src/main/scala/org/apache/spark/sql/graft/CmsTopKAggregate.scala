@@ -61,20 +61,52 @@ final class CmsTopKBuffer(val width: Int, val depth: Int, val k: Int) {
     refreshCandidate(key)
   }
 
+  // Lazily-tracked pool minimum: the hot path at high distinct-key rates
+  // is "pool full, unseen tail key, est <= pool min" — with a valid
+  // cached min that is a single comparison with zero allocations, where
+  // a per-row minBy was an O(pool) scan allocating a tuple per entry
+  // (the q_approx_topk_ts GC amplifier, VERDICT r5 #3). The cache
+  // invalidates only when the min entry itself moves (eviction, or the
+  // min key's own count growing), so rescans are amortized over many
+  // adds. Eviction order is unchanged: smallest est, ties by key asc.
+  private var minValid = false
+  private var minKey: String = _
+  private var minEst = 0L
+
+  private def rescanMin(): Unit = {
+    var mk: String = null
+    var me = Long.MaxValue
+    candidates.foreachEntry { (ck, ce) =>
+      if (ce < me || (ce == me && (mk == null || ck < mk))) { mk = ck; me = ce }
+    }
+    minKey = mk; minEst = me; minValid = true
+  }
+
   private def refreshCandidate(key: String): Unit = {
     val est = estimate(key)
-    if (candidates.contains(key) || candidates.size < pool) {
+    if (candidates.size < pool) {
+      val prev = candidates.put(key, est)
+      if (minValid) {
+        if (prev.isDefined && key == minKey) minValid = false
+        else if (est < minEst || (est == minEst && key < minKey)) {
+          minKey = key; minEst = est
+        }
+      }
+    } else if (candidates.contains(key)) {
       candidates.update(key, est)
+      if (minValid && key == minKey) minValid = false
     } else {
-      val (minKey, minEst) = candidates.minBy { case (ck, ce) => (ce, ck) }
+      if (!minValid) rescanMin()
       if (est > minEst) {
         candidates.remove(minKey)
         candidates.update(key, est)
+        minValid = false
       }
     }
   }
 
   def merge(o: CmsTopKBuffer): Unit = {
+    minValid = false
     var i = 0
     while (i < counts.length) { counts(i) += o.counts(i); i += 1 }
     // Re-estimate every candidate against the merged sketch, keep pool.

@@ -1,7 +1,6 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -108,40 +107,75 @@ object TextHash {
   }
 }
 
-/** minhash_sig(text) — array of `numHashes` per-permutation minima. */
+/** minhash_sig(text) — array of `numHashes` per-permutation minima.
+  * Codegen'd via a static helper: a CodegenFallback expression
+  * de-codegens its WHOLE projection stage (PERF_NOTES §4 lesson), and
+  * this sits in the hottest dedup scan.
+  */
 case class MinHashSignature(child: Expression, shingleLen: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
   override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(
-      TextHash.minhash(v.asInstanceOf[UTF8String].toString, shingleLen, numHashes))
+    MinHashSignature.eval(v.asInstanceOf[UTF8String], shingleLen, numHashes)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"org.apache.spark.sql.graft.MinHashSignature$$.MODULE$$.eval($s, $shingleLen, $numHashes)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** ngram_jaccard(a, b) — exact word n-gram Jaccard similarity. */
+object MinHashSignature {
+  def eval(s: UTF8String, shingleLen: Int, numHashes: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    new GenericArrayData(TextHash.minhash(s.toString, shingleLen, numHashes))
+}
+
+/** ngram_jaccard(a, b) — exact word n-gram Jaccard similarity. Codegen'd. */
 case class NgramJaccard(left: Expression, right: Expression, n: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "ngram_jaccard"
   override def nullSafeEval(a: Any, b: Any): Any =
-    TextHash.jaccard(a.asInstanceOf[UTF8String].toString,
-      b.asInstanceOf[UTF8String].toString, n)
+    NgramJaccard.eval(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.NgramJaccard$$.MODULE$$.eval($a, $b, $n)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
+object NgramJaccard {
+  def eval(a: UTF8String, b: UTF8String, n: Int): Double =
+    TextHash.jaccard(a.toString, b.toString, n)
+}
+
 /** shingle_hashes(text) — sorted distinct shingle hashes (see
-  * [[TextHash.sortedShingleHashes]]).
+  * [[TextHash.sortedShingleHashes]]). Codegen'd.
   */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
   override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(
-      TextHash.sortedShingleHashes(v.asInstanceOf[UTF8String].toString, n))
+    ShingleHashes.eval(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"org.apache.spark.sql.graft.ShingleHashes$$.MODULE$$.eval($s, $n)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ShingleHashes {
+  def eval(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    new GenericArrayData(TextHash.sortedShingleHashes(s.toString, n))
 }
 
 /** minhash_full(text) — struct(sig, sh): the MinHash signature AND the
@@ -153,31 +187,55 @@ case class ShingleHashes(child: Expression, n: Int)
   * `struct(minhash_sig(text), shingle_hashes(text))`.
   */
 case class MinHashFull(child: Expression, shingleLen: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
     StructField("sh", ArrayType(LongType, containsNull = false), nullable = false)))
   override def prettyName: String = "minhash_full"
-  override def nullSafeEval(v: Any): Any = {
-    val hs = TextHash.sortedShingleHashes(v.asInstanceOf[UTF8String].toString, shingleLen)
+  override def nullSafeEval(v: Any): Any =
+    MinHashFull.eval(v.asInstanceOf[UTF8String], shingleLen, numHashes)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"org.apache.spark.sql.graft.MinHashFull$$.MODULE$$.eval($s, $shingleLen, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashFull {
+  def eval(s: UTF8String, shingleLen: Int, numHashes: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val hs = TextHash.sortedShingleHashes(s.toString, shingleLen)
     org.apache.spark.sql.catalyst.InternalRow(
       new GenericArrayData(TextHash.minhashOf(hs, numHashes)),
       new GenericArrayData(hs))
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** hash_jaccard(a, b) — Jaccard of two sorted hash arrays. */
+/** hash_jaccard(a, b) — Jaccard of two sorted hash arrays. Codegen'd. */
 case class HashArrayJaccard(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "hash_jaccard"
   override def nullSafeEval(a: Any, b: Any): Any =
-    TextHash.sortedJaccard(
-      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
-      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray())
+    HashArrayJaccard.eval(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.HashArrayJaccard$$.MODULE$$.eval($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+object HashArrayJaccard {
+  def eval(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double =
+    TextHash.sortedJaccard(a.toLongArray(), b.toLongArray())
 }
 
 /** md5_prefix_long(s, hexChars) — the first `hexChars` hex digits of

@@ -53,8 +53,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     } catch { case _: Exception => false }
   }
 
-  override def parsePlan(sqlText: String): LogicalPlan = {
-    val rewritten = StreamWindowRewrite(sqlText)
+  /** The single routing decision: Some(command) when the statement is
+    * graft-intercepted, None when it belongs to the delegate. parsePlan
+    * AND parsePlanWithParameters both consult exactly this — a guard
+    * added or changed here can never diverge between the two entry
+    * points (a MERGE-only predicate here once silently dropped parameter
+    * bindings for guarded UPDATE/DELETE forms the grammar recognizes but
+    * delegates).
+    */
+  private def graftPlan(rewritten: String): Option[LogicalPlan] = Option(
     GraftStatements.parse(rewritten) match {
       case Some(PutInto(t, src)) =>
         GraftPutIntoCommand(t, delegate.parsePlan(src))
@@ -63,8 +70,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       // Spark's row-level MERGE
       case Some(m: MergeInto) if g.isManaged(m.table.toLowerCase) =>
         GraftMergeIntoCommand(m.table.toLowerCase, m.source, m.onCond, m.clauses,
-          (m.targetAlias.toSeq ++ m.sourceAlias.toSeq ++
-            Seq(m.table, m.source)).map(_.toLowerCase))
+          (m.targetAlias.toSeq :+ m.table).map(_.toLowerCase),
+          (m.sourceAlias.toSeq :+ m.source).map(_.toLowerCase))
       case Some(Update(t, assigns, where)) if g.isManaged(t.toLowerCase) =>
         // validate all embedded expressions NOW (statement-time parse
         // errors); the command re-parses at run — commands must not carry
@@ -146,24 +153,23 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftStreamingCtlCommand(a, arg)
       case Some(GrantRevoke(isGrant, privs, t, users)) =>
         GraftGrantRevokeCommand(isGrant, privs, t, users)
-      case _ => delegate.parsePlan(rewritten)
-    }
+      case _ => null
+    })
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val rewritten = StreamWindowRewrite(sqlText)
+    graftPlan(rewritten).getOrElse(delegate.parsePlan(rewritten))
   }
 
   // the trait DEFAULT ignores the parameters — route to the delegate's
-  // real implementation (graft statements themselves take no parameters)
+  // real implementation. Any statement graftPlan hands back (guarded
+  // UPDATE/DELETE/MERGE on non-managed targets, unguarded fall-through)
+  // keeps its parameter bindings; graft statements themselves take no
+  // parameters.
   override def parsePlanWithParameters(sqlText: String,
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan = {
     val rewritten = StreamWindowRewrite(sqlText)
-    // a statement our grammar RECOGNIZES but parsePlan would hand back
-    // to the delegate anyway (MERGE on a non-managed table) must keep
-    // its parameter bindings — routing through parsePlan would drop them
-    val intercepted = GraftStatements.parse(rewritten).exists {
-      case m: GraftStatements.MergeInto => g.isManaged(m.table.toLowerCase)
-      case _ => true
-    }
-    if (intercepted) parsePlan(rewritten)
-    else delegate.parsePlanWithParameters(rewritten, ctx)
+    graftPlan(rewritten).getOrElse(delegate.parsePlanWithParameters(rewritten, ctx))
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
@@ -319,7 +325,8 @@ case class GraftOptimizeZorderCommand(table: String, columns: Seq[String])
   * dedicated DML surface rather than silently approximated.
   */
 case class GraftMergeIntoCommand(table: String, source: String,
-    onCond: String, clauses: String, qualifiers: Seq[String])
+    onCond: String, clauses: String,
+    targetQuals: Seq[String], sourceQuals: Seq[String])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val canon = clauses.trim.replaceAll("\\s+", " ").toUpperCase
@@ -330,18 +337,41 @@ case class GraftMergeIntoCommand(table: String, source: String,
     val g = graft.GraftSession(spark)
     val keys = g.tableState(table).map(_.keyColumns).getOrElse(Nil)
     require(keys.nonEmpty, s"MERGE INTO $table: the table has no KEY_COLUMNS")
-    // the ON condition must be exactly the key-equality conjunction,
-    // unqualified after stripping relation names AND aliases. Split on
+    // the ON condition must be the key-equality conjunction with one
+    // TARGET-side and one SOURCE-side reference per key. Qualifiers are
+    // resolved, not stripped: erasing them first would accept
+    // 'ON t.k = t.k' (a degenerate cross-match, NOT the upsert join) as
+    // if it were the canonical form. A bare reference may play either
+    // role, but bare = bare is ambiguous (both relations have the key
+    // column) and is rejected like Spark's own resolver would. Split on
     // word-boundary AND *before* collapsing whitespace — a key column
     // containing the letters "and" must not split
-    val unqual = qualifiers.foldLeft(onCond.toLowerCase) { (acc, q) =>
-      acc.replaceAll(s"\\b${java.util.regex.Pattern.quote(q)}\\.", "")
+    val eq = "(?:(\\w+)\\.)?(\\w+)=(?:(\\w+)\\.)?(\\w+)".r
+    val seen = onCond.toLowerCase.split("(?i)\\band\\b").toSeq.map { c =>
+      c.replaceAll("[\\s()]+", "") match {
+        case eq(q1, c1, q2, c2) =>
+          require(c1 == c2 && keys.exists(_.toLowerCase == c1),
+            s"MERGE INTO $table: ON conjunct '$c' is not a key-equality " +
+              s"over (${keys.mkString(", ")})")
+          def side(q: String): String =
+            if (q == null) "bare"
+            else if (targetQuals.contains(q)) "target"
+            else if (sourceQuals.contains(q)) "source"
+            else sys.error(s"MERGE INTO $table: unknown qualifier '$q' in ON conjunct '$c'")
+          val roles = Set(side(q1), side(q2))
+          require(roles == Set("target", "source") ||
+              roles == Set("bare", "target") || roles == Set("bare", "source"),
+            s"MERGE INTO $table: ON conjunct '$c' must compare the TARGET key " +
+              "with the SOURCE key (e.g. t.k = s.k), got two references to " +
+              "the same side")
+          c1
+        case other =>
+          sys.error(s"MERGE INTO $table: ON must be a conjunction of key " +
+            s"equalities over (${keys.mkString(", ")}), got: $other")
+      }
     }
-    val conjuncts = unqual.split("(?i)\\band\\b")
-      .map(_.replaceAll("[\\s()]+", "")).toSeq.sorted
-    val expected = keys.map(k => s"${k.toLowerCase}=${k.toLowerCase}").sorted
-    require(conjuncts == expected,
-      s"MERGE INTO $table: ON must be the key-equality conjunction over " +
+    require(seen.sorted == keys.map(_.toLowerCase).sorted,
+      s"MERGE INTO $table: ON must cover each key column exactly once " +
         s"(${keys.mkString(", ")}), got: $onCond")
     // SQL MERGE errors on multiple source rows per key; putInto would
     // silently first-wins — keep MERGE's contract

@@ -86,6 +86,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     GraftColumnStore.createOrReplace(nm, schema, bucketBy, buckets, keys)
     val compression = Option(properties.get("compression"))
       .map(_.toLowerCase).getOrElse("none")
+    // Fail at CREATE, not at the first write: an unvalidated codec here
+    // would be recorded in the snapshot and then poison every later
+    // DataFrame write/compact with a confusing late error (same check as
+    // GraftTable.fromOptions).
+    require(compression == "none" || compression == "lz4",
+      s"graftstore: unsupported compression '$compression' (none | lz4)")
     val evictionBudget = Option(properties.get("eviction_budget_bytes"))
       .map(_.toLong).getOrElse(0L)
     new GraftTable(nm, schema, Option(properties.get("batch_size")).map(_.toInt).getOrElse(16384),

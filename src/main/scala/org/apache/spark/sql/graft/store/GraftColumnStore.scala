@@ -41,9 +41,12 @@ import scala.collection.mutable.ArrayBuffer
   *    DictionaryEncoding.scala). The scan decodes straight into Spark
   *    `ColumnarBatch` vectors.
   *
-  * Payload lifecycle: payloads are released on table DROP; truncation and
-  * compaction keep superseded payloads until drop so in-flight snapshot
-  * readers stay valid (a cluster build would ref-count per snapshot).
+  * Payload lifecycle: superseded payloads (truncate / compact / overwrite
+  * retirees) are reference-counted per snapshot by [[LeaseGc]] — scans pin
+  * the snapshot epoch they planned against, and a retiree frees once no
+  * reachable reader lease pins an epoch at or before its retirement
+  * (Cleaner-driven, so abandoned plans cannot leak leases). Table DROP
+  * releases everything immediately via `flushAll`.
   */
 object GraftColumnStore {
 
@@ -369,7 +372,18 @@ object GraftColumnStore {
     private val lastAccess = TrieMap.empty[Long, Long]
     private lazy val spillDir = {
       val d = java.nio.file.Files.createTempDirectory("graft-overflow-")
-      d.toFile.deleteOnExit()
+      // File.deleteOnExit cannot remove a non-empty directory, and spill
+      // files are created after registration — a shutdown hook sweeps
+      // whatever is still live at exit (release() already deletes files
+      // eagerly while running)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try {
+          val files = java.nio.file.Files.list(d)
+          try files.forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally files.close()
+          java.nio.file.Files.deleteIfExists(d)
+        } catch { case _: Throwable => () }
+      }, "graft-spill-sweep"))
       d
     }
 

@@ -373,8 +373,12 @@ object GraftStoreOps {
         // record clustering AND the seal granularity as layout metadata —
         // the DSv2 path records batch_size via its commit; this manual
         // path must too, or a later compact() re-seals at the stale size
-        // (one batch per bucket = nothing left to prune)
-        t.mutate(_.copy(zorderedBy = columns, batchSize = sealSize))
+        // (one batch per bucket = nothing left to prune). sortedBy is
+        // CLEARED like the unbucketed overwrite implicitly does: the
+        // z-rewrite destroyed any prior index clustering, and a stale
+        // claim makes compact() double-rewrite (sort_by then re-z) and
+        // checkpoints record contradictory sort_by + zorder_by layout
+        t.mutate(_.copy(zorderedBy = columns, sortedBy = Nil, batchSize = sealSize))
         GraftColumnStore.enforceEviction(table)
       } catch { case e: Throwable =>
         GraftColumnStore.BatchRegistry.release(newRefs.map(_.id), Nil)

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.store.DictJoin
+
+/** A/B equality for the dictionary-code join fast path
+  * ([[org.apache.spark.sql.graft.store.DictJoin]]) against Spark's own
+  * join on the identical inputs.
+  */
+class DictJoinSpec extends SparkTestBase {
+
+  private def abCheck(table: String, key: String,
+      build: org.apache.spark.sql.DataFrame, buildKey: String): Unit = {
+    val fast = DictJoin.dictJoin(spark, table, key, build, buildKey)
+    val probe = org.apache.spark.sql.graft.store.GraftStoreOps.read(spark, table)
+    val ref = probe.join(build, probe(key) === build(buildKey), "inner")
+      .drop(build(buildKey))
+    assert(fast.schema.map(f => (f.name, f.dataType)) ===
+      ref.schema.map(f => (f.name, f.dataType)))
+    val f = fast.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val r = ref.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(f.length === r.length)
+    assert(f.toSeq === r.toSeq)
+  }
+
+  test("dict-encoded key: per-code memoized join equals Spark's join") {
+    val g = GraftSession(spark)
+    val orders = Tables.load(spark, sf, "orders")
+    g.createTable("dj_orders", orders)
+    // 5 distinct priorities -> dictionary-encoded column; dim carries a
+    // DUPLICATE key (two rows for '1-URGENT') to exercise multi-match
+    import spark.implicits._
+    val dim = Seq(
+      ("1-URGENT", 1, "hot"), ("1-URGENT", 1, "hot2"), ("2-HIGH", 2, "warm"),
+      ("3-MEDIUM", 3, "mid"), ("5-LOW", 5, "cold"), ("9-NONE", 9, "never"))
+      .toDF("prio", "rank", "label")
+    abCheck("dj_orders", "o_orderpriority", dim, "prio")
+    g.dropTable("dj_orders")
+  }
+
+  test("plain-encoded key falls back to per-row lookup, same answers") {
+    val g = GraftSession(spark)
+    import spark.implicits._
+    // unique keys -> cardinality > n/4 -> the ingest stores PLAIN
+    val probe = (1 to 2000).map(i => (i.toLong, s"key_$i")).toDF("id", "k")
+    g.createTable("dj_plain", probe)
+    val dim = (1 to 2000 by 3).map(i => (s"key_$i", i * 10)).toDF("bk", "v")
+    abCheck("dj_plain", "k", dim, "bk")
+    g.dropTable("dj_plain")
+  }
+
+  test("null probe keys and unmatched keys drop out (inner join)") {
+    val g = GraftSession(spark)
+    import spark.implicits._
+    val probe = Seq((1L, "a"), (2L, null), (3L, "b"), (4L, "zzz"), (5L, "a"))
+      .toDF("id", "k")
+    g.createTable("dj_nulls", probe)
+    val dim = Seq(("a", 10), ("b", 20), ("c", 30)).toDF("bk", "v")
+    abCheck("dj_nulls", "k", dim, "bk")
+    val got = DictJoin.dictJoin(spark, "dj_nulls", "k", dim, "bk")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got.toSeq === Seq((1L, "a", 10), (3L, "b", 20), (5L, "a", 10)))
+    g.dropTable("dj_nulls")
+  }
+
+  test("join after store mutations sees the mutated snapshot") {
+    val g = GraftSession(spark)
+    import spark.implicits._
+    val probe = Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "c")).toDF("id", "k")
+    g.createTable("dj_mut", probe)
+    g.update("dj_mut", col("id") === 3L, "k" -> lit("a"))
+    g.delete("dj_mut", col("id") === 4L)
+    val dim = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("bk", "v")
+    abCheck("dj_mut", "k", dim, "bk")
+    g.dropTable("dj_mut")
+  }
+}

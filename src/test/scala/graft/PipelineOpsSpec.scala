@@ -201,6 +201,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(Dedup.lshCandidates(bands).count() == 50L * 49 / 2 + 1)
   }
 
+  test("containmentPairs hot-shingle cap bounds the m² blowup, keeps real pairs") {
+    import spark.implicits._
+    // 50 boilerplate docs share ONE stop-shingle ("the quick fox") and
+    // nothing else; docs 100/101 genuinely overlap (2 shared shingles).
+    val boiler = (1 to 50).map(i => (i.toLong, s"the quick fox u$i v$i w$i"))
+    val real = Seq(
+      (100L, "alpha beta gamma delta"),
+      (101L, "alpha beta gamma delta epsilon"))
+    val docs = (boiler ++ real).toDF("doc_id", "text")
+    // ungated at a low threshold: the stop-shingle alone yields 50·49
+    // directed pairs (containment 1/4 each) on top of the 2 real ones
+    val ungated = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.2)
+    assert(ungated.count() == 50L * 49 + 2)
+    // gated: the df-50 shingle is dropped, so the boilerplate pairs
+    // vanish while the real pair survives in both directions with its
+    // exact ungated containment values (its shingles have df 2)
+    val gated = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.2,
+        maxShingleDf = Some(10))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gated == Set((100L, 101L, 1.0), (101L, 100L, 2.0 / 3)), s"got $gated")
+  }
+
   test("minhash_full equals struct(minhash_sig, shingle_hashes)") {
     import graft.functions.TextFunctions.{minhash_sig, shingle_hashes}
     val sample = docs.filter(col("doc_id") < 100)

@@ -537,6 +537,28 @@ class SqlSurfaceSpec extends SparkTestBase {
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
     }
     assert(ex2.getMessage.contains("key-equality"))
+    // a same-side ON ('t.k = t.k' — a degenerate cross-match, not the
+    // upsert join) must be rejected, not silently run as PUT INTO
+    val exSame = intercept[Exception] {
+      spark.sql("MERGE INTO m_tgt USING m_src ON m_tgt.s_suppkey = m_tgt.s_suppkey " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(exSame.getMessage.contains("same side"), exSame.getMessage)
+    val exSame2 = intercept[Exception] {
+      spark.sql("MERGE INTO m_tgt t USING m_src s ON s.s_suppkey = s.s_suppkey " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(exSame2.getMessage.contains("same side"), exSame2.getMessage)
+    // bare = bare is ambiguous (both relations have the key) — rejected
+    val exBare = intercept[Exception] {
+      spark.sql("MERGE INTO m_tgt USING m_src ON s_suppkey = s_suppkey " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(exBare.getMessage.contains("same side"), exBare.getMessage)
+    // one bare + one qualified resolves unambiguously and runs
+    spark.sql("MERGE INTO m_tgt USING m_src ON s_suppkey = m_src.s_suppkey " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(g.table("m_tgt").count() == before)
     // the Delta-docs aliased form parses and routes too
     spark.sql("MERGE INTO m_tgt t USING m_src s ON (t.s_suppkey = s.s_suppkey) " +
       "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
