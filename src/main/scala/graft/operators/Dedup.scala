@@ -371,7 +371,7 @@ object Dedup {
   def minhashNearDupsFast(
       docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numHashes: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBucketSize: Option[Int] = None): DataFrame = {
     import graft.functions.TextFunctions.hash_jaccard
     val base = docs
       .select(col(idCol).as("sid"),
@@ -382,8 +382,37 @@ object Dedup {
     val bands = base
       .select(col("sid"), posexplode(col("sig")))
       .select(col("sid"), col("pos").as("band_idx"), col("col").as("band_hash"))
-    val cands = lshCandidates(bands)
-    val hashed = base.select(col("sid"), col("sh"))
+    // maxBucketSize passes through to the band join (see lshCandidates):
+    // shingle-LESS documents (fewer tokens than shingleLen) all carry
+    // the identical all-MaxValue signature, so ONE degenerate bucket per
+    // band grows quadratic join output at corpus scale — their pairs are
+    // Jaccard-0 and die in verification anyway, so the cap only removes
+    // work, never near-dups (ScaleProbe measures the difference).
+    val cands = lshCandidates(bands, maxBucketSize).localCheckpoint(true)
+    // Verification ships only CANDIDATE MEMBERS' hash arrays. Without
+    // this semi-join prune, once `base` outgrows the broadcast
+    // threshold both verify joins sort-merge-shuffle EVERY document's
+    // sh array — ScaleProbe measured the switch as a 587x shuffle-bytes
+    // jump at 16x corpus. The member id set is candidate-scale
+    // (∝ near-dup pairs), so AQE broadcast-semi-joins it against the
+    // scan and non-candidate arrays never leave their partitions.
+    // The broadcast decision is made from the MEASURED member count
+    // (the set is already materialized; count is metadata-cheap), not
+    // an unconditional hint: BroadcastPolicySpec's rule is that a hard
+    // hint must never be able to OOM at 100x, and neither Catalyst
+    // stats (the checkpoint keeps the origin's estimate, which here is
+    // the LSH join's) nor AQE (both SMJ exchanges submit together, so
+    // the full-base shuffle is written before member stats arrive —
+    // ScratchProbe measured exactly that race) gets this right on its
+    // own. Above the bound the semi join degrades to the linear
+    // shuffle join instead of a driver OOM.
+    val members = cands.select(col("a").as("sid"))
+      .union(cands.select(col("b").as("sid"))).distinct()
+      .localCheckpoint(true)
+    val prunedMembers =
+      if (members.count() <= 4000000L) broadcast(members) else members
+    val hashed = base.join(prunedMembers, Seq("sid"), "left_semi")
+      .select(col("sid"), col("sh"))
     cands
       .join(hashed.select(col("sid").as("a"), col("sh").as("ha")), "a")
       .join(hashed.select(col("sid").as("b"), col("sh").as("hb")), "b")

@@ -61,6 +61,58 @@ object ScaleProbe {
       val t = results((name, m))
       println(f"$name,$m,$t%.3f,${t / results((name, 1))}%.2f")
     }
+    frames.valuesIterator.foreach(_.unpersist())
+
+    // ---- minhash-LSH shuffle-volume rehearsal ----
+    // The banded-LSH claim is that shuffled data grows with the CORPUS
+    // (bands + candidate ids + per-candidate hash arrays), never with
+    // PAIRS — the all-pairs formulation it replaces is quadratic. To
+    // scale honestly, every token is salted with its replica id
+    // (shingle spaces of replicas are disjoint), so each replica
+    // carries the same internal near-dup structure and cross-replica
+    // collisions cannot manufacture m² candidates.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    val docs = Tables.load(spark, dir, "documents")
+    def docsX(mult: Int) = docs
+      .crossJoin(spark.range(mult).toDF("__rep"))
+      .select(
+        (col("doc_id") + col("__rep") * lit(1000000000L)).as("doc_id"),
+        regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1x"), col("__rep"))).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Step ratios (each row vs the previous) are the readable statistic:
+    // the absolute curve contains ONE plan switch (once `bands` outgrows
+    // the broadcast threshold the band self-join becomes an SMJ and its
+    // pair output physically shuffles into the distinct — a once-off,
+    // after which growth must be ~linear-in-step). Final pairs print
+    // too: they must scale exactly with the corpus.
+    println("minhash_lsh,mult,sec,shuffle_mb,pairs,sec_step,shuffle_step (step = vs prev row; 1->4->16 are 4x steps, 16->32 is 2x)")
+    var prevSec = -1.0; var prevMb = -1.0
+    for (m <- Seq(1, 4, 16, 32)) {
+      val dx = docsX(m); dx.count()
+      // settle the listener bus + drop prior checkpoint blocks
+      System.gc(); Thread.sleep(500)
+      shuffleBytes.set(0L)
+      val t0 = System.nanoTime()
+      // maxBucketSize guards degenerate buckets (e.g. the shingle-less
+      // all-MaxValue signature class) — the web-scale configuration
+      val pairs = graft.operators.Dedup
+        .minhashNearDupsFast(dx, "doc_id", "text", maxBucketSize = Some(100))
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // let stage-completed events drain
+      val mb = shuffleBytes.get() / 1e6
+      val secR = if (prevSec > 0) sec / prevSec else Double.NaN
+      val mbR = if (prevMb > 0) mb / prevMb else Double.NaN
+      println(f"minhash_lsh,$m,$sec%.3f,$mb%.1f,$pairs,$secR%.2f,$mbR%.2f")
+      prevSec = sec; prevMb = mb
+      dx.unpersist()
+    }
     spark.stop()
   }
 }

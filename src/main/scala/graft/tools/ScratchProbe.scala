@@ -1,118 +1,78 @@
 package graft.tools
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Throwaway perf probe (not part of the library surface).
   *
-  * Current target: attribute the `q_scalar_functions` r5 regression
-  * (0.23 s → 1.51 s, stable across runs — VERDICT r5 "What's wrong #2").
-  * Arms decompose the query: full body, plan-only, dround-free,
-  * column-subset halves, plus `q_dedup_exact` (the other flagged query).
-  * Arms are INTERLEAVED per round (host noise phases — see PERF_NOTES §1);
-  * per-arm minima across rounds are the comparable statistic.
+  * Current target: where do the minhash-LSH shuffle bytes come from at
+  * 16x corpus (ScaleProbe measured ~790 MB)? Prints per-stage shuffle
+  * writes and the executed plan of the pair count.
   */
 object ScratchProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.catalog.graft", "org.apache.spark.sql.graft.store.GraftCatalog")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("PROBE_MULT", "16").toInt
 
-    def scalarBase(): DataFrame = Tables.load(spark, dir, "lineitem")
-      .filter(col("l_orderkey") <= 100)
-
-    def fullSelect(df: DataFrame): DataFrame = df.select(
-      col("l_orderkey"), col("l_linenumber"),
-      upper(col("l_returnflag")).as("flag_upper"),
-      concat_ws("-", col("l_returnflag"), col("l_linestatus")).as("flag_concat"),
-      length(concat(col("l_returnflag"), col("l_linestatus"))).as("flag_len"),
-      lpad(col("l_linenumber").cast("string"), 3, "0").as("line_pad"),
-      substring(concat(col("l_returnflag"), col("l_linestatus")), 1, 1).as("flag_sub"),
-      abs(col("l_quantity") - 25).cast("double").as("qty_center"),
-      ceil(col("l_extendedprice") / 1000).cast("bigint").as("price_k"),
-      graft.dround(sqrt(col("l_quantity")), 4).as("qty_sqrt"),
-      graft.dround(log(col("l_extendedprice")), 4).as("price_ln"),
-      (col("l_quantity").cast("bigint") % 7).as("qty_mod"),
-      year(col("l_shipdate")).cast("int").as("ship_year"),
-      month(col("l_shipdate")).cast("int").as("ship_month"),
-      when(col("l_discount") > 0.05, "high").otherwise("low").as("disc_band"),
-      coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_or_none"),
-      greatest(col("l_tax"), col("l_discount")).as("max_rate"))
-
-    def noop(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-
-    def arm(name: String)(f: => Unit): (String, () => Double) =
-      (name, () => { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 })
-
-    val arms = Seq(
-      arm("full query (as benched)") {
-        noop(fullSelect(scalarBase()).orderBy(col("l_orderkey"), col("l_linenumber")))
-      },
-      arm("plan only (executedPlan forced)") {
-        fullSelect(scalarBase()).orderBy(col("l_orderkey"), col("l_linenumber"))
-          .queryExecution.executedPlan
-      },
-      arm("no orderBy") {
-        noop(fullSelect(scalarBase()))
-      },
-      arm("no dround cols") {
-        noop(scalarBase().select(
-          col("l_orderkey"), col("l_linenumber"),
-          upper(col("l_returnflag")).as("flag_upper"),
-          concat_ws("-", col("l_returnflag"), col("l_linestatus")).as("flag_concat"),
-          length(concat(col("l_returnflag"), col("l_linestatus"))).as("flag_len"),
-          lpad(col("l_linenumber").cast("string"), 3, "0").as("line_pad"),
-          substring(concat(col("l_returnflag"), col("l_linestatus")), 1, 1).as("flag_sub"),
-          abs(col("l_quantity") - 25).cast("double").as("qty_center"),
-          ceil(col("l_extendedprice") / 1000).cast("bigint").as("price_k"),
-          (col("l_quantity").cast("bigint") % 7).as("qty_mod"),
-          year(col("l_shipdate")).cast("int").as("ship_year"),
-          month(col("l_shipdate")).cast("int").as("ship_month"),
-          when(col("l_discount") > 0.05, "high").otherwise("low").as("disc_band"),
-          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_or_none"),
-          greatest(col("l_tax"), col("l_discount")).as("max_rate"))
-          .orderBy(col("l_orderkey"), col("l_linenumber")))
-      },
-      arm("keys+dround only") {
-        noop(scalarBase().select(
-          col("l_orderkey"), col("l_linenumber"),
-          graft.dround(sqrt(col("l_quantity")), 4).as("qty_sqrt"),
-          graft.dround(log(col("l_extendedprice")), 4).as("price_ln"))
-          .orderBy(col("l_orderkey"), col("l_linenumber")))
-      },
-      arm("scan+filter only") {
-        noop(scalarBase().select(col("l_orderkey"), col("l_linenumber")))
-      },
-      arm("q_dedup_exact (as benched)") {
-        noop(graft.SparkEntry.queries("q_dedup_exact")(spark, dir))
-      },
-      arm("q_scalar_functions2 (sibling)") {
-        noop(graft.SparkEntry.queries("q_scalar_functions2")(spark, dir))
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        stages.add((sc.stageInfo.name.take(80),
+          m.shuffleWriteMetrics.bytesWritten, m.shuffleReadMetrics.totalBytesRead))
       }
-    )
+    })
 
-    // warmup every arm once, then interleave rounds
-    arms.foreach { case (_, f) => f() }
-    val rounds = 4
-    val acc = scala.collection.mutable.Map.empty[String, List[Double]]
-    (1 to rounds).foreach { _ =>
-      arms.foreach { case (n, f) =>
-        acc(n) = f() :: acc.getOrElse(n, Nil)
-      }
+    val docs = Tables.load(spark, dir, "documents")
+    val dx = docs
+      .crossJoin(spark.range(mult).toDF("__rep"))
+      .select(
+        (col("doc_id") + col("__rep") * lit(1000000000L)).as("doc_id"),
+        regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1x"), col("__rep"))).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dx.count()
+    Thread.sleep(500); stages.clear()
+
+    def phase(tag: String)(f: => Long): Unit = {
+      Thread.sleep(500); stages.clear()
+      val t0 = System.nanoTime()
+      val out = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(800)
+      var w = 0L; var r = 0L
+      stages.forEach { case (_, sw, sr) => w += sw; r += sr }
+      println(f"phase $tag%-28s out=$out%10d  ${sec}%6.2fs  write=${w / 1e6}%8.1fMB read=${r / 1e6}%8.1fMB")
     }
-    println("== ScratchProbe: q_scalar_functions decomposition (sf0.1) ==")
-    arms.foreach { case (n, _) =>
-      val ts = acc(n)
-      println(f"$n%-36s min=${ts.min}%.3f  all=${ts.reverse.map(t => f"$t%.3f").mkString(",")}")
+
+    import org.apache.spark.sql.graft.TextHashExpressions
+    val base = dx
+      .select(col("doc_id").as("sid"),
+        TextHashExpressions.minhash_full(col("text"), 3, 16).as("m"))
+      .select(col("sid"), col("m.sig").as("sig"), col("m.sh").as("sh"))
+      .localCheckpoint(true)
+    phase("bands+cands(guard100)") {
+      val bands = base.select(col("sid"), posexplode(col("sig")))
+        .select(col("sid"), col("pos").as("band_idx"), col("col").as("band_hash"))
+      graft.operators.Dedup.lshCandidates(bands, Some(100)).count()
     }
+    phase("full pipeline (guard100)") {
+      graft.operators.Dedup
+        .minhashNearDupsFast(dx, "doc_id", "text", maxBucketSize = Some(100))
+        .count()
+    }
+    println("== stages of last phase > 1MB ==")
+    stages.forEach { case (name, w, r) =>
+      if (w > 1000000)
+        println(f"  write=${w / 1e6}%8.1fMB read=${r / 1e6}%8.1fMB  $name")
+    }
+    spark.stop()
   }
 }
