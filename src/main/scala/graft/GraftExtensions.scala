@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(session => RowLevelSecurityRule(session))
     e.injectResolutionRule(session => org.apache.spark.sql.graft.GrantCheckRule(session))
+    // opt-in (spark.sql.graft.dictJoin=true): dictionary-code join fast
+    // path for store-scan ⋈ small-dim string joins
+    e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.store.DictJoinStrategy)
 
     // Snappy statement surface (PUT INTO, UPDATE/DELETE on managed
     // tables, CREATE POLICY, CREATE SAMPLE TABLE, CREATE TABLE USING

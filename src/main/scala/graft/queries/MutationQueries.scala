@@ -351,6 +351,40 @@ object MutationQueries {
       g.table("t_pipe")
         .select(col("s_suppkey"), col("s_name"), dr2(col("s_acctbal")).as("bal"))
         .orderBy("s_suppkey")
+    },
+
+    // ---- dictionary-code join (DictJoin): the reference's
+    // DictionaryOptimizedMapAccessor mechanism, oracle-checked — the
+    // store's dict-encoded priority column joins a 5-row dimension with
+    // build-map lookups memoized per (batch, dictionary code). The
+    // oracle replays the identical join relationally ----
+    QueryDef.sql(
+      "q_dict_join",
+      """SELECT d.label, count(*) AS n,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  CAST(sum(d.rank) AS BIGINT) AS rank_mass
+        |FROM orders o
+        |JOIN (VALUES ('1-URGENT', 1, 'hot'), ('2-HIGH', 2, 'warm'),
+        |             ('3-MEDIUM', 3, 'mid'), ('4-NOT SPECIFIED', 4, 'meh'),
+        |             ('5-LOW', 5, 'cold')) AS d(prio, rank, label)
+        |  ON o.o_orderpriority = d.prio
+        |GROUP BY d.label
+        |ORDER BY d.label""".stripMargin) { (s, dir) =>
+      val fmt = "org.apache.spark.sql.graft.store.GraftColumnSource"
+      Tables.load(s, dir, "orders")
+        .write.format(fmt).option("table", "q_dj").option("batch_size", "4096")
+        .mode("overwrite").save()
+      import s.implicits._
+      val dim = Seq(
+        ("1-URGENT", 1, "hot"), ("2-HIGH", 2, "warm"), ("3-MEDIUM", 3, "mid"),
+        ("4-NOT SPECIFIED", 4, "meh"), ("5-LOW", 5, "cold"))
+        .toDF("prio", "rank", "label")
+      org.apache.spark.sql.graft.store.DictJoin
+        .dictJoin(s, "q_dj", "o_orderpriority", dim, "prio")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), graft.decSum(col("o_totalprice")).as("total"),
+          sum(col("rank")).cast("bigint").as("rank_mass"))
+        .orderBy("label")
     }
   )
 }

@@ -145,3 +145,185 @@ object DictJoin {
       .internalCreateDataFrame(rdd.asInstanceOf[org.apache.spark.rdd.RDD[InternalRow]], outSchema)
   }
 }
+
+/** Physical dictionary-code join: same per-(batch, code) memoized probe
+  * as [[DictJoin.dictJoin]], but as a planner-integrated `SparkPlan` so
+  * the fast path applies to ordinary `df.join(dim, key)` calls.
+  * Standard join output (all columns of both sides); build side is
+  * collected and broadcast (the strategy only fires under the
+  * autoBroadcastJoinThreshold, the same gate Spark's own BHJ uses).
+  * Rows are reused across `next()` calls — the usual SparkPlan output
+  * contract (buffering consumers copy).
+  */
+case class DictJoinExec(streamKeyIdx: Int, buildKeyIdx: Int,
+    left: org.apache.spark.sql.execution.SparkPlan,
+    right: org.apache.spark.sql.execution.SparkPlan)
+    extends org.apache.spark.sql.execution.SparkPlan {
+  import org.apache.spark.sql.catalyst.expressions.Attribute
+
+  override def children: Seq[org.apache.spark.sql.execution.SparkPlan] = Seq(left, right)
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[org.apache.spark.sql.execution.SparkPlan]): DictJoinExec =
+    copy(left = c(0), right = c(1))
+
+  override protected def doExecute(): org.apache.spark.rdd.RDD[InternalRow] = {
+    val bIdx = buildKeyIdx
+    val buildRows = right.executeCollect()
+    val map = new java.util.HashMap[UTF8String, Array[InternalRow]](buildRows.length * 2)
+    buildRows.foreach { r =>
+      if (!r.isNullAt(bIdx)) {
+        val k = r.getUTF8String(bIdx).clone()
+        val prev = map.get(k)
+        map.put(k, if (prev == null) Array[InternalRow](r.copy()) else prev :+ r.copy())
+      }
+    }
+    val bcast = sparkContext.broadcast(map)
+    val keyIdx = streamKeyIdx
+    // Spark's transition rule wraps the columnar scan in ColumnarToRow
+    // (custom execs can't declare columnar input); unwrap the pure
+    // pass-through so the probe reads the dictionary-id vectors the
+    // whole mechanism is about.
+    val columnarChild: Option[org.apache.spark.sql.execution.SparkPlan] = left match {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.child match {
+        case c: org.apache.spark.sql.execution.ColumnarToRowExec
+            if c.child.supportsColumnar => Some(c.child)
+        case _ => None
+      }
+      case c: org.apache.spark.sql.execution.ColumnarToRowExec
+          if c.child.supportsColumnar => Some(c.child)
+      case s if s.supportsColumnar => Some(s)
+      case _ => None
+    }
+    if (columnarChild.isEmpty) {
+      // row-producing child (planner interposed something): plain
+      // per-row lookups, still broadcast-shaped
+      return left.execute().mapPartitionsInternal { rows =>
+        val lookup = bcast.value
+        val joined = new JoinedRow
+        rows.flatMap { r =>
+          if (r.isNullAt(keyIdx)) Iterator.empty
+          else {
+            val m = lookup.get(r.getUTF8String(keyIdx))
+            if (m == null) Iterator.empty
+            else if (m.length == 1) Iterator.single(joined(r, m(0)))
+            else m.iterator.map(b => joined(r, b))
+          }
+        }
+      }
+    }
+    columnarChild.get.executeColumnar().mapPartitionsInternal { batches =>
+      val lookup = bcast.value
+      val joined = new JoinedRow
+      val empty = Array.empty[InternalRow]
+      batches.flatMap { cb =>
+        val keyVec = cb.column(keyIdx)
+        val dictIds = keyVec match {
+          case w: WritableColumnVector if w.hasDictionary => w.getDictionaryIds
+          case _ => null
+        }
+        val memo = if (dictIds == null) null
+          else new java.util.HashMap[Integer, Array[InternalRow]]()
+        val rows = cb.rowIterator()
+        new Iterator[InternalRow] {
+          private var rowId = -1
+          private var matches: Array[InternalRow] = empty
+          private var mi = 0
+          private var probeRow: InternalRow = _
+          private def advance(): Unit = {
+            while (mi >= matches.length && rows.hasNext) {
+              val r = rows.next()
+              rowId += 1
+              if (!r.isNullAt(keyIdx)) {
+                val m =
+                  if (memo != null) {
+                    val c = Integer.valueOf(dictIds.getInt(rowId))
+                    var arr = memo.get(c)
+                    if (arr == null) {
+                      arr = lookup.getOrDefault(r.getUTF8String(keyIdx), empty)
+                      memo.put(c, arr)
+                    }
+                    arr
+                  } else lookup.getOrDefault(r.getUTF8String(keyIdx), empty)
+                if (m.nonEmpty) { matches = m; mi = 0; probeRow = r }
+              }
+            }
+          }
+          override def hasNext: Boolean = { advance(); mi < matches.length }
+          override def next(): InternalRow = {
+            advance()
+            val out = joined(probeRow, matches(mi))
+            mi += 1
+            out
+          }
+        }
+      }
+    }
+  }
+}
+
+/** Planner strategy (opt-in: `spark.sql.graft.dictJoin=true`): rewrites
+  * `Join(Inner, probeKey = buildKey)` to [[DictJoinExec]] when the probe
+  * side is EXACTLY a graft column-store scan (bare DSv2 relation — any
+  * interposed Project/Filter keeps Spark's planning), the key is a
+  * string column, and the build side fits the broadcast threshold. Off
+  * by default so every existing query plans byte-identically; StoreBench
+  * and DictJoinStrategySpec exercise the enabled path.
+  */
+object DictJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
+  import org.apache.spark.sql.catalyst.plans.Inner
+  import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+
+  val CONF_KEY = "spark.sql.graft.dictJoin"
+
+  override def apply(plan: LogicalPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    if (!conf.getConfString(CONF_KEY, "false").toBoolean) return Nil
+    plan match {
+      case Join(l, r, Inner,
+          Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
+        // The optimizer interposes Filter(isnotnull(key)) above the scan
+        // for inner joins (the predicate is also already pushed INTO the
+        // scan, so the retained node is a residual re-check). DictJoinExec
+        // skips null probe keys inherently, so exactly that filter is
+        // absorbed; any other interposed node keeps Spark's planning.
+        val (scanRel, residual) = l match {
+          case s @ DataSourceV2ScanRelation(_, _: GraftScan, _, _, _) =>
+            (s, None)
+          case org.apache.spark.sql.catalyst.plans.logical.Filter(cond,
+              s @ DataSourceV2ScanRelation(_, _: GraftScan, _, _, _)) =>
+            (s, Some(cond))
+          case _ => return Nil
+        }
+        val (pk, bk) =
+          if (scanRel.outputSet.contains(a) && r.outputSet.contains(b)) (a, b)
+          else if (scanRel.outputSet.contains(b) && r.outputSet.contains(a)) (b, a)
+          else return Nil
+        val filterAbsorbable = residual.forall { cond =>
+          splitConjunctivePredicates(cond).forall {
+            case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+                x: AttributeReference) => x.exprId == pk.exprId
+            case _ => false
+          }
+        }
+        if (!filterAbsorbable) return Nil
+        if (pk.dataType != StringType) return Nil
+        if (r.stats.sizeInBytes > conf.autoBroadcastJoinThreshold) return Nil
+        val keyIdx = scanRel.output.indexWhere(_.exprId == pk.exprId)
+        val buildIdx = r.output.indexWhere(_.exprId == bk.exprId)
+        if (keyIdx < 0 || buildIdx < 0) return Nil
+        DictJoinExec(keyIdx, buildIdx, planLater(scanRel), planLater(r)) :: Nil
+      case _ => Nil
+    }
+  }
+
+  private def splitConjunctivePredicates(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = cond match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+    case other => Seq(other)
+  }
+}

@@ -63,6 +63,37 @@ class DictJoinSpec extends SparkTestBase {
     g.dropTable("dj_nulls")
   }
 
+  test("opt-in strategy rewrites df.join(dim) to DictJoinExec, same answers") {
+    val g = GraftSession(spark)
+    val orders = Tables.load(spark, sf, "orders")
+    g.createTable("dj_strat", orders)
+    import spark.implicits._
+    val dim = Seq(("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
+      ("4-NOT SPECIFIED", 4), ("5-LOW", 5)).toDF("prio", "rank")
+    val probe = org.apache.spark.sql.graft.store.GraftStoreOps.read(spark, "dj_strat")
+    def q = probe.join(dim, probe("o_orderpriority") === dim("prio"))
+      .groupBy("prio").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("rank").as("rm"))
+      .orderBy("prio")
+    val off = q.collect().toSeq
+    try {
+      spark.conf.set(org.apache.spark.sql.graft.store.DictJoinStrategy.CONF_KEY, "true")
+      val dfOn = q
+      val on = dfOn.collect().toSeq
+      assert(dfOn.queryExecution.executedPlan.toString.contains("DictJoin"),
+        dfOn.queryExecution.executedPlan.toString)
+      assert(on === off)
+      // guards: non-string key and oversized build sides keep Spark's join
+      val idDim = (1L to 5L).toDF("o_orderkey2")
+      val nonString = probe.join(idDim, probe("o_orderkey") === idDim("o_orderkey2"))
+      assert(!nonString.queryExecution.executedPlan.toString.contains("DictJoin"))
+    } finally {
+      spark.conf.unset(org.apache.spark.sql.graft.store.DictJoinStrategy.CONF_KEY)
+    }
+    g.dropTable("dj_strat")
+  }
+
   test("join after store mutations sees the mutated snapshot") {
     val g = GraftSession(spark)
     import spark.implicits._
