@@ -597,9 +597,18 @@ object TextAnalysis {
     */
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val sh = Dedup.shingles(docs, idCol, textCol, n)
-    val df = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
-    sh.join(df, "shingle")
+    // scan-fused shingling: shingle_hashes emits each document's DISTINCT
+    // shingle set as sorted 64-bit hashes in one pass, so the document
+    // frequency agg and the join back shuffle 8-byte longs instead of
+    // shingle STRINGS (the relational explode→distinct shape shuffled the
+    // text twice). Within-corpus collision odds at 64 bits are ~1e-12 —
+    // the same contract as the minhash verify path.
+    val sh = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("sid"),
+        explode(org.apache.spark.sql.graft.TextHashExpressions
+          .shingle_hashes(col(textCol), n)).as("__h"))
+    val df = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
+    sh.join(df, "__h")
       .groupBy(col("sid").as(idCol))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("__df") === 1, 1L).otherwise(0L)).as("novel"))
@@ -702,11 +711,12 @@ object TextAnalysis {
     val sw = size(array_intersect(col("__t"), array(stopwords.map(lit): _*)))
     val lf2 = when(sw >= 2, 1).when(sw === 0, 0).otherwise(lit(null).cast("int"))
     // LF3: repetition cap — a dominant token above 20% of the doc drops;
-    // under 10% keeps; between abstains
-    val topFrac = expr(
-      "aggregate(transform(array_distinct(__t), " +
-        "x -> size(filter(__t, y -> y = x))), 0, (a, c) -> greatest(a, c))")
-      .cast("double") / n
+    // under 10% keeps; between abstains. top_gram_fracs(n=1) IS
+    // max-token-count / n, computed by the compiled sort-and-run-length
+    // kernel — the HOF formulation (aggregate over transform over
+    // filter) is O(distinct × n) interpreted comparisons per document
+    val topFrac = element_at(
+      TextHashExpressions.top_gram_fracs(col("__t"), 1), 1)
     val lf3 = when(topFrac < 0.10, 1).when(topFrac > 0.20, 0)
       .otherwise(lit(null).cast("int"))
     base
