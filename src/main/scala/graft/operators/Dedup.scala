@@ -409,8 +409,17 @@ object Dedup {
     val members = cands.select(col("a").as("sid"))
       .union(cands.select(col("b").as("sid"))).distinct()
       .localCheckpoint(true)
+    // byte-measured, not row-counted: ids can be wide (URLs), and the
+    // whole point of the measured guard is that the hint can NEVER
+    // build an over-sized driver-side relation
+    val idBytes = members.schema("sid").dataType match {
+      case org.apache.spark.sql.types.StringType => octet_length(col("sid")).cast("long")
+      case _ => lit(8L) // numeric/date ids: fixed-width
+    }
+    val memberBytes =
+      members.agg(coalesce(sum(idBytes), lit(0L))).head.getLong(0)
     val prunedMembers =
-      if (members.count() <= 4000000L) broadcast(members) else members
+      if (memberBytes <= 64L * 1024 * 1024) broadcast(members) else members
     val hashed = base.join(prunedMembers, Seq("sid"), "left_semi")
       .select(col("sid"), col("sh"))
     cands

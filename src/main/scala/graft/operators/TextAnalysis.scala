@@ -602,7 +602,10 @@ object TextAnalysis {
     // frequency agg and the join back shuffle 8-byte longs instead of
     // shingle STRINGS (the relational explode→distinct shape shuffled the
     // text twice). Within-corpus collision odds at 64 bits are ~1e-12 —
-    // the same contract as the minhash verify path.
+    // the same contract as the minhash verify path. Tokenization follows
+    // TextHash.tokens (text is TRIMMED before the split — no phantom
+    // empty-token shingle on padded docs), which differs from
+    // Dedup.shingles' untrimmed convention; the oracle trims to match.
     val sh = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("sid"),
         explode(org.apache.spark.sql.graft.TextHashExpressions

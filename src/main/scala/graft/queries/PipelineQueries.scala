@@ -2026,8 +2026,11 @@ object PipelineQueries {
     // shingle-keyed shapes, no self-join ----
     QueryDef.sql(
       "q_ngram_novelty",
+      // trim() pins the operator's tokenization convention (shingle_hashes
+      // trims before splitting, so a whitespace-padded doc yields no
+      // phantom empty-token shingle)
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, shingle
         |  FROM (SELECT doc_id,

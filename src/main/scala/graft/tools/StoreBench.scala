@@ -127,12 +127,16 @@ object StoreBench {
       // the transparent path: same df.join text as the BHJ arm, rewritten
       // to DictJoinExec by the opt-in strategy
       spark.conf.set(org.apache.spark.sql.graft.store.DictJoinStrategy.CONF_KEY, "true")
-      time("string join: strategy on") {
-        probe.join(dim, probe("l_returnflag") === dim("flag"))
-          .drop(dim("flag"))
-          .write.format("noop").mode("overwrite").save()
+      try {
+        time("string join: strategy on") {
+          probe.join(dim, probe("l_returnflag") === dim("flag"))
+            .drop(dim("flag"))
+            .write.format("noop").mode("overwrite").save()
+        }
+      } finally {
+        // a failing arm must not leave the strategy on for later arms
+        spark.conf.unset(org.apache.spark.sql.graft.store.DictJoinStrategy.CONF_KEY)
       }
-      spark.conf.unset(org.apache.spark.sql.graft.store.DictJoinStrategy.CONF_KEY)
     }
     // q1 aggregation variants
     val lif = li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))

@@ -3,10 +3,11 @@ package org.apache.spark.sql.graft.store
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, JoinedRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.execution.vectorized.WritableColumnVector
 import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Dictionary-code hash join: the store-side rebuild of the reference's
@@ -34,13 +35,84 @@ import org.apache.spark.unsafe.types.UTF8String
   * join runs inside the scan's partitions (bucket locality preserved),
   * and only the dimension broadcast ships.
   *
-  * This is the explicit-operator form of the mechanism; a planner
-  * `Strategy` could pattern-match Join(managed scan, small dim) to apply
-  * it transparently, but an explicit call keeps the 154-query surface's
-  * plans byte-stable while the mechanism is proven (StoreBench measures
-  * it; DictJoinSpec pins A/B equality with the Spark join).
+  * [[DictJoinStrategy]] applies the same mechanism transparently (via
+  * [[DictJoinExec]]) to ordinary `df.join(dim, key)` calls when opted in;
+  * the explicit operator keeps working regardless of the conf.
   */
 object DictJoin {
+
+  /** UTF8String key -> matching rows, from collected build rows (keys
+    * with no match are simply absent — inner join).
+    */
+  private[store] def buildKeyMap(rows: Array[InternalRow], keyIdx: Int)
+      : java.util.HashMap[UTF8String, Array[InternalRow]] = {
+    val map = new java.util.HashMap[UTF8String, Array[InternalRow]](rows.length * 2)
+    rows.foreach { r =>
+      if (!r.isNullAt(keyIdx)) {
+        val k = r.getUTF8String(keyIdx).clone()
+        val prev = map.get(k)
+        val row = r.copy()
+        map.put(k, if (prev == null) Array[InternalRow](row) else prev :+ row)
+      }
+    }
+    map
+  }
+
+  /** Memoized probe over ONE columnar batch: the build-map lookup runs
+    * once per (batch, dictionary code) when the key vector is
+    * dictionary-backed, per row otherwise. `emit` shapes each output
+    * (projection / copy policy differs per caller); null keys drop
+    * (inner-join semantics).
+    */
+  private[store] def probeBatch(
+      cb: ColumnarBatch, keyIdx: Int,
+      lookup: java.util.HashMap[UTF8String, Array[InternalRow]],
+      emit: (InternalRow, InternalRow) => InternalRow): Iterator[InternalRow] = {
+    val keyVec = cb.column(keyIdx)
+    val dictIds = keyVec match {
+      case w: WritableColumnVector if w.hasDictionary => w.getDictionaryIds
+      case _ => null
+    }
+    // per-batch code -> matches memo; codes are small ints (dict
+    // positions), so an int-keyed open map would also do — the boxed
+    // map is off the per-row path after the first hit
+    val memo = if (dictIds == null) null
+      else new java.util.HashMap[Integer, Array[InternalRow]]()
+    val rows = cb.rowIterator()
+    val empty = Array.empty[InternalRow]
+    new Iterator[InternalRow] {
+      private var rowId = -1
+      private var matches: Array[InternalRow] = empty
+      private var mi = 0
+      private var probeRow: InternalRow = _
+      private def advance(): Unit = {
+        while (mi >= matches.length && rows.hasNext) {
+          val r = rows.next()
+          rowId += 1
+          if (!r.isNullAt(keyIdx)) {
+            val m =
+              if (memo != null) {
+                val c = Integer.valueOf(dictIds.getInt(rowId))
+                var arr = memo.get(c)
+                if (arr == null) {
+                  arr = lookup.getOrDefault(r.getUTF8String(keyIdx), empty)
+                  memo.put(c, arr)
+                }
+                arr
+              } else lookup.getOrDefault(r.getUTF8String(keyIdx), empty)
+            if (m.nonEmpty) { matches = m; mi = 0; probeRow = r }
+          }
+        }
+      }
+      override def hasNext: Boolean = { advance(); mi < matches.length }
+      override def next(): InternalRow = {
+        advance()
+        val out = emit(probeRow, matches(mi))
+        mi += 1
+        out
+      }
+    }
+  }
 
   def dictJoin(spark: SparkSession, table: String, key: String,
       build: DataFrame, buildKey: String): DataFrame = {
@@ -64,18 +136,7 @@ object DictJoin {
     val keyIdx = scanExec.output.indexWhere(_.name == key)
     val nProbe = scanExec.output.size
 
-    // build-side hash map: UTF8String key -> matching build rows (keys
-    // with no match are simply absent — inner join)
-    val buildRows = build.queryExecution.executedPlan.executeCollect()
-    val map = new java.util.HashMap[UTF8String, Array[InternalRow]](buildRows.length * 2)
-    buildRows.foreach { r =>
-      if (!r.isNullAt(buildKeyIdx)) {
-        val k = r.getUTF8String(buildKeyIdx).clone()
-        val prev = map.get(k)
-        val row = r.copy()
-        map.put(k, if (prev == null) Array[InternalRow](row) else prev :+ row)
-      }
-    }
+    val map = buildKeyMap(build.queryExecution.executedPlan.executeCollect(), buildKeyIdx)
     val bcast: Broadcast[java.util.HashMap[UTF8String, Array[InternalRow]]] =
       spark.sparkContext.broadcast(map)
 
@@ -92,68 +153,24 @@ object DictJoin {
       val lookup = bcast.value
       val proj = UnsafeProjection.create(outExprs.toArray)
       val joined = new JoinedRow
-      val empty = Array.empty[InternalRow]
-      batches.flatMap { cb =>
-        val keyVec = cb.column(keyIdx)
-        val dictIds = keyVec match {
-          case w: WritableColumnVector if w.hasDictionary => w.getDictionaryIds
-          case _ => null
-        }
-        // per-batch code -> matches memo; codes are small ints (dict
-        // positions), so an int-keyed open map would also do — the
-        // boxed map is off the per-row path after the first hit
-        val memo = if (dictIds == null) null
-          else new java.util.HashMap[Integer, Array[InternalRow]]()
-        val rows = cb.rowIterator()
-        new Iterator[UnsafeRow] {
-          private var rowId = -1
-          private var matches: Array[InternalRow] = empty
-          private var mi = 0
-          private var probeRow: InternalRow = _
-          private def advance(): Unit = {
-            while (mi >= matches.length && rows.hasNext) {
-              val r = rows.next()
-              rowId += 1
-              if (!r.isNullAt(keyIdx)) {
-                val m =
-                  if (memo != null) {
-                    val c = Integer.valueOf(dictIds.getInt(rowId))
-                    var arr = memo.get(c)
-                    if (arr == null) {
-                      arr = lookup.getOrDefault(r.getUTF8String(keyIdx), empty)
-                      memo.put(c, arr)
-                    }
-                    arr
-                  } else lookup.getOrDefault(r.getUTF8String(keyIdx), empty)
-                if (m.nonEmpty) { matches = m; mi = 0; probeRow = r }
-              }
-            }
-          }
-          override def hasNext: Boolean = { advance(); mi < matches.length }
-          override def next(): UnsafeRow = {
-            advance()
-            val out = proj(joined(probeRow, matches(mi)))
-            mi += 1
-            // rows feed a LogicalRDD scan, whose contract wants stable
-            // rows (the projection buffer is reused per partition)
-            out.copy()
-          }
-        }
-      }
+      // rows feed a LogicalRDD scan, whose contract wants stable rows
+      // (the projection buffer is reused per partition) — hence copy()
+      batches.flatMap(cb =>
+        probeBatch(cb, keyIdx, lookup, (p, b) => proj(joined(p, b)).copy()))
     }
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .internalCreateDataFrame(rdd.asInstanceOf[org.apache.spark.rdd.RDD[InternalRow]], outSchema)
+      .internalCreateDataFrame(rdd, outSchema)
   }
 }
 
 /** Physical dictionary-code join: same per-(batch, code) memoized probe
-  * as [[DictJoin.dictJoin]], but as a planner-integrated `SparkPlan` so
-  * the fast path applies to ordinary `df.join(dim, key)` calls.
-  * Standard join output (all columns of both sides); build side is
-  * collected and broadcast (the strategy only fires under the
-  * autoBroadcastJoinThreshold, the same gate Spark's own BHJ uses).
-  * Rows are reused across `next()` calls — the usual SparkPlan output
-  * contract (buffering consumers copy).
+  * as [[DictJoin.dictJoin]] (shared [[DictJoin.probeBatch]] kernel), but
+  * as a planner-integrated `SparkPlan` so the fast path applies to
+  * ordinary `df.join(dim, key)` calls. Standard join output (all columns
+  * of both sides); build side is collected and broadcast (the strategy
+  * only fires under the autoBroadcastJoinThreshold, the same gate
+  * Spark's own BHJ uses). Rows are reused across `next()` calls — the
+  * usual SparkPlan output contract (buffering consumers copy).
   */
 case class DictJoinExec(streamKeyIdx: Int, buildKeyIdx: Int,
     left: org.apache.spark.sql.execution.SparkPlan,
@@ -168,16 +185,7 @@ case class DictJoinExec(streamKeyIdx: Int, buildKeyIdx: Int,
     copy(left = c(0), right = c(1))
 
   override protected def doExecute(): org.apache.spark.rdd.RDD[InternalRow] = {
-    val bIdx = buildKeyIdx
-    val buildRows = right.executeCollect()
-    val map = new java.util.HashMap[UTF8String, Array[InternalRow]](buildRows.length * 2)
-    buildRows.foreach { r =>
-      if (!r.isNullAt(bIdx)) {
-        val k = r.getUTF8String(bIdx).clone()
-        val prev = map.get(k)
-        map.put(k, if (prev == null) Array[InternalRow](r.copy()) else prev :+ r.copy())
-      }
-    }
+    val map = DictJoin.buildKeyMap(right.executeCollect(), buildKeyIdx)
     val bcast = sparkContext.broadcast(map)
     val keyIdx = streamKeyIdx
     // Spark's transition rule wraps the columnar scan in ColumnarToRow
@@ -215,49 +223,8 @@ case class DictJoinExec(streamKeyIdx: Int, buildKeyIdx: Int,
     columnarChild.get.executeColumnar().mapPartitionsInternal { batches =>
       val lookup = bcast.value
       val joined = new JoinedRow
-      val empty = Array.empty[InternalRow]
-      batches.flatMap { cb =>
-        val keyVec = cb.column(keyIdx)
-        val dictIds = keyVec match {
-          case w: WritableColumnVector if w.hasDictionary => w.getDictionaryIds
-          case _ => null
-        }
-        val memo = if (dictIds == null) null
-          else new java.util.HashMap[Integer, Array[InternalRow]]()
-        val rows = cb.rowIterator()
-        new Iterator[InternalRow] {
-          private var rowId = -1
-          private var matches: Array[InternalRow] = empty
-          private var mi = 0
-          private var probeRow: InternalRow = _
-          private def advance(): Unit = {
-            while (mi >= matches.length && rows.hasNext) {
-              val r = rows.next()
-              rowId += 1
-              if (!r.isNullAt(keyIdx)) {
-                val m =
-                  if (memo != null) {
-                    val c = Integer.valueOf(dictIds.getInt(rowId))
-                    var arr = memo.get(c)
-                    if (arr == null) {
-                      arr = lookup.getOrDefault(r.getUTF8String(keyIdx), empty)
-                      memo.put(c, arr)
-                    }
-                    arr
-                  } else lookup.getOrDefault(r.getUTF8String(keyIdx), empty)
-                if (m.nonEmpty) { matches = m; mi = 0; probeRow = r }
-              }
-            }
-          }
-          override def hasNext: Boolean = { advance(); mi < matches.length }
-          override def next(): InternalRow = {
-            advance()
-            val out = joined(probeRow, matches(mi))
-            mi += 1
-            out
-          }
-        }
-      }
+      batches.flatMap(cb =>
+        DictJoin.probeBatch(cb, keyIdx, lookup, (p, b) => joined(p, b)))
     }
   }
 }
@@ -268,9 +235,10 @@ case class DictJoinExec(streamKeyIdx: Int, buildKeyIdx: Int,
   * interposed Project/Filter keeps Spark's planning), the key is a
   * string column, and the build side fits the broadcast threshold. Off
   * by default so every existing query plans byte-identically; StoreBench
-  * and DictJoinStrategySpec exercise the enabled path.
+  * and DictJoinSpec exercise the enabled path.
   */
-object DictJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+object DictJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
   import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
   import org.apache.spark.sql.catalyst.plans.Inner
   import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
@@ -317,13 +285,5 @@ object DictJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
         DictJoinExec(keyIdx, buildIdx, planLater(scanRel), planLater(r)) :: Nil
       case _ => Nil
     }
-  }
-
-  private def splitConjunctivePredicates(
-      cond: org.apache.spark.sql.catalyst.expressions.Expression)
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = cond match {
-    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-      splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
-    case other => Seq(other)
   }
 }

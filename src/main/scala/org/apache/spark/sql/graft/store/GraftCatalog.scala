@@ -83,18 +83,22 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     }
     val keys = Option(properties.get("key_columns"))
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
-    GraftColumnStore.createOrReplace(nm, schema, bucketBy, buckets, keys)
+    // Validate EVERY property before createOrReplace registers the
+    // table: a post-registration failure would leave a phantom entry
+    // that makes the corrected retry fail with TableAlreadyExists. And
+    // fail at CREATE rather than the first write — an unvalidated codec
+    // recorded in the snapshot would poison every later DataFrame
+    // write/compact with a confusing late error (same check as
+    // GraftTable.fromOptions).
     val compression = Option(properties.get("compression"))
       .map(_.toLowerCase).getOrElse("none")
-    // Fail at CREATE, not at the first write: an unvalidated codec here
-    // would be recorded in the snapshot and then poison every later
-    // DataFrame write/compact with a confusing late error (same check as
-    // GraftTable.fromOptions).
     require(compression == "none" || compression == "lz4",
       s"graftstore: unsupported compression '$compression' (none | lz4)")
     val evictionBudget = Option(properties.get("eviction_budget_bytes"))
       .map(_.toLong).getOrElse(0L)
-    new GraftTable(nm, schema, Option(properties.get("batch_size")).map(_.toInt).getOrElse(16384),
+    val batchSize = Option(properties.get("batch_size")).map(_.toInt).getOrElse(16384)
+    GraftColumnStore.createOrReplace(nm, schema, bucketBy, buckets, keys)
+    new GraftTable(nm, schema, batchSize,
       bucketBy, buckets, keys, Nil, compression, evictionBudget)
   }
 

@@ -370,22 +370,8 @@ object GraftColumnStore {
     private val batchSizes = TrieMap.empty[Long, Long]
     private val accessTick = new AtomicLong
     private val lastAccess = TrieMap.empty[Long, Long]
-    private lazy val spillDir = {
-      val d = java.nio.file.Files.createTempDirectory("graft-overflow-")
-      // File.deleteOnExit cannot remove a non-empty directory, and spill
-      // files are created after registration — a shutdown hook sweeps
-      // whatever is still live at exit (release() already deletes files
-      // eagerly while running)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        try {
-          val files = java.nio.file.Files.list(d)
-          try files.forEach(p => java.nio.file.Files.deleteIfExists(p))
-          finally files.close()
-          java.nio.file.Files.deleteIfExists(d)
-        } catch { case _: Throwable => () }
-      }, "graft-spill-sweep"))
-      d
-    }
+    private lazy val spillDir =
+      SpillSweep.registeredTempDir("graft-overflow-", "graft-spill-sweep")
 
     def putBatch(b: StoreBatch): Long = {
       val id = nextId.incrementAndGet()

@@ -93,21 +93,8 @@ object GraftRowStore {
     private val packSizes = TrieMap.empty[Long, Long]
     private val accessTick = new AtomicLong
     private val lastAccess = TrieMap.empty[Long, Long]
-    private lazy val spillDir = {
-      val d = java.nio.file.Files.createTempDirectory("graft-row-overflow-")
-      // File.deleteOnExit cannot remove a non-empty directory, and spill
-      // files are created after registration — a shutdown hook sweeps
-      // whatever is still live at exit (in-flight deletes stay eager)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        try {
-          val files = java.nio.file.Files.list(d)
-          try files.forEach(p => java.nio.file.Files.deleteIfExists(p))
-          finally files.close()
-          java.nio.file.Files.deleteIfExists(d)
-        } catch { case _: Throwable => () }
-      }, "graft-row-spill-sweep"))
-      d
-    }
+    private lazy val spillDir =
+      SpillSweep.registeredTempDir("graft-row-overflow-", "graft-row-spill-sweep")
 
     def put(p: RowPack): Long = {
       val id = nextId.incrementAndGet()

@@ -161,4 +161,21 @@ class ColumnStoreSpec extends SparkTestBase {
     assert(spark.table("graft.cat_dup").count() == 1)
     spark.sql("DROP TABLE graft.cat_dup")
   }
+
+  test("failed catalog CREATE leaves no phantom table behind") {
+    spark.sql("DROP TABLE IF EXISTS graft.cat_bad")
+    // invalid codec must fail AT CREATE, and must fail BEFORE the store
+    // registers the table — otherwise the corrected retry would hit
+    // TableAlreadyExists on a phantom entry
+    val err = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.cat_bad (k BIGINT, v STRING) USING graft " +
+        "OPTIONS (compression 'zstd')")
+    }
+    assert(err.getMessage.contains("unsupported compression"), err.getMessage)
+    spark.sql("CREATE TABLE graft.cat_bad (k BIGINT, v STRING) USING graft " +
+      "OPTIONS (compression 'lz4')")
+    spark.sql("INSERT INTO graft.cat_bad VALUES (1, 'a')")
+    assert(spark.table("graft.cat_bad").count() == 1)
+    spark.sql("DROP TABLE graft.cat_bad")
+  }
 }
