@@ -757,6 +757,73 @@ object PipelineQueries {
       Dedup.dupClusters(pairs).orderBy("doc_id")
     },
 
+    // ---- near-dup cluster size histogram: how big are the duplicate
+    // families (the report a dedup pass ships — a few huge families vs
+    // many pairs changes the removal budget). Same resolved clusters,
+    // two metadata-scale aggs on top ----
+    QueryDef.sql(
+      "q_dedup_cluster_sizes",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(t) - 1),
+        |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |        FROM toks WHERE len(t) >= 3) u),
+        |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |pairs AS (
+        |  SELECT i.a, i.b FROM inter i
+        |    JOIN sizes sa ON i.a = sa.doc_id
+        |    JOIN sizes sb ON i.b = sb.doc_id
+        |  WHERE CAST(i.n_inter AS DOUBLE) / (sa.set_size + sb.set_size - i.n_inter) >= 0.7),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION SELECT b, a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |comp AS (SELECT id, min(r) AS cid FROM reach GROUP BY id),
+        |csizes AS (SELECT cid, count(*) AS cluster_size FROM comp GROUP BY cid)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        |FROM csizes GROUP BY cluster_size
+        |ORDER BY cluster_size""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.minhashNearDupsFast(Tables.load(s, dir, "documents"),
+        "doc_id", "text", shingleLen = 3, numHashes = 16, threshold = 0.7)
+      Dedup.dupClusters(pairs)
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs",
+          (col("cluster_size") * col("n_clusters")).cast("bigint"))
+        .orderBy("cluster_size")
+    },
+
+    // ---- per-source exact-dup hygiene report: which ingest source is
+    // dirty. One scan + one (source, hash)-keyed distinct — the report a
+    // crawl pipeline checks before blending sources ----
+    QueryDef.sql(
+      "q_dedup_by_source",
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_unique,
+        |  (sign(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*)) *
+        |   floor(abs(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*))
+        |         * 1000000.0 + 0.5) / 1000000.0) AS dup_frac_r
+        |FROM documents
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"))
+        .withColumn("dup_frac_r",
+          graft.dround(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6))
+        .orderBy("source")
+    },
+
     // ---- embedding-cosine near-dup pairs (exact, block-distributed) ----
     // Threshold 0.35 in 64 dims is the near-random regime (every oracle
     // pair on this corpus lies in [0.35, 0.5); random pairs average
