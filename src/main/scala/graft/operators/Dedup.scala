@@ -373,15 +373,7 @@ object Dedup {
       shingleLen: Int = 3, numHashes: Int = 16,
       threshold: Double = 0.7, maxBucketSize: Option[Int] = None): DataFrame = {
     import graft.functions.TextFunctions.hash_jaccard
-    val base = docs
-      .select(col(idCol).as("sid"),
-        org.apache.spark.sql.graft.TextHashExpressions
-          .minhash_full(col(textCol), shingleLen, numHashes).as("m"))
-      .select(col("sid"), col("m.sig").as("sig"), col("m.sh").as("sh"))
-      .localCheckpoint(true)
-    val bands = base
-      .select(col("sid"), posexplode(col("sig")))
-      .select(col("sid"), col("pos").as("band_idx"), col("col").as("band_hash"))
+    val (bands, sigs) = minhashFrames(docs, idCol, textCol, shingleLen, numHashes)
     // maxBucketSize passes through to the band join (see lshCandidates):
     // shingle-LESS documents (fewer tokens than shingleLen) all carry
     // the identical all-MaxValue signature, so ONE degenerate bucket per
@@ -420,7 +412,7 @@ object Dedup {
       members.agg(coalesce(sum(idBytes), lit(0L))).head.getLong(0)
     val prunedMembers =
       if (memberBytes <= 64L * 1024 * 1024) broadcast(members) else members
-    val hashed = base.join(prunedMembers, Seq("sid"), "left_semi")
+    val hashed = sigs.join(prunedMembers, Seq("sid"), "left_semi")
       .select(col("sid"), col("sh"))
     cands
       .join(hashed.select(col("sid").as("a"), col("sh").as("ha")), "a")
@@ -428,6 +420,80 @@ object Dedup {
       .withColumn("jaccard", hash_jaccard(col("ha"), col("hb")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
+  }
+
+  /** The persistent-registry layout of a corpus's minhash state: one
+    * `(sid, band_idx, band_hash)` frame (bucket the backing table by
+    * `band_hash` — incoming batches then join it storage-partitioned)
+    * and one `(sid, sh)` frame of sorted shingle hashes (bucket by
+    * `sid`). One shingling pass total (minhash_full).
+    */
+  def minhashFrames(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 16): (DataFrame, DataFrame) = {
+    val base = docs
+      .select(col(idCol).as("sid"),
+        org.apache.spark.sql.graft.TextHashExpressions
+          .minhash_full(col(textCol), shingleLen, numHashes).as("m"))
+      .select(col("sid"), col("m.sig").as("sig"), col("m.sh").as("sh"))
+      .localCheckpoint(true)
+    val bands = base
+      .select(col("sid"), posexplode(col("sig")))
+      .select(col("sid"), col("pos").as("band_idx"), col("col").as("band_hash"))
+    (bands, base.select(col("sid"), col("sh")))
+  }
+
+  /** Incremental MinHash-LSH near-dup detection — the production ingest
+    * loop for NEAR duplicates, the fuzzy complement of
+    * [[incrementalDedup]]: a persistent signature REGISTRY (the
+    * [[minhashFrames]] layout, normally two bucketed store tables)
+    * deduplicates each incoming batch against all history without
+    * rescanning or re-shingling the historical corpus.
+    *
+    * Returns `(pairs, newBands, newSigs)`:
+    *  - `pairs`: UNORDERED near-dup pairs `(a, b, jaccard)` with
+    *    `a < b`, exact-Jaccard verified at `threshold`, where at least
+    *    one side is a batch document (batch-vs-history and
+    *    batch-internal, deduplicated — a document present in both
+    *    history and batch contributes each pair once);
+    *  - `newBands` / `newSigs`: the batch's registry rows — append them
+    *    to the registry tables AFTER committing the batch (materialize
+    *    `pairs` first, same contract as [[incrementalDedup]]).
+    *
+    * Scale shape: per-batch cost only. Batch docs shingle once
+    * (minhash_full); the candidate join shuffles the BATCH's (band, id)
+    * pairs onto the registry's band_hash bucketing (storage-partitioned
+    * on the registry side — history never moves); verification joins
+    * ship hash arrays for candidate members only (the registry sigs
+    * side prunes by the candidate id join before its arrays shuffle).
+    */
+  def incrementalMinhash(batch: DataFrame, idCol: String, textCol: String,
+      registryBands: DataFrame, registrySigs: DataFrame,
+      shingleLen: Int = 3, numHashes: Int = 16,
+      threshold: Double = 0.7): (DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.TextFunctions.hash_jaccard
+    val (bands, sigs) = minhashFrames(batch, idCol, textCol, shingleLen, numHashes)
+    // batch-internal candidates (a < b within the batch)
+    val intra = lshCandidates(bands)
+    // batch-vs-history candidates: the batch's bands probe the registry
+    val cross = bands.select(col("band_idx"), col("band_hash"), col("sid").as("b"))
+      .join(registryBands.select(col("band_idx"), col("band_hash"), col("sid").as("a")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    def verify(cands: DataFrame, aSide: DataFrame): DataFrame = cands
+      .join(aSide.select(col("sid").as("a"), col("sh").as("ha")), "a")
+      .join(sigs.select(col("sid").as("b"), col("sh").as("hb")), "b")
+      .withColumn("jaccard", hash_jaccard(col("ha"), col("hb")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+    // normalize to unordered (least, greatest) pairs and deduplicate:
+    // a document present in BOTH history and batch would otherwise
+    // contribute the same pair through both paths
+    val pairs = verify(cross, registrySigs).unionByName(verify(intra, sigs))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), col("jaccard"))
+      .distinct()
+    (pairs, bands, sigs)
   }
 
   /** Embedding-cosine near-dup pairs over an `array<float>` column.

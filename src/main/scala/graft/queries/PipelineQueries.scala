@@ -757,6 +757,59 @@ object PipelineQueries {
       Dedup.dupClusters(pairs).orderBy("doc_id")
     },
 
+    // ---- incremental MinHash-LSH near-dup dedup: a persistent
+    // signature registry (two bucketed store tables: band postings +
+    // shingle-hash sets) built from the HISTORY corpus deduplicates an
+    // incoming BATCH without re-shingling history — the fuzzy complement
+    // of q_dedup_incremental. The oracle replays every exact-Jaccard
+    // pair over history ∪ batch with at least one batch side (the
+    // banding's recall-1 contract, proven corpus-wide by
+    // q_dedup_minhash_lsh, makes engine = oracle exactly) ----
+    QueryDef.sql(
+      "q_dedup_incremental_minhash",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+        |  WHERE doc_id % 2 = 0 OR doc_id % 3 = 0),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(t) - 1),
+        |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |        FROM toks WHERE len(t) >= 3) u),
+        |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |pairs AS (
+        |  SELECT i.a, i.b,
+        |    CAST(i.n_inter AS DOUBLE)
+        |      / (sa.set_size + sb.set_size - i.n_inter) AS jaccard
+        |  FROM inter i
+        |    JOIN sizes sa ON i.a = sa.doc_id
+        |    JOIN sizes sb ON i.b = sb.doc_id)
+        |SELECT a, b,
+        |  (sign(jaccard) * floor(abs(jaccard) * 10000.0 + 0.5) / 10000.0)
+        |    AS jaccard_r
+        |FROM pairs
+        |WHERE jaccard >= 0.7 AND (a % 3 = 0 OR b % 3 = 0)
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      val g = graft.GraftSession(s)
+      val docs = Tables.load(s, dir, "documents")
+      val (histBands, histSigs) =
+        Dedup.minhashFrames(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      g.createTable("t_nd_bands", histBands,
+        partitionBy = Seq("band_hash"), buckets = 8)
+      g.createTable("t_nd_sigs", histSigs,
+        partitionBy = Seq("sid"), buckets = 8)
+      val (pairs, _, _) = Dedup.incrementalMinhash(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        g.table("t_nd_bands"), g.table("t_nd_sigs"))
+      pairs
+        .select(col("a"), col("b"), graft.dround(col("jaccard"), 4).as("jaccard_r"))
+        .orderBy("a", "b")
+    },
+
     // ---- near-dup cluster size histogram: how big are the duplicate
     // families (the report a dedup pass ships — a few huge families vs
     // many pairs changes the removal budget). Same resolved clusters,

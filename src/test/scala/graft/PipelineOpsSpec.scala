@@ -201,6 +201,41 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(Dedup.lshCandidates(bands).count() == 50L * 49 / 2 + 1)
   }
 
+  test("incrementalMinhash: registry loop finds cross-batch + intra-batch near-dups once") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.TextHash
+    val h1 = "a b c d e f g h i j"
+    val h2 = "q w e r t y u i o p"
+    val b4 = "z x c v b n m a s d"
+    val hist = Seq((1L, h1), (2L, h2)).toDF("doc_id", "text")
+    // batch contains: a near-dup of h1, an exact copy of h2 (new id), an
+    // unrelated doc + its near-dup, AND h2 itself again (same id — the
+    // history∩batch overlap that must not double-emit pairs)
+    val batch1 = Seq(
+      (3L, h1 + " k"), (6L, h2), (4L, b4), (5L, b4 + " f"), (2L, h2))
+      .toDF("doc_id", "text")
+    val (regBands, regSigs) = Dedup.minhashFrames(hist, "doc_id", "text")
+    val (pairs1, newBands, newSigs) = Dedup.incrementalMinhash(
+      batch1, "doc_id", "text", regBands, regSigs)
+    val got1 = pairs1.as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    val jac = (x: String, y: String) => TextHash.jaccard(x, y, 3)
+    assert(got1.keySet === Set((1L, 3L), (2L, 6L), (4L, 5L)), s"got $got1")
+    assert(math.abs(got1((1L, 3L)) - jac(h1, h1 + " k")) < 1e-12)
+    assert(got1((2L, 6L)) === 1.0)
+    // append the batch to the registry; a second batch near-dup of doc 3
+    // must now pair with BOTH its history ancestors, nothing re-emitted
+    val regBands2 = regBands.unionByName(newBands)
+    val regSigs2 = regSigs.unionByName(newSigs)
+    val batch2 = Seq((7L, h1 + " k")).toDF("doc_id", "text")
+    val (pairs2, _, _) = Dedup.incrementalMinhash(
+      batch2, "doc_id", "text", regBands2, regSigs2)
+    val got2 = pairs2.as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(got2.keySet === Set((1L, 7L), (3L, 7L)), s"got $got2")
+    assert(got2((3L, 7L)) === 1.0)
+  }
+
   test("containmentPairs hot-shingle cap bounds the m² blowup, keeps real pairs") {
     import spark.implicits._
     // 50 boilerplate docs share ONE stop-shingle ("the quick fox") and
