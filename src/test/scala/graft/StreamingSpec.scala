@@ -259,6 +259,50 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming NEAR-dup dedup: foreachBatch loop over the store signature registry") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val g = GraftSession(spark)
+    val h1 = "a b c d e f g h i j"
+    val u1 = "z x c v b n m k l p"
+    // bootstrap the registry from one historical document
+    val (hb, hs) = Dedup.minhashFrames(Seq((1L, h1)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    g.createTable("snd_bands", hb, partitionBy = Seq("band_hash"), buckets = 4)
+    g.createTable("snd_sigs", hs, partitionBy = Seq("sid"), buckets = 4)
+    val found = scala.collection.mutable.Set.empty[(Long, Long)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (pairs, newBands, newSigs) = Dedup.incrementalMinhash(
+          df, "doc_id", "text", g.table("snd_bands"), g.table("snd_sigs"))
+        // materialize pairs BEFORE the registry append (the operator's
+        // contract — the committed rows must not feed the same batch)
+        val p = pairs.select("a", "b").as[(Long, Long)].collect()
+        found.synchronized { found ++= p }
+        g.insert("snd_bands", newBands)
+        g.insert("snd_sigs", newSigs)
+        ()
+      }
+      .start()
+    try {
+      // batch 1: a near-dup of the historical doc + an unrelated doc
+      mem.addData((11L, h1 + " k"), (12L, u1))
+      q.processAllAvailable()
+      assert(found.toSet == Set((1L, 11L)), s"got $found")
+      // batch 2: an exact copy of batch 1's unrelated doc — detectable
+      // only if batch 1 entered the registry
+      mem.addData((13L, u1))
+      q.processAllAvailable()
+      assert(found.toSet == Set((1L, 11L), (12L, 13L)), s"got $found")
+    } finally {
+      q.stop()
+      g.dropTable("snd_bands")
+      g.dropTable("snd_sigs")
+    }
+  }
+
   test("STREAMING INIT/START/STOP drives registered CQs end-to-end") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_cq").toFile
