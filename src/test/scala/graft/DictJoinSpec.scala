@@ -38,6 +38,20 @@ class DictJoinSpec extends SparkTestBase {
     g.dropTable("dj_orders")
   }
 
+  test("run-length-encoded key (sorted ingest) takes the dictionary path too") {
+    val g = GraftSession(spark)
+    import spark.implicits._
+    // sorting by the key column produces runs -> the ingest picks RLE,
+    // which the scan also surfaces as a dictionary-id vector
+    val probe = (1 to 3000).map(i => (i.toLong, s"grp_${i % 4}"))
+      .sortBy(_._2).toDF("id", "k")
+    g.createTable("dj_rle", probe)
+    val dim = Seq(("grp_0", 0), ("grp_1", 10), ("grp_2", 20), ("grp_3", 30))
+      .toDF("bk", "v")
+    abCheck("dj_rle", "k", dim, "bk")
+    g.dropTable("dj_rle")
+  }
+
   test("plain-encoded key falls back to per-row lookup, same answers") {
     val g = GraftSession(spark)
     import spark.implicits._
