@@ -382,38 +382,20 @@ object Dedup {
     // work, never near-dups (ScaleProbe measures the difference).
     val cands = lshCandidates(bands, maxBucketSize).localCheckpoint(true)
     // Verification ships only CANDIDATE MEMBERS' hash arrays. Without
-    // this semi-join prune, once `base` outgrows the broadcast
-    // threshold both verify joins sort-merge-shuffle EVERY document's
-    // sh array — ScaleProbe measured the switch as a 587x shuffle-bytes
-    // jump at 16x corpus. The member id set is candidate-scale
-    // (∝ near-dup pairs), so AQE broadcast-semi-joins it against the
-    // scan and non-candidate arrays never leave their partitions.
-    // The broadcast decision is made from the MEASURED member count
-    // (the set is already materialized; count is metadata-cheap), not
-    // an unconditional hint: BroadcastPolicySpec's rule is that a hard
+    // this prune, once the sig frame outgrows the broadcast threshold
+    // both verify joins sort-merge-shuffle EVERY document's sh array —
+    // ScaleProbe measured the switch as a 587x shuffle-bytes jump at
+    // 16x corpus. The member id set is candidate-scale (∝ near-dup
+    // pairs); the MEASURED-byte broadcast decision (not an
+    // unconditional hint — BroadcastPolicySpec's rule is that a hard
     // hint must never be able to OOM at 100x, and neither Catalyst
-    // stats (the checkpoint keeps the origin's estimate, which here is
-    // the LSH join's) nor AQE (both SMJ exchanges submit together, so
-    // the full-base shuffle is written before member stats arrive —
-    // ScratchProbe measured exactly that race) gets this right on its
-    // own. Above the bound the semi join degrades to the linear
-    // shuffle join instead of a driver OOM.
-    val members = cands.select(col("a").as("sid"))
-      .union(cands.select(col("b").as("sid"))).distinct()
-      .localCheckpoint(true)
-    // byte-measured, not row-counted: ids can be wide (URLs), and the
-    // whole point of the measured guard is that the hint can NEVER
-    // build an over-sized driver-side relation
-    val idBytes = members.schema("sid").dataType match {
-      case org.apache.spark.sql.types.StringType => octet_length(col("sid")).cast("long")
-      case _ => lit(8L) // numeric/date ids: fixed-width
-    }
-    val memberBytes =
-      members.agg(coalesce(sum(idBytes), lit(0L))).head.getLong(0)
-    val prunedMembers =
-      if (memberBytes <= 64L * 1024 * 1024) broadcast(members) else members
-    val hashed = sigs.join(prunedMembers, Seq("sid"), "left_semi")
-      .select(col("sid"), col("sh"))
+    // stats — the checkpoint keeps the origin's join-sized estimate —
+    // nor AQE — both SMJ exchanges submit before member stats arrive,
+    // ScratchProbe measured exactly that race — gets this right on its
+    // own) lives in pruneSigsToMembers. Above the bound the semi join
+    // degrades to the linear shuffle join instead of a driver OOM.
+    val hashed = pruneSigsToMembers(sigs,
+      cands.select(col("a").as("sid")).union(cands.select(col("b").as("sid"))))
     cands
       .join(hashed.select(col("sid").as("a"), col("sh").as("ha")), "a")
       .join(hashed.select(col("sid").as("b"), col("sh").as("hb")), "b")
@@ -442,10 +424,36 @@ object Dedup {
     (bands, base.select(col("sid"), col("sh")))
   }
 
+  /** Semi-join prune of a `(sid, sh)` frame to the given member ids,
+    * with the MEASURED-byte broadcast decision (see the comment block in
+    * [[minhashNearDupsFast]] for why neither Catalyst stats nor AQE can
+    * make this call: checkpoints keep origin estimates, and both SMJ
+    * exchanges submit before runtime stats exist).
+    */
+  private def pruneSigsToMembers(sigs: DataFrame, members0: DataFrame): DataFrame = {
+    val members = members0.distinct().localCheckpoint(true)
+    // byte-measured, not row-counted: ids can be wide (URLs), and the
+    // whole point of the measured guard is that the hint can NEVER
+    // build an over-sized driver-side relation
+    val idBytes = members.schema("sid").dataType match {
+      case org.apache.spark.sql.types.StringType => octet_length(col("sid")).cast("long")
+      case _ => lit(8L) // numeric/date ids: fixed-width
+    }
+    val memberBytes =
+      members.agg(coalesce(sum(idBytes), lit(0L))).head.getLong(0)
+    val pruned =
+      if (memberBytes <= 64L * 1024 * 1024) broadcast(members) else members
+    sigs.join(pruned, Seq("sid"), "left_semi")
+  }
+
   /** Incremental MinHash-LSH near-dup detection — the production ingest
     * loop for NEAR duplicates, the fuzzy complement of
     * [[incrementalDedup]]: a persistent signature REGISTRY (the
-    * [[minhashFrames]] layout, normally two bucketed store tables)
+    * [[minhashFrames]] layout, normally two bucketed store tables — and
+    * built with the SAME `shingleLen`/`numHashes` as every probe; a
+    * mismatch makes band hashes disjoint and silently loses all
+    * cross-history recall, so the more-hashes direction is sanity-checked
+    * against a bounded registry sample)
     * deduplicates each incoming batch against all history without
     * rescanning or re-shingling the historical corpus.
     *
@@ -453,47 +461,96 @@ object Dedup {
     *  - `pairs`: UNORDERED near-dup pairs `(a, b, jaccard)` with
     *    `a < b`, exact-Jaccard verified at `threshold`, where at least
     *    one side is a batch document (batch-vs-history and
-    *    batch-internal, deduplicated — a document present in both
-    *    history and batch contributes each pair once);
-    *  - `newBands` / `newSigs`: the batch's registry rows — append them
-    *    to the registry tables AFTER committing the batch (materialize
-    *    `pairs` first, same contract as [[incrementalDedup]]).
+    *    batch-internal, each pair once). For an id present in BOTH
+    *    history and batch, the BATCH's text governs its pairs: the
+    *    stale registry rows of re-ingested ids are excluded from the
+    *    probe (pairing one doc id under two different texts would emit
+    *    the same pair twice with conflicting scores).
+    *  - `newBands` / `newSigs`: the registry rows of the batch docs NOT
+    *    already registered — append them AFTER committing the batch
+    *    (materialize `pairs` first, same contract as
+    *    [[incrementalDedup]]). Re-ingested ids are FIRST-WINS in the
+    *    registry, like incrementalDedup's content hashes; replacing a
+    *    changed document's signature is a registry DELETE + next-batch
+    *    re-ingest, not an append.
+    *
+    * `maxBucketSize` is the degenerate-bucket guard of
+    * [[lshCandidates]], applied to BOTH candidate paths — without it a
+    * signature class like the shingle-less all-MaxValue docs matches
+    * every historical member of its band bucket on every batch
+    * (O(batch_degenerates × history_degenerates) candidate rows that
+    * all die in verification). The registry side counts only the PROBED
+    * band keys, so the guard itself stays per-batch cost.
     *
     * Scale shape: per-batch cost only. Batch docs shingle once
     * (minhash_full); the candidate join shuffles the BATCH's (band, id)
     * pairs onto the registry's band_hash bucketing (storage-partitioned
-    * on the registry side — history never moves); verification joins
-    * ship hash arrays for candidate members only (the registry sigs
-    * side prunes by the candidate id join before its arrays shuffle).
+    * on the registry side — history never moves); the registry verify
+    * side ships hash arrays for candidate members only
+    * ([[pruneSigsToMembers]] — the measured-broadcast semi join).
     */
   def incrementalMinhash(batch: DataFrame, idCol: String, textCol: String,
       registryBands: DataFrame, registrySigs: DataFrame,
       shingleLen: Int = 3, numHashes: Int = 16,
-      threshold: Double = 0.7): (DataFrame, DataFrame, DataFrame) = {
+      threshold: Double = 0.7,
+      maxBucketSize: Option[Int] = None): (DataFrame, DataFrame, DataFrame) = {
     import graft.functions.TextFunctions.hash_jaccard
+    // bounded-cost param sanity (the detectable direction): a registry
+    // built with MORE hashes spreads band_idx past numHashes-1, and any
+    // 100k-posting sample of such a registry contains one
+    val sampledMax = registryBands.select("band_idx").limit(100000)
+      .agg(coalesce(max(col("band_idx")), lit(-1)).cast("int")).head.getInt(0)
+    require(sampledMax < numHashes,
+      s"incrementalMinhash: registry has band_idx $sampledMax — it was built " +
+        s"with more than numHashes=$numHashes hashes; probe with the " +
+        "registry's own (shingleLen, numHashes)")
     val (bands, sigs) = minhashFrames(batch, idCol, textCol, shingleLen, numHashes)
-    // batch-internal candidates (a < b within the batch)
-    val intra = lshCandidates(bands)
-    // batch-vs-history candidates: the batch's bands probe the registry
-    val cross = bands.select(col("band_idx"), col("band_hash"), col("sid").as("b"))
-      .join(registryBands.select(col("band_idx"), col("band_hash"), col("sid").as("a")),
+    val batchIds = sigs.select("sid")
+    // batch text governs for re-ingested ids: exclude their stale
+    // registry rows from the probe
+    val regBands = registryBands.join(batchIds, Seq("sid"), "left_anti")
+    val regSigs = registrySigs.join(batchIds, Seq("sid"), "left_anti")
+    // batch-internal candidates (a < b within the batch; cap inside)
+    val intra = lshCandidates(bands, maxBucketSize).localCheckpoint(true)
+    // batch-vs-history candidates, with the cap applied to both sides
+    val (probeBands, probedRegBands) = maxBucketSize match {
+      case Some(cap) =>
+        require(cap >= 2, s"maxBucketSize must allow pairs: $cap")
+        val okBatch = bands.groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= cap)
+          .select("band_idx", "band_hash")
+        val gated = bands.join(okBatch, Seq("band_idx", "band_hash"))
+        val probedKeys = gated.select("band_idx", "band_hash").distinct()
+        val okReg = regBands
+          .join(probedKeys, Seq("band_idx", "band_hash"), "left_semi")
+          .groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("__rn")).filter(col("__rn") <= cap)
+          .select("band_idx", "band_hash")
+        (gated, regBands.join(okReg, Seq("band_idx", "band_hash")))
+      case None => (bands, regBands)
+    }
+    // no a =!= b filter needed: re-ingested ids left the registry above
+    val cross = probeBands.select(col("band_idx"), col("band_hash"), col("sid").as("b"))
+      .join(probedRegBands.select(col("band_idx"), col("band_hash"), col("sid").as("a")),
         Seq("band_idx", "band_hash"))
-      .filter(col("a") =!= col("b"))
-      .select("a", "b").distinct()
+      .select("a", "b").distinct().localCheckpoint(true)
     def verify(cands: DataFrame, aSide: DataFrame): DataFrame = cands
       .join(aSide.select(col("sid").as("a"), col("sh").as("ha")), "a")
       .join(sigs.select(col("sid").as("b"), col("sh").as("hb")), "b")
       .withColumn("jaccard", hash_jaccard(col("ha"), col("hb")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
-    // normalize to unordered (least, greatest) pairs and deduplicate:
-    // a document present in BOTH history and batch would otherwise
-    // contribute the same pair through both paths
-    val pairs = verify(cross, registrySigs).unionByName(verify(intra, sigs))
+    val regVerifySide =
+      pruneSigsToMembers(regSigs, cross.select(col("a").as("sid")))
+    // normalize to unordered (least, greatest) pairs; the union stays
+    // disjoint (cross pairs have exactly one registry side, intra none)
+    val pairs = verify(cross, regVerifySide).unionByName(verify(intra, sigs))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"), col("jaccard"))
       .distinct()
-    (pairs, bands, sigs)
+    val newSigs = sigs.join(registrySigs.select("sid"), Seq("sid"), "left_anti")
+    val newBands = bands.join(registrySigs.select("sid"), Seq("sid"), "left_anti")
+    (pairs, newBands, newSigs)
   }
 
   /** Embedding-cosine near-dup pairs over an `array<float>` column.

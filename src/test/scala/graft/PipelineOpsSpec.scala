@@ -234,6 +234,69 @@ class PipelineOpsSpec extends SparkTestBase {
       .map { case (a, b, j) => ((a, b), j) }.toMap
     assert(got2.keySet === Set((1L, 7L), (3L, 7L)), s"got $got2")
     assert(got2((3L, 7L)) === 1.0)
+    // re-ingested ids are first-wins: the batch's registry rows exclude
+    // already-registered ids (id 2 came back in batch 1), so the
+    // registry never accumulates duplicate postings
+    assert(newSigs.filter($"sid" === 2L).isEmpty)
+    assert(newBands.filter($"sid" === 2L).isEmpty)
+    assert(newSigs.select("sid").as[Long].collect().toSet === Set(3L, 4L, 5L, 6L))
+  }
+
+  test("incrementalMinhash: re-ingested id with CHANGED text pairs under the batch's text only") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.TextHash
+    val oldText = "a b c d e f g h i j"
+    val newText = "m n b v c x z l k j"
+    val hist = Seq((2L, oldText)).toDF("doc_id", "text")
+    // batch re-ingests id 2 with different text, plus a near-dup of the
+    // NEW text and a near-dup of the OLD text
+    val batch = Seq(
+      (2L, newText), (9L, newText + " q"), (8L, oldText + " w"))
+      .toDF("doc_id", "text")
+    val (regBands, regSigs) = Dedup.minhashFrames(hist, "doc_id", "text")
+    val (pairs, newBands, newSigs) = Dedup.incrementalMinhash(
+      batch, "doc_id", "text", regBands, regSigs)
+    val got = pairs.as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    // (2,9): ONE row, scored under the batch's new text — the stale
+    // registry signature of id 2 must not add a conflicting score.
+    // (2,8): NOT emitted — id 2's registry (old-text) rows are excluded,
+    // and under the batch's new text the pair is below threshold.
+    assert(got.keySet === Set((2L, 9L)), s"got $got")
+    assert(math.abs(got((2L, 9L)) -
+      TextHash.jaccard(newText, newText + " q", 3)) < 1e-12)
+    // first-wins registry: the changed doc does not re-register
+    assert(newSigs.select("sid").as[Long].collect().toSet === Set(8L, 9L))
+    assert(newBands.filter($"sid" === 2L).isEmpty)
+  }
+
+  test("incrementalMinhash: registry built with more hashes is rejected") {
+    import spark.implicits._
+    val hist = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val (regBands, regSigs) = Dedup.minhashFrames(hist, "doc_id", "text",
+      numHashes = 32)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.incrementalMinhash(Seq((2L, "a b c d e f")).toDF("doc_id", "text"),
+        "doc_id", "text", regBands, regSigs, numHashes = 16)
+    }
+    assert(err.getMessage.contains("more than numHashes"), err.getMessage)
+  }
+
+  test("incrementalMinhash: maxBucketSize caps degenerate cross buckets, keeps real pairs") {
+    import spark.implicits._
+    // 60 shingle-less history docs share the all-MaxValue signature; a
+    // shingle-less batch doc would match ALL of them in every band
+    val hist = ((1L to 60L).map(i => (i, "x y")) :+ (100L, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    val (regBands, regSigs) = Dedup.minhashFrames(hist, "doc_id", "text")
+    val batch = Seq((200L, "x y"), (201L, "a b c d e f g h i j k"))
+      .toDF("doc_id", "text")
+    val (pairs, _, _) = Dedup.incrementalMinhash(
+      batch, "doc_id", "text", regBands, regSigs, maxBucketSize = Some(10))
+    // the real near-dup survives; the degenerate bucket contributes
+    // nothing (its pairs are Jaccard-0 anyway — the cap only saves work)
+    val got = pairs.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got === Set((100L, 201L)), s"got $got")
   }
 
   test("containmentPairs hot-shingle cap bounds the m² blowup, keeps real pairs") {
