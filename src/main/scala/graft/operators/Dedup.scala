@@ -424,27 +424,37 @@ object Dedup {
     (bands, base.select(col("sid"), col("sh")))
   }
 
-  /** Semi-join prune of a `(sid, sh)` frame to the given member ids,
-    * with the MEASURED-byte broadcast decision (see the comment block in
-    * [[minhashNearDupsFast]] for why neither Catalyst stats nor AQE can
-    * make this call: checkpoints keep origin estimates, and both SMJ
-    * exchanges submit before runtime stats exist).
+  /** Materialize a (supposedly small) frame, MEASURE its bytes, and
+    * attach the broadcast hint only within the bound. Needed because
+    * neither Catalyst stats nor AQE can make this call for the dedup
+    * loop's derived frames: localCheckpoint keeps the ORIGIN's
+    * join-sized estimate, and AQE submits both SMJ exchanges together,
+    * so the registry-side shuffle is already written before runtime
+    * stats exist (ScratchProbe measured exactly that race). Bytes, not
+    * rows: ids can be wide (URLs), and the whole point of the measured
+    * guard is that the hint can NEVER build an over-sized driver
+    * relation — above the bound the caller's join degrades to the
+    * linear shuffle, not an OOM (BroadcastPolicySpec's rule).
     */
-  private def pruneSigsToMembers(sigs: DataFrame, members0: DataFrame): DataFrame = {
-    val members = members0.distinct().localCheckpoint(true)
-    // byte-measured, not row-counted: ids can be wide (URLs), and the
-    // whole point of the measured guard is that the hint can NEVER
-    // build an over-sized driver-side relation
-    val idBytes = members.schema("sid").dataType match {
-      case org.apache.spark.sql.types.StringType => octet_length(col("sid")).cast("long")
-      case _ => lit(8L) // numeric/date ids: fixed-width
-    }
-    val memberBytes =
-      members.agg(coalesce(sum(idBytes), lit(0L))).head.getLong(0)
-    val pruned =
-      if (memberBytes <= 64L * 1024 * 1024) broadcast(members) else members
-    sigs.join(pruned, Seq("sid"), "left_semi")
+  private def measuredBroadcast(df0: DataFrame,
+      maxBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    val df = df0.localCheckpoint(true)
+    val rowBytes = df.schema.fields.map { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          octet_length(col(f.name)).cast("long")
+        case _ => lit(8L) // fixed-width
+      }
+    }.reduce(_ + _)
+    val bytes = df.agg(coalesce(sum(rowBytes), lit(0L))).head.getLong(0)
+    if (bytes <= maxBytes) broadcast(df) else df
   }
+
+  /** Semi-join prune of a `(sid, sh)` frame to the given member ids —
+    * the candidate-members verify prune, via [[measuredBroadcast]].
+    */
+  private def pruneSigsToMembers(sigs: DataFrame, members0: DataFrame): DataFrame =
+    sigs.join(measuredBroadcast(members0.distinct()), Seq("sid"), "left_semi")
 
   /** Incremental MinHash-LSH near-dup detection — the production ingest
     * loop for NEAR duplicates, the fuzzy complement of
@@ -505,14 +515,16 @@ object Dedup {
         s"with more than numHashes=$numHashes hashes; probe with the " +
         "registry's own (shingleLen, numHashes)")
     val (bands, sigs) = minhashFrames(batch, idCol, textCol, shingleLen, numHashes)
-    val batchIds = sigs.select("sid")
-    // batch text governs for re-ingested ids: exclude their stale
-    // registry rows from the probe
-    val regBands = registryBands.join(batchIds, Seq("sid"), "left_anti")
-    val regSigs = registrySigs.join(batchIds, Seq("sid"), "left_anti")
     // batch-internal candidates (a < b within the batch; cap inside)
     val intra = lshCandidates(bands, maxBucketSize).localCheckpoint(true)
     // batch-vs-history candidates, with the cap applied to both sides
+    // Every registry-side join below keeps the REGISTRY streaming and
+    // ships only batch-scale frames ([[measuredBroadcast]]): the
+    // registry is the O(history) side and must never shuffle per batch.
+    // (With store-table registries the band joins are additionally
+    // storage-partitioned; the measured hints make the shape hold for
+    // ANY DataFrame registry — ScaleProbe's arm pins flat per-batch
+    // cost across a 16x registry sweep.)
     val (probeBands, probedRegBands) = maxBucketSize match {
       case Some(cap) =>
         require(cap >= 2, s"maxBucketSize must allow pairs: $cap")
@@ -520,28 +532,42 @@ object Dedup {
           .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= cap)
           .select("band_idx", "band_hash")
         val gated = bands.join(okBatch, Seq("band_idx", "band_hash"))
-        val probedKeys = gated.select("band_idx", "band_hash").distinct()
-        val okReg = regBands
+        val probedKeys =
+          measuredBroadcast(gated.select("band_idx", "band_hash").distinct())
+        val okReg = registryBands
           .join(probedKeys, Seq("band_idx", "band_hash"), "left_semi")
           .groupBy("band_idx", "band_hash")
           .agg(count(lit(1)).as("__rn")).filter(col("__rn") <= cap)
           .select("band_idx", "band_hash")
-        (gated, regBands.join(okReg, Seq("band_idx", "band_hash")))
-      case None => (bands, regBands)
+        (gated, registryBands.join(measuredBroadcast(okReg),
+          Seq("band_idx", "band_hash")))
+      case None => (bands, registryBands)
     }
-    // no a =!= b filter needed: re-ingested ids left the registry above
-    val cross = probeBands.select(col("band_idx"), col("band_hash"), col("sid").as("b"))
-      .join(probedRegBands.select(col("band_idx"), col("band_hash"), col("sid").as("a")),
+    // Batch text governs for re-ingested ids: their STALE registry rows
+    // must not pair (one doc id under two texts would emit the same
+    // pair twice with conflicting scores). The exclusion runs at
+    // CANDIDATE scale — an anti join against the registry frames
+    // themselves would shuffle the whole bands registry per batch
+    // (it is bucketed by band_hash, not by sid).
+    val batchIds = sigs.select("sid")
+    val cross = probedRegBands
+      .select(col("band_idx"), col("band_hash"), col("sid").as("a"))
+      .join(measuredBroadcast(
+          probeBands.select(col("band_idx"), col("band_hash"), col("sid").as("b"))),
         Seq("band_idx", "band_hash"))
-      .select("a", "b").distinct().localCheckpoint(true)
+      .select("a", "b").distinct()
+      .join(batchIds.select(col("sid").as("a")), Seq("a"), "left_anti")
+      .localCheckpoint(true)
     def verify(cands: DataFrame, aSide: DataFrame): DataFrame = cands
       .join(aSide.select(col("sid").as("a"), col("sh").as("ha")), "a")
       .join(sigs.select(col("sid").as("b"), col("sh").as("hb")), "b")
       .withColumn("jaccard", hash_jaccard(col("ha"), col("hb")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
+    // cross already excludes batch ids, so the member semi-join also
+    // keeps stale re-ingested signatures out of verification
     val regVerifySide =
-      pruneSigsToMembers(regSigs, cross.select(col("a").as("sid")))
+      pruneSigsToMembers(registrySigs, cross.select(col("a").as("sid")))
     // normalize to unordered (least, greatest) pairs; the union stays
     // disjoint (cross pairs have exactly one registry side, intra none)
     val pairs = verify(cross, regVerifySide).unionByName(verify(intra, sigs))

@@ -113,6 +113,40 @@ object ScaleProbe {
       prevSec = sec; prevMb = mb
       dx.unpersist()
     }
+
+    // ---- incremental near-dup: per-batch cost vs registry size ----
+    // The operator's claim is per-BATCH cost only: the same batch probed
+    // against a 1x / 4x / 16x registry should cost ~flat time and ~flat
+    // shuffle (the probe shuffles batch bands onto the registry's
+    // bucketing; history never moves). Shuffle grows only with matched
+    // postings (cross-replica matches are impossible — salted tokens).
+    println("inc_minhash,regMult,sec,shuffle_mb,pairs (fixed 1x batch)")
+    // the batch duplicates replica 0 (same salting, fresh ids): every
+    // batch doc cross-matches exactly its replica-0 ancestor at every
+    // registry size, so the PAIR count is constant and any cost growth
+    // is pure registry-size overhead
+    val batch = docs
+      .select((col("doc_id") + lit(5000000000L)).as("doc_id"),
+        regexp_replace(col("text"), lit("(\\S+)"), lit("$1x0")).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    batch.count()
+    for (m <- Seq(1, 4, 16)) {
+      val hx = docsX(m)
+      val (rb, rs) = graft.operators.Dedup.minhashFrames(hx, "doc_id", "text")
+      val rbp = rb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rsp = rs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rbp.count(); rsp.count()
+      System.gc(); Thread.sleep(500)
+      shuffleBytes.set(0L)
+      val t0 = System.nanoTime()
+      val (pairs, _, _) = graft.operators.Dedup.incrementalMinhash(
+        batch, "doc_id", "text", rbp, rsp, maxBucketSize = Some(100))
+      val n = pairs.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      println(f"inc_minhash,$m,$sec%.3f,${shuffleBytes.get() / 1e6}%.1f,$n")
+      rbp.unpersist(); rsp.unpersist(); hx.unpersist()
+    }
     spark.stop()
   }
 }
