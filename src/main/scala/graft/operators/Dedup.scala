@@ -438,15 +438,26 @@ object Dedup {
     */
   private def measuredBroadcast(df0: DataFrame,
       maxBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.types._
     val df = df0.localCheckpoint(true)
-    val rowBytes = df.schema.fields.map { f =>
+    // measurable widths only: strings/binary by octet_length (NULL
+    // coalesced to 0 — a null-heavy column must not null out the whole
+    // row's byte term), fixed-width primitives at 8. A column this
+    // cannot measure (arrays, maps, structs) refuses the hint outright —
+    // guessing would let a wide frame under the bound and build exactly
+    // the over-sized driver relation the guard exists to prevent.
+    val widths = df.schema.fields.map { f =>
       f.dataType match {
-        case org.apache.spark.sql.types.StringType =>
-          octet_length(col(f.name)).cast("long")
-        case _ => lit(8L) // fixed-width
+        case StringType | BinaryType =>
+          Some(coalesce(octet_length(col(f.name)).cast("long"), lit(0L)))
+        case _: NumericType | BooleanType | DateType | TimestampType |
+             TimestampNTZType => Some(lit(8L))
+        case _ => None
       }
-    }.reduce(_ + _)
-    val bytes = df.agg(coalesce(sum(rowBytes), lit(0L))).head.getLong(0)
+    }
+    if (widths.exists(_.isEmpty)) return df
+    val bytes = df.agg(
+      coalesce(sum(widths.flatten.reduce(_ + _)), lit(0L))).head.getLong(0)
     if (bytes <= maxBytes) broadcast(df) else df
   }
 
@@ -525,17 +536,27 @@ object Dedup {
     // storage-partitioned; the measured hints make the shape hold for
     // ANY DataFrame registry — ScaleProbe's arm pins flat per-batch
     // cost across a 16x registry sweep.)
+    val batchIds = measuredBroadcast(sigs.select("sid"))
     val (probeBands, probedRegBands) = maxBucketSize match {
       case Some(cap) =>
         require(cap >= 2, s"maxBucketSize must allow pairs: $cap")
         val okBatch = bands.groupBy("band_idx", "band_hash")
           .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= cap)
           .select("band_idx", "band_hash")
+        // checkpoint once: both the probed-key set and the cross probe
+        // side derive from it (re-deriving would re-run the gate join
+        // per consumer)
         val gated = bands.join(okBatch, Seq("band_idx", "band_hash"))
+          .localCheckpoint(true)
         val probedKeys =
           measuredBroadcast(gated.select("band_idx", "band_hash").distinct())
+        // count LIVE registry members per probed bucket: stale rows of
+        // re-ingested batch ids leave first (anti vs the broadcast batch
+        // id set — the registry keeps streaming), or a bucket sitting at
+        // the cap with stale rows would drop real pairs
         val okReg = registryBands
           .join(probedKeys, Seq("band_idx", "band_hash"), "left_semi")
+          .join(batchIds, Seq("sid"), "left_anti")
           .groupBy("band_idx", "band_hash")
           .agg(count(lit(1)).as("__rn")).filter(col("__rn") <= cap)
           .select("band_idx", "band_hash")
@@ -549,7 +570,6 @@ object Dedup {
     // CANDIDATE scale — an anti join against the registry frames
     // themselves would shuffle the whole bands registry per batch
     // (it is bucketed by band_hash, not by sid).
-    val batchIds = sigs.select("sid")
     val cross = probedRegBands
       .select(col("band_idx"), col("band_hash"), col("sid").as("a"))
       .join(measuredBroadcast(
@@ -574,8 +594,15 @@ object Dedup {
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"), col("jaccard"))
       .distinct()
-    val newSigs = sigs.join(registrySigs.select("sid"), Seq("sid"), "left_anti")
-    val newBands = bands.join(registrySigs.select("sid"), Seq("sid"), "left_anti")
+    // already-registered ids, computed REGISTRY-STREAMING: the registry
+    // id column semi-joins the broadcast batch id set (output is
+    // batch-scale), and the batch frames then anti-join the broadcast of
+    // THAT — a direct anti join against registrySigs would shuffle (or
+    // driver-collect) all history ids per batch on the append path
+    val registered = measuredBroadcast(
+      registrySigs.select("sid").join(batchIds, Seq("sid"), "left_semi"))
+    val newSigs = sigs.join(registered, Seq("sid"), "left_anti")
+    val newBands = bands.join(registered, Seq("sid"), "left_anti")
     (pairs, newBands, newSigs)
   }
 

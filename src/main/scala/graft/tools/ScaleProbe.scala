@@ -126,7 +126,7 @@ object ScaleProbe {
     // registry size, so the PAIR count is constant and any cost growth
     // is pure registry-size overhead
     val batch = docs
-      .select((col("doc_id") + lit(5000000000L)).as("doc_id"),
+      .select((col("doc_id") + lit(1000000000000L)).as("doc_id"),
         regexp_replace(col("text"), lit("(\\S+)"), lit("$1x0")).as("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     batch.count()
@@ -139,12 +139,16 @@ object ScaleProbe {
       System.gc(); Thread.sleep(500)
       shuffleBytes.set(0L)
       val t0 = System.nanoTime()
-      val (pairs, _, _) = graft.operators.Dedup.incrementalMinhash(
+      val (pairs, newBands, newSigs) = graft.operators.Dedup.incrementalMinhash(
         batch, "doc_id", "text", rbp, rsp, maxBucketSize = Some(100))
       val n = pairs.count()
+      // the production loop evaluates the append frames every batch —
+      // they belong in the measured cost (this is where a registry-side
+      // anti join would hide)
+      val appended = newBands.count() + newSigs.count()
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500)
-      println(f"inc_minhash,$m,$sec%.3f,${shuffleBytes.get() / 1e6}%.1f,$n")
+      println(f"inc_minhash,$m,$sec%.3f,${shuffleBytes.get() / 1e6}%.1f,$n (appended $appended)")
       rbp.unpersist(); rsp.unpersist(); hx.unpersist()
     }
     spark.stop()

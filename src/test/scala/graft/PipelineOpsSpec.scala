@@ -282,6 +282,21 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(err.getMessage.contains("more than numHashes"), err.getMessage)
   }
 
+  test("incrementalMinhash: stale re-ingested rows don't push a bucket over the cap") {
+    import spark.implicits._
+    val t = "p q r s t u v w"
+    // registry bucket for t's bands holds ids {1,2,3}; the batch
+    // re-ingests id 1, so only {2,3} are LIVE — at cap=2 the bucket must
+    // survive (counting the stale row would drop it and lose real pairs)
+    val hist = Seq((1L, t), (2L, t), (3L, t)).toDF("doc_id", "text")
+    val batch = Seq((1L, t), (5L, t)).toDF("doc_id", "text")
+    val (regBands, regSigs) = Dedup.minhashFrames(hist, "doc_id", "text")
+    val (pairs, _, _) = Dedup.incrementalMinhash(
+      batch, "doc_id", "text", regBands, regSigs, maxBucketSize = Some(2))
+    val got = pairs.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 5L), (3L, 5L), (1L, 5L)), s"got $got")
+  }
+
   test("incrementalMinhash: maxBucketSize caps degenerate cross buckets, keeps real pairs") {
     import spark.implicits._
     // 60 shingle-less history docs share the all-MaxValue signature; a
