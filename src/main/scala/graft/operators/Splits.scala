@@ -99,13 +99,43 @@ object Splits {
   */
 object Mixture {
 
+  /** One domain-count aggregation (domain-bounded rows to the driver —
+    * the only "collect" in the mixture family).
+    */
+  private def domainCounts(df: DataFrame, domainCol: String): Map[String, Long] =
+    df.groupBy(col(domainCol)).count().collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+
   def resample(df: DataFrame, domainCol: String, idCol: String,
-      targets: Seq[(String, Double)], salt: String = "mix"): DataFrame = {
+      targets: Seq[(String, Double)], salt: String = "mix"): DataFrame =
+    resampleWith(df, domainCol, idCol, domainCounts(df, domainCol), targets, salt)
+
+  /** Temperature-flattened domain mixture (the T5/PaLM mixing knob):
+    * sampling weights `p_d ∝ count_d^alpha`. `alpha = 1` is the natural
+    * mix — every rate works out to 1.0 and all rows keep; as alpha → 0
+    * the target proportions flatten toward uniform, boosting
+    * low-resource domains that a natural mix would drown. Same
+    * md5-threshold determinism as [[resample]]: re-runs reproduce the
+    * exact kept set, appends never reshuffle it.
+    */
+  def temperatureMix(df: DataFrame, domainCol: String, idCol: String,
+      alpha: Double, salt: String = "mix"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"temperatureMix: alpha in (0,1]: $alpha")
+    val counts = domainCounts(df, domainCol)
+    require(counts.nonEmpty, "temperatureMix: empty input")
+    // deterministic weight order (sorted domains) so the double sum in
+    // resampleWith is run-stable
+    val targets = counts.toSeq.sortBy(_._1)
+      .map { case (d, c) => d -> math.pow(c.toDouble, alpha) }
+    resampleWith(df, domainCol, idCol, counts, targets, salt)
+  }
+
+  private def resampleWith(df: DataFrame, domainCol: String, idCol: String,
+      counts: Map[String, Long], targets: Seq[(String, Double)],
+      salt: String): DataFrame = {
     require(targets.nonEmpty && targets.forall(_._2 > 0),
       "resample: targets must be non-empty with positive weights")
     val tot = targets.map(_._2).sum
-    val counts = df.groupBy(col(domainCol)).count().collect()
-      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
     targets.foreach { case (d, _) =>
       require(counts.contains(d), s"resample: no rows for target domain '$d'")
     }

@@ -357,6 +357,31 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
+    // ---- temperature-flattened source mixture (T5/PaLM mixing knob):
+    // sampling weights ∝ count^alpha derived FROM the corpus, then the
+    // same deterministic md5-threshold keep — the oracle replays the
+    // exact kept row set (ordered aggregate pins the weight-sum order
+    // to the engine's sorted-domain summation) ----
+    QueryDef.sql(
+      "q_temperature_mix",
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |t AS (SELECT source, n, power(CAST(n AS DOUBLE), 0.5) AS w FROM counts),
+        |p AS (SELECT source, n,
+        |        w / (SELECT sum(w ORDER BY source) FROM t) AS p FROM t),
+        |cap AS (SELECT min(n / p) AS cap FROM p),
+        |rates AS (
+        |  SELECT source, least(1.0, (SELECT cap FROM cap) * p / n) AS r FROM p),
+        |kept AS (
+        |  SELECT d.doc_id, d.source FROM documents d JOIN rates USING (source)
+        |  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 1, 10) AS BIGINT)
+        |        / 1099511627776.0 < rates.r)
+        |SELECT doc_id, source FROM kept ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Mixture.temperatureMix(Tables.load(s, dir, "documents"),
+          "source", "doc_id", alpha = 0.5)
+        .select("doc_id", "source").orderBy("doc_id")
+    },
+
     // ---- token-budget packing: per language, keep the best-quality
     // docs while the cumulative token count fits the budget — the final
     // selection step of a pre-training mix. The oracle replays the exact

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TopKAggregate.topk_by
 import graft.functions.VectorExpressions.{vec_cosine, vec_norm}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Mixture, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Property checks for the operators whose query output has no SQL oracle
@@ -517,6 +517,27 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(kept2.select("doc_id").as[Long].collect().toSeq == Seq(5L))
     g.insert("t_inc_registry", kept2.select("content_hash"))
     assert(g.table("t_inc_registry").count() == 3)
+  }
+
+  test("temperatureMix: alpha=1 is the natural mix, small alpha flattens, deterministic") {
+    import spark.implicits._
+    val df = ((1L to 1000L).map(i => (i, "big")) ++
+      (2001L to 2010L).map(i => (i, "small"))).toDF("id", "dom")
+    // alpha = 1: p ∝ n so every rate is exactly 1.0 — nothing drops
+    assert(Mixture.temperatureMix(df, "dom", "id", alpha = 1.0).count() === 1010L)
+    // alpha = 0.2: the small domain binds the cap (rate 1.0 — all kept),
+    // the big domain downsamples toward (1000/10)^0.2 ≈ 2.5x the small
+    // domain's share: expected ~25 kept of 1000
+    val kept = Mixture.temperatureMix(df, "dom", "id", alpha = 0.2)
+    val byDom = kept.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(byDom("small") === 10L, s"small domain must keep fully: $byDom")
+    assert(byDom("big") >= 10L && byDom("big") <= 45L,
+      s"big domain must downsample to ~25 of 1000: $byDom")
+    // md5-threshold determinism: the exact kept set reproduces
+    val ids1 = kept.select("id").as[Long].collect().toSet
+    val ids2 = Mixture.temperatureMix(df, "dom", "id", alpha = 0.2)
+      .select("id").as[Long].collect().toSet
+    assert(ids1 === ids2)
   }
 
   test("epochShuffle: dense per-shard positions, epoch-dependent, reproducible") {
