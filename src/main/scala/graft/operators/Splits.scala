@@ -144,11 +144,54 @@ object Mixture {
     val rates = withP.map { case (d, p) =>
       d -> math.min(1.0, cap * p / counts(d))
     }
+    applyRates(df, domainCol, idCol, rates, salt)
+  }
+
+  /** The deterministic md5-threshold keep at per-domain rates. */
+  private def applyRates(df: DataFrame, domainCol: String, idCol: String,
+      rates: Seq[(String, Double)], salt: String): DataFrame = {
     val u = Splits.uniformOf(Seq(col(idCol).cast("string"), lit(salt)))
     val rateCol = rates.foldRight(lit(0.0): Column) { case ((d, r), els) =>
       when(col(domainCol) === d, lit(r)).otherwise(els)
     }
     df.filter(u < rateCol)
+  }
+
+  /** UniMax-style budgeted uniform mixture (the published successor to
+    * temperature sampling — Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling", single-epoch form): spread a total
+    * document `budget` UNIFORMLY across domains, capping each domain at
+    * its size. The water-filling level L solves Σ_d min(n_d, L) =
+    * budget; each domain keeps at rate min(1, L/n_d) via the same
+    * deterministic md5 threshold (re-runs reproduce the exact set). A
+    * budget at or above the corpus keeps everything.
+    *
+    * Scale shape: one domain-count aggregation; the level is a
+    * domain-bounded driver computation; the keep is a scan filter.
+    */
+  def uniformCapMix(df: DataFrame, domainCol: String, idCol: String,
+      budget: Long, salt: String = "mix"): DataFrame = {
+    require(budget > 0, s"uniformCapMix: budget must be positive: $budget")
+    val counts = domainCounts(df, domainCol)
+    require(counts.nonEmpty, "uniformCapMix: empty input")
+    // capacities ascending; the first feasible level (one where the
+    // not-yet-capped suffix can absorb the remaining budget without
+    // exceeding this domain's capacity) is the water line
+    val sorted = counts.toSeq.sortBy { case (d, n) => (n, d) }
+    val k = sorted.size
+    var cumBefore = 0L
+    var level = Double.PositiveInfinity
+    var i = 0
+    while (i < k && level.isPosInfinity) {
+      val n = sorted(i)._2
+      val cand = (budget - cumBefore).toDouble / (k - i)
+      if (cand <= n) level = cand else cumBefore += n
+      i += 1
+    }
+    val rates = counts.toSeq.sortBy(_._1).map { case (d, n) =>
+      d -> math.min(1.0, level / n)
+    }
+    applyRates(df, domainCol, idCol, rates, salt)
   }
 
   /** Token-budget packing — the "best docs until the budget is spent"

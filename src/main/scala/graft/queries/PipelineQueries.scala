@@ -382,6 +382,39 @@ object PipelineQueries {
         .select("doc_id", "source").orderBy("doc_id")
     },
 
+    // ---- UniMax-style budgeted uniform mixture: spread a 300-doc
+    // budget uniformly across sources, capped at each source's size —
+    // the water-filling level L solves Σ min(n_d, L) = budget. The
+    // oracle derives L by the same closed form (first feasible level =
+    // max over feasible candidates, cumsum over ascending capacities)
+    // and replays the exact kept rows ----
+    QueryDef.sql(
+      "q_unimax_mix",
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |s AS (SELECT source, n,
+        |        row_number() OVER (ORDER BY n, source) AS i,
+        |        sum(n) OVER (ORDER BY n, source ROWS UNBOUNDED PRECEDING) AS cum,
+        |        (SELECT count(*) FROM counts) AS k
+        |      FROM counts),
+        |lvl AS (
+        |  SELECT max(CASE WHEN (300 - (cum - n)) / (k - i + 1.0) <= n
+        |                  THEN (300 - (cum - n)) / (k - i + 1.0) END) AS l FROM s),
+        |rates AS (
+        |  SELECT source,
+        |    CASE WHEN (SELECT l FROM lvl) IS NULL THEN 1.0
+        |         ELSE least(1.0, (SELECT l FROM lvl) / n) END AS r
+        |  FROM counts),
+        |kept AS (
+        |  SELECT d.doc_id, d.source FROM documents d JOIN rates USING (source)
+        |  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 1, 10) AS BIGINT)
+        |        / 1099511627776.0 < rates.r)
+        |SELECT doc_id, source FROM kept ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Mixture.uniformCapMix(Tables.load(s, dir, "documents"),
+          "source", "doc_id", budget = 300L)
+        .select("doc_id", "source").orderBy("doc_id")
+    },
+
     // ---- token-budget packing: per language, keep the best-quality
     // docs while the cumulative token count fits the budget — the final
     // selection step of a pre-training mix. The oracle replays the exact

@@ -540,6 +540,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(ids1 === ids2)
   }
 
+  test("uniformCapMix: water-filling level caps small domains at size, splits the rest") {
+    import spark.implicits._
+    // capacities 10 / 100 / 1000, budget 120: the level solves
+    // 10 + L + L = 120 -> L = 55; domain a keeps fully, b and c
+    // downsample toward ~55 each
+    val df = ((1L to 10L).map(i => (i, "a")) ++
+      (101L to 200L).map(i => (i, "b")) ++
+      (1001L to 2000L).map(i => (i, "c"))).toDF("id", "dom")
+    val kept = Mixture.uniformCapMix(df, "dom", "id", budget = 120L)
+    val byDom = kept.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(byDom("a") === 10L, s"capacity-bound domain keeps fully: $byDom")
+    // md5-threshold keeps are binomial around rate*n = 55 for both
+    assert(byDom("b") >= 35L && byDom("b") <= 75L, s"$byDom")
+    assert(byDom("c") >= 35L && byDom("c") <= 75L, s"$byDom")
+    // budget >= corpus keeps everything (infinite water line)
+    assert(Mixture.uniformCapMix(df, "dom", "id", budget = 5000L).count() === 1110L)
+    // determinism
+    assert(kept.select("id").as[Long].collect().toSet ===
+      Mixture.uniformCapMix(df, "dom", "id", budget = 120L)
+        .select("id").as[Long].collect().toSet)
+  }
+
   test("epochShuffle: dense per-shard positions, epoch-dependent, reproducible") {
     import graft.operators.Splits
     def addr(epoch: Int): Map[Long, (Int, Long)] =
