@@ -444,8 +444,8 @@ object PipelineQueries {
            |  FROM documents d JOIN stop_stats s ON d.doc_id = s.doc_id),
            |r AS (
            |  SELECT doc_id, lang, n_tokens, quality,
-           |    sum(n_tokens) OVER (PARTITION BY lang
-           |                        ORDER BY quality DESC, doc_id) AS cum_tokens
+           |    CAST(sum(n_tokens) OVER (PARTITION BY lang
+           |                        ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_tokens
            |  FROM q)
            |SELECT doc_id, lang, n_tokens, quality, cum_tokens
            |FROM r WHERE cum_tokens <= 2000
