@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft.store
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.execution.vectorized.WritableColumnVector
 import org.apache.spark.sql.types.{StringType, StructType}
@@ -27,7 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * ingest left unencoded) fall back to the per-row lookup inline, so the
   * operator is correct for any column.
   *
-  * Contract (the broadcast-hash-join shape): INNER equi-join, build side
+  * Contract (the broadcast-hash-join shape): INNER or LEFT OUTER
+  * equi-join (`joinType = "inner" | "left_outer"`), build side
   * small enough to collect and broadcast — the same smallness the
   * reference assumes for its replicated-dimension joins. Output columns:
   * every probe column, then every build column except `buildKey` (the
@@ -61,13 +62,16 @@ object DictJoin {
   /** Memoized probe over ONE columnar batch: the build-map lookup runs
     * once per (batch, dictionary code) when the key vector is
     * dictionary-backed, per row otherwise. `emit` shapes each output
-    * (projection / copy policy differs per caller); null keys drop
-    * (inner-join semantics).
+    * (projection / copy policy differs per caller). With `nullBuild ==
+    * null` the join is INNER (null keys and misses drop); passing an
+    * all-null build-side row makes it LEFT OUTER (every probe row
+    * emits, misses extend with `nullBuild`).
     */
   private[store] def probeBatch(
       cb: ColumnarBatch, keyIdx: Int,
       lookup: java.util.HashMap[UTF8String, Array[InternalRow]],
-      emit: (InternalRow, InternalRow) => InternalRow): Iterator[InternalRow] = {
+      emit: (InternalRow, InternalRow) => InternalRow,
+      nullBuild: InternalRow = null): Iterator[InternalRow] = {
     val keyVec = cb.column(keyIdx)
     val dictIds = keyVec match {
       case w: WritableColumnVector if w.hasDictionary => w.getDictionaryIds
@@ -80,6 +84,7 @@ object DictJoin {
       else new java.util.HashMap[Integer, Array[InternalRow]]()
     val rows = cb.rowIterator()
     val empty = Array.empty[InternalRow]
+    val nullMatch = if (nullBuild == null) null else Array(nullBuild)
     new Iterator[InternalRow] {
       private var rowId = -1
       private var matches: Array[InternalRow] = empty
@@ -101,7 +106,8 @@ object DictJoin {
                 arr
               } else lookup.getOrDefault(r.getUTF8String(keyIdx), empty)
             if (m.nonEmpty) { matches = m; mi = 0; probeRow = r }
-          }
+            else if (nullMatch != null) { matches = nullMatch; mi = 0; probeRow = r }
+          } else if (nullMatch != null) { matches = nullMatch; mi = 0; probeRow = r }
         }
       }
       override def hasNext: Boolean = { advance(); mi < matches.length }
@@ -115,7 +121,13 @@ object DictJoin {
   }
 
   def dictJoin(spark: SparkSession, table: String, key: String,
-      build: DataFrame, buildKey: String): DataFrame = {
+      build: DataFrame, buildKey: String, joinType: String = "inner"): DataFrame = {
+    val outer = joinType.toLowerCase.replace("_", "") match {
+      case "inner" => false
+      case "left" | "leftouter" => true
+      case other => sys.error(
+        s"dictJoin: joinType must be inner or left_outer, got '$other'")
+    }
     val probe = GraftStoreOps.read(spark, table)
     val probeSchema = probe.schema
     require(probeSchema.fieldNames.contains(key),
@@ -141,7 +153,8 @@ object DictJoin {
       spark.sparkContext.broadcast(map)
 
     val outSchema = StructType(probeSchema.fields ++
-      buildSchema.fields.zipWithIndex.collect { case (f, i) if i != buildKeyIdx => f })
+      buildSchema.fields.zipWithIndex.collect { case (f, i) if i != buildKeyIdx =>
+        if (outer) f.copy(nullable = true) else f })
     val probeTypes = probeSchema.fields.map(_.dataType)
     val buildTypes = buildSchema.fields.map(_.dataType)
     val outExprs = probeTypes.indices.map(i =>
@@ -149,14 +162,16 @@ object DictJoin {
       buildTypes.indices.filter(_ != buildKeyIdx).map(j =>
         BoundReference(nProbe + j, buildTypes(j), nullable = true))
 
+    val nBuildFields = buildSchema.length
     val rdd = scanExec.executeColumnar().mapPartitions { batches =>
       val lookup = bcast.value
       val proj = UnsafeProjection.create(outExprs.toArray)
       val joined = new JoinedRow
+      val nullBuild = if (outer) new GenericInternalRow(nBuildFields) else null
       // rows feed a LogicalRDD scan, whose contract wants stable rows
       // (the projection buffer is reused per partition) — hence copy()
       batches.flatMap(cb =>
-        probeBatch(cb, keyIdx, lookup, (p, b) => proj(joined(p, b)).copy()))
+        probeBatch(cb, keyIdx, lookup, (p, b) => proj(joined(p, b)).copy(), nullBuild))
     }
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, outSchema)
@@ -166,20 +181,30 @@ object DictJoin {
 /** Physical dictionary-code join: same per-(batch, code) memoized probe
   * as [[DictJoin.dictJoin]] (shared [[DictJoin.probeBatch]] kernel), but
   * as a planner-integrated `SparkPlan` so the fast path applies to
-  * ordinary `df.join(dim, key)` calls. Standard join output (all columns
-  * of both sides); build side is collected and broadcast (the strategy
-  * only fires under the autoBroadcastJoinThreshold, the same gate
-  * Spark's own BHJ uses). Rows are reused across `next()` calls — the
-  * usual SparkPlan output contract (buffering consumers copy).
+  * ordinary `df.join(dim, key)` calls (INNER and LEFT OUTER — the two
+  * dimension-join shapes; reference `HashJoinExec.scala:54` handles all
+  * build-legal types the same way). Standard join output (all columns of
+  * both sides; right side nullable under LEFT OUTER); build side is
+  * collected and broadcast (the strategy only fires under the
+  * autoBroadcastJoinThreshold, the same gate Spark's own BHJ uses).
+  * Output rows are UnsafeRows from a reused projection buffer — the
+  * usual SparkPlan contract (buffering consumers copy), and safe for
+  * consumers that cast to UnsafeRow (executeCollect, shuffle writers).
   */
 case class DictJoinExec(streamKeyIdx: Int, buildKeyIdx: Int,
     left: org.apache.spark.sql.execution.SparkPlan,
-    right: org.apache.spark.sql.execution.SparkPlan)
+    right: org.apache.spark.sql.execution.SparkPlan,
+    joinType: org.apache.spark.sql.catalyst.plans.JoinType =
+      org.apache.spark.sql.catalyst.plans.Inner)
     extends org.apache.spark.sql.execution.SparkPlan {
   import org.apache.spark.sql.catalyst.expressions.Attribute
+  import org.apache.spark.sql.catalyst.plans.LeftOuter
+
+  private def outer: Boolean = joinType == LeftOuter
 
   override def children: Seq[org.apache.spark.sql.execution.SparkPlan] = Seq(left, right)
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] = left.output ++
+    (if (outer) right.output.map(_.withNullability(true)) else right.output)
   override protected def withNewChildrenInternal(
       c: IndexedSeq[org.apache.spark.sql.execution.SparkPlan]): DictJoinExec =
     copy(left = c(0), right = c(1))
@@ -188,6 +213,9 @@ case class DictJoinExec(streamKeyIdx: Int, buildKeyIdx: Int,
     val map = DictJoin.buildKeyMap(right.executeCollect(), buildKeyIdx)
     val bcast = sparkContext.broadcast(map)
     val keyIdx = streamKeyIdx
+    val outTypes = output.map(_.dataType).toArray
+    val nBuildFields = right.output.size
+    val isOuter = outer
     // Spark's transition rule wraps the columnar scan in ColumnarToRow
     // (custom execs can't declare columnar input); unwrap the pure
     // pass-through so the probe reads the dictionary-id vectors the
@@ -209,13 +237,21 @@ case class DictJoinExec(streamKeyIdx: Int, buildKeyIdx: Int,
       return left.execute().mapPartitionsInternal { rows =>
         val lookup = bcast.value
         val joined = new JoinedRow
+        val proj = UnsafeProjection.create(outTypes)
+        val nullBuild: InternalRow =
+          if (isOuter) new GenericInternalRow(nBuildFields) else null
         rows.flatMap { r =>
-          if (r.isNullAt(keyIdx)) Iterator.empty
-          else {
+          if (r.isNullAt(keyIdx)) {
+            if (isOuter) Iterator.single(proj(joined(r, nullBuild)))
+            else Iterator.empty
+          } else {
             val m = lookup.get(r.getUTF8String(keyIdx))
-            if (m == null) Iterator.empty
-            else if (m.length == 1) Iterator.single(joined(r, m(0)))
-            else m.iterator.map(b => joined(r, b))
+            if (m == null) {
+              if (isOuter) Iterator.single(proj(joined(r, nullBuild)))
+              else Iterator.empty
+            }
+            else if (m.length == 1) Iterator.single(proj(joined(r, m(0))))
+            else m.iterator.map(b => proj(joined(r, b)))
           }
         }
       }
@@ -223,14 +259,18 @@ case class DictJoinExec(streamKeyIdx: Int, buildKeyIdx: Int,
     columnarChild.get.executeColumnar().mapPartitionsInternal { batches =>
       val lookup = bcast.value
       val joined = new JoinedRow
+      val proj = UnsafeProjection.create(outTypes)
+      val nullBuild: InternalRow =
+        if (isOuter) new GenericInternalRow(nBuildFields) else null
       batches.flatMap(cb =>
-        DictJoin.probeBatch(cb, keyIdx, lookup, (p, b) => joined(p, b)))
+        DictJoin.probeBatch(cb, keyIdx, lookup, (p, b) => proj(joined(p, b)),
+          nullBuild))
     }
   }
 }
 
 /** Planner strategy (opt-in: `spark.sql.graft.dictJoin=true`): rewrites
-  * `Join(Inner, probeKey = buildKey)` to [[DictJoinExec]] when the probe
+  * `Join(Inner | LeftOuter, probeKey = buildKey)` to [[DictJoinExec]] when the probe
   * side is EXACTLY a graft column-store scan (bare DSv2 relation — any
   * interposed Project/Filter keeps Spark's planning), the key is a
   * string column, and the build side fits the broadcast threshold. Off
@@ -240,7 +280,7 @@ case class DictJoinExec(streamKeyIdx: Int, buildKeyIdx: Int,
 object DictJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
   import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
-  import org.apache.spark.sql.catalyst.plans.Inner
+  import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
   import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 
@@ -250,8 +290,9 @@ object DictJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy
     val conf = org.apache.spark.sql.internal.SQLConf.get
     if (!conf.getConfString(CONF_KEY, "false").toBoolean) return Nil
     plan match {
-      case Join(l, r, Inner,
-          Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
+      case Join(l, r, jt,
+          Some(EqualTo(a: AttributeReference, b: AttributeReference)), _)
+          if jt == Inner || jt == LeftOuter =>
         // The optimizer interposes Filter(isnotnull(key)) above the scan
         // for inner joins (the predicate is also already pushed INTO the
         // scan, so the retained node is a residual re-check). DictJoinExec
@@ -269,20 +310,25 @@ object DictJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy
           if (scanRel.outputSet.contains(a) && r.outputSet.contains(b)) (a, b)
           else if (scanRel.outputSet.contains(b) && r.outputSet.contains(a)) (b, a)
           else return Nil
-        val filterAbsorbable = residual.forall { cond =>
-          splitConjunctivePredicates(cond).forall {
-            case org.apache.spark.sql.catalyst.expressions.IsNotNull(
-                x: AttributeReference) => x.exprId == pk.exprId
-            case _ => false
+        // LEFT OUTER keeps null-key probe rows (null-extended), so an
+        // interposed IsNotNull filter must NOT be absorbed — and the
+        // optimizer doesn't interpose one for outer joins anyway.
+        val filterAbsorbable =
+          if (jt == LeftOuter) residual.isEmpty
+          else residual.forall { cond =>
+            splitConjunctivePredicates(cond).forall {
+              case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+                  x: AttributeReference) => x.exprId == pk.exprId
+              case _ => false
+            }
           }
-        }
         if (!filterAbsorbable) return Nil
         if (pk.dataType != StringType) return Nil
         if (r.stats.sizeInBytes > conf.autoBroadcastJoinThreshold) return Nil
         val keyIdx = scanRel.output.indexWhere(_.exprId == pk.exprId)
         val buildIdx = r.output.indexWhere(_.exprId == bk.exprId)
         if (keyIdx < 0 || buildIdx < 0) return Nil
-        DictJoinExec(keyIdx, buildIdx, planLater(scanRel), planLater(r)) :: Nil
+        DictJoinExec(keyIdx, buildIdx, planLater(scanRel), planLater(r), jt) :: Nil
       case _ => Nil
     }
   }

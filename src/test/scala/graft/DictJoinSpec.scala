@@ -10,10 +10,11 @@ import org.apache.spark.sql.graft.store.DictJoin
 class DictJoinSpec extends SparkTestBase {
 
   private def abCheck(table: String, key: String,
-      build: org.apache.spark.sql.DataFrame, buildKey: String): Unit = {
-    val fast = DictJoin.dictJoin(spark, table, key, build, buildKey)
+      build: org.apache.spark.sql.DataFrame, buildKey: String,
+      joinType: String = "inner"): Unit = {
+    val fast = DictJoin.dictJoin(spark, table, key, build, buildKey, joinType)
     val probe = org.apache.spark.sql.graft.store.GraftStoreOps.read(spark, table)
-    val ref = probe.join(build, probe(key) === build(buildKey), "inner")
+    val ref = probe.join(build, probe(key) === build(buildKey), joinType)
       .drop(build(buildKey))
     assert(fast.schema.map(f => (f.name, f.dataType)) ===
       ref.schema.map(f => (f.name, f.dataType)))
@@ -106,6 +107,81 @@ class DictJoinSpec extends SparkTestBase {
       spark.conf.unset(org.apache.spark.sql.graft.store.DictJoinStrategy.CONF_KEY)
     }
     g.dropTable("dj_strat")
+  }
+
+  test("LEFT OUTER: null keys and misses null-extend (operator A/B)") {
+    val g = GraftSession(spark)
+    import spark.implicits._
+    val probe = Seq((1L, "a"), (2L, null), (3L, "b"), (4L, "zzz"), (5L, "a"))
+      .toDF("id", "k")
+    g.createTable("dj_louter", probe)
+    val dim = Seq(("a", 10), ("b", 20), ("c", 30)).toDF("bk", "v")
+    abCheck("dj_louter", "k", dim, "bk", "left_outer")
+    val got = DictJoin.dictJoin(spark, "dj_louter", "k", dim, "bk", "left")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2)))
+    assert(got.toSeq === Seq((1L, "a", 10), (2L, null, -1), (3L, "b", 20),
+      (4L, "zzz", -1), (5L, "a", 10)))
+    // dict-encoded probe (few distinct keys, some unmatched) outer too
+    val probe2 = (1 to 2000).map(i => (i.toLong, s"g${i % 5}")).toDF("id", "k")
+    g.createTable("dj_louter2", probe2)
+    val dim2 = Seq(("g0", 0), ("g2", 2)).toDF("bk", "v")
+    abCheck("dj_louter2", "k", dim2, "bk", "left_outer")
+    g.dropTable("dj_louter")
+    g.dropTable("dj_louter2")
+  }
+
+  test("strategy: bare join output survives collect and sort (UnsafeRow consumers)") {
+    // regression for the reused-JoinedRow output bug: with the strategy
+    // on, a DictJoinExec at the plan ROOT feeds executeCollect's
+    // getByteArrayRdd, and under an orderBy it feeds a shuffle's
+    // UnsafeRowSerializer — both cast rows to UnsafeRow
+    val g = GraftSession(spark)
+    import spark.implicits._
+    val probe = (1 to 500).map(i => (i.toLong, s"g${i % 4}")).toDF("id", "k")
+    g.createTable("dj_bare", probe)
+    val dim = Seq(("g0", 0), ("g1", 10), ("g2", 20), ("g3", 30)).toDF("bk", "v")
+    val p = org.apache.spark.sql.graft.store.GraftStoreOps.read(spark, "dj_bare")
+    def q = p.join(dim, p("k") === dim("bk"))
+    val off = q.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val offSorted = q.orderBy("id", "bk").collect().map(_.toSeq).toSeq
+    try {
+      spark.conf.set(org.apache.spark.sql.graft.store.DictJoinStrategy.CONF_KEY, "true")
+      val bare = q
+      assert(bare.queryExecution.executedPlan.toString.contains("DictJoin"),
+        bare.queryExecution.executedPlan.toString)
+      assert(bare.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq === off)
+      assert(q.orderBy("id", "bk").collect().map(_.toSeq).toSeq === offSorted)
+      // LEFT OUTER through the strategy: plan rewrites, answers match
+      val probeL = p.join(dim, p("k") === dim("bk"), "left_outer")
+      assert(probeL.queryExecution.executedPlan.toString.contains("DictJoin"),
+        probeL.queryExecution.executedPlan.toString)
+    } finally {
+      spark.conf.unset(org.apache.spark.sql.graft.store.DictJoinStrategy.CONF_KEY)
+    }
+    g.dropTable("dj_bare")
+  }
+
+  test("strategy LEFT OUTER: null-extension equals Spark's left join") {
+    val g = GraftSession(spark)
+    import spark.implicits._
+    val probe = Seq((1L, "a"), (2L, null), (3L, "b"), (4L, "zzz")).toDF("id", "k")
+    g.createTable("dj_louter_strat", probe)
+    val dim = Seq(("a", 10), ("b", 20)).toDF("bk", "v")
+    val p = org.apache.spark.sql.graft.store.GraftStoreOps.read(spark, "dj_louter_strat")
+    def q = p.join(dim, p("k") === dim("bk"), "left_outer").orderBy("id", "bk")
+    val off = q.collect().map(_.toSeq).toSeq
+    try {
+      spark.conf.set(org.apache.spark.sql.graft.store.DictJoinStrategy.CONF_KEY, "true")
+      val on = q
+      assert(on.queryExecution.executedPlan.toString.contains("DictJoin"),
+        on.queryExecution.executedPlan.toString)
+      assert(on.collect().map(_.toSeq).toSeq === off)
+    } finally {
+      spark.conf.unset(org.apache.spark.sql.graft.store.DictJoinStrategy.CONF_KEY)
+    }
+    g.dropTable("dj_louter_strat")
   }
 
   test("join after store mutations sees the mutated snapshot") {
