@@ -366,21 +366,24 @@ object Dedup {
     * ContextCleaner once the returned frame (and its plan) become
     * unreachable — in long-lived sessions invoking this repeatedly,
     * drop the result reference when done (the bench harness additionally
-    * runs System.gc() between queries for deterministic reclamation).
+    * runs System.gc() between queries for deterministic reclamation), or
+    * pass a [[CheckpointScope]] and `release()` it after materializing
+    * the result for deterministic block reclamation per invocation.
     */
   def minhashNearDupsFast(
       docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numHashes: Int = 16,
-      threshold: Double = 0.7, maxBucketSize: Option[Int] = None): DataFrame = {
+      threshold: Double = 0.7, maxBucketSize: Option[Int] = None,
+      scope: Option[CheckpointScope] = None): DataFrame = {
     import graft.functions.TextFunctions.hash_jaccard
-    val (bands, sigs) = minhashFrames(docs, idCol, textCol, shingleLen, numHashes)
+    val (bands, sigs) = minhashFrames(docs, idCol, textCol, shingleLen, numHashes, scope)
     // maxBucketSize passes through to the band join (see lshCandidates):
     // shingle-LESS documents (fewer tokens than shingleLen) all carry
     // the identical all-MaxValue signature, so ONE degenerate bucket per
     // band grows quadratic join output at corpus scale — their pairs are
     // Jaccard-0 and die in verification anyway, so the cap only removes
     // work, never near-dups (ScaleProbe measures the difference).
-    val cands = lshCandidates(bands, maxBucketSize).localCheckpoint(true)
+    val cands = ckpt(lshCandidates(bands, maxBucketSize), scope)
     // Verification ships only CANDIDATE MEMBERS' hash arrays. Without
     // this prune, once the sig frame outgrows the broadcast threshold
     // both verify joins sort-merge-shuffle EVERY document's sh array —
@@ -395,7 +398,8 @@ object Dedup {
     // own) lives in pruneSigsToMembers. Above the bound the semi join
     // degrades to the linear shuffle join instead of a driver OOM.
     val hashed = pruneSigsToMembers(sigs,
-      cands.select(col("a").as("sid")).union(cands.select(col("b").as("sid"))))
+      cands.select(col("a").as("sid")).union(cands.select(col("b").as("sid"))),
+      scope)
     cands
       .join(hashed.select(col("sid").as("a"), col("sh").as("ha")), "a")
       .join(hashed.select(col("sid").as("b"), col("sh").as("hb")), "b")
@@ -411,13 +415,14 @@ object Dedup {
     * `sid`). One shingling pass total (minhash_full).
     */
   def minhashFrames(docs: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int = 3, numHashes: Int = 16): (DataFrame, DataFrame) = {
-    val base = docs
+      shingleLen: Int = 3, numHashes: Int = 16,
+      scope: Option[CheckpointScope] = None): (DataFrame, DataFrame) = {
+    val base = ckpt(docs
       .select(col(idCol).as("sid"),
         org.apache.spark.sql.graft.TextHashExpressions
           .minhash_full(col(textCol), shingleLen, numHashes).as("m"))
-      .select(col("sid"), col("m.sig").as("sig"), col("m.sh").as("sh"))
-      .localCheckpoint(true)
+      .select(col("sid"), col("m.sig").as("sig"), col("m.sh").as("sh")),
+      scope)
     val bands = base
       .select(col("sid"), posexplode(col("sig")))
       .select(col("sid"), col("pos").as("band_idx"), col("col").as("band_hash"))
@@ -436,10 +441,21 @@ object Dedup {
     * relation — above the bound the caller's join degrades to the
     * linear shuffle, not an OOM (BroadcastPolicySpec's rule).
     */
+  /** localCheckpoint through the caller's [[CheckpointScope]] when one
+    * was passed (deterministic release), plain eager checkpoint (RDD-GC
+    * reclamation) otherwise.
+    */
+  private def ckpt(df: DataFrame, scope: Option[CheckpointScope]): DataFrame =
+    scope match {
+      case Some(s) => s.checkpoint(df)
+      case None => df.localCheckpoint(true)
+    }
+
   private def measuredBroadcast(df0: DataFrame,
-      maxBytes: Long = 64L * 1024 * 1024): DataFrame = {
+      maxBytes: Long = 64L * 1024 * 1024,
+      scope: Option[CheckpointScope] = None): DataFrame = {
     import org.apache.spark.sql.types._
-    val df = df0.localCheckpoint(true)
+    val df = ckpt(df0, scope)
     // measurable widths only: strings/binary by octet_length (NULL
     // coalesced to 0 — a null-heavy column must not null out the whole
     // row's byte term), fixed-width primitives at 8. A column this
@@ -464,8 +480,10 @@ object Dedup {
   /** Semi-join prune of a `(sid, sh)` frame to the given member ids —
     * the candidate-members verify prune, via [[measuredBroadcast]].
     */
-  private def pruneSigsToMembers(sigs: DataFrame, members0: DataFrame): DataFrame =
-    sigs.join(measuredBroadcast(members0.distinct()), Seq("sid"), "left_semi")
+  private def pruneSigsToMembers(sigs: DataFrame, members0: DataFrame,
+      scope: Option[CheckpointScope] = None): DataFrame =
+    sigs.join(measuredBroadcast(members0.distinct(), scope = scope),
+      Seq("sid"), "left_semi")
 
   /** Incremental MinHash-LSH near-dup detection — the production ingest
     * loop for NEAR duplicates, the fuzzy complement of
@@ -509,12 +527,20 @@ object Dedup {
     * on the registry side — history never moves); the registry verify
     * side ships hash arrays for candidate members only
     * ([[pruneSigsToMembers]] — the measured-broadcast semi join).
+    *
+    * Resource note: the call eagerly localCheckpoints several
+    * intermediates that back the returned frames. In a long-running
+    * ingest loop pass `scope = Some(new CheckpointScope)` and
+    * `scope.release()` after materializing `pairs` and appending
+    * `newBands`/`newSigs`, so each batch's blocks free deterministically
+    * instead of waiting for RDD GC ([[CheckpointScope]]).
     */
   def incrementalMinhash(batch: DataFrame, idCol: String, textCol: String,
       registryBands: DataFrame, registrySigs: DataFrame,
       shingleLen: Int = 3, numHashes: Int = 16,
       threshold: Double = 0.7,
-      maxBucketSize: Option[Int] = None): (DataFrame, DataFrame, DataFrame) = {
+      maxBucketSize: Option[Int] = None,
+      scope: Option[CheckpointScope] = None): (DataFrame, DataFrame, DataFrame) = {
     import graft.functions.TextFunctions.hash_jaccard
     // bounded-cost param sanity (the detectable direction): a registry
     // built with MORE hashes spreads band_idx past numHashes-1, and any
@@ -525,9 +551,9 @@ object Dedup {
       s"incrementalMinhash: registry has band_idx $sampledMax — it was built " +
         s"with more than numHashes=$numHashes hashes; probe with the " +
         "registry's own (shingleLen, numHashes)")
-    val (bands, sigs) = minhashFrames(batch, idCol, textCol, shingleLen, numHashes)
+    val (bands, sigs) = minhashFrames(batch, idCol, textCol, shingleLen, numHashes, scope)
     // batch-internal candidates (a < b within the batch; cap inside)
-    val intra = lshCandidates(bands, maxBucketSize).localCheckpoint(true)
+    val intra = ckpt(lshCandidates(bands, maxBucketSize), scope)
     // batch-vs-history candidates, with the cap applied to both sides
     // Every registry-side join below keeps the REGISTRY streaming and
     // ships only batch-scale frames ([[measuredBroadcast]]): the
@@ -536,7 +562,7 @@ object Dedup {
     // storage-partitioned; the measured hints make the shape hold for
     // ANY DataFrame registry — ScaleProbe's arm pins flat per-batch
     // cost across a 16x registry sweep.)
-    val batchIds = measuredBroadcast(sigs.select("sid"))
+    val batchIds = measuredBroadcast(sigs.select("sid"), scope = scope)
     val (probeBands, probedRegBands) = maxBucketSize match {
       case Some(cap) =>
         require(cap >= 2, s"maxBucketSize must allow pairs: $cap")
@@ -546,10 +572,10 @@ object Dedup {
         // checkpoint once: both the probed-key set and the cross probe
         // side derive from it (re-deriving would re-run the gate join
         // per consumer)
-        val gated = bands.join(okBatch, Seq("band_idx", "band_hash"))
-          .localCheckpoint(true)
-        val probedKeys =
-          measuredBroadcast(gated.select("band_idx", "band_hash").distinct())
+        val gated = ckpt(bands.join(okBatch, Seq("band_idx", "band_hash")),
+          scope)
+        val probedKeys = measuredBroadcast(
+          gated.select("band_idx", "band_hash").distinct(), scope = scope)
         // count LIVE registry members per probed bucket: stale rows of
         // re-ingested batch ids leave first (anti vs the broadcast batch
         // id set — the registry keeps streaming), or a bucket sitting at
@@ -560,7 +586,7 @@ object Dedup {
           .groupBy("band_idx", "band_hash")
           .agg(count(lit(1)).as("__rn")).filter(col("__rn") <= cap)
           .select("band_idx", "band_hash")
-        (gated, registryBands.join(measuredBroadcast(okReg),
+        (gated, registryBands.join(measuredBroadcast(okReg, scope = scope),
           Seq("band_idx", "band_hash")))
       case None => (bands, registryBands)
     }
@@ -570,14 +596,15 @@ object Dedup {
     // CANDIDATE scale — an anti join against the registry frames
     // themselves would shuffle the whole bands registry per batch
     // (it is bucketed by band_hash, not by sid).
-    val cross = probedRegBands
+    val cross = ckpt(probedRegBands
       .select(col("band_idx"), col("band_hash"), col("sid").as("a"))
       .join(measuredBroadcast(
-          probeBands.select(col("band_idx"), col("band_hash"), col("sid").as("b"))),
+          probeBands.select(col("band_idx"), col("band_hash"), col("sid").as("b")),
+          scope = scope),
         Seq("band_idx", "band_hash"))
       .select("a", "b").distinct()
-      .join(batchIds.select(col("sid").as("a")), Seq("a"), "left_anti")
-      .localCheckpoint(true)
+      .join(batchIds.select(col("sid").as("a")), Seq("a"), "left_anti"),
+      scope)
     def verify(cands: DataFrame, aSide: DataFrame): DataFrame = cands
       .join(aSide.select(col("sid").as("a"), col("sh").as("ha")), "a")
       .join(sigs.select(col("sid").as("b"), col("sh").as("hb")), "b")
@@ -587,7 +614,7 @@ object Dedup {
     // cross already excludes batch ids, so the member semi-join also
     // keeps stale re-ingested signatures out of verification
     val regVerifySide =
-      pruneSigsToMembers(registrySigs, cross.select(col("a").as("sid")))
+      pruneSigsToMembers(registrySigs, cross.select(col("a").as("sid")), scope)
     // normalize to unordered (least, greatest) pairs; the union stays
     // disjoint (cross pairs have exactly one registry side, intra none)
     val pairs = verify(cross, regVerifySide).unionByName(verify(intra, sigs))
@@ -600,7 +627,8 @@ object Dedup {
     // THAT — a direct anti join against registrySigs would shuffle (or
     // driver-collect) all history ids per batch on the append path
     val registered = measuredBroadcast(
-      registrySigs.select("sid").join(batchIds, Seq("sid"), "left_semi"))
+      registrySigs.select("sid").join(batchIds, Seq("sid"), "left_semi"),
+      scope = scope)
     val newSigs = sigs.join(registered, Seq("sid"), "left_anti")
     val newBands = bands.join(registered, Seq("sid"), "left_anti")
     (pairs, newBands, newSigs)
@@ -682,9 +710,10 @@ object Dedup {
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
+    var labelsCkpt = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    var labels = labelsCkpt
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -698,6 +727,10 @@ object Dedup {
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint(true)
       converged = next.filter(col("label") =!= col("old")).isEmpty
+      // the superseded round's blocks are fully consumed (next is eager):
+      // free them now instead of accumulating one frame per round
+      CheckpointScope.unpersist(labelsCkpt)
+      labelsCkpt = next
       labels = next.select("id", "label")
       it += 1
     }

@@ -242,6 +242,31 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(newSigs.select("sid").as[Long].collect().toSet === Set(3L, 4L, 5L, 6L))
   }
 
+  test("incrementalMinhash: CheckpointScope frees every intermediate's blocks on release") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val hist = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val (regBands, regSigs) = Dedup.minhashFrames(hist, "doc_id", "text")
+    val before = sc.getPersistentRDDs.keySet
+    val scope = new graft.operators.CheckpointScope
+    val batch = Seq((2L, "a b c d e f g h i j k"), (3L, "z x c v b n m"))
+      .toDF("doc_id", "text")
+    val (pairs, newBands, newSigs) = Dedup.incrementalMinhash(
+      batch, "doc_id", "text", regBands, regSigs, scope = Some(scope))
+    // consume every returned frame (the release contract), then release
+    assert(pairs.select("a", "b").as[(Long, Long)].collect().toSet ===
+      Set((1L, 2L)))
+    newBands.count(); newSigs.count()
+    assert(scope.trackedCount > 0)
+    val during = sc.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty, "expected scope-tracked checkpoint RDDs to be persisted")
+    scope.release(blocking = true)
+    assert(scope.trackedCount === 0)
+    val after = sc.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty,
+      s"scope release left persisted RDDs behind: $after")
+  }
+
   test("incrementalMinhash: re-ingested id with CHANGED text pairs under the batch's text only") {
     import spark.implicits._
     import org.apache.spark.sql.graft.TextHash

@@ -275,14 +275,21 @@ class StreamingSpec extends SparkTestBase {
     val mem = MemoryStream[(Long, String)]
     val q = mem.toDF.toDF("doc_id", "text").writeStream
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the production loop shape: a per-batch CheckpointScope so the
+        // operator's eager localCheckpoint blocks free at batch end
+        // instead of accumulating until RDD GC
+        val scope = new graft.operators.CheckpointScope
         val (pairs, newBands, newSigs) = Dedup.incrementalMinhash(
-          df, "doc_id", "text", g.table("snd_bands"), g.table("snd_sigs"))
+          df, "doc_id", "text", g.table("snd_bands"), g.table("snd_sigs"),
+          scope = Some(scope))
         // materialize pairs BEFORE the registry append (the operator's
         // contract — the committed rows must not feed the same batch)
         val p = pairs.select("a", "b").as[(Long, Long)].collect()
         found.synchronized { found ++= p }
         g.insert("snd_bands", newBands)
         g.insert("snd_sigs", newSigs)
+        assert(scope.trackedCount > 0)
+        scope.release(blocking = true)
         ()
       }
       .start()
