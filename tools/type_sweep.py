@@ -78,8 +78,7 @@ def main(sfdir, outdir):
     for name in sorted(oracles):
         rdir = os.path.join(outdir, name)
         if not os.path.isdir(rdir):
-            print(f"  [no-result] {name}: Verify wrote no parquet, skipping")
-            continue
+            continue  # not part of this (possibly SPARK_GRAFT_ONLY) run
         try:
             dtypes = con.execute(
                 f"DESCRIBE (\n{oracles[name]}\n)").fetchall()
