@@ -137,6 +137,34 @@ object StoreBench {
         // a failing arm must not leave the strategy on for later arms
         spark.conf.unset(org.apache.spark.sql.graft.store.DictJoinStrategy.CONF_KEY)
       }
+      // join→group composition: Spark join-then-group vs dictJoin feeding
+      // the group-by vs dictJoinAgg (agg reordered through the join, so
+      // the dict-grouping pushdown sees the bare scan and the join runs
+      // at per-group scale — codes survive end-to-end)
+      val jgAggs = Seq(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+      time("join+groupBy: spark") {
+        probe.join(broadcast(dim), probe("l_returnflag") === dim("flag"))
+          .groupBy("l_returnflag", "rank", "label")
+          .agg(jgAggs.head, jgAggs.tail: _*)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("join+groupBy: dictJoin") {
+        org.apache.spark.sql.graft.store.DictJoin
+          .dictJoin(spark, "sb_dj", "l_returnflag", dim, "flag")
+          .groupBy("l_returnflag", "rank", "label")
+          .agg(jgAggs.head, jgAggs.tail: _*)
+          .write.format("noop").mode("overwrite").save()
+      }
+      for (push <- Seq(true, false)) {
+        spark.conf.set("spark.sql.graft.aggPushdown", push.toString)
+        try {
+          time(s"join+groupBy: agg-first push=$push") {
+            org.apache.spark.sql.graft.store.DictJoin
+              .dictJoinAgg(spark, "sb_dj", "l_returnflag", dim, "flag", jgAggs)
+              .write.format("noop").mode("overwrite").save()
+          }
+        } finally spark.conf.unset("spark.sql.graft.aggPushdown")
+      }
     }
     // q1 aggregation variants
     val lif = li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))

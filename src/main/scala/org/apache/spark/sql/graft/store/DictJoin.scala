@@ -2,6 +2,7 @@ package org.apache.spark.sql.graft.store
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
@@ -175,6 +176,65 @@ object DictJoin {
     }
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, outSchema)
+  }
+
+  /** Join→group pipeline that keeps dictionary codes END-TO-END — the
+    * composition the reference gets from one map accessor serving both
+    * its join and its group-by (`DictionaryOptimizedMapAccessor.scala:26`,
+    * reused by `HashJoinExec` and `SnappyHashAggregateExec`): a probe
+    * row's key string is never materialized between the two operators.
+    *
+    * Spark-first, the same end state falls out of operator REORDERING
+    * rather than operator fusion: for the canonical dimension shape
+    * `fact ⋈ dim ON k GROUP BY k, dim.attrs` with aggregates over fact
+    * columns and a UNIQUE dim key, aggregation commutes through the
+    * join. So this runs the group-by directly ON the scan — where the
+    * dictionary-grouping pushdown ([[GraftAggScan]], when enabled)
+    * accumulates per batch into code-indexed slots, reading only
+    * dictionary ids — and joins the METADATA-SCALE result (one row per
+    * distinct key) with the dimension afterwards. Codes survive until
+    * the per-group result rows, which is strictly later than the
+    * reference achieves (its probe still materializes output rows per
+    * FACT row; here the string key materializes once per GROUP).
+    *
+    * `aggs` must reference only fact columns (checked); `extraGroup`
+    * may add more fact grouping columns. The dim key must be unique —
+    * with duplicate dim keys the reorder is invalid (join-then-group
+    * multiplies fact rows per duplicate) and the call fails fast.
+    * Output: group columns, then `aggs`, then the dim's other columns.
+    *
+    * At 100 TB: the fact side never shuffles strings — one partial-agg
+    * pass over the scan (code-indexed under pushdown), a distinct-keys
+    * sized exchange, and a broadcast of the dimension.
+    */
+  def dictJoinAgg(spark: SparkSession, table: String, key: String,
+      build: DataFrame, buildKey: String,
+      aggs: Seq[org.apache.spark.sql.Column],
+      extraGroup: Seq[String] = Nil): DataFrame = {
+    require(aggs.nonEmpty, "dictJoinAgg: need at least one aggregate")
+    val probe = GraftStoreOps.read(spark, table)
+    // fact-columns-only check: the aggregates must analyze against the
+    // probe ALONE — a build-side reference means the reorder is invalid
+    // (aggregate after the join instead)
+    try probe.groupBy(key, extraGroup: _*).agg(aggs.head, aggs.tail: _*)
+      .queryExecution.analyzed
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          "dictJoinAgg: aggregates/groups must use fact columns only — " +
+            s"a reference does not resolve against '$table' (likely a " +
+            s"build side column; aggregate after the join instead): ${e.getMessage}")
+    }
+    val dupKeys = build.groupBy(col(buildKey)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"dictJoinAgg: build key '$buildKey' is not unique " +
+        s"(e.g. ${dupKeys.head.get(0)}) — aggregation does not commute " +
+        "through a multiplying join")
+    val grouped = probe.groupBy(key, extraGroup: _*).agg(aggs.head, aggs.tail: _*)
+    grouped.join(org.apache.spark.sql.functions.broadcast(build),
+        grouped(key) === build(buildKey), "inner")
+      .drop(build(buildKey))
   }
 }
 

@@ -184,6 +184,50 @@ class DictJoinSpec extends SparkTestBase {
     g.dropTable("dj_louter_strat")
   }
 
+  test("dictJoinAgg: agg-through-join reorder equals join-then-group (codes end-to-end)") {
+    val g = GraftSession(spark)
+    val orders = Tables.load(spark, sf, "orders")
+    g.createTable("dja_orders", orders)
+    import spark.implicits._
+    val dim = Seq(("1-URGENT", 1, "hot"), ("2-HIGH", 2, "warm"),
+      ("3-MEDIUM", 3, "mid"), ("4-NOT SPECIFIED", 4, "meh"), ("5-LOW", 5, "cold"))
+      .toDF("prio", "rank", "label")
+    val aggs = Seq(count(lit(1)).as("n"), sum("o_totalprice").as("rev"),
+      max("o_orderdate").as("latest"))
+    for (push <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.graft.aggPushdown", push)
+      try {
+        val fast = org.apache.spark.sql.graft.store.DictJoin.dictJoinAgg(
+          spark, "dja_orders", "o_orderpriority", dim, "prio", aggs)
+        val probe = org.apache.spark.sql.graft.store.GraftStoreOps.read(spark, "dja_orders")
+        val ref = probe.join(dim, probe("o_orderpriority") === dim("prio"))
+          .groupBy(probe("o_orderpriority"), dim("rank"), dim("label"))
+          .agg(aggs.head, aggs.tail: _*)
+        val f = fast.select("o_orderpriority", "rank", "label", "n", "rev", "latest")
+          .collect().map(_.toSeq).sortBy(_.mkString("|"))
+        val r = ref.select("o_orderpriority", "rank", "label", "n", "rev", "latest")
+          .collect().map(_.toSeq).sortBy(_.mkString("|"))
+        assert(f.toSeq === r.toSeq, s"push=$push")
+      } finally spark.conf.unset("spark.sql.graft.aggPushdown")
+    }
+    // the reorder's validity guards: duplicate dim keys and build-side
+    // aggregate references both fail fast instead of silently diverging
+    val dupDim = Seq(("1-URGENT", 1), ("1-URGENT", 2)).toDF("prio", "rank")
+    val e1 = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.store.DictJoin.dictJoinAgg(
+        spark, "dja_orders", "o_orderpriority", dupDim, "prio",
+        Seq(count(lit(1)).as("n")))
+    }
+    assert(e1.getMessage.contains("not unique"))
+    val e2 = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.store.DictJoin.dictJoinAgg(
+        spark, "dja_orders", "o_orderpriority", dim, "prio",
+        Seq(sum(col("rank")).as("s")))
+    }
+    assert(e2.getMessage.contains("build side"))
+    g.dropTable("dja_orders")
+  }
+
   test("join after store mutations sees the mutated snapshot") {
     val g = GraftSession(spark)
     import spark.implicits._
