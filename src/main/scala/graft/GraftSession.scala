@@ -120,7 +120,13 @@ class GraftSession(val spark: SparkSession) {
         else w
       GraftColumnStore.drop(nm) // fresh layout (options win over a stale table)
       w2.mode("overwrite").save()
-      val df = GraftStoreOps.read(spark, nm)
+      // prefer the CATALOG read: only catalog-resolved scans carry the
+      // bucket-grouped KeyGroupedPartitioning (the bucket transform's
+      // function resolves through GraftCatalog), which is what lets
+      // bucket-key joins/aggregations skip the store-side exchange —
+      // a reader-based load of the same table reports UnknownPartitioning
+      val df = scala.util.Try(spark.table(s"graft.$nm"))
+        .getOrElse(GraftStoreOps.read(spark, nm))
       df.createOrReplaceTempView(nm)
       tables.put(nm, TableState(df, keyColumns, partitionBy, buckets, storeBacked = true))
       df

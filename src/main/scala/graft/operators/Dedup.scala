@@ -455,6 +455,11 @@ object Dedup {
       maxBytes: Long = 64L * 1024 * 1024,
       scope: Option[CheckpointScope] = None): DataFrame = {
     import org.apache.spark.sql.types._
+    // operational override (also how probes rehearse the degraded
+    // no-hint regime): bound in bytes; <= 0 refuses every hint
+    val bound = df0.sparkSession.conf
+      .getOption("spark.sql.graft.measuredBroadcastMaxBytes")
+      .map(_.toLong).getOrElse(maxBytes)
     val df = ckpt(df0, scope)
     // measurable widths only: strings/binary by octet_length (NULL
     // coalesced to 0 — a null-heavy column must not null out the whole
@@ -471,10 +476,10 @@ object Dedup {
         case _ => None
       }
     }
-    if (widths.exists(_.isEmpty)) return df
+    if (widths.exists(_.isEmpty) || bound <= 0) return df
     val bytes = df.agg(
       coalesce(sum(widths.flatten.reduce(_ + _)), lit(0L))).head.getLong(0)
-    if (bytes <= maxBytes) broadcast(df) else df
+    if (bytes <= bound) broadcast(df) else df
   }
 
   /** Semi-join prune of a `(sid, sh)` frame to the given member ids —

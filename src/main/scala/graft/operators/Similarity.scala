@@ -382,4 +382,61 @@ object Similarity {
   def hardNegatives(vecs: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int, blocks: Int = 8): DataFrame =
     packedTopKGraph(vecs, idCol, vecCol, k, blocks, crossKey = Some(labelCol))
+
+  /** Approximate hard negatives — the ≥10⁶-vector path [[hardNegatives]]'
+    * contract points at: IVF-probed instead of exact-n². Each vector
+    * scores the (broadcast, nlist-row) centroid table for its `nprobe`
+    * nearest cells and meets only the cross-label corpus rows ASSIGNED to
+    * those cells — work ∝ nprobe/nlist of the corpus per probe instead of
+    * the full corpus. Exact cosine + per-src top-k over the candidates,
+    * so every returned pair's score is exact; only RECALL is traded
+    * (a true hard negative hiding in an unprobed cell is missed —
+    * `q_hard_negatives_approx` pins the measured recall as its oracle
+    * claim).
+    *
+    * Output: (src, rank, dst, cosine) — [[hardNegatives]]'s shape.
+    *
+    * At 100 TB: index build is the one KMeans + assign job (amortized
+    * across probes via [[buildIvfIndex]] + [[hardNegativesProbe]] on a
+    * persisted index); the probe pass shuffles corpus rows once on
+    * `cell` (storage-partition-prunable when the assigned table is
+    * bucketed by cell) and per-src partial top-k reduces each partition
+    * to k rows before the final src shuffle. Size `nlist` with the
+    * corpus (cells of ~10⁴-10⁵ vectors) so per-task candidate sets stay
+    * bounded.
+    */
+  def hardNegativesApprox(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L): DataFrame =
+    hardNegativesProbe(buildIvfIndex(vecs, idCol, vecCol, nlist, seed),
+      vecs, idCol, vecCol, labelCol, k, nprobe)
+
+  /** Probe-only approximate hard negatives over a prebuilt [[IvfIndex]]
+    * (the persisted-index path). `vecs` supplies the probe set AND the
+    * label of every corpus id (ids absent from `vecs` keep their
+    * assignment but cannot label-filter, so pass the full labeled
+    * corpus).
+    */
+  def hardNegativesProbe(index: IvfIndex, vecs: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val labels = vecs.select(col(idCol).as("nid"), col(labelCol).as("__lbl_b"))
+    val labeled = index.assigned.join(labels, "nid")
+    val q = vecs.select(col(idCol).as("src"), col(vecCol).as("q_vec"),
+      col(labelCol).as("__lbl"))
+    val probes = q
+      .crossJoin(broadcast(index.centroids))
+      .groupBy(col("src"))
+      .agg(topk_by(vec_cosine(col("q_vec"), col("center")),
+        col("cell").cast("long"), nprobe).as("cells"))
+      .select(col("src"), explode(col("cells.id")).cast("int").as("cell"))
+      .join(q, "src")
+    probes.join(labeled, "cell")
+      .filter(col("nid") =!= col("src") && col("__lbl_b") =!= col("__lbl"))
+      .groupBy(col("src"))
+      .agg(topk_by(vec_cosine(col("q_vec"), col("c_vec")), col("nid"), k).as("topk"))
+      .select(col("src"), posexplode(col("topk")))
+      .select(col("src"), (col("pos") + 1).as("rank"),
+        col("col.id").as("dst"), col("col.score").as("cosine"))
+  }
 }

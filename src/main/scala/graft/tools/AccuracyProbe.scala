@@ -46,6 +46,31 @@ object AccuracyProbe {
         println(s"[probe] $sf IVF nlist=$nl nprobe=$np min=${r.min} hits=${r.mkString(",")}")
       }
 
+      // hard negatives: exact vs IVF-approx — per-src hits among the true
+      // top-3 for the first 50 srcs (the q_hard_negatives_approx claim
+      // surface), plus wall-clock for the speedup figure
+      {
+        def t[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val a = f
+          (a, (System.nanoTime() - t0) / 1e9)
+        }
+        val (exact, secE) = t(Similarity.hardNegatives(
+          emb, "vec_id", "embedding", "label", k = 3)
+          .select("src", "dst").collect())
+        val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+        for ((nl, np) <- Seq((16, 4), (16, 6), (32, 8))) {
+          val (approx, secA) = t(Similarity.hardNegativesApprox(
+            emb, "vec_id", "embedding", "label", k = 3, nlist = nl, nprobe = np)
+            .select("src", "dst").collect())
+          val approxSet = approx.map(r => (r.getLong(0), r.getLong(1))).toSet
+          val hitsBySrc = (0L until 50L).map(s =>
+            exactSet.filter(_._1 == s).count(p => approxSet.contains(p)))
+          println(f"[probe] $sf hardneg IVF nlist=$nl nprobe=$np " +
+            f"minHits50=${hitsBySrc.min} exact_sec=$secE%.2f approx_sec=$secA%.2f " +
+            s"hits=${hitsBySrc.groupBy(identity).view.mapValues(_.size).toMap}")
+        }
+      }
+
       val li = Tables.load(spark, dir, "lineitem")
       li.groupBy("l_returnflag").agg(
           approx_count_distinct(col("l_orderkey"), 0.02).as("a"),

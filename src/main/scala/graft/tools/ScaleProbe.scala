@@ -151,6 +151,45 @@ object ScaleProbe {
       println(f"inc_minhash,$m,$sec%.3f,${shuffleBytes.get() / 1e6}%.1f,$n (appended $appended)")
       rbp.unpersist(); rsp.unpersist(); hx.unpersist()
     }
+
+    // ---- incremental near-dup, STORE-TABLE registry, broadcasts REFUSED ----
+    // The DataFrame-registry arm above holds its flat-cost shape through
+    // the measured-broadcast hints. The store-table layout must hold it
+    // STRUCTURALLY: registry tables bucketed by their join keys
+    // (bands by band_hash, sigs by sid) read through the CATALOG (only
+    // catalog-resolved scans carry KeyGroupedPartitioning), so with
+    // every broadcast refused the registry side of each join stays
+    // unshuffled — Spark shuffles only the batch-scale side into the
+    // registry's bucket partitioning (storage-partitioned join). Flat
+    // shuffle bytes across the registry sweep is the proof.
+    {
+      val g = graft.GraftSession(spark)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.graft.measuredBroadcastMaxBytes", "0")
+      println("inc_minhash_store,regMult,sec,shuffle_mb,pairs (fixed 1x batch, broadcasts refused)")
+      for (m <- Seq(1, 4, 16)) {
+        val hx = docsX(m)
+        val (rb, rs) = graft.operators.Dedup.minhashFrames(hx, "doc_id", "text")
+        g.createTable("sp_reg_bands", rb, partitionBy = Seq("band_hash"), buckets = 32)
+        g.createTable("sp_reg_sigs", rs, partitionBy = Seq("sid"), buckets = 32)
+        System.gc(); Thread.sleep(500)
+        shuffleBytes.set(0L)
+        val t0 = System.nanoTime()
+        val (pairs, newBands, newSigs) = graft.operators.Dedup.incrementalMinhash(
+          batch, "doc_id", "text",
+          spark.table("graft.sp_reg_bands"), spark.table("graft.sp_reg_sigs"),
+          maxBucketSize = Some(100))
+        val n = pairs.count()
+        val appended = newBands.count() + newSigs.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500)
+        println(f"inc_minhash_store,$m,$sec%.3f,${shuffleBytes.get() / 1e6}%.1f,$n (appended $appended)")
+        g.dropTable("sp_reg_bands"); g.dropTable("sp_reg_sigs")
+        hx.unpersist()
+      }
+    }
     spark.stop()
   }
 }

@@ -71,19 +71,33 @@ case class RowLevelSecurityRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private val applied = TreeNodeTag[Boolean]("graft.rls.applied")
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case s @ SubqueryAlias(ident, child) if s.getTagValue(applied).isEmpty &&
-        RelationAlias.isRelation(child) =>
-      val policies = PolicyRegistry.forTable(ident.name)
-      if (policies.isEmpty) s
-      else {
-        val predicate = policies
-          .map(p => spark.sessionState.sqlParser.parseExpression(p.filterSql))
-          .reduce(org.apache.spark.sql.catalyst.expressions.And.apply)
-        val out = SubqueryAlias(ident.name, Filter(predicate, child))
-        out.setTagValue(applied, true)
-        out
-      }
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // A View stores its ANALYZED child and its copy() re-asserts
+    // resolution, so injecting a freshly-parsed (unresolved) predicate
+    // inside one crashes the analyzer. Enforcement at the view's own
+    // alias (outside the View node) governs the same rows — collect the
+    // protected subtrees and leave them untouched.
+    val protectedNodes = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case v: org.apache.spark.sql.catalyst.plans.logical.View =>
+        v.child.foreach(protectedNodes.add)
+      case _ => ()
+    }
+    plan.transformUp {
+      case s @ SubqueryAlias(ident, child) if s.getTagValue(applied).isEmpty &&
+          !protectedNodes.contains(s) && RelationAlias.isRelation(child) =>
+        val policies = PolicyRegistry.forTable(ident.name)
+        if (policies.isEmpty) s
+        else {
+          val predicate = policies
+            .map(p => spark.sessionState.sqlParser.parseExpression(p.filterSql))
+            .reduce(org.apache.spark.sql.catalyst.expressions.And.apply)
+          val out = SubqueryAlias(ident.name, Filter(predicate, child))
+          out.setTagValue(applied, true)
+          out
+        }
+    }
   }
 }
 

@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
 /** Property checks for the operators whose query output has no SQL oracle
   * (engine-specific hashing / approximate recall).
   */
-class PipelineOpsSpec extends SparkTestBase {
+class PipelineOpsSpec extends SparkTestBase
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   private lazy val docs = Tables.load(spark, sf, "documents")
   private lazy val emb = Tables.load(spark, sf, "embeddings")
@@ -265,6 +266,86 @@ class PipelineOpsSpec extends SparkTestBase {
     val after = sc.getPersistentRDDs.keySet -- before
     assert(after.isEmpty,
       s"scope release left persisted RDDs behind: $after")
+  }
+
+  test("incrementalMinhash: bucketed store-table registry never shuffles, even with broadcasts refused") {
+    // PERF_NOTES §11 measured flat per-batch cost for DataFrame
+    // registries, which relies on the measured-broadcast hints. The
+    // store-table registry layout (bands bucketed by band_hash, sigs by
+    // sid) must hold the registry-never-moves property STRUCTURALLY:
+    // with every broadcast refused (hint bound 0, auto threshold -1),
+    // the plan may shuffle batch-scale frames but no exchange may sit
+    // above a registry scan.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val g = GraftSession(spark)
+    val hist = (1L to 200L).map(i => (i, s"w${i % 37} x${i % 11} y${i % 7} z${i} a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val (rb, rs) = Dedup.minhashFrames(hist, "doc_id", "text")
+    g.createTable("reg7_bands", rb, partitionBy = Seq("band_hash"), buckets = 64)
+    g.createTable("reg7_sigs", rs, partitionBy = Seq("sid"), buckets = 64)
+    val batch = Seq((1001L, "w1 x1 y1 z1 a b c d e f g h"),
+      (1002L, "totally different content here q r s t u v")).toDF("doc_id", "text")
+    val confs = Seq(
+      "spark.sql.graft.measuredBroadcastMaxBytes" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val (pairs, newBands, newSigs) = Dedup.incrementalMinhash(
+        batch, "doc_id", "text",
+        spark.table("graft.reg7_bands"), spark.table("graft.reg7_sigs"),
+        maxBucketSize = Some(100))
+      // The band-side registry joins live inside eager localCheckpoint
+      // intermediates (their plans are not inspectable here — the
+      // byte-measured ScaleProbe store-registry arm covers them); what
+      // IS visible in the returned frames is the verify-side semi join
+      // of reg7_sigs (bucketed by sid, joined on sid): with every
+      // broadcast refused it must plan storage-partitioned — no
+      // exchange above the registry scan.
+      // A leak is an exchange whose INPUT ROWS are registry rows: walk
+      // down through row-preserving unary nodes only — any join or
+      // aggregate boundary means the shuffled rows are join/group
+      // output (candidate scale in this operator), not the registry.
+      def leakUnder(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[org.apache.spark.sql.graft.store.GraftScan] =>
+          Seq(b.simpleString(3).take(80))
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          leakUnder(q.plan)
+        case j if j.children.size > 1 => Nil
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => Nil
+        case other => other.children.flatMap(leakUnder)
+      }
+      def registryScanUnderExchange(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+        df.collect() // materialize (AQE finalizes the plan)
+        val plan = df.queryExecution.executedPlan
+        collectWithSubqueries(plan) { case e: ShuffleExchangeExec => e }
+          .flatMap(e => leakUnder(e.child))
+      }
+      // non-vacuity: the verify-side registry scan must actually be
+      // visible in pairs' final plan (not checkpoint-hidden), or this
+      // test asserts nothing
+      val visibleRegScans = collectWithSubqueries(
+        pairs.queryExecution.executedPlan) {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+              if b.scan.isInstanceOf[org.apache.spark.sql.graft.store.GraftScan] => b
+        }
+      assert(visibleRegScans.nonEmpty,
+        "expected the registry sigs scan in pairs' plan — operator shape changed?")
+      val leaks = registryScanUnderExchange(pairs) ++
+        registryScanUnderExchange(newBands) ++ registryScanUnderExchange(newSigs)
+      assert(leaks.isEmpty,
+        s"registry scan feeds a shuffle exchange (O(history) per batch): $leaks")
+      // and the answers still come out: 1001 pairs with its ancestor
+      assert(pairs.select("a", "b").as[(Long, Long)].collect()
+        .forall { case (a, b) => a <= 200L && b == 1001L })
+    } finally {
+      olds.foreach { case (k, old) =>
+        old.fold(spark.conf.unset(k))(v => spark.conf.set(k, v)) }
+      g.dropTable("reg7_bands"); g.dropTable("reg7_sigs")
+    }
   }
 
   test("incrementalMinhash: re-ingested id with CHANGED text pairs under the batch's text only") {
