@@ -405,6 +405,27 @@ object Similarity {
     * corpus (cells of ~10⁴-10⁵ vectors) so per-task candidate sets stay
     * bounded.
     */
+  /** Exact hard negatives for a SUBSET of probe vectors — the
+    * broadcast-queries twin of [[hardNegatives]] (which pays the full
+    * packed n² graph): the query set broadcasts, the corpus streams once
+    * through the cosine loop with the label inequality in the join
+    * condition, per-src top-k via k-row partials. The right tool when
+    * |queries| ≪ corpus (spot checks, recall oracles).
+    */
+  def hardNegativesFor(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("src"), col(vecCol).as("q_vec"),
+      col(labelCol).as("__lq"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("c_vec"),
+      col(labelCol).as("__lc"))
+    c.join(broadcast(q), col("nid") =!= col("src") && col("__lc") =!= col("__lq"))
+      .groupBy(col("src"))
+      .agg(topk_by(vec_cosine(col("q_vec"), col("c_vec")), col("nid"), k).as("topk"))
+      .select(col("src"), posexplode(col("topk")))
+      .select(col("src"), (col("pos") + 1).as("rank"),
+        col("col.id").as("dst"), col("col.score").as("cosine"))
+  }
+
   def hardNegativesApprox(vecs: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       seed: Long = 42L): DataFrame =
@@ -420,8 +441,19 @@ object Similarity {
   def hardNegativesProbe(index: IvfIndex, vecs: DataFrame,
       idCol: String, vecCol: String, labelCol: String,
       k: Int, nprobe: Int = 4): DataFrame = {
+    import graft.functions.VectorExpressions.topk_cosine_local
+    val spark = vecs.sparkSession
     val labels = vecs.select(col(idCol).as("nid"), col(labelCol).as("__lbl_b"))
     val labeled = index.assigned.join(labels, "nid")
+    // (cell, label) PACKS probed through the fused kernel — the same
+    // no-pair-rows discipline as packedTopKGraph: the join-row
+    // formulation of this probe measured 6x SLOWER than the exact
+    // packed kernel at 16k vectors (row overhead, not cosine flops —
+    // PERF_NOTES §14); packing restores the fused loop and the label
+    // filter stays a pack-level predicate.
+    val packs = labeled.groupBy(col("cell"), col("__lbl_b"))
+      .agg(collect_list(struct(col("nid").as("id"), col("c_vec").as("vec")))
+        .as("pack"))
     val q = vecs.select(col(idCol).as("src"), col(vecCol).as("q_vec"),
       col(labelCol).as("__lbl"))
     val probes = q
@@ -429,12 +461,18 @@ object Similarity {
       .groupBy(col("src"))
       .agg(topk_by(vec_cosine(col("q_vec"), col("center")),
         col("cell").cast("long"), nprobe).as("cells"))
-      .select(col("src"), explode(col("cells.id")).cast("int").as("cell"))
+      .select(col("src"), explode(col("cells.id")).as("cell64"))
+      .select(col("src"), col("cell64").cast("int").as("cell"))
       .join(q, "src")
-    probes.join(labeled, "cell")
-      .filter(col("nid") =!= col("src") && col("__lbl_b") =!= col("__lbl"))
+      // kernel work is CPU-bound, not size-bound (packedTopKGraph's
+      // note): spread the probe rows across the cluster explicitly
+      .repartition(math.max(spark.sparkContext.defaultParallelism, nprobe))
+    probes.join(packs, Seq("cell"))
+      .filter(col("__lbl_b") =!= col("__lbl"))
+      .select(col("src"),
+        posexplode(topk_cosine_local(col("pack"), col("q_vec"), col("src"), k)))
       .groupBy(col("src"))
-      .agg(topk_by(vec_cosine(col("q_vec"), col("c_vec")), col("nid"), k).as("topk"))
+      .agg(topk_by(col("col.score"), col("col.id"), k).as("topk"))
       .select(col("src"), posexplode(col("topk")))
       .select(col("src"), (col("pos") + 1).as("rank"),
         col("col.id").as("dst"), col("col.score").as("cosine"))

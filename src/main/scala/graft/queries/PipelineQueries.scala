@@ -1704,6 +1704,37 @@ object PipelineQueries {
         .orderBy("src", "rank")
     },
 
+    // ---- approximate hard negatives: the >=1e6-vector path — IVF index
+    // (managed tables, built once per dir like the ANN rows) + cross-label
+    // cell probes. Oracle: recall-claim pattern — the approx result must
+    // recover >= 80 of the ~150 true top-3 cross-label neighbors of the
+    // first 50 srcs (AccuracyProbe measured 103 at sf0.01 / 108 at sf0.1
+    // with nlist=32 nprobe=8, so 80 has ~25% margin; per-src min sits at
+    // 1, too tight to pin). The exact side of the claim is the
+    // broadcast-queries subset operator, NOT the full n2 graph ----
+    QueryDef.sql(
+      "q_hard_negatives_approx",
+      """SELECT 50 AS n_src, CAST(1 AS BOOLEAN) AS total_hits_ge_80""") { (s, dir) =>
+      val g = graft.GraftSession(s)
+      val suffix = (dir.hashCode & 0x7fffffff).toString
+      val (cN, aN) = (s"hn_centroids_$suffix", s"hn_cells_$suffix")
+      val emb = Tables.load(s, dir, "embeddings")
+      if (!g.isManaged(cN)) {
+        val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 32)
+        g.createTable(cN, idx.centroids)
+        g.createTable(aN, idx.assigned, partitionBy = Seq("cell"), buckets = 16)
+      }
+      val idx = Similarity.IvfIndex(g.table(cN), g.table(aN))
+      val approx = Similarity.hardNegativesProbe(idx, emb,
+        "vec_id", "embedding", "label", k = 3, nprobe = 8)
+      val exact = Similarity.hardNegativesFor(emb, emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", "label", k = 3)
+      exact.select("src", "dst")
+        .join(approx.select("src", "dst"), Seq("src", "dst"))
+        .agg(count(lit(1)).as("h"))
+        .select(lit(50).as("n_src"), (col("h") >= 80L).as("total_hits_ge_80"))
+    },
+
     // ---- one-row corpus profile (the data card): volume, token and
     // length stats, language entropy, exact-dup rate — the summary a
     // curation run reports; every figure recomputed by the oracle ----

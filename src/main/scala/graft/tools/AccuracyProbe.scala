@@ -58,15 +58,24 @@ object AccuracyProbe {
           emb, "vec_id", "embedding", "label", k = 3)
           .select("src", "dst").collect())
         val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
-        for ((nl, np) <- Seq((16, 4), (16, 6), (32, 8))) {
-          val (approx, secA) = t(Similarity.hardNegativesApprox(
-            emb, "vec_id", "embedding", "label", k = 3, nlist = nl, nprobe = np)
+        for ((nl, np, ka) <- Seq((16, 6, 3), (32, 8, 3), (32, 8, 5), (32, 12, 5))) {
+          // production shape: index built ONCE (the CREATE INDEX job),
+          // probes amortize it — time the two phases separately
+          val (idx, secB) = t {
+            val i = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nl)
+            i.assigned.persist(); i.assigned.count()
+            i
+          }
+          val (approx, secA) = t(Similarity.hardNegativesProbe(
+            idx, emb, "vec_id", "embedding", "label", k = ka, nprobe = np)
             .select("src", "dst").collect())
+          idx.assigned.unpersist()
           val approxSet = approx.map(r => (r.getLong(0), r.getLong(1))).toSet
           val hitsBySrc = (0L until 50L).map(s =>
             exactSet.filter(_._1 == s).count(p => approxSet.contains(p)))
-          println(f"[probe] $sf hardneg IVF nlist=$nl nprobe=$np " +
-            f"minHits50=${hitsBySrc.min} exact_sec=$secE%.2f approx_sec=$secA%.2f " +
+          println(f"[probe] $sf hardneg IVF nlist=$nl nprobe=$np k=$ka " +
+            f"minHits50=${hitsBySrc.min} exact_sec=$secE%.2f build_sec=$secB%.2f " +
+            f"probe_sec=$secA%.2f " +
             s"hits=${hitsBySrc.groupBy(identity).view.mapValues(_.size).toMap}")
         }
       }
@@ -87,6 +96,37 @@ object AccuracyProbe {
 
     measure("sf0.01")
     measure("sf0.1")
+
+    // ---- hard negatives at SCALE: where the IVF path starts winning.
+    // The sf-sized corpora are small enough that the fused exact n²
+    // kernel beats IVF's index+shuffle overhead; at 8× (16k vectors,
+    // nlist grown ~sqrt(n) so each probe touches nprobe/nlist = 1/16 of
+    // the corpus) the quadratic term dominates and the approximate path
+    // pulls ahead — timing only (recall is pinned at driver SF above).
+    {
+      import spark.implicits._
+      val emb = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      def t[A](f: => A): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      for (rep <- Seq(8, 32)) {
+        val big = emb.crossJoin(spark.range(rep).toDF("__rep"))
+          .select((col("vec_id") + col("__rep") * lit(1000000L)).as("vec_id"),
+            col("embedding"), col("label"))
+          .persist()
+        val n = big.count()
+        val nlist = math.max(32, (math.sqrt(n.toDouble) / 1.2).toInt)
+        val secExact = t(Similarity.hardNegatives(
+          big, "vec_id", "embedding", "label", k = 3).select("src").count())
+        val idx = Similarity.buildIvfIndex(big, "vec_id", "embedding", nlist)
+        idx.assigned.persist(); idx.assigned.count()
+        val secProbe = t(Similarity.hardNegativesProbe(idx, big,
+          "vec_id", "embedding", "label", k = 3, nprobe = 8).select("src").count())
+        println(f"[probe] scaled hardneg n=$n nlist=$nlist exact_sec=$secExact%.2f " +
+          f"ivf_probe_sec=$secProbe%.2f speedup=${secExact / secProbe}%.2fx")
+        idx.assigned.unpersist(); big.unpersist()
+      }
+    }
     spark.stop()
   }
 }
