@@ -155,12 +155,13 @@ object StoreBench {
           .agg(jgAggs.head, jgAggs.tail: _*)
           .write.format("noop").mode("overwrite").save()
       }
-      for (push <- Seq(true, false)) {
+      for (push <- Seq(true, false); validate <- Seq(true, false)) {
         spark.conf.set("spark.sql.graft.aggPushdown", push.toString)
         try {
-          time(s"join+groupBy: agg-first push=$push") {
+          time(s"join+groupBy: agg-first push=$push validate=$validate") {
             org.apache.spark.sql.graft.store.DictJoin
-              .dictJoinAgg(spark, "sb_dj", "l_returnflag", dim, "flag", jgAggs)
+              .dictJoinAgg(spark, "sb_dj", "l_returnflag", dim, "flag", jgAggs,
+                requireUniqueBuild = validate)
               .write.format("noop").mode("overwrite").save()
           }
         } finally spark.conf.unset("spark.sql.graft.aggPushdown")

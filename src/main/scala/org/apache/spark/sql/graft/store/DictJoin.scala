@@ -210,7 +210,8 @@ object DictJoin {
   def dictJoinAgg(spark: SparkSession, table: String, key: String,
       build: DataFrame, buildKey: String,
       aggs: Seq[org.apache.spark.sql.Column],
-      extraGroup: Seq[String] = Nil): DataFrame = {
+      extraGroup: Seq[String] = Nil,
+      requireUniqueBuild: Boolean = true): DataFrame = {
     require(aggs.nonEmpty, "dictJoinAgg: need at least one aggregate")
     val probe = GraftStoreOps.read(spark, table)
     // fact-columns-only check: the aggregates must analyze against the
@@ -225,12 +226,20 @@ object DictJoin {
             s"a reference does not resolve against '$table' (likely a " +
             s"build side column; aggregate after the join instead): ${e.getMessage}")
     }
-    val dupKeys = build.groupBy(col(buildKey)).count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dupKeys.isEmpty,
-      s"dictJoinAgg: build key '$buildKey' is not unique " +
-        s"(e.g. ${dupKeys.head.get(0)}) — aggregation does not commute " +
-        "through a multiplying join")
+    // the reorder is invalid under duplicate dim keys (join-then-group
+    // multiplies fact rows per duplicate). The check is one tiny job
+    // over the dimension; callers with a KNOWN primary key (validated
+    // at dimension load, not per query) can skip it — at micro-bench
+    // scale the extra job costs more than the reorder saves
+    // (StoreBench's validate=on/off arms).
+    if (requireUniqueBuild) {
+      val dupKeys = build.groupBy(col(buildKey)).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dupKeys.isEmpty,
+        s"dictJoinAgg: build key '$buildKey' is not unique " +
+          s"(e.g. ${dupKeys.head.get(0)}) — aggregation does not commute " +
+          "through a multiplying join")
+    }
     val grouped = probe.groupBy(key, extraGroup: _*).agg(aggs.head, aggs.tail: _*)
     grouped.join(org.apache.spark.sql.functions.broadcast(build),
         grouped(key) === build(buildKey), "inner")
