@@ -124,9 +124,15 @@ class GraftSession(val spark: SparkSession) {
       // bucket-grouped KeyGroupedPartitioning (the bucket transform's
       // function resolves through GraftCatalog), which is what lets
       // bucket-key joins/aggregations skip the store-side exchange —
-      // a reader-based load of the same table reports UnknownPartitioning
-      val df = scala.util.Try(spark.table(s"graft.$nm"))
-        .getOrElse(GraftStoreOps.read(spark, nm))
+      // a reader-based load of the same table reports UnknownPartitioning.
+      // withBypass: this analysis is internal plumbing — the CURRENT
+      // user's policies/grants must not bake into the session-shared df
+      // (each user query re-runs the rules at its own analysis); the
+      // Try covers only sessions without the graft catalog registered
+      val df = org.apache.spark.sql.graft.PolicyRegistry.withBypass {
+        scala.util.Try(spark.table(s"graft.$nm"))
+          .getOrElse(GraftStoreOps.read(spark, nm))
+      }
       df.createOrReplaceTempView(nm)
       tables.put(nm, TableState(df, keyColumns, partitionBy, buckets, storeBacked = true))
       df

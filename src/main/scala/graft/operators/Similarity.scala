@@ -433,10 +433,11 @@ object Similarity {
       vecs, idCol, vecCol, labelCol, k, nprobe)
 
   /** Probe-only approximate hard negatives over a prebuilt [[IvfIndex]]
-    * (the persisted-index path). `vecs` supplies the probe set AND the
-    * label of every corpus id (ids absent from `vecs` keep their
-    * assignment but cannot label-filter, so pass the full labeled
-    * corpus).
+    * (the persisted-index path). `vecs` defines BOTH the probe set and
+    * the candidate corpus: assigned ids absent from `vecs` have no label
+    * to filter on and are EXCLUDED from the packs (inner label join) —
+    * pass the full labeled corpus unless you deliberately want negatives
+    * mined within a subset.
     */
   def hardNegativesProbe(index: IvfIndex, vecs: DataFrame,
       idCol: String, vecCol: String, labelCol: String,

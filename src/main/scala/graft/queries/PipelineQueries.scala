@@ -1719,7 +1719,9 @@ object PipelineQueries {
       val suffix = (dir.hashCode & 0x7fffffff).toString
       val (cN, aN) = (s"hn_centroids_$suffix", s"hn_cells_$suffix")
       val emb = Tables.load(s, dir, "embeddings")
-      if (!g.isManaged(cN)) {
+      // gate on BOTH tables: a failure between the two createTable calls
+      // must not wedge the session (cN managed, aN missing forever)
+      if (!g.isManaged(cN) || !g.isManaged(aN)) {
         val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 32)
         g.createTable(cN, idx.centroids)
         g.createTable(aN, idx.assigned, partitionBy = Seq("cell"), buckets = 16)

@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   * q_approx_sketches).
   */
 object AccuracyProbe {
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[16]")
@@ -50,23 +56,19 @@ object AccuracyProbe {
       // top-3 for the first 50 srcs (the q_hard_negatives_approx claim
       // surface), plus wall-clock for the speedup figure
       {
-        def t[A](f: => A): (A, Double) = {
-          val t0 = System.nanoTime(); val a = f
-          (a, (System.nanoTime() - t0) / 1e9)
-        }
-        val (exact, secE) = t(Similarity.hardNegatives(
+        val (exact, secE) = timed(Similarity.hardNegatives(
           emb, "vec_id", "embedding", "label", k = 3)
           .select("src", "dst").collect())
         val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
         for ((nl, np, ka) <- Seq((16, 6, 3), (32, 8, 3), (32, 8, 5), (32, 12, 5))) {
           // production shape: index built ONCE (the CREATE INDEX job),
           // probes amortize it — time the two phases separately
-          val (idx, secB) = t {
+          val (idx, secB) = timed {
             val i = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nl)
             i.assigned.persist(); i.assigned.count()
             i
           }
-          val (approx, secA) = t(Similarity.hardNegativesProbe(
+          val (approx, secA) = timed(Similarity.hardNegativesProbe(
             idx, emb, "vec_id", "embedding", "label", k = ka, nprobe = np)
             .select("src", "dst").collect())
           idx.assigned.unpersist()
@@ -106,9 +108,6 @@ object AccuracyProbe {
     {
       import spark.implicits._
       val emb = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
-      def t[A](f: => A): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
       for (rep <- Seq(8, 32)) {
         val big = emb.crossJoin(spark.range(rep).toDF("__rep"))
           .select((col("vec_id") + col("__rep") * lit(1000000L)).as("vec_id"),
@@ -116,12 +115,12 @@ object AccuracyProbe {
           .persist()
         val n = big.count()
         val nlist = math.max(32, (math.sqrt(n.toDouble) / 1.2).toInt)
-        val secExact = t(Similarity.hardNegatives(
-          big, "vec_id", "embedding", "label", k = 3).select("src").count())
+        val secExact = timed(Similarity.hardNegatives(
+          big, "vec_id", "embedding", "label", k = 3).select("src").count())._2
         val idx = Similarity.buildIvfIndex(big, "vec_id", "embedding", nlist)
         idx.assigned.persist(); idx.assigned.count()
-        val secProbe = t(Similarity.hardNegativesProbe(idx, big,
-          "vec_id", "embedding", "label", k = 3, nprobe = 8).select("src").count())
+        val secProbe = timed(Similarity.hardNegativesProbe(idx, big,
+          "vec_id", "embedding", "label", k = 3, nprobe = 8).select("src").count())._2
         println(f"[probe] scaled hardneg n=$n nlist=$nlist exact_sec=$secExact%.2f " +
           f"ivf_probe_sec=$secProbe%.2f speedup=${secExact / secProbe}%.2fx")
         idx.assigned.unpersist(); big.unpersist()

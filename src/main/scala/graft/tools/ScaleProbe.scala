@@ -164,10 +164,16 @@ object ScaleProbe {
     // shuffle bytes across the registry sweep is the proof.
     {
       val g = graft.GraftSession(spark)
-      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.graft.measuredBroadcastMaxBytes", "0")
+      // save/restore: a later-appended arm must not inherit the
+      // broadcasts-refused regime this block measures under
+      val armConfs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.graft.measuredBroadcastMaxBytes" -> "0")
+      val priorConfs = armConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      armConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
       println("inc_minhash_store,regMult,sec,shuffle_mb,pairs (fixed 1x batch, broadcasts refused)")
       for (m <- Seq(1, 4, 16)) {
         val hx = docsX(m)
@@ -189,6 +195,8 @@ object ScaleProbe {
         g.dropTable("sp_reg_bands"); g.dropTable("sp_reg_sigs")
         hx.unpersist()
       }
+      } finally priorConfs.foreach { case (k, old) =>
+        old.fold(spark.conf.unset(k))(v => spark.conf.set(k, v)) }
     }
     spark.stop()
   }

@@ -36,6 +36,23 @@ object PolicyRegistry {
     }.toSeq.sortBy(_.name)
 
   def clear(): Unit = policies.clear()
+
+  /** Internal-materialization bypass: session plumbing (e.g.
+    * `GraftSession.createTable`'s catalog read of the table it just
+    * wrote) analyzes plans that must NOT bake the current user's
+    * policies/grants into a session-shared DataFrame — enforcement
+    * belongs at each user QUERY's analysis, which re-runs the rules.
+    * Thread-local because Dataset analysis runs synchronously on the
+    * calling thread.
+    */
+  private val bypass = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = false
+  }
+  def withBypass[T](f: => T): T = {
+    bypass.set(true)
+    try f finally bypass.set(false)
+  }
+  private[graft] def bypassed: Boolean = bypass.get()
 }
 
 /** True when a SubqueryAlias child is an actual RELATION (base table,
@@ -71,12 +88,41 @@ case class RowLevelSecurityRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private val applied = TreeNodeTag[Boolean]("graft.rls.applied")
 
+  /** Resolve a parsed policy predicate against `child`'s output by hand
+    * (attributes by resolver-name, functions via the session registry).
+    * Needed INSIDE `View` nodes: a View stores its ANALYZED child and its
+    * copy() re-asserts resolution, so the usual trick of injecting the
+    * unresolved parse and letting the analyzer finish it crashes there.
+    * Returns None when something cannot be resolved — the caller must
+    * then FAIL CLOSED, never skip the policy.
+    */
+  private def resolveAgainst(child: LogicalPlan,
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    val resolver = spark.sessionState.conf.resolver
+    var ok = true
+    val out = e.transformUp {
+      case u: UnresolvedAttribute =>
+        child.output.find(a => resolver(a.name, u.nameParts.last)) match {
+          case Some(a) => a
+          case None => ok = false; u
+        }
+      case f: UnresolvedFunction =>
+        try spark.sessionState.catalog.lookupFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(
+            f.nameParts.last, f.nameParts.dropRight(1).lastOption),
+          f.arguments)
+        catch { case _: Exception => ok = false; f }
+    }
+    if (ok && out.resolved) Some(out) else None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    // A View stores its ANALYZED child and its copy() re-asserts
-    // resolution, so injecting a freshly-parsed (unresolved) predicate
-    // inside one crashes the analyzer. Enforcement at the view's own
-    // alias (outside the View node) governs the same rows — collect the
-    // protected subtrees and leave them untouched.
+    if (PolicyRegistry.bypassed) return plan
+    // Subtrees under a View need the pre-resolved injection (see
+    // resolveAgainst); everywhere else the plain parse is injected and
+    // the analyzer resolves it like a hand-written WHERE.
     val protectedNodes = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
     plan.foreach {
@@ -86,13 +132,22 @@ case class RowLevelSecurityRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     plan.transformUp {
       case s @ SubqueryAlias(ident, child) if s.getTagValue(applied).isEmpty &&
-          !protectedNodes.contains(s) && RelationAlias.isRelation(child) =>
+          RelationAlias.isRelation(child) =>
         val policies = PolicyRegistry.forTable(ident.name)
         if (policies.isEmpty) s
         else {
-          val predicate = policies
+          val parsed = policies
             .map(p => spark.sessionState.sqlParser.parseExpression(p.filterSql))
             .reduce(org.apache.spark.sql.catalyst.expressions.And.apply)
+          val predicate =
+            if (!protectedNodes.contains(s)) parsed
+            else resolveAgainst(child, parsed).getOrElse(
+              // fail CLOSED: a governed relation inside a view whose
+              // policy cannot be applied must not silently return rows
+              throw new org.apache.spark.SparkException(
+                s"graft row-level security: cannot resolve policy " +
+                  s"predicate for table '${ident.name}' inside a view; " +
+                  "query the table directly or drop/recreate the view"))
           val out = SubqueryAlias(ident.name, Filter(predicate, child))
           out.setTagValue(applied, true)
           out
@@ -204,7 +259,7 @@ object GrantRegistry {
   */
 case class GrantCheckRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (GrantRegistry.isEmpty) return plan
+    if (GrantRegistry.isEmpty || PolicyRegistry.bypassed) return plan
     plan.foreachUp {
       case SubqueryAlias(ident, child) if RelationAlias.isRelation(child) =>
         GrantRegistry.check(ident.name, "SELECT")

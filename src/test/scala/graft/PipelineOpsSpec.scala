@@ -146,7 +146,8 @@ class PipelineOpsSpec extends SparkTestBase
       assert(labels(s) != labels(d), s"intra-label pair ($s,$d)") }
     // recall: the AccuracyProbe-calibrated total-hits claim (>=80 of the
     // first 50 srcs' true top-3, measured 103 at this corpus)
-    val hits = exact.count(p => apairs.toSet.contains(p))
+    val aset = apairs.toSet
+    val hits = exact.count(aset.contains)
     assert(hits >= 80, s"recall collapsed: $hits of ${exact.size}")
     // scores are exact cosines (approximation is in candidate pruning,
     // never in scoring): spot-check a returned row

@@ -29,6 +29,66 @@ class RlsSpec extends SparkTestBase {
     }
   }
 
+  test("policies apply THROUGH views of the governed table (no fail-open)") {
+    // regression: relations inside a View (which stores its ANALYZED
+    // child) used to be skipped entirely — a temp view over a governed
+    // table silently returned every row. The rule now injects a
+    // pre-resolved predicate inside View subtrees.
+    val g = GraftSession(spark)
+    Tables.registerAll(spark, sf)
+    val all = spark.sql("SELECT count(*) FROM orders").head().getLong(0)
+    try {
+      g.createPolicy("t_v", "orders", "o_orderstatus = 'O'", Set("restricted"))
+      spark.sql("CREATE OR REPLACE TEMP VIEW ord_view AS SELECT * FROM orders")
+      val expected = spark.sql(
+        "SELECT count(*) FROM orders WHERE o_orderstatus = 'O'").head().getLong(0)
+      g.setCurrentUser("restricted")
+      val throughView = spark.sql("SELECT count(*) FROM ord_view").head().getLong(0)
+      assert(throughView == expected && throughView < all,
+        s"policy bypassed through view: $throughView of $all rows visible")
+      // a nested view over the view still filters
+      spark.sql("CREATE OR REPLACE TEMP VIEW ord_view2 AS SELECT * FROM ord_view")
+      assert(spark.sql("SELECT count(*) FROM ord_view2").head().getLong(0) == expected)
+      // other users through the same view stay unfiltered
+      g.setCurrentUser("someone_else")
+      assert(spark.sql("SELECT count(*) FROM ord_view").head().getLong(0) == all)
+    } finally {
+      g.dropPolicy("t_v")
+      g.setCurrentUser("default")
+      spark.catalog.dropTempView("ord_view")
+      spark.catalog.dropTempView("ord_view2")
+      PolicyRegistry.clear()
+    }
+  }
+
+  test("createTable under an active wildcard policy must not bake the filter into the shared df") {
+    // regression: the catalog read inside createTable analyzes the new
+    // table's plan — without the internal bypass, the CURRENT user's
+    // policy filter became part of the session-shared TableState df and
+    // every other user saw permanently filtered rows.
+    val g = GraftSession(spark)
+    import spark.implicits._
+    val data = Seq((1L, "O"), (2L, "F"), (3L, "O")).toDF("id", "st")
+    try {
+      PolicyRegistry.create("t_bake", "bake_t", "st = 'O'", Set("*"), owner = "admin")
+      g.setCurrentUser("someone") // policy applies to this user
+      g.createTable("bake_t", data)
+      // the policy must still filter SQL access for governed users...
+      assert(spark.sql("SELECT count(*) FROM bake_t").head().getLong(0) == 2)
+      // ...but the OWNER (exempt) must see everything — if the filter
+      // was baked at create time, this returns 2
+      g.setCurrentUser("admin")
+      assert(spark.sql("SELECT count(*) FROM bake_t").head().getLong(0) == 3,
+        "policy filter was baked into the shared df at createTable time")
+      assert(g.table("bake_t").count() == 3)
+    } finally {
+      g.dropPolicy("t_bake")
+      g.setCurrentUser("default")
+      g.dropTable("bake_t")
+      PolicyRegistry.clear()
+    }
+  }
+
   test("GRANT/REVOKE: select gate, mutation gate, owner immunity") {
     import org.apache.spark.sql.graft.GrantRegistry
     val g = GraftSession(spark)

@@ -44,10 +44,14 @@ class ScaleAuditSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     * query vectors — not by SF, but that bound lives in the query-id
     * predicate, which the plan can't prove tiny. Whitelisted BY NAME so
     * any NEW query that introduces a BNLJ still fails the audit.
+    * q_hard_negatives_approx adds the other canonical IVF broadcast:
+    * every probe crossJoins the CENTROID table (nlist rows — index
+    * metadata, ~sqrt(corpus), never the corpus itself) plus the
+    * recall-claim's bounded query batch.
     */
   private val annQueryBatchBroadcast: Set[String] =
     Set("q_ann_bruteforce", "q_ann_store", "q_ann_lsh", "q_ann_ivf",
-      "q_ann_quantized")
+      "q_ann_quantized", "q_hard_negatives_approx")
 
   test("no query plans a cartesian product or an unbounded BNLJ") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -87,9 +87,13 @@ def main(sfdir, outdir):
             flags += 1
             continue
         duck = {r[0]: r[1] for r in dtypes}
-        schema = pq.read_schema(
-            next(os.path.join(rdir, f) for f in sorted(os.listdir(rdir))
-                 if f.endswith(".parquet")))
+        parts = [f for f in sorted(os.listdir(rdir)) if f.endswith(".parquet")]
+        if not parts:
+            print(f"  [NO-PARQUET] {name}: result dir exists but holds no "
+                  "parquet (interrupted Verify?)")
+            flags += 1
+            continue
+        schema = pq.read_schema(os.path.join(rdir, parts[0]))
         spark = {f.name: f.type for f in schema}
         checked += 1
         for col in sorted(duck):
