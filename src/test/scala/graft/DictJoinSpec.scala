@@ -228,6 +228,30 @@ class DictJoinSpec extends SparkTestBase {
     g.dropTable("dja_orders")
   }
 
+  test("strategy fires on CATALOG reads too (g.table / spark.table path)") {
+    // g.table returns the catalog read since r7 (KeyGroupedPartitioning);
+    // the strategy must still recognize the scan under the eliminated
+    // SubqueryAlias/View wrappers
+    val g = GraftSession(spark)
+    import spark.implicits._
+    val probe = (1 to 400).map(i => (i.toLong, s"g${i % 4}")).toDF("id", "k")
+    g.createTable("dj_cat", probe)
+    val dim = Seq(("g0", 0), ("g1", 10), ("g2", 20), ("g3", 30)).toDF("bk", "v")
+    val p = g.table("dj_cat")
+    def q = p.join(dim, p("k") === dim("bk"))
+    val off = q.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    try {
+      spark.conf.set(org.apache.spark.sql.graft.store.DictJoinStrategy.CONF_KEY, "true")
+      val on = q
+      assert(on.queryExecution.executedPlan.toString.contains("DictJoin"),
+        on.queryExecution.executedPlan.toString)
+      assert(on.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq === off)
+    } finally {
+      spark.conf.unset(org.apache.spark.sql.graft.store.DictJoinStrategy.CONF_KEY)
+    }
+    g.dropTable("dj_cat")
+  }
+
   test("join after store mutations sees the mutated snapshot") {
     val g = GraftSession(spark)
     import spark.implicits._
