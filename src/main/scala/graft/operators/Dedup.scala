@@ -532,6 +532,13 @@ object Dedup {
     * on the registry side — history never moves); the registry verify
     * side ships hash arrays for candidate members only
     * ([[pruneSigsToMembers]] — the measured-broadcast semi join).
+    * For the storage-partitioned shape to hold WITHOUT the broadcast
+    * hints, pass the registry frames as CATALOG reads
+    * (`spark.table("graft.x")` / `GraftSession.table`) of tables
+    * bucketed by `band_hash` / `sid` with bucket count >= shuffle
+    * partitions — only catalog-resolved scans report the bucket
+    * partitioning, and Spark prefers the higher-partition-count side
+    * when choosing which side to shuffle (PERF_NOTES §13).
     *
     * Resource note: the call eagerly localCheckpoints several
     * intermediates that back the returned frames. In a long-running
