@@ -49,6 +49,17 @@ class RlsSpec extends SparkTestBase {
       // a nested view over the view still filters
       spark.sql("CREATE OR REPLACE TEMP VIEW ord_view2 AS SELECT * FROM ord_view")
       assert(spark.sql("SELECT count(*) FROM ord_view2").head().getLong(0) == expected)
+      // a FUNCTION-bearing policy resolves through the registry on the
+      // in-view path too (the manual resolution handles UnresolvedFunction)
+      g.setCurrentUser("default")
+      g.dropPolicy("t_v")
+      g.createPolicy("t_vf", "orders", "upper(o_orderstatus) = 'O'", Set("restricted"))
+      g.setCurrentUser("restricted")
+      assert(spark.sql("SELECT count(*) FROM ord_view").head().getLong(0) == expected)
+      g.setCurrentUser("default")
+      g.dropPolicy("t_vf")
+      g.createPolicy("t_v", "orders", "o_orderstatus = 'O'", Set("restricted"))
+      g.setCurrentUser("restricted")
       // other users through the same view stay unfiltered
       g.setCurrentUser("someone_else")
       assert(spark.sql("SELECT count(*) FROM ord_view").head().getLong(0) == all)
