@@ -166,6 +166,28 @@ object StoreBench {
           }
         } finally spark.conf.unset("spark.sql.graft.aggPushdown")
       }
+      // WIDE dimension: the shape where the agg-first reorder wins
+      // structurally — join-then-group carries the dim's ride-along
+      // columns through every fact row (wide group keys, wide shuffle),
+      // agg-first joins them onto the per-group result instead
+      val wideDim = Seq("R", "A", "N").zipWithIndex.map { case (f, i) =>
+        f +: (1 to 20).map(j => s"attr_${i}_$j")
+      }.map(r => (r.head, r.tail)).toDF("flag", "attrs")
+        .select(col("flag") +: (1 to 20).map(j =>
+          col("attrs")(j - 1).as(s"a$j")): _*)
+      val wideCols = (1 to 20).map(j => s"a$j")
+      time("join+groupBy wide dim: spark") {
+        probe.join(broadcast(wideDim), probe("l_returnflag") === wideDim("flag"))
+          .groupBy("l_returnflag", wideCols: _*)
+          .agg(jgAggs.head, jgAggs.tail: _*)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("join+groupBy wide dim: agg-first") {
+        org.apache.spark.sql.graft.store.DictJoin
+          .dictJoinAgg(spark, "sb_dj", "l_returnflag", wideDim, "flag", jgAggs,
+            requireUniqueBuild = false)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     // q1 aggregation variants
     val lif = li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))

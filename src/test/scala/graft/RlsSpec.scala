@@ -60,6 +60,12 @@ class RlsSpec extends SparkTestBase {
       g.dropPolicy("t_vf")
       g.createPolicy("t_v", "orders", "o_orderstatus = 'O'", Set("restricted"))
       g.setCurrentUser("restricted")
+      // a view that RENAMES the governed column still filters (the
+      // policy resolves against the relation's own output, upstream of
+      // the view's projection)
+      spark.sql("CREATE OR REPLACE TEMP VIEW ord_view3 AS " +
+        "SELECT o_orderkey, o_orderstatus AS st FROM orders")
+      assert(spark.sql("SELECT count(*) FROM ord_view3").head().getLong(0) == expected)
       // other users through the same view stay unfiltered
       g.setCurrentUser("someone_else")
       assert(spark.sql("SELECT count(*) FROM ord_view").head().getLong(0) == all)
@@ -68,6 +74,7 @@ class RlsSpec extends SparkTestBase {
       g.setCurrentUser("default")
       spark.catalog.dropTempView("ord_view")
       spark.catalog.dropTempView("ord_view2")
+      spark.catalog.dropTempView("ord_view3")
       PolicyRegistry.clear()
     }
   }
