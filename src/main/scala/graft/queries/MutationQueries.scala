@@ -385,6 +385,67 @@ object MutationQueries {
         .agg(count(lit(1)).as("n"), graft.decSum(col("o_totalprice")).as("total"),
           sum(col("rank")).cast("bigint").as("rank_mass"))
         .orderBy("label")
+    },
+
+    // ---- LEFT OUTER dictionary-code join: a PARTIAL dimension (3 of 5
+    // priorities) — unmatched probe rows null-extend and land in the
+    // NULL-label group, which the oracle replays with a relational
+    // LEFT JOIN ----
+    QueryDef.sql(
+      "q_dict_join_outer",
+      """SELECT d.label, count(*) AS n,
+        |  CAST(sum(d.rank) AS BIGINT) AS rank_mass
+        |FROM orders o
+        |LEFT JOIN (VALUES ('1-URGENT', 1, 'hot'), ('3-MEDIUM', 3, 'mid'),
+        |                  ('5-LOW', 5, 'cold')) AS d(prio, rank, label)
+        |  ON o.o_orderpriority = d.prio
+        |GROUP BY d.label
+        |ORDER BY d.label NULLS FIRST""".stripMargin) { (s, dir) =>
+      val fmt = "org.apache.spark.sql.graft.store.GraftColumnSource"
+      Tables.load(s, dir, "orders")
+        .write.format(fmt).option("table", "q_djo").option("batch_size", "4096")
+        .mode("overwrite").save()
+      import s.implicits._
+      val dim = Seq(("1-URGENT", 1, "hot"), ("3-MEDIUM", 3, "mid"),
+        ("5-LOW", 5, "cold")).toDF("prio", "rank", "label")
+      org.apache.spark.sql.graft.store.DictJoin
+        .dictJoin(s, "q_djo", "o_orderpriority", dim, "prio", joinType = "left_outer")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), sum(col("rank")).cast("bigint").as("rank_mass"))
+        .orderBy(col("label").asc_nulls_first)
+    },
+
+    // ---- dict-join composed with dict-grouping end-to-end
+    // (dictJoinAgg): the aggregate commutes through the unique-key
+    // dimension join, so the group-by runs ON the scan (code-indexed
+    // under the pushdown) and the dimension joins the per-group result.
+    // The oracle replays join-then-group — the semantics the reorder
+    // must preserve ----
+    QueryDef.sql(
+      "q_dict_join_agg",
+      """SELECT o.o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  d.rank, d.label
+        |FROM orders o
+        |JOIN (VALUES ('1-URGENT', 1, 'hot'), ('2-HIGH', 2, 'warm'),
+        |             ('3-MEDIUM', 3, 'mid'), ('4-NOT SPECIFIED', 4, 'meh'),
+        |             ('5-LOW', 5, 'cold')) AS d(prio, rank, label)
+        |  ON o.o_orderpriority = d.prio
+        |GROUP BY o.o_orderpriority, d.rank, d.label
+        |ORDER BY o.o_orderpriority""".stripMargin) { (s, dir) =>
+      val fmt = "org.apache.spark.sql.graft.store.GraftColumnSource"
+      Tables.load(s, dir, "orders")
+        .write.format(fmt).option("table", "q_dja").option("batch_size", "4096")
+        .mode("overwrite").save()
+      import s.implicits._
+      val dim = Seq(
+        ("1-URGENT", 1, "hot"), ("2-HIGH", 2, "warm"), ("3-MEDIUM", 3, "mid"),
+        ("4-NOT SPECIFIED", 4, "meh"), ("5-LOW", 5, "cold"))
+        .toDF("prio", "rank", "label")
+      org.apache.spark.sql.graft.store.DictJoin
+        .dictJoinAgg(s, "q_dja", "o_orderpriority", dim, "prio",
+          Seq(count(lit(1)).as("n"), graft.decSum(col("o_totalprice")).as("total")))
+        .orderBy("o_orderpriority")
     }
   )
 }
