@@ -248,8 +248,8 @@ class DictJoinSpec extends SparkTestBase {
       assert(on.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq === off)
     } finally {
       spark.conf.unset(org.apache.spark.sql.graft.store.DictJoinStrategy.CONF_KEY)
+      g.dropTable("dj_cat")
     }
-    g.dropTable("dj_cat")
   }
 
   test("join after store mutations sees the mutated snapshot") {

@@ -59,12 +59,14 @@ class RlsSpec extends SparkTestBase {
       g.setCurrentUser("default")
       g.dropPolicy("t_vf")
       g.createPolicy("t_v", "orders", "o_orderstatus = 'O'", Set("restricted"))
-      g.setCurrentUser("restricted")
       // a view that RENAMES the governed column still filters (the
       // policy resolves against the relation's own output, upstream of
-      // the view's projection)
+      // the view's projection). Created as an UNgoverned user so the
+      // assertion exercises query-time resolution, not creation-time
+      // filter baking
       spark.sql("CREATE OR REPLACE TEMP VIEW ord_view3 AS " +
         "SELECT o_orderkey, o_orderstatus AS st FROM orders")
+      g.setCurrentUser("restricted")
       assert(spark.sql("SELECT count(*) FROM ord_view3").head().getLong(0) == expected)
       // other users through the same view stay unfiltered
       g.setCurrentUser("someone_else")
