@@ -446,6 +446,60 @@ object MutationQueries {
         .dictJoinAgg(s, "q_dja", "o_orderpriority", dim, "prio",
           Seq(count(lit(1)).as("n"), graft.decSum(col("o_totalprice")).as("total")))
         .orderBy("o_orderpriority")
+    },
+
+    // ---- LEFT SEMI dictionary-code join: the EXISTS-filter dimension
+    // shape — membership memoized per (batch, code), each probe row
+    // emitted at most once even though the dimension carries a DUPLICATE
+    // key. The oracle replays it as EXISTS ----
+    QueryDef.sql(
+      "q_dict_join_semi",
+      """SELECT o.o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM (VALUES ('1-URGENT'), ('1-URGENT'), ('3-MEDIUM')) AS d(prio)
+        |  WHERE d.prio = o.o_orderpriority)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin) { (s, dir) =>
+      val fmt = "org.apache.spark.sql.graft.store.GraftColumnSource"
+      Tables.load(s, dir, "orders")
+        .write.format(fmt).option("table", "q_djs").option("batch_size", "4096")
+        .mode("overwrite").save()
+      import s.implicits._
+      val dim = Seq("1-URGENT", "1-URGENT", "3-MEDIUM").toDF("prio")
+      org.apache.spark.sql.graft.store.DictJoin
+        .dictJoin(s, "q_djs", "o_orderpriority", dim, "prio", joinType = "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), graft.decSum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- LEFT ANTI dictionary-code join: the NOT-EXISTS complement
+    // over the same partial dimension — the memoized existence probe
+    // inverted, null keys would survive (none in this data, the spec
+    // covers that row shape) ----
+    QueryDef.sql(
+      "q_dict_join_anti",
+      """SELECT o.o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM (VALUES ('1-URGENT'), ('3-MEDIUM')) AS d(prio)
+        |  WHERE d.prio = o.o_orderpriority)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin) { (s, dir) =>
+      val fmt = "org.apache.spark.sql.graft.store.GraftColumnSource"
+      Tables.load(s, dir, "orders")
+        .write.format(fmt).option("table", "q_djan").option("batch_size", "4096")
+        .mode("overwrite").save()
+      import s.implicits._
+      val dim = Seq("1-URGENT", "3-MEDIUM").toDF("prio")
+      org.apache.spark.sql.graft.store.DictJoin
+        .dictJoin(s, "q_djan", "o_orderpriority", dim, "prio", joinType = "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), graft.decSum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
     }
   )
 }

@@ -288,5 +288,193 @@ object TpcdsQueries {
         .select(col("custkey"),
           (col("ret_cents").cast("double") / 100.0).as("returned"))
         .orderBy(col("custkey"))
+    },
+
+    // ---- q17/q29 shape: buy → return → buy-again chain (doubly-nested
+    // correlated EXISTS in the oracle; the scale plan rewrites the
+    // temporal exists-pair to per-customer MIN/MAX aggregates — one pass
+    // over orders + one semi join, no fact-fact row-multiplying join) ----
+    QueryDef.sql(
+      "q_ds_ret_rebuy",
+      """SELECT n_name, count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o1
+        |  WHERE o1.o_custkey = c_custkey
+        |    AND EXISTS (SELECT 1 FROM lineitem
+        |                WHERE l_orderkey = o1.o_orderkey AND l_returnflag = 'R')
+        |    AND EXISTS (SELECT 1 FROM orders o2
+        |                WHERE o2.o_custkey = c_custkey
+        |                  AND o2.o_orderdate > o1.o_orderdate))
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin) { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+      val nat = Tables.load(s, dir, "nation")
+      val ord = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      // ∃ returned order o1 with some order strictly later ⇔
+      // min(returned-order dates) < max(all-order dates)
+      val firstRet = ord
+        .join(li.filter(col("l_returnflag") === "R").select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(min(col("o_orderdate")).as("first_ret"))
+      val lastOrd = ord.groupBy(col("o_custkey").as("ck2"))
+        .agg(max(col("o_orderdate")).as("last_ord"))
+      firstRet.join(lastOrd, col("ck") === col("ck2"))
+        .filter(col("last_ord") > col("first_ret"))
+        .join(cust, col("c_custkey") === col("ck"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("n_name"))
+    },
+
+    // ---- q47/q57 shape: months deviating >10% from their year's mean,
+    // with lag/lead neighbors — the deviation test stays in INTEGER
+    // cents (|12·m − T|·10 > T ⇔ |m − T/12| > 0.1·T/12) so no double
+    // accumulation order can flip a row in or out ----
+    QueryDef.sql(
+      "q_ds_monthly_dev",
+      """WITH m AS (
+        |  SELECT o_orderpriority AS prio, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |    CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT prio, yr, mon, cents,
+        |    CAST(sum(cents) OVER (PARTITION BY prio, yr) AS BIGINT) AS t,
+        |    CAST(count(*) OVER (PARTITION BY prio, yr) AS BIGINT) AS nm,
+        |    lag(cents) OVER (PARTITION BY prio, yr ORDER BY mon) AS prev_cents,
+        |    lead(cents) OVER (PARTITION BY prio, yr ORDER BY mon) AS next_cents
+        |  FROM m)
+        |SELECT prio, yr, mon, cents, prev_cents, next_cents
+        |FROM w WHERE nm = 12 AND 10 * abs(12 * cents - t) > t
+        |ORDER BY prio, yr, mon""".stripMargin) { (s, dir) =>
+      val m = Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          year(col("o_orderdate")).as("yr"),
+          date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,4)")) * 100)
+          .cast("long").as("cents"))
+      val wy = Window.partitionBy(col("prio"), col("yr"))
+      val wm = wy.orderBy(col("mon"))
+      m.withColumn("t", sum(col("cents")).over(wy))
+        .withColumn("nm", count(lit(1)).over(wy))
+        .withColumn("prev_cents", lag(col("cents"), 1).over(wm))
+        .withColumn("next_cents", lead(col("cents"), 1).over(wm))
+        .filter(col("nm") === 12 &&
+          lit(10) * abs(lit(12) * col("cents") - col("t")) > col("t"))
+        .select("prio", "yr", "mon", "cents", "prev_cents", "next_cents")
+        .orderBy("prio", "yr", "mon")
+    },
+
+    // ---- q97 shape: channel-overlap counts via FULL OUTER join of two
+    // distinct (customer, month) key sets — the one join type no other
+    // driver row exercises ----
+    QueryDef.sql(
+      "q_ds_channel_overlap",
+      """WITH a AS (
+        |  SELECT DISTINCT o_custkey AS ck, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |b AS (
+        |  SELECT DISTINCT o_custkey AS ck, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon
+        |  FROM orders WHERE o_orderpriority = '5-LOW')
+        |SELECT
+        |  CAST(sum(CASE WHEN a.ck IS NOT NULL AND b.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_ch,
+        |  CAST(sum(CASE WHEN a.ck IS NOT NULL AND b.ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS urgent_only,
+        |  CAST(sum(CASE WHEN a.ck IS NULL AND b.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS low_only
+        |FROM a FULL OUTER JOIN b ON a.ck = b.ck AND a.mon = b.mon""".stripMargin) { (s, dir) =>
+      val ord = Tables.load(s, dir, "orders")
+      def side(prio: String, ck: String, mon: String) = ord
+        .filter(col("o_orderpriority") === prio)
+        .select(col("o_custkey").as(ck),
+          date_trunc("month", col("o_orderdate")).as(mon))
+        .distinct()
+      val a = side("1-URGENT", "ck_a", "mon_a")
+      val b = side("5-LOW", "ck_b", "mon_b")
+      a.join(b, col("ck_a") === col("ck_b") && col("mon_a") === col("mon_b"),
+          "full_outer")
+        .agg(
+          sum(when(col("ck_a").isNotNull && col("ck_b").isNotNull, 1L)
+            .otherwise(0L)).as("both_ch"),
+          sum(when(col("ck_a").isNotNull && col("ck_b").isNull, 1L)
+            .otherwise(0L)).as("urgent_only"),
+          sum(when(col("ck_a").isNull && col("ck_b").isNotNull, 1L)
+            .otherwise(0L)).as("low_only"))
+    },
+
+    // ---- q93 shape: net customer spend after excluding returned lines
+    // (fact LEFT JOIN returns-subset + COALESCE-style arithmetic; sums in
+    // exact 10⁻⁴ units so the BIGINT cast is lossless on both engines) ----
+    QueryDef.sql(
+      "q_ds_returns_net",
+      """WITH r AS (
+        |  SELECT l_orderkey AS rk, l_linenumber AS rl
+        |  FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT o_custkey AS custkey,
+        |  CAST(sum(CASE WHEN r.rk IS NULL
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) * 10000
+        |    ELSE 0 END) AS BIGINT) AS net_e4
+        |FROM lineitem l
+        |JOIN orders ON l.l_orderkey = o_orderkey
+        |LEFT JOIN r ON l.l_orderkey = r.rk AND l.l_linenumber = r.rl
+        |GROUP BY o_custkey
+        |ORDER BY net_e4 DESC, custkey
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      val r = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("rk"), col("l_linenumber").as("rl"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(r, col("l_orderkey") === col("rk") &&
+          col("l_linenumber") === col("rl"), "left_outer")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(when(col("rk").isNull,
+            (col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(18,4)") * 10000)
+          .otherwise(lit(0))).cast("long").as("net_e4"))
+        .orderBy(col("net_e4").desc, col("custkey"))
+        .limit(100)
+    },
+
+    // ---- q14 shape: parts sold through BOTH channels (INTERSECT of the
+    // channel key sets — bounded by |part|, metadata scale — feeding a
+    // semi join back into the fact aggregation) ----
+    QueryDef.sql(
+      "q_ds_cross_channel",
+      """WITH both_parts AS (
+        |  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT
+        |  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderpriority = '5-LOW')
+        |SELECT p_brand, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_partkey IN (SELECT l_partkey FROM both_parts)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      import graft.decSum
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      val part = Tables.load(s, dir, "part")
+      def chanParts(prio: String) = li
+        .join(ord.filter(col("o_orderpriority") === prio)
+          .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"),
+          "left_semi")
+        .select(col("l_partkey")).distinct()
+      val both = chanParts("1-URGENT").intersect(chanParts("5-LOW"))
+        .select(col("l_partkey").as("bp"))
+      li.join(both, col("l_partkey") === col("bp"), "left_semi")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy(col("p_brand"))
     })
 }

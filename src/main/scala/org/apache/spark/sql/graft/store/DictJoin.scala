@@ -28,12 +28,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * ingest left unencoded) fall back to the per-row lookup inline, so the
   * operator is correct for any column.
   *
-  * Contract (the broadcast-hash-join shape): INNER or LEFT OUTER
-  * equi-join (`joinType = "inner" | "left_outer"`), build side
-  * small enough to collect and broadcast — the same smallness the
-  * reference assumes for its replicated-dimension joins. Output columns:
-  * every probe column, then every build column except `buildKey` (the
-  * USING-join projection). At 100 TB the probe side never moves: the
+  * Contract (the broadcast-hash-join shape): INNER, LEFT OUTER, LEFT
+  * SEMI or LEFT ANTI equi-join (`joinType = "inner" | "left_outer" |
+  * "left_semi" | "left_anti"` — all the build-legal shapes, the span the
+  * reference's `HashJoinExec.scala:54` covers), build side small enough
+  * to collect and broadcast — the same smallness the reference assumes
+  * for its replicated-dimension joins. Output columns: every probe
+  * column, then every build column except `buildKey` (the USING-join
+  * projection); semi/anti output the probe columns alone. At 100 TB the probe side never moves: the
   * join runs inside the scan's partitions (bucket locality preserved),
   * and only the dimension broadcast ships.
   *
@@ -121,13 +123,73 @@ object DictJoin {
     }
   }
 
+  /** Memoized EXISTENCE probe over one columnar batch — the semi/anti
+    * arm of [[probeBatch]]: the build-map membership test runs once per
+    * (batch, dictionary code) when the key vector is dictionary-backed,
+    * per row otherwise, and each probe row emits at most once. With
+    * `keepMatched = true` (LEFT SEMI) rows whose non-null key has a
+    * build match survive; with `keepMatched = false` (LEFT ANTI) rows
+    * with a null key or no match survive — exactly Spark's
+    * LeftSemi/LeftAnti semantics for an equi-condition (a null key never
+    * matches, so anti keeps it).
+    */
+  private[store] def probeBatchExists(
+      cb: ColumnarBatch, keyIdx: Int,
+      lookup: java.util.HashMap[UTF8String, Array[InternalRow]],
+      keepMatched: Boolean,
+      emit: InternalRow => InternalRow): Iterator[InternalRow] = {
+    val keyVec = cb.column(keyIdx)
+    val dictIds = keyVec match {
+      case w: WritableColumnVector if w.hasDictionary => w.getDictionaryIds
+      case _ => null
+    }
+    val memo = if (dictIds == null) null
+      else new java.util.HashMap[Integer, java.lang.Boolean]()
+    val rows = cb.rowIterator()
+    new Iterator[InternalRow] {
+      private var rowId = -1
+      private var pending: InternalRow = _
+      private def matched(r: InternalRow): Boolean =
+        if (r.isNullAt(keyIdx)) false
+        else if (memo != null) {
+          val c = Integer.valueOf(dictIds.getInt(rowId))
+          var m = memo.get(c)
+          if (m == null) {
+            m = java.lang.Boolean.valueOf(
+              lookup.containsKey(r.getUTF8String(keyIdx)))
+            memo.put(c, m)
+          }
+          m.booleanValue()
+        } else lookup.containsKey(r.getUTF8String(keyIdx))
+      private def advance(): Unit =
+        while (pending == null && rows.hasNext) {
+          val r = rows.next()
+          rowId += 1
+          if (matched(r) == keepMatched) pending = r
+        }
+      override def hasNext: Boolean = { advance(); pending != null }
+      override def next(): InternalRow = {
+        advance()
+        val out = emit(pending)
+        pending = null
+        out
+      }
+    }
+  }
+
   def dictJoin(spark: SparkSession, table: String, key: String,
       build: DataFrame, buildKey: String, joinType: String = "inner"): DataFrame = {
+    // semi = Some(true), anti = Some(false); None = inner/outer row-join
+    val existence: Option[Boolean] = joinType.toLowerCase.replace("_", "") match {
+      case "leftsemi" | "semi" => Some(true)
+      case "leftanti" | "anti" => Some(false)
+      case _ => None
+    }
     val outer = joinType.toLowerCase.replace("_", "") match {
-      case "inner" => false
+      case "inner" | "leftsemi" | "semi" | "leftanti" | "anti" => false
       case "left" | "leftouter" => true
       case other => sys.error(
-        s"dictJoin: joinType must be inner or left_outer, got '$other'")
+        s"dictJoin: joinType must be inner, left_outer, left_semi or left_anti, got '$other'")
     }
     val probe = GraftStoreOps.read(spark, table)
     val probeSchema = probe.schema
@@ -153,26 +215,41 @@ object DictJoin {
     val bcast: Broadcast[java.util.HashMap[UTF8String, Array[InternalRow]]] =
       spark.sparkContext.broadcast(map)
 
-    val outSchema = StructType(probeSchema.fields ++
-      buildSchema.fields.zipWithIndex.collect { case (f, i) if i != buildKeyIdx =>
-        if (outer) f.copy(nullable = true) else f })
     val probeTypes = probeSchema.fields.map(_.dataType)
+    // semi/anti output the probe columns only (the build side is a
+    // filter, never a projection source)
+    val outSchema =
+      if (existence.isDefined) probeSchema
+      else StructType(probeSchema.fields ++
+        buildSchema.fields.zipWithIndex.collect { case (f, i) if i != buildKeyIdx =>
+          if (outer) f.copy(nullable = true) else f })
     val buildTypes = buildSchema.fields.map(_.dataType)
-    val outExprs = probeTypes.indices.map(i =>
-        BoundReference(i, probeTypes(i), nullable = true)) ++
+    val probeExprs = probeTypes.indices.map(i =>
+      BoundReference(i, probeTypes(i), nullable = true))
+    val outExprs = probeExprs ++
       buildTypes.indices.filter(_ != buildKeyIdx).map(j =>
         BoundReference(nProbe + j, buildTypes(j), nullable = true))
 
     val nBuildFields = buildSchema.length
-    val rdd = scanExec.executeColumnar().mapPartitions { batches =>
-      val lookup = bcast.value
-      val proj = UnsafeProjection.create(outExprs.toArray)
-      val joined = new JoinedRow
-      val nullBuild = if (outer) new GenericInternalRow(nBuildFields) else null
-      // rows feed a LogicalRDD scan, whose contract wants stable rows
-      // (the projection buffer is reused per partition) — hence copy()
-      batches.flatMap(cb =>
-        probeBatch(cb, keyIdx, lookup, (p, b) => proj(joined(p, b)).copy(), nullBuild))
+    // rows feed a LogicalRDD scan, whose contract wants stable rows
+    // (the projection buffer is reused per partition) — hence copy()
+    val rdd = existence match {
+      case Some(keepMatched) =>
+        scanExec.executeColumnar().mapPartitions { batches =>
+          val lookup = bcast.value
+          val proj = UnsafeProjection.create(probeExprs.toArray)
+          batches.flatMap(cb =>
+            probeBatchExists(cb, keyIdx, lookup, keepMatched, p => proj(p).copy()))
+        }
+      case None =>
+        scanExec.executeColumnar().mapPartitions { batches =>
+          val lookup = bcast.value
+          val proj = UnsafeProjection.create(outExprs.toArray)
+          val joined = new JoinedRow
+          val nullBuild = if (outer) new GenericInternalRow(nBuildFields) else null
+          batches.flatMap(cb =>
+            probeBatch(cb, keyIdx, lookup, (p, b) => proj(joined(p, b)).copy(), nullBuild))
+        }
     }
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, outSchema)
@@ -250,9 +327,10 @@ object DictJoin {
 /** Physical dictionary-code join: same per-(batch, code) memoized probe
   * as [[DictJoin.dictJoin]] (shared [[DictJoin.probeBatch]] kernel), but
   * as a planner-integrated `SparkPlan` so the fast path applies to
-  * ordinary `df.join(dim, key)` calls (INNER and LEFT OUTER — the two
-  * dimension-join shapes; reference `HashJoinExec.scala:54` handles all
-  * build-legal types the same way). Standard join output (all columns of
+  * ordinary `df.join(dim, key)` calls (INNER, LEFT OUTER, LEFT SEMI and
+  * LEFT ANTI — all the build-legal dimension-join shapes, the same span
+  * the reference's `HashJoinExec.scala:54` handles; semi/anti run an
+  * existence-only probe memoized per code, no output-row fan-out). Standard join output (all columns of
   * both sides; right side nullable under LEFT OUTER); build side is
   * collected and broadcast (the strategy only fires under the
   * autoBroadcastJoinThreshold, the same gate Spark's own BHJ uses).
@@ -267,13 +345,22 @@ case class DictJoinExec(streamKeyIdx: Int, buildKeyIdx: Int,
       org.apache.spark.sql.catalyst.plans.Inner)
     extends org.apache.spark.sql.execution.SparkPlan {
   import org.apache.spark.sql.catalyst.expressions.Attribute
-  import org.apache.spark.sql.catalyst.plans.LeftOuter
+  import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter, LeftSemi}
 
   private def outer: Boolean = joinType == LeftOuter
+  // semi = Some(true), anti = Some(false): existence-only probe, output
+  // is the stream side alone
+  private def existence: Option[Boolean] = joinType match {
+    case LeftSemi => Some(true)
+    case LeftAnti => Some(false)
+    case _ => None
+  }
 
   override def children: Seq[org.apache.spark.sql.execution.SparkPlan] = Seq(left, right)
-  override def output: Seq[Attribute] = left.output ++
-    (if (outer) right.output.map(_.withNullability(true)) else right.output)
+  override def output: Seq[Attribute] =
+    if (existence.isDefined) left.output
+    else left.output ++
+      (if (outer) right.output.map(_.withNullability(true)) else right.output)
   override protected def withNewChildrenInternal(
       c: IndexedSeq[org.apache.spark.sql.execution.SparkPlan]): DictJoinExec =
     copy(left = c(0), right = c(1))
@@ -300,47 +387,61 @@ case class DictJoinExec(streamKeyIdx: Int, buildKeyIdx: Int,
       case s if s.supportsColumnar => Some(s)
       case _ => None
     }
+    val exist = existence
     if (columnarChild.isEmpty) {
       // row-producing child (planner interposed something): plain
       // per-row lookups, still broadcast-shaped
       return left.execute().mapPartitionsInternal { rows =>
         val lookup = bcast.value
-        val joined = new JoinedRow
         val proj = UnsafeProjection.create(outTypes)
-        val nullBuild: InternalRow =
-          if (isOuter) new GenericInternalRow(nBuildFields) else null
-        rows.flatMap { r =>
-          if (r.isNullAt(keyIdx)) {
-            if (isOuter) Iterator.single(proj(joined(r, nullBuild)))
-            else Iterator.empty
-          } else {
-            val m = lookup.get(r.getUTF8String(keyIdx))
-            if (m == null) {
-              if (isOuter) Iterator.single(proj(joined(r, nullBuild)))
-              else Iterator.empty
+        exist match {
+          case Some(keepMatched) =>
+            rows.filter(r => (!r.isNullAt(keyIdx) &&
+              lookup.containsKey(r.getUTF8String(keyIdx))) == keepMatched)
+              .map(proj)
+          case None =>
+            val joined = new JoinedRow
+            val nullBuild: InternalRow =
+              if (isOuter) new GenericInternalRow(nBuildFields) else null
+            rows.flatMap { r =>
+              if (r.isNullAt(keyIdx)) {
+                if (isOuter) Iterator.single(proj(joined(r, nullBuild)))
+                else Iterator.empty
+              } else {
+                val m = lookup.get(r.getUTF8String(keyIdx))
+                if (m == null) {
+                  if (isOuter) Iterator.single(proj(joined(r, nullBuild)))
+                  else Iterator.empty
+                }
+                else if (m.length == 1) Iterator.single(proj(joined(r, m(0))))
+                else m.iterator.map(b => proj(joined(r, b)))
+              }
             }
-            else if (m.length == 1) Iterator.single(proj(joined(r, m(0))))
-            else m.iterator.map(b => proj(joined(r, b)))
-          }
         }
       }
     }
     columnarChild.get.executeColumnar().mapPartitionsInternal { batches =>
       val lookup = bcast.value
-      val joined = new JoinedRow
       val proj = UnsafeProjection.create(outTypes)
-      val nullBuild: InternalRow =
-        if (isOuter) new GenericInternalRow(nBuildFields) else null
-      batches.flatMap(cb =>
-        DictJoin.probeBatch(cb, keyIdx, lookup, (p, b) => proj(joined(p, b)),
-          nullBuild))
+      exist match {
+        case Some(keepMatched) =>
+          batches.flatMap(cb =>
+            DictJoin.probeBatchExists(cb, keyIdx, lookup, keepMatched, proj))
+        case None =>
+          val joined = new JoinedRow
+          val nullBuild: InternalRow =
+            if (isOuter) new GenericInternalRow(nBuildFields) else null
+          batches.flatMap(cb =>
+            DictJoin.probeBatch(cb, keyIdx, lookup, (p, b) => proj(joined(p, b)),
+              nullBuild))
+      }
     }
   }
 }
 
 /** Planner strategy (opt-in: `spark.sql.graft.dictJoin=true`): rewrites
-  * `Join(Inner | LeftOuter, probeKey = buildKey)` to [[DictJoinExec]] when the probe
-  * side is EXACTLY a graft column-store scan (bare DSv2 relation — any
+  * `Join(Inner | LeftOuter | LeftSemi | LeftAnti, probeKey = buildKey)`
+  * to [[DictJoinExec]] when the probe side is EXACTLY a graft column-store scan (bare DSv2 relation — any
   * interposed Project/Filter keeps Spark's planning), the key is a
   * string column, and the build side fits the broadcast threshold. Off
   * by default so every existing query plans byte-identically; StoreBench
@@ -349,7 +450,7 @@ case class DictJoinExec(streamKeyIdx: Int, buildKeyIdx: Int,
 object DictJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
   import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
-  import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+  import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi}
   import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 
@@ -361,7 +462,7 @@ object DictJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy
     plan match {
       case Join(l, r, jt,
           Some(EqualTo(a: AttributeReference, b: AttributeReference)), _)
-          if jt == Inner || jt == LeftOuter =>
+          if jt == Inner || jt == LeftOuter || jt == LeftSemi || jt == LeftAnti =>
         // The optimizer interposes Filter(isnotnull(key)) above the scan
         // for inner joins (the predicate is also already pushed INTO the
         // scan, so the retained node is a residual re-check). DictJoinExec
@@ -379,11 +480,14 @@ object DictJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy
           if (scanRel.outputSet.contains(a) && r.outputSet.contains(b)) (a, b)
           else if (scanRel.outputSet.contains(b) && r.outputSet.contains(a)) (b, a)
           else return Nil
-        // LEFT OUTER keeps null-key probe rows (null-extended), so an
-        // interposed IsNotNull filter must NOT be absorbed — and the
-        // optimizer doesn't interpose one for outer joins anyway.
+        // LEFT OUTER and LEFT ANTI keep null-key probe rows (outer
+        // null-extends them, anti emits them — a null key never equals
+        // anything), so an interposed IsNotNull filter must NOT be
+        // absorbed for those — and the optimizer doesn't interpose one
+        // for them anyway. Inner and semi drop null keys inherently, so
+        // exactly that filter is absorbed.
         val filterAbsorbable =
-          if (jt == LeftOuter) residual.isEmpty
+          if (jt == LeftOuter || jt == LeftAnti) residual.isEmpty
           else residual.forall { cond =>
             splitConjunctivePredicates(cond).forall {
               case org.apache.spark.sql.catalyst.expressions.IsNotNull(

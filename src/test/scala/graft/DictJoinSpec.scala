@@ -184,6 +184,62 @@ class DictJoinSpec extends SparkTestBase {
     g.dropTable("dj_louter_strat")
   }
 
+  test("LEFT SEMI / LEFT ANTI: existence probe equals Spark's semi/anti (operator A/B)") {
+    val g = GraftSession(spark)
+    import spark.implicits._
+    // null probe key (semi drops it, anti KEEPS it — null never equals),
+    // unmatched key, and a DUPLICATE build key ('a' twice: semi must
+    // still emit each probe row once, not once per match)
+    val probe = Seq((1L, "a"), (2L, null), (3L, "b"), (4L, "zzz"), (5L, "a"))
+      .toDF("id", "k")
+    g.createTable("dj_semi", probe)
+    val dim = Seq(("a", 10), ("a", 11), ("b", 20), ("c", 30)).toDF("bk", "v")
+    abCheck("dj_semi", "k", dim, "bk", "left_semi")
+    abCheck("dj_semi", "k", dim, "bk", "left_anti")
+    val semi = DictJoin.dictJoin(spark, "dj_semi", "k", dim, "bk", "left_semi")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(semi.toSeq === Seq((1L, "a"), (3L, "b"), (5L, "a")))
+    val anti = DictJoin.dictJoin(spark, "dj_semi", "k", dim, "bk", "left_anti")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(anti.toSeq === Seq((2L, null), (4L, "zzz")))
+    // dict-encoded probe (few distinct keys) through the memoized path
+    val probe2 = (1 to 2000).map(i => (i.toLong, s"g${i % 5}")).toDF("id", "k")
+    g.createTable("dj_semi2", probe2)
+    val dim2 = Seq(("g0", 0), ("g2", 2)).toDF("bk", "v")
+    abCheck("dj_semi2", "k", dim2, "bk", "left_semi")
+    abCheck("dj_semi2", "k", dim2, "bk", "left_anti")
+    g.dropTable("dj_semi")
+    g.dropTable("dj_semi2")
+  }
+
+  test("strategy LEFT SEMI / LEFT ANTI: rewrites and equals Spark's join") {
+    val g = GraftSession(spark)
+    import spark.implicits._
+    val probe = Seq((1L, "a"), (2L, null), (3L, "b"), (4L, "zzz"), (5L, "a"))
+      .toDF("id", "k")
+    g.createTable("dj_sa_strat", probe)
+    val dim = Seq(("a", 10), ("b", 20)).toDF("bk", "v")
+    val p = org.apache.spark.sql.graft.store.GraftStoreOps.read(spark, "dj_sa_strat")
+    def qs = p.join(dim, p("k") === dim("bk"), "left_semi").orderBy("id")
+    def qa = p.join(dim, p("k") === dim("bk"), "left_anti").orderBy("id")
+    val offS = qs.collect().map(_.toSeq).toSeq
+    val offA = qa.collect().map(_.toSeq).toSeq
+    try {
+      spark.conf.set(org.apache.spark.sql.graft.store.DictJoinStrategy.CONF_KEY, "true")
+      val onS = qs
+      assert(onS.queryExecution.executedPlan.toString.contains("DictJoin"),
+        onS.queryExecution.executedPlan.toString)
+      assert(onS.collect().map(_.toSeq).toSeq === offS)
+      val onA = qa
+      assert(onA.queryExecution.executedPlan.toString.contains("DictJoin"),
+        onA.queryExecution.executedPlan.toString)
+      assert(onA.collect().map(_.toSeq).toSeq === offA)
+    } finally {
+      spark.conf.unset(org.apache.spark.sql.graft.store.DictJoinStrategy.CONF_KEY)
+    }
+    g.dropTable("dj_sa_strat")
+  }
+
   test("dictJoinAgg: agg-through-join reorder equals join-then-group (codes end-to-end)") {
     val g = GraftSession(spark)
     val orders = Tables.load(spark, sf, "orders")
