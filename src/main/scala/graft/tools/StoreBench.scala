@@ -137,6 +137,30 @@ object StoreBench {
         // a failing arm must not leave the strategy on for later arms
         spark.conf.unset(org.apache.spark.sql.graft.store.DictJoinStrategy.CONF_KEY)
       }
+      // existence shapes: the EXISTS/NOT-EXISTS dimension filters —
+      // Spark's broadcast semi/anti vs the memoized per-code existence
+      // probe (no output fan-out, one boolean per code per batch)
+      val dimSub = Seq("R", "N").toDF("flag")
+      time("semi join: spark") {
+        probe.join(broadcast(dimSub), probe("l_returnflag") === dimSub("flag"),
+            "left_semi")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("semi join: dictJoin") {
+        org.apache.spark.sql.graft.store.DictJoin
+          .dictJoin(spark, "sb_dj", "l_returnflag", dimSub, "flag", "left_semi")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("anti join: spark") {
+        probe.join(broadcast(dimSub), probe("l_returnflag") === dimSub("flag"),
+            "left_anti")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("anti join: dictJoin") {
+        org.apache.spark.sql.graft.store.DictJoin
+          .dictJoin(spark, "sb_dj", "l_returnflag", dimSub, "flag", "left_anti")
+          .write.format("noop").mode("overwrite").save()
+      }
       // join→group composition: Spark join-then-group vs dictJoin feeding
       // the group-by vs dictJoinAgg (agg reordered through the join, so
       // the dict-grouping pushdown sees the bare scan and the join runs
