@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(session => RowLevelSecurityRule(session))
+    // SYS virtual tables (sys.tablestats, sys.members, ...) resolved
+    // live at analysis time — the reference's SYS schema surface
+    e.injectResolutionRule(session => SysRelationRule(session))
     e.injectResolutionRule(session => org.apache.spark.sql.graft.GrantCheckRule(session))
     // opt-in (spark.sql.graft.dictJoin=true): dictionary-code join fast
     // path for store-scan ⋈ small-dim string joins

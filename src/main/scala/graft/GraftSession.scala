@@ -359,6 +359,55 @@ class GraftSession(val spark: SparkSession) {
       "resident_bytes", "compression")
   }
 
+  /** Every index-like access structure on managed tables — the
+    * `SYS.SYSINDEXES` analog (reference exposes Derby-style SYS index
+    * metadata over its region indexes). One row per structure:
+    * primary keys, row-table secondary indexes, column-table index
+    * clustering and z-order clustering. METADATA-ONLY (snapshot reads).
+    */
+  def sysIndexes: DataFrame = {
+    val rows = tables.toSeq.sortBy(_._1).flatMap { case (name, st) =>
+      val pk =
+        if (st.keyColumns.nonEmpty)
+          Seq((name, "primary_key", st.keyColumns.mkString(","), "unique hash"))
+        else Nil
+      val secondary =
+        if (st.rowBacked) {
+          val s = GraftRowStore(name).snapshot
+          s.indexes.keys.toSeq.sorted.map(c =>
+            (name, s"idx_$c", c, "row_secondary"))
+        } else if (st.storeBacked) {
+          val s = GraftColumnStore(name).snapshot
+          (if (s.sortedBy.nonEmpty)
+            Seq((name, "clustering", s.sortedBy.mkString(","), "batch_stats"))
+          else Nil) ++
+            (if (s.zorderedBy.nonEmpty)
+              Seq((name, "zorder", s.zorderedBy.mkString(","), "batch_stats"))
+            else Nil)
+        } else Nil
+      pk ++ secondary
+    }
+    // rows' element type is static, so the empty frame keeps its schema
+    spark.createDataFrame(rows)
+      .toDF("table_name", "index_name", "columns", "kind")
+  }
+
+  /** Registered sample tables and their maintenance parameters — the
+    * AQP catalog surface (reference keeps these in its Hive catalog's
+    * sample-table metadata). One row per (base table, sample).
+    */
+  def sysSamples: DataFrame = {
+    val rows = samples.toSeq.sortBy(_._1).flatMap { case (base, infos) =>
+      infos.map { i =>
+        (i.table, base, i.qcs.mkString(","),
+          i.params.map(_.fraction).getOrElse(-1.0),
+          i.params.map(_.reservoirFloor.toLong).getOrElse(-1L))
+      }
+    }
+    spark.createDataFrame(rows)
+      .toDF("sample_table", "base_table", "qcs", "fraction", "reservoir_floor")
+  }
+
   /** Align a source to the target's column names: by name when they
     * already match, positionally otherwise (classic INSERT semantics —
     * lets `PUT INTO t SELECT k+1, v FROM ...` work without aliases).

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** The reference's SYS virtual-table schema, rebuilt as analyzer-resolved
+  * relations (reference: `io/snappydata/SnappyTableStatsProviderService
+  * .scala` feeds `SYS.TABLESTATS`; its Derby heritage exposes
+  * SYS.MEMBERS / SYSTABLES / SYSPOLICIES the same way — dashboards and
+  * ops scripts poll them with plain SQL). `SELECT * FROM sys.<name>`
+  * resolves LIVE at analysis time: every query re-reads the current
+  * registries, nothing is a stale registered view.
+  *
+  * METADATA-ONLY at any scale: every relation materializes from
+  * driver-side state (snapshot refs, the status tracker, policy / sample
+  * / sink registries) — no table data is scanned, so polling these at
+  * 100 TB costs the same as at 100 MB.
+  *
+  * The `sys` schema name is reserved by this rule; it matches only
+  * two-part `sys.<known-name>` identifiers and leaves everything else
+  * (including unknown `sys.x`) to the normal resolver.
+  */
+object SysRelations {
+
+  val names: Seq[String] =
+    Seq("tablestats", "members", "indexes", "policies", "samples", "sinkstate")
+
+  /** Live frame for one sys relation, None for unknown names. */
+  def frame(spark: SparkSession, name: String): Option[DataFrame] =
+    name.toLowerCase match {
+      case "tablestats" => Some(GraftSession(spark).tableStats)
+      case "indexes" => Some(GraftSession(spark).sysIndexes)
+      case "samples" => Some(GraftSession(spark).sysSamples)
+      case "members" => Some(members(spark))
+      case "policies" => Some(policies(spark))
+      case "sinkstate" => Some(sinkState(spark))
+      case _ => None
+    }
+
+  /** SYS.MEMBERS analog from the status tracker — one row per executor
+    * (local mode: the single driver member), cluster-correct without any
+    * store cooperation.
+    */
+  private def members(spark: SparkSession): DataFrame = {
+    val rows = spark.sparkContext.statusTracker.getExecutorInfos.toSeq
+      .map { i =>
+        (s"${i.host()}:${i.port()}", i.host(), i.port(), i.numRunningTasks(),
+          i.usedOnHeapStorageMemory() + i.usedOffHeapStorageMemory(),
+          i.totalOnHeapStorageMemory() + i.totalOffHeapStorageMemory())
+      }.sortBy(_._1)
+    spark.createDataFrame(rows).toDF("member_id", "host", "port",
+      "running_tasks", "storage_used_bytes", "storage_total_bytes")
+  }
+
+  /** Every registered row-level-security policy (CREATE POLICY), owner
+    * and grantee list included — metadata, not enforcement (reading this
+    * does not bypass [[org.apache.spark.sql.graft.PolicyRegistry]]'s
+    * per-user filtering on actual table reads).
+    */
+  private def policies(spark: SparkSession): DataFrame = {
+    val rows = org.apache.spark.sql.graft.PolicyRegistry.all.map { p =>
+      (p.name, p.table, p.filterSql, p.users.toSeq.sorted.mkString(","), p.owner)
+    }
+    spark.createDataFrame(rows)
+      .toDF("policy_name", "table_name", "filter_sql", "users", "owner")
+  }
+
+  /** The exactly-once CDC sink's persisted watermarks (reference
+    * SINK_STATE_TABLE): (query, target table) → last committed batch.
+    * Reads the backing row table only if a sink ever created it.
+    */
+  private def sinkState(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.graft.store.{GraftRowOps, GraftRowStore}
+    val t = graft.streaming.CdcSink.StateTable
+    if (GraftRowStore.get(t).isDefined) GraftRowOps.read(spark, t)
+    else spark.createDataFrame(Seq.empty[(String, String, Long)])
+      .toDF("query_name", "table_name", "batch_id")
+  }
+}
+
+/** Resolves `sys.<name>` relations to [[SysRelations]] frames during
+  * analysis. Injected by [[GraftExtensions]].
+  */
+case class SysRelationRule(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.length == 2 &&
+            u.multipartIdentifier.head.equalsIgnoreCase("sys") &&
+            SysRelations.names.contains(u.multipartIdentifier(1).toLowerCase) =>
+        SysRelations.frame(session, u.multipartIdentifier(1))
+          .map(_.queryExecution.analyzed).getOrElse(u)
+    }
+}

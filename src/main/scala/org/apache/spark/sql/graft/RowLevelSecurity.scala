@@ -28,6 +28,12 @@ object PolicyRegistry {
 
   def drop(name: String): Unit = policies.remove(name.toLowerCase)
 
+  /** Every registered policy regardless of the current user — the
+    * metadata surface (`sys.policies`), not the enforcement path
+    * ([[forTable]] stays user-filtered).
+    */
+  def all: Seq[Policy] = policies.values.toSeq.sortBy(_.name)
+
   def forTable(table: String): Seq[Policy] =
     policies.values.filter { p =>
       p.table == table.toLowerCase &&

@@ -422,6 +422,52 @@ class SqlSurfaceSpec extends SparkTestBase {
     } finally { g.dropTable("ts_col"); g.dropTable("ts_row") }
   }
 
+  test("sys schema: SELECT * FROM sys.<vti> resolves live metadata relations") {
+    g.createTable("sys_col", Tables.load(spark, sf, "supplier"),
+      keyColumns = Seq("s_suppkey"), partitionBy = Seq("s_suppkey"), buckets = 4)
+    try {
+      // tablestats over SQL, LIVE: re-query after a mutation sees it
+      val n0 = spark.sql(
+        "SELECT row_count FROM sys.tablestats WHERE table_name = 'sys_col'")
+        .head().getLong(0)
+      assert(n0 == Tables.load(spark, sf, "supplier").count())
+      g.delete("sys_col", col("s_suppkey") === 1)
+      val n1 = spark.sql(
+        "SELECT row_count FROM sys.tablestats WHERE table_name = 'sys_col'")
+        .head().getLong(0)
+      assert(n1 == n0 - 1)
+      // members: at least the local driver member, sane storage totals
+      val members = spark.sql("SELECT * FROM sys.members").collect()
+      assert(members.nonEmpty)
+      assert(members.forall(_.getLong(5) > 0))
+      // indexes: the primary key row is present
+      val idx = spark.sql(
+        "SELECT index_name, columns FROM sys.indexes WHERE table_name = 'sys_col'")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(idx.contains(("primary_key", "s_suppkey")))
+      // policies: a created policy appears with its filter and grantees
+      spark.sql("CREATE POLICY sys_pol ON sys_col USING s_nationkey < 5")
+      val pol = spark.sql(
+        "SELECT table_name, filter_sql FROM sys.policies WHERE policy_name = 'sys_pol'")
+        .collect()
+      assert(pol.length == 1 && pol.head.getString(0) == "sys_col" &&
+        pol.head.getString(1).toLowerCase.contains("s_nationkey"))
+      spark.sql("DROP POLICY sys_pol")
+      assert(spark.sql("SELECT * FROM sys.policies " +
+        "WHERE policy_name = 'sys_pol'").isEmpty)
+      // samples / sinkstate: resolvable with the documented schemas
+      assert(spark.sql("SELECT sample_table, base_table, qcs, fraction, " +
+        "reservoir_floor FROM sys.samples").columns.length == 5)
+      assert(spark.sql("SELECT query_name, table_name, batch_id " +
+        "FROM sys.sinkstate").columns.length == 3)
+      // unknown sys names keep the stock resolver error
+      val err = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT * FROM sys.nope").collect()
+      }
+      assert(err.getMessage.toLowerCase.contains("nope"))
+    } finally g.dropTable("sys_col")
+  }
+
   test("CHAR/VARCHAR columns: DDL create, padding semantics, catalog listing") {
     import spark.implicits._
     g.sql("CREATE TABLE chartab (code CHAR(4), name VARCHAR(10), v DOUBLE) USING column")
