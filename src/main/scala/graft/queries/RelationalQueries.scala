@@ -631,6 +631,23 @@ object RelationalQueries {
           Tables.load(s, dir, "part"), "p_name",
           substring_index(col("p_name"), " ", -1), maxDist = 4)
         .orderBy("block", "name1", "name2")
+    },
+
+    // ---- QUALIFY: the keep-best-per-key window filter, IDENTICAL SQL
+    // text on both engines (DuckDB has QUALIFY natively; the graft
+    // parser expands it over stock Spark — QualifyRewrite) ----
+    QueryDef.sql(
+      "q_qualify_topk",
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3
+        |ORDER BY lang, n_chars DESC, doc_id""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT doc_id, lang, source, n_chars
+          |FROM documents
+          |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3
+          |ORDER BY lang, n_chars DESC, doc_id""".stripMargin)
     }
   )
 }

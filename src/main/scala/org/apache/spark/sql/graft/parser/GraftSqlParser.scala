@@ -158,8 +158,26 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     val rewritten = StreamWindowRewrite(sqlText)
-    graftPlan(rewritten).getOrElse(delegate.parsePlan(rewritten))
+    graftPlan(rewritten).getOrElse(withQualify(rewritten)(delegate.parsePlan))
   }
+
+  /** Parse, retrying through [[QualifyRewrite]] when the stock parse
+    * fails AND the text carries a top-level QUALIFY — so a column or
+    * alias literally named `qualify` keeps the stock parse, and queries
+    * without the keyword pay nothing.
+    */
+  private def withQualify(sql: String)(parse: String => LogicalPlan): LogicalPlan =
+    QualifyRewrite(sql) match {
+      case None => parse(sql)
+      case Some(rewritten) =>
+        try parse(sql)
+        catch {
+          // the stock grammar has no QUALIFY — parse the expansion (its
+          // errors, if any, point into the user's own predicate text)
+          case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+            parse(rewritten)
+        }
+    }
 
   // the trait DEFAULT ignores the parameters — route to the delegate's
   // real implementation. Any statement graftPlan hands back (guarded
@@ -169,7 +187,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parsePlanWithParameters(sqlText: String,
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan = {
     val rewritten = StreamWindowRewrite(sqlText)
-    graftPlan(rewritten).getOrElse(delegate.parsePlanWithParameters(rewritten, ctx))
+    graftPlan(rewritten).getOrElse(
+      withQualify(rewritten)(delegate.parsePlanWithParameters(_, ctx)))
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
@@ -893,4 +912,107 @@ object StreamWindowRewrite {
         case None => scala.util.matching.Regex.quoteReplacement(m.matched)
       }
     })
+}
+
+/** Snowflake/DuckDB-style `QUALIFY <window predicate>` for top-level
+  * SELECT/WITH queries — the keep-best-per-key idiom
+  * (`QUALIFY row_number() OVER (PARTITION BY url ORDER BY quality DESC)
+  * = 1`) that pipeline SQL leans on constantly. Spark's grammar has no
+  * QUALIFY; the rewrite splices the standard expansion in TEXT, keeping
+  * the stock parser authoritative for everything inside:
+  *
+  * {{{
+  * <core> QUALIFY <pred> [<trailing>]
+  *   ==>  SELECT * EXCEPT (__qualify) FROM
+  *          (SELECT __q.*, (<pred>) AS __qualify FROM (<core>) AS __q)
+  *        WHERE __qualify <trailing>
+  * }}}
+  *
+  * so the windows in `<pred>` evaluate over the select's result rows —
+  * QUALIFY's semantics. Scope (documented limits, not silent wrongness —
+  * anything outside scope keeps Spark's own parse error):
+  *   - top-level queries starting with SELECT/WITH (no set operations at
+  *     the top level; `* EXCEPT (...)` projections are recognized and
+  *     not mistaken for the set op);
+  *   - the predicate references the select's OUTPUT columns (aliases
+  *     included), the common shape — not unprojected base columns;
+  *   - one QUALIFY per statement, outside any parentheses.
+  * The caller only applies the rewrite after the stock parse of the
+  * original text fails, so an unquoted identifier named `qualify` keeps
+  * working.
+  */
+object QualifyRewrite {
+
+  private val Trailing = Set("ORDER", "SORT", "CLUSTER", "DISTRIBUTE",
+    "LIMIT", "OFFSET")
+  private val SetOps = Set("UNION", "INTERSECT", "MINUS")
+
+  /** Depth-0, outside-quotes word occurrences: (UPPER word, start, end). */
+  private def scanWords(sql: String): Seq[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var i = 0
+    var depth = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      c match {
+        case q @ ('\'' | '"' | '`') =>
+          // same literal scanner as StreamWindowRewrite.mapOutsideQuotes
+          var j = i + 1
+          var closed = false
+          while (j < sql.length && !closed) {
+            val cc = sql.charAt(j)
+            if (q != '`' && cc == '\\' && j + 1 < sql.length) j += 2
+            else if (cc == q && j + 1 < sql.length && sql.charAt(j + 1) == q) j += 2
+            else if (cc == q) closed = true
+            else j += 1
+          }
+          i = j + 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case ch if depth == 0 && (ch.isLetter || ch == '_') =>
+          val start = i
+          while (i < sql.length &&
+            (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
+          out += ((sql.substring(start, i).toUpperCase(java.util.Locale.ROOT),
+            start, i))
+        case _ => i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** The rewritten statement, or None when the text has no in-scope
+    * top-level QUALIFY.
+    */
+  def apply(sql: String): Option[String] = {
+    if (!sql.toUpperCase(java.util.Locale.ROOT).contains("QUALIFY")) return None
+    val head = sql.dropWhile(_.isWhitespace).take(6).toUpperCase(java.util.Locale.ROOT)
+    if (!head.startsWith("SELECT") && !head.startsWith("WITH")) return None
+    val words = scanWords(sql)
+    def isStarExcept(idx: Int): Boolean = {
+      // EXCEPT '(' is the star-except projection, not the set operation
+      val after = sql.drop(words(idx)._3).dropWhile(_.isWhitespace)
+      after.startsWith("(")
+    }
+    val hasSetOp = words.zipWithIndex.exists { case ((w, _, _), i) =>
+      SetOps.contains(w) || (w == "EXCEPT" && !isStarExcept(i))
+    }
+    if (hasSetOp) return None
+    val qs = words.filter(_._1 == "QUALIFY")
+    if (qs.length != 1) return None
+    val (_, qStart, qEnd) = qs.head
+    val core = sql.substring(0, qStart).trim
+    if (core.isEmpty) return None
+    val trailStart = words.collectFirst {
+      case (w, s, _) if s >= qEnd && Trailing.contains(w) => s
+    }
+    val pred = sql.substring(qEnd,
+      trailStart.getOrElse(sql.length)).trim
+    if (pred.isEmpty) return None
+    val trail = trailStart.map(sql.substring(_)).getOrElse("")
+    Some(
+      s"SELECT * EXCEPT (__qualify) FROM " +
+        s"(SELECT __q.*, ($pred) AS __qualify FROM ($core) AS __q) " +
+        s"WHERE __qualify $trail")
+  }
 }

@@ -468,6 +468,42 @@ class SqlSurfaceSpec extends SparkTestBase {
     } finally g.dropTable("sys_col")
   }
 
+  test("QUALIFY: window predicate filters like Snowflake/DuckDB") {
+    import spark.implicits._
+    Seq((1L, "a", 10), (2L, "a", 20), (3L, "a", 30), (4L, "b", 5), (5L, "b", 50))
+      .toDF("id", "k", "v").createOrReplaceTempView("qal")
+    try {
+      // keep-best-per-key
+      val best = spark.sql(
+        """SELECT id, k, v FROM qal
+          |QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC, id) = 1
+          |ORDER BY k""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      assert(best.toSeq === Seq((3L, "a", 30), (5L, "b", 50)))
+      // CTE prefix + select alias in the predicate + LIMIT trailing
+      val cte = spark.sql(
+        """WITH w AS (SELECT id, k, v * 2 AS vv FROM qal)
+          |SELECT id, k, vv FROM w
+          |QUALIFY rank() OVER (PARTITION BY k ORDER BY vv) <= 2
+          |ORDER BY k, vv LIMIT 3""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      assert(cte.toSeq === Seq((1L, "a", 20), (2L, "a", 40), (4L, "b", 10)))
+      // star-except projection is not mistaken for the set operation
+      val se = spark.sql(
+        """SELECT * EXCEPT (v) FROM qal
+          |QUALIFY row_number() OVER (ORDER BY id DESC) = 1""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(se.toSeq === Seq((5L, "b")))
+      // an identifier literally named qualify keeps the stock parse
+      assert(spark.sql("SELECT 7 AS qualify").head().getInt(0) == 7)
+      // top-level set ops stay out of scope: stock parse error surfaces
+      intercept[Exception] {
+        spark.sql("SELECT id FROM qal QUALIFY row_number() OVER (ORDER BY id) = 1 " +
+          "UNION SELECT id FROM qal")
+      }
+    } finally spark.catalog.dropTempView("qal")
+  }
+
   test("CHAR/VARCHAR columns: DDL create, padding semantics, catalog listing") {
     import spark.implicits._
     g.sql("CREATE TABLE chartab (code CHAR(4), name VARCHAR(10), v DOUBLE) USING column")
