@@ -29,7 +29,7 @@ object SysRelations {
 
   /** Live frame for one sys relation, None for unknown names. */
   def frame(spark: SparkSession, name: String): Option[DataFrame] =
-    name.toLowerCase match {
+    name.toLowerCase(java.util.Locale.ROOT) match {
       case "tablestats" => Some(GraftSession(spark).tableStats)
       case "indexes" => Some(GraftSession(spark).sysIndexes)
       case "samples" => Some(GraftSession(spark).sysSamples)
@@ -89,7 +89,8 @@ case class SysRelationRule(session: SparkSession) extends Rule[LogicalPlan] {
       case u: UnresolvedRelation
           if u.multipartIdentifier.length == 2 &&
             u.multipartIdentifier.head.equalsIgnoreCase("sys") &&
-            SysRelations.names.contains(u.multipartIdentifier(1).toLowerCase) =>
+            SysRelations.names.contains(
+              u.multipartIdentifier(1).toLowerCase(java.util.Locale.ROOT)) =>
         SysRelations.frame(session, u.multipartIdentifier(1))
           .map(_.queryExecution.analyzed).getOrElse(u)
     }

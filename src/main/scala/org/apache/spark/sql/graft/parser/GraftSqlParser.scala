@@ -862,36 +862,30 @@ object StreamWindowRewrite {
         m => s"LIMIT ${Option(m.group(1)).getOrElse("1")}"))
 
   /** Apply `f` only to the text OUTSIDE quoted spans ('...', "...",
-    * `...`) — the rewrites must never touch string literals or quoted
-    * identifiers, and neither pattern can legally span a quote boundary.
+    * `...`) and comments — the rewrites must never touch string
+    * literals, quoted identifiers, or comment text, and neither pattern
+    * can legally span a quote boundary. Literal/comment scanning is
+    * shared with [[QualifyRewrite]] via [[SqlText]].
     */
   private def mapOutsideQuotes(sql: String)(f: String => String): String = {
     val out = new StringBuilder
     var i = 0
     var start = 0
     while (i < sql.length) {
-      sql.charAt(i) match {
-        case q @ ('\'' | '"' | '`') =>
-          out.append(f(sql.substring(start, i)))
-          // backslash escapes are live inside '...'/"..." (Spark's
-          // default dialect) and a DOUBLED closing quote is the SQL
-          // escape for the quote itself ('it''s', `a``b`): skip both so
-          // the scanner stays in sync and the rewrites never fire on
-          // text inside a literal
-          var j = i + 1
-          var closed = false
-          while (j < sql.length && !closed) {
-            val c = sql.charAt(j)
-            if (q != '`' && c == '\\' && j + 1 < sql.length) j += 2
-            else if (c == q && j + 1 < sql.length && sql.charAt(j + 1) == q) j += 2
-            else if (c == q) closed = true
-            else j += 1
+      val skipTo = SqlText.skipComment(sql, i) match {
+        case same if same == i =>
+          sql.charAt(i) match {
+            case '\'' | '"' | '`' => SqlText.skipQuoted(sql, i)
+            case _ => i
           }
-          out.append(sql.substring(i, math.min(j + 1, sql.length)))
-          i = j + 1
-          start = i
-        case _ => i += 1
+        case end => end
       }
+      if (skipTo > i) {
+        out.append(f(sql.substring(start, i)))
+        out.append(sql.substring(i, skipTo))
+        i = skipTo
+        start = i
+      } else i += 1
     }
     if (start < sql.length) out.append(f(sql.substring(start)))
     out.toString
@@ -914,6 +908,45 @@ object StreamWindowRewrite {
     })
 }
 
+/** Shared low-level SQL text scanning for the text rewrites: skipping
+  * quoted literals (backslash escapes live inside '...'/"...", doubled
+  * closing quotes are the SQL escape everywhere) and comments (`--` to
+  * end of line, plus ANSI bracketed slash-star comments). Both rewrite
+  * passes MUST treat these spans as opaque — a keyword inside a literal
+  * or a comment is not SQL.
+  */
+private[parser] object SqlText {
+
+  /** Index just past the quoted literal starting at `i` (sql(i) must be
+    * one of ' " `). Unterminated literals run to end of string.
+    */
+  def skipQuoted(sql: String, i: Int): Int = {
+    val q = sql.charAt(i)
+    var j = i + 1
+    while (j < sql.length) {
+      val c = sql.charAt(j)
+      if (q != '`' && c == '\\' && j + 1 < sql.length) j += 2
+      else if (c == q && j + 1 < sql.length && sql.charAt(j + 1) == q) j += 2
+      else if (c == q) return j + 1
+      else j += 1
+    }
+    j
+  }
+
+  /** Index just past the comment starting at `i`, or `i` when sql(i) is
+    * not a comment start. `--` runs to (and includes) the newline;
+    * bracketed comments do not nest (ANSI).
+    */
+  def skipComment(sql: String, i: Int): Int =
+    if (sql.startsWith("--", i)) {
+      val nl = sql.indexOf('\n', i)
+      if (nl < 0) sql.length else nl + 1
+    } else if (sql.startsWith("/*", i)) {
+      val end = sql.indexOf("*/", i + 2)
+      if (end < 0) sql.length else end + 2
+    } else i
+}
+
 /** Snowflake/DuckDB-style `QUALIFY <window predicate>` for top-level
   * SELECT/WITH queries — the keep-best-per-key idiom
   * (`QUALIFY row_number() OVER (PARTITION BY url ORDER BY quality DESC)
@@ -923,20 +956,28 @@ object StreamWindowRewrite {
   *
   * {{{
   * <core> QUALIFY <pred> [<trailing>]
-  *   ==>  SELECT * EXCEPT (__qualify) FROM
-  *          (SELECT __q.*, (<pred>) AS __qualify FROM (<core>) AS __q)
+  *   ==>  WITH __q AS (<core>)
+  *        SELECT * EXCEPT (__qualify) FROM
+  *          (SELECT __q.*, (<pred>) AS __qualify FROM __q)
   *        WHERE __qualify <trailing>
   * }}}
   *
   * so the windows in `<pred>` evaluate over the select's result rows —
-  * QUALIFY's semantics. Scope (documented limits, not silent wrongness —
-  * anything outside scope keeps Spark's own parse error):
+  * QUALIFY's semantics. The CTE form keeps `<core>` BEFORE `<pred>` in
+  * the emitted text, so positional `?` parameter markers keep their
+  * original order and `parsePlanWithParameters` binds them correctly.
+  * Scope (documented limits, not silent wrongness — anything outside
+  * scope keeps Spark's own parse error):
   *   - top-level queries starting with SELECT/WITH (no set operations at
-  *     the top level; `* EXCEPT (...)` projections are recognized and
-  *     not mistaken for the set op);
+  *     the top level; a `* EXCEPT (...)` projection — EXCEPT preceded by
+  *     `*` — is recognized and not mistaken for the set op);
+  *   - no top-level DISTINCT: Snowflake/DuckDB evaluate QUALIFY BEFORE
+  *     DISTINCT, which this expansion cannot express, so such
+  *     statements are left unrewritten rather than silently diverging;
   *   - the predicate references the select's OUTPUT columns (aliases
   *     included), the common shape — not unprojected base columns;
-  *   - one QUALIFY per statement, outside any parentheses.
+  *   - one QUALIFY per statement, outside any parentheses;
+  *   - `__q` / `__qualify` are reserved names in rewritten statements.
   * The caller only applies the rewrite after the stock parse of the
   * original text fails, so an unquoted identifier named `qualify` keeps
   * working.
@@ -947,26 +988,18 @@ object QualifyRewrite {
     "LIMIT", "OFFSET")
   private val SetOps = Set("UNION", "INTERSECT", "MINUS")
 
-  /** Depth-0, outside-quotes word occurrences: (UPPER word, start, end). */
+  /** Depth-0 word occurrences outside quotes and comments:
+    * (UPPER word, start, end).
+    */
   private def scanWords(sql: String): Seq[(String, Int, Int)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
     var i = 0
     var depth = 0
     while (i < sql.length) {
-      val c = sql.charAt(i)
-      c match {
-        case q @ ('\'' | '"' | '`') =>
-          // same literal scanner as StreamWindowRewrite.mapOutsideQuotes
-          var j = i + 1
-          var closed = false
-          while (j < sql.length && !closed) {
-            val cc = sql.charAt(j)
-            if (q != '`' && cc == '\\' && j + 1 < sql.length) j += 2
-            else if (cc == q && j + 1 < sql.length && sql.charAt(j + 1) == q) j += 2
-            else if (cc == q) closed = true
-            else j += 1
-          }
-          i = j + 1
+      val afterComment = SqlText.skipComment(sql, i)
+      if (afterComment > i) i = afterComment
+      else sql.charAt(i) match {
+        case '\'' | '"' | '`' => i = SqlText.skipQuoted(sql, i)
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
         case ch if depth == 0 && (ch.isLetter || ch == '_') =>
@@ -990,14 +1023,17 @@ object QualifyRewrite {
     if (!head.startsWith("SELECT") && !head.startsWith("WITH")) return None
     val words = scanWords(sql)
     def isStarExcept(idx: Int): Boolean = {
-      // EXCEPT '(' is the star-except projection, not the set operation
-      val after = sql.drop(words(idx)._3).dropWhile(_.isWhitespace)
-      after.startsWith("(")
+      // the star-except PROJECTION is exactly `* EXCEPT (...)`; any
+      // other EXCEPT at depth 0 is the set operation
+      val before = sql.substring(0, words(idx)._2).reverse.dropWhile(_.isWhitespace)
+      before.headOption.contains('*')
     }
     val hasSetOp = words.zipWithIndex.exists { case ((w, _, _), i) =>
       SetOps.contains(w) || (w == "EXCEPT" && !isStarExcept(i))
     }
     if (hasSetOp) return None
+    // top-level DISTINCT changes QUALIFY's evaluation order (see scope)
+    if (words.exists(_._1 == "DISTINCT")) return None
     val qs = words.filter(_._1 == "QUALIFY")
     if (qs.length != 1) return None
     val (_, qStart, qEnd) = qs.head
@@ -1010,9 +1046,12 @@ object QualifyRewrite {
       trailStart.getOrElse(sql.length)).trim
     if (pred.isEmpty) return None
     val trail = trailStart.map(sql.substring(_)).getOrElse("")
+    // the newlines before each spliced ')' matter: core/pred may END in
+    // a `--` line comment, which would otherwise swallow the paren
     Some(
-      s"SELECT * EXCEPT (__qualify) FROM " +
-        s"(SELECT __q.*, ($pred) AS __qualify FROM ($core) AS __q) " +
+      s"WITH __q AS ($core\n) " +
+        s"SELECT * EXCEPT (__qualify) FROM " +
+        s"(SELECT __q.*, ($pred\n) AS __qualify FROM __q) " +
         s"WHERE __qualify $trail")
   }
 }

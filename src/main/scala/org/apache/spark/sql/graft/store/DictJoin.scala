@@ -179,18 +179,16 @@ object DictJoin {
 
   def dictJoin(spark: SparkSession, table: String, key: String,
       build: DataFrame, buildKey: String, joinType: String = "inner"): DataFrame = {
-    // semi = Some(true), anti = Some(false); None = inner/outer row-join
-    val existence: Option[Boolean] = joinType.toLowerCase.replace("_", "") match {
-      case "leftsemi" | "semi" => Some(true)
-      case "leftanti" | "anti" => Some(false)
-      case _ => None
-    }
-    val outer = joinType.toLowerCase.replace("_", "") match {
-      case "inner" | "leftsemi" | "semi" | "leftanti" | "anti" => false
-      case "left" | "leftouter" => true
-      case other => sys.error(
-        s"dictJoin: joinType must be inner, left_outer, left_semi or left_anti, got '$other'")
-    }
+    // existence: semi = Some(true), anti = Some(false); None = row-join
+    val (existence: Option[Boolean], outer: Boolean) =
+      joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "") match {
+        case "inner" => (None, false)
+        case "left" | "leftouter" => (None, true)
+        case "leftsemi" | "semi" => (Some(true), false)
+        case "leftanti" | "anti" => (Some(false), false)
+        case other => sys.error(
+          s"dictJoin: joinType must be inner, left_outer, left_semi or left_anti, got '$other'")
+      }
     val probe = GraftStoreOps.read(spark, table)
     val probeSchema = probe.schema
     require(probeSchema.fieldNames.contains(key),

@@ -501,6 +501,34 @@ class SqlSurfaceSpec extends SparkTestBase {
         spark.sql("SELECT id FROM qal QUALIFY row_number() OVER (ORDER BY id) = 1 " +
           "UNION SELECT id FROM qal")
       }
+      // ... including the parenthesized set-op right side (NOT mistaken
+      // for a star-except projection)
+      intercept[Exception] {
+        spark.sql("SELECT id FROM qal EXCEPT (SELECT id FROM qal) " +
+          "QUALIFY row_number() OVER (ORDER BY id) = 1")
+      }
+      // top-level DISTINCT evaluates in a different order in the engines
+      // QUALIFY mimics — refused, not silently diverged
+      intercept[Exception] {
+        spark.sql("SELECT DISTINCT k FROM qal " +
+          "QUALIFY row_number() OVER (ORDER BY k) = 1")
+      }
+      // comments are opaque: keywords and apostrophes inside them don't
+      // derail the scanner
+      val cm = spark.sql(
+        """SELECT id, k, v FROM qal -- driver's pick, see union notes
+          |QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC) = 1
+          |  -- limit to winners
+          |ORDER BY k""".stripMargin).collect().map(_.getLong(0))
+      assert(cm.toSeq === Seq(3L, 5L))
+      // positional parameters bind in their original order (the CTE-form
+      // expansion keeps core text before predicate text)
+      val pp = spark.sql(
+        "SELECT id, k, v FROM qal WHERE v > ? " +
+          "QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC) <= ? " +
+          "ORDER BY id",
+        Array(5, 1)).collect().map(_.getLong(0))
+      assert(pp.toSeq === Seq(3L, 5L))
     } finally spark.catalog.dropTempView("qal")
   }
 
