@@ -45,6 +45,49 @@ class GraftSession(val spark: SparkSession) {
 
   private val tables = TrieMap.empty[String, TableState]
 
+  // ---- query history (sys.queries): ring buffer fed by a
+  // QueryExecutionListener from session construction on — the
+  // reference's dashboard "recent queries" surface. Driver-side,
+  // bounded, metadata only (no plan retention beyond a summary line).
+  private val queryLog =
+    new java.util.concurrent.ConcurrentLinkedDeque[GraftSession.QueryLogEntry]
+  private val QueryLogMax = 100
+  spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+    private def log(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long, status: String): Unit = {
+      val root = scala.util.Try(qe.executedPlan.nodeName)
+        .orElse(scala.util.Try(qe.logical.nodeName)).getOrElse("?")
+      queryLog.addFirst(GraftSession.QueryLogEntry(
+        new java.sql.Timestamp(System.currentTimeMillis()), funcName,
+        if (durationNs < 0) -1L else durationNs / 1000000L, status, root))
+      while (queryLog.size > QueryLogMax) queryLog.pollLast()
+    }
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit = log(funcName, qe, durationNs, "success")
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = log(funcName, qe, -1L, "failed")
+  })
+
+  /** The most recent query executions (newest first) — `sys.queries`.
+    * Captures executions from this GraftSession's construction onward.
+    */
+  def sysQueries: DataFrame = {
+    val rows = {
+      val it = queryLog.iterator()
+      val b = Seq.newBuilder[(java.sql.Timestamp, String, Long, String, String)]
+      while (it.hasNext) {
+        val e = it.next()
+        b += ((e.endedAt, e.op, e.durationMs, e.status, e.rootPlan))
+      }
+      b.result()
+    }
+    spark.createDataFrame(rows)
+      .toDF("ended_at", "op", "duration_ms", "status", "root_plan")
+  }
+
   private def normalize(name: String): String = name.toLowerCase
 
   import org.apache.spark.sql.graft.store.{GraftColumnStore, GraftRowOps, GraftRowStore, GraftStoreOps}
@@ -722,6 +765,10 @@ object GraftSession {
     */
   final case class SampleInfo(table: String, qcs: Seq[String],
       params: Option[SampleParams] = None)
+
+  /** One `sys.queries` ring-buffer entry. */
+  final case class QueryLogEntry(endedAt: java.sql.Timestamp, op: String,
+      durationMs: Long, status: String, rootPlan: String)
 
   /** Size floor under which an unbucketed ingest keeps the source's
     * partitioning (the repartition shuffle would cost more than the

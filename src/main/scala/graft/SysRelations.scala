@@ -25,7 +25,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object SysRelations {
 
   val names: Seq[String] =
-    Seq("tablestats", "members", "indexes", "policies", "samples", "sinkstate")
+    Seq("tablestats", "members", "indexes", "policies", "samples",
+      "sinkstate", "queries")
 
   /** Live frame for one sys relation, None for unknown names. */
   def frame(spark: SparkSession, name: String): Option[DataFrame] =
@@ -33,6 +34,7 @@ object SysRelations {
       case "tablestats" => Some(GraftSession(spark).tableStats)
       case "indexes" => Some(GraftSession(spark).sysIndexes)
       case "samples" => Some(GraftSession(spark).sysSamples)
+      case "queries" => Some(GraftSession(spark).sysQueries)
       case "members" => Some(members(spark))
       case "policies" => Some(policies(spark))
       case "sinkstate" => Some(sinkState(spark))

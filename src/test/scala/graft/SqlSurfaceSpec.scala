@@ -460,6 +460,16 @@ class SqlSurfaceSpec extends SparkTestBase {
         "reservoir_floor FROM sys.samples").columns.length == 5)
       assert(spark.sql("SELECT query_name, table_name, batch_id " +
         "FROM sys.sinkstate").columns.length == 3)
+      // queries: the executions above land in the ring buffer (listener
+      // delivery is async — poll briefly)
+      var qrows = Array.empty[org.apache.spark.sql.Row]
+      val deadline = System.currentTimeMillis() + 10000
+      while (qrows.isEmpty && System.currentTimeMillis() < deadline) {
+        qrows = spark.sql("SELECT op, duration_ms, root_plan FROM sys.queries " +
+          "WHERE status = 'success'").collect()
+        if (qrows.isEmpty) Thread.sleep(100)
+      }
+      assert(qrows.nonEmpty)
       // unknown sys names keep the stock resolver error
       val err = intercept[org.apache.spark.sql.AnalysisException] {
         spark.sql("SELECT * FROM sys.nope").collect()
