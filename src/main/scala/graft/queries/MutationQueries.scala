@@ -448,6 +448,45 @@ object MutationQueries {
         .orderBy("o_orderpriority")
     },
 
+    // ---- MERGE INTO (the canonical upsert through SQL): matched keys
+    // update in place, unmatched source rows insert — the oracle replays
+    // the upsert relationally (source wins per key, remainder kept) ----
+    QueryDef.sql(
+      "q_merge_upsert",
+      """WITH src AS (
+        |  SELECT s_suppkey, s_name, s_nationkey,
+        |    (sign(s_acctbal + 1000) * floor(abs(s_acctbal + 1000) * 100.0 + 0.5) / 100.0) AS s_acctbal
+        |  FROM supplier WHERE s_suppkey % 4 = 1
+        |  UNION ALL
+        |  SELECT s_suppkey + 100000, s_name, s_nationkey, 555.55
+        |  FROM supplier WHERE s_suppkey % 10 = 3)
+        |SELECT s_suppkey, s_name,
+        |  (sign(s_acctbal) * floor(abs(s_acctbal) * 100.0 + 0.5) / 100.0) AS bal
+        |FROM (
+        |  SELECT * FROM src
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        |  WHERE s_suppkey NOT IN (SELECT s_suppkey FROM src)) u
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      val supp = Tables.load(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      g.createTable("q_mrg", supp, keyColumns = Seq("s_suppkey"),
+        partitionBy = Seq("s_suppkey"), buckets = 4)
+      val src = supp.filter(col("s_suppkey") % 4 === 1)
+        .withColumn("s_acctbal", dr2(col("s_acctbal") + 1000))
+        .unionByName(supp.filter(col("s_suppkey") % 10 === 3)
+          .withColumn("s_suppkey", col("s_suppkey") + 100000)
+          .withColumn("s_acctbal", lit(555.55)))
+      src.createOrReplaceTempView("q_mrg_src")
+      s.sql("MERGE INTO q_mrg USING q_mrg_src " +
+        "ON q_mrg.s_suppkey = q_mrg_src.s_suppkey " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      g.table("q_mrg")
+        .select(col("s_suppkey"), col("s_name"), dr2(col("s_acctbal")).as("bal"))
+        .orderBy("s_suppkey")
+    },
+
     // ---- LEFT SEMI dictionary-code join: the EXISTS-filter dimension
     // shape — membership memoized per (batch, code), each probe row
     // emitted at most once even though the dimension carries a DUPLICATE

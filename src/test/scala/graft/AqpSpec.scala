@@ -548,4 +548,53 @@ class AqpSpec extends SparkTestBase {
       assert(t >= lo && t <= hi, s"true ratio $t outside bootstrap [$lo, $hi]")
     }
   }
+
+  test("sketch tables: persisted HLL sketches roll up to the same estimate (pre-aggregated distincts)") {
+    // the OLAP cube pattern at 100 TB: distinct-user counts are
+    // pre-aggregated per (day, event_type) as MERGEABLE HLL sketches in
+    // a store table (binary column); any rollup — per type, per day,
+    // global — is a metadata-scale union over the cube, the raw events
+    // never rescan. Spark 4's hll_sketch_agg/hll_union_agg are the
+    // codegen'd sketch kernels; the store contributes exact binary
+    // round-tripping and the bucketed layout.
+    val g = GraftSession(spark)
+    val ev = Tables.load(spark, sf, "events")
+      .withColumn("day", to_date(col("ts")))
+    val cube = ev.groupBy(col("day"), col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("users_sketch"),
+        count(lit(1)).as("n_events"))
+    g.createTable("hll_cube", cube)
+    try {
+      val stored = g.table("hll_cube")
+      // rollup per event_type from the STORED sketches vs the same
+      // rollup from the in-memory frame: binary fidelity through the
+      // store must be exact, so the estimates match exactly
+      def rollup(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(users_sketch))")
+          .cast("long").as("approx_users"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val fromStore = rollup(stored)
+      val direct = rollup(cube)
+      assert(fromStore == direct,
+        s"store roundtrip changed sketch estimates: $fromStore vs $direct")
+      // and the estimates are estimates of the right thing: within 5%
+      // of the exact distinct count per type
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.foreach { case (t, n) =>
+        val est = fromStore(t)
+        assert(math.abs(est - n).toDouble / n < 0.05,
+          s"$t: estimate $est vs exact $n")
+      }
+      // the global rollup unions ALL cube rows — one tiny agg, no
+      // events scan
+      val global = g.table("hll_cube")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(users_sketch))")
+          .cast("long")).head().getLong(0)
+      val globalExact = ev.agg(countDistinct(col("user_id"))).head().getLong(0)
+      assert(math.abs(global - globalExact).toDouble / globalExact < 0.05)
+    } finally g.dropTable("hll_cube")
+  }
 }

@@ -547,4 +547,36 @@ class StreamingSpec extends SparkTestBase {
       assert(rows == Set(("10", "a", 2L, 3.0), ("11", "a", 1L, 4.0), ("10", "b", 1L, 8.0)))
     } finally q.stop()
   }
+
+  test("session-window aggregation over a stream (gap-based sessionization)") {
+    // the streaming counterpart of the batch sessionize operators
+    // (Funnel.sessionize / q_events_session_hist): session_window merges
+    // events within the gap, splits across it, per user
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = mem.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 minutes"), $"user")
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData(
+        // u1: two events 20 min apart -> ONE session; a third 40 min
+        // later -> a second session
+        (ts("2024-01-01 09:00:00"), "u1"), (ts("2024-01-01 09:20:00"), "u1"),
+        (ts("2024-01-01 10:00:00"), "u1"),
+        // u2: one event -> one singleton session
+        (ts("2024-01-01 09:05:00"), "u2"))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select(date_format($"session_window.start", "HH:mm").as("s"),
+          $"user", $"n_events")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(("09:00", "u1", 2L), ("10:00", "u1", 1L),
+        ("09:05", "u2", 1L)))
+    } finally q.stop()
+  }
 }
