@@ -633,6 +633,34 @@ object RelationalQueries {
         .orderBy("block", "name1", "name2")
     },
 
+    // ---- salted skew join: the hot-key mitigation operator
+    // (Skew.saltedJoin — fact rows salt-scatter across `buckets`
+    // partitions, the dimension replicates per salt) must be
+    // result-identical to the plain join, which is exactly what the
+    // oracle replays ----
+    QueryDef.sql(
+      "q_skew_join",
+      """SELECT d.label, count(*) AS n, CAST(sum(d.rank) AS BIGINT) AS rank_mass
+        |FROM orders o
+        |JOIN (VALUES ('1-URGENT', 1, 'hot'), ('2-HIGH', 2, 'warm'),
+        |             ('3-MEDIUM', 3, 'mid'), ('4-NOT SPECIFIED', 4, 'meh'),
+        |             ('5-LOW', 5, 'cold')) AS d(prio, rank, label)
+        |  ON o.o_orderpriority = d.prio
+        |GROUP BY d.label
+        |ORDER BY d.label""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dim = Seq(
+        ("1-URGENT", 1, "hot"), ("2-HIGH", 2, "warm"), ("3-MEDIUM", 3, "mid"),
+        ("4-NOT SPECIFIED", 4, "meh"), ("5-LOW", 5, "cold"))
+        .toDF("prio", "rank", "label")
+      graft.operators.Skew.saltedJoin(
+          Tables.load(s, dir, "orders"), dim, "o_orderpriority", "prio",
+          buckets = 8)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), sum(col("rank")).cast("bigint").as("rank_mass"))
+        .orderBy("label")
+    },
+
     // ---- QUALIFY: the keep-best-per-key window filter, IDENTICAL SQL
     // text on both engines (DuckDB has QUALIFY natively; the graft
     // parser expands it over stock Spark — QualifyRewrite) ----
