@@ -232,6 +232,37 @@ object Similarity {
       .select("cluster_id", "a", "b", "cosine")
   }
 
+  /** Semantic decontamination: flag corpus vectors whose MAX cosine
+    * against the (small) eval set reaches `threshold` — the
+    * embedding-space complement of the n-gram `Dedup.decontaminate`
+    * (published contamination audits pair exactly these two signals:
+    * surface n-gram overlap + embedding similarity).
+    *
+    * Scale shape: the eval set aggregates to ONE row (an array of
+    * vectors — the same driver-side footprint as a centroid table, so it
+    * must stay eval-sized: 10²–10⁵ vectors), broadcast to every task;
+    * each corpus row computes an array fold over it inside the scan.
+    * No pair rows materialize, nothing shuffles at any corpus size.
+    * Output: (id, max_eval_cosine, contaminated); an EMPTY eval set
+    * flags nothing (max is NULL, contaminated false).
+    */
+  def semanticDecontaminate(corpus: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    // rename both sides first: corpus and eval routinely derive from the
+    // SAME frame (an eval slice of the corpus), and shared attribute ids
+    // would otherwise resolve the lambda's vector reference to the eval
+    // side — which the aggregate has already projected away
+    val c = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+    val evs = eval.select(col(vecCol).as("__ev"))
+      .agg(collect_list(col("__ev")).as("__evs"))
+    c.crossJoin(broadcast(evs))
+      .select(col("__cid").as(idCol),
+        array_max(transform(col("__evs"), e => vec_cosine(col("__cv"), e)))
+          .as("max_eval_cosine"))
+      .withColumn("contaminated",
+        coalesce(col("max_eval_cosine") >= threshold, lit(false)))
+  }
+
   /** Per-vector int8 scalar quantization — the standard vector-store
     * ingestion pass (4× smaller than float32, dequantization error
     * ≤ range/510 per component). Each vector maps to

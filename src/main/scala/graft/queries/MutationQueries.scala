@@ -448,6 +448,99 @@ object MutationQueries {
         .orderBy("o_orderpriority")
     },
 
+    // ---- dictionary-optimized grouping through the driver gate: the
+    // DSv2 partial-agg pushdown accumulates per batch into code-indexed
+    // slots; the oracle replays the plain GROUP BY. The conf is scoped
+    // to this row (pushdown fires at execution, so the tiny grouped
+    // result is materialized inside the scope and re-wrapped — 5 rows,
+    // metadata scale) ----
+    QueryDef.sql(
+      "q_dict_group",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val fmt = "org.apache.spark.sql.graft.store.GraftColumnSource"
+      Tables.load(s, dir, "orders")
+        .write.format(fmt).option("table", "q_dg").option("batch_size", "4096")
+        .mode("overwrite").save()
+      s.conf.set("spark.sql.graft.aggPushdown", "true")
+      try {
+        val grouped = s.read.format(fmt).option("table", "q_dg").load()
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), graft.decSum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderpriority")
+        val rows = grouped.collect()
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows.toIndexedSeq, 1), grouped.schema)
+      } finally s.conf.unset("spark.sql.graft.aggPushdown")
+    },
+
+    // ---- LZ4-compressed store through the driver gate: sealed columns
+    // deflate at rest, scans inflate transiently, deltas stay raw — a
+    // mutation on the compressed table must still produce the exact
+    // relational answer ----
+    QueryDef.sql(
+      "q_lz4_roundtrip",
+      """SELECT s_nationkey, count(*) AS n,
+        |  (sign(sum(s_acctbal)) * floor(abs(sum(s_acctbal)) * 100.0 + 0.5) / 100.0) AS bal
+        |FROM supplier
+        |WHERE s_acctbal >= 0
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      g.createTable("q_lz4", Tables.load(s, dir, "supplier"),
+        keyColumns = Seq("s_suppkey"), compression = "lz4")
+      g.delete("q_lz4", col("s_acctbal") < 0)
+      g.table("q_lz4")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), dr2(sum(col("s_acctbal"))).as("bal"))
+        .orderBy("s_nationkey")
+    },
+
+    // ---- LRU eviction + disk overflow through the driver gate: a
+    // 32 KB budget forces most batches to the spilled tier; the scan
+    // faults them back transiently and the answer is exact ----
+    QueryDef.sql(
+      "q_evicted_scan",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      g.createTable("q_evict", Tables.load(s, dir, "orders"),
+        evictionBudgetBytes = 32 * 1024)
+      g.table("q_evict")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), graft.decSum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- checkpoint/restore through the driver gate: snapshot the
+    // table, mutate it, restore — the restored state must be the
+    // PRE-mutation relation, which is what the oracle computes ----
+    QueryDef.sql(
+      "q_checkpoint_restore",
+      """SELECT s_nationkey, count(*) AS n
+        |FROM supplier
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      g.createTable("q_ckpt", Tables.load(s, dir, "supplier"),
+        keyColumns = Seq("s_suppkey"))
+      val ckDir = java.nio.file.Files
+        .createTempDirectory("graft_q_ckpt").toString
+      g.checkpointTable("q_ckpt", ckDir)
+      g.delete("q_ckpt", col("s_nationkey") >= 0) // empty it
+      g.restoreTable("q_ckpt", ckDir)
+      g.table("q_ckpt")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("s_nationkey")
+    },
+
     // ---- MERGE INTO (the canonical upsert through SQL): matched keys
     // update in place, unmatched source rows insert — the oracle replays
     // the upsert relationally (source wins per key, remainder kept) ----

@@ -300,6 +300,36 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- SEMANTIC decontamination (the embedding-space complement of
+    // q_decontaminate — contamination audits pair surface n-gram overlap
+    // with embedding similarity): corpus vectors whose max cosine vs the
+    // eval slice (vec_id % 97 = 0) reaches the threshold are flagged.
+    // The eval set rides in ONE broadcast row; the corpus computes a
+    // scan-fused array fold, no pair rows ----
+    QueryDef.sql(
+      "q_semantic_decontam",
+      """WITH ev AS (SELECT embedding FROM embeddings WHERE vec_id % 97 = 0),
+        |mx AS (
+        |  SELECT c.vec_id,
+        |    max(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                               CAST(e.embedding AS DOUBLE[]))) AS m
+        |  FROM embeddings c, ev e
+        |  WHERE c.vec_id % 97 <> 0
+        |  GROUP BY c.vec_id)
+        |SELECT vec_id, (sign(m) * floor(abs(m) * 10000.0 + 0.5) / 10000.0) AS max_eval_cosine
+        |FROM mx WHERE m >= 0.35
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+          emb.filter(col("vec_id") % 97 =!= 0),
+          emb.filter(col("vec_id") % 97 === 0),
+          "vec_id", "embedding", threshold = 0.35)
+        .filter(col("contaminated"))
+        .select(col("vec_id"),
+          graft.dround(col("max_eval_cosine"), 4).as("max_eval_cosine"))
+        .orderBy("vec_id")
+    },
+
     // ---- repetition statistics (Gopher/RefinedWeb-style quality
     // signals): per-doc fraction of tokens covered by the most frequent
     // token / 2-gram / 3-gram — boilerplate and generated spam flags ----

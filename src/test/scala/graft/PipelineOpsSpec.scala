@@ -1018,4 +1018,27 @@ class PipelineOpsSpec extends SparkTestBase
     assert(got(5L).isEmpty)
     assert(got(6L).isEmpty)
   }
+
+  test("semanticDecontaminate: planted eval copy flags, orthogonal doesn't, empty eval flags nothing") {
+    import spark.implicits._
+    val evalVec = Seq(1.0f, 0.0f, 0.0f)
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),   // exact eval copy -> cosine 1
+      (2L, Seq(0.9f, 0.1f, 0.0f)),   // near eval -> high cosine
+      (3L, Seq(0.0f, 0.0f, 1.0f)))   // orthogonal -> cosine 0
+      .toDF("id", "v")
+    val eval = Seq((100L, evalVec)).toDF("id", "v")
+    val got = Similarity.semanticDecontaminate(corpus, eval, "id", "v", 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2),
+        Option(r.get(1)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(1L)._1 && got(1L)._2.get > 0.999)
+    assert(got(2L)._1 && got(2L)._2.get > 0.9)
+    assert(!got(3L)._1 && got(3L)._2.get < 0.1)
+    // empty eval set: nothing flagged, max is NULL (not a crash)
+    val none = Similarity.semanticDecontaminate(
+        corpus, eval.filter(col("id") < 0), "id", "v", 0.9)
+      .collect()
+    assert(none.length == 3 && none.forall(!_.getBoolean(2)))
+    assert(none.forall(_.isNullAt(1)))
+  }
 }
