@@ -131,7 +131,8 @@ class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(tableName, info.schema(), batchSize, bucketBy, numBuckets,
-      keyColumns, sortBy, compression, evictionBudget)
+      keyColumns, sortBy, compression, evictionBudget,
+      info.options.getOrDefault("staged_token", ""))
 }
 
 // ------------------------------- read path -------------------------------
@@ -752,7 +753,7 @@ object BatchPruning {
 class GraftWriteBuilder(tableName: String, writeSchema: StructType, batchSize: Int,
     bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String],
     sortBy: Seq[String] = Nil, compression: String = "none",
-    evictionBudget: Long = 0L)
+    evictionBudget: Long = 0L, stagedToken: String = "")
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -772,14 +773,15 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType, batchSize: I
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
     override def toBatch: BatchWrite =
       new GraftBatchWrite(tableName, writeSchema, batchSize, doTruncate,
-        bucketBy, numBuckets, keyColumns, sortBy, compression, evictionBudget)
+        bucketBy, numBuckets, keyColumns, sortBy, compression, evictionBudget,
+        stagedToken)
   }
 }
 
 class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
     truncate: Boolean, bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String],
     sortBy: Seq[String] = Nil, compression: String = "none",
-    evictionBudget: Long = 0L)
+    evictionBudget: Long = 0L, stagedToken: String = "")
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(schema, batchSize, bucketBy.nonEmpty && numBuckets > 0,
@@ -816,9 +818,11 @@ class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
           table.snapshot.evictionBudget != evictionBudget) {
         table.mutate(_.copy(compression = compression, evictionBudget = evictionBudget))
       }
-      GraftColumnStore.takeStagedDeletes(tableName) match {
-        // an upsert staged matched-key deletes for this append: apply
-        // them and the new refs in ONE swap (atomic PUT INTO)
+      // an upsert staged matched-key deletes for THIS append (token-
+      // keyed, so a concurrent upsert's staged set is untouched): apply
+      // them and the new refs in ONE swap (atomic PUT INTO)
+      (if (stagedToken.nonEmpty) GraftColumnStore.takeStagedDeletes(stagedToken)
+      else None) match {
         case Some(staged) => table.applyDeletes(staged, newRefs)
         case None => table.appendRefs(newRefs)
       }

@@ -667,14 +667,17 @@ object GraftColumnStore {
     * never exposes a matched-keys-deleted-but-not-replaced state. The
     * stager must drop (and release) its staged refs if the append fails.
     */
+  // staged matched-key deletes for an in-flight PUT INTO, keyed by a
+  // per-upsert TOKEN (NOT the table name): two concurrent upserts on one
+  // table must each commit exactly their own staged set — under a shared
+  // table key, the first commit would apply the other writer's deletes
+  // without its appends, exposing readers to a deleted-but-not-replaced
+  // window
   private val stagedDeletes = TrieMap.empty[String, Map[Long, DeleteRef]]
-  def stageDeletes(table: String, refs: Map[Long, DeleteRef]): Unit =
-    stagedDeletes.updateWith(table) {
-      case Some(prev) => Some(prev ++ refs)
-      case None => Some(refs)
-    }
-  def takeStagedDeletes(table: String): Option[Map[Long, DeleteRef]] =
-    stagedDeletes.remove(table)
+  def stageDeletes(token: String, refs: Map[Long, DeleteRef]): Unit =
+    stagedDeletes.put(token, refs)
+  def takeStagedDeletes(token: String): Option[Map[Long, DeleteRef]] =
+    stagedDeletes.remove(token)
 
   /** Scan-side telemetry: batches skipped by stats since JVM start
     * (asserted by specs to prove pruning actually happens).

@@ -175,11 +175,16 @@ object GraftStoreOps {
     val staged = collectDeleteRefs(spark,
       withAddress(spark, table).join(
         src.select(keyCols.map(col): _*), keyCols, "left_semi"))
-    if (staged.nonEmpty) GraftColumnStore.stageDeletes(table, staged)
-    try src.write.format(FORMAT).option("table", table).mode("append").save()
+    // token-keyed staging: this upsert's commit consumes exactly this
+    // set, even with another putInto in flight on the same table
+    val token = s"$table#${java.util.UUID.randomUUID()}"
+    if (staged.nonEmpty) GraftColumnStore.stageDeletes(token, staged)
+    try src.write.format(FORMAT).option("table", table)
+      .option("staged_token", if (staged.nonEmpty) token else "")
+      .mode("append").save()
     catch {
       case e: Throwable =>
-        GraftColumnStore.takeStagedDeletes(table).foreach(d =>
+        GraftColumnStore.takeStagedDeletes(token).foreach(d =>
           GraftColumnStore.BatchRegistry.release(Nil, Nil, d.values.map(_.bitmapId)))
         throw e
     }

@@ -79,4 +79,56 @@ class StoreStressSpec extends SparkTestBase {
     assert(snap.residentBytes <= 30000L)
     g.dropTable("s_stress")
   }
+
+  test("two concurrent PUT INTO writers on disjoint key slices both land") {
+    // write-write race over the compound stage-deletes-then-commit path:
+    // writer A upserts the even keys (price -> 1.0), writer B the odd
+    // keys (price -> 2.0), repeatedly and concurrently. Every commit is
+    // an atomic snapshot transition, so the final state must be exactly
+    // "every row updated by its writer" — no lost updates, no doubled
+    // rows, no cross-applied deletes
+    val g = GraftSession(spark)
+    val supp = Tables.load(spark, sf, "supplier")
+    g.createTable("s_ww", supp, keyColumns = Seq("s_suppkey"),
+      partitionBy = Seq("s_suppkey"), buckets = 4)
+    val base = supp.count()
+    val evens = supp.filter(col("s_suppkey") % 2 === 0)
+      .withColumn("s_acctbal", lit(1.0))
+    val odds = supp.filter(col("s_suppkey") % 2 === 1)
+      .withColumn("s_acctbal", lit(2.0))
+
+    val pool = Executors.newFixedThreadPool(3)
+    val stop = new CountDownLatch(1)
+    val firstError = new AtomicReference[Throwable]()
+    def guard(body: => Unit): Runnable = () =>
+      try body catch { case t: Throwable => firstError.compareAndSet(null, t) }
+    // concurrent reader: an upsert of EXISTING keys never changes the
+    // row count, so every observed count must be exactly `base` — the
+    // regression this test pins is a commit applying the OTHER writer's
+    // staged deletes without its appends (readers saw base minus a slice)
+    pool.submit(guard {
+      while (stop.getCount > 0) {
+        val n = g.table("s_ww").count()
+        assert(n == base, s"reader saw a deleted-but-not-replaced window: $n != $base")
+      }
+    })
+    val a = pool.submit(guard {
+      (0 until 3).foreach(_ => g.putInto("s_ww", evens))
+    })
+    val b = pool.submit(guard {
+      (0 until 3).foreach(_ => g.putInto("s_ww", odds))
+    })
+    a.get(120, TimeUnit.SECONDS); b.get(120, TimeUnit.SECONDS)
+    stop.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS), "reader must drain")
+    if (firstError.get() != null) throw firstError.get()
+
+    assert(g.table("s_ww").count() == base, "no lost or doubled rows")
+    val wrong = g.table("s_ww").filter(
+      (col("s_suppkey") % 2 === 0 && col("s_acctbal") =!= 1.0) ||
+        (col("s_suppkey") % 2 === 1 && col("s_acctbal") =!= 2.0)).count()
+    assert(wrong == 0, s"$wrong rows lost their writer's update")
+    g.dropTable("s_ww")
+  }
 }
