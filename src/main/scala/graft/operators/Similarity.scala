@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TopKAggregate.topk_by
 import graft.functions.VectorExpressions.{vec_cosine, vec_norm}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -197,6 +197,14 @@ object Similarity {
     * (10²-10⁴), which it is by construction for coarse quantizers.
     */
   def semanticAssign(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])]): DataFrame =
+    semanticAssignScored(vecs, idCol, vecCol, centroids).drop("_score")
+
+  /** [[semanticAssign]] plus the winning cosine (`_score`) — the probe
+    * needs only the cell, but index MAINTENANCE wants the score: a batch
+    * of new vectors far from every centroid is the refit signal.
+    */
+  def semanticAssignScored(vecs: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Seq[Float])]): DataFrame = {
     require(centroids.nonEmpty, "centroid set is empty")
     val best = centroids.map { case (cid, cv) =>
@@ -204,7 +212,60 @@ object Similarity {
         lit(-cid).as("negCid"))
     }.reduce(greatest(_, _))
     vecs.select(col(idCol), col(vecCol),
-      (-best.getField("negCid")).cast("long").as("cluster_id"))
+      (-best.getField("negCid")).cast("long").as("cluster_id"),
+      best.getField("s").as("_score"))
+  }
+
+  /** Persist an IVF index into the store: the centroid table replicates
+    * (index-sized), the assignment table buckets BY CELL so probe joins
+    * are storage-partitioned and a probe touches only its cells' buckets.
+    * The CREATE INDEX side of the reference's index story, made durable —
+    * [[loadIvfIndex]] + [[ivfProbe]] then run query-path-only work.
+    */
+  def saveIvfIndex(spark: SparkSession, index: IvfIndex, name: String,
+      buckets: Int = 8): Unit = {
+    val g = graft.GraftSession(spark)
+    g.createTable(s"${name}_centroids", index.centroids)
+    g.createTable(s"${name}_assigned", index.assigned,
+      partitionBy = Seq("cell"), buckets = buckets)
+  }
+
+  /** The store-backed index, ready for [[ivfProbe]]/[[ivfAppend]]. */
+  def loadIvfIndex(spark: SparkSession, name: String): IvfIndex = {
+    val g = graft.GraftSession(spark)
+    IvfIndex(g.table(s"${name}_centroids"), g.table(s"${name}_assigned"))
+  }
+
+  /** Incremental IVF maintenance — the standard vector-store ingestion
+    * path: assign NEW vectors to the EXISTING centroids (no refit) and
+    * append them to the stored assignment table. Returns (appended
+    * count, drift fraction) where drift counts new vectors whose best
+    * centroid cosine is below `driftThreshold` — the published refit
+    * signal: when drift grows, the coarse quantizer no longer covers the
+    * data distribution and the index wants a re-train.
+    *
+    * Scale shape: centroids collect to the driver (index-sized, the same
+    * footprint every probe already broadcasts), assignment is a pure map
+    * over the new batch, the append is one bucketed write. Per-batch
+    * cost only — the existing assignment never rewrites.
+    */
+  def ivfAppend(spark: SparkSession, name: String, vecs: DataFrame,
+      idCol: String, vecCol: String, driftThreshold: Double = 0.0): (Long, Double) = {
+    val g = graft.GraftSession(spark)
+    val centroids = g.table(s"${name}_centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+    val scored = semanticAssignScored(vecs, idCol, vecCol, centroids)
+      .localCheckpoint(false) // one materialization feeds stats + append
+    val stats = scored.agg(count(lit(1)),
+      sum(when(col("_score") < driftThreshold, 1L).otherwise(0L))).head()
+    val n = stats.getLong(0)
+    val low = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    if (n > 0) {
+      g.insert(s"${name}_assigned", scored.select(
+        col(idCol).as("nid"), col(vecCol).as("c_vec"),
+        col("cluster_id").cast("int").as("cell")))
+    }
+    (n, if (n == 0) 0.0 else low.toDouble / n)
   }
 
   /** SemDeDup-style semantic near-duplicate pairs: cluster the corpus

@@ -1041,4 +1041,39 @@ class PipelineOpsSpec extends SparkTestBase
     assert(none.length == 3 && none.forall(!_.getBoolean(2)))
     assert(none.forall(_.isNullAt(1)))
   }
+
+  test("IVF index: save/load/append — probe finds appended vectors, drift signals refit") {
+    val g = GraftSession(spark)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val base = emb.filter(col("vec_id") < 300)
+    val rest = emb.filter(col("vec_id") >= 300)
+    val idx = Similarity.buildIvfIndex(base, "vec_id", "embedding", nlist = 8)
+    Similarity.saveIvfIndex(spark, idx, "ivf_t")
+    try {
+      val loaded = Similarity.loadIvfIndex(spark, "ivf_t")
+      assert(loaded.assigned.count() == base.count())
+      // ingest the rest: per-batch assignment + bucketed append, no
+      // rewrite of the existing assignment
+      val (n, drift0) = Similarity.ivfAppend(spark, "ivf_t", rest,
+        "vec_id", "embedding", driftThreshold = 0.0)
+      assert(n == rest.count() && drift0 == 0.0)
+      val after = Similarity.loadIvfIndex(spark, "ivf_t")
+      assert(after.assigned.count() == emb.count())
+      // a query identical to an appended vector finds it at rank 1 with
+      // cosine ~1 through the STORED index
+      val q = rest.limit(1)
+        .withColumn("vec_id", col("vec_id") + 200000L)
+      val origId = rest.limit(1).head().getLong(0)
+      val res = Similarity.ivfProbe(after, q, "vec_id", "embedding", k = 3)
+        .filter(col("rank") === 1).head()
+      assert(res.getLong(2) == origId, s"top-1 ${res.getLong(2)} != $origId")
+      assert(res.getDouble(3) > 0.999)
+      // drift: an impossible threshold flags every new vector (none can
+      // sit at cosine >= 0.999 from a mean centroid)
+      val synth = rest.limit(5).withColumn("vec_id", col("vec_id") + 100000L)
+      val (n2, drift1) = Similarity.ivfAppend(spark, "ivf_t", synth,
+        "vec_id", "embedding", driftThreshold = 0.999)
+      assert(n2 == 5 && drift1 == 1.0)
+    } finally { g.dropTable("ivf_t_centroids"); g.dropTable("ivf_t_assigned") }
+  }
 }
