@@ -131,4 +131,38 @@ class StoreStressSpec extends SparkTestBase {
     assert(wrong == 0, s"$wrong rows lost their writer's update")
     g.dropTable("s_ww")
   }
+
+  test("ROW store: two concurrent upsert writers on disjoint key slices both land") {
+    // same write-write shape over the row table's pinned-snapshot +
+    // tombstone path: disjoint-key concurrent puts must not lose
+    // updates or duplicate rows (same-key concurrency stays
+    // last-writer-ambiguous by contract, like any keyed store)
+    val g = GraftSession(spark)
+    val supp = Tables.load(spark, sf, "supplier")
+    g.createTable("s_rww", supp, keyColumns = Seq("s_suppkey"), provider = "row")
+    val base = supp.count()
+    val evens = supp.filter(col("s_suppkey") % 2 === 0)
+      .withColumn("s_acctbal", lit(1.0))
+    val odds = supp.filter(col("s_suppkey") % 2 === 1)
+      .withColumn("s_acctbal", lit(2.0))
+    val pool = Executors.newFixedThreadPool(2)
+    val firstError = new AtomicReference[Throwable]()
+    def guard(body: => Unit): Runnable = () =>
+      try body catch { case t: Throwable => firstError.compareAndSet(null, t) }
+    val a = pool.submit(guard {
+      (0 until 3).foreach(_ => g.putInto("s_rww", evens))
+    })
+    val b = pool.submit(guard {
+      (0 until 3).foreach(_ => g.putInto("s_rww", odds))
+    })
+    a.get(120, TimeUnit.SECONDS); b.get(120, TimeUnit.SECONDS)
+    pool.shutdown()
+    if (firstError.get() != null) throw firstError.get()
+    assert(g.table("s_rww").count() == base, "no lost or doubled rows")
+    val wrong = g.table("s_rww").filter(
+      (col("s_suppkey") % 2 === 0 && col("s_acctbal") =!= 1.0) ||
+        (col("s_suppkey") % 2 === 1 && col("s_acctbal") =!= 2.0)).count()
+    assert(wrong == 0, s"$wrong rows lost their writer's update")
+    g.dropTable("s_rww")
+  }
 }
