@@ -438,6 +438,82 @@ object TpcdsQueries {
         .limit(100)
     },
 
+    // ---- q39 shape: demand-volatility screen — per (priority, year)
+    // coefficient of variation of monthly order counts, consecutive
+    // years joined (the inventory mean/stdev + period self-join shape).
+    // The CV is one double division over aggregates of exact integers,
+    // rounded 4dp on both engines ----
+    QueryDef.sql(
+      "q_ds_inventory_cv",
+      """WITH m AS (
+        |  SELECT o_orderpriority AS prio, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |    CAST(month(o_orderdate) AS INTEGER) AS mon, count(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2, 3),
+        |s AS (
+        |  SELECT prio, yr,
+        |    (sign(stddev_samp(n_orders) / avg(n_orders)) * floor(abs(stddev_samp(n_orders) / avg(n_orders)) * 10000.0 + 0.5) / 10000.0) AS cv,
+        |    count(*) AS n_months
+        |  FROM m GROUP BY 1, 2)
+        |SELECT a.prio, a.yr AS yr1, a.cv AS cv1, b.cv AS cv2
+        |FROM s a JOIN s b ON a.prio = b.prio AND b.yr = a.yr + 1
+        |WHERE a.n_months = 12 AND b.n_months = 12
+        |ORDER BY a.prio, a.yr""".stripMargin) { (s, dir) =>
+      import graft.dround
+      val m = Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).as("n_orders"))
+      val st = m.groupBy(col("prio"), col("yr"))
+        .agg(dround(stddev_samp(col("n_orders")) / avg(col("n_orders")), 4).as("cv"),
+          count(lit(1)).as("n_months"))
+      val a = st.select(col("prio"), col("yr"), col("cv").as("cv1"),
+        col("n_months").as("nm1"))
+      val b = st.select(col("prio").as("prio2"), col("yr").as("yr2"),
+        col("cv").as("cv2"), col("n_months").as("nm2"))
+      a.join(b, col("prio") === col("prio2") && col("yr2") === col("yr") + 1)
+        .filter(col("nm1") === 12 && col("nm2") === 12)
+        .select(col("prio"), col("yr").as("yr1"), col("cv1"), col("cv2"))
+        .orderBy("prio", "yr1")
+    },
+
+    // ---- q49 shape: worst-return ranking — per (priority, year) the
+    // returned-quantity ratio, ranked; exact decimal sums, ONE portable
+    // IEEE division, deterministic rank tiebreak ----
+    QueryDef.sql(
+      "q_ds_return_rank",
+      """WITH r AS (
+        |  SELECT o_orderpriority AS prio, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS ret_qty,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS tot_qty
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |k AS (
+        |  SELECT prio, yr,
+        |    (sign(ret_qty / tot_qty) * floor(abs(ret_qty / tot_qty) * 10000.0 + 0.5) / 10000.0) AS ratio
+        |  FROM r)
+        |SELECT prio, yr, ratio,
+        |  CAST(rank() OVER (ORDER BY ratio DESC, prio, yr) AS INTEGER) AS rk
+        |FROM k
+        |ORDER BY rk, prio, yr""".stripMargin) { (s, dir) =>
+      import graft.{decSumRaw, dround}
+      val r = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority").as("prio"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(
+          decSumRaw(when(col("l_returnflag") === "R", col("l_quantity"))
+            .otherwise(lit(0))).cast("double").as("ret_qty"),
+          decSumRaw(col("l_quantity")).cast("double").as("tot_qty"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ratio").desc, col("prio"), col("yr"))
+      r.select(col("prio"), col("yr"),
+          dround(col("ret_qty") / col("tot_qty"), 4).as("ratio"))
+        .withColumn("rk", rank().over(w).cast("int"))
+        .orderBy("rk", "prio", "yr")
+    },
+
     // ---- q14 shape: parts sold through BOTH channels (INTERSECT of the
     // channel key sets — bounded by |part|, metadata scale — feeding a
     // semi join back into the fact aggregation) ----
