@@ -351,6 +351,53 @@ object AqpQueries {
           (col("n_le").cast("double") >= col("n") * 0.49 &&
             col("n_lt").cast("double") <= col("n") * 0.51).as("median_within_rank"))
         .orderBy("l_returnflag")
+    },
+
+    // ---- store-fused distinct sketches: a sketch_columns table answers
+    // APPROX COUNT DISTINCT from per-batch HLL digests in the refs —
+    // O(batches) driver metadata, payloads untouched (the stats-row AQP
+    // fusion; spec-proven bit-compatible with Spark's hll_* functions).
+    // The oracle pins the EXACT counts and the accuracy claim; the
+    // estimate itself is engine-internal, so the hashed surface is
+    // (exact, within-5%-boolean) — the q_ann/q_hard_negatives oracle
+    // pattern for approximate operators. ----
+    QueryDef.sql(
+      "q_approx_distinct_stats",
+      """SELECT * FROM (
+        |  SELECT 'o_custkey' AS col_name,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
+        |    true AS within_5pct FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority' AS col_name,
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS exact_nd,
+        |    true AS within_5pct FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus' AS col_name,
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS exact_nd,
+        |    true AS within_5pct FROM orders)
+        |ORDER BY col_name""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graft.store.GraftStoreOps
+      val fmt = "org.apache.spark.sql.graft.store.GraftColumnSource"
+      val cols = Seq("o_custkey", "o_orderpriority", "o_orderstatus")
+      Tables.load(s, dir, "orders")
+        .write.format(fmt).option("table", "q_adx")
+        .option("batch_size", "4096")
+        .option("sketch_columns", cols.mkString(","))
+        .mode("overwrite").save()
+      val stored = s.read.format(fmt).option("table", "q_adx").load()
+      val exact = stored.agg(
+        countDistinct(col("o_custkey")).as("o_custkey"),
+        countDistinct(col("o_orderpriority")).as("o_orderpriority"),
+        countDistinct(col("o_orderstatus")).as("o_orderstatus")).head()
+      val rows = cols.map { c =>
+        val ex = exact.getAs[Long](c)
+        val est = GraftStoreOps.approxDistinct(s, "q_adx", c)
+        // +2 absolute slack keeps tiny-cardinality columns (3 distinct
+        // statuses) from failing on integer rounding of the estimate
+        (c, ex, math.abs(est - ex) <= ex * 0.05 + 2)
+      }
+      import s.implicits._
+      rows.toDF("col_name", "exact_nd", "within_5pct").orderBy("col_name")
     }
   )
 }

@@ -52,7 +52,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
         // ...and the codec/eviction budget, or a catalog-routed INSERT
         // would silently reset the table to uncompressed/unevicted
         new GraftTable(nm, s.schema, s.batchSize, s.bucketBy, s.numBuckets,
-          s.keyColumns, s.sortedBy, s.compression, s.evictionBudget)
+          s.keyColumns, s.sortedBy, s.compression, s.evictionBudget, s.sketchBy)
       case None => GraftRowStore.get(nm) match {
         case Some(t) =>
           val s = t.snapshot
@@ -97,9 +97,19 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     val evictionBudget = Option(properties.get("eviction_budget_bytes"))
       .map(_.toLong).getOrElse(0L)
     val batchSize = Option(properties.get("batch_size")).map(_.toInt).getOrElse(16384)
+    val sketchBy = Option(properties.get("sketch_columns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    sketchBy.foreach { c =>
+      val f = schema.fields.find(_.name == c)
+      require(f.isDefined, s"graftstore: sketch_columns column '$c' not in schema")
+      require(GraftColumnStore.statsComparable(f.get.dataType),
+        s"graftstore: sketch_columns '$c' has unsupported type ${f.get.dataType}")
+    }
     GraftColumnStore.createOrReplace(nm, schema, bucketBy, buckets, keys)
+    if (sketchBy.nonEmpty)
+      GraftColumnStore(nm).mutate(_.copy(sketchBy = sketchBy))
     new GraftTable(nm, schema, batchSize,
-      bucketBy, buckets, keys, Nil, compression, evictionBudget)
+      bucketBy, buckets, keys, Nil, compression, evictionBudget, sketchBy)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

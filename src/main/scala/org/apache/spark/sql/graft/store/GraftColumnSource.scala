@@ -92,15 +92,28 @@ object GraftTable {
     // resident-payload cap in bytes; 0 disables the disk tier
     val evictionBudget = props.get("eviction_budget_bytes").map(_.toLong)
       .orElse(existing.map(_.evictionBudget)).getOrElse(0L)
+    // per-batch HLL distinct digests (SKETCH_COLUMNS): layout metadata
+    // like the codec — an explicit option wins (enabling on an existing
+    // table makes future appends/compacts digest), else the existing
+    // table's set
+    val sketchBy = props.get("sketch_columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .orElse(existing.map(_.sketchBy)).getOrElse(Nil)
+    if (schema.fields.nonEmpty) sketchBy.foreach { c =>
+      val f = schema.fields.find(_.name == c)
+      require(f.isDefined, s"graftstore: sketch_columns column '$c' not in schema")
+      require(GraftColumnStore.statsComparable(f.get.dataType),
+        s"graftstore: sketch_columns '$c' has unsupported type ${f.get.dataType}")
+    }
     new GraftTable(name, schema, batchSize, bucketBy, buckets, keys, sortBy,
-      compression, evictionBudget)
+      compression, evictionBudget, sketchBy)
   }
 }
 
 class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
     bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String],
     sortBy: Seq[String] = Nil, compression: String = "none",
-    evictionBudget: Long = 0L)
+    evictionBudget: Long = 0L, sketchBy: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
   import GraftTable._
 
@@ -132,7 +145,7 @@ class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(tableName, info.schema(), batchSize, bucketBy, numBuckets,
       keyColumns, sortBy, compression, evictionBudget,
-      info.options.getOrDefault("staged_token", ""))
+      info.options.getOrDefault("staged_token", ""), sketchBy)
 }
 
 // ------------------------------- read path -------------------------------
@@ -753,7 +766,8 @@ object BatchPruning {
 class GraftWriteBuilder(tableName: String, writeSchema: StructType, batchSize: Int,
     bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String],
     sortBy: Seq[String] = Nil, compression: String = "none",
-    evictionBudget: Long = 0L, stagedToken: String = "")
+    evictionBudget: Long = 0L, stagedToken: String = "",
+    sketchBy: Seq[String] = Nil)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -774,18 +788,19 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType, batchSize: I
     override def toBatch: BatchWrite =
       new GraftBatchWrite(tableName, writeSchema, batchSize, doTruncate,
         bucketBy, numBuckets, keyColumns, sortBy, compression, evictionBudget,
-        stagedToken)
+        stagedToken, sketchBy)
   }
 }
 
 class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
     truncate: Boolean, bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String],
     sortBy: Seq[String] = Nil, compression: String = "none",
-    evictionBudget: Long = 0L, stagedToken: String = "")
+    evictionBudget: Long = 0L, stagedToken: String = "",
+    sketchBy: Seq[String] = Nil)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(schema, batchSize, bucketBy.nonEmpty && numBuckets > 0,
-      compression == "lz4")
+      compression == "lz4", sketchBy)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // metadata-only commit: refs land in the snapshot, payloads are
@@ -804,7 +819,8 @@ class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
       table.mutateRetiring { s =>
         (s.copy(refs = newRefs, deletes = Map.empty, updates = Map.empty,
             sortedBy = sortBy, batchSize = batchSize, compression = compression,
-            evictionBudget = evictionBudget, zorderedBy = Nil),
+            evictionBudget = evictionBudget, zorderedBy = Nil,
+            sketchBy = sketchBy),
           Some(GraftColumnStore.Retirees(s.refs.map(_.id),
             s.updates.values.flatMap(_.values.flatten.map(_.deltaId)).toSeq,
             s.deletes.values.map(_.bitmapId).toSeq)))
@@ -815,8 +831,10 @@ class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
       // table appends — without this a later compact() would resolve the
       // existing snapshot's default and silently stop compressing)
       if (table.snapshot.compression != compression ||
-          table.snapshot.evictionBudget != evictionBudget) {
-        table.mutate(_.copy(compression = compression, evictionBudget = evictionBudget))
+          table.snapshot.evictionBudget != evictionBudget ||
+          table.snapshot.sketchBy != sketchBy) {
+        table.mutate(_.copy(compression = compression,
+          evictionBudget = evictionBudget, sketchBy = sketchBy))
       }
       // an upsert staged matched-key deletes for THIS append (token-
       // keyed, so a concurrent upsert's staged set is untouched): apply
@@ -841,14 +859,14 @@ case class GraftCommit(refs: Seq[GraftColumnStore.BatchRef])
     extends WriterCommitMessage
 
 class GraftWriterFactory(schema: StructType, batchSize: Int, bucketed: Boolean,
-    compress: Boolean = false)
+    compress: Boolean = false, sketchBy: Seq[String] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       // bucketed writes demanded numPartitions == numBuckets, so the
       // Spark partition id IS the bucket id
       private val builder = new GraftColumnStore.BatchBuilder(
-        schema, batchSize, if (bucketed) partitionId else -1, compress)
+        schema, batchSize, if (bucketed) partitionId else -1, compress, sketchBy)
       override def write(record: InternalRow): Unit = builder.add(record)
       override def commit(): WriterCommitMessage = GraftCommit(builder.result())
       override def abort(): Unit = builder.abort()

@@ -323,8 +323,78 @@ object GraftColumnStore {
     * are useless. Saturates harmlessly toward all-ones as cardinality
     * grows.
     */
+  /** `distinctSketch`: serialized HLL distinct sketch over the batch's
+    * non-null values (null = column not opted in via the table's
+    * `sketch_columns` option). See [[DistinctSketch]] — unioning these
+    * per-batch digests answers APPROX COUNT DISTINCT from refs alone,
+    * the payload untouched (the stats-row AQP fusion the reference's
+    * closed-source sample/sketch tier layers on its column batches).
+    */
   final case class ColumnStats(min: Any, max: Any, nullCount: Int,
-      longSum: java.lang.Long = null, valueBloom: Long = 0L)
+      longSum: java.lang.Long = null, valueBloom: Long = 0L,
+      distinctSketch: Array[Byte] = null)
+
+  /** Per-batch HLL distinct digests (Apache DataSketches — the library
+    * Spark's own `hll_sketch_agg` uses, same lgK/HLL_8 defaults and the
+    * same value hashing, so our batch digests and Spark-built sketches
+    * union losslessly; the interop is spec-proven, not assumed).
+    *
+    * Scale shape: a digest is O(2^lgK) = 4 KB metadata per (batch,
+    * column); estimation unions O(batches) digests on the driver —
+    * payloads, and therefore executors, are never touched. Mutation
+    * semantics: sealed digests can't subtract, so under deletes (and
+    * overwritten update values) the union is an UPPER BOUND on live
+    * distincts; update deltas carry their own digests so values
+    * introduced by UPDATE are always counted. `compact()` rewrites
+    * batches and re-sketches, tightening the bound back to exact-ε.
+    */
+  object DistinctSketch {
+    import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
+    /** Spark's HllSketchAgg defaults (HllSketchAgg.scala): lgK 12, HLL_8. */
+    val LgK = 12
+
+    def create(): HllSketch = new HllSketch(LgK, TgtHllType.HLL_8)
+
+    /** Hash a value the way Spark's hll_sketch_agg does: integers widen
+      * to long, strings hash their UTF-8 bytes. Other scalar types are
+      * ours alone (Spark's agg rejects them), hashed canonically.
+      */
+    def update(s: HllSketch, dt: DataType, v: Any): Unit = dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        s.update(v.asInstanceOf[Long])
+      case IntegerType | DateType => s.update(v.asInstanceOf[Int].toLong)
+      case ShortType => s.update(v.asInstanceOf[Short].toLong)
+      case ByteType => s.update(v.asInstanceOf[Byte].toLong)
+      case StringType | _: CharType | _: VarcharType =>
+        s.update(v.asInstanceOf[UTF8String].getBytes)
+      case DoubleType => s.update(v.asInstanceOf[Double])
+      case FloatType => s.update(v.asInstanceOf[Float].toDouble)
+      case BooleanType => s.update(if (v.asInstanceOf[Boolean]) 1L else 0L)
+      case _: DecimalType => s.update(v.asInstanceOf[Decimal].toJavaBigDecimal
+        .stripTrailingZeros.toString)
+      case _ => throw new IllegalArgumentException(
+        s"graftstore: no distinct sketch for type $dt")
+    }
+
+    def serialize(s: HllSketch): Array[Byte] = s.toCompactByteArray
+
+    /** Union serialized digests → estimated distinct count. */
+    def estimate(digests: Iterator[Array[Byte]]): Long = {
+      val u = new Union(LgK)
+      digests.foreach(b => u.update(HllSketch.heapify(b)))
+      math.round(u.getEstimate)
+    }
+
+    /** Union serialized digests → one serialized digest (for exposing
+      * a table-level sketch to Spark's `hll_sketch_estimate`/
+      * `hll_union` SQL functions).
+      */
+    def unionBytes(digests: Iterator[Array[Byte]]): Array[Byte] = {
+      val u = new Union(LgK)
+      digests.foreach(b => u.update(HllSketch.heapify(b)))
+      u.getResult(TgtHllType.HLL_8).toCompactByteArray
+    }
+  }
 
   /** Two bloom bits for a string value (UTF8String hash). */
   def bloomBits(v: Any): Long = {
@@ -500,7 +570,13 @@ object GraftColumnStore {
       stats: Array[ColumnStats],
       isDelta: Boolean) extends Serializable
 
-  final case class ColumnDeltaRef(deltaId: Long, numRows: Int)
+  /** `sketch`: HLL digest of the delta's replacement values when the
+    * column is sketched (null otherwise) — UPDATE can introduce values
+    * no sealed batch ever held, so the approx-distinct union must see
+    * delta values too or it would under-count.
+    */
+  final case class ColumnDeltaRef(deltaId: Long, numRows: Int,
+      sketch: Array[Byte] = null)
 
   /** Metadata-only handle to a per-batch delete-bitmap payload: the id in
     * [[BatchRegistry]] plus the popcount (so snapshot row accounting
@@ -529,7 +605,8 @@ object GraftColumnStore {
       batchSize: Int = 16384,
       compression: String = "none",
       evictionBudget: Long = 0L,
-      zorderedBy: Seq[String] = Nil) {
+      zorderedBy: Seq[String] = Nil,
+      sketchBy: Seq[String] = Nil) {
     def rowCount: Long =
       refs.map(r => r.numRows.toLong - deletes.get(r.id).map(_.cardinality).getOrElse(0)).sum
     def liveRows(ref: BatchRef): Int =
@@ -982,8 +1059,12 @@ object GraftColumnStore {
   }
 
   final class BatchBuilder(schema: StructType, batchSize: Int, bucketId: Int,
-      compress: Boolean = false) {
+      compress: Boolean = false, sketchBy: Seq[String] = Nil) {
     private val fields = schema.fields
+    // per-field HLL accumulators for sketch_columns fields (null = off)
+    private val sketches: Array[org.apache.datasketches.hll.HllSketch] =
+      fields.map(f =>
+        if (sketchBy.contains(f.name)) DistinctSketch.create() else null)
     private val builders: Array[ColBuilder] = fields.map { f =>
       f.dataType match {
         case LongType | TimestampType | TimestampNTZType => new LongColBuilder(batchSize)
@@ -1001,6 +1082,11 @@ object GraftColumnStore {
       var c = 0
       while (c < fields.length) {
         builders(c).add(row, c, n)
+        val sk = sketches(c)
+        if (sk != null && !row.isNullAt(c)) {
+          val dt = fields(c).dataType
+          DistinctSketch.update(sk, dt, row.get(c, dt))
+        }
         c += 1
       }
       n += 1
@@ -1014,7 +1100,13 @@ object GraftColumnStore {
       while (c < fields.length) {
         val (col, st) = builders(c).seal(n)
         cols(c) = if (compress) CompressedColumn.deflate(col) else col
-        stats(c) = st
+        stats(c) =
+          if (sketches(c) == null) st
+          else {
+            val bytes = DistinctSketch.serialize(sketches(c))
+            sketches(c) = DistinctSketch.create() // reset for the next batch
+            st.copy(distinctSketch = bytes)
+          }
         c += 1
       }
       val id = BatchRegistry.putBatch(new StoreBatch(n, cols))

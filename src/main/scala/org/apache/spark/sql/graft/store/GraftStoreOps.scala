@@ -112,6 +112,12 @@ object GraftStoreOps {
     }
     val colIdxs = assignments.map { case (n, _) => schema.fieldIndex(n) }.toArray
     val dts = colIdxs.map(schema.fields(_).dataType)
+    // sketched columns digest their replacement values (UPDATE can
+    // introduce values no sealed batch holds — see ColumnDeltaRef.sketch)
+    val sketched = {
+      val by = t.snapshot.sketchBy
+      colIdxs.map(i => by.contains(schema.fields(i).name))
+    }
     val proj = withAddress(spark, table)
       .filter(coalesce(cond, lit(false)))
       .select(col("_bid") +: col("_rid") +:
@@ -138,14 +144,22 @@ object GraftStoreOps {
             val sortedVals = order.map(vals(k)(_))
             val id = GraftColumnStore.BatchRegistry.putDelta(
               new GraftColumnStore.ColumnDeltaPayload(sortedRows, sortedVals))
-            (bid, colIdxs(k), id, sortedRows.length)
+            val sketch =
+              if (!sketched(k)) null
+              else {
+                val s = GraftColumnStore.DistinctSketch.create()
+                sortedVals.foreach(v =>
+                  if (v != null) GraftColumnStore.DistinctSketch.update(s, dts(k), v))
+                GraftColumnStore.DistinctSketch.serialize(s)
+              }
+            (bid, colIdxs(k), id, sortedRows.length, sketch)
           }
         }
       }
       .collect()
     if (refs.nonEmpty)
-      t.applyUpdates(refs.toIndexedSeq.map { case (b, c, d, n) =>
-        (b, c, GraftColumnStore.ColumnDeltaRef(d, n))
+      t.applyUpdates(refs.toIndexedSeq.map { case (b, c, d, n, sk) =>
+        (b, c, GraftColumnStore.ColumnDeltaRef(d, n, sk))
       })
   }
 
@@ -237,6 +251,61 @@ object GraftStoreOps {
     */
   def dropIndex(spark: SparkSession, table: String): Unit =
     GraftColumnStore(table).mutate(_.copy(sortedBy = Nil))
+
+  /** APPROX COUNT DISTINCT from batch metadata alone: union the
+    * per-(batch, column) HLL digests a `sketch_columns` table maintains
+    * at write time (plus the update deltas' digests) — O(batches) driver
+    * work over ~4 KB digests, the column payloads untouched. This is the
+    * stats-row analog of the reference's sketch tier: the scan-time
+    * answer `approx_count_distinct` gives costs a full column read; this
+    * one costs metadata.
+    *
+    * Mutation semantics (documented, spec-pinned): digests are sealed
+    * with their batch and cannot subtract, so under DELETEs — and for
+    * values UPDATE overwrote — the estimate is an UPPER BOUND on the
+    * live distinct count; `compact()` rewrites batches (re-digesting
+    * live rows only), which tightens the bound back to the sketch's
+    * ~2% standard error. Values INTRODUCED by UPDATE are counted via
+    * the deltas' own digests, so the estimate never under-counts.
+    */
+  def approxDistinct(spark: SparkSession, table: String, column: String): Long =
+    GraftColumnStore.DistinctSketch.estimate(sketchDigests(table, column))
+
+  /** The table-level serialized HLL digest for a sketched column —
+    * bit-compatible with Spark's DataSketches functions, so callers can
+    * feed it straight into `hll_sketch_estimate` / `hll_union` (e.g. to
+    * combine a store table's digest with a sketch aggregated from an
+    * external frame without scanning the store).
+    */
+  def distinctSketchBytes(spark: SparkSession, table: String,
+      column: String): Array[Byte] =
+    GraftColumnStore.DistinctSketch.unionBytes(sketchDigests(table, column))
+
+  private def sketchDigests(table: String,
+      column: String): Iterator[Array[Byte]] = {
+    val t = GraftColumnStore(table)
+    val snap = t.snapshot
+    require(snap.sketchBy.contains(column),
+      s"graftstore.approxDistinct($table): column '$column' has no distinct " +
+        s"sketch — create the table with OPTIONS (sketch_columns '$column')")
+    val colIdx = t.schema.fieldIndex(column)
+    val batchDigests = snap.refs.iterator.map { r =>
+      val d = r.stats(colIdx).distinctSketch
+      if (d == null) throw new IllegalStateException(
+        s"graftstore.approxDistinct($table): batch ${r.id} predates the " +
+          s"sketch_columns option — run GraftStoreOps.compact to digest it")
+      d
+    }
+    val deltaDigests = snap.updates.valuesIterator
+      .flatMap(_.get(colIdx).iterator.flatMap(_.iterator))
+      .map { d =>
+        if (d.sketch == null) throw new IllegalStateException(
+          s"graftstore.approxDistinct($table): an update delta predates the " +
+            s"sketch_columns option — run GraftStoreOps.compact to digest it")
+        d.sketch
+      }
+    batchDigests ++ deltaDigests
+  }
 
   /** Z-ORDER clustering (beyond the reference — the multi-column
     * generalization of [[createIndex]], the Delta/Iceberg OPTIMIZE ZORDER
@@ -340,6 +409,7 @@ object GraftStoreOps {
       val zIdx = cols.length
       val numBuckets = snap.numBuckets
       val compress = snap.compression == "lz4"
+      val sketchBy = snap.sketchBy
       val rowSchema = schema
       // repartitionAndSortWithinPartitions on a (bucket, z) key: Spark's
       // shuffle-sort streams each bucket's rows in z order, so a task
@@ -366,7 +436,7 @@ object GraftStoreOps {
           // task's error path (the DSv2 abort analog — a retry's
           // successful attempt re-registers fresh ids)
           val builder = new GraftColumnStore.BatchBuilder(
-            rowSchema, sealSize, bucketId, compress)
+            rowSchema, sealSize, bucketId, compress, sketchBy)
           try {
             it.foreach { case (_, row) => builder.add(row) }
             builder.result().iterator
@@ -414,7 +484,8 @@ object GraftStoreOps {
       "zorder_by" -> snap.zorderedBy.mkString(","),
       "batch_size" -> snap.batchSize.toString,
       "compression" -> snap.compression,
-      "eviction_budget_bytes" -> snap.evictionBudget.toString),
+      "eviction_budget_bytes" -> snap.evictionBudget.toString,
+      "sketch_columns" -> snap.sketchBy.mkString(",")),
       s"graftstore checkpoint of $table")
   }
 
@@ -429,7 +500,7 @@ object GraftStoreOps {
     GraftColumnStore.drop(table)
     var w = df.write.format(FORMAT).option("table", table)
     Seq("partition_by", "buckets", "key_columns", "sort_by", "batch_size",
-      "compression", "eviction_budget_bytes").foreach { k =>
+      "compression", "eviction_budget_bytes", "sketch_columns").foreach { k =>
       val v = p.getProperty(k, "")
       if (v.nonEmpty && !(k == "buckets" && v == "0")) w = w.option(k, v)
     }

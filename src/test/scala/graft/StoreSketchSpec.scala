@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.store.{GraftColumnStore, GraftStoreOps}
+
+/** Per-batch HLL distinct digests (`sketch_columns`): approx count
+  * distinct answered from refs alone — estimate accuracy, Spark
+  * DataSketches interop, mutation semantics (upper bound under
+  * delete/overwrite, never an under-count under UPDATE), compact
+  * re-tightening, spilled-batch independence, checkpoint round-trip,
+  * and the option's validation surface.
+  */
+class StoreSketchSpec extends SparkTestBase {
+  private val fmt = "org.apache.spark.sql.graft.store.GraftColumnSource"
+
+  private def ingest(table: String, n: Int, mod: Int,
+      batchSize: Int = 512): Unit =
+    spark.range(n)
+      .select((col("id") % mod).as("k"),
+        concat(lit("user_"), col("id") % mod).as("name"),
+        col("id").as("v"))
+      .write.format(fmt).option("table", table)
+      .option("batch_size", batchSize.toString)
+      .option("sketch_columns", "k,name")
+      .mode("overwrite").save()
+
+  test("estimate from refs alone is within HLL error of exact, across many batches") {
+    ingest("sk_basic", 20000, 3000)
+    val snap = GraftColumnStore("sk_basic").snapshot
+    assert(snap.refs.length > 10, "want many sealed batches")
+    val estK = GraftStoreOps.approxDistinct(spark, "sk_basic", "k")
+    val estName = GraftStoreOps.approxDistinct(spark, "sk_basic", "name")
+    assert(math.abs(estK - 3000) <= 150, s"k estimate $estK vs 3000")
+    assert(math.abs(estName - 3000) <= 150, s"name estimate $estName vs 3000")
+    // unsketched column refuses with guidance
+    val e = intercept[IllegalArgumentException](
+      GraftStoreOps.approxDistinct(spark, "sk_basic", "v"))
+    assert(e.getMessage.contains("sketch_columns"))
+  }
+
+  test("digest bytes are bit-compatible with Spark's hll_* functions") {
+    import spark.implicits._
+    ingest("sk_interop", 5000, 700)
+    val ours = GraftStoreOps.distinctSketchBytes(spark, "sk_interop", "name")
+    val ourEst = GraftStoreOps.approxDistinct(spark, "sk_interop", "name")
+    // Spark evaluates hll_sketch_estimate over our serialized digest
+    val sparkEst = Seq(ours).toDF("sk")
+      .select(expr("hll_sketch_estimate(sk)").as("est"))
+      .head().getLong(0)
+    assert(sparkEst == ourEst, s"spark read $sparkEst, ours $ourEst")
+    // same hash space: union with a Spark-built sketch over the SAME
+    // values leaves the estimate unchanged (identical registers)
+    val sparkSketch = spark.read.format(fmt).option("table", "sk_interop").load()
+      .agg(expr("hll_sketch_agg(name)").as("sk")).head().getAs[Array[Byte]](0)
+    val unioned = Seq((ours, sparkSketch)).toDF("a", "b")
+      .select(expr("hll_sketch_estimate(hll_union(a, b))").as("est"))
+      .head().getLong(0)
+    assert(unioned == ourEst,
+      s"union with Spark-built sketch moved estimate $ourEst -> $unioned")
+  }
+
+  test("UPDATE-introduced values are counted via delta digests (no under-count)") {
+    ingest("sk_upd", 4000, 500)
+    val before = GraftStoreOps.approxDistinct(spark, "sk_upd", "name")
+    // rewrite 200 rows to 200 BRAND-NEW names no sealed batch holds
+    GraftStoreOps.update(spark, "sk_upd", col("v") < 200,
+      Seq("name" -> concat(lit("fresh_"), col("v"))))
+    val after = GraftStoreOps.approxDistinct(spark, "sk_upd", "name")
+    assert(after >= before + 150,
+      s"delta values must raise the estimate: $before -> $after")
+    // rows read back agree the new names exist
+    val live = spark.read.format(fmt).option("table", "sk_upd").load()
+      .filter(col("name").startsWith("fresh_")).count()
+    assert(live == 200)
+  }
+
+  test("DELETE keeps an upper bound; compact() re-tightens to live rows") {
+    ingest("sk_del", 8000, 1000)
+    // delete every row of 900 of the 1000 keys
+    GraftStoreOps.delete(spark, "sk_del", col("k") >= 100)
+    val stale = GraftStoreOps.approxDistinct(spark, "sk_del", "k")
+    assert(stale >= 900, s"sealed digests cannot subtract: $stale")
+    GraftStoreOps.compact(spark, "sk_del")
+    val tightened = GraftStoreOps.approxDistinct(spark, "sk_del", "k")
+    assert(math.abs(tightened - 100) <= 10,
+      s"compact re-digests live rows only: $tightened vs 100")
+  }
+
+  test("estimation never faults spilled batches back in") {
+    spark.range(10000)
+      .select((col("id") % 1234).as("k"), col("id").as("v"))
+      .write.format(fmt).option("table", "sk_spill")
+      .option("batch_size", "512")
+      .option("sketch_columns", "k")
+      .option("eviction_budget_bytes", "1") // everything overflows to disk
+      .mode("overwrite").save()
+    val resident = GraftColumnStore("sk_spill").snapshot.residentBytes
+    assert(resident == 0L, s"expected fully spilled table, resident=$resident")
+    val est = GraftStoreOps.approxDistinct(spark, "sk_spill", "k")
+    assert(math.abs(est - 1234) <= 62)
+    assert(GraftColumnStore("sk_spill").snapshot.residentBytes == 0L,
+      "estimate faulted payloads back in")
+  }
+
+  test("enabling on an existing table: old batches refuse until compact") {
+    spark.range(3000).select((col("id") % 400).as("k"), col("id").as("v"))
+      .write.format(fmt).option("table", "sk_late")
+      .option("batch_size", "512").mode("overwrite").save()
+    // enable via an append (option wins over existing layout)
+    spark.range(3000, 3100).select((col("id") % 400).as("k"), col("id").as("v"))
+      .write.format(fmt).option("table", "sk_late")
+      .option("sketch_columns", "k").mode("append").save()
+    val e = intercept[IllegalStateException](
+      GraftStoreOps.approxDistinct(spark, "sk_late", "k"))
+    assert(e.getMessage.contains("compact"))
+    GraftStoreOps.compact(spark, "sk_late")
+    val est = GraftStoreOps.approxDistinct(spark, "sk_late", "k")
+    assert(math.abs(est - 400) <= 20)
+  }
+
+  test("checkpoint/restore re-hydrates the sketch capability") {
+    ingest("sk_ckpt", 6000, 800)
+    val dir = java.nio.file.Files.createTempDirectory("sk_ckpt").toString
+    GraftStoreOps.checkpoint(spark, "sk_ckpt", dir)
+    GraftColumnStore.drop("sk_ckpt")
+    GraftStoreOps.restore(spark, "sk_ckpt", dir)
+    assert(GraftColumnStore("sk_ckpt").snapshot.sketchBy == Seq("k", "name"))
+    val est = GraftStoreOps.approxDistinct(spark, "sk_ckpt", "name")
+    assert(math.abs(est - 800) <= 40)
+  }
+
+  test("CREATE validation: unknown column and unsupported type fail fast") {
+    val e1 = intercept[Exception](
+      spark.range(10).select(col("id").as("a"))
+        .write.format(fmt).option("table", "sk_bad")
+        .option("sketch_columns", "nope").mode("overwrite").save())
+    assert(e1.getMessage.contains("not in schema"))
+    val e2 = intercept[Exception](
+      spark.range(10).select(col("id").as("a"), array(col("id")).as("arr"))
+        .write.format(fmt).option("table", "sk_bad2")
+        .option("sketch_columns", "arr").mode("overwrite").save())
+    assert(e2.getMessage.contains("unsupported type"))
+  }
+}
