@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in (spark.sql.graft.dictJoin=true): dictionary-code join fast
     // path for store-scan ⋈ small-dim string joins
     e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.store.DictJoinStrategy)
+    // whole-table approx_count_distinct over sketch_columns tables →
+    // answered from per-batch HLL digests (no scan); declines on any
+    // delete/update so the estimate contract is never weakened
+    e.injectOptimizerRule(session =>
+      org.apache.spark.sql.graft.store.StatsApproxDistinctRule(session))
 
     // Snappy statement surface (PUT INTO, UPDATE/DELETE on managed
     // tables, CREATE POLICY, CREATE SAMPLE TABLE, CREATE TABLE USING

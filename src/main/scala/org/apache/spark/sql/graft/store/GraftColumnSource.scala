@@ -117,6 +117,11 @@ class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
     extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
   import GraftTable._
 
+  /** Bare store-table name (no `graftstore.` prefix) — rule/strategy access. */
+  def storeName: String = tableName
+  /** Columns maintaining per-batch distinct digests — rule access. */
+  def sketchColumns: Seq[String] = sketchBy
+
   override def name(): String = s"graftstore.$tableName"
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] =

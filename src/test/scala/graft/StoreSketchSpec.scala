@@ -129,6 +129,57 @@ class StoreSketchSpec extends SparkTestBase {
     assert(math.abs(est - 800) <= 40)
   }
 
+  test("SQL approx_count_distinct over a clean sketched table plans as a metadata lookup") {
+    ingest("sk_sql", 9000, 1100)
+    val df = spark.read.format(fmt).option("table", "sk_sql").load()
+      .agg(approx_count_distinct(col("k")).as("nd_k"),
+        approx_count_distinct(col("name")).as("nd_name"))
+    // the scan is gone: the optimized plan is a one-row LocalRelation
+    val optimized = df.queryExecution.optimizedPlan
+    assert(optimized.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      s"expected LocalRelation, got:\n$optimized")
+    val row = df.head()
+    assert(row.getLong(0) == GraftStoreOps.approxDistinct(spark, "sk_sql", "k"))
+    assert(row.getLong(1) == GraftStoreOps.approxDistinct(spark, "sk_sql", "name"))
+    assert(math.abs(row.getLong(0) - 1100) <= 55)
+  }
+
+  private def plansAsScan(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+    }.nonEmpty
+
+  test("the metadata rewrite declines whenever it must") {
+    ingest("sk_decl", 5000, 600)
+    val t = spark.read.format(fmt).option("table", "sk_decl").load()
+    // a WHERE means the question is not whole-table
+    assert(plansAsScan(t.filter(col("v") > 100)
+      .agg(approx_count_distinct(col("k")))))
+    // an unsketched column has no digests
+    assert(plansAsScan(t.agg(approx_count_distinct(col("v")))))
+    // a mixed aggregate list keeps the scan (count is not digest-backed)
+    assert(plansAsScan(t.agg(approx_count_distinct(col("k")), count(lit(1)))))
+    // a tighter rsd than the digest's own error must scan
+    assert(plansAsScan(t.agg(approx_count_distinct(col("k"), 0.005))))
+    // conf off → scan
+    spark.conf.set("spark.sql.graft.statsApproxDistinct", "false")
+    try assert(plansAsScan(t.agg(approx_count_distinct(col("k")))))
+    finally spark.conf.unset("spark.sql.graft.statsApproxDistinct")
+    // deletes make the union an upper bound, not an estimate → scan,
+    // and the scan path answers from live rows
+    GraftStoreOps.delete(spark, "sk_decl", col("k") >= 300)
+    val afterDelete = t.agg(approx_count_distinct(col("k")).as("nd"))
+    assert(plansAsScan(afterDelete))
+    val nd = afterDelete.head().getLong(0)
+    assert(math.abs(nd - 300) <= 15, s"scan fallback must see live rows: $nd")
+    // compact restores eligibility
+    GraftStoreOps.compact(spark, "sk_decl")
+    val again = t.agg(approx_count_distinct(col("k")).as("nd"))
+    assert(!plansAsScan(again), "clean compacted table should rewrite again")
+    assert(math.abs(again.head().getLong(0) - 300) <= 15)
+  }
+
   test("CREATE validation: unknown column and unsupported type fail fast") {
     val e1 = intercept[Exception](
       spark.range(10).select(col("id").as("a"))
