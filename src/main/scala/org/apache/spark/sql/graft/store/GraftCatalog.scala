@@ -98,16 +98,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       .map(_.toLong).getOrElse(0L)
     val batchSize = Option(properties.get("batch_size")).map(_.toInt).getOrElse(16384)
     val sketchBy = Option(properties.get("sketch_columns"))
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    sketchBy.foreach { c =>
-      val f = schema.fields.find(_.name == c)
-      require(f.isDefined, s"graftstore: sketch_columns column '$c' not in schema")
-      require(GraftColumnStore.statsComparable(f.get.dataType),
-        s"graftstore: sketch_columns '$c' has unsupported type ${f.get.dataType}")
-    }
-    GraftColumnStore.createOrReplace(nm, schema, bucketBy, buckets, keys)
-    if (sketchBy.nonEmpty)
-      GraftColumnStore(nm).mutate(_.copy(sketchBy = sketchBy))
+      .map(GraftColumnStore.DistinctSketch.parseSketchColumns(_, schema)).getOrElse(Nil)
+    GraftColumnStore.createOrReplace(nm, schema, bucketBy, buckets, keys, sketchBy)
     new GraftTable(nm, schema, batchSize,
       bucketBy, buckets, keys, Nil, compression, evictionBudget, sketchBy)
   }

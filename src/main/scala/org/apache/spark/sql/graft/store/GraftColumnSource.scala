@@ -95,16 +95,12 @@ object GraftTable {
     // per-batch HLL distinct digests (SKETCH_COLUMNS): layout metadata
     // like the codec — an explicit option wins (enabling on an existing
     // table makes future appends/compacts digest), else the existing
-    // table's set
+    // table's set. Only an EXPLICIT option validates against the
+    // caller's schema: the inherited set must not reject a reader's
+    // partial user-specified schema (reading needs no digests).
     val sketchBy = props.get("sketch_columns")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .map(GraftColumnStore.DistinctSketch.parseSketchColumns(_, schema))
       .orElse(existing.map(_.sketchBy)).getOrElse(Nil)
-    if (schema.fields.nonEmpty) sketchBy.foreach { c =>
-      val f = schema.fields.find(_.name == c)
-      require(f.isDefined, s"graftstore: sketch_columns column '$c' not in schema")
-      require(GraftColumnStore.statsComparable(f.get.dataType),
-        s"graftstore: sketch_columns '$c' has unsupported type ${f.get.dataType}")
-    }
     new GraftTable(name, schema, batchSize, bucketBy, buckets, keys, sortBy,
       compression, evictionBudget, sketchBy)
   }

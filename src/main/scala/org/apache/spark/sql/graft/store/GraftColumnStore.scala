@@ -352,6 +352,7 @@ object GraftColumnStore {
     import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
     /** Spark's HllSketchAgg defaults (HllSketchAgg.scala): lgK 12, HLL_8. */
     val LgK = 12
+    private val EmptyStringSentinel = Array[Byte](0)
 
     def create(): HllSketch = new HllSketch(LgK, TgtHllType.HLL_8)
 
@@ -366,7 +367,15 @@ object GraftColumnStore {
       case ShortType => s.update(v.asInstanceOf[Short].toLong)
       case ByteType => s.update(v.asInstanceOf[Byte].toLong)
       case StringType | _: CharType | _: VarcharType =>
-        s.update(v.asInstanceOf[UTF8String].getBytes)
+        val bytes = v.asInstanceOf[UTF8String].getBytes
+        // DataSketches update(byte[]) silently NO-OPS on empty input —
+        // Spark's own hll_sketch_agg drops "" the same way, but our
+        // contract is approx_count_distinct (which counts it), so ""
+        // maps to a one-byte sentinel instead. Collides only with
+        // the NUL-char string — a single-value perturbation inside the estimate's
+        // error budget; every non-empty value stays union-compatible
+        // with Spark-built sketches.
+        s.update(if (bytes.isEmpty) EmptyStringSentinel else bytes)
       case DoubleType => s.update(v.asInstanceOf[Double])
       case FloatType => s.update(v.asInstanceOf[Float].toDouble)
       case BooleanType => s.update(if (v.asInstanceOf[Boolean]) 1L else 0L)
@@ -378,21 +387,40 @@ object GraftColumnStore {
 
     def serialize(s: HllSketch): Array[Byte] = s.toCompactByteArray
 
-    /** Union serialized digests → estimated distinct count. */
-    def estimate(digests: Iterator[Array[Byte]]): Long = {
+    private def union(digests: Iterator[Array[Byte]]): Union = {
       val u = new Union(LgK)
       digests.foreach(b => u.update(HllSketch.heapify(b)))
-      math.round(u.getEstimate)
+      u
     }
+
+    /** Union serialized digests → estimated distinct count. */
+    def estimate(digests: Iterator[Array[Byte]]): Long =
+      math.round(union(digests).getEstimate)
 
     /** Union serialized digests → one serialized digest (for exposing
       * a table-level sketch to Spark's `hll_sketch_estimate`/
       * `hll_union` SQL functions).
       */
-    def unionBytes(digests: Iterator[Array[Byte]]): Array[Byte] = {
-      val u = new Union(LgK)
-      digests.foreach(b => u.update(HllSketch.heapify(b)))
-      u.getResult(TgtHllType.HLL_8).toCompactByteArray
+    def unionBytes(digests: Iterator[Array[Byte]]): Array[Byte] =
+      union(digests).getResult(TgtHllType.HLL_8).toCompactByteArray
+
+    /** Parse + validate the `sketch_columns` option value against a
+      * schema — the ONE copy both the DSv2 option path and the catalog
+      * CREATE path call (they must reject identically, or a table one
+      * path admits poisons the other's writes).
+      */
+    def parseSketchColumns(value: String, schema: StructType): Seq[String] = {
+      val cols = value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      // an empty schema means the caller has no field list to check
+      // against (schema-less resolution) — defer to the write path
+      if (schema.fields.isEmpty) return cols
+      cols.foreach { c =>
+        val f = schema.fields.find(_.name == c)
+        require(f.isDefined, s"graftstore: sketch_columns column '$c' not in schema")
+        require(statsComparable(f.get.dataType),
+          s"graftstore: sketch_columns '$c' has unsupported type ${f.get.dataType}")
+      }
+      cols
     }
   }
 
@@ -805,11 +833,15 @@ object GraftColumnStore {
 
   def createOrReplace(name: String, schema: StructType,
       bucketBy: Seq[String] = Nil, numBuckets: Int = 0,
-      keyColumns: Seq[String] = Nil): StoreTable = {
+      keyColumns: Seq[String] = Nil, sketchBy: Seq[String] = Nil): StoreTable = {
     heapOverflowTables.remove(name) // a replacement never inherits pool membership
     tables.remove(name).foreach(releaseAll)
+    // sketchBy rides the INITIAL snapshot: a post-registration mutate
+    // would open a window where a concurrent writer resolves the table
+    // sketch-less and its commit's layout-sync resets the option
     val t = new StoreTable(name,
-      TableSnapshot(schema, bucketBy, numBuckets, keyColumns, Vector.empty, Map.empty, Map.empty))
+      TableSnapshot(schema, bucketBy, numBuckets, keyColumns, Vector.empty,
+        Map.empty, Map.empty, sketchBy = sketchBy))
     tables.put(name, t)
     t
   }

@@ -180,6 +180,35 @@ class StoreSketchSpec extends SparkTestBase {
     assert(math.abs(again.head().getLong(0) - 300) <= 15)
   }
 
+  test("empty strings are counted (DataSketches drops zero-length keys; we sentinel them)") {
+    import spark.implicits._
+    Seq("", "x", "y", "", "z").toDF("name")
+      .write.format(fmt).option("table", "sk_empty")
+      .option("sketch_columns", "name").mode("overwrite").save()
+    assert(GraftStoreOps.approxDistinct(spark, "sk_empty", "name") == 4L)
+    // the metadata rewrite agrees with what approx_count_distinct would say
+    val viaSql = spark.read.format(fmt).option("table", "sk_empty").load()
+      .agg(approx_count_distinct(col("name")).as("nd"))
+    assert(!plansAsScan(viaSql))
+    assert(viaSql.head().getLong(0) == 4L)
+    // UPDATE that introduces "" must raise the delta digest too
+    Seq("a", "b").toDF("name")
+      .write.format(fmt).option("table", "sk_empty2")
+      .option("sketch_columns", "name").mode("overwrite").save()
+    GraftStoreOps.update(spark, "sk_empty2", col("name") === "b",
+      Seq("name" -> lit("")))
+    assert(GraftStoreOps.approxDistinct(spark, "sk_empty2", "name") == 3L)
+  }
+
+  test("a partial user-specified schema read of a sketched table still reads") {
+    ingest("sk_partial", 1000, 100)
+    val vOnly = spark.read
+      .schema("v BIGINT")
+      .format(fmt).option("table", "sk_partial").load()
+    assert(vOnly.count() == 1000)
+    assert(vOnly.columns.toSeq == Seq("v"))
+  }
+
   test("CREATE validation: unknown column and unsupported type fail fast") {
     val e1 = intercept[Exception](
       spark.range(10).select(col("id").as("a"))
