@@ -26,7 +26,7 @@ object SysRelations {
 
   val names: Seq[String] =
     Seq("tablestats", "members", "indexes", "policies", "samples",
-      "sinkstate", "queries")
+      "sinkstate", "queries", "sketches")
 
   /** Live frame for one sys relation, None for unknown names. */
   def frame(spark: SparkSession, name: String): Option[DataFrame] =
@@ -38,8 +38,35 @@ object SysRelations {
       case "members" => Some(members(spark))
       case "policies" => Some(policies(spark))
       case "sinkstate" => Some(sinkState(spark))
+      case "sketches" => Some(sketches(spark))
       case _ => None
     }
+
+  /** One row per (column table, sketched column): batch digest coverage
+    * and the live approx-distinct estimate — the dashboard face of the
+    * `sketch_columns` stats-row digests. `estimate` is NULL while any
+    * batch predates the option (the same condition that makes
+    * `approxDistinct` refuse); `all_digested` says whether the estimate
+    * is currently serveable. Metadata-only like every sys relation.
+    */
+  private def sketches(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.graft.store.{GraftColumnStore, GraftStoreOps}
+    val rows = for {
+      t <- GraftColumnStore.tableNames.toSeq.sorted
+      snap = GraftColumnStore(t).snapshot
+      c <- snap.sketchBy.sorted
+    } yield {
+      val idx = snap.schema.fieldIndex(c)
+      val digested = snap.refs.count(_.stats(idx).distinctSketch != null)
+      val all = digested == snap.refs.length
+      val est: java.lang.Long =
+        if (all) java.lang.Long.valueOf(GraftStoreOps.approxDistinct(spark, t, c))
+        else null
+      (t, c, snap.refs.length, digested, all, est)
+    }
+    spark.createDataFrame(rows).toDF("table_name", "column_name",
+      "n_batches", "n_digested", "all_digested", "estimate")
+  }
 
   /** SYS.MEMBERS analog from the status tracker — one row per executor
     * (local mode: the single driver member), cluster-correct without any

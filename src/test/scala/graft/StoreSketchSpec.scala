@@ -209,6 +209,28 @@ class StoreSketchSpec extends SparkTestBase {
     assert(vOnly.columns.toSeq == Seq("v"))
   }
 
+  test("sys.sketches surfaces digest coverage and live estimates per sketched column") {
+    ingest("sk_sys", 2000, 250)
+    val row = spark.sql(
+      "SELECT * FROM sys.sketches WHERE table_name = 'sk_sys' AND column_name = 'k'")
+      .head()
+    assert(row.getAs[Boolean]("all_digested"))
+    assert(row.getAs[Int]("n_batches") == row.getAs[Int]("n_digested"))
+    assert(math.abs(row.getAs[Long]("estimate") - 250) <= 13)
+    // a table that enabled the option mid-life shows partial coverage
+    // and a NULL estimate — the dashboard view of "compact to serve"
+    spark.range(1000).select((col("id") % 50).as("k"))
+      .write.format(fmt).option("table", "sk_sys2")
+      .option("batch_size", "256").mode("overwrite").save()
+    spark.range(100).select((col("id") % 50).as("k"))
+      .write.format(fmt).option("table", "sk_sys2")
+      .option("sketch_columns", "k").mode("append").save()
+    val partial = spark.sql(
+      "SELECT * FROM sys.sketches WHERE table_name = 'sk_sys2'").head()
+    assert(!partial.getAs[Boolean]("all_digested"))
+    assert(partial.isNullAt(partial.fieldIndex("estimate")))
+  }
+
   test("CREATE validation: unknown column and unsupported type fail fast") {
     val e1 = intercept[Exception](
       spark.range(10).select(col("id").as("a"))
