@@ -83,6 +83,63 @@ object Splits {
       .withColumn("_pos", row_number().over(w).cast("long") - 1)
       .drop("__h")
   }
+
+  /** Per-group quantile normalization of a score column: each row's raw
+    * score becomes its within-group percentile (`percent_rank`, ties
+    * broken by `idCol` so the rank is total) — the calibration step that
+    * makes quality scores COMPARABLE ACROSS SOURCES before a single
+    * global keep-threshold is applied (raw score distributions differ
+    * per source; a fixed raw cutoff keeps 90% of one source and 10% of
+    * another for the same "quality").
+    *
+    * Portable exactness: `(rank - 1) / (n - 1)` is one IEEE division of
+    * small exact integers, identical in any engine; the ordering is
+    * total, so no tie can flip a rank.
+    *
+    * Scale shape: one group-keyed window pass; group sizes are
+    * per-source corpus shares, so the sort is the per-partition cost a
+    * 100 TB quality pass already pays. No driver state, no second pass.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, outCol: String = "pct"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol), col(idCol))
+    df.withColumn(outCol, percent_rank().over(w))
+  }
+
+  /** Curriculum ordering (easy→hard with deterministic exploration
+    * noise): every row gets a `(shard, pos)` reader address where the
+    * within-shard order follows `wD·difficulty + wN·uniform(id|salt)` —
+    * `wN = 0` is a strict curriculum, `wD = 0` degenerates to
+    * [[epochShuffle]]'s pure pseudorandom pass. Weights are taken
+    * verbatim (NOT derived as `1 - wD`): the caller and any external
+    * replayer must share the exact literals, and `1 - 0.7` is not the
+    * double `0.3`.
+    *
+    * `difficultyCol` should already be calibrated (e.g. the
+    * [[quantileNormalize]] percentile) so the mixing weights mean the
+    * same thing in every source.
+    *
+    * Scale shape: identical to [[epochShuffle]] — scan-fused hash +
+    * one partition-by-shard window; shards track reader count so
+    * per-shard sorts stay bounded.
+    */
+  def curriculumOrder(df: DataFrame, difficultyCol: String, idCol: String,
+      wD: Double, wN: Double, numShards: Int,
+      salt: String = "cur"): DataFrame = {
+    require(numShards >= 1, s"numShards must be positive: $numShards")
+    val u = uniformOf(Seq(col(idCol), lit(salt)))
+    val key = lit(wD) * col(difficultyCol) + lit(wN) * u
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_shard")).orderBy(col("__key"), col(idCol))
+    df.withColumn("__key", key)
+      .withColumn("_shard",
+        pmod(org.apache.spark.sql.graft.TextHashExpressions.md5_prefix_long(
+          concat_ws("|", col(idCol), lit(s"shard|$salt")), 10),
+          lit(numShards)).cast("int"))
+      .withColumn("_pos", row_number().over(w).cast("long") - 1)
+      .drop("__key")
+  }
 }
 
 /** Domain-weighted mixture resampling — the data-mixing pass of a

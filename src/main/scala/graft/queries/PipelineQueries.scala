@@ -622,6 +622,62 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- per-source quantile normalization: raw scores become within-
+    // source percentiles so ONE global threshold means the same thing in
+    // every source. (rank-1)/(n-1) is one IEEE division of exact small
+    // integers over a total order — every percentile and every keep flag
+    // replays exactly ----
+    QueryDef.sql(
+      "q_quality_quantile_norm",
+      """SELECT doc_id, source, n_chars,
+        |  (sign(pct) * floor(abs(pct) * 1000000.0 + 0.5) / 1000000.0) AS pct,
+        |  pct >= 0.75 AS keep
+        |FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    percent_rank() OVER (PARTITION BY source
+        |                         ORDER BY n_chars, doc_id) AS pct
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.dround
+      Splits.quantileNormalize(Tables.load(s, dir, "documents"),
+          "source", "n_chars", "doc_id")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          dround(col("pct"), 6).as("pct"),
+          (col("pct") >= 0.75).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // ---- curriculum ordering: easy->hard reader addresses with
+    // deterministic exploration noise — order key = 0.7*difficulty
+    // percentile + 0.3*uniform(id|cur), shard by the portable hash;
+    // every (shard, pos) address replays exactly (weights appear as the
+    // SAME literals in both engines — never derived as 1-w) ----
+    QueryDef.sql(
+      "q_curriculum_order",
+      """WITH pct AS (
+        |  SELECT doc_id,
+        |    percent_rank() OVER (PARTITION BY source
+        |                         ORDER BY n_chars, doc_id) AS pct
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id,
+        |    0.7 * pct + 0.3 * (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || '|cur'), 1, 10) AS BIGINT) / 1099511627776.0) AS okey,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || '|shard|cur'), 1, 10) AS BIGINT) % 4 AS shard
+        |  FROM pct)
+        |SELECT doc_id, CAST(shard AS INT) AS shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id) - 1
+        |    AS pos
+        |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pct = Splits.quantileNormalize(Tables.load(s, dir, "documents"),
+        "source", "n_chars", "doc_id")
+      Splits.curriculumOrder(pct, "pct", "doc_id",
+          wD = 0.7, wN = 0.3, numShards = 4)
+        .select(col("doc_id"), col("_shard").as("shard"), col("_pos").as("pos"))
+        .orderBy("doc_id")
+    },
+
     // ---- context-window chunking: 50-token chunks, 10-token overlap —
     // chunk boundaries, overlap stride and content are all hash-checked
     // (md5 per chunk); the fan-out is pure codegen array expressions, so

@@ -1076,4 +1076,47 @@ class PipelineOpsSpec extends SparkTestBase
       assert(n2 == 5 && drift1 == 1.0)
     } finally { g.dropTable("ivf_t_centroids"); g.dropTable("ivf_t_assigned") }
   }
+
+  test("quantileNormalize: per-group percentiles span [0,1], monotone in score") {
+    val docs = Tables.load(spark, sf, "documents")
+    val pct = graft.operators.Splits.quantileNormalize(docs, "source", "n_chars", "doc_id")
+    val bounds = pct.groupBy("source")
+      .agg(min(col("pct")).as("lo"), max(col("pct")).as("hi")).collect()
+    assert(bounds.nonEmpty && bounds.forall(r =>
+      r.getDouble(1) == 0.0 && r.getDouble(2) == 1.0))
+    // monotone: sorting by (pct, doc_id) within a source sorts by
+    // (n_chars, doc_id)
+    val src = bounds.head.getString(0)
+    val rows = pct.filter(col("source") === src)
+      .orderBy("pct", "doc_id").select("n_chars", "doc_id").collect()
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a.getLong(0) < b.getLong(0) ||
+        (a.getLong(0) == b.getLong(0) && a.getLong(1) < b.getLong(1))
+    })
+  }
+
+  test("curriculumOrder: per-shard positions are a 0..n-1 permutation; wN=0 is a strict curriculum") {
+    val docs = Tables.load(spark, sf, "documents")
+    val pct = graft.operators.Splits.quantileNormalize(docs, "source", "n_chars", "doc_id")
+    val cur = graft.operators.Splits.curriculumOrder(pct, "pct", "doc_id",
+      wD = 0.7, wN = 0.3, numShards = 4)
+    val perShard = cur.groupBy("_shard")
+      .agg(count(lit(1)).as("n"), min(col("_pos")).as("lo"),
+        max(col("_pos")).as("hi"), countDistinct(col("_pos")).as("nd"))
+      .collect()
+    assert(perShard.length == 4)
+    perShard.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == r.getLong(1) - 1 &&
+        r.getLong(4) == r.getLong(1))
+    }
+    // pure curriculum: positions follow difficulty exactly within a shard
+    val strict = graft.operators.Splits.curriculumOrder(pct, "pct", "doc_id",
+      wD = 1.0, wN = 0.0, numShards = 2)
+    val shard0 = strict.filter(col("_shard") === 0)
+      .orderBy("_pos").select("pct", "doc_id").collect()
+    assert(shard0.sliding(2).forall { case Array(a, b) =>
+      a.getDouble(0) < b.getDouble(0) ||
+        (a.getDouble(0) == b.getDouble(0) && a.getLong(1) < b.getLong(1))
+    })
+  }
 }
