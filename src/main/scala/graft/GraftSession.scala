@@ -107,7 +107,8 @@ class GraftSession(val spark: SparkSession) {
       buckets: Int = 32,
       provider: String = "column",
       compression: String = "none",
-      evictionBudgetBytes: Long = 0L): DataFrame = {
+      evictionBudgetBytes: Long = 0L,
+      expireSeconds: Long = 0L): DataFrame = {
     val nm = normalize(name)
     if (provider == "row") {
       // row table (reference RowFormatRelation): row-major packs with a
@@ -157,6 +158,7 @@ class GraftSession(val spark: SparkSession) {
         .option("key_columns", keyColumns.mkString(","))
         .option("compression", compression)
         .option("eviction_budget_bytes", evictionBudgetBytes.toString)
+        .option("expire_seconds", expireSeconds.toString)
       val w2 =
         if (partitionBy.nonEmpty)
           w.option("partition_by", partitionBy.mkString(",")).option("buckets", buckets.toString)

@@ -551,9 +551,18 @@ case class GraftCreateTableCommand(name: String, provider: String,
         }
     val heapOverflow = provider != "row" && heapPct.isDefined &&
       options.get("overflow").exists(_.trim.equalsIgnoreCase("true"))
+    // EXPIRE '<seconds>' (reference row-region timeToLive) is HONORED
+    // for column tables as a batch-granularity TTL: batches whose every
+    // row exceeds the TTL vanish from scans and are reclaimed by the
+    // write-commit sweep. Non-numeric values stay accept-and-ignore.
+    val expireSeconds: Long =
+      (if (provider == "row") None
+       else options.get("expire").flatMap(_.trim.toLongOption).filter(_ > 0))
+        .getOrElse(0L)
     val honoredOps: Set[String] =
-      if (overflowBudgetBytes > 0L || heapOverflow) Set("eviction_by", "overflow")
-      else Set.empty
+      (if (overflowBudgetBytes > 0L || heapOverflow) Set("eviction_by", "overflow")
+       else Set.empty[String]) ++
+        (if (expireSeconds > 0L) Set("expire") else Set.empty[String])
     // COMPRESSION is a column-store codec (at-rest batch deflate); row
     // packs have no encoded-column form to deflate, so warn rather than
     // letting the user believe a row table compresses
@@ -598,7 +607,8 @@ case class GraftCreateTableCommand(name: String, provider: String,
       // COMPRESSION (StoreUtils.scala:42-58): honored, not ops-ignored —
       // sealed batches deflate through LZ4 at rest
       compression = options.get("compression").map(_.toLowerCase).getOrElse("none"),
-      evictionBudgetBytes = overflowBudgetBytes)
+      evictionBudgetBytes = overflowBudgetBytes,
+      expireSeconds = expireSeconds)
     if (heapOverflow) {
       heapPct.flatten.foreach { pct =>
         val budget = Runtime.getRuntime.maxMemory() / 100L * pct

@@ -147,7 +147,7 @@ class GraftAggScan(tableName: String, fullSchema: StructType,
       s"ops=${spec.ops.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val works = snapshot.refs.map(r => BatchWork(r, snapshot.deletes.get(r.id),
+    val works = snapshot.liveRefs.map(r => BatchWork(r, snapshot.deletes.get(r.id),
       snapshot.updates.getOrElse(r.id, Map.empty)))
     val target = math.max(1, math.min(works.size,
       org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism))

@@ -52,7 +52,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
         // ...and the codec/eviction budget, or a catalog-routed INSERT
         // would silently reset the table to uncompressed/unevicted
         new GraftTable(nm, s.schema, s.batchSize, s.bucketBy, s.numBuckets,
-          s.keyColumns, s.sortedBy, s.compression, s.evictionBudget, s.sketchBy)
+          s.keyColumns, s.sortedBy, s.compression, s.evictionBudget, s.sketchBy,
+          s.expireSeconds)
       case None => GraftRowStore.get(nm) match {
         case Some(t) =>
           val s = t.snapshot
@@ -99,9 +100,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     val batchSize = Option(properties.get("batch_size")).map(_.toInt).getOrElse(16384)
     val sketchBy = Option(properties.get("sketch_columns"))
       .map(GraftColumnStore.DistinctSketch.parseSketchColumns(_, schema)).getOrElse(Nil)
-    GraftColumnStore.createOrReplace(nm, schema, bucketBy, buckets, keys, sketchBy)
+    val expireSeconds = Option(properties.get("expire_seconds"))
+      .map(_.toLong).getOrElse(0L)
+    require(expireSeconds >= 0,
+      s"graftstore: expire_seconds must be >= 0, got $expireSeconds")
+    GraftColumnStore.createOrReplace(nm, schema, bucketBy, buckets, keys,
+      sketchBy, expireSeconds)
     new GraftTable(nm, schema, batchSize,
-      bucketBy, buckets, keys, Nil, compression, evictionBudget, sketchBy)
+      bucketBy, buckets, keys, Nil, compression, evictionBudget, sketchBy,
+      expireSeconds)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

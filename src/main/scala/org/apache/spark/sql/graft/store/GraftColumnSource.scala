@@ -101,15 +101,21 @@ object GraftTable {
     val sketchBy = props.get("sketch_columns")
       .map(GraftColumnStore.DistinctSketch.parseSketchColumns(_, schema))
       .orElse(existing.map(_.sketchBy)).getOrElse(Nil)
+    // EXPIRE time-to-live in seconds (batch-granularity TTL); 0 = off
+    val expireSeconds = props.get("expire_seconds").map(_.toLong)
+      .orElse(existing.map(_.expireSeconds)).getOrElse(0L)
+    require(expireSeconds >= 0,
+      s"graftstore: expire_seconds must be >= 0, got $expireSeconds")
     new GraftTable(name, schema, batchSize, bucketBy, buckets, keys, sortBy,
-      compression, evictionBudget, sketchBy)
+      compression, evictionBudget, sketchBy, expireSeconds)
   }
 }
 
 class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
     bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String],
     sortBy: Seq[String] = Nil, compression: String = "none",
-    evictionBudget: Long = 0L, sketchBy: Seq[String] = Nil)
+    evictionBudget: Long = 0L, sketchBy: Seq[String] = Nil,
+    expireSeconds: Long = 0L)
     extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
   import GraftTable._
 
@@ -146,7 +152,7 @@ class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(tableName, info.schema(), batchSize, bucketBy, numBuckets,
       keyColumns, sortBy, compression, evictionBudget,
-      info.options.getOrDefault("staged_token", ""), sketchBy)
+      info.options.getOrDefault("staged_token", ""), sketchBy, expireSeconds)
 }
 
 // ------------------------------- read path -------------------------------
@@ -287,7 +293,10 @@ class GraftScan(tableName: String, fullSchema: StructType,
     val rf = runtimeFilters
     val c = cachedKept
     if (c != null && (c._1 eq rf)) return c._2
-    val all = snapshot.refs
+    // EXPIRE: batches whose every row exceeds the TTL vanish from scans
+    // immediately (age checked once per planning); the payload itself is
+    // retired by the next write's expireSweep or an explicit sweep
+    val all = snapshot.liveRefs
     val kept = all.filter { r =>
       // columns with update deltas have stale stats → never prune on them
       val updatedCols = snapshot.updates.getOrElse(r.id, Map.empty).keySet
@@ -768,7 +777,7 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType, batchSize: I
     bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String],
     sortBy: Seq[String] = Nil, compression: String = "none",
     evictionBudget: Long = 0L, stagedToken: String = "",
-    sketchBy: Seq[String] = Nil)
+    sketchBy: Seq[String] = Nil, expireSeconds: Long = 0L)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -789,7 +798,7 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType, batchSize: I
     override def toBatch: BatchWrite =
       new GraftBatchWrite(tableName, writeSchema, batchSize, doTruncate,
         bucketBy, numBuckets, keyColumns, sortBy, compression, evictionBudget,
-        stagedToken, sketchBy)
+        stagedToken, sketchBy, expireSeconds)
   }
 }
 
@@ -797,7 +806,7 @@ class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
     truncate: Boolean, bucketBy: Seq[String], numBuckets: Int, keyColumns: Seq[String],
     sortBy: Seq[String] = Nil, compression: String = "none",
     evictionBudget: Long = 0L, stagedToken: String = "",
-    sketchBy: Seq[String] = Nil)
+    sketchBy: Seq[String] = Nil, expireSeconds: Long = 0L)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(schema, batchSize, bucketBy.nonEmpty && numBuckets > 0,
@@ -821,7 +830,7 @@ class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
         (s.copy(refs = newRefs, deletes = Map.empty, updates = Map.empty,
             sortedBy = sortBy, batchSize = batchSize, compression = compression,
             evictionBudget = evictionBudget, zorderedBy = Nil,
-            sketchBy = sketchBy),
+            sketchBy = sketchBy, expireSeconds = expireSeconds),
           Some(GraftColumnStore.Retirees(s.refs.map(_.id),
             s.updates.values.flatMap(_.values.flatten.map(_.deltaId)).toSeq,
             s.deletes.values.map(_.bitmapId).toSeq)))
@@ -833,9 +842,11 @@ class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
       // existing snapshot's default and silently stop compressing)
       if (table.snapshot.compression != compression ||
           table.snapshot.evictionBudget != evictionBudget ||
-          table.snapshot.sketchBy != sketchBy) {
+          table.snapshot.sketchBy != sketchBy ||
+          table.snapshot.expireSeconds != expireSeconds) {
         table.mutate(_.copy(compression = compression,
-          evictionBudget = evictionBudget, sketchBy = sketchBy))
+          evictionBudget = evictionBudget, sketchBy = sketchBy,
+          expireSeconds = expireSeconds))
       }
       // an upsert staged matched-key deletes for THIS append (token-
       // keyed, so a concurrent upsert's staged set is untouched): apply
@@ -846,8 +857,10 @@ class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
         case None => table.appendRefs(newRefs)
       }
     }
-    // LRU-overflow: spill past-budget batches to the disk tier now that
-    // the snapshot carries the new refs
+    // EXPIRE: reclaim batches whose TTL passed, then LRU-overflow:
+    // spill past-budget batches to the disk tier now that the snapshot
+    // carries the new refs
+    GraftColumnStore.expireSweep(tableName)
     GraftColumnStore.enforceEviction(tableName)
   }
 

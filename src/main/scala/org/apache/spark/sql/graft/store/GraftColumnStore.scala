@@ -591,12 +591,18 @@ object GraftColumnStore {
     * snapshots carry. `isDelta` marks row-buffer batches (sub-batch-size
     * appends) that compaction rolls into full sealed batches.
     */
+  /** `createdAtMs`: seal wall-clock — the age EXPIRE tests against. Every
+    * row in a batch is at least as old as its seal, so "batch sealed
+    * more than TTL ago" implies "every row exceeds TTL" (expiry is
+    * conservative by at most the batch fill duration).
+    */
   final case class BatchRef(
       id: Long,
       bucketId: Int,
       numRows: Int,
       stats: Array[ColumnStats],
-      isDelta: Boolean) extends Serializable
+      isDelta: Boolean,
+      createdAtMs: Long = 0L) extends Serializable
 
   /** `sketch`: HLL digest of the delta's replacement values when the
     * column is sketched (null otherwise) — UPDATE can introduce values
@@ -634,9 +640,23 @@ object GraftColumnStore {
       compression: String = "none",
       evictionBudget: Long = 0L,
       zorderedBy: Seq[String] = Nil,
-      sketchBy: Seq[String] = Nil) {
-    def rowCount: Long =
-      refs.map(r => r.numRows.toLong - deletes.get(r.id).map(_.cardinality).getOrElse(0)).sum
+      sketchBy: Seq[String] = Nil,
+      expireSeconds: Long = 0L) {
+    /** Batch-granularity TTL check (EXPIRE): true once every row in the
+      * batch is older than the table's time-to-live. 0 = no expiry.
+      */
+    def isExpired(ref: BatchRef, nowMs: Long): Boolean =
+      expireSeconds > 0 && ref.createdAtMs > 0 &&
+        nowMs - ref.createdAtMs > expireSeconds * 1000L
+    /** Refs with at least one row inside the TTL — what every read path
+      * (row scan, agg pushdown, sketch union) must enumerate. One clock
+      * read per call, so a single planning sees one consistent cut.
+      */
+    def liveRefs: Vector[BatchRef] =
+      if (expireSeconds <= 0) refs
+      else { val now = System.currentTimeMillis(); refs.filterNot(isExpired(_, now)) }
+    def rowCount: Long = liveRefs.iterator
+      .map(r => r.numRows.toLong - deletes.get(r.id).map(_.cardinality).getOrElse(0)).sum
     def liveRows(ref: BatchRef): Int =
       ref.numRows - deletes.get(ref.id).map(_.cardinality).getOrElse(0)
     // registry size METADATA, not payloads — planning must never fault
@@ -818,6 +838,39 @@ object GraftColumnStore {
     * Also re-enforces the global heap-percent pool when the table
     * participates in it.
     */
+  /** EXPIRE maintenance: drop every batch whose TTL has fully passed —
+    * ONE atomic snapshot swap retiring the batches plus their attached
+    * update deltas and delete bitmaps (payloads free once no reader
+    * lease pins them, the standard [[LeaseGc]] path). Scans already hide
+    * expired batches at planning; this reclaims the memory. Runs
+    * opportunistically on every write commit and on demand via
+    * [[GraftStoreOps.expireSweep]]. Returns the number of batches
+    * retired.
+    */
+  def expireSweep(name: String): Int = get(name).map { t =>
+    val now = System.currentTimeMillis()
+    var removed = 0
+    t.mutateRetiring { s =>
+      if (s.expireSeconds <= 0) (s, None)
+      else {
+        val (dead, live) = s.refs.partition(s.isExpired(_, now))
+        if (dead.isEmpty) (s, None)
+        else {
+          removed = dead.size
+          val deadIds = dead.map(_.id).toSet
+          val retirees = Retirees(
+            dead.map(_.id),
+            dead.flatMap(r => s.updates.get(r.id).toSeq
+              .flatMap(_.values.flatten.map(_.deltaId))),
+            dead.flatMap(r => s.deletes.get(r.id).map(_.bitmapId)))
+          (s.copy(refs = live, deletes = s.deletes -- deadIds,
+            updates = s.updates -- deadIds), Some(retirees))
+        }
+      }
+    }
+    removed
+  }.getOrElse(0)
+
   def enforceEviction(name: String): Unit = {
     get(name).foreach { t =>
       val s = t.snapshot
@@ -833,15 +886,17 @@ object GraftColumnStore {
 
   def createOrReplace(name: String, schema: StructType,
       bucketBy: Seq[String] = Nil, numBuckets: Int = 0,
-      keyColumns: Seq[String] = Nil, sketchBy: Seq[String] = Nil): StoreTable = {
+      keyColumns: Seq[String] = Nil, sketchBy: Seq[String] = Nil,
+      expireSeconds: Long = 0L): StoreTable = {
     heapOverflowTables.remove(name) // a replacement never inherits pool membership
     tables.remove(name).foreach(releaseAll)
-    // sketchBy rides the INITIAL snapshot: a post-registration mutate
-    // would open a window where a concurrent writer resolves the table
-    // sketch-less and its commit's layout-sync resets the option
+    // sketchBy/expireSeconds ride the INITIAL snapshot: a
+    // post-registration mutate would open a window where a concurrent
+    // writer resolves the table option-less and its commit's layout-sync
+    // resets the option
     val t = new StoreTable(name,
       TableSnapshot(schema, bucketBy, numBuckets, keyColumns, Vector.empty,
-        Map.empty, Map.empty, sketchBy = sketchBy))
+        Map.empty, Map.empty, sketchBy = sketchBy, expireSeconds = expireSeconds))
     tables.put(name, t)
     t
   }
@@ -1142,7 +1197,8 @@ object GraftColumnStore {
         c += 1
       }
       val id = BatchRegistry.putBatch(new StoreBatch(n, cols))
-      refs += BatchRef(id, bucketId, n, stats, isDelta)
+      refs += BatchRef(id, bucketId, n, stats, isDelta,
+        createdAtMs = System.currentTimeMillis())
       n = 0
     }
 

@@ -252,6 +252,12 @@ object GraftStoreOps {
   def dropIndex(spark: SparkSession, table: String): Unit =
     GraftColumnStore(table).mutate(_.copy(sortedBy = Nil))
 
+  /** On-demand EXPIRE maintenance (every write commit also runs it):
+    * retire batches whose TTL has fully passed. Returns batches retired.
+    */
+  def expireSweep(spark: SparkSession, table: String): Int =
+    GraftColumnStore.expireSweep(table)
+
   /** APPROX COUNT DISTINCT from batch metadata alone: union the
     * per-(batch, column) HLL digests a `sketch_columns` table maintains
     * at write time (plus the update deltas' digests) — O(batches) driver
@@ -289,7 +295,7 @@ object GraftStoreOps {
       s"graftstore.approxDistinct($table): column '$column' has no distinct " +
         s"sketch — create the table with OPTIONS (sketch_columns '$column')")
     val colIdx = t.schema.fieldIndex(column)
-    val batchDigests = snap.refs.iterator.map { r =>
+    val batchDigests = snap.liveRefs.iterator.map { r =>
       val d = r.stats(colIdx).distinctSketch
       if (d == null) throw new IllegalStateException(
         s"graftstore.approxDistinct($table): batch ${r.id} predates the " +
@@ -485,7 +491,8 @@ object GraftStoreOps {
       "batch_size" -> snap.batchSize.toString,
       "compression" -> snap.compression,
       "eviction_budget_bytes" -> snap.evictionBudget.toString,
-      "sketch_columns" -> snap.sketchBy.mkString(",")),
+      "sketch_columns" -> snap.sketchBy.mkString(","),
+      "expire_seconds" -> snap.expireSeconds.toString),
       s"graftstore checkpoint of $table")
   }
 
@@ -500,7 +507,8 @@ object GraftStoreOps {
     GraftColumnStore.drop(table)
     var w = df.write.format(FORMAT).option("table", table)
     Seq("partition_by", "buckets", "key_columns", "sort_by", "batch_size",
-      "compression", "eviction_budget_bytes", "sketch_columns").foreach { k =>
+      "compression", "eviction_budget_bytes", "sketch_columns",
+      "expire_seconds").foreach { k =>
       val v = p.getProperty(k, "")
       if (v.nonEmpty && !(k == "buckets" && v == "0")) w = w.option(k, v)
     }
