@@ -121,6 +121,7 @@ class GraftSession(val spark: SparkSession) {
       val w = data.write.format(GraftRowOps.FORMAT).option("table", nm)
         .option("key_columns", keyColumns.mkString(","))
         .option("eviction_budget_bytes", evictionBudgetBytes.toString)
+        .option("expire_seconds", expireSeconds.toString)
       val w2 =
         if (partitionBy.nonEmpty)
           w.option("partition_by", partitionBy.mkString(",")).option("buckets", buckets.toString)

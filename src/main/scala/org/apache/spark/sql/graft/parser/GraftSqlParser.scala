@@ -552,12 +552,11 @@ case class GraftCreateTableCommand(name: String, provider: String,
     val heapOverflow = provider != "row" && heapPct.isDefined &&
       options.get("overflow").exists(_.trim.equalsIgnoreCase("true"))
     // EXPIRE '<seconds>' (reference row-region timeToLive) is HONORED
-    // for column tables as a batch-granularity TTL: batches whose every
-    // row exceeds the TTL vanish from scans and are reclaimed by the
-    // write-commit sweep. Non-numeric values stay accept-and-ignore.
+    // on both stores as a batch/pack-granularity TTL: sealed units whose
+    // every row exceeds the TTL vanish from scans and are reclaimed by
+    // the write-commit sweep. Non-numeric values stay accept-and-ignore.
     val expireSeconds: Long =
-      (if (provider == "row") None
-       else options.get("expire").flatMap(_.trim.toLongOption).filter(_ > 0))
+      options.get("expire").flatMap(_.trim.toLongOption).filter(_ > 0)
         .getOrElse(0L)
     val honoredOps: Set[String] =
       (if (overflowBudgetBytes > 0L || heapOverflow) Set("eviction_by", "overflow")

@@ -58,7 +58,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
         case Some(t) =>
           val s = t.snapshot
           new GraftRowTable(nm, s.schema, s.keyColumns, s.bucketBy, s.numBuckets,
-            s.evictionBudget)
+            s.evictionBudget, s.expireSeconds)
         case None =>
           throw new NoSuchTableException(ident.namespace().toSeq :+ ident.name())
       }

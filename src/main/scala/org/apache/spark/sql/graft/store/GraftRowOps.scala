@@ -66,8 +66,8 @@ object GraftRowOps {
         src.repartition(snap.numBuckets, snap.bucketBy.map(col): _*)
       else src
     val bucketed = snap.numBuckets > 0 && snap.bucketBy == snap.keyColumns
-    val refsByBucket = snap.refs.groupBy(_.bucketId)
-    val allRefs = snap.refs
+    val refsByBucket = snap.liveRefs.groupBy(_.bucketId)
+    val allRefs = snap.liveRefs
     val tomb = snap.tombstones
     val schema = snap.schema
     val keyCols = snap.keyColumns
@@ -88,7 +88,7 @@ object GraftRowOps {
       def seal(): Unit = if (buf.nonEmpty) {
         val pack = new GraftRowStore.RowPack(buf.toArray, keyOrds, keyTypes)
         newRefs += GraftRowStore.PackRef(GraftRowStore.PackRegistry.put(pack),
-          bucketId, pack.numRows)
+          bucketId, pack.numRows, createdAtMs = System.currentTimeMillis())
         buf.clear()
       }
       it.foreach { r =>
@@ -141,8 +141,8 @@ object GraftRowOps {
     val routed =
       if (bucketed) src.repartition(snap.numBuckets, snap.bucketBy.map(col): _*)
       else src
-    val refsByBucket = snap.refs.groupBy(_.bucketId)
-    val allRefs = snap.refs
+    val refsByBucket = snap.liveRefs.groupBy(_.bucketId)
+    val allRefs = snap.liveRefs
     val tomb = snap.tombstones
     val keySchema = org.apache.spark.sql.types.StructType(
       snap.keyColumns.map(c => snap.schema.fields(snap.schema.fieldIndex(c))))
@@ -296,7 +296,8 @@ object GraftRowOps {
       "buckets" -> snap.numBuckets.toString,
       "key_columns" -> snap.keyColumns.mkString(","),
       "indexed" -> snap.indexes.values.map(_.column).toSeq.sorted.mkString(","),
-      "eviction_budget_bytes" -> snap.evictionBudget.toString),
+      "eviction_budget_bytes" -> snap.evictionBudget.toString,
+      "expire_seconds" -> snap.expireSeconds.toString),
       s"graftrow checkpoint of $table")
   }
 
@@ -305,7 +306,8 @@ object GraftRowOps {
     val df = spark.read.parquet(s"$dir/data")
     GraftRowStore.drop(table)
     var w = df.write.format(FORMAT).option("table", table)
-    Seq("partition_by", "buckets", "key_columns", "eviction_budget_bytes").foreach { k =>
+    Seq("partition_by", "buckets", "key_columns", "eviction_budget_bytes",
+      "expire_seconds").foreach { k =>
       val v = p.getProperty(k, "")
       if (v.nonEmpty && !(k == "buckets" && v == "0")) w = w.option(k, v)
     }

@@ -77,13 +77,19 @@ object GraftRowTable {
     // LRU-overflow budget (EVICTION_BY 'LRUMEMSIZE n' + OVERFLOW 'true')
     val evictionBudget = props.get("eviction_budget_bytes").map(_.toLong)
       .orElse(existing.map(_.evictionBudget)).getOrElse(0L)
-    new GraftRowTable(name, schema, keys, bucketBy, buckets, evictionBudget)
+    // EXPIRE time-to-live in seconds (pack-granularity TTL); 0 = off
+    val expireSeconds = props.get("expire_seconds").map(_.toLong)
+      .orElse(existing.map(_.expireSeconds)).getOrElse(0L)
+    require(expireSeconds >= 0,
+      s"graftrow: expire_seconds must be >= 0, got $expireSeconds")
+    new GraftRowTable(name, schema, keys, bucketBy, buckets, evictionBudget,
+      expireSeconds)
   }
 }
 
 class GraftRowTable(tableName: String, tableSchema: StructType,
     keyColumns: Seq[String], bucketBy: Seq[String], numBuckets: Int,
-    evictionBudget: Long = 0L)
+    evictionBudget: Long = 0L, expireSeconds: Long = 0L)
     extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
   import GraftRowTable._
 
@@ -114,7 +120,7 @@ class GraftRowTable(tableName: String, tableSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftRowWriteBuilder(tableName, info.schema(), keyColumns, bucketBy, numBuckets,
-      evictionBudget)
+      evictionBudget, expireSeconds)
 }
 
 // ------------------------------- read path -------------------------------
@@ -286,13 +292,16 @@ class GraftRowScan(tableName: String, fullSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] = planPartitions()
 
   private def planPartitions(): Array[InputPartition] = {
+    // EXPIRE: one TTL cut per planning — every path below (PK probe,
+    // range scan, bucket scan, flat scan) sees the same live set
+    val live = snapshot.liveRefs
     val combos = keyCombos
     if (combos.isDefined) {
       // full-PK lookup: probe pack indexes instead of scanning. When the
       // table is bucketed BY the key columns the probe touches only the
       // packs of the buckets the keys hash to (the routed get); in a
       // cluster this probe is an RPC to those bucket's hosts.
-      val byBucket = snapshot.refs.groupBy(_.bucketId)
+      val byBucket = live.groupBy(_.bucketId)
       val keyIsBucket = snapshot.bucketBy == snapshot.keyColumns &&
         snapshot.numBuckets > 0
       val ords = snapshot.keyOrdinals
@@ -302,7 +311,7 @@ class GraftRowScan(tableName: String, fullSchema: StructType,
           byBucket.getOrElse(
             BucketRouting.bucketOf(key.values, kts, snapshot.numBuckets),
             Vector.empty)
-        else snapshot.refs)
+        else live)
       }
       // each candidate pack fetched once across ALL keys (a spilled pack
       // would otherwise deserialize per key)
@@ -321,7 +330,7 @@ class GraftRowScan(tableName: String, fullSchema: StructType,
         // executors), survivors get binary-searched task-side
         val ord = org.apache.spark.sql.catalyst.util.TypeUtils
           .getInterpretedOrdering(spec.dt)
-        val kept = snapshot.refs.filter { r =>
+        val kept = live.filter { r =>
           spec.stats.get(r.id) match {
             case Some((mn, mx)) =>
               val okLo = spec.lo.forall { case (v, inc) =>
@@ -334,7 +343,7 @@ class GraftRowScan(tableName: String, fullSchema: StructType,
             case None => true // packs appended after the index build
           }
         }
-        GraftRowStore.rangePacksPruned.addAndGet(snapshot.refs.size - kept.size)
+        GraftRowStore.rangePacksPruned.addAndGet(live.size - kept.size)
         GraftRowStore.rangePacksProbed.addAndGet(kept.size)
         if (kept.isEmpty) return Array.empty
         val target = math.max(1, math.min(kept.size,
@@ -347,7 +356,7 @@ class GraftRowScan(tableName: String, fullSchema: StructType,
       case None =>
     }
     if (snapshot.numBuckets > 0) {
-      val byBucket = snapshot.refs.groupBy(_.bucketId)
+      val byBucket = live.groupBy(_.bucketId)
       val wanted = targetBuckets
       val ids = (0 until snapshot.numBuckets).filter(b => wanted.forall(_.contains(b)))
       ids.map { b =>
@@ -357,7 +366,7 @@ class GraftRowScan(tableName: String, fullSchema: StructType,
           snapshot.tombstones.filter(t => refs.exists(_.id == t._1))): InputPartition
       }.toArray
     } else {
-      val refs = snapshot.refs
+      val refs = live
       GraftRowStore.packsScanned.addAndGet(refs.size)
       if (refs.isEmpty) return Array.empty
       val target = math.max(1, math.min(refs.size,
@@ -490,7 +499,7 @@ class GraftRowReaderFactory(fullSchema: StructType, required: StructType,
 
 class GraftRowWriteBuilder(tableName: String, writeSchema: StructType,
     keyColumns: Seq[String], bucketBy: Seq[String], numBuckets: Int,
-    evictionBudget: Long = 0L)
+    evictionBudget: Long = 0L, expireSeconds: Long = 0L)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -510,13 +519,13 @@ class GraftRowWriteBuilder(tableName: String, writeSchema: StructType,
     override def requiredOrdering(): Array[SortOrder] = Array.empty
     override def toBatch: BatchWrite =
       new GraftRowBatchWrite(tableName, writeSchema, keyColumns, bucketBy, numBuckets,
-        doTruncate, evictionBudget)
+        doTruncate, evictionBudget, expireSeconds)
   }
 }
 
 class GraftRowBatchWrite(tableName: String, schema: StructType, keyColumns: Seq[String],
     bucketBy: Seq[String], numBuckets: Int, truncate: Boolean,
-    evictionBudget: Long = 0L) extends BatchWrite {
+    evictionBudget: Long = 0L, expireSeconds: Long = 0L) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // append must respect the PK invariant against EXISTING rows: ship
@@ -531,7 +540,7 @@ class GraftRowBatchWrite(tableName: String, schema: StructType, keyColumns: Seq[
         val (snap, leaseId) = t.pinSnapshot(); (t, snap, leaseId)
       }
     val existing: Map[Int, Vector[GraftRowStore.PackRef]] =
-      pinned.map(_._2.refs.groupBy(_.bucketId).map { case (k, v) => k -> v })
+      pinned.map(_._2.liveRefs.groupBy(_.bucketId).map { case (k, v) => k -> v })
         .getOrElse(Map.empty)
     val tomb: Map[Long, BitSet] =
       pinned.map(_._2.tombstones).getOrElse(Map.empty)
@@ -545,8 +554,10 @@ class GraftRowBatchWrite(tableName: String, schema: StructType, keyColumns: Seq[
     val table = GraftRowStore.getOrCreate(tableName, schema, keyColumns, bucketBy, numBuckets)
     // record the LRU-overflow budget as layout metadata (the mutate also
     // triggers the first enforcement pass)
-    if (table.snapshot.evictionBudget != evictionBudget) {
-      table.mutate(_.copy(evictionBudget = evictionBudget))
+    if (table.snapshot.evictionBudget != evictionBudget ||
+        table.snapshot.expireSeconds != expireSeconds) {
+      table.mutate(_.copy(evictionBudget = evictionBudget,
+        expireSeconds = expireSeconds))
     }
     val newRefs = messages.flatMap {
       case GraftRowCommit(refs) => refs
@@ -558,6 +569,9 @@ class GraftRowBatchWrite(tableName: String, schema: StructType, keyColumns: Seq[
       // intermediate
       table.replaceRefs(newRefs)
     else table.appendRefs(newRefs)
+    // EXPIRE: reclaim packs whose TTL passed (no-op without a TTL)
+    table.expireSweep()
+    ()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -614,7 +628,7 @@ class GraftRowWriterFactory(schema: StructType, keyColumns: Seq[String], buckete
       private def seal(): Unit = if (buf.nonEmpty) {
         val pack = new GraftRowStore.RowPack(buf.toArray, keyOrds, keyTypes)
         refs += GraftRowStore.PackRef(GraftRowStore.PackRegistry.put(pack), bucketId,
-          pack.numRows)
+          pack.numRows, createdAtMs = System.currentTimeMillis())
         buf.clear()
       }
 

@@ -178,7 +178,11 @@ object GraftRowStore {
   }
 
   /** Metadata-only handle — what commits and snapshots carry. */
-  final case class PackRef(id: Long, bucketId: Int, numRows: Int) extends Serializable
+  /** `createdAtMs`: pack seal wall-clock — EXPIRE's age reference (see
+    * the column store's BatchRef analog).
+    */
+  final case class PackRef(id: Long, bucketId: Int, numRows: Int,
+      createdAtMs: Long = 0L) extends Serializable
 
   /** Secondary-index metadata (reference SnappySession.createIndex:1760 —
     * B-tree indexes on arbitrary row-table columns). Split by tier like
@@ -235,9 +239,23 @@ object GraftRowStore {
       refs: Vector[PackRef],
       tombstones: Map[Long, BitSet],
       indexes: Map[String, IndexStats] = Map.empty,
-      evictionBudget: Long = 0L) {
+      evictionBudget: Long = 0L,
+      expireSeconds: Long = 0L) {
+    /** Pack-granularity TTL (EXPIRE, reference row-region timeToLive):
+      * a pack expires once its NEWEST row exceeds the TTL.
+      */
+    def isExpired(ref: PackRef, nowMs: Long): Boolean =
+      expireSeconds > 0 && ref.createdAtMs > 0 &&
+        nowMs - ref.createdAtMs > expireSeconds * 1000L
+    /** Packs with rows inside the TTL — what every read/mutation-
+      * addressing path enumerates (expired rows are invisible, so they
+      * can be neither scanned, point-looked-up, updated nor deleted).
+      */
+    def liveRefs: Vector[PackRef] =
+      if (expireSeconds <= 0) refs
+      else { val now = System.currentTimeMillis(); refs.filterNot(isExpired(_, now)) }
     def rowCount: Long =
-      refs.map(r => r.numRows.toLong - tombstones.get(r.id).map(_.size).getOrElse(0)).sum
+      liveRefs.map(r => r.numRows.toLong - tombstones.get(r.id).map(_.size).getOrElse(0)).sum
     def keyOrdinals: Array[Int] = keyColumns.map(schema.fieldIndex).toArray
     def keyTypes: Array[DataType] =
       keyColumns.map(c => schema.fields(schema.fieldIndex(c)).dataType).toArray
@@ -316,6 +334,29 @@ object GraftRowStore {
         (s.copy(refs = live, tombstones = merged -- dead), Some(dead))
       }
       ()
+    }
+
+    /** EXPIRE maintenance: drop packs whose TTL has fully passed — one
+      * atomic swap retiring the packs and their tombstones (payloads
+      * free via the reader-lease GC). Scans already hide expired packs;
+      * this reclaims the memory. Returns packs retired.
+      */
+    def expireSweep(): Int = {
+      var removed = 0
+      mutateRetiring { s =>
+        if (s.expireSeconds <= 0) (s, None)
+        else {
+          val now = System.currentTimeMillis()
+          val (dead, live) = s.refs.partition(s.isExpired(_, now))
+          if (dead.isEmpty) (s, None)
+          else {
+            removed = dead.size
+            (s.copy(refs = live, tombstones = s.tombstones -- dead.map(_.id)),
+              Some(dead.map(_.id)))
+          }
+        }
+      }
+      removed
     }
 
     /** Replace all content (compaction / truncate-write); the previous

@@ -73,6 +73,29 @@ class ExpirySpec extends SparkTestBase {
     } finally g.dropTable("exp_ddl")
   }
 
+  test("row tables: expired packs vanish from scans and point lookups; sweep reclaims") {
+    import org.apache.spark.sql.graft.store.{GraftRowOps, GraftRowStore}
+    spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .write.format(GraftRowOps.FORMAT).option("table", "exp_row")
+      .option("key_columns", "k")
+      .option("expire_seconds", "2").mode("overwrite").save()
+    val df = GraftRowOps.read(spark, "exp_row")
+    assert(df.count() == 100)
+    // PK point lookup finds a fresh row
+    assert(df.filter(col("k") === 42).count() == 1)
+    Thread.sleep(2600)
+    assert(df.count() == 0, "expired packs hidden from scans")
+    assert(df.filter(col("k") === 42).count() == 0, "and from PK probes")
+    assert(GraftRowStore("exp_row").snapshot.rowCount == 0L)
+    val n = GraftRowStore("exp_row").expireSweep()
+    assert(n > 0 && GraftRowStore("exp_row").snapshot.refs.isEmpty)
+    // a key whose row expired can be re-inserted (PK invariant checks
+    // live rows only)
+    spark.range(42, 43).select(col("id").as("k"), lit(7L).as("v"))
+      .write.format(GraftRowOps.FORMAT).option("table", "exp_row").mode("append").save()
+    assert(df.filter(col("k") === 42).count() == 1)
+  }
+
   test("no TTL (default) never expires; negative option rejected") {
     spark.range(10).select(col("id").as("v"))
       .write.format(fmt).option("table", "exp_off").mode("overwrite").save()
