@@ -50,19 +50,28 @@ object SysRelations {
     * is currently serveable. Metadata-only like every sys relation.
     */
   private def sketches(spark: SparkSession): DataFrame = {
-    import org.apache.spark.sql.graft.store.{GraftColumnStore, GraftStoreOps}
+    import org.apache.spark.sql.graft.store.GraftColumnStore
+    // ONE snapshot + ONE TTL cut per table: coverage, the serveability
+    // flag, and the estimate all describe the same live batch set the
+    // read paths (and approxDistinct's own gate) would see
     val rows = for {
       t <- GraftColumnStore.tableNames.toSeq.sorted
       snap = GraftColumnStore(t).snapshot
+      live = snap.liveRefs
       c <- snap.sketchBy.sorted
     } yield {
       val idx = snap.schema.fieldIndex(c)
-      val digested = snap.refs.count(_.stats(idx).distinctSketch != null)
-      val all = digested == snap.refs.length
+      val digests = live.map(_.stats(idx).distinctSketch)
+      val digested = digests.count(_ != null)
+      val all = digested == live.length
+      val deltas = snap.updates.valuesIterator
+        .flatMap(_.get(idx).iterator.flatMap(_.iterator)).map(_.sketch).toSeq
       val est: java.lang.Long =
-        if (all) java.lang.Long.valueOf(GraftStoreOps.approxDistinct(spark, t, c))
+        if (all && deltas.forall(_ != null))
+          java.lang.Long.valueOf(GraftColumnStore.DistinctSketch.estimate(
+            (digests ++ deltas).iterator))
         else null
-      (t, c, snap.refs.length, digested, all, est)
+      (t, c, live.length, digested, all, est)
     }
     spark.createDataFrame(rows).toDF("table_name", "column_name",
       "n_batches", "n_digested", "all_digested", "estimate")

@@ -506,13 +506,15 @@ case class GraftCreateTableCommand(name: String, provider: String,
     extends LeafRunnableCommand with org.apache.spark.internal.Logging {
 
   /** Operational options from the reference's DDL surface
-    * (StoreUtils.scala:42-58) that have no analog in this engine's
+    * (StoreUtils.scala:42-58). Most have no analog in this engine's
     * executor-resident snapshot store: accepted so ported DDL scripts run
     * verbatim, logged so nobody believes they took effect. PERSISTENCE /
-    * DISKSTORE / OVERFLOW manage GemFire disk tiers (snapshots here are
-    * rebuilt from source or checkpoint); EVICTION_BY / EXPIRE manage
-    * region memory (Spark executors size via storage memory); REDUNDANCY
-    * is replica count (a cluster deployment concern).
+    * DISKSTORE manage GemFire disk tiers (snapshots here are rebuilt
+    * from source or checkpoint); REDUNDANCY is replica count (a cluster
+    * deployment concern). EXCEPTIONS — honored and excluded from the
+    * ignored-option warning below: EVICTION_BY 'LRUMEMSIZE'/
+    * 'LRUHEAPPERCENT' + OVERFLOW (real LRU disk tier) and EXPIRE
+    * '<seconds>' (real batch/pack-granularity TTL on both stores).
     */
   private val opsOnlyOptions = Set("persistence", "persistent", "diskstore",
     "overflow", "eviction_by", "expire", "redundancy")

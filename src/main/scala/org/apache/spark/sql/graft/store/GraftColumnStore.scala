@@ -11,6 +11,19 @@ import scala.collection.immutable.BitSet
 import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
+/** Wall-clock source for EXPIRE age checks and seal stamps — ONE
+  * override point shared by both stores, so tests drive TTL
+  * deterministically (no sleeps) and every age comparison in a process
+  * reads the same clock.
+  */
+object StoreClock {
+  @volatile private var offsetMs: Long = 0L
+  def nowMs: Long = System.currentTimeMillis() + offsetMs
+  /** Test hook: shift the clock forward (negative shifts back). */
+  def advance(ms: Long): Unit = offsetMs += ms
+  def reset(): Unit = offsetMs = 0L
+}
+
 /** Core of the `graftstore` mutable column store — the from-scratch analog
   * of the reference's column-batch storage with delta/delete mutation
   * (reference: encoders/.../columnar/ColumnBatch.scala:39 sealed batches +
@@ -594,7 +607,14 @@ object GraftColumnStore {
   /** `createdAtMs`: seal wall-clock — the age EXPIRE tests against. Every
     * row in a batch is at least as old as its seal, so "batch sealed
     * more than TTL ago" implies "every row exceeds TTL" (expiry is
-    * conservative by at most the batch fill duration).
+    * conservative by at most the batch fill duration). Table REWRITES
+    * (compact / createIndex / zorder / checkpoint-restore) re-seal the
+    * surviving rows and therefore RESTART their TTL clock — the
+    * entry-TTL-resets-on-modify semantics of the reference's GemFire
+    * regions. Already-expired rows never resurrect (rewrites read
+    * through the scan, which hides them); but a table compacted more
+    * often than its TTL retains its live rows indefinitely — schedule
+    * maintenance accordingly.
     */
   final case class BatchRef(
       id: Long,
@@ -654,7 +674,7 @@ object GraftColumnStore {
       */
     def liveRefs: Vector[BatchRef] =
       if (expireSeconds <= 0) refs
-      else { val now = System.currentTimeMillis(); refs.filterNot(isExpired(_, now)) }
+      else { val now = StoreClock.nowMs; refs.filterNot(isExpired(_, now)) }
     def rowCount: Long = liveRefs.iterator
       .map(r => r.numRows.toLong - deletes.get(r.id).map(_.cardinality).getOrElse(0)).sum
     def liveRows(ref: BatchRef): Int =
@@ -729,7 +749,7 @@ object GraftColumnStore {
         val supersededBitmaps = Seq.newBuilder[Long]
         val deadBatches = Seq.newBuilder[Long]
         val deadDeltas = Seq.newBuilder[Long]
-        val merged = (s.deletes.keySet ++ newDeletes.keySet).map { id =>
+        val merged0 = (s.deletes.keySet ++ newDeletes.keySet).map { id =>
           val ref = (s.deletes.get(id), newDeletes.get(id)) match {
             case (Some(a), Some(b)) =>
               val u = a.bitset | b.bitset
@@ -740,6 +760,13 @@ object GraftColumnStore {
           }
           id -> ref
         }.toMap
+        // a delete staged against a batch that left the snapshot since
+        // (expireSweep racing a PUT INTO/DELETE commit) must not
+        // re-enter the map: batch ids never recycle, so an orphan entry
+        // — and its bitmap payload — would live forever
+        val knownIds = s.refs.iterator.map(_.id).toSet
+        val (merged, orphans) = merged0.partition { case (id, _) => knownIds(id) }
+        orphans.valuesIterator.foreach(supersededBitmaps += _.bitmapId)
         val (dead, live) = s.refs.partition(r =>
           merged.get(r.id).exists(_.cardinality >= r.numRows))
         dead.foreach { r =>
@@ -756,15 +783,23 @@ object GraftColumnStore {
       ()
     }
 
-    /** Append update-delta refs (applied at scan in arrival order). */
-    def applyUpdates(newUpdates: Seq[(Long, Int, ColumnDeltaRef)]): Unit = mutate { s =>
+    /** Append update-delta refs (applied at scan in arrival order). A
+      * delta addressed to a batch no longer in the snapshot (retired by
+      * a racing expireSweep) is dropped and its payload released — ids
+      * never recycle, so it could not apply to anything.
+      */
+    def applyUpdates(newUpdates: Seq[(Long, Int, ColumnDeltaRef)]): Unit = mutateRetiring { s =>
+      val knownIds = s.refs.iterator.map(_.id).toSet
+      val (applicable, orphans) = newUpdates.partition(t => knownIds(t._1))
       var u = s.updates
-      newUpdates.foreach { case (batchId, colIdx, ref) =>
+      applicable.foreach { case (batchId, colIdx, ref) =>
         val perBatch = u.getOrElse(batchId, Map.empty)
         val chain = perBatch.getOrElse(colIdx, Vector.empty) :+ ref
         u = u.updated(batchId, perBatch.updated(colIdx, chain))
       }
-      s.copy(updates = u)
+      (s.copy(updates = u),
+        if (orphans.isEmpty) None
+        else Some(Retirees(Nil, orphans.map(_._3.deltaId), Nil)))
     }
 
     /** Replace all content (compaction / truncate-write); the ENTIRE
@@ -848,7 +883,7 @@ object GraftColumnStore {
     * retired.
     */
   def expireSweep(name: String): Int = get(name).map { t =>
-    val now = System.currentTimeMillis()
+    val now = StoreClock.nowMs
     var removed = 0
     t.mutateRetiring { s =>
       if (s.expireSeconds <= 0) (s, None)
@@ -1198,7 +1233,7 @@ object GraftColumnStore {
       }
       val id = BatchRegistry.putBatch(new StoreBatch(n, cols))
       refs += BatchRef(id, bucketId, n, stats, isDelta,
-        createdAtMs = System.currentTimeMillis())
+        createdAtMs = StoreClock.nowMs)
       n = 0
     }
 

@@ -66,8 +66,9 @@ object GraftRowOps {
         src.repartition(snap.numBuckets, snap.bucketBy.map(col): _*)
       else src
     val bucketed = snap.numBuckets > 0 && snap.bucketBy == snap.keyColumns
-    val refsByBucket = snap.liveRefs.groupBy(_.bucketId)
+    // one TTL cut for both enumerations (liveRefs reads the clock)
     val allRefs = snap.liveRefs
+    val refsByBucket = allRefs.groupBy(_.bucketId)
     val tomb = snap.tombstones
     val schema = snap.schema
     val keyCols = snap.keyColumns
@@ -88,7 +89,7 @@ object GraftRowOps {
       def seal(): Unit = if (buf.nonEmpty) {
         val pack = new GraftRowStore.RowPack(buf.toArray, keyOrds, keyTypes)
         newRefs += GraftRowStore.PackRef(GraftRowStore.PackRegistry.put(pack),
-          bucketId, pack.numRows, createdAtMs = System.currentTimeMillis())
+          bucketId, pack.numRows, createdAtMs = StoreClock.nowMs)
         buf.clear()
       }
       it.foreach { r =>
@@ -141,8 +142,9 @@ object GraftRowOps {
     val routed =
       if (bucketed) src.repartition(snap.numBuckets, snap.bucketBy.map(col): _*)
       else src
-    val refsByBucket = snap.liveRefs.groupBy(_.bucketId)
+    // one TTL cut for both enumerations (liveRefs reads the clock)
     val allRefs = snap.liveRefs
+    val refsByBucket = allRefs.groupBy(_.bucketId)
     val tomb = snap.tombstones
     val keySchema = org.apache.spark.sql.types.StructType(
       snap.keyColumns.map(c => snap.schema.fields(snap.schema.fieldIndex(c))))

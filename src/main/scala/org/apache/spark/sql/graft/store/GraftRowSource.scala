@@ -628,7 +628,7 @@ class GraftRowWriterFactory(schema: StructType, keyColumns: Seq[String], buckete
       private def seal(): Unit = if (buf.nonEmpty) {
         val pack = new GraftRowStore.RowPack(buf.toArray, keyOrds, keyTypes)
         refs += GraftRowStore.PackRef(GraftRowStore.PackRegistry.put(pack), bucketId,
-          pack.numRows, createdAtMs = System.currentTimeMillis())
+          pack.numRows, createdAtMs = StoreClock.nowMs)
         buf.clear()
       }
 

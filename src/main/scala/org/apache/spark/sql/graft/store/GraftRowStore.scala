@@ -253,7 +253,7 @@ object GraftRowStore {
       */
     def liveRefs: Vector[PackRef] =
       if (expireSeconds <= 0) refs
-      else { val now = System.currentTimeMillis(); refs.filterNot(isExpired(_, now)) }
+      else { val now = StoreClock.nowMs; refs.filterNot(isExpired(_, now)) }
     def rowCount: Long =
       liveRefs.map(r => r.numRows.toLong - tombstones.get(r.id).map(_.size).getOrElse(0)).sum
     def keyOrdinals: Array[Int] = keyColumns.map(schema.fieldIndex).toArray
@@ -324,7 +324,13 @@ object GraftRowStore {
       */
     def applyMutation(newTombstones: Map[Long, BitSet], newRefs: Seq[PackRef]): Unit = {
       mutateRetiring { s =>
-        val merged = (s.tombstones.keySet ++ newTombstones.keySet).map { id =>
+        // tombstones staged against a pack that left the snapshot since
+        // (expireSweep racing this commit) must not re-enter the map —
+        // pack ids never recycle, so the entry would live forever
+        val knownIds = s.refs.iterator.map(_.id).toSet ++
+          newRefs.iterator.map(_.id)
+        val merged = (s.tombstones.keySet ++ newTombstones.keySet)
+          .filter(knownIds).map { id =>
           id -> (s.tombstones.getOrElse(id, BitSet.empty) |
             newTombstones.getOrElse(id, BitSet.empty))
         }.toMap
@@ -346,7 +352,7 @@ object GraftRowStore {
       mutateRetiring { s =>
         if (s.expireSeconds <= 0) (s, None)
         else {
-          val now = System.currentTimeMillis()
+          val now = StoreClock.nowMs
           val (dead, live) = s.refs.partition(s.isExpired(_, now))
           if (dead.isEmpty) (s, None)
           else {

@@ -253,10 +253,12 @@ object GraftStoreOps {
     GraftColumnStore(table).mutate(_.copy(sortedBy = Nil))
 
   /** On-demand EXPIRE maintenance (every write commit also runs it):
-    * retire batches whose TTL has fully passed. Returns batches retired.
+    * retire batches/packs whose TTL has fully passed, whichever store
+    * holds the table. Returns sealed units retired.
     */
   def expireSweep(spark: SparkSession, table: String): Int =
-    GraftColumnStore.expireSweep(table)
+    if (GraftColumnStore.get(table).isDefined) GraftColumnStore.expireSweep(table)
+    else GraftRowStore.get(table).map(_.expireSweep()).getOrElse(0)
 
   /** APPROX COUNT DISTINCT from batch metadata alone: union the
     * per-(batch, column) HLL digests a `sketch_columns` table maintains

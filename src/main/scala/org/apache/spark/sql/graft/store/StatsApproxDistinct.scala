@@ -78,9 +78,12 @@ case class StatsApproxDistinctRule(spark: SparkSession) extends Rule[LogicalPlan
     // digests cannot subtract: any delete/update means the union is an
     // upper bound, not an estimate — let the scan answer exactly
     if (snap.deletes.nonEmpty || snap.updates.nonEmpty) return None
+    // liveRefs, not refs: an EXPIRE table's hidden batches must not
+    // resurface through the metadata answer (one TTL cut for all cols)
+    val refs = snap.liveRefs
     val estimates = cols.map { c =>
       val idx = snap.schema.fieldIndex(c)
-      val digests = snap.refs.map(_.stats(idx).distinctSketch)
+      val digests = refs.map(_.stats(idx).distinctSketch)
       if (digests.exists(_ == null)) return None // pre-option batches
       GraftColumnStore.DistinctSketch.estimate(digests.iterator)
     }

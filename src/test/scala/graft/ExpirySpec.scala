@@ -1,24 +1,31 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.store.{GraftColumnStore, GraftStoreOps}
+import org.apache.spark.sql.graft.store.{GraftColumnStore, GraftRowOps, GraftRowStore, GraftStoreOps, StoreClock}
+import org.scalatest.BeforeAndAfterEach
 
-/** EXPIRE time-to-live (batch-granularity TTL): scan-time hiding, sweep
-  * reclamation with attached deltas/bitmaps, opportunistic sweep on
-  * write commits, DDL surface, and the no-expiry default.
+/** EXPIRE time-to-live (batch/pack-granularity TTL): scan-time hiding,
+  * sweep reclamation with attached deltas/bitmaps, opportunistic sweep
+  * on write commits, DDL surface, the no-expiry default, and the
+  * sweep-vs-staged-mutation race. TTL aging is driven through
+  * [[StoreClock.advance]] — deterministic, no sleeps, and each test
+  * resets the clock.
   */
-class ExpirySpec extends SparkTestBase {
+class ExpirySpec extends SparkTestBase with BeforeAndAfterEach {
   private val fmt = "org.apache.spark.sql.graft.store.GraftColumnSource"
+  private val TtlMs = 60000L // well past any test's real elapsed time
+
+  override def afterEach(): Unit = StoreClock.reset()
 
   test("expired batches vanish from scans and rowCount; sweep reclaims payloads") {
     spark.range(500).select(col("id").as("v"))
       .write.format(fmt).option("table", "exp_t")
       .option("batch_size", "128")
-      .option("expire_seconds", "2").mode("overwrite").save()
+      .option("expire_seconds", "60").mode("overwrite").save()
     val df = spark.read.format(fmt).option("table", "exp_t").load()
     assert(df.count() == 500, "fresh rows visible")
     assert(GraftColumnStore("exp_t").snapshot.rowCount == 500L)
-    Thread.sleep(2600)
+    StoreClock.advance(TtlMs + 1000)
     // scans hide expired batches with no sweep having run
     assert(df.count() == 0, "all rows older than TTL")
     assert(GraftColumnStore("exp_t").snapshot.rowCount == 0L)
@@ -33,8 +40,8 @@ class ExpirySpec extends SparkTestBase {
   test("write commits sweep opportunistically; fresh rows outlive stale ones") {
     spark.range(100).select(col("id").as("v"))
       .write.format(fmt).option("table", "exp_w")
-      .option("expire_seconds", "2").mode("overwrite").save()
-    Thread.sleep(2600)
+      .option("expire_seconds", "60").mode("overwrite").save()
+    StoreClock.advance(TtlMs + 1000)
     // an append arrives after the old batch's TTL: commit sweeps it
     spark.range(100, 150).select(col("id").as("v"))
       .write.format(fmt).option("table", "exp_w").mode("append").save()
@@ -48,51 +55,95 @@ class ExpirySpec extends SparkTestBase {
   test("sweep retires attached delete bitmaps and update deltas with the batch") {
     spark.range(200).select(col("id").as("k"), col("id").as("v"))
       .write.format(fmt).option("table", "exp_m")
-      .option("expire_seconds", "2").mode("overwrite").save()
+      .option("expire_seconds", "60").mode("overwrite").save()
     GraftStoreOps.delete(spark, "exp_m", col("k") < 10)
     GraftStoreOps.update(spark, "exp_m", col("k") >= 190,
       Seq("v" -> (col("v") + 1000)))
     val before = GraftColumnStore("exp_m").snapshot
     assert(before.deletes.nonEmpty && before.updates.nonEmpty)
-    Thread.sleep(2600)
+    StoreClock.advance(TtlMs + 1000)
     assert(GraftStoreOps.expireSweep(spark, "exp_m") > 0)
     val after = GraftColumnStore("exp_m").snapshot
     assert(after.refs.isEmpty && after.deletes.isEmpty && after.updates.isEmpty)
   }
 
+  test("deletes/updates landing after a sweep retired their batch leave no orphan entries") {
+    spark.range(300).select(col("id").as("k"), col("id").as("v"))
+      .write.format(fmt).option("table", "exp_race")
+      .option("expire_seconds", "60").mode("overwrite").save()
+    val t = GraftColumnStore("exp_race")
+    val deadId = t.snapshot.refs.head.id
+    // sweep wins the race: the batch leaves the snapshot while a
+    // concurrent mutation had already built artifacts addressed to it
+    StoreClock.advance(TtlMs + 1000)
+    assert(GraftStoreOps.expireSweep(spark, "exp_race") > 0)
+    StoreClock.reset()
+    // the late-arriving commit applies its refs for the retired id: both
+    // maps must drop them (ids never recycle, so an entry would be
+    // immortal) instead of re-inserting
+    val bid = GraftColumnStore.BatchRegistry.putBitmap(Array(1L))
+    t.applyDeletes(Map(deadId -> GraftColumnStore.DeleteRef(bid, 1)))
+    val did = GraftColumnStore.BatchRegistry.putDelta(
+      new GraftColumnStore.ColumnDeltaPayload(Array(0), Array[Any](9L)))
+    t.applyUpdates(Seq((deadId, 1, GraftColumnStore.ColumnDeltaRef(did, 1))))
+    val snap = t.snapshot
+    assert(snap.deletes.isEmpty, s"orphan delete entries: ${snap.deletes.keySet}")
+    assert(snap.updates.isEmpty, s"orphan update entries: ${snap.updates.keySet}")
+  }
+
+  test("metadata approx_count_distinct and sys.sketches respect the TTL cut") {
+    spark.range(1000).select((col("id") % 200).as("k"))
+      .write.format(fmt).option("table", "exp_sk")
+      .option("batch_size", "256")
+      .option("sketch_columns", "k")
+      .option("expire_seconds", "60").mode("overwrite").save()
+    val q = spark.read.format(fmt).option("table", "exp_sk").load()
+      .agg(approx_count_distinct(col("k")).as("nd"))
+    assert(q.head().getLong(0) > 150L)
+    StoreClock.advance(TtlMs + 1000)
+    assert(q.head().getLong(0) == 0L,
+      "the metadata rewrite must not resurrect expired batches")
+    assert(GraftStoreOps.approxDistinct(spark, "exp_sk", "k") == 0L)
+    val sysRow = spark.sql(
+      "SELECT * FROM sys.sketches WHERE table_name = 'exp_sk'").head()
+    assert(sysRow.getAs[Int]("n_batches") == 0)
+    assert(sysRow.getAs[Long]("estimate") == 0L)
+  }
+
   test("EXPIRE DDL option is honored for column tables") {
     val g = GraftSession(spark)
     spark.sql(
-      """CREATE TABLE exp_ddl USING column OPTIONS (EXPIRE '2') AS
+      """CREATE TABLE exp_ddl USING column OPTIONS (EXPIRE '60') AS
         |SELECT id AS v FROM range(50)""".stripMargin)
     try {
-      assert(GraftColumnStore("exp_ddl").snapshot.expireSeconds == 2L)
+      assert(GraftColumnStore("exp_ddl").snapshot.expireSeconds == 60L)
       assert(spark.sql("SELECT count(*) AS n FROM exp_ddl").head().getLong(0) == 50)
-      Thread.sleep(2600)
+      StoreClock.advance(TtlMs + 1000)
       assert(spark.sql("SELECT count(*) AS n FROM exp_ddl").head().getLong(0) == 0)
     } finally g.dropTable("exp_ddl")
   }
 
   test("row tables: expired packs vanish from scans and point lookups; sweep reclaims") {
-    import org.apache.spark.sql.graft.store.{GraftRowOps, GraftRowStore}
     spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
       .write.format(GraftRowOps.FORMAT).option("table", "exp_row")
       .option("key_columns", "k")
-      .option("expire_seconds", "2").mode("overwrite").save()
+      .option("expire_seconds", "60").mode("overwrite").save()
     val df = GraftRowOps.read(spark, "exp_row")
     assert(df.count() == 100)
     // PK point lookup finds a fresh row
     assert(df.filter(col("k") === 42).count() == 1)
-    Thread.sleep(2600)
+    StoreClock.advance(TtlMs + 1000)
     assert(df.count() == 0, "expired packs hidden from scans")
     assert(df.filter(col("k") === 42).count() == 0, "and from PK probes")
     assert(GraftRowStore("exp_row").snapshot.rowCount == 0L)
-    val n = GraftRowStore("exp_row").expireSweep()
+    // the shared ops entry point routes to the row store
+    val n = GraftStoreOps.expireSweep(spark, "exp_row")
     assert(n > 0 && GraftRowStore("exp_row").snapshot.refs.isEmpty)
     // a key whose row expired can be re-inserted (PK invariant checks
     // live rows only)
     spark.range(42, 43).select(col("id").as("k"), lit(7L).as("v"))
       .write.format(GraftRowOps.FORMAT).option("table", "exp_row").mode("append").save()
+    StoreClock.reset()
     assert(df.filter(col("k") === 42).count() == 1)
   }
 
@@ -100,7 +151,10 @@ class ExpirySpec extends SparkTestBase {
     spark.range(10).select(col("id").as("v"))
       .write.format(fmt).option("table", "exp_off").mode("overwrite").save()
     assert(GraftColumnStore("exp_off").snapshot.expireSeconds == 0L)
+    StoreClock.advance(TtlMs * 100)
+    assert(spark.read.format(fmt).option("table", "exp_off").load().count() == 10)
     assert(GraftStoreOps.expireSweep(spark, "exp_off") == 0)
+    StoreClock.reset()
     val e = intercept[Exception](
       spark.range(10).select(col("id").as("v"))
         .write.format(fmt).option("table", "exp_neg")
