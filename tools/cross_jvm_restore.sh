@@ -1,0 +1,15 @@
+#!/usr/bin/env bash
+# Cross-JVM persistence proof: checkpoint in one JVM, restore + verify in
+# a SEPARATE JVM (fresh process, empty payload registries) — the re-
+# hydration path a lead-node restart exercises. Fails on any mismatch.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+DIR=$(mktemp -d /tmp/graft_xjvm.XXXXXX)
+trap 'rm -rf "$DIR"' EXIT
+echo "== phase 1: write + checkpoint (JVM A) =="
+sbt -batch "runMain graft.tools.CrossJvmRestore write $DIR" 2>&1 | grep "XJ_WRITE_OK" \
+  || { echo "WRITE PHASE FAILED"; exit 1; }
+echo "== phase 2: restore + verify (JVM B, fresh process) =="
+sbt -batch "runMain graft.tools.CrossJvmRestore read $DIR" 2>&1 | grep "XJ_READ_OK" \
+  || { echo "READ PHASE FAILED"; exit 1; }
+echo "cross-JVM restore: OK"
