@@ -107,11 +107,13 @@ object TpcdsQueries3 {
     },
 
     // ---- q59 shape: weekly revenue pivoted to ISO weekdays. Spark
-    // weekday()+1 == DuckDB isodow (Mon=1..Sun=7); revenue in exact
-    // cents, one conditional-agg pass per (year, week). ----
+    // weekday()+1 == DuckDB isodow (Mon=1..Sun=7); the week key is the
+    // ISO (year, week) pair — calendar year would merge early-January
+    // and late-December into one "week 1" bucket; revenue in exact
+    // cents, one conditional-agg pass per ISO week. ----
     QueryDef.sql(
       "q_ds_weekday_pivot",
-      """SELECT year(o_orderdate) AS yr, week(o_orderdate) AS wk,
+      """SELECT isoyear(o_orderdate) AS yr, week(o_orderdate) AS wk,
         |  CAST(sum(CASE WHEN isodow(o_orderdate) = 1 THEN cents ELSE 0 END) AS BIGINT) AS mon_c,
         |  CAST(sum(CASE WHEN isodow(o_orderdate) = 2 THEN cents ELSE 0 END) AS BIGINT) AS tue_c,
         |  CAST(sum(CASE WHEN isodow(o_orderdate) = 3 THEN cents ELSE 0 END) AS BIGINT) AS wed_c,
@@ -132,7 +134,7 @@ object TpcdsQueries3 {
             .cast("long").as("cents"))
       def dow(i: Int) = sum(when(weekday(col("o_orderdate")) + 1 === i,
         col("cents")).otherwise(0L)).cast("long")
-      ord.groupBy(year(col("o_orderdate")).as("yr"),
+      ord.groupBy(expr("extract(YEAROFWEEK FROM o_orderdate)").as("yr"),
           weekofyear(col("o_orderdate")).as("wk"))
         .agg(dow(1).as("mon_c"), dow(2).as("tue_c"), dow(3).as("wed_c"),
           dow(4).as("thu_c"), dow(5).as("fri_c"), dow(6).as("sat_c"),

@@ -17,7 +17,7 @@ import org.apache.spark.sql.graft.store.{GraftColumnStore, GraftRowOps, GraftRow
   * invocations and fails on any mismatch.
   */
 object CrossJvmRestore {
-  private val fmt = "org.apache.spark.sql.graft.store.GraftColumnSource"
+  private val fmt = GraftStoreOps.FORMAT
 
   def main(args: Array[String]): Unit = {
     val Array(mode, dir) = args

@@ -7,9 +7,11 @@ cd "$(dirname "$0")/.."
 DIR=$(mktemp -d /tmp/graft_xjvm.XXXXXX)
 trap 'rm -rf "$DIR"' EXIT
 echo "== phase 1: write + checkpoint (JVM A) =="
-sbt -batch "runMain graft.tools.CrossJvmRestore write $DIR" 2>&1 | grep "XJ_WRITE_OK" \
-  || { echo "WRITE PHASE FAILED"; exit 1; }
+sbt -batch "runMain graft.tools.CrossJvmRestore write $DIR" 2>&1 | tee "$DIR/write.log" \
+  | grep "XJ_WRITE_OK" \
+  || { echo "WRITE PHASE FAILED — tail of log:"; tail -30 "$DIR/write.log"; exit 1; }
 echo "== phase 2: restore + verify (JVM B, fresh process) =="
-sbt -batch "runMain graft.tools.CrossJvmRestore read $DIR" 2>&1 | grep "XJ_READ_OK" \
-  || { echo "READ PHASE FAILED"; exit 1; }
+sbt -batch "runMain graft.tools.CrossJvmRestore read $DIR" 2>&1 | tee "$DIR/read.log" \
+  | grep "XJ_READ_OK" \
+  || { echo "READ PHASE FAILED — tail of log:"; tail -30 "$DIR/read.log"; exit 1; }
 echo "cross-JVM restore: OK"
