@@ -126,6 +126,21 @@ class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
 
   override def name(): String = s"graftstore.$tableName"
   override def schema(): StructType = tableSchema
+  /** Layout surfaced to `DESCRIBE TABLE EXTENDED graft.t` (Table
+    * Properties section) — the operational answer to "how is this table
+    * physically configured" without touching internal snapshots.
+    */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("batch_size", batchSize.toString)
+    if (keyColumns.nonEmpty) m.put("key_columns", keyColumns.mkString(","))
+    if (sortBy.nonEmpty) m.put("sort_by", sortBy.mkString(","))
+    if (compression != "none") m.put("compression", compression)
+    if (evictionBudget > 0) m.put("eviction_budget_bytes", evictionBudget.toString)
+    if (sketchBy.nonEmpty) m.put("sketch_columns", sketchBy.mkString(","))
+    if (expireSeconds > 0) m.put("expire_seconds", expireSeconds.toString)
+    m
+  }
   override def partitioning(): Array[Transform] =
     if (bucketBy.nonEmpty && numBuckets > 0)
       Array(Expressions.bucket(numBuckets, bucketBy: _*))

@@ -95,6 +95,14 @@ class GraftRowTable(tableName: String, tableSchema: StructType,
 
   override def name(): String = s"graftrow.$tableName"
   override def schema(): StructType = tableSchema
+  /** Layout for `DESCRIBE TABLE EXTENDED` (see the column-table analog). */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    if (keyColumns.nonEmpty) m.put("key_columns", keyColumns.mkString(","))
+    if (evictionBudget > 0) m.put("eviction_budget_bytes", evictionBudget.toString)
+    if (expireSeconds > 0) m.put("expire_seconds", expireSeconds.toString)
+    m
+  }
   override def partitioning(): Array[Transform] =
     if (bucketBy.nonEmpty && numBuckets > 0)
       Array(Expressions.bucket(numBuckets, bucketBy: _*))

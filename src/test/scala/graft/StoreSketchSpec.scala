@@ -231,6 +231,23 @@ class StoreSketchSpec extends SparkTestBase {
     assert(partial.isNullAt(partial.fieldIndex("estimate")))
   }
 
+  test("DESCRIBE TABLE EXTENDED surfaces the physical layout as table properties") {
+    import spark.implicits._
+    spark.range(100).select((col("id") % 10).as("k"), col("id").as("v"))
+      .write.format(fmt).option("table", "sk_desc")
+      .option("batch_size", "2048")
+      .option("compression", "lz4")
+      .option("sketch_columns", "k")
+      .option("expire_seconds", "3600")
+      .mode("overwrite").save()
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED graft.sk_desc")
+      .as[(String, String, String)].collect()
+    val props = desc.find(_._1 == "Table Properties").map(_._2).getOrElse("")
+    Seq("batch_size=2048", "compression=lz4", "sketch_columns=k",
+      "expire_seconds=3600").foreach(p =>
+      assert(props.contains(p), s"missing '$p' in: $props"))
+  }
+
   test("CREATE validation: unknown column and unsupported type fail fast") {
     val e1 = intercept[Exception](
       spark.range(10).select(col("id").as("a"))
