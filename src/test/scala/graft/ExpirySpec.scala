@@ -147,6 +147,43 @@ class ExpirySpec extends SparkTestBase with BeforeAndAfterEach {
     assert(df.filter(col("k") === 42).count() == 1)
   }
 
+  test("streaming ingest into a sketched TTL table: commits sweep retention, digests stay serveable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("id")
+      .select((col("id") % 500).as("k"), col("id").as("v"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.format(fmt).option("table", "exp_stream")
+          .option("batch_size", "256")
+          .option("sketch_columns", "k")
+          .option("expire_seconds", "60")
+          .mode("append").save()
+      }
+      .start()
+    try {
+      mem.addData(0L until 1000L: _*)
+      q.processAllAvailable()
+      assert(GraftColumnStore("exp_stream").snapshot.rowCount == 1000L)
+      assert(math.abs(
+        GraftStoreOps.approxDistinct(spark, "exp_stream", "k") - 500) <= 25)
+      // the first micro-batch ages out; the next commit's sweep reclaims
+      // it while fresh data keeps flowing
+      StoreClock.advance(TtlMs + 1000)
+      mem.addData(1000L until 1200L: _*)
+      q.processAllAvailable()
+      val snap = GraftColumnStore("exp_stream").snapshot
+      assert(snap.rowCount == 200L, s"retention: ${snap.rowCount}")
+      assert(snap.refs.forall(r => !snap.isExpired(r, StoreClock.nowMs)),
+        "commit sweep reclaimed the aged micro-batch")
+      // live telemetry follows the retained window only
+      val est = GraftStoreOps.approxDistinct(spark, "exp_stream", "k")
+      assert(math.abs(est - 200) <= 10, s"estimate over retained rows: $est")
+    } finally q.stop()
+  }
+
   test("no TTL (default) never expires; negative option rejected") {
     spark.range(10).select(col("id").as("v"))
       .write.format(fmt).option("table", "exp_off").mode("overwrite").save()
