@@ -218,6 +218,45 @@ object Dedup {
           (col("size_a") + col("size_b") - col("n_inter"))).as("jaccard"))
   }
 
+  /** Dedup threshold sweep — the removal-budget planning report: how many
+    * near-dup pairs would each Jaccard threshold catch? One pass over the
+    * candidate pairs yields the whole curve (band = floor(10·jaccard),
+    * so band 7 counts pairs in [0.7, 0.8)), instead of re-running dedup
+    * per candidate threshold.
+    *
+    * Similarity is defined over DF-CAPPED shingle sets (shingles in more
+    * than `maxShingleDf` docs are excluded — boilerplate n-grams would
+    * otherwise both blow up the self-join and drag unrelated docs
+    * together; same guard as the containment operator). The band edge is
+    * one IEEE division + floor — engine-exact, no rounding ambiguity.
+    *
+    * Scale shape: shingle-keyed self-join with per-shingle fan-out
+    * bounded by maxShingleDf² — linear in corpus shingles, never n²
+    * over docs; the histogram is a |bands|-row aggregate.
+    */
+  def thresholdSweep(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, floor: Double = 0.5,
+      maxShingleDf: Int = 50): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleLen)
+    val capped = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxShingleDf).select("shingle"),
+      Seq("shingle"), "left_semi")
+    val sizes = capped.groupBy("sid").agg(count(lit(1)).as("set_size"))
+    val inter = capped.select(col("shingle"), col("sid").as("a"))
+      .join(capped.select(col("shingle"), col("sid").as("b")), "shingle")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("sid", "a").withColumnRenamed("set_size", "size_a"), "a")
+      .join(sizes.withColumnRenamed("sid", "b").withColumnRenamed("set_size", "size_b"), "b")
+      .select((col("n_inter").cast("double") /
+        (col("size_a") + col("size_b") - col("n_inter"))).as("j"))
+      .filter(col("j") >= floor)
+      .select(org.apache.spark.sql.functions.floor(col("j") * 10).cast("int").as("band"))
+      .groupBy("band").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** MinHash signatures: k independent permutations approximated by seeded
     * xxhash64; the signature is the per-seed minimum over the doc's
     * shingles. One groupBy over the shingle table computes all k mins

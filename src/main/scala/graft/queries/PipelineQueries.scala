@@ -521,6 +521,44 @@ object PipelineQueries {
     // check that catches it (exact-hash overlap is subsumed: an exact
     // dup is a Jaccard-1 pair). Oracle = all-pairs ground truth joined
     // to the replayed split assignment ----
+    // ---- dedup threshold sweep: the removal-budget curve — pair counts
+    // per Jaccard band over DF-capped shingle sets, one pass instead of
+    // re-running dedup per candidate threshold. The band edge is one
+    // IEEE division + floor, engine-exact. ----
+    QueryDef.sql(
+      "q_dedup_threshold_sweep",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(t) - 1),
+        |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |        FROM toks WHERE len(t) >= 3) u),
+        |capped AS (
+        |  SELECT sh.doc_id, sh.shingle FROM sh
+        |  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        |        HAVING count(*) <= 50) d USING (shingle)),
+        |sizes AS (SELECT doc_id, count(*) AS set_size FROM capped GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+        |  FROM capped x JOIN capped y
+        |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |jv AS (
+        |  SELECT CAST(i.n_inter AS DOUBLE)
+        |      / (sa.set_size + sb.set_size - i.n_inter) AS j
+        |  FROM inter i
+        |    JOIN sizes sa ON i.a = sa.doc_id
+        |    JOIN sizes sb ON i.b = sb.doc_id)
+        |SELECT CAST(floor(j * 10) AS INT) AS band, count(*) AS n_pairs
+        |FROM jv WHERE j >= 0.5
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Dedup.thresholdSweep(Tables.load(s, dir, "documents"),
+          "doc_id", "text", shingleLen = 3, floor = 0.5, maxShingleDf = 50)
+        .orderBy("band")
+    },
+
     QueryDef.sql(
       "q_split_leakage",
       """WITH toks AS (

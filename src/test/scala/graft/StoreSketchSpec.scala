@@ -231,6 +231,19 @@ class StoreSketchSpec extends SparkTestBase {
     assert(partial.isNullAt(partial.fieldIndex("estimate")))
   }
 
+  test("OPTIMIZE ZORDER rewrite re-digests: estimates keep serving after re-clustering") {
+    spark.range(5000)
+      .select((col("id") % 700).as("k"), (col("id") % 50).as("a"),
+        (col("id") % 97).as("b"))
+      .write.format(fmt).option("table", "sk_z")
+      .option("batch_size", "512")
+      .option("sketch_columns", "k").mode("overwrite").save()
+    GraftStoreOps.zorderBy(spark, "sk_z", Seq("a", "b"))
+    assert(GraftColumnStore("sk_z").snapshot.sketchBy == Seq("k"))
+    val est = GraftStoreOps.approxDistinct(spark, "sk_z", "k")
+    assert(math.abs(est - 700) <= 35, s"post-zorder estimate: $est")
+  }
+
   test("DESCRIBE TABLE EXTENDED surfaces the physical layout as table properties") {
     import spark.implicits._
     spark.range(100).select((col("id") % 10).as("k"), col("id").as("v"))
