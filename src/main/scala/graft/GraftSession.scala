@@ -255,16 +255,32 @@ class GraftSession(val spark: SparkSession) {
     */
   def alterTable(name: String)(f: DataFrame => DataFrame): DataFrame = {
     val st = stateOf(name)
-    val next = f(table(name))
-    st.keyColumns.foreach(k => require(next.columns.contains(k),
-      s"alterTable($name) cannot drop key column $k"))
-    st.partitionBy.foreach(p => require(next.columns.contains(p),
-      s"alterTable($name) cannot drop bucket column $p"))
-    // materialize BEFORE the overwrite drops the old store table — the
-    // transformed plan reads from it
-    val frozen = next.localCheckpoint(true)
-    createTable(name, frozen, st.keyColumns, st.partitionBy, st.buckets,
-      provider = if (st.rowBacked) "row" else "column")
+    val nm = normalize(name)
+    if (st.storeBacked || st.rowBacked) {
+      // layout-PRESERVING rewrite: codec, eviction, TTL, sketch columns
+      // and batch size survive the relayout (the naive rebuild through
+      // createTable reset them all to defaults)
+      if (st.rowBacked) GraftRowOps.alterRewrite(spark, nm, f)
+      else GraftStoreOps.alterRewrite(spark, nm, f)
+      val df = org.apache.spark.sql.graft.PolicyRegistry.withBypass {
+        scala.util.Try(spark.table(s"graft.$nm")).getOrElse(
+          if (st.rowBacked) GraftRowOps.read(spark, nm)
+          else GraftStoreOps.read(spark, nm))
+      }
+      df.createOrReplaceTempView(nm)
+      tables.put(nm, st.copy(df = df))
+      df
+    } else {
+      val next = f(table(name))
+      st.keyColumns.foreach(k => require(next.columns.contains(k),
+        s"alterTable($name) cannot drop key column $k"))
+      st.partitionBy.foreach(p => require(next.columns.contains(p),
+        s"alterTable($name) cannot drop bucket column $p"))
+      // materialize BEFORE the overwrite drops the old table — the
+      // transformed plan reads from it
+      val frozen = next.localCheckpoint(true)
+      createTable(name, frozen, st.keyColumns, st.partitionBy, st.buckets)
+    }
   }
 
   /** CREATE SAMPLE TABLE (reference SnappySession.createSampleTable:872):

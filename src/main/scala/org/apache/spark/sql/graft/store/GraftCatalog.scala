@@ -111,8 +111,41 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       expireSeconds)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graftstore: ALTER TABLE not supported")
+  /** ALTER TABLE graft.t ADD COLUMNS / DROP COLUMN through plain Spark
+    * SQL (reference execution/ddl.scala:226,246): each change folds into
+    * one layout-preserving rewrite (codec/TTL/sketch/buckets survive —
+    * see [[GraftStoreOps.alterRewrite]]). Other change kinds (renames,
+    * type changes, property sets) stay unsupported.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val nm = tableName(ident)
+    val spark = org.apache.spark.sql.SparkSession.active
+    import org.apache.spark.sql.functions.lit
+    def topLevel(path: Array[String], what: String): String = {
+      if (path.length != 1) throw new UnsupportedOperationException(
+        s"graftstore: nested $what not supported: ${path.mkString(".")}")
+      path.head
+    }
+    val transform = changes.foldLeft(
+      identity[org.apache.spark.sql.DataFrame] _) { (acc, ch) =>
+      ch match {
+        case add: TableChange.AddColumn =>
+          val c = topLevel(add.fieldNames(), "ADD COLUMN")
+          df => acc(df).withColumn(c, lit(null).cast(add.dataType()))
+        case del: TableChange.DeleteColumn =>
+          val c = topLevel(del.fieldNames(), "DROP COLUMN")
+          df => acc(df).drop(c)
+        case other => throw new UnsupportedOperationException(
+          s"graftstore: ALTER TABLE change not supported: $other")
+      }
+    }
+    if (GraftColumnStore.get(nm).isDefined)
+      GraftStoreOps.alterRewrite(spark, nm, transform)
+    else if (GraftRowStore.get(nm).isDefined)
+      GraftRowOps.alterRewrite(spark, nm, transform)
+    else throw new NoSuchTableException(ident.namespace().toSeq :+ ident.name())
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val nm = tableName(ident)

@@ -34,6 +34,32 @@ object GraftRowOps {
       df.metadataColumn(GraftRowTable.ROW_IDX_COL).as("_rid"), col("*"))
   }
 
+  /** ALTER-style rewrite preserving the row table's layout (keys,
+    * buckets, eviction budget, TTL) — see the column-store analog
+    * [[GraftStoreOps.alterRewrite]].
+    */
+  def alterRewrite(spark: SparkSession, table: String,
+      transform: DataFrame => DataFrame): Unit = {
+    val snap = GraftRowStore(table).snapshot
+    val next = transform(read(spark, table))
+    (snap.keyColumns ++ snap.bucketBy).foreach(c =>
+      require(next.columns.contains(c),
+        s"alter($table) cannot drop key/bucket column $c"))
+    val frozen = next.localCheckpoint(true)
+    try {
+      GraftRowStore.drop(table)
+      var w = frozen.write.format(FORMAT).option("table", table)
+        .option("eviction_budget_bytes", snap.evictionBudget.toString)
+        .option("expire_seconds", snap.expireSeconds.toString)
+      if (snap.keyColumns.nonEmpty)
+        w = w.option("key_columns", snap.keyColumns.mkString(","))
+      if (snap.bucketBy.nonEmpty)
+        w = w.option("partition_by", snap.bucketBy.mkString(","))
+          .option("buckets", snap.numBuckets.toString)
+      w.mode("overwrite").save()
+    } finally graft.operators.CheckpointScope.unpersist(frozen)
+  }
+
   /** PUT INTO (upsert): for each source row, the live row with the same
     * key (if any) is tombstoned and the source row appended — both sides
     * resolved task-side after one shuffle of the SOURCE onto the bucket

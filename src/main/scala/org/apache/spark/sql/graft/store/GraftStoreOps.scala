@@ -252,6 +252,45 @@ object GraftStoreOps {
   def dropIndex(spark: SparkSession, table: String): Unit =
     GraftColumnStore(table).mutate(_.copy(sortedBy = Nil))
 
+  /** ALTER-style rewrite that PRESERVES the physical layout — codec,
+    * eviction budget, TTL, batch size, buckets, keys, and the sketch
+    * set (minus any dropped column, passed EXPLICITLY so a stale entry
+    * cannot linger in the inherited layout). The naive
+    * rebuild-through-createTable reset all of these to defaults.
+    * Clustering (sort/zorder) is physical row order the rewrite
+    * destroys — re-run CREATE INDEX / OPTIMIZE ZORDER afterwards.
+    */
+  def alterRewrite(spark: SparkSession, table: String,
+      transform: DataFrame => DataFrame): Unit = {
+    val snap = GraftColumnStore(table).snapshot
+    val next = transform(read(spark, table))
+    (snap.keyColumns ++ snap.bucketBy).foreach(c =>
+      require(next.columns.contains(c),
+        s"alter($table) cannot drop key/bucket column $c"))
+    // materialize BEFORE the drop — the transformed plan reads the table
+    val frozen = next.localCheckpoint(true)
+    try {
+      GraftColumnStore.drop(table)
+      var w = frozen.write.format(FORMAT).option("table", table)
+        .option("batch_size", snap.batchSize.toString)
+        .option("compression", snap.compression)
+        .option("eviction_budget_bytes", snap.evictionBudget.toString)
+        .option("expire_seconds", snap.expireSeconds.toString)
+        // explicit even when empty: a dropped sketch column must not
+        // linger via layout inheritance (parse filters empty entries)
+        .option("sketch_columns",
+          snap.sketchBy.filter(next.columns.contains).mkString(","))
+      // key_columns parses WITHOUT an empty filter — an explicit ""
+      // would round-trip into a phantom Seq("") key
+      if (snap.keyColumns.nonEmpty)
+        w = w.option("key_columns", snap.keyColumns.mkString(","))
+      if (snap.bucketBy.nonEmpty)
+        w = w.option("partition_by", snap.bucketBy.mkString(","))
+          .option("buckets", snap.numBuckets.toString)
+      w.mode("overwrite").save()
+    } finally graft.operators.CheckpointScope.unpersist(frozen)
+  }
+
   /** On-demand EXPIRE maintenance (every write commit also runs it):
     * retire batches/packs whose TTL has fully passed, whichever store
     * holds the table. Returns sealed units retired.

@@ -261,6 +261,37 @@ class StoreSketchSpec extends SparkTestBase {
       assert(props.contains(p), s"missing '$p' in: $props"))
   }
 
+  test("ALTER TABLE through the catalog preserves layout (codec, sketch, TTL, buckets)") {
+    spark.range(4000)
+      .select((col("id") % 16).as("k"), (col("id") % 300).as("s"), col("id").as("v"))
+      .write.format(fmt).option("table", "sk_alter")
+      .option("partition_by", "k").option("buckets", "4")
+      .option("batch_size", "512")
+      .option("compression", "lz4")
+      .option("sketch_columns", "s,v")
+      .option("expire_seconds", "3600")
+      .mode("overwrite").save()
+    // plain Spark SQL DDL against the DSv2 catalog
+    spark.sql("ALTER TABLE graft.sk_alter ADD COLUMNS (extra DOUBLE)")
+    spark.sql("ALTER TABLE graft.sk_alter DROP COLUMN v")
+    val snap = GraftColumnStore("sk_alter").snapshot
+    assert(snap.schema.fieldNames.toSeq == Seq("k", "s", "extra"))
+    assert(snap.compression == "lz4", "codec lost by ALTER")
+    assert(snap.expireSeconds == 3600L, "TTL lost by ALTER")
+    assert(snap.numBuckets == 4 && snap.bucketBy == Seq("k"), "buckets lost")
+    // the dropped column left the sketch set; the surviving one still serves
+    assert(snap.sketchBy == Seq("s"), s"sketch set after ALTER: ${snap.sketchBy}")
+    val est = GraftStoreOps.approxDistinct(spark, "sk_alter", "s")
+    assert(math.abs(est - 300) <= 15, s"post-ALTER estimate: $est")
+    val e = intercept[Exception](
+      GraftStoreOps.approxDistinct(spark, "sk_alter", "v"))
+    assert(e.getMessage.contains("sketch"))
+    // content: new column is null, rest intact
+    val row = spark.table("graft.sk_alter")
+      .agg(count(lit(1)), count(col("extra"))).head()
+    assert(row.getLong(0) == 4000 && row.getLong(1) == 0)
+  }
+
   test("CREATE validation: unknown column and unsupported type fail fast") {
     val e1 = intercept[Exception](
       spark.range(10).select(col("id").as("a"))
