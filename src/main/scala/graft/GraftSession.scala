@@ -259,17 +259,13 @@ class GraftSession(val spark: SparkSession) {
     if (st.storeBacked || st.rowBacked) {
       // layout-PRESERVING rewrite: codec, eviction, TTL, sketch columns
       // and batch size survive the relayout (the naive rebuild through
-      // createTable reset them all to defaults)
+      // createTable reset them all to defaults). alterRewrite checks the
+      // ALTER grant — a destructive full-table rewrite is as privileged
+      // as any DML.
       if (st.rowBacked) GraftRowOps.alterRewrite(spark, nm, f)
       else GraftStoreOps.alterRewrite(spark, nm, f)
-      val df = org.apache.spark.sql.graft.PolicyRegistry.withBypass {
-        scala.util.Try(spark.table(s"graft.$nm")).getOrElse(
-          if (st.rowBacked) GraftRowOps.read(spark, nm)
-          else GraftStoreOps.read(spark, nm))
-      }
-      df.createOrReplaceTempView(nm)
-      tables.put(nm, st.copy(df = df))
-      df
+      refreshManaged(nm)
+      table(nm)
     } else {
       val next = f(table(name))
       st.keyColumns.foreach(k => require(next.columns.contains(k),
@@ -280,6 +276,24 @@ class GraftSession(val spark: SparkSession) {
       // transformed plan reads from it
       val frozen = next.localCheckpoint(true)
       createTable(name, frozen, st.keyColumns, st.partitionBy, st.buckets)
+    }
+  }
+
+  /** Re-resolve a managed table's DataFrame/temp view after a relayout
+    * changed its schema (ALTER through either route) — without this, the
+    * session's registered view keeps planning the pre-ALTER relation
+    * against the new store layout. No-op for unmanaged names.
+    */
+  def refreshManaged(name: String): Unit = {
+    val nm = normalize(name)
+    tables.get(nm).filter(st => st.storeBacked || st.rowBacked).foreach { st =>
+      val df = org.apache.spark.sql.graft.PolicyRegistry.withBypass {
+        scala.util.Try(spark.table(s"graft.$nm")).getOrElse(
+          if (st.rowBacked) GraftRowOps.read(spark, nm)
+          else GraftStoreOps.read(spark, nm))
+      }
+      df.createOrReplaceTempView(nm)
+      tables.put(nm, st.copy(df = df))
     }
   }
 

@@ -204,19 +204,25 @@ object Dedup {
     * the union from per-doc set sizes. Cost ∝ candidate pairs, not n².
     */
   def jaccardVerify(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = shingleSizes(sh)
     val inter = pairs
       .join(sh.withColumnRenamed("sid", "a").withColumnRenamed("shingle", "sa"), "a")
       .join(sh.withColumnRenamed("sid", "b").withColumnRenamed("shingle", "sb"), "b")
       .filter(col("sa") === col("sb"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
+    jaccardFromInter(inter, shingleSizes(sh))
+  }
+
+  /** THE Jaccard spelling: (a, b, n_inter) x per-doc set sizes →
+    * (a, b, jaccard). One copy, shared by the given-pairs verifier and
+    * the threshold sweep, so the definition cannot drift.
+    */
+  private def jaccardFromInter(inter: DataFrame, sizes: DataFrame): DataFrame =
     inter
       .join(sizes.withColumnRenamed("sid", "a").withColumnRenamed("set_size", "size_a"), "a")
       .join(sizes.withColumnRenamed("sid", "b").withColumnRenamed("set_size", "size_b"), "b")
       .select(col("a"), col("b"),
         (col("n_inter").cast("double") /
           (col("size_a") + col("size_b") - col("n_inter"))).as("jaccard"))
-  }
 
   /** Dedup threshold sweep — the removal-budget planning report: how many
     * near-dup pairs would each Jaccard threshold catch? One pass over the
@@ -237,23 +243,22 @@ object Dedup {
   def thresholdSweep(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, floor: Double = 0.5,
       maxShingleDf: Int = 50): DataFrame = {
+    require(floor > 0 && floor <= 1, s"floor must be in (0, 1]: $floor")
+    require(maxShingleDf >= 2,
+      s"maxShingleDf below 2 admits no shared shingle: $maxShingleDf")
     val sh = shingles(docs, idCol, textCol, shingleLen)
     val capped = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= maxShingleDf).select("shingle"),
       Seq("shingle"), "left_semi")
-    val sizes = capped.groupBy("sid").agg(count(lit(1)).as("set_size"))
     val inter = capped.select(col("shingle"), col("sid").as("a"))
       .join(capped.select(col("shingle"), col("sid").as("b")), "shingle")
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("sid", "a").withColumnRenamed("set_size", "size_a"), "a")
-      .join(sizes.withColumnRenamed("sid", "b").withColumnRenamed("set_size", "size_b"), "b")
-      .select((col("n_inter").cast("double") /
-        (col("size_a") + col("size_b") - col("n_inter"))).as("j"))
-      .filter(col("j") >= floor)
-      .select(org.apache.spark.sql.functions.floor(col("j") * 10).cast("int").as("band"))
+    jaccardFromInter(inter, shingleSizes(capped))
+      .filter(col("jaccard") >= floor)
+      .select(org.apache.spark.sql.functions.floor(col("jaccard") * 10)
+        .cast("int").as("band"))
       .groupBy("band").agg(count(lit(1)).as("n_pairs"))
   }
 

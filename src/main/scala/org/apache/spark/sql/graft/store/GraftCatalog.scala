@@ -83,7 +83,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
           s"graftstore supports only bucket(n, cols) partitioning, got: ${other.mkString(",")}")
     }
     val keys = Option(properties.get("key_columns"))
-      .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     // Validate EVERY property before createOrReplace registers the
     // table: a post-registration failure would leave a phantom entry
     // that makes the corrected retry fail with TableAlreadyExists. And
@@ -131,6 +131,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       ch match {
         case add: TableChange.AddColumn =>
           val c = topLevel(add.fieldNames(), "ADD COLUMN")
+          // reject what the rewrite cannot honor rather than silently
+          // dropping the user's constraint/placement
+          if (!add.isNullable) throw new UnsupportedOperationException(
+            s"graftstore: ADD COLUMN $c NOT NULL not supported (new rows are null-filled)")
+          if (add.position() != null) throw new UnsupportedOperationException(
+            s"graftstore: ADD COLUMN $c with a position is not supported (appends at the end)")
           df => acc(df).withColumn(c, lit(null).cast(add.dataType()))
         case del: TableChange.DeleteColumn =>
           val c = topLevel(del.fieldNames(), "DROP COLUMN")
@@ -144,6 +150,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     else if (GraftRowStore.get(nm).isDefined)
       GraftRowOps.alterRewrite(spark, nm, transform)
     else throw new NoSuchTableException(ident.namespace().toSeq :+ ident.name())
+    // a GraftSession-managed temp view over this table must re-resolve,
+    // or it keeps planning the pre-ALTER relation/schema
+    graft.GraftSession(spark).refreshManaged(nm)
     loadTable(ident)
   }
 

@@ -70,12 +70,12 @@ object GraftTable {
     // an existing table's physical layout wins over (stale) options
     val existing = GraftColumnStore.get(name).map(_.snapshot)
     val bucketBy = existing.map(_.bucketBy).getOrElse(
-      props.get("partition_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil))
+      props.get("partition_by").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
     val buckets = existing.map(_.numBuckets).getOrElse(
       props.get("buckets").map(_.toInt).getOrElse(0))
     val keys = existing.map(_.keyColumns).getOrElse(
-      props.get("key_columns").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil))
-    val sortBy = props.get("sort_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+      props.get("key_columns").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+    val sortBy = props.get("sort_by").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     // batch size is part of the table's physical layout: an explicit
     // option wins, else the existing table's size, else the default —
     // so a compact() rewrite keeps the granularity the index was built at
@@ -842,7 +842,12 @@ class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
       // replace-then-append pair would expose (compact() depends on
       // this to be a safe online rewrite)
       table.mutateRetiring { s =>
-        (s.copy(refs = newRefs, deletes = Map.empty, updates = Map.empty,
+        // schema travels with the swap: an ALTER-style rewrite commits
+        // its new shape and its new refs in ONE transition (readers see
+        // full-old or full-new, never a mixed state — and the table
+        // never leaves the registry, unlike a drop-then-recreate)
+        (s.copy(schema = schema, refs = newRefs, deletes = Map.empty,
+            updates = Map.empty,
             sortedBy = sortBy, batchSize = batchSize, compression = compression,
             evictionBudget = evictionBudget, zorderedBy = Nil,
             sketchBy = sketchBy, expireSeconds = expireSeconds),

@@ -40,14 +40,19 @@ object GraftRowOps {
     */
   def alterRewrite(spark: SparkSession, table: String,
       transform: DataFrame => DataFrame): Unit = {
+    org.apache.spark.sql.graft.GrantRegistry.check(table, "ALTER")
     val snap = GraftRowStore(table).snapshot
     val next = transform(read(spark, table))
     (snap.keyColumns ++ snap.bucketBy).foreach(c =>
       require(next.columns.contains(c),
         s"alter($table) cannot drop key/bucket column $c"))
+    next.schema.fields.foreach(f =>
+      require(GraftColumnStore.supportsType(f.dataType),
+        s"alter($table): column ${f.name} has unsupported type ${f.dataType}"))
+    // truncate-overwrite: refs + schema swap atomically at commit (no
+    // drop — a failed write leaves the table untouched)
     val frozen = next.localCheckpoint(true)
     try {
-      GraftRowStore.drop(table)
       var w = frozen.write.format(FORMAT).option("table", table)
         .option("eviction_budget_bytes", snap.evictionBudget.toString)
         .option("expire_seconds", snap.expireSeconds.toString)

@@ -574,8 +574,8 @@ class GraftRowBatchWrite(tableName: String, schema: StructType, keyColumns: Seq[
     if (truncate)
       // ONE atomic swap (see the column-store commit): concurrent
       // planners see the full old or full new table, never an empty
-      // intermediate
-      table.replaceRefs(newRefs)
+      // intermediate; the write schema rides the same swap (ALTER)
+      table.replaceRefs(newRefs, Some(schema))
     else table.appendRefs(newRefs)
     // EXPIRE: reclaim packs whose TTL passed (no-op without a TTL)
     table.expireSweep()

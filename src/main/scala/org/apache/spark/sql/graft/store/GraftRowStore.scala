@@ -368,9 +368,11 @@ object GraftRowStore {
     /** Replace all content (compaction / truncate-write); the previous
       * snapshot's packs retire.
       */
-    def replaceRefs(newRefs: Vector[PackRef]): Unit = {
+    def replaceRefs(newRefs: Vector[PackRef],
+        newSchema: Option[StructType] = None): Unit = {
       mutateRetiring { s =>
-        (s.copy(refs = newRefs, tombstones = Map.empty), Some(s.refs.map(_.id)))
+        (s.copy(schema = newSchema.getOrElse(s.schema), refs = newRefs,
+          tombstones = Map.empty), Some(s.refs.map(_.id)))
       }
       ()
     }

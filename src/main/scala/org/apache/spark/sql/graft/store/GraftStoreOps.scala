@@ -262,15 +262,23 @@ object GraftStoreOps {
     */
   def alterRewrite(spark: SparkSession, table: String,
       transform: DataFrame => DataFrame): Unit = {
+    org.apache.spark.sql.graft.GrantRegistry.check(table, "ALTER")
     val snap = GraftColumnStore(table).snapshot
     val next = transform(read(spark, table))
     (snap.keyColumns ++ snap.bucketBy).foreach(c =>
       require(next.columns.contains(c),
         s"alter($table) cannot drop key/bucket column $c"))
-    // materialize BEFORE the drop — the transformed plan reads the table
+    // validate the NEW shape before any mutation: a failure below this
+    // point must leave the table exactly as it was
+    next.schema.fields.foreach(f =>
+      require(GraftColumnStore.supportsType(f.dataType),
+        s"alter($table): column ${f.name} has unsupported type ${f.dataType}"))
+    // materialize first — the transformed plan reads the table; the
+    // commit then swaps refs AND schema atomically (truncate-overwrite,
+    // same full-old-or-full-new guarantee as compact; like compact, a
+    // commit landing between this read and the overwrite is superseded)
     val frozen = next.localCheckpoint(true)
     try {
-      GraftColumnStore.drop(table)
       var w = frozen.write.format(FORMAT).option("table", table)
         .option("batch_size", snap.batchSize.toString)
         .option("compression", snap.compression)
@@ -280,8 +288,6 @@ object GraftStoreOps {
         // linger via layout inheritance (parse filters empty entries)
         .option("sketch_columns",
           snap.sketchBy.filter(next.columns.contains).mkString(","))
-      // key_columns parses WITHOUT an empty filter — an explicit ""
-      // would round-trip into a phantom Seq("") key
       if (snap.keyColumns.nonEmpty)
         w = w.option("key_columns", snap.keyColumns.mkString(","))
       if (snap.bucketBy.nonEmpty)
