@@ -139,6 +139,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftAlterAddColumnCommand(t.toLowerCase, c, dt)
       case Some(AlterDropColumn(t, c)) if g.isManaged(t.toLowerCase) =>
         GraftAlterDropColumnCommand(t.toLowerCase, c)
+      case Some(AlterRebucket(t, n, cs)) if g.isManaged(t.toLowerCase) =>
+        GraftAlterRebucketCommand(t.toLowerCase, n, cs)
       case Some(TruncateTable(t)) if g.isManaged(t.toLowerCase) =>
         GraftTruncateTableCommand(t.toLowerCase)
       // guard like TRUNCATE/ALTER: hijack the native statement only for
@@ -306,6 +308,23 @@ case class GraftAlterDropColumnCommand(table: String, column: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     graft.GraftSession(spark).alterTable(table)(_.drop(column))
+    Nil
+  }
+}
+
+/** ALTER TABLE t REBUCKET n [BY (cols)] — atomic bucket-layout rewrite
+  * on whichever store holds the table; the session's view re-resolves so
+  * the next plan sees the new KeyGroupedPartitioning (the co-location
+  * remedy for mismatched bucket counts, PERF_NOTES §18).
+  */
+case class GraftAlterRebucketCommand(table: String, buckets: Int,
+    columns: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (org.apache.spark.sql.graft.store.GraftRowStore.get(table).isDefined)
+      org.apache.spark.sql.graft.store.GraftRowOps.rebucket(spark, table, buckets, columns)
+    else
+      org.apache.spark.sql.graft.store.GraftStoreOps.rebucket(spark, table, buckets, columns)
+    graft.GraftSession(spark).refreshManaged(table)
     Nil
   }
 }

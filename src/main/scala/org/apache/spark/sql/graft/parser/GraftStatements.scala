@@ -59,6 +59,12 @@ object GraftStatements extends RegexParsers {
   final case class AlterAddColumn(table: String, column: String,
       dataTypeSql: String) extends Stmt
   final case class AlterDropColumn(table: String, column: String) extends Stmt
+  /** ALTER TABLE t REBUCKET n [BY (cols)] — re-hash a live store table
+    * into a new bucket count (optionally new bucket columns): the
+    * co-location remedy for mismatched bucket counts (PERF_NOTES §18).
+    */
+  final case class AlterRebucket(table: String, buckets: Int,
+      columns: Seq[String]) extends Stmt
   /** TRUNCATE TABLE t (reference SnappyDDLParser.truncateTable:627) */
   final case class TruncateTable(table: String) extends Stmt
   /** CREATE FUNCTION f AS class [RETURNS type] [USING JAR 'path']
@@ -267,6 +273,12 @@ object GraftStatements extends RegexParsers {
         case t ~ c ~ dt => AlterAddColumn(t, c, dt)
       }
 
+  private def alterRebucket: Parser[Stmt] =
+    kw("ALTER") ~> kw("TABLE") ~> ident ~ (kw("REBUCKET") ~> """\d+""".r) ~
+      opt(kw("BY") ~> "(" ~> rep1sep(ident, ",") <~ ")") ^^ {
+        case t ~ n ~ cs => AlterRebucket(t, n.toInt, cs.getOrElse(Nil))
+      }
+
   private def alterDrop: Parser[Stmt] =
     kw("ALTER") ~> kw("TABLE") ~> ident ~
       (kw("DROP") ~> opt(kw("COLUMN")) ~> ident) ^^ {
@@ -310,7 +322,7 @@ object GraftStatements extends RegexParsers {
   private def statement: Parser[Stmt] =
     mergeInto | putInto | createPolicy | dropPolicy | createSample | createStream |
       createIndex | dropIndex | optimizeZorder | createFunction | createTableLike |
-      createTableUsing | alterDrop | alterAdd | truncateTable |
+      createTableUsing | alterRebucket | alterDrop | alterAdd | truncateTable |
       streamingCtl | grantRevoke | update | delete
 
   /** None = not a graft statement (caller delegates to Spark's parser). */

@@ -111,21 +111,30 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       expireSeconds)
   }
 
-  /** ALTER TABLE graft.t ADD COLUMNS / DROP COLUMN through plain Spark
-    * SQL (reference execution/ddl.scala:226,246): each change folds into
-    * one layout-preserving rewrite (codec/TTL/sketch/buckets survive —
-    * see [[GraftStoreOps.alterRewrite]]). Other change kinds (renames,
-    * type changes, property sets) stay unsupported.
+  /** ALTER TABLE graft.t through plain Spark SQL (reference
+    * execution/ddl.scala:226,246): ADD COLUMNS / DROP COLUMN / RENAME
+    * COLUMN / ALTER COLUMN TYPE fold into ONE layout-preserving rewrite
+    * (codec/TTL/sketch/buckets survive, and key/bucket/index metadata
+    * FOLLOWS a renamed column — see [[GraftStoreOps.alterRewrite]]);
+    * SET/UNSET TBLPROPERTIES routes to the metadata-only
+    * [[GraftStoreOps.alterProperties]] (live retention/eviction/codec
+    * tuning, no rewrite). Unsupported shapes (NOT NULL adds, positioned
+    * adds, nested fields, arbitrary properties) are rejected loudly
+    * rather than silently dropped.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val nm = tableName(ident)
     val spark = org.apache.spark.sql.SparkSession.active
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     def topLevel(path: Array[String], what: String): String = {
       if (path.length != 1) throw new UnsupportedOperationException(
         s"graftstore: nested $what not supported: ${path.mkString(".")}")
       path.head
     }
+    var renames = Map.empty[String, String]
+    var dataChange = false
+    var setProps = Map.empty[String, String]
+    var unsetProps = List.empty[String]
     val transform = changes.foldLeft(
       identity[org.apache.spark.sql.DataFrame] _) { (acc, ch) =>
       ch match {
@@ -137,19 +146,54 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
             s"graftstore: ADD COLUMN $c NOT NULL not supported (new rows are null-filled)")
           if (add.position() != null) throw new UnsupportedOperationException(
             s"graftstore: ADD COLUMN $c with a position is not supported (appends at the end)")
+          dataChange = true
           df => acc(df).withColumn(c, lit(null).cast(add.dataType()))
         case del: TableChange.DeleteColumn =>
           val c = topLevel(del.fieldNames(), "DROP COLUMN")
+          dataChange = true
           df => acc(df).drop(c)
+        case ren: TableChange.RenameColumn =>
+          val c = topLevel(ren.fieldNames(), "RENAME COLUMN")
+          val to = ren.newName()
+          dataChange = true
+          renames += c.toLowerCase -> to
+          df => {
+            val d = acc(df)
+            require(!d.columns.exists(_.equalsIgnoreCase(to)),
+              s"graftstore: RENAME COLUMN $c TO $to: target column exists")
+            d.withColumnRenamed(c, to)
+          }
+        case ut: TableChange.UpdateColumnType =>
+          val c = topLevel(ut.fieldNames(), "ALTER COLUMN TYPE")
+          dataChange = true
+          // ANSI cast: an unrepresentable value fails the rewrite job
+          // BEFORE the commit, so the table is left untouched
+          df => acc(df).withColumn(c, col(c).cast(ut.newDataType()))
+        case un: TableChange.UpdateColumnNullability =>
+          val c = topLevel(un.fieldNames(), "ALTER COLUMN NULL")
+          if (!un.nullable()) throw new UnsupportedOperationException(
+            s"graftstore: ALTER COLUMN $c SET NOT NULL not supported " +
+              "(the store does not enforce NOT NULL)")
+          acc // relaxing to nullable is a no-op: store columns are nullable
+        case sp: TableChange.SetProperty =>
+          setProps += sp.property() -> sp.value(); acc
+        case rp: TableChange.RemoveProperty =>
+          unsetProps ::= rp.property(); acc
         case other => throw new UnsupportedOperationException(
           s"graftstore: ALTER TABLE change not supported: $other")
       }
     }
-    if (GraftColumnStore.get(nm).isDefined)
-      GraftStoreOps.alterRewrite(spark, nm, transform)
-    else if (GraftRowStore.get(nm).isDefined)
-      GraftRowOps.alterRewrite(spark, nm, transform)
-    else throw new NoSuchTableException(ident.namespace().toSeq :+ ident.name())
+    val exists = GraftColumnStore.get(nm).isDefined || GraftRowStore.get(nm).isDefined
+    if (!exists)
+      throw new NoSuchTableException(ident.namespace().toSeq :+ ident.name())
+    if (dataChange) {
+      if (GraftColumnStore.get(nm).isDefined)
+        GraftStoreOps.alterRewrite(spark, nm, transform, renames)
+      else GraftRowOps.alterRewrite(spark, nm, transform, renames)
+    }
+    // SET/UNSET TBLPROPERTIES: metadata-only tunables, no rewrite
+    if (setProps.nonEmpty || unsetProps.nonEmpty)
+      GraftStoreOps.alterProperties(spark, nm, setProps, unsetProps)
     // a GraftSession-managed temp view over this table must re-resolve,
     // or it keeps planning the pre-ALTER relation/schema
     graft.GraftSession(spark).refreshManaged(nm)

@@ -67,14 +67,26 @@ object GraftTable {
   val ROW_IDX_COL = "_graft_row_idx"
 
   def fromOptions(name: String, schema: StructType, props: Map[String, String]): GraftTable = {
-    // an existing table's physical layout wins over (stale) options
+    // an existing table's physical layout wins over (stale) options —
+    // EXCEPT under an ALTER-style rewrite (`relayout`), which must be
+    // able to commit a layout whose column NAMES changed (RENAME of a
+    // key/bucket column): there the explicit options win
     val existing = GraftColumnStore.get(name).map(_.snapshot)
-    val bucketBy = existing.map(_.bucketBy).getOrElse(
-      props.get("partition_by").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
-    val buckets = existing.map(_.numBuckets).getOrElse(
-      props.get("buckets").map(_.toInt).getOrElse(0))
-    val keys = existing.map(_.keyColumns).getOrElse(
-      props.get("key_columns").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+    val relayout = props.get("relayout").exists(_.toBoolean)
+    val optBucketBy = props.get("partition_by")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val optBuckets = props.get("buckets").map(_.toInt)
+    val optKeys = props.get("key_columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val bucketBy =
+      (if (relayout) optBucketBy.orElse(existing.map(_.bucketBy))
+      else existing.map(_.bucketBy).orElse(optBucketBy)).getOrElse(Nil)
+    val buckets =
+      (if (relayout) optBuckets.orElse(existing.map(_.numBuckets))
+      else existing.map(_.numBuckets).orElse(optBuckets)).getOrElse(0)
+    val keys =
+      (if (relayout) optKeys.orElse(existing.map(_.keyColumns))
+      else existing.map(_.keyColumns).orElse(optKeys)).getOrElse(Nil)
     val sortBy = props.get("sort_by").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     // batch size is part of the table's physical layout: an explicit
     // option wins, else the existing table's size, else the default —
@@ -842,11 +854,13 @@ class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
       // replace-then-append pair would expose (compact() depends on
       // this to be a safe online rewrite)
       table.mutateRetiring { s =>
-        // schema travels with the swap: an ALTER-style rewrite commits
-        // its new shape and its new refs in ONE transition (readers see
+        // schema AND layout travel with the swap: an ALTER-style rewrite
+        // commits its new shape, its (possibly renamed) key/bucket
+        // columns, and its new refs in ONE transition (readers see
         // full-old or full-new, never a mixed state — and the table
         // never leaves the registry, unlike a drop-then-recreate)
-        (s.copy(schema = schema, refs = newRefs, deletes = Map.empty,
+        (s.copy(schema = schema, bucketBy = bucketBy, numBuckets = numBuckets,
+            keyColumns = keyColumns, refs = newRefs, deletes = Map.empty,
             updates = Map.empty,
             sortedBy = sortBy, batchSize = batchSize, compression = compression,
             evictionBudget = evictionBudget, zorderedBy = Nil,

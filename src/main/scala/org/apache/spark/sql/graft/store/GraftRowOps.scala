@@ -39,30 +39,66 @@ object GraftRowOps {
     * [[GraftStoreOps.alterRewrite]].
     */
   def alterRewrite(spark: SparkSession, table: String,
-      transform: DataFrame => DataFrame): Unit = {
+      transform: DataFrame => DataFrame,
+      renames: Map[String, String] = Map.empty): Unit =
+    relayoutRewrite(spark, table, transform, renames, None)
+
+  /** REBUCKET for row tables — see [[GraftStoreOps.rebucket]]. */
+  def rebucket(spark: SparkSession, table: String, buckets: Int,
+      bucketBy: Seq[String] = Nil): Unit = {
+    val snap = GraftRowStore(table).snapshot
+    val cols = if (bucketBy.nonEmpty) bucketBy else snap.bucketBy
+    require(cols.nonEmpty,
+      s"rebucket($table): table is unbucketed — name the bucket columns (BY (cols))")
+    require(buckets > 0, s"rebucket($table): buckets must be > 0, got $buckets")
+    cols.foreach(c => require(snap.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"rebucket($table): no such column $c"))
+    relayoutRewrite(spark, table, identity, Map.empty, Some((cols, buckets)))
+  }
+
+  private def relayoutRewrite(spark: SparkSession, table: String,
+      transform: DataFrame => DataFrame,
+      renames: Map[String, String],
+      rebucketTo: Option[(Seq[String], Int)]): Unit = {
     org.apache.spark.sql.graft.GrantRegistry.check(table, "ALTER")
     val snap = GraftRowStore(table).snapshot
     val next = transform(read(spark, table))
-    (snap.keyColumns ++ snap.bucketBy).foreach(c =>
+    // RENAME COLUMN travels as an explicit old->new map so keys/buckets/
+    // indexes FOLLOW the renamed column (column-store analog)
+    def follow(c: String): String = renames.collectFirst {
+      case (from, to) if from.equalsIgnoreCase(c) => to
+    }.getOrElse(c)
+    val keyColumns = snap.keyColumns.map(follow)
+    val bucketBy = rebucketTo.map(_._1).getOrElse(snap.bucketBy.map(follow))
+    val numBuckets = rebucketTo.map(_._2).getOrElse(snap.numBuckets)
+    (keyColumns ++ bucketBy).foreach(c =>
       require(next.columns.contains(c),
         s"alter($table) cannot drop key/bucket column $c"))
     next.schema.fields.foreach(f =>
       require(GraftColumnStore.supportsType(f.dataType),
         s"alter($table): column ${f.name} has unsupported type ${f.dataType}"))
-    // truncate-overwrite: refs + schema swap atomically at commit (no
-    // drop — a failed write leaves the table untouched)
+    // secondary indexes: stats key the OLD pack ids and may name dropped
+    // columns — cleared in the swap, survivors rebuilt below (same
+    // treatment as compact())
+    val indexSurvivors = snap.indexes.values.map(i => follow(i.column))
+      .filter(next.columns.contains).toSeq.sorted
+    // truncate-overwrite: refs + schema + layout swap atomically at
+    // commit (no drop — a failed write leaves the table untouched)
     val frozen = next.localCheckpoint(true)
     try {
       var w = frozen.write.format(FORMAT).option("table", table)
+        .option("relayout", "true")
         .option("eviction_budget_bytes", snap.evictionBudget.toString)
         .option("expire_seconds", snap.expireSeconds.toString)
-      if (snap.keyColumns.nonEmpty)
-        w = w.option("key_columns", snap.keyColumns.mkString(","))
-      if (snap.bucketBy.nonEmpty)
-        w = w.option("partition_by", snap.bucketBy.mkString(","))
-          .option("buckets", snap.numBuckets.toString)
+      if (keyColumns.nonEmpty)
+        w = w.option("key_columns", keyColumns.mkString(","))
+      if (bucketBy.nonEmpty)
+        w = w.option("partition_by", bucketBy.mkString(","))
+          .option("buckets", numBuckets.toString)
       w.mode("overwrite").save()
     } finally graft.operators.CheckpointScope.unpersist(frozen)
+    GraftRowStore(table).mutate(_.copy(indexes = Map.empty))
+    indexSurvivors.foreach(c => createIndex(spark, table, c))
   }
 
   /** PUT INTO (upsert): for each source row, the live row with the same

@@ -65,15 +65,25 @@ object GraftRowTable {
   val PACK_SIZE = 32768
 
   def fromOptions(name: String, schema: StructType, props: Map[String, String]): GraftRowTable = {
+    // existing layout wins over (stale) options — except under an
+    // ALTER-style rewrite (`relayout`), where the explicit options win
+    // so a RENAMEd key/bucket column can commit (column-store analog)
     val existing = GraftRowStore.get(name).map(_.snapshot)
-    val keys = existing.map(_.keyColumns).getOrElse(
-      props.get("key_columns").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil))
-    val bucketBy = existing.map(_.bucketBy).getOrElse(
-      props.get("partition_by").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil))
-    val buckets = existing.map(_.numBuckets).getOrElse(
-      props.get("buckets").map(_.toInt).getOrElse(0))
+    val relayout = props.get("relayout").exists(_.toBoolean)
+    val optKeys = props.get("key_columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val optBucketBy = props.get("partition_by")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val optBuckets = props.get("buckets").map(_.toInt)
+    val keys =
+      (if (relayout) optKeys.orElse(existing.map(_.keyColumns))
+      else existing.map(_.keyColumns).orElse(optKeys)).getOrElse(Nil)
+    val bucketBy =
+      (if (relayout) optBucketBy.orElse(existing.map(_.bucketBy))
+      else existing.map(_.bucketBy).orElse(optBucketBy)).getOrElse(Nil)
+    val buckets =
+      (if (relayout) optBuckets.orElse(existing.map(_.numBuckets))
+      else existing.map(_.numBuckets).orElse(optBuckets)).getOrElse(0)
     // LRU-overflow budget (EVICTION_BY 'LRUMEMSIZE n' + OVERFLOW 'true')
     val evictionBudget = props.get("eviction_budget_bytes").map(_.toLong)
       .orElse(existing.map(_.evictionBudget)).getOrElse(0L)
@@ -574,8 +584,9 @@ class GraftRowBatchWrite(tableName: String, schema: StructType, keyColumns: Seq[
     if (truncate)
       // ONE atomic swap (see the column-store commit): concurrent
       // planners see the full old or full new table, never an empty
-      // intermediate; the write schema rides the same swap (ALTER)
-      table.replaceRefs(newRefs, Some(schema))
+      // intermediate; the write schema + layout ride the same swap (ALTER)
+      table.replaceRefs(newRefs, Some(schema),
+        Some((keyColumns, bucketBy, numBuckets)))
     else table.appendRefs(newRefs)
     // EXPIRE: reclaim packs whose TTL passed (no-op without a TTL)
     table.expireSweep()

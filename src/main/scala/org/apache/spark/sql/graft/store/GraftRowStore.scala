@@ -369,9 +369,16 @@ object GraftRowStore {
       * snapshot's packs retire.
       */
     def replaceRefs(newRefs: Vector[PackRef],
-        newSchema: Option[StructType] = None): Unit = {
+        newSchema: Option[StructType] = None,
+        newLayout: Option[(Seq[String], Seq[String], Int)] = None): Unit = {
       mutateRetiring { s =>
-        (s.copy(schema = newSchema.getOrElse(s.schema), refs = newRefs,
+        // schema and (possibly renamed) key/bucket columns ride the same
+        // swap as the refs — see the column-store truncate commit
+        (s.copy(schema = newSchema.getOrElse(s.schema),
+          keyColumns = newLayout.map(_._1).getOrElse(s.keyColumns),
+          bucketBy = newLayout.map(_._2).getOrElse(s.bucketBy),
+          numBuckets = newLayout.map(_._3).getOrElse(s.numBuckets),
+          refs = newRefs,
           tombstones = Map.empty), Some(s.refs.map(_.id)))
       }
       ()

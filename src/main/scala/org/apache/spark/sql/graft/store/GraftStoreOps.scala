@@ -261,11 +261,53 @@ object GraftStoreOps {
     * destroys — re-run CREATE INDEX / OPTIMIZE ZORDER afterwards.
     */
   def alterRewrite(spark: SparkSession, table: String,
-      transform: DataFrame => DataFrame): Unit = {
+      transform: DataFrame => DataFrame,
+      renames: Map[String, String] = Map.empty): Unit =
+    relayoutRewrite(spark, table, transform, renames, None)
+
+  /** ALTER TABLE t REBUCKET n [BY (cols)]: re-hash a live table into a
+    * new bucket count (and optionally new bucket columns) in ONE atomic
+    * layout-changing rewrite — everything else (codec, TTL, sketch set,
+    * keys, batch size, data) survives. This is the co-location remedy
+    * the SPJ bucket-count matrix demands (PERF_NOTES §18): two tables
+    * bucketed on the same key but DIFFERENT counts forfeit the
+    * storage-partitioned join entirely, so re-align one side once and
+    * every later join/aggregation on the key plans exchange-free. At
+    * 100 TB this is the "repartition the table, not every query" lever.
+    * NOTE: a table that others COLOCATE_WITH must keep its partners
+    * aligned — rebucket them together.
+    */
+  def rebucket(spark: SparkSession, table: String, buckets: Int,
+      bucketBy: Seq[String] = Nil): Unit = {
+    val snap = GraftColumnStore(table).snapshot
+    val cols = if (bucketBy.nonEmpty) bucketBy else snap.bucketBy
+    require(cols.nonEmpty,
+      s"rebucket($table): table is unbucketed — name the bucket columns (BY (cols))")
+    require(buckets > 0, s"rebucket($table): buckets must be > 0, got $buckets")
+    cols.foreach(c => require(snap.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"rebucket($table): no such column $c"))
+    relayoutRewrite(spark, table, identity, Map.empty, Some((cols, buckets)))
+  }
+
+  private def relayoutRewrite(spark: SparkSession, table: String,
+      transform: DataFrame => DataFrame,
+      renames: Map[String, String],
+      rebucketTo: Option[(Seq[String], Int)]): Unit = {
     org.apache.spark.sql.graft.GrantRegistry.check(table, "ALTER")
     val snap = GraftColumnStore(table).snapshot
     val next = transform(read(spark, table))
-    (snap.keyColumns ++ snap.bucketBy).foreach(c =>
+    // RENAME COLUMN travels as an explicit old->new map so layout
+    // metadata (keys, buckets, sketch set) FOLLOWS the renamed column
+    // instead of silently dropping off the layout when its old name
+    // disappears from the schema
+    def follow(c: String): String = renames.collectFirst {
+      case (from, to) if from.equalsIgnoreCase(c) => to
+    }.getOrElse(c)
+    val keyColumns = snap.keyColumns.map(follow)
+    val bucketBy = rebucketTo.map(_._1).getOrElse(snap.bucketBy.map(follow))
+    val numBuckets = rebucketTo.map(_._2).getOrElse(snap.numBuckets)
+    val sketchBy = snap.sketchBy.map(follow)
+    (keyColumns ++ bucketBy).foreach(c =>
       require(next.columns.contains(c),
         s"alter($table) cannot drop key/bucket column $c"))
     // validate the NEW shape before any mutation: a failure below this
@@ -280,6 +322,9 @@ object GraftStoreOps {
     val frozen = next.localCheckpoint(true)
     try {
       var w = frozen.write.format(FORMAT).option("table", table)
+        // relayout: the options below must WIN over the existing layout
+        // (a rename changes the key/bucket column names it commits)
+        .option("relayout", "true")
         .option("batch_size", snap.batchSize.toString)
         .option("compression", snap.compression)
         .option("eviction_budget_bytes", snap.evictionBudget.toString)
@@ -287,14 +332,78 @@ object GraftStoreOps {
         // explicit even when empty: a dropped sketch column must not
         // linger via layout inheritance (parse filters empty entries)
         .option("sketch_columns",
-          snap.sketchBy.filter(next.columns.contains).mkString(","))
-      if (snap.keyColumns.nonEmpty)
-        w = w.option("key_columns", snap.keyColumns.mkString(","))
-      if (snap.bucketBy.nonEmpty)
-        w = w.option("partition_by", snap.bucketBy.mkString(","))
-          .option("buckets", snap.numBuckets.toString)
+          sketchBy.filter(next.columns.contains).mkString(","))
+      if (keyColumns.nonEmpty)
+        w = w.option("key_columns", keyColumns.mkString(","))
+      if (bucketBy.nonEmpty)
+        w = w.option("partition_by", bucketBy.mkString(","))
+          .option("buckets", numBuckets.toString)
       w.mode("overwrite").save()
     } finally graft.operators.CheckpointScope.unpersist(frozen)
+  }
+
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES: live-tune the store tunables
+    * that need NO data rewrite — retention (`expire_seconds`), the LRU
+    * overflow budget (`eviction_budget_bytes`), and on column tables the
+    * at-rest codec (`compression`), ingest granularity (`batch_size`)
+    * and the distinct-digest set (`sketch_columns`). A metadata-only
+    * snapshot swap; retention changes enforce IMMEDIATELY (sweep +
+    * budget), codec/batch-size apply to future writes and compactions
+    * (existing sealed batches are not rewritten — run compact() to
+    * re-encode), and newly-sketched columns serve after the next
+    * compact() exactly like the enable-on-append path. UNSET resets a
+    * tunable to its default. Reference mapping: GemFire's mutable
+    * region attributes (entry TTL / eviction controller) altered on a
+    * live region.
+    */
+  def alterProperties(spark: SparkSession, table: String,
+      set: Map[String, String], unset: Seq[String] = Nil): Unit = {
+    org.apache.spark.sql.graft.GrantRegistry.check(table, "ALTER")
+    val defaults = Map("expire_seconds" -> "0", "eviction_budget_bytes" -> "0",
+      "compression" -> "none", "batch_size" -> "16384", "sketch_columns" -> "")
+    val columnOnly = Set("compression", "batch_size", "sketch_columns")
+    val isColumn = GraftColumnStore.get(table).isDefined
+    if (!isColumn) require(GraftRowStore.get(table).isDefined,
+      s"graft: no such store table $table")
+    val changes = set ++ unset.map(k => k -> defaults.getOrElse(k, "")).toMap
+    changes.keys.foreach { k =>
+      require(defaults.contains(k),
+        s"alter($table): '$k' is not a live-tunable property " +
+          s"(${defaults.keys.toSeq.sorted.mkString(", ")}); " +
+          "column adds/drops/renames/type changes go through ALTER TABLE DDL")
+      require(isColumn || !columnOnly(k),
+        s"alter($table): '$k' applies only to column tables")
+    }
+    val expire = changes.get("expire_seconds").map(_.toLong)
+    val budget = changes.get("eviction_budget_bytes").map(_.toLong)
+    expire.foreach(v => require(v >= 0, s"expire_seconds must be >= 0: $v"))
+    budget.foreach(v => require(v >= 0, s"eviction_budget_bytes must be >= 0: $v"))
+    if (isColumn) {
+      val t = GraftColumnStore(table)
+      val codec = changes.get("compression").map(_.toLowerCase)
+      codec.foreach(c => require(c == "none" || c == "lz4",
+        s"unsupported compression '$c' (none | lz4)"))
+      val batchSize = changes.get("batch_size").map(_.toInt)
+      batchSize.foreach(b => require(b > 0, s"batch_size must be > 0: $b"))
+      val sketchBy = changes.get("sketch_columns").map(
+        GraftColumnStore.DistinctSketch.parseSketchColumns(_, t.snapshot.schema))
+      t.mutate(s => s.copy(
+        expireSeconds = expire.getOrElse(s.expireSeconds),
+        evictionBudget = budget.getOrElse(s.evictionBudget),
+        compression = codec.getOrElse(s.compression),
+        batchSize = batchSize.getOrElse(s.batchSize),
+        sketchBy = sketchBy.getOrElse(s.sketchBy)))
+      if (expire.isDefined) GraftColumnStore.expireSweep(table)
+      if (budget.isDefined) GraftColumnStore.enforceEviction(table)
+    } else {
+      val t = GraftRowStore(table)
+      t.mutate(s => s.copy(
+        expireSeconds = expire.getOrElse(s.expireSeconds),
+        evictionBudget = budget.getOrElse(s.evictionBudget)))
+      if (expire.isDefined) t.expireSweep()
+      budget.filter(_ > 0).foreach(b =>
+        GraftRowStore.PackRegistry.enforceBudget(t.snapshot.refs.map(_.id), b))
+    }
   }
 
   /** On-demand EXPIRE maintenance (every write commit also runs it):

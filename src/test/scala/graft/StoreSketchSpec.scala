@@ -292,68 +292,6 @@ class StoreSketchSpec extends SparkTestBase {
     assert(row.getLong(0) == 4000 && row.getLong(1) == 0)
   }
 
-  test("ALTER TABLE: unsupported shapes rejected, failures leave the table intact") {
-    spark.range(100)
-      .select((col("id") % 4).as("k"), col("id").as("v"))
-      .write.format(fmt).option("table", "sk_alter_atomic")
-      .option("partition_by", "k").option("buckets", "2")
-      .mode("overwrite").save()
-    // constraints the rewrite cannot honor are rejected, not dropped
-    val e1 = intercept[Exception](
-      spark.sql("ALTER TABLE graft.sk_alter_atomic ADD COLUMNS (x DOUBLE NOT NULL)"))
-    assert(e1.getMessage.contains("NOT NULL"), e1.getMessage)
-    val e2 = intercept[Exception](
-      spark.sql("ALTER TABLE graft.sk_alter_atomic ADD COLUMNS (x DOUBLE FIRST)"))
-    assert(e2.getMessage.contains("position"), e2.getMessage)
-    // a failing ALTER (dropping the bucket column) must leave the table
-    // exactly as it was — the rewrite validates before any mutation
-    intercept[Exception](
-      spark.sql("ALTER TABLE graft.sk_alter_atomic DROP COLUMN k"))
-    val snap = GraftColumnStore("sk_alter_atomic").snapshot
-    assert(snap.schema.fieldNames.toSeq == Seq("k", "v"), "schema mutated by failed ALTER")
-    assert(spark.table("graft.sk_alter_atomic").count() == 100,
-      "data lost by failed ALTER")
-  }
-
-  test("ALTER is privileged: a non-owner with SELECT cannot rewrite the table") {
-    import org.apache.spark.sql.graft.{GrantRegistry, PolicyRegistry}
-    val g = GraftSession(spark)
-    try {
-      g.setCurrentUser("owner_a")
-      g.createTable("gr_alt",
-        spark.range(10).select(col("id").as("a"), col("id").as("b")))
-      GrantRegistry.grant("gr_alt", Seq("alice"), Seq("SELECT"), "owner_a")
-      g.setCurrentUser("alice")
-      val e = intercept[org.apache.spark.sql.AnalysisException] {
-        GraftStoreOps.alterRewrite(spark, "gr_alt", _.drop("b"))
-      }
-      assert(e.getMessage.contains("lacks ALTER"), e.getMessage)
-      // table untouched, and the owner can still run the same rewrite
-      g.setCurrentUser("owner_a")
-      GraftStoreOps.alterRewrite(spark, "gr_alt", _.drop("b"))
-      assert(GraftColumnStore("gr_alt").snapshot.schema.fieldNames.toSeq == Seq("a"))
-    } finally {
-      g.setCurrentUser("default")
-      GrantRegistry.clear()
-      PolicyRegistry.clear()
-      g.dropTable("gr_alt")
-    }
-  }
-
-  test("catalog ALTER re-resolves a session-managed view to the new schema") {
-    val g = GraftSession(spark)
-    try {
-      g.createTable("sess_alt",
-        spark.range(50).select((col("id") % 5).as("k"), col("id").as("v")))
-      spark.sql("ALTER TABLE graft.sess_alt ADD COLUMNS (note STRING)")
-      // without refreshManaged the session's temp view keeps planning the
-      // pre-ALTER relation and this projection fails to resolve
-      val r = spark.sql("SELECT count(*) AS n, count(note) AS nn FROM sess_alt").head()
-      assert(r.getLong(0) == 50 && r.getLong(1) == 0)
-      assert(g.table("sess_alt").columns.toSeq == Seq("k", "v", "note"))
-    } finally g.dropTable("sess_alt")
-  }
-
   test("CREATE validation: unknown column and unsupported type fail fast") {
     val e1 = intercept[Exception](
       spark.range(10).select(col("id").as("a"))
