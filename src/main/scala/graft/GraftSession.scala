@@ -110,6 +110,9 @@ class GraftSession(val spark: SparkSession) {
       evictionBudgetBytes: Long = 0L,
       expireSeconds: Long = 0L): DataFrame = {
     val nm = normalize(name)
+    // a replaced table must not inherit the old table's constraints —
+    // the DDL command re-registers the new ones after this returns
+    org.apache.spark.sql.graft.Constraints.drop(nm)
     if (provider == "row") {
       // row table (reference RowFormatRelation): row-major packs with a
       // per-pack PRIMARY-KEY index; point lookups resolve by index probe
@@ -206,12 +209,24 @@ class GraftSession(val spark: SparkSession) {
       require(isStoreBacked(name), s"checkpointTable($name): not a store-backed table")
       GraftStoreOps.checkpoint(spark, nm, dir)
     }
+    // constraints ride the checkpoint in a sidecar (incl. the identity
+    // high-water mark, so a restored table never re-issues values)
+    org.apache.spark.sql.graft.Constraints.get(nm).foreach { tc =>
+      org.apache.spark.sql.graft.store.GraftManifest.write(spark, dir,
+        Seq("constraints" -> org.apache.spark.sql.graft.Constraints.encode(tc)),
+        s"graft constraints for $nm", file = "constraints.properties")
+    }
   }
 
   def restoreTable(name: String, dir: String): DataFrame = {
     val nm = normalize(name)
     // the manifest knows which store the table came from
     val p = org.apache.spark.sql.graft.store.GraftManifest.read(spark, dir)
+    org.apache.spark.sql.graft.store.GraftManifest
+      .readOpt(spark, dir, "constraints.properties")
+      .flatMap(cp => Option(cp.getProperty("constraints")))
+      .foreach(enc => org.apache.spark.sql.graft.Constraints.register(nm,
+        org.apache.spark.sql.graft.Constraints.decodeConstraints(enc)))
     if (p.getProperty("provider", "column") == "row") {
       val df = GraftRowOps.restore(spark, nm, dir)
       df.createOrReplaceTempView(nm)
@@ -383,11 +398,30 @@ class GraftSession(val spark: SparkSession) {
     * as a relayout from the empty relation, so sealed batches / row packs
     * are dropped rather than tombstoned.
     */
-  def truncateTable(name: String): DataFrame =
+  def truncateTable(name: String): DataFrame = {
+    val nm = normalize(name)
+    // referential restrict + identity reset (both Derby-heritage
+    // behaviors: TRUNCATE refuses while a foreign key references the
+    // table, and resets the identity counter to its START WITH)
+    locally {
+      import org.apache.spark.sql.graft.Constraints
+      val refs = Constraints.childrenOf(nm).filterNot(_._1 == nm)
+      require(refs.isEmpty, s"cannot truncate $nm: referenced by foreign key " +
+        refs.map { case (c, f) => s"${f.name} on $c" }.mkString(", "))
+      Constraints.get(nm).flatMap(_.identity).foreach(_.nextOrdinal.set(0L))
+    }
     alterTable(name)(df => df.filter(lit(false)))
+  }
 
   def dropTable(name: String): Unit = {
     val nm = normalize(name)
+    locally {
+      import org.apache.spark.sql.graft.Constraints
+      val refs = Constraints.childrenOf(nm).filterNot(_._1 == nm)
+      require(refs.isEmpty, s"cannot drop $nm: referenced by foreign key " +
+        refs.map { case (c, f) => s"${f.name} on $c" }.mkString(", "))
+      Constraints.drop(nm)
+    }
     tables.remove(nm).foreach { st =>
       if (st.rowBacked) GraftRowStore.drop(nm)
       else if (st.storeBacked) GraftColumnStore.drop(nm)
@@ -501,6 +535,142 @@ class GraftSession(val spark: SparkSession) {
     tables.getOrElse(normalize(name),
       throw new IllegalArgumentException(s"graft table not found: $name"))
 
+  // ---- table-constraint enforcement (reference create-table.md:
+  // NOT NULL / UNIQUE / FOREIGN KEY / CHECK / IDENTITY on row tables;
+  // see org.apache.spark.sql.graft.Constraints) ----
+
+  /** Apply table constraints to an incoming INSERT/PUT batch: align,
+    * identity-fill, then validate — one fused aggregate job for all
+    * row-local rules plus one join per UNIQUE/FK, each over the
+    * STATEMENT'S rows. Tables without constraints pay nothing.
+    */
+  private def constrainIncoming(name: String, st: TableState,
+      rows: DataFrame, forPut: Boolean): DataFrame = {
+    import org.apache.spark.sql.graft.{ConstraintEnforcer, Constraints}
+    val nm = normalize(name)
+    val tc = Constraints.get(nm)
+    // the identity column may be omitted from the insert entirely
+    // (reference: "leave the identity column out of the insertion column
+    // list") — surface it as NULL so the fill step assigns values
+    val pre = tc.flatMap(_.identity) match {
+      case Some(id) if !rows.columns.exists(_.equalsIgnoreCase(id.column)) &&
+          rows.columns.length == st.df.columns.length - 1 =>
+        val target = st.df.columns.find(_.equalsIgnoreCase(id.column)).get
+        val nonId = st.df.columns.filterNot(_.equalsIgnoreCase(id.column)).toSeq
+        val renamed =
+          if (rows.columns.map(_.toLowerCase).toSet ==
+              nonId.map(_.toLowerCase).toSet) rows
+          else rows.toDF(nonId: _*)
+        renamed.withColumn(target,
+          lit(null).cast(st.df.schema(st.df.schema.fieldIndex(target)).dataType))
+      case _ => rows
+    }
+    val aligned = alignColumns(st.df, pre)
+    tc match {
+      case None => aligned
+      case Some(t) =>
+        val filled = t.identity
+          .map(id => ConstraintEnforcer.fillIdentity(spark, nm, aligned, id))
+          .getOrElse(aligned)
+        ConstraintEnforcer.validateRows(nm, filled, t)
+        ConstraintEnforcer.validateUniques(nm, filled, st.df, t,
+          if (forPut) Some((st.keyColumns, filled)) else None)
+        ConstraintEnforcer.validateForeignKeys(nm, filled, t, p => table(p))
+        if (forPut) validatePutParentKeys(nm, st, filled)
+        filled
+    }
+  }
+
+  /** PUT replaces whole rows for matched keys: if a child FK references a
+    * column OUTSIDE this table's PK, replacement can make referenced
+    * values vanish — restrict like a delete. FKs referencing the PK are
+    * safe by construction (matched keys stay, unmatched keys append).
+    */
+  private def validatePutParentKeys(nm: String, st: TableState,
+      src: DataFrame): Unit = {
+    import org.apache.spark.sql.graft.{ConstraintEnforcer, Constraints}
+    val pkLower = st.keyColumns.map(_.toLowerCase).toSet
+    val exposed = Constraints.childrenOf(nm)
+      .filterNot(_._2.refColumns.forall(pkLower))
+    if (exposed.isEmpty) return
+    val srcKeys = src.select(st.keyColumns.map(col): _*).distinct()
+    val replaced = st.df.join(srcKeys, st.keyColumns, "left_semi")
+    val untouched = st.df.join(srcKeys, st.keyColumns, "left_anti")
+    val names = exposed.map(_._2.name).toSet
+    ConstraintEnforcer.validateParentRemoval(nm, refCols =>
+      replaced.select(refCols.map(col): _*)
+        .except(src.select(refCols.map(col): _*))
+        .except(untouched.select(refCols.map(col): _*)),
+      p => table(p), f => names.contains(f.name))
+  }
+
+  /** UPDATE-side constraint validation: row-local rules on the affected
+    * rows' post-image, UNIQUE/FK only when an assignment touches their
+    * columns, parent-side restrict when a child-referenced column is
+    * rewritten. Costs are proportional to the affected rows (plus one
+    * table scan per touched UNIQUE), and zero for unconstrained tables.
+    */
+  private def validateUpdate(name: String, st: TableState, condition: Column,
+      assignments: Seq[(String, Column)]): Unit = {
+    import org.apache.spark.sql.graft.{ConstraintEnforcer, Constraints}
+    val nm = normalize(name)
+    val tcOpt = Constraints.get(nm)
+    val children = Constraints.childrenOf(nm)
+    if (!tcOpt.exists(_.enforced) && children.isEmpty) return
+    val assignedCols = assignments.map(_._1.toLowerCase).toSet
+    tcOpt.flatMap(_.identity).filter(_.always).foreach { id =>
+      require(!assignedCols.contains(id.column),
+        s"$nm: cannot update GENERATED ALWAYS identity column ${id.column} " +
+          "(create-table.md)")
+    }
+    val setMap = assignments.map { case (k, v) => k.toLowerCase -> v }.toMap
+    lazy val affectedPost = {
+      val base = st.df.filter(condition)
+      base.select(base.columns.map(c =>
+        setMap.get(c.toLowerCase).map(_.as(c)).getOrElse(col(c))): _*)
+    }
+    lazy val rest = st.df.filter(!coalesce(condition, lit(false)))
+    tcOpt.foreach { t =>
+      if (t.notNull.exists(assignedCols) || t.checks.nonEmpty)
+        ConstraintEnforcer.validateRows(nm, affectedPost,
+          t.copy(notNull = t.notNull.filter(assignedCols)))
+      val uqs = t.uniques.filter(_.columns.exists(assignedCols))
+      if (uqs.nonEmpty)
+        ConstraintEnforcer.validateUniques(nm, affectedPost, rest,
+          t.copy(uniques = uqs), None)
+      val fks = t.foreignKeys.filter(_.columns.exists(assignedCols))
+      if (fks.nonEmpty)
+        ConstraintEnforcer.validateForeignKeys(nm, affectedPost,
+          t.copy(foreignKeys = fks), p => table(p))
+    }
+    val refTouched = children.filter(_._2.refColumns.exists(assignedCols))
+    if (refTouched.nonEmpty) {
+      val affectedOld = st.df.filter(condition)
+      val names = refTouched.map(_._2.name).toSet
+      ConstraintEnforcer.validateParentRemoval(nm, refCols =>
+        affectedOld.select(refCols.map(col): _*)
+          .except(affectedPost.select(refCols.map(col): _*))
+          .except(rest.select(refCols.map(col): _*)),
+        p => table(p), f => names.contains(f.name))
+    }
+  }
+
+  /** DELETE-side parent restrict: a referenced-key value may only vanish
+    * if no child row references it (Derby RESTRICT). `remaining` rows
+    * still holding the same value keep it alive.
+    */
+  private def validateDeleteRestrict(nm: String, deleted: => DataFrame,
+      remaining: => DataFrame): Unit = {
+    import org.apache.spark.sql.graft.{ConstraintEnforcer, Constraints}
+    if (Constraints.childrenOf(nm).isEmpty) return
+    val del = deleted
+    val rem = remaining
+    ConstraintEnforcer.validateParentRemoval(nm, refCols =>
+      del.select(refCols.map(col): _*)
+        .except(rem.select(refCols.map(col): _*)),
+      p => table(p))
+  }
+
   /** INSERT INTO: append rows (reference SnappySession.insert:1990).
     * Store-backed: a bucketed DSv2 append — full batches seal, the
     * remainder lands in the delta row buffer. Registered samples of the
@@ -509,7 +679,7 @@ class GraftSession(val spark: SparkSession) {
     */
   def insert(name: String, rows: DataFrame): DataFrame = {
     val st = stateOf(name)
-    val aligned = alignColumns(st.df, rows)
+    val aligned = constrainIncoming(name, st, rows, forPut = false)
     val out =
       if (st.rowBacked) {
         aligned.write.format(GraftRowOps.FORMAT)
@@ -561,20 +731,21 @@ class GraftSession(val spark: SparkSession) {
     */
   def putInto(name: String, source: DataFrame): DataFrame = {
     val st = stateOf(name)
+    val constrained = constrainIncoming(name, st, source, forPut = true)
     if (st.rowBacked) {
       require(st.keyColumns.nonEmpty, s"putInto($name) requires key_columns")
-      GraftRowOps.put(spark, normalize(name), source)
+      GraftRowOps.put(spark, normalize(name), constrained)
       table(name)
     } else if (st.storeBacked) {
       require(st.keyColumns.nonEmpty, s"putInto($name) requires key_columns")
-      GraftStoreOps.putInto(spark, normalize(name), source)
+      GraftStoreOps.putInto(spark, normalize(name), constrained)
       table(name)
     } else mutate(name) { s =>
       require(s.keyColumns.nonEmpty, s"putInto($name) requires key_columns")
       // If the source carries duplicate keys, last-writer-wins is not
       // well-defined for a batch; keep the first by key order for
       // determinism (the reference conflates by key in its sink path).
-      val srcDedup = alignColumns(s.df, source).dropDuplicates(s.keyColumns)
+      val srcDedup = constrained.dropDuplicates(s.keyColumns)
       s.df.join(srcDedup, s.keyColumns, "left_anti")
         .unionByName(srcDedup.select(s.df.columns.map(col): _*))
     }
@@ -587,6 +758,7 @@ class GraftSession(val spark: SparkSession) {
     */
   def update(name: String, condition: Column, assignments: (String, Column)*): DataFrame = {
     val st = stateOf(name)
+    validateUpdate(name, st, condition, assignments)
     if (st.rowBacked) {
       GraftRowOps.update(spark, normalize(name), condition, assignments)
       table(name)
@@ -608,6 +780,8 @@ class GraftSession(val spark: SparkSession) {
     */
   def delete(name: String, condition: Column): DataFrame = {
     val st = stateOf(name)
+    validateDeleteRestrict(normalize(name),
+      st.df.filter(condition), st.df.filter(!coalesce(condition, lit(false))))
     if (st.rowBacked) {
       GraftRowOps.delete(spark, normalize(name), condition)
       table(name)
@@ -745,6 +919,9 @@ class GraftSession(val spark: SparkSession) {
   def deleteKeys(name: String, keys: DataFrame): DataFrame = {
     val st = stateOf(name)
     require(st.keyColumns.nonEmpty, s"deleteKeys($name) requires key_columns")
+    validateDeleteRestrict(normalize(name),
+      st.df.join(keys.select(st.keyColumns.map(col): _*), st.keyColumns, "left_semi"),
+      st.df.join(keys.select(st.keyColumns.map(col): _*), st.keyColumns, "left_anti"))
     if (st.rowBacked) {
       GraftRowOps.deleteKeys(spark, normalize(name), keys)
       table(name)

@@ -117,14 +117,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case Some(CreateTableUsing(n, provider, schema, opts, sel)) =>
         // empty-table form: materialize the schema as an empty relation.
         // CHAR/VARCHAR must surface as STRING (+ metadata) — Spark plans
-        // may not carry raw char/varchar output types
-        val source = sel.map(delegate.parsePlan).getOrElse {
-          val st = org.apache.spark.sql.catalyst.util.CharVarcharUtils
-            .replaceCharVarcharWithStringInSchema(delegate.parseTableSchema(schema.get))
-          org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
-            org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(st))
-        }
-        GraftCreateTableCommand(n, provider, opts, source)
+        // may not carry raw char/varchar output types. Constraint clauses
+        // (NOT NULL / PRIMARY KEY / UNIQUE / FOREIGN KEY / CHECK /
+        // GENERATED ... AS IDENTITY — reference create-table.md) are
+        // extracted here: Spark's schema grammar knows none of them.
+        val (source, constraints) = sel.map(s =>
+            (delegate.parsePlan(s), org.apache.spark.sql.graft.Constraints.TableConstraints()))
+          .getOrElse {
+            val (cleanDdl, tc) =
+              org.apache.spark.sql.graft.Constraints.extract(schema.get)
+            tc.checks.foreach(c => delegate.parseExpression(c.exprSql)) // statement-time
+            val st = org.apache.spark.sql.catalyst.util.CharVarcharUtils
+              .replaceCharVarcharWithStringInSchema(delegate.parseTableSchema(cleanDdl))
+            (org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+              org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(st)), tc)
+          }
+        GraftCreateTableCommand(n, provider, opts, source, constraints)
       case Some(CreateStreamTable(n, schema, provider, opts)) =>
         schema.foreach(delegate.parseTableSchema) // validate at statement time
         GraftCreateStreamTableCommand(n, schema, provider, opts)
@@ -521,7 +529,9 @@ case class GraftCreateStreamTableCommand(name: String, schemaSql: Option[String]
 }
 
 case class GraftCreateTableCommand(name: String, provider: String,
-    options: Map[String, String], source: LogicalPlan)
+    options: Map[String, String], source: LogicalPlan,
+    tableConstraints: org.apache.spark.sql.graft.Constraints.TableConstraints =
+      org.apache.spark.sql.graft.Constraints.TableConstraints())
     extends LeafRunnableCommand with org.apache.spark.internal.Logging {
 
   /** Operational options from the reference's DDL surface
@@ -618,9 +628,33 @@ case class GraftCreateTableCommand(name: String, provider: String,
       buckets = Some(ts.buckets)
       if (partitionBy.isEmpty) partitionBy = ts.partitionBy
     }
-    g.createTable(name, Dataset.ofRows(classic, source),
-      keyColumns = options.get("key_columns").toSeq
-        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+    // constraint scope check (reference create-table.md: "Constraint
+    // (only for Row Tables)" — NOT NULL is the one clause the reference
+    // also accepts on column tables)
+    import org.apache.spark.sql.graft.Constraints
+    if (provider != "row" && (tableConstraints.checks.nonEmpty ||
+        tableConstraints.uniques.nonEmpty || tableConstraints.foreignKeys.nonEmpty ||
+        tableConstraints.identity.nonEmpty || tableConstraints.primaryKey.nonEmpty))
+      throw new IllegalArgumentException(s"CREATE TABLE $name: PRIMARY KEY / " +
+        "UNIQUE / FOREIGN KEY / CHECK / IDENTITY constraints are supported " +
+        "only for row tables (USING ROW)")
+    val optKeys = options.get("key_columns").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    require(optKeys.isEmpty || tableConstraints.primaryKey.isEmpty ||
+        optKeys.map(_.toLowerCase) == tableConstraints.primaryKey,
+      s"CREATE TABLE $name: key_columns option (${optKeys.mkString(",")}) conflicts " +
+        s"with the PRIMARY KEY constraint (${tableConstraints.primaryKey.mkString(",")})")
+    val keyColumns =
+      if (tableConstraints.primaryKey.nonEmpty) tableConstraints.primaryKey else optKeys
+    val sourceDf = Dataset.ofRows(classic, source)
+    // fail BEFORE creating anything: columns exist, identity type legal,
+    // FK targets resolve to a parent PK or UNIQUE constraint
+    val tcChecked = Constraints.validateShape(name.toLowerCase, sourceDf.schema,
+      tableConstraints, ref => g.tableState(ref).map(_.keyColumns).toSeq
+        .filter(_.nonEmpty) ++
+        Constraints.get(ref).toSeq.flatMap(_.uniques.map(_.columns)))
+    g.createTable(name, sourceDf,
+      keyColumns = keyColumns,
       partitionBy = partitionBy,
       buckets = buckets.getOrElse(32),
       provider = provider,
@@ -629,6 +663,10 @@ case class GraftCreateTableCommand(name: String, provider: String,
       compression = options.get("compression").map(_.toLowerCase).getOrElse("none"),
       evictionBudgetBytes = overflowBudgetBytes,
       expireSeconds = expireSeconds)
+    // register AFTER the successful create (createTable cleared any
+    // constraints of a replaced table of the same name)
+    Constraints.register(name.toLowerCase,
+      tcChecked.copy(primaryKey = keyColumns.map(_.toLowerCase)))
     if (heapOverflow) {
       heapPct.flatten.foreach { pct =>
         val budget = Runtime.getRuntime.maxMemory() / 100L * pct
