@@ -119,4 +119,8 @@ def main(sfdir, outdir):
     return 1 if flags else 0
 
 if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        print("usage: type_sweep.py <verify_out_dir> <sf_dir>", file=sys.stderr)
+        print("  checks every oracle SQL's result types against the Spark parquet dump", file=sys.stderr)
+        sys.exit(2)
     sys.exit(main(sys.argv[1], sys.argv[2]))
