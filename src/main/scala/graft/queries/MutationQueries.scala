@@ -632,6 +632,40 @@ object MutationQueries {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), graft.decSum(col("o_totalprice")).as("total"))
         .orderBy("o_orderpriority")
+    },
+
+    // ---- row-table constraints (reference create-table.md:346-364):
+    // the full surface enforced on one insert — GENERATED BY DEFAULT
+    // identity block fill (gap-free per statement), implicit-NOT-NULL
+    // PK, NOT NULL, CHECK, UNIQUE, and a FOREIGN KEY into a row-table
+    // parent. The oracle replays the identity arithmetic: n rows omitted
+    // from the identity column receive exactly {1000 + 7k : k < n} ----
+    QueryDef.sql(
+      "q_constraints_identity",
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(1000 AS BIGINT) AS min_id,
+        |  CAST(1000 + (count(*) - 1) * 7 AS BIGINT) AS max_id,
+        |  CAST(count(*) * 1000 + 7 * (count(*) * (count(*) - 1) / 2) AS BIGINT) AS sum_id
+        |FROM supplier""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      g.sql("CREATE TABLE q_con_nat (n_nationkey int primary key, " +
+        "n_name string, n_regionkey int) USING row")
+      g.insert("q_con_nat", Tables.load(s, dir, "nation"))
+      g.sql("CREATE TABLE q_con_sup (" +
+        "sid bigint generated by default as identity (start with 1000, increment by 7), " +
+        "s_suppkey bigint not null, s_name string not null, s_nationkey int, " +
+        "s_acctbal double check (s_acctbal > -999999999.0), " +
+        "constraint uq_sk unique (s_suppkey), " +
+        "constraint fk_nat foreign key (s_nationkey) references q_con_nat (n_nationkey), " +
+        "primary key (sid)) USING row")
+      // identity column omitted entirely: every row draws from the block
+      g.insert("q_con_sup", Tables.load(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
+      g.table("q_con_sup").agg(
+        count(lit(1)).as("n"),
+        min(col("sid")).as("min_id"),
+        max(col("sid")).as("max_id"),
+        sum(col("sid")).as("sum_id"))
     }
   )
 }
