@@ -539,6 +539,91 @@ class GraftSession(val spark: SparkSession) {
   // NOT NULL / UNIQUE / FOREIGN KEY / CHECK / IDENTITY on row tables;
   // see org.apache.spark.sql.graft.Constraints) ----
 
+  /** ALTER TABLE t ADD [CONSTRAINT name] UNIQUE/FOREIGN KEY/CHECK/PRIMARY
+    * KEY (the reference forwards these clauses to its Derby store,
+    * SnappyDDLParser.alterTable:697). Like Derby, the EXISTING rows must
+    * already satisfy the new constraint — validated with the same
+    * distributed jobs the DML paths use — and the constraint takes effect
+    * for every subsequent statement atomically with registration.
+    */
+  def addConstraint(name: String, clause: String): Unit = {
+    import org.apache.spark.sql.graft.{ConstraintEnforcer, Constraints}
+    val nm = normalize(name)
+    val st = stateOf(nm)
+    require(st.rowBacked, s"ALTER TABLE $nm ADD CONSTRAINT: constraints are " +
+      "supported only for row tables (create-table.md)")
+    val parsed = Constraints.parseConstraintClause(clause)
+    val checked = Constraints.validateShape(nm, st.df.schema, parsed,
+      ref => tableState(ref).map(_.keyColumns).toSeq.filter(_.nonEmpty) ++
+        Constraints.get(ref).toSeq.flatMap(_.uniques.map(_.columns)))
+    val existing = Constraints.get(nm).getOrElse(Constraints.TableConstraints())
+    // PRIMARY KEY is the store's physical key layout — ADD is legal only
+    // as metadata registration of the layout that already exists
+    if (checked.primaryKey.nonEmpty) {
+      require(existing.primaryKey.isEmpty,
+        s"$nm already has a PRIMARY KEY (${existing.primaryKey.mkString(",")})")
+      require(checked.primaryKey == st.keyColumns.map(_.toLowerCase),
+        s"$nm: ADD PRIMARY KEY (${checked.primaryKey.mkString(",")}) must match " +
+          s"the table's physical key layout (${st.keyColumns.mkString(",")}); " +
+          "declare the key at CREATE TABLE or REBUCKET first")
+    }
+    // duplicate-name rejection across every nameable class
+    val taken = (existing.checks.map(_.name) ++ existing.uniques.map(_.name) ++
+      existing.foreignKeys.map(_.name)).toSet
+    (checked.checks.map(_.name) ++ checked.uniques.map(_.name) ++
+      checked.foreignKeys.map(_.name)).filter(taken).foreach(n =>
+      throw new IllegalArgumentException(s"$nm: constraint '$n' already exists"))
+    // existing data must satisfy the new rules (Derby: ADD validates)
+    if (checked.checks.nonEmpty || checked.notNull.nonEmpty)
+      ConstraintEnforcer.validateRows(nm, st.df,
+        checked.copy(uniques = Nil, foreignKeys = Nil))
+    if (checked.uniques.nonEmpty)
+      ConstraintEnforcer.validateUniques(nm, st.df, st.df.limit(0),
+        checked.copy(checks = Nil, foreignKeys = Nil), None)
+    if (checked.foreignKeys.nonEmpty)
+      ConstraintEnforcer.validateForeignKeys(nm, st.df,
+        checked.copy(checks = Nil, uniques = Nil), p => table(p))
+    Constraints.register(nm, Constraints.mergeTable(
+      existing.copy(primaryKey =
+        if (checked.primaryKey.nonEmpty) Nil else existing.primaryKey),
+      checked))
+  }
+
+  /** ALTER TABLE t DROP CONSTRAINT name: removes a named UNIQUE /
+    * FOREIGN KEY / CHECK constraint. NOT NULL is not nameable
+    * (create-table.md) and PRIMARY KEY is the physical layout — neither
+    * drops here. A UNIQUE constraint still referenced by a child foreign
+    * key RESTRICTs, like any parent-key removal.
+    */
+  def dropConstraint(name: String, constraint: String): Unit = {
+    import org.apache.spark.sql.graft.Constraints
+    val nm = normalize(name)
+    stateOf(nm) // table must exist
+    val cn = constraint.toLowerCase
+    val tc = Constraints.get(nm).getOrElse(
+      throw new IllegalArgumentException(s"$nm has no constraints"))
+    val inChecks = tc.checks.exists(_.name == cn)
+    val inUniques = tc.uniques.exists(_.name == cn)
+    val inFks = tc.foreignKeys.exists(_.name == cn)
+    require(inChecks || inUniques || inFks,
+      s"$nm: no UNIQUE / FOREIGN KEY / CHECK constraint named '$cn'")
+    if (inUniques) {
+      val cols = tc.uniques.find(_.name == cn).get.columns
+      val dependents = Constraints.childrenOf(nm)
+        .filter(_._2.refColumns == cols)
+        // still legal if the same column list is ALSO the PK or another
+        // UNIQUE constraint — the parent key survives the drop
+        .filterNot(_ => tc.primaryKey == cols ||
+          tc.uniques.exists(u => u.name != cn && u.columns == cols))
+      require(dependents.isEmpty, s"$nm: cannot drop UNIQUE '$cn': referenced " +
+        s"by foreign key ${dependents.map(d => s"${d._2.name} on ${d._1}").mkString(", ")}")
+    }
+    Constraints.register(nm, tc.copy(
+      checks = tc.checks.filterNot(_.name == cn),
+      uniques = tc.uniques.filterNot(_.name == cn),
+      foreignKeys = tc.foreignKeys.filterNot(_.name == cn)))
+  }
+
   /** Apply table constraints to an incoming INSERT/PUT batch: align,
     * identity-fill, then validate — one fused aggregate job for all
     * row-local rules plus one join per UNIQUE/FK, each over the

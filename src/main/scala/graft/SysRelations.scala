@@ -26,7 +26,7 @@ object SysRelations {
 
   val names: Seq[String] =
     Seq("tablestats", "members", "indexes", "policies", "samples",
-      "sinkstate", "queries", "sketches")
+      "sinkstate", "queries", "sketches", "constraints")
 
   /** Live frame for one sys relation, None for unknown names. */
   def frame(spark: SparkSession, name: String): Option[DataFrame] =
@@ -39,8 +39,35 @@ object SysRelations {
       case "policies" => Some(policies(spark))
       case "sinkstate" => Some(sinkState(spark))
       case "sketches" => Some(sketches(spark))
+      case "constraints" => Some(constraints(spark))
       case _ => None
     }
+
+  /** SYS.CONSTRAINTS (the Derby SYSCONSTRAINTS face of the row-table
+    * constraint registry): one row per constraint, every class — the
+    * reference surfaces the same catalog through `show importedkeys` etc.
+    * (create-table.md FK example). Metadata-only.
+    */
+  private def constraints(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.graft.Constraints
+    val rows = Constraints.all.flatMap { case (t, tc) =>
+      tc.primaryKey.headOption.map(_ => (t, "primary_key", "PRIMARY KEY",
+        tc.primaryKey.mkString(","), null: String, null: String, null: String)).toSeq ++
+      tc.notNull.filterNot(tc.primaryKey.contains).map(c =>
+        (t, "not_null", "NOT NULL", c, null: String, null: String, null: String)) ++
+      tc.uniques.map(u => (t, u.name, "UNIQUE", u.columns.mkString(","),
+        null: String, null: String, null: String)) ++
+      tc.foreignKeys.map(f => (t, f.name, "FOREIGN KEY", f.columns.mkString(","),
+        f.refTable, f.refColumns.mkString(","), null: String)) ++
+      tc.checks.map(c => (t, c.name, "CHECK", null: String,
+        null: String, null: String, c.exprSql)) ++
+      tc.identity.map(i => (t, "identity", if (i.always) "IDENTITY ALWAYS"
+        else "IDENTITY BY DEFAULT", i.column, null: String, null: String,
+        s"START WITH ${i.startWith} INCREMENT BY ${i.incrementBy}")).toSeq
+    }
+    spark.createDataFrame(rows).toDF("table_name", "constraint_name",
+      "constraint_type", "columns", "ref_table", "ref_columns", "detail")
+  }
 
   /** One row per (column table, sketched column): batch digest coverage
     * and the live approx-distinct estimate — the dashboard face of the

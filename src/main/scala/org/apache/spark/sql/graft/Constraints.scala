@@ -89,6 +89,36 @@ object Constraints {
     }
   }
 
+  /** Derby RESTRICT on ALTER TABLE DROP COLUMN: refuse while any
+    * constraint mentions the column — the table's own NOT NULL / CHECK /
+    * UNIQUE / FK / PK / identity, or a child table's foreign key into
+    * this parent. (CHECK expressions are matched by word-bounded column
+    * occurrence — conservative: a false positive refuses a drop that a
+    * full expression analysis might allow, never the reverse.)
+    */
+  def assertColumnDroppable(table: String, column: String): Unit = {
+    val t = table.toLowerCase
+    val c = column.toLowerCase
+    def bail(what: String): Nothing = throw new IllegalArgumentException(
+      s"cannot drop column $c of $t: referenced by $what")
+    get(t).foreach { tc =>
+      if (tc.primaryKey.contains(c)) bail("the PRIMARY KEY")
+      if (tc.notNull.contains(c)) bail("a NOT NULL constraint")
+      tc.identity.filter(_.column == c).foreach(_ => bail("the identity column"))
+      tc.uniques.find(_.columns.contains(c)).foreach(u =>
+        bail(s"UNIQUE constraint ${u.name}"))
+      tc.foreignKeys.find(_.columns.contains(c)).foreach(f =>
+        bail(s"FOREIGN KEY constraint ${f.name}"))
+      val re = ("(?i)(^|[^a-z0-9_])" +
+        java.util.regex.Pattern.quote(c) + "($|[^a-z0-9_])").r
+      tc.checks.find(ck => re.findFirstIn(ck.exprSql).isDefined).foreach(ck =>
+        bail(s"CHECK constraint ${ck.name}"))
+    }
+    childrenOf(t).find(_._2.refColumns.contains(c)).foreach { case (child, f) =>
+      bail(s"foreign key ${f.name} on $child")
+    }
+  }
+
   // ---- manifest persistence (checkpoint/restore) ----
 
   private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
@@ -164,7 +194,10 @@ object Constraints {
     (cleaned.result().mkString(", "), tc)
   }
 
-  private def mergeTable(a: TableConstraints, b: TableConstraints): TableConstraints = {
+  /** Merge two constraint sets (CREATE TABLE accumulation and ALTER
+    * TABLE ADD CONSTRAINT); at most one PRIMARY KEY and one identity.
+    */
+  def mergeTable(a: TableConstraints, b: TableConstraints): TableConstraints = {
     require(a.primaryKey.isEmpty || b.primaryKey.isEmpty,
       "multiple PRIMARY KEY constraints")
     require(a.identity.isEmpty || b.identity.isEmpty,
@@ -262,6 +295,15 @@ object Constraints {
       (name, s.substring(m.end))
     case None => throw new IllegalArgumentException(s"expected identifier in: $s")
   }
+
+  /** Parse one table-level constraint clause (`[CONSTRAINT name]
+    * PRIMARY KEY (...) | UNIQUE (...) | FOREIGN KEY (...) REFERENCES
+    * p (...) | CHECK (expr)`) — the ALTER TABLE ADD CONSTRAINT surface
+    * (the reference routes these to its store's Derby DDL,
+    * SnappyDDLParser.alterTable:697).
+    */
+  def parseConstraintClause(clause: String): TableConstraints =
+    parseTableConstraint(clause.trim)
 
   private def parseTableConstraint(el: String): TableConstraints = {
     var rest = el.trim

@@ -147,6 +147,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftAlterAddColumnCommand(t.toLowerCase, c, dt)
       case Some(AlterDropColumn(t, c)) if g.isManaged(t.toLowerCase) =>
         GraftAlterDropColumnCommand(t.toLowerCase, c)
+      case Some(AlterAddConstraint(t, clause)) if g.isManaged(t.toLowerCase) =>
+        // statement-time shape check: the clause must parse as a
+        // table-level constraint (CHECK exprs parse at ADD time below)
+        org.apache.spark.sql.graft.Constraints.parseConstraintClause(clause)
+        GraftAlterAddConstraintCommand(t.toLowerCase, clause)
+      case Some(AlterDropConstraint(t, n)) if g.isManaged(t.toLowerCase) =>
+        GraftAlterDropConstraintCommand(t.toLowerCase, n.toLowerCase)
       case Some(AlterRebucket(t, n, cs)) if g.isManaged(t.toLowerCase) =>
         GraftAlterRebucketCommand(t.toLowerCase, n, cs)
       case Some(TruncateTable(t)) if g.isManaged(t.toLowerCase) =>
@@ -315,7 +322,32 @@ case class GraftAlterAddColumnCommand(table: String, column: String,
 case class GraftAlterDropColumnCommand(table: String, column: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    // Derby RESTRICT: a column referenced by any constraint (own table's
+    // NOT NULL / CHECK / UNIQUE / FK / PK / identity, or a CHILD table's
+    // foreign key on this parent) cannot be dropped
+    org.apache.spark.sql.graft.Constraints.assertColumnDroppable(
+      table, column.toLowerCase)
     graft.GraftSession(spark).alterTable(table)(_.drop(column))
+    Nil
+  }
+}
+
+/** ALTER TABLE t ADD [CONSTRAINT n] UNIQUE/FOREIGN KEY/CHECK/PRIMARY KEY
+  * — existing rows are validated (Derby semantics), then the constraint
+  * binds for every later statement.
+  */
+case class GraftAlterAddConstraintCommand(table: String, clause: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.GraftSession(spark).addConstraint(table, clause)
+    Nil
+  }
+}
+
+case class GraftAlterDropConstraintCommand(table: String, name: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.GraftSession(spark).dropConstraint(table, name)
     Nil
   }
 }

@@ -59,6 +59,12 @@ object GraftStatements extends RegexParsers {
   final case class AlterAddColumn(table: String, column: String,
       dataTypeSql: String) extends Stmt
   final case class AlterDropColumn(table: String, column: String) extends Stmt
+  /** ALTER TABLE t ADD [CONSTRAINT n] UNIQUE/FK/CHECK/PK clause / DROP
+    * CONSTRAINT n (reference SnappyDDLParser.alterTable:697 forwards
+    * these to the store's Derby DDL).
+    */
+  final case class AlterAddConstraint(table: String, clauseSql: String) extends Stmt
+  final case class AlterDropConstraint(table: String, name: String) extends Stmt
   /** ALTER TABLE t REBUCKET n [BY (cols)] — re-hash a live store table
     * into a new bucket count (optionally new bucket columns): the
     * co-location remedy for mismatched bucket counts (PERF_NOTES §18).
@@ -285,6 +291,21 @@ object GraftStatements extends RegexParsers {
         case t ~ c => AlterDropColumn(t, c)
       }
 
+  // must try BEFORE alterAdd/alterDrop: "ADD CONSTRAINT uq UNIQUE(...)"
+  // would otherwise parse as ADD COLUMN `CONSTRAINT` of type `uq ...`
+  private def alterAddConstraint: Parser[Stmt] =
+    kw("ALTER") ~> kw("TABLE") ~> ident ~
+      (kw("ADD") ~> (kw("CONSTRAINT") | kw("PRIMARY") | kw("UNIQUE") |
+        kw("FOREIGN") | kw("CHECK")) ~ restAll) ^^ {
+        case t ~ (k ~ rest) => AlterAddConstraint(t, s"$k $rest")
+      }
+
+  private def alterDropConstraint: Parser[Stmt] =
+    kw("ALTER") ~> kw("TABLE") ~> ident ~
+      (kw("DROP") ~> kw("CONSTRAINT") ~> ident) ^^ {
+        case t ~ n => AlterDropConstraint(t, n)
+      }
+
   private def truncateTable: Parser[Stmt] =
     kw("TRUNCATE") ~> kw("TABLE") ~> ident ^^ TruncateTable.apply
 
@@ -322,7 +343,8 @@ object GraftStatements extends RegexParsers {
   private def statement: Parser[Stmt] =
     mergeInto | putInto | createPolicy | dropPolicy | createSample | createStream |
       createIndex | dropIndex | optimizeZorder | createFunction | createTableLike |
-      createTableUsing | alterRebucket | alterDrop | alterAdd | truncateTable |
+      createTableUsing | alterRebucket | alterAddConstraint | alterDropConstraint |
+      alterDrop | alterAdd | truncateTable |
       streamingCtl | grantRevoke | update | delete
 
   /** None = not a graft statement (caller delegates to Spark's parser). */

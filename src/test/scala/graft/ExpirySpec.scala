@@ -184,6 +184,42 @@ class ExpirySpec extends SparkTestBase with BeforeAndAfterEach {
     } finally q.stop()
   }
 
+  test("EXPIRE x FOREIGN KEY: child-side and parent-side checks agree on the TTL cut") {
+    val g = GraftSession(spark)
+    import spark.implicits._
+    g.sql("CREATE TABLE exp_fk_par (pid int primary key, pname string) " +
+      "USING row OPTIONS (expire '60')")
+    g.sql("CREATE TABLE exp_fk_ch (cid int primary key, pid int, " +
+      "constraint fk_exp foreign key (pid) references exp_fk_par (pid)) USING row")
+    try {
+      g.insert("exp_fk_par", Seq((1, "a"), (2, "b")).toDF("pid", "pname"))
+      // live parent: the child insert passes, and the parent-side
+      // RESTRICT refuses deleting the referenced key
+      g.insert("exp_fk_ch", Seq((10, 1)).toDF("cid", "pid"))
+      intercept[Exception](g.delete("exp_fk_par", col("pid") === 1))
+      StoreClock.advance(TtlMs + 1000)
+      // the parent rows aged out: the FK lookup sees the SAME liveRefs
+      // cut every read path uses — pid=2 is gone, so the child insert
+      // that passed a minute ago is now an orphan and refuses
+      assert(g.table("exp_fk_par").count() == 0, "parent rows expired")
+      val e = intercept[Exception](g.insert("exp_fk_ch", Seq((11, 2)).toDF("cid", "pid")))
+      assert(e.getMessage.contains("fk_exp"), s"expected FK violation: ${e.getMessage}")
+      // parent-side agrees: a DELETE over the expired parent removes no
+      // LIVE referenced key, so RESTRICT stays quiet even though a child
+      // row still references the (expired) pid=1 — the key vanished via
+      // TTL, not via this statement
+      g.delete("exp_fk_par", lit(true))
+      // and a re-inserted parent key makes the child insert legal again
+      // (ids never resurrect, but VALUES may be re-inserted as new rows)
+      g.insert("exp_fk_par", Seq((2, "b2")).toDF("pid", "pname"))
+      g.insert("exp_fk_ch", Seq((12, 2)).toDF("cid", "pid"))
+      assert(g.table("exp_fk_ch").count() == 2)
+    } finally {
+      StoreClock.reset()
+      g.dropTable("exp_fk_ch"); g.dropTable("exp_fk_par")
+    }
+  }
+
   test("no TTL (default) never expires; negative option rejected") {
     spark.range(10).select(col("id").as("v"))
       .write.format(fmt).option("table", "exp_off").mode("overwrite").save()
