@@ -74,7 +74,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         ident.namespace().toSeq :+ ident.name())
-    val (bucketBy: Seq[String], buckets: Int) = partitions.toSeq match {
+    val (declaredBy: Seq[String], declaredBuckets: Int) = partitions.toSeq match {
       case Seq(BucketTransform(n, cols, Nil)) =>
         (cols.map(_.fieldNames.mkString(".")), n)
       case Seq() => (Nil: Seq[String], 0)
@@ -82,6 +82,34 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
         throw new UnsupportedOperationException(
           s"graftstore supports only bucket(n, cols) partitioning, got: ${other.mkString(",")}")
     }
+    // COLOCATE_WITH through the DSv2 route (same contract as the SQL
+    // DDL route): colocation IS shared bucketing. PERF_NOTES §18 proved
+    // mismatched bucket counts forfeit storage-partitioned joins
+    // ENTIRELY (bucket(4) vs bucket(16) are incompatible
+    // KeyGroupedPartitionings, no align-to-larger) — so a mismatch is an
+    // error at CREATE, not a silent full-shuffle at every join.
+    val (bucketBy: Seq[String], buckets: Int) =
+      Option(properties.get("colocate_with")).map(_.trim.toLowerCase) match {
+        case Some(target) =>
+          val ts = GraftColumnStore.get(target).map(_.snapshot).getOrElse(
+            throw new IllegalArgumentException(
+              s"graftstore: COLOCATE_WITH '$target' is not a managed table"))
+          require(ts.numBuckets > 0,
+            s"graftstore: COLOCATE_WITH '$target' is not bucketed")
+          if (declaredBuckets > 0 && declaredBuckets != ts.numBuckets)
+            throw new IllegalArgumentException(
+              s"graftstore: bucket($declaredBuckets, ...) cannot colocate with " +
+                s"'$target' (${ts.numBuckets} buckets) — mismatched counts forfeit " +
+                "storage-partitioned joins entirely")
+          require(declaredBy.isEmpty || declaredBy.size == ts.bucketBy.size,
+            s"graftstore: bucket column arity ${declaredBy.size} cannot colocate " +
+              s"with '$target' (${ts.bucketBy.size} columns)")
+          val by = if (declaredBy.nonEmpty) declaredBy else ts.bucketBy
+          by.foreach(c => require(schema.fieldNames.map(_.toLowerCase).contains(c.toLowerCase),
+            s"graftstore: inherited colocation column '$c' is not in the schema of $nm"))
+          (by, ts.numBuckets)
+        case None => (declaredBy, declaredBuckets)
+      }
     val keys = Option(properties.get("key_columns"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     // Validate EVERY property before createOrReplace registers the

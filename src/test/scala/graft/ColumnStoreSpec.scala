@@ -178,4 +178,43 @@ class ColumnStoreSpec extends SparkTestBase {
     assert(spark.table("graft.cat_bad").count() == 1)
     spark.sql("DROP TABLE graft.cat_bad")
   }
+
+  test("catalog COLOCATE_WITH: bucket-count mismatch rejected at CREATE, layout inherited when omitted") {
+    import org.apache.spark.sql.graft.store.GraftColumnStore
+    spark.sql("DROP TABLE IF EXISTS graft.cat_colo_child")
+    spark.sql("DROP TABLE IF EXISTS graft.cat_par")
+    spark.sql("CREATE TABLE graft.cat_par (pk BIGINT, pv STRING) USING graft " +
+      "PARTITIONED BY (bucket(8, pk))")
+    try {
+      // the silent-forfeit case (PERF_NOTES §18): bucket(4) vs the
+      // target's bucket(8) would hash-shuffle BOTH sides of every
+      // "colocated" join — reject at CREATE, and leave no phantom entry
+      val err = intercept[Exception] {
+        spark.sql("CREATE TABLE graft.cat_colo_child (ck BIGINT, cv DOUBLE) USING graft " +
+          "PARTITIONED BY (bucket(4, ck)) OPTIONS (colocate_with 'cat_par')")
+      }
+      assert(err.getMessage.contains("cannot colocate"), err.getMessage)
+      assert(GraftColumnStore.get("cat_colo_child").isEmpty, "phantom entry after failed CREATE")
+      // a matching explicit count binds; the child's own bucket column is kept
+      spark.sql("CREATE TABLE graft.cat_colo_child (ck BIGINT, cv DOUBLE) USING graft " +
+        "PARTITIONED BY (bucket(8, ck)) OPTIONS (colocate_with 'cat_par')")
+      val child = GraftColumnStore("cat_colo_child").snapshot
+      assert(child.numBuckets == 8 && child.bucketBy == Seq("ck"))
+      spark.sql("DROP TABLE graft.cat_colo_child")
+      // omitted layout inherits the target's (column must exist in the schema)
+      spark.sql("CREATE TABLE graft.cat_colo_child (pk BIGINT, cv DOUBLE) USING graft " +
+        "OPTIONS (colocate_with 'cat_par')")
+      val inherited = GraftColumnStore("cat_colo_child").snapshot
+      assert(inherited.numBuckets == 8 && inherited.bucketBy == Seq("pk"))
+      // an unknown target is rejected
+      val e2 = intercept[Exception] {
+        spark.sql("CREATE TABLE graft.cat_colo_none (k BIGINT) USING graft " +
+          "OPTIONS (colocate_with 'no_such_table')")
+      }
+      assert(e2.getMessage.contains("not a managed table"), e2.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft.cat_colo_child")
+      spark.sql("DROP TABLE IF EXISTS graft.cat_par")
+    }
+  }
 }
