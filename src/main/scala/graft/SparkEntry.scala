@@ -18,6 +18,7 @@ object SparkEntry {
       graft.queries.TpcdsQueries.defs ++
       graft.queries.TpcdsQueries2.defs ++
       graft.queries.TpcdsQueries3.defs ++
+      graft.queries.TpcdsQueries4.defs ++
       graft.queries.RelationalQueries.defs ++
       graft.queries.EventQueries.defs ++
       graft.queries.PipelineQueries.defs ++

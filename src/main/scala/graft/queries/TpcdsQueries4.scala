@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TPC-DS-shaped wave 6 (reference: cluster/src/test/.../benchmark/snappy/
+  * tpcds/): the two harness mechanics the earlier waves still missed —
+  * q67's windowed top-k over a ROLLUP hierarchy (rank the rollup output
+  * within each category partition, keep only the leaders — the "market
+  * share report" shape), and q41's mutual-exclusion HAVING (groups that
+  * HAVE one attribute combination and categorically LACK another,
+  * expressed as paired conditional aggregates, never a self-join).
+  *
+  * Parity notes: revenue is summed in exact 10⁻⁴-dollar units
+  * (DECIMAL(18,4) * 10000 → BIGINT, the q_ds_returns_net idiom) so no
+  * float rounding can flip a rank; rank ties break on the brand name.
+  */
+object TpcdsQueries4 {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q67 shape: rollup(category, brand) revenue, ranked within each
+    // hierarchy level + category partition, top-3 kept. The rollup is one
+    // partial+final aggregate pass over the fact; the window runs over
+    // the rollup OUTPUT (|types|·|brands| rows — metadata scale), so the
+    // rank+filter cost is invisible at 100 TB. ----
+    QueryDef.sql(
+      "q_ds_category_topk",
+      """WITH g AS (
+        |  SELECT p_type, p_brand,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) * 10000) AS BIGINT) AS rev_e4,
+        |    CAST(GROUPING(p_type) + GROUPING(p_brand) AS INTEGER) AS lochierarchy,
+        |    CAST(GROUPING(p_brand) AS INTEGER) AS gb
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY ROLLUP(p_type, p_brand))
+        |SELECT p_type, p_brand, rev_e4, lochierarchy, rk FROM (
+        |  SELECT p_type, p_brand, rev_e4, lochierarchy,
+        |    rank() OVER (PARTITION BY lochierarchy,
+        |                   CASE WHEN gb = 0 THEN p_type END
+        |                 ORDER BY rev_e4 DESC, coalesce(p_brand, '')) AS rk
+        |  FROM g)
+        |WHERE rk <= 3
+        |ORDER BY lochierarchy, coalesce(p_type, ''), rk""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val part = Tables.load(s, dir, "part")
+      val g = li.join(part, col("l_partkey") === col("p_partkey"))
+        .rollup(col("p_type"), col("p_brand"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)") * 10000).cast("long").as("rev_e4"),
+          (grouping(col("p_type")) + grouping(col("p_brand")))
+            .cast("int").as("lochierarchy"),
+          grouping(col("p_brand")).cast("int").as("gb"))
+      val w = Window
+        .partitionBy(col("lochierarchy"), when(col("gb") === 0, col("p_type")))
+        .orderBy(col("rev_e4").desc, coalesce(col("p_brand"), lit("")))
+      g.withColumn("rk", rank().over(w))
+        .filter(col("rk") <= 3)
+        .select("p_type", "p_brand", "rev_e4", "lochierarchy", "rk")
+        .orderBy(col("lochierarchy"), coalesce(col("p_type"), lit("")), col("rk"))
+    },
+
+    // ---- q41 shape: mutual-exclusion HAVING over the part dimension —
+    // brands that DO sell small economy parts and categorically DON'T
+    // sell jumbo promo parts. One aggregate pass over the dimension (the
+    // reference formulates this as a correlated count subquery; the
+    // conditional-aggregate HAVING is the same semantics with no
+    // self-join — dimension-bounded, never fact-scale). ----
+    QueryDef.sql(
+      "q_ds_mutual_exclusion",
+      """SELECT p_brand, count(*) AS n_parts,
+        |  CAST(count(DISTINCT CASE WHEN p_size <= 10 AND p_type = 'ECONOMY'
+        |    THEN p_name END) AS BIGINT) AS n_small_econ_names
+        |FROM part
+        |GROUP BY p_brand
+        |HAVING sum(CASE WHEN p_size <= 10 AND p_type = 'ECONOMY' THEN 1 ELSE 0 END) > 0
+        |   AND sum(CASE WHEN p_size >= 45 AND p_type = 'PROMO' THEN 1 ELSE 0 END) = 0
+        |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      val part = Tables.load(s, dir, "part")
+      val smallEcon = col("p_size") <= 10 && col("p_type") === "ECONOMY"
+      val jumboPromo = col("p_size") >= 45 && col("p_type") === "PROMO"
+      part.groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_parts"),
+          countDistinct(when(smallEcon, col("p_name"))).cast("long")
+            .as("n_small_econ_names"),
+          sum(when(smallEcon, 1).otherwise(0)).as("_has_small"),
+          sum(when(jumboPromo, 1).otherwise(0)).as("_has_jumbo"))
+        .filter(col("_has_small") > 0 && col("_has_jumbo") === 0)
+        .select("p_brand", "n_parts", "n_small_econ_names")
+        .orderBy(col("p_brand"))
+    }
+  )
+}
