@@ -25,8 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // live at analysis time — the reference's SYS schema surface
     e.injectResolutionRule(session => SysRelationRule(session))
     e.injectResolutionRule(session => org.apache.spark.sql.graft.GrantCheckRule(session))
-    // opt-in (spark.sql.graft.dictJoin=true): dictionary-code join fast
-    // path for store-scan ⋈ small-dim string joins
+    // dictionary-code join fast path for store-scan ⋈ small-dim string
+    // joins (spark.sql.graft.dictJoin = false|auto|true, default auto:
+    // fires only when the probe key is actually dict-encoded)
     e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.store.DictJoinStrategy)
     // whole-table approx_count_distinct over sketch_columns tables →
     // answered from per-batch HLL digests (no scan); declines on any

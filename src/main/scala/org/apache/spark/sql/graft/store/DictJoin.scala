@@ -437,13 +437,24 @@ case class DictJoinExec(streamKeyIdx: Int, buildKeyIdx: Int,
   }
 }
 
-/** Planner strategy (opt-in: `spark.sql.graft.dictJoin=true`): rewrites
-  * `Join(Inner | LeftOuter | LeftSemi | LeftAnti, probeKey = buildKey)`
-  * to [[DictJoinExec]] when the probe side is EXACTLY a graft column-store scan (bare DSv2 relation — any
+/** Planner strategy (`spark.sql.graft.dictJoin = false | auto | true`):
+  * rewrites `Join(Inner | LeftOuter | LeftSemi | LeftAnti,
+  * probeKey = buildKey)` to [[DictJoinExec]] when the probe side is
+  * EXACTLY a graft column-store scan (bare DSv2 relation — any
   * interposed Project/Filter keeps Spark's planning), the key is a
-  * string column, and the build side fits the broadcast threshold. Off
-  * by default so every existing query plans byte-identically; StoreBench
-  * and DictJoinSpec exercise the enabled path.
+  * string column, and the build side fits the broadcast threshold.
+  *
+  * Modes (default `auto`):
+  *  - `false` — off; every query plans byte-identically to stock Spark.
+  *  - `auto` — cost-gated: additionally requires the probe key column to
+  *    actually BE dictionary-encoded in the store
+  *    ([[GraftColumnStore.likelyDictEncoded]], sampled from resident
+  *    batches only). A plain-encoded high-cardinality key gains nothing
+  *    from per-code memoization and would leave whole-stage codegen for
+  *    no win, so auto declines and Spark's BHJ plans as usual.
+  *  - `true` — fire on every legal shape (the per-row fallback inside
+  *    [[DictJoinExec]] keeps plain-encoded batches correct); StoreBench
+  *    and DictJoinSpec exercise this path explicitly.
   */
 object DictJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
@@ -453,10 +464,17 @@ object DictJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 
   val CONF_KEY = "spark.sql.graft.dictJoin"
+  // default flipped to auto after the r8 experiment: PlanDiff proved all
+  // 203 suite queries plan identically (normalized) under auto vs false,
+  // and DictJoinSpec pins that auto fires exactly on dict-encoded keys
+  // (PERF_NOTES §19)
+  val DEFAULT_MODE = "auto"
 
   override def apply(plan: LogicalPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
     val conf = org.apache.spark.sql.internal.SQLConf.get
-    if (!conf.getConfString(CONF_KEY, "false").toBoolean) return Nil
+    // tolerate the historical booleans; any unrecognized value = off
+    val mode = conf.getConfString(CONF_KEY, DEFAULT_MODE).toLowerCase
+    if (mode != "true" && mode != "auto") return Nil
     plan match {
       case Join(l, r, jt,
           Some(EqualTo(a: AttributeReference, b: AttributeReference)), _)
@@ -466,12 +484,12 @@ object DictJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy
         // scan, so the retained node is a residual re-check). DictJoinExec
         // skips null probe keys inherently, so exactly that filter is
         // absorbed; any other interposed node keeps Spark's planning.
-        val (scanRel, residual) = l match {
-          case s @ DataSourceV2ScanRelation(_, _: GraftScan, _, _, _) =>
-            (s, None)
+        val (scanRel, graftScan, residual) = l match {
+          case s @ DataSourceV2ScanRelation(_, g: GraftScan, _, _, _) =>
+            (s, g, None)
           case org.apache.spark.sql.catalyst.plans.logical.Filter(cond,
-              s @ DataSourceV2ScanRelation(_, _: GraftScan, _, _, _)) =>
-            (s, Some(cond))
+              s @ DataSourceV2ScanRelation(_, g: GraftScan, _, _, _)) =>
+            (s, g, Some(cond))
           case _ => return Nil
         }
         val (pk, bk) =
@@ -496,6 +514,11 @@ object DictJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy
         if (!filterAbsorbable) return Nil
         if (pk.dataType != StringType) return Nil
         if (r.stats.sizeInBytes > conf.autoBroadcastJoinThreshold) return Nil
+        // auto mode's cost gate: only fire when the per-code memoization
+        // has codes to work with — the probe key must actually be
+        // dict-encoded in the store (resident-batch majority)
+        if (mode == "auto" &&
+            !GraftColumnStore.likelyDictEncoded(graftScan.table, pk.name)) return Nil
         val keyIdx = scanRel.output.indexWhere(_.exprId == pk.exprId)
         val buildIdx = r.output.indexWhere(_.exprId == bk.exprId)
         if (keyIdx < 0 || buildIdx < 0) return Nil

@@ -484,6 +484,11 @@ object GraftColumnStore {
     private lazy val spillDir =
       SpillSweep.registeredTempDir("graft-overflow-", "graft-spill-sweep")
 
+    /** Resident-tier peek: no spill reload, no LRU touch — for plan-time
+      * heuristics that must never perturb the tier they inspect.
+      */
+    def residentBatch(id: Long): Option[StoreBatch] = batches.get(id)
+
     def putBatch(b: StoreBatch): Long = {
       val id = nextId.incrementAndGet()
       batches.put(id, b)
@@ -943,6 +948,29 @@ object GraftColumnStore {
       TableSnapshot(schema, bucketBy, numBuckets, keyColumns, Vector.empty, Map.empty, Map.empty)))
 
   def get(name: String): Option[StoreTable] = tables.get(name)
+
+  /** Plan-time heuristic for [[DictJoinStrategy]]'s auto mode: does the
+    * column's sealed data look dictionary-encoded? Samples up to 8
+    * RESIDENT sealed batches — never faults a spilled payload in and
+    * never inflates an LZ4 column for a planning decision (both count as
+    * non-dict) — and requires a dict majority among the sample. An empty
+    * or fully-spilled table answers false (auto declines, Spark plans
+    * normally).
+    */
+  def likelyDictEncoded(table: String, column: String): Boolean =
+    get(table).exists { t =>
+      val snap = t.snapshot
+      val idx = snap.schema.fieldNames.indexWhere(_.equalsIgnoreCase(column))
+      idx >= 0 && {
+        // refs are ALL sealed batches (isDelta only marks the partial
+        // row-buffer seals, encoded identically) — sample them all
+        val sampled = snap.refs.iterator
+          .flatMap(r => BatchRegistry.residentBatch(r.id))
+          .take(8).toSeq
+        sampled.nonEmpty &&
+          sampled.count(_.columns(idx).isInstanceOf[DictColumn]) * 2 > sampled.size
+      }
+    }
 
   def tableNames: Seq[String] = tables.keys.toSeq.sorted
 

@@ -132,6 +132,47 @@ class DictJoinSpec extends SparkTestBase {
     g.dropTable("dj_louter2")
   }
 
+  test("auto mode: fires only when the probe key is actually dict-encoded") {
+    val g = GraftSession(spark)
+    import spark.implicits._
+    val K = org.apache.spark.sql.graft.store.DictJoinStrategy.CONF_KEY
+    // 5-value priority column → dictionary-encoded at seal
+    g.createTable("dj_auto_dict", Tables.load(spark, sf, "orders"))
+    // all-unique key → dict tracking aborts, plain encoding at seal
+    g.createTable("dj_auto_plain",
+      (1 to 20000).map(i => (s"key_$i", i)).toDF("k", "v"))
+    val dim = Seq(("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
+      ("4-NOT SPECIFIED", 4), ("5-LOW", 5)).toDF("prio", "rank")
+    val hidim = (1 to 50).map(i => (s"key_$i", i)).toDF("hk", "r")
+    def dictQ = {
+      val p = org.apache.spark.sql.graft.store.GraftStoreOps.read(spark, "dj_auto_dict")
+      p.join(dim, p("o_orderpriority") === dim("prio"))
+    }
+    def plainQ = {
+      val p = org.apache.spark.sql.graft.store.GraftStoreOps.read(spark, "dj_auto_plain")
+      p.join(hidim, p("k") === hidim("hk"))
+    }
+    val offDict = dictQ.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val offPlain = plainQ.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    try {
+      spark.conf.set(K, "auto")
+      val d = dictQ
+      assert(d.queryExecution.executedPlan.toString.contains("DictJoin"),
+        s"auto should fire on a dict-encoded key:\n${d.queryExecution.executedPlan}")
+      assert(d.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq === offDict)
+      val pl = plainQ
+      assert(!pl.queryExecution.executedPlan.toString.contains("DictJoin"),
+        s"auto must decline a plain-encoded key:\n${pl.queryExecution.executedPlan}")
+      assert(pl.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq === offPlain)
+      // mode=true keeps firing even on the plain key (per-row fallback)
+      spark.conf.set(K, "true")
+      val forced = plainQ
+      assert(forced.queryExecution.executedPlan.toString.contains("DictJoin"))
+      assert(forced.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq === offPlain)
+    } finally spark.conf.unset(K)
+    g.dropTable("dj_auto_dict"); g.dropTable("dj_auto_plain")
+  }
+
   test("strategy: bare join output survives collect and sort (UnsafeRow consumers)") {
     // regression for the reused-JoinedRow output bug: with the strategy
     // on, a DictJoinExec at the plan ROOT feeds executeCollect's
