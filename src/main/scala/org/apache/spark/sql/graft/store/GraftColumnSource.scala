@@ -266,6 +266,11 @@ class GraftScan(tableName: String, fullSchema: StructType,
     extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
 
+  /** Store-table identity, for planner rules that inspect store metadata
+    * (DictJoinStrategy's auto gate reads the key column's encoding).
+    */
+  def table: String = tableName
+
   // One consistent snapshot for the whole scan (planning + stats),
   // captured together with a reader lease so payloads it references
   // survive concurrent mutations until the last partition reader closes
@@ -380,9 +385,86 @@ class GraftScan(tableName: String, fullSchema: StructType,
         snapshot.numBuckets)
     else new UnknownPartitioning(keptWork.size)
 
-  override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(1L, snapshot.sizeBytes))
-    override def numRows(): OptionalLong = OptionalLong.of(snapshot.rowCount)
+  /** Planning statistics, pushed-filter-aware (the DSv2 contract calls
+    * this AFTER pushdown): size/rows count only the batches that survive
+    * stats pruning for the pushed predicates — so a selectively-filtered
+    * scan that will read one batch reports one batch's bytes, and Spark
+    * broadcasts it instead of shuffle-joining on the whole-table size.
+    * This is the store-metadata ANALYZE: per-column stats come straight
+    * from the batch stats rows + HLL digests the store already keeps
+    * (verdict r7 ask #9) — no scan, no ANALYZE command, always current.
+    * With `spark.sql.cbo.enabled` Spark folds the column stats into
+    * filter/join cardinality estimation (distinct counts from sketches;
+    * PK/bucket-key columns report rowCount — unique by construction).
+    * All numbers are estimates over LIVE refs (deletes make them upper
+    * bounds until compact), exactly the contract CBO expects.
+    */
+  override def estimateStatistics(): Statistics = {
+    val works = keptWork
+    val rows = works.foldLeft(0L)(_ + _.ref.numRows)
+    val bytes = works.foldLeft(0L)((acc, w) =>
+      acc + GraftColumnStore.BatchRegistry.sizeBytes(w.ref.id))
+    val colStats = new java.util.HashMap[org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    val snap = snapshot
+    required.fieldNames.foreach { fn =>
+      val idx = fullSchema.fieldNames.indexOf(fn)
+      if (idx >= 0) {
+        val dt = fullSchema.fields(idx).dataType
+        var nulls = 0L
+        var minV: Any = null; var maxV: Any = null
+        works.foreach { w =>
+          val st = w.ref.stats(idx)
+          nulls += st.nullCount
+          // expose min/max only when the stored value's runtime type IS
+          // the column's Spark type (DECIMAL batches keep unscaled longs,
+          // strings keep JVM strings — neither is a catalyst literal)
+          def aligned(v: Any): Boolean = (dt, v) match {
+            case (org.apache.spark.sql.types.IntegerType, _: java.lang.Integer) => true
+            case (org.apache.spark.sql.types.LongType, _: java.lang.Long) => true
+            case (org.apache.spark.sql.types.DoubleType, _: java.lang.Double) => true
+            case (org.apache.spark.sql.types.FloatType, _: java.lang.Float) => true
+            case _ => false
+          }
+          @inline def cmp(a: Any, b: Any): Int =
+            a.asInstanceOf[Comparable[Any]].compareTo(b)
+          if (st.min != null && aligned(st.min) &&
+              (minV == null || cmp(st.min, minV) < 0)) minV = st.min
+          if (st.max != null && aligned(st.max) &&
+              (maxV == null || cmp(st.max, maxV) > 0)) maxV = st.max
+        }
+        val dDistinct: Long =
+          if (snap.keyColumns == Seq(fn)) rows // single-column PK: unique rows
+          else if (snap.sketchBy.contains(fn)) {
+            // union the SURVIVING batches' digests (pruning-aware); a
+            // pre-sketch batch (null digest) declines rather than lies.
+            // Update-delta digests are skipped here — planning estimates
+            // may slightly under-count post-UPDATE distincts until compact.
+            val digests = works.map(_.ref.stats(idx).distinctSketch)
+            if (works.nonEmpty && digests.forall(_ != null))
+              GraftColumnStore.DistinctSketch.estimate(digests.iterator)
+            else -1L
+          } else -1L
+        val dMin = minV; val dMax = maxV; val dNulls = nulls
+        colStats.put(Expressions.column(fn),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): OptionalLong =
+              if (dDistinct >= 0) OptionalLong.of(dDistinct) else OptionalLong.empty()
+            override def min(): java.util.Optional[Object] =
+              java.util.Optional.ofNullable(dMin.asInstanceOf[Object])
+            override def max(): java.util.Optional[Object] =
+              java.util.Optional.ofNullable(dMax.asInstanceOf[Object])
+            override def nullCount(): OptionalLong = OptionalLong.of(dNulls)
+          })
+      }
+    }
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(1L, bytes))
+      override def numRows(): OptionalLong = OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
