@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SYS virtual tables (sys.tablestats, sys.members, ...) resolved
     // live at analysis time — the reference's SYS schema surface
     e.injectResolutionRule(session => SysRelationRule(session))
+    // CREATE SYNONYM resolution: bare-name relations that match a
+    // registered synonym rewrite to their (cycle-checked) target
+    e.injectResolutionRule(session => SynonymRule(session))
     e.injectResolutionRule(session => org.apache.spark.sql.graft.GrantCheckRule(session))
     // dictionary-code join fast path for store-scan ⋈ small-dim string
     // joins (spark.sql.graft.dictJoin = false|auto|true, default auto:
@@ -149,5 +152,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("current_schema", "current_schema() - current database name"),
       (_: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.CurrentDatabase()))
+    // reference `VALUES CURRENT ISOLATION` (set-isolation.md): surfaced
+    // as a function reading the session's recorded level (NONE | CS)
+    e.injectFunction((FunctionIdentifier("current_isolation"),
+      info("current_isolation", "current_isolation() - session isolation level (NONE | CS)"),
+      (_: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            org.apache.spark.sql.internal.SQLConf.get
+              .getConfString("spark.sql.graft.isolation", "NONE")),
+          org.apache.spark.sql.types.StringType)))
   }
 }

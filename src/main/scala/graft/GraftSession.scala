@@ -88,7 +88,70 @@ class GraftSession(val spark: SparkSession) {
       .toDF("ended_at", "op", "duration_ms", "status", "root_plan")
   }
 
-  private def normalize(name: String): String = name.toLowerCase
+  // ---- synonyms (reference create-synonym.md): alternate SQL names,
+  // resolved wherever a table is REFERENCED (normalize), guarded at
+  // every definition site (CREATE/DROP/restore refuse synonym names —
+  // Derby errors there too). Nested synonyms allowed; cycles rejected
+  // at CREATE (42916 analog) so resolution is a bounded walk.
+  private val synonymMap = TrieMap.empty[String, String]
+
+  def createSynonym(name: String, target: String): Unit = {
+    val n = name.toLowerCase; val t = target.toLowerCase
+    require(!n.startsWith("sys.") && n != "sys",
+      s"CREATE SYNONYM $name: system schemas are reserved")
+    require(!synonymMap.contains(n), s"synonym already exists: $name")
+    require(!tables.contains(n) && !spark.catalog.tableExists(n),
+      s"CREATE SYNONYM $name: a table or view with this name already exists")
+    var cur = t; var hops = 0
+    while (synonymMap.contains(cur)) {
+      cur = synonymMap(cur); hops += 1
+      require(cur != n && hops < 64,
+        s"CREATE SYNONYM $name: circular synonym chain")
+    }
+    // target may not exist yet (reference warns, SQLSTATE 01522): legal —
+    // the chain just fails at USE time with table-not-found
+    synonymMap.put(n, t)
+  }
+
+  def dropSynonym(name: String): Unit =
+    require(synonymMap.remove(name.toLowerCase).isDefined,
+      s"synonym not found: $name")
+
+  def isSynonym(name: String): Boolean = synonymMap.contains(name.toLowerCase)
+
+  def resolveSynonym(name: String): String = {
+    var cur = name.toLowerCase; var hops = 0
+    while (synonymMap.contains(cur) && hops < 64) { cur = synonymMap(cur); hops += 1 }
+    cur
+  }
+
+  def synonyms: Seq[(String, String)] = synonymMap.toSeq.sorted
+
+  /** SET ISOLATION (reference set-isolation.md): NONE/RESET and
+    * READ COMMITTED (CS) are accepted — the store's snapshot-per-statement
+    * reads ARE read-committed. REPEATABLE READ (RS) needs multi-statement
+    * transactions this engine deliberately does not have, so it is
+    * REFUSED rather than silently weakened. `current_isolation()` reads
+    * the recorded level back (the `VALUES CURRENT ISOLATION` analog).
+    */
+  def setIsolation(level: String): Unit = {
+    val norm = level.trim.toUpperCase.replaceAll("\\s+", " ")
+    norm match {
+      case "NONE" | "RESET" =>
+        spark.conf.set("spark.sql.graft.isolation", "NONE")
+      case "CS" | "READ COMMITTED" =>
+        spark.conf.set("spark.sql.graft.isolation", "CS")
+      case "RS" | "REPEATABLE READ" =>
+        throw new UnsupportedOperationException(
+          "SET ISOLATION REPEATABLE READ: multi-statement transactions are " +
+            "not supported — snapshot-per-statement gives READ COMMITTED " +
+            "semantics (use READ COMMITTED or NONE)")
+      case other =>
+        throw new IllegalArgumentException(s"SET ISOLATION: unknown level '$other'")
+    }
+  }
+
+  private def normalize(name: String): String = resolveSynonym(name)
 
   import org.apache.spark.sql.graft.store.{GraftColumnStore, GraftRowOps, GraftRowStore, GraftStoreOps}
 
@@ -109,6 +172,7 @@ class GraftSession(val spark: SparkSession) {
       compression: String = "none",
       evictionBudgetBytes: Long = 0L,
       expireSeconds: Long = 0L): DataFrame = {
+    require(!isSynonym(name), s"CREATE TABLE $name: name is a synonym")
     val nm = normalize(name)
     // a replaced table must not inherit the old table's constraints —
     // the DDL command re-registers the new ones after this returns
@@ -218,7 +282,39 @@ class GraftSession(val spark: SparkSession) {
     }
   }
 
+  /** Checkpoint to the table's bound DISKSTORE (reference persistence:
+    * "a table that does not target a named disk store uses the default
+    * disk store" — here a named binding is REQUIRED for the no-dir form,
+    * because an implicit working-dir default would silently scatter
+    * durable state).
+    */
+  def checkpointTable(name: String): Unit =
+    checkpointTable(name, diskstoreDirFor(name, "checkpointTable"))
+
+  /** Restore from the table's bound DISKSTORE directory (or, in a fresh
+    * JVM, from whichever registered diskstore holds a checkpoint of this
+    * name); re-binds the table so later checkpoints write back there.
+    */
+  def restoreTable(name: String): DataFrame = {
+    import org.apache.spark.sql.graft.store.Diskstores
+    val dir = diskstoreDirFor(name, "restoreTable")
+    val df = restoreTable(name, dir)
+    val parent = java.nio.file.Paths.get(dir).getParent
+    Diskstores.all.find(_.dirs.exists(d =>
+      java.nio.file.Paths.get(d).toAbsolutePath.normalize ==
+        parent.toAbsolutePath.normalize))
+      .foreach(ds => Diskstores.bind(normalize(name), ds.name))
+    df
+  }
+
+  private def diskstoreDirFor(name: String, op: String): String =
+    org.apache.spark.sql.graft.store.Diskstores.checkpointDir(normalize(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$op($name): no DISKSTORE bound — create the table with " +
+          "OPTIONS (diskstore 'name') or pass an explicit directory"))
+
   def restoreTable(name: String, dir: String): DataFrame = {
+    require(!isSynonym(name), s"restoreTable($name): name is a synonym")
     val nm = normalize(name)
     // the manifest knows which store the table came from
     val p = org.apache.spark.sql.graft.store.GraftManifest.read(spark, dir)
@@ -414,6 +510,8 @@ class GraftSession(val spark: SparkSession) {
   }
 
   def dropTable(name: String): Unit = {
+    require(!isSynonym(name),
+      s"DROP TABLE $name: name is a synonym — use DROP SYNONYM")
     val nm = normalize(name)
     locally {
       import org.apache.spark.sql.graft.Constraints
@@ -433,6 +531,7 @@ class GraftSession(val spark: SparkSession) {
     // write already committed
     samples.remove(nm)
     samples.mapValuesInPlace { (_, infos) => infos.filterNot(_.table == nm) }
+    org.apache.spark.sql.graft.store.Diskstores.unbind(nm)
     spark.catalog.dropTempView(nm)
   }
 
@@ -525,10 +624,19 @@ class GraftSession(val spark: SparkSession) {
   private def alignColumns(target: DataFrame, source: DataFrame): DataFrame = {
     require(source.columns.length == target.columns.length,
       s"source has ${source.columns.length} columns, table has ${target.columns.length}")
-    if (source.columns.toSeq == target.columns.toSeq) source
-    else if (source.columns.toSet == target.columns.toSet)
-      source.select(target.columns.map(col): _*)
-    else source.toDF(target.columns.toSeq: _*)
+    val named =
+      if (source.columns.toSeq == target.columns.toSeq) source
+      else if (source.columns.toSet == target.columns.toSet)
+        source.select(target.columns.map(col): _*)
+      else source.toDF(target.columns.toSeq: _*)
+    // INSERT-style type alignment: VALUES literals arrive as int where
+    // the table column is bigint (etc.) — without the cast the mismatch
+    // reaches the store (and its key-probe pushdown compares Integer
+    // against Long stats and crashes)
+    if (named.schema.fields.zip(target.schema.fields)
+        .forall { case (s, t) => s.dataType == t.dataType }) named
+    else named.select(target.schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
   private def stateOf(name: String): TableState =
@@ -841,8 +949,17 @@ class GraftSession(val spark: SparkSession) {
     * column) update deltas written by tasks, merged at scan — O(delta)
     * per statement (GraftStoreOps.update).
     */
-  def update(name: String, condition: Column, assignments: (String, Column)*): DataFrame = {
+  def update(name: String, condition: Column, assignments0: (String, Column)*): DataFrame = {
     val st = stateOf(name)
+    // assignment values cast to the column's type (SET v = 0 writes an
+    // int literal — uncast it would land as Integer in a bigint column's
+    // delta and crash the scan's typed fill)
+    val assignments = assignments0.map { case (c, v) =>
+      st.df.schema.fields.find(_.name.equalsIgnoreCase(c)) match {
+        case Some(f) => c -> v.cast(f.dataType)
+        case None => c -> v
+      }
+    }
     validateUpdate(name, st, condition, assignments)
     if (st.rowBacked) {
       GraftRowOps.update(spark, normalize(name), condition, assignments)

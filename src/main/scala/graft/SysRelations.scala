@@ -26,7 +26,8 @@ object SysRelations {
 
   val names: Seq[String] =
     Seq("tablestats", "members", "indexes", "policies", "samples",
-      "sinkstate", "queries", "sketches", "constraints")
+      "sinkstate", "queries", "sketches", "constraints", "diskstores",
+      "synonyms")
 
   /** Live frame for one sys relation, None for unknown names. */
   def frame(spark: SparkSession, name: String): Option[DataFrame] =
@@ -40,8 +41,30 @@ object SysRelations {
       case "sinkstate" => Some(sinkState(spark))
       case "sketches" => Some(sketches(spark))
       case "constraints" => Some(constraints(spark))
+      case "diskstores" => Some(diskstores(spark))
+      case "synonyms" => Some(synonymsRel(spark))
       case _ => None
     }
+
+  /** SYS.SYNONYMS (Derby SYSALIASES face): live synonym → target map. */
+  private def synonymsRel(spark: SparkSession): DataFrame =
+    spark.createDataFrame(GraftSession(spark).synonyms)
+      .toDF("name", "target")
+
+  /** SYS.DISKSTORES (Derby/GemFire SYS.SYSDISKSTORES face): one row per
+    * registered diskstore — directories, bound tables, recorded
+    * oplog-tuning props. Metadata-only.
+    */
+  private def diskstores(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.graft.store.Diskstores
+    val rows = Diskstores.all.map { ds =>
+      (ds.name, ds.dirs.mkString(","),
+        Diskstores.boundTables(ds.name).mkString(","),
+        ds.props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","))
+    }
+    spark.createDataFrame(rows)
+      .toDF("name", "dirs", "bound_tables", "props")
+  }
 
   /** SYS.CONSTRAINTS (the Derby SYSCONSTRAINTS face of the row-table
     * constraint registry): one row per constraint, every class — the
@@ -148,6 +171,25 @@ object SysRelations {
 /** Resolves `sys.<name>` relations to [[SysRelations]] frames during
   * analysis. Injected by [[GraftExtensions]].
   */
+/** Synonym resolution (reference create-synonym.md): a bare-name
+  * relation matching a registered synonym rewrites to its target before
+  * normal resolution. Cycles were rejected at CREATE SYNONYM, so the
+  * walk inside resolveSynonym is bounded.
+  */
+case class SynonymRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val g = GraftSession(session)
+    plan.resolveOperatorsUp {
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.length == 1 &&
+            g.isSynonym(u.multipartIdentifier.head) =>
+        u.copy(multipartIdentifier =
+          Seq(g.resolveSynonym(u.multipartIdentifier.head)))
+    }
+  }
+}
+
 case class SysRelationRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {

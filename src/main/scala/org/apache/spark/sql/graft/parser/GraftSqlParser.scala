@@ -158,6 +158,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftAlterRebucketCommand(t.toLowerCase, n, cs)
       case Some(TruncateTable(t)) if g.isManaged(t.toLowerCase) =>
         GraftTruncateTableCommand(t.toLowerCase)
+      case Some(CreateDiskstore(n, ine, props, dirs)) =>
+        GraftCreateDiskstoreCommand(n, ine, props, dirs)
+      case Some(DropDiskstore(n, ie)) =>
+        GraftDropDiskstoreCommand(n, ie)
+      case Some(CreateSynonym(n, t)) => GraftSynonymCommand(n, Some(t))
+      case Some(DropSynonym(n)) => GraftSynonymCommand(n, None)
+      case Some(SetIsolation(l)) => GraftSetIsolationCommand(l)
       // guard like TRUNCATE/ALTER: hijack the native statement only for
       // graft-managed sources and temp views (which clone into managed
       // tables) — CREATE TABLE LIKE over a PERSISTENT catalog table must
@@ -472,6 +479,47 @@ case class GraftTruncateTableCommand(table: String) extends LeafRunnableCommand 
   }
 }
 
+/** CREATE DISKSTORE (reference create-diskstore.md): registers a named
+  * durable directory that `OPTIONS (diskstore 'name')` tables checkpoint
+  * to by default; oplog-tuning props are recorded, not honored.
+  */
+case class GraftCreateDiskstoreCommand(name: String, ifNotExists: Boolean,
+    props: Map[String, String], dirs: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    org.apache.spark.sql.graft.store.Diskstores.create(name, dirs, props, ifNotExists)
+    Nil
+  }
+}
+
+case class GraftDropDiskstoreCommand(name: String, ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    org.apache.spark.sql.graft.store.Diskstores.drop(name, ifExists)
+    Nil
+  }
+}
+
+/** CREATE SYNONYM n FOR t / DROP SYNONYM n (reference create-synonym.md). */
+case class GraftSynonymCommand(name: String, target: Option[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val g = graft.GraftSession(spark)
+    target match {
+      case Some(t) => g.createSynonym(name, t)
+      case None => g.dropSynonym(name)
+    }
+    Nil
+  }
+}
+
+/** SET [CURRENT] ISOLATION (reference set-isolation.md). */
+case class GraftSetIsolationCommand(level: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.GraftSession(spark).setIsolation(level)
+    Nil
+  }
+}
+
 case class GraftDropIndexCommand(table: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     if (org.apache.spark.sql.graft.store.GraftRowStore.get(table).isDefined)
@@ -621,10 +669,20 @@ case class GraftCreateTableCommand(name: String, provider: String,
     val expireSeconds: Long =
       options.get("expire").flatMap(_.trim.toLongOption).filter(_ > 0)
         .getOrElse(0L)
+    // DISKSTORE 'name' is HONORED as the durable checkpoint root: the
+    // table binds to the named store (which must exist) and
+    // checkpointTable/restoreTable default to <diskstore dir>/<table>.
+    val diskstore: Option[String] =
+      options.get("diskstore").map(_.trim.toLowerCase).filter(_.nonEmpty)
+    diskstore.foreach { ds =>
+      require(org.apache.spark.sql.graft.store.Diskstores.get(ds).isDefined,
+        s"CREATE TABLE $name: DISKSTORE '$ds' does not exist — CREATE DISKSTORE it first")
+    }
     val honoredOps: Set[String] =
       (if (overflowBudgetBytes > 0L || heapOverflow) Set("eviction_by", "overflow")
        else Set.empty[String]) ++
-        (if (expireSeconds > 0L) Set("expire") else Set.empty[String])
+        (if (expireSeconds > 0L) Set("expire") else Set.empty[String]) ++
+        (if (diskstore.isDefined) Set("diskstore") else Set.empty[String])
     // COMPRESSION is a column-store codec (at-rest batch deflate); row
     // packs have no encoded-column form to deflate, so warn rather than
     // letting the user believe a row table compresses
@@ -699,6 +757,8 @@ case class GraftCreateTableCommand(name: String, provider: String,
     // constraints of a replaced table of the same name)
     Constraints.register(name.toLowerCase,
       tcChecked.copy(primaryKey = keyColumns.map(_.toLowerCase)))
+    diskstore.foreach(ds =>
+      org.apache.spark.sql.graft.store.Diskstores.bind(name.toLowerCase, ds))
     if (heapOverflow) {
       heapPct.flatten.foreach { pct =>
         val budget = Runtime.getRuntime.maxMemory() / 100L * pct

@@ -73,6 +73,14 @@ object GraftStatements extends RegexParsers {
       columns: Seq[String]) extends Stmt
   /** TRUNCATE TABLE t (reference SnappyDDLParser.truncateTable:627) */
   final case class TruncateTable(table: String) extends Stmt
+  /** CREATE DISKSTORE name [opt value]* [('dir' [size] [, ...])] */
+  final case class CreateDiskstore(name: String, ifNotExists: Boolean,
+      props: Map[String, String], dirs: Seq[String]) extends Stmt
+  final case class DropDiskstore(name: String, ifExists: Boolean) extends Stmt
+  final case class CreateSynonym(name: String, target: String) extends Stmt
+  final case class DropSynonym(name: String) extends Stmt
+  /** SET [CURRENT] ISOLATION [=] level */
+  final case class SetIsolation(level: String) extends Stmt
   /** CREATE FUNCTION f AS class [RETURNS type] [USING JAR 'path']
     * (reference SnappyDDLParser.createFunction:765 — the RETURNS clause
     * is Snappy-specific; stock Spark's CREATE FUNCTION lacks it).
@@ -309,6 +317,42 @@ object GraftStatements extends RegexParsers {
   private def truncateTable: Parser[Stmt] =
     kw("TRUNCATE") ~> kw("TABLE") ~> ident ^^ TruncateTable.apply
 
+  // reference create-diskstore.md oplog-tuning keys: recorded, surfaced
+  // in sys.diskstores, behavior-free (we have no oplog format to tune)
+  private def diskstoreOpt: Parser[(String, String)] =
+    (kw("MAXLOGSIZE") | kw("AUTOCOMPACT") | kw("ALLOWFORCECOMPACTION") |
+      kw("COMPACTIONTHRESHOLD") | kw("TIMEINTERVAL") | kw("WRITEBUFFERSIZE") |
+      kw("QUEUESIZE")) ~ """[A-Za-z0-9.\-]+""".r ^^ {
+      case k ~ v => k.toLowerCase -> v
+    }
+
+  private def createDiskstore: Parser[Stmt] =
+    kw("CREATE") ~> kw("DISKSTORE") ~>
+      opt(kw("IF") ~ kw("NOT") ~ kw("EXISTS")) ~ ident ~ rep(diskstoreOpt) ~
+      opt("(" ~> rep1sep(quoted <~ opt("""\d+""".r), ",") <~ ")") ^^ {
+        case ine ~ n ~ opts ~ dirs =>
+          CreateDiskstore(n, ine.isDefined, opts.toMap, dirs.getOrElse(Nil))
+      }
+
+  private def dropDiskstore: Parser[Stmt] =
+    kw("DROP") ~> kw("DISKSTORE") ~> opt(kw("IF") ~ kw("EXISTS")) ~ ident ^^ {
+      case ie ~ n => DropDiskstore(n, ie.isDefined)
+    }
+
+  private def createSynonym: Parser[Stmt] =
+    kw("CREATE") ~> kw("SYNONYM") ~> ident ~ (kw("FOR") ~> ident) ^^ {
+      case n ~ t => CreateSynonym(n, t)
+    }
+
+  private def dropSynonym: Parser[Stmt] =
+    kw("DROP") ~> kw("SYNONYM") ~> ident ^^ DropSynonym.apply
+
+  private def setIsolation: Parser[Stmt] =
+    kw("SET") ~> opt(kw("CURRENT")) ~> kw("ISOLATION") ~> opt("=") ~> restAll ^^ {
+      l => SetIsolation(l.trim)
+    } |
+    kw("SET") ~> opt(kw("CURRENT")) ~> kw("ISOLATION") ^^ { _ => SetIsolation("RESET") }
+
   private def createTableLike: Parser[Stmt] =
     kw("CREATE") ~> kw("TABLE") ~> ident ~ (kw("LIKE") ~> ident) ^^ {
       case n ~ s => CreateTableLike(n, s)
@@ -344,7 +388,8 @@ object GraftStatements extends RegexParsers {
     mergeInto | putInto | createPolicy | dropPolicy | createSample | createStream |
       createIndex | dropIndex | optimizeZorder | createFunction | createTableLike |
       createTableUsing | alterRebucket | alterAddConstraint | alterDropConstraint |
-      alterDrop | alterAdd | truncateTable |
+      alterDrop | alterAdd | truncateTable | createDiskstore | dropDiskstore |
+      createSynonym | dropSynonym | setIsolation |
       streamingCtl | grantRevoke | update | delete
 
   /** None = not a graft statement (caller delegates to Spark's parser). */

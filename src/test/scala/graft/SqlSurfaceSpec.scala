@@ -230,7 +230,11 @@ class SqlSurfaceSpec extends SparkTestBase {
     val g = GraftSession(spark)
     // a CREATE TABLE lifted from the reference's docs: explicit schema,
     // no AS SELECT, GemFire operational options — must parse, create an
-    // empty store-backed table, and warn-and-continue on the ops options
+    // empty store-backed table, and warn-and-continue on the ops options.
+    // DISKSTORE is honored now (r8), so — exactly like the reference —
+    // the named store must exist before a table can target it
+    val dsDir = java.nio.file.Files.createTempDirectory("graft-ddlp-")
+    g.sql(s"CREATE DISKSTORE IF NOT EXISTS ds1 ('$dsDir')")
     g.sql("""CREATE TABLE ddl_parity (
       |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
       |USING column OPTIONS (
@@ -246,6 +250,7 @@ class SqlSurfaceSpec extends SparkTestBase {
       .select("o_orderkey", "o_custkey", "o_totalprice").limit(100))
     assert(g.table("ddl_parity").count() == 100)
     g.dropTable("ddl_parity")
+    g.sql("DROP DISKSTORE ds1")
   }
 
   test("CREATE FUNCTION ... AS class RETURNS type registers a session UDF") {
@@ -693,5 +698,61 @@ class SqlSurfaceSpec extends SparkTestBase {
     }
     assert(ex3.getMessage.contains("unique source keys"))
     g.dropTable("m_tgt")
+  }
+
+  test("CREATE SYNONYM: SQL + DML resolution, nesting, cycle/collision guards, DROP") {
+    import spark.implicits._
+    g.createTable("syn_base", (1L to 100L).map(i => (i, i * 2)).toDF("k", "v"),
+      keyColumns = Seq("k"))
+    try {
+      g.sql("CREATE SYNONYM syn_alias FOR syn_base")
+      assert(spark.sql("SELECT count(*) AS n FROM syn_alias").first().getLong(0) == 100)
+      // nested synonym resolves through the chain
+      g.sql("CREATE SYNONYM syn_nested FOR syn_alias")
+      assert(spark.sql("SELECT sum(v) AS s FROM syn_nested").first().getLong(0) == 10100)
+      // DML through the synonym routes to the managed table
+      g.sql("PUT INTO syn_alias VALUES (101, 500)")
+      g.sql("UPDATE syn_nested SET v = 0 WHERE k = 1")
+      assert(g.table("syn_base").count() == 101)
+      assert(g.table("syn_base").filter(col("k") === 1L).first().getLong(1) == 0L)
+      g.sql("DELETE FROM syn_alias WHERE k = 101")
+      assert(g.table("syn_base").count() == 100)
+      // sys face
+      assert(g.sql("SELECT * FROM sys.synonyms WHERE name = 'syn_nested'")
+        .first().getString(1) == "syn_alias")
+      // collision with an existing table refused; cycles refused
+      intercept[Exception](g.sql("CREATE SYNONYM syn_base FOR syn_alias"))
+      g.sql("CREATE SYNONYM syn_a FOR syn_b") // dangling target: legal (01522)
+      intercept[Exception](g.sql("CREATE SYNONYM syn_b FOR syn_a"))
+      g.sql("DROP SYNONYM syn_a")
+      // a synonym is not a table: definition-site guards
+      intercept[Exception](g.dropTable("syn_alias"))
+      intercept[Exception](g.createTable("syn_alias", Seq((1, 2)).toDF("a", "b")))
+      g.sql("DROP SYNONYM syn_nested")
+      g.sql("DROP SYNONYM syn_alias")
+      intercept[Exception](g.sql("DROP SYNONYM syn_alias"))
+      intercept[Exception](spark.sql("SELECT count(*) FROM syn_alias").collect())
+    } finally {
+      Seq("syn_a", "syn_b", "syn_alias", "syn_nested")
+        .foreach(s => if (g.isSynonym(s)) g.dropSynonym(s))
+      g.dropTable("syn_base")
+    }
+  }
+
+  test("SET ISOLATION: levels recorded, REPEATABLE READ refused, plain SET untouched") {
+    g.sql("SET ISOLATION READ COMMITTED")
+    assert(spark.sql("SELECT current_isolation() AS i").first().getString(0) == "CS")
+    g.sql("SET CURRENT ISOLATION = NONE")
+    assert(spark.sql("SELECT current_isolation() AS i").first().getString(0) == "NONE")
+    g.sql("SET ISOLATION CS")
+    assert(spark.sql("SELECT current_isolation() AS i").first().getString(0) == "CS")
+    val e = intercept[Exception](g.sql("SET ISOLATION REPEATABLE READ"))
+    assert(e.getMessage.contains("READ COMMITTED"), e.getMessage)
+    intercept[Exception](g.sql("SET ISOLATION SERIALIZABLE"))
+    g.sql("SET ISOLATION RESET")
+    assert(spark.sql("SELECT current_isolation() AS i").first().getString(0) == "NONE")
+    // Spark's own SET statements still pass through untouched
+    g.sql("SET spark.sql.graft.sqlsurface.probe=42")
+    assert(spark.conf.get("spark.sql.graft.sqlsurface.probe") == "42")
   }
 }
