@@ -17,6 +17,12 @@ object VectorExpressions {
     org.apache.spark.sql.graft.VectorExpressions.srp_sigs(a, bits, tables, seed)
   def topk_cosine_local(pack: Column, query: Column, selfId: Column, k: Int): Column =
     org.apache.spark.sql.graft.VectorExpressions.topk_cosine_local(pack, query, selfId, k)
+  def pq_encode(vec: Column, codebook: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.pq_encode(vec, codebook)
+  def pq_dist_table(qvec: Column, codebook: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.pq_dist_table(qvec, codebook)
+  def pq_adc(codes: Column, table: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.pq_adc(codes, table)
 }
 
 object TopKAggregate {

@@ -348,6 +348,90 @@ object Similarity {
           .as("q"))
   }
 
+  // ---- product quantization (Jégou et al. 2011): the 100 TB memory
+  // play — the corpus stores m small codes (m·1 B) instead of d floats
+  // (d·4 B), and ADC search costs m table lookups per candidate instead
+  // of d multiplies. Codebooks are m·k·(d/m) doubles — kilobytes — so
+  // they travel as a plan literal with every task. ----
+
+  /** Train per-subspace codebooks: deterministic seeds (the subvectors
+    * of the k lowest-id vectors) refined by `refineSteps` Lloyd steps.
+    * Each step assigns DISTRIBUTED (one `pq_encode` projection over the
+    * training frame) and averages per (subspace, cell) via a bounded
+    * aggregate — only m·k·sd doubles ever reach the driver, so training
+    * scales to any corpus (pass a `.limit(n)` sample for speed).
+    * Empty cells keep their previous centroid.
+    */
+  def pqCodebook(vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, refineSteps: Int = 1): Array[Array[Array[Double]]] = {
+    import graft.functions.VectorExpressions.pq_encode
+    val dvec = transform(col(vecCol), _.cast("double"))
+    val seeds = vecs.orderBy(col(idCol)).limit(k)
+      .select(dvec.as("v")).collect().map(_.getSeq[Double](0).toArray)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"pqCodebook: dim $dim not divisible by m=$m")
+    val sd = dim / m
+    var cb: Array[Array[Array[Double]]] =
+      Array.tabulate(m, k)((j, c) => seeds(c).slice(j * sd, (j + 1) * sd))
+    var step = 0
+    while (step < refineSteps) {
+      val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+      // (j, code, i, x) → mean per (subspace, cell, component):
+      // shuffled rows are O(m·k·sd), independent of corpus size
+      val means = vecs.select(dvec.as("v"), pq_encode(dvec, cbLit).as("codes"))
+        .select(col("v"), posexplode(col("codes")).as(Seq("j", "code")))
+        .select(col("j"), col("code"),
+          posexplode(slice(col("v"), col("j") * sd + 1, lit(sd))).as(Seq("i", "x")))
+        .groupBy(col("j"), col("code"), col("i"))
+        .agg(avg(col("x")).as("c"))
+        .collect()
+      val next = cb.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      cb = next
+      step += 1
+    }
+    cb
+  }
+
+  /** Encode the corpus: (id, codes array<int>) — one scan-fused
+    * projection, no shuffle at any corpus size.
+    */
+  def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+      codebook: Array[Array[Array[Double]]]): DataFrame = {
+    import graft.functions.VectorExpressions.pq_encode
+    val cbLit = typedLit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    vecs.select(col(idCol),
+      pq_encode(transform(col(vecCol), _.cast("double")), cbLit).as("codes"))
+  }
+
+  /** ADC top-k: each query precomputes its [m][k] distance table ONCE
+    * (projected on the broadcast side before the join), then every
+    * candidate costs m lookups. Output: (query_id, rank, neighbor_id,
+    * adist) by ascending approximate squared L2, rank ties on id over
+    * the 4dp-rounded distance (engine-portable ordering).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, codebook: Array[Array[Array[Double]]],
+      k: Int): DataFrame = {
+    import graft.functions.VectorExpressions.{pq_adc, pq_dist_table}
+    val cbLit = typedLit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    val enc = pqEncode(corpus, idCol, vecCol, codebook)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val qt = queries.select(col(idCol).as("query_id"),
+      pq_dist_table(transform(col(vecCol), _.cast("double")), cbLit).as("qtab"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    enc.join(broadcast(qt), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.dround(pq_adc(col("codes"), col("qtab")), 4).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
+  }
+
   /** Per-label centroid statistics: member count and the L2 norm of the
     * component-wise mean vector — the class-centroid computation behind
     * SemDeDup-style pruning and IVF cell seeding, as a pure DataFrame

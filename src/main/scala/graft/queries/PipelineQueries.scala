@@ -1385,6 +1385,55 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ---- ANN via product quantization (Jégou et al.): m=4 subspaces,
+    // k=8 deterministic seed codebooks (subvectors of vec_id 0..7 — zero
+    // Lloyd steps so the oracle replays encode + ADC exactly; the
+    // refinement path is spec-covered). Corpus becomes m codes per
+    // vector (16x memory at dim 64/m 4); each query precomputes its
+    // [m][k] ADC table once and every candidate costs m lookups —
+    // the 100 TB memory-bound search mode. Ranks over 4dp-rounded
+    // approximate squared L2, id tie-break ----
+    QueryDef.sql(
+      "q_ann_pq",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |js AS (SELECT unnest(range(4)) AS j),
+        |sub AS (
+        |  SELECT vec_id, j, v[j*16+1 : j*16+16] AS sv
+        |  FROM e CROSS JOIN js),
+        |cb AS (SELECT j, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 8),
+        |dists AS (
+        |  SELECT s.vec_id, s.j, c.cid,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d
+        |  FROM sub s JOIN cb c ON s.j = c.j),
+        |codes AS (
+        |  SELECT vec_id, j, cid AS code FROM (
+        |    SELECT vec_id, j, cid,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |scores AS (
+        |  SELECT d.vec_id AS query_id, k.vec_id AS nid, sum(d.d) AS s
+        |  FROM codes k JOIN dists d ON k.j = d.j AND k.code = d.cid
+        |  WHERE d.vec_id < 5 AND k.vec_id <> d.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, nid,
+        |    (sign(s) * floor(abs(s) * 10000.0 + 0.5) / 10000.0) AS adist,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY (sign(s) * floor(abs(s) * 10000.0 + 0.5) / 10000.0), nid) AS rank
+        |  FROM scores)
+        |SELECT query_id, rank, nid, adist FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+        m = 4, k = 8, refineSteps = 0)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", cb, k = 3)
+        .select(col("query_id"), col("rank"),
+          col("neighbor_id").as("nid"), col("adist"))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- SemDeDup-style semantic dedup: nearest-centroid clustering
     // (deterministic seed centroids = first 8 vectors, so the oracle
     // replays the assignment), then near-dup pairs scored WITHIN

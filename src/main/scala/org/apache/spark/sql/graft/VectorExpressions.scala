@@ -314,6 +314,144 @@ object VectorExpressions {
     }
   }
 
+  // ---- product quantization (Jégou et al., PQ for ANN search: split
+  // the vector into m subvectors, quantize each against a per-subspace
+  // codebook of k centroids, search via asymmetric distance computation
+  // — the query precomputes an [m][k] distance table once, then every
+  // candidate costs m table lookups instead of d multiplications, and
+  // the corpus stores m small ints instead of d floats). ----
+
+  /** pq_encode(vec, codebook): nearest-centroid code per subspace.
+    * vec: array<double> (length m·sd); codebook: array[m] of array[k] of
+    * array[sd] double. Ties break to the LOWEST centroid id so the
+    * encoding is deterministic and replayable by the SQL oracle.
+    */
+  case class PqEncode(vec: Expression, codebook: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def left: Expression = vec
+    override def right: Expression = codebook
+    override def inputTypes: Seq[AbstractDataType] = Seq(
+      ArrayType(DoubleType), ArrayType(ArrayType(ArrayType(DoubleType))))
+    override def dataType: DataType = ArrayType(IntegerType)
+    override def prettyName: String = "pq_encode"
+    override def nullSafeEval(v: Any, cb: Any): Any =
+      PqKernels.encode(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, cb) =>
+        s"${ev.value} = org.apache.spark.sql.graft.VectorExpressions$$PqKernels$$" +
+          s".MODULE$$.encode($v, $cb);")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(vec = l, codebook = r)
+  }
+
+  /** pq_dist_table(qvec, codebook): the ADC table — [m][k] squared L2
+    * distances from the query's subvectors to every centroid. Projected
+    * ONCE per query row (on the broadcast side, before the join), so
+    * each candidate pair pays O(m), not O(k·d).
+    */
+  case class PqDistTable(vec: Expression, codebook: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def left: Expression = vec
+    override def right: Expression = codebook
+    override def inputTypes: Seq[AbstractDataType] = Seq(
+      ArrayType(DoubleType), ArrayType(ArrayType(ArrayType(DoubleType))))
+    override def dataType: DataType = ArrayType(ArrayType(DoubleType))
+    override def prettyName: String = "pq_dist_table"
+    override def nullSafeEval(v: Any, cb: Any): Any =
+      PqKernels.distTable(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, cb) =>
+        s"${ev.value} = org.apache.spark.sql.graft.VectorExpressions$$PqKernels$$" +
+          s".MODULE$$.distTable($v, $cb);")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(vec = l, codebook = r)
+  }
+
+  /** pq_adc(codes, table): approximate squared L2 = Σⱼ table[j][codes[j]]
+    * — the m-lookup hot-path score.
+    */
+  case class PqAdc(codes: Expression, table: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def left: Expression = codes
+    override def right: Expression = table
+    override def inputTypes: Seq[AbstractDataType] = Seq(
+      ArrayType(IntegerType), ArrayType(ArrayType(DoubleType)))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "pq_adc"
+    override def nullSafeEval(c: Any, t: Any): Any =
+      PqKernels.adc(c.asInstanceOf[ArrayData], t.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (c, t) =>
+        s"${ev.value} = org.apache.spark.sql.graft.VectorExpressions$$PqKernels$$" +
+          s".MODULE$$.adc($c, $t);")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(codes = l, table = r)
+  }
+
+  object PqKernels {
+    /** Squared L2 between vec[j·sd .. j·sd+sd) and a centroid array. */
+    private def subDist(v: ArrayData, off: Int, c: ArrayData): Double = {
+      val sd = c.numElements()
+      var d = 0d; var i = 0
+      while (i < sd) {
+        val x = v.getDouble(off + i) - c.getDouble(i)
+        d += x * x
+        i += 1
+      }
+      d
+    }
+
+    def encode(v: ArrayData, cb: ArrayData): ArrayData = {
+      val m = cb.numElements()
+      val codes = new Array[Any](m)
+      var off = 0
+      var j = 0
+      while (j < m) {
+        val cents = cb.getArray(j)
+        val k = cents.numElements()
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val d = subDist(v, off, cents.getArray(c))
+          if (d < bestD) { bestD = d; best = c } // strict < : ties keep lowest c
+          c += 1
+        }
+        codes(j) = best
+        off += cents.getArray(0).numElements()
+        j += 1
+      }
+      new GenericArrayData(codes)
+    }
+
+    def distTable(v: ArrayData, cb: ArrayData): ArrayData = {
+      val m = cb.numElements()
+      val rows = new Array[Any](m)
+      var off = 0
+      var j = 0
+      while (j < m) {
+        val cents = cb.getArray(j)
+        val k = cents.numElements()
+        val ds = new Array[Any](k)
+        var c = 0
+        while (c < k) { ds(c) = subDist(v, off, cents.getArray(c)); c += 1 }
+        rows(j) = new GenericArrayData(ds)
+        off += cents.getArray(0).numElements()
+        j += 1
+      }
+      new GenericArrayData(rows)
+    }
+
+    def adc(codes: ArrayData, table: ArrayData): Double = {
+      val m = math.min(codes.numElements(), table.numElements())
+      var s = 0d; var j = 0
+      while (j < m) {
+        s += table.getArray(j).getDouble(codes.getInt(j))
+        j += 1
+      }
+      s
+    }
+  }
+
   // ---- Column-API surface ----
   private def e(c: Column): Expression = ExpressionUtils.expression(c)
 
@@ -339,4 +477,10 @@ object VectorExpressions {
   def vec_norm(a: Column): Column = ExpressionUtils.column(VectorNorm(e(a)))
   def topk_cosine_local(pack: Column, query: Column, selfId: Column, k: Int): Column =
     ExpressionUtils.column(TopKCosineLocal(e(pack), e(query), e(selfId), k))
+  def pq_encode(vec: Column, codebook: Column): Column =
+    ExpressionUtils.column(PqEncode(e(vec), e(codebook)))
+  def pq_dist_table(qvec: Column, codebook: Column): Column =
+    ExpressionUtils.column(PqDistTable(e(qvec), e(codebook)))
+  def pq_adc(codes: Column, table: Column): Column =
+    ExpressionUtils.column(PqAdc(e(codes), e(table)))
 }
