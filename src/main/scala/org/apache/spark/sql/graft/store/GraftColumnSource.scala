@@ -174,7 +174,12 @@ class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
     })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tableName, tableSchema)
+    new GraftScanBuilder(tableName, tableSchema,
+      // maintenance reads (roll-up) address specific seals: an explicit
+      // batch-id list prunes refs at planning, so touching a few small
+      // batches never scans the table
+      Option(options.get("batch_ids")).map(
+        _.split(",").iterator.map(_.trim.toLong).toSet))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(tableName, info.schema(), batchSize, bucketBy, numBuckets,
@@ -184,7 +189,8 @@ class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
 
 // ------------------------------- read path -------------------------------
 
-class GraftScanBuilder(tableName: String, fullSchema: StructType)
+class GraftScanBuilder(tableName: String, fullSchema: StructType,
+    batchIds: Option[Set[Long]] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -248,7 +254,7 @@ class GraftScanBuilder(tableName: String, fullSchema: StructType)
 
   override def build(): Scan = aggSpec match {
     case Some(spec) => new GraftAggScan(tableName, fullSchema, spec)
-    case None => new GraftScan(tableName, fullSchema, required, pushed)
+    case None => new GraftScan(tableName, fullSchema, required, pushed, batchIds)
   }
 }
 
@@ -262,7 +268,8 @@ case class BatchWork(
     updates: Map[Int, Vector[GraftColumnStore.ColumnDeltaRef]])
 
 class GraftScan(tableName: String, fullSchema: StructType,
-    required: StructType, pushedFilters: Array[Filter])
+    required: StructType, pushedFilters: Array[Filter],
+    batchIds: Option[Set[Long]] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
 
@@ -333,7 +340,8 @@ class GraftScan(tableName: String, fullSchema: StructType,
       // columns with update deltas have stale stats → never prune on them
       val updatedCols = snapshot.updates.getOrElse(r.id, Map.empty).keySet
         .map(fullSchema.fields(_).name)
-      BatchPruning.mightMatch(r.stats, r.numRows, fullSchema, filters, updatedCols)
+      batchIds.forall(_.contains(r.id)) &&
+        BatchPruning.mightMatch(r.stats, r.numRows, fullSchema, filters, updatedCols)
     }
     GraftColumnStore.batchesSkipped.addAndGet(all.size - kept.size)
     GraftColumnStore.batchesScanned.addAndGet(kept.size)
@@ -978,6 +986,19 @@ class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
     // carries the new refs
     GraftColumnStore.expireSweep(tableName)
     GraftColumnStore.enforceEviction(tableName)
+    // opt-in row-buffer roll-up (the reference's always-on behavior):
+    // when any bucket accumulates >= threshold small seals, merge them
+    // now — the streaming foreachBatch ingest loop is the shape that
+    // otherwise grows unbounded per-bucket tails of tiny batches
+    val rollupThr = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.sql.graft.rollupThreshold", "0").toInt
+    if (rollupThr > 0) {
+      val needs = GraftColumnStore.get(tableName).exists(
+        _.snapshot.liveRefs.filter(_.isDelta)
+          .groupBy(_.bucketId).values.exists(_.size >= rollupThr))
+      if (needs) GraftStoreOps.rollupSmallBatches(
+        org.apache.spark.sql.SparkSession.active, tableName, rollupThr)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

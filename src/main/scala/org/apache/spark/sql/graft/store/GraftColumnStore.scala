@@ -807,6 +807,35 @@ object GraftColumnStore {
         else Some(Retirees(Nil, orphans.map(_._3.deltaId), Nil)))
     }
 
+    /** Swap a SPECIFIC set of live refs for merged replacements in one
+      * atomic transition (the roll-up commit). Returns false — changing
+      * nothing — if any of `oldIds` is no longer live (a racing
+      * mutation retired it between the maintenance read and this swap);
+      * the caller releases its new payloads then. The old refs' delete
+      * bitmaps and update deltas retire WITH them: the maintenance read
+      * folded that state into the merged rows.
+      */
+    def swapRefs(oldIds: Set[Long], newRefs: Vector[BatchRef]): Boolean = {
+      var ok = false
+      mutateRetiring { s =>
+        val live = s.refs.map(_.id).toSet
+        if (!oldIds.subsetOf(live)) { ok = false; (s, None) }
+        else {
+          ok = true
+          val (dead, kept) = s.refs.partition(r => oldIds.contains(r.id))
+          val deadDeltas = s.updates.view.filterKeys(oldIds)
+            .values.flatMap(_.values.flatten.map(_.deltaId)).toSeq
+          val deadBitmaps = s.deletes.view.filterKeys(oldIds)
+            .values.map(_.bitmapId).toSeq
+          (s.copy(refs = kept ++ newRefs,
+            deletes = s.deletes.view.filterKeys(!oldIds.contains(_)).toMap,
+            updates = s.updates.view.filterKeys(!oldIds.contains(_)).toMap),
+            Some(Retirees(dead.map(_.id), deadDeltas, deadBitmaps)))
+        }
+      }
+      ok
+    }
+
     /** Replace all content (compaction / truncate-write); the ENTIRE
       * previous snapshot's payloads retire (without this, every
       * compaction leaked the pre-compact table).
@@ -1277,10 +1306,15 @@ object GraftColumnStore {
   }
 
   def compare(dt: DataType, a: Any, b: Any): Int = dt match {
+    // integral comparisons widen through Number: a pushed filter value
+    // can arrive narrower than the column (an int literal probing a
+    // bigint key) and an unboxing cast would crash the prune
     case LongType | TimestampType | TimestampNTZType =>
-      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+      java.lang.Long.compare(a.asInstanceOf[Number].longValue,
+        b.asInstanceOf[Number].longValue)
     case IntegerType | DateType =>
-      java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+      java.lang.Integer.compare(a.asInstanceOf[Number].intValue,
+        b.asInstanceOf[Number].intValue)
     case DoubleType => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
     case FloatType => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
     case StringType | _: CharType | _: VarcharType =>

@@ -212,6 +212,90 @@ object GraftStoreOps {
     * `sortedBy` so the fresh batches keep narrow key ranges (otherwise a
     * compaction would silently degrade every index probe to a full scan).
     */
+  /** Roll small row-buffer seals into full batches (reference: the
+    * column table's row buffer rolls into column batches as it fills —
+    * ColumnBatchCreator; here every sub-batch-size commit seals a small
+    * `isDelta` batch, so repeated small appends — a streaming
+    * foreachBatch ingest loop above all — accumulate per-bucket tails of
+    * tiny batches that tax every scan's per-batch overhead and stats
+    * row).
+    *
+    * Scope: reads ONLY the small seals' rows (the scan folds their
+    * delete bitmaps and update deltas in), seals merged batches
+    * EXECUTOR-side through the same BatchBuilder/payload-ref split as
+    * the write path, and commits one atomic [[GraftColumnStore
+    * .StoreTable.swapRefs]] that replaces exactly those refs. A racing
+    * mutation on any of them aborts the swap and releases the new
+    * payloads — maintenance never wins over a writer. Cost is
+    * O(small-seal rows), never O(table); full batches are untouched, so
+    * clustering claims and their pruning stats are preserved.
+    *
+    * Merged batches seal fresh: stats, sketch digests and the LZ4 codec
+    * re-apply, and their TTL clock restarts (the documented
+    * rewrite-restarts-TTL semantics). Returns the number of small seals
+    * merged (0 = nothing to do).
+    *
+    * Auto mode: `spark.sql.graft.rollupThreshold = N` (default 0 = off)
+    * makes every write commit roll up any bucket holding ≥ N small
+    * seals — the reference's always-on behavior, opt-in here so batch
+    * pipelines keep byte-stable layouts unless asked.
+    */
+  def rollupSmallBatches(spark: SparkSession, table: String,
+      minBatches: Int = 4): Int = {
+    val t = GraftColumnStore(table)
+    val snap = t.snapshot
+    val small = snap.liveRefs.filter(_.isDelta)
+    val byBucket = small.groupBy(_.bucketId).filter(_._2.size >= minBatches)
+    if (byBucket.isEmpty) return 0
+    val ids = byBucket.values.flatten.map(_.id).toSet
+    val bucketOf = byBucket.values.flatten.map(r => r.id -> r.bucketId).toMap
+    val buckets = byBucket.keys.toSeq.sorted
+    val bucketSlot = buckets.zipWithIndex.toMap
+    // batch_ids prunes the read to EXACTLY the addressed seals at
+    // planning (the metadata-column filter alone is post-scan — Spark
+    // does not offer it to pushFilters)
+    val df = spark.read.format(FORMAT).option("table", table)
+      .option("batch_ids", ids.mkString(",")).load()
+    // table columns first, __bid LAST: BatchBuilder reads exactly
+    // schema.length leading fields, so the trailing address column
+    // never reaches the sealed batch (the zorder __z trick)
+    val rows = df.select(col("*"),
+        df.metadataColumn(GraftTable.BATCH_ID_COL).as("__bid"))
+      .filter(col("__bid").isin(ids.toSeq: _*))
+    val schema = t.schema
+    val bidIdx = schema.length
+    val sealSize = snap.batchSize
+    val compress = snap.compression == "lz4"
+    val sketchBy = snap.sketchBy
+    val nSlots = buckets.length
+    val slotToBucket = buckets.toArray
+    val keyed = rows.queryExecution.toRdd.map { row =>
+      val copied = row.copy()
+      (bucketSlot(bucketOf(copied.getLong(bidIdx))), copied)
+    }
+    val bySlot = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = nSlots
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }
+    val newRefs = keyed.partitionBy(bySlot)
+      .mapPartitionsWithIndex { (slot, it) =>
+        val builder = new GraftColumnStore.BatchBuilder(
+          schema, sealSize, slotToBucket(slot), compress, sketchBy)
+        try {
+          it.foreach { case (_, row) => builder.add(row) }
+          builder.result().iterator
+        } catch { case e: Throwable => builder.abort(); throw e }
+      }
+      .collect().toVector
+    if (t.swapRefs(ids, newRefs)) ids.size
+    else {
+      // a writer won the race: discard this pass's payloads, next
+      // maintenance run sees the fresh snapshot
+      GraftColumnStore.BatchRegistry.release(newRefs.map(_.id), Nil)
+      0
+    }
+  }
+
   def compact(spark: SparkSession, table: String): Unit = {
     val snap = GraftColumnStore(table).snapshot
     val w = read(spark, table).write.format(FORMAT).option("table", table)

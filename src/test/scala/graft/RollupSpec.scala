@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.store.{GraftColumnStore, GraftStoreOps}
+
+/** Row-buffer roll-up ([[GraftStoreOps.rollupSmallBatches]] + the opt-in
+  * commit trigger `spark.sql.graft.rollupThreshold`): repeated small
+  * appends accumulate per-bucket tails of tiny `isDelta` seals; the
+  * roll-up merges exactly those refs executor-side and swaps them in one
+  * atomic transition, folding their delete/update state into the merged
+  * rows. Reads must touch ONLY the addressed seals (batch-id pushdown).
+  */
+class RollupSpec extends SparkTestBase {
+
+  private val fmt = GraftStoreOps.FORMAT
+
+  private def smallInsert(table: String, from: Int, n: Int): Unit =
+    spark.range(from, from + n)
+      .select(col("id").as("k"), (col("id") * 2).cast("long").as("v"))
+      .write.format(fmt).option("table", table).mode("append").save()
+
+  test("roll-up merges small seals per bucket, folds DML state, answers unchanged") {
+    val g = GraftSession(spark)
+    // one big insert seals FULL batches (the untouched majority a real
+    // table has), then small appends accumulate the per-bucket tails
+    spark.range(10000, 40000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .write.format(fmt).option("table", "ru_t")
+      .option("partition_by", "k").option("buckets", "4")
+      .option("batch_size", "4096").mode("overwrite").save()
+    (0 until 6).foreach(i => smallInsert("ru_t", i * 100, 100))
+    val t = GraftColumnStore("ru_t")
+    val before = t.snapshot.liveRefs
+    val fullBatches = before.count(!_.isDelta)
+    assert(fullBatches >= 4, s"want full batches too, got $before")
+    assert(before.count(_.isDelta) >= 8, s"want many small seals, got $before")
+    // delete + update state that the merge must fold in
+    GraftStoreOps.delete(spark, "ru_t", col("k") % 10 === 0L)
+    GraftStoreOps.update(spark, "ru_t", col("k") < 50L, Seq("v" -> lit(-1L)))
+    val expected = GraftStoreOps.read(spark, "ru_t")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+
+    val skippedBefore = GraftColumnStore.batchesSkipped.get()
+    val merged = GraftStoreOps.rollupSmallBatches(spark, "ru_t", minBatches = 2)
+    assert(merged >= 8, s"expected the small seals to merge, got $merged")
+    val after = t.snapshot
+    assert(after.liveRefs.size < before.size,
+      s"refs must shrink: ${before.size} -> ${after.liveRefs.size}")
+    // per bucket at most ONE merged tail remains below the threshold
+    after.liveRefs.filter(_.isDelta).groupBy(_.bucketId).foreach { case (b, rs) =>
+      assert(rs.size < 2, s"bucket $b still holds ${rs.size} small seals")
+    }
+    // the SWAPPED refs' delete/update payloads retired with them (the
+    // untouched full batches legitimately keep theirs)
+    val swapped = before.filter(_.isDelta).map(_.id).toSet
+    assert(after.deletes.keySet.intersect(swapped).isEmpty)
+    assert(after.updates.keySet.intersect(swapped).isEmpty)
+    // batch-id pushdown pruned the read to the addressed seals: the
+    // roll-up planning skipped (at least) every non-small ref once
+    assert(GraftColumnStore.batchesSkipped.get() > skippedBefore,
+      "roll-up read must prune by batch id, not scan the table")
+    val got = GraftStoreOps.read(spark, "ru_t")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(got == expected)
+    // idempotent: nothing above the threshold remains
+    assert(GraftStoreOps.rollupSmallBatches(spark, "ru_t", minBatches = 2) == 0)
+    g.dropTable("ru_t")
+  }
+
+  test("commit-trigger: rollupThreshold bounds the small-seal tail across an ingest loop") {
+    val key = "spark.sql.graft.rollupThreshold"
+    spark.range(0, 0).select(col("id").as("k"), col("id").as("v"))
+      .write.format(fmt).option("table", "ru_auto")
+      .option("batch_size", "10000").mode("overwrite").save()
+    try {
+      spark.conf.set(key, "3")
+      (0 until 12).foreach(i => smallInsert("ru_auto", i * 50, 50))
+      val snap = GraftColumnStore("ru_auto").snapshot
+      val tails = snap.liveRefs.filter(_.isDelta).groupBy(_.bucketId).values
+      assert(tails.forall(_.size <= 3),
+        s"auto roll-up must bound the tail, got ${snap.liveRefs}")
+      assert(GraftStoreOps.read(spark, "ru_auto").count() == 600)
+      // sum survives every merge: ids 0..599 doubled
+      val s = GraftStoreOps.read(spark, "ru_auto")
+        .agg(sum(col("v"))).first().getLong(0)
+      assert(s == (0L until 600L).map(_ * 2).sum)
+    } finally {
+      spark.conf.unset(key)
+      GraftSession(spark).dropTable("ru_auto")
+    }
+  }
+}
