@@ -180,6 +180,7 @@ case class SynonymRule(session: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val g = GraftSession(session)
+    if (g.synonyms.isEmpty) return plan // zero-cost when unused
     plan.resolveOperatorsUp {
       case u: UnresolvedRelation
           if u.multipartIdentifier.length == 1 &&

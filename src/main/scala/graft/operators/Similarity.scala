@@ -432,6 +432,94 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
   }
 
+  /** IVF-PQ index (the FAISS IndexIVFPQ composition, Jégou et al.):
+    * IVF cells bound WHICH vectors a query touches (~nprobe/nlist of
+    * the corpus), PQ residual codes bound what each touched vector
+    * COSTS (m table lookups, m bytes resident instead of d floats).
+    * Vectors are L2-normalized first so squared-L2 ranking ≡ cosine
+    * ranking (‖a−b‖² = 2−2·cos for unit vectors); PQ encodes the
+    * RESIDUAL v−centroid(cell), which is what makes the shared
+    * codebooks tight enough to rank inside a cell.
+    */
+  final case class IvfPqIndex(
+      centroids: DataFrame, // (cell, center: array<float>) — nlist rows
+      encoded: DataFrame, // (nid, cell, codes: array<int>)
+      codebook: Array[Array[Array[Double]]])
+
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, m: Int = 4, k: Int = 8, refineSteps: Int = 1,
+      seed: Long = 42L): IvfPqIndex = {
+    import graft.functions.VectorExpressions.pq_encode
+    val ivf = buildIvfIndex(corpus, idCol, vecCol, nlist, seed)
+    val residuals = ivf.assigned
+      .join(broadcast(ivf.centroids), "cell")
+      .select(col("nid"), col("cell"),
+        residualExpr(col("c_vec"), col("center")).as("r"))
+    val cb = pqCodebook(residuals, "nid", "r", m, k, refineSteps)
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val encoded = residuals
+      .select(col("nid"), col("cell"), pq_encode(col("r"), cbLit).as("codes"))
+    IvfPqIndex(ivf.centroids, encoded, cb)
+  }
+
+  /** query/corpus residual vs a cell center, over L2-normalized input —
+    * array<double> (the PQ kernels' input type).
+    */
+  private def residualExpr(vec: org.apache.spark.sql.Column,
+      center: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n = vec_norm(vec)
+    val unit = transform(vec, x => when(n > 0, x / n).otherwise(x))
+    zip_with(unit, center, (x, c) => x.cast("double") - c.cast("double"))
+  }
+
+  /** ADC probe + exact rerank: each query ranks the (broadcast, nlist-row)
+    * centroid table for its `nprobe` cells, computes ONE [m][k] ADC table
+    * per (query, cell) — O(nprobe·k·d) per query, never per candidate —
+    * shortlists `shortlist` ids per query by approximate residual
+    * distance (m lookups per candidate), and reranks the shortlist with
+    * exact cosine. Work touched: Σ probed-cell sizes ≈ corpus·nprobe/nlist
+    * candidates at m lookups each, plus `shortlist` exact distances —
+    * the 100 TB shape where neither the full corpus nor full vectors
+    * enter the query path.
+    */
+  def ivfPqTopK(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
+      shortlist: Int = 64): DataFrame = {
+    import graft.functions.VectorExpressions.{pq_adc, pq_dist_table}
+    val cbLit = typedLit(index.codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    // nprobe nearest cells per query, then the per-(query, cell) ADC
+    // table — projected on the (queries × nprobe)-row side, never per pair
+    val probes = q
+      .crossJoin(broadcast(index.centroids))
+      .groupBy(col("query_id"))
+      .agg(topk_by(vec_cosine(col("q_vec"), col("center")),
+        col("cell").cast("long"), nprobe).as("cells"))
+      .select(col("query_id"), explode(col("cells.id")).as("cell"))
+      .withColumn("cell", col("cell").cast("int"))
+      .join(q, "query_id")
+      .join(broadcast(index.centroids), "cell")
+      .select(col("query_id"), col("cell"),
+        pq_dist_table(residualExpr(col("q_vec"), col("center")), cbLit).as("qtab"))
+    val short = index.encoded.join(broadcast(probes), "cell")
+      .filter(col("nid") =!= col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(topk_by(-pq_adc(col("codes"), col("qtab")), col("nid"), shortlist)
+        .as("cands"))
+      .select(col("query_id"), explode(col("cands.id")).as("neighbor_id"))
+    // exact rerank over the shortlist only
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    short.join(c, "neighbor_id").join(q, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        vec_cosine(col("q_vec"), col("c_vec")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
   /** Per-label centroid statistics: member count and the L2 norm of the
     * component-wise mean vector — the class-centroid computation behind
     * SemDeDup-style pruning and IVF cell seeding, as a pure DataFrame

@@ -66,6 +66,41 @@ class RollupSpec extends SparkTestBase {
     g.dropTable("ru_t")
   }
 
+  test("streaming e2e: foreachBatch ingest under rollupThreshold keeps the layout bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.graft.rollupThreshold"
+    val mem = MemoryStream[Long]
+    spark.conf.set(key, "4")
+    val q = mem.toDF().toDF("id")
+      .select(col("id").as("k"), (col("id") * 3).as("v"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.format(fmt).option("table", "ru_stream")
+          .option("batch_size", "5000").mode("append").save()
+      }
+      .start()
+    try {
+      // 20 micro-batches of 80 rows: without roll-up that is 20+ small
+      // seals; the commit trigger must keep the tail under the threshold
+      (0 until 20).foreach { i =>
+        mem.addData(i * 80L until (i + 1) * 80L: _*)
+        q.processAllAvailable()
+      }
+      val snap = org.apache.spark.sql.graft.store.GraftColumnStore("ru_stream").snapshot
+      val tail = snap.liveRefs.count(_.isDelta)
+      assert(tail <= 4, s"streaming tail must stay bounded, got ${snap.liveRefs}")
+      assert(snap.rowCount == 1600L)
+      val s = GraftStoreOps.read(spark, "ru_stream").agg(sum(col("v"))).first().getLong(0)
+      assert(s == (0L until 1600L).map(_ * 3).sum)
+    } finally {
+      q.stop()
+      spark.conf.unset(key)
+      GraftSession(spark).dropTable("ru_stream")
+    }
+  }
+
   test("commit-trigger: rollupThreshold bounds the small-seal tail across an ingest loop") {
     val key = "spark.sql.graft.rollupThreshold"
     spark.range(0, 0).select(col("id").as("k"), col("id").as("v"))
