@@ -404,9 +404,16 @@ class GraftRowScan(tableName: String, fullSchema: StructType,
     else new UnknownPartitioning(1)
 
   override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(math.max(1L, snapshot.rowCount * fullSchema.defaultSize))
-    override def numRows(): OptionalLong = OptionalLong.of(snapshot.rowCount)
+    // a full-PK probe matches AT MOST one row per key combo (keys are
+    // unique by construction) — report that instead of the whole table,
+    // so a point-lookup joined against anything plans as the broadcast
+    // side (the column store's pruned stats, PERF_NOTES §20, applied to
+    // the row store's strongest pruning path)
+    private val probeRows: Option[Long] = keyCombos.map(_.size.toLong)
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(1L,
+      probeRows.getOrElse(snapshot.rowCount) * fullSchema.defaultSize))
+    override def numRows(): OptionalLong =
+      OptionalLong.of(probeRows.getOrElse(snapshot.rowCount))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

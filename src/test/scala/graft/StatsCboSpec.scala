@@ -58,6 +58,32 @@ class StatsCboSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     } finally { g.dropTable("cbo_fact"); g.dropTable("cbo_other") }
   }
 
+  test("row-store PK probe reports probe-sized stats: the point lookup broadcasts") {
+    val g = GraftSession(spark)
+    import spark.implicits._
+    g.createTable("cbo_row",
+      (1L to 150000L).map(i => (i, s"payload_payload_payload_$i")).toDF("k", "p"),
+      keyColumns = Seq("k"), provider = "row")
+    val other = spark.range(0, 400000, 1, 4)
+      .select(col("id").as("ok"), concat(lit("other_other_"), col("id")).as("op"))
+    g.createTable("cbo_row_other", other)
+    try {
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> (1024 * 1024).toString) {
+        val all = org.apache.spark.sql.graft.store.GraftRowOps.read(spark, "cbo_row")
+        val dim = org.apache.spark.sql.graft.store.GraftStoreOps.read(spark, "cbo_row_other")
+        val wide = all.join(dim, all("k") === dim("ok"))
+        assert(!wide.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+          s"unfiltered row table must exceed the threshold:\n${wide.queryExecution.executedPlan}")
+        val probe = org.apache.spark.sql.graft.store.GraftRowOps.read(spark, "cbo_row")
+          .filter(col("k").isin(5L, 6L, 7L))
+        val narrow = probe.join(dim, probe("k") === dim("ok"))
+        assert(narrow.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+          s"PK-probe stats must broadcast the lookup side:\n${narrow.queryExecution.executedPlan}")
+        assert(narrow.count() == 3)
+      }
+    } finally { g.dropTable("cbo_row"); g.dropTable("cbo_row_other") }
+  }
+
   test("column stats surface to the optimizer: sketch distinct, PK uniqueness, null counts") {
     val g = GraftSession(spark)
     import spark.implicits._
