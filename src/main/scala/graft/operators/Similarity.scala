@@ -414,22 +414,37 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, codebook: Array[Array[Array[Double]]],
+      k: Int): DataFrame =
+    pqTopKEncoded(
+      pqEncode(corpus, idCol, vecCol, codebook).withColumnRenamed(idCol, "neighbor_id"),
+      queries, idCol, vecCol, codebook, k)
+
+  /** ADC search over a PRE-ENCODED corpus (`(neighbor_id, codes)`) — the
+    * index-persisted form: encode once at CREATE INDEX time, search many
+    * times over m-byte codes.
+    */
+  def pqTopKEncoded(enc: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, codebook: Array[Array[Array[Double]]],
       k: Int): DataFrame = {
     import graft.functions.VectorExpressions.{pq_adc, pq_dist_table}
     val cbLit = typedLit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
-    val enc = pqEncode(corpus, idCol, vecCol, codebook)
-      .withColumnRenamed(idCol, "neighbor_id")
     val qt = queries.select(col(idCol).as("query_id"),
       pq_dist_table(transform(col(vecCol), _.cast("double")), cbLit).as("qtab"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("adist"), col("neighbor_id"))
+    // topk_by, NOT a rank window: the window would shuffle+sort EVERY
+    // candidate pair row (measured 1.4× slower than brute force at 64k —
+    // the pair-row trap, fourth sighting); the aggregate reduces each map
+    // partition to k pairs before the exchange. Ranking key is the
+    // 4dp-ROUNDED distance with id tie-breaks (TopKBuffer keeps the
+    // smaller id on equal scores), identical to the oracle's
+    // ORDER BY adist, nid.
     enc.join(broadcast(qt), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.dround(pq_adc(col("codes"), col("qtab")), 4).as("adist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
+      .groupBy(col("query_id"))
+      .agg(topk_by(-col("adist"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"), (-col("col.score")).as("adist"))
   }
 
   /** IVF-PQ index (the FAISS IndexIVFPQ composition, Jégou et al.):

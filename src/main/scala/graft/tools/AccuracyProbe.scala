@@ -126,6 +126,44 @@ object AccuracyProbe {
         idx.assigned.unpersist(); big.unpersist()
       }
     }
+
+    // ---- ANN search ladder at scale: brute force (d multiplies/pair)
+    // vs PQ ADC over the full corpus (m lookups/pair) vs IVF-PQ (m
+    // lookups over ~nprobe/nlist of the corpus). Timing only — recall
+    // is pinned at driver SF by IvfPqSpec/PqSpec; index builds excluded
+    // (they are the amortized CREATE INDEX job). ----
+    {
+      import spark.implicits._
+      val emb = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      for (rep <- Seq(32, 128)) {
+        val big = emb.crossJoin(spark.range(rep).toDF("__rep"))
+          .select((col("vec_id") + col("__rep") * lit(1000000L)).as("vec_id"),
+            col("embedding"))
+          .persist()
+        val n = big.count()
+        val queries = big.filter(col("vec_id") < 100).persist()
+        queries.count()
+        val secBrute = timed(Similarity.bruteForceTopK(
+          big, queries, "vec_id", "embedding", 10).count())._2
+        val cb = Similarity.pqCodebook(big.limit(4096), "vec_id", "embedding",
+          m = 4, k = 8, refineSteps = 1)
+        val enc = Similarity.pqEncode(big, "vec_id", "embedding", cb)
+          .withColumnRenamed("vec_id", "neighbor_id").persist()
+        enc.count()
+        val secPq = timed(Similarity.pqTopKEncoded(
+          enc, queries, "vec_id", "embedding", cb, 10).count())._2
+        val nlist = math.max(16, (math.sqrt(n.toDouble) / 1.2).toInt)
+        val ivfpq = Similarity.buildIvfPqIndex(big, "vec_id", "embedding",
+          nlist = nlist, m = 4, k = 8, refineSteps = 1)
+        ivfpq.encoded.persist(); ivfpq.encoded.count()
+        val secIvfPq = timed(Similarity.ivfPqTopK(ivfpq, big, queries,
+          "vec_id", "embedding", k = 10, nprobe = 8, shortlist = 100).count())._2
+        println(f"[probe] ann ladder n=$n nlist=$nlist brute_sec=$secBrute%.2f " +
+          f"pq_adc_sec=$secPq%.2f ivfpq_sec=$secIvfPq%.2f " +
+          f"(brute/ivfpq=${secBrute / secIvfPq}%.2fx)")
+        ivfpq.encoded.unpersist(); enc.unpersist(); queries.unpersist(); big.unpersist()
+      }
+    }
     spark.stop()
   }
 }
