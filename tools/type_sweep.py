@@ -120,7 +120,7 @@ def main(sfdir, outdir):
 
 if __name__ == "__main__":
     if len(sys.argv) < 3:
-        print("usage: type_sweep.py <verify_out_dir> <sf_dir>", file=sys.stderr)
+        print("usage: type_sweep.py <sf_dir> <verify_out_dir>", file=sys.stderr)
         print("  checks every oracle SQL's result types against the Spark parquet dump", file=sys.stderr)
         sys.exit(2)
     sys.exit(main(sys.argv[1], sys.argv[2]))
