@@ -1209,6 +1209,29 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
+    // ---- IVF-PQ composite ANN (FAISS IndexIVFPQ shape): cells bound
+    // WHICH vectors a query touches, residual-PQ codes bound what each
+    // COSTS (m lookups via the per-(query,cell) ADC table), exact cosine
+    // reranks the shortlist. Oracle: the recall-claim pattern — probing
+    // 6/16 cells with a 100-wide shortlist must recover ≥ 2 of each true
+    // top-10 (measured min 3-4 at both SFs; IvfPqSpec additionally
+    // proves exhaustive settings reproduce exact search EXACTLY) ----
+    QueryDef.sql(
+      "q_ann_ivfpq",
+      """SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS found_ge_2
+        |FROM embeddings WHERE vec_id < 10
+        |ORDER BY query_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val idx = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+        nlist = 16, m = 4, k = 8, refineSteps = 1)
+      val approx = Similarity.ivfPqTopK(idx, emb, queries, "vec_id", "embedding",
+        k = 10, nprobe = 6, shortlist = 100)
+      Similarity.recallClaim(emb, queries, approx, "vec_id", "embedding",
+          k = 10, minHits = 2, claimCol = "found_ge_2")
+        .orderBy("query_id")
+    },
+
     // ---- LSH-bucketed ANN. Oracle: same recall-claim pattern — 8 tables
     // of 4-bit signatures must recover ≥ 3 of each true top-10 (measured
     // ≥ 5 at both SFs, graft.tools.AccuracyProbe). 4-bit×8-table probes

@@ -51,7 +51,7 @@ class ScaleAuditSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     */
   private val annQueryBatchBroadcast: Set[String] =
     Set("q_ann_bruteforce", "q_ann_store", "q_ann_lsh", "q_ann_ivf",
-      "q_ann_quantized", "q_ann_pq", "q_hard_negatives_approx")
+      "q_ann_quantized", "q_ann_pq", "q_ann_ivfpq", "q_hard_negatives_approx")
 
   test("no query plans a cartesian product or an unbounded BNLJ") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
