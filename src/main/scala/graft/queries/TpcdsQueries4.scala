@@ -61,6 +61,53 @@ object TpcdsQueries4 {
         .orderBy(col("lochierarchy"), coalesce(col("p_type"), lit("")), col("rk"))
     },
 
+    // ---- q11 shape: year-over-year preference shift — customers whose
+    // PER-ORDER spend grew 1996→1997, compared by INTEGER cross-
+    // multiplication (s97·n96 > s96·n97) so no division and no float
+    // ever touches the comparison; zero-guards keep single-year
+    // customers out (q11's NULL-ratio CASE). One conditional-agg pass
+    // over orders, customer join only on the survivors. ----
+    QueryDef.sql(
+      "q_ds_spend_shift",
+      """WITH y AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(sum(CASE WHEN yr = 1996 THEN cents ELSE 0 END) AS BIGINT) AS s96,
+        |    CAST(sum(CASE WHEN yr = 1997 THEN cents ELSE 0 END) AS BIGINT) AS s97,
+        |    CAST(sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n96,
+        |    CAST(sum(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS n97
+        |  FROM (
+        |    SELECT o_custkey, year(o_orderdate) AS yr,
+        |      CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+        |    FROM orders WHERE year(o_orderdate) IN (1996, 1997))
+        |  GROUP BY 1)
+        |SELECT c_mktsegment, count(*) AS n_shifted,
+        |  CAST(sum(s97 - s96) AS BIGINT) AS spend_delta_c
+        |FROM y JOIN customer ON ck = c_custkey
+        |WHERE n96 > 0 AND n97 > 0
+        |  AND CAST(s97 AS DECIMAL(38,0)) * n96 > CAST(s96 AS DECIMAL(38,0)) * n97
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val ord = Tables.load(s, dir, "orders")
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+        .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+          (col("o_totalprice").cast("decimal(18,4)") * 100)
+            .cast("long").as("cents"))
+      val cust = Tables.load(s, dir, "customer")
+      def cs(y: Int) = sum(when(col("yr") === y, col("cents")).otherwise(0L)).cast("long")
+      def cn(y: Int) = sum(when(col("yr") === y, 1L).otherwise(0L)).cast("long")
+      val y = ord.groupBy(col("o_custkey").as("ck"))
+        .agg(cs(1996).as("s96"), cs(1997).as("s97"),
+          cn(1996).as("n96"), cn(1997).as("n97"))
+        .filter(col("n96") > 0 && col("n97") > 0 &&
+          col("s97").cast("decimal(38,0)") * col("n96") >
+            col("s96").cast("decimal(38,0)") * col("n97"))
+      y.join(cust, col("ck") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_shifted"),
+          sum(col("s97") - col("s96")).cast("long").as("spend_delta_c"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // ---- q41 shape: mutual-exclusion HAVING over the part dimension —
     // brands that DO sell small economy parts and categorically DON'T
     // sell jumbo promo parts. One aggregate pass over the dimension (the
