@@ -102,6 +102,9 @@ class GraftSession(val spark: SparkSession) {
     require(!synonymMap.contains(n), s"synonym already exists: $name")
     require(!tables.contains(n) && !spark.catalog.tableExists(n),
       s"CREATE SYNONYM $name: a table or view with this name already exists")
+    // direct self-reference never enters the walk below (the name is
+    // not in the map yet) — reject it up front (Derby 42916)
+    require(t != n, s"CREATE SYNONYM $name: circular synonym chain")
     var cur = t; var hops = 0
     while (synonymMap.contains(cur)) {
       cur = synonymMap(cur); hops += 1

@@ -55,7 +55,7 @@ object PlanDiff {
           val on = normalize(d.fn(spark, sfDir).queryExecution.executedPlan.toString)
           if (off != on) {
             diffs += 1
-            println(s"[plandiff] DIFF $d.name")
+            println(s"[plandiff] DIFF ${d.name}")
             println(s"[plandiff] ---- $offV ----\n$off")
             println(s"[plandiff] ---- $onV ----\n$on")
           } else same += 1

@@ -214,6 +214,11 @@ class GraftScanBuilder(tableName: String, fullSchema: StructType,
     */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     val conf = org.apache.spark.sql.internal.SQLConf.get
+    // a batch_ids-restricted read must answer from EXACTLY those seals;
+    // GraftAggScan enumerates all live refs, so accepting a push here
+    // would silently aggregate the whole table — decline and let the
+    // plain GraftScan (which honors batchIds) feed Spark's aggregate
+    if (batchIds.isDefined) return false
     if (conf.getConfString(GraftAggPushdown.CONF_KEY, "true") != "true" ||
         pushed.nonEmpty) return false
     GraftAggPushdown.translate(aggregation, fullSchema, conf.ansiEnabled) match {

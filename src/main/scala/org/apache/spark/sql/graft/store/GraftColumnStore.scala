@@ -689,6 +689,21 @@ object GraftColumnStore {
     def sizeBytes: Long = refs.map(r => BatchRegistry.sizeBytes(r.id)).sum
     /** Heap-resident payload bytes (spilled batches count 0). */
     def residentBytes: Long = refs.map(r => BatchRegistry.residentBytes(r.id)).sum
+    /** Per-batch mutation fingerprint: the delete bitmap id plus the
+      * sorted update delta ids. Payload ids never recycle, so equality
+      * of two fingerprints proves no DELETE/UPDATE committed against
+      * those batches between the snapshots — [[StoreTable.swapRefs]]
+      * compares the maintenance-read fingerprint against the
+      * commit-time one and aborts on any difference (liveness alone
+      * misses a delete on a STILL-LIVE small seal, which the merged
+      * rows would silently resurrect).
+      */
+    def mutationState(ids: Set[Long]): Map[Long, (Option[Long], Vector[Long])] =
+      ids.iterator.map { id =>
+        id -> (deletes.get(id).map(_.bitmapId),
+          updates.getOrElse(id, Map.empty).valuesIterator
+            .flatMap(_.iterator.map(_.deltaId)).toVector.sorted)
+      }.toMap
   }
 
   /** Payload ids superseded by one snapshot swap. */
@@ -809,17 +824,25 @@ object GraftColumnStore {
 
     /** Swap a SPECIFIC set of live refs for merged replacements in one
       * atomic transition (the roll-up commit). Returns false — changing
-      * nothing — if any of `oldIds` is no longer live (a racing
-      * mutation retired it between the maintenance read and this swap);
-      * the caller releases its new payloads then. The old refs' delete
-      * bitmaps and update deltas retire WITH them: the maintenance read
-      * folded that state into the merged rows.
+      * nothing — if any of `oldIds` is no longer live OR its
+      * delete/update state changed since the maintenance read (a
+      * DELETE/UPDATE can commit against a still-live small seal while
+      * the multi-second merge job runs; liveness alone would let the
+      * swap drop that bitmap/delta and resurrect the deleted rows);
+      * the caller releases its new payloads then. `expectedMutations`
+      * is [[TableSnapshot.mutationState]] of the snapshot the
+      * maintenance read pinned — on a match, the old refs' delete
+      * bitmaps and update deltas retire WITH them, because the read
+      * provably folded exactly that state into the merged rows.
       */
-    def swapRefs(oldIds: Set[Long], newRefs: Vector[BatchRef]): Boolean = {
+    def swapRefs(oldIds: Set[Long],
+        expectedMutations: Map[Long, (Option[Long], Vector[Long])],
+        newRefs: Vector[BatchRef]): Boolean = {
       var ok = false
       mutateRetiring { s =>
         val live = s.refs.map(_.id).toSet
-        if (!oldIds.subsetOf(live)) { ok = false; (s, None) }
+        if (!oldIds.subsetOf(live) ||
+            s.mutationState(oldIds) != expectedMutations) { ok = false; (s, None) }
         else {
           ok = true
           val (dead, kept) = s.refs.partition(r => oldIds.contains(r.id))

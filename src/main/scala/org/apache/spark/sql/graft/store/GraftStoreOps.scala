@@ -248,6 +248,11 @@ object GraftStoreOps {
     val byBucket = small.groupBy(_.bucketId).filter(_._2.size >= minBatches)
     if (byBucket.isEmpty) return 0
     val ids = byBucket.values.flatten.map(_.id).toSet
+    // fingerprint the seals' delete/update state NOW, before the merge
+    // scan: swapRefs aborts if a DELETE/UPDATE lands on any of them
+    // while the merge job runs (captured pre-scan, so a mutation the
+    // scan DID fold can only cause a spurious abort — never a lost one)
+    val expectedMutations = snap.mutationState(ids)
     val bucketOf = byBucket.values.flatten.map(r => r.id -> r.bucketId).toMap
     val buckets = byBucket.keys.toSeq.sorted
     val bucketSlot = buckets.zipWithIndex.toMap
@@ -287,7 +292,7 @@ object GraftStoreOps {
         } catch { case e: Throwable => builder.abort(); throw e }
       }
       .collect().toVector
-    if (t.swapRefs(ids, newRefs)) ids.size
+    if (t.swapRefs(ids, expectedMutations, newRefs)) ids.size
     else {
       // a writer won the race: discard this pass's payloads, next
       // maintenance run sees the fresh snapshot

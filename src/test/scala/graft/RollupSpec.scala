@@ -66,6 +66,63 @@ class RollupSpec extends SparkTestBase {
     g.dropTable("ru_t")
   }
 
+  test("swapRefs aborts when a DELETE/UPDATE commits on a still-live seal mid-merge") {
+    val g = GraftSession(spark)
+    spark.range(0, 0).select(col("id").as("k"), col("id").as("v"))
+      .write.format(fmt).option("table", "ru_race")
+      .option("batch_size", "10000").mode("overwrite").save()
+    (0 until 4).foreach(i => smallInsert("ru_race", i * 100, 100))
+    val t = GraftColumnStore("ru_race")
+    val snap = t.snapshot
+    val ids = snap.liveRefs.filter(_.isDelta).map(_.id).toSet
+    assert(ids.size >= 4)
+    // the maintenance read pins THIS fingerprint...
+    val expected = snap.mutationState(ids)
+    // ...then a DELETE commits against one of the (still-live!) seals
+    // while the merge job runs — liveness alone would not notice
+    GraftStoreOps.delete(spark, "ru_race", col("k") === 7L)
+    assert(t.snapshot.refs.map(_.id).toSet.intersect(ids) == ids,
+      "precondition: the mutated seals must still be live")
+    assert(!t.swapRefs(ids, expected, Vector.empty),
+      "swap with a stale mutation fingerprint must abort")
+    // same for an UPDATE delta
+    val expected2 = t.snapshot.mutationState(ids)
+    GraftStoreOps.update(spark, "ru_race", col("k") === 9L, Seq("v" -> lit(-1L)))
+    assert(!t.swapRefs(ids, expected2, Vector.empty))
+    // a FRESH maintenance pass folds the new state and succeeds
+    val before = GraftStoreOps.read(spark, "ru_race")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(GraftStoreOps.rollupSmallBatches(spark, "ru_race", minBatches = 2) >= 4)
+    val after = GraftStoreOps.read(spark, "ru_race")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(after == before)
+    assert(!after.exists(_.head == 7L) && after.exists(r => r.head == 9L && r(1) == -1L))
+    g.dropTable("ru_race")
+  }
+
+  test("batch_ids read declines aggregate pushdown (answers from the addressed seals only)") {
+    val g = GraftSession(spark)
+    spark.range(0, 0).select(col("id").as("k"), col("id").as("v"))
+      .write.format(fmt).option("table", "ru_aggpd")
+      .option("batch_size", "10000").mode("overwrite").save()
+    (0 until 3).foreach(i => smallInsert("ru_aggpd", i * 100, 100))
+    val someRefs = GraftColumnStore("ru_aggpd").snapshot.liveRefs
+      .filter(_.isDelta).sortBy(_.id).take(2)
+    val addressed = someRefs.map(_.numRows.toLong).sum
+    val total = GraftStoreOps.read(spark, "ru_aggpd").count()
+    assert(addressed < total, "precondition: the address list must be a strict subset")
+    val pushesBefore = GraftColumnStore.aggPushes.get()
+    val n = spark.read.format(fmt).option("table", "ru_aggpd")
+      .option("batch_ids", someRefs.map(_.id).mkString(",")).load()
+      .agg(count(lit(1))).first().getLong(0)
+    // GraftAggScan enumerates ALL live refs — if the push were accepted
+    // this would read the whole table, not the two addressed seals
+    assert(n == addressed, s"batch_ids-restricted aggregate must see $addressed rows, got $n")
+    assert(GraftColumnStore.aggPushes.get() == pushesBefore,
+      "a batch_ids read must not accept aggregate pushdown")
+    g.dropTable("ru_aggpd")
+  }
+
   test("streaming e2e: foreachBatch ingest under rollupThreshold keeps the layout bounded") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -724,6 +724,11 @@ class SqlSurfaceSpec extends SparkTestBase {
       intercept[Exception](g.sql("CREATE SYNONYM syn_base FOR syn_alias"))
       g.sql("CREATE SYNONYM syn_a FOR syn_b") // dangling target: legal (01522)
       intercept[Exception](g.sql("CREATE SYNONYM syn_b FOR syn_a"))
+      // direct self-cycle (Derby 42916): never enters the chain walk, so
+      // it needs its own guard — and must NOT leave a registration behind
+      intercept[Exception](g.sql("CREATE SYNONYM syn_self FOR syn_self"))
+      g.sql("CREATE SYNONYM syn_self FOR syn_base") // name still free
+      g.sql("DROP SYNONYM syn_self")
       g.sql("DROP SYNONYM syn_a")
       // a synonym is not a table: definition-site guards
       intercept[Exception](g.dropTable("syn_alias"))
