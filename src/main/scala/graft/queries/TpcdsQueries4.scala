@@ -4,8 +4,10 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** TPC-DS-shaped wave 6 (reference: cluster/src/test/.../benchmark/snappy/
-  * tpcds/): the two harness mechanics the earlier waves still missed —
+/** TPC-DS-shaped waves 6-7 (reference: cluster/src/test/.../benchmark/
+  * snappy/tpcds/): wave 7 is q11's cross-multiplied year-over-year
+  * preference-shift ratio (`q_ds_spend_shift`); wave 6 is the two
+  * harness mechanics the earlier waves still missed —
   * q67's windowed top-k over a ROLLUP hierarchy (rank the rollup output
   * within each category partition, keep only the leaders — the "market
   * share report" shape), and q41's mutual-exclusion HAVING (groups that
