@@ -1,0 +1,139 @@
+package org.apache.spark.sql.graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Epoch-versioned checkpoint publishing: the two-process serving story
+  * (the reference's smart-connector mode — a store cluster keeps
+  * ingesting while connector JVMs serve reads from consistent snapshots,
+  * `cluster/.../gemxd/SparkSQLExecuteImpl.scala:63`,
+  * docs/affinity_modes/connector_mode.md). The Spark-first redesign is a
+  * commit-marker protocol over shared storage rather than a live data
+  * grid: the writer publishes immutable `epoch_N/` directories under a
+  * diskstore root and a reader JVM attaches READ-ONLY to the newest
+  * committed epoch — so reads are always of a full, published snapshot,
+  * and the snapshot a reader serves ADVANCES as the writer commits.
+  *
+  * Atomicity: an epoch directory is written completely (data parquet +
+  * layout + `epoch.properties` content fingerprint) BEFORE its
+  * `_COMMITTED` marker is created; readers enumerate only marked epochs,
+  * so a torn or in-flight epoch is invisible — there is no rename or
+  * pointer-swap to need filesystem-specific atomicity. The fingerprint
+  * (row count + order-independent content hash) lets the reader prove
+  * the restored snapshot is exactly what the writer published.
+  *
+  * Retention stands in for cross-process reader leases (in-JVM leases
+  * are [[LeaseGc]]'s job; distributed lease coordination is an ops
+  * non-goal, SURVEY §7): `keep` committed epochs survive a publish, so a
+  * reader attaching the latest epoch has `keep-1` publish cycles of
+  * margin before its files age out — and an attach COPIES into the
+  * reader's own registry, so the window only covers the restore read
+  * itself, not the serving lifetime.
+  */
+object LiveCheckpoint {
+
+  val MARKER = "_COMMITTED"
+  val EPOCH_PROPS = "epoch.properties"
+  private val EpochName = "epoch_(\\d{8})".r
+
+  private def epochDirName(n: Long): String = f"epoch_$n%08d"
+
+  private def fs(spark: SparkSession, root: String) = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Committed epoch numbers under `root`, ascending (uncommitted /
+    * in-flight directories are skipped — that is the torn-snapshot
+    * guarantee).
+    */
+  def committedEpochs(spark: SparkSession, root: String): Seq[Long] = {
+    val (f, p) = fs(spark, root)
+    if (!f.exists(p)) return Nil
+    f.listStatus(p).iterator
+      .filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName match {
+        case EpochName(n) if f.exists(
+          new org.apache.hadoop.fs.Path(s.getPath, MARKER)) => Some(n.toLong)
+        case _ => None
+      })
+      .toSeq.sorted
+  }
+
+  def latestEpoch(spark: SparkSession, root: String): Option[Long] =
+    committedEpochs(spark, root).lastOption
+
+  /** Order-independent content fingerprint of a dataframe: row count and
+    * the sum of per-row 32-bit hashes (widened, so the sum cannot
+    * overflow below ~2^32 rows). Both sides — publisher over the written
+    * parquet, reader over the restored store table — compute it the same
+    * way, so equality proves the attach re-hydrated exactly the
+    * published multiset.
+    */
+  def fingerprint(df: DataFrame): (Long, Long) = {
+    val cols = df.columns.map(col).toSeq
+    val r = df.agg(count(lit(1)).as("n"),
+      coalesce(sum(hash(cols: _*).cast("bigint")), lit(0L)).as("h")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Publish the table's current snapshot as the next committed epoch.
+    * The fingerprint is computed from the WRITTEN parquet, not the live
+    * table — the table may take more commits while this runs, and the
+    * manifest must describe the bytes a reader will actually attach.
+    * Returns the epoch number.
+    */
+  def publish(spark: SparkSession, table: String, root: String,
+      keep: Int = 4): Long = {
+    require(keep >= 1, "retention must keep at least the newest epoch")
+    val next = latestEpoch(spark, root).map(_ + 1).getOrElse(0L)
+    val dir = s"$root/${epochDirName(next)}"
+    GraftStoreOps.checkpoint(spark, table, dir)
+    val (rows, h) = fingerprint(spark.read.parquet(s"$dir/data"))
+    GraftManifest.write(spark, dir, Seq(
+      "epoch" -> next.toString,
+      "rows" -> rows.toString,
+      "content_hash" -> h.toString,
+      "table" -> table),
+      s"epoch $next of $table", EPOCH_PROPS)
+    // marker LAST: everything a reader needs exists before the epoch
+    // becomes visible
+    val (f, _) = fs(spark, root)
+    f.create(new org.apache.hadoop.fs.Path(dir, MARKER), true).close()
+    // retention: drop committed epochs beyond the newest `keep`
+    val committed = committedEpochs(spark, root)
+    committed.dropRight(keep).foreach { old =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$root/${epochDirName(old)}"), true)
+    }
+    next
+  }
+
+  /** Attach the newest committed epoch READ-ONLY: restore it into this
+    * JVM's registry under `table` and verify the restored content
+    * against the published fingerprint (count + content hash) — a torn
+    * or partially-visible snapshot fails here rather than serving wrong
+    * answers. Returns the epoch served.
+    */
+  def attachLatest(spark: SparkSession, table: String, root: String): Long = {
+    val e = latestEpoch(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed epoch under $root"))
+    attach(spark, table, root, e)
+    e
+  }
+
+  def attach(spark: SparkSession, table: String, root: String, epoch: Long): Unit = {
+    val dir = s"$root/${epochDirName(epoch)}"
+    val props = GraftManifest.readOpt(spark, dir, EPOCH_PROPS).getOrElse(
+      throw new IllegalStateException(s"epoch $epoch has no manifest under $root"))
+    val restored = GraftStoreOps.restore(spark, table, dir)
+    val (rows, h) = fingerprint(restored)
+    val (wantRows, wantH) =
+      (props.getProperty("rows").toLong, props.getProperty("content_hash").toLong)
+    if (rows != wantRows || h != wantH) {
+      // do not leave a known-bad snapshot registered as servable
+      GraftColumnStore.drop(table)
+      throw new IllegalStateException(
+        s"torn snapshot at epoch $epoch: restored ($rows, $h) != published ($wantRows, $wantH)")
+    }
+  }
+}

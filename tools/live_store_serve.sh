@@ -1,0 +1,76 @@
+#!/usr/bin/env bash
+# Two-process LIVE store proof: JVM A ingests (micro-append + roll-up +
+# DML) and publishes committed epochs to a shared diskstore root while
+# JVM B — a separate, CONCURRENT process — attaches read-only to each
+# new epoch and serves a grouped query from its restored store table.
+# Afterwards every served answer is hash-checked by DuckDB against the
+# parquet that epoch published (the oracle), proving B's answers match
+# at (at least) two different epochs and that B never observed a torn
+# snapshot (the attach aborts on any fingerprint mismatch).
+#
+# Raw `java` launches (not sbt) so the two JVMs genuinely overlap — sbt
+# serializes on the project lock.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+DIR=$(mktemp -d /tmp/graft_live.XXXXXX)
+trap 'rm -rf "$DIR"' EXIT
+sbt -batch compile >/dev/null 2>&1
+
+CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+JAVA="java $ADD_OPENS -Xmx3g -cp $CP"
+
+echo "== JVM A (ingest, background) + JVM B (serve, concurrent) =="
+$JAVA graft.tools.LiveStoreServe ingest "$DIR/store" 6 \
+  >"$DIR/ingest.log" 2>&1 &
+A_PID=$!
+# B starts immediately — it polls until the first committed epoch appears
+if ! $JAVA graft.tools.LiveStoreServe serve "$DIR/store" "$DIR/answers" 3 \
+    >"$DIR/serve.log" 2>&1; then
+  echo "SERVE FAILED — tail of logs:"; tail -20 "$DIR/serve.log" "$DIR/ingest.log"
+  kill "$A_PID" 2>/dev/null || true; exit 1
+fi
+if ! wait "$A_PID"; then
+  echo "INGEST FAILED — tail of log:"; tail -20 "$DIR/ingest.log"; exit 1
+fi
+grep XJ_LIVE_PUBLISH "$DIR/ingest.log"
+grep "XJ_LIVE_SERVE\|XJ_LIVE_READ_OK" "$DIR/serve.log"
+
+echo "== DuckDB oracle: B's answer vs the published epoch data =="
+python3 - "$DIR" <<'EOF'
+import duckdb, glob, os, sys
+root = sys.argv[1]
+answers = sorted(glob.glob(os.path.join(root, "answers", "answer_*")))
+assert len(answers) >= 2, f"need answers at >=2 epochs, got {answers}"
+con = duckdb.connect()
+ok = 0
+for a in answers:
+    epoch = os.path.basename(a).split("_")[1]
+    data = os.path.join(root, "store", f"epoch_{epoch}", "data")
+    # the epoch may have been pruned by retention after serving; the
+    # oracle can only check epochs whose data still exists
+    if not os.path.isdir(data):
+        print(f"  [skip] epoch {epoch}: pruned by retention")
+        continue
+    want = con.execute(
+        "SELECT k, count(*)::BIGINT AS n, sum(v)::BIGINT AS sv, "
+        "count(CASE WHEN s LIKE 'updated%' THEN 1 END)::BIGINT AS upd "
+        f"FROM read_parquet('{data}/*.parquet') GROUP BY k ORDER BY k"
+    ).fetchall()
+    got = con.execute(
+        "SELECT k, n, sv, upd "
+        f"FROM read_parquet('{a}/*.parquet') ORDER BY k").fetchall()
+    assert got == want, f"epoch {epoch} MISMATCH:\n got={got}\nwant={want}"
+    print(f"  [OK] epoch {epoch}: {len(got)} groups hash-match the oracle")
+    ok += 1
+assert ok >= 2, f"oracle verified only {ok} epochs (need >=2)"
+print(f"oracle verified {ok} served epochs")
+EOF
+echo "two-process live store serve: OK"
