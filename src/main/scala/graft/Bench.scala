@@ -38,6 +38,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // A/B hook: SPARK_GRAFT_CONF="k=v;k=v" applies session confs before
+    // the run, so a default-flip candidate can be benched in BOTH
+    // states with the same run shape (the only sound comparison on this
+    // host — see PERF_NOTES §21)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
 
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

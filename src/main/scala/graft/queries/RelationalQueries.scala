@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{QueryDef, Tables}
+import graft.{GraftSession, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -676,6 +676,50 @@ object RelationalQueries {
           |FROM documents
           |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3
           |ORDER BY lang, n_chars DESC, doc_id""".stripMargin)
+    },
+
+    // ---- CBO join reorder over store statistics (reference: the
+    // colocation-aware join ordering in core/.../sources/
+    // SnappyOptimizations.scala:110, driven by store row counts; here
+    // Spark's CostBasedJoinReorder consumes the scans' pushed-filter-
+    // aware row counts + HLL column stats — StatsCboSpec pins that the
+    // selective dim join moves FIRST in this exact shape). Written in
+    // the bad order (fact joins the reduction-free orders dim before the
+    // 1-of-5-segments customer filter); planned eagerly under
+    // cbo+joinReorder so the conf scope stays query-local. ----
+    QueryDef.sql(
+      "q_cbo_join_reorder",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      g.createTable("cbo_li", Tables.load(s, dir, "lineitem"))
+      g.createTable("cbo_ord", Tables.load(s, dir, "orders"),
+        keyColumns = Seq("o_orderkey"))
+      g.createTable("cbo_cust", Tables.load(s, dir, "customer"),
+        keyColumns = Seq("c_custkey"))
+      val old = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+        .map(k => k -> s.conf.getOption(k))
+      old.foreach { case (k, _) => s.conf.set(k, "true") }
+      try {
+        g.table("cbo_li")
+          .join(g.table("cbo_ord"), col("l_orderkey") === col("o_orderkey"))
+          .join(g.table("cbo_cust").filter(col("c_mktsegment") === "BUILDING"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity")).cast("bigint").as("qty"))
+          .orderBy("o_orderpriority")
+          .localCheckpoint(true)
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     }
   )
 }

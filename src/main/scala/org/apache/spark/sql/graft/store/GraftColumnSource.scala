@@ -118,6 +118,13 @@ object GraftTable {
       .orElse(existing.map(_.expireSeconds)).getOrElse(0L)
     require(expireSeconds >= 0,
       s"graftstore: expire_seconds must be >= 0, got $expireSeconds")
+    // per-table roll-up policy (streaming-ingest tables opt in at
+    // CREATE; see PERF_NOTES §23 for why this is not a session default)
+    props.get("rollup_threshold").foreach { v =>
+      val n = v.toInt
+      require(n >= 0, s"graftstore: rollup_threshold must be >= 0, got $n")
+      GraftColumnStore.setRollupThreshold(name, n)
+    }
     new GraftTable(name, schema, batchSize, bucketBy, buckets, keys, sortBy,
       compression, evictionBudget, sketchBy, expireSeconds)
   }
@@ -991,11 +998,15 @@ class GraftBatchWrite(tableName: String, schema: StructType, batchSize: Int,
     // carries the new refs
     GraftColumnStore.expireSweep(tableName)
     GraftColumnStore.enforceEviction(tableName)
-    // opt-in row-buffer roll-up (the reference's always-on behavior):
-    // when any bucket accumulates >= threshold small seals, merge them
-    // now — the streaming foreachBatch ingest loop is the shape that
-    // otherwise grows unbounded per-bucket tails of tiny batches
-    val rollupThr = org.apache.spark.sql.internal.SQLConf.get
+    // row-buffer roll-up (the reference's always-on behavior): when any
+    // bucket accumulates >= threshold small seals, merge them now — the
+    // streaming foreachBatch ingest loop is the shape that otherwise
+    // grows unbounded per-bucket tails of tiny batches. The table-level
+    // policy (rollup_threshold CREATE option) wins over the session
+    // conf; both default off for bulk loads (PERF_NOTES §23).
+    val tableThr = GraftColumnStore.rollupThreshold(tableName)
+    val rollupThr = if (tableThr > 0) tableThr
+    else org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.sql.graft.rollupThreshold", "0").toInt
     if (rollupThr > 0) {
       val needs = GraftColumnStore.get(tableName).exists(

@@ -1031,8 +1031,22 @@ object GraftColumnStore {
 
   def drop(name: String): Unit = {
     heapOverflowTables.remove(name)
+    rollupThresholds.remove(name)
     tables.remove(name).foreach(releaseAll)
   }
+
+  // ---- per-table roll-up maintenance policy (`rollup_threshold` table
+  // option): every write commit merges any bucket tail holding >= N
+  // small seals. Engine metadata like the heap-overflow set, NOT
+  // physical layout — but it rides checkpoints (GraftStoreOps) because
+  // the ingest pattern that needs it survives a restore. The measured
+  // tradeoff (PERF_NOTES §23) is why this is per-table rather than a
+  // session default: always-on roll-up taxes bulk-ingest commits
+  // ~8-12% for a benefit only fragmented streaming tails ever see.
+  private val rollupThresholds = TrieMap.empty[String, Int]
+  def setRollupThreshold(name: String, n: Int): Unit =
+    if (n > 0) rollupThresholds.put(name, n) else rollupThresholds.remove(name)
+  def rollupThreshold(name: String): Int = rollupThresholds.getOrElse(name, 0)
 
   private def releaseAll(t: StoreTable): Unit = {
     t.flushRetired()

@@ -737,7 +737,8 @@ object GraftStoreOps {
       "compression" -> snap.compression,
       "eviction_budget_bytes" -> snap.evictionBudget.toString,
       "sketch_columns" -> snap.sketchBy.mkString(","),
-      "expire_seconds" -> snap.expireSeconds.toString),
+      "expire_seconds" -> snap.expireSeconds.toString,
+      "rollup_threshold" -> GraftColumnStore.rollupThreshold(table).toString),
       s"graftstore checkpoint of $table")
   }
 
@@ -753,7 +754,7 @@ object GraftStoreOps {
     var w = df.write.format(FORMAT).option("table", table)
     Seq("partition_by", "buckets", "key_columns", "sort_by", "batch_size",
       "compression", "eviction_budget_bytes", "sketch_columns",
-      "expire_seconds").foreach { k =>
+      "expire_seconds", "rollup_threshold").foreach { k =>
       val v = p.getProperty(k, "")
       if (v.nonEmpty && !(k == "buckets" && v == "0")) w = w.option(k, v)
     }

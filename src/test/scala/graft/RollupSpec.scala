@@ -158,6 +158,36 @@ class RollupSpec extends SparkTestBase {
     }
   }
 
+  test("table-level rollup_threshold: bounds the tail with NO session conf, survives checkpoint/restore") {
+    // the streaming-ingest opt-in shape (PERF_NOTES §23): policy rides
+    // the TABLE, so bulk loads elsewhere in the session stay untaxed
+    assert(spark.conf.getOption("spark.sql.graft.rollupThreshold").isEmpty)
+    spark.range(0, 0).select(col("id").as("k"), col("id").as("v"))
+      .write.format(fmt).option("table", "ru_topt")
+      .option("batch_size", "10000").option("rollup_threshold", "3")
+      .mode("overwrite").save()
+    (0 until 10).foreach(i => smallInsert("ru_topt", i * 50, 50))
+    val tails = GraftColumnStore("ru_topt").snapshot.liveRefs
+      .filter(_.isDelta).groupBy(_.bucketId).values
+    assert(tails.forall(_.size <= 3),
+      s"table option must bound the tail, got ${GraftColumnStore("ru_topt").snapshot.liveRefs}")
+    assert(GraftStoreOps.read(spark, "ru_topt").count() == 500)
+    // the policy is part of the table's checkpoint: a restored table
+    // (fresh registry entry) keeps rolling its tail up
+    val dir = java.nio.file.Files.createTempDirectory("ru_ckpt").toString
+    GraftStoreOps.checkpoint(spark, "ru_topt", dir)
+    GraftColumnStore.drop("ru_topt")
+    assert(GraftColumnStore.rollupThreshold("ru_topt") == 0)
+    GraftStoreOps.restore(spark, "ru_topt", dir)
+    assert(GraftColumnStore.rollupThreshold("ru_topt") == 3)
+    (0 until 8).foreach(i => smallInsert("ru_topt", 500 + i * 50, 50))
+    val tails2 = GraftColumnStore("ru_topt").snapshot.liveRefs
+      .filter(_.isDelta).groupBy(_.bucketId).values
+    assert(tails2.forall(_.size <= 3), "restored table must keep its roll-up policy")
+    assert(GraftStoreOps.read(spark, "ru_topt").count() == 900)
+    GraftSession(spark).dropTable("ru_topt")
+  }
+
   test("commit-trigger: rollupThreshold bounds the small-seal tail across an ingest loop") {
     val key = "spark.sql.graft.rollupThreshold"
     spark.range(0, 0).select(col("id").as("k"), col("id").as("v"))

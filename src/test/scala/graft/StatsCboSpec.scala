@@ -84,6 +84,56 @@ class StatsCboSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     } finally { g.dropTable("cbo_row"); g.dropTable("cbo_row_other") }
   }
 
+  test("CBO join reorder: store HLL/PK stats move the selective dim join first") {
+    val g = GraftSession(spark)
+    // fact: a is near-unique (HLL digest), b is low-cardinality
+    val fact = spark.range(0, 150000, 1, 4)
+      .select(col("id").as("a"), (col("id") % 50).as("b"),
+        concat(lit("fact_payload_payload_"), col("id")).as("fp"))
+    fact.write.format("org.apache.spark.sql.graft.store.GraftColumnSource")
+      .option("table", "cbo_fact3").option("sketch_columns", "a,b")
+      .mode("overwrite").save()
+    // dima: as many rows as the fact, PK on a → joining it reduces nothing
+    spark.range(0, 150000, 1, 4)
+      .select(col("id").as("a"), concat(lit("dima_payload_"), col("id")).as("da"))
+      .write.format("org.apache.spark.sql.graft.store.GraftColumnSource")
+      .option("table", "cbo_dima").option("key_columns", "a")
+      .mode("overwrite").save()
+    // dimb: 50 rows; the filter keeps 5 → joining it FIRST shrinks the
+    // fact 10× before the expensive dima join
+    spark.range(0, 50)
+      .select(col("id").as("b"), col("id").as("sel"),
+        concat(lit("dimb_"), col("id")).as("db"))
+      .write.format("org.apache.spark.sql.graft.store.GraftColumnSource")
+      .option("table", "cbo_dimb").option("sketch_columns", "b,sel")
+      .mode("overwrite").save()
+    try {
+      withConf("spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> "true") {
+        import org.apache.spark.sql.graft.store.GraftStoreOps
+        val f = GraftStoreOps.read(spark, "cbo_fact3")
+        val dA = GraftStoreOps.read(spark, "cbo_dima")
+        val dB = GraftStoreOps.read(spark, "cbo_dimb").filter(col("sel") < 5)
+        // WRITTEN order joins the useless big dim first
+        val q = f.join(dA, "a").join(dB, "b")
+          .groupBy(col("db")).agg(count(lit(1)).as("n"), sum(col("a")).as("sa"))
+        import org.apache.spark.sql.catalyst.plans.logical.Join
+        val joins = q.queryExecution.optimizedPlan.collect { case j: Join => j }
+        assert(joins.size == 2, s"expected a 2-join tree, got ${joins.size}")
+        val deepest = joins.find(j =>
+          j.children.forall(_.collectFirst { case jj: Join => jj }.isEmpty))
+          .getOrElse(fail("no leaf-level join"))
+        val names = deepest.output.map(_.name).toSet
+        assert(names.contains("db") && !names.contains("da"),
+          s"CBO must reorder the selective dimb join first, innermost join " +
+            s"outputs: $names\n${q.queryExecution.optimizedPlan}")
+        assert(q.count() == 5)
+      }
+    } finally {
+      g.dropTable("cbo_fact3"); g.dropTable("cbo_dima"); g.dropTable("cbo_dimb")
+    }
+  }
+
   test("column stats surface to the optimizer: sketch distinct, PK uniqueness, null counts") {
     val g = GraftSession(spark)
     import spark.implicits._
