@@ -599,8 +599,11 @@ class GraftSession(val spark: SparkSession) {
         } else Nil
       pk ++ secondary
     }
+    // named ANN indexes (CREATE INDEX ... USING ivf|ivfpq)
+    val ann = graft.operators.AnnIndexes.list.map(m =>
+      (m.table, m.name, m.vecCol, s"ann_${m.provider}"))
     // rows' element type is static, so the empty frame keeps its schema
-    spark.createDataFrame(rows)
+    spark.createDataFrame(rows ++ ann)
       .toDF("table_name", "index_name", "columns", "kind")
   }
 

@@ -477,6 +477,21 @@ object Similarity {
     IvfPqIndex(ivf.centroids, encoded, cb)
   }
 
+  /** Residual-PQ encode for ALREADY-ASSIGNED vectors — the incremental
+    * ivfpq ingestion step ([[AnnIndexes.append]]): a pure map over the
+    * new batch against the frozen centroids + codebook, producing rows
+    * shaped like [[IvfPqIndex.encoded]] (nid, cell, codes).
+    */
+  def encodeResiduals(assigned: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    import graft.functions.VectorExpressions.pq_encode
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    assigned.join(broadcast(centroids), "cell")
+      .select(col(idCol).as("nid"), col("cell"),
+        pq_encode(residualExpr(col(vecCol), col("center")), cbLit).as("codes"))
+  }
+
   /** query/corpus residual vs a cell center, over L2-normalized input —
     * array<double> (the PQ kernels' input type).
     */

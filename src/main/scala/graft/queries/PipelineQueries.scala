@@ -22,12 +22,6 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
-  // q_ann_ivfpq: the index build is the amortized CREATE INDEX job, not
-  // the query (same doctrine as q_ann_ivf's managed-table cache) — one
-  // build per (JVM, data dir), the timed body is probe + rerank only
-  private val ivfPqCache =
-    scala.collection.concurrent.TrieMap.empty[String, graft.operators.Similarity.IvfPqIndex]
-
   val defs: Seq[QueryDef] = Seq(
 
     // ---- per-document surface statistics ----
@@ -1218,25 +1212,32 @@ object PipelineQueries {
     // ---- IVF-PQ composite ANN (FAISS IndexIVFPQ shape): cells bound
     // WHICH vectors a query touches, residual-PQ codes bound what each
     // COSTS (m lookups via the per-(query,cell) ADC table), exact cosine
-    // reranks the shortlist. Oracle: the recall-claim pattern — probing
-    // 6/16 cells with a 100-wide shortlist must recover ≥ 2 of each true
-    // top-10 (measured min 3-4 at both SFs; IvfPqSpec additionally
-    // proves exhaustive settings reproduce exact search EXACTLY) ----
+    // reranks the shortlist. Built through the DDL face — CREATE INDEX
+    // ... USING ivfpq persists the centroids/codes/codebook as managed
+    // store tables once per (JVM, data dir); that build is the amortized
+    // CREATE INDEX job, so the timed body probes the NAMED index only
+    // (same doctrine as q_ann_ivf's managed-table cache). Oracle: the
+    // recall-claim pattern — probing 6/16 cells with a 100-wide
+    // shortlist must recover ≥ 2 of each true top-10 (measured min 3-4
+    // at both SFs; IvfPqSpec additionally proves exhaustive settings
+    // reproduce exact search EXACTLY) ----
     QueryDef.sql(
       "q_ann_ivfpq",
       """SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS found_ge_2
         |FROM embeddings WHERE vec_id < 10
         |ORDER BY query_id""".stripMargin) { (s, dir) =>
+      val g = graft.GraftSession(s)
+      val suffix = (dir.hashCode & 0x7fffffff).toString
+      val (tbl, idxName) = (s"emb_ann_$suffix", s"ivfpq_$suffix")
+      if (!graft.operators.AnnIndexes.contains(idxName)) {
+        if (!g.isManaged(tbl)) g.createTable(tbl, Tables.load(s, dir, "embeddings"))
+        g.sql(s"CREATE INDEX $idxName ON $tbl (embedding) USING ivfpq " +
+          "OPTIONS (id_column 'vec_id', nlist '16', m '4', k '8', " +
+          "nprobe '6', shortlist '100')")
+      }
       val emb = Tables.load(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
-      val idx = ivfPqCache.getOrElseUpdate(dir, {
-        val built = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
-          nlist = 16, m = 4, k = 8, refineSteps = 1)
-        built.encoded.persist().count() // the index is materialized state
-        built
-      })
-      val approx = Similarity.ivfPqTopK(idx, emb, queries, "vec_id", "embedding",
-        k = 10, nprobe = 6, shortlist = 100)
+      val approx = graft.operators.AnnIndexes.probe(s, idxName, queries, k = 10)
       Similarity.recallClaim(emb, queries, approx, "vec_id", "embedding",
           k = 10, minHits = 2, claimCol = "found_ge_2")
         .orderBy("query_id")

@@ -136,8 +136,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case Some(CreateStreamTable(n, schema, provider, opts)) =>
         schema.foreach(delegate.parseTableSchema) // validate at statement time
         GraftCreateStreamTableCommand(n, schema, provider, opts)
-      case Some(CreateIndex(_, t, cols)) if g.isManaged(t.toLowerCase) =>
+      case Some(CreateIndex(n, t, cols, Some(provider), opts))
+          if g.isManaged(t.toLowerCase) =>
+        require(cols.size == 1,
+          s"CREATE INDEX $n USING $provider takes exactly one vector column")
+        GraftCreateAnnIndexCommand(n.toLowerCase, t.toLowerCase,
+          cols.head.toLowerCase, provider, opts)
+      case Some(CreateIndex(_, t, cols, None, _)) if g.isManaged(t.toLowerCase) =>
         GraftCreateIndexCommand(t.toLowerCase, cols)
+      case Some(DropIndex(n, _)) if graft.operators.AnnIndexes.contains(n) =>
+        GraftDropAnnIndexCommand(n.toLowerCase)
       case Some(DropIndex(_, t)) if g.isManaged(t.toLowerCase) =>
         GraftDropIndexCommand(t.toLowerCase)
       case Some(OptimizeZorder(t, cols)) if g.isManaged(t.toLowerCase) =>
@@ -516,6 +524,27 @@ case class GraftSynonymCommand(name: String, target: Option[String])
 case class GraftSetIsolationCommand(level: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     graft.GraftSession(spark).setIsolation(level)
+    Nil
+  }
+}
+
+/** CREATE INDEX ... USING ivf|ivfpq — the ANN index family's DDL face
+  * (reference SnappySession.createIndex:1760 routes providers likewise);
+  * builds via [[graft.operators.AnnIndexes]], whose state is managed
+  * store tables.
+  */
+case class GraftCreateAnnIndexCommand(name: String, table: String,
+    column: String, provider: String,
+    options: Map[String, String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.operators.AnnIndexes.create(spark, name, table, column, provider, options)
+    Nil
+  }
+}
+
+case class GraftDropAnnIndexCommand(name: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.operators.AnnIndexes.drop(spark, name)
     Nil
   }
 }

@@ -49,9 +49,15 @@ object GraftStatements extends RegexParsers {
   /** CREATE STREAM TABLE s [(schema)] USING provider OPTIONS (...) */
   final case class CreateStreamTable(name: String, schemaSql: Option[String],
       provider: String, options: Map[String, String]) extends Stmt
-  /** CREATE INDEX i ON t (cols) / DROP INDEX i ON t */
+  /** CREATE INDEX i ON t (cols) [USING provider [OPTIONS (...)]] / DROP
+    * INDEX i ON t — the USING clause mirrors the reference's index
+    * provider (SnappyDDLParser.createIndex:519); `ivf`/`ivfpq` route to
+    * the ANN index family, absent means the store-native index
+    * (row secondary / column clustering).
+    */
   final case class CreateIndex(name: String, table: String,
-      columns: Seq[String]) extends Stmt
+      columns: Seq[String], using: Option[String] = None,
+      options: Map[String, String] = Map.empty) extends Stmt
   final case class DropIndex(name: String, table: String) extends Stmt
   /** OPTIMIZE t ZORDER BY (cols) — multi-column clustering rewrite. */
   final case class OptimizeZorder(table: String, columns: Seq[String]) extends Stmt
@@ -262,7 +268,11 @@ object GraftStatements extends RegexParsers {
 
   private def createIndex: Parser[Stmt] =
     kw("CREATE") ~> kw("INDEX") ~> ident ~ (kw("ON") ~> ident) ~
-      ("(" ~> rep1sep(ident, ",") <~ ")") ^^ { case n ~ t ~ cs => CreateIndex(n, t, cs) }
+      ("(" ~> rep1sep(ident, ",") <~ ")") ~
+      opt(kw("USING") ~> ident) ~ opt(kw("OPTIONS") ~> options) ^^ {
+        case n ~ t ~ cs ~ u ~ o =>
+          CreateIndex(n, t, cs, u.map(_.toLowerCase), o.getOrElse(Map.empty))
+      }
 
   private def dropIndex: Parser[Stmt] =
     kw("DROP") ~> kw("INDEX") ~> ident ~ (kw("ON") ~> ident) ^^ {
