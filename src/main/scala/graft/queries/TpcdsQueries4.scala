@@ -4,7 +4,7 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** TPC-DS-shaped waves 6-7 (reference: cluster/src/test/.../benchmark/
+/** TPC-DS-shaped waves 6-8 (reference: cluster/src/test/.../benchmark/
   * snappy/tpcds/): wave 7 is q11's cross-multiplied year-over-year
   * preference-shift ratio (`q_ds_spend_shift`); wave 6 is the two
   * harness mechanics the earlier waves still missed —
@@ -138,6 +138,89 @@ object TpcdsQueries4 {
           sum(when(jumboPromo, 1).otherwise(0)).as("_has_jumbo"))
         .filter(col("_has_small") > 0 && col("_has_jumbo") === 0)
         .select("p_brand", "n_parts", "n_small_econ_names")
+        .orderBy(col("p_brand"))
+    },
+
+    // ---- q88 shape (wave 8): the multi-band cross-count — the
+    // reference harness writes it as 8 scalar subqueries cross-joined
+    // into one row, each re-scanning the fact for a different band
+    // (cluster/.../tpcds/ q88: 8 half-hour store_sales windows). The
+    // oracle keeps that 8-subquery formulation; the Spark side is the
+    // single-pass rewrite — ONE fact scan with 8 conditional counts —
+    // which is the whole point at 100 TB: 1/8th the IO of the literal
+    // plan, identical row. ----
+    QueryDef.sql(
+      "q_ds_band_counts",
+      """SELECT * FROM
+        |  (SELECT CAST(count(*) AS BIGINT) AS b1 FROM lineitem
+        |   WHERE l_discount BETWEEN 0.02 AND 0.08 AND l_returnflag <> 'R'
+        |     AND l_quantity >= 1 AND l_quantity <= 6) t1,
+        |  (SELECT CAST(count(*) AS BIGINT) AS b2 FROM lineitem
+        |   WHERE l_discount BETWEEN 0.02 AND 0.08 AND l_returnflag <> 'R'
+        |     AND l_quantity >= 7 AND l_quantity <= 12) t2,
+        |  (SELECT CAST(count(*) AS BIGINT) AS b3 FROM lineitem
+        |   WHERE l_discount BETWEEN 0.02 AND 0.08 AND l_returnflag <> 'R'
+        |     AND l_quantity >= 13 AND l_quantity <= 18) t3,
+        |  (SELECT CAST(count(*) AS BIGINT) AS b4 FROM lineitem
+        |   WHERE l_discount BETWEEN 0.02 AND 0.08 AND l_returnflag <> 'R'
+        |     AND l_quantity >= 19 AND l_quantity <= 24) t4,
+        |  (SELECT CAST(count(*) AS BIGINT) AS b5 FROM lineitem
+        |   WHERE l_discount BETWEEN 0.02 AND 0.08 AND l_returnflag <> 'R'
+        |     AND l_quantity >= 25 AND l_quantity <= 30) t5,
+        |  (SELECT CAST(count(*) AS BIGINT) AS b6 FROM lineitem
+        |   WHERE l_discount BETWEEN 0.02 AND 0.08 AND l_returnflag <> 'R'
+        |     AND l_quantity >= 31 AND l_quantity <= 36) t6,
+        |  (SELECT CAST(count(*) AS BIGINT) AS b7 FROM lineitem
+        |   WHERE l_discount BETWEEN 0.02 AND 0.08 AND l_returnflag <> 'R'
+        |     AND l_quantity >= 37 AND l_quantity <= 42) t7,
+        |  (SELECT CAST(count(*) AS BIGINT) AS b8 FROM lineitem
+        |   WHERE l_discount BETWEEN 0.02 AND 0.08 AND l_returnflag <> 'R'
+        |     AND l_quantity >= 43 AND l_quantity <= 50) t8""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_discount").between(0.02, 0.08) && col("l_returnflag") =!= "R")
+      def band(i: Int, lo: Int, hi: Int) =
+        count(when(col("l_quantity") >= lo && col("l_quantity") <= hi, 1))
+          .as(s"b$i")
+      li.agg(band(1, 1, 6), band(2, 7, 12), band(3, 13, 18), band(4, 19, 24),
+        band(5, 25, 30), band(6, 31, 36), band(7, 37, 42), band(8, 43, 50))
+    },
+
+    // ---- q72 shape (wave 8): the fact⋈fact date-offset chain —
+    // catalog_sales⋈inventory with d1.d_date < d2.d_date + 5 and
+    // on-hand < demanded becomes: returned shipments joined to later
+    // shipments of the SAME part within a 7-day window that restocked
+    // SHORT (smaller quantity), rolled up by brand. The join is keyed
+    // (l_partkey) with the date band as residual — a shuffled equi-join
+    // whose per-key fanout the band caps, never a cross product; at
+    // 100× the pairs grow with per-part shipment density, exactly like
+    // q72's per-item inventory records. ----
+    QueryDef.sql(
+      "q_ds_restock_short",
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_short,
+        |  CAST(sum(CAST(l1.l_quantity - l2.l_quantity AS BIGINT)) AS BIGINT) AS qty_gap
+        |FROM lineitem l1
+        |JOIN lineitem l2 ON l1.l_partkey = l2.l_partkey
+        |  AND l2.l_shipdate > l1.l_shipdate
+        |  AND l2.l_shipdate <= l1.l_shipdate + INTERVAL 7 DAY
+        |  AND l2.l_quantity < l1.l_quantity
+        |JOIN part ON l1.l_partkey = p_partkey
+        |WHERE l1.l_returnflag = 'R' AND l1.l_discount > 0.06
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val l1 = li.filter(col("l_returnflag") === "R" && col("l_discount") > 0.06)
+        .select(col("l_partkey").as("k1"), col("l_shipdate").as("d1"),
+          col("l_quantity").as("q1"))
+      val l2 = li.select(col("l_partkey").as("k2"), col("l_shipdate").as("d2"),
+        col("l_quantity").as("q2"))
+      l1.join(l2, col("k1") === col("k2") &&
+          col("d2") > col("d1") &&
+          col("d2") <= col("d1") + expr("INTERVAL 7 DAY") &&
+          col("q2") < col("q1"))
+        .join(broadcast(Tables.load(s, dir, "part")), col("k1") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_short"),
+          sum((col("q1") - col("q2")).cast("long")).as("qty_gap"))
         .orderBy(col("p_brand"))
     }
   )
