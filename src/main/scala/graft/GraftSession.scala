@@ -466,11 +466,26 @@ class GraftSession(val spark: SparkSession) {
       keyCol: String,
       tsCol: String,
       timeInterval: String,
-      k: Int): DataFrame = {
+      k: Int,
+      width: Int = 4096,
+      depth: Int = 5): DataFrame = {
     import org.apache.spark.sql.functions.{col => c, posexplode, window}
-    val topk = base
-      .groupBy(window(c(tsCol), timeInterval).as("w"))
-      .agg(graft.functions.SketchFunctions.approx_topk(c(keyCol), k).as("topk"))
+    val byEpoch = base.groupBy(window(c(tsCol), timeInterval).as("w"))
+    // the Hokusai state: ONE serialized CMS+pool sketch per epoch —
+    // range queries merge these, so a key that is big in aggregate but
+    // never per-epoch-top-k still surfaces (reference
+    // docs/sde/sketching.md; the materialized top-k rows below are the
+    // human-readable table face, not the query path). `width` is the
+    // CMS epsilon knob: size it ≳ 10× the per-epoch key cardinality or
+    // a colliding background key can inflate into the top-k.
+    createTable(s"${name}_sketches", byEpoch
+      .agg(org.apache.spark.sql.graft.CmsTopKAggregate
+        .approx_topk_state(c(keyCol), k, width, depth).as("sketch"))
+      .select(c("w.start").as("bucket_start"), c("w.end").as("bucket_end"),
+        c("sketch")))
+    val topk = byEpoch
+      .agg(graft.functions.SketchFunctions.approx_topk(c(keyCol), k, width, depth)
+        .as("topk"))
       .select(c("w.start").as("bucket_start"), c("w.end").as("bucket_end"),
         posexplode(c("topk")))
       .select(c("bucket_start"), c("bucket_end"), (c("pos") + 1).as("rank"),
@@ -479,13 +494,27 @@ class GraftSession(val spark: SparkSession) {
   }
 
   /** queryApproxTSTopK (reference SnappySession.queryApproxTSTopK:2162):
-    * top-k within [start, end) merged across buckets.
+    * top-k within [start, end) by MERGING the per-epoch CMS sketches in
+    * the range (counters add, so the answer equals a single sketch over
+    * the union of the epochs — CmsTopKSpec pins it); falls back to
+    * summing the materialized per-epoch top-k rows for topk tables
+    * created before the sketch sidecar existed.
     */
   def queryApproxTSTopK(name: String, start: String, end: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.functions.{col => c, lit, sum}
-    table(name)
-      .filter(c("bucket_start") >= lit(start).cast("timestamp") &&
-        c("bucket_end") <= lit(end).cast("timestamp"))
+    import org.apache.spark.sql.functions.{col => c, lit, posexplode, sum}
+    val startTs = lit(start).cast("timestamp")
+    val endTs = lit(end).cast("timestamp")
+    if (isManaged(s"${name}_sketches")) {
+      table(s"${name}_sketches")
+        .filter(c("bucket_start") >= startTs && c("bucket_end") <= endTs)
+        .agg(org.apache.spark.sql.graft.CmsTopKAggregate
+          .approx_topk_merge(c("sketch"), k).as("topk"))
+        .select(posexplode(c("topk")))
+        .select(c("col.key").as("key"), c("col.count").as("count"))
+        .orderBy(c("count").desc, c("key"))
+        .limit(k)
+    } else table(name)
+      .filter(c("bucket_start") >= startTs && c("bucket_end") <= endTs)
       .groupBy(c("key"))
       .agg(sum(c("count")).as("count"))
       .orderBy(c("count").desc, c("key"))

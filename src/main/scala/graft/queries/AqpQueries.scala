@@ -297,6 +297,39 @@ object AqpQueries {
         .orderBy("day", "rank")
     },
 
+    // ---- queryApproxTSTopK range-merge (Hokusai, reference
+    // docs/sde/sketching.md + SnappySession.queryApproxTSTopK:2162):
+    // createApproxTSTopK persists ONE CMS sketch per epoch; an arbitrary
+    // [start, end) query merges the covered epochs' sketches — additive
+    // counters make the answer equal a single sketch over the union
+    // (CmsRangeMergeSpec pins the equivalence AND the key-only-big-in-
+    // aggregate case the materialized per-epoch rows cannot answer).
+    // Oracle: the exact one-week counts — the sketch estimates are
+    // deterministic and collision-free at these cardinalities, so the
+    // hash compare is exact, not a claim. ----
+    QueryDef.sql(
+      "q_approx_topk_ts_range",
+      """SELECT CAST(user_id AS VARCHAR) AS user_key,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |GROUP BY 1
+        |ORDER BY cnt DESC, user_key
+        |LIMIT 5""".stripMargin) { (s, dir) =>
+      val g = graft.GraftSession(s)
+      val name = s"tk_events_${dir.hashCode & 0x7fffffff}"
+      if (!g.isManaged(name)) {
+        g.createApproxTSTopK(name,
+          Tables.load(s, dir, "events")
+            .select(col("ts"), col("user_id").cast("string").as("user_key")),
+          "user_key", "ts", "1 day", 5, width = 16384)
+      }
+      g.queryApproxTSTopK(name,
+        "2024-01-05 00:00:00", "2024-01-12 00:00:00", 5)
+        .select(col("key").as("user_key"), col("count").as("cnt"))
+    },
+
     // ---- built-in sketches: HLL distinct + approximate quantiles.
     // Oracle: the exact distinct count (hash-checked value) plus two
     // accuracy CLAIMS the oracle pins — the HLL estimate at rsd 0.02 must

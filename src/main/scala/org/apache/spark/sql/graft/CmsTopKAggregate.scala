@@ -158,7 +158,137 @@ case class CmsTopK(
       InternalRow(UTF8String.fromString(key), cnt)
     }.toArray[Any])
 
-  override def serialize(buf: CmsTopKBuffer): Array[Byte] = {
+  override def serialize(buf: CmsTopKBuffer): Array[Byte] =
+    CmsTopKAggregate.write(buf)
+
+  override def deserialize(bytes: Array[Byte]): CmsTopKBuffer =
+    CmsTopKAggregate.read(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): CmsTopK =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsTopK =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(keyExpr = cs(0))
+}
+
+/** [[CmsTopK]] with the SERIALIZED buffer as the result — the per-epoch
+  * sketch the Hokusai time-series store persists (reference
+  * docs/sde/sketching.md: one CMS per epoch, range queries merge
+  * epochs). Emitting the state instead of the extracted top-k is what
+  * makes arbitrary [start, end) ranges answerable later: counters add
+  * across epochs, so no key that is big IN AGGREGATE can be lost to a
+  * per-epoch top-k cut.
+  */
+case class CmsTopKState(
+    keyExpr: Expression,
+    k: Int,
+    width: Int = 4096,
+    depth: Int = 5,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[CmsTopKBuffer] {
+
+  override def children: Seq[Expression] = Seq(keyExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "approx_topk_state"
+
+  override def createAggregationBuffer(): CmsTopKBuffer =
+    new CmsTopKBuffer(width, depth, k)
+  override def update(buf: CmsTopKBuffer, input: InternalRow): CmsTopKBuffer = {
+    val v = keyExpr.eval(input)
+    if (v != null) buf.add(v.toString)
+    buf
+  }
+  override def merge(buf: CmsTopKBuffer, other: CmsTopKBuffer): CmsTopKBuffer = {
+    buf.merge(other); buf
+  }
+  override def eval(buf: CmsTopKBuffer): Any = CmsTopKAggregate.write(buf)
+  override def serialize(buf: CmsTopKBuffer): Array[Byte] =
+    CmsTopKAggregate.write(buf)
+  override def deserialize(bytes: Array[Byte]): CmsTopKBuffer =
+    CmsTopKAggregate.read(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): CmsTopKState =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsTopKState =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(keyExpr = cs(0))
+}
+
+/** Merge serialized [[CmsTopKState]] sketches and extract the top-k —
+  * the range-query side of the Hokusai store: counters are additive, so
+  * the merged estimate for every candidate equals the estimate a single
+  * sketch over the UNION of the epochs' rows would give (CmsTopKSpec
+  * pins that equivalence). The buffer self-sizes by ADOPTING the first
+  * incoming sketch's dimensions (they ride the serialized form), so the
+  * query side needs no build-time parameters.
+  */
+case class CmsTopKMerge(
+    stateExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[CmsTopKBuffer] {
+
+  override def children: Seq[Expression] = Seq(stateExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("key", StringType), StructField("count", LongType))))
+  override def prettyName: String = "approx_topk_merge"
+
+  // sentinel (width 1) until the first real sketch arrives and is adopted
+  override def createAggregationBuffer(): CmsTopKBuffer =
+    new CmsTopKBuffer(1, 1, k)
+  private def isSentinel(b: CmsTopKBuffer): Boolean = b.width == 1 && b.depth == 1
+
+  override def update(buf: CmsTopKBuffer, input: InternalRow): CmsTopKBuffer = {
+    val v = stateExpr.eval(input)
+    if (v == null) buf
+    else {
+      val o = CmsTopKAggregate.read(v.asInstanceOf[Array[Byte]])
+      if (isSentinel(buf)) o
+      else { buf.merge(o); buf }
+    }
+  }
+  override def merge(buf: CmsTopKBuffer, other: CmsTopKBuffer): CmsTopKBuffer =
+    if (isSentinel(other)) buf
+    else if (isSentinel(buf)) other
+    else { buf.merge(other); buf }
+  override def eval(buf: CmsTopKBuffer): Any =
+    new GenericArrayData(buf.topK.take(k).map { case (key, cnt) =>
+      InternalRow(UTF8String.fromString(key), cnt)
+    }.toArray[Any])
+  override def serialize(buf: CmsTopKBuffer): Array[Byte] =
+    CmsTopKAggregate.write(buf)
+  override def deserialize(bytes: Array[Byte]): CmsTopKBuffer =
+    CmsTopKAggregate.read(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): CmsTopKMerge =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsTopKMerge =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(stateExpr = cs(0))
+}
+
+object CmsTopKAggregate {
+  /** Column API: approximate top-k keys by frequency within the group. */
+  def approx_topk(key: Column, k: Int, width: Int = 4096, depth: Int = 5): Column =
+    ExpressionUtils.column(
+      CmsTopK(ExpressionUtils.expression(key), k, width, depth).toAggregateExpression())
+
+  /** Column API: the group's CMS+pool sketch, serialized (per-epoch). */
+  def approx_topk_state(key: Column, k: Int, width: Int = 4096, depth: Int = 5): Column =
+    ExpressionUtils.column(
+      CmsTopKState(ExpressionUtils.expression(key), k, width, depth).toAggregateExpression())
+
+  /** Column API: merge serialized sketches, extract top-k. */
+  def approx_topk_merge(state: Column, k: Int): Column =
+    ExpressionUtils.column(
+      CmsTopKMerge(ExpressionUtils.expression(state), k).toAggregateExpression())
+
+  private[graft] def write(buf: CmsTopKBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.width); out.writeInt(buf.depth); out.writeInt(buf.k)
@@ -171,7 +301,7 @@ case class CmsTopK(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): CmsTopKBuffer = {
+  private[graft] def read(bytes: Array[Byte]): CmsTopKBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = new CmsTopKBuffer(in.readInt(), in.readInt(), in.readInt())
     var i = 0
@@ -185,18 +315,4 @@ case class CmsTopK(
     }
     buf
   }
-
-  override def withNewMutableAggBufferOffset(o: Int): CmsTopK =
-    copy(mutableAggBufferOffset = o)
-  override def withNewInputAggBufferOffset(o: Int): CmsTopK =
-    copy(inputAggBufferOffset = o)
-  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
-    copy(keyExpr = cs(0))
-}
-
-object CmsTopKAggregate {
-  /** Column API: approximate top-k keys by frequency within the group. */
-  def approx_topk(key: Column, k: Int, width: Int = 4096, depth: Int = 5): Column =
-    ExpressionUtils.column(
-      CmsTopK(ExpressionUtils.expression(key), k, width, depth).toAggregateExpression())
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Range queries over the time-series top-k store
+  * ([[GraftSession.createApproxTSTopK]] / `queryApproxTSTopK`) — the
+  * Hokusai semantics (reference docs/sde/sketching.md): one CMS sketch
+  * per epoch, a [start, end) query MERGES the epoch sketches. Counters
+  * are additive, so the merged answer must equal a single sketch built
+  * over the union of the epochs' rows — and a key that is big IN
+  * AGGREGATE but never inside any single epoch's top-k must still
+  * surface (the property the materialized per-epoch top-k rows
+  * fundamentally cannot provide).
+  */
+class CmsRangeMergeSpec extends SparkTestBase {
+
+  private def ts(day: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+
+  test("multi-epoch range == epoch-union recomputation; aggregate-heavy key surfaces") {
+    val g = GraftSession(spark)
+    import spark.implicits._
+    // day-d heroes a_d_1..a_d_5 (100 events each, per-day top-5) and a
+    // SPREAD key at 60/day: rank 6 inside every day, rank 1 over any
+    // 2-day range (120 > 100)
+    val rows = for {
+      day <- 1 to 4
+      (key, n) <- (1 to 5).map(i => (s"a${day}_$i", 100)) :+ (("spread", 60))
+      j <- 1 to n
+    } yield (s"$day/$key/$j", ts(day), key)
+    val events = rows.toDF("event_id", "ts", "user_key")
+    g.createApproxTSTopK("tk_rm", events, "user_key", "ts", "1 day", 5)
+    try {
+      // per-epoch MATERIALIZED top-5 provably excludes the spread key...
+      assert(g.table("tk_rm").filter(col("key") === "spread").isEmpty)
+      // ...but the sketch-merge range query puts it FIRST over days 2-3
+      val got = g.queryApproxTSTopK("tk_rm",
+          "2024-01-02 00:00:00", "2024-01-04 00:00:00", 5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got.head == ("spread", 120L), s"got $got")
+      // equivalence: identical to recomputing ONE sketch over the union
+      // of the two epochs' raw rows (same k/width/depth)
+      val union = events
+        .filter(col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-04 00:00:00").cast("timestamp"))
+        .agg(org.apache.spark.sql.graft.CmsTopKAggregate
+          .approx_topk(col("user_key"), 5).as("topk"))
+        .select(posexplode(col("topk")))
+        .select(col("col.key"), col("col.count"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == union, s"merge diverged from union recompute:\n$got\n$union")
+      // full-range sanity: spread dominates everything at 240
+      val all = g.queryApproxTSTopK("tk_rm",
+          "2024-01-01 00:00:00", "2024-01-05 00:00:00", 3)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(all.head == ("spread", 240L), s"got $all")
+    } finally {
+      g.dropTable("tk_rm"); g.dropTable("tk_rm_sketches")
+    }
+  }
+}
