@@ -23,9 +23,10 @@ object TpcdsQueries4 {
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q67 shape: rollup(category, brand) revenue, ranked within each
-    // hierarchy level + category partition, top-3 kept. The rollup is one
-    // partial+final aggregate pass over the fact; the window runs over
-    // the rollup OUTPUT (|types|·|brands| rows — metadata scale), so the
+    // hierarchy level + category partition, top-3 kept. The fact is
+    // reduced to the full grouping key FIRST and the rollup's Expand
+    // runs over that pre-agg (PERF_NOTES §24); the window runs over the
+    // rollup OUTPUT (|types|·|brands| rows — metadata scale), so the
     // rank+filter cost is invisible at 100 TB. ----
     QueryDef.sql(
       "q_ds_category_topk",
@@ -46,11 +47,19 @@ object TpcdsQueries4 {
         |ORDER BY lochierarchy, coalesce(p_type, ''), rk""".stripMargin) { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
       val part = Tables.load(s, dir, "part")
-      val g = li.join(part, col("l_partkey") === col("p_partkey"))
-        .rollup(col("p_type"), col("p_brand"))
+      // pre-aggregate on the FULL grouping key, then rollup the pre-agg
+      // (valid: sum reassociates) — Spark's rollup plans an Expand that
+      // triplicates its input before the partial aggregate, so feeding
+      // it |types·brands| pre-agg rows instead of the fact join is 1.9×
+      // (1.33 → 0.69 s min-of-5 at sf0.1, tools/RollupExpandProbe,
+      // PERF_NOTES §24) and the gap grows with fact size
+      val pre = li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), col("p_brand"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)") * 10000).as("prev"))
+      val g = pre.rollup(col("p_type"), col("p_brand"))
         .agg(
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,4)") * 10000).cast("long").as("rev_e4"),
+          sum(col("prev")).cast("long").as("rev_e4"),
           (grouping(col("p_type")) + grouping(col("p_brand")))
             .cast("int").as("lochierarchy"),
           grouping(col("p_brand")).cast("int").as("gb"))
