@@ -552,6 +552,11 @@ class GraftSession(val spark: SparkSession) {
         refs.map { case (c, f) => s"${f.name} on $c" }.mkString(", "))
       Constraints.drop(nm)
     }
+    // ANN indexes are subordinate objects: DROP TABLE drops them and
+    // releases their state tables (standard index semantics — unlike FK
+    // children, which refuse above)
+    graft.operators.AnnIndexes.list.filter(_.table == nm)
+      .foreach(m => graft.operators.AnnIndexes.drop(spark, m.name))
     tables.remove(nm).foreach { st =>
       if (st.rowBacked) GraftRowStore.drop(nm)
       else if (st.storeBacked) GraftColumnStore.drop(nm)

@@ -94,6 +94,19 @@ class AnnIndexSpec extends SparkTestBase {
     g.dropTable("ann_ap")
   }
 
+  test("DROP TABLE cascades to its ANN indexes (standard index semantics)") {
+    val g = GraftSession(spark)
+    g.createTable("ann_ct", corpus(200))
+    g.sql("CREATE INDEX ann_ctx ON ann_ct (embedding) USING ivfpq " +
+      "OPTIONS (id_column 'vec_id', nlist '4')")
+    assert(AnnIndexes.contains("ann_ctx") && g.isManaged("ann_ann_ctx_codes"))
+    g.dropTable("ann_ct")
+    assert(!AnnIndexes.contains("ann_ctx"),
+      "dropping the base table must drop its ANN indexes")
+    assert(!g.isManaged("ann_ann_ctx_codes") && !g.isManaged("ann_ann_ctx_centroids"),
+      "…and release their state tables")
+  }
+
   test("ivf DDL provider routes to the IVF family") {
     val g = GraftSession(spark)
     g.createTable("ann_iv", corpus(200))
