@@ -88,7 +88,10 @@ object LiveCheckpoint {
     require(keep >= 1, "retention must keep at least the newest epoch")
     val next = latestEpoch(spark, root).map(_ + 1).getOrElse(0L)
     val dir = s"$root/${epochDirName(next)}"
-    GraftStoreOps.checkpoint(spark, table, dir)
+    // both stores serve in connector mode; the layout manifest records
+    // the provider, so attach dispatches without being told
+    if (GraftRowStore.get(table).isDefined) GraftRowOps.checkpoint(spark, table, dir)
+    else GraftStoreOps.checkpoint(spark, table, dir)
     val (rows, h) = fingerprint(spark.read.parquet(s"$dir/data"))
     GraftManifest.write(spark, dir, Seq(
       "epoch" -> next.toString,
@@ -125,13 +128,16 @@ object LiveCheckpoint {
     val dir = s"$root/${epochDirName(epoch)}"
     val props = GraftManifest.readOpt(spark, dir, EPOCH_PROPS).getOrElse(
       throw new IllegalStateException(s"epoch $epoch has no manifest under $root"))
-    val restored = GraftStoreOps.restore(spark, table, dir)
+    val isRow = GraftManifest.read(spark, dir).getProperty("provider", "column") == "row"
+    val restored =
+      if (isRow) GraftRowOps.restore(spark, table, dir)
+      else GraftStoreOps.restore(spark, table, dir)
     val (rows, h) = fingerprint(restored)
     val (wantRows, wantH) =
       (props.getProperty("rows").toLong, props.getProperty("content_hash").toLong)
     if (rows != wantRows || h != wantH) {
       // do not leave a known-bad snapshot registered as servable
-      GraftColumnStore.drop(table)
+      if (isRow) GraftRowStore.drop(table) else GraftColumnStore.drop(table)
       throw new IllegalStateException(
         s"torn snapshot at epoch $epoch: restored ($rows, $h) != published ($wantRows, $wantH)")
     }

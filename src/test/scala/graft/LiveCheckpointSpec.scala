@@ -68,6 +68,27 @@ class LiveCheckpointSpec extends SparkTestBase {
     GraftColumnStore.drop("lc_t")
   }
 
+  test("row tables publish and attach too (provider dispatch from the layout manifest)") {
+    val root = java.nio.file.Files.createTempDirectory("lc_row").toString
+    import spark.implicits._
+    (1L to 500L).map(i => (i, s"v$i")).toDF("pk", "v")
+      .write.format(org.apache.spark.sql.graft.store.GraftRowOps.FORMAT)
+      .option("table", "lc_row").option("key_columns", "pk")
+      .mode("overwrite").save()
+    assert(LiveCheckpoint.publish(spark, "lc_row", root) == 0L)
+    // mutate + republish: the served snapshot advances
+    org.apache.spark.sql.graft.store.GraftRowOps.delete(
+      spark, "lc_row", col("pk") <= 100L)
+    assert(LiveCheckpoint.publish(spark, "lc_row", root) == 1L)
+    assert(LiveCheckpoint.attachLatest(spark, "lc_rowsrv", root) == 1L)
+    val served = org.apache.spark.sql.graft.store.GraftRowOps.read(spark, "lc_rowsrv")
+    assert(served.count() == 400 && served.filter(col("pk") === 50L).isEmpty)
+    // the restored table is a real keyed row table (point lookup works)
+    assert(served.filter(col("pk") === 321L).head().getString(1) == "v321")
+    org.apache.spark.sql.graft.store.GraftRowStore.drop("lc_row")
+    org.apache.spark.sql.graft.store.GraftRowStore.drop("lc_rowsrv")
+  }
+
   test("retention prunes old epochs but numbering continues") {
     val root = java.nio.file.Files.createTempDirectory("lc_keep").toString
     write("lc_k", 100)
