@@ -310,6 +310,64 @@ class GraftSession(val spark: SparkSession) {
     df
   }
 
+  /** Connector-mode serving, session face (reference
+    * docs/affinity_modes/connector_mode.md — store members keep
+    * ingesting while connector JVMs serve reads): publish the table's
+    * snapshot as the next committed epoch under its bound DISKSTORE (or
+    * an explicit root). A reader session — typically another JVM —
+    * [[attachTable]]s the same root and serves the newest committed
+    * epoch; re-attaching advances with later publishes. Torn snapshots
+    * are impossible by construction ([[org.apache.spark.sql.graft.store
+    * .LiveCheckpoint]]: marker-last commit + fingerprint-verified
+    * attach). Constraints ride each epoch in the same sidecar
+    * checkpointTable writes — before the commit marker, so no reader
+    * can attach an epoch missing them.
+    */
+  def publishTable(name: String): Long =
+    publishTable(name, diskstoreDirFor(normalize(name), "publishTable"))
+
+  def publishTable(name: String, root: String): Long = {
+    val nm = normalize(name)
+    require(isManaged(nm), s"publishTable($name): not a managed table")
+    org.apache.spark.sql.graft.store.LiveCheckpoint.publish(spark, nm, root,
+      beforeCommit = dir =>
+        org.apache.spark.sql.graft.Constraints.get(nm).foreach { tc =>
+          org.apache.spark.sql.graft.store.GraftManifest.write(spark, dir,
+            Seq("constraints" -> org.apache.spark.sql.graft.Constraints.encode(tc)),
+            s"graft constraints for $nm", file = "constraints.properties")
+        })
+  }
+
+  /** Attach the newest committed epoch under `root` as managed table
+    * `name` — read-only with respect to the publisher (the attach
+    * copies into this JVM's registries). Returns the epoch served.
+    */
+  def attachTable(name: String, root: String): Long = {
+    require(!isSynonym(name), s"attachTable($name): name is a synonym")
+    val nm = normalize(name)
+    import org.apache.spark.sql.graft.store.{GraftManifest, GraftRowStore, LiveCheckpoint}
+    val e = LiveCheckpoint.attachLatest(spark, nm, root)
+    GraftManifest.readOpt(spark, LiveCheckpoint.dirFor(root, e),
+        "constraints.properties")
+      .flatMap(cp => Option(cp.getProperty("constraints")))
+      .foreach(enc => org.apache.spark.sql.graft.Constraints.register(nm,
+        org.apache.spark.sql.graft.Constraints.decodeConstraints(enc)))
+    if (GraftRowStore.get(nm).isDefined) {
+      val df = GraftRowOps.read(spark, nm)
+      df.createOrReplaceTempView(nm)
+      val s = GraftRowStore(nm).snapshot
+      tables.put(nm, TableState(df, s.keyColumns, s.bucketBy,
+        math.max(s.numBuckets, 0), rowBacked = true))
+    } else {
+      val df = GraftStoreOps.read(spark, nm)
+      df.createOrReplaceTempView(nm)
+      val s = org.apache.spark.sql.graft.store.GraftColumnStore(nm).snapshot
+      tables.put(nm, TableState(df, s.keyColumns, s.bucketBy,
+        math.max(s.numBuckets, 0), storeBacked = true))
+    }
+    e
+  }
+
   private def diskstoreDirFor(name: String, op: String): String =
     org.apache.spark.sql.graft.store.Diskstores.checkpointDir(normalize(name))
       .getOrElse(throw new IllegalArgumentException(

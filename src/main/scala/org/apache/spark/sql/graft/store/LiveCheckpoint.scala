@@ -38,6 +38,11 @@ object LiveCheckpoint {
 
   private def epochDirName(n: Long): String = f"epoch_$n%08d"
 
+  /** Path of one epoch's directory (for sidecar readers — everything in
+    * it is immutable once the marker exists).
+    */
+  def dirFor(root: String, epoch: Long): String = s"$root/${epochDirName(epoch)}"
+
   private def fs(spark: SparkSession, root: String) = {
     val p = new org.apache.hadoop.fs.Path(root)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -84,7 +89,7 @@ object LiveCheckpoint {
     * Returns the epoch number.
     */
   def publish(spark: SparkSession, table: String, root: String,
-      keep: Int = 4): Long = {
+      keep: Int = 4, beforeCommit: String => Unit = _ => ()): Long = {
     require(keep >= 1, "retention must keep at least the newest epoch")
     val next = latestEpoch(spark, root).map(_ + 1).getOrElse(0L)
     val dir = s"$root/${epochDirName(next)}"
@@ -99,6 +104,9 @@ object LiveCheckpoint {
       "content_hash" -> h.toString,
       "table" -> table),
       s"epoch $next of $table", EPOCH_PROPS)
+    // sidecars (e.g. the session's constraints file) must land BEFORE
+    // the marker, or a reader could attach an epoch missing them
+    beforeCommit(dir)
     // marker LAST: everything a reader needs exists before the epoch
     // becomes visible
     val (f, _) = fs(spark, root)

@@ -89,6 +89,29 @@ class LiveCheckpointSpec extends SparkTestBase {
     org.apache.spark.sql.graft.store.GraftRowStore.drop("lc_rowsrv")
   }
 
+  test("session face: publishTable to the bound diskstore, attachTable serves + enforces constraints") {
+    val g = GraftSession(spark)
+    val dsDir = java.nio.file.Files.createTempDirectory("lc_ds").toString
+    g.sql(s"CREATE DISKSTORE lc_store ('$dsDir')")
+    import spark.implicits._
+    g.sql("CREATE TABLE lc_pub (pk bigint primary key, v string not null) " +
+      "USING row OPTIONS (diskstore 'lc_store')")
+    g.insert("lc_pub", Seq((1L, "a"), (2L, "b")).toDF("pk", "v"))
+    assert(g.publishTable("lc_pub") == 0L) // no-root form: diskstore binding
+    g.insert("lc_pub", Seq((3L, "c")).toDF("pk", "v"))
+    assert(g.publishTable("lc_pub") == 1L)
+    // a reader attaches the advancing snapshot under its own name and
+    // the attached copy is a MANAGED table with the constraints riding
+    val root = s"$dsDir/lc_pub"
+    assert(g.attachTable("lc_srv2", root) == 1L)
+    assert(g.isManaged("lc_srv2") && g.table("lc_srv2").count() == 3)
+    intercept[Exception](g.insert("lc_srv2", Seq((1L, "dup")).toDF("pk", "v")))
+    intercept[Exception](g.insert("lc_srv2",
+      Seq(Tuple1(9L)).toDF("pk").select(col("pk"), lit(null).cast("string").as("v"))))
+    g.dropTable("lc_srv2"); g.dropTable("lc_pub")
+    g.sql("DROP DISKSTORE lc_store")
+  }
+
   test("retention prunes old epochs but numbering continues") {
     val root = java.nio.file.Files.createTempDirectory("lc_keep").toString
     write("lc_k", 100)
