@@ -541,6 +541,44 @@ object MutationQueries {
         .orderBy("s_nationkey")
     },
 
+    // ---- connector-mode serving e2e (reference connector_mode.md;
+    // LiveCheckpoint + GraftSession.publishTable/attachTable): the
+    // publisher ingests + mutates + publishes TWO epochs; the reader
+    // attaches the newest committed epoch under its own name and serves
+    // the query from the ATTACHED copy. Publish + attach are the
+    // amortized serving setup, once per (JVM, dir) — the timed body is
+    // the query over the attached table (the two-JVM concurrency proof
+    // is tools/live_store_serve.sh; this row oracle-gates the epoch
+    // content: the answer must reflect the SECOND epoch's mutations) ----
+    QueryDef.sql(
+      "q_live_attach",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)) * 10000) AS BIGINT) AS total_e4
+        |FROM orders
+        |WHERE o_orderkey % 10 <> 3
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      val sx = (dir.hashCode & 0x7fffffff).toString
+      val (pub, srv) = (s"live_pub_$sx", s"live_srv_$sx")
+      if (!g.isManaged(srv)) {
+        g.createTable(pub, Tables.load(s, dir, "orders"),
+          partitionBy = Seq("o_orderkey"), buckets = 8)
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_live_$sx").toString
+        g.publishTable(pub, root) // epoch 0: pristine
+        g.delete(pub, col("o_orderkey") % 10 === 3)
+        g.publishTable(pub, root) // epoch 1: post-delete
+        g.attachTable(srv, root)
+      }
+      g.table(srv)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,4)") * 10000)
+            .cast("long").as("total_e4"))
+        .orderBy("o_orderstatus")
+    },
+
     // ---- MERGE INTO (the canonical upsert through SQL): matched keys
     // update in place, unmatched source rows insert — the oracle replays
     // the upsert relationally (source wins per key, remainder kept) ----
