@@ -173,6 +173,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case Some(CreateSynonym(n, t)) => GraftSynonymCommand(n, Some(t))
       case Some(DropSynonym(n)) => GraftSynonymCommand(n, None)
       case Some(SetIsolation(l)) => GraftSetIsolationCommand(l)
+      // Derby SET SCHEMA == Spark USE; without this rewrite Spark's own
+      // SET statement swallows it as the conf assignment schema=<n>
+      case Some(SetSchema(n)) => delegate.parsePlan(s"USE `$n`")
       // guard like TRUNCATE/ALTER: hijack the native statement only for
       // graft-managed sources and temp views (which clone into managed
       // tables) — CREATE TABLE LIKE over a PERSISTENT catalog table must

@@ -87,6 +87,12 @@ object GraftStatements extends RegexParsers {
   final case class DropSynonym(name: String) extends Stmt
   /** SET [CURRENT] ISOLATION [=] level */
   final case class SetIsolation(level: String) extends Stmt
+  /** SET [CURRENT] SCHEMA s (reference set-schema.md, Derby semantics):
+    * the session's default namespace — Spark's USE. Parsed here because
+    * Spark's own SET statement would otherwise swallow it as a conf
+    * assignment (key "schema" = s) and silently change nothing.
+    */
+  final case class SetSchema(name: String) extends Stmt
   /** CREATE FUNCTION f AS class [RETURNS type] [USING JAR 'path']
     * (reference SnappyDDLParser.createFunction:765 — the RETURNS clause
     * is Snappy-specific; stock Spark's CREATE FUNCTION lacks it).
@@ -363,6 +369,11 @@ object GraftStatements extends RegexParsers {
     } |
     kw("SET") ~> opt(kw("CURRENT")) ~> kw("ISOLATION") ^^ { _ => SetIsolation("RESET") }
 
+  private def setSchema: Parser[Stmt] =
+    kw("SET") ~> opt(kw("CURRENT")) ~> kw("SCHEMA") ~> opt("=") ~> (quoted | ident) ^^ {
+      n => SetSchema(n)
+    }
+
   private def createTableLike: Parser[Stmt] =
     kw("CREATE") ~> kw("TABLE") ~> ident ~ (kw("LIKE") ~> ident) ^^ {
       case n ~ s => CreateTableLike(n, s)
@@ -399,7 +410,7 @@ object GraftStatements extends RegexParsers {
       createIndex | dropIndex | optimizeZorder | createFunction | createTableLike |
       createTableUsing | alterRebucket | alterAddConstraint | alterDropConstraint |
       alterDrop | alterAdd | truncateTable | createDiskstore | dropDiskstore |
-      createSynonym | dropSynonym | setIsolation |
+      createSynonym | dropSynonym | setIsolation | setSchema |
       streamingCtl | grantRevoke | update | delete
 
   /** None = not a graft statement (caller delegates to Spark's parser). */

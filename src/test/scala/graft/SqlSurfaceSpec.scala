@@ -724,6 +724,19 @@ class SqlSurfaceSpec extends SparkTestBase {
       intercept[Exception](g.sql("CREATE SYNONYM syn_base FOR syn_alias"))
       g.sql("CREATE SYNONYM syn_a FOR syn_b") // dangling target: legal (01522)
       intercept[Exception](g.sql("CREATE SYNONYM syn_b FOR syn_a"))
+      // SET SCHEMA (set-schema.md, Derby semantics == Spark USE): the
+      // session default namespace changes; current_schema() follows;
+      // plain conf SETs stay untouched by the rewrite
+      g.sql("CREATE SCHEMA IF NOT EXISTS sk_probe")
+      g.sql("SET SCHEMA sk_probe")
+      assert(spark.catalog.currentDatabase == "sk_probe")
+      assert(g.sql("SELECT current_schema() AS s").first().getString(0) == "sk_probe")
+      g.sql("SET CURRENT SCHEMA default")
+      assert(spark.catalog.currentDatabase == "default")
+      g.sql("SET spark.sql.graft.sk_probe_conf=1") // conf SET untouched
+      assert(spark.conf.get("spark.sql.graft.sk_probe_conf") == "1")
+      spark.conf.unset("spark.sql.graft.sk_probe_conf")
+      g.sql("DROP SCHEMA sk_probe")
       // direct self-cycle (Derby 42916): never enters the chain walk, so
       // it needs its own guard — and must NOT leave a registration behind
       intercept[Exception](g.sql("CREATE SYNONYM syn_self FOR syn_self"))
