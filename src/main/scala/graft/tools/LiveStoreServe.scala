@@ -22,6 +22,8 @@ object LiveStoreServe {
   private val fmt = GraftStoreOps.FORMAT
   private val TABLE = "live_t"
   private val SERVED = "live_served"
+  private val ROW_TABLE = "live_r"
+  private val ROW_SERVED = "live_r_served"
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -74,6 +76,19 @@ object LiveStoreServe {
           Seq("s" -> lit(s"updated_in_epoch_$e")))
       }
       val n = LiveCheckpoint.publish(spark, TABLE, root, keep = 4)
+      // row-table arm, published through the SESSION face: a keyed row
+      // table upserted each cycle serves alongside the column table
+      val g = graft.GraftSession(spark)
+      if (e == 0) {
+        import spark.implicits._
+        g.createTable(ROW_TABLE,
+          Seq.empty[(Long, Long)].toDF("pk", "val"),
+          keyColumns = Seq("pk"), provider = "row")
+      }
+      g.putInto(ROW_TABLE, spark.range(e * 50, (e + 1) * 50 + 20)
+        .select(col("id").as("pk"), (col("id") * 7 + e).as("val")))
+      val nr = g.publishTable(ROW_TABLE, s"$root-row")
+      require(nr == n, s"row/column epoch cadence diverged: $nr vs $n")
       val rows = org.apache.spark.sql.graft.store.GraftColumnStore(TABLE)
         .snapshot.rowCount
       println(s"XJ_LIVE_PUBLISH epoch=$n rows=$rows")
@@ -106,6 +121,17 @@ object LiveStoreServe {
             .orderBy(col("k"))
           ans.write.mode("overwrite").parquet(f"$out/answer_$e%08d")
           println(s"XJ_LIVE_SERVE epoch=$e rows=${ans.count()}")
+          // row-table arm through the session face: the publisher
+          // commits the row epoch right AFTER the column one, so it may
+          // lag a beat — serve whatever row epoch is committed now
+          if (LiveCheckpoint.latestEpoch(spark, s"$root-row").isDefined) {
+            val g = graft.GraftSession(spark)
+            val re = g.attachTable(ROW_SERVED, s"$root-row")
+            val rans = g.table(ROW_SERVED)
+              .agg(count(lit(1)).as("n"), sum(col("val")).cast("long").as("sv"))
+            rans.write.mode("overwrite").parquet(f"$out/answer_row_$re%08d")
+            println(s"XJ_LIVE_SERVE_ROW epoch=$re")
+          }
           served :+= e
         case _ => Thread.sleep(250)
       }

@@ -32,7 +32,7 @@ $JAVA graft.tools.LiveStoreServe ingest "$DIR/store" 6 \
   >"$DIR/ingest.log" 2>&1 &
 A_PID=$!
 # B starts immediately — it polls until the first committed epoch appears
-if ! $JAVA graft.tools.LiveStoreServe serve "$DIR/store" "$DIR/answers" 3 \
+if ! $JAVA graft.tools.LiveStoreServe serve "$DIR/store" "$DIR/answers" 5 \
     >"$DIR/serve.log" 2>&1; then
   echo "SERVE FAILED — tail of logs:"; tail -20 "$DIR/serve.log" "$DIR/ingest.log"
   kill "$A_PID" 2>/dev/null || true; exit 1
@@ -42,12 +42,13 @@ if ! wait "$A_PID"; then
 fi
 grep XJ_LIVE_PUBLISH "$DIR/ingest.log"
 grep "XJ_LIVE_SERVE\|XJ_LIVE_READ_OK" "$DIR/serve.log"
+grep -q XJ_LIVE_SERVE_ROW "$DIR/serve.log" || { echo "row arm never served"; exit 1; }
 
 echo "== DuckDB oracle: B's answer vs the published epoch data =="
 python3 - "$DIR" <<'EOF'
 import duckdb, glob, os, sys
 root = sys.argv[1]
-answers = sorted(glob.glob(os.path.join(root, "answers", "answer_*")))
+answers = sorted(glob.glob(os.path.join(root, "answers", "answer_[0-9]*")))
 assert len(answers) >= 2, f"need answers at >=2 epochs, got {answers}"
 con = duckdb.connect()
 ok = 0
@@ -71,6 +72,22 @@ for a in answers:
     print(f"  [OK] epoch {epoch}: {len(got)} groups hash-match the oracle")
     ok += 1
 assert ok >= 2, f"oracle verified only {ok} epochs (need >=2)"
-print(f"oracle verified {ok} served epochs")
+# row-table arm (served through the session publishTable/attachTable face)
+row_ok = 0
+for a in sorted(glob.glob(os.path.join(root, "answers", "answer_row_*"))):
+    epoch = os.path.basename(a).split("_")[2]
+    data = os.path.join(root, "store-row", f"epoch_{epoch}", "data")
+    if not os.path.isdir(data):
+        print(f"  [skip] row epoch {epoch}: pruned by retention")
+        continue
+    want = con.execute(
+        "SELECT count(*)::BIGINT AS n, sum(val)::BIGINT AS sv "
+        f"FROM read_parquet('{data}/*.parquet')").fetchall()
+    got = con.execute(f"SELECT n, sv FROM read_parquet('{a}/*.parquet')").fetchall()
+    assert got == want, f"row epoch {epoch} MISMATCH: got={got} want={want}"
+    print(f"  [OK] row epoch {epoch}: count+sum hash-match the oracle")
+    row_ok += 1
+assert row_ok >= 1, "row-table arm verified no epochs"
+print(f"oracle verified {ok} column epochs + {row_ok} row epochs")
 EOF
 echo "two-process live store serve: OK"
