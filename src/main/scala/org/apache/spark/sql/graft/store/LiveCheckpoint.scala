@@ -91,7 +91,26 @@ object LiveCheckpoint {
   def publish(spark: SparkSession, table: String, root: String,
       keep: Int = 4, beforeCommit: String => Unit = _ => ()): Long = {
     require(keep >= 1, "retention must keep at least the newest epoch")
-    val next = latestEpoch(spark, root).map(_ + 1).getOrElse(0L)
+    // exclusive epoch claim: two publishers racing one root would both
+    // compute max+1 and co-write the same directory — claim the number
+    // with a create-no-overwrite file (atomic on Hadoop filesystems)
+    // and advance past already-claimed epochs (claimed-but-uncommitted
+    // dirs of a crashed publisher stay invisible to readers forever;
+    // numbers never recycle, so skipping them is free)
+    val (f0, _) = fs(spark, root)
+    f0.mkdirs(new org.apache.hadoop.fs.Path(root))
+    var next = math.max(
+      latestEpoch(spark, root).map(_ + 1).getOrElse(0L), 0L)
+    var claimed = false
+    while (!claimed) {
+      try {
+        f0.create(new org.apache.hadoop.fs.Path(root, s".claim_${epochDirName(next)}"),
+          false).close()
+        claimed = true
+      } catch {
+        case _: java.io.IOException => next += 1 // another publisher won it
+      }
+    }
     val dir = s"$root/${epochDirName(next)}"
     // both stores serve in connector mode; the layout manifest records
     // the provider, so attach dispatches without being told
@@ -111,10 +130,13 @@ object LiveCheckpoint {
     // becomes visible
     val (f, _) = fs(spark, root)
     f.create(new org.apache.hadoop.fs.Path(dir, MARKER), true).close()
-    // retention: drop committed epochs beyond the newest `keep`
+    // retention: drop committed epochs beyond the newest `keep` (and
+    // their claim files — numbers never recycle, so this cannot free a
+    // number for re-claiming, it only keeps the root tidy)
     val committed = committedEpochs(spark, root)
     committed.dropRight(keep).foreach { old =>
       f.delete(new org.apache.hadoop.fs.Path(s"$root/${epochDirName(old)}"), true)
+      f.delete(new org.apache.hadoop.fs.Path(root, s".claim_${epochDirName(old)}"), false)
     }
     next
   }

@@ -112,6 +112,21 @@ class LiveCheckpointSpec extends SparkTestBase {
     g.sql("DROP DISKSTORE lc_store")
   }
 
+  test("a claimed epoch number is never co-written: the publisher advances past it") {
+    val root = java.nio.file.Files.createTempDirectory("lc_claim").toString
+    write("lc_cl", 100)
+    assert(LiveCheckpoint.publish(spark, "lc_cl", root) == 0L)
+    // a concurrent (or crashed) publisher holds the claim on epoch 1:
+    // this publisher must NOT co-write that directory — it takes 2
+    new java.io.File(root, ".claim_epoch_00000001").createNewFile()
+    assert(LiveCheckpoint.publish(spark, "lc_cl", root) == 2L)
+    // readers see only the committed epochs; the claimed-but-never-
+    // committed number stays invisible forever
+    assert(LiveCheckpoint.committedEpochs(spark, root) == Seq(0L, 2L))
+    assert(LiveCheckpoint.attachLatest(spark, "lc_clsrv", root) == 2L)
+    GraftColumnStore.drop("lc_cl"); GraftColumnStore.drop("lc_clsrv")
+  }
+
   test("retention prunes old epochs but numbering continues") {
     val root = java.nio.file.Files.createTempDirectory("lc_keep").toString
     write("lc_k", 100)
