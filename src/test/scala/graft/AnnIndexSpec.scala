@@ -107,6 +107,49 @@ class AnnIndexSpec extends SparkTestBase {
       "…and release their state tables")
   }
 
+  test("streaming vector ingest: foreachBatch inserts + appends the named index, probes see new vectors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val g = GraftSession(spark)
+    g.createTable("ann_st", corpus(200))
+    g.sql("CREATE INDEX ann_stx ON ann_st (embedding) USING ivfpq " +
+      "OPTIONS (id_column 'vec_id', nlist '4', nprobe '4', shortlist '64')")
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("id")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the vector-store ingest shape: rows land in the TABLE and the
+        // index maintains alongside, per micro-batch (typed map keeps
+        // the element schema identical to the corpus — non-null floats)
+        val batch = df.as[Long].map { i =>
+          (i, Array.tabulate(8)(j =>
+            (if (j % 4 == 0) 4.0f else 0.1f) + (i % 13).toFloat * 0.01f).toSeq)
+        }.toDF("vec_id", "embedding").localCheckpoint(true)
+        g.insert("ann_st", batch)
+        graft.operators.AnnIndexes.append(spark, "ann_stx", batch)
+        ()
+      }
+      .start()
+    try {
+      (0 until 3).foreach { i =>
+        mem.addData(5000L + i * 20 until 5000L + (i + 1) * 20: _*)
+        q.processAllAvailable()
+      }
+      assert(g.table("ann_ann_stx_codes").count() == 260)
+      // a query near the streamed cluster finds streamed neighbors
+      val probe = g.table("ann_st").filter(col("vec_id") === 5010L)
+      val hits = AnnIndexes.probe(spark, "ann_stx", probe, k = 8)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+      assert(hits.exists(_ >= 5000L),
+        s"streamed vectors must be probe-visible, got $hits")
+    } finally {
+      q.stop()
+      g.sql("DROP INDEX ann_stx ON ann_st")
+      g.dropTable("ann_st")
+    }
+  }
+
   test("ivf DDL provider routes to the IVF family") {
     val g = GraftSession(spark)
     g.createTable("ann_iv", corpus(200))
