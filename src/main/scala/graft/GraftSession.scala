@@ -93,6 +93,18 @@ class GraftSession(val spark: SparkSession) {
   // every definition site (CREATE/DROP/restore refuse synonym names —
   // Derby errors there too). Nested synonyms allowed; cycles rejected
   // at CREATE (42916 analog) so resolution is a bounded walk.
+  // tables brought in via attachTable: READ REPLICAS of a publisher's
+  // epoch — local mutations would silently diverge from the source (the
+  // reference's connector tables write THROUGH to the store; an epoch
+  // copy cannot), so every mutation entry point refuses them
+  private val attachedTables = TrieMap.empty[String, Unit]
+
+  private def requireWritable(name: String, op: String): Unit =
+    require(!attachedTables.contains(normalize(name)),
+      s"$op($name): table is an attached read replica (attachTable) — " +
+        "mutations would silently diverge from the publisher; mutate the " +
+        "publishing table, or copy the data into a table of your own")
+
   private val synonymMap = TrieMap.empty[String, String]
 
   def createSynonym(name: String, target: String): Unit = {
@@ -177,6 +189,7 @@ class GraftSession(val spark: SparkSession) {
       expireSeconds: Long = 0L): DataFrame = {
     require(!isSynonym(name), s"CREATE TABLE $name: name is a synonym")
     val nm = normalize(name)
+    attachedTables.remove(nm) // an explicit CREATE supersedes replica status
     // a replaced table must not inherit the old table's constraints —
     // the DDL command re-registers the new ones after this returns
     org.apache.spark.sql.graft.Constraints.drop(nm)
@@ -365,6 +378,7 @@ class GraftSession(val spark: SparkSession) {
       tables.put(nm, TableState(df, s.keyColumns, s.bucketBy,
         math.max(s.numBuckets, 0), storeBacked = true))
     }
+    attachedTables.put(nm, ())
     e
   }
 
@@ -377,6 +391,7 @@ class GraftSession(val spark: SparkSession) {
   def restoreTable(name: String, dir: String): DataFrame = {
     require(!isSynonym(name), s"restoreTable($name): name is a synonym")
     val nm = normalize(name)
+    attachedTables.remove(nm) // an explicit restore supersedes replica status
     // the manifest knows which store the table came from
     val p = org.apache.spark.sql.graft.store.GraftManifest.read(spark, dir)
     org.apache.spark.sql.graft.store.GraftManifest
@@ -585,6 +600,7 @@ class GraftSession(val spark: SparkSession) {
     * are dropped rather than tombstoned.
     */
   def truncateTable(name: String): DataFrame = {
+    requireWritable(name, "truncateTable")
     val nm = normalize(name)
     // referential restrict + identity reset (both Derby-heritage
     // behaviors: TRUNCATE refuses while a foreign key references the
@@ -615,6 +631,7 @@ class GraftSession(val spark: SparkSession) {
     // children, which refuse above)
     graft.operators.AnnIndexes.list.filter(_.table == nm)
       .foreach(m => graft.operators.AnnIndexes.drop(spark, m.name))
+    attachedTables.remove(nm)
     tables.remove(nm).foreach { st =>
       if (st.rowBacked) GraftRowStore.drop(nm)
       else if (st.storeBacked) GraftColumnStore.drop(nm)
@@ -969,6 +986,7 @@ class GraftSession(val spark: SparkSession) {
     * the SAME batch — see [[maintainSamples]].
     */
   def insert(name: String, rows: DataFrame): DataFrame = {
+    requireWritable(name, "insert")
     val st = stateOf(name)
     val aligned = constrainIncoming(name, st, rows, forPut = false)
     val out =
@@ -1021,6 +1039,7 @@ class GraftSession(val spark: SparkSession) {
     * O(source), not O(table) (GraftStoreOps.putInto).
     */
   def putInto(name: String, source: DataFrame): DataFrame = {
+    requireWritable(name, "putInto")
     val st = stateOf(name)
     val constrained = constrainIncoming(name, st, source, forPut = true)
     if (st.rowBacked) {
@@ -1048,6 +1067,7 @@ class GraftSession(val spark: SparkSession) {
     * per statement (GraftStoreOps.update).
     */
   def update(name: String, condition: Column, assignments0: (String, Column)*): DataFrame = {
+    requireWritable(name, "update")
     val st = stateOf(name)
     // assignment values cast to the column's type (SET v = 0 writes an
     // int literal — uncast it would land as Integer in a bigint column's
@@ -1079,6 +1099,7 @@ class GraftSession(val spark: SparkSession) {
     * Store-backed: per-batch delete bitmaps built task-side — O(delta).
     */
   def delete(name: String, condition: Column): DataFrame = {
+    requireWritable(name, "delete")
     val st = stateOf(name)
     validateDeleteRestrict(normalize(name),
       st.df.filter(condition), st.df.filter(!coalesce(condition, lit(false))))
@@ -1217,6 +1238,7 @@ class GraftSession(val spark: SparkSession) {
     * (the scalable path for CDC delete batches).
     */
   def deleteKeys(name: String, keys: DataFrame): DataFrame = {
+    requireWritable(name, "deleteKeys")
     val st = stateOf(name)
     require(st.keyColumns.nonEmpty, s"deleteKeys($name) requires key_columns")
     validateDeleteRestrict(normalize(name),

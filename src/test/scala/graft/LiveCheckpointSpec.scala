@@ -105,9 +105,23 @@ class LiveCheckpointSpec extends SparkTestBase {
     val root = s"$dsDir/lc_pub"
     assert(g.attachTable("lc_srv2", root) == 1L)
     assert(g.isManaged("lc_srv2") && g.table("lc_srv2").count() == 3)
-    intercept[Exception](g.insert("lc_srv2", Seq((1L, "dup")).toDF("pk", "v")))
-    intercept[Exception](g.insert("lc_srv2",
-      Seq(Tuple1(9L)).toDF("pk").select(col("pk"), lit(null).cast("string").as("v"))))
+    // attached tables are READ replicas: every mutation path refuses
+    // (a local write would silently diverge from the publisher — the
+    // reference's connector tables write through; an epoch copy cannot)
+    val dup = Seq((9L, "x")).toDF("pk", "v")
+    assert(intercept[Exception](g.insert("lc_srv2", dup))
+      .getMessage.contains("read replica"))
+    intercept[Exception](g.putInto("lc_srv2", dup))
+    intercept[Exception](g.update("lc_srv2", col("pk") === 1L, "v" -> lit("y")))
+    intercept[Exception](g.delete("lc_srv2", col("pk") === 1L))
+    intercept[Exception](g.truncateTable("lc_srv2"))
+    assert(g.table("lc_srv2").count() == 3, "reads untouched by the guard")
+    // the PUBLISHING table stays writable, and an explicit CREATE over
+    // the replica name supersedes replica status
+    g.insert("lc_pub", Seq((4L, "d")).toDF("pk", "v"))
+    g.createTable("lc_srv2", Seq((1L, 2L)).toDF("a", "b"))
+    g.insert("lc_srv2", Seq((3L, 4L)).toDF("a", "b"))
+    assert(g.table("lc_srv2").count() == 2)
     g.dropTable("lc_srv2"); g.dropTable("lc_pub")
     g.sql("DROP DISKSTORE lc_store")
   }
