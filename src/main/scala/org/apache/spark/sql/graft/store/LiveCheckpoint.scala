@@ -29,6 +29,22 @@ import org.apache.spark.sql.functions._
   * margin before its files age out — and an attach COPIES into the
   * reader's own registry, so the window only covers the restore read
   * itself, not the serving lifetime.
+  *
+  * 100 TB scale audit — stated, not hidden: an epoch here is a FULL
+  * snapshot (one table scan written as parquet, re-read once for the
+  * fingerprint), which is right for correctness-first serving and for
+  * dimension/serving tables, but publish cost is O(table) — at 100 TB
+  * on a minutes cadence that is the wrong shape. The scale path is the
+  * same commit protocol over INCREMENTAL state: persist sealed batch
+  * payloads once (content-addressed, they are immutable), make the
+  * epoch a MANIFEST of batch refs + delete/update overlay ids (exactly
+  * [[GraftColumnStore.TableSnapshot]]'s content), and fingerprint the
+  * manifest instead of the rows — publish becomes O(delta since last
+  * epoch), attach becomes O(manifest) + lazy payload fetch, and the
+  * marker/claim/retention machinery here carries over unchanged. Not
+  * built because every consumer in this repo serves snapshot-sized
+  * tables; the protocol boundary (marker-last visibility, fingerprint
+  * verification, claim-then-write) is the part a scale-up must keep.
   */
 object LiveCheckpoint {
 
