@@ -290,7 +290,12 @@ object AqpQueries {
         |ORDER BY day, rank""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "events")
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
-        .agg(approx_topk(col("user_id"), 5).as("topk"))
+        // width per the sizing rule (>= 10x key cardinality, PERF_NOTES
+        // and CmsRangeMergeSpec): the default 4096 measurably inflated a
+        // colliding key to a tie it then won on the string tie-break at
+        // sf0.1 (user 1460, day 2024-01-11 — caught by a full-suite
+        // oracle sweep at sf0.1; the sf0.01 gate never sees it)
+        .agg(approx_topk(col("user_id"), 5, width = 16384).as("topk"))
         .select(col("day"), posexplode(col("topk")))
         .select(col("day"), (col("pos") + 1).as("rank"),
           col("col.key").as("user_key"), col("col.count").as("cnt"))
