@@ -96,14 +96,14 @@ class GraftSession(val spark: SparkSession) {
   // tables brought in via attachTable: READ REPLICAS of a publisher's
   // epoch — local mutations would silently diverge from the source (the
   // reference's connector tables write THROUGH to the store; an epoch
-  // copy cannot), so every mutation entry point refuses them
-  private val attachedTables = TrieMap.empty[String, Unit]
-
+  // copy cannot), so every mutation entry point refuses them. Status
+  // lives in the STORE-level registry (ReplicaGuard), not a
+  // session-private set: DSv2 writes (`INSERT INTO graft.t`,
+  // `df.write.format(store)`) never pass through this session, and a
+  // session-only guard would let them silently diverge the copy.
   private def requireWritable(name: String, op: String): Unit =
-    require(!attachedTables.contains(normalize(name)),
-      s"$op($name): table is an attached read replica (attachTable) — " +
-        "mutations would silently diverge from the publisher; mutate the " +
-        "publishing table, or copy the data into a table of your own")
+    org.apache.spark.sql.graft.store.ReplicaGuard
+      .requireWritable(normalize(name), op)
 
   private val synonymMap = TrieMap.empty[String, String]
 
@@ -189,7 +189,7 @@ class GraftSession(val spark: SparkSession) {
       expireSeconds: Long = 0L): DataFrame = {
     require(!isSynonym(name), s"CREATE TABLE $name: name is a synonym")
     val nm = normalize(name)
-    attachedTables.remove(nm) // an explicit CREATE supersedes replica status
+    org.apache.spark.sql.graft.store.ReplicaGuard.clear(nm) // an explicit CREATE supersedes replica status
     // a replaced table must not inherit the old table's constraints —
     // the DDL command re-registers the new ones after this returns
     org.apache.spark.sql.graft.Constraints.drop(nm)
@@ -360,6 +360,10 @@ class GraftSession(val spark: SparkSession) {
     val nm = normalize(name)
     import org.apache.spark.sql.graft.store.{GraftManifest, GraftRowStore, LiveCheckpoint}
     val e = LiveCheckpoint.attachLatest(spark, nm, root)
+    // re-attach to a newer epoch must not keep the OLD epoch's
+    // constraints when the publisher dropped them (no sidecar written):
+    // absence of the sidecar means no constraints, so clear first
+    org.apache.spark.sql.graft.Constraints.drop(nm)
     GraftManifest.readOpt(spark, LiveCheckpoint.dirFor(root, e),
         "constraints.properties")
       .flatMap(cp => Option(cp.getProperty("constraints")))
@@ -378,7 +382,7 @@ class GraftSession(val spark: SparkSession) {
       tables.put(nm, TableState(df, s.keyColumns, s.bucketBy,
         math.max(s.numBuckets, 0), storeBacked = true))
     }
-    attachedTables.put(nm, ())
+    org.apache.spark.sql.graft.store.ReplicaGuard.markReplica(nm)
     e
   }
 
@@ -391,7 +395,7 @@ class GraftSession(val spark: SparkSession) {
   def restoreTable(name: String, dir: String): DataFrame = {
     require(!isSynonym(name), s"restoreTable($name): name is a synonym")
     val nm = normalize(name)
-    attachedTables.remove(nm) // an explicit restore supersedes replica status
+    org.apache.spark.sql.graft.store.ReplicaGuard.clear(nm) // an explicit restore supersedes replica status
     // the manifest knows which store the table came from
     val p = org.apache.spark.sql.graft.store.GraftManifest.read(spark, dir)
     org.apache.spark.sql.graft.store.GraftManifest
@@ -631,7 +635,7 @@ class GraftSession(val spark: SparkSession) {
     // children, which refuse above)
     graft.operators.AnnIndexes.list.filter(_.table == nm)
       .foreach(m => graft.operators.AnnIndexes.drop(spark, m.name))
-    attachedTables.remove(nm)
+    org.apache.spark.sql.graft.store.ReplicaGuard.clear(nm)
     tables.remove(nm).foreach { st =>
       if (st.rowBacked) GraftRowStore.drop(nm)
       else if (st.storeBacked) GraftColumnStore.drop(nm)

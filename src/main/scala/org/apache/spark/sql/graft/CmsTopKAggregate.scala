@@ -26,7 +26,12 @@ import scala.collection.mutable
   * Candidate pool is `poolFactor × k` so merges between partitions don't
   * prematurely drop border keys.
   */
-final class CmsTopKBuffer(val width: Int, val depth: Int, val k: Int) {
+final class CmsTopKBuffer(val width: Int, val depth: Int, val k: Int,
+    val empty: Boolean = false) {
+  // `empty` marks a merge-side buffer that has adopted no sketch yet —
+  // an EXPLICIT flag, not a dimension sentinel: a genuine width-1 or
+  // depth-1 sketch (degenerate but constructible) must never be
+  // conflated with "nothing merged yet" and silently dropped.
   val counts: Array[Long] = new Array[Long](width * depth)
   val candidates: mutable.HashMap[String, Long] = mutable.HashMap.empty
   // Generous pool: tie-groups at the rank-k boundary survive partial
@@ -106,6 +111,14 @@ final class CmsTopKBuffer(val width: Int, val depth: Int, val k: Int) {
   }
 
   def merge(o: CmsTopKBuffer): Unit = {
+    // counters add cell-by-cell, so the layouts must be identical —
+    // mixing sketch widths (e.g. state tables built under different
+    // width settings) would otherwise index out of bounds or, worse,
+    // silently add counts for DIFFERENT hash cells
+    require(o.width == width && o.depth == depth,
+      s"CMS merge: incompatible sketch dimensions (${width}x$depth vs " +
+        s"${o.width}x${o.depth}) — sketches in one merge must be built " +
+        "with identical width/depth")
     minValid = false
     var i = 0
     while (i < counts.length) { counts(i) += o.counts(i); i += 1 }
@@ -238,10 +251,12 @@ case class CmsTopKMerge(
     StructType(Seq(StructField("key", StringType), StructField("count", LongType))))
   override def prettyName: String = "approx_topk_merge"
 
-  // sentinel (width 1) until the first real sketch arrives and is adopted
+  // explicitly-flagged empty buffer until the first real sketch
+  // arrives and is adopted (the flag rides serialization as width=0, so
+  // a genuine 1x1 sketch is never mistaken for it)
   override def createAggregationBuffer(): CmsTopKBuffer =
-    new CmsTopKBuffer(1, 1, k)
-  private def isSentinel(b: CmsTopKBuffer): Boolean = b.width == 1 && b.depth == 1
+    new CmsTopKBuffer(1, 1, k, empty = true)
+  private def isSentinel(b: CmsTopKBuffer): Boolean = b.empty
 
   override def update(buf: CmsTopKBuffer, input: InternalRow): CmsTopKBuffer = {
     val v = stateExpr.eval(input)
@@ -291,6 +306,10 @@ object CmsTopKAggregate {
   private[graft] def write(buf: CmsTopKBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
+    if (buf.empty) { // width=0 header marks the not-yet-adopted buffer
+      out.writeInt(0); out.writeInt(0); out.writeInt(buf.k)
+      out.flush(); return bos.toByteArray
+    }
     out.writeInt(buf.width); out.writeInt(buf.depth); out.writeInt(buf.k)
     buf.counts.foreach(out.writeLong)
     out.writeInt(buf.candidates.size)
@@ -303,7 +322,9 @@ object CmsTopKAggregate {
 
   private[graft] def read(bytes: Array[Byte]): CmsTopKBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val buf = new CmsTopKBuffer(in.readInt(), in.readInt(), in.readInt())
+    val w = in.readInt(); val d = in.readInt(); val kk = in.readInt()
+    if (w == 0) return new CmsTopKBuffer(1, 1, kk, empty = true)
+    val buf = new CmsTopKBuffer(w, d, kk)
     var i = 0
     while (i < buf.counts.length) { buf.counts(i) = in.readLong(); i += 1 }
     val nc = in.readInt()

@@ -152,6 +152,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val nm = tableName(ident)
+    // ALTER rewrites the replica's data/layout locally — same silent
+    // divergence as a write, refused at the store level
+    ReplicaGuard.requireWritable(nm, "alterTable")
     val spark = org.apache.spark.sql.SparkSession.active
     import org.apache.spark.sql.functions.{col, lit}
     def topLevel(path: Array[String], what: String): String = {

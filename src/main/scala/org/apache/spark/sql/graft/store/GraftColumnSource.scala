@@ -188,10 +188,17 @@ class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
       Option(options.get("batch_ids")).map(
         _.split(",").iterator.map(_.trim.toLong).toSet))
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // read replicas refuse DSv2 writes too (INSERT INTO graft.t /
+    // df.write.format(store)) — the session guard alone cannot see
+    // these paths. Checked at plan time so the user gets the refusal
+    // before any task launches. Restore/re-attach drops the table
+    // first, which clears the flag, so those internal writes pass.
+    ReplicaGuard.requireWritable(tableName, "write")
     new GraftWriteBuilder(tableName, info.schema(), batchSize, bucketBy, numBuckets,
       keyColumns, sortBy, compression, evictionBudget,
       info.options.getOrDefault("staged_token", ""), sketchBy, expireSeconds)
+  }
 }
 
 // ------------------------------- read path -------------------------------

@@ -1032,6 +1032,9 @@ object GraftColumnStore {
   def drop(name: String): Unit = {
     heapOverflowTables.remove(name)
     rollupThresholds.remove(name)
+    // dropping a replica releases its read-only status with it (the
+    // next owner of the name — CREATE, restore — starts writable)
+    ReplicaGuard.clear(name)
     tables.remove(name).foreach(releaseAll)
   }
 

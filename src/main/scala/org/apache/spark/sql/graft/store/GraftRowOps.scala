@@ -107,6 +107,7 @@ object GraftRowOps {
     * routing (reference: PK-routed put against the bucket region).
     */
   def put(spark: SparkSession, table: String, source: DataFrame): Unit = {
+    ReplicaGuard.requireWritable(table, "put")
     val t = GraftRowStore(table)
     // pin a reader lease for the probe job: its tasks resolve pack
     // payloads from this snapshot, and a concurrent mutation would
@@ -191,6 +192,7 @@ object GraftRowOps {
     * bucket-routed and resolved by index probe; no table scan.
     */
   def deleteKeys(spark: SparkSession, table: String, keys: DataFrame): Unit = {
+    ReplicaGuard.requireWritable(table, "deleteKeys")
     val t = GraftRowStore(table)
     // pinned lease for the probe job — see put()
     val (snap, leaseId) = t.pinSnapshot()
@@ -247,6 +249,7 @@ object GraftRowOps {
     * the hidden addresses, tombstoned per pack.
     */
   def delete(spark: SparkSession, table: String, cond: Column): Unit = {
+    ReplicaGuard.requireWritable(table, "delete")
     import spark.implicits._
     val bitmaps = withAddress(spark, table)
       .filter(coalesce(cond, lit(false)))
@@ -274,6 +277,7 @@ object GraftRowOps {
     */
   def update(spark: SparkSession, table: String, cond: Column,
       assignments: Seq[(String, Column)]): Unit = {
+    ReplicaGuard.requireWritable(table, "update")
     val t = GraftRowStore(table)
     val snap = t.snapshot
     require(snap.keyColumns.nonEmpty, s"graftrow.update($table) requires key_columns")

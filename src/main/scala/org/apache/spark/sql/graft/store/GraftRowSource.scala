@@ -136,9 +136,13 @@ class GraftRowTable(tableName: String, tableSchema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftRowScanBuilder(tableName, tableSchema)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // same store-level replica refusal as the column source — see
+    // GraftTable.newWriteBuilder
+    ReplicaGuard.requireWritable(tableName, "write")
     new GraftRowWriteBuilder(tableName, info.schema(), keyColumns, bucketBy, numBuckets,
       evictionBudget, expireSeconds)
+  }
 }
 
 // ------------------------------- read path -------------------------------

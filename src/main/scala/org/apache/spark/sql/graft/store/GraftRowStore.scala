@@ -432,7 +432,10 @@ object GraftRowStore {
 
   def tableNames: Seq[String] = tables.keys.toSeq.sorted
 
-  def drop(name: String): Unit = tables.remove(name).foreach(releaseAll)
+  def drop(name: String): Unit = {
+    ReplicaGuard.clear(name) // see GraftColumnStore.drop
+    tables.remove(name).foreach(releaseAll)
+  }
 
   private def releaseAll(t: RowTable): Unit = {
     t.flushRetired()

@@ -39,12 +39,15 @@ object GraftStoreOps {
   }
 
   /** DELETE FROM table WHERE cond. */
-  def delete(spark: SparkSession, table: String, cond: Column): Unit =
+  def delete(spark: SparkSession, table: String, cond: Column): Unit = {
+    ReplicaGuard.requireWritable(table, "delete")
     deleteAddressed(spark, table,
       withAddress(spark, table).filter(coalesce(cond, lit(false))))
+  }
 
   /** DELETE every row whose key matches a row of `keys`. */
   def deleteKeys(spark: SparkSession, table: String, keys: DataFrame): Unit = {
+    ReplicaGuard.requireWritable(table, "deleteKeys")
     val t = GraftColumnStore(table)
     val keyCols = t.snapshot.keyColumns
     require(keyCols.nonEmpty, s"deleteKeys($table) requires key_columns")
@@ -96,6 +99,7 @@ object GraftStoreOps {
     */
   def update(spark: SparkSession, table: String, cond: Column,
       assignments: Seq[(String, Column)]): Unit = {
+    ReplicaGuard.requireWritable(table, "update")
     import spark.implicits._
     val t = GraftColumnStore(table)
     val schema = t.schema
@@ -170,6 +174,7 @@ object GraftStoreOps {
     * both O(source).
     */
   def putInto(spark: SparkSession, table: String, source: DataFrame): Unit = {
+    ReplicaGuard.requireWritable(table, "putInto")
     val t = GraftColumnStore(table)
     val keyCols = t.snapshot.keyColumns
     require(keyCols.nonEmpty, s"putInto($table) requires key_columns")

@@ -115,17 +115,40 @@ object LiveCheckpoint {
     // numbers never recycle, so skipping them is free)
     val (f0, _) = fs(spark, root)
     f0.mkdirs(new org.apache.hadoop.fs.Path(root))
+    // Filesystem note: create(overwrite=false) is atomic on HDFS; on
+    // RawLocalFileSystem and most object stores it is check-then-create,
+    // so exclusivity there is best-effort (fine for the single-writer-
+    // per-root deployments this targets; use an HDFS-semantics store for
+    // true multi-publisher racing).
     var next = math.max(
       latestEpoch(spark, root).map(_ + 1).getOrElse(0L), 0L)
     var claimed = false
+    var contended = 0
     while (!claimed) {
       try {
         f0.create(new org.apache.hadoop.fs.Path(root, s".claim_${epochDirName(next)}"),
           false).close()
         claimed = true
       } catch {
-        case _: java.io.IOException => next += 1 // another publisher won it
+        // only "file already exists" means another publisher won the
+        // number — any other IOException (permissions, connectivity)
+        // would repeat forever if treated as contention, so it
+        // propagates. ChecksumFileSystem wraps the local case in a
+        // plain IOException whose message carries the path, hence the
+        // message probe beside the typed catch.
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.nio.file.FileAlreadyExistsException =>
+          next += 1; contended += 1
+        case e: java.io.IOException
+            if e.getMessage != null && e.getMessage.contains("exists") =>
+          next += 1; contended += 1
       }
+      // bound the walk: a pathological root with an unbounded run of
+      // claimed-but-uncommitted numbers means something is wrong with
+      // the deployment, not this publisher — refuse loudly
+      require(contended < 10000,
+        s"publish($table): gave up after $contended contended epoch claims " +
+          s"under $root — stale .claim_* files or a runaway publisher")
     }
     val dir = s"$root/${epochDirName(next)}"
     // both stores serve in connector mode; the layout manifest records

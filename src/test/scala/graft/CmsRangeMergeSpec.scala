@@ -58,4 +58,36 @@ class CmsRangeMergeSpec extends SparkTestBase {
       g.dropTable("tk_rm"); g.dropTable("tk_rm_sketches")
     }
   }
+
+  test("merge validates sketch dimensions; a genuine 1x1 sketch is not the empty sentinel") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.CmsTopKAggregate._
+    val df = (1 to 50).map(i => (s"k${i % 5}", i % 2)).toDF("key", "part")
+    // sketches built under DIFFERENT width settings must refuse to
+    // merge (counters are positional: adding cells of different hash
+    // layouts silently corrupts counts)
+    val s1 = df.filter(col("part") === 0)
+      .agg(approx_topk_state(col("key"), 3, 4096, 5).as("st"))
+    val s2 = df.filter(col("part") === 1)
+      .agg(approx_topk_state(col("key"), 3, 16384, 5).as("st"))
+    val e = intercept[Exception](
+      s1.union(s2).agg(approx_topk_merge(col("st"), 3)).collect())
+    def deepMsg(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    assert(deepMsg(e).contains("incompatible sketch dimensions"), deepMsg(e))
+    // a GENUINE width-1/depth-1 sketch (degenerate: every key collides
+    // into one cell, so every estimate = total row count) must survive
+    // the merge — it is a real sketch, not the nothing-merged-yet state
+    val merged = df.groupBy("part")
+      .agg(approx_topk_state(col("key"), 3, 1, 1).as("st"))
+      .agg(approx_topk_merge(col("st"), 3).as("topk"))
+      .select(explode(col("topk")).as("e"))
+      .select(col("e.key"), col("e.count"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(merged.size == 3 && merged.forall(_._2 == 50L),
+      s"degenerate-but-real sketches were dropped or mis-merged: $merged")
+  }
 }

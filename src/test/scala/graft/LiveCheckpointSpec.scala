@@ -126,6 +126,74 @@ class LiveCheckpointSpec extends SparkTestBase {
     g.sql("DROP DISKSTORE lc_store")
   }
 
+  test("DSv2 and store-ops write paths refuse an attached replica (store-level guard)") {
+    val g = GraftSession(spark)
+    val root = java.nio.file.Files.createTempDirectory("lc_dsv2").toString
+    import spark.implicits._
+    import org.apache.spark.sql.graft.store.GraftStoreOps
+    write("lc_gpub", 50)
+    assert(LiveCheckpoint.publish(spark, "lc_gpub", root) == 0L)
+    assert(g.attachTable("lc_grep", root) == 0L)
+    // the session guard never sees these paths — replica status must
+    // live at the STORE level (the advice's divergence scenario)
+    def deepMsg(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    val viaSql = intercept[Exception](
+      spark.sql("INSERT INTO graft.lc_grep VALUES (999, 999)"))
+    assert(deepMsg(viaSql).contains("read replica"), deepMsg(viaSql))
+    val df = Seq((999L, 999L)).toDF("k", "v")
+    val viaWriter = intercept[Exception](
+      df.write.format(GraftStoreOps.FORMAT).option("table", "lc_grep")
+        .mode("append").save())
+    assert(deepMsg(viaWriter).contains("read replica"), deepMsg(viaWriter))
+    intercept[Exception](GraftStoreOps.putInto(spark, "lc_grep", df))
+    intercept[Exception](GraftStoreOps.update(spark, "lc_grep",
+      lit(true), Seq.empty))
+    intercept[Exception](GraftStoreOps.delete(spark, "lc_grep", lit(true)))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.lc_grep ADD COLUMN extra int"))
+    val n = spark.table("graft.lc_grep").count()
+    assert(n == 50, "reads untouched; no write slipped through")
+    // DROP + CREATE of the name through the DSv2 catalog starts writable
+    spark.sql("DROP TABLE graft.lc_grep")
+    spark.sql("CREATE TABLE graft.lc_grep (k bigint, v bigint)")
+    spark.sql("INSERT INTO graft.lc_grep VALUES (1, 2)")
+    assert(spark.table("graft.lc_grep").count() == 1)
+    spark.sql("DROP TABLE graft.lc_grep")
+    // the catalog drop doesn't know about the session's managed entry
+    // from attachTable — clear it so sys.* relations don't see a ghost
+    g.dropTable("lc_grep")
+    GraftColumnStore.drop("lc_gpub")
+  }
+
+  test("re-attach drops the old epoch's constraints when the publisher dropped them") {
+    val g = GraftSession(spark)
+    val root = java.nio.file.Files.createTempDirectory("lc_cons").toString
+    import spark.implicits._
+    import org.apache.spark.sql.graft.Constraints
+    g.sql("CREATE TABLE lc_cpub (pk bigint, v string not null) USING column")
+    g.insert("lc_cpub", Seq((1L, "a")).toDF("pk", "v"))
+    assert(g.publishTable("lc_cpub", root) == 0L)
+    assert(g.attachTable("lc_csrv", root) == 0L)
+    assert(Constraints.get("lc_csrv").exists(_.notNull.nonEmpty),
+      "epoch 0 carries the NOT NULL")
+    // the publisher drops the constraint surface entirely (recreate
+    // without it) and publishes epoch 1 — no sidecar is written
+    g.dropTable("lc_cpub")
+    g.sql("CREATE TABLE lc_cpub (pk bigint, v string) USING column")
+    g.insert("lc_cpub", Seq((1L, "a"), (2L, "b")).toDF("pk", "v"))
+    assert(g.publishTable("lc_cpub", root) == 1L)
+    assert(g.attachTable("lc_csrv", root) == 1L)
+    // absence of the sidecar means NO constraints: the old epoch's
+    // NOT NULL must not survive the re-attach
+    assert(Constraints.get("lc_csrv").forall(_.isEmpty),
+      s"stale constraints survived re-attach: ${Constraints.get("lc_csrv")}")
+    g.dropTable("lc_cpub"); g.dropTable("lc_csrv")
+  }
+
   test("a claimed epoch number is never co-written: the publisher advances past it") {
     val root = java.nio.file.Files.createTempDirectory("lc_claim").toString
     write("lc_cl", 100)
