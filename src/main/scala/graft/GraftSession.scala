@@ -336,10 +336,17 @@ class GraftSession(val spark: SparkSession) {
     * checkpointTable writes — before the commit marker, so no reader
     * can attach an epoch missing them.
     */
-  def publishTable(name: String): Long =
-    publishTable(name, diskstoreDirFor(normalize(name), "publishTable"))
+  def publishTable(name: String, incremental: Boolean = false): Long =
+    publishTable(name, diskstoreDirFor(normalize(name), "publishTable"),
+      incremental)
 
-  def publishTable(name: String, root: String): Long = {
+  /** `incremental = true` publishes column tables at O(delta-since-last-
+    * epoch) instead of O(table): unchanged batches are shared by
+    * reference across epochs (see [[LiveCheckpoint]]). Semantics are
+    * identical either way — attach verifies the same whole-table
+    * fingerprint.
+    */
+  def publishTable(name: String, root: String, incremental: Boolean): Long = {
     val nm = normalize(name)
     require(isManaged(nm), s"publishTable($name): not a managed table")
     org.apache.spark.sql.graft.store.LiveCheckpoint.publish(spark, nm, root,
@@ -348,8 +355,12 @@ class GraftSession(val spark: SparkSession) {
           org.apache.spark.sql.graft.store.GraftManifest.write(spark, dir,
             Seq("constraints" -> org.apache.spark.sql.graft.Constraints.encode(tc)),
             s"graft constraints for $nm", file = "constraints.properties")
-        })
+        },
+      incremental = incremental)
   }
+
+  def publishTable(name: String, root: String): Long =
+    publishTable(name, root, incremental = false)
 
   /** Attach the newest committed epoch under `root` as managed table
     * `name` — read-only with respect to the publisher (the attach

@@ -579,6 +579,42 @@ object MutationQueries {
         .orderBy("o_orderstatus")
     },
 
+    // ---- incremental connector-mode serving: same protocol as
+    // q_live_attach but epochs publish at O(delta) — epoch 0 dumps
+    // every batch into shared payload files, epoch 1 re-dumps ONLY the
+    // batches the delete touched and references the rest (the 100 TB
+    // publish shape; IncrementalPublishSpec pins the reuse/GC
+    // mechanics, this row oracle-gates the served content). Publish +
+    // attach amortized per (JVM, dir); timed body = the query ----
+    QueryDef.sql(
+      "q_live_attach_inc",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)) * 10000) AS BIGINT) AS total_e4
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 2
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      val sx = (dir.hashCode & 0x7fffffff).toString
+      val (pub, srv) = (s"linc_pub_$sx", s"linc_srv_$sx")
+      if (!g.isManaged(srv)) {
+        g.createTable(pub, Tables.load(s, dir, "orders"),
+          partitionBy = Seq("o_orderkey"), buckets = 8)
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_linc_$sx").toString
+        g.publishTable(pub, root, incremental = true) // epoch 0: all batches
+        g.delete(pub, col("o_orderkey") % 7 === 2)
+        g.publishTable(pub, root, incremental = true) // epoch 1: touched only
+        g.attachTable(srv, root)
+      }
+      g.table(srv)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,4)") * 10000)
+            .cast("long").as("total_e4"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---- MERGE INTO (the canonical upsert through SQL): matched keys
     // update in place, unmatched source rows insert — the oracle replays
     // the upsert relationally (source wins per key, remainder kept) ----

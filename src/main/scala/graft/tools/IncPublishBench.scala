@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.store.{GraftColumnStore, GraftStoreOps, LiveCheckpoint}
+
+/** Measures the incremental-publish claim: after a small append to a
+  * large published table, `publish(incremental = true)` must cost
+  * O(batches touched), not O(table). Prints full-vs-incremental publish
+  * times for the SAME logical epochs so the ratio is apples-to-apples.
+  * (Evidence for PERF_NOTES; run via
+  * `sbt -batch "runMain graft.tools.IncPublishBench"`.)
+  */
+object IncPublishBench {
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("inc-publish-bench")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fmt = GraftStoreOps.FORMAT
+    val n = args.headOption.map(_.toLong).getOrElse(4000000L)
+
+    def fresh(table: String): Unit =
+      spark.range(n)
+        .select((col("id") % 32).as("k"), (col("id") * 3).as("v"),
+          concat(lit("payload_string_"), col("id")).as("s"))
+        .write.format(fmt).option("table", table)
+        .option("partition_by", "k").option("buckets", "32")
+        .mode("overwrite").save()
+
+    def append(table: String, rows: Long): Unit =
+      spark.range(n, n + rows)
+        .select((col("id") % 32).as("k"), (col("id") * 3).as("v"),
+          concat(lit("payload_string_"), col("id")).as("s"))
+        .write.format(fmt).option("table", table).mode("append").save()
+
+    Seq("full", "incremental").foreach { mode =>
+      val inc = mode == "incremental"
+      val root = java.nio.file.Files.createTempDirectory(s"incb_$mode").toString
+      fresh("incb")
+      val (_, t0) = time(LiveCheckpoint.publish(spark, "incb", root, incremental = inc))
+      // steady-state epochs: 0.25% appended between publishes
+      val deltas = (1 to 3).map { _ =>
+        append("incb", n / 400)
+        val (_, t) = time(LiveCheckpoint.publish(spark, "incb", root, incremental = inc))
+        t
+      }
+      println(f"INCBENCH mode=$mode%-11s rows=$n epoch0=${t0}%.2fs " +
+        f"steady=${deltas.map(d => f"$d%.2f").mkString("/")}s")
+      GraftColumnStore.drop("incb")
+    }
+    spark.stop()
+  }
+}

@@ -75,7 +75,12 @@ object LiveStoreServe {
         GraftStoreOps.update(spark, TABLE, col("v") === (base - 200) * 2L,
           Seq("s" -> lit(s"updated_in_epoch_$e")))
       }
-      val n = LiveCheckpoint.publish(spark, TABLE, root, keep = 4)
+      // the column arm publishes INCREMENTALLY: each epoch re-dumps only
+      // the seals this cycle's appends/DML touched and references the
+      // rest — the O(delta) shape a minutes-cadence publisher needs at
+      // 100 TB. The shell oracle reads each epoch's payload manifest.
+      val n = LiveCheckpoint.publish(spark, TABLE, root, keep = 4,
+        incremental = true)
       // row-table arm, published through the SESSION face: a keyed row
       // table upserted each cycle serves alongside the column table
       val g = graft.GraftSession(spark)

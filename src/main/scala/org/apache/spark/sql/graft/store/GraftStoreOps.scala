@@ -752,9 +752,17 @@ object GraftStoreOps {
     * restored table is byte-for-byte the same KIND of table — colocated
     * joins, index clustering, codec and budgets all behave as before.
     */
-  def restore(spark: SparkSession, table: String, dir: String): DataFrame = {
-    val p = GraftManifest.read(spark, dir)
-    val df = spark.read.parquet(s"$dir/data")
+  def restore(spark: SparkSession, table: String, dir: String): DataFrame =
+    restoreFrom(spark, table, GraftManifest.read(spark, dir),
+      spark.read.parquet(s"$dir/data"))
+
+  /** Re-hydrate from an explicit layout + row source — the shared tail
+    * of [[restore]] (rows from the checkpoint's own `data/`) and
+    * [[LiveCheckpoint]]'s incremental epochs (rows from shared payload
+    * files the epoch manifest references).
+    */
+  def restoreFrom(spark: SparkSession, table: String,
+      p: java.util.Properties, df: DataFrame): DataFrame = {
     GraftColumnStore.drop(table)
     var w = df.write.format(FORMAT).option("table", table)
     Seq("partition_by", "buckets", "key_columns", "sort_by", "batch_size",

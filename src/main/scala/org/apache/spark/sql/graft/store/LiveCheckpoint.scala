@@ -30,21 +30,18 @@ import org.apache.spark.sql.functions._
   * reader's own registry, so the window only covers the restore read
   * itself, not the serving lifetime.
   *
-  * 100 TB scale audit — stated, not hidden: an epoch here is a FULL
-  * snapshot (one table scan written as parquet, re-read once for the
-  * fingerprint), which is right for correctness-first serving and for
-  * dimension/serving tables, but publish cost is O(table) — at 100 TB
-  * on a minutes cadence that is the wrong shape. The scale path is the
-  * same commit protocol over INCREMENTAL state: persist sealed batch
-  * payloads once (content-addressed, they are immutable), make the
-  * epoch a MANIFEST of batch refs + delete/update overlay ids (exactly
-  * [[GraftColumnStore.TableSnapshot]]'s content), and fingerprint the
-  * manifest instead of the rows — publish becomes O(delta since last
-  * epoch), attach becomes O(manifest) + lazy payload fetch, and the
-  * marker/claim/retention machinery here carries over unchanged. Not
-  * built because every consumer in this repo serves snapshot-sized
-  * tables; the protocol boundary (marker-last visibility, fingerprint
-  * verification, claim-then-write) is the part a scale-up must keep.
+  * 100 TB scale audit: the default epoch is a FULL snapshot (one table
+  * scan written as parquet, re-read once for the fingerprint) — right
+  * for dimension/serving tables, O(table) per publish. `incremental =
+  * true` is the 100 TB shape: sealed-batch payloads persist ONCE as
+  * shared content-addressed parquet under `root/payloads/`, an epoch
+  * is a manifest of payload references, unchanged batches carry over
+  * by reference, and the epoch fingerprint is the SUM of per-payload
+  * fingerprints (additive by construction, so the reader's whole-table
+  * verification is byte-identical to the full form's). Publish becomes
+  * O(batches changed since the last epoch); retention GCs payloads no
+  * kept epoch references. The marker/claim machinery is shared — an
+  * incremental and a full epoch differ only in where attach reads rows.
   */
 object LiveCheckpoint {
 
@@ -105,7 +102,8 @@ object LiveCheckpoint {
     * Returns the epoch number.
     */
   def publish(spark: SparkSession, table: String, root: String,
-      keep: Int = 4, beforeCommit: String => Unit = _ => ()): Long = {
+      keep: Int = 4, beforeCommit: String => Unit = _ => (),
+      incremental: Boolean = false): Long = {
     require(keep >= 1, "retention must keep at least the newest epoch")
     // exclusive epoch claim: two publishers racing one root would both
     // compute max+1 and co-write the same directory — claim the number
@@ -153,9 +151,18 @@ object LiveCheckpoint {
     val dir = s"$root/${epochDirName(next)}"
     // both stores serve in connector mode; the layout manifest records
     // the provider, so attach dispatches without being told
-    if (GraftRowStore.get(table).isDefined) GraftRowOps.checkpoint(spark, table, dir)
-    else GraftStoreOps.checkpoint(spark, table, dir)
-    val (rows, h) = fingerprint(spark.read.parquet(s"$dir/data"))
+    val (rows, h) =
+      // fall back to the full form when there are no live rows: the
+      // data/ parquet carries the SCHEMA an all-empty payload list could
+      // not, and an empty dump costs nothing anyway
+      if (incremental && GraftRowStore.get(table).isEmpty &&
+          GraftColumnStore.get(table).exists(_.snapshot.rowCount > 0))
+        publishIncrementalEpoch(spark, table, root, dir)
+      else {
+        if (GraftRowStore.get(table).isDefined) GraftRowOps.checkpoint(spark, table, dir)
+        else GraftStoreOps.checkpoint(spark, table, dir)
+        fingerprint(spark.read.parquet(s"$dir/data"))
+      }
     GraftManifest.write(spark, dir, Seq(
       "epoch" -> next.toString,
       "rows" -> rows.toString,
@@ -177,7 +184,179 @@ object LiveCheckpoint {
       f.delete(new org.apache.hadoop.fs.Path(s"$root/${epochDirName(old)}"), true)
       f.delete(new org.apache.hadoop.fs.Path(root, s".claim_${epochDirName(old)}"), false)
     }
+    // payload GC (incremental epochs only): shared payload files are
+    // reference-counted by the surviving manifests — delete the ones no
+    // kept epoch references. Safe under the same single-publisher-per-
+    // root assumption the claim protocol documents: nobody else is
+    // between manifest-write and marker right now.
+    val pdir = new org.apache.hadoop.fs.Path(root, PAYLOADS)
+    if (f.exists(pdir)) {
+      val referenced = committedEpochs(spark, root).flatMap { e =>
+        payloadEntries(GraftManifest.read(spark, dirFor(root, e)))
+          .map(_.name).filter(_.nonEmpty)
+      }.toSet
+      f.listStatus(pdir).foreach { st =>
+        if (!referenced.contains(st.getPath.getName))
+          f.delete(st.getPath, true)
+      }
+    }
     next
+  }
+
+  private val PAYLOADS = "payloads"
+
+  /** One shared-payload reference in an incremental epoch's manifest:
+    * `name` is the directory under `root/payloads/` holding the batch's
+    * merged visible rows as parquet (empty when the batch is fully
+    * deleted — nothing to store), `mutFp` the delete/update fingerprint
+    * the batch had when dumped (reuse key), `rows`/`hashSum` its
+    * additive content fingerprint.
+    */
+  private[store] final case class PayloadEntry(batchId: Long, mutFp: String,
+      rows: Long, hashSum: Long, name: String)
+
+  private def encodeEntries(es: Seq[PayloadEntry]): String =
+    es.map(e => s"${e.batchId}:${e.mutFp}:${e.rows}:${e.hashSum}:${e.name}")
+      .mkString(";")
+
+  private[store] def payloadEntries(p: java.util.Properties): Seq[PayloadEntry] =
+    Option(p.getProperty("payloads")).filter(_.nonEmpty).toSeq
+      .flatMap(_.split(";", -1).iterator.filter(_.nonEmpty).map { s =>
+        val a = s.split(":", -1)
+        PayloadEntry(a(0).toLong, a(1), a(2).toLong, a(3).toLong, a(4))
+      })
+
+  /** Mutation fingerprint string for reuse decisions: payload ids never
+    * recycle within a store, so equality proves no DELETE/UPDATE landed
+    * on the batch between two publishes (same invariant
+    * [[GraftColumnStore.StoreTable.swapRefs]] relies on).
+    */
+  private def mutFpOf(st: (Option[Long], Vector[Long])): String =
+    s"${st._1.getOrElse(-1L)}|${st._2.mkString(",")}"
+
+  /** O(delta) epoch publish for column tables: dump only batches whose
+    * content changed since the last incremental epoch into shared
+    * content-addressed payload files, reuse the rest by reference, and
+    * derive the epoch fingerprint by SUMMING per-payload fingerprints
+    * (the content hash is an order-independent sum of per-row hashes, so
+    * per-file sums add exactly — the reader's whole-table verification
+    * at attach is unchanged). This is the documented 100 TB shape: a
+    * minutes-cadence publisher rewrites the tail, not the table.
+    *
+    * Returns the epoch's (rows, contentHash). Concurrent-mutation
+    * safety: the manifest is captured BEFORE the dump scan and
+    * re-validated against the live snapshot AFTER it; any DELETE/UPDATE/
+    * roll-up that moved a referenced batch in between aborts the publish
+    * (claim stays burned, caller retries) rather than committing a
+    * manifest that mixes two moments of the table.
+    */
+  private def publishIncrementalEpoch(spark: SparkSession, table: String,
+      root: String, dir: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val (f, _) = fs(spark, root)
+    val t = GraftColumnStore(table)
+    val snap = t.snapshot
+    val refs = snap.liveRefs
+    val ids = refs.map(_.id).toSet
+    val mutNow = snap.mutationState(ids)
+    // previous incremental epoch's entries (a full epoch or none ⇒
+    // every batch counts as changed — correct and conservative, e.g.
+    // after a publisher restart re-ingested under fresh batch ids)
+    val prev: Map[Long, PayloadEntry] =
+      latestEpoch(spark, root) match {
+        case Some(e) =>
+          val p = GraftManifest.read(spark, dirFor(root, e))
+          if (p.getProperty("incremental", "false") == "true")
+            payloadEntries(p).map(pe => pe.batchId -> pe).toMap
+          else Map.empty
+        case None => Map.empty
+      }
+    val (reused, changed) = refs.partition { r =>
+      prev.get(r.id).exists(_.mutFp == mutFpOf(mutNow(r.id)))
+    }
+    val pdir = new Path(root, PAYLOADS)
+    f.mkdirs(pdir)
+    val tmp = new Path(dir, ".payload_tmp")
+    val written = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val entries =
+      try {
+        val changedStats: Map[Long, (Long, Long)] =
+          if (changed.isEmpty) Map.empty
+          else {
+            val changedIds = changed.map(_.id)
+            // the roll-up read pattern: batch_ids prunes the scan to
+            // exactly the addressed seals at PLANNING; the dumped rows
+            // are each batch's merged visible rows (deletes/updates
+            // folded by normal scan semantics)
+            val df0 = spark.read.format(GraftStoreOps.FORMAT)
+              .option("table", table)
+              .option("batch_ids", changedIds.mkString(",")).load()
+            df0.select(col("*"),
+                df0.metadataColumn(GraftTable.BATCH_ID_COL).as("__pb"))
+              .filter(col("__pb").isin(changedIds: _*))
+              .write.mode("overwrite").partitionBy("__pb")
+              .parquet(tmp.toString)
+            val back = spark.read.parquet(tmp.toString)
+            val tcols = snap.schema.fieldNames.map(back.col(_)).toSeq
+            // partition-column inference may read the id back narrower
+            back.groupBy(col("__pb").cast("long").as("__pb"))
+              .agg(count(lit(1)).as("n"),
+                coalesce(sum(hash(tcols: _*).cast("bigint")), lit(0L)).as("h"))
+              .collect()
+              .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+          }
+        // re-validate AFTER the dump: the scan pinned its own snapshot,
+        // so its rows are self-consistent — but they must also be the
+        // rows of the manifest WE captured, or reused-and-redumped
+        // entries would mix two moments (e.g. a delta folded into a new
+        // seal would appear in both)
+        val after = t.snapshot
+        val afterIds = after.liveRefs.map(_.id).toSet
+        require(afterIds == ids && after.mutationState(ids) == mutNow,
+          s"publish($table): a concurrent mutation moved referenced batches " +
+            "during the incremental dump — epoch aborted, retry the publish")
+        refs.map { r =>
+          val fp = mutFpOf(mutNow(r.id))
+          prev.get(r.id).filter(_.mutFp == fp).getOrElse {
+            changedStats.get(r.id) match {
+              case Some((n, hs)) =>
+                val name = s"b${r.id}_r${n}_h${java.lang.Long.toHexString(hs)}"
+                val target = new Path(pdir, name)
+                val src = new Path(tmp, s"__pb=${r.id}")
+                if (f.exists(target)) () // identical content already shared
+                else if (f.rename(src, target)) written += target
+                else throw new java.io.IOException(
+                  s"publish($table): failed to place payload $name")
+                PayloadEntry(r.id, fp, n, hs, name)
+              case None => // every row of the batch is deleted
+                PayloadEntry(r.id, fp, 0L, 0L, "")
+            }
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          written.foreach(f.delete(_, true))
+          f.delete(tmp, true)
+          throw e
+      }
+    f.delete(tmp, true)
+    GraftManifest.write(spark, dir, Seq(
+      "provider" -> "column",
+      "incremental" -> "true",
+      "partition_by" -> snap.bucketBy.mkString(","),
+      "buckets" -> snap.numBuckets.toString,
+      "key_columns" -> snap.keyColumns.mkString(","),
+      "sort_by" -> snap.sortedBy.mkString(","),
+      "zorder_by" -> snap.zorderedBy.mkString(","),
+      "batch_size" -> snap.batchSize.toString,
+      "compression" -> snap.compression,
+      "eviction_budget_bytes" -> snap.evictionBudget.toString,
+      "sketch_columns" -> snap.sketchBy.mkString(","),
+      "expire_seconds" -> snap.expireSeconds.toString,
+      "rollup_threshold" -> GraftColumnStore.rollupThreshold(table).toString,
+      "payloads" -> encodeEntries(entries)),
+      s"incremental epoch of $table (${changed.size} dumped, ${reused.size} reused)")
+    (entries.iterator.map(_.rows).sum, entries.iterator.map(_.hashSum).sum)
   }
 
   /** Attach the newest committed epoch READ-ONLY: restore it into this
@@ -197,9 +376,18 @@ object LiveCheckpoint {
     val dir = s"$root/${epochDirName(epoch)}"
     val props = GraftManifest.readOpt(spark, dir, EPOCH_PROPS).getOrElse(
       throw new IllegalStateException(s"epoch $epoch has no manifest under $root"))
-    val isRow = GraftManifest.read(spark, dir).getProperty("provider", "column") == "row"
+    val layout = GraftManifest.read(spark, dir)
+    val isRow = layout.getProperty("provider", "column") == "row"
     val restored =
       if (isRow) GraftRowOps.restore(spark, table, dir)
+      else if (layout.getProperty("incremental", "false") == "true") {
+        // incremental epoch: rows live in the shared payload files the
+        // manifest references (an epoch dir holds only metadata)
+        val paths = payloadEntries(layout).map(_.name).filter(_.nonEmpty)
+          .map(n => s"$root/$PAYLOADS/$n")
+        GraftStoreOps.restoreFrom(spark, table, layout,
+          spark.read.parquet(paths: _*))
+      }
       else GraftStoreOps.restore(spark, table, dir)
     val (rows, h) = fingerprint(restored)
     val (wantRows, wantH) =

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.store.{GraftColumnStore, GraftManifest, GraftStoreOps, LiveCheckpoint}
+
+/** Incremental epoch publishing ([[LiveCheckpoint]] `incremental=true`):
+  * an epoch becomes a MANIFEST referencing shared per-batch payload
+  * files, so publish cost is O(batches changed since the last epoch),
+  * not O(table) — the 100 TB publish shape the full-snapshot form's
+  * scaladoc promised. The reader-side contract is unchanged: attach
+  * restores a full table and verifies the SAME whole-table fingerprint
+  * (per-payload fingerprints are additive sums, so the manifest total
+  * equals the full recompute exactly).
+  */
+class IncrementalPublishSpec extends SparkTestBase {
+
+  private val fmt = GraftStoreOps.FORMAT
+
+  private def write(table: String, from: Int, until: Int): Unit =
+    spark.range(from, until)
+      .select((col("id") % 8).as("k"), (col("id") * 2).as("v"))
+      .write.format(fmt).option("table", table)
+      .option("partition_by", "k").option("buckets", "4")
+      .mode(if (from == 0) "overwrite" else "append").save()
+
+  private def payloadNames(root: String): Set[String] = {
+    val d = new java.io.File(root, "payloads")
+    Option(d.list()).map(_.toSet).getOrElse(Set.empty)
+  }
+
+  private def manifestPayloads(root: String, epoch: Long): Seq[String] =
+    Option(GraftManifest.read(spark, LiveCheckpoint.dirFor(root, epoch))
+        .getProperty("payloads")).toSeq
+      .flatMap(_.split(";", -1).iterator.filter(_.nonEmpty)
+        .map(_.split(":", -1).last))
+
+  test("append dumps only the new batches; unchanged ones are shared by reference") {
+    val root = java.nio.file.Files.createTempDirectory("inc_pub").toString
+    write("inc_src", 0, 10000)
+    assert(LiveCheckpoint.publish(spark, "inc_src", root, incremental = true) == 0L)
+    val files0 = payloadNames(root)
+    assert(files0.nonEmpty, "epoch 0 dumps every batch")
+    assert(manifestPayloads(root, 0L).filter(_.nonEmpty).toSet == files0)
+    // the reader serves the full content (fingerprint verified inside)
+    assert(LiveCheckpoint.attachLatest(spark, "inc_srv", root) == 0L)
+    assert(GraftStoreOps.read(spark, "inc_srv").count() == 10000)
+    // a small append: epoch 1 must REUSE every epoch-0 payload and add
+    // only the new seals' files — that is the O(delta) claim
+    write("inc_src", 10000, 10100)
+    assert(LiveCheckpoint.publish(spark, "inc_src", root, incremental = true) == 1L)
+    val m1 = manifestPayloads(root, 1L).filter(_.nonEmpty).toSet
+    assert(files0.subsetOf(m1),
+      s"epoch 1 must reference epoch 0's payloads unchanged:\n$files0\n$m1")
+    assert((m1 -- files0).nonEmpty && (m1 -- files0).size <= 8,
+      s"only the appended seals dump: ${(m1 -- files0)}")
+    assert(LiveCheckpoint.attachLatest(spark, "inc_srv", root) == 1L)
+    assert(GraftStoreOps.read(spark, "inc_srv").count() == 10100)
+    GraftColumnStore.drop("inc_src"); GraftColumnStore.drop("inc_srv")
+  }
+
+  test("a delete re-dumps only the touched batches; content is exact after attach") {
+    val root = java.nio.file.Files.createTempDirectory("inc_del").toString
+    write("inc_d", 0, 8000)
+    assert(LiveCheckpoint.publish(spark, "inc_d", root, incremental = true) == 0L)
+    val m0 = manifestPayloads(root, 0L).filter(_.nonEmpty).toSet
+    // delete a slice that lives in bucket hash(k=3) only — other
+    // buckets' batches must keep their epoch-0 payload names
+    GraftStoreOps.delete(spark, "inc_d", col("k") === 3L && col("v") < 4000L)
+    assert(LiveCheckpoint.publish(spark, "inc_d", root, incremental = true) == 1L)
+    val m1 = manifestPayloads(root, 1L).filter(_.nonEmpty).toSet
+    assert((m0 intersect m1).nonEmpty, "untouched buckets reuse their payloads")
+    assert(m0 != m1, "the deleted batch's payload must be re-dumped")
+    assert(LiveCheckpoint.attachLatest(spark, "inc_dsrv", root) == 1L)
+    val served = GraftStoreOps.read(spark, "inc_dsrv")
+    val expect = spark.range(8000)
+      .select((col("id") % 8).as("k"), (col("id") * 2).as("v"))
+      .filter(!(col("k") === 3L && col("v") < 4000L))
+    assert(served.count() == expect.count())
+    assert(served.except(expect).isEmpty && expect.except(served).isEmpty)
+    GraftColumnStore.drop("inc_d"); GraftColumnStore.drop("inc_dsrv")
+  }
+
+  test("retention GCs payloads no kept epoch references; kept epochs still attach") {
+    val root = java.nio.file.Files.createTempDirectory("inc_gc").toString
+    write("inc_g", 0, 2000)
+    (0 until 4).foreach { i =>
+      // every publish mutates everything (update touches all batches),
+      // so each epoch owns a fresh payload set — pruning an epoch must
+      // free its files
+      if (i > 0) GraftStoreOps.update(spark, "inc_g", lit(true),
+        Seq("v" -> (col("v") + 1L)))
+      assert(LiveCheckpoint.publish(spark, "inc_g", root,
+        keep = 2, incremental = true) == i.toLong)
+    }
+    assert(LiveCheckpoint.committedEpochs(spark, root) == Seq(2L, 3L))
+    val kept = (manifestPayloads(root, 2L) ++ manifestPayloads(root, 3L))
+      .filter(_.nonEmpty).toSet
+    assert(payloadNames(root) == kept,
+      s"payloads on disk must be exactly the kept epochs' references:\n" +
+        s"disk=${payloadNames(root)}\nkept=$kept")
+    // the older kept epoch remains fully servable after GC
+    LiveCheckpoint.attach(spark, "inc_gsrv", root, 2L)
+    assert(GraftStoreOps.read(spark, "inc_gsrv").count() == 2000)
+    GraftColumnStore.drop("inc_g"); GraftColumnStore.drop("inc_gsrv")
+  }
+
+  test("session face: incremental publish/attach with constraints; row tables fall back to full") {
+    val g = GraftSession(spark)
+    val root = java.nio.file.Files.createTempDirectory("inc_sess").toString
+    import spark.implicits._
+    g.sql("CREATE TABLE inc_pub (pk bigint, v string not null) USING column " +
+      "OPTIONS (partition_by 'pk', buckets '4')")
+    g.insert("inc_pub", (1L to 500L).map(i => (i, s"v$i")).toDF("pk", "v"))
+    assert(g.publishTable("inc_pub", root, incremental = true) == 0L)
+    g.insert("inc_pub", Seq((501L, "x")).toDF("pk", "v"))
+    assert(g.publishTable("inc_pub", root, incremental = true) == 1L)
+    assert(g.attachTable("inc_srv2", root) == 1L)
+    assert(g.table("inc_srv2").count() == 501)
+    // the constraints sidecar rides incremental epochs identically
+    assert(org.apache.spark.sql.graft.Constraints.get("inc_srv2")
+      .exists(_.notNull.nonEmpty))
+    // and the replica guard holds for the incremental attach too
+    intercept[Exception](g.insert("inc_srv2", Seq((9L, "y")).toDF("pk", "v")))
+    // a ROW table publishes full epochs under the same flag (no
+    // incremental path for row stores — documented fallback, not a crash)
+    (1L to 100L).map(i => (i, i * 2)).toDF("rk", "rv")
+      .write.format(org.apache.spark.sql.graft.store.GraftRowOps.FORMAT)
+      .option("table", "inc_row").option("key_columns", "rk")
+      .mode("overwrite").save()
+    val rroot = java.nio.file.Files.createTempDirectory("inc_row").toString
+    assert(LiveCheckpoint.publish(spark, "inc_row", rroot, incremental = true) == 0L)
+    assert(LiveCheckpoint.attachLatest(spark, "inc_rsrv", rroot) == 0L)
+    assert(org.apache.spark.sql.graft.store.GraftRowOps
+      .read(spark, "inc_rsrv").count() == 100)
+    g.dropTable("inc_pub"); g.dropTable("inc_srv2")
+    org.apache.spark.sql.graft.store.GraftRowStore.drop("inc_row")
+    org.apache.spark.sql.graft.store.GraftRowStore.drop("inc_rsrv")
+  }
+}

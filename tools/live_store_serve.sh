@@ -54,16 +54,33 @@ con = duckdb.connect()
 ok = 0
 for a in answers:
     epoch = os.path.basename(a).split("_")[1]
-    data = os.path.join(root, "store", f"epoch_{epoch}", "data")
+    edir = os.path.join(root, "store", f"epoch_{epoch}")
+    data = os.path.join(edir, "data")
+    layout = os.path.join(edir, "layout.properties")
     # the epoch may have been pruned by retention after serving; the
-    # oracle can only check epochs whose data still exists
-    if not os.path.isdir(data):
+    # oracle can only check epochs whose files still exist
+    if os.path.isdir(data):
+        src = f"'{data}/*.parquet'"
+    elif os.path.isfile(layout):
+        # incremental epoch: rows live in the shared payload files the
+        # manifest references (entry format id:mutFp:rows:hash:name)
+        payloads = ""
+        for line in open(layout):
+            if line.startswith("payloads="):
+                payloads = line[len("payloads="):].strip().replace("\\:", ":")
+        names = [e.split(":")[4] for e in payloads.split(";") if e]
+        globs = [os.path.join(root, "store", "payloads", n, "*.parquet")
+                 for n in names if n]
+        assert all(glob.glob(g) for g in globs), \
+            f"epoch {epoch}: referenced payload missing: {globs}"
+        src = "[" + ", ".join(f"'{g}'" for g in globs) + "]"
+    else:
         print(f"  [skip] epoch {epoch}: pruned by retention")
         continue
     want = con.execute(
         "SELECT k, count(*)::BIGINT AS n, sum(v)::BIGINT AS sv, "
         "count(CASE WHEN s LIKE 'updated%' THEN 1 END)::BIGINT AS upd "
-        f"FROM read_parquet('{data}/*.parquet') GROUP BY k ORDER BY k"
+        f"FROM read_parquet({src}) GROUP BY k ORDER BY k"
     ).fetchall()
     got = con.execute(
         "SELECT k, n, sv, upd "
