@@ -4,7 +4,7 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** TPC-DS-shaped waves 6-8 (reference: cluster/src/test/.../benchmark/
+/** TPC-DS-shaped waves 6-9 (reference: cluster/src/test/.../benchmark/
   * snappy/tpcds/): wave 7 is q11's cross-multiplied year-over-year
   * preference-shift ratio (`q_ds_spend_shift`); wave 6 is the two
   * harness mechanics the earlier waves still missed —
@@ -231,6 +231,79 @@ object TpcdsQueries4 {
         .agg(count(lit(1)).as("n_short"),
           sum((col("q1") - col("q2")).cast("long")).as("qty_gap"))
         .orderBy(col("p_brand"))
+    },
+
+    // ---- wave 9: q50/q99 shape — fulfillment-latency day-bands: the
+    // days between order date and line ship date bucketed into 30/60/90
+    // day bands as CONDITIONAL aggregates over ONE orders⋈lineitem pass
+    // (never one subquery per band), grouped by the order's priority.
+    // The join shuffles on the fact keys; the band CASEs are
+    // codegen'd projections, so at 100× this is exactly one
+    // fact-fact co-shuffle and nothing else. ----
+    QueryDef.sql(
+      "q_ds_latency_bands",
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN lat <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+        |  CAST(sum(CASE WHEN lat > 30 AND lat <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+        |  CAST(sum(CASE WHEN lat > 60 AND lat <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+        |  CAST(sum(CASE WHEN lat > 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90plus,
+        |  CAST(max(lat) AS BIGINT) AS max_lat
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    date_diff('day', o_orderdate, l_shipdate) AS lat
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val lat = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("lat"))
+      def band(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L)).cast("long")
+      lat.groupBy(col("o_orderpriority"))
+        .agg(
+          band(col("lat") <= 30).as("d30"),
+          band(col("lat") > 30 && col("lat") <= 60).as("d60"),
+          band(col("lat") > 60 && col("lat") <= 90).as("d90"),
+          band(col("lat") > 90).as("d90plus"),
+          max(col("lat")).cast("long").as("max_lat"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ---- wave 9: q18/q22 shape — multi-level ROLLUP of an AVERAGE.
+    // Unlike the sum rollups, AVG does NOT reassociate, so the §24
+    // pre-aggregate rewrite is UNAVAILABLE and the Expand must run over
+    // the fact join — this row deliberately exercises that stock plan
+    // (sum/count pairs at each hierarchy level would be the manual
+    // rewrite; the reference's q18/q22 use plain avg, so we match).
+    // Averages compare as half-cent-rounded doubles (the money idiom).
+    // ----
+    QueryDef.sql(
+      "q_ds_rollup_avg",
+      """SELECT p_type, p_brand,
+        |  (sign(avg(l_quantity)) * floor(abs(avg(l_quantity)) * 100.0 + 0.5) / 100.0) AS avg_qty,
+        |  (sign(avg(l_extendedprice)) * floor(abs(avg(l_extendedprice)) * 100.0 + 0.5) / 100.0) AS avg_price,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(GROUPING(p_type) + GROUPING(p_brand) AS INTEGER) AS lochierarchy
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 25
+        |GROUP BY ROLLUP(p_type, p_brand)
+        |ORDER BY lochierarchy DESC, coalesce(p_type, ''), coalesce(p_brand, '')""".stripMargin) { (s, dir) =>
+      def dr2(c: org.apache.spark.sql.Column) =
+        signum(c) * floor(abs(c) * 100.0 + 0.5) / 100.0
+      Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part").filter(col("p_size") <= 25)),
+          col("l_partkey") === col("p_partkey"))
+        .rollup(col("p_type"), col("p_brand"))
+        .agg(
+          dr2(avg(col("l_quantity"))).as("avg_qty"),
+          dr2(avg(col("l_extendedprice"))).as("avg_price"),
+          count(lit(1)).as("n"),
+          (grouping(col("p_type")) + grouping(col("p_brand")))
+            .cast("int").as("lochierarchy"))
+        .orderBy(col("lochierarchy").desc,
+          coalesce(col("p_type"), lit("")), coalesce(col("p_brand"), lit("")))
     }
   )
 }
