@@ -397,6 +397,48 @@ class GraftSession(val spark: SparkSession) {
     e
   }
 
+  /** Zero-copy attach: serve the newest committed epoch as a VIEW over
+    * the parquet it published — attach cost is O(manifest), not
+    * O(table), and a scan reads only the columns/row-groups the query
+    * touches (parquet pushdown). This is the 100 TB serving shape:
+    * [[attachTable]] restores a full store copy into this JVM (right
+    * for dimension-sized serving tables — bucketed layout, store
+    * pruning, point lookups), which cannot work when the table is the
+    * lake; the view path never materializes anything.
+    *
+    * Tradeoffs, stated: the view keeps READING the published files for
+    * its serving lifetime, so the publisher's `keep` × publish cadence
+    * must exceed query latency or retention can delete files mid-query
+    * (re-attach and retry on failure — epochs are immutable, so this is
+    * always safe); and a parquet view has no bucketed layout, so joins
+    * against it shuffle where an attachTable copy could
+    * storage-partition. `verify = true` runs the same O(rows)
+    * fingerprint check attach performs; the default trusts the
+    * marker-last protocol + parquet checksums. Returns the epoch served;
+    * re-attaching advances to the newest committed epoch.
+    */
+  def attachView(name: String, root: String, verify: Boolean = false): Long = {
+    require(!isSynonym(name), s"attachView($name): name is a synonym")
+    val nm = normalize(name)
+    import org.apache.spark.sql.graft.store.{GraftManifest, LiveCheckpoint}
+    val e = LiveCheckpoint.latestEpoch(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed epoch under $root"))
+    val df = LiveCheckpoint.epochFrame(spark, root, e)
+    if (verify) LiveCheckpoint.verifyAgainst(spark, root, e, df)
+    df.createOrReplaceTempView(nm)
+    // constraints ride for metadata surfaces (sys.constraints); a view
+    // is read-only so there is nothing to enforce
+    org.apache.spark.sql.graft.Constraints.drop(nm)
+    GraftManifest.readOpt(spark, LiveCheckpoint.dirFor(root, e),
+        "constraints.properties")
+      .flatMap(cp => Option(cp.getProperty("constraints")))
+      .foreach(enc => org.apache.spark.sql.graft.Constraints.register(nm,
+        org.apache.spark.sql.graft.Constraints.decodeConstraints(enc)))
+    tables.put(nm, TableState(df, Nil, Nil, 0))
+    org.apache.spark.sql.graft.store.ReplicaGuard.markReplica(nm)
+    e
+  }
+
   private def diskstoreDirFor(name: String, op: String): String =
     org.apache.spark.sql.graft.store.Diskstores.checkpointDir(normalize(name))
       .getOrElse(throw new IllegalArgumentException(

@@ -372,6 +372,40 @@ object LiveCheckpoint {
     e
   }
 
+  /** The epoch's published rows as a lazy DataFrame over its parquet —
+    * NO store restore, no copy: the zero-attach-cost read path
+    * (`GraftSession.attachView`). Full epochs read `data/`; incremental
+    * epochs read the payload files their manifest references.
+    */
+  def epochFrame(spark: SparkSession, root: String, epoch: Long): DataFrame = {
+    val dir = dirFor(root, epoch)
+    val layout = GraftManifest.read(spark, dir)
+    if (layout.getProperty("incremental", "false") == "true") {
+      val paths = payloadEntries(layout).map(_.name).filter(_.nonEmpty)
+        .map(n => s"$root/$PAYLOADS/$n")
+      require(paths.nonEmpty, s"epoch $epoch has no payload files")
+      spark.read.parquet(paths: _*)
+    } else spark.read.parquet(s"$dir/data")
+  }
+
+  /** Verify a frame against the epoch's published fingerprint (the same
+    * check [[attach]] performs on the restored store table). O(rows) —
+    * optional for the view path, where trusting the marker protocol +
+    * parquet checksums is the zero-cost default.
+    */
+  def verifyAgainst(spark: SparkSession, root: String, epoch: Long,
+      df: DataFrame): Unit = {
+    val props = GraftManifest.readOpt(spark, dirFor(root, epoch), EPOCH_PROPS)
+      .getOrElse(throw new IllegalStateException(
+        s"epoch $epoch has no manifest under $root"))
+    val (rows, h) = fingerprint(df)
+    val (wantRows, wantH) =
+      (props.getProperty("rows").toLong, props.getProperty("content_hash").toLong)
+    if (rows != wantRows || h != wantH)
+      throw new IllegalStateException(
+        s"torn snapshot at epoch $epoch: read ($rows, $h) != published ($wantRows, $wantH)")
+  }
+
   def attach(spark: SparkSession, table: String, root: String, epoch: Long): Unit = {
     val dir = s"$root/${epochDirName(epoch)}"
     val props = GraftManifest.readOpt(spark, dir, EPOCH_PROPS).getOrElse(

@@ -104,6 +104,43 @@ class IncrementalPublishSpec extends SparkTestBase {
     GraftColumnStore.drop("inc_g"); GraftColumnStore.drop("inc_gsrv")
   }
 
+  test("attachView serves epochs zero-copy: O(manifest) attach, pushdown scans, advances, refuses writes") {
+    val g = GraftSession(spark)
+    val root = java.nio.file.Files.createTempDirectory("inc_view").toString
+    import spark.implicits._
+    write("inc_v", 0, 20000)
+    assert(LiveCheckpoint.publish(spark, "inc_v", root, incremental = true) == 0L)
+    assert(g.attachView("inc_vsrv", root, verify = true) == 0L)
+    // ZERO-copy: nothing restored into this JVM's store registries
+    assert(GraftColumnStore.get("inc_vsrv").isEmpty,
+      "attachView must not materialize a store copy")
+    assert(g.table("inc_vsrv").count() == 20000)
+    // the view is a parquet scan: filters reach the files
+    val plan = g.table("inc_vsrv").filter(col("k") === 3L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("k"), plan)
+    // the publisher advances; a re-attach serves the NEW epoch
+    GraftStoreOps.delete(spark, "inc_v", col("v") < 2000L)
+    assert(LiveCheckpoint.publish(spark, "inc_v", root, incremental = true) == 1L)
+    assert(g.attachView("inc_vsrv", root) == 1L)
+    assert(g.table("inc_vsrv").count() == 19000)
+    assert(g.table("inc_vsrv").filter(col("v") < 2000L).isEmpty)
+    // read-only: session mutations refuse the view replica too
+    assert(intercept[Exception](
+      g.insert("inc_vsrv", Seq((1L, 2L)).toDF("k", "v")))
+      .getMessage.contains("read replica"))
+    // verify=true catches a tampered epoch the default trusts the
+    // protocol not to produce
+    GraftManifest.write(spark, LiveCheckpoint.dirFor(root, 1L), Seq(
+      "epoch" -> "1", "rows" -> "1", "content_hash" -> "1", "table" -> "inc_v"),
+      "tampered", LiveCheckpoint.EPOCH_PROPS)
+    assert(intercept[IllegalStateException](
+      g.attachView("inc_vsrv2", root, verify = true))
+      .getMessage.contains("torn snapshot"))
+    g.dropTable("inc_vsrv")
+    GraftColumnStore.drop("inc_v")
+  }
+
   test("session face: incremental publish/attach with constraints; row tables fall back to full") {
     val g = GraftSession(spark)
     val root = java.nio.file.Files.createTempDirectory("inc_sess").toString
