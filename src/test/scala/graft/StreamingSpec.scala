@@ -579,4 +579,41 @@ class StreamingSpec extends SparkTestBase {
         ("09:05", "u2", 1L)))
     } finally q.stop()
   }
+
+  test("stream ingest publishes incremental epochs; attachView serves the advancing stream") {
+    // the full streaming→serving composition on one machine: each
+    // micro-batch appends to the store table AND publishes an O(delta)
+    // epoch; a reader re-points a zero-copy view at the newest epoch
+    // between batches (the reference's stream-table + connector-read
+    // story, re-expressed as foreachBatch → LiveCheckpoint → attachView)
+    val g = GraftSession(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.graft.store.LiveCheckpoint
+    val root = java.nio.file.Files.createTempDirectory("s_pub").toString
+    g.sql("CREATE TABLE s_live (k bigint, v bigint) USING column " +
+      "OPTIONS (partition_by 'k', buckets '4')")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        g.insert("s_live", df)
+        LiveCheckpoint.publish(spark, "s_live", root, incremental = true)
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 10L), (2L, 20L))
+      q.processAllAvailable()
+      assert(g.attachView("s_view", root) == 0L)
+      assert(g.table("s_view").count() == 2)
+      mem.addData((3L, 30L), (4L, 40L), (5L, 50L))
+      q.processAllAvailable()
+      // the reader advances by re-pointing; epoch 1 reuses epoch 0's
+      // untouched payloads (IncrementalPublishSpec pins the mechanics)
+      assert(g.attachView("s_view", root) == 1L)
+      assert(g.table("s_view").count() == 5)
+      assert(g.table("s_view").agg(sum($"v")).head().getLong(0) == 150L)
+    } finally q.stop()
+    g.dropTable("s_view"); g.dropTable("s_live")
+  }
 }
