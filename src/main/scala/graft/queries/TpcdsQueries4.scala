@@ -4,7 +4,7 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** TPC-DS-shaped waves 6-9 (reference: cluster/src/test/.../benchmark/
+/** TPC-DS-shaped waves 6-10 (reference: cluster/src/test/.../benchmark/
   * snappy/tpcds/): wave 7 is q11's cross-multiplied year-over-year
   * preference-shift ratio (`q_ds_spend_shift`); wave 6 is the two
   * harness mechanics the earlier waves still missed —
@@ -304,6 +304,45 @@ object TpcdsQueries4 {
             .cast("int").as("lochierarchy"))
         .orderBy(col("lochierarchy").desc,
           coalesce(col("p_type"), lit("")), coalesce(col("p_brand"), lit("")))
+    },
+
+    // ---- wave 10: q8 shape — semi-join on a DERIVED substring key.
+    // q8 restricts store sales to customers whose zip PREFIX belongs to
+    // a computed qualifying set (prefixes with enough preferred
+    // customers); here the cohort key is the customer-name suffix and a
+    // cohort qualifies when its high-balance population is above the
+    // mean cohort's (scale-free, so the threshold discriminates at
+    // every SF). The qualifying set is cohort-count-bounded (≤100 rows)
+    // → broadcast semi-join against the fact, never a shuffle on the
+    // derived key. ----
+    QueryDef.sql(
+      "q_ds_cohort_semi",
+      """WITH coh AS (
+        |  SELECT substring(c_name, -2, 2) AS coh, count(*) AS n
+        |  FROM customer WHERE c_acctbal > 3000
+        |  GROUP BY 1)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)) * 100) AS BIGINT) AS rev_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE substring(c_name, -2, 2) IN
+        |  (SELECT coh FROM coh WHERE n > (SELECT avg(n) FROM coh))
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+      val coh = cust.filter(col("c_acctbal") > 3000)
+        .groupBy(substring(col("c_name"), -2, 2).as("coh"))
+        .agg(count(lit(1)).as("n"))
+      val meanN = coh.agg(avg(col("n"))).head().getDouble(0)
+      val qualifying = coh.filter(col("n") > meanN).select("coh")
+      Tables.load(s, dir, "orders")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .withColumn("coh", substring(col("c_name"), -2, 2))
+        .join(broadcast(qualifying), Seq("coh"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)") * 100)
+            .cast("long").as("rev_c"))
+        .orderBy(col("o_orderpriority"))
     }
   )
 }
