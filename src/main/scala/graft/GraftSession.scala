@@ -107,6 +107,19 @@ class GraftSession(val spark: SparkSession) {
 
   private val synonymMap = TrieMap.empty[String, String]
 
+  // attached-replica provenance (sys.replicas): which root + epoch a
+  // replica serves, and through which face (table copy vs zero-copy
+  // view) — the operational answer to "where did this data come from
+  // and how stale is it"
+  private val attachedInfo = TrieMap.empty[String, (String, Long, String)]
+
+  /** SYS.REPLICAS: one row per attached replica in this session. */
+  def sysReplicas: org.apache.spark.sql.DataFrame = {
+    val rows = attachedInfo.toSeq.sortBy(_._1)
+      .map { case (n, (root, e, mode)) => (n, mode, e, root) }
+    spark.createDataFrame(rows).toDF("name", "mode", "epoch", "root")
+  }
+
   def createSynonym(name: String, target: String): Unit = {
     val n = name.toLowerCase; val t = target.toLowerCase
     require(!n.startsWith("sys.") && n != "sys",
@@ -190,6 +203,7 @@ class GraftSession(val spark: SparkSession) {
     require(!isSynonym(name), s"CREATE TABLE $name: name is a synonym")
     val nm = normalize(name)
     org.apache.spark.sql.graft.store.ReplicaGuard.clear(nm) // an explicit CREATE supersedes replica status
+    attachedInfo.remove(nm)
     // a replaced table must not inherit the old table's constraints —
     // the DDL command re-registers the new ones after this returns
     org.apache.spark.sql.graft.Constraints.drop(nm)
@@ -394,6 +408,7 @@ class GraftSession(val spark: SparkSession) {
         math.max(s.numBuckets, 0), storeBacked = true))
     }
     org.apache.spark.sql.graft.store.ReplicaGuard.markReplica(nm)
+    attachedInfo.put(nm, (root, e, "table"))
     e
   }
 
@@ -436,6 +451,7 @@ class GraftSession(val spark: SparkSession) {
         org.apache.spark.sql.graft.Constraints.decodeConstraints(enc)))
     tables.put(nm, TableState(df, Nil, Nil, 0))
     org.apache.spark.sql.graft.store.ReplicaGuard.markReplica(nm)
+    attachedInfo.put(nm, (root, e, "view"))
     e
   }
 
@@ -449,6 +465,7 @@ class GraftSession(val spark: SparkSession) {
     require(!isSynonym(name), s"restoreTable($name): name is a synonym")
     val nm = normalize(name)
     org.apache.spark.sql.graft.store.ReplicaGuard.clear(nm) // an explicit restore supersedes replica status
+    attachedInfo.remove(nm)
     // the manifest knows which store the table came from
     val p = org.apache.spark.sql.graft.store.GraftManifest.read(spark, dir)
     org.apache.spark.sql.graft.store.GraftManifest
@@ -689,6 +706,7 @@ class GraftSession(val spark: SparkSession) {
     graft.operators.AnnIndexes.list.filter(_.table == nm)
       .foreach(m => graft.operators.AnnIndexes.drop(spark, m.name))
     org.apache.spark.sql.graft.store.ReplicaGuard.clear(nm)
+    attachedInfo.remove(nm)
     tables.remove(nm).foreach { st =>
       if (st.rowBacked) GraftRowStore.drop(nm)
       else if (st.storeBacked) GraftColumnStore.drop(nm)

@@ -27,7 +27,7 @@ object SysRelations {
   val names: Seq[String] =
     Seq("tablestats", "members", "indexes", "policies", "samples",
       "sinkstate", "queries", "sketches", "constraints", "diskstores",
-      "synonyms")
+      "synonyms", "replicas")
 
   /** Live frame for one sys relation, None for unknown names. */
   def frame(spark: SparkSession, name: String): Option[DataFrame] =
@@ -43,6 +43,7 @@ object SysRelations {
       case "constraints" => Some(constraints(spark))
       case "diskstores" => Some(diskstores(spark))
       case "synonyms" => Some(synonymsRel(spark))
+      case "replicas" => Some(GraftSession(spark).sysReplicas)
       case _ => None
     }
 

@@ -129,6 +129,12 @@ class IncrementalPublishSpec extends SparkTestBase {
     assert(intercept[Exception](
       g.insert("inc_vsrv", Seq((1L, 2L)).toDF("k", "v")))
       .getMessage.contains("read replica"))
+    // sys.replicas records the provenance: which root + epoch, which face
+    val rep = spark.sql(
+      "SELECT mode, epoch, root FROM sys.replicas WHERE name = 'inc_vsrv'")
+      .head()
+    assert(rep.getString(0) == "view" && rep.getLong(1) == 1L &&
+      rep.getString(2) == root)
     // verify=true catches a tampered epoch the default trusts the
     // protocol not to produce
     GraftManifest.write(spark, LiveCheckpoint.dirFor(root, 1L), Seq(
