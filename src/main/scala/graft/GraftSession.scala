@@ -432,12 +432,29 @@ class GraftSession(val spark: SparkSession) {
     * marker-last protocol + parquet checksums. Returns the epoch served;
     * re-attaching advances to the newest committed epoch.
     */
-  def attachView(name: String, root: String, verify: Boolean = false): Long = {
+  def attachView(name: String, root: String, verify: Boolean = false): Long =
+    attachView(name, root, epoch = None, verify)
+
+  /** `epoch = Some(n)` pins the view to a SPECIFIC committed epoch
+    * instead of the newest — epochs are immutable, so this is dataset
+    * time travel: a training run can pin its input epoch and be exactly
+    * reproducible for as long as retention keeps it (publish with a
+    * `keep` sized to the reproducibility window).
+    */
+  def attachView(name: String, root: String, epoch: Option[Long],
+      verify: Boolean): Long = {
     require(!isSynonym(name), s"attachView($name): name is a synonym")
     val nm = normalize(name)
     import org.apache.spark.sql.graft.store.{GraftManifest, LiveCheckpoint}
-    val e = LiveCheckpoint.latestEpoch(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed epoch under $root"))
+    val e = epoch match {
+      case Some(n) =>
+        require(LiveCheckpoint.committedEpochs(spark, root).contains(n),
+          s"attachView($name): epoch $n is not committed under $root " +
+            "(never published, in flight, or pruned by retention)")
+        n
+      case None => LiveCheckpoint.latestEpoch(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed epoch under $root"))
+    }
     val df = LiveCheckpoint.epochFrame(spark, root, e)
     if (verify) LiveCheckpoint.verifyAgainst(spark, root, e, df)
     df.createOrReplaceTempView(nm)

@@ -615,6 +615,41 @@ object MutationQueries {
         .orderBy("o_orderpriority")
     },
 
+    // ---- zero-copy serving + dataset time travel: the reader attaches
+    // a VIEW (no store copy — O(manifest) attach over the epoch's
+    // payload parquet) PINNED to epoch 0, while the publisher has
+    // already deleted rows and published epoch 1. The oracle is the
+    // PRISTINE table: epochs are immutable, so the pinned view must
+    // keep answering pre-mutation — the reproducible-training-input
+    // story. Setup amortized per (JVM, dir); timed body = the query ----
+    QueryDef.sql(
+      "q_live_attach_view",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)) * 10000) AS BIGINT) AS total_e4
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      val sx = (dir.hashCode & 0x7fffffff).toString
+      val (pub, srv) = (s"lview_pub_$sx", s"lview_srv_$sx")
+      if (!g.isManaged(srv)) {
+        g.createTable(pub, Tables.load(s, dir, "orders"),
+          partitionBy = Seq("o_orderkey"), buckets = 8)
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_lview_$sx").toString
+        g.publishTable(pub, root, incremental = true) // epoch 0: pristine
+        g.delete(pub, col("o_orderkey") % 5 === 1)
+        g.publishTable(pub, root, incremental = true) // epoch 1: post-delete
+        g.attachView(srv, root, epoch = Some(0L), verify = true)
+      }
+      g.table(srv)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,4)") * 10000)
+            .cast("long").as("total_e4"))
+        .orderBy("o_orderstatus")
+    },
+
     // ---- MERGE INTO (the canonical upsert through SQL): matched keys
     // update in place, unmatched source rows insert — the oracle replays
     // the upsert relationally (source wins per key, remainder kept) ----

@@ -22,6 +22,7 @@ object LiveStoreServe {
   private val fmt = GraftStoreOps.FORMAT
   private val TABLE = "live_t"
   private val SERVED = "live_served"
+  private val VIEW_SERVED = "live_view_served"
   private val ROW_TABLE = "live_r"
   private val ROW_SERVED = "live_r_served"
 
@@ -126,6 +127,22 @@ object LiveStoreServe {
             .orderBy(col("k"))
           ans.write.mode("overwrite").parquet(f"$out/answer_$e%08d")
           println(s"XJ_LIVE_SERVE epoch=$e rows=${ans.count()}")
+          // zero-copy arm: the SAME epoch served through attachView (no
+          // store restore — a lazy frame over the epoch's payload
+          // parquet, fingerprint-verified). Its answer must match the
+          // restored-copy answer byte-for-byte; the shell oracle checks
+          // both against DuckDB.
+          locally {
+            val g = graft.GraftSession(spark)
+            val ve = g.attachView(VIEW_SERVED, root, Some(e), verify = true)
+            val vans = g.table(VIEW_SERVED)
+              .groupBy(col("k"))
+              .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+                count(when(col("s").startsWith("updated"), 1)).as("upd"))
+              .orderBy(col("k"))
+            vans.write.mode("overwrite").parquet(f"$out/answer_view_$ve%08d")
+            println(s"XJ_LIVE_SERVE_VIEW epoch=$ve")
+          }
           // row-table arm through the session face: the publisher
           // commits the row epoch right AFTER the column one, so it may
           // lag a beat — serve whatever row epoch is committed now

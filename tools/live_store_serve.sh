@@ -43,6 +43,7 @@ fi
 grep XJ_LIVE_PUBLISH "$DIR/ingest.log"
 grep "XJ_LIVE_SERVE\|XJ_LIVE_READ_OK" "$DIR/serve.log"
 grep -q XJ_LIVE_SERVE_ROW "$DIR/serve.log" || { echo "row arm never served"; exit 1; }
+grep -q XJ_LIVE_SERVE_VIEW "$DIR/serve.log" || { echo "view arm never served"; exit 1; }
 
 echo "== DuckDB oracle: B's answer vs the published epoch data =="
 python3 - "$DIR" <<'EOF'
@@ -89,6 +90,22 @@ for a in answers:
     print(f"  [OK] epoch {epoch}: {len(got)} groups hash-match the oracle")
     ok += 1
 assert ok >= 2, f"oracle verified only {ok} epochs (need >=2)"
+# zero-copy arm: the attachView answers must equal the restored-copy
+# answers at every epoch both were written for (same query, same epoch)
+view_ok = 0
+for a in sorted(glob.glob(os.path.join(root, "answers", "answer_view_*"))):
+    epoch = os.path.basename(a).split("_")[2]
+    copy = os.path.join(root, "answers", f"answer_{epoch}")
+    if not os.path.isdir(copy):
+        continue
+    want = con.execute(
+        f"SELECT k, n, sv, upd FROM read_parquet('{copy}/*.parquet') ORDER BY k").fetchall()
+    got = con.execute(
+        f"SELECT k, n, sv, upd FROM read_parquet('{a}/*.parquet') ORDER BY k").fetchall()
+    assert got == want, f"view epoch {epoch} diverges from restored copy:\n{got}\n{want}"
+    view_ok += 1
+assert view_ok >= 2, f"view arm verified only {view_ok} epochs (need >=2)"
+print(f"  [OK] zero-copy view answers match the restored copy at {view_ok} epochs")
 # row-table arm (served through the session publishTable/attachTable face)
 row_ok = 0
 for a in sorted(glob.glob(os.path.join(root, "answers", "answer_row_*"))):
