@@ -57,6 +57,16 @@ object IncPublishBench {
       }
       println(f"INCBENCH mode=$mode%-11s rows=$n epoch0=${t0}%.2fs " +
         f"steady=${deltas.map(d => f"$d%.2f").mkString("/")}s")
+      // reader-side cost at the same size: attachTable restores a full
+      // store copy (O(table)); attachView re-points a lazy frame
+      // (O(manifest)) — the query pays per scan instead
+      val g = graft.GraftSession(spark)
+      val (_, tCopy) = time(g.attachTable("incb_srv", root))
+      val (_, tView) = time(g.attachView("incb_view", root))
+      val (cnt, tQ) = time(g.table("incb_view").count())
+      println(f"ATTACH   mode=$mode%-11s rows=$n copy=${tCopy}%.2fs " +
+        f"view=${tView}%.3fs view_count=${tQ}%.2fs ($cnt rows)")
+      g.dropTable("incb_srv"); g.dropTable("incb_view")
       GraftColumnStore.drop("incb")
     }
     spark.stop()
