@@ -372,6 +372,37 @@ object LiveCheckpoint {
     e
   }
 
+  /** Metadata-only diff of two committed INCREMENTAL epochs: what moved
+    * between a reader's pinned epoch and the newest one, answered from
+    * the two payload manifests alone — zero data read, O(batches)
+    * driver work at any table size. `carried` = same batch, same
+    * content (shared payload); `redumped` = same batch id, content
+    * changed (DELETE/UPDATE landed); `added`/`removed` = batch entered/
+    * left the manifest (appends, roll-ups, compaction). Row counts are
+    * the destination side's, except `removed` (source side's).
+    */
+  def epochDiff(spark: SparkSession, root: String,
+      from: Long, to: Long): DataFrame = {
+    def entriesOf(e: Long): Map[Long, PayloadEntry] = {
+      val p = GraftManifest.read(spark, dirFor(root, e))
+      require(p.getProperty("incremental", "false") == "true",
+        s"epoch $e is not incremental — no payload manifest to diff")
+      payloadEntries(p).map(pe => pe.batchId -> pe).toMap
+    }
+    val a = entriesOf(from)
+    val b = entriesOf(to)
+    val carried = b.filter { case (id, e) => a.get(id).exists(_.mutFp == e.mutFp) }
+    val redumped = b.filter { case (id, e) => a.get(id).exists(_.mutFp != e.mutFp) }
+    val added = b.view.filterKeys(id => !a.contains(id)).toMap
+    val removed = a.view.filterKeys(id => !b.contains(id)).toMap
+    val rows = Seq(
+      ("carried", carried.size.toLong, carried.valuesIterator.map(_.rows).sum),
+      ("redumped", redumped.size.toLong, redumped.valuesIterator.map(_.rows).sum),
+      ("added", added.size.toLong, added.valuesIterator.map(_.rows).sum),
+      ("removed", removed.size.toLong, removed.valuesIterator.map(_.rows).sum))
+    spark.createDataFrame(rows).toDF("status", "batches", "rows")
+  }
+
   /** The epoch's published rows as a lazy DataFrame over its parquet —
     * NO store restore, no copy: the zero-attach-cost read path
     * (`GraftSession.attachView`). Full epochs read `data/`; incremental

@@ -104,6 +104,26 @@ class IncrementalPublishSpec extends SparkTestBase {
     GraftColumnStore.drop("inc_g"); GraftColumnStore.drop("inc_gsrv")
   }
 
+  test("epochDiff answers what-changed from the manifests alone") {
+    val root = java.nio.file.Files.createTempDirectory("inc_diff").toString
+    write("inc_df", 0, 8000)
+    assert(LiveCheckpoint.publish(spark, "inc_df", root, incremental = true) == 0L)
+    // epoch 1: an append (new seals) plus a delete (re-dumps its batch)
+    write("inc_df", 8000, 8100)
+    GraftStoreOps.delete(spark, "inc_df", col("k") === 2L && col("v") < 2000L)
+    assert(LiveCheckpoint.publish(spark, "inc_df", root, incremental = true) == 1L)
+    val d = LiveCheckpoint.epochDiff(spark, root, 0L, 1L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(d("carried")._1 > 0, s"untouched batches carry: $d")
+    assert(d("redumped")._1 > 0, s"the deleted batch re-dumps: $d")
+    assert(d("added")._1 > 0 && d("added")._2 == 100, s"appended seals add: $d")
+    assert(d("removed")._1 == 0, s"nothing left the manifest: $d")
+    // total destination rows reconcile with the served count
+    assert(d("carried")._2 + d("redumped")._2 + d("added")._2 ==
+      LiveCheckpoint.epochFrame(spark, root, 1L).count())
+    GraftColumnStore.drop("inc_df")
+  }
+
   test("attachView serves epochs zero-copy: O(manifest) attach, pushdown scans, advances, refuses writes") {
     val g = GraftSession(spark)
     val root = java.nio.file.Files.createTempDirectory("inc_view").toString
