@@ -243,6 +243,13 @@ object LiveCheckpoint {
     * at attach is unchanged). This is the documented 100 TB shape: a
     * minutes-cadence publisher rewrites the tail, not the table.
     *
+    * Encoding bound, stated: the payload list rides layout.properties
+    * (~50 bytes/entry), fine to ~100k batches (≈2.4 TB at the default
+    * 24 MB batch size). Past that, swap the `payloads` property for a
+    * parquet sidecar in the epoch dir — every consumer goes through
+    * [[payloadEntries]], so the encoding is one function wide and the
+    * commit protocol does not change.
+    *
     * Returns the epoch's (rows, contentHash). Concurrent-mutation
     * safety: the manifest is captured BEFORE the dump scan and
     * re-validated against the live snapshot AFTER it; any DELETE/UPDATE/

@@ -101,6 +101,10 @@ class IncrementalPublishSpec extends SparkTestBase {
     // the older kept epoch remains fully servable after GC
     LiveCheckpoint.attach(spark, "inc_gsrv", root, 2L)
     assert(GraftStoreOps.read(spark, "inc_gsrv").count() == 2000)
+    // pinning a PRUNED epoch fails loudly at attach, not mid-query
+    val e = intercept[Exception](
+      GraftSession(spark).attachView("inc_gv", root, Some(0L), verify = false))
+    assert(e.getMessage.contains("not committed"), e.getMessage)
     GraftColumnStore.drop("inc_g"); GraftColumnStore.drop("inc_gsrv")
   }
 
