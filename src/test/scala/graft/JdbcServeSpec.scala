@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** JDBC client surface (the reference's primary interface: clients
+  * connect over JDBC and route SQL through the network layer to the
+  * lead node's Spark driver — `cluster/.../gemxd/SparkSQLExecuteImpl
+  * .scala:63`, docs/howto: "connect using JDBC driver"). Spark-first
+  * equivalent: Spark's own Thrift/JDBC endpoint started on this
+  * driver (`HiveThriftServer2.startWithContext`) — a real out-of-
+  * process-protocol round trip over a localhost socket with the stock
+  * Hive JDBC driver. The graft DSv2 catalog rides session confs, and
+  * the store registry is JVM-global, so a fresh JDBC session sees and
+  * mutates the SAME store tables this session serves.
+  */
+class JdbcServeSpec extends SparkTestBase {
+
+  test("a JDBC client queries and mutates graft store tables over the wire") {
+    val g = GraftSession(spark)
+    import spark.implicits._
+    g.sql("CREATE TABLE jdbc_t (k bigint, v string) USING column " +
+      "OPTIONS (partition_by 'k', buckets '4')")
+    g.insert("jdbc_t", (1L to 100L).map(i => (i % 4, s"v$i")).toDF("k", "v"))
+
+    // keep the Derby metastore the server may initialize out of the
+    // repo: Derby resolves its relative databaseName against
+    // derby.system.home
+    val tmp = java.nio.file.Files.createTempDirectory("jdbc_meta").toString
+    System.setProperty("derby.system.home", tmp)
+    val port = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    spark.conf.set("hive.server2.thrift.port", port.toString)
+    spark.conf.set("hive.server2.thrift.bind.host", "localhost")
+    val server = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+      .startWithContext(spark.sqlContext)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      // the server binds asynchronously — poll the connect
+      var conn: java.sql.Connection = null
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (conn == null) {
+        try conn = java.sql.DriverManager.getConnection(
+          s"jdbc:hive2://localhost:$port/", "", "")
+        catch {
+          case e: java.sql.SQLException =>
+            if (System.nanoTime() > deadline) throw e
+            Thread.sleep(250)
+        }
+      }
+      try {
+        val st = conn.createStatement()
+        // read the store table through the DSv2 catalog from the
+        // CLIENT's own session (catalog + extensions ride session confs)
+        val rs = st.executeQuery(
+          "SELECT k, count(*) AS n FROM graft.jdbc_t GROUP BY k ORDER BY k")
+        val got = Iterator.continually(rs)
+          .takeWhile(_.next()).map(r => (r.getLong(1), r.getLong(2))).toSeq
+        assert(got == Seq((0L, 25L), (1L, 25L), (2L, 25L), (3L, 25L)), got.toString)
+        // DML over the wire lands in the SAME store this session reads
+        assert(st.executeUpdate(
+          "INSERT INTO graft.jdbc_t VALUES (9, 'from_jdbc')") >= 0)
+        assert(g.sql("SELECT count(*) FROM jdbc_t WHERE k = 9")
+          .head().getLong(0) == 1L)
+        // and a replica attached in THIS session refuses the client's
+        // write too — the store-level guard crosses protocol boundaries
+        val root = java.nio.file.Files.createTempDirectory("jdbc_rep").toString
+        g.publishTable("jdbc_t", root)
+        g.attachTable("jdbc_rep", root)
+        val e = intercept[java.sql.SQLException](st.executeUpdate(
+          "INSERT INTO graft.jdbc_rep VALUES (1, 'x')"))
+        assert(e.getMessage.contains("read replica"), e.getMessage)
+        g.dropTable("jdbc_rep")
+      } finally conn.close()
+    } finally {
+      server.stop()
+      g.dropTable("jdbc_t")
+    }
+  }
+}
