@@ -55,6 +55,10 @@ class IncrementalPublishSpec extends SparkTestBase {
       s"only the appended seals dump: ${(m1 -- files0)}")
     assert(LiveCheckpoint.attachLatest(spark, "inc_srv", root) == 1L)
     assert(GraftStoreOps.read(spark, "inc_srv").count() == 10100)
+    // the physical layout rides the incremental manifest like the full
+    // one: the attached copy is a bucketed store table, not a blob
+    val snap = GraftColumnStore("inc_srv").snapshot
+    assert(snap.numBuckets == 4 && snap.bucketBy == Seq("k"))
     GraftColumnStore.drop("inc_src"); GraftColumnStore.drop("inc_srv")
   }
 
