@@ -380,20 +380,26 @@ class GraftSession(val spark: SparkSession) {
     * `name` — read-only with respect to the publisher (the attach
     * copies into this JVM's registries). Returns the epoch served.
     */
-  def attachTable(name: String, root: String): Long = {
-    require(!isSynonym(name), s"attachTable($name): name is a synonym")
-    val nm = normalize(name)
-    import org.apache.spark.sql.graft.store.{GraftManifest, GraftRowStore, LiveCheckpoint}
-    val e = LiveCheckpoint.attachLatest(spark, nm, root)
-    // re-attach to a newer epoch must not keep the OLD epoch's
-    // constraints when the publisher dropped them (no sidecar written):
-    // absence of the sidecar means no constraints, so clear first
+  /** Replace `nm`'s registered constraints with the epoch's sidecar —
+    * clearing FIRST so absence of the sidecar means no constraints (a
+    * re-attach must not keep a dropped epoch's set registered).
+    */
+  private def registerEpochConstraints(nm: String, root: String, e: Long): Unit = {
+    import org.apache.spark.sql.graft.store.{GraftManifest, LiveCheckpoint}
     org.apache.spark.sql.graft.Constraints.drop(nm)
     GraftManifest.readOpt(spark, LiveCheckpoint.dirFor(root, e),
         "constraints.properties")
       .flatMap(cp => Option(cp.getProperty("constraints")))
       .foreach(enc => org.apache.spark.sql.graft.Constraints.register(nm,
         org.apache.spark.sql.graft.Constraints.decodeConstraints(enc)))
+  }
+
+  def attachTable(name: String, root: String): Long = {
+    require(!isSynonym(name), s"attachTable($name): name is a synonym")
+    val nm = normalize(name)
+    import org.apache.spark.sql.graft.store.{GraftRowStore, LiveCheckpoint}
+    val e = LiveCheckpoint.attachLatest(spark, nm, root)
+    registerEpochConstraints(nm, root, e)
     if (GraftRowStore.get(nm).isDefined) {
       val df = GraftRowOps.read(spark, nm)
       df.createOrReplaceTempView(nm)
@@ -445,7 +451,7 @@ class GraftSession(val spark: SparkSession) {
       verify: Boolean): Long = {
     require(!isSynonym(name), s"attachView($name): name is a synonym")
     val nm = normalize(name)
-    import org.apache.spark.sql.graft.store.{GraftManifest, LiveCheckpoint}
+    import org.apache.spark.sql.graft.store.LiveCheckpoint
     val e = epoch match {
       case Some(n) =>
         require(LiveCheckpoint.committedEpochs(spark, root).contains(n),
@@ -460,12 +466,7 @@ class GraftSession(val spark: SparkSession) {
     df.createOrReplaceTempView(nm)
     // constraints ride for metadata surfaces (sys.constraints); a view
     // is read-only so there is nothing to enforce
-    org.apache.spark.sql.graft.Constraints.drop(nm)
-    GraftManifest.readOpt(spark, LiveCheckpoint.dirFor(root, e),
-        "constraints.properties")
-      .flatMap(cp => Option(cp.getProperty("constraints")))
-      .foreach(enc => org.apache.spark.sql.graft.Constraints.register(nm,
-        org.apache.spark.sql.graft.Constraints.decodeConstraints(enc)))
+    registerEpochConstraints(nm, root, e)
     tables.put(nm, TableState(df, Nil, Nil, 0))
     org.apache.spark.sql.graft.store.ReplicaGuard.markReplica(nm)
     attachedInfo.put(nm, (root, e, "view"))
