@@ -175,6 +175,53 @@ class IncrementalPublishSpec extends SparkTestBase {
     GraftColumnStore.drop("inc_v")
   }
 
+  test("stress: random mutation interleavings publish verifiable epochs (seeded)") {
+    // the property the whole design hangs on: WHATEVER sequence of
+    // appends / deletes / updates / roll-ups precedes a publish, the
+    // manifest's summed fingerprint equals the restored table's — the
+    // attach verifies it, so every iteration is its own oracle. Reuse
+    // is exercised incidentally (untouched buckets carry over).
+    val rnd = new scala.util.Random(20260815L)
+    val root = java.nio.file.Files.createTempDirectory("inc_fuzz").toString
+    write("inc_fz", 0, 4000)
+    var hi = 4000L
+    var expected = (0L until 4000L).map(i => (i % 8, i * 2)).toSet
+    (0 until 12).foreach { i =>
+      rnd.nextInt(4) match {
+        case 0 => // append
+          val n = 100 + rnd.nextInt(300)
+          write("inc_fz", hi.toInt, (hi + n).toInt)
+          expected ++= (hi until hi + n).map(i => (i % 8, i * 2))
+          hi += n
+        case 1 => // delete a random value slice
+          val lo = rnd.nextInt(hi.toInt).toLong * 2
+          val cut = (lo, lo + 600)
+          GraftStoreOps.delete(spark, "inc_fz",
+            col("v") >= cut._1 && col("v") < cut._2)
+          expected = expected.filterNot(kv => kv._2 >= cut._1 && kv._2 < cut._2)
+        case 2 => // update a random bucket's values
+          val b = rnd.nextInt(8).toLong
+          GraftStoreOps.update(spark, "inc_fz", col("k") === b,
+            Seq("v" -> (col("v") + 1000000L)))
+          expected = expected.map { case (k, v) =>
+            if (k == b) (k, v + 1000000L) else (k, v)
+          }
+        case 3 => // roll up fragmented tails (pure layout change)
+          GraftStoreOps.rollupSmallBatches(spark, "inc_fz", minBatches = 2)
+      }
+      val e = LiveCheckpoint.publish(spark, "inc_fz", root,
+        keep = 3, incremental = true)
+      assert(e == i.toLong)
+      // attach verifies the manifest fingerprint against restored rows
+      assert(LiveCheckpoint.attachLatest(spark, "inc_fzsrv", root) == e)
+      val got = GraftStoreOps.read(spark, "inc_fzsrv")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"iteration $i: content diverged (got ${got.size}, want ${expected.size})")
+    }
+    GraftColumnStore.drop("inc_fz"); GraftColumnStore.drop("inc_fzsrv")
+  }
+
   test("session face: incremental publish/attach with constraints; row tables fall back to full") {
     val g = GraftSession(spark)
     val root = java.nio.file.Files.createTempDirectory("inc_sess").toString
