@@ -171,6 +171,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case Some(DropDiskstore(n, ie)) =>
         GraftDropDiskstoreCommand(n, ie)
       case Some(CreateSynonym(n, t)) => GraftSynonymCommand(n, Some(t))
+      case Some(PublishTable(t, root, inc)) =>
+        GraftPublishTableCommand(t, root, inc)
+      case Some(AttachTable(n, r)) => GraftAttachTableCommand(n, r)
+      case Some(AttachView(n, r, e, v)) => GraftAttachViewCommand(n, r, e, v)
       case Some(DropSynonym(n)) => GraftSynonymCommand(n, None)
       case Some(SetIsolation(l)) => GraftSetIsolationCommand(l)
       // Derby SET SCHEMA == Spark USE; without this rewrite Spark's own
@@ -481,6 +485,44 @@ case class GraftMergeIntoCommand(table: String, source: String,
     g.putInto(table, src)
     Nil
   }
+}
+
+/** PUBLISH TABLE / ATTACH TABLE / ATTACH VIEW — SQL faces of the
+  * connector-mode serving API ([[graft.GraftSession.publishTable]] and
+  * friends); each returns the epoch it published or attached so a SQL
+  * client can record which snapshot it is serving.
+  */
+case class GraftPublishTableCommand(table: String, root: Option[String],
+    incremental: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "epoch", org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val g = graft.GraftSession(spark)
+    val e = root match {
+      case Some(r) => g.publishTable(table, r, incremental)
+      case None => g.publishTable(table, incremental)
+    }
+    Seq(Row(e))
+  }
+}
+
+case class GraftAttachTableCommand(name: String, root: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "epoch", org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.GraftSession(spark).attachTable(name, root)))
+}
+
+case class GraftAttachViewCommand(name: String, root: String,
+    epoch: Option[Long], verify: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "epoch", org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.GraftSession(spark).attachView(name, root, epoch, verify)))
 }
 
 case class GraftTruncateTableCommand(table: String) extends LeafRunnableCommand {

@@ -93,6 +93,18 @@ object GraftStatements extends RegexParsers {
     * assignment (key "schema" = s) and silently change nothing.
     */
   final case class SetSchema(name: String) extends Stmt
+  /** PUBLISH TABLE t [INCREMENTAL] [TO 'root'] — connector-mode epoch
+    * publishing's SQL face (no TO clause = the table's bound DISKSTORE).
+    */
+  final case class PublishTable(table: String, root: Option[String],
+      incremental: Boolean) extends Stmt
+  /** ATTACH TABLE x FROM 'root' — restore-and-serve the newest epoch. */
+  final case class AttachTable(name: String, root: String) extends Stmt
+  /** ATTACH VIEW x FROM 'root' [EPOCH n] [VERIFY] — zero-copy serving,
+    * optionally pinned to an immutable epoch (dataset time travel).
+    */
+  final case class AttachView(name: String, root: String,
+      epoch: Option[Long], verify: Boolean) extends Stmt
   /** CREATE FUNCTION f AS class [RETURNS type] [USING JAR 'path']
     * (reference SnappyDDLParser.createFunction:765 — the RETURNS clause
     * is Snappy-specific; stock Spark's CREATE FUNCTION lacks it).
@@ -369,6 +381,21 @@ object GraftStatements extends RegexParsers {
     } |
     kw("SET") ~> opt(kw("CURRENT")) ~> kw("ISOLATION") ^^ { _ => SetIsolation("RESET") }
 
+  private def publishTable: Parser[Stmt] =
+    kw("PUBLISH") ~> kw("TABLE") ~> ident ~ opt(kw("INCREMENTAL")) ~
+      opt(kw("TO") ~> quoted) ^^ {
+        case t ~ inc ~ root => PublishTable(t, root, inc.isDefined)
+      }
+
+  private def attachStmt: Parser[Stmt] =
+    kw("ATTACH") ~> kw("TABLE") ~> ident ~ (kw("FROM") ~> quoted) ^^ {
+      case n ~ r => AttachTable(n, r)
+    } |
+    kw("ATTACH") ~> kw("VIEW") ~> ident ~ (kw("FROM") ~> quoted) ~
+      opt(kw("EPOCH") ~> "[0-9]+".r) ~ opt(kw("VERIFY")) ^^ {
+        case n ~ r ~ e ~ v => AttachView(n, r, e.map(_.toLong), v.isDefined)
+      }
+
   private def setSchema: Parser[Stmt] =
     kw("SET") ~> opt(kw("CURRENT")) ~> kw("SCHEMA") ~> opt("=") ~> (quoted | ident) ^^ {
       n => SetSchema(n)
@@ -411,6 +438,7 @@ object GraftStatements extends RegexParsers {
       createTableUsing | alterRebucket | alterAddConstraint | alterDropConstraint |
       alterDrop | alterAdd | truncateTable | createDiskstore | dropDiskstore |
       createSynonym | dropSynonym | setIsolation | setSchema |
+      publishTable | attachStmt |
       streamingCtl | grantRevoke | update | delete
 
   /** None = not a graft statement (caller delegates to Spark's parser). */

@@ -194,6 +194,35 @@ class LiveCheckpointSpec extends SparkTestBase {
     g.dropTable("lc_cpub"); g.dropTable("lc_csrv")
   }
 
+  test("SQL faces: PUBLISH TABLE / ATTACH TABLE / ATTACH VIEW ... EPOCH n VERIFY") {
+    val g = GraftSession(spark)
+    val root = java.nio.file.Files.createTempDirectory("lc_sql").toString
+    import spark.implicits._
+    g.sql("CREATE TABLE lc_sqlt (k bigint, v bigint) USING column " +
+      "OPTIONS (partition_by 'k', buckets '4')")
+    g.insert("lc_sqlt", (1L to 400L).map(i => (i % 4, i)).toDF("k", "v"))
+    // PUBLISH returns the epoch it committed — a SQL client can record
+    // which snapshot it published
+    assert(g.sql(s"PUBLISH TABLE lc_sqlt INCREMENTAL TO '$root'")
+      .head().getLong(0) == 0L)
+    g.delete("lc_sqlt", col("v") <= 100L)
+    assert(g.sql(s"PUBLISH TABLE lc_sqlt INCREMENTAL TO '$root'")
+      .head().getLong(0) == 1L)
+    // ATTACH TABLE serves the newest epoch (post-delete)
+    assert(g.sql(s"ATTACH TABLE lc_sqlsrv FROM '$root'").head().getLong(0) == 1L)
+    assert(g.table("lc_sqlsrv").count() == 300)
+    // ATTACH VIEW pinned to epoch 0 answers PRE-delete, verified
+    assert(g.sql(s"ATTACH VIEW lc_sqlview FROM '$root' EPOCH 0 VERIFY")
+      .head().getLong(0) == 0L)
+    assert(g.table("lc_sqlview").count() == 400)
+    // provenance surfaces both faces
+    val reps = spark.sql("SELECT name, mode, epoch FROM sys.replicas " +
+      "WHERE name LIKE 'lc_sql%' ORDER BY name").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(reps == Seq(("lc_sqlsrv", "table", 1L), ("lc_sqlview", "view", 0L)), reps)
+    g.dropTable("lc_sqlview"); g.dropTable("lc_sqlsrv"); g.dropTable("lc_sqlt")
+  }
+
   test("a claimed epoch number is never co-written: the publisher advances past it") {
     val root = java.nio.file.Files.createTempDirectory("lc_claim").toString
     write("lc_cl", 100)
