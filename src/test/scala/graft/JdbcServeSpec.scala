@@ -15,6 +15,38 @@ import org.apache.spark.sql.functions._
   */
 class JdbcServeSpec extends SparkTestBase {
 
+  // the Thrift server is once-per-JVM (a second startWithContext never
+  // binds) — share one across the suite's tests
+  private lazy val port: Int = {
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("jdbc_meta").toString)
+    val p = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    spark.conf.set("hive.server2.thrift.port", p.toString)
+    spark.conf.set("hive.server2.thrift.bind.host", "localhost")
+    org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+      .startWithContext(spark.sqlContext)
+    p
+  }
+
+  private def connect(): java.sql.Connection = {
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    var conn: java.sql.Connection = null
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (conn == null) {
+      try conn = java.sql.DriverManager.getConnection(
+        s"jdbc:hive2://localhost:$port/", "", "")
+      catch {
+        case e: java.sql.SQLException =>
+          if (System.nanoTime() > deadline) throw e
+          Thread.sleep(250)
+      }
+    }
+    conn
+  }
+
   test("a JDBC client queries and mutates graft store tables over the wire") {
     val g = GraftSession(spark)
     import spark.implicits._
@@ -22,34 +54,9 @@ class JdbcServeSpec extends SparkTestBase {
       "OPTIONS (partition_by 'k', buckets '4')")
     g.insert("jdbc_t", (1L to 100L).map(i => (i % 4, s"v$i")).toDF("k", "v"))
 
-    // keep the Derby metastore the server may initialize out of the
-    // repo: Derby resolves its relative databaseName against
-    // derby.system.home
-    val tmp = java.nio.file.Files.createTempDirectory("jdbc_meta").toString
-    System.setProperty("derby.system.home", tmp)
-    val port = {
-      val s = new java.net.ServerSocket(0)
-      try s.getLocalPort finally s.close()
-    }
-    spark.conf.set("hive.server2.thrift.port", port.toString)
-    spark.conf.set("hive.server2.thrift.bind.host", "localhost")
-    val server = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
-      .startWithContext(spark.sqlContext)
+    val conn = connect()
     try {
-      Class.forName("org.apache.hive.jdbc.HiveDriver")
-      // the server binds asynchronously — poll the connect
-      var conn: java.sql.Connection = null
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      while (conn == null) {
-        try conn = java.sql.DriverManager.getConnection(
-          s"jdbc:hive2://localhost:$port/", "", "")
-        catch {
-          case e: java.sql.SQLException =>
-            if (System.nanoTime() > deadline) throw e
-            Thread.sleep(250)
-        }
-      }
-      try {
+      locally {
         val st = conn.createStatement()
         // read the store table through the DSv2 catalog from the
         // CLIENT's own session (catalog + extensions ride session confs)
@@ -72,10 +79,42 @@ class JdbcServeSpec extends SparkTestBase {
           "INSERT INTO graft.jdbc_rep VALUES (1, 'x')"))
         assert(e.getMessage.contains("read replica"), e.getMessage)
         g.dropTable("jdbc_rep")
-      } finally conn.close()
+      }
     } finally {
-      server.stop()
+      conn.close()
       g.dropTable("jdbc_t")
+    }
+  }
+
+  test("a pure-JDBC client drives the full serving lifecycle: create, load, publish, attach view, read") {
+    // the graft PARSER rides spark.sql.extensions into the server-side
+    // session, so a SQL-only client needs no Scala at all — exactly the
+    // reference's deployment (applications speak JDBC to the cluster)
+    val conn = connect()
+    try {
+      locally {
+        val st = conn.createStatement()
+        val root = java.nio.file.Files.createTempDirectory("jdbc_root").toString
+        st.execute("CREATE TABLE jdbc_pub (k bigint, v bigint) USING column " +
+          "OPTIONS (partition_by 'k', buckets '4')")
+        st.executeUpdate("INSERT INTO graft.jdbc_pub " +
+          "SELECT id % 4, id * 2 FROM range(1000)")
+        def one(q: String): Long = {
+          val rs = st.executeQuery(q); assert(rs.next()); rs.getLong(1)
+        }
+        assert(one(s"PUBLISH TABLE jdbc_pub INCREMENTAL TO '$root'") == 0L)
+        st.execute("DELETE FROM jdbc_pub WHERE v < 400")
+        assert(one(s"PUBLISH TABLE jdbc_pub INCREMENTAL TO '$root'") == 1L)
+        // zero-copy view over the wire: latest epoch reflects the delete
+        assert(one(s"ATTACH VIEW jdbc_view FROM '$root' VERIFY") == 1L)
+        assert(one("SELECT count(*) FROM jdbc_view") == 800L)
+        // pinned epoch 0 answers pre-delete — time travel over JDBC
+        assert(one(s"ATTACH VIEW jdbc_view0 FROM '$root' EPOCH 0") == 0L)
+        assert(one("SELECT count(*) FROM jdbc_view0") == 1000L)
+      }
+    } finally {
+      conn.close()
+      org.apache.spark.sql.graft.store.GraftColumnStore.drop("jdbc_pub")
     }
   }
 }
