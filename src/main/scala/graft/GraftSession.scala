@@ -107,17 +107,24 @@ class GraftSession(val spark: SparkSession) {
 
   private val synonymMap = TrieMap.empty[String, String]
 
-  // attached-replica provenance (sys.replicas): which root + epoch a
-  // replica serves, and through which face (table copy vs zero-copy
-  // view) — the operational answer to "where did this data come from
-  // and how stale is it"
-  private val attachedInfo = TrieMap.empty[String, (String, Long, String)]
+  /** Stable id distinguishing this session in JVM-global registries
+    * (`sys.replicas` owner_session — "who attached this" across JDBC /
+    * concurrent sessions).
+    */
+  val sessionId: String = s"s${GraftSession.sessionIds.incrementAndGet()}"
 
-  /** SYS.REPLICAS: one row per attached replica in this session. */
+  /** SYS.REPLICAS: one row per attached replica in the JVM — read from
+    * the STORE-level registry (ReplicaGuard), the same map enforcement
+    * consults, so a replica attached by ANY session (e.g. over JDBC) is
+    * visible here with its provenance and owning session. `pinned` is
+    * true for views pinned to a specific epoch (dataset time travel);
+    * unpinned attaches advance on re-attach.
+    */
   def sysReplicas: org.apache.spark.sql.DataFrame = {
-    val rows = attachedInfo.toSeq.sortBy(_._1)
-      .map { case (n, (root, e, mode)) => (n, mode, e, root) }
-    spark.createDataFrame(rows).toDF("name", "mode", "epoch", "root")
+    val rows = org.apache.spark.sql.graft.store.ReplicaGuard.all
+      .map { case (n, i) => (n, i.mode, i.epoch, i.root, i.pinned, i.ownerSession) }
+    spark.createDataFrame(rows)
+      .toDF("name", "mode", "epoch", "root", "pinned", "owner_session")
   }
 
   def createSynonym(name: String, target: String): Unit = {
@@ -203,7 +210,6 @@ class GraftSession(val spark: SparkSession) {
     require(!isSynonym(name), s"CREATE TABLE $name: name is a synonym")
     val nm = normalize(name)
     org.apache.spark.sql.graft.store.ReplicaGuard.clear(nm) // an explicit CREATE supersedes replica status
-    attachedInfo.remove(nm)
     // a replaced table must not inherit the old table's constraints —
     // the DDL command re-registers the new ones after this returns
     org.apache.spark.sql.graft.Constraints.drop(nm)
@@ -400,21 +406,10 @@ class GraftSession(val spark: SparkSession) {
     import org.apache.spark.sql.graft.store.{GraftRowStore, LiveCheckpoint}
     val e = LiveCheckpoint.attachLatest(spark, nm, root)
     registerEpochConstraints(nm, root, e)
-    if (GraftRowStore.get(nm).isDefined) {
-      val df = GraftRowOps.read(spark, nm)
-      df.createOrReplaceTempView(nm)
-      val s = GraftRowStore(nm).snapshot
-      tables.put(nm, TableState(df, s.keyColumns, s.bucketBy,
-        math.max(s.numBuckets, 0), rowBacked = true))
-    } else {
-      val df = GraftStoreOps.read(spark, nm)
-      df.createOrReplaceTempView(nm)
-      val s = org.apache.spark.sql.graft.store.GraftColumnStore(nm).snapshot
-      tables.put(nm, TableState(df, s.keyColumns, s.bucketBy,
-        math.max(s.numBuckets, 0), storeBacked = true))
-    }
-    org.apache.spark.sql.graft.store.ReplicaGuard.markReplica(nm)
-    attachedInfo.put(nm, (root, e, "table"))
+    registerFromStore(nm)
+    org.apache.spark.sql.graft.store.ReplicaGuard.markReplica(nm,
+      org.apache.spark.sql.graft.store.ReplicaGuard.ReplicaInfo(
+        root, e, "table", pinned = false, sessionId))
     e
   }
 
@@ -430,8 +425,11 @@ class GraftSession(val spark: SparkSession) {
     * Tradeoffs, stated: the view keeps READING the published files for
     * its serving lifetime, so the publisher's `keep` × publish cadence
     * must exceed query latency or retention can delete files mid-query
-    * (re-attach and retry on failure — epochs are immutable, so this is
-    * always safe); and a parquet view has no bucketed layout, so joins
+    * (epochs are immutable, so re-attach-and-retry is always safe —
+    * [[servingRead]] implements exactly that, surfacing the typed
+    * [[org.apache.spark.sql.graft.store.EpochPrunedException]] when a
+    * PINNED view's epoch is gone); and a parquet view has no bucketed
+    * layout, so joins
     * against it shuffle where an attachTable copy could
     * storage-partition. `verify = true` runs the same O(rows)
     * fingerprint check attach performs; the default trusts the
@@ -468,9 +466,67 @@ class GraftSession(val spark: SparkSession) {
     // is read-only so there is nothing to enforce
     registerEpochConstraints(nm, root, e)
     tables.put(nm, TableState(df, Nil, Nil, 0))
-    org.apache.spark.sql.graft.store.ReplicaGuard.markReplica(nm)
-    attachedInfo.put(nm, (root, e, "view"))
+    org.apache.spark.sql.graft.store.ReplicaGuard.markReplica(nm,
+      org.apache.spark.sql.graft.store.ReplicaGuard.ReplicaInfo(
+        root, e, "view", pinned = epoch.isDefined, sessionId))
     e
+  }
+
+  /** Re-attach an attached view to the NEWEST committed epoch under its
+    * root (serving advances; any pin is released — re-pin explicitly via
+    * [[attachView]] if time travel should continue). Returns the epoch
+    * now served.
+    */
+  def refreshView(name: String): Long = {
+    val nm = normalize(name)
+    val info = org.apache.spark.sql.graft.store.ReplicaGuard.infoOf(nm)
+      .filter(_.mode == "view").getOrElse(throw new IllegalArgumentException(
+        s"refreshView($name): not an attached view"))
+    attachView(nm, info.root, epoch = None, verify = false)
+  }
+
+  /** Run a read against an attached view with the serving-lifetime
+    * retention race handled (the documented attachView tradeoff: the view
+    * reads the published files for its whole lifetime, so a publisher
+    * outrunning retention can delete them mid-query). On a file-loss
+    * failure this confirms against the root whether the view's epoch was
+    * actually pruned — a missing file under a STILL-COMMITTED epoch is
+    * corruption, and the original error propagates untouched. A pruned
+    * unpinned view transparently re-attaches to the newest committed
+    * epoch and retries once; a pruned PINNED view cannot be silently
+    * advanced (the pin is a reproducibility promise), so it raises the
+    * typed [[org.apache.spark.sql.graft.store.EpochPrunedException]]
+    * telling the caller to re-attach.
+    */
+  def servingRead[T](name: String)(f: DataFrame => T): T = {
+    val nm = normalize(name)
+    import org.apache.spark.sql.graft.store.{EpochPrunedException, LiveCheckpoint, ReplicaGuard}
+    def isFileLoss(e: Throwable): Boolean = {
+      val seen = scala.collection.mutable.Set.empty[Throwable]
+      var cur = e
+      var found = false
+      while (cur != null && !found && seen.add(cur)) {
+        found = cur.isInstanceOf[java.io.FileNotFoundException] ||
+          (cur.getMessage != null &&
+            (cur.getMessage.contains("PATH_NOT_FOUND") ||
+              cur.getMessage.contains("Path does not exist") ||
+              cur.getMessage.contains("FileNotFound")))
+        cur = cur.getCause
+      }
+      found
+    }
+    try f(table(nm))
+    catch {
+      case e: Throwable if isFileLoss(e) &&
+          ReplicaGuard.infoOf(nm).exists(_.mode == "view") =>
+        val info = ReplicaGuard.infoOf(nm).get
+        if (LiveCheckpoint.committedEpochs(spark, info.root).contains(info.epoch))
+          throw e // files missing under a committed epoch: NOT retention
+        if (info.pinned)
+          throw new EpochPrunedException(nm, info.root, info.epoch, e)
+        refreshView(nm)
+        f(table(nm))
+    }
   }
 
   private def diskstoreDirFor(name: String, op: String): String =
@@ -483,7 +539,6 @@ class GraftSession(val spark: SparkSession) {
     require(!isSynonym(name), s"restoreTable($name): name is a synonym")
     val nm = normalize(name)
     org.apache.spark.sql.graft.store.ReplicaGuard.clear(nm) // an explicit restore supersedes replica status
-    attachedInfo.remove(nm)
     // the manifest knows which store the table came from
     val p = org.apache.spark.sql.graft.store.GraftManifest.read(spark, dir)
     org.apache.spark.sql.graft.store.GraftManifest
@@ -505,6 +560,112 @@ class GraftSession(val spark: SparkSession) {
       tables.put(nm, TableState(df, s.keyColumns, s.bucketBy,
         math.max(s.numBuckets, 0), storeBacked = true))
       df
+    }
+  }
+
+  /** Durable catalog bootstrap — the reference persists its catalog
+    * INSIDE the store (core/.../hive/SnappyHiveExternalCatalog.scala:67,
+    * io/snappydata/sql/catalog/impl/StoreHiveCatalog.scala), so a
+    * restarted cluster still knows every table; our registry is
+    * JVM-lifetime, so a COLD JVM runs this ONE sweep instead of naming
+    * each table: every child of every registered DISKSTORE directory
+    * holding a checkpoint manifest (`layout.properties`) or committed
+    * epochs is re-registered as an OWNED managed table — provider,
+    * bucketed layout, constraints and the identity high-water mark all
+    * ride the manifests/sidecars the checkpoint and publish paths wrote.
+    *
+    * Rules, stated:
+    *  - an existing managed name WINS — bootstrap never replaces live
+    *    state (reported `skipped_exists`); replicas attached under the
+    *    name also win (they were attached deliberately).
+    *  - when a name has BOTH a plain checkpoint and committed epochs
+    *    (checkpointTable and publishTable share `<diskstore>/<table>`),
+    *    the NEWER artifact wins by modification time — "latest durable
+    *    state" is the recovery contract.
+    *  - an epoch-rooted table is restored as OWNED (publisher recovery:
+    *    epoch numbering continues under the same root on the next
+    *    publish), NOT as a read replica — serving JVMs attach
+    *    deliberately via attachTable/attachView.
+    *
+    * Cost: O(directories listed + tables restored); nothing is scanned
+    * beyond the restores themselves. `diskstore = Some(name)` scopes the
+    * sweep to one registered diskstore. Returns one row per candidate:
+    * (table_name, diskstore, source, epoch, action).
+    */
+  def bootstrap(diskstore: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.graft.store.{Diskstores, LiveCheckpoint, ReplicaGuard}
+    import org.apache.hadoop.fs.Path
+    val swept = diskstore match {
+      case Some(n) => Seq(Diskstores.get(n).getOrElse(
+        throw new IllegalArgumentException(
+          s"BOOTSTRAP CATALOG FROM $n: diskstore does not exist")))
+      case None => Diskstores.all
+    }
+    val out = Seq.newBuilder[(String, String, String, Long, String)]
+    for (ds <- swept; d <- ds.dirs) {
+      val dirPath = new Path(new java.io.File(d).getAbsolutePath)
+      val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dirPath)) {
+        fs.listStatus(dirPath).filter(_.isDirectory)
+          .sortBy(_.getPath.getName).foreach { st =>
+            val nm = st.getPath.getName.toLowerCase
+            val dir = st.getPath.toString
+            val ckpt = new Path(st.getPath, "layout.properties")
+            val hasCkpt = fs.exists(ckpt)
+            val epochs = LiveCheckpoint.committedEpochs(spark, dir)
+            if (hasCkpt || epochs.nonEmpty) {
+              val (source, epoch) =
+                if (epochs.isEmpty) ("checkpoint", -1L)
+                else if (!hasCkpt) ("epoch", epochs.last)
+                else {
+                  // both faces wrote here: newest durable state wins
+                  val markerAt = fs.getFileStatus(new Path(
+                    LiveCheckpoint.dirFor(dir, epochs.last),
+                    LiveCheckpoint.MARKER)).getModificationTime
+                  if (markerAt >= fs.getFileStatus(ckpt).getModificationTime)
+                    ("epoch", epochs.last)
+                  else ("checkpoint", -1L)
+                }
+              if (isManaged(nm) || ReplicaGuard.isReplica(nm))
+                out += ((nm, ds.name, source, epoch, "skipped_exists"))
+              else if (source == "epoch") {
+                LiveCheckpoint.attach(spark, nm, dir, epoch)
+                registerEpochConstraints(nm, dir, epoch)
+                registerFromStore(nm)
+                ReplicaGuard.clear(nm) // owned (publisher recovery), not a replica
+                Diskstores.bind(nm, ds.name)
+                out += ((nm, ds.name, "epoch", epoch, "restored"))
+              } else {
+                restoreTable(nm, dir)
+                Diskstores.bind(nm, ds.name)
+                out += ((nm, ds.name, "checkpoint", -1L, "restored"))
+              }
+            }
+          }
+      }
+    }
+    spark.createDataFrame(out.result())
+      .toDF("table_name", "diskstore", "source", "epoch", "action")
+  }
+
+  /** Register a table that already lives in this JVM's store registries
+    * (row or column) as a managed table + temp view — the shared tail of
+    * attachTable and bootstrap's epoch restore.
+    */
+  private def registerFromStore(nm: String): Unit = {
+    import org.apache.spark.sql.graft.store.GraftRowStore
+    if (GraftRowStore.get(nm).isDefined) {
+      val df = GraftRowOps.read(spark, nm)
+      df.createOrReplaceTempView(nm)
+      val s = GraftRowStore(nm).snapshot
+      tables.put(nm, TableState(df, s.keyColumns, s.bucketBy,
+        math.max(s.numBuckets, 0), rowBacked = true))
+    } else {
+      val df = GraftStoreOps.read(spark, nm)
+      df.createOrReplaceTempView(nm)
+      val s = org.apache.spark.sql.graft.store.GraftColumnStore(nm).snapshot
+      tables.put(nm, TableState(df, s.keyColumns, s.bucketBy,
+        math.max(s.numBuckets, 0), storeBacked = true))
     }
   }
 
@@ -724,7 +885,6 @@ class GraftSession(val spark: SparkSession) {
     graft.operators.AnnIndexes.list.filter(_.table == nm)
       .foreach(m => graft.operators.AnnIndexes.drop(spark, m.name))
     org.apache.spark.sql.graft.store.ReplicaGuard.clear(nm)
-    attachedInfo.remove(nm)
     tables.remove(nm).foreach { st =>
       if (st.rowBacked) GraftRowStore.drop(nm)
       else if (st.storeBacked) GraftColumnStore.drop(nm)
@@ -1400,6 +1560,8 @@ object GraftSession {
     * encode parallelism it buys on small data).
     */
   val INGEST_MIN_BYTES_KEY = "spark.sql.graft.ingest.minRepartitionBytes"
+
+  private[graft] val sessionIds = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private val sessions = TrieMap.empty[SparkSession, GraftSession]
   /** One GraftSession per SparkSession. Registers the `graft` DSv2

@@ -34,9 +34,87 @@ object CrossJvmRestore {
     mode match {
       case "write" => write(spark, dir)
       case "read" => read(spark, dir)
-      case other => sys.error(s"unknown mode $other (write|read)")
+      case "write_boot" => writeBoot(spark, dir)
+      case "boot" => boot(spark, dir)
+      case other => sys.error(s"unknown mode $other (write|read|write_boot|boot)")
     }
     spark.stop()
+  }
+
+  /** Phase 3a: JVM A persists three tables under ONE diskstore directory
+    * using the diskstore-default layout (`<dir>/<table>`): a bucketed
+    * column checkpoint, a constrained row checkpoint, and an
+    * epoch-published table (two epochs, so bootstrap must pick the
+    * newest). JVM B must recover ALL of them from a single BOOTSTRAP
+    * CATALOG call — the reference's store-persisted-catalog behavior
+    * (SnappyHiveExternalCatalog), where a restarted cluster knows every
+    * table without being told their names.
+    */
+  private def writeBoot(spark: SparkSession, dir: String): Unit = {
+    val g = graft.GraftSession(spark)
+    import spark.implicits._
+    g.sql(s"CREATE DISKSTORE xjds ('$dir')")
+    g.sql("CREATE TABLE xb_col (k bigint, v bigint) USING column " +
+      "OPTIONS (partition_by 'k', buckets '4', diskstore 'xjds')")
+    g.insert("xb_col", spark.range(5000)
+      .select((col("id") % 16).as("k"), (col("id") * 7).as("v")))
+    g.delete("xb_col", col("v") < 70)
+    g.checkpointTable("xb_col")
+    g.sql("CREATE TABLE xb_row (pk bigint primary key, s string not null) " +
+      "USING row OPTIONS (diskstore 'xjds')")
+    g.insert("xb_row", (1L to 300L).map(i => (i, s"s$i")).toDF("pk", "s"))
+    g.checkpointTable("xb_row")
+    // published table: epoch 0, then a mutation and epoch 1 — bootstrap
+    // must serve epoch 1's content
+    g.sql("CREATE TABLE xb_pub (k bigint, v bigint) USING column " +
+      "OPTIONS (partition_by 'k', buckets '4', diskstore 'xjds')")
+    g.insert("xb_pub", spark.range(2000)
+      .select((col("id") % 8).as("k"), col("id").as("v")))
+    require(g.sql("PUBLISH TABLE xb_pub INCREMENTAL").head().getLong(0) == 0L)
+    g.delete("xb_pub", col("v") >= 1500)
+    require(g.sql("PUBLISH TABLE xb_pub INCREMENTAL").head().getLong(0) == 1L)
+    println(s"XB_WRITE_OK col=${g.table("xb_col").count()} " +
+      s"row=${g.table("xb_row").count()} pub=${g.table("xb_pub").count()}")
+  }
+
+  /** Phase 3b (fresh JVM): register the diskstore, run ONE bootstrap,
+    * and verify every persisted table is visible and correct — no table
+    * is named anywhere in the recovery.
+    */
+  private def boot(spark: SparkSession, dir: String): Unit = {
+    require(GraftColumnStore.get("xb_col").isEmpty &&
+      GraftRowStore.get("xb_row").isEmpty,
+      "fresh JVM expected: registries must start empty")
+    val g = graft.GraftSession(spark)
+    g.sql(s"CREATE DISKSTORE xjds ('$dir')")
+    val acts = g.sql("BOOTSTRAP CATALOG").collect()
+      .map(r => r.getString(0) -> (r.getString(2), r.getLong(3), r.getString(4)))
+      .toMap
+    require(acts.keySet == Set("xb_col", "xb_row", "xb_pub"),
+      s"bootstrap must discover all three tables, got ${acts.keySet}")
+    require(acts("xb_col") == (("checkpoint", -1L, "restored")), s"${acts("xb_col")}")
+    require(acts("xb_row") == (("checkpoint", -1L, "restored")), s"${acts("xb_row")}")
+    require(acts("xb_pub") == (("epoch", 1L, "restored")), s"${acts("xb_pub")}")
+    // SHOW TABLES surfaces every recovered name (temp-view registration)
+    val shown = spark.sql("SHOW TABLES").collect().map(_.getString(1)).toSet
+    require(Set("xb_col", "xb_row", "xb_pub").subsetOf(shown), shown.toString)
+    require(g.table("xb_col").count() == 4990, "column deletes recovered")
+    require(g.table("xb_row").count() == 300, "row table recovered")
+    require(g.table("xb_pub").count() == 1500, "newest epoch served")
+    // recovered constraints still enforce (NOT NULL rode the sidecar)
+    import spark.implicits._
+    val nn = try {
+      g.insert("xb_row", Seq((301L, null: String)).toDF("pk", "s")); false
+    } catch { case _: Exception => true }
+    require(nn, "recovered NOT NULL must enforce")
+    // the epoch table came back OWNED: publisher recovery continues the
+    // epoch numbering under the same root (not a read replica)
+    require(g.sql("PUBLISH TABLE xb_pub INCREMENTAL").head().getLong(0) == 2L)
+    // idempotence: a second bootstrap skips everything (existing wins)
+    val again = g.sql("BOOTSTRAP CATALOG").collect().map(_.getString(4)).toSet
+    require(again == Set("skipped_exists"), again.toString)
+    println("XB_BOOT_OK tables=" +
+      acts.keys.toSeq.sorted.mkString(","))
   }
 
   private def write(spark: SparkSession, dir: String): Unit = {

@@ -175,6 +175,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftPublishTableCommand(t, root, inc)
       case Some(AttachTable(n, r)) => GraftAttachTableCommand(n, r)
       case Some(AttachView(n, r, e, v)) => GraftAttachViewCommand(n, r, e, v)
+      case Some(BootstrapCatalog(ds)) => GraftBootstrapCatalogCommand(ds)
       case Some(DropSynonym(n)) => GraftSynonymCommand(n, None)
       case Some(SetIsolation(l)) => GraftSetIsolationCommand(l)
       // Derby SET SCHEMA == Spark USE; without this rewrite Spark's own
@@ -523,6 +524,25 @@ case class GraftAttachViewCommand(name: String, root: String,
       "epoch", org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(graft.GraftSession(spark).attachView(name, root, epoch, verify)))
+}
+
+/** BOOTSTRAP CATALOG — cold-JVM recovery of every durable table under
+  * the registered diskstores ([[graft.GraftSession.bootstrap]]); returns
+  * one row per discovered table so a SQL client sees what came back.
+  */
+case class GraftBootstrapCatalogCommand(diskstore: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Seq(AttributeReference("table_name", StringType, nullable = false)(),
+      AttributeReference("diskstore", StringType, nullable = false)(),
+      AttributeReference("source", StringType, nullable = false)(),
+      AttributeReference("epoch", LongType, nullable = false)(),
+      AttributeReference("action", StringType, nullable = false)())
+  }
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.GraftSession(spark).bootstrap(diskstore).collect().toSeq
 }
 
 case class GraftTruncateTableCommand(table: String) extends LeafRunnableCommand {

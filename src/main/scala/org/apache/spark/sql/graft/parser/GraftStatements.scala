@@ -105,6 +105,11 @@ object GraftStatements extends RegexParsers {
     */
   final case class AttachView(name: String, root: String,
       epoch: Option[Long], verify: Boolean) extends Stmt
+  /** BOOTSTRAP CATALOG [FROM diskstore] — re-register every durable
+    * table the registered diskstores hold (cold-JVM catalog recovery;
+    * the reference's store-persisted catalog makes this implicit).
+    */
+  final case class BootstrapCatalog(diskstore: Option[String]) extends Stmt
   /** CREATE FUNCTION f AS class [RETURNS type] [USING JAR 'path']
     * (reference SnappyDDLParser.createFunction:765 — the RETURNS clause
     * is Snappy-specific; stock Spark's CREATE FUNCTION lacks it).
@@ -396,6 +401,11 @@ object GraftStatements extends RegexParsers {
         case n ~ r ~ e ~ v => AttachView(n, r, e.map(_.toLong), v.isDefined)
       }
 
+  private def bootstrapCatalog: Parser[Stmt] =
+    kw("BOOTSTRAP") ~> kw("CATALOG") ~> opt(kw("FROM") ~> ident) ^^ {
+      ds => BootstrapCatalog(ds)
+    }
+
   private def setSchema: Parser[Stmt] =
     kw("SET") ~> opt(kw("CURRENT")) ~> kw("SCHEMA") ~> opt("=") ~> (quoted | ident) ^^ {
       n => SetSchema(n)
@@ -438,7 +448,7 @@ object GraftStatements extends RegexParsers {
       createTableUsing | alterRebucket | alterAddConstraint | alterDropConstraint |
       alterDrop | alterAdd | truncateTable | createDiskstore | dropDiskstore |
       createSynonym | dropSynonym | setIsolation | setSchema |
-      publishTable | attachStmt |
+      publishTable | attachStmt | bootstrapCatalog |
       streamingCtl | grantRevoke | update | delete
 
   /** None = not a graft statement (caller delegates to Spark's parser). */

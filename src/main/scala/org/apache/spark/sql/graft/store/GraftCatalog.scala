@@ -74,6 +74,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         ident.namespace().toSeq :+ ident.name())
+    // an explicit CREATE supersedes replica status (same rule as the
+    // session face): after attachView — which marks the name a replica
+    // WITHOUT creating a store table — a DSv2 CREATE must not inherit a
+    // stale read-only flag that would refuse every subsequent write
+    ReplicaGuard.clear(nm)
     val (declaredBy: Seq[String], declaredBuckets: Int) = partitions.toSeq match {
       case Seq(BucketTransform(n, cols, Nil)) =>
         (cols.map(_.fieldNames.mkString(".")), n)

@@ -43,6 +43,24 @@ import org.apache.spark.sql.functions._
   * kept epoch references. The marker/claim machinery is shared — an
   * incremental and a full epoch differ only in where attach reads rows.
   */
+/** A zero-copy view's files aged out mid-serving: the publisher's
+  * retention pruned the epoch the view was attached to. Epochs are
+  * immutable, so the prescribed recovery is always safe: re-attach
+  * (`attachView` — advancing to a committed epoch, or re-pinning one
+  * retention still keeps) and retry the read. Distinguished from
+  * corruption by construction: [[graft.GraftSession.servingRead]] only
+  * raises this after confirming the epoch is NO LONGER committed under
+  * the root — a missing file under a still-committed epoch rethrows the
+  * original error instead.
+  */
+class EpochPrunedException(val table: String, val root: String,
+    val epoch: Long, cause: Throwable)
+  extends RuntimeException(
+    s"epoch $epoch of '$table' under $root was pruned by retention while " +
+      "the view was serving — re-attach (attachView) to a committed epoch " +
+      "and retry; size the publisher's keep x cadence above the serving " +
+      "window to avoid this", cause)
+
 object LiveCheckpoint {
 
   val MARKER = "_COMMITTED"
@@ -152,13 +170,17 @@ object LiveCheckpoint {
     // both stores serve in connector mode; the layout manifest records
     // the provider, so attach dispatches without being told
     val (rows, h) =
-      // fall back to the full form when there are no live rows: the
-      // data/ parquet carries the SCHEMA an all-empty payload list could
-      // not, and an empty dump costs nothing anyway
-      if (incremental && GraftRowStore.get(table).isEmpty &&
-          GraftColumnStore.get(table).exists(_.snapshot.rowCount > 0))
+      // the incremental path decides INSIDE its own snapshot whether it
+      // can represent the table (None when there are no live rows — the
+      // full form's data/ parquet carries the SCHEMA an all-empty payload
+      // list could not, and an empty dump costs nothing anyway). The
+      // decision and the manifest come from ONE snapshot read, so a
+      // concurrent delete emptying the table between a pre-check and the
+      // dump cannot commit an unattachable all-empty-payload epoch.
+      (if (incremental && GraftRowStore.get(table).isEmpty &&
+          GraftColumnStore.get(table).isDefined)
         publishIncrementalEpoch(spark, table, root, dir)
-      else {
+      else None).getOrElse {
         if (GraftRowStore.get(table).isDefined) GraftRowOps.checkpoint(spark, table, dir)
         else GraftStoreOps.checkpoint(spark, table, dir)
         fingerprint(spark.read.parquet(s"$dir/data"))
@@ -192,7 +214,8 @@ object LiveCheckpoint {
     val pdir = new org.apache.hadoop.fs.Path(root, PAYLOADS)
     if (f.exists(pdir)) {
       val referenced = committedEpochs(spark, root).flatMap { e =>
-        payloadEntries(GraftManifest.read(spark, dirFor(root, e)))
+        payloadEntries(spark, dirFor(root, e),
+            GraftManifest.read(spark, dirFor(root, e)))
           .map(_.name).filter(_.nonEmpty)
       }.toSet
       f.listStatus(pdir).foreach { st =>
@@ -204,6 +227,18 @@ object LiveCheckpoint {
   }
 
   private val PAYLOADS = "payloads"
+
+  /** Entry count above which an incremental epoch's payload manifest is
+    * written as a parquet sidecar in the epoch directory instead of a
+    * `payloads` property in layout.properties. The property form is
+    * human-readable and shell-parseable (the two-JVM proof's oracle reads
+    * it) but O(entries) inside a java.util.Properties line — fine to
+    * ~100k batches, unbounded-growth-hostile past that. The sidecar is
+    * one parquet file read back in a single driver-side collect at
+    * attach/diff/GC — O(batches) rows of metadata, never data.
+    */
+  val SIDECAR_THRESHOLD_KEY = "spark.sql.graft.publish.sidecarThreshold"
+  private val SIDECAR = "payloads.pq"
 
   /** One shared-payload reference in an incremental epoch's manifest:
     * `name` is the directory under `root/payloads/` holding the batch's
@@ -219,12 +254,25 @@ object LiveCheckpoint {
     es.map(e => s"${e.batchId}:${e.mutFp}:${e.rows}:${e.hashSum}:${e.name}")
       .mkString(";")
 
-  private[store] def payloadEntries(p: java.util.Properties): Seq[PayloadEntry] =
-    Option(p.getProperty("payloads")).filter(_.nonEmpty).toSeq
-      .flatMap(_.split(";", -1).iterator.filter(_.nonEmpty).map { s =>
-        val a = s.split(":", -1)
-        PayloadEntry(a(0).toLong, a(1), a(2).toLong, a(3).toLong, a(4))
-      })
+  /** Decode an incremental epoch's payload manifest: from the `payloads`
+    * property when the epoch is small, from the parquet sidecar when the
+    * publisher crossed [[SIDECAR_THRESHOLD_KEY]] — every consumer
+    * (attach, epochFrame, epochDiff, retention GC, the next publish's
+    * reuse map) goes through here, so the encoding is one function wide.
+    */
+  private[store] def payloadEntries(spark: SparkSession, dir: String,
+      p: java.util.Properties): Seq[PayloadEntry] =
+    if (p.getProperty("payloads_sidecar", "false") == "true")
+      spark.read.parquet(s"$dir/$SIDECAR").collect().iterator.map { r =>
+        PayloadEntry(r.getAs[Long]("batchId"), r.getAs[String]("mutFp"),
+          r.getAs[Long]("rows"), r.getAs[Long]("hashSum"), r.getAs[String]("name"))
+      }.toSeq.sortBy(_.batchId)
+    else
+      Option(p.getProperty("payloads")).filter(_.nonEmpty).toSeq
+        .flatMap(_.split(";", -1).iterator.filter(_.nonEmpty).map { s =>
+          val a = s.split(":", -1)
+          PayloadEntry(a(0).toLong, a(1), a(2).toLong, a(3).toLong, a(4))
+        })
 
   /** Mutation fingerprint string for reuse decisions: payload ids never
     * recycle within a store, so equality proves no DELETE/UPDATE landed
@@ -250,7 +298,12 @@ object LiveCheckpoint {
     * [[payloadEntries]], so the encoding is one function wide and the
     * commit protocol does not change.
     *
-    * Returns the epoch's (rows, contentHash). Concurrent-mutation
+    * Returns Some(rows, contentHash), or None when THIS snapshot has no
+    * live rows — the caller falls back to the full-dump form, whose
+    * data/ parquet carries the schema an all-empty payload list cannot
+    * (deciding on the SAME snapshot the manifest would use closes the
+    * race where a concurrent delete empties the table after a pre-check
+    * and a committed epoch ends up unattachable). Concurrent-mutation
     * safety: the manifest is captured BEFORE the dump scan and
     * re-validated against the live snapshot AFTER it; any DELETE/UPDATE/
     * roll-up that moved a referenced batch in between aborts the publish
@@ -258,12 +311,13 @@ object LiveCheckpoint {
     * manifest that mixes two moments of the table.
     */
   private def publishIncrementalEpoch(spark: SparkSession, table: String,
-      root: String, dir: String): (Long, Long) = {
+      root: String, dir: String): Option[(Long, Long)] = {
     import org.apache.hadoop.fs.Path
     val (f, _) = fs(spark, root)
     val t = GraftColumnStore(table)
     val snap = t.snapshot
     val refs = snap.liveRefs
+    if (snap.rowCount <= 0) return None
     val ids = refs.map(_.id).toSet
     val mutNow = snap.mutationState(ids)
     // previous incremental epoch's entries (a full epoch or none ⇒
@@ -274,7 +328,8 @@ object LiveCheckpoint {
         case Some(e) =>
           val p = GraftManifest.read(spark, dirFor(root, e))
           if (p.getProperty("incremental", "false") == "true")
-            payloadEntries(p).map(pe => pe.batchId -> pe).toMap
+            payloadEntries(spark, dirFor(root, e), p)
+              .map(pe => pe.batchId -> pe).toMap
           else Map.empty
         case None => Map.empty
       }
@@ -347,6 +402,16 @@ object LiveCheckpoint {
           throw e
       }
     f.delete(tmp, true)
+    // encoding choice: property line below the threshold (shell-readable,
+    // zero extra files), parquet sidecar above it (bounded manifest line,
+    // O(dirs)-listing-free decode at attach)
+    val sidecarThreshold = spark.conf.get(SIDECAR_THRESHOLD_KEY, "10000").toInt
+    val payloadKv =
+      if (entries.size > sidecarThreshold) {
+        spark.createDataFrame(entries)
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/$SIDECAR")
+        Seq("payloads_sidecar" -> "true")
+      } else Seq("payloads" -> encodeEntries(entries))
     GraftManifest.write(spark, dir, Seq(
       "provider" -> "column",
       "incremental" -> "true",
@@ -360,10 +425,10 @@ object LiveCheckpoint {
       "eviction_budget_bytes" -> snap.evictionBudget.toString,
       "sketch_columns" -> snap.sketchBy.mkString(","),
       "expire_seconds" -> snap.expireSeconds.toString,
-      "rollup_threshold" -> GraftColumnStore.rollupThreshold(table).toString,
-      "payloads" -> encodeEntries(entries)),
+      "rollup_threshold" -> GraftColumnStore.rollupThreshold(table).toString) ++
+      payloadKv,
       s"incremental epoch of $table (${changed.size} dumped, ${reused.size} reused)")
-    (entries.iterator.map(_.rows).sum, entries.iterator.map(_.hashSum).sum)
+    Some((entries.iterator.map(_.rows).sum, entries.iterator.map(_.hashSum).sum))
   }
 
   /** Attach the newest committed epoch READ-ONLY: restore it into this
@@ -394,7 +459,7 @@ object LiveCheckpoint {
       val p = GraftManifest.read(spark, dirFor(root, e))
       require(p.getProperty("incremental", "false") == "true",
         s"epoch $e is not incremental — no payload manifest to diff")
-      payloadEntries(p).map(pe => pe.batchId -> pe).toMap
+      payloadEntries(spark, dirFor(root, e), p).map(pe => pe.batchId -> pe).toMap
     }
     val a = entriesOf(from)
     val b = entriesOf(to)
@@ -419,7 +484,8 @@ object LiveCheckpoint {
     val dir = dirFor(root, epoch)
     val layout = GraftManifest.read(spark, dir)
     if (layout.getProperty("incremental", "false") == "true") {
-      val paths = payloadEntries(layout).map(_.name).filter(_.nonEmpty)
+      val paths = payloadEntries(spark, dir, layout)
+        .map(_.name).filter(_.nonEmpty)
         .map(n => s"$root/$PAYLOADS/$n")
       require(paths.nonEmpty, s"epoch $epoch has no payload files")
       spark.read.parquet(paths: _*)
@@ -455,7 +521,8 @@ object LiveCheckpoint {
       else if (layout.getProperty("incremental", "false") == "true") {
         // incremental epoch: rows live in the shared payload files the
         // manifest references (an epoch dir holds only metadata)
-        val paths = payloadEntries(layout).map(_.name).filter(_.nonEmpty)
+        val paths = payloadEntries(spark, dir, layout)
+          .map(_.name).filter(_.nonEmpty)
           .map(n => s"$root/$PAYLOADS/$n")
         GraftStoreOps.restoreFrom(spark, table, layout,
           spark.read.parquet(paths: _*))

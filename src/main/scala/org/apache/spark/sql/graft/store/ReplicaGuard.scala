@@ -10,6 +10,13 @@
  * — so replica status lives HERE, at the store layer, and every write
  * builder / catalog mutation / store-ops mutator checks it. Names are
  * normalized lowercase store names.
+ *
+ * Provenance lives BESIDE enforcement: which root + epoch the replica
+ * serves, through which face (table copy vs zero-copy view), whether a
+ * view is pinned to a specific epoch, and which session attached it.
+ * `sys.replicas` reads this registry, so the operational answer to "why
+ * is this table read-only" is visible from EVERY session in the JVM —
+ * the guard and the introspection can never disagree (they are one map).
  */
 package org.apache.spark.sql.graft.store
 
@@ -17,10 +24,27 @@ import scala.collection.concurrent.TrieMap
 
 object ReplicaGuard {
 
-  private val replicas = TrieMap.empty[String, Unit]
+  /** Provenance of one attached replica: the publish root and epoch it
+    * serves, the attach face (`table` = restored store copy, `view` =
+    * zero-copy parquet view), whether the epoch was explicitly pinned
+    * (vs newest-at-attach), and the attaching session's id.
+    */
+  final case class ReplicaInfo(root: String, epoch: Long, mode: String,
+      pinned: Boolean, ownerSession: String)
 
-  /** Mark `name` as an attached read replica (idempotent). */
-  def markReplica(name: String): Unit = replicas.put(name.toLowerCase, ())
+  private val replicas = TrieMap.empty[String, ReplicaInfo]
+
+  /** Mark `name` as an attached read replica (idempotent; a re-attach
+    * replaces the provenance — e.g. a view advancing to a newer epoch).
+    */
+  def markReplica(name: String, info: ReplicaInfo): Unit =
+    replicas.put(name.toLowerCase, info)
+
+  /** Guard-only mark for callers with no provenance to record (tests,
+    * non-epoch replicas).
+    */
+  def markReplica(name: String): Unit =
+    markReplica(name, ReplicaInfo("", -1L, "table", pinned = false, ""))
 
   /** Clear replica status — an explicit CREATE / restore / DROP of the
     * name supersedes it (the caller is deliberately taking ownership).
@@ -28,6 +52,13 @@ object ReplicaGuard {
   def clear(name: String): Unit = replicas.remove(name.toLowerCase)
 
   def isReplica(name: String): Boolean = replicas.contains(name.toLowerCase)
+
+  def infoOf(name: String): Option[ReplicaInfo] = replicas.get(name.toLowerCase)
+
+  /** Every replica in the JVM with its provenance, sorted by name —
+    * the `sys.replicas` backing store.
+    */
+  def all: Seq[(String, ReplicaInfo)] = replicas.toSeq.sortBy(_._1)
 
   /** Refuse `op` if `name` is an attached read replica. */
   def requireWritable(name: String, op: String): Unit =

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.store.{Diskstores, GraftColumnStore, LiveCheckpoint}
+
+/** Durable catalog bootstrap ([[GraftSession.bootstrap]] / `BOOTSTRAP
+  * CATALOG`): a cold JVM re-discovers every table its registered
+  * diskstores hold — the reference persists its catalog INSIDE the store
+  * (SnappyHiveExternalCatalog / StoreHiveCatalog) so recovery never
+  * needs table names; our sweep is the explicit-face equivalent. The
+  * true two-process arm lives in `tools/cross_jvm_restore.sh` phase 3;
+  * these specs pin the rules (conflict handling, newest-artifact-wins,
+  * owned-not-replica) in-process by dropping local state between acts.
+  */
+class BootstrapSpec extends SparkTestBase {
+
+  private def g = GraftSession(spark)
+
+  test("bootstrap restores checkpoint and epoch tables from a diskstore sweep; existing names win") {
+    val dir = java.nio.file.Files.createTempDirectory("boot_ds").toString
+    g.sql(s"CREATE DISKSTORE boot_ds1 ('$dir')")
+    // a checkpointed column table and an epoch-published one, both under
+    // the diskstore-default layout (<dir>/<table>)
+    g.sql("CREATE TABLE boot_a (k bigint, v bigint) USING column " +
+      "OPTIONS (partition_by 'k', buckets '4', diskstore 'boot_ds1')")
+    g.insert("boot_a", spark.range(1000)
+      .select((col("id") % 8).as("k"), col("id").as("v")))
+    g.checkpointTable("boot_a")
+    g.sql("CREATE TABLE boot_b (k bigint, v bigint) USING column " +
+      "OPTIONS (partition_by 'k', buckets '4', diskstore 'boot_ds1')")
+    g.insert("boot_b", spark.range(500)
+      .select((col("id") % 4).as("k"), col("id").as("v")))
+    assert(g.publishTable("boot_b", incremental = true) == 0L)
+    g.delete("boot_b", col("v") >= 400)
+    assert(g.publishTable("boot_b", incremental = true) == 1L)
+    // "cold JVM": drop every local registration (checkpoints/epochs
+    // survive on disk; dropTable never deletes durable artifacts)
+    g.dropTable("boot_a"); g.dropTable("boot_b")
+    assert(!g.isManaged("boot_a") && GraftColumnStore.get("boot_b").isEmpty)
+    // ONE call; no table named anywhere
+    val acts = g.sql("BOOTSTRAP CATALOG FROM boot_ds1").collect()
+      .map(r => r.getString(0) -> ((r.getString(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(acts("boot_a") == (("checkpoint", -1L, "restored")), acts.toString)
+    assert(acts("boot_b") == (("epoch", 1L, "restored")), acts.toString)
+    assert(g.table("boot_a").count() == 1000)
+    assert(g.table("boot_b").count() == 400, "newest epoch's content serves")
+    // layout rode the manifests: the restored tables are bucketed stores
+    assert(GraftColumnStore("boot_a").snapshot.numBuckets == 4)
+    // recovered tables are OWNED: writable, and the epoch table keeps
+    // publishing under the same root (numbering continues)
+    import spark.implicits._
+    g.insert("boot_b", Seq((1L, 9999L)).toDF("k", "v"))
+    assert(g.publishTable("boot_b", incremental = true) == 2L)
+    // conflict rule: a second bootstrap must not replace live state
+    val again = g.sql("BOOTSTRAP CATALOG FROM boot_ds1").collect()
+      .map(_.getString(4)).toSet
+    assert(again == Set("skipped_exists"), again.toString)
+    assert(g.table("boot_b").count() == 401, "skip means untouched")
+    g.dropTable("boot_a"); g.dropTable("boot_b")
+    Diskstores.drop("boot_ds1", ifExists = false)
+  }
+
+  test("when a table has BOTH a checkpoint and newer epochs, the newest artifact wins") {
+    val dir = java.nio.file.Files.createTempDirectory("boot_both").toString
+    g.sql(s"CREATE DISKSTORE boot_ds2 ('$dir')")
+    g.sql("CREATE TABLE boot_c (k bigint, v bigint) USING column " +
+      "OPTIONS (partition_by 'k', buckets '4', diskstore 'boot_ds2')")
+    g.insert("boot_c", spark.range(100)
+      .select((col("id") % 4).as("k"), col("id").as("v")))
+    g.checkpointTable("boot_c")
+    Thread.sleep(1100) // local-fs mtime granularity can be 1 s
+    g.insert("boot_c", spark.range(100, 150)
+      .select((col("id") % 4).as("k"), col("id").as("v")))
+    assert(g.publishTable("boot_c") == 0L) // same root as the checkpoint
+    g.dropTable("boot_c")
+    val acts = g.bootstrap(Some("boot_ds2")).collect()
+      .filter(_.getString(0) == "boot_c")
+      .map(r => (r.getString(2), r.getLong(3), r.getString(4)))
+    assert(acts.toSeq == Seq(("epoch", 0L, "restored")), acts.mkString)
+    assert(g.table("boot_c").count() == 150,
+      "the epoch (newer than the checkpoint) must serve")
+    g.dropTable("boot_c")
+    Diskstores.drop("boot_ds2", ifExists = false)
+  }
+
+  test("a row table's constraints ride bootstrap recovery") {
+    val dir = java.nio.file.Files.createTempDirectory("boot_row").toString
+    g.sql(s"CREATE DISKSTORE boot_ds3 ('$dir')")
+    g.sql("CREATE TABLE boot_r (pk bigint primary key, s string not null) " +
+      "USING row OPTIONS (diskstore 'boot_ds3')")
+    import spark.implicits._
+    g.insert("boot_r", (1L to 50L).map(i => (i, s"s$i")).toDF("pk", "s"))
+    g.checkpointTable("boot_r")
+    g.dropTable("boot_r")
+    assert(g.bootstrap(Some("boot_ds3")).collect()
+      .exists(r => r.getString(0) == "boot_r" && r.getString(4) == "restored"))
+    assert(g.table("boot_r").count() == 50)
+    intercept[Exception](
+      g.insert("boot_r", Seq((51L, null: String)).toDF("pk", "s")))
+    g.dropTable("boot_r")
+    Diskstores.drop("boot_ds3", ifExists = false)
+  }
+
+  test("an attached replica under the name wins over bootstrap (deliberate attach is not replaced)") {
+    val dir = java.nio.file.Files.createTempDirectory("boot_rep").toString
+    g.sql(s"CREATE DISKSTORE boot_ds4 ('$dir')")
+    g.sql("CREATE TABLE boot_p (k bigint, v bigint) USING column " +
+      "OPTIONS (partition_by 'k', buckets '4', diskstore 'boot_ds4')")
+    g.insert("boot_p", spark.range(100)
+      .select((col("id") % 4).as("k"), col("id").as("v")))
+    val root = g.publishTable("boot_p", incremental = true)
+    assert(root == 0L)
+    g.dropTable("boot_p")
+    // someone attached the published epochs as a VIEW under the same name
+    val epochRoot = java.nio.file.Paths.get(dir, "boot_p").toString
+    assert(LiveCheckpoint.committedEpochs(spark, epochRoot) == Seq(0L))
+    g.attachView("boot_p", epochRoot)
+    val acts = g.bootstrap(Some("boot_ds4")).collect().filter(_.getString(0) == "boot_p")
+    assert(acts.map(_.getString(4)).toSeq == Seq("skipped_exists"),
+      "a replica attach must not be silently replaced by recovery")
+    g.dropTable("boot_p")
+    Diskstores.drop("boot_ds4", ifExists = false)
+  }
+}

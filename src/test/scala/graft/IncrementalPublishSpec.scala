@@ -222,6 +222,52 @@ class IncrementalPublishSpec extends SparkTestBase {
     GraftColumnStore.drop("inc_fz"); GraftColumnStore.drop("inc_fzsrv")
   }
 
+  test("above the threshold the payload manifest rides a parquet sidecar; all consumers decode it") {
+    // the property form is O(entries) inside layout.properties (~50 B
+    // each, documented fine to ~100k batches); past the threshold a
+    // parquet sidecar carries the SAME entries and every consumer —
+    // attach, reuse map, epochDiff, retention GC — reads through the one
+    // shared decoder. Threshold dropped to 2 so a small table crosses it.
+    val root = java.nio.file.Files.createTempDirectory("inc_side").toString
+    spark.conf.set(LiveCheckpoint.SIDECAR_THRESHOLD_KEY, "2")
+    try {
+      write("inc_sc", 0, 10000) // 4 buckets => >2 payload entries
+      assert(LiveCheckpoint.publish(spark, "inc_sc", root, incremental = true) == 0L)
+      val p0 = GraftManifest.read(spark, LiveCheckpoint.dirFor(root, 0L))
+      assert(p0.getProperty("payloads_sidecar") == "true" &&
+        p0.getProperty("payloads") == null,
+        "above threshold the manifest line must not carry the entry list")
+      // attach decodes the sidecar and verifies the summed fingerprint
+      assert(LiveCheckpoint.attachLatest(spark, "inc_scsrv", root) == 0L)
+      assert(GraftStoreOps.read(spark, "inc_scsrv").count() == 10000)
+      // the NEXT publish's reuse map reads the sidecar too: an append
+      // must still carry every epoch-0 payload by reference
+      val files0 = payloadNames(root)
+      write("inc_sc", 10000, 10100)
+      assert(LiveCheckpoint.publish(spark, "inc_sc", root, incremental = true) == 1L)
+      assert(files0.subsetOf(payloadNames(root)),
+        "sidecar-described payloads must be reused, not re-dumped")
+      // epochDiff across two sidecar epochs answers from manifests alone
+      val d = LiveCheckpoint.epochDiff(spark, root, 0L, 1L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(d("carried") > 0 && d("added") > 0 && d("removed") == 0, d.toString)
+      // retention GC keeps exactly the kept epochs' sidecar references
+      GraftStoreOps.update(spark, "inc_sc", lit(true), Seq("v" -> (col("v") + 1L)))
+      assert(LiveCheckpoint.publish(spark, "inc_sc", root,
+        keep = 1, incremental = true) == 2L)
+      val layout2 = GraftManifest.read(spark, LiveCheckpoint.dirFor(root, 2L))
+      assert(LiveCheckpoint.committedEpochs(spark, root) == Seq(2L))
+      assert(layout2.getProperty("payloads_sidecar") == "true")
+      assert(LiveCheckpoint.attachLatest(spark, "inc_scsrv", root) == 2L)
+      assert(GraftStoreOps.read(spark, "inc_scsrv").count() == 10100)
+      // zero-copy view path reads through the sidecar as well
+      assert(GraftSession(spark).attachView("inc_scview", root) == 2L)
+      assert(GraftSession(spark).table("inc_scview").count() == 10100)
+      GraftSession(spark).dropTable("inc_scview")
+    } finally spark.conf.unset(LiveCheckpoint.SIDECAR_THRESHOLD_KEY)
+    GraftColumnStore.drop("inc_sc"); GraftColumnStore.drop("inc_scsrv")
+  }
+
   test("session face: incremental publish/attach with constraints; row tables fall back to full") {
     val g = GraftSession(spark)
     val root = java.nio.file.Files.createTempDirectory("inc_sess").toString

@@ -465,8 +465,8 @@ class SqlSurfaceSpec extends SparkTestBase {
         "reservoir_floor FROM sys.samples").columns.length == 5)
       assert(spark.sql("SELECT query_name, table_name, batch_id " +
         "FROM sys.sinkstate").columns.length == 3)
-      assert(spark.sql("SELECT name, mode, epoch, root " +
-        "FROM sys.replicas").columns.length == 4) // empty-safe
+      assert(spark.sql("SELECT name, mode, epoch, root, pinned, owner_session " +
+        "FROM sys.replicas").columns.length == 6) // empty-safe
       // queries: the executions above land in the ring buffer (listener
       // delivery is async — poll briefly)
       var qrows = Array.empty[org.apache.spark.sql.Row]

@@ -14,4 +14,13 @@ echo "== phase 2: restore + verify (JVM B, fresh process) =="
 sbt -batch "runMain graft.tools.CrossJvmRestore read $DIR" 2>&1 | tee "$DIR/read.log" \
   | grep "XJ_READ_OK" \
   || { echo "READ PHASE FAILED — tail of log:"; tail -30 "$DIR/read.log"; exit 1; }
-echo "cross-JVM restore: OK"
+echo "== phase 3: durable catalog bootstrap (write in JVM C, BOOTSTRAP CATALOG in cold JVM D) =="
+BDIR=$(mktemp -d /tmp/graft_xboot.XXXXXX)
+trap 'rm -rf "$DIR" "$BDIR"' EXIT
+sbt -batch "runMain graft.tools.CrossJvmRestore write_boot $BDIR" 2>&1 | tee "$BDIR/write.log" \
+  | grep "XB_WRITE_OK" \
+  || { echo "BOOT WRITE PHASE FAILED — tail of log:"; tail -30 "$BDIR/write.log"; exit 1; }
+sbt -batch "runMain graft.tools.CrossJvmRestore boot $BDIR" 2>&1 | tee "$BDIR/boot.log" \
+  | grep "XB_BOOT_OK" \
+  || { echo "BOOTSTRAP PHASE FAILED — tail of log:"; tail -30 "$BDIR/boot.log"; exit 1; }
+echo "cross-JVM restore + bootstrap: OK"
