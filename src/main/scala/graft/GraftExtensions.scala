@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // delete/update so the estimate contract is never weakened
     e.injectOptimizerRule(session =>
       org.apache.spark.sql.graft.store.StatsApproxDistinctRule(session))
+    // transparent materialized-view substitution: aggregates over a base
+    // table with a PROVEN-FRESH matview answer from the summary table
+    // (spark.sql.graft.matviewRewrite = true|false, default true)
+    e.injectOptimizerRule(session =>
+      org.apache.spark.sql.graft.store.MatViewRewrite(session))
 
     // Snappy statement surface (PUT INTO, UPDATE/DELETE on managed
     // tables, CREATE POLICY, CREATE SAMPLE TABLE, CREATE TABLE USING

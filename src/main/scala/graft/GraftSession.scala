@@ -101,9 +101,11 @@ class GraftSession(val spark: SparkSession) {
   // session-private set: DSv2 writes (`INSERT INTO graft.t`,
   // `df.write.format(store)`) never pass through this session, and a
   // session-only guard would let them silently diverge the copy.
-  private def requireWritable(name: String, op: String): Unit =
+  private def requireWritable(name: String, op: String): Unit = {
     org.apache.spark.sql.graft.store.ReplicaGuard
       .requireWritable(normalize(name), op)
+    org.apache.spark.sql.graft.store.MatViews.guardWrite(normalize(name))
+  }
 
   private val synonymMap = TrieMap.empty[String, String]
 
@@ -210,6 +212,9 @@ class GraftSession(val spark: SparkSession) {
     require(!isSynonym(name), s"CREATE TABLE $name: name is a synonym")
     val nm = normalize(name)
     org.apache.spark.sql.graft.store.ReplicaGuard.clear(nm) // an explicit CREATE supersedes replica status
+    // ... and supersedes matview status the same way (the maintenance
+    // scope's own rebuild re-registers right after)
+    org.apache.spark.sql.graft.store.MatViews.unregister(nm)
     // a replaced table must not inherit the old table's constraints —
     // the DDL command re-registers the new ones after this returns
     org.apache.spark.sql.graft.Constraints.drop(nm)
@@ -852,6 +857,135 @@ class GraftSession(val spark: SparkSession) {
     * as a relayout from the empty relation, so sealed batches / row packs
     * are dropped rather than tombstoned.
     */
+  // ---- materialized views (exact-summary tier; see store.MatViews) ----
+
+  /** Pinned read of EXACTLY `ids` — build/refresh scans address the
+    * batch set their freshness fingerprint describes, so a concurrent
+    * append can never leak rows the fingerprint does not claim.
+    */
+  private def pinnedRead(base: String, ids: Set[Long]): DataFrame =
+    if (ids.isEmpty) GraftStoreOps.read(spark, base).filter(lit(false))
+    else spark.read.format(GraftStoreOps.FORMAT).option("table", base)
+      .option("batch_ids", ids.mkString(",")).load()
+
+  import org.apache.spark.sql.graft.store.{MatViews, MatViewSupport}
+
+  private def mvStorageNames(aggs: Seq[MatViews.MvAgg]): Seq[String] =
+    aggs.zipWithIndex.flatMap { case (a, i) =>
+      MatViewSupport.storageCols(a.func, i).map(_._1)
+    }
+
+  /** CREATE MATERIALIZED VIEW — materialize a grouped aggregate over one
+    * store table into its own bucketed store table (bucketed AND keyed
+    * by the group columns: rollup re-aggregation co-locates, and the
+    * incremental refresh merges through the keyed-upsert path). The
+    * optimizer substitutes the view for matching aggregates while the
+    * freshness fingerprint proves it current — see
+    * [[org.apache.spark.sql.graft.store.MatViewRewrite]].
+    */
+  def createMaterializedView(name: String, viewSql: String,
+      buckets: Int = 32): DataFrame = {
+    val nm = normalize(name)
+    require(!isManaged(nm), s"CREATE MATERIALIZED VIEW $nm: name in use")
+    val analyzed = spark.sql(viewSql).queryExecution.analyzed
+    val (gt, groupCols, aggs) = MatViewSupport.analyzeDefinition(analyzed)
+    val base = gt.storeName
+    // fingerprint BEFORE the pinned scan: concurrent mutations can only
+    // make the view conservatively stale, never falsely fresh
+    val fresh = MatViews.fingerprint(GraftColumnStore(base).snapshot)
+    val contents = mvContents(base, fresh.refIds, groupCols, aggs)
+    val df = MatViews.inMaintenance {
+      createTable(nm, contents, keyColumns = groupCols,
+        partitionBy = groupCols, buckets = buckets)
+    }
+    MatViews.register(MatViews.MvDef(nm, base, groupCols, aggs, viewSql, fresh))
+    df
+  }
+
+  private def mvContents(base: String, ids: Set[Long], groupCols: Seq[String],
+      aggs: Seq[MatViews.MvAgg]): DataFrame = {
+    val cols = MatViewSupport.buildAggs(aggs)
+    pinnedRead(base, ids).groupBy(groupCols.map(col): _*)
+      .agg(cols.head, cols.tail: _*)
+  }
+
+  /** REFRESH MATERIALIZED VIEW — O(delta) after pure appends (aggregate
+    * only the new batches, merge by group key through putInto), full
+    * rebuild after any delete/update/TTL-expiry (pre-aggregated rows
+    * cannot subtract). Returns the path taken:
+    * "noop" | "incremental" | "full".
+    */
+  def refreshMaterializedView(name: String): String = {
+    val nm = normalize(name)
+    val mv = MatViews.get(nm).getOrElse(throw new IllegalArgumentException(
+      s"REFRESH MATERIALIZED VIEW $nm: not a materialized view"))
+    val t = GraftColumnStore.get(mv.base).getOrElse(
+      throw new IllegalStateException(s"matview $nm: base table ${mv.base} is gone"))
+    val snap = t.snapshot
+    val fresh = MatViews.fingerprint(snap)
+    val oldIntact = mv.fresh.refIds.subsetOf(fresh.refIds) &&
+      snap.mutationState(mv.fresh.refIds) == mv.fresh.fp
+    def rebuild(): String = {
+      val contents = mvContents(mv.base, fresh.refIds, mv.groupCols, mv.aggs)
+      MatViews.inMaintenance {
+        createTable(nm, contents, keyColumns = mv.groupCols,
+          partitionBy = mv.groupCols, buckets = stateOf(nm).buckets)
+      }
+      MatViews.register(mv.copy(fresh = fresh))
+      "full"
+    }
+    if (oldIntact && fresh.refIds == mv.fresh.refIds) "noop"
+    else if (!oldIntact || mv.groupCols.isEmpty) rebuild()
+    else {
+      val newIds = fresh.refIds -- mv.fresh.refIds
+      val delta = mvContents(mv.base, newIds, mv.groupCols, mv.aggs)
+        .localCheckpoint(false)
+      // a NULL group key defeats the equality-keyed merge join below
+      // (and putInto's key matching) — correctness wins: full rebuild
+      if (delta.filter(mv.groupCols.map(col(_).isNull)
+          .reduce(_ || _)).take(1).nonEmpty) rebuild()
+      else {
+        val keep = mv.groupCols.map(col)
+        val storage = mvStorageNames(mv.aggs)
+        val touched = table(nm).join(delta.select(keep: _*), mv.groupCols, "left_semi")
+        val mergeCols = MatViewSupport.mergeAggs(storage)
+        val merged = touched.unionByName(delta)
+          .groupBy(keep: _*).agg(mergeCols.head, mergeCols.tail: _*)
+        // conform to the stored schema exactly (sum() widening: decimal
+        // sums grow precision on the merge pass)
+        val schema = table(nm).schema
+        val conformed = merged.select(schema.fieldNames.map(f =>
+          col(f).cast(schema(f).dataType).as(f)).toSeq: _*)
+        MatViews.inMaintenance { putInto(nm, conformed) }
+        MatViews.register(mv.copy(fresh = fresh))
+        "incremental"
+      }
+    }
+  }
+
+  def dropMaterializedView(name: String): Unit = {
+    val nm = normalize(name)
+    require(MatViews.isMatView(nm),
+      s"DROP MATERIALIZED VIEW $nm: not a materialized view")
+    MatViews.unregister(nm)
+    dropTable(nm)
+  }
+
+  /** SYS.MATVIEWS: one row per materialized view — base, shape, LIVE
+    * freshness verdict (the same metadata proof the rewrite gates on).
+    * Metadata-only like every sys relation.
+    */
+  def sysMatviews: DataFrame = {
+    val rows = MatViews.all.map { m =>
+      (m.name, m.base, m.groupCols.mkString(","),
+        m.aggs.map(a => s"${a.func}(${if (a.input.isEmpty) "*" else a.input})")
+          .mkString(","),
+        MatViews.isFresh(m), m.sql)
+    }
+    spark.createDataFrame(rows).toDF("name", "base_table", "group_columns",
+      "aggregates", "is_fresh", "definition")
+  }
+
   def truncateTable(name: String): DataFrame = {
     requireWritable(name, "truncateTable")
     val nm = normalize(name)
@@ -884,6 +1018,12 @@ class GraftSession(val spark: SparkSession) {
     // children, which refuse above)
     graft.operators.AnnIndexes.list.filter(_.table == nm)
       .foreach(m => graft.operators.AnnIndexes.drop(spark, m.name))
+    // matviews are subordinate too: dropping the base drops its views
+    // (an orphaned view could never refresh again); dropping a matview's
+    // own table directly just deregisters it
+    org.apache.spark.sql.graft.store.MatViews.all.filter(_.base == nm)
+      .foreach(m => dropMaterializedView(m.name))
+    org.apache.spark.sql.graft.store.MatViews.unregister(nm)
     org.apache.spark.sql.graft.store.ReplicaGuard.clear(nm)
     tables.remove(nm).foreach { st =>
       if (st.rowBacked) GraftRowStore.drop(nm)

@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.EventQueries.defs ++
       graft.queries.PipelineQueries.defs ++
       graft.queries.MutationQueries.defs ++
+      graft.queries.MatViewQueries.defs ++
       graft.queries.AqpQueries.defs ++
       graft.queries.SecurityQueries.defs
 

@@ -27,7 +27,7 @@ object SysRelations {
   val names: Seq[String] =
     Seq("tablestats", "members", "indexes", "policies", "samples",
       "sinkstate", "queries", "sketches", "constraints", "diskstores",
-      "synonyms", "replicas")
+      "synonyms", "replicas", "matviews")
 
   /** Live frame for one sys relation, None for unknown names. */
   def frame(spark: SparkSession, name: String): Option[DataFrame] =
@@ -44,6 +44,7 @@ object SysRelations {
       case "diskstores" => Some(diskstores(spark))
       case "synonyms" => Some(synonymsRel(spark))
       case "replicas" => Some(GraftSession(spark).sysReplicas)
+      case "matviews" => Some(GraftSession(spark).sysMatviews)
       case _ => None
     }
 

@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.store.MatViews
+
+import graft.{GraftSession, QueryDef, Tables}
+
+/** Materialized views over store tables: transparent rewrite, O(delta)
+  * incremental refresh, and the freshness gate (a stale view NEVER
+  * serves). Each query asserts the PLAN it claims (rewrite fired / was
+  * refused) before returning rows, so a silently-degraded rewrite fails
+  * the oracle gate, not just a spec.
+  *
+  * 100 TB story: the dashboards-over-a-fact-table pattern — a GROUP BY
+  * over the full table becomes a scan of a dimension-cardinality summary
+  * whose freshness proof is O(batch metadata), and whose maintenance
+  * after appends is O(new rows).
+  */
+object MatViewQueries {
+
+  /** Store-table names scanned by the final plan. */
+  private def scanned(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2Relation => r.table.name
+      case s: DataSourceV2ScanRelation => s.relation.table.name
+    }.toSet
+
+  private def assertServedBy(df: DataFrame, mv: String): DataFrame = {
+    require(scanned(df).contains(s"graftstore.$mv"),
+      s"matview rewrite did not fire; scanned ${scanned(df)}")
+    df
+  }
+
+  private def assertNotServedBy(df: DataFrame, mv: String): DataFrame = {
+    require(!scanned(df).contains(s"graftstore.$mv"),
+      s"stale matview $mv must not serve")
+    df
+  }
+
+  /** Idempotent per-run reset: bench/verify call each query repeatedly. */
+  private def reset(g: GraftSession, mv: String, base: String): Unit = {
+    if (MatViews.isMatView(mv)) g.dropMaterializedView(mv)
+    else if (g.isManaged(mv)) g.dropTable(mv)
+    if (g.isManaged(base)) g.dropTable(base)
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- transparent rewrite + rollup: the view groups by (status,
+    // priority); the query rolls up to status alone — sums/counts add,
+    // min/min, max/max — and MUST be served from the view (asserted on
+    // the optimized plan). Decimal sums keep the compare exact ----
+    QueryDef.sql(
+      "q_matview_rewrite",
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  count(*) AS n,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS mn,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS mx
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      reset(g, "q_mv_sum", "q_mv_base")
+      g.createTable("q_mv_base", Tables.load(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,4)").as("amt")),
+        partitionBy = Seq("o_orderstatus"), buckets = 4)
+      g.sql("CREATE MATERIALIZED VIEW q_mv_sum AS " +
+        "SELECT o_orderstatus, o_orderpriority, sum(amt) AS s, count(*) AS n, " +
+        "min(amt) AS mn, max(amt) AS mx FROM q_mv_base " +
+        "GROUP BY o_orderstatus, o_orderpriority")
+      val rolled = s.sql(
+        "SELECT o_orderstatus, sum(amt) AS ts, count(*) AS n, " +
+          "min(amt) AS tmn, max(amt) AS tmx FROM q_mv_base GROUP BY o_orderstatus")
+      assertServedBy(rolled, "q_mv_sum")
+        .select(col("o_orderstatus"), col("ts").cast("double").as("total"),
+          col("n"), col("tmn").cast("double").as("mn"),
+          col("tmx").cast("double").as("mx"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- O(delta) maintenance: build the view on two thirds of orders,
+    // append the remaining third, REFRESH — the path MUST be
+    // "incremental" (only the new batches are aggregated and merged by
+    // key), and the served rollup must equal the full-table oracle ----
+    QueryDef.sql(
+      "q_matview_incremental",
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      reset(g, "q_mvi_sum", "q_mvi_base")
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,4)").as("amt"))
+      g.createTable("q_mvi_base", orders.filter(col("o_orderkey") % 3 =!= 0),
+        partitionBy = Seq("o_orderpriority"), buckets = 4)
+      g.sql("CREATE MATERIALIZED VIEW q_mvi_sum AS " +
+        "SELECT o_orderpriority, sum(amt) AS s, count(*) AS n " +
+        "FROM q_mvi_base GROUP BY o_orderpriority")
+      g.insert("q_mvi_base", orders.filter(col("o_orderkey") % 3 === 0))
+      val path = g.refreshMaterializedView("q_mvi_sum")
+      require(path == "incremental", s"append-only refresh took '$path'")
+      val served = s.sql("SELECT o_orderpriority, sum(amt) AS ts, count(*) AS n " +
+        "FROM q_mvi_base GROUP BY o_orderpriority")
+      assertServedBy(served, "q_mvi_sum")
+        .select(col("o_orderpriority"), col("ts").cast("double").as("total"), col("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- freshness gate: after a DELETE the view is provably stale —
+    // the SAME aggregate must fall back to the base scan (asserted) and
+    // still answer post-delete truth; REFRESH takes the "full" path
+    // (pre-aggregated rows cannot subtract) and serving resumes ----
+    QueryDef.sql(
+      "q_matview_stale_fallback",
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 3
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      reset(g, "q_mvs_sum", "q_mvs_base")
+      g.createTable("q_mvs_base", Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,4)").as("amt")),
+        partitionBy = Seq("o_orderkey"), buckets = 4)
+      g.sql("CREATE MATERIALIZED VIEW q_mvs_sum AS " +
+        "SELECT o_orderstatus, sum(amt) AS s, count(*) AS n " +
+        "FROM q_mvs_base GROUP BY o_orderstatus")
+      g.delete("q_mvs_base", col("o_orderkey") % 7 === 3)
+      val q = "SELECT o_orderstatus, sum(amt) AS ts, count(*) AS n " +
+        "FROM q_mvs_base GROUP BY o_orderstatus"
+      // stale: must NOT serve from the view (results would be pre-delete)
+      assertNotServedBy(s.sql(q), "q_mvs_sum")
+      val path = g.refreshMaterializedView("q_mvs_sum")
+      require(path == "full", s"post-delete refresh took '$path'")
+      assertServedBy(s.sql(q), "q_mvs_sum")
+        .select(col("o_orderstatus"), col("ts").cast("double").as("total"), col("n"))
+        .orderBy("o_orderstatus")
+    })
+}

@@ -176,6 +176,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case Some(AttachTable(n, r)) => GraftAttachTableCommand(n, r)
       case Some(AttachView(n, r, e, v)) => GraftAttachViewCommand(n, r, e, v)
       case Some(BootstrapCatalog(ds)) => GraftBootstrapCatalogCommand(ds)
+      case Some(CreateMatView(n, sel, opts)) =>
+        delegate.parsePlan(sel) // statement-time parse errors surface here
+        GraftCreateMatViewCommand(n, sel, opts)
+      case Some(DropMatView(n)) => GraftDropMatViewCommand(n)
+      case Some(RefreshMatView(n)) => GraftRefreshMatViewCommand(n)
       case Some(DropSynonym(n)) => GraftSynonymCommand(n, None)
       case Some(SetIsolation(l)) => GraftSetIsolationCommand(l)
       // Derby SET SCHEMA == Spark USE; without this rewrite Spark's own
@@ -493,6 +498,35 @@ case class GraftMergeIntoCommand(table: String, source: String,
   * friends); each returns the epoch it published or attached so a SQL
   * client can record which snapshot it is serving.
   */
+/** CREATE / DROP / REFRESH MATERIALIZED VIEW — SQL faces of
+  * [[graft.GraftSession.createMaterializedView]] and friends. REFRESH
+  * returns the maintenance path taken (noop | incremental | full) so an
+  * operator can see whether the O(delta) path held.
+  */
+case class GraftCreateMatViewCommand(name: String, selectSql: String,
+    options: Map[String, String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val buckets = options.get("buckets").map(_.toInt).getOrElse(32)
+    graft.GraftSession(spark).createMaterializedView(name, selectSql, buckets)
+    Nil
+  }
+}
+
+case class GraftDropMatViewCommand(name: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.GraftSession(spark).dropMaterializedView(name)
+    Nil
+  }
+}
+
+case class GraftRefreshMatViewCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "path", org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.GraftSession(spark).refreshMaterializedView(name)))
+}
+
 case class GraftPublishTableCommand(table: String, root: Option[String],
     incremental: Boolean) extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =

@@ -110,6 +110,11 @@ object GraftStatements extends RegexParsers {
     * the reference's store-persisted catalog makes this implicit).
     */
   final case class BootstrapCatalog(diskstore: Option[String]) extends Stmt
+
+  final case class CreateMatView(name: String, selectSql: String,
+      options: Map[String, String]) extends Stmt
+  final case class DropMatView(name: String) extends Stmt
+  final case class RefreshMatView(name: String) extends Stmt
   /** CREATE FUNCTION f AS class [RETURNS type] [USING JAR 'path']
     * (reference SnappyDDLParser.createFunction:765 — the RETURNS clause
     * is Snappy-specific; stock Spark's CREATE FUNCTION lacks it).
@@ -401,6 +406,18 @@ object GraftStatements extends RegexParsers {
         case n ~ r ~ e ~ v => AttachView(n, r, e.map(_.toLong), v.isDefined)
       }
 
+  private def createMatView: Parser[Stmt] =
+    kw("CREATE") ~> kw("MATERIALIZED") ~> kw("VIEW") ~> ident ~
+      opt(kw("OPTIONS") ~> options) ~ (kw("AS") ~> restAll) ^^ {
+        case n ~ o ~ sel => CreateMatView(n, sel, o.getOrElse(Map.empty))
+      }
+
+  private def dropMatView: Parser[Stmt] =
+    kw("DROP") ~> kw("MATERIALIZED") ~> kw("VIEW") ~> ident ^^ DropMatView.apply
+
+  private def refreshMatView: Parser[Stmt] =
+    kw("REFRESH") ~> kw("MATERIALIZED") ~> kw("VIEW") ~> ident ^^ RefreshMatView.apply
+
   private def bootstrapCatalog: Parser[Stmt] =
     kw("BOOTSTRAP") ~> kw("CATALOG") ~> opt(kw("FROM") ~> ident) ^^ {
       ds => BootstrapCatalog(ds)
@@ -449,6 +466,7 @@ object GraftStatements extends RegexParsers {
       alterDrop | alterAdd | truncateTable | createDiskstore | dropDiskstore |
       createSynonym | dropSynonym | setIsolation | setSchema |
       publishTable | attachStmt | bootstrapCatalog |
+      createMatView | dropMatView | refreshMatView |
       streamingCtl | grantRevoke | update | delete
 
   /** None = not a graft statement (caller delegates to Spark's parser). */

@@ -79,6 +79,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     // WITHOUT creating a store table — a DSv2 CREATE must not inherit a
     // stale read-only flag that would refuse every subsequent write
     ReplicaGuard.clear(nm)
+    MatViews.unregister(nm) // explicit CREATE supersedes matview status too
     val (declaredBy: Seq[String], declaredBuckets: Int) = partitions.toSeq match {
       case Seq(BucketTransform(n, cols, Nil)) =>
         (cols.map(_.fieldNames.mkString(".")), n)
@@ -160,6 +161,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     // ALTER rewrites the replica's data/layout locally — same silent
     // divergence as a write, refused at the store level
     ReplicaGuard.requireWritable(nm, "alterTable")
+    MatViews.guardWrite(nm)
     val spark = org.apache.spark.sql.SparkSession.active
     import org.apache.spark.sql.functions.{col, lit}
     def topLevel(path: Array[String], what: String): String = {

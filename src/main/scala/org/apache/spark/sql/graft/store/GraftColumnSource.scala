@@ -195,6 +195,9 @@ class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
     // before any task launches. Restore/re-attach drops the table
     // first, which clears the flag, so those internal writes pass.
     ReplicaGuard.requireWritable(tableName, "write")
+    // matview backing tables are engine-maintained the same way —
+    // refresh/rebuild passes via the maintenance scope
+    MatViews.guardWrite(tableName)
     new GraftWriteBuilder(tableName, info.schema(), batchSize, bucketBy, numBuckets,
       keyColumns, sortBy, compression, evictionBudget,
       info.options.getOrDefault("staged_token", ""), sketchBy, expireSeconds)

@@ -41,6 +41,7 @@ object GraftStoreOps {
   /** DELETE FROM table WHERE cond. */
   def delete(spark: SparkSession, table: String, cond: Column): Unit = {
     ReplicaGuard.requireWritable(table, "delete")
+    MatViews.guardWrite(table)
     deleteAddressed(spark, table,
       withAddress(spark, table).filter(coalesce(cond, lit(false))))
   }
@@ -48,6 +49,7 @@ object GraftStoreOps {
   /** DELETE every row whose key matches a row of `keys`. */
   def deleteKeys(spark: SparkSession, table: String, keys: DataFrame): Unit = {
     ReplicaGuard.requireWritable(table, "deleteKeys")
+    MatViews.guardWrite(table)
     val t = GraftColumnStore(table)
     val keyCols = t.snapshot.keyColumns
     require(keyCols.nonEmpty, s"deleteKeys($table) requires key_columns")
@@ -100,6 +102,7 @@ object GraftStoreOps {
   def update(spark: SparkSession, table: String, cond: Column,
       assignments: Seq[(String, Column)]): Unit = {
     ReplicaGuard.requireWritable(table, "update")
+    MatViews.guardWrite(table)
     import spark.implicits._
     val t = GraftColumnStore(table)
     val schema = t.schema
@@ -175,6 +178,7 @@ object GraftStoreOps {
     */
   def putInto(spark: SparkSession, table: String, source: DataFrame): Unit = {
     ReplicaGuard.requireWritable(table, "putInto")
+    MatViews.guardWrite(table)
     val t = GraftColumnStore(table)
     val keyCols = t.snapshot.keyColumns
     require(keyCols.nonEmpty, s"putInto($table) requires key_columns")

@@ -1,0 +1,306 @@
+/*
+ * Catalyst side of materialized views: the defining-query analyzer (what
+ * shape of SELECT can be materialized), the storage-column builders, and
+ * the transparent rewrite rule.
+ *
+ * The rewrite is the exact-answer sibling of the reference's AQP sample
+ * routing (SnappySession routes WITH ERROR queries to sample tables by
+ * plan substitution); here substitution is gated on a metadata freshness
+ * PROOF instead of an error bound, so it never changes results.
+ */
+package org.apache.spark.sql.graft.store
+
+import java.util.Locale
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+object MatViewSupport {
+
+  import MatViews.MvAgg
+
+  /** Strip name-only wrappers between an Aggregate and its scan:
+    * SubqueryAlias (temp-view resolution), attribute-only Projects
+    * (column pruning), View bodies.
+    */
+  @scala.annotation.tailrec
+  private def strip(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, c) => strip(c)
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => strip(c)
+    case v: View => strip(v.child)
+    case other => other
+  }
+
+  /** Unwrap `child` down to a graft store relation, collecting at most
+    * one Filter on the way (CombineFilters has merged stacks by the time
+    * the optimizer rule runs; at CREATE time the defining query must not
+    * filter at all — a filtered matview would need predicate containment
+    * to rewrite safely, which v1 does not claim).
+    */
+  def unwrapScan(child: LogicalPlan,
+      allowFilter: Boolean): Option[(Option[Expression], GraftTable, DataSourceV2Relation)] =
+    strip(child) match {
+      case r: DataSourceV2Relation => r.table match {
+        case gt: GraftTable => Some((None, gt, r))
+        case _ => None
+      }
+      case Filter(cond, inner) if allowFilter =>
+        unwrapScan(inner, allowFilter = false).map {
+          case (_, gt, r) => (Some(cond), gt, r) // inner filter impossible (allowFilter=false)
+        }
+      case _ => None
+    }
+
+  /** Recognize one defining/query aggregate call: a bare supported
+    * function over a bare column (or count(*)/count(1)). Returns
+    * (func, inputColumn) or None.
+    */
+  def matchAggCall(e: Expression): Option[(String, String)] = e match {
+    case AggregateExpression(fn, Complete, false, None, _) => fn match {
+      case s: Sum => s.child match {
+        case a: AttributeReference => Some(("sum", a.name))
+        case _ => None
+      }
+      case c: Count => c.children match {
+        case Seq(a: AttributeReference) => Some(("count", a.name))
+        case Seq(Literal(_, _)) => Some(("count_star", ""))
+        case _ => None
+      }
+      case m: Min => m.child match {
+        case a: AttributeReference => Some(("min", a.name))
+        case _ => None
+      }
+      case m: Max => m.child match {
+        case a: AttributeReference => Some(("max", a.name))
+        case _ => None
+      }
+      case av: Average => av.child match {
+        // v1 rewrites only double-typed averages (decimal averages
+        // re-derive through double division, which is not bit-exact)
+        case a: AttributeReference if av.dataType == DoubleType =>
+          Some(("avg", a.name))
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Storage column names for agg slot `i` — sum/count pairs for avg. */
+  def storageCols(func: String, i: Int): Seq[(String, String)] = func match {
+    case "sum" => Seq((s"__g${i}_sum", "sum"))
+    case "count" | "count_star" => Seq((s"__g${i}_cnt", "sum"))
+    case "min" => Seq((s"__g${i}_min", "min"))
+    case "max" => Seq((s"__g${i}_max", "max"))
+    case "avg" => Seq((s"__g${i}_sum", "sum"), (s"__g${i}_cnt", "sum"))
+  }
+
+  /** The DataFrame aggregates that POPULATE the storage columns from the
+    * base table (build + incremental delta share these).
+    */
+  def buildAggs(aggs: Seq[MvAgg]): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    aggs.zipWithIndex.flatMap {
+      case (MvAgg("sum", in, _), i) => Seq(sum(col(in)).as(s"__g${i}_sum"))
+      case (MvAgg("count", in, _), i) => Seq(count(col(in)).as(s"__g${i}_cnt"))
+      case (MvAgg("count_star", _, _), i) => Seq(count(lit(1)).as(s"__g${i}_cnt"))
+      case (MvAgg("min", in, _), i) => Seq(min(col(in)).as(s"__g${i}_min"))
+      case (MvAgg("max", in, _), i) => Seq(max(col(in)).as(s"__g${i}_max"))
+      case (MvAgg("avg", in, _), i) =>
+        Seq(sum(col(in)).as(s"__g${i}_sum"), count(col(in)).as(s"__g${i}_cnt"))
+      case (MvAgg(f, _, _), _) => throw new IllegalArgumentException(
+        s"materialized view: unsupported aggregate '$f'")
+    }
+  }
+
+  /** The DataFrame aggregates that MERGE existing storage rows with a
+    * delta (incremental refresh): sums and counts add, min/max take
+    * extrema — derived from the storage-column suffix so build and merge
+    * can never disagree on a slot's semantics.
+    */
+  def mergeAggs(storageNames: Seq[String]): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    storageNames.map { n =>
+      val merged =
+        if (n.endsWith("_min")) min(col(n))
+        else if (n.endsWith("_max")) max(col(n))
+        else sum(col(n))
+      // sum() widens (long→long is stable but decimal grows precision):
+      // cast back so putInto sees exactly the stored schema
+      merged.as(n)
+    }
+  }
+
+  /** Parse a defining query's ANALYZED plan into (base table, group
+    * columns, aggs in select order). Throws IllegalArgumentException
+    * with an actionable message when the shape is not materializable.
+    */
+  def analyzeDefinition(analyzed: LogicalPlan): (GraftTable, Seq[String], Seq[MvAgg]) = {
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      "CREATE MATERIALIZED VIEW: " + why +
+        " (supported shape: SELECT <group cols>, sum/count/min/max/avg(col) " +
+        "FROM <store table> GROUP BY <group cols>)")
+    strip(analyzed) match {
+      case Aggregate(groupExprs, resultExprs, child, _) =>
+        val (filter, gt, _) = unwrapScan(child, allowFilter = false)
+          .getOrElse(fail("FROM must be a single graft store table, no joins/filters"))
+        require(filter.isEmpty)
+        val groupCols = groupExprs.map {
+          case a: AttributeReference => a.name
+          case e => fail(s"group expression must be a bare column, got: ${e.sql}")
+        }
+        val aggs = resultExprs.flatMap {
+          case a: AttributeReference if groupCols.contains(a.name) => None
+          case Alias(a: AttributeReference, _) if groupCols.contains(a.name) => None
+          case al @ Alias(e, nm) => matchAggCall(e) match {
+            case Some((f, in)) => Some(MvAgg(f, in, nm))
+            case None => fail(s"unsupported select expression: ${al.sql}")
+          }
+          case e => fail(s"unsupported select expression: ${e.sql}")
+        }
+        if (aggs.isEmpty) fail("at least one aggregate is required")
+        (gt, groupCols, aggs)
+      case other => fail(s"defining query must be a grouped aggregate, got ${other.nodeName}")
+    }
+  }
+}
+
+/** Transparent matview substitution: an Aggregate (optionally above a
+  * group-column-only Filter) over a base table with a PROVEN-FRESH
+  * materialized view rewrites to the same aggregate over the view's
+  * storage columns. Grouping by a SUBSET of the view's group columns
+  * rolls up (sums add, counts add, min/min, max/max, avg = Σsum/Σcnt).
+  *
+  * Declines — leaving the base-scan plan untouched — whenever:
+  *  - the view's freshness fingerprint no longer matches the base
+  *    (any INSERT/UPDATE/DELETE/TTL-expiry since build → REFRESH first);
+  *  - a row-level-security policy exists on the base (the policy filter
+  *    is not visible in the view's pre-aggregated rows);
+  *  - any aggregate/filter/grouping falls outside the derivable set.
+  */
+case class MatViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
+
+  import MatViewSupport._
+
+  private def enabled: Boolean =
+    session.conf.get("spark.sql.graft.matviewRewrite", "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled || MatViews.all.isEmpty) return plan
+    plan transformUp {
+      case agg @ Aggregate(groupExprs, resultExprs, child, _) =>
+        rewrite(agg, groupExprs, resultExprs, child).getOrElse(agg)
+    }
+  }
+
+  private def rewrite(agg: Aggregate, groupExprs: Seq[Expression],
+      resultExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+    val (filter, gt, _) = unwrapScan(child, allowFilter = true).getOrElse(return None)
+    val candidates = MatViews.on(gt.storeName)
+    if (candidates.isEmpty) return None
+    // RLS: pre-aggregated rows cannot re-apply a per-user row filter
+    if (org.apache.spark.sql.graft.PolicyRegistry.all.exists(_.table == gt.storeName)) {
+      return None
+    }
+    val groupCols = groupExprs.map {
+      case a: AttributeReference => a.name
+      case _ => return None
+    }
+    val filterCols = filter.toSeq.flatMap(_.references.map(_.name))
+    if (filter.exists(!_.deterministic)) return None
+    candidates.iterator.flatMap { mv =>
+      if (!groupCols.forall(mv.groupCols.contains) ||
+        !filterCols.forall(mv.groupCols.contains) || !MatViews.isFresh(mv)) None
+      else substitute(mv, groupExprs, resultExprs, filter)
+    }.nextOption()
+  }
+
+  /** Fresh relation over the matview's backing store table — the same
+    * construction `spark.read.format(store)` performs, minus the nested
+    * analysis (fresh attribute ids each call, as any relation).
+    */
+  private def mvRelation(name: String): DataSourceV2Relation = {
+    val provider = new GraftColumnSource
+    val opts = new CaseInsensitiveStringMap(Map("table" -> name).asJava)
+    val schema = provider.inferSchema(opts)
+    val table = provider.getTable(schema, Array.empty,
+      new java.util.HashMap[String, String](Map("table" -> name).asJava))
+    DataSourceV2Relation.create(table, None, None, opts)
+  }
+
+  private def substitute(mv: MatViews.MvDef, groupExprs: Seq[Expression],
+      resultExprs: Seq[NamedExpression],
+      filter: Option[Expression]): Option[LogicalPlan] = {
+    val rel = mvRelation(mv.name)
+    val byName = rel.output.map(a => a.name.toLowerCase(Locale.ROOT) -> a).toMap
+    def mvAttr(n: String): AttributeReference = byName(n.toLowerCase(Locale.ROOT))
+
+    // storage slots for agg i of the view
+    def slot(func: String, input: String): Option[Int] =
+      mv.aggs.zipWithIndex.collectFirst {
+        case (MatViews.MvAgg(f, in, _), i) if f == func && in == input => i
+      }
+
+    def sumOf(a: AttributeReference): AggregateExpression =
+      Sum(a).toAggregateExpression()
+
+    // derive one query aggregate from the view's storage columns; None
+    // aborts the whole substitution (partial rewrites are not a thing)
+    def derive(e: Expression, original: DataType): Option[Expression] =
+      matchAggCall(e).flatMap {
+        case ("sum", in) => slot("sum", in).orElse(slot("avg", in)).map { i =>
+          val s = sumOf(mvAttr(s"__g${i}_sum"))
+          if (s.dataType == original) s else Cast(s, original)
+        }
+        case ("count", in) => slot("count", in).orElse(slot("avg", in)).map { i =>
+          Coalesce(Seq(sumOf(mvAttr(s"__g${i}_cnt")), Literal(0L)))
+        }
+        case ("count_star", _) => slot("count_star", "").map { i =>
+          Coalesce(Seq(sumOf(mvAttr(s"__g${i}_cnt")), Literal(0L)))
+        }
+        case ("min", in) => slot("min", in).map(i =>
+          Min(mvAttr(s"__g${i}_min")).toAggregateExpression())
+        case ("max", in) => slot("max", in).map(i =>
+          Max(mvAttr(s"__g${i}_max")).toAggregateExpression())
+        case ("avg", in) => slot("avg", in).map { i =>
+          val s = sumOf(mvAttr(s"__g${i}_sum"))
+          val c = sumOf(mvAttr(s"__g${i}_cnt"))
+          // all-null group: cnt 0 → NULL (matches avg); empty view:
+          // sum(cnt) NULL → condition NULL → divide of NULL → NULL
+          If(EqualTo(c, Literal(0L)), Literal(null, DoubleType),
+            Divide(Cast(s, DoubleType), Cast(c, DoubleType)))
+        }
+      }
+
+    val groupColNames = groupExprs.map(_.asInstanceOf[AttributeReference].name)
+    val newGroup: Seq[Expression] = groupColNames.map(mvAttr)
+    val newResult: Seq[NamedExpression] = resultExprs.map {
+      case a: AttributeReference if groupColNames.contains(a.name) =>
+        Alias(mvAttr(a.name), a.name)(exprId = a.exprId, qualifier = a.qualifier)
+      case al @ Alias(a: AttributeReference, nm) if groupColNames.contains(a.name) =>
+        Alias(mvAttr(a.name), nm)(exprId = al.exprId, qualifier = al.qualifier)
+      case al @ Alias(e, nm) =>
+        val d = derive(e, e.dataType).getOrElse(return None)
+        // dataType must be preserved exactly — parents bound to this
+        // exprId planned against the original type
+        if (d.dataType != e.dataType) return None
+        Alias(d, nm)(exprId = al.exprId, qualifier = al.qualifier)
+      case _ => return None
+    }
+    val scanned: LogicalPlan = filter match {
+      case Some(cond) => Filter(cond.transform {
+        case a: AttributeReference => mvAttr(a.name)
+      }, rel)
+      case None => rel
+    }
+    Some(Aggregate(newGroup, newResult, scanned))
+  }
+}

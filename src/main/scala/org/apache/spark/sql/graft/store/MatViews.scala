@@ -1,0 +1,118 @@
+/*
+ * Materialized views over store tables: registry, freshness fingerprints,
+ * and the write guard.
+ *
+ * Reference scope: the reference ships AQP sample tables and TopK
+ * structures as its "pre-computed summary" tier (SnappySession
+ * .createSampleTable, createApproxTSTopK) and routes queries to them by
+ * rewrite. This file is the EXACT-summary sibling of that tier: a
+ * materialized aggregate the optimizer transparently substitutes when —
+ * and only when — the store can prove the summary still equals the base
+ * table. Where the reference's sample routing trades accuracy for speed
+ * under WITH ERROR, a matview trades nothing: the rewrite fires only on
+ * a proven-fresh view, so it is invisible to results.
+ *
+ * 100 TB shape: a GROUP BY over a 100 TB fact table becomes a scan of a
+ * dimension-cardinality summary. Freshness proof is metadata-only (batch
+ * ids + per-batch mutation fingerprints already resident on the driver),
+ * so the check costs O(batches) map lookups, never a scan. REFRESH after
+ * pure appends is O(delta): only the new batches are aggregated and
+ * merged through the keyed-upsert path (the same asymptotics as the
+ * live-store incremental publish, PERF_NOTES §26).
+ */
+package org.apache.spark.sql.graft.store
+
+import scala.collection.concurrent.TrieMap
+
+object MatViews {
+
+  /** One aggregate of the defining query, in SELECT order.
+    * `func`: sum | count | count_star | min | max | avg.
+    * `input`: base-table column name ("" for count_star).
+    * `resultName`: the user's output alias (display only — the rewrite
+    * matches STRUCTURE, not names).
+    */
+  final case class MvAgg(func: String, input: String, resultName: String)
+
+  /** Freshness fingerprint of the base table at the point the view's
+    * contents were (re)computed: the live batch-id set plus each batch's
+    * mutation state (delete bitmap id + update delta ids). Payload ids
+    * never recycle, so fingerprint equality PROVES no mutation committed
+    * since — the same proof [[GraftColumnStore.StoreTable.swapRefs]]
+    * uses to guard maintenance rewrites.
+    */
+  final case class MvFreshness(
+      refIds: Set[Long],
+      fp: Map[Long, (Option[Long], Vector[Long])])
+
+  final case class MvDef(
+      name: String, // matview's own store table (lowercase)
+      base: String, // base store table (lowercase)
+      groupCols: Seq[String],
+      aggs: Seq[MvAgg],
+      sql: String, // defining SELECT, display only
+      fresh: MvFreshness)
+
+  private val views = TrieMap.empty[String, MvDef]
+
+  def register(mv: MvDef): Unit = views.put(mv.name.toLowerCase, mv)
+
+  def unregister(name: String): Option[MvDef] = views.remove(name.toLowerCase)
+
+  def get(name: String): Option[MvDef] = views.get(name.toLowerCase)
+
+  def isMatView(name: String): Boolean = views.contains(name.toLowerCase)
+
+  /** Every registered view over `base`, registration-order-free (sorted
+    * by name so rewrite candidate order is deterministic).
+    */
+  def on(base: String): Seq[MvDef] =
+    views.valuesIterator.filter(_.base == base.toLowerCase).toSeq.sortBy(_.name)
+
+  def all: Seq[MvDef] = views.values.toSeq.sortBy(_.name)
+
+  /** Current fingerprint of `base`'s live batch set — captured BEFORE
+    * the build/refresh scan so anything landing during the scan can only
+    * make the view conservatively stale, never falsely fresh (ids never
+    * recycle, so a mutation can't restore an old fingerprint).
+    */
+  def fingerprint(snap: GraftColumnStore.TableSnapshot): MvFreshness = {
+    val ids = snap.liveRefs.map(_.id).toSet
+    MvFreshness(ids, snap.mutationState(ids))
+  }
+
+  /** Metadata-only freshness proof: the view's contents equal the base
+    * table iff the base's live batch set and per-batch mutation state
+    * are EXACTLY what the last (re)build recorded.
+    */
+  def isFresh(mv: MvDef): Boolean =
+    GraftColumnStore.get(mv.base).exists { t =>
+      val snap = t.snapshot
+      val live = snap.liveRefs.map(_.id).toSet
+      live == mv.fresh.refIds && snap.mutationState(live) == mv.fresh.fp
+    }
+
+  // ---- write guard -------------------------------------------------------
+
+  // refresh/rebuild write through the normal store paths on the calling
+  // thread; the maintenance scope lets exactly those writes through
+  private val maintenance = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+
+  def inMaintenance[T](f: => T): T = {
+    maintenance.set(maintenance.get + 1)
+    try f finally maintenance.set(maintenance.get - 1)
+  }
+
+  /** Refuse direct writes to a matview's backing table — its contents
+    * are derived; a user write would silently diverge the view from its
+    * own freshness proof (the rewrite would then serve corrupt rows as
+    * if verified). DROP + recreate, or mutate the base and REFRESH.
+    */
+  def guardWrite(name: String): Unit =
+    require(maintenance.get > 0 || !isMatView(name),
+      s"write($name): table is a materialized view over '" +
+        get(name).map(_.base).getOrElse("?") +
+        "' — mutate the base table and REFRESH MATERIALIZED VIEW instead")
+}

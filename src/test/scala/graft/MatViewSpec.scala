@@ -1,0 +1,262 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.store.{GraftColumnStore, MatViews}
+
+/** Materialized views: transparent rewrite (exact groups, rollup to a
+  * subset, filters on group columns, DISTINCT, global aggregates),
+  * freshness gating (any base mutation disables the rewrite until
+  * REFRESH), O(delta) incremental refresh vs full rebuild, the write
+  * guard on the backing table, cascade semantics, and RLS safety.
+  */
+class MatViewSpec extends SparkTestBase {
+
+  private lazy val g = GraftSession(spark)
+
+  /** Store-table names scanned by a query (graftstore.x → x). */
+  private def scannedTables(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2Relation => r.table.name
+      case s: DataSourceV2ScanRelation => s.relation.table.name
+    }.toSet
+
+  private def usesMatView(sql: String, mv: String): Boolean =
+    scannedTables(spark.sql(sql)).contains(s"graftstore.$mv")
+
+  /** Collect with the rewrite OFF — the base-scan ground truth. */
+  private def direct(sql: String): Seq[String] = {
+    spark.conf.set("spark.sql.graft.matviewRewrite", "false")
+    try sorted(spark.sql(sql))
+    finally spark.conf.set("spark.sql.graft.matviewRewrite", "true")
+  }
+
+  private def sorted(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def freshBase(name: String, rows: Int = 1000): Unit = {
+    val df = spark.range(rows).select(
+      (col("id") % 7).cast("int").as("k"),
+      concat(lit("c"), col("id") % 3).as("cat"),
+      (col("id") * 2).as("v"),
+      (col("id") % 100).cast("double").as("d"),
+      when(col("id") % 11 === 0, lit(null).cast("long"))
+        .otherwise(col("id")).as("nv"))
+    g.createTable(name, df, partitionBy = Seq("k"), buckets = 4)
+  }
+
+  test("exact-group query rewrites to the matview and matches the base scan") {
+    freshBase("mvb1")
+    g.sql("CREATE MATERIALIZED VIEW mv1 AS " +
+      "SELECT k, cat, sum(v) AS sv, count(v) AS cv, min(v) AS mnv, " +
+      "max(v) AS mxv, avg(d) AS ad, count(*) AS n, sum(nv) AS snv, " +
+      "count(nv) AS cnv FROM mvb1 GROUP BY k, cat")
+    val q = "SELECT k, cat, sum(v) AS sv, count(v) AS cv, min(v) AS mnv, " +
+      "max(v) AS mxv, avg(d) AS ad, count(*) AS n, sum(nv) AS snv, " +
+      "count(nv) AS cnv FROM mvb1 GROUP BY k, cat"
+    assert(usesMatView(q, "mv1"), "expected the rewrite to fire")
+    assert(sorted(spark.sql(q)) == direct(q))
+  }
+
+  test("rollup to a subset of the view's group columns") {
+    val q = "SELECT cat, sum(v) AS sv, avg(d) AS ad, count(*) AS n " +
+      "FROM mvb1 GROUP BY cat"
+    assert(usesMatView(q, "mv1"))
+    assert(sorted(spark.sql(q)) == direct(q))
+  }
+
+  test("global aggregate (no GROUP BY) rolls all the way up") {
+    val q = "SELECT sum(v) AS sv, count(*) AS n, min(v) AS mnv, avg(d) AS ad FROM mvb1"
+    assert(usesMatView(q, "mv1"))
+    assert(sorted(spark.sql(q)) == direct(q))
+  }
+
+  test("filter on a group column pushes onto the view") {
+    val q = "SELECT k, sum(v) AS sv FROM mvb1 WHERE cat = 'c1' GROUP BY k"
+    assert(usesMatView(q, "mv1"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    // filter on a NON-group column must decline
+    val q2 = "SELECT k, sum(v) AS sv FROM mvb1 WHERE v > 100 GROUP BY k"
+    assert(!usesMatView(q2, "mv1"))
+  }
+
+  test("DISTINCT over group columns answers from the view") {
+    val q = "SELECT DISTINCT k, cat FROM mvb1"
+    assert(usesMatView(q, "mv1"))
+    assert(sorted(spark.sql(q)) == direct(q))
+  }
+
+  test("unsupported aggregate declines (stddev not derivable)") {
+    val q = "SELECT k, stddev(v) AS sd FROM mvb1 GROUP BY k"
+    assert(!usesMatView(q, "mv1"))
+  }
+
+  test("any base mutation disables the rewrite until REFRESH; append path is incremental") {
+    freshBase("mvb2", rows = 500)
+    g.sql("CREATE MATERIALIZED VIEW mv2 AS " +
+      "SELECT k, sum(v) AS sv, count(*) AS n, min(v) AS mn, max(v) AS mx, " +
+      "avg(d) AS ad FROM mvb2 GROUP BY k")
+    val q = "SELECT k, sum(v) AS sv, count(*) AS n, min(v) AS mn, " +
+      "max(v) AS mx, avg(d) AS ad FROM mvb2 GROUP BY k"
+    assert(usesMatView(q, "mv2"))
+    // append new rows, including a brand-new group
+    g.insert("mvb2", spark.range(500, 620).select(
+      (col("id") % 9).cast("int").as("k"), concat(lit("c"), col("id") % 3).as("cat"),
+      (col("id") * 2).as("v"), (col("id") % 100).cast("double").as("d"),
+      col("id").as("nv")))
+    assert(!usesMatView(q, "mv2"), "stale view must not serve")
+    assert(sorted(spark.sql(q)) == direct(q), "stale period answers from base")
+    val path = g.refreshMaterializedView("mv2")
+    assert(path == "incremental", s"append-only refresh took '$path'")
+    assert(usesMatView(q, "mv2"), "refreshed view serves again")
+    assert(sorted(spark.sql(q)) == direct(q))
+    // idempotent refresh is a no-op
+    assert(g.refreshMaterializedView("mv2") == "noop")
+  }
+
+  test("delete/update force a full rebuild; results stay correct") {
+    g.delete("mvb2", col("v") % 10 === 4)
+    val q = "SELECT k, sum(v) AS sv, count(*) AS n FROM mvb2 GROUP BY k"
+    assert(!usesMatView(q, "mv2"))
+    assert(g.refreshMaterializedView("mv2") == "full")
+    assert(usesMatView(q, "mv2"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    g.update("mvb2", col("k") === 3, "v" -> (col("v") + 1))
+    assert(!usesMatView(q, "mv2"))
+    assert(g.refreshMaterializedView("mv2") == "full")
+    assert(sorted(spark.sql(q)) == direct(q))
+  }
+
+  test("incremental refresh equals a from-scratch rebuild") {
+    freshBase("mvb3", rows = 300)
+    g.sql("CREATE MATERIALIZED VIEW mv3 AS " +
+      "SELECT k, sum(v) AS sv, count(nv) AS cn, min(d) AS mn, max(d) AS mx, " +
+      "avg(d) AS ad FROM mvb3 GROUP BY k")
+    g.insert("mvb3", spark.range(300, 450).select(
+      (col("id") % 13).cast("int").as("k"), lit("cX").as("cat"),
+      col("id").as("v"), (col("id") % 50).cast("double").as("d"),
+      when(col("id") % 2 === 0, lit(null).cast("long")).otherwise(col("id")).as("nv")))
+    assert(g.refreshMaterializedView("mv3") == "incremental")
+    val incremental = sorted(GraftStoreOps_read("mv3"))
+    // independent ground truth: a fresh view over the same base
+    g.sql("CREATE MATERIALIZED VIEW mv3_check AS " +
+      "SELECT k, sum(v) AS sv, count(nv) AS cn, min(d) AS mn, max(d) AS mx, " +
+      "avg(d) AS ad FROM mvb3 GROUP BY k")
+    assert(incremental == sorted(GraftStoreOps_read("mv3_check")))
+    g.dropMaterializedView("mv3_check")
+  }
+
+  private def GraftStoreOps_read(t: String): DataFrame =
+    org.apache.spark.sql.graft.store.GraftStoreOps.read(spark, t)
+
+  test("direct writes to the backing table are refused; CREATE TABLE supersedes") {
+    val e = intercept[Exception](
+      g.insert("mv1", spark.sql("SELECT * FROM mv1 LIMIT 1")))
+    assert(e.getMessage.contains("materialized view"))
+    val e2 = intercept[Exception](
+      spark.sql("INSERT INTO graft.mv1 SELECT * FROM graft.mv1 LIMIT 1"))
+    assert(e2.getMessage.contains("materialized view"))
+    // explicit CREATE takes ownership of the name, like replicas
+    g.createTable("mv_owned", spark.range(3).toDF("x"))
+    assert(!MatViews.isMatView("mv_owned"))
+  }
+
+  test("sys.matviews reports shape and LIVE freshness") {
+    val rows = spark.sql(
+      "SELECT * FROM sys.matviews WHERE name = 'mv1'").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("base_table") == "mvb1")
+    assert(r.getAs[String]("group_columns") == "k,cat")
+    assert(r.getAs[Boolean]("is_fresh"))
+    g.insertRows("mvb1", org.apache.spark.sql.Row(1, "c1", 10L, 1.0, 5L))
+    assert(!spark.sql("SELECT is_fresh FROM sys.matviews WHERE name = 'mv1'")
+      .head().getBoolean(0))
+    assert(spark.sql("REFRESH MATERIALIZED VIEW mv1").head().getString(0)
+      == "incremental")
+    assert(spark.sql("SELECT is_fresh FROM sys.matviews WHERE name = 'mv1'")
+      .head().getBoolean(0))
+  }
+
+  test("an RLS policy on the base disables the rewrite (no policy bypass)") {
+    val q = "SELECT k, sum(v) AS sv FROM mvb1 GROUP BY k"
+    assert(usesMatView(q, "mv1"))
+    g.createPolicy("mv_pol", "mvb1", "k <> 0", Set("someone_else"))
+    try assert(!usesMatView(q, "mv1"), "policy on base must disable the rewrite")
+    finally g.dropPolicy("mv_pol")
+    assert(usesMatView(q, "mv1"))
+  }
+
+  test("NULL group keys: build + rollup correct; incremental falls back to full") {
+    val df = spark.range(100).select(
+      when(col("id") % 5 === 0, lit(null).cast("int"))
+        .otherwise((col("id") % 4).cast("int")).as("k"),
+      col("id").as("v"))
+    g.createTable("mvb4", df)
+    g.sql("CREATE MATERIALIZED VIEW mv4 AS SELECT k, sum(v) AS sv, count(*) AS n " +
+      "FROM mvb4 GROUP BY k")
+    val q = "SELECT k, sum(v) AS sv, count(*) AS n FROM mvb4 GROUP BY k"
+    assert(usesMatView(q, "mv4"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    g.insert("mvb4", spark.range(100, 140).select(
+      when(col("id") % 5 === 0, lit(null).cast("int"))
+        .otherwise((col("id") % 4).cast("int")).as("k"), col("id").as("v")))
+    assert(g.refreshMaterializedView("mv4") == "full",
+      "null group keys must not take the keyed-merge path")
+    assert(sorted(spark.sql(q)) == direct(q))
+  }
+
+  test("decimal sums rewrite with exact values; decimal avg declines") {
+    val df = spark.range(200).select(
+      (col("id") % 5).cast("int").as("k"),
+      (col("id") / 100.0).cast("decimal(12,2)").as("amt"))
+    g.createTable("mvb5", df)
+    g.sql("CREATE MATERIALIZED VIEW mv5 AS SELECT k, sum(amt) AS sa, " +
+      "count(amt) AS ca FROM mvb5 GROUP BY k")
+    val q = "SELECT k, sum(amt) AS sa FROM mvb5 GROUP BY k"
+    assert(usesMatView(q, "mv5"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    val qAvg = "SELECT k, avg(amt) AS aa FROM mvb5 GROUP BY k"
+    assert(!usesMatView(qAvg, "mv5"), "decimal avg is not bit-exact through doubles")
+    // ... but stays CORRECT from the base scan
+    assert(sorted(spark.sql(qAvg)) == direct(qAvg))
+  }
+
+  test("decimal incremental refresh conforms the widened merge sum back") {
+    g.insert("mvb5", spark.range(200, 260).select(
+      (col("id") % 5).cast("int").as("k"),
+      (col("id") / 100.0).cast("decimal(12,2)").as("amt")))
+    assert(g.refreshMaterializedView("mv5") == "incremental")
+    val q = "SELECT k, sum(amt) AS sa FROM mvb5 GROUP BY k"
+    assert(usesMatView(q, "mv5"))
+    assert(sorted(spark.sql(q)) == direct(q))
+  }
+
+  test("DROP TABLE on the base cascades; DROP MATERIALIZED VIEW drops the table") {
+    freshBase("mvb6", rows = 50)
+    g.sql("CREATE MATERIALIZED VIEW mv6 AS SELECT k, sum(v) AS sv FROM mvb6 GROUP BY k")
+    assert(MatViews.isMatView("mv6"))
+    g.dropTable("mvb6")
+    assert(!MatViews.isMatView("mv6"), "base drop must cascade")
+    assert(GraftColumnStore.get("mv6").isEmpty)
+    // DROP MATERIALIZED VIEW face
+    freshBase("mvb7", rows = 50)
+    g.sql("CREATE MATERIALIZED VIEW mv7 AS SELECT k, sum(v) AS sv FROM mvb7 GROUP BY k")
+    g.sql("DROP MATERIALIZED VIEW mv7")
+    assert(!MatViews.isMatView("mv7") && GraftColumnStore.get("mv7").isEmpty)
+    g.dropTable("mvb7")
+  }
+
+  test("defining-query validation refuses joins, filters, and expressions") {
+    val bad = Seq(
+      "SELECT m1.k, sum(m1.v) AS s FROM mvb1 m1 JOIN mvb1 m2 ON m1.k = m2.k GROUP BY m1.k",
+      "SELECT k, sum(v) AS s FROM mvb1 WHERE v > 3 GROUP BY k",
+      "SELECT k, sum(v + 1) AS s FROM mvb1 GROUP BY k",
+      "SELECT k FROM mvb1 GROUP BY k")
+    bad.foreach { sql =>
+      val e = intercept[Exception](g.sql(s"CREATE MATERIALIZED VIEW mv_bad AS $sql"))
+      assert(e.getMessage.contains("CREATE MATERIALIZED VIEW"), s"for: $sql → ${e.getMessage}")
+    }
+  }
+}
