@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+
+/** Matview scale rehearsal: does the rewrite's advantage GROW with the
+  * base table, and does incremental refresh stay O(delta)?
+  *
+  * Arms, at base sizes ×1/×4/×16 of sf lineitem:
+  *  - base_agg:    the rollup GROUP BY against the base scan (rewrite off)
+  *  - mv_agg:      the same query served from the matview (rewrite on)
+  *  - build:       CREATE MATERIALIZED VIEW cost (one O(table) pass)
+  *  - inc_refresh: REFRESH after appending a FIXED 20k-row delta
+  *  - full_refresh: REFRESH after a delete (forced O(table) rebuild)
+  *
+  * Expectation at 100 TB: base_agg and build/full_refresh scale with the
+  * table; mv_agg scales with GROUP-KEY CARDINALITY (constant here);
+  * inc_refresh scales with the delta. `runMain graft.tools.MatViewBench`.
+  */
+object MatViewBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.catalog.graft", "org.apache.spark.sql.graft.store.GraftCatalog")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val g = GraftSession(spark)
+
+    val li = Tables.load(spark, dir, "lineitem")
+      .select((col("l_partkey") % 997).cast("int").as("gk"),
+        col("l_extendedprice").cast("decimal(18,4)").as("amt"),
+        col("l_quantity").cast("double").as("qty"))
+
+    def time(f: => Any): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def minOf(n: Int)(f: => Any): Double = { f; (1 to n).map(_ => time(f)).min }
+
+    val q = "SELECT gk, sum(amt) AS s, count(*) AS n, min(qty) AS mn, " +
+      "max(qty) AS mx FROM %s GROUP BY gk"
+
+    println(f"${"mult"}%5s ${"rows"}%10s ${"base_agg"}%9s ${"mv_agg"}%9s " +
+      f"${"speedup"}%8s ${"build"}%8s ${"inc_refresh"}%12s ${"full_refresh"}%13s")
+    Seq(1, 16, 64).foreach { m =>
+      val base = s"mvp_base_$m"
+      val mv = s"mvp_mv_$m"
+      val rep = li.crossJoin(spark.range(m).toDF("__rep")).drop("__rep")
+      g.createTable(base, rep)
+      val rows = org.apache.spark.sql.graft.store.GraftColumnStore(base).snapshot.rowCount
+      val run = () => spark.sql(q.format(base)).write.format("noop").mode("overwrite").save()
+      spark.conf.set("spark.sql.graft.matviewRewrite", "false")
+      val tBase = minOf(3)(run())
+      spark.conf.set("spark.sql.graft.matviewRewrite", "true")
+      val tBuild = time(g.createMaterializedView(mv,
+        s"SELECT gk, sum(amt) AS s, count(*) AS n, min(qty) AS mn, " +
+          s"max(qty) AS mx FROM $base GROUP BY gk"))
+      val tMv = minOf(3)(run())
+      // fixed-size delta: the same 20k rows at every scale
+      g.insert(base, li.limit(20000))
+      val tInc = time {
+        val p = g.refreshMaterializedView(mv)
+        require(p == "incremental", s"expected incremental, got $p")
+      }
+      g.delete(base, col("gk") === 996)
+      val tFull = time {
+        val p = g.refreshMaterializedView(mv)
+        require(p == "full", s"expected full, got $p")
+      }
+      println(f"$m%5d $rows%10d $tBase%9.3f $tMv%9.3f ${tBase / tMv}%7.1fx " +
+        f"$tBuild%8.3f $tInc%12.3f $tFull%13.3f")
+      g.dropMaterializedView(mv)
+      g.dropTable(base)
+    }
+    spark.stop()
+  }
+}

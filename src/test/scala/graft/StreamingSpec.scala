@@ -616,4 +616,52 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
     g.dropTable("s_view"); g.dropTable("s_live")
   }
+
+  test("stream ingest maintains a matview O(delta); queries serve from the summary") {
+    // continuous-rollup composition: each micro-batch appends to the
+    // store table and REFRESHes the matview — every refresh after the
+    // initial build must take the INCREMENTAL path (appends only), and
+    // between batches the grouped query is served from the summary
+    // (plan-asserted), always equal to a direct aggregate of the base
+    val g = GraftSession(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.graft.store.MatViews
+    g.sql("CREATE TABLE s_mv_live (k bigint, v bigint) USING column " +
+      "OPTIONS (partition_by 'k', buckets '4')")
+    // matview over an EMPTY stream table: builds empty, fills as data lands
+    g.sql("CREATE MATERIALIZED VIEW s_mv_sum AS " +
+      "SELECT k, sum(v) AS sv, count(*) AS n FROM s_mv_live GROUP BY k")
+    val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        g.insert("s_mv_live", df)
+        paths += g.refreshMaterializedView("s_mv_sum")
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      def served(): Seq[(Long, Long, Long)] = {
+        val f = spark.sql("SELECT k, sum(v) AS sv, count(*) AS n FROM s_mv_live GROUP BY k")
+        val scans = f.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.relation.table.name
+        }
+        assert(scans.contains("graftstore.s_mv_sum"),
+          s"between batches the summary must serve; scanned $scans")
+        f.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      }
+      mem.addData((1L, 10L), (2L, 20L), (1L, 5L))
+      q.processAllAvailable()
+      assert(served() == Seq((1L, 15L, 2L), (2L, 20L, 1L)))
+      mem.addData((2L, 1L), (3L, 30L))
+      q.processAllAvailable()
+      assert(served() == Seq((1L, 15L, 2L), (2L, 21L, 2L), (3L, 30L, 1L)))
+      assert(paths.toSeq == Seq("incremental", "incremental"),
+        s"streaming appends must ride the O(delta) path, got $paths")
+      assert(MatViews.isFresh(MatViews.get("s_mv_sum").get))
+    } finally q.stop()
+    g.dropMaterializedView("s_mv_sum"); g.dropTable("s_mv_live")
+  }
 }
