@@ -114,6 +114,47 @@ object MatViewQueries {
         .orderBy("o_orderpriority")
     },
 
+    // ---- sketch-typed summary: the view stores a MERGEABLE DataSketches
+    // HLL per (priority, status); rolling up to priority UNIONS the
+    // sketches, deduplicating customers ACROSS status groups (a numeric
+    // count rollup would overcount) — estimate pinned within 5% of the
+    // exact distinct; count(DISTINCT status) derives EXACTLY from the
+    // summary's own rows. Both plan-asserted MV-served ----
+    QueryDef.sql(
+      "q_matview_distinct_rollup",
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_orderstatus) AS n_status,
+        |  count(*) AS n,
+        |  count(DISTINCT o_custkey) AS exact_cust,
+        |  CAST(1 AS BOOLEAN) AS hll_within_5pct
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      reset(g, "q_mvd_sum", "q_mvd_base")
+      g.createTable("q_mvd_base", Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderstatus"), col("o_custkey")),
+        partitionBy = Seq("o_orderpriority"), buckets = 4)
+      g.sql("CREATE MATERIALIZED VIEW q_mvd_sum AS " +
+        "SELECT o_orderpriority, o_orderstatus, " +
+        "approx_count_distinct(o_custkey) AS ac, count(*) AS n " +
+        "FROM q_mvd_base GROUP BY o_orderpriority, o_orderstatus")
+      val served = s.sql(
+        "SELECT o_orderpriority, count(DISTINCT o_orderstatus) AS n_status, " +
+          "count(*) AS n, approx_count_distinct(o_custkey) AS ac " +
+          "FROM q_mvd_base GROUP BY o_orderpriority")
+      assertServedBy(served, "q_mvd_sum")
+      // exact side deliberately scans the base — it is the accuracy pin
+      val exact = s.sql(
+        "SELECT o_orderpriority AS p, count(DISTINCT o_custkey) AS exact_cust " +
+          "FROM q_mvd_base GROUP BY o_orderpriority")
+      served.join(exact, col("o_orderpriority") === col("p"))
+        .select(col("o_orderpriority"), col("n_status"), col("n"), col("exact_cust"),
+          (abs(col("ac") - col("exact_cust")) <= col("exact_cust") * 0.05)
+            .as("hll_within_5pct"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---- freshness gate: after a DELETE the view is provably stale —
     // the SAME aggregate must fall back to the base scan (asserted) and
     // still answer post-delete truth; REFRESH takes the "full" path

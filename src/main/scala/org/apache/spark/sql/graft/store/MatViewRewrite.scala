@@ -89,10 +89,24 @@ object MatViewSupport {
           Some(("avg", a.name))
         case _ => None
       }
+      // sketch-typed slot: approx_count_distinct materializes as a
+      // MERGEABLE DataSketches HLL (union across rows/epochs dedupes,
+      // which numeric counts cannot) — same summary-answers-estimates
+      // contract as StatsApproxDistinctRule, rsd-gated at rewrite time
+      case h: HyperLogLogPlusPlus => h.child match {
+        case a: AttributeReference => Some(("approx_distinct", a.name))
+        case _ => None
+      }
       case _ => None
     }
     case _ => None
   }
+
+  /** DataSketches HLL lgConfigK for sketch slots; its standard error
+    * (1.04/√2^lgK ≈ 1.63%) is the floor a query's rsd must tolerate.
+    */
+  val HllLgK = 12
+  val HllRse: Double = 1.04 / math.sqrt(1 << HllLgK)
 
   /** Storage column names for agg slot `i` — sum/count pairs for avg. */
   def storageCols(func: String, i: Int): Seq[(String, String)] = func match {
@@ -101,6 +115,7 @@ object MatViewSupport {
     case "min" => Seq((s"__g${i}_min", "min"))
     case "max" => Seq((s"__g${i}_max", "max"))
     case "avg" => Seq((s"__g${i}_sum", "sum"), (s"__g${i}_cnt", "sum"))
+    case "approx_distinct" => Seq((s"__g${i}_hll", "hll"))
   }
 
   /** The DataFrame aggregates that POPULATE the storage columns from the
@@ -116,6 +131,8 @@ object MatViewSupport {
       case (MvAgg("max", in, _), i) => Seq(max(col(in)).as(s"__g${i}_max"))
       case (MvAgg("avg", in, _), i) =>
         Seq(sum(col(in)).as(s"__g${i}_sum"), count(col(in)).as(s"__g${i}_cnt"))
+      case (MvAgg("approx_distinct", in, _), i) =>
+        Seq(hll_sketch_agg(col(in), lit(HllLgK)).as(s"__g${i}_hll"))
       case (MvAgg(f, _, _), _) => throw new IllegalArgumentException(
         s"materialized view: unsupported aggregate '$f'")
     }
@@ -132,6 +149,7 @@ object MatViewSupport {
       val merged =
         if (n.endsWith("_min")) min(col(n))
         else if (n.endsWith("_max")) max(col(n))
+        else if (n.endsWith("_hll")) hll_union_agg(col(n))
         else sum(col(n))
       // sum() widens (long→long is stable but decimal grows precision):
       // cast back so putInto sees exactly the stored schema
@@ -278,6 +296,25 @@ case class MatViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           If(EqualTo(c, Literal(0L)), Literal(null, DoubleType),
             Divide(Cast(s, DoubleType), Cast(c, DoubleType)))
         }
+        // estimate-for-estimate substitution (the same contract gate as
+        // StatsApproxDistinctRule): only when the query's tolerated rsd
+        // is no tighter than the stored sketch's own standard error.
+        // Union of sketches DEDUPES across merged groups — the property
+        // that makes distinct-count rollups possible at all
+        case ("approx_distinct", in) => (e match {
+          case AggregateExpression(h: HyperLogLogPlusPlus, _, _, _, _) =>
+            h.relativeSD >= HllRse
+          case _ => false
+        }) match {
+          case false => None
+          case true => slot("approx_distinct", in).map { i =>
+            val union = new HllUnionAgg(mvAttr(s"__g${i}_hll"))
+              .toAggregateExpression()
+            // all-null/empty → union NULL → estimate NULL; the original
+            // returns 0 there
+            Coalesce(Seq(HllSketchEstimate(union), Literal(0L)))
+          }
+        }
       }
 
     val groupColNames = groupExprs.map(_.asInstanceOf[AttributeReference].name)
@@ -287,6 +324,17 @@ case class MatViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         Alias(mvAttr(a.name), a.name)(exprId = a.exprId, qualifier = a.qualifier)
       case al @ Alias(a: AttributeReference, nm) if groupColNames.contains(a.name) =>
         Alias(mvAttr(a.name), nm)(exprId = al.exprId, qualifier = al.qualifier)
+      case al @ Alias(AggregateExpression(Count(children), Complete, true, None, _), nm)
+          if children.nonEmpty && children.forall {
+            case a: AttributeReference => mv.groupCols.contains(a.name)
+            case _ => false
+          } =>
+        // EXACT distinct rollup over group columns: the view holds one
+        // row per full group key, so COUNT(DISTINCT <group subset>) is
+        // the same distinct count over the summary's rows
+        val d = Count(children.map { case a: AttributeReference => mvAttr(a.name) })
+          .toAggregateExpression(isDistinct = true)
+        Alias(d, nm)(exprId = al.exprId, qualifier = al.qualifier)
       case al @ Alias(e, nm) =>
         val d = derive(e, e.dataType).getOrElse(return None)
         // dataType must be preserved exactly — parents bound to this

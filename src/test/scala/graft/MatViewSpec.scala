@@ -248,6 +248,59 @@ class MatViewSpec extends SparkTestBase {
     g.dropTable("mvb7")
   }
 
+  test("sketch slot: approx_count_distinct rolls up through mergeable HLL unions") {
+    val df = spark.range(5000).select(
+      (col("id") % 6).cast("int").as("k"),
+      concat(lit("s"), col("id") % 3).as("st"),
+      (col("id") % 797).as("u"))
+    g.createTable("mvb8", df, partitionBy = Seq("k"), buckets = 4)
+    g.sql("CREATE MATERIALIZED VIEW mv8 AS SELECT k, st, " +
+      "approx_count_distinct(u) AS au, count(*) AS n FROM mvb8 GROUP BY k, st")
+    // rollup to k: the HLL UNION dedupes users across st groups — a
+    // numeric-count rollup would overcount; the estimate must be within
+    // the sketch's error of the true distinct count
+    val q = "SELECT k, approx_count_distinct(u) AS au, count(*) AS n FROM mvb8 GROUP BY k"
+    assert(usesMatView(q, "mv8"))
+    val est = spark.sql(q).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exact = spark.sql(
+      "SELECT k, count(DISTINCT u) AS du FROM mvb8 GROUP BY k").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, du) =>
+      assert(math.abs(est(k) - du) <= math.max(3, 0.05 * du),
+        s"k=$k est ${est(k)} vs exact $du")
+    }
+    // a TIGHTER rsd than the stored sketch's own error must decline
+    val qTight = "SELECT k, approx_count_distinct(u, 0.005) AS au FROM mvb8 GROUP BY k"
+    assert(!usesMatView(qTight, "mv8"))
+    // incremental refresh UNIONS sketches (appends introduce overlap:
+    // re-inserted users must not double-count)
+    g.insert("mvb8", spark.range(2000).select(
+      (col("id") % 6).cast("int").as("k"), concat(lit("s"), col("id") % 3).as("st"),
+      (col("id") % 797).as("u")))
+    assert(g.refreshMaterializedView("mv8") == "incremental")
+    val est2 = spark.sql(q).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exact2 = spark.sql(
+      "SELECT k, count(DISTINCT u) AS du FROM mvb8 GROUP BY k").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    exact2.foreach { case (k, du) =>
+      assert(math.abs(est2(k) - du) <= math.max(3, 0.05 * du),
+        s"post-refresh k=$k est ${est2(k)} vs exact $du")
+    }
+  }
+
+  test("COUNT(DISTINCT group col) derives EXACTLY from the summary's rows") {
+    val q = "SELECT k, count(DISTINCT st) AS ns, count(*) AS n FROM mvb8 GROUP BY k"
+    assert(usesMatView(q, "mv8"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    // global form too
+    val qg = "SELECT count(DISTINCT st) AS ns, count(DISTINCT k) AS nk FROM mvb8"
+    assert(usesMatView(qg, "mv8"))
+    assert(sorted(spark.sql(qg)) == direct(qg))
+    // distinct over a NON-group column cannot derive
+    val qBad = "SELECT k, count(DISTINCT u) AS nu FROM mvb8 GROUP BY k"
+    assert(!usesMatView(qBad, "mv8"))
+  }
+
   test("defining-query validation refuses joins, filters, and expressions") {
     val bad = Seq(
       "SELECT m1.k, sum(m1.v) AS s FROM mvb1 m1 JOIN mvb1 m2 ON m1.k = m2.k GROUP BY m1.k",
