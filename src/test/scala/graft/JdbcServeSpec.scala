@@ -117,4 +117,55 @@ class JdbcServeSpec extends SparkTestBase {
       org.apache.spark.sql.graft.store.GraftColumnStore.drop("jdbc_pub")
     }
   }
+
+  test("a pure-JDBC client drives the matview lifecycle: create, serve, refresh O(delta)") {
+    // materialized views are a STORE-level registry + an optimizer rule
+    // riding spark.sql.extensions, so a SQL-only client gets the full
+    // lifecycle — create, transparent serving (EXPLAIN-asserted over the
+    // wire), freshness introspection, incremental refresh — with no
+    // Scala on either end
+    val conn = connect()
+    try {
+      locally {
+        val st = conn.createStatement()
+        st.execute("CREATE TABLE jdbc_mvb (k bigint, v bigint) USING column " +
+          "OPTIONS (partition_by 'k', buckets '4')")
+        st.executeUpdate("INSERT INTO graft.jdbc_mvb SELECT id % 5, id FROM range(1000)")
+        st.execute("CREATE MATERIALIZED VIEW jdbc_mvs AS " +
+          "SELECT k, sum(v) AS sv, count(*) AS n FROM jdbc_mvb GROUP BY k")
+        def rows(q: String): Seq[Seq[String]] = {
+          val rs = st.executeQuery(q)
+          val n = rs.getMetaData.getColumnCount
+          Iterator.continually(rs).takeWhile(_.next())
+            .map(r => (1 to n).map(r.getString)).toSeq
+        }
+        // the plan the CLIENT gets is the summary scan, not the base
+        val plan = rows("EXPLAIN SELECT k, sum(v) AS sv FROM jdbc_mvb GROUP BY k")
+          .flatten.mkString("\n")
+        assert(plan.contains("jdbc_mvs"), s"rewrite missing over JDBC:\n$plan")
+        // sum over k-residue class r of range(1000): 99500 + 200r
+        val expect1 = (0 to 4).map(r => Seq(s"$r", s"${99500 + 200 * r}", "200"))
+        assert(rows("SELECT k, sum(v) AS sv, count(*) AS n FROM jdbc_mvb " +
+          "GROUP BY k ORDER BY k") == expect1)
+        assert(rows("SELECT is_fresh FROM sys.matviews WHERE name = 'jdbc_mvs'")
+          == Seq(Seq("true")))
+        // append over the wire → stale (visible in sys.matviews), then
+        // REFRESH takes the O(delta) path and serving resumes
+        st.executeUpdate("INSERT INTO graft.jdbc_mvb SELECT id % 5, id " +
+          "FROM range(1000, 1200)")
+        assert(rows("SELECT is_fresh FROM sys.matviews WHERE name = 'jdbc_mvs'")
+          == Seq(Seq("false")))
+        assert(rows("REFRESH MATERIALIZED VIEW jdbc_mvs") == Seq(Seq("incremental")))
+        // range(1000,1200): residue r gains sum 43900+40r, count 40
+        val expect2 = (0 to 4).map(r =>
+          Seq(s"$r", s"${99500 + 200 * r + 43900 + 40 * r}", "240"))
+        assert(rows("SELECT k, sum(v) AS sv, count(*) AS n FROM jdbc_mvb " +
+          "GROUP BY k ORDER BY k") == expect2)
+        st.execute("DROP MATERIALIZED VIEW jdbc_mvs")
+      }
+    } finally {
+      conn.close()
+      org.apache.spark.sql.graft.store.GraftColumnStore.drop("jdbc_mvb")
+    }
+  }
 }

@@ -301,6 +301,52 @@ class MatViewSpec extends SparkTestBase {
     assert(!usesMatView(qBad, "mv8"))
   }
 
+  test("stress: random mutation/refresh interleavings never serve a wrong answer (seeded)") {
+    // sequential but adversarial: a seeded op stream drives the base
+    // through inserts (sometimes overlapping groups, sometimes brand-new
+    // ones), deletes, updates, refreshes and no-ops; after EVERY op the
+    // grouped aggregate with the rewrite ON must equal the base truth —
+    // whether the optimizer chose the view (fresh) or the base (stale)
+    val rnd = new scala.util.Random(20260816L)
+    val df0 = spark.range(200).select(
+      (col("id") % 10).cast("int").as("k"), col("id").as("v"),
+      (col("id") * 3).as("w"))
+    g.createTable("mvb9", df0, keyColumns = Seq("v"))
+    g.sql("CREATE MATERIALIZED VIEW mv9 AS " +
+      "SELECT k, sum(w) AS sw, count(*) AS n, max(w) AS mx FROM mvb9 GROUP BY k")
+    val q = "SELECT k, sum(w) AS sw, count(*) AS n, max(w) AS mx FROM mvb9 GROUP BY k"
+    var nextId = 1000L
+    var servedFresh = 0
+    var refreshPaths = Map.empty[String, Int].withDefaultValue(0)
+    (1 to 40).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 | 1 => // append, half the time into existing groups only
+          val lo = nextId; nextId += 30
+          val mod = if (rnd.nextBoolean()) 10 else 17
+          g.insert("mvb9", spark.range(lo, nextId).select(
+            (col("id") % mod).cast("int").as("k"), col("id").as("v"),
+            (col("id") * 3).as("w")))
+        case 2 => g.delete("mvb9", col("v") % 13 === (step % 13))
+        case 3 => g.update("mvb9", col("k") === step % 10, "w" -> (col("w") + 1))
+        case 4 =>
+          val p = g.refreshMaterializedView("mv9")
+          refreshPaths += p -> (refreshPaths(p) + 1)
+        case 5 => () // quiescent step: re-query without changing anything
+      }
+      if (usesMatView(q, "mv9")) servedFresh += 1
+      assert(sorted(spark.sql(q)) == direct(q), s"divergence at step $step")
+    }
+    g.refreshMaterializedView("mv9")
+    assert(usesMatView(q, "mv9"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    // the stream must have exercised both serving AND fallback, and both
+    // refresh paths — otherwise the seed stopped covering the space
+    assert(servedFresh > 0, "seed never served from the view")
+    assert(servedFresh < 40, "seed never went stale")
+    assert(refreshPaths("incremental") > 0 || refreshPaths("full") > 0,
+      s"no refresh ran: $refreshPaths")
+  }
+
   test("defining-query validation refuses joins, filters, and expressions") {
     val bad = Seq(
       "SELECT m1.k, sum(m1.v) AS s FROM mvb1 m1 JOIN mvb1 m2 ON m1.k = m2.k GROUP BY m1.k",
