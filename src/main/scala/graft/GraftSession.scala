@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.store.{MatViews, MatViewSupport}
 
 import scala.collection.concurrent.TrieMap
 
@@ -321,6 +322,20 @@ class GraftSession(val spark: SparkSession) {
         Seq("constraints" -> org.apache.spark.sql.graft.Constraints.encode(tc)),
         s"graft constraints for $nm", file = "constraints.properties")
     }
+    // a matview's DEFINITION rides its checkpoint the same way, so a
+    // cold JVM (restoreTable / BOOTSTRAP CATALOG) recovers the view
+    // registered-but-STALE: freshness fingerprints name payload ids of
+    // the JVM that recorded them, so a restored view can never prove
+    // itself current — the first REFRESH (full) revalidates it
+    org.apache.spark.sql.graft.store.MatViews.get(nm).foreach { mv =>
+      org.apache.spark.sql.graft.store.GraftManifest.write(spark, dir, Seq(
+        "base" -> mv.base,
+        "group_cols" -> mv.groupCols.mkString(","),
+        "aggs" -> mv.aggs.map(a => s"${a.func}:${a.input}:${a.resultName}")
+          .mkString(";"),
+        "sql" -> mv.sql),
+        s"graft matview definition for $nm", file = "matview.properties")
+    }
   }
 
   /** Checkpoint to the table's bound DISKSTORE (reference persistence:
@@ -544,6 +559,7 @@ class GraftSession(val spark: SparkSession) {
     require(!isSynonym(name), s"restoreTable($name): name is a synonym")
     val nm = normalize(name)
     org.apache.spark.sql.graft.store.ReplicaGuard.clear(nm) // an explicit restore supersedes replica status
+    org.apache.spark.sql.graft.store.MatViews.unregister(nm) // ... and matview status (re-registered below if the sidecar says so)
     // the manifest knows which store the table came from
     val p = org.apache.spark.sql.graft.store.GraftManifest.read(spark, dir)
     org.apache.spark.sql.graft.store.GraftManifest
@@ -564,6 +580,23 @@ class GraftSession(val spark: SparkSession) {
       val s = GraftColumnStore(nm).snapshot
       tables.put(nm, TableState(df, s.keyColumns, s.bucketBy,
         math.max(s.numBuckets, 0), storeBacked = true))
+      // matview sidecar → re-register the definition with a freshness
+      // SENTINEL no live snapshot can match (-1 is never a payload id):
+      // the restored view declines to serve until a REFRESH rebuilds it
+      // against the restored base's own payload ids
+      org.apache.spark.sql.graft.store.GraftManifest
+        .readOpt(spark, dir, "matview.properties").foreach { mp =>
+          val aggs = Option(mp.getProperty("aggs")).toSeq
+            .flatMap(_.split(";").toSeq).filter(_.nonEmpty).map { enc =>
+              val Array(f, in, rn) = enc.split(":", 3)
+              MatViews.MvAgg(f, in, rn)
+            }
+          MatViews.register(MatViews.MvDef(nm, mp.getProperty("base"),
+            Option(mp.getProperty("group_cols")).toSeq
+              .flatMap(_.split(",")).filter(_.nonEmpty),
+            aggs, Option(mp.getProperty("sql")).getOrElse(""),
+            MatViews.MvFreshness(Set(-1L), Map.empty)))
+        }
       df
     }
   }
@@ -867,8 +900,6 @@ class GraftSession(val spark: SparkSession) {
     if (ids.isEmpty) GraftStoreOps.read(spark, base).filter(lit(false))
     else spark.read.format(GraftStoreOps.FORMAT).option("table", base)
       .option("batch_ids", ids.mkString(",")).load()
-
-  import org.apache.spark.sql.graft.store.{MatViews, MatViewSupport}
 
   private def mvStorageNames(aggs: Seq[MatViews.MvAgg]): Seq[String] =
     aggs.zipWithIndex.flatMap { case (a, i) =>

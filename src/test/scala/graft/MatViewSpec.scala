@@ -347,6 +347,36 @@ class MatViewSpec extends SparkTestBase {
       s"no refresh ran: $refreshPaths")
   }
 
+  test("matview definition rides checkpoint/restore; restored view is stale until REFRESH") {
+    freshBase("mvb10", rows = 400)
+    g.sql("CREATE MATERIALIZED VIEW mv10 AS " +
+      "SELECT k, sum(v) AS sv, count(*) AS n FROM mvb10 GROUP BY k")
+    val q = "SELECT k, sum(v) AS sv, count(*) AS n FROM mvb10 GROUP BY k"
+    assert(usesMatView(q, "mv10"))
+    val truth = direct(q)
+    val dBase = java.nio.file.Files.createTempDirectory("mv_ck_b").toString
+    val dMv = java.nio.file.Files.createTempDirectory("mv_ck_v").toString
+    g.checkpointTable("mvb10", dBase)
+    g.checkpointTable("mv10", dMv)
+    // simulate the cold JVM: drop the base (cascades the view + its
+    // registration); only the checkpoint dirs survive
+    g.dropTable("mvb10")
+    assert(!MatViews.isMatView("mv10"))
+    g.restoreTable("mvb10", dBase)
+    g.restoreTable("mv10", dMv)
+    // recovered: registered, introspectable, but provably NOT fresh —
+    // restored payload ids can never match the recorded fingerprint
+    assert(MatViews.isMatView("mv10"))
+    assert(!spark.sql("SELECT is_fresh FROM sys.matviews WHERE name = 'mv10'")
+      .head().getBoolean(0))
+    assert(!usesMatView(q, "mv10"), "a restored view must not serve unrefreshed")
+    assert(sorted(spark.sql(q)) == truth, "base scan answers meanwhile")
+    assert(g.refreshMaterializedView("mv10") == "full")
+    assert(usesMatView(q, "mv10"))
+    assert(sorted(spark.sql(q)) == truth)
+    g.dropTable("mvb10")
+  }
+
   test("defining-query validation refuses joins, filters, and expressions") {
     val bad = Seq(
       "SELECT m1.k, sum(m1.v) AS s FROM mvb1 m1 JOIN mvb1 m2 ON m1.k = m2.k GROUP BY m1.k",
