@@ -241,17 +241,31 @@ case class MatViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     }.nextOption()
   }
 
-  /** Fresh relation over the matview's backing store table — the same
-    * construction `spark.read.format(store)` performs, minus the nested
-    * analysis (fresh attribute ids each call, as any relation).
+  /** Fresh relation over the matview's backing store table. Resolved
+    * through the graft CATALOG when it is registered: only a
+    * catalog-attached relation carries the bucket transform whose
+    * function resolves to KeyGroupedPartitioning, which is what lets an
+    * exact-group query over the view aggregate WITHOUT an exchange — at
+    * 100 TB a summary can itself be large (billions of groups), so the
+    * re-aggregation's shuffle matters. Falls back to a bare provider
+    * relation (UnknownPartitioning) in sessions without the catalog.
     */
   private def mvRelation(name: String): DataSourceV2Relation = {
-    val provider = new GraftColumnSource
-    val opts = new CaseInsensitiveStringMap(Map("table" -> name).asJava)
-    val schema = provider.inferSchema(opts)
-    val table = provider.getTable(schema, Array.empty,
-      new java.util.HashMap[String, String](Map("table" -> name).asJava))
-    DataSourceV2Relation.create(table, None, None, opts)
+    val viaCatalog = scala.util.Try {
+      val cat = session.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      val ident = org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array.empty, name)
+      DataSourceV2Relation.create(cat.loadTable(ident), Some(cat), Some(ident))
+    }
+    viaCatalog.getOrElse {
+      val provider = new GraftColumnSource
+      val opts = new CaseInsensitiveStringMap(Map("table" -> name).asJava)
+      val schema = provider.inferSchema(opts)
+      val table = provider.getTable(schema, Array.empty,
+        new java.util.HashMap[String, String](Map("table" -> name).asJava))
+      DataSourceV2Relation.create(table, None, None, opts)
+    }
   }
 
   private def substitute(mv: MatViews.MvDef, groupExprs: Seq[Expression],

@@ -377,6 +377,21 @@ class MatViewSpec extends SparkTestBase {
     g.dropTable("mvb10")
   }
 
+  test("exact-group query over the view aggregates with ZERO shuffles (catalog partitioning)") {
+    // the substituted relation rides the graft catalog, so the summary
+    // scan reports KeyGroupedPartitioning over its bucket columns — an
+    // exact-group re-aggregation needs no exchange (at 100 TB a summary
+    // can itself be billions of groups; this is the shuffle that matters)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val q = spark.sql("SELECT k, cat, sum(v) AS sv FROM mvb1 GROUP BY k, cat")
+    assert(scannedTables(q).contains("graftstore.mv1"))
+    val shuffles = q.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty,
+      s"exact-group matview agg must not exchange:\n${q.queryExecution.executedPlan}")
+  }
+
   test("defining-query validation refuses joins, filters, and expressions") {
     val bad = Seq(
       "SELECT m1.k, sum(m1.v) AS s FROM mvb1 m1 JOIN mvb1 m2 ON m1.k = m2.k GROUP BY m1.k",
