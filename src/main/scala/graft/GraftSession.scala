@@ -915,7 +915,7 @@ class GraftSession(val spark: SparkSession) {
     * [[org.apache.spark.sql.graft.store.MatViewRewrite]].
     */
   def createMaterializedView(name: String, viewSql: String,
-      buckets: Int = 32): DataFrame = {
+      buckets: Int = 32): DataFrame = MatViews.withMaintenanceLock(normalize(name)) {
     val nm = normalize(name)
     require(!isManaged(nm), s"CREATE MATERIALIZED VIEW $nm: name in use")
     val analyzed = spark.sql(viewSql).queryExecution.analyzed
@@ -946,8 +946,11 @@ class GraftSession(val spark: SparkSession) {
     * cannot subtract). Returns the path taken:
     * "noop" | "incremental" | "full".
     */
-  def refreshMaterializedView(name: String): String = {
+  def refreshMaterializedView(name: String): String =
+      MatViews.withMaintenanceLock(normalize(name)) {
     val nm = normalize(name)
+    // re-read INSIDE the lock: a refresh that raced here sees the
+    // winner's fingerprint and no-ops instead of re-merging its delta
     val mv = MatViews.get(nm).getOrElse(throw new IllegalArgumentException(
       s"REFRESH MATERIALIZED VIEW $nm: not a materialized view"))
     val t = GraftColumnStore.get(mv.base).getOrElse(
@@ -958,9 +961,12 @@ class GraftSession(val spark: SparkSession) {
       snap.mutationState(mv.fresh.refIds) == mv.fresh.fp
     def rebuild(): String = {
       val contents = mvContents(mv.base, fresh.refIds, mv.groupCols, mv.aggs)
+      // buckets from the backing table's OWN snapshot, not session
+      // state: a JDBC/other session may refresh a view it didn't create
+      val buckets = math.max(GraftColumnStore(nm).snapshot.numBuckets, 1)
       MatViews.inMaintenance {
         createTable(nm, contents, keyColumns = mv.groupCols,
-          partitionBy = mv.groupCols, buckets = stateOf(nm).buckets)
+          partitionBy = mv.groupCols, buckets = buckets)
       }
       MatViews.register(mv.copy(fresh = fresh))
       "full"
@@ -978,28 +984,33 @@ class GraftSession(val spark: SparkSession) {
       else {
         val keep = mv.groupCols.map(col)
         val storage = mvStorageNames(mv.aggs)
-        val touched = table(nm).join(delta.select(keep: _*), mv.groupCols, "left_semi")
+        val mvRows = GraftStoreOps.read(spark, nm) // session-independent
+        val touched = mvRows.join(delta.select(keep: _*), mv.groupCols, "left_semi")
         val mergeCols = MatViewSupport.mergeAggs(storage)
         val merged = touched.unionByName(delta)
           .groupBy(keep: _*).agg(mergeCols.head, mergeCols.tail: _*)
         // conform to the stored schema exactly (sum() widening: decimal
         // sums grow precision on the merge pass)
-        val schema = table(nm).schema
+        val schema = mvRows.schema
         val conformed = merged.select(schema.fieldNames.map(f =>
           col(f).cast(schema(f).dataType).as(f)).toSeq: _*)
-        MatViews.inMaintenance { putInto(nm, conformed) }
+        MatViews.inMaintenance {
+          GraftStoreOps.putInto(spark, nm, conformed)
+        }
         MatViews.register(mv.copy(fresh = fresh))
         "incremental"
       }
     }
   }
 
-  def dropMaterializedView(name: String): Unit = {
+  def dropMaterializedView(name: String): Unit =
+      MatViews.withMaintenanceLock(normalize(name)) {
     val nm = normalize(name)
     require(MatViews.isMatView(nm),
       s"DROP MATERIALIZED VIEW $nm: not a materialized view")
     MatViews.unregister(nm)
-    dropTable(nm)
+    if (isManaged(nm)) dropTable(nm)
+    else GraftColumnStore.drop(nm) // dropped from a session that didn't create it
   }
 
   /** SYS.MATVIEWS: one row per materialized view — base, shape, LIVE

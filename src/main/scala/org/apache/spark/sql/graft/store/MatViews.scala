@@ -92,6 +92,19 @@ object MatViews {
       live == mv.fresh.refIds && snap.mutationState(live) == mv.fresh.fp
     }
 
+  // ---- maintenance serialization ------------------------------------------
+
+  // One lock per view name, JVM-wide: two concurrent REFRESHes computing
+  // the same delta would each merge it (the second reads rows the first
+  // already merged → double-applied increments) and then RECORD the new
+  // fingerprint — a corrupt view that PROVES fresh. Serializing
+  // create/refresh/drop per name removes the interleaving; the second
+  // refresh re-reads the registry inside the lock and no-ops.
+  private val locks = TrieMap.empty[String, Object]
+
+  def withMaintenanceLock[T](name: String)(f: => T): T =
+    locks.getOrElseUpdate(name.toLowerCase, new Object).synchronized(f)
+
   // ---- write guard -------------------------------------------------------
 
   // refresh/rebuild write through the normal store paths on the calling

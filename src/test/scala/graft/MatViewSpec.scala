@@ -392,6 +392,36 @@ class MatViewSpec extends SparkTestBase {
       s"exact-group matview agg must not exchange:\n${q.queryExecution.executedPlan}")
   }
 
+  test("concurrent REFRESHes serialize: the loser no-ops instead of double-merging") {
+    // without the per-view maintenance lock, two refreshes computing the
+    // same delta each merge it — the second reads rows the first already
+    // merged, double-applies the increments, and then RECORDS the new
+    // fingerprint: a corrupt view that proves fresh. With the lock the
+    // loser re-reads the registry and must report "noop".
+    val df0 = spark.range(500).select(
+      (col("id") % 8).cast("int").as("k"), col("id").as("v"))
+    g.createTable("mvb11", df0)
+    g.sql("CREATE MATERIALIZED VIEW mv11 AS " +
+      "SELECT k, sum(v) AS sv, count(*) AS n FROM mvb11 GROUP BY k")
+    val q = "SELECT k, sum(v) AS sv, count(*) AS n FROM mvb11 GROUP BY k"
+    (1 to 5).foreach { round =>
+      g.insert("mvb11", spark.range(500L * round, 500L * round + 200)
+        .select((col("id") % 8).cast("int").as("k"), col("id").as("v")))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val paths = Await.result(
+        Future.sequence(Seq(
+          Future(g.refreshMaterializedView("mv11")),
+          Future(g.refreshMaterializedView("mv11")))), 120.seconds)
+      assert(paths.sorted == Seq("incremental", "noop"),
+        s"round $round: expected one merge and one no-op, got $paths")
+      assert(usesMatView(q, "mv11"))
+      assert(sorted(spark.sql(q)) == direct(q), s"round $round diverged")
+    }
+    g.dropTable("mvb11")
+  }
+
   test("defining-query validation refuses joins, filters, and expressions") {
     val bad = Seq(
       "SELECT m1.k, sum(m1.v) AS s FROM mvb1 m1 JOIN mvb1 m2 ON m1.k = m2.k GROUP BY m1.k",
