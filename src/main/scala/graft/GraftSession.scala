@@ -326,15 +326,26 @@ class GraftSession(val spark: SparkSession) {
     // cold JVM (restoreTable / BOOTSTRAP CATALOG) recovers the view
     // registered-but-STALE: freshness fingerprints name payload ids of
     // the JVM that recorded them, so a restored view can never prove
-    // itself current — the first REFRESH (full) revalidates it
-    org.apache.spark.sql.graft.store.MatViews.get(nm).foreach { mv =>
-      org.apache.spark.sql.graft.store.GraftManifest.write(spark, dir, Seq(
-        "base" -> mv.base,
-        "group_cols" -> mv.groupCols.mkString(","),
-        "aggs" -> mv.aggs.map(a => s"${a.func}:${a.input}:${a.resultName}")
-          .mkString(";"),
-        "sql" -> mv.sql),
-        s"graft matview definition for $nm", file = "matview.properties")
+    // itself current — the first REFRESH (full) revalidates it.
+    // Fields URL-encode (aliases may contain the delimiters); a PLAIN
+    // table checkpointing into a REUSED dir deletes any stale sidecar —
+    // layout/data overwrite, and the matview marker must not outlive
+    // the view it described (restore would guard-lock the plain table).
+    import java.net.{URLEncoder => UEnc}
+    def enc(s: String): String = UEnc.encode(s, "UTF-8")
+    org.apache.spark.sql.graft.store.MatViews.get(nm) match {
+      case Some(mv) =>
+        org.apache.spark.sql.graft.store.GraftManifest.write(spark, dir, Seq(
+          "base" -> mv.base,
+          "group_cols" -> mv.groupCols.map(enc).mkString(","),
+          "aggs" -> mv.aggs.map(a =>
+            s"${a.func}:${enc(a.input)}:${enc(a.resultName)}").mkString(";"),
+          "sql" -> mv.sql),
+          s"graft matview definition for $nm", file = "matview.properties")
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(dir, "matview.properties")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, false)
     }
   }
 
@@ -586,14 +597,15 @@ class GraftSession(val spark: SparkSession) {
       // against the restored base's own payload ids
       org.apache.spark.sql.graft.store.GraftManifest
         .readOpt(spark, dir, "matview.properties").foreach { mp =>
+          def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
           val aggs = Option(mp.getProperty("aggs")).toSeq
-            .flatMap(_.split(";").toSeq).filter(_.nonEmpty).map { enc =>
-              val Array(f, in, rn) = enc.split(":", 3)
-              MatViews.MvAgg(f, in, rn)
+            .flatMap(_.split(";").toSeq).filter(_.nonEmpty).map { e =>
+              val Array(f, in, rn) = e.split(":", 3)
+              MatViews.MvAgg(f, dec(in), dec(rn))
             }
           MatViews.register(MatViews.MvDef(nm, mp.getProperty("base"),
             Option(mp.getProperty("group_cols")).toSeq
-              .flatMap(_.split(",")).filter(_.nonEmpty),
+              .flatMap(_.split(",")).filter(_.nonEmpty).map(dec),
             aggs, Option(mp.getProperty("sql")).getOrElse(""),
             MatViews.MvFreshness(Set(-1L), Map.empty)))
         }
@@ -963,11 +975,18 @@ class GraftSession(val spark: SparkSession) {
       val contents = mvContents(mv.base, fresh.refIds, mv.groupCols, mv.aggs)
       // buckets from the backing table's OWN snapshot, not session
       // state: a JDBC/other session may refresh a view it didn't create
-      val buckets = math.max(GraftColumnStore(nm).snapshot.numBuckets, 1)
-      MatViews.inMaintenance {
+      // (captured BEFORE the rewrite: a failed createTable drops the
+      // old table, and the retry must still know the layout)
+      val buckets = math.max(
+        GraftColumnStore.get(nm).map(_.snapshot.numBuckets).getOrElse(32), 1)
+      // createTable's supersede rule unregisters the view up front — a
+      // FAILED rebuild must not leave it silently vanished (no guard, no
+      // sys.matviews row, retry refused): restore the old registration
+      // (still stale, so it never serves) and rethrow
+      try MatViews.inMaintenance {
         createTable(nm, contents, keyColumns = mv.groupCols,
           partitionBy = mv.groupCols, buckets = buckets)
-      }
+      } catch { case e: Throwable => MatViews.register(mv); throw e }
       MatViews.register(mv.copy(fresh = fresh))
       "full"
     }

@@ -1,11 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.store.MatViews
 
-import graft.{GraftSession, QueryDef, Tables}
+import graft.{GraftSession, Plans, QueryDef, Tables}
 
 /** Materialized views over store tables: transparent rewrite, O(delta)
   * incremental refresh, and the freshness gate (a stale view NEVER
@@ -20,21 +19,14 @@ import graft.{GraftSession, QueryDef, Tables}
   */
 object MatViewQueries {
 
-  /** Store-table names scanned by the final plan. */
-  private def scanned(df: DataFrame): Set[String] =
-    df.queryExecution.optimizedPlan.collect {
-      case r: DataSourceV2Relation => r.table.name
-      case s: DataSourceV2ScanRelation => s.relation.table.name
-    }.toSet
-
   private def assertServedBy(df: DataFrame, mv: String): DataFrame = {
-    require(scanned(df).contains(s"graftstore.$mv"),
-      s"matview rewrite did not fire; scanned ${scanned(df)}")
+    require(Plans.scansStoreTable(df, mv),
+      s"matview rewrite did not fire; scanned ${Plans.scannedTables(df)}")
     df
   }
 
   private def assertNotServedBy(df: DataFrame, mv: String): DataFrame = {
-    require(!scanned(df).contains(s"graftstore.$mv"),
+    require(!Plans.scansStoreTable(df, mv),
       s"stale matview $mv must not serve")
     df
   }

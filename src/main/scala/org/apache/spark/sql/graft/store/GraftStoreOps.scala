@@ -310,7 +310,10 @@ object GraftStoreOps {
     }
   }
 
-  def compact(spark: SparkSession, table: String): Unit = {
+  // content-preserving rewrite: legal on a matview backing table too
+  // (compacting a big summary is exactly the 100 TB case), so it runs
+  // inside the maintenance scope rather than tripping the write guard
+  def compact(spark: SparkSession, table: String): Unit = MatViews.inMaintenance {
     val snap = GraftColumnStore(table).snapshot
     val w = read(spark, table).write.format(FORMAT).option("table", table)
       .option("compression", snap.compression)
@@ -334,7 +337,8 @@ object GraftStoreOps {
     * any index build.
     */
   def createIndex(spark: SparkSession, table: String, columns: Seq[String],
-      batchSize: Int = 16384): Unit = {
+      batchSize: Int = 16384): Unit = MatViews.inMaintenance {
+    // content-preserving like compact: indexing a summary table is legal
     val t = GraftColumnStore(table)
     columns.foreach(c => require(t.schema.fieldNames.contains(c),
       s"CREATE INDEX: no column '$c' in $table"))
@@ -586,7 +590,8 @@ object GraftStoreOps {
     * range order — per-bucket z-ordering is the follow-up).
     */
   def zorderBy(spark: SparkSession, table: String, columns: Seq[String],
-      bits: Int = 8, batchSize: Int = -1): Unit = {
+      bits: Int = 8, batchSize: Int = -1): Unit = MatViews.inMaintenance {
+    // content-preserving like compact: clustering a summary table is legal
     import org.apache.spark.sql.functions._
     require(columns.size >= 2, s"zorderBy: need >= 2 columns, got $columns")
     require(columns.size * bits <= 60, s"zorderBy: ${columns.size} cols x $bits bits > 60")

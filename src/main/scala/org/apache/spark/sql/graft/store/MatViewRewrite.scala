@@ -48,10 +48,16 @@ object MatViewSupport {
   def unwrapScan(child: LogicalPlan,
       allowFilter: Boolean): Option[(Option[Expression], GraftTable, DataSourceV2Relation)] =
     strip(child) match {
-      case r: DataSourceV2Relation => r.table match {
-        case gt: GraftTable => Some((None, gt, r))
-        case _ => None
-      }
+      // a batch_ids-pinned read is a MAINTENANCE scan addressing exact
+      // seals (a view's own delta/build pass above all): substituting a
+      // sibling view's whole-table summary for it would merge full-table
+      // totals as if they were the delta — a corrupt view that then
+      // PROVES fresh. Never rewrite pinned scans.
+      case r: DataSourceV2Relation if !r.options.containsKey("batch_ids") =>
+        r.table match {
+          case gt: GraftTable => Some((None, gt, r))
+          case _ => None
+        }
       case Filter(cond, inner) if allowFilter =>
         unwrapScan(inner, allowFilter = false).map {
           case (_, gt, r) => (Some(cond), gt, r) // inner filter impossible (allowFilter=false)
@@ -212,7 +218,7 @@ case class MatViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     session.conf.get("spark.sql.graft.matviewRewrite", "true").toBoolean
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!enabled || MatViews.all.isEmpty) return plan
+    if (!enabled || !MatViews.nonEmpty) return plan // cheap gate: runs on EVERY plan
     plan transformUp {
       case agg @ Aggregate(groupExprs, resultExprs, child, _) =>
         rewrite(agg, groupExprs, resultExprs, child).getOrElse(agg)

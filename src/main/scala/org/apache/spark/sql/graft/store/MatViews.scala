@@ -71,6 +71,9 @@ object MatViews {
 
   def all: Seq[MvDef] = views.values.toSeq.sortBy(_.name)
 
+  /** Allocation-free emptiness gate for the optimizer rule's hot path. */
+  def nonEmpty: Boolean = !views.isEmpty
+
   /** Current fingerprint of `base`'s live batch set — captured BEFORE
     * the build/refresh scan so anything landing during the scan can only
     * make the view conservatively stale, never falsely fresh (ids never

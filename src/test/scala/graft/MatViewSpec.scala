@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.store.{GraftColumnStore, MatViews}
 
@@ -15,15 +14,10 @@ class MatViewSpec extends SparkTestBase {
 
   private lazy val g = GraftSession(spark)
 
-  /** Store-table names scanned by a query (graftstore.x → x). */
-  private def scannedTables(df: DataFrame): Set[String] =
-    df.queryExecution.optimizedPlan.collect {
-      case r: DataSourceV2Relation => r.table.name
-      case s: DataSourceV2ScanRelation => s.relation.table.name
-    }.toSet
+  private def scannedTables(df: DataFrame): Set[String] = Plans.scannedTables(df)
 
   private def usesMatView(sql: String, mv: String): Boolean =
-    scannedTables(spark.sql(sql)).contains(s"graftstore.$mv")
+    Plans.scansStoreTable(spark.sql(sql), mv)
 
   /** Collect with the rewrite OFF — the base-scan ground truth. */
   private def direct(sql: String): Seq[String] = {
@@ -420,6 +414,69 @@ class MatViewSpec extends SparkTestBase {
       assert(sorted(spark.sql(q)) == direct(q), s"round $round diverged")
     }
     g.dropTable("mvb11")
+  }
+
+  test("sibling same-shape views: one view's delta scan is never served by the other") {
+    // mv_a and mv_b have identical shape over one base. After an append,
+    // refreshing A makes it fresh; B's OWN refresh then runs a
+    // batch_ids-pinned delta aggregate over the same base — if the
+    // rewrite substituted fresh A for that pinned scan, B would merge
+    // WHOLE-TABLE totals as its delta (double counts) and then prove
+    // fresh. The rule declines pinned scans; both views must agree with
+    // base truth after refreshing in sequence.
+    val df0 = spark.range(300).select(
+      (col("id") % 6).cast("int").as("k"), col("id").as("v"))
+    g.createTable("mvb12", df0)
+    g.sql("CREATE MATERIALIZED VIEW mv12a AS SELECT k, sum(v) AS sv, count(*) AS n FROM mvb12 GROUP BY k")
+    g.sql("CREATE MATERIALIZED VIEW mv12b AS SELECT k, sum(v) AS sv, count(*) AS n FROM mvb12 GROUP BY k")
+    g.insert("mvb12", spark.range(300, 420).select(
+      (col("id") % 6).cast("int").as("k"), col("id").as("v")))
+    assert(g.refreshMaterializedView("mv12a") == "incremental")
+    assert(g.refreshMaterializedView("mv12b") == "incremental")
+    val q = "SELECT k, sum(v) AS sv, count(*) AS n FROM mvb12 GROUP BY k"
+    assert(usesMatView(q, "mv12a") || usesMatView(q, "mv12b"))
+    assert(sorted(spark.sql(q)) == direct(q), "a sibling view served a hijacked delta")
+    // both backing tables hold base truth independently
+    Seq("mv12a", "mv12b").foreach { mv =>
+      assert(sorted(GraftStoreOps_read(mv).select(col("k"),
+        col("__g0_sum").as("sv"), col("__g1_cnt").as("n"))) == direct(q), mv)
+    }
+    g.dropTable("mvb12")
+  }
+
+  test("content-preserving maintenance (compact) is legal on a backing table") {
+    freshBase("mvb13", rows = 200)
+    g.sql("CREATE MATERIALIZED VIEW mv13 AS SELECT k, sum(v) AS sv FROM mvb13 GROUP BY k")
+    val q = "SELECT k, sum(v) AS sv FROM mvb13 GROUP BY k"
+    val truth = direct(q)
+    // compacting the summary must not trip the write guard, and serving
+    // continues unchanged afterwards
+    org.apache.spark.sql.graft.store.GraftStoreOps.compact(spark, "mv13")
+    assert(usesMatView(q, "mv13"))
+    assert(sorted(spark.sql(q)) == truth)
+    // ... while a plain user write is still refused
+    val e = intercept[Exception](
+      g.insert("mv13", spark.sql("SELECT * FROM mv13 LIMIT 1")))
+    assert(e.getMessage.contains("materialized view"))
+    g.dropTable("mvb13")
+  }
+
+  test("a reused checkpoint dir does not leak matview status onto a plain table") {
+    freshBase("mvb14", rows = 100)
+    g.sql("CREATE MATERIALIZED VIEW mv14 AS SELECT k, sum(v) AS sv FROM mvb14 GROUP BY k")
+    val dir = java.nio.file.Files.createTempDirectory("mv_reuse").toString
+    g.checkpointTable("mv14", dir) // writes matview.properties
+    g.dropTable("mvb14") // cascades mv14
+    // the NAME is reused for a plain table checkpointed into the SAME dir
+    g.createTable("mv14", spark.range(7).toDF("x"))
+    g.checkpointTable("mv14", dir) // must delete the stale sidecar
+    g.dropTable("mv14")
+    g.restoreTable("mv14", dir)
+    assert(!MatViews.isMatView("mv14"),
+      "plain table restored from a reused dir must not become a matview")
+    g.insertRows("mv14", org.apache.spark.sql.Row(99L)) // writable again
+    assert(spark.sql("SELECT count(*) FROM mv14").head().getLong(0) == 8L)
+    g.dropTable("mv14")
   }
 
   test("defining-query validation refuses joins, filters, and expressions") {

@@ -644,12 +644,8 @@ class StreamingSpec extends SparkTestBase {
     try {
       def served(): Seq[(Long, Long, Long)] = {
         val f = spark.sql("SELECT k, sum(v) AS sv, count(*) AS n FROM s_mv_live GROUP BY k")
-        val scans = f.queryExecution.optimizedPlan.collect {
-          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-            r.relation.table.name
-        }
-        assert(scans.contains("graftstore.s_mv_sum"),
-          s"between batches the summary must serve; scanned $scans")
+        assert(Plans.scansStoreTable(f, "s_mv_sum"),
+          s"between batches the summary must serve; scanned ${Plans.scannedTables(f)}")
         f.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
       }
       mem.addData((1L, 10L), (2L, 20L), (1L, 5L))
