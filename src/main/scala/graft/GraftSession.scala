@@ -1454,7 +1454,28 @@ class GraftSession(val spark: SparkSession) {
         table(name)
       } else mutate(name)(s => s.df.unionByName(aligned))
     maintainSamples(name, aligned)
+    maintainMatviews(name)
     out
+  }
+
+  /** Opt-in matview maintenance on INSERT (the matview face of the
+    * sample-maintenance hook above — the reference fans inserts into
+    * registered samples the same way, SampleInsertExec): with
+    * `spark.sql.graft.matviewAutoRefresh = true`, every session insert
+    * into a base refreshes its views through the O(delta) path, so they
+    * never go observably stale under an append-only workload. Off by
+    * default: it serializes per view and adds the merge cost to every
+    * insert, which batch pipelines should schedule instead. DSv2
+    * appends (`INSERT INTO graft.t`) bypass the session face — same
+    * scoping as sample maintenance; the freshness gate keeps those
+    * correct (stale view → base scan until REFRESH).
+    */
+  private def maintainMatviews(baseName: String): Unit = {
+    if (spark.conf.get("spark.sql.graft.matviewAutoRefresh", "false").toBoolean) {
+      val nm = normalize(baseName)
+      MatViews.all.filter(_.base == nm)
+        .foreach(m => refreshMaterializedView(m.name))
+    }
   }
 
   /** Fan a base-table insert into its registered samples — the

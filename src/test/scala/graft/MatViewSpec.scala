@@ -479,6 +479,29 @@ class MatViewSpec extends SparkTestBase {
     g.dropTable("mv14")
   }
 
+  test("matviewAutoRefresh: session inserts keep views fresh through the O(delta) path") {
+    freshBase("mvb15", rows = 150)
+    g.sql("CREATE MATERIALIZED VIEW mv15 AS SELECT k, sum(v) AS sv, count(*) AS n FROM mvb15 GROUP BY k")
+    val q = "SELECT k, sum(v) AS sv, count(*) AS n FROM mvb15 GROUP BY k"
+    spark.conf.set("spark.sql.graft.matviewAutoRefresh", "true")
+    try {
+      g.insert("mvb15", spark.range(150, 300).select(
+        (col("id") % 7).cast("int").as("k"), lit("c0").as("cat"),
+        col("id").as("v"), lit(1.0).as("d"), col("id").as("nv")))
+      // no explicit REFRESH: the insert maintained the view
+      assert(usesMatView(q, "mv15"), "auto-refreshed view must serve immediately")
+      assert(sorted(spark.sql(q)) == direct(q))
+    } finally spark.conf.set("spark.sql.graft.matviewAutoRefresh", "false")
+    // off (default): the same insert leaves the view stale until REFRESH
+    g.insert("mvb15", spark.range(300, 360).select(
+      (col("id") % 7).cast("int").as("k"), lit("c0").as("cat"),
+      col("id").as("v"), lit(1.0).as("d"), col("id").as("nv")))
+    assert(!usesMatView(q, "mv15"))
+    assert(g.refreshMaterializedView("mv15") == "incremental")
+    assert(sorted(spark.sql(q)) == direct(q))
+    g.dropTable("mvb15")
+  }
+
   test("defining-query validation refuses joins, filters, and expressions") {
     val bad = Seq(
       "SELECT m1.k, sum(m1.v) AS s FROM mvb1 m1 JOIN mvb1 m2 ON m1.k = m2.k GROUP BY m1.k",
