@@ -29,7 +29,8 @@ import scala.collection.concurrent.TrieMap
   * At cluster scale the same API would sit over a DSv2 catalog with
   * persistent storage; the semantics exposed to queries are identical.
   */
-class GraftSession(val spark: SparkSession) {
+class GraftSession(val spark: SparkSession)
+    extends org.apache.spark.internal.Logging {
 
   /** Catalog entry for a managed table. `storeBacked` tables live in the
     * graftstore DSv2 column store (delta/delete mutation, bucketed
@@ -322,15 +323,21 @@ class GraftSession(val spark: SparkSession) {
         Seq("constraints" -> org.apache.spark.sql.graft.Constraints.encode(tc)),
         s"graft constraints for $nm", file = "constraints.properties")
     }
-    // a matview's DEFINITION rides its checkpoint the same way, so a
-    // cold JVM (restoreTable / BOOTSTRAP CATALOG) recovers the view
-    // registered-but-STALE: freshness fingerprints name payload ids of
-    // the JVM that recorded them, so a restored view can never prove
-    // itself current — the first REFRESH (full) revalidates it.
-    // Fields URL-encode (aliases may contain the delimiters); a PLAIN
-    // table checkpointing into a REUSED dir deletes any stale sidecar —
-    // layout/data overwrite, and the matview marker must not outlive
-    // the view it described (restore would guard-lock the plain table).
+    writeMatviewSidecar(nm, dir)
+  }
+
+  /** A matview's DEFINITION rides its durable artifacts (checkpoint dir
+    * AND each published epoch dir), so a cold JVM (restoreTable /
+    * BOOTSTRAP CATALOG, either source) recovers the view
+    * registered-but-STALE: freshness fingerprints name payload ids of
+    * the JVM that recorded them, so a restored view can never prove
+    * itself current — the first REFRESH (full) revalidates it.
+    * Fields URL-encode (aliases may contain the delimiters); a PLAIN
+    * table checkpointing into a REUSED dir deletes any stale sidecar —
+    * layout/data overwrite, and the matview marker must not outlive
+    * the view it described (restore would guard-lock the plain table).
+    */
+  private def writeMatviewSidecar(nm: String, dir: String): Unit = {
     import java.net.{URLEncoder => UEnc}
     def enc(s: String): String = UEnc.encode(s, "UTF-8")
     org.apache.spark.sql.graft.store.MatViews.get(nm) match {
@@ -340,6 +347,7 @@ class GraftSession(val spark: SparkSession) {
           "group_cols" -> mv.groupCols.map(enc).mkString(","),
           "aggs" -> mv.aggs.map(a =>
             s"${a.func}:${enc(a.input)}:${enc(a.resultName)}").mkString(";"),
+          "predicate" -> mv.predicate.map(enc).mkString(";"),
           "sql" -> mv.sql),
           s"graft matview definition for $nm", file = "matview.properties")
       case None =>
@@ -348,6 +356,29 @@ class GraftSession(val spark: SparkSession) {
         if (fs.exists(p)) fs.delete(p, false)
     }
   }
+
+  /** Read `dir`'s matview sidecar, if any, and register the definition
+    * with a freshness SENTINEL no live snapshot can match (-1 is never a
+    * payload id): the recovered view declines to serve until a REFRESH
+    * rebuilds it against the recovered base's own payload ids.
+    */
+  private def registerMatviewSidecar(nm: String, dir: String): Unit =
+    org.apache.spark.sql.graft.store.GraftManifest
+      .readOpt(spark, dir, "matview.properties").foreach { mp =>
+        def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+        def list(prop: String): Seq[String] = Option(mp.getProperty(prop)).toSeq
+          .flatMap(_.split(";").toSeq).filter(_.nonEmpty)
+        val aggs = list("aggs").map { e =>
+          val Array(f, in, rn) = e.split(":", 3)
+          MatViews.MvAgg(f, dec(in), dec(rn))
+        }
+        MatViews.register(MatViews.MvDef(nm, mp.getProperty("base"),
+          Option(mp.getProperty("group_cols")).toSeq
+            .flatMap(_.split(",")).filter(_.nonEmpty).map(dec),
+          aggs, Option(mp.getProperty("sql")).getOrElse(""),
+          MatViews.MvFreshness(Set(-1L), Map.empty),
+          predicate = list("predicate").map(dec)))
+      }
 
   /** Checkpoint to the table's bound DISKSTORE (reference persistence:
     * "a table that does not target a named disk store uses the default
@@ -401,12 +432,18 @@ class GraftSession(val spark: SparkSession) {
     val nm = normalize(name)
     require(isManaged(nm), s"publishTable($name): not a managed table")
     org.apache.spark.sql.graft.store.LiveCheckpoint.publish(spark, nm, root,
-      beforeCommit = dir =>
+      beforeCommit = dir => {
         org.apache.spark.sql.graft.Constraints.get(nm).foreach { tc =>
           org.apache.spark.sql.graft.store.GraftManifest.write(spark, dir,
             Seq("constraints" -> org.apache.spark.sql.graft.Constraints.encode(tc)),
             s"graft constraints for $nm", file = "constraints.properties")
-        },
+        }
+        // the matview definition rides each epoch too (before the commit
+        // marker, so no reader can attach an epoch missing it): a backing
+        // table recovered from epochs — bootstrap's "newest artifact
+        // wins" — comes back a MATVIEW (stale), not a plain table
+        writeMatviewSidecar(nm, dir)
+      },
       incremental = incremental)
   }
 
@@ -591,24 +628,7 @@ class GraftSession(val spark: SparkSession) {
       val s = GraftColumnStore(nm).snapshot
       tables.put(nm, TableState(df, s.keyColumns, s.bucketBy,
         math.max(s.numBuckets, 0), storeBacked = true))
-      // matview sidecar → re-register the definition with a freshness
-      // SENTINEL no live snapshot can match (-1 is never a payload id):
-      // the restored view declines to serve until a REFRESH rebuilds it
-      // against the restored base's own payload ids
-      org.apache.spark.sql.graft.store.GraftManifest
-        .readOpt(spark, dir, "matview.properties").foreach { mp =>
-          def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
-          val aggs = Option(mp.getProperty("aggs")).toSeq
-            .flatMap(_.split(";").toSeq).filter(_.nonEmpty).map { e =>
-              val Array(f, in, rn) = e.split(":", 3)
-              MatViews.MvAgg(f, dec(in), dec(rn))
-            }
-          MatViews.register(MatViews.MvDef(nm, mp.getProperty("base"),
-            Option(mp.getProperty("group_cols")).toSeq
-              .flatMap(_.split(",")).filter(_.nonEmpty).map(dec),
-            aggs, Option(mp.getProperty("sql")).getOrElse(""),
-            MatViews.MvFreshness(Set(-1L), Map.empty)))
-        }
+      registerMatviewSidecar(nm, dir)
       df
     }
   }
@@ -683,6 +703,11 @@ class GraftSession(val spark: SparkSession) {
                 registerEpochConstraints(nm, dir, epoch)
                 registerFromStore(nm)
                 ReplicaGuard.clear(nm) // owned (publisher recovery), not a replica
+                // matview identity rides the epoch's own sidecar: the
+                // recovered view registers STALE (sentinel fingerprint),
+                // write-guarded, visible in sys.matviews; REFRESH revives
+                MatViews.unregister(nm)
+                registerMatviewSidecar(nm, LiveCheckpoint.dirFor(dir, epoch))
                 Diskstores.bind(nm, ds.name)
                 out += ((nm, ds.name, "epoch", epoch, "restored"))
               } else {
@@ -869,6 +894,29 @@ class GraftSession(val spark: SparkSession) {
     createTable(name, topk)
   }
 
+  /** Hokusai time decay over a [[createApproxTSTopK]] store: halve the
+    * CMS width of every epoch sketch whose bucket ENDED at or before
+    * `olderThan` (`generations` halvings — memory shrinks 2^g, the error
+    * bound widens by the same factor). Range queries keep working across
+    * mixed widths: the merge aggregate folds fresh sketches down to the
+    * oldest touched epoch's width (CmsTopKMerge.aligned), so an answer
+    * carries the widest error bound among the epochs it spans — exactly
+    * the Hokusai contract (aged data answers coarser, recent data stays
+    * sharp, total state is bounded instead of linear in history).
+    * Idempotence note: re-running with the same cutoff decays AGAIN —
+    * callers advance `olderThan` monotonically, as a retention job does.
+    */
+  def decayApproxTSTopK(name: String, olderThan: String,
+      generations: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val st = s"${name}_sketches"
+    require(isManaged(st), s"decayApproxTSTopK($name): no sketch table $st — " +
+      "created before the sketch sidecar existed, or not an approx-topk store")
+    update(st, c("bucket_end") <= lit(olderThan).cast("timestamp"),
+      "sketch" -> org.apache.spark.sql.graft.CmsTopKAggregate
+        .approx_topk_decay(c("sketch"), generations))
+  }
+
   /** queryApproxTSTopK (reference SnappySession.queryApproxTSTopK:2162):
     * top-k within [start, end) by MERGING the per-epoch CMS sketches in
     * the range (counters add, so the answer equals a single sketch over
@@ -929,27 +977,34 @@ class GraftSession(val spark: SparkSession) {
   def createMaterializedView(name: String, viewSql: String,
       buckets: Int = 32): DataFrame = MatViews.withMaintenanceLock(normalize(name)) {
     val nm = normalize(name)
-    require(!isManaged(nm), s"CREATE MATERIALIZED VIEW $nm: name in use")
+    // the store registries are JVM-global while isManaged is session-
+    // local: guard against a SECOND session (JDBC, bootstrap) silently
+    // clobbering a same-named table/view created elsewhere
+    require(!isManaged(nm) && GraftColumnStore.get(nm).isEmpty &&
+      org.apache.spark.sql.graft.store.GraftRowStore.get(nm).isEmpty &&
+      !MatViews.isMatView(nm),
+      s"CREATE MATERIALIZED VIEW $nm: name in use")
     val analyzed = spark.sql(viewSql).queryExecution.analyzed
-    val (gt, groupCols, aggs) = MatViewSupport.analyzeDefinition(analyzed)
+    val (gt, groupCols, aggs, predicate) = MatViewSupport.analyzeDefinition(analyzed)
     val base = gt.storeName
     // fingerprint BEFORE the pinned scan: concurrent mutations can only
     // make the view conservatively stale, never falsely fresh
     val fresh = MatViews.fingerprint(GraftColumnStore(base).snapshot)
-    val contents = mvContents(base, fresh.refIds, groupCols, aggs)
+    val contents = mvContents(base, fresh.refIds, groupCols, aggs, predicate)
     val df = MatViews.inMaintenance {
       createTable(nm, contents, keyColumns = groupCols,
         partitionBy = groupCols, buckets = buckets)
     }
-    MatViews.register(MatViews.MvDef(nm, base, groupCols, aggs, viewSql, fresh))
+    MatViews.register(
+      MatViews.MvDef(nm, base, groupCols, aggs, viewSql, fresh, predicate))
     df
   }
 
   private def mvContents(base: String, ids: Set[Long], groupCols: Seq[String],
-      aggs: Seq[MatViews.MvAgg]): DataFrame = {
+      aggs: Seq[MatViews.MvAgg], predicate: Seq[String]): DataFrame = {
     val cols = MatViewSupport.buildAggs(aggs)
-    pinnedRead(base, ids).groupBy(groupCols.map(col): _*)
-      .agg(cols.head, cols.tail: _*)
+    val scan = predicate.foldLeft(pinnedRead(base, ids))((df, p) => df.filter(expr(p)))
+    scan.groupBy(groupCols.map(col): _*).agg(cols.head, cols.tail: _*)
   }
 
   /** REFRESH MATERIALIZED VIEW — O(delta) after pure appends (aggregate
@@ -972,7 +1027,8 @@ class GraftSession(val spark: SparkSession) {
     val oldIntact = mv.fresh.refIds.subsetOf(fresh.refIds) &&
       snap.mutationState(mv.fresh.refIds) == mv.fresh.fp
     def rebuild(): String = {
-      val contents = mvContents(mv.base, fresh.refIds, mv.groupCols, mv.aggs)
+      val contents =
+        mvContents(mv.base, fresh.refIds, mv.groupCols, mv.aggs, mv.predicate)
       // buckets from the backing table's OWN snapshot, not session
       // state: a JDBC/other session may refresh a view it didn't create
       // (captured BEFORE the rewrite: a failed createTable drops the
@@ -994,7 +1050,7 @@ class GraftSession(val spark: SparkSession) {
     else if (!oldIntact || mv.groupCols.isEmpty) rebuild()
     else {
       val newIds = fresh.refIds -- mv.fresh.refIds
-      val delta = mvContents(mv.base, newIds, mv.groupCols, mv.aggs)
+      val delta = mvContents(mv.base, newIds, mv.groupCols, mv.aggs, mv.predicate)
         .localCheckpoint(false)
       // a NULL group key defeats the equality-keyed merge join below
       // (and putInto's key matching) — correctness wins: full rebuild
@@ -1473,8 +1529,18 @@ class GraftSession(val spark: SparkSession) {
   private def maintainMatviews(baseName: String): Unit = {
     if (spark.conf.get("spark.sql.graft.matviewAutoRefresh", "false").toBoolean) {
       val nm = normalize(baseName)
-      MatViews.all.filter(_.base == nm)
-        .foreach(m => refreshMaterializedView(m.name))
+      // best-effort per view: by the time maintenance runs the append has
+      // already COMMITTED, so a refresh failure must not surface as a
+      // failed insert (the caller's rows landed), and one bad view must
+      // not block maintenance of its siblings — the freshness gate keeps
+      // an unmaintained view safe (stale → base scan until REFRESH)
+      MatViews.all.filter(_.base == nm).foreach { m =>
+        try refreshMaterializedView(m.name)
+        catch { case scala.util.control.NonFatal(e) =>
+          logWarning(s"matviewAutoRefresh: refresh of ${m.name} after " +
+            s"insert into $nm failed (view stays stale until REFRESH)", e)
+        }
+      }
     }
   }
 

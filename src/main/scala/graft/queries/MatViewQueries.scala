@@ -147,6 +147,78 @@ object MatViewQueries {
         .orderBy("o_orderpriority")
     },
 
+    // ---- FILTERED view: the view pre-filters to one status; a query
+    // restating the predicate VERBATIM is served (plan-asserted), one
+    // omitting or changing it is refused (exact containment — rows the
+    // view excluded can never come back from the summary) ----
+    QueryDef.sql(
+      "q_matview_filtered",
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      reset(g, "q_mvf_sum", "q_mvf_base")
+      g.createTable("q_mvf_base", Tables.load(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,4)").as("amt")),
+        partitionBy = Seq("o_orderpriority"), buckets = 4)
+      g.sql("CREATE MATERIALIZED VIEW q_mvf_sum AS " +
+        "SELECT o_orderpriority, sum(amt) AS s, count(*) AS n " +
+        "FROM q_mvf_base WHERE o_orderstatus = 'F' GROUP BY o_orderpriority")
+      // no predicate / different literal → the view must NOT serve
+      assertNotServedBy(s.sql("SELECT o_orderpriority, sum(amt) AS ts " +
+        "FROM q_mvf_base GROUP BY o_orderpriority"), "q_mvf_sum")
+      assertNotServedBy(s.sql("SELECT o_orderpriority, sum(amt) AS ts " +
+        "FROM q_mvf_base WHERE o_orderstatus = 'O' GROUP BY o_orderpriority"),
+        "q_mvf_sum")
+      val served = s.sql(
+        "SELECT o_orderpriority, sum(amt) AS ts, count(*) AS n " +
+          "FROM q_mvf_base WHERE o_orderstatus = 'F' GROUP BY o_orderpriority")
+      assertServedBy(served, "q_mvf_sum")
+        .select(col("o_orderpriority"), col("ts").cast("double").as("total"), col("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- decimal AVG: materializes exactly (sum slot already carries
+    // Average's internal decimal buffer type); the rollup re-derives the
+    // average through Average's own decimal evaluate tree, pinned
+    // BIT-exact against the base scan inside the query body ----
+    QueryDef.sql(
+      "q_matview_decimal_avg",
+      """SELECT o_orderstatus,
+        |  (sign(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)) * floor(abs(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0) AS avg_price,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      reset(g, "q_mva_sum", "q_mva_base")
+      g.createTable("q_mva_base", Tables.load(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,4)").as("amt")),
+        partitionBy = Seq("o_orderstatus"), buckets = 4)
+      g.sql("CREATE MATERIALIZED VIEW q_mva_sum AS " +
+        "SELECT o_orderstatus, o_orderpriority, avg(amt) AS a, count(*) AS n " +
+        "FROM q_mva_base GROUP BY o_orderstatus, o_orderpriority")
+      val q = "SELECT o_orderstatus, avg(amt) AS a, count(*) AS n " +
+        "FROM q_mva_base GROUP BY o_orderstatus"
+      val served = assertServedBy(s.sql(q), "q_mva_sum")
+      // bit-exactness pin: the view-derived decimal average must equal
+      // the base-scan decimal average EXACTLY (same type, same rounding)
+      s.conf.set("spark.sql.graft.matviewRewrite", "false")
+      val truth = try s.sql(q).collect().map(_.toString).sorted.toSeq
+      finally s.conf.set("spark.sql.graft.matviewRewrite", "true")
+      require(served.collect().map(_.toString).sorted.toSeq == truth,
+        "view-derived decimal avg diverged from the base scan")
+      served.select(col("o_orderstatus"),
+        graft.dround(col("a").cast("double"), 2).as("avg_price"), col("n"))
+        .orderBy("o_orderstatus")
+    },
+
     // ---- freshness gate: after a DELETE the view is provably stale —
     // the SAME aggregate must fall back to the base scan (asserted) and
     // still answer post-delete truth; REFRESH takes the "full" path

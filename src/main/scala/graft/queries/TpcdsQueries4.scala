@@ -4,8 +4,10 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** TPC-DS-shaped waves 6-10 (reference: cluster/src/test/.../benchmark/
-  * snappy/tpcds/): wave 7 is q11's cross-multiplied year-over-year
+/** TPC-DS-shaped waves 6-11 (reference: cluster/src/test/.../benchmark/
+  * snappy/tpcds/): wave 11 is q37/q82's inventory-availability window
+  * (price-banded dim ⋈ windowed+banded fact, sold-check semi-join) and
+  * q95's double-EXISTS supplier overlap; wave 7 is q11's cross-multiplied year-over-year
   * preference-shift ratio (`q_ds_spend_shift`); wave 6 is the two
   * harness mechanics the earlier waves still missed —
   * q67's windowed top-k over a ROLLUP hierarchy (rank the rollup output
@@ -343,6 +345,83 @@ object TpcdsQueries4 {
           sum(col("o_totalprice").cast("decimal(18,4)") * 100)
             .cast("long").as("rev_c"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // ---- wave 11: q37/q82 shape — inventory-availability window. A
+    // price-banded item dim joins an "inventory" fact restricted to a
+    // 4-month date window and a quantity band, kept only when the item
+    // also SOLD (semi-join to a second fact reference). Plan shape at
+    // 100×: the dim filter broadcasts (a narrow retail-price slice of the dim survives), the date+quantity predicates push into the fact scan, the
+    // sold-check is one keyed semi-join — no plan node scales with the
+    // unfiltered fact. ----
+    QueryDef.sql(
+      "q_ds_inventory_window",
+      """SELECT p_partkey, p_brand,
+        |  CAST(p_retailprice AS DOUBLE) AS price,
+        |  CAST(count(*) AS BIGINT) AS n_avail
+        |FROM part JOIN lineitem ON l_partkey = p_partkey
+        |WHERE p_retailprice BETWEEN 905 AND 950
+        |  AND l_shipdate BETWEEN TIMESTAMP '1995-03-01 00:00:00'
+        |                     AND TIMESTAMP '1995-06-30 00:00:00'
+        |  AND l_quantity BETWEEN 10 AND 30
+        |  AND EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
+        |GROUP BY p_partkey, p_brand, p_retailprice
+        |ORDER BY p_partkey
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val part = Tables.load(s, dir, "part")
+        .filter(col("p_retailprice").between(905, 950))
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+          lit("1995-03-01 00:00:00").cast("timestamp"),
+          lit("1995-06-30 00:00:00").cast("timestamp")) &&
+          col("l_quantity").between(10, 30))
+        .select(col("l_partkey"), col("l_orderkey"))
+      val fulfilled = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      li.join(fulfilled, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .agg(count(lit(1)).as("n_avail"))
+        .select(col("p_partkey"), col("p_brand"),
+          col("p_retailprice").cast("double").as("price"), col("n_avail"))
+        .orderBy(col("p_partkey"))
+        .limit(100)
+    },
+
+    // ---- wave 11: q95 shape — double-EXISTS overlap. Fulfilled orders
+    // that (a) drew lines from at least TWO distinct suppliers and (b)
+    // had a returned line. Both existence sets derive from ONE lineitem
+    // pass each — the multi-supplier set as a groupBy-HAVING (one
+    // shuffle on the order key; q95's self-join formulation would
+    // explode per-order line pairs), the returned set as a filtered
+    // distinct — then two keyed semi-joins against orders. ----
+    QueryDef.sql(
+      "q_ds_supplier_overlap",
+      """SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)) * 10000) AS BIGINT) AS total_e4
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |  AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey
+        |                     HAVING count(DISTINCT l_suppkey) > 1)
+        |  AND EXISTS (SELECT 1 FROM lineitem lr
+        |              WHERE lr.l_orderkey = o_orderkey
+        |                AND lr.l_returnflag = 'R')""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val multiSupp = li.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("ns"))
+        .filter(col("ns") > 1).select(col("l_orderkey"))
+      val returned = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("r_ok")).distinct()
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .join(multiSupp, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .join(returned, col("o_orderkey") === col("r_ok"), "left_semi")
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)") * 10000)
+            .cast("long").as("total_e4"))
     }
   )
 }

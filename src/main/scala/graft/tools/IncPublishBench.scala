@@ -69,6 +69,34 @@ object IncPublishBench {
       g.dropTable("incb_srv"); g.dropTable("incb_view")
       GraftColumnStore.drop("incb")
     }
+
+    // ROW-table arm (r12): the PK-keyed serving-table shape — same
+    // full-vs-incremental protocol, pack-granularity reuse
+    import org.apache.spark.sql.graft.store.{GraftRowOps, GraftRowStore}
+    val rn = math.min(n, 2000000L) // row packs are heavier per row
+    Seq("full", "incremental").foreach { mode =>
+      val inc = mode == "incremental"
+      val root = java.nio.file.Files.createTempDirectory(s"incbr_$mode").toString
+      spark.range(rn)
+        .select(col("id").as("rk"), (col("id") * 3).as("rv"),
+          concat(lit("payload_string_"), col("id")).as("rs"))
+        .write.format(GraftRowOps.FORMAT).option("table", "incbr")
+        .option("key_columns", "rk").option("partition_by", "rk")
+        .option("buckets", "32").mode("overwrite").save()
+      val (_, t0) = time(LiveCheckpoint.publish(spark, "incbr", root, incremental = inc))
+      val deltas = (1 to 3).map { i =>
+        spark.range(rn + i * rn / 400, rn + (i + 1) * rn / 400)
+          .select(col("id").as("rk"), (col("id") * 3).as("rv"),
+            concat(lit("payload_string_"), col("id")).as("rs"))
+          .write.format(GraftRowOps.FORMAT).option("table", "incbr")
+          .mode("append").save()
+        val (_, t) = time(LiveCheckpoint.publish(spark, "incbr", root, incremental = inc))
+        t
+      }
+      println(f"INCBENCH mode=row_$mode%-7s rows=$rn epoch0=${t0}%.2fs " +
+        f"steady=${deltas.map(d => f"$d%.2f").mkString("/")}s")
+      GraftRowStore.drop("incbr")
+    }
     spark.stop()
   }
 }

@@ -8,7 +8,7 @@ import graft.{GraftSession, Tables}
 /** Matview scale rehearsal: does the rewrite's advantage GROW with the
   * base table, and does incremental refresh stay O(delta)?
   *
-  * Arms, at base sizes ×1/×4/×16 of sf lineitem:
+  * Arms, at base sizes ×1/×16/×64 of sf lineitem:
   *  - base_agg:    the rollup GROUP BY against the base scan (rewrite off)
   *  - mv_agg:      the same query served from the matview (rewrite on)
   *  - build:       CREATE MATERIALIZED VIEW cost (one O(table) pass)

@@ -136,6 +136,37 @@ final class CmsTopKBuffer(val width: Int, val depth: Int, val k: Int,
   /** Top-k (key, count), count desc then key asc. */
   def topK: Seq[(String, Long)] =
     candidates.toSeq.sortBy { case (key, est) => (-est, key) }.take(k)
+
+  /** Hokusai "item aggregation" width decay: fold this sketch to
+    * `targetWidth` (any divisor of `width`) by summing the cells of each
+    * residue class mod target. Because the row hash indexes by
+    * `H(key,row) % width`, and (H % width) % target == H % target when
+    * target divides width, the folded array is CELL-FOR-CELL IDENTICAL
+    * to a sketch built directly at the target width over the same rows
+    * (CmsTopKSpec pins that equality) — so the CMS overestimate
+    * guarantee survives, with the error bound widened by width/target.
+    * Memory shrinks by the same factor: aged epochs keep answering
+    * range queries at geometrically decaying cost, the Hokusai trade.
+    */
+  def foldTo(targetWidth: Int): CmsTopKBuffer = {
+    require(targetWidth > 0 && width % targetWidth == 0,
+      s"CMS decay: target width $targetWidth must divide sketch width $width")
+    if (targetWidth == width) return this
+    val nb = new CmsTopKBuffer(targetWidth, depth, k)
+    var r = 0
+    while (r < depth) {
+      var j = 0
+      while (j < width) {
+        nb.counts(r * targetWidth + j % targetWidth) += counts(r * width + j)
+        j += 1
+      }
+      r += 1
+    }
+    // the candidate pool carries over, re-estimated against the folded
+    // cells (estimates can only grow — more collisions, same guarantee)
+    candidates.keysIterator.foreach(key => nb.candidates.update(key, nb.estimate(key)))
+    nb
+  }
 }
 
 case class CmsTopK(
@@ -258,19 +289,31 @@ case class CmsTopKMerge(
     new CmsTopKBuffer(1, 1, k, empty = true)
   private def isSentinel(b: CmsTopKBuffer): Boolean = b.empty
 
+  /** Mixed widths are LEGAL on the merge side: a Hokusai store holds
+    * width-decayed aged epochs beside fresh full-width ones. Fold the
+    * wider sketch down to the narrower (the folded array equals a
+    * direct build at that width — [[CmsTopKBuffer.foldTo]]), then merge
+    * cell-for-cell as usual. The range answer carries the WIDEST error
+    * bound among the epochs touched, exactly Hokusai's contract.
+    */
+  private def aligned(a: CmsTopKBuffer, b: CmsTopKBuffer): (CmsTopKBuffer, CmsTopKBuffer) =
+    if (a.width == b.width) (a, b)
+    else if (a.width > b.width) (a.foldTo(b.width), b)
+    else (a, b.foldTo(a.width))
+
   override def update(buf: CmsTopKBuffer, input: InternalRow): CmsTopKBuffer = {
     val v = stateExpr.eval(input)
     if (v == null) buf
     else {
       val o = CmsTopKAggregate.read(v.asInstanceOf[Array[Byte]])
       if (isSentinel(buf)) o
-      else { buf.merge(o); buf }
+      else { val (a, b) = aligned(buf, o); a.merge(b); a }
     }
   }
   override def merge(buf: CmsTopKBuffer, other: CmsTopKBuffer): CmsTopKBuffer =
     if (isSentinel(other)) buf
     else if (isSentinel(buf)) other
-    else { buf.merge(other); buf }
+    else { val (a, b) = aligned(buf, other); a.merge(b); a }
   override def eval(buf: CmsTopKBuffer): Any =
     new GenericArrayData(buf.topK.take(k).map { case (key, cnt) =>
       InternalRow(UTF8String.fromString(key), cnt)
@@ -285,6 +328,35 @@ case class CmsTopKMerge(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(stateExpr = cs(0))
+}
+
+/** Scalar width-decay of one serialized sketch — the maintenance face of
+  * [[CmsTopKBuffer.foldTo]]: halve the width `generations` times (stop
+  * early at odd widths). Hokusai time decay: run it over aged epochs of
+  * a `_sketches` state table and their memory shrinks 2^g while range
+  * queries keep working through [[CmsTopKMerge]]'s width alignment.
+  * CodegenFallback is fine — this runs at maintenance cadence over
+  * O(epochs) rows, never in a per-row hot path.
+  */
+case class CmsTopKDecay(child: Expression, generations: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(generations >= 0, "approx_topk_decay: generations must be >= 0")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "approx_topk_decay"
+  override protected def nullSafeEval(input: Any): Any = {
+    val buf = CmsTopKAggregate.read(input.asInstanceOf[Array[Byte]])
+    if (buf.empty) input
+    else {
+      var target = buf.width
+      var g = generations
+      while (g > 0 && target % 2 == 0) { target /= 2; g -= 1 }
+      if (target == buf.width) input
+      else CmsTopKAggregate.write(buf.foldTo(target))
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): CmsTopKDecay =
+    copy(child = c)
 }
 
 object CmsTopKAggregate {
@@ -302,6 +374,13 @@ object CmsTopKAggregate {
   def approx_topk_merge(state: Column, k: Int): Column =
     ExpressionUtils.column(
       CmsTopKMerge(ExpressionUtils.expression(state), k).toAggregateExpression())
+
+  /** Column API: width-decay a serialized sketch by `generations`
+    * halvings (Hokusai item aggregation over aged epochs).
+    */
+  def approx_topk_decay(state: Column, generations: Int): Column =
+    ExpressionUtils.column(
+      CmsTopKDecay(ExpressionUtils.expression(state), generations))
 
   private[graft] def write(buf: CmsTopKBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

@@ -207,20 +207,30 @@ object Constraints {
       a.identity.orElse(b.identity), a.primaryKey ++ b.primaryKey)
   }
 
-  /** Top-level comma split, paren- and quote-aware. */
+  /** Top-level comma split — paren-, quote- AND angle-bracket-aware:
+    * `struct<a:int, b:string>` / `map<string,int>` carry commas inside
+    * `<...>` type parameters, which are one column def, not two. A `<`
+    * opens a type-parameter list only when it directly follows an
+    * identifier character (`array<`, `struct<`), so comparison operators
+    * in constraint expressions (`a < 5`, `a <> b`) never unbalance it.
+    */
   private[graft] def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
+    var angle = 0
     var start = 0
     var i = 0
     while (i < s.length) {
       s.charAt(i) match {
         case '(' => depth += 1
         case ')' => depth -= 1
+        case '<' if i > 0 && (Character.isLetterOrDigit(s.charAt(i - 1)) ||
+            s.charAt(i - 1) == '_') => angle += 1
+        case '>' if angle > 0 => angle -= 1
         case q @ ('\'' | '"' | '`') =>
           i += 1
           while (i < s.length && s.charAt(i) != q) i += 1
-        case ',' if depth == 0 =>
+        case ',' if depth == 0 && angle == 0 =>
           out += s.substring(start, i)
           start = i + 1
         case _ =>

@@ -594,6 +594,16 @@ case class GraftCreateDiskstoreCommand(name: String, ifNotExists: Boolean,
     props: Map[String, String], dirs: Seq[String]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     org.apache.spark.sql.graft.store.Diskstores.create(name, dirs, props, ifNotExists)
+    // opt-in implicit durability (the reference's catalog lives INSIDE
+    // the store, so a restarted member recovers its tables without
+    // being asked — SnappyHiveExternalCatalog.scala:67): with
+    // spark.sql.graft.bootstrapOnInit=true, registering a diskstore in
+    // a cold JVM immediately sweeps it, so every durable table under it
+    // reappears with zero further calls. Existing names win (the sweep
+    // reports skipped_exists), so a warm-JVM re-register is a no-op.
+    if (spark.conf.get("spark.sql.graft.bootstrapOnInit", "false").toBoolean) {
+      graft.GraftSession(spark).bootstrap(Some(name))
+    }
     Nil
   }
 }

@@ -374,9 +374,16 @@ object GraftRowOps {
       s"graftrow checkpoint of $table")
   }
 
-  def restore(spark: SparkSession, table: String, dir: String): org.apache.spark.sql.DataFrame = {
-    val p = GraftManifest.read(spark, dir)
-    val df = spark.read.parquet(s"$dir/data")
+  def restore(spark: SparkSession, table: String, dir: String): org.apache.spark.sql.DataFrame =
+    restoreFrom(spark, table, GraftManifest.read(spark, dir),
+      spark.read.parquet(s"$dir/data"))
+
+  /** Re-hydrate `table` from an arbitrary row frame + a layout manifest —
+    * the shared tail of checkpoint-dir restore and incremental-epoch
+    * attach (where rows come from shared payload files, not `data/`).
+    */
+  def restoreFrom(spark: SparkSession, table: String,
+      p: java.util.Properties, df: DataFrame): DataFrame = {
     GraftRowStore.drop(table)
     var w = df.write.format(FORMAT).option("table", table)
     Seq("partition_by", "buckets", "key_columns", "eviction_budget_bytes",

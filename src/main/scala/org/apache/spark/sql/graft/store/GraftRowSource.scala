@@ -134,7 +134,12 @@ class GraftRowTable(tableName: String, tableSchema: StructType,
     })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRowScanBuilder(tableName, tableSchema)
+    new GraftRowScanBuilder(tableName, tableSchema,
+      // maintenance reads (incremental publish) address specific packs:
+      // an explicit pack-id list prunes refs at planning — the row-store
+      // analog of the column source's batch_ids option
+      Option(options.get("pack_ids")).map(
+        _.split(",").iterator.map(_.trim.toLong).toSet))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // same store-level replica refusal as the column source — see
@@ -147,7 +152,8 @@ class GraftRowTable(tableName: String, tableSchema: StructType,
 
 // ------------------------------- read path -------------------------------
 
-class GraftRowScanBuilder(tableName: String, fullSchema: StructType)
+class GraftRowScanBuilder(tableName: String, fullSchema: StructType,
+    packIds: Option[Set[Long]] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -166,7 +172,8 @@ class GraftRowScanBuilder(tableName: String, fullSchema: StructType)
     required = StructType(requiredSchema.fields.map { f =>
       if (fullSchema.fieldNames.contains(f.name)) fullSchema(f.name) else f
     })
-  override def build(): Scan = new GraftRowScan(tableName, fullSchema, required, pushed)
+  override def build(): Scan =
+    new GraftRowScan(tableName, fullSchema, required, pushed, packIds)
 }
 
 /** Work units: a bucket (or pack group) to scan, or a probe result. */
@@ -196,7 +203,8 @@ case class RowRangeSpec(column: String, ordinal: Int, dt: DataType,
     stats: Map[Long, (Any, Any)])
 
 class GraftRowScan(tableName: String, fullSchema: StructType,
-    required: StructType, pushedFilters: Array[Filter])
+    required: StructType, pushedFilters: Array[Filter],
+    packIds: Option[Set[Long]] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning {
 
   // snapshot + reader lease, captured atomically (see LeaseGc): packs
@@ -315,8 +323,14 @@ class GraftRowScan(tableName: String, fullSchema: StructType,
 
   private def planPartitions(): Array[InputPartition] = {
     // EXPIRE: one TTL cut per planning — every path below (PK probe,
-    // range scan, bucket scan, flat scan) sees the same live set
-    val live = snapshot.liveRefs
+    // range scan, bucket scan, flat scan) sees the same live set.
+    // An explicit pack-id list (maintenance dump) prunes first: the
+    // incremental publish touches exactly the changed packs, never the
+    // table
+    val live = packIds match {
+      case Some(ids) => snapshot.liveRefs.filter(r => ids(r.id))
+      case None => snapshot.liveRefs
+    }
     val combos = keyCombos
     if (combos.isDefined) {
       // full-PK lookup: probe pack indexes instead of scanning. When the

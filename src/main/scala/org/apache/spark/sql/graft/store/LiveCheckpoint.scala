@@ -177,8 +177,10 @@ object LiveCheckpoint {
       // decision and the manifest come from ONE snapshot read, so a
       // concurrent delete emptying the table between a pre-check and the
       // dump cannot commit an unattachable all-empty-payload epoch.
-      (if (incremental && GraftRowStore.get(table).isEmpty &&
-          GraftColumnStore.get(table).isDefined)
+      (if (!incremental) None
+      else if (GraftRowStore.get(table).isDefined)
+        publishIncrementalRowEpoch(spark, table, root, dir)
+      else if (GraftColumnStore.get(table).isDefined)
         publishIncrementalEpoch(spark, table, root, dir)
       else None).getOrElse {
         if (GraftRowStore.get(table).isDefined) GraftRowOps.checkpoint(spark, table, dir)
@@ -431,6 +433,129 @@ object LiveCheckpoint {
     Some((entries.iterator.map(_.rows).sum, entries.iterator.map(_.hashSum).sum))
   }
 
+  /** Tombstone-state fingerprint of one row pack: packs are immutable
+    * and their tombstone sets only GROW (deletes/upserts union slots in;
+    * a fully-dead pack leaves the ref list, a roll-up mints NEW ids), so
+    * equality proves the pack's VISIBLE rows are unchanged — the row
+    * store's analog of the column store's delete-bitmap/update-delta
+    * fingerprint.
+    */
+  private def packFpOf(ts: Option[scala.collection.immutable.BitSet]): String =
+    ts.map(b => s"${b.size}|${b.hashCode}").getOrElse("0")
+
+  /** O(delta) epoch publish for ROW tables — the same shared-payload
+    * protocol as [[publishIncrementalEpoch]], with the PACK as the unit
+    * of reuse: dump only packs whose tombstone state changed since the
+    * last incremental epoch (the `pack_ids` planning option prunes the
+    * dump scan to exactly those packs), reuse the rest by reference.
+    * PK-keyed serving tables publishing at minutes cadence pay O(new +
+    * newly-tombstoned packs), not O(table). Same single-snapshot
+    * decision, post-dump re-validation, and abort-on-concurrent-
+    * mutation contract as the column path.
+    */
+  private def publishIncrementalRowEpoch(spark: SparkSession, table: String,
+      root: String, dir: String): Option[(Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val (f, _) = fs(spark, root)
+    val t = GraftRowStore(table)
+    val snap = t.snapshot
+    val refs = snap.liveRefs
+    if (snap.rowCount <= 0) return None
+    val ids = refs.map(_.id).toSet
+    val fpNow: Map[Long, String] =
+      ids.iterator.map(id => id -> packFpOf(snap.tombstones.get(id))).toMap
+    val prev: Map[Long, PayloadEntry] =
+      latestEpoch(spark, root) match {
+        case Some(e) =>
+          val p = GraftManifest.read(spark, dirFor(root, e))
+          if (p.getProperty("incremental", "false") == "true" &&
+              p.getProperty("provider", "column") == "row")
+            payloadEntries(spark, dirFor(root, e), p)
+              .map(pe => pe.batchId -> pe).toMap
+          else Map.empty
+        case None => Map.empty
+      }
+    val (reused, changed) = refs.partition { r =>
+      prev.get(r.id).exists(_.mutFp == fpNow(r.id))
+    }
+    val pdir = new Path(root, PAYLOADS)
+    f.mkdirs(pdir)
+    val tmp = new Path(dir, ".payload_tmp")
+    val written = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val entries =
+      try {
+        val changedStats: Map[Long, (Long, Long)] =
+          if (changed.isEmpty) Map.empty
+          else {
+            val changedIds = changed.map(_.id)
+            val df0 = spark.read.format(GraftRowOps.FORMAT)
+              .option("table", table)
+              .option("pack_ids", changedIds.mkString(",")).load()
+            df0.select(col("*"),
+                df0.metadataColumn(GraftRowTable.PACK_ID_COL).as("__pb"))
+              .filter(col("__pb").isin(changedIds: _*))
+              .write.mode("overwrite").partitionBy("__pb")
+              .parquet(tmp.toString)
+            val back = spark.read.parquet(tmp.toString)
+            val tcols = snap.schema.fieldNames.map(back.col(_)).toSeq
+            back.groupBy(col("__pb").cast("long").as("__pb"))
+              .agg(count(lit(1)).as("n"),
+                coalesce(sum(hash(tcols: _*).cast("bigint")), lit(0L)).as("h"))
+              .collect()
+              .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+          }
+        val after = t.snapshot
+        val afterIds = after.liveRefs.map(_.id).toSet
+        require(afterIds == ids &&
+          ids.forall(id => packFpOf(after.tombstones.get(id)) == fpNow(id)),
+          s"publish($table): a concurrent mutation moved referenced packs " +
+            "during the incremental dump — epoch aborted, retry the publish")
+        refs.map { r =>
+          val fp = fpNow(r.id)
+          prev.get(r.id).filter(_.mutFp == fp).getOrElse {
+            changedStats.get(r.id) match {
+              case Some((n, hs)) =>
+                val name = s"p${r.id}_r${n}_h${java.lang.Long.toHexString(hs)}"
+                val target = new Path(pdir, name)
+                val src = new Path(tmp, s"__pb=${r.id}")
+                if (f.exists(target)) () // identical content already shared
+                else if (f.rename(src, target)) written += target
+                else throw new java.io.IOException(
+                  s"publish($table): failed to place payload $name")
+                PayloadEntry(r.id, fp, n, hs, name)
+              case None => // every row of the pack is tombstoned
+                PayloadEntry(r.id, fp, 0L, 0L, "")
+            }
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          written.foreach(f.delete(_, true))
+          f.delete(tmp, true)
+          throw e
+      }
+    f.delete(tmp, true)
+    val sidecarThreshold = spark.conf.get(SIDECAR_THRESHOLD_KEY, "10000").toInt
+    val payloadKv =
+      if (entries.size > sidecarThreshold) {
+        spark.createDataFrame(entries)
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/$SIDECAR")
+        Seq("payloads_sidecar" -> "true")
+      } else Seq("payloads" -> encodeEntries(entries))
+    GraftManifest.write(spark, dir, Seq(
+      "provider" -> "row",
+      "incremental" -> "true",
+      "partition_by" -> snap.bucketBy.mkString(","),
+      "buckets" -> snap.numBuckets.toString,
+      "key_columns" -> snap.keyColumns.mkString(","),
+      "indexed" -> snap.indexes.values.map(_.column).toSeq.sorted.mkString(","),
+      "eviction_budget_bytes" -> snap.evictionBudget.toString,
+      "expire_seconds" -> snap.expireSeconds.toString) ++
+      payloadKv,
+      s"incremental row epoch of $table (${changed.size} dumped, ${reused.size} reused)")
+    Some((entries.iterator.map(_.rows).sum, entries.iterator.map(_.hashSum).sum))
+  }
+
   /** Attach the newest committed epoch READ-ONLY: restore it into this
     * JVM's registry under `table` and verify the restored content
     * against the published fingerprint (count + content hash) — a torn
@@ -516,17 +641,20 @@ object LiveCheckpoint {
       throw new IllegalStateException(s"epoch $epoch has no manifest under $root"))
     val layout = GraftManifest.read(spark, dir)
     val isRow = layout.getProperty("provider", "column") == "row"
+    val incrementalEpoch = layout.getProperty("incremental", "false") == "true"
+    // incremental epoch (either provider): rows live in the shared
+    // payload files the manifest references (an epoch dir holds only
+    // metadata)
+    def payloadRows(): DataFrame = spark.read.parquet(
+      payloadEntries(spark, dir, layout)
+        .map(_.name).filter(_.nonEmpty)
+        .map(n => s"$root/$PAYLOADS/$n"): _*)
     val restored =
-      if (isRow) GraftRowOps.restore(spark, table, dir)
-      else if (layout.getProperty("incremental", "false") == "true") {
-        // incremental epoch: rows live in the shared payload files the
-        // manifest references (an epoch dir holds only metadata)
-        val paths = payloadEntries(spark, dir, layout)
-          .map(_.name).filter(_.nonEmpty)
-          .map(n => s"$root/$PAYLOADS/$n")
-        GraftStoreOps.restoreFrom(spark, table, layout,
-          spark.read.parquet(paths: _*))
-      }
+      if (isRow && incrementalEpoch)
+        GraftRowOps.restoreFrom(spark, table, layout, payloadRows())
+      else if (isRow) GraftRowOps.restore(spark, table, dir)
+      else if (incrementalEpoch)
+        GraftStoreOps.restoreFrom(spark, table, layout, payloadRows())
       else GraftStoreOps.restore(spark, table, dir)
     val (rows, h) = fingerprint(restored)
     val (wantRows, wantH) =

@@ -20,10 +20,10 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, LongType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-object MatViewSupport {
+object MatViewSupport extends PredicateHelper {
 
   import MatViews.MvAgg
 
@@ -41,9 +41,8 @@ object MatViewSupport {
 
   /** Unwrap `child` down to a graft store relation, collecting at most
     * one Filter on the way (CombineFilters has merged stacks by the time
-    * the optimizer rule runs; at CREATE time the defining query must not
-    * filter at all — a filtered matview would need predicate containment
-    * to rewrite safely, which v1 does not claim).
+    * the optimizer rule runs; at CREATE time the analyzer leaves the one
+    * WHERE as one Filter).
     */
   def unwrapScan(child: LogicalPlan,
       allowFilter: Boolean): Option[(Option[Expression], GraftTable, DataSourceV2Relation)] =
@@ -64,6 +63,28 @@ object MatViewSupport {
         }
       case _ => None
     }
+
+  /** Canonical form of one equality conjunct `col = <literal>` (either
+    * operand order; a foldable non-literal side — e.g. the implicit
+    * CAST the analyzer wraps around a literal — folds first, which is
+    * exactly what ConstantFolding will have done to the query side by
+    * rewrite time). The SAME string serves matching (query conjunct ==
+    * stored conjunct) and execution (expr(s) over the base scan during
+    * build/refresh). None for any other predicate shape.
+    */
+  def canonicalEq(e: Expression): Option[String] = e match {
+    case EqualTo(a: AttributeReference, l) if l.foldable =>
+      Some(renderEq(a, l))
+    case EqualTo(l, a: AttributeReference) if l.foldable =>
+      Some(renderEq(a, l))
+    case _ => None
+  }
+
+  def canonicalName(a: AttributeReference): String =
+    "`" + a.name.toLowerCase(Locale.ROOT) + "`"
+
+  private def renderEq(a: AttributeReference, l: Expression): String =
+    s"${canonicalName(a)} = ${Literal.create(l.eval(), l.dataType).sql}"
 
   /** Recognize one defining/query aggregate call: a bare supported
     * function over a bare column (or count(*)/count(1)). Returns
@@ -89,9 +110,13 @@ object MatViewSupport {
         case _ => None
       }
       case av: Average => av.child match {
-        // v1 rewrites only double-typed averages (decimal averages
-        // re-derive through double division, which is not bit-exact)
-        case a: AttributeReference if av.dataType == DoubleType =>
+        // double averages re-derive as Σsum/Σcnt; decimal averages
+        // re-derive BIT-exactly by replaying Average's own decimal
+        // evaluate tree over the merged slots (the stored sum column
+        // already has Average's internal sum-buffer type, decimal
+        // p+10/s) — see MatViewRewrite.derive
+        case a: AttributeReference if av.dataType == DoubleType ||
+            av.dataType.isInstanceOf[DecimalType] =>
           Some(("avg", a.name))
         case _ => None
       }
@@ -164,19 +189,29 @@ object MatViewSupport {
   }
 
   /** Parse a defining query's ANALYZED plan into (base table, group
-    * columns, aggs in select order). Throws IllegalArgumentException
-    * with an actionable message when the shape is not materializable.
+    * columns, aggs in select order, canonical WHERE conjuncts). Throws
+    * IllegalArgumentException with an actionable message when the shape
+    * is not materializable. The WHERE, when present, must be a
+    * conjunction of `<column> = <literal>` predicates — the exact-match
+    * containment the rewrite supports; anything needing an implication
+    * engine (ranges, IN, disjunctions) is refused here rather than
+    * silently never served.
     */
-  def analyzeDefinition(analyzed: LogicalPlan): (GraftTable, Seq[String], Seq[MvAgg]) = {
+  def analyzeDefinition(
+      analyzed: LogicalPlan): (GraftTable, Seq[String], Seq[MvAgg], Seq[String]) = {
     def fail(why: String): Nothing = throw new IllegalArgumentException(
       "CREATE MATERIALIZED VIEW: " + why +
         " (supported shape: SELECT <group cols>, sum/count/min/max/avg(col) " +
-        "FROM <store table> GROUP BY <group cols>)")
+        "FROM <store table> [WHERE col = literal [AND ...]] GROUP BY <group cols>)")
     strip(analyzed) match {
       case Aggregate(groupExprs, resultExprs, child, _) =>
-        val (filter, gt, _) = unwrapScan(child, allowFilter = false)
-          .getOrElse(fail("FROM must be a single graft store table, no joins/filters"))
-        require(filter.isEmpty)
+        val (filter, gt, _) = unwrapScan(child, allowFilter = true)
+          .getOrElse(fail("FROM must be a single graft store table, no joins"))
+        val predicate = filter.toSeq.flatMap(splitConjunctivePredicates).map { c =>
+          canonicalEq(c).getOrElse(fail(
+            s"WHERE must be a conjunction of <column> = <literal> " +
+              s"predicates, got: ${c.sql}"))
+        }
         val groupCols = groupExprs.map {
           case a: AttributeReference => a.name
           case e => fail(s"group expression must be a bare column, got: ${e.sql}")
@@ -191,17 +226,21 @@ object MatViewSupport {
           case e => fail(s"unsupported select expression: ${e.sql}")
         }
         if (aggs.isEmpty) fail("at least one aggregate is required")
-        (gt, groupCols, aggs)
+        (gt, groupCols, aggs, predicate)
       case other => fail(s"defining query must be a grouped aggregate, got ${other.nodeName}")
     }
   }
 }
 
 /** Transparent matview substitution: an Aggregate (optionally above a
-  * group-column-only Filter) over a base table with a PROVEN-FRESH
-  * materialized view rewrites to the same aggregate over the view's
-  * storage columns. Grouping by a SUBSET of the view's group columns
-  * rolls up (sums add, counts add, min/min, max/max, avg = Σsum/Σcnt).
+  * Filter) over a base table with a PROVEN-FRESH materialized view
+  * rewrites to the same aggregate over the view's storage columns.
+  * Grouping by a SUBSET of the view's group columns rolls up (sums add,
+  * counts add, min/min, max/max, avg = Σsum/Σcnt). A FILTERED view
+  * serves a query whose WHERE contains every view conjunct VERBATIM
+  * (canonical `col = literal` form — exact containment, no implication
+  * engine); the query's remaining conjuncts must reference only group
+  * columns and apply as a residual Filter over the summary.
   *
   * Declines — leaving the base-scan plan untouched — whenever:
   *  - the view's freshness fingerprint no longer matches the base
@@ -209,8 +248,23 @@ object MatViewSupport {
   *  - a row-level-security policy exists on the base (the policy filter
   *    is not visible in the view's pre-aggregated rows);
   *  - any aggregate/filter/grouping falls outside the derivable set.
+  *
+  * When several fresh views cover a query, the COARSEST one (fewest
+  * group columns — the smallest summary that still answers) wins;
+  * names break ties so the choice is deterministic.
+  *
+  * Timing semantics, stated: freshness is proven at OPTIMIZATION time.
+  * Like the store's own scans — which pin their batch refs at planning —
+  * a plan carries the snapshot it was planned against: a DataFrame whose
+  * QueryExecution was planned while the view was fresh keeps serving the
+  * view's (then-correct) contents for as long as the caller holds it,
+  * and a base mutation committing in the window between planning and
+  * execution is not observed — the same read-skew any snapshot-at-plan
+  * scan has. A NEW query (fresh analysis) always re-proves freshness and
+  * falls back to the base scan the moment the fingerprint moves.
   */
-case class MatViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
+case class MatViewRewrite(session: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
 
   import MatViewSupport._
 
@@ -238,13 +292,53 @@ case class MatViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference => a.name
       case _ => return None
     }
-    val filterCols = filter.toSeq.flatMap(_.references.map(_.name))
     if (filter.exists(!_.deterministic)) return None
-    candidates.iterator.flatMap { mv =>
-      if (!groupCols.forall(mv.groupCols.contains) ||
-        !filterCols.forall(mv.groupCols.contains) || !MatViews.isFresh(mv)) None
-      else substitute(mv, groupExprs, resultExprs, filter)
+    val conjuncts = filter.toSeq.flatMap(splitConjunctivePredicates)
+    // cost order: the coarsest fresh cover (fewest group columns = the
+    // smallest summary that still answers) wins; name breaks ties
+    candidates.sortBy(c => (c.groupCols.size, c.name)).iterator.flatMap { mv =>
+      if (!groupCols.forall(gc => mv.groupCols.exists(_.equalsIgnoreCase(gc)))) None
+      else matchPredicate(mv, conjuncts) match {
+        case Some(residual) if MatViews.isFresh(mv) =>
+          substitute(mv, groupExprs, resultExprs, residual.reduceOption(And))
+        case _ => None
+      }
     }.nextOption()
+  }
+
+  /** Query WHERE vs view predicate: every view conjunct must appear
+    * VERBATIM (canonical equality form) among the query's conjuncts —
+    * rows the view excluded can never be recovered from the summary, so
+    * a query not re-stating the predicate wants rows the view lacks.
+    * The remaining query conjuncts must each either reference only
+    * group columns (they distribute over GROUP BY, so they apply as a
+    * residual Filter on the summary) or be an IsNotNull the matched
+    * equality already implies. Returns the residual conjuncts, or None
+    * to decline this candidate.
+    */
+  private def matchPredicate(mv: MatViews.MvDef,
+      conjuncts: Seq[Expression]): Option[Seq[Expression]] = {
+    val viewPred = mv.predicate.toSet
+    var seen = Set.empty[String]
+    val residual = Seq.newBuilder[Expression]
+    conjuncts.foreach { c =>
+      canonicalEq(c).filter(viewPred.contains) match {
+        case Some(s) => seen += s
+        case None =>
+          if (c.references.forall(a =>
+            mv.groupCols.exists(_.equalsIgnoreCase(a.name)))) {
+            residual += c
+          } else c match {
+            // implied by the matched equality on the same column (an
+            // equality with a non-null literal can only hold on non-null
+            // rows; a null literal folds the whole Filter away upstream)
+            case IsNotNull(a: AttributeReference)
+                if viewPred.exists(_.startsWith(canonicalName(a) + " = ")) =>
+            case _ => return None
+          }
+      }
+    }
+    if (seen.size == viewPred.size) Some(residual.result()) else None
   }
 
   /** Fresh relation over the matview's backing store table. Resolved
@@ -309,12 +403,28 @@ case class MatViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         case ("max", in) => slot("max", in).map(i =>
           Max(mvAttr(s"__g${i}_max")).toAggregateExpression())
         case ("avg", in) => slot("avg", in).map { i =>
-          val s = sumOf(mvAttr(s"__g${i}_sum"))
+          val sumAttr = mvAttr(s"__g${i}_sum")
+          val s = sumOf(sumAttr)
           val c = sumOf(mvAttr(s"__g${i}_cnt"))
-          // all-null group: cnt 0 → NULL (matches avg); empty view:
-          // sum(cnt) NULL → condition NULL → divide of NULL → NULL
-          If(EqualTo(c, Literal(0L)), Literal(null, DoubleType),
-            Divide(Cast(s, DoubleType), Cast(c, DoubleType)))
+          original match {
+            case dec: DecimalType =>
+              // BIT-exact: replay Average's own decimal evaluate tree
+              // over the merged slots. The stored sum column already has
+              // Average's internal sum-buffer type (decimal p+10/s —
+              // sum() over decimal(p,s) widens exactly so), so dividing
+              // Cast(Σsums, bufferType) by Cast(Σcnt, decimal(20,0))
+              // reproduces the same intermediate division type and
+              // HALF_UP rounding into Average.dataType. cnt 0 (all-null
+              // group / empty view) → divide-by-zero in LEGACY mode →
+              // NULL, matching avg
+              Cast(Divide(Cast(s, sumAttr.dataType),
+                Cast(c, DecimalType(20, 0)), EvalMode.LEGACY), dec)
+            case _ =>
+              // all-null group: cnt 0 → NULL (matches avg); empty view:
+              // sum(cnt) NULL → condition NULL → divide of NULL → NULL
+              If(EqualTo(c, Literal(0L)), Literal(null, DoubleType),
+                Divide(Cast(s, DoubleType), Cast(c, DoubleType)))
+          }
         }
         // estimate-for-estimate substitution (the same contract gate as
         // StatsApproxDistinctRule): only when the query's tolerated rsd

@@ -51,7 +51,14 @@ object MatViews {
       groupCols: Seq[String],
       aggs: Seq[MvAgg],
       sql: String, // defining SELECT, display only
-      fresh: MvFreshness)
+      fresh: MvFreshness,
+      // defining-query WHERE as canonical `` `col` = <literal> ``
+      // conjuncts (empty = unfiltered view). Canonical strings serve
+      // both sides of the contract: the rewrite matches a query's
+      // conjuncts against them VERBATIM (exact containment — no
+      // implication engine), and build/refresh re-applies them to the
+      // base scan via expr(). See [[MatViewSupport.canonicalEq]].
+      predicate: Seq[String] = Nil)
 
   private val views = TrieMap.empty[String, MvDef]
 

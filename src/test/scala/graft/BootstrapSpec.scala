@@ -102,6 +102,73 @@ class BootstrapSpec extends SparkTestBase {
     Diskstores.drop("boot_ds3", ifExists = false)
   }
 
+  test("a matview's identity rides epoch publishes through bootstrap recovery") {
+    import org.apache.spark.sql.graft.store.MatViews
+    val dir = java.nio.file.Files.createTempDirectory("boot_mv").toString
+    g.sql(s"CREATE DISKSTORE boot_ds5 ('$dir')")
+    g.sql("CREATE TABLE boot_mb (k bigint, v bigint) USING column " +
+      "OPTIONS (partition_by 'k', buckets '4', diskstore 'boot_ds5')")
+    g.insert("boot_mb", spark.range(300)
+      .select((col("id") % 6).as("k"), col("id").as("v")))
+    g.sql("CREATE MATERIALIZED VIEW boot_mv AS " +
+      "SELECT k, sum(v) AS sv, count(*) AS n FROM boot_mb GROUP BY k")
+    // publish BOTH through the epoch face (the backing table is a store
+    // table like any other; bind the view to the same diskstore root)
+    g.publishTable("boot_mb", incremental = true)
+    org.apache.spark.sql.graft.store.Diskstores.bind("boot_mv", "boot_ds5")
+    g.publishTable("boot_mv", incremental = true)
+    // cold JVM: every local registration gone, only epochs on disk
+    g.dropTable("boot_mb") // cascades boot_mv
+    assert(!MatViews.isMatView("boot_mv"))
+    val acts = g.sql("BOOTSTRAP CATALOG FROM boot_ds5").collect()
+      .map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(acts == Map("boot_mb" -> "restored", "boot_mv" -> "restored"), acts.toString)
+    // recovered as a MATVIEW: registered, stale, write-guarded
+    assert(MatViews.isMatView("boot_mv"), "epoch recovery must keep matview identity")
+    assert(!spark.sql("SELECT is_fresh FROM sys.matviews WHERE name = 'boot_mv'")
+      .head().getBoolean(0), "recovered view must register stale")
+    val q = "SELECT k, sum(v) AS sv, count(*) AS n FROM boot_mb GROUP BY k"
+    assert(!Plans.scansStoreTable(spark.sql(q), "boot_mv"),
+      "a stale recovered view must not serve")
+    import spark.implicits._
+    val guard = intercept[Exception](
+      g.insert("boot_mv", Seq((1L, 1L, 1L)).toDF("k", "__g0_sum", "__g1_cnt")))
+    assert(guard.getMessage.contains("materialized view"))
+    // REFRESH revives it against the recovered base's own payload ids
+    assert(g.refreshMaterializedView("boot_mv") == "full")
+    assert(Plans.scansStoreTable(spark.sql(q), "boot_mv"))
+    val served = spark.sql(q).collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.sql.graft.matviewRewrite", "false")
+    val truth = try spark.sql(q).collect().map(_.toString).sorted.toSeq
+    finally spark.conf.set("spark.sql.graft.matviewRewrite", "true")
+    assert(served == truth)
+    g.dropTable("boot_mb")
+    Diskstores.drop("boot_ds5", ifExists = false)
+  }
+
+  test("bootstrapOnInit: re-registering a diskstore recovers its tables with zero further calls") {
+    val dir = java.nio.file.Files.createTempDirectory("boot_auto").toString
+    g.sql(s"CREATE DISKSTORE boot_ds6 ('$dir')")
+    g.sql("CREATE TABLE boot_auto (k bigint, v bigint) USING column " +
+      "OPTIONS (partition_by 'k', buckets '4', diskstore 'boot_ds6')")
+    g.insert("boot_auto", spark.range(250)
+      .select((col("id") % 4).as("k"), col("id").as("v")))
+    g.checkpointTable("boot_auto")
+    // cold JVM: both the table AND the diskstore registration are gone
+    g.dropTable("boot_auto")
+    Diskstores.drop("boot_ds6", ifExists = false)
+    spark.conf.set("spark.sql.graft.bootstrapOnInit", "true")
+    try {
+      // the ONLY call a restarted member makes — its diskstore config
+      g.sql(s"CREATE DISKSTORE boot_ds6 ('$dir')")
+      assert(g.isManaged("boot_auto"),
+        "registering the diskstore must implicitly recover its tables")
+      assert(g.table("boot_auto").count() == 250)
+    } finally spark.conf.set("spark.sql.graft.bootstrapOnInit", "false")
+    g.dropTable("boot_auto")
+    Diskstores.drop("boot_ds6", ifExists = false)
+  }
+
   test("an attached replica under the name wins over bootstrap (deliberate attach is not replaced)") {
     val dir = java.nio.file.Files.createTempDirectory("boot_rep").toString
     g.sql(s"CREATE DISKSTORE boot_ds4 ('$dir')")

@@ -63,13 +63,14 @@ class CmsRangeMergeSpec extends SparkTestBase {
     import spark.implicits._
     import org.apache.spark.sql.graft.CmsTopKAggregate._
     val df = (1 to 50).map(i => (s"k${i % 5}", i % 2)).toDF("key", "part")
-    // sketches built under DIFFERENT width settings must refuse to
-    // merge (counters are positional: adding cells of different hash
-    // layouts silently corrupts counts)
+    // sketches of different DEPTH must refuse to merge (counters are
+    // positional: adding cells of different hash layouts silently
+    // corrupts counts). Divisible WIDTHS are legal — the merge folds the
+    // wider down (Hokusai decay support, see the decay test below)
     val s1 = df.filter(col("part") === 0)
       .agg(approx_topk_state(col("key"), 3, 4096, 5).as("st"))
     val s2 = df.filter(col("part") === 1)
-      .agg(approx_topk_state(col("key"), 3, 16384, 5).as("st"))
+      .agg(approx_topk_state(col("key"), 3, 4096, 4).as("st"))
     val e = intercept[Exception](
       s1.union(s2).agg(approx_topk_merge(col("st"), 3)).collect())
     def deepMsg(t: Throwable): String = {
@@ -89,5 +90,82 @@ class CmsRangeMergeSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(merged.size == 3 && merged.forall(_._2 == 50L),
       s"degenerate-but-real sketches were dropped or mis-merged: $merged")
+  }
+
+  test("width decay folds to an exact replay at the target width; memory shrinks 2^g") {
+    import org.apache.spark.sql.graft.CmsTopKBuffer
+    // the folded counts array must be CELL-FOR-CELL identical to a
+    // sketch built directly at the target width over the same adds —
+    // the property that makes the CMS guarantee survive decay
+    val wide = new CmsTopKBuffer(1024, 5, 10)
+    val narrow = new CmsTopKBuffer(256, 5, 10)
+    val rnd = new scala.util.Random(42)
+    (1 to 20000).foreach { _ =>
+      val key = s"k${math.min(rnd.nextInt(400), rnd.nextInt(400))}" // skewed
+      wide.add(key); narrow.add(key)
+    }
+    val folded = wide.foldTo(256)
+    assert(java.util.Arrays.equals(folded.counts, narrow.counts),
+      "folded cells must equal a direct build at the target width")
+    (0 until 400).foreach { i =>
+      assert(folded.estimate(s"k$i") == narrow.estimate(s"k$i"), s"k$i")
+      assert(folded.estimate(s"k$i") >= wide.estimate(s"k$i"),
+        s"decay must only widen the overestimate: k$i")
+    }
+    // memory shrinks 4x for two generations (the counts array dominates
+    // the serialized form — the session-level test below pins the
+    // serialized-bytes shrink through the sketch column itself)
+    assert(folded.counts.length * 4 == wide.counts.length)
+    // non-divisible fold refuses loudly
+    val err = intercept[IllegalArgumentException](wide.foldTo(300))
+    assert(err.getMessage.contains("must divide"))
+  }
+
+  test("decayed aged epochs keep answering range queries (Hokusai time decay)") {
+    val g = GraftSession(spark)
+    import spark.implicits._
+    val rows = for {
+      day <- 1 to 4
+      (key, n) <- (1 to 5).map(i => (s"a${day}_$i", 100)) :+ (("spread", 60))
+      j <- 1 to n
+    } yield (s"$day/$key/$j", ts(day), key)
+    val events = rows.toDF("event_id", "ts", "user_key")
+    g.createApproxTSTopK("tk_dc", events, "user_key", "ts", "1 day", 5,
+      width = 2048)
+    try {
+      val lenByAge = () => g.table("tk_dc_sketches")
+        .select((col("bucket_end") <= lit("2024-01-03 00:00:00").cast("timestamp"))
+          .as("aged"), length(col("sketch")).cast("long").as("len"))
+        .groupBy("aged").agg(max("len").as("len"))
+        .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      val before = lenByAge()
+      // decay days 1-2 by two generations: 2048 → 512 cells per row
+      g.decayApproxTSTopK("tk_dc", "2024-01-03 00:00:00", generations = 2)
+      val after = lenByAge()
+      assert(after(true) < before(true) / 3,
+        s"aged sketches must shrink ~4x: $before → $after")
+      assert(after(false) == before(false), "fresh epochs untouched")
+      // a range spanning DECAYED day 2 and FRESH day 3 still answers:
+      // the merge folds the fresh sketch to the aged width; at this key
+      // cardinality 512 cells are still collision-free, so counts stay
+      // exact — the spread key surfaces with its exact aggregate count
+      val got = g.queryApproxTSTopK("tk_dc",
+          "2024-01-02 00:00:00", "2024-01-04 00:00:00", 5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got.head == ("spread", 120L), s"got $got")
+      // exact-replay pin: identical to ONE sketch built directly at the
+      // FOLDED width over the union of the two epochs' raw rows
+      val union = events
+        .filter(col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-04 00:00:00").cast("timestamp"))
+        .agg(org.apache.spark.sql.graft.CmsTopKAggregate
+          .approx_topk(col("user_key"), 5, width = 512).as("topk"))
+        .select(posexplode(col("topk")))
+        .select(col("col.key"), col("col.count"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == union, s"decayed merge diverged from folded replay:\n$got\n$union")
+    } finally {
+      g.dropTable("tk_dc"); g.dropTable("tk_dc_sketches")
+    }
   }
 }

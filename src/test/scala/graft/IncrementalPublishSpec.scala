@@ -285,19 +285,50 @@ class IncrementalPublishSpec extends SparkTestBase {
       .exists(_.notNull.nonEmpty))
     // and the replica guard holds for the incremental attach too
     intercept[Exception](g.insert("inc_srv2", Seq((9L, "y")).toDF("pk", "v")))
-    // a ROW table publishes full epochs under the same flag (no
-    // incremental path for row stores — documented fallback, not a crash)
-    (1L to 100L).map(i => (i, i * 2)).toDF("rk", "rv")
-      .write.format(org.apache.spark.sql.graft.store.GraftRowOps.FORMAT)
-      .option("table", "inc_row").option("key_columns", "rk")
-      .mode("overwrite").save()
-    val rroot = java.nio.file.Files.createTempDirectory("inc_row").toString
-    assert(LiveCheckpoint.publish(spark, "inc_row", rroot, incremental = true) == 0L)
-    assert(LiveCheckpoint.attachLatest(spark, "inc_rsrv", rroot) == 0L)
-    assert(org.apache.spark.sql.graft.store.GraftRowOps
-      .read(spark, "inc_rsrv").count() == 100)
     g.dropTable("inc_pub"); g.dropTable("inc_srv2")
-    org.apache.spark.sql.graft.store.GraftRowStore.drop("inc_row")
-    org.apache.spark.sql.graft.store.GraftRowStore.drop("inc_rsrv")
+  }
+
+  test("row tables publish O(delta) too: pack reuse, tombstone re-dump, keyed layout rides") {
+    import org.apache.spark.sql.graft.store.{GraftRowOps, GraftRowStore}
+    import spark.implicits._
+    val rfmt = GraftRowOps.FORMAT
+    def writeRows(from: Long, until: Long, mode: String): Unit =
+      (from until until).map(i => (i, i * 2)).toDF("rk", "rv")
+        .write.format(rfmt).option("table", "inc_row")
+        .option("key_columns", "rk").option("partition_by", "rk")
+        .option("buckets", "4").mode(mode).save()
+    val root = java.nio.file.Files.createTempDirectory("inc_row").toString
+    writeRows(0, 2000, "overwrite")
+    assert(LiveCheckpoint.publish(spark, "inc_row", root, incremental = true) == 0L)
+    val m0 = manifestPayloads(root, 0L).filter(_.nonEmpty).toSet
+    assert(m0.nonEmpty && m0.forall(_.startsWith("p")), m0.toString)
+    assert(LiveCheckpoint.attachLatest(spark, "inc_rsrv", root) == 0L)
+    assert(GraftRowOps.read(spark, "inc_rsrv").count() == 2000)
+    // a small append: epoch 1 reuses EVERY epoch-0 pack payload and adds
+    // only the new packs — the O(delta) claim for row tables
+    writeRows(2000, 2100, "append")
+    assert(LiveCheckpoint.publish(spark, "inc_row", root, incremental = true) == 1L)
+    val m1 = manifestPayloads(root, 1L).filter(_.nonEmpty).toSet
+    assert(m0.subsetOf(m1),
+      s"epoch 1 must reference epoch 0's pack payloads unchanged:\n$m0\n$m1")
+    assert((m1 -- m0).nonEmpty && (m1 -- m0).size <= 8,
+      s"only the appended packs dump: ${m1 -- m0}")
+    // a keyed DELETE tombstones rows inside existing packs: exactly the
+    // touched packs re-dump (their tombstone fingerprint moved), the
+    // rest carry; attach verifies the whole-table fingerprint as always
+    GraftRowOps.delete(spark, "inc_row", col("rk") < 50L)
+    assert(LiveCheckpoint.publish(spark, "inc_row", root, incremental = true) == 2L)
+    val m2 = manifestPayloads(root, 2L).filter(_.nonEmpty).toSet
+    assert((m1 intersect m2).nonEmpty, "untouched packs reuse their payloads")
+    assert(m1 != m2, "tombstoned packs must re-dump")
+    assert(LiveCheckpoint.attachLatest(spark, "inc_rsrv", root) == 2L)
+    val served = GraftRowOps.read(spark, "inc_rsrv")
+    assert(served.count() == 2050)
+    assert(served.filter(col("rk") < 50L).count() == 0)
+    // the attached copy is a real keyed/bucketed row table (point
+    // lookups and storage-partitioning survive the manifest round trip)
+    val snap = GraftRowStore("inc_rsrv").snapshot
+    assert(snap.keyColumns == Seq("rk") && snap.numBuckets == 4)
+    GraftRowStore.drop("inc_row"); GraftRowStore.drop("inc_rsrv")
   }
 }

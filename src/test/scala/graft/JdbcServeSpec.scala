@@ -118,6 +118,139 @@ class JdbcServeSpec extends SparkTestBase {
     }
   }
 
+  test("PreparedStatement parameter binding round-trips over the wire") {
+    // the reference binds wire parameters server-side into ParamLiterals
+    // (cluster/.../gemxd/SparkSQLPrepareImpl.scala:45) so prepared plans
+    // are shared; the stock Hive JDBC driver substitutes parameters
+    // CLIENT-side before sending, and the server's plan-cache
+    // tokenization (TokenizationSpec) recovers the plan sharing the
+    // reference gets from ParamLiteral. This arm pins the part every
+    // JDBC application touches: setLong/setString/setDouble binding,
+    // re-execution with new parameters, and quote-safe string escaping.
+    val g = GraftSession(spark)
+    import spark.implicits._
+    g.sql("CREATE TABLE jdbc_ps (k bigint, name string, score double) " +
+      "USING column OPTIONS (partition_by 'k', buckets '4')")
+    g.insert("jdbc_ps", (1L to 50L).map(i =>
+      (i % 5, s"n$i", i * 0.5)).toDF("k", "name", "score"))
+    g.insert("jdbc_ps", Seq((9L, "o'quote", 99.0)).toDF("k", "name", "score"))
+    val conn = connect()
+    try {
+      val ps = conn.prepareStatement(
+        "SELECT count(*) AS n, sum(score) AS s FROM graft.jdbc_ps " +
+          "WHERE k = ? AND score > ?")
+      ps.setLong(1, 2L)
+      ps.setDouble(2, 10.0)
+      val rs1 = ps.executeQuery()
+      assert(rs1.next())
+      val expect = (1L to 50L).filter(i => i % 5 == 2 && i * 0.5 > 10.0)
+      assert(rs1.getLong(1) == expect.size)
+      assert(math.abs(rs1.getDouble(2) - expect.map(_ * 0.5).sum) < 1e-9)
+      // SAME prepared handle, new parameters — the re-execution path
+      ps.setLong(1, 4L)
+      ps.setDouble(2, 0.0)
+      val rs2 = ps.executeQuery()
+      assert(rs2.next())
+      assert(rs2.getLong(1) == (1L to 50L).count(_ % 5 == 4))
+      // string parameter with an embedded quote must bind, not inject
+      val ps2 = conn.prepareStatement(
+        "SELECT k FROM graft.jdbc_ps WHERE name = ?")
+      ps2.setString(1, "o'quote")
+      val rs3 = ps2.executeQuery()
+      assert(rs3.next() && rs3.getLong(1) == 9L && !rs3.next())
+      // parameterized DML through the prepared path
+      val ins = conn.prepareStatement(
+        "INSERT INTO graft.jdbc_ps VALUES (?, ?, ?)")
+      ins.setLong(1, 7L); ins.setString(2, "bound"); ins.setDouble(3, 1.5)
+      assert(ins.executeUpdate() >= 0)
+      assert(g.sql("SELECT count(*) FROM jdbc_ps WHERE k = 7 AND name = 'bound'")
+        .head().getLong(0) == 1L)
+    } finally {
+      conn.close()
+      g.dropTable("jdbc_ps")
+    }
+  }
+
+  test("two concurrent JDBC sessions share one store table with snapshot-consistent reads") {
+    val g = GraftSession(spark)
+    g.sql("CREATE TABLE jdbc_cc (k bigint, v bigint) USING column " +
+      "OPTIONS (partition_by 'k', buckets '4')")
+    val c1 = connect(); val c2 = connect()
+    try {
+      val s1 = c1.createStatement(); val s2 = c2.createStatement()
+      // writes from EITHER session land in the one JVM-global store ...
+      s1.executeUpdate("INSERT INTO graft.jdbc_cc SELECT id % 4, id FROM range(100)")
+      s2.executeUpdate("INSERT INTO graft.jdbc_cc SELECT id % 4, id FROM range(100, 200)")
+      def count(st: java.sql.Statement): Long = {
+        val rs = st.executeQuery("SELECT count(*) FROM graft.jdbc_cc")
+        assert(rs.next()); rs.getLong(1)
+      }
+      assert(count(s1) == 200L && count(s2) == 200L)
+      // ... and interleaved writer/reader sessions only ever observe
+      // COMMITTED batch boundaries (each insert is one 25-row batch):
+      // snapshot isolation means no torn batch is ever visible, and a
+      // single session's reads are monotonic while both write
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val writer = Future {
+        (0 until 8).foreach { i =>
+          s1.executeUpdate("INSERT INTO graft.jdbc_cc " +
+            s"SELECT id % 4, id FROM range(${200 + i * 25}, ${225 + i * 25})")
+        }
+      }
+      val reads = Future {
+        Iterator.continually(count(s2)).take(24).toSeq
+      }
+      Await.result(writer, 120.seconds)
+      val observed = Await.result(reads, 120.seconds)
+      observed.foreach(n => assert(n >= 200L && n <= 400L && n % 25 == 0,
+        s"torn read: $n"))
+      assert(observed == observed.sorted, s"non-monotonic reads: $observed")
+      assert(count(s2) == 400L)
+      // a delete through the embedding session is immediately visible to
+      // BOTH wire sessions (one JVM-global store, three protocol faces)
+      g.delete("jdbc_cc", col("v") >= 300)
+      assert(count(s1) == 300L && count(s2) == 300L)
+    } finally {
+      c1.close(); c2.close()
+      g.dropTable("jdbc_cc")
+    }
+  }
+
+  test("complex-typed columns (ARRAY/STRUCT/MAP) return as JSON text over JDBC") {
+    // the reference returns complex columns to thin clients as JSON
+    // (core/.../Literals.scala:423 ComplexTypeAsJson); the Spark Thrift
+    // endpoint serializes them to the equivalent JSON-ish text form —
+    // pin the exact contract a SQL-only client sees
+    val g = GraftSession(spark)
+    g.sql("CREATE TABLE jdbc_cx (k bigint, arr array<int>, " +
+      "st struct<a:int, b:string>, mp map<string,int>) USING column " +
+      "OPTIONS (partition_by 'k', buckets '2')")
+    g.insert("jdbc_cx", spark.sql(
+      "SELECT 1L AS k, array(1, 2, 3) AS arr, " +
+        "named_struct('a', 7, 'b', 'x') AS st, map('m', 5) AS mp"))
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      val rs = st.executeQuery(
+        "SELECT arr, st, mp FROM graft.jdbc_cx WHERE k = 1")
+      assert(rs.next())
+      assert(rs.getString(1) == "[1,2,3]", rs.getString(1))
+      assert(rs.getString(2) == """{"a":7,"b":"x"}""", rs.getString(2))
+      assert(rs.getString(3) == """{"m":5}""", rs.getString(3))
+      // the declared wire types degrade to the text forms a thin client
+      // can always consume
+      val md = rs.getMetaData
+      assert((1 to 3).map(md.getColumnTypeName).forall(t =>
+        t.contains("array") || t.contains("struct") || t.contains("map") ||
+          t.contains("string")), (1 to 3).map(md.getColumnTypeName).toString)
+    } finally {
+      conn.close()
+      g.dropTable("jdbc_cx")
+    }
+  }
+
   test("a pure-JDBC client drives the matview lifecycle: create, serve, refresh O(delta)") {
     // materialized views are a STORE-level registry + an optimizer rule
     // riding spark.sql.extensions, so a SQL-only client gets the full

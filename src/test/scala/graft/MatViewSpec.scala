@@ -201,28 +201,37 @@ class MatViewSpec extends SparkTestBase {
     assert(sorted(spark.sql(q)) == direct(q))
   }
 
-  test("decimal sums rewrite with exact values; decimal avg declines") {
+  test("decimal sums AND decimal avg rewrite with bit-exact values") {
     val df = spark.range(200).select(
       (col("id") % 5).cast("int").as("k"),
+      (col("id") % 2).cast("int").as("j"),
       (col("id") / 100.0).cast("decimal(12,2)").as("amt"))
     g.createTable("mvb5", df)
-    g.sql("CREATE MATERIALIZED VIEW mv5 AS SELECT k, sum(amt) AS sa, " +
-      "count(amt) AS ca FROM mvb5 GROUP BY k")
-    val q = "SELECT k, sum(amt) AS sa FROM mvb5 GROUP BY k"
+    g.sql("CREATE MATERIALIZED VIEW mv5 AS SELECT k, j, sum(amt) AS sa, " +
+      "count(amt) AS ca, avg(amt) AS aa FROM mvb5 GROUP BY k, j")
+    val q = "SELECT k, j, sum(amt) AS sa FROM mvb5 GROUP BY k, j"
     assert(usesMatView(q, "mv5"))
     assert(sorted(spark.sql(q)) == direct(q))
-    val qAvg = "SELECT k, avg(amt) AS aa FROM mvb5 GROUP BY k"
-    assert(!usesMatView(qAvg, "mv5"), "decimal avg is not bit-exact through doubles")
-    // ... but stays CORRECT from the base scan
+    // decimal avg derives through Average's own decimal evaluate tree
+    // (same intermediate types, same HALF_UP rounding) — exact both at
+    // the view's own grain and ROLLED UP across merged groups
+    val qAvg = "SELECT k, j, avg(amt) AS aa FROM mvb5 GROUP BY k, j"
+    assert(usesMatView(qAvg, "mv5"), "decimal avg must serve from the view")
     assert(sorted(spark.sql(qAvg)) == direct(qAvg))
+    assert(spark.sql(qAvg).schema("aa").dataType ==
+      spark.table("mvb5").select(avg(col("amt")).as("aa")).schema("aa").dataType)
+    val qRoll = "SELECT k, avg(amt) AS aa, sum(amt) AS sa FROM mvb5 GROUP BY k"
+    assert(usesMatView(qRoll, "mv5"))
+    assert(sorted(spark.sql(qRoll)) == direct(qRoll))
   }
 
   test("decimal incremental refresh conforms the widened merge sum back") {
     g.insert("mvb5", spark.range(200, 260).select(
       (col("id") % 5).cast("int").as("k"),
+      (col("id") % 2).cast("int").as("j"),
       (col("id") / 100.0).cast("decimal(12,2)").as("amt")))
     assert(g.refreshMaterializedView("mv5") == "incremental")
-    val q = "SELECT k, sum(amt) AS sa FROM mvb5 GROUP BY k"
+    val q = "SELECT k, sum(amt) AS sa, avg(amt) AS aa FROM mvb5 GROUP BY k"
     assert(usesMatView(q, "mv5"))
     assert(sorted(spark.sql(q)) == direct(q))
   }
@@ -502,15 +511,176 @@ class MatViewSpec extends SparkTestBase {
     g.dropTable("mvb15")
   }
 
-  test("defining-query validation refuses joins, filters, and expressions") {
+  test("defining-query validation refuses joins, non-equality filters, and expressions") {
     val bad = Seq(
       "SELECT m1.k, sum(m1.v) AS s FROM mvb1 m1 JOIN mvb1 m2 ON m1.k = m2.k GROUP BY m1.k",
-      "SELECT k, sum(v) AS s FROM mvb1 WHERE v > 3 GROUP BY k",
+      "SELECT k, sum(v) AS s FROM mvb1 WHERE v > 3 GROUP BY k", // range: needs implication
+      "SELECT k, sum(v) AS s FROM mvb1 WHERE cat = 'c1' OR cat = 'c2' GROUP BY k",
       "SELECT k, sum(v + 1) AS s FROM mvb1 GROUP BY k",
       "SELECT k FROM mvb1 GROUP BY k")
     bad.foreach { sql =>
       val e = intercept[Exception](g.sql(s"CREATE MATERIALIZED VIEW mv_bad AS $sql"))
       assert(e.getMessage.contains("CREATE MATERIALIZED VIEW"), s"for: $sql → ${e.getMessage}")
+    }
+  }
+
+  test("filtered view: exact predicate containment serves; mismatch declines") {
+    freshBase("mvb16", rows = 600)
+    g.sql("CREATE MATERIALIZED VIEW mv16 AS SELECT k, sum(v) AS sv, count(*) AS n, " +
+      "avg(d) AS ad FROM mvb16 WHERE cat = 'c1' GROUP BY k")
+    // the query re-states the view's predicate verbatim → serve
+    val q = "SELECT k, sum(v) AS sv, count(*) AS n, avg(d) AS ad " +
+      "FROM mvb16 WHERE cat = 'c1' GROUP BY k"
+    assert(usesMatView(q, "mv16"), "exact predicate match must serve")
+    assert(sorted(spark.sql(q)) == direct(q))
+    // extra residual conjunct on a GROUP column composes on top
+    val qRes = "SELECT k, sum(v) AS sv FROM mvb16 WHERE cat = 'c1' AND k > 2 GROUP BY k"
+    assert(usesMatView(qRes, "mv16"))
+    assert(sorted(spark.sql(qRes)) == direct(qRes))
+    // global rollup under the same predicate
+    val qGlobal = "SELECT sum(v) AS sv, count(*) AS n FROM mvb16 WHERE cat = 'c1'"
+    assert(usesMatView(qGlobal, "mv16"))
+    assert(sorted(spark.sql(qGlobal)) == direct(qGlobal))
+    // declines: no predicate / different literal / widened predicate —
+    // each wants rows the view excluded
+    Seq("SELECT k, sum(v) AS sv FROM mvb16 GROUP BY k",
+      "SELECT k, sum(v) AS sv FROM mvb16 WHERE cat = 'c2' GROUP BY k",
+      "SELECT k, sum(v) AS sv FROM mvb16 WHERE cat = 'c1' OR cat = 'c2' GROUP BY k")
+      .foreach { bad =>
+        assert(!usesMatView(bad, "mv16"), s"must decline: $bad")
+        assert(sorted(spark.sql(bad)) == direct(bad))
+      }
+    // refresh paths respect the predicate: append then O(delta) merge
+    g.insert("mvb16", spark.range(600, 720).select(
+      (col("id") % 7).cast("int").as("k"), concat(lit("c"), col("id") % 3).as("cat"),
+      (col("id") * 2).as("v"), (col("id") % 100).cast("double").as("d"),
+      col("id").as("nv")))
+    assert(!usesMatView(q, "mv16"))
+    assert(g.refreshMaterializedView("mv16") == "incremental")
+    assert(usesMatView(q, "mv16"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    // ... and the full-rebuild path after a delete
+    g.delete("mvb16", col("v") % 10 === 2)
+    assert(g.refreshMaterializedView("mv16") == "full")
+    assert(sorted(spark.sql(q)) == direct(q))
+    g.dropTable("mvb16")
+  }
+
+  test("filtered view definition rides checkpoint/restore") {
+    freshBase("mvb17", rows = 200)
+    g.sql("CREATE MATERIALIZED VIEW mv17 AS SELECT k, sum(v) AS sv " +
+      "FROM mvb17 WHERE cat = 'c0' GROUP BY k")
+    val dir = java.nio.file.Files.createTempDirectory("mv_pred_ck").toString
+    g.checkpointTable("mv17", dir)
+    g.dropTable("mvb17") // cascades mv17
+    freshBase("mvb17", rows = 200)
+    g.restoreTable("mv17", dir)
+    assert(MatViews.get("mv17").exists(_.predicate.nonEmpty),
+      "restored view must keep its predicate")
+    assert(g.refreshMaterializedView("mv17") == "full")
+    val q = "SELECT k, sum(v) AS sv FROM mvb17 WHERE cat = 'c0' GROUP BY k"
+    assert(usesMatView(q, "mv17"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    g.dropTable("mvb17")
+  }
+
+  test("coarsest fresh cover wins when several views match") {
+    freshBase("mvb18", rows = 400)
+    // zz_coarse sorts AFTER aa_fine by name — only the cost order can
+    // pick it; both cover a GROUP BY cat rollup, the 3-group summary
+    // should serve it, not the 21-group one
+    g.sql("CREATE MATERIALIZED VIEW aa_fine AS " +
+      "SELECT k, cat, sum(v) AS sv FROM mvb18 GROUP BY k, cat")
+    g.sql("CREATE MATERIALIZED VIEW zz_coarse AS " +
+      "SELECT cat, sum(v) AS sv FROM mvb18 GROUP BY cat")
+    val q = "SELECT cat, sum(v) AS sv FROM mvb18 GROUP BY cat"
+    assert(usesMatView(q, "zz_coarse"),
+      "the coarsest covering view must serve the rollup")
+    assert(!usesMatView(q, "aa_fine"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    // a query only the fine view covers still routes there
+    val qFine = "SELECT k, sum(v) AS sv FROM mvb18 GROUP BY k"
+    assert(usesMatView(qFine, "aa_fine"))
+    assert(sorted(spark.sql(qFine)) == direct(qFine))
+    // staleness re-routes: refresh only the FINE view after a mutation —
+    // the coarse one is stale, so the rollup falls through to the fine view
+    g.insert("mvb18", spark.range(400, 450).select(
+      (col("id") % 7).cast("int").as("k"), concat(lit("c"), col("id") % 3).as("cat"),
+      (col("id") * 2).as("v"), lit(0.0).as("d"), col("id").as("nv")))
+    g.refreshMaterializedView("aa_fine")
+    assert(usesMatView(q, "aa_fine"),
+      "with the coarse view stale, the fresh fine view must serve")
+    assert(sorted(spark.sql(q)) == direct(q))
+    g.dropTable("mvb18")
+  }
+
+  test("held DataFrame keeps its planned snapshot; a new query re-proves freshness") {
+    freshBase("mvb19", rows = 300)
+    g.sql("CREATE MATERIALIZED VIEW mv19 AS SELECT k, sum(v) AS sv, count(*) AS n " +
+      "FROM mvb19 GROUP BY k")
+    val q = "SELECT k, sum(v) AS sv, count(*) AS n FROM mvb19 GROUP BY k"
+    val held = spark.sql(q)
+    held.queryExecution.executedPlan // plan NOW, while the view is fresh
+    assert(Plans.scansStoreTable(held, "mv19"))
+    val preMutation = sorted(held)
+    g.insert("mvb19", spark.range(300, 360).select(
+      (col("id") % 7).cast("int").as("k"), lit("c0").as("cat"),
+      (col("id") * 2).as("v"), lit(0.0).as("d"), col("id").as("nv")))
+    // snapshot-at-plan: the held DF still serves the view's then-correct
+    // contents (the same read skew a pinned store scan has) ...
+    assert(sorted(held) == preMutation,
+      "a held plan must keep its planned snapshot")
+    // ... while a NEW query re-proves freshness, declines, and sees the
+    // mutation from the base scan
+    assert(!usesMatView(q, "mv19"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    assert(sorted(spark.sql(q)) != preMutation, "new query must see the insert")
+    g.dropTable("mvb19")
+  }
+
+  test("cross-session name collisions are refused, not clobbered") {
+    freshBase("mvb20", rows = 50)
+    // a SECOND session (sharing the JVM-global store registries, as a
+    // JDBC session would) must not overwrite a same-named store table
+    // or view created elsewhere
+    val g2 = new GraftSession(spark.newSession())
+    g2.createTable("mvb20_other", spark.range(5).toDF("x"))
+    val e = intercept[Exception](g2.sql("CREATE MATERIALIZED VIEW mvb20 AS " +
+      "SELECT x, count(*) AS n FROM mvb20_other GROUP BY x"))
+    assert(e.getMessage.contains("name in use"))
+    g.sql("CREATE MATERIALIZED VIEW mv20 AS SELECT k, sum(v) AS sv FROM mvb20 GROUP BY k")
+    val e2 = intercept[Exception](g2.sql("CREATE MATERIALIZED VIEW mv20 AS " +
+      "SELECT x, count(*) AS n FROM mvb20_other GROUP BY x"))
+    assert(e2.getMessage.contains("name in use"))
+    g2.dropTable("mvb20_other")
+    g.dropTable("mvb20")
+  }
+
+  test("matviewAutoRefresh: one failing view neither fails the insert nor blocks siblings") {
+    freshBase("mvb21", rows = 100)
+    g.sql("CREATE MATERIALIZED VIEW mv21 AS SELECT k, sum(v) AS sv, count(*) AS n " +
+      "FROM mvb21 GROUP BY k")
+    // a corrupt registration whose refresh can only throw (its group
+    // column does not exist on the base) — simulates any broken view
+    MatViews.register(MatViews.MvDef("a_broken_mv21", "mvb21",
+      Seq("no_such_col"), Seq(MatViews.MvAgg("count_star", "", "n")),
+      "SELECT ...", MatViews.MvFreshness(Set(-1L), Map.empty)))
+    spark.conf.set("spark.sql.graft.matviewAutoRefresh", "true")
+    try {
+      // sorts before mv21, so the failure path runs FIRST — the insert
+      // must still commit and mv21 must still be maintained
+      g.insert("mvb21", spark.range(100, 160).select(
+        (col("id") % 7).cast("int").as("k"), lit("c0").as("cat"),
+        (col("id") * 2).as("v"), lit(0.0).as("d"), col("id").as("nv")))
+      val q = "SELECT k, sum(v) AS sv, count(*) AS n FROM mvb21 GROUP BY k"
+      assert(spark.sql("SELECT count(*) AS c FROM mvb21").head().getLong(0) == 160L,
+        "the insert must commit despite the failing refresh")
+      assert(usesMatView(q, "mv21"), "sibling views must still be maintained")
+      assert(sorted(spark.sql(q)) == direct(q))
+    } finally {
+      spark.conf.set("spark.sql.graft.matviewAutoRefresh", "false")
+      MatViews.unregister("a_broken_mv21")
+      g.dropTable("mvb21")
     }
   }
 }
