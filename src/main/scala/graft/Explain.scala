@@ -22,7 +22,7 @@ object Explain {
       "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
       "q_ann_bruteforce", "q_dedup_minhash_lsh", "q_events_hourly",
       "q_column_store", "q_point_lookup", "q_dedup_embedding",
-      "q_matview_rewrite")
+      "q_matview_rewrite", "q_matview_join")
     SparkEntry.allDefs.filter(d => wanted(d.name)).foreach { d =>
       println(s"\n========== ${d.name} ==========")
       println(d.fn(spark, sfDir).queryExecution.explainString(

@@ -345,9 +345,12 @@ class GraftSession(val spark: SparkSession)
         org.apache.spark.sql.graft.store.GraftManifest.write(spark, dir, Seq(
           "base" -> mv.base,
           "group_cols" -> mv.groupCols.map(enc).mkString(","),
+          "group_qual" -> mv.groupQual.map(enc).mkString(","),
           "aggs" -> mv.aggs.map(a =>
             s"${a.func}:${enc(a.input)}:${enc(a.resultName)}").mkString(";"),
           "predicate" -> mv.predicate.map(enc).mkString(";"),
+          "join_tables" -> mv.joins.map(_.tables.mkString(",")).getOrElse(""),
+          "join_conds" -> mv.joins.map(_.conds.map(enc).mkString(";")).getOrElse(""),
           "sql" -> mv.sql),
           s"graft matview definition for $nm", file = "matview.properties")
       case None =>
@@ -372,12 +375,21 @@ class GraftSession(val spark: SparkSession)
           val Array(f, in, rn) = e.split(":", 3)
           MatViews.MvAgg(f, dec(in), dec(rn))
         }
+        val sentinel = MatViews.MvFreshness(Set(-1L), Map.empty)
+        val joinTables = Option(mp.getProperty("join_tables")).toSeq
+          .flatMap(_.split(",")).filter(_.nonEmpty)
+        val joins = if (joinTables.isEmpty) None else Some(MatViews.MvJoin(
+          joinTables, list("join_conds").map(dec),
+          joinTables.map(_ -> sentinel).toMap))
         MatViews.register(MatViews.MvDef(nm, mp.getProperty("base"),
           Option(mp.getProperty("group_cols")).toSeq
             .flatMap(_.split(",")).filter(_.nonEmpty).map(dec),
           aggs, Option(mp.getProperty("sql")).getOrElse(""),
-          MatViews.MvFreshness(Set(-1L), Map.empty),
-          predicate = list("predicate").map(dec)))
+          sentinel,
+          predicate = list("predicate").map(dec),
+          joins = joins,
+          groupQual = Option(mp.getProperty("group_qual")).toSeq
+            .flatMap(_.split(",")).filter(_.nonEmpty).map(dec)))
       }
 
   /** Checkpoint to the table's bound DISKSTORE (reference persistence:
@@ -985,27 +997,83 @@ class GraftSession(val spark: SparkSession)
       !MatViews.isMatView(nm),
       s"CREATE MATERIALIZED VIEW $nm: name in use")
     val analyzed = spark.sql(viewSql).queryExecution.analyzed
-    val (gt, groupCols, aggs, predicate) = MatViewSupport.analyzeDefinition(analyzed)
-    val base = gt.storeName
+    val d = MatViewSupport.analyzeDefinition(analyzed)
+    val base = d.tables.head._1
     // fingerprint BEFORE the pinned scan: concurrent mutations can only
-    // make the view conservatively stale, never falsely fresh
-    val fresh = MatViews.fingerprint(GraftColumnStore(base).snapshot)
-    val contents = mvContents(base, fresh.refIds, groupCols, aggs, predicate)
+    // make the view conservatively stale, never falsely fresh —
+    // per-table for join views, a mutation in ANY member stales
+    val freshAll: Map[String, MatViews.MvFreshness] = d.tables.map { case (t, _) =>
+      t -> MatViews.fingerprint(GraftColumnStore(t).snapshot)
+    }.toMap
+    val contents = mvContents(d.tables.map(_._1), d.joinConds,
+      freshAll.view.mapValues(_.refIds).toMap, d.groupCols, d.groupQual,
+      d.aggs, d.predicate)
     val df = MatViews.inMaintenance {
-      createTable(nm, contents, keyColumns = groupCols,
-        partitionBy = groupCols, buckets = buckets)
+      createTable(nm, contents, keyColumns = d.groupCols,
+        partitionBy = d.groupCols, buckets = buckets)
     }
-    MatViews.register(
-      MatViews.MvDef(nm, base, groupCols, aggs, viewSql, fresh, predicate))
+    val joins = if (d.tables.size > 1) Some(MatViews.MvJoin(
+      d.tables.map(_._1).sorted, d.joinConds, freshAll)) else None
+    MatViews.register(MatViews.MvDef(nm, base, d.groupCols, d.aggs, viewSql,
+      freshAll(base), d.predicate, joins, d.groupQual))
     df
   }
 
-  private def mvContents(base: String, ids: Set[Long], groupCols: Seq[String],
-      aggs: Seq[MatViews.MvAgg], predicate: Seq[String]): DataFrame = {
+  /** Build / delta scan of a view's defining query over PINNED batch
+    * sets — one table for plain views, an aliased equi-join chain for
+    * star-schema views (each table aliased by its own name so the
+    * canonical qualified conjuncts execute verbatim through expr()).
+    */
+  private def mvContents(tables: Seq[String], joinConds: Seq[String],
+      pinnedIds: Map[String, Set[Long]], groupCols: Seq[String],
+      groupQual: Seq[String], aggs: Seq[MatViews.MvAgg],
+      predicate: Seq[String]): DataFrame = {
     val cols = MatViewSupport.buildAggs(aggs)
-    val scan = predicate.foldLeft(pinnedRead(base, ids))((df, p) => df.filter(expr(p)))
-    scan.groupBy(groupCols.map(col): _*).agg(cols.head, cols.tail: _*)
+    val scan =
+      if (tables.size == 1) {
+        predicate.foldLeft(pinnedRead(tables.head, pinnedIds(tables.head)))(
+          (df, p) => df.filter(expr(p)))
+      } else {
+        // join following the condition graph's connectivity; conditions
+        // whose BOTH sides are already joined apply as filters
+        val frames: Map[String, DataFrame] = tables.map(t =>
+          t -> pinnedRead(t, pinnedIds(t)).as(t)).toMap
+        def tablesOf(c: String): Seq[String] =
+          "`([^`]+)`\\.".r.findAllMatchIn(c).map(_.group(1)).toSeq.distinct
+        var joined = Set(tables.head)
+        var df = frames(tables.head)
+        var remaining = joinConds
+        while (joined.size < tables.size) {
+          val (usable, rest0) = remaining.partition(c =>
+            tablesOf(c).exists(joined.contains))
+          require(usable.nonEmpty, s"matview build: disconnected join graph " +
+            s"(remaining: ${remaining.mkString("; ")})") // refused at CREATE
+          usable.foreach { c =>
+            val newTs = tablesOf(c).filterNot(joined.contains)
+            if (newTs.isEmpty) df = df.filter(expr(c))
+            else {
+              // one conjunct joins at most one new table (equi-join of
+              // two sides); join it on this condition
+              val t = newTs.head
+              df = df.join(frames(t), expr(c))
+              joined += t
+            }
+          }
+          remaining = rest0
+        }
+        remaining.foreach(c => df = df.filter(expr(c)))
+        predicate.foldLeft(df)((d0, p) => d0.filter(expr(p)))
+      }
+    val keys =
+      if (groupQual.nonEmpty) groupQual.zip(groupCols).map { case (q, b) =>
+        expr(q).as(b) // qualified resolution, bare storage name
+      } else groupCols.map(col)
+    scan.groupBy(keys: _*).agg(cols.head, cols.tail: _*)
   }
+
+  private def mvContents(base: String, ids: Set[Long], groupCols: Seq[String],
+      aggs: Seq[MatViews.MvAgg], predicate: Seq[String]): DataFrame =
+    mvContents(Seq(base), Nil, Map(base -> ids), groupCols, Nil, aggs, predicate)
 
   /** REFRESH MATERIALIZED VIEW — O(delta) after pure appends (aggregate
     * only the new batches, merge by group key through putInto), full
@@ -1020,15 +1088,34 @@ class GraftSession(val spark: SparkSession)
     // winner's fingerprint and no-ops instead of re-merging its delta
     val mv = MatViews.get(nm).getOrElse(throw new IllegalArgumentException(
       s"REFRESH MATERIALIZED VIEW $nm: not a materialized view"))
-    val t = GraftColumnStore.get(mv.base).getOrElse(
-      throw new IllegalStateException(s"matview $nm: base table ${mv.base} is gone"))
-    val snap = t.snapshot
-    val fresh = MatViews.fingerprint(snap)
-    val oldIntact = mv.fresh.refIds.subsetOf(fresh.refIds) &&
-      snap.mutationState(mv.fresh.refIds) == mv.fresh.fp
+    val tables = mv.allTables
+    val snaps = tables.map { t =>
+      t -> GraftColumnStore.get(t).getOrElse(throw new IllegalStateException(
+        s"matview $nm: base table $t is gone")).snapshot
+    }.toMap
+    val freshNow = snaps.map { case (t, s) => t -> MatViews.fingerprint(s) }
+    def recorded(t: String): MatViews.MvFreshness =
+      mv.joins.map(_.fresh.getOrElse(t,
+        MatViews.MvFreshness(Set(-1L), Map.empty))).getOrElse(mv.fresh)
+    // per-table classification drives the path choice: identical
+    // tables carry, ONE append-only table takes the O(delta) merge,
+    // anything else (mutation, or several moving tables) rebuilds
+    def identical(t: String): Boolean = {
+      val f = recorded(t)
+      freshNow(t).refIds == f.refIds && freshNow(t).fp == f.fp
+    }
+    def appendOnly(t: String): Boolean = {
+      val f = recorded(t)
+      f.refIds.subsetOf(freshNow(t).refIds) &&
+        snaps(t).mutationState(f.refIds) == f.fp
+    }
+    def registered(): MatViews.MvDef = mv.copy(
+      fresh = freshNow(mv.base),
+      joins = mv.joins.map(_.copy(fresh = freshNow)))
     def rebuild(): String = {
-      val contents =
-        mvContents(mv.base, fresh.refIds, mv.groupCols, mv.aggs, mv.predicate)
+      val contents = mvContents(tables, mv.joins.map(_.conds).getOrElse(Nil),
+        freshNow.view.mapValues(_.refIds).toMap, mv.groupCols, mv.groupQual,
+        mv.aggs, mv.predicate)
       // buckets from the backing table's OWN snapshot, not session
       // state: a JDBC/other session may refresh a view it didn't create
       // (captured BEFORE the rewrite: a failed createTable drops the
@@ -1043,14 +1130,24 @@ class GraftSession(val spark: SparkSession)
         createTable(nm, contents, keyColumns = mv.groupCols,
           partitionBy = mv.groupCols, buckets = buckets)
       } catch { case e: Throwable => MatViews.register(mv); throw e }
-      MatViews.register(mv.copy(fresh = fresh))
+      MatViews.register(registered())
       "full"
     }
-    if (oldIntact && fresh.refIds == mv.fresh.refIds) "noop"
-    else if (!oldIntact || mv.groupCols.isEmpty) rebuild()
+    val moving = tables.filterNot(identical)
+    if (moving.isEmpty) "noop"
+    else if (moving.size > 1 || !appendOnly(moving.head) ||
+      mv.groupCols.isEmpty) rebuild()
     else {
-      val newIds = fresh.refIds -- mv.fresh.refIds
-      val delta = mvContents(mv.base, newIds, mv.groupCols, mv.aggs, mv.predicate)
+      // O(delta): exactly one table gained batches, everything else is
+      // fingerprint-identical — the join rows involving the new batches
+      // ARE the delta (old x old pairs are already in the summary)
+      val movingT = moving.head
+      val pinned = tables.map { t =>
+        t -> (if (t == movingT) freshNow(t).refIds -- recorded(t).refIds
+        else freshNow(t).refIds)
+      }.toMap
+      val delta = mvContents(tables, mv.joins.map(_.conds).getOrElse(Nil),
+        pinned, mv.groupCols, mv.groupQual, mv.aggs, mv.predicate)
         .localCheckpoint(false)
       // a NULL group key defeats the equality-keyed merge join below
       // (and putInto's key matching) — correctness wins: full rebuild
@@ -1072,7 +1169,7 @@ class GraftSession(val spark: SparkSession)
         MatViews.inMaintenance {
           GraftStoreOps.putInto(spark, nm, conformed)
         }
-        MatViews.register(mv.copy(fresh = fresh))
+        MatViews.register(registered())
         "incremental"
       }
     }
@@ -1094,7 +1191,7 @@ class GraftSession(val spark: SparkSession)
     */
   def sysMatviews: DataFrame = {
     val rows = MatViews.all.map { m =>
-      (m.name, m.base, m.groupCols.mkString(","),
+      (m.name, m.allTables.mkString(","), m.groupCols.mkString(","),
         m.aggs.map(a => s"${a.func}(${if (a.input.isEmpty) "*" else a.input})")
           .mkString(","),
         MatViews.isFresh(m), m.sql)
@@ -1138,7 +1235,7 @@ class GraftSession(val spark: SparkSession)
     // matviews are subordinate too: dropping the base drops its views
     // (an orphaned view could never refresh again); dropping a matview's
     // own table directly just deregisters it
-    org.apache.spark.sql.graft.store.MatViews.all.filter(_.base == nm)
+    org.apache.spark.sql.graft.store.MatViews.involving(nm)
       .foreach(m => dropMaterializedView(m.name))
     org.apache.spark.sql.graft.store.MatViews.unregister(nm)
     org.apache.spark.sql.graft.store.ReplicaGuard.clear(nm)
@@ -1534,7 +1631,7 @@ class GraftSession(val spark: SparkSession)
       // failed insert (the caller's rows landed), and one bad view must
       // not block maintenance of its siblings — the freshness gate keeps
       // an unmaintained view safe (stale → base scan until REFRESH)
-      MatViews.all.filter(_.base == nm).foreach { m =>
+      MatViews.involving(nm).foreach { m =>
         try refreshMaterializedView(m.name)
         catch { case scala.util.control.NonFatal(e) =>
           logWarning(s"matviewAutoRefresh: refresh of ${m.name} after " +

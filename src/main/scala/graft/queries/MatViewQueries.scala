@@ -219,6 +219,51 @@ object MatViewQueries {
         .orderBy("o_orderstatus")
     },
 
+    // ---- STAR-SCHEMA view: the defining query is a fact ⋈ dim inner
+    // equi-join; the rewrite matches the query's table set + canonical
+    // join-condition set (join order / condition flips immune), rolls
+    // up to the dim attribute, and a fact append refreshes O(delta)
+    // (dim fingerprint carries; the delta join touches only new
+    // batches). All plan-asserted ----
+    QueryDef.sql(
+      "q_matview_join",
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      reset(g, "q_mvj_sum", "q_mvj_fact")
+      if (g.isManaged("q_mvj_dim")) g.dropTable("q_mvj_dim")
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,4)").as("amt"))
+      g.createTable("q_mvj_fact", orders.filter(col("o_orderkey") % 4 =!= 0),
+        partitionBy = Seq("o_custkey"), buckets = 4)
+      g.createTable("q_mvj_dim", Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      g.sql("CREATE MATERIALIZED VIEW q_mvj_sum AS " +
+        "SELECT c_mktsegment, o_orderstatus, sum(amt) AS s, count(*) AS n " +
+        "FROM q_mvj_fact JOIN q_mvj_dim ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment, o_orderstatus")
+      // fact append → stale → O(delta) refresh with the dim untouched
+      g.insert("q_mvj_fact", orders.filter(col("o_orderkey") % 4 === 0))
+      val qs = "SELECT c_mktsegment, sum(amt) AS ts, count(*) AS n " +
+        "FROM q_mvj_fact JOIN q_mvj_dim ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment"
+      assertNotServedBy(s.sql(qs), "q_mvj_sum")
+      val path = g.refreshMaterializedView("q_mvj_sum")
+      require(path == "incremental", s"fact-append refresh took '$path'")
+      // the rollup over the JOIN (flipped condition) serves from the view
+      val served = s.sql("SELECT c_mktsegment, sum(amt) AS ts, count(*) AS n " +
+        "FROM q_mvj_dim JOIN q_mvj_fact ON c_custkey = o_custkey " +
+        "GROUP BY c_mktsegment")
+      assertServedBy(served, "q_mvj_sum")
+        .select(col("c_mktsegment"), col("ts").cast("double").as("total"), col("n"))
+        .orderBy("c_mktsegment")
+    },
+
     // ---- freshness gate: after a DELETE the view is provably stale —
     // the SAME aggregate must fall back to the base scan (asserted) and
     // still answer post-delete truth; REFRESH takes the "full" path

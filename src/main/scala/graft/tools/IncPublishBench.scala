@@ -73,7 +73,7 @@ object IncPublishBench {
     // ROW-table arm (r12): the PK-keyed serving-table shape — same
     // full-vs-incremental protocol, pack-granularity reuse
     import org.apache.spark.sql.graft.store.{GraftRowOps, GraftRowStore}
-    val rn = math.min(n, 2000000L) // row packs are heavier per row
+    val rn = math.min(n, 8000000L) // row packs are heavier per row
     Seq("full", "incremental").foreach { mode =>
       val inc = mode == "incremental"
       val root = java.nio.file.Files.createTempDirectory(s"incbr_$mode").toString

@@ -76,6 +76,39 @@ object MatViewBench {
       g.dropMaterializedView(mv)
       g.dropTable(base)
     }
+
+    // ---- star-schema arm (r12): the rollup dashboard over fact ⋈ dim —
+    // the base plan pays the join AND the fact scan on every query; the
+    // view is one summary scan. Fixed ×16 fact, 512-row dim.
+    locally {
+      val fact = li.crossJoin(spark.range(16).toDF("__rep")).drop("__rep")
+        .withColumn("fk", col("gk") % 512)
+      val dim = spark.range(512).select(col("id").as("dk"),
+        concat(lit("seg"), col("id") % 24).as("seg"))
+      g.createTable("mvp_jfact", fact)
+      g.createTable("mvp_jdim", dim)
+      val jq = "SELECT seg, sum(amt) AS s, count(*) AS n " +
+        "FROM mvp_jfact JOIN mvp_jdim ON fk = dk GROUP BY seg"
+      val run = () => spark.sql(jq).write.format("noop").mode("overwrite").save()
+      spark.conf.set("spark.sql.graft.matviewRewrite", "false")
+      val tBase = minOf(3)(run())
+      spark.conf.set("spark.sql.graft.matviewRewrite", "true")
+      val tBuild = time(g.createMaterializedView("mvp_jmv",
+        s"SELECT seg, sum(amt) AS s, count(*) AS n " +
+          s"FROM mvp_jfact JOIN mvp_jdim ON fk = dk GROUP BY seg"))
+      val tMv = minOf(3)(run())
+      g.insert("mvp_jfact", li.withColumn("fk", col("gk") % 512).limit(20000))
+      val tInc = time {
+        val p = g.refreshMaterializedView("mvp_jmv")
+        require(p == "incremental", s"expected incremental, got $p")
+      }
+      val rows = org.apache.spark.sql.graft.store
+        .GraftColumnStore("mvp_jfact").snapshot.rowCount
+      println(f"${"join"}%5s $rows%10d $tBase%9.3f $tMv%9.3f " +
+        f"${tBase / tMv}%7.1fx $tBuild%8.3f $tInc%12.3f ${Double.NaN}%13.3f")
+      g.dropMaterializedView("mvp_jmv")
+      g.dropTable("mvp_jfact"); g.dropTable("mvp_jdim")
+    }
     spark.stop()
   }
 }

@@ -17,6 +17,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -32,7 +33,7 @@ object MatViewSupport extends PredicateHelper {
     * (column pruning), View bodies.
     */
   @scala.annotation.tailrec
-  private def strip(p: LogicalPlan): LogicalPlan = p match {
+  private[store] def strip(p: LogicalPlan): LogicalPlan = p match {
     case SubqueryAlias(_, c) => strip(c)
     case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => strip(c)
     case v: View => strip(v.child)
@@ -86,27 +87,85 @@ object MatViewSupport extends PredicateHelper {
   private def renderEq(a: AttributeReference, l: Expression): String =
     s"${canonicalName(a)} = ${Literal.create(l.eval(), l.dataType).sql}"
 
+  // ---- join-view canonical forms --------------------------------------
+
+  /** Table-QUALIFIED canonical column: `` `table`.`col` `` — the string
+    * both matches (view definition vs query plan) and executes (expr()
+    * under per-table DataFrame aliases during build/refresh).
+    */
+  def qualName(table: String, col: String): String =
+    "`" + table.toLowerCase(Locale.ROOT) + "`.`" + col.toLowerCase(Locale.ROOT) + "`"
+
+  /** Qualified equality-vs-literal conjunct, or None. */
+  def canonicalEqQual(e: Expression,
+      owner: AttributeReference => Option[String]): Option[String] = {
+    def render(a: AttributeReference, l: Expression): Option[String] =
+      owner(a).map(t =>
+        s"${qualName(t, a.name)} = ${Literal.create(l.eval(), l.dataType).sql}")
+    e match {
+      case EqualTo(a: AttributeReference, l) if l.foldable => render(a, l)
+      case EqualTo(l, a: AttributeReference) if l.foldable => render(a, l)
+      case _ => None
+    }
+  }
+
+  /** One side of an equi-join conjunct: a bare column, or a column the
+    * analyzer wrapped in a LOSSLESS widening cast (mismatched join-key
+    * types, e.g. int = bigint). Upcasts are injective, so equality of
+    * the cast values IS equality of the originals; and the same column
+    * pair gets the same implicit cast on the CREATE and the query side,
+    * so canonicalizing on the underlying columns stays consistent (the
+    * build re-analyzes `t.a = u.b` into the identical cast).
+    */
+  private def joinSide(e: Expression): Option[AttributeReference] = e match {
+    case a: AttributeReference => Some(a)
+    case c @ Cast(a: AttributeReference, _, _, _)
+        if Cast.canUpCast(a.dataType, c.dataType) => Some(a)
+    case _ => None
+  }
+
+  /** Canonical equi-join conjunct between two DIFFERENT tables — the
+    * two sides sort lexicographically so `a.x = b.y` and `b.y = a.x`
+    * canonicalize identically (join reorder / condition flip immune).
+    */
+  def canonicalJoinEq(e: Expression,
+      owner: AttributeReference => Option[String]): Option[String] = e match {
+    case EqualTo(l, r) =>
+      (joinSide(l), joinSide(r)) match {
+        case (Some(a), Some(b)) =>
+          (owner(a), owner(b)) match {
+            case (Some(ta), Some(tb)) if ta != tb =>
+              val sa = qualName(ta, a.name)
+              val sb = qualName(tb, b.name)
+              Some(if (sa <= sb) s"$sa = $sb" else s"$sb = $sa")
+            case _ => None
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+
   /** Recognize one defining/query aggregate call: a bare supported
     * function over a bare column (or count(*)/count(1)). Returns
-    * (func, inputColumn) or None.
+    * (func, input attribute — None for count_star) or None overall.
     */
-  def matchAggCall(e: Expression): Option[(String, String)] = e match {
+  def matchAggAttr(e: Expression): Option[(String, Option[AttributeReference])] = e match {
     case AggregateExpression(fn, Complete, false, None, _) => fn match {
       case s: Sum => s.child match {
-        case a: AttributeReference => Some(("sum", a.name))
+        case a: AttributeReference => Some(("sum", Some(a)))
         case _ => None
       }
       case c: Count => c.children match {
-        case Seq(a: AttributeReference) => Some(("count", a.name))
-        case Seq(Literal(_, _)) => Some(("count_star", ""))
+        case Seq(a: AttributeReference) => Some(("count", Some(a)))
+        case Seq(Literal(_, _)) => Some(("count_star", None))
         case _ => None
       }
       case m: Min => m.child match {
-        case a: AttributeReference => Some(("min", a.name))
+        case a: AttributeReference => Some(("min", Some(a)))
         case _ => None
       }
       case m: Max => m.child match {
-        case a: AttributeReference => Some(("max", a.name))
+        case a: AttributeReference => Some(("max", Some(a)))
         case _ => None
       }
       case av: Average => av.child match {
@@ -117,7 +176,7 @@ object MatViewSupport extends PredicateHelper {
         // p+10/s) — see MatViewRewrite.derive
         case a: AttributeReference if av.dataType == DoubleType ||
             av.dataType.isInstanceOf[DecimalType] =>
-          Some(("avg", a.name))
+          Some(("avg", Some(a)))
         case _ => None
       }
       // sketch-typed slot: approx_count_distinct materializes as a
@@ -125,13 +184,17 @@ object MatViewSupport extends PredicateHelper {
       // which numeric counts cannot) — same summary-answers-estimates
       // contract as StatsApproxDistinctRule, rsd-gated at rewrite time
       case h: HyperLogLogPlusPlus => h.child match {
-        case a: AttributeReference => Some(("approx_distinct", a.name))
+        case a: AttributeReference => Some(("approx_distinct", Some(a)))
         case _ => None
       }
       case _ => None
     }
     case _ => None
   }
+
+  /** [[matchAggAttr]] with bare column names (single-table views). */
+  def matchAggCall(e: Expression): Option[(String, String)] =
+    matchAggAttr(e).map { case (f, a) => (f, a.map(_.name).getOrElse("")) }
 
   /** DataSketches HLL lgConfigK for sketch slots; its standard error
     * (1.04/√2^lgK ≈ 1.63%) is the floor a query's rsd must tolerate.
@@ -188,45 +251,160 @@ object MatViewSupport extends PredicateHelper {
     }
   }
 
-  /** Parse a defining query's ANALYZED plan into (base table, group
-    * columns, aggs in select order, canonical WHERE conjuncts). Throws
+  /** Parsed defining query. `tables` in leaf order (head = the base /
+    * fact table); `groupQual`/`joinConds` empty for single-table views.
+    * For join views, `MvAgg.input` and predicate conjuncts carry the
+    * QUALIFIED `` `t`.`c` `` form; `groupCols` stay bare (they name the
+    * summary's storage columns and are required unambiguous).
+    */
+  final case class MvDefinition(
+      tables: Seq[(String, GraftTable)],
+      groupCols: Seq[String],
+      groupQual: Seq[String],
+      aggs: Seq[MvAgg],
+      predicate: Seq[String],
+      joinConds: Seq[String])
+
+  /** Parse a defining query's ANALYZED plan. Throws
     * IllegalArgumentException with an actionable message when the shape
     * is not materializable. The WHERE, when present, must be a
     * conjunction of `<column> = <literal>` predicates — the exact-match
     * containment the rewrite supports; anything needing an implication
     * engine (ranges, IN, disjunctions) is refused here rather than
-    * silently never served.
+    * silently never served. A multi-table FROM must be INNER equi-joins
+    * of distinct store tables whose join graph is connected.
     */
-  def analyzeDefinition(
-      analyzed: LogicalPlan): (GraftTable, Seq[String], Seq[MvAgg], Seq[String]) = {
+  def analyzeDefinition(analyzed: LogicalPlan): MvDefinition = {
     def fail(why: String): Nothing = throw new IllegalArgumentException(
       "CREATE MATERIALIZED VIEW: " + why +
         " (supported shape: SELECT <group cols>, sum/count/min/max/avg(col) " +
-        "FROM <store table> [WHERE col = literal [AND ...]] GROUP BY <group cols>)")
+        "FROM <store table> [JOIN <store table> ON t.a = u.b ...] " +
+        "[WHERE col = literal [AND ...]] GROUP BY <group cols>)")
     strip(analyzed) match {
       case Aggregate(groupExprs, resultExprs, child, _) =>
-        val (filter, gt, _) = unwrapScan(child, allowFilter = true)
-          .getOrElse(fail("FROM must be a single graft store table, no joins"))
-        val predicate = filter.toSeq.flatMap(splitConjunctivePredicates).map { c =>
-          canonicalEq(c).getOrElse(fail(
-            s"WHERE must be a conjunction of <column> = <literal> " +
-              s"predicates, got: ${c.sql}"))
+        // collect the FROM tree: inner-join leaves + every conjunct
+        val leaves = Seq.newBuilder[(GraftTable, DataSourceV2Relation)]
+        val conjs = Seq.newBuilder[Expression]
+        def walk(p: LogicalPlan): Unit = strip(p) match {
+          case j: Join =>
+            if (j.joinType != Inner) fail(
+              s"only INNER joins are materializable, got ${j.joinType}")
+            walk(j.left); walk(j.right)
+            j.condition.toSeq.flatMap(splitConjunctivePredicates)
+              .foreach(c => conjs += c)
+          case Filter(c, inner) =>
+            splitConjunctivePredicates(c).foreach(x => conjs += x)
+            walk(inner)
+          case r: DataSourceV2Relation if !r.options.containsKey("batch_ids") =>
+            r.table match {
+              case gt: GraftTable => leaves += ((gt, r))
+              case _ => fail("FROM must reference graft column-store tables")
+            }
+          case other => fail(s"unsupported FROM shape: ${other.nodeName}")
         }
-        val groupCols = groupExprs.map {
-          case a: AttributeReference => a.name
+        walk(child)
+        val tables = leaves.result()
+        if (tables.isEmpty) fail("FROM must reference a graft store table")
+
+        if (tables.size == 1) {
+          // ---- single-table path (the original contract) ----
+          val predicate = conjs.result().map { c =>
+            canonicalEq(c).getOrElse(fail(
+              s"WHERE must be a conjunction of <column> = <literal> " +
+                s"predicates, got: ${c.sql}"))
+          }
+          val groupCols = groupExprs.map {
+            case a: AttributeReference => a.name
+            case e => fail(s"group expression must be a bare column, got: ${e.sql}")
+          }
+          val aggs = resultExprs.flatMap {
+            case a: AttributeReference if groupCols.contains(a.name) => None
+            case Alias(a: AttributeReference, _) if groupCols.contains(a.name) => None
+            case al @ Alias(e, nm) => matchAggCall(e) match {
+              case Some((f, in)) => Some(MvAgg(f, in, nm))
+              case None => fail(s"unsupported select expression: ${al.sql}")
+            }
+            case e => fail(s"unsupported select expression: ${e.sql}")
+          }
+          if (aggs.isEmpty) fail("at least one aggregate is required")
+          return MvDefinition(tables.map(t => (t._1.storeName, t._1)),
+            groupCols, Nil, aggs, predicate, Nil)
+        }
+
+        // ---- join (star-schema) path ----
+        val names = tables.map(_._1.storeName)
+        if (names.distinct.size != names.size) fail(
+          "self-joins are not materializable (each table may appear once)")
+        val owner: Map[ExprId, String] = tables.flatMap { case (gt, r) =>
+          r.output.map(a => a.exprId -> gt.storeName)
+        }.toMap
+        def ownerOf(a: AttributeReference): Option[String] = owner.get(a.exprId)
+        val joinConds = Seq.newBuilder[String]
+        val predicate = Seq.newBuilder[String]
+        conjs.result().foreach { c =>
+          canonicalJoinEq(c, ownerOf) match {
+            case Some(jc) => joinConds += jc
+            case None => canonicalEqQual(c, ownerOf) match {
+              case Some(p) => predicate += p
+              case None => fail("join/where conjuncts must be t.a = u.b " +
+                s"equi-joins or <column> = <literal> predicates, got: ${c.sql}")
+            }
+          }
+        }
+        val conds = joinConds.result().distinct.sorted
+        if (conds.isEmpty) fail("a multi-table FROM needs equi-join conditions")
+        // connectivity: every table must be reachable through the join
+        // graph (a cartesian component would explode the build)
+        locally {
+          val reached = scala.collection.mutable.Set(names.head)
+          var grew = true
+          while (grew) {
+            grew = false
+            conds.foreach { c =>
+              val ts = "`([^`]+)`\\.".r.findAllMatchIn(c).map(_.group(1)).toSeq
+              if (ts.exists(reached.contains) && !ts.forall(reached.contains)) {
+                ts.foreach(reached += _); grew = true
+              }
+            }
+          }
+          if (!names.forall(reached.contains)) fail(
+            s"join graph is disconnected: ${names.filterNot(reached.contains).mkString(", ")}")
+        }
+        // bare-name uniqueness for everything that becomes a storage
+        // column (group keys) or an agg input — ambiguity would make
+        // the summary's flat schema lie about provenance
+        val byBare: Map[String, Seq[String]] = tables.flatMap { case (gt, r) =>
+          r.output.map(a => a.name.toLowerCase(Locale.ROOT) -> gt.storeName)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+        def requireUnique(a: AttributeReference): Unit = {
+          val owners = byBare.getOrElse(a.name.toLowerCase(Locale.ROOT), Nil)
+          if (owners.size > 1) fail(s"column name '${a.name}' is ambiguous " +
+            s"across ${owners.mkString(", ")} — group/aggregate columns must " +
+            "be uniquely named across the joined tables")
+        }
+        val (groupCols, groupQual) = groupExprs.map {
+          case a: AttributeReference =>
+            requireUnique(a)
+            (a.name, qualName(ownerOf(a).getOrElse(fail(
+              s"cannot resolve table of group column ${a.name}")), a.name))
           case e => fail(s"group expression must be a bare column, got: ${e.sql}")
-        }
+        }.unzip
         val aggs = resultExprs.flatMap {
           case a: AttributeReference if groupCols.contains(a.name) => None
           case Alias(a: AttributeReference, _) if groupCols.contains(a.name) => None
-          case al @ Alias(e, nm) => matchAggCall(e) match {
-            case Some((f, in)) => Some(MvAgg(f, in, nm))
+          case al @ Alias(e, nm) => matchAggAttr(e) match {
+            case Some((f, attr)) =>
+              attr.foreach(requireUnique)
+              val in = attr.map(a => qualName(ownerOf(a).getOrElse(fail(
+                s"cannot resolve table of ${a.name}")), a.name)).getOrElse("")
+              Some(MvAgg(f, in, nm))
             case None => fail(s"unsupported select expression: ${al.sql}")
           }
           case e => fail(s"unsupported select expression: ${e.sql}")
         }
         if (aggs.isEmpty) fail("at least one aggregate is required")
-        (gt, groupCols, aggs, predicate)
+        MvDefinition(tables.map(t => (t._1.storeName, t._1)),
+          groupCols, groupQual, aggs, predicate.result(), conds)
       case other => fail(s"defining query must be a grouped aggregate, got ${other.nodeName}")
     }
   }
@@ -241,6 +419,13 @@ object MatViewSupport extends PredicateHelper {
   * (canonical `col = literal` form — exact containment, no implication
   * engine); the query's remaining conjuncts must reference only group
   * columns and apply as a residual Filter over the summary.
+  *
+  * STAR-SCHEMA views (defining query = inner equi-joins of store
+  * tables) substitute when the query's TABLE SET and canonical
+  * JOIN-CONDITION SET exactly equal the view's — set matching, so join
+  * reorder and flipped conditions still match — with the same rollup /
+  * predicate-containment rules over table-qualified column identities;
+  * freshness requires EVERY joined table's fingerprint to hold.
   *
   * Declines — leaving the base-scan plan untouched — whenever:
   *  - the view's freshness fingerprint no longer matches the base
@@ -275,14 +460,16 @@ case class MatViewRewrite(session: SparkSession)
     if (!enabled || !MatViews.nonEmpty) return plan // cheap gate: runs on EVERY plan
     plan transformUp {
       case agg @ Aggregate(groupExprs, resultExprs, child, _) =>
-        rewrite(agg, groupExprs, resultExprs, child).getOrElse(agg)
+        rewrite(agg, groupExprs, resultExprs, child)
+          .orElse(joinRewrite(agg, groupExprs, resultExprs, child))
+          .getOrElse(agg)
     }
   }
 
   private def rewrite(agg: Aggregate, groupExprs: Seq[Expression],
       resultExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
     val (filter, gt, _) = unwrapScan(child, allowFilter = true).getOrElse(return None)
-    val candidates = MatViews.on(gt.storeName)
+    val candidates = MatViews.on(gt.storeName).filter(_.joins.isEmpty)
     if (candidates.isEmpty) return None
     // RLS: pre-aggregated rows cannot re-apply a per-user row filter
     if (org.apache.spark.sql.graft.PolicyRegistry.all.exists(_.table == gt.storeName)) {
@@ -300,10 +487,122 @@ case class MatViewRewrite(session: SparkSession)
       if (!groupCols.forall(gc => mv.groupCols.exists(_.equalsIgnoreCase(gc)))) None
       else matchPredicate(mv, conjuncts) match {
         case Some(residual) if MatViews.isFresh(mv) =>
-          substitute(mv, groupExprs, resultExprs, residual.reduceOption(And))
+          substitute(mv, groupExprs, resultExprs, residual.reduceOption(And),
+            matchAggCall)
         case _ => None
       }
     }.nextOption()
+  }
+
+  /** STAR-SCHEMA rewrite: an Aggregate over an inner equi-join tree of
+    * store tables matches a join view when the TABLE SET and the
+    * canonical JOIN-CONDITION SET are exactly the view's (set matching
+    * — optimizer join reorder and condition flips cannot hide a match),
+    * the view's predicate is contained verbatim, the query's group
+    * columns (table-QUALIFIED) are a subset of the view's, and every
+    * table's freshness fingerprint still proves current.
+    */
+  private def joinRewrite(agg: Aggregate, groupExprs: Seq[Expression],
+      resultExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+    if (!MatViews.all.exists(_.joins.isDefined)) return None
+    val leaves = Seq.newBuilder[(String, DataSourceV2Relation)]
+    val conjs = Seq.newBuilder[Expression]
+    def walk(p: LogicalPlan): Boolean = strip(p) match {
+      case j: Join if j.joinType == Inner =>
+        val ok = walk(j.left) && walk(j.right)
+        j.condition.toSeq.flatMap(splitConjunctivePredicates)
+          .foreach(c => conjs += c)
+        ok
+      case Filter(c, inner) =>
+        splitConjunctivePredicates(c).foreach(x => conjs += x)
+        walk(inner)
+      case r: DataSourceV2Relation if !r.options.containsKey("batch_ids") =>
+        r.table match {
+          case gt: GraftTable => leaves += ((gt.storeName, r)); true
+          case _ => false
+        }
+      case _ => false
+    }
+    if (!walk(child)) return None
+    val ls = leaves.result()
+    if (ls.size < 2) return None
+    val names = ls.map(_._1)
+    if (names.distinct.size != names.size) return None
+    if (org.apache.spark.sql.graft.PolicyRegistry.all
+        .exists(p => names.contains(p.table))) return None
+    val owner: Map[ExprId, String] = ls.flatMap { case (n, r) =>
+      r.output.map(a => a.exprId -> n)
+    }.toMap
+    def ownerOf(a: AttributeReference): Option[String] = owner.get(a.exprId)
+    val groupQual = groupExprs.map {
+      case a: AttributeReference =>
+        qualName(ownerOf(a).getOrElse(return None), a.name)
+      case _ => return None
+    }
+    val conjList = conjs.result()
+    if (conjList.exists(!_.deterministic)) return None
+    val queryConds = scala.collection.mutable.Set.empty[String]
+    val rest = Seq.newBuilder[Expression]
+    conjList.foreach { c =>
+      canonicalJoinEq(c, ownerOf) match {
+        case Some(s) => queryConds += s
+        case None => rest += c
+      }
+    }
+    val restList = rest.result()
+    val tableSet = names.toSet
+    MatViews.all
+      .filter(c => c.joins.exists(_.tables.toSet == tableSet))
+      .sortBy(c => (c.groupCols.size, c.name)).iterator.flatMap { mv =>
+        val j = mv.joins.get
+        if (j.conds.toSet != queryConds.toSet ||
+          !groupQual.forall(mv.groupQual.contains)) None
+        else matchPredicateQual(mv, restList, ownerOf) match {
+          case Some(residual) if MatViews.isFresh(mv) =>
+            substitute(mv, groupExprs, resultExprs, residual.reduceOption(And),
+              e => matchAggAttr(e).flatMap { case (f, attr) =>
+                attr match {
+                  case Some(a) => ownerOf(a).map(t => (f, qualName(t, a.name)))
+                  case None => Some((f, ""))
+                }
+              })
+          case _ => None
+        }
+      }.nextOption()
+  }
+
+  /** [[matchPredicate]]'s join-view sibling, over QUALIFIED canonical
+    * forms. An IsNotNull is implied (droppable) when its column carries
+    * a matched equality predicate OR is a side of any equi-join
+    * condition (inner-join keys are non-null by construction).
+    */
+  private def matchPredicateQual(mv: MatViews.MvDef, conjuncts: Seq[Expression],
+      ownerOf: AttributeReference => Option[String]): Option[Seq[Expression]] = {
+    val viewPred = mv.predicate.toSet
+    var seen = Set.empty[String]
+    val residual = Seq.newBuilder[Expression]
+    conjuncts.foreach { c =>
+      canonicalEqQual(c, ownerOf).filter(viewPred.contains) match {
+        case Some(s) => seen += s
+        case None =>
+          val onGroupCols = c.references.toSeq.forall {
+            case ar: AttributeReference =>
+              ownerOf(ar).exists(t => mv.groupQual.contains(qualName(t, ar.name)))
+            case _ => false
+          }
+          if (onGroupCols) residual += c
+          else c match {
+            case IsNotNull(a: AttributeReference) =>
+              val q = ownerOf(a).map(t => qualName(t, a.name))
+              val implied = q.exists(qn =>
+                viewPred.exists(_.startsWith(qn + " = ")) ||
+                  mv.joins.exists(_.conds.exists(_.split(" = ").contains(qn))))
+              if (!implied) return None
+            case _ => return None
+          }
+      }
+    }
+    if (seen.size == viewPred.size) Some(residual.result()) else None
   }
 
   /** Query WHERE vs view predicate: every view conjunct must appear
@@ -370,7 +669,8 @@ case class MatViewRewrite(session: SparkSession)
 
   private def substitute(mv: MatViews.MvDef, groupExprs: Seq[Expression],
       resultExprs: Seq[NamedExpression],
-      filter: Option[Expression]): Option[LogicalPlan] = {
+      filter: Option[Expression],
+      aggKey: Expression => Option[(String, String)]): Option[LogicalPlan] = {
     val rel = mvRelation(mv.name)
     val byName = rel.output.map(a => a.name.toLowerCase(Locale.ROOT) -> a).toMap
     def mvAttr(n: String): AttributeReference = byName(n.toLowerCase(Locale.ROOT))
@@ -387,7 +687,7 @@ case class MatViewRewrite(session: SparkSession)
     // derive one query aggregate from the view's storage columns; None
     // aborts the whole substitution (partial rewrites are not a thing)
     def derive(e: Expression, original: DataType): Option[Expression] =
-      matchAggCall(e).flatMap {
+      aggKey(e).flatMap {
         case ("sum", in) => slot("sum", in).orElse(slot("avg", in)).map { i =>
           val s = sumOf(mvAttr(s"__g${i}_sum"))
           if (s.dataType == original) s else Cast(s, original)

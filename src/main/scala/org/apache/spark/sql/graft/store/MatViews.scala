@@ -45,20 +45,42 @@ object MatViews {
       refIds: Set[Long],
       fp: Map[Long, (Option[Long], Vector[Long])])
 
+  /** Join shape of a STAR-SCHEMA view (None = single-table view).
+    * `tables` is the sorted full table set (including `base`); `conds`
+    * the canonical sorted `` `t`.`a` = `u`.`b` `` equi-join conjuncts
+    * (the rewrite matches a query's join SET against them — order-free,
+    * so optimizer join reorder cannot hide a match); `fresh` the
+    * PER-TABLE fingerprints at the last (re)build — a mutation in ANY
+    * joined table stales the view.
+    */
+  final case class MvJoin(
+      tables: Seq[String],
+      conds: Seq[String],
+      fresh: Map[String, MvFreshness])
+
   final case class MvDef(
       name: String, // matview's own store table (lowercase)
-      base: String, // base store table (lowercase)
-      groupCols: Seq[String],
+      base: String, // base store table (lowercase; the FIRST/fact table for join views)
+      groupCols: Seq[String], // bare storage column names
       aggs: Seq[MvAgg],
       sql: String, // defining SELECT, display only
       fresh: MvFreshness,
       // defining-query WHERE as canonical `` `col` = <literal> ``
-      // conjuncts (empty = unfiltered view). Canonical strings serve
-      // both sides of the contract: the rewrite matches a query's
-      // conjuncts against them VERBATIM (exact containment — no
-      // implication engine), and build/refresh re-applies them to the
-      // base scan via expr(). See [[MatViewSupport.canonicalEq]].
-      predicate: Seq[String] = Nil)
+      // conjuncts (empty = unfiltered view; `` `t`.`col` = lit `` for
+      // join views). Canonical strings serve both sides of the
+      // contract: the rewrite matches a query's conjuncts against them
+      // VERBATIM (exact containment — no implication engine), and
+      // build/refresh re-applies them to the base scan via expr().
+      // See [[MatViewSupport.canonicalEq]].
+      predicate: Seq[String] = Nil,
+      joins: Option[MvJoin] = None,
+      // canonical `t.col` per groupCols position (join views only;
+      // empty for single-table views) — the rewrite matches QUALIFIED
+      // group identity, storage keeps the bare names (required
+      // unambiguous across the joined tables at CREATE)
+      groupQual: Seq[String] = Nil) {
+    def allTables: Seq[String] = joins.map(_.tables).getOrElse(Seq(base))
+  }
 
   private val views = TrieMap.empty[String, MvDef]
 
@@ -76,6 +98,13 @@ object MatViews {
   def on(base: String): Seq[MvDef] =
     views.valuesIterator.filter(_.base == base.toLowerCase).toSeq.sortBy(_.name)
 
+  /** Every view that involves `table` anywhere in its definition —
+    * lifecycle fan-out (cascades, auto-refresh) for join views.
+    */
+  def involving(table: String): Seq[MvDef] =
+    views.valuesIterator.filter(_.allTables.contains(table.toLowerCase))
+      .toSeq.sortBy(_.name)
+
   def all: Seq[MvDef] = views.values.toSeq.sortBy(_.name)
 
   /** Allocation-free emptiness gate for the optimizer rule's hot path. */
@@ -91,16 +120,22 @@ object MatViews {
     MvFreshness(ids, snap.mutationState(ids))
   }
 
-  /** Metadata-only freshness proof: the view's contents equal the base
-    * table iff the base's live batch set and per-batch mutation state
-    * are EXACTLY what the last (re)build recorded.
-    */
-  def isFresh(mv: MvDef): Boolean =
-    GraftColumnStore.get(mv.base).exists { t =>
+  private def tableMatches(table: String, f: MvFreshness): Boolean =
+    GraftColumnStore.get(table).exists { t =>
       val snap = t.snapshot
       val live = snap.liveRefs.map(_.id).toSet
-      live == mv.fresh.refIds && snap.mutationState(live) == mv.fresh.fp
+      live == f.refIds && snap.mutationState(live) == f.fp
     }
+
+  /** Metadata-only freshness proof: the view's contents equal its
+    * defining query iff EVERY base table's live batch set and per-batch
+    * mutation state are EXACTLY what the last (re)build recorded.
+    */
+  def isFresh(mv: MvDef): Boolean = mv.joins match {
+    case Some(j) => j.tables.forall(t =>
+      j.fresh.get(t).exists(f => tableMatches(t, f)))
+    case None => tableMatches(mv.base, mv.fresh)
+  }
 
   // ---- maintenance serialization ------------------------------------------
 

@@ -511,7 +511,7 @@ class MatViewSpec extends SparkTestBase {
     g.dropTable("mvb15")
   }
 
-  test("defining-query validation refuses joins, non-equality filters, and expressions") {
+  test("defining-query validation refuses self-joins, non-equality filters, and expressions") {
     val bad = Seq(
       "SELECT m1.k, sum(m1.v) AS s FROM mvb1 m1 JOIN mvb1 m2 ON m1.k = m2.k GROUP BY m1.k",
       "SELECT k, sum(v) AS s FROM mvb1 WHERE v > 3 GROUP BY k", // range: needs implication
@@ -654,6 +654,141 @@ class MatViewSpec extends SparkTestBase {
     assert(e2.getMessage.contains("name in use"))
     g2.dropTable("mvb20_other")
     g.dropTable("mvb20")
+  }
+
+  test("star-schema view: set-matched join rewrite, rollup, per-table freshness, O(delta) fact appends") {
+    val fact = spark.range(1000).select(
+      (col("id") % 50).as("fk"), (col("id") % 7).cast("int").as("k"),
+      (col("id") * 2).as("v"))
+    val dim = spark.range(50).select(
+      col("id").as("dk"), concat(lit("s"), col("id") % 4).as("seg"),
+      concat(lit("r"), col("id") % 3).as("region"))
+    g.createTable("mvj_fact", fact, partitionBy = Seq("fk"), buckets = 4)
+    g.createTable("mvj_dim", dim)
+    g.sql("CREATE MATERIALIZED VIEW mvj1 AS " +
+      "SELECT seg, k, sum(v) AS sv, count(*) AS n, max(v) AS mx " +
+      "FROM mvj_fact JOIN mvj_dim ON fk = dk GROUP BY seg, k")
+    val q = "SELECT seg, k, sum(v) AS sv, count(*) AS n, max(v) AS mx " +
+      "FROM mvj_fact JOIN mvj_dim ON fk = dk GROUP BY seg, k"
+    assert(usesMatView(q, "mvj1"), "exact join match must serve")
+    assert(sorted(spark.sql(q)) == direct(q))
+    // rollup to the dim attribute alone; flipped condition + reversed
+    // table order still match (canonical SET comparison)
+    val qRoll = "SELECT seg, sum(v) AS sv, count(*) AS n " +
+      "FROM mvj_dim JOIN mvj_fact ON dk = fk GROUP BY seg"
+    assert(usesMatView(qRoll, "mvj1"), "join order/condition flip must still match")
+    assert(sorted(spark.sql(qRoll)) == direct(qRoll))
+    // residual filter on a group column composes over the summary
+    val qRes = "SELECT k, sum(v) AS sv FROM mvj_fact JOIN mvj_dim ON fk = dk " +
+      "WHERE seg = 's1' GROUP BY k"
+    assert(usesMatView(qRes, "mvj1"))
+    assert(sorted(spark.sql(qRes)) == direct(qRes))
+    // declines: different join condition, missing table, extra predicate
+    // on a non-group column — each wants rows the summary cannot provide
+    Seq(
+      "SELECT seg, sum(v) AS sv FROM mvj_fact JOIN mvj_dim ON v = dk GROUP BY seg",
+      "SELECT k, sum(v) AS sv FROM mvj_fact GROUP BY k",
+      "SELECT seg, sum(v) AS sv FROM mvj_fact JOIN mvj_dim ON fk = dk " +
+        "WHERE region = 'r1' GROUP BY seg")
+      .foreach { bad =>
+        assert(!usesMatView(bad, "mvj1"), s"must decline: $bad")
+        assert(sorted(spark.sql(bad)) == direct(bad))
+      }
+    // fact append: stale → O(delta) refresh (dim fingerprint carries)
+    g.insert("mvj_fact", spark.range(1000, 1200).select(
+      (col("id") % 50).as("fk"), (col("id") % 7).cast("int").as("k"),
+      (col("id") * 2).as("v")))
+    assert(!usesMatView(q, "mvj1"), "fact mutation must stale the view")
+    assert(sorted(spark.sql(q)) == direct(q), "stale period answers from the join")
+    assert(g.refreshMaterializedView("mvj1") == "incremental",
+      "single-table append must take the delta-join path")
+    assert(usesMatView(q, "mvj1"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    // dim append: the delta is (new dim rows × old fact rows) — those
+    // join pairs were never in the summary, so a single-moving-table
+    // append is additive from EITHER side and stays O(delta)
+    g.insertRows("mvj_dim", org.apache.spark.sql.Row(50L, "s0", "r0"))
+    assert(!usesMatView(q, "mvj1"), "dim mutation must stale the view")
+    assert(g.refreshMaterializedView("mvj1") == "incremental",
+      "a single-table dim append is an additive delta too")
+    assert(usesMatView(q, "mvj1"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    // BOTH tables appending between refreshes is NOT additive (new×new
+    // pairs would be double-counted by two single-sided deltas) — rebuild
+    g.insert("mvj_fact", spark.range(1200, 1250).select(
+      (col("id") % 51).as("fk"), (col("id") % 7).cast("int").as("k"),
+      (col("id") * 2).as("v")))
+    g.insertRows("mvj_dim", org.apache.spark.sql.Row(51L, "s1", "r1"))
+    assert(g.refreshMaterializedView("mvj1") == "full",
+      "two moving tables must rebuild")
+    assert(usesMatView(q, "mvj1"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    // delete in the fact: rebuild
+    g.delete("mvj_fact", col("v") % 10 === 4)
+    assert(g.refreshMaterializedView("mvj1") == "full")
+    assert(sorted(spark.sql(q)) == direct(q))
+    assert(g.refreshMaterializedView("mvj1") == "noop")
+  }
+
+  test("star-schema view: dim-predicate containment and cascade from either table") {
+    // reuse mvj_fact/mvj_dim from the previous arm
+    g.sql("CREATE MATERIALIZED VIEW mvj2 AS " +
+      "SELECT k, sum(v) AS sv FROM mvj_fact JOIN mvj_dim ON fk = dk " +
+      "WHERE region = 'r1' GROUP BY k")
+    val q = "SELECT k, sum(v) AS sv FROM mvj_fact JOIN mvj_dim ON fk = dk " +
+      "WHERE region = 'r1' GROUP BY k"
+    assert(usesMatView(q, "mvj2"), "restated dim predicate must serve")
+    assert(sorted(spark.sql(q)) == direct(q))
+    val qOther = "SELECT k, sum(v) AS sv FROM mvj_fact JOIN mvj_dim ON fk = dk " +
+      "WHERE region = 'r2' GROUP BY k"
+    assert(!usesMatView(qOther, "mvj2"))
+    assert(sorted(spark.sql(qOther)) == direct(qOther))
+    // sidecar roundtrip: the join definition rides checkpoint/restore
+    val dir = java.nio.file.Files.createTempDirectory("mvj_ck").toString
+    g.checkpointTable("mvj2", dir)
+    g.dropMaterializedView("mvj2")
+    g.restoreTable("mvj2", dir)
+    assert(MatViews.get("mvj2").exists(_.joins.exists(_.tables.size == 2)),
+      "restored view must keep its join definition")
+    assert(!usesMatView(q, "mvj2"), "restored join view is stale until REFRESH")
+    assert(g.refreshMaterializedView("mvj2") == "full")
+    assert(usesMatView(q, "mvj2"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    // dropping EITHER member table cascades the join view
+    g.dropTable("mvj_dim")
+    assert(!MatViews.isMatView("mvj2"), "dim drop must cascade the join view")
+    assert(!MatViews.isMatView("mvj1"))
+    g.dropTable("mvj_fact")
+  }
+
+  test("star-schema view: implicitly widened join keys (int = bigint) still match") {
+    // the analyzer wraps the narrower key in a lossless upcast; the
+    // SAME cast appears on the CREATE and the query side, so canonical
+    // matching on the underlying columns is consistent — and upcasts
+    // are injective, so cast-value equality is original-value equality
+    g.createTable("mvj_wf", spark.range(300).select(
+      (col("id") % 20).cast("int").as("wk"), col("id").as("v")))
+    g.createTable("mvj_wd", spark.range(20).select(
+      col("id").as("wd"), concat(lit("g"), col("id") % 5).as("grp")))
+    g.sql("CREATE MATERIALIZED VIEW mvj_w AS SELECT grp, sum(v) AS sv, " +
+      "count(*) AS n FROM mvj_wf JOIN mvj_wd ON wk = wd GROUP BY grp")
+    val q = "SELECT grp, sum(v) AS sv FROM mvj_wf JOIN mvj_wd ON wk = wd GROUP BY grp"
+    assert(usesMatView(q, "mvj_w"), "widened join keys must still match")
+    assert(sorted(spark.sql(q)) == direct(q))
+    g.insert("mvj_wf", spark.range(300, 360).select(
+      (col("id") % 20).cast("int").as("wk"), col("id").as("v")))
+    assert(g.refreshMaterializedView("mvj_w") == "incremental")
+    assert(sorted(spark.sql(q)) == direct(q))
+    g.dropTable("mvj_wf"); g.dropTable("mvj_wd")
+  }
+
+  test("star-schema view: ambiguous column names are refused at CREATE") {
+    g.createTable("mvj_a", spark.range(10).select(col("id").as("ka"), col("id").as("x")))
+    g.createTable("mvj_b", spark.range(10).select(col("id").as("kb"), col("id").as("x")))
+    val e = intercept[Exception](g.sql("CREATE MATERIALIZED VIEW mvj_bad AS " +
+      "SELECT mvj_a.x, count(*) AS n FROM mvj_a JOIN mvj_b ON ka = kb GROUP BY mvj_a.x"))
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+    g.dropTable("mvj_a"); g.dropTable("mvj_b")
   }
 
   test("matviewAutoRefresh: one failing view neither fails the insert nor blocks siblings") {
