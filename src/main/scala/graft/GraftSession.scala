@@ -708,7 +708,15 @@ class GraftSession(val spark: SparkSession)
                     ("epoch", epochs.last)
                   else ("checkpoint", -1L)
                 }
-              if (isManaged(nm) || ReplicaGuard.isReplica(nm))
+              // "existing names win" is judged against the JVM-GLOBAL
+              // registries, not just this session's map: another session
+              // (JDBC) may own a live store table or matview under the
+              // name, and recovery must never clobber live state —
+              // store/matview presence skips exactly like a local name
+              if (isManaged(nm) || ReplicaGuard.isReplica(nm) ||
+                MatViews.isMatView(nm) ||
+                org.apache.spark.sql.graft.store.GraftColumnStore.get(nm).isDefined ||
+                org.apache.spark.sql.graft.store.GraftRowStore.get(nm).isDefined)
                 out += ((nm, ds.name, source, epoch, "skipped_exists"))
               else if (source == "epoch") {
                 LiveCheckpoint.attach(spark, nm, dir, epoch)
@@ -718,7 +726,6 @@ class GraftSession(val spark: SparkSession)
                 // matview identity rides the epoch's own sidecar: the
                 // recovered view registers STALE (sentinel fingerprint),
                 // write-guarded, visible in sys.matviews; REFRESH revives
-                MatViews.unregister(nm)
                 registerMatviewSidecar(nm, LiveCheckpoint.dirFor(dir, epoch))
                 Diskstores.bind(nm, ds.name)
                 out += ((nm, ds.name, "epoch", epoch, "restored"))
@@ -1071,9 +1078,6 @@ class GraftSession(val spark: SparkSession)
     scan.groupBy(keys: _*).agg(cols.head, cols.tail: _*)
   }
 
-  private def mvContents(base: String, ids: Set[Long], groupCols: Seq[String],
-      aggs: Seq[MatViews.MvAgg], predicate: Seq[String]): DataFrame =
-    mvContents(Seq(base), Nil, Map(base -> ids), groupCols, Nil, aggs, predicate)
 
   /** REFRESH MATERIALIZED VIEW — O(delta) after pure appends (aggregate
     * only the new batches, merge by group key through putInto), full

@@ -422,6 +422,74 @@ object TpcdsQueries4 {
         .agg(countDistinct(col("o_orderkey")).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,4)") * 10000)
             .cast("long").as("total_e4"))
+    },
+
+    // ---- wave 12: q21 shape — before/after-anchor inventory split. Per
+    // (supplier, part), quantity shipped before vs after a date anchor
+    // as ONE conditional-agg pass (q21's d_date ± 30-day windows), kept
+    // when both sides are populated and their ratio sits inside a band —
+    // compared by INTEGER cross-multiplication (3·after ≥ 2·before AND
+    // 2·after ≤ 3·before), so no division and no float flips a row. ----
+    QueryDef.sql(
+      "q_ds_anchor_split",
+      """WITH g AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |      THEN l_quantity ELSE 0 END) AS BIGINT) AS q_before,
+        |    CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      THEN l_quantity ELSE 0 END) AS BIGINT) AS q_after
+        |  FROM lineitem
+        |  GROUP BY 1, 2)
+        |SELECT l_suppkey, l_partkey, q_before, q_after FROM g
+        |WHERE q_before > 0 AND q_after > 0
+        |  AND 3 * q_after >= 2 * q_before AND 2 * q_after <= 3 * q_before
+        |ORDER BY l_suppkey, l_partkey
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val anchor = lit("1996-01-01 00:00:00").cast("timestamp")
+      def side(c: org.apache.spark.sql.Column) =
+        sum(when(c, col("l_quantity")).otherwise(0.0)).cast("long")
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(side(col("l_shipdate") < anchor).as("q_before"),
+          side(col("l_shipdate") >= anchor).as("q_after"))
+        .filter(col("q_before") > 0 && col("q_after") > 0 &&
+          col("q_after") * 3 >= col("q_before") * 2 &&
+          col("q_after") * 2 <= col("q_before") * 3)
+        .orderBy(col("l_suppkey"), col("l_partkey"))
+        .limit(100)
+    },
+
+    // ---- wave 12: q78 shape — net-of-returns via a COMPOUND-KEY anti
+    // join. q78 excludes returned sales by anti-joining web_sales to
+    // web_returns on (order, item); here the returned lines are a
+    // derived relation and the anti join runs fact×fact on
+    // (l_orderkey, l_linenumber) — one co-shuffled anti join, grouped
+    // into yearly net revenue. ----
+    QueryDef.sql(
+      "q_ds_net_of_returns",
+      """WITH returned AS (
+        |  SELECT l_orderkey AS r_ok, l_linenumber AS r_ln
+        |  FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT year(l_shipdate) AS yr, count(*) AS n_kept,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) * 10000) AS BIGINT) AS net_e4
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM returned r
+        |                  WHERE r.r_ok = l.l_orderkey AND r.r_ln = l.l_linenumber)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val returned = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("r_ok"), col("l_linenumber").as("r_ln"))
+      li.join(returned,
+          col("l_orderkey") === col("r_ok") && col("l_linenumber") === col("r_ln"),
+          "left_anti")
+        .groupBy(year(col("l_shipdate")).as("yr"))
+        .agg(count(lit(1)).as("n_kept"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)") * 10000).cast("long").as("net_e4"))
+        .orderBy(col("yr"))
     }
   )
 }

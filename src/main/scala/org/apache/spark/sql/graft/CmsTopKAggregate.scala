@@ -298,8 +298,17 @@ case class CmsTopKMerge(
     */
   private def aligned(a: CmsTopKBuffer, b: CmsTopKBuffer): (CmsTopKBuffer, CmsTopKBuffer) =
     if (a.width == b.width) (a, b)
-    else if (a.width > b.width) (a.foldTo(b.width), b)
-    else (a, b.foldTo(a.width))
+    else {
+      // non-divisible widths are a genuine layout mismatch (two stores
+      // built under unrelated settings), not decay — refuse with a
+      // merge-worded error rather than foldTo's decay-worded one
+      require(math.max(a.width, b.width) % math.min(a.width, b.width) == 0,
+        s"CMS merge: incompatible sketch widths (${a.width} vs ${b.width}) — " +
+          "mergeable widths must be equal or related by width decay " +
+          "(one must divide the other)")
+      if (a.width > b.width) (a.foldTo(b.width), b)
+      else (a, b.foldTo(a.width))
+    }
 
   override def update(buf: CmsTopKBuffer, input: InternalRow): CmsTopKBuffer = {
     val v = stateExpr.eval(input)

@@ -210,9 +210,11 @@ object Constraints {
   /** Top-level comma split — paren-, quote- AND angle-bracket-aware:
     * `struct<a:int, b:string>` / `map<string,int>` carry commas inside
     * `<...>` type parameters, which are one column def, not two. A `<`
-    * opens a type-parameter list only when it directly follows an
-    * identifier character (`array<`, `struct<`), so comparison operators
-    * in constraint expressions (`a < 5`, `a <> b`) never unbalance it.
+    * counts as a type-parameter bracket only at PAREN DEPTH 0 (type
+    * syntax never appears inside parens in this grammar, while
+    * comparison operators only appear inside them — `CHECK(a<5)`) and
+    * only when it directly follows an identifier character (`array<`,
+    * `struct<`), so constraint expressions never unbalance the count.
     */
   private[graft] def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -224,9 +226,10 @@ object Constraints {
       s.charAt(i) match {
         case '(' => depth += 1
         case ')' => depth -= 1
-        case '<' if i > 0 && (Character.isLetterOrDigit(s.charAt(i - 1)) ||
-            s.charAt(i - 1) == '_') => angle += 1
-        case '>' if angle > 0 => angle -= 1
+        case '<' if depth == 0 && i > 0 &&
+            (Character.isLetterOrDigit(s.charAt(i - 1)) ||
+              s.charAt(i - 1) == '_') => angle += 1
+        case '>' if depth == 0 && angle > 0 => angle -= 1
         case q @ ('\'' | '"' | '`') =>
           i += 1
           while (i < s.length && s.charAt(i) != q) i += 1

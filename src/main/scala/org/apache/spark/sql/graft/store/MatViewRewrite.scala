@@ -504,7 +504,7 @@ case class MatViewRewrite(session: SparkSession)
     */
   private def joinRewrite(agg: Aggregate, groupExprs: Seq[Expression],
       resultExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
-    if (!MatViews.all.exists(_.joins.isDefined)) return None
+    if (!MatViews.hasJoinViews) return None
     val leaves = Seq.newBuilder[(String, DataSourceV2Relation)]
     val conjs = Seq.newBuilder[Expression]
     def walk(p: LogicalPlan): Boolean = strip(p) match {

@@ -84,9 +84,26 @@ object MatViews {
 
   private val views = TrieMap.empty[String, MvDef]
 
-  def register(mv: MvDef): Unit = views.put(mv.name.toLowerCase, mv)
+  // maintained beside the map so the optimizer rule's per-Aggregate
+  // join gate is one volatile read, like [[nonEmpty]] — never a
+  // snapshot/sort of the registry on the planning hot path
+  private val joinViews = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  def unregister(name: String): Option[MvDef] = views.remove(name.toLowerCase)
+  def register(mv: MvDef): Unit = {
+    val old = views.put(mv.name.toLowerCase, mv)
+    val delta = (if (mv.joins.isDefined) 1 else 0) -
+      (if (old.exists(_.joins.isDefined)) 1 else 0)
+    if (delta != 0) joinViews.addAndGet(delta)
+  }
+
+  def unregister(name: String): Option[MvDef] = {
+    val old = views.remove(name.toLowerCase)
+    if (old.exists(_.joins.isDefined)) joinViews.decrementAndGet()
+    old
+  }
+
+  /** Allocation-free gate for the join-rewrite path. */
+  def hasJoinViews: Boolean = joinViews.get() > 0
 
   def get(name: String): Option[MvDef] = views.get(name.toLowerCase)
 

@@ -169,6 +169,37 @@ class BootstrapSpec extends SparkTestBase {
     Diskstores.drop("boot_ds6", ifExists = false)
   }
 
+  test("bootstrap never clobbers a live JVM-GLOBAL name owned by another session") {
+    import org.apache.spark.sql.graft.store.MatViews
+    val dir = java.nio.file.Files.createTempDirectory("boot_gbl").toString
+    g.sql(s"CREATE DISKSTORE boot_ds7 ('$dir')")
+    // a durable epoch artifact for the name exists on disk...
+    g.sql("CREATE TABLE boot_x (k bigint, v bigint) USING column " +
+      "OPTIONS (partition_by 'k', buckets '2', diskstore 'boot_ds7')")
+    g.insert("boot_x", spark.range(50).select((col("id") % 2).as("k"), col("id").as("v")))
+    g.publishTable("boot_x", incremental = true)
+    g.dropTable("boot_x") // local + store registration gone; epochs remain
+    // ... and ANOTHER session now owns the name as a live matview
+    // (store registries and MatViews are JVM-global; this session's
+    // isManaged map knows nothing about it)
+    val g2 = GraftSession(spark.newSession())
+    g2.createTable("boot_xb", spark.range(40)
+      .select((col("id") % 4).as("k"), col("id").as("v")))
+    g2.sql("CREATE MATERIALIZED VIEW boot_x AS " +
+      "SELECT k, sum(v) AS sv FROM boot_xb GROUP BY k")
+    assert(MatViews.isFresh(MatViews.get("boot_x").get))
+    // recovery must report skipped_exists and leave the live view intact
+    val acts = g.sql("BOOTSTRAP CATALOG FROM boot_ds7").collect()
+      .filter(_.getString(0) == "boot_x").map(_.getString(4)).toSeq
+    assert(acts == Seq("skipped_exists"),
+      s"a live JVM-global name must never be replaced by recovery: $acts")
+    assert(MatViews.isMatView("boot_x"), "the other session's view survives")
+    assert(MatViews.isFresh(MatViews.get("boot_x").get),
+      "the view is untouched — still provably fresh, not clobbered stale")
+    g2.dropTable("boot_xb") // cascades the view
+    Diskstores.drop("boot_ds7", ifExists = false)
+  }
+
   test("an attached replica under the name wins over bootstrap (deliberate attach is not replaced)") {
     val dir = java.nio.file.Files.createTempDirectory("boot_rep").toString
     g.sql(s"CREATE DISKSTORE boot_ds4 ('$dir')")
