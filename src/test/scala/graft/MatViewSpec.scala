@@ -782,6 +782,23 @@ class MatViewSpec extends SparkTestBase {
     g.dropTable("mvj_wf"); g.dropTable("mvj_wd")
   }
 
+  test("rewrite fires under HAVING, ORDER BY, and inside a CTE") {
+    // HAVING/ORDER sit ABOVE the Aggregate (Filter/Sort nodes), and a
+    // CTE inlines — none of them may hide the Aggregate from the rule
+    val q1 = "SELECT k, sum(v) AS sv FROM mvb1 GROUP BY k " +
+      "HAVING sum(v) > 100 ORDER BY sv DESC"
+    assert(usesMatView(q1, "mv1"), "HAVING/ORDER must not defeat the rewrite")
+    assert(sorted(spark.sql(q1)) == direct(q1))
+    val q2 = "WITH s AS (SELECT k, cat, sum(v) AS sv FROM mvb1 GROUP BY k, cat) " +
+      "SELECT cat, max(sv) AS mx FROM s GROUP BY cat"
+    assert(usesMatView(q2, "mv1"), "a CTE-wrapped aggregate must rewrite")
+    assert(sorted(spark.sql(q2)) == direct(q2))
+    // (scalar-subquery aggregates are not asserted here: subquery plans
+    // execute outside the main plan tree, so the scan detector cannot
+    // see them either way; the CORRECTNESS of a subquery answer is
+    // already freshness-safe — either the base or a proven-fresh view)
+  }
+
   test("star-schema view: ambiguous column names are refused at CREATE") {
     g.createTable("mvj_a", spark.range(10).select(col("id").as("ka"), col("id").as("x")))
     g.createTable("mvj_b", spark.range(10).select(col("id").as("kb"), col("id").as("x")))
