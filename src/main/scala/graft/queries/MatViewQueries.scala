@@ -183,6 +183,100 @@ object MatViewQueries {
         .orderBy("o_orderpriority")
     },
 
+    // ---- RANGE-filtered view (the "recent window" dashboard slice):
+    // the view pre-filters `o_orderdate >= <cutoff>`; a query restating
+    // the range VERBATIM is served — including with the operands
+    // FLIPPED (`lit <= col` canonicalizes to `col >= lit`) — while a
+    // different cutoff, a strict `>`, or no predicate is refused (exact
+    // containment, no range-implication engine) ----
+    QueryDef.sql(
+      "q_matview_range",
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      reset(g, "q_mvr_sum", "q_mvr_base")
+      g.createTable("q_mvr_base", Tables.load(s, dir, "orders")
+        .select(col("o_orderdate"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,4)").as("amt")),
+        partitionBy = Seq("o_orderpriority"), buckets = 4)
+      g.sql("CREATE MATERIALIZED VIEW q_mvr_sum AS " +
+        "SELECT o_orderpriority, sum(amt) AS s, count(*) AS n " +
+        "FROM q_mvr_base WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' " +
+        "GROUP BY o_orderpriority")
+      // no predicate / different cutoff / strict > → must NOT serve
+      assertNotServedBy(s.sql("SELECT o_orderpriority, sum(amt) AS ts " +
+        "FROM q_mvr_base GROUP BY o_orderpriority"), "q_mvr_sum")
+      assertNotServedBy(s.sql("SELECT o_orderpriority, sum(amt) AS ts " +
+        "FROM q_mvr_base WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY o_orderpriority"), "q_mvr_sum")
+      assertNotServedBy(s.sql("SELECT o_orderpriority, sum(amt) AS ts " +
+        "FROM q_mvr_base WHERE o_orderdate > TIMESTAMP '1999-01-01 00:00:00' " +
+        "GROUP BY o_orderpriority"), "q_mvr_sum")
+      // flipped operand order canonicalizes identically → served
+      assertServedBy(s.sql("SELECT o_orderpriority, sum(amt) AS ts " +
+        "FROM q_mvr_base WHERE TIMESTAMP '1999-01-01 00:00:00' <= o_orderdate " +
+        "GROUP BY o_orderpriority"), "q_mvr_sum")
+      val served = s.sql(
+        "SELECT o_orderpriority, sum(amt) AS ts, count(*) AS n " +
+          "FROM q_mvr_base WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' " +
+          "GROUP BY o_orderpriority")
+      assertServedBy(served, "q_mvr_sum")
+        .select(col("o_orderpriority"), col("ts").cast("double").as("total"), col("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- BETWEEN window view: BETWEEN desugars to the >=/<= conjunct
+    // pair at CREATE and at query time, so a view defined with BETWEEN
+    // serves a query writing the explicit pair (and vice versa) — the
+    // canonical-form discipline, not syntax matching. The build path
+    // re-applies BOTH stored conjuncts through expr(): an O(delta)
+    // refresh after an append must keep out-of-window rows excluded ----
+    QueryDef.sql(
+      "q_matview_between",
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      reset(g, "q_mvb_sum", "q_mvb_base")
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,4)").as("amt"))
+      g.createTable("q_mvb_base", orders.filter(col("o_orderkey") % 3 =!= 0),
+        partitionBy = Seq("o_orderstatus"), buckets = 4)
+      g.sql("CREATE MATERIALIZED VIEW q_mvb_sum AS " +
+        "SELECT o_orderstatus, sum(amt) AS s, count(*) AS n FROM q_mvb_base " +
+        "WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND TIMESTAMP '1997-12-31 00:00:00' GROUP BY o_orderstatus")
+      // append (rows inside AND outside the window) → O(delta) refresh
+      // re-applies the stored range to the delta scan
+      g.insert("q_mvb_base", orders.filter(col("o_orderkey") % 3 === 0))
+      val path = g.refreshMaterializedView("q_mvb_sum")
+      require(path == "incremental", s"append-only refresh took '$path'")
+      // a half-window query (only one conjunct restated) must NOT serve
+      assertNotServedBy(s.sql("SELECT o_orderstatus, sum(amt) AS ts " +
+        "FROM q_mvb_base WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "GROUP BY o_orderstatus"), "q_mvb_sum")
+      // the explicit >=/<= pair hits the BETWEEN-defined view
+      val served = s.sql(
+        "SELECT o_orderstatus, sum(amt) AS ts, count(*) AS n FROM q_mvb_base " +
+          "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+          "AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00' " +
+          "GROUP BY o_orderstatus")
+      assertServedBy(served, "q_mvb_sum")
+        .select(col("o_orderstatus"), col("ts").cast("double").as("total"), col("n"))
+        .orderBy("o_orderstatus")
+    },
+
     // ---- decimal AVG: materializes exactly (sum slot already carries
     // Average's internal decimal buffer type); the rollup re-derives the
     // average through Average's own decimal evaluate tree, pinned
@@ -262,6 +356,61 @@ object MatViewQueries {
       assertServedBy(served, "q_mvj_sum")
         .select(col("c_mktsegment"), col("ts").cast("double").as("total"), col("n"))
         .orderBy("c_mktsegment")
+    },
+
+    // ---- SNOWFLAKE view (fact ⋈ dim ⋈ dim): the connectivity walk and
+    // per-table freshness at N=3 — a fact append AND a dim append each
+    // take the O(delta) single-moving-table refresh (the other two
+    // tables' fingerprints carry), and the rollup over the re-ordered
+    // three-way join serves from the view. All plan-asserted ----
+    QueryDef.sql(
+      "q_matview_snowflake",
+      """SELECT n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      reset(g, "q_mvw_sum", "q_mvw_fact")
+      Seq("q_mvw_cust", "q_mvw_nat").foreach(t =>
+        if (g.isManaged(t)) g.dropTable(t))
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,4)").as("amt"))
+      val customer = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      g.createTable("q_mvw_fact", orders.filter(col("o_orderkey") % 4 =!= 0),
+        partitionBy = Seq("o_custkey"), buckets = 4)
+      // dim built WITHOUT its last third; appended below to prove the
+      // dim-side O(delta) arm (new customers join existing facts)
+      g.createTable("q_mvw_cust", customer.filter(col("c_custkey") % 3 =!= 0),
+        partitionBy = Seq("c_custkey"), buckets = 4)
+      g.createTable("q_mvw_nat", Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")))
+      g.sql("CREATE MATERIALIZED VIEW q_mvw_sum AS " +
+        "SELECT n_name, o_orderstatus, sum(amt) AS s, count(*) AS n " +
+        "FROM q_mvw_fact JOIN q_mvw_cust ON o_custkey = c_custkey " +
+        "JOIN q_mvw_nat ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name, o_orderstatus")
+      // fact append → exactly one moving table → O(delta)
+      g.insert("q_mvw_fact", orders.filter(col("o_orderkey") % 4 === 0))
+      val p1 = g.refreshMaterializedView("q_mvw_sum")
+      require(p1 == "incremental", s"fact-append refresh took '$p1'")
+      // dim append (the held-out customers) → also one moving table →
+      // O(delta) from the dim side: new-dim ⋈ full fact
+      g.insert("q_mvw_cust", customer.filter(col("c_custkey") % 3 === 0))
+      val p2 = g.refreshMaterializedView("q_mvw_sum")
+      require(p2 == "incremental", s"dim-append refresh took '$p2'")
+      // rollup to n_name over the RE-ORDERED join (nat first) serves
+      val served = s.sql("SELECT n_name, sum(amt) AS ts, count(*) AS n " +
+        "FROM q_mvw_nat JOIN q_mvw_cust ON n_nationkey = c_nationkey " +
+        "JOIN q_mvw_fact ON c_custkey = o_custkey GROUP BY n_name")
+      assertServedBy(served, "q_mvw_sum")
+        .select(col("n_name"), col("ts").cast("double").as("total"), col("n"))
+        .orderBy("n_name")
     },
 
     // ---- freshness gate: after a DELETE the view is provably stale —

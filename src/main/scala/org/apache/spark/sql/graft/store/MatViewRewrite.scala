@@ -65,27 +65,100 @@ object MatViewSupport extends PredicateHelper {
       case _ => None
     }
 
-  /** Canonical form of one equality conjunct `col = <literal>` (either
-    * operand order; a foldable non-literal side — e.g. the implicit
-    * CAST the analyzer wraps around a literal — folds first, which is
-    * exactly what ConstantFolding will have done to the query side by
-    * rewrite time). The SAME string serves matching (query conjunct ==
-    * stored conjunct) and execution (expr(s) over the base scan during
-    * build/refresh). None for any other predicate shape.
+  /** Analysis-time sugar the optimizer will have desugared on the QUERY
+    * side by rewrite time; the CREATE path sees the ANALYZED plan and
+    * must desugar itself so both sides canonicalize identically
+    * (BETWEEN becomes its >=/<= conjunct pair — matched explicitly, not
+    * via RuntimeReplaceable.replacement, because Spark 4 wraps that
+    * replacement in With/CommonExpressionDef nodes).
     */
-  def canonicalEq(e: Expression): Option[String] = e match {
-    case EqualTo(a: AttributeReference, l) if l.foldable =>
-      Some(renderEq(a, l))
-    case EqualTo(l, a: AttributeReference) if l.foldable =>
-      Some(renderEq(a, l))
+  private[store] def desugar(e: Expression): Expression = e.transformUp {
+    case Between(input, lower, upper, _) =>
+      And(GreaterThanOrEqual(input, lower), LessThanOrEqual(input, upper))
+  }
+
+  /** The column side of a comparison conjunct: a bare attribute, or an
+    * attribute under the LOSSLESS widening cast the analyzer inserts
+    * for mixed-type comparisons (e.g. a timestamp_ntz column against a
+    * TIMESTAMP literal, an int column against a bigint literal).
+    */
+  private def cmpSide(e: Expression): Option[AttributeReference] = e match {
+    case a: AttributeReference => Some(a)
+    case c @ Cast(a: AttributeReference, _, _, _)
+        if Cast.canUpCast(a.dataType, c.dataType) => Some(a)
     case _ => None
   }
 
+  private def sided(l: Expression, r: Expression, op: String,
+      mirrored: String): Option[(AttributeReference, String, Expression)] =
+    cmpSide(l) match {
+      case Some(a) if r.foldable => Some((a, op, r))
+      case _ => cmpSide(r).filter(_ => l.foldable).map(a => (a, mirrored, l))
+    }
+
+  /** Normalize a foldable comparison operand into the COLUMN's own
+    * type, refusing (None) unless the value round-trips exactly. This
+    * is what makes the CREATE side (analyzed plan: `CAST(col) op lit`
+    * in the widened type) and the query side (optimized plan:
+    * UnwrapCastInBinaryComparison has moved the cast ONTO the literal —
+    * `col op lit-in-col-type`) canonicalize to the SAME string: both
+    * roads end at the column-typed literal. The round-trip equality
+    * check keeps it exact — a value not representable in the column
+    * type (5.5 against an int column, an out-of-range long) declines
+    * rather than silently shifting the predicate.
+    */
+  private def litTo(l: Expression, dt: DataType): Option[Literal] =
+    scala.util.Try {
+      val v = l.eval()
+      if (v == null) None
+      else if (l.dataType == dt) Some(Literal.create(v, dt))
+      else {
+        val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+        val down = Cast(Literal.create(v, l.dataType), dt, tz).eval()
+        if (down == null) None
+        else {
+          val back = Cast(Literal.create(down, dt), l.dataType, tz).eval()
+          if (back == v) Some(Literal.create(down, dt)) else None
+        }
+      }
+    }.toOption.flatten
+
+  /** One comparison conjunct in (attribute, operator, column-typed
+    * literal) shape, for op ∈ {=, >=, <=, >, <} — either operand order
+    * (a flipped range MIRRORS the operator: `lit <= col` IS
+    * `col >= lit`), literal side foldable. Foldable-but-Unevaluable
+    * sides (current_date() on an ANALYZED, pre-FinishAnalysis plan —
+    * the CREATE path) fail litTo's fold and return None, so CREATE
+    * refuses them with the actionable message instead of an opaque
+    * UnsupportedOperationException.
+    */
+  private def cmpShape(e: Expression): Option[(AttributeReference, String, Literal)] = {
+    val raw = e match {
+      case EqualTo(l, r) => sided(l, r, "=", "=")
+      case GreaterThanOrEqual(l, r) => sided(l, r, ">=", "<=")
+      case LessThanOrEqual(l, r) => sided(l, r, "<=", ">=")
+      case GreaterThan(l, r) => sided(l, r, ">", "<")
+      case LessThan(l, r) => sided(l, r, "<", ">")
+      case _ => None
+    }
+    raw.flatMap { case (a, op, l) => litTo(l, a.dataType).map(lit => (a, op, lit)) }
+  }
+
+  /** Canonical form of one comparison conjunct `col <op> <literal>` for
+    * op ∈ {=, >=, <=, >, <} (BETWEEN arrives desugared to the >=/<=
+    * pair; the literal renders in the COLUMN's type — see [[litTo]]).
+    * The SAME string serves matching (query conjunct == stored
+    * conjunct, VERBATIM containment — no implication engine: `> 4` does
+    * not serve `>= 5`) and execution (expr(s) over the base scan during
+    * build/refresh). None for any other predicate shape.
+    */
+  def canonicalEq(e: Expression): Option[String] =
+    cmpShape(e).map { case (a, op, l) =>
+      s"${canonicalName(a)} $op ${l.sql}"
+    }
+
   def canonicalName(a: AttributeReference): String =
     "`" + a.name.toLowerCase(Locale.ROOT) + "`"
-
-  private def renderEq(a: AttributeReference, l: Expression): String =
-    s"${canonicalName(a)} = ${Literal.create(l.eval(), l.dataType).sql}"
 
   // ---- join-view canonical forms --------------------------------------
 
@@ -96,18 +169,14 @@ object MatViewSupport extends PredicateHelper {
   def qualName(table: String, col: String): String =
     "`" + table.toLowerCase(Locale.ROOT) + "`.`" + col.toLowerCase(Locale.ROOT) + "`"
 
-  /** Qualified equality-vs-literal conjunct, or None. */
+  /** Qualified comparison-vs-literal conjunct (same op family as
+    * [[canonicalEq]]), or None.
+    */
   def canonicalEqQual(e: Expression,
-      owner: AttributeReference => Option[String]): Option[String] = {
-    def render(a: AttributeReference, l: Expression): Option[String] =
-      owner(a).map(t =>
-        s"${qualName(t, a.name)} = ${Literal.create(l.eval(), l.dataType).sql}")
-    e match {
-      case EqualTo(a: AttributeReference, l) if l.foldable => render(a, l)
-      case EqualTo(l, a: AttributeReference) if l.foldable => render(a, l)
-      case _ => None
+      owner: AttributeReference => Option[String]): Option[String] =
+    cmpShape(e).flatMap { case (a, op, l) =>
+      owner(a).map(t => s"${qualName(t, a.name)} $op ${l.sql}")
     }
-  }
 
   /** One side of an equi-join conjunct: a bare column, or a column the
     * analyzer wrapped in a LOSSLESS widening cast (mismatched join-key
@@ -268,18 +337,20 @@ object MatViewSupport extends PredicateHelper {
   /** Parse a defining query's ANALYZED plan. Throws
     * IllegalArgumentException with an actionable message when the shape
     * is not materializable. The WHERE, when present, must be a
-    * conjunction of `<column> = <literal>` predicates — the exact-match
-    * containment the rewrite supports; anything needing an implication
-    * engine (ranges, IN, disjunctions) is refused here rather than
-    * silently never served. A multi-table FROM must be INNER equi-joins
-    * of distinct store tables whose join graph is connected.
+    * conjunction of `<column> <op> <literal>` comparisons, op ∈
+    * {=, >=, <=, >, <} (BETWEEN desugars to the >=/<= pair) — the
+    * exact-match containment the rewrite supports; anything needing an
+    * implication engine (IN, disjunctions, range subsumption) is refused
+    * here rather than silently never served. A multi-table FROM must be
+    * INNER equi-joins of distinct store tables whose join graph is
+    * connected.
     */
   def analyzeDefinition(analyzed: LogicalPlan): MvDefinition = {
     def fail(why: String): Nothing = throw new IllegalArgumentException(
       "CREATE MATERIALIZED VIEW: " + why +
         " (supported shape: SELECT <group cols>, sum/count/min/max/avg(col) " +
         "FROM <store table> [JOIN <store table> ON t.a = u.b ...] " +
-        "[WHERE col = literal [AND ...]] GROUP BY <group cols>)")
+        "[WHERE col =|>=|<=|>|< literal [AND ...]] GROUP BY <group cols>)")
     strip(analyzed) match {
       case Aggregate(groupExprs, resultExprs, child, _) =>
         // collect the FROM tree: inner-join leaves + every conjunct
@@ -290,10 +361,10 @@ object MatViewSupport extends PredicateHelper {
             if (j.joinType != Inner) fail(
               s"only INNER joins are materializable, got ${j.joinType}")
             walk(j.left); walk(j.right)
-            j.condition.toSeq.flatMap(splitConjunctivePredicates)
+            j.condition.toSeq.map(desugar).flatMap(splitConjunctivePredicates)
               .foreach(c => conjs += c)
           case Filter(c, inner) =>
-            splitConjunctivePredicates(c).foreach(x => conjs += x)
+            splitConjunctivePredicates(desugar(c)).foreach(x => conjs += x)
             walk(inner)
           case r: DataSourceV2Relation if !r.options.containsKey("batch_ids") =>
             r.table match {
@@ -310,8 +381,8 @@ object MatViewSupport extends PredicateHelper {
           // ---- single-table path (the original contract) ----
           val predicate = conjs.result().map { c =>
             canonicalEq(c).getOrElse(fail(
-              s"WHERE must be a conjunction of <column> = <literal> " +
-                s"predicates, got: ${c.sql}"))
+              s"WHERE must be a conjunction of <column> <op> <literal> " +
+                s"comparisons (op: = >= <= > <), got: ${c.sql}"))
           }
           val groupCols = groupExprs.map {
             case a: AttributeReference => a.name
@@ -347,7 +418,8 @@ object MatViewSupport extends PredicateHelper {
             case None => canonicalEqQual(c, ownerOf) match {
               case Some(p) => predicate += p
               case None => fail("join/where conjuncts must be t.a = u.b " +
-                s"equi-joins or <column> = <literal> predicates, got: ${c.sql}")
+                s"equi-joins or <column> <op> <literal> comparisons " +
+                s"(op: = >= <= > <), got: ${c.sql}")
             }
           }
         }
@@ -416,9 +488,12 @@ object MatViewSupport extends PredicateHelper {
   * Grouping by a SUBSET of the view's group columns rolls up (sums add,
   * counts add, min/min, max/max, avg = Σsum/Σcnt). A FILTERED view
   * serves a query whose WHERE contains every view conjunct VERBATIM
-  * (canonical `col = literal` form — exact containment, no implication
-  * engine); the query's remaining conjuncts must reference only group
-  * columns and apply as a residual Filter over the summary.
+  * (canonical `col <op> literal` form, op ∈ {=, >=, <=, >, <}; BETWEEN
+  * desugars to the >=/<= pair — exact containment, no implication
+  * engine: `>= DATE '2025-01-02'` is NOT served by a view filtered
+  * `>= DATE '2025-01-01'`); the query's remaining conjuncts must
+  * reference only group columns and apply as a residual Filter over
+  * the summary.
   *
   * STAR-SCHEMA views (defining query = inner equi-joins of store
   * tables) substitute when the query's TABLE SET and canonical
@@ -595,7 +670,7 @@ case class MatViewRewrite(session: SparkSession)
             case IsNotNull(a: AttributeReference) =>
               val q = ownerOf(a).map(t => qualName(t, a.name))
               val implied = q.exists(qn =>
-                viewPred.exists(_.startsWith(qn + " = ")) ||
+                viewPred.exists(_.startsWith(qn + " ")) ||
                   mv.joins.exists(_.conds.exists(_.split(" = ").contains(qn))))
               if (!implied) return None
             case _ => return None
@@ -606,7 +681,8 @@ case class MatViewRewrite(session: SparkSession)
   }
 
   /** Query WHERE vs view predicate: every view conjunct must appear
-    * VERBATIM (canonical equality form) among the query's conjuncts —
+    * VERBATIM (canonical comparison form — `=`/`>=`/`<=`/`>`/`<` vs a
+    * literal) among the query's conjuncts —
     * rows the view excluded can never be recovered from the summary, so
     * a query not re-stating the predicate wants rows the view lacks.
     * The remaining query conjuncts must each either reference only
@@ -628,11 +704,13 @@ case class MatViewRewrite(session: SparkSession)
             mv.groupCols.exists(_.equalsIgnoreCase(a.name)))) {
             residual += c
           } else c match {
-            // implied by the matched equality on the same column (an
-            // equality with a non-null literal can only hold on non-null
-            // rows; a null literal folds the whole Filter away upstream)
+            // implied by a matched comparison on the same column (any
+            // =/>=/<=/>/< against a non-null literal can only hold on
+            // non-null rows; a null literal folds the whole Filter away
+            // upstream). canonicalName is backtick-delimited, so the
+            // prefix test cannot cross column-name boundaries
             case IsNotNull(a: AttributeReference)
-                if viewPred.exists(_.startsWith(canonicalName(a) + " = ")) =>
+                if viewPred.exists(_.startsWith(canonicalName(a) + " ")) =>
             case _ => return None
           }
       }
@@ -650,16 +728,23 @@ case class MatViewRewrite(session: SparkSession)
     * relation (UnknownPartitioning) in sessions without the catalog.
     */
   private def mvRelation(name: String): DataSourceV2Relation = {
+    // strict mode rides the scan options: the view scan re-proves the
+    // fingerprint in planInputPartitions (execution start), closing the
+    // plan-to-execution window; default stays snapshot-at-plan
+    val strict = session.conf
+      .get("spark.sql.graft.matviewStrictFreshness", "false").toBoolean
+    val extra = if (strict) Map("mv_strict" -> name) else Map.empty[String, String]
     val viaCatalog = scala.util.Try {
       val cat = session.sessionState.catalogManager.catalog("graft")
         .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
       val ident = org.apache.spark.sql.connector.catalog.Identifier
         .of(Array.empty, name)
-      DataSourceV2Relation.create(cat.loadTable(ident), Some(cat), Some(ident))
+      DataSourceV2Relation.create(cat.loadTable(ident), Some(cat), Some(ident),
+        new CaseInsensitiveStringMap(extra.asJava))
     }
     viaCatalog.getOrElse {
       val provider = new GraftColumnSource
-      val opts = new CaseInsensitiveStringMap(Map("table" -> name).asJava)
+      val opts = new CaseInsensitiveStringMap((Map("table" -> name) ++ extra).asJava)
       val schema = provider.inferSchema(opts)
       val table = provider.getTable(schema, Array.empty,
         new java.util.HashMap[String, String](Map("table" -> name).asJava))
@@ -756,7 +841,9 @@ case class MatViewRewrite(session: SparkSession)
         Alias(mvAttr(a.name), nm)(exprId = al.exprId, qualifier = al.qualifier)
       case al @ Alias(AggregateExpression(Count(children), Complete, true, None, _), nm)
           if children.nonEmpty && children.forall {
-            case a: AttributeReference => mv.groupCols.contains(a.name)
+            // case-insensitive like every other group-column match here
+            case a: AttributeReference =>
+              mv.groupCols.exists(_.equalsIgnoreCase(a.name))
             case _ => false
           } =>
         // EXACT distinct rollup over group columns: the view holds one

@@ -65,9 +65,10 @@ object MatViews {
       aggs: Seq[MvAgg],
       sql: String, // defining SELECT, display only
       fresh: MvFreshness,
-      // defining-query WHERE as canonical `` `col` = <literal> ``
-      // conjuncts (empty = unfiltered view; `` `t`.`col` = lit `` for
-      // join views). Canonical strings serve both sides of the
+      // defining-query WHERE as canonical `` `col` <op> <literal> ``
+      // conjuncts, op ∈ {=, >=, <=, >, <} (empty = unfiltered view;
+      // `` `t`.`col` <op> lit `` for join views; BETWEEN stores as its
+      // >=/<= pair). Canonical strings serve both sides of the
       // contract: the rewrite matches a query's conjuncts against them
       // VERBATIM (exact containment — no implication engine), and
       // build/refresh re-applies them to the base scan via expr().

@@ -511,17 +511,79 @@ class MatViewSpec extends SparkTestBase {
     g.dropTable("mvb15")
   }
 
-  test("defining-query validation refuses self-joins, non-equality filters, and expressions") {
+  test("defining-query validation refuses self-joins, non-literal filters, and expressions") {
     val bad = Seq(
       "SELECT m1.k, sum(m1.v) AS s FROM mvb1 m1 JOIN mvb1 m2 ON m1.k = m2.k GROUP BY m1.k",
-      "SELECT k, sum(v) AS s FROM mvb1 WHERE v > 3 GROUP BY k", // range: needs implication
+      "SELECT k, sum(v) AS s FROM mvb1 WHERE v > nv GROUP BY k", // col-vs-col
+      "SELECT k, sum(v) AS s FROM mvb1 WHERE v IN (1, 2, 3) GROUP BY k",
       "SELECT k, sum(v) AS s FROM mvb1 WHERE cat = 'c1' OR cat = 'c2' GROUP BY k",
+      // foldable but Unevaluable pre-FinishAnalysis (current_user() is
+      // only substituted by the optimizer): must hit the actionable
+      // refusal, not an opaque UnsupportedOperationException
+      "SELECT k, sum(v) AS s FROM mvb1 WHERE cat = current_user() GROUP BY k",
       "SELECT k, sum(v + 1) AS s FROM mvb1 GROUP BY k",
       "SELECT k FROM mvb1 GROUP BY k")
     bad.foreach { sql =>
       val e = intercept[Exception](g.sql(s"CREATE MATERIALIZED VIEW mv_bad AS $sql"))
       assert(e.getMessage.contains("CREATE MATERIALIZED VIEW"), s"for: $sql → ${e.getMessage}")
     }
+  }
+
+  test("range-filtered view: verbatim >=/<=/BETWEEN containment serves; near-miss ranges decline") {
+    freshBase("mvb25", rows = 600)
+    g.sql("CREATE MATERIALIZED VIEW mv25 AS SELECT k, sum(v) AS sv, count(*) AS n " +
+      "FROM mvb25 WHERE nv >= 110 AND nv <= 440 GROUP BY k")
+    val q = "SELECT k, sum(v) AS sv, count(*) AS n FROM mvb25 " +
+      "WHERE nv >= 110 AND nv <= 440 GROUP BY k"
+    assert(usesMatView(q, "mv25"), "verbatim range pair must serve")
+    assert(sorted(spark.sql(q)) == direct(q))
+    // BETWEEN desugars to the same canonical pair — syntax-independent
+    val qb = "SELECT k, sum(v) AS sv, count(*) AS n FROM mvb25 " +
+      "WHERE nv BETWEEN 110 AND 440 GROUP BY k"
+    assert(usesMatView(qb, "mv25"), "BETWEEN must hit the >=/<= pair")
+    assert(sorted(spark.sql(qb)) == direct(qb))
+    // flipped operand order mirrors the operator (110 <= nv IS nv >= 110)
+    assert(usesMatView("SELECT k, sum(v) AS sv FROM mvb25 " +
+      "WHERE 110 <= nv AND nv <= 440 GROUP BY k", "mv25"))
+    // residual range on a GROUP column composes on top of the match
+    val qRes = "SELECT k, sum(v) AS sv FROM mvb25 " +
+      "WHERE nv >= 110 AND nv <= 440 AND k >= 2 GROUP BY k"
+    assert(usesMatView(qRes, "mv25"))
+    assert(sorted(spark.sql(qRes)) == direct(qRes))
+    // near misses decline (no implication engine): shifted bound,
+    // widened bound, strict vs inclusive, half the window
+    Seq("WHERE nv >= 111 AND nv <= 440", "WHERE nv >= 110 AND nv <= 441",
+      "WHERE nv > 110 AND nv <= 440", "WHERE nv >= 110").foreach { w =>
+      val bad = s"SELECT k, sum(v) AS sv FROM mvb25 $w GROUP BY k"
+      assert(!usesMatView(bad, "mv25"), s"must decline: $bad")
+      assert(sorted(spark.sql(bad)) == direct(bad))
+    }
+    // refresh re-applies the stored range to the delta scan
+    g.insert("mvb25", spark.range(600, 720).select(
+      (col("id") % 7).cast("int").as("k"), concat(lit("c"), col("id") % 3).as("cat"),
+      (col("id") * 2).as("v"), (col("id") % 100).cast("double").as("d"),
+      col("id").as("nv")))
+    assert(g.refreshMaterializedView("mv25") == "incremental")
+    assert(usesMatView(q, "mv25"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    g.dropTable("mvb25")
+  }
+
+  test("COUNT(DISTINCT) rollup matches group columns case-insensitively") {
+    freshBase("mvb26", rows = 300)
+    g.sql("CREATE MATERIALIZED VIEW mv26 AS SELECT k, cat, sum(v) AS sv, " +
+      "count(*) AS n FROM mvb26 GROUP BY k, cat")
+    // simulate a definition recorded under different case (a sidecar or
+    // tool that normalizes names) — the rewrite must compare the query's
+    // resolved attribute to the stored group names case-insensitively,
+    // like every other group-column match in the rule
+    val mv = org.apache.spark.sql.graft.store.MatViews.get("mv26").get
+    org.apache.spark.sql.graft.store.MatViews.register(
+      mv.copy(groupCols = mv.groupCols.map(_.toUpperCase)))
+    val q = "SELECT k, count(DISTINCT cat) AS nc, count(*) AS n FROM mvb26 GROUP BY k"
+    assert(usesMatView(q, "mv26"), "case-shifted group names must still roll up")
+    assert(sorted(spark.sql(q)) == direct(q))
+    g.dropTable("mvb26")
   }
 
   test("filtered view: exact predicate containment serves; mismatch declines") {
@@ -582,6 +644,44 @@ class MatViewSpec extends SparkTestBase {
     assert(usesMatView(q, "mv17"))
     assert(sorted(spark.sql(q)) == direct(q))
     g.dropTable("mvb17")
+  }
+
+  test("matviewStrictFreshness: a held plan aborts after a base mutation instead of serving its planned snapshot") {
+    freshBase("mvb27", rows = 400)
+    g.sql("CREATE MATERIALIZED VIEW mv27 AS SELECT k, sum(v) AS sv " +
+      "FROM mvb27 GROUP BY k")
+    spark.conf.set("spark.sql.graft.matviewStrictFreshness", "true")
+    try {
+      val q = "SELECT k, sum(v) AS sv FROM mvb27 GROUP BY k"
+      // fresh: strict serving still answers (the re-proof passes)
+      assert(usesMatView(q, "mv27"))
+      assert(sorted(spark.sql(q)) == direct(q))
+      // plan a DF against the fresh view, mutate the base, THEN execute:
+      // strict mode re-proves at execution start and must ABORT (the
+      // default snapshot-at-plan semantics would serve the planned
+      // contents — MatViewSpec's held-DataFrame test pins that contract)
+      val held = spark.sql(q)
+      assert(Plans.scansStoreTable(held, "mv27"))
+      g.insert("mvb27", spark.range(400, 410).select(
+        (col("id") % 7).cast("int").as("k"), concat(lit("c"), col("id") % 3).as("cat"),
+        (col("id") * 2).as("v"), (col("id") % 100).cast("double").as("d"),
+        col("id").as("nv")))
+      val e = intercept[Exception](held.collect())
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("strict freshness")),
+        s"expected the strict-freshness abort, got: $e")
+      // a NEW query re-plans, declines the stale view, answers truth
+      assert(!usesMatView(q, "mv27"))
+      assert(sorted(spark.sql(q)) == direct(q))
+      // and after REFRESH strict serving resumes
+      g.refreshMaterializedView("mv27")
+      assert(usesMatView(q, "mv27"))
+      assert(sorted(spark.sql(q)) == direct(q))
+    } finally {
+      spark.conf.set("spark.sql.graft.matviewStrictFreshness", "false")
+      g.dropTable("mvb27")
+    }
   }
 
   test("coarsest fresh cover wins when several views match") {
