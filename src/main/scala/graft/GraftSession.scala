@@ -742,6 +742,21 @@ class GraftSession(val spark: SparkSession)
       .toDF("table_name", "diskstore", "source", "epoch", "action")
   }
 
+  /** Adopt a store table another session created into THIS session's
+    * managed map (the store registries are JVM-global, session temp
+    * views are not) — the cross-session DML faces (e.g. a constrained
+    * INSERT arriving over JDBC) route through here before the session
+    * paths. No-op when already managed or not a store table.
+    */
+  def adoptFromStore(name: String): Unit = {
+    val nm = normalize(name)
+    if (!tables.contains(nm) &&
+      (org.apache.spark.sql.graft.store.GraftColumnStore.get(nm).isDefined ||
+        org.apache.spark.sql.graft.store.GraftRowStore.get(nm).isDefined)) {
+      registerFromStore(nm)
+    }
+  }
+
   /** Register a table that already lives in this JVM's store registries
     * (row or column) as a managed table + temp view — the shared tail of
     * attachTable and bootstrap's epoch restore.
@@ -898,11 +913,14 @@ class GraftSession(val spark: SparkSession)
     // human-readable table face, not the query path). `width` is the
     // CMS epsilon knob: size it ≳ 10× the per-epoch key cardinality or
     // a colliding background key can inflate into the top-k.
+    // base_width records the CREATION width beside every epoch sketch:
+    // decayApproxTSTopK derives its absolute fold target from it, which
+    // is what makes retention re-runs no-ops (see the decay scaladoc)
     createTable(s"${name}_sketches", byEpoch
       .agg(org.apache.spark.sql.graft.CmsTopKAggregate
         .approx_topk_state(c(keyCol), k, width, depth).as("sketch"))
       .select(c("w.start").as("bucket_start"), c("w.end").as("bucket_end"),
-        c("sketch")))
+        c("sketch"), org.apache.spark.sql.functions.lit(width).as("base_width")))
     val topk = byEpoch
       .agg(graft.functions.SketchFunctions.approx_topk(c(keyCol), k, width, depth)
         .as("topk"))
@@ -913,27 +931,49 @@ class GraftSession(val spark: SparkSession)
     createTable(name, topk)
   }
 
-  /** Hokusai time decay over a [[createApproxTSTopK]] store: halve the
+  /** Hokusai time decay over a [[createApproxTSTopK]] store: fold the
     * CMS width of every epoch sketch whose bucket ENDED at or before
-    * `olderThan` (`generations` halvings — memory shrinks 2^g, the error
-    * bound widens by the same factor). Range queries keep working across
-    * mixed widths: the merge aggregate folds fresh sketches down to the
-    * oldest touched epoch's width (CmsTopKMerge.aligned), so an answer
-    * carries the widest error bound among the epochs it spans — exactly
-    * the Hokusai contract (aged data answers coarser, recent data stays
-    * sharp, total state is bounded instead of linear in history).
-    * Idempotence note: re-running with the same cutoff decays AGAIN —
-    * callers advance `olderThan` monotonically, as a retention job does.
+    * `olderThan` down to base_width/2^generations (memory shrinks 2^g,
+    * the error bound widens by the same factor). Range queries keep
+    * working across mixed widths: the merge aggregate folds fresh
+    * sketches down to the oldest touched epoch's width
+    * (CmsTopKMerge.aligned), so an answer carries the widest error
+    * bound among the epochs it spans — exactly the Hokusai contract
+    * (aged data answers coarser, recent data stays sharp, total state
+    * is bounded instead of linear in history).
+    *
+    * TARGET-STATED, hence IDEMPOTENT: `generations` counts from the
+    * store's CREATION width (the `base_width` column every sketch row
+    * carries), so the fold target is an ABSOLUTE width and re-running
+    * the same retention cutoff — a retried or crashed-and-rerun job —
+    * is a no-op (sketches already at the target fold to themselves).
+    * `minWidth` floors the target: no sequence of calls can fold a
+    * sketch below it (or below the creation width, if that is already
+    * smaller), so estimates cannot silently degrade toward width 1.
+    * Legacy sketch tables that predate `base_width` fall back to the
+    * RELATIVE halving of [[CmsTopKDecay]] (non-idempotent; recreate
+    * the store to migrate).
     */
   def decayApproxTSTopK(name: String, olderThan: String,
-      generations: Int = 1): DataFrame = {
-    import org.apache.spark.sql.functions.{col => c, lit}
+      generations: Int = 1, minWidth: Int = 16): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, greatest, least, lit, shiftright}
     val st = s"${name}_sketches"
     require(isManaged(st), s"decayApproxTSTopK($name): no sketch table $st — " +
       "created before the sketch sidecar existed, or not an approx-topk store")
-    update(st, c("bucket_end") <= lit(olderThan).cast("timestamp"),
-      "sketch" -> org.apache.spark.sql.graft.CmsTopKAggregate
-        .approx_topk_decay(c("sketch"), generations))
+    require(generations >= 0, "decayApproxTSTopK: generations must be >= 0")
+    require(minWidth >= 1, "decayApproxTSTopK: minWidth must be >= 1")
+    val aged = c("bucket_end") <= lit(olderThan).cast("timestamp")
+    if (table(st).columns.contains("base_width")) {
+      val target = greatest(shiftright(c("base_width"), generations),
+        least(lit(minWidth), c("base_width")), lit(1))
+      update(st, aged,
+        "sketch" -> org.apache.spark.sql.graft.CmsTopKAggregate
+          .approx_topk_decay_to(c("sketch"), target))
+    } else {
+      update(st, aged,
+        "sketch" -> org.apache.spark.sql.graft.CmsTopKAggregate
+          .approx_topk_decay(c("sketch"), generations))
+    }
   }
 
   /** queryApproxTSTopK (reference SnappySession.queryApproxTSTopK:2162):

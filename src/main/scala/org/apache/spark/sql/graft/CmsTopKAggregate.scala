@@ -368,6 +368,39 @@ case class CmsTopKDecay(child: Expression, generations: Int)
     copy(child = c)
 }
 
+/** TARGET-STATED width decay of one serialized sketch: fold DOWN TO
+  * `targetExpr` cells per row (repeated halving, stopping early at odd
+  * widths), a NO-OP when the sketch is already at or below the target.
+  * Idempotence is the point — the caller derives an ABSOLUTE target
+  * from the store's creation width, so a retried retention job
+  * re-running the same cutoff recomputes the same target and folds
+  * nothing twice, where the relative form ([[CmsTopKDecay]]) halves
+  * again on every call. CodegenFallback is fine — maintenance cadence
+  * over O(epochs) rows, never a per-row hot path.
+  */
+case class CmsTopKDecayTo(child: Expression, targetExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def left: Expression = child
+  override def right: Expression = targetExpr
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "approx_topk_decay_to"
+  override protected def nullSafeEval(input: Any, t: Any): Any = {
+    val target = t.asInstanceOf[Number].intValue()
+    require(target >= 1, s"approx_topk_decay_to: target width $target must be >= 1")
+    val buf = CmsTopKAggregate.read(input.asInstanceOf[Array[Byte]])
+    if (buf.empty) input
+    else {
+      var w = buf.width
+      while (w > target && w % 2 == 0) w /= 2
+      if (w == buf.width) input
+      else CmsTopKAggregate.write(buf.foldTo(w))
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): CmsTopKDecayTo = copy(child = l, targetExpr = r)
+}
+
 object CmsTopKAggregate {
   /** Column API: approximate top-k keys by frequency within the group. */
   def approx_topk(key: Column, k: Int, width: Int = 4096, depth: Int = 5): Column =
@@ -385,11 +418,20 @@ object CmsTopKAggregate {
       CmsTopKMerge(ExpressionUtils.expression(state), k).toAggregateExpression())
 
   /** Column API: width-decay a serialized sketch by `generations`
-    * halvings (Hokusai item aggregation over aged epochs).
+    * halvings (Hokusai item aggregation over aged epochs). RELATIVE —
+    * prefer [[approx_topk_decay_to]] for retention jobs, which is
+    * idempotent under retries.
     */
   def approx_topk_decay(state: Column, generations: Int): Column =
     ExpressionUtils.column(
       CmsTopKDecay(ExpressionUtils.expression(state), generations))
+
+  /** Column API: width-decay a serialized sketch DOWN TO an absolute
+    * target width (no-op at or below it) — the idempotent face.
+    */
+  def approx_topk_decay_to(state: Column, target: Column): Column =
+    ExpressionUtils.column(CmsTopKDecayTo(
+      ExpressionUtils.expression(state), ExpressionUtils.expression(target)))
 
   private[graft] def write(buf: CmsTopKBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

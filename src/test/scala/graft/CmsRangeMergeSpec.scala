@@ -121,6 +121,55 @@ class CmsRangeMergeSpec extends SparkTestBase {
     assert(err.getMessage.contains("must divide"))
   }
 
+  test("decay is target-stated: same-cutoff re-runs are no-ops and the width floor holds") {
+    val g = GraftSession(spark)
+    import spark.implicits._
+    val rows = for {
+      day <- 1 to 3
+      i <- 1 to 400
+    } yield (s"$day/$i", ts(day), s"k${i % 40}")
+    val events = rows.toDF("event_id", "ts", "user_key")
+    g.createApproxTSTopK("tk_idem", events, "user_key", "ts", "1 day", 5,
+      width = 1024)
+    try {
+      def lens(): Seq[Long] = g.table("tk_idem_sketches")
+        .select(length(col("sketch")).cast("long"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      def answer(): Seq[(String, Long)] = g.queryApproxTSTopK("tk_idem",
+          "2024-01-01 00:00:00", "2024-01-04 00:00:00", 5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // retention through the SQL face (SQL-only deployments)
+      g.sql("ALTER TOPK tk_idem DECAY OLDER THAN '2024-01-03 00:00:00' GENERATIONS 2")
+      val after1 = (lens(), answer())
+      // the RETRIED retention job: same cutoff, same generations — the
+      // absolute target (base 1024 >> 2 = 256) is already reached, so
+      // nothing may decay again (the pre-r13 relative form halved twice)
+      g.sql("ALTER TOPK tk_idem DECAY OLDER THAN '2024-01-03 00:00:00' GENERATIONS 2")
+      assert((lens(), answer()) == after1, "same-cutoff re-run must be a no-op")
+      // API face re-run too
+      g.decayApproxTSTopK("tk_idem", "2024-01-03 00:00:00", generations = 2)
+      assert((lens(), answer()) == after1, "API re-run must be a no-op")
+      // the floor: an absurd generations count cannot fold below MIN
+      // WIDTH — estimates degrade no further than the stated bound
+      g.sql("ALTER TOPK tk_idem DECAY OLDER THAN '2024-01-03 00:00:00' " +
+        "GENERATIONS 30 MIN WIDTH 64")
+      val widths = g.table("tk_idem_sketches")
+        .filter(col("bucket_end") <= lit("2024-01-03 00:00:00").cast("timestamp"))
+        .select(col("sketch")).collect()
+        .map(r => java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](0)).getInt)
+      assert(widths.nonEmpty && widths.forall(_ == 64),
+        s"floored widths expected 64: ${widths.toSeq}")
+      // fresh epochs (beyond the cutoff) never moved
+      val freshW = g.table("tk_idem_sketches")
+        .filter(col("bucket_end") > lit("2024-01-03 00:00:00").cast("timestamp"))
+        .select(col("sketch")).collect()
+        .map(r => java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](0)).getInt)
+      assert(freshW.nonEmpty && freshW.forall(_ == 1024), freshW.toSeq.toString)
+    } finally {
+      g.dropTable("tk_idem"); g.dropTable("tk_idem_sketches")
+    }
+  }
+
   test("decayed aged epochs keep answering range queries (Hokusai time decay)") {
     val g = GraftSession(spark)
     import spark.implicits._
