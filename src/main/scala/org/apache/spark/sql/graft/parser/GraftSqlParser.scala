@@ -35,6 +35,27 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       session.catalog.tableExists(t) &&
       (try session.catalog.getTable(t).isTemporary catch { case _: Exception => false })
 
+  /** A bare or `graft.`-qualified name naming a graft STORE table whose
+    * constraints require the enforcing insert path (identity fill,
+    * CHECK/UNIQUE/FK validation) — consulted against the JVM-GLOBAL
+    * registries, so enforcement holds from sessions that didn't create
+    * the table (JDBC/Thrift). Returns the normalized store name, or
+    * None for everything the native INSERT should keep.
+    */
+  private def constrainedInsertTarget(t: String): Option[String] = {
+    val parts = t.split("\\.")
+    val nm = (parts match {
+      case Array(one) => Some(one)
+      case Array(cat, name) if cat.equalsIgnoreCase("graft") => Some(name)
+      case _ => None
+    }).map(_.toLowerCase)
+    nm.filter { n =>
+      (org.apache.spark.sql.graft.store.GraftColumnStore.get(n).isDefined ||
+        org.apache.spark.sql.graft.store.GraftRowStore.get(n).isDefined) &&
+        org.apache.spark.sql.graft.Constraints.get(n).exists(_.enforced)
+    }
+  }
+
   /** Persistent session-catalog tables backed by a FILE source qualify
     * for copy-on-write DML (reference DMLExternalTable on external
     * relations): the formats have no native row-level ops, so UPDATE /
@@ -72,6 +93,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftMergeIntoCommand(m.table.toLowerCase, m.source, m.onCond, m.clauses,
           (m.targetAlias.toSeq :+ m.table).map(_.toLowerCase),
           (m.sourceAlias.toSeq :+ m.source).map(_.toLowerCase))
+      // INSERT INTO a graft store table carrying ENFORCED constraints
+      // (identity / CHECK / UNIQUE / FK): route through the session's
+      // enforcing insert so the store guarantees hold on the SQL face
+      // too (a raw DSv2 append would bypass identity fill and CHECK).
+      // Guarded on the JVM-GLOBAL registries — a JDBC/Thrift session
+      // that didn't create the table still gets enforcement. Everything
+      // else (unconstrained tables, other catalogs) stays native.
+      case Some(InsertInto(t, cols, src)) if constrainedInsertTarget(t).isDefined =>
+        delegate.parsePlan(src) // statement-time parse errors surface here
+        GraftConstrainedInsertCommand(constrainedInsertTarget(t).get, cols, src)
       case Some(Update(t, assigns, where)) if g.isManaged(t.toLowerCase) =>
         // validate all embedded expressions NOW (statement-time parse
         // errors); the command re-parses at run — commands must not carry
@@ -179,6 +210,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case Some(CreateMatView(n, sel, opts)) =>
         delegate.parsePlan(sel) // statement-time parse errors surface here
         GraftCreateMatViewCommand(n, sel, opts)
+      case Some(AlterTopkDecay(n, ts, gens, mw)) =>
+        GraftTopkDecayCommand(n, ts, gens, mw)
       case Some(DropMatView(n)) => GraftDropMatViewCommand(n)
       case Some(RefreshMatView(n)) => GraftRefreshMatViewCommand(n)
       case Some(DropSynonym(n)) => GraftSynonymCommand(n, None)
@@ -515,6 +548,43 @@ case class GraftCreateMatViewCommand(name: String, selectSql: String,
 case class GraftDropMatViewCommand(name: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     graft.GraftSession(spark).dropMaterializedView(name)
+    Nil
+  }
+}
+
+/** INSERT INTO a constrained graft store table, routed through the
+  * session's enforcing insert: identity fill (column omitted via a
+  * column list, or bound NULL for BY DEFAULT), CHECK/NOT NULL/UNIQUE/FK
+  * validation — the store-side guarantees the reference applies to
+  * every protocol face. ONE pass over the source (no count pre-scan:
+  * an INSERT ... SELECT from a large table must not scan twice).
+  */
+case class GraftConstrainedInsertCommand(table: String, columns: Seq[String],
+    sourceSql: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val g = graft.GraftSession(spark)
+    // JVM-global registries, session-local temp views: a JDBC/Thrift
+    // session inserting into a table it didn't create adopts it first
+    g.adoptFromStore(table)
+    val src0 = spark.sql(sourceSql)
+    // a column list renames the source's positional output (VALUES
+    // yields col1, col2, …) so g.insert's by-name alignment — and the
+    // identity-omitted shape — resolve exactly as the user wrote them
+    val src = if (columns.nonEmpty) src0.toDF(columns: _*) else src0
+    g.insert(table, src)
+    Nil
+  }
+}
+
+/** ALTER TOPK t DECAY OLDER THAN 'ts' — SQL retention face of
+  * [[graft.GraftSession.decayApproxTSTopK]] (target-stated, so a retried
+  * SQL retention job is a no-op at an unchanged cutoff).
+  */
+case class GraftTopkDecayCommand(name: String, olderThan: String,
+    generations: Int, minWidth: Int) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.GraftSession(spark).decayApproxTSTopK(name, olderThan,
+      generations, minWidth)
     Nil
   }
 }

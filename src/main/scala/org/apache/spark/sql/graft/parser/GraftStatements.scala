@@ -111,6 +111,27 @@ object GraftStatements extends RegexParsers {
     */
   final case class BootstrapCatalog(diskstore: Option[String]) extends Stmt
 
+  /** INSERT INTO t [(cols)] <VALUES ... | SELECT ... | TABLE x> —
+    * captured ONLY so graft store tables with ENFORCED constraints
+    * (identity, CHECK, UNIQUE, FK) can route through the session's
+    * enforcing insert path; every other target falls through to Spark's
+    * native INSERT ([[GraftSqlParser]] guards on the global registries).
+    * Without this, a SQL-only client (JDBC/Thrift) writing through the
+    * DSv2 catalog would silently bypass identity fill and CHECK
+    * validation — the store-level guarantees must hold on every
+    * protocol face, like the reference's store-side enforcement.
+    */
+  final case class InsertInto(table: String, columns: Seq[String],
+      sourceSql: String) extends Stmt
+
+  /** ALTER TOPK t DECAY OLDER THAN 'ts' [GENERATIONS g] [MIN WIDTH w] —
+    * SQL face of [[graft.GraftSession.decayApproxTSTopK]], so SQL-only
+    * deployments can run sketch retention (idempotent: the target width
+    * is absolute, a re-run at the same cutoff is a no-op).
+    */
+  final case class AlterTopkDecay(name: String, olderThan: String,
+      generations: Int, minWidth: Int) extends Stmt
+
   final case class CreateMatView(name: String, selectSql: String,
       options: Map[String, String]) extends Stmt
   final case class DropMatView(name: String) extends Stmt
@@ -352,6 +373,32 @@ object GraftStatements extends RegexParsers {
         case t ~ n => AlterDropConstraint(t, n)
       }
 
+  /** A possibly catalog-qualified name (`graft.t`, `t`). */
+  private def qualIdent: Parser[String] =
+    rep1sep(ident, ".") ^^ (_.mkString("."))
+
+  private def insertInto: Parser[Stmt] = {
+    // the column list must be tried WITH its source: `INSERT INTO t
+    // (SELECT ...)` has a paren too, and only the source-follows shape
+    // disambiguates (rep1sep fails on `SELECT *`, backtracking to the
+    // no-list branch, which takes the whole parenthesized source)
+    val colList = "(" ~> rep1sep(ident, ",") <~ ")"
+    kw("INSERT") ~> kw("INTO") ~> opt(kw("TABLE")) ~> qualIdent ~
+      (colList ~ restAll ^^ { case cs ~ src => (cs, src) } |
+        restAll ^^ (src => (Seq.empty[String], src))) ^^ {
+        case t ~ ((cols, src)) => InsertInto(t, cols, src)
+      }
+  }
+
+  private def alterTopkDecay: Parser[Stmt] =
+    kw("ALTER") ~> kw("TOPK") ~> ident ~
+      (kw("DECAY") ~> kw("OLDER") ~> kw("THAN") ~> quoted) ~
+      opt(kw("GENERATIONS") ~> """\d+""".r) ~
+      opt(kw("MIN") ~> kw("WIDTH") ~> """\d+""".r) ^^ {
+        case n ~ ts ~ gens ~ mw => AlterTopkDecay(n, ts,
+          gens.map(_.toInt).getOrElse(1), mw.map(_.toInt).getOrElse(16))
+      }
+
   private def truncateTable: Parser[Stmt] =
     kw("TRUNCATE") ~> kw("TABLE") ~> ident ^^ TruncateTable.apply
 
@@ -462,12 +509,13 @@ object GraftStatements extends RegexParsers {
   private def statement: Parser[Stmt] =
     mergeInto | putInto | createPolicy | dropPolicy | createSample | createStream |
       createIndex | dropIndex | optimizeZorder | createFunction | createTableLike |
-      createTableUsing | alterRebucket | alterAddConstraint | alterDropConstraint |
+      createTableUsing | alterTopkDecay | alterRebucket | alterAddConstraint |
+      alterDropConstraint |
       alterDrop | alterAdd | truncateTable | createDiskstore | dropDiskstore |
       createSynonym | dropSynonym | setIsolation | setSchema |
       publishTable | attachStmt | bootstrapCatalog |
       createMatView | dropMatView | refreshMatView |
-      streamingCtl | grantRevoke | update | delete
+      streamingCtl | grantRevoke | update | delete | insertInto
 
   /** None = not a graft statement (caller delegates to Spark's parser). */
   def parse(text: String): Option[Stmt] = {

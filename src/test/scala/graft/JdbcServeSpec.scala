@@ -171,6 +171,71 @@ class JdbcServeSpec extends SparkTestBase {
     }
   }
 
+  test("batch prepared writes: addBatch limitation pinned; multi-row prepared VALUES is the wire bulk path; identity fills per batch") {
+    // The stock Hive JDBC driver (2.3.10 — the client Spark's Thrift
+    // endpoint ships against) refuses addBatch()/executeBatch()
+    // CLIENT-SIDE with SQLFeatureNotSupportedException: the reference's
+    // DRDA driver batches in its own client layer, Hive's never
+    // implemented it. That is a documented driver limitation, not a
+    // server one — so pin it, then drive the batch semantics the wire
+    // DOES carry: one prepared MULTI-ROW VALUES statement per round
+    // trip (N parameter sets, one execution, one atomic store commit),
+    // handle re-execution with fresh bindings, and identity columns
+    // filling gap-free across a batched statement.
+    val g = GraftSession(spark)
+    g.sql("CREATE TABLE jdbc_bt (k bigint, v string) USING column " +
+      "OPTIONS (partition_by 'k', buckets '4')")
+    g.sql("CREATE TABLE jdbc_bi (id bigint generated by default as identity " +
+      "(start with 1000, increment by 1), v string) USING row")
+    val conn = connect()
+    try {
+      val probe = conn.prepareStatement("INSERT INTO graft.jdbc_bt VALUES (?, ?)")
+      probe.setLong(1, 1L); probe.setString(2, "x")
+      val e = intercept[java.sql.SQLException](probe.addBatch())
+      assert(e.isInstanceOf[java.sql.SQLFeatureNotSupportedException] ||
+        e.getMessage.toLowerCase.contains("not supported"), e.toString)
+      // multi-row VALUES through ONE prepared statement: one round
+      // trip, one executeUpdate, all rows land in one atomic commit
+      val n = 40
+      val ps = conn.prepareStatement("INSERT INTO graft.jdbc_bt VALUES " +
+        Seq.fill(n)("(?, ?)").mkString(", "))
+      (0 until n).foreach { i =>
+        ps.setLong(2 * i + 1, i % 4); ps.setString(2 * i + 2, s"b$i")
+      }
+      assert(ps.executeUpdate() >= 0)
+      assert(g.sql("SELECT count(*) FROM jdbc_bt").head().getLong(0) == n)
+      // handle re-execution with fresh bindings — the batched-load loop
+      (0 until n).foreach { i =>
+        ps.setLong(2 * i + 1, 9L); ps.setString(2 * i + 2, s"c$i")
+      }
+      assert(ps.executeUpdate() >= 0)
+      assert(g.sql("SELECT count(*) FROM jdbc_bt WHERE k = 9")
+        .head().getLong(0) == n)
+      // identity interaction over the wire: the column-list form omits
+      // the identity column; the server routes constrained inserts
+      // through the enforcing path, so one batched statement draws a
+      // GAP-FREE block and a second statement continues the sequence
+      val pi = conn.prepareStatement("INSERT INTO graft.jdbc_bi (v) VALUES " +
+        Seq.fill(5)("(?)").mkString(", "))
+      (1 to 5).foreach(i => pi.setString(i, s"row$i"))
+      assert(pi.executeUpdate() >= 0)
+      (1 to 5).foreach(i => pi.setString(i, s"row${i + 5}"))
+      assert(pi.executeUpdate() >= 0)
+      val ids = g.sql("SELECT id FROM jdbc_bi ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == (1000L to 1009L), s"identity block not gap-free: $ids")
+      // GENERATED BY DEFAULT honors an explicit value over the wire too
+      val st2 = conn.createStatement()
+      assert(st2.executeUpdate(
+        "INSERT INTO graft.jdbc_bi VALUES (7, 'explicit')") >= 0)
+      assert(g.sql("SELECT count(*) FROM jdbc_bi WHERE id = 7")
+        .head().getLong(0) == 1L)
+    } finally {
+      conn.close()
+      g.dropTable("jdbc_bt"); g.dropTable("jdbc_bi")
+    }
+  }
+
   test("two concurrent JDBC sessions share one store table with snapshot-consistent reads") {
     val g = GraftSession(spark)
     g.sql("CREATE TABLE jdbc_cc (k bigint, v bigint) USING column " +
