@@ -490,6 +490,96 @@ object TpcdsQueries4 {
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast("decimal(18,4)") * 10000).cast("long").as("net_e4"))
         .orderBy(col("yr"))
+    },
+
+    // ---- wave 13: q75 shape — year-over-year net revenue by brand with
+    // returns netted OUT INSIDE the aggregate (a conditional sum, never
+    // a second scan), consecutive years aligned by a LAG window within
+    // each brand (q75's cur⋈prev self-join is a window over the
+    // |brands|·|years| pre-agg — metadata scale), decline detected by
+    // INTEGER cross-multiplication (10·cur < 9·prev ⟺ >10% drop) so no
+    // division or float flips a row. ----
+    QueryDef.sql(
+      "q_ds_yoy_net_decline",
+      """WITH net AS (
+        |  SELECT year(l_shipdate) AS yr, p_brand AS brand,
+        |    CAST(coalesce(sum(CASE WHEN l_returnflag <> 'R'
+        |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) * 10000 END), 0) AS BIGINT) AS net_e4
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT yr, brand, net_e4, prev_e4 FROM (
+        |  SELECT yr, brand, net_e4,
+        |    lag(net_e4) OVER (PARTITION BY brand ORDER BY yr) AS prev_e4
+        |  FROM net) x
+        |WHERE prev_e4 IS NOT NULL AND 10 * net_e4 < 9 * prev_e4
+        |ORDER BY brand, yr""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val part = Tables.load(s, dir, "part")
+      // net per (year, brand): one fact pass, dim broadcast; returned
+      // lines contribute NULL → skipped by sum (coalesce restores 0 for
+      // all-returned groups)
+      val net = li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("l_shipdate")).as("yr"), col("p_brand").as("brand"))
+        .agg(coalesce(sum(when(col("l_returnflag") =!= "R",
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)") * 10000)), lit(0)).cast("long").as("net_e4"))
+      val w = Window.partitionBy(col("brand")).orderBy(col("yr"))
+      net.withColumn("prev_e4", lag(col("net_e4"), 1).over(w))
+        .filter(col("prev_e4").isNotNull &&
+          col("net_e4") * 10 < col("prev_e4") * 9)
+        .select(col("yr"), col("brand"), col("net_e4"), col("prev_e4"))
+        .orderBy(col("brand"), col("yr"))
+    },
+
+    // ---- wave 13: q25/q29 shape — the sale → return → re-sale chain.
+    // Three derived fact legs (early sales, returns, later sales), each
+    // PRE-AGGREGATED to its (customer, part) compound key BEFORE the
+    // joins — q29's exact-ticket-key 1:1 chain reproduced by
+    // aggregation, so join multiplicity can never inflate a quantity —
+    // then two compound-key equi-joins (all three sides hash-partitioned
+    // on the same key: no extra exchange) and a per-part rollup of the
+    // three quantity legs. ----
+    QueryDef.sql(
+      "q_ds_sale_return_resale",
+      """WITH li AS (
+        |  SELECT l.*, o.o_custkey FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |s1 AS (SELECT o_custkey AS ck, l_partkey AS pk,
+        |         CAST(sum(l_quantity) AS BIGINT) AS q_sold
+        |       FROM li WHERE year(l_shipdate) <= 1997 AND l_returnflag <> 'R'
+        |       GROUP BY 1, 2),
+        |r AS  (SELECT o_custkey AS ck, l_partkey AS pk,
+        |         CAST(sum(l_quantity) AS BIGINT) AS q_ret
+        |       FROM li WHERE l_returnflag = 'R' GROUP BY 1, 2),
+        |s2 AS (SELECT o_custkey AS ck, l_partkey AS pk,
+        |         CAST(sum(l_quantity) AS BIGINT) AS q_resold
+        |       FROM li WHERE year(l_shipdate) >= 1998 GROUP BY 1, 2)
+        |SELECT pk, count(*) AS n_chains,
+        |  CAST(sum(q_sold) AS BIGINT) AS sold,
+        |  CAST(sum(q_ret) AS BIGINT) AS returned,
+        |  CAST(sum(q_resold) AS BIGINT) AS resold
+        |FROM s1 JOIN r USING (ck, pk) JOIN s2 USING (ck, pk)
+        |GROUP BY pk
+        |ORDER BY pk""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+      def leg(cond: org.apache.spark.sql.Column, as: String) =
+        li.filter(cond)
+          .groupBy(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
+          .agg(sum(col("l_quantity")).cast("long").as(as))
+      val s1 = leg(year(col("l_shipdate")) <= 1997 &&
+        col("l_returnflag") =!= "R", "q_sold")
+      val r = leg(col("l_returnflag") === "R", "q_ret")
+      val s2 = leg(year(col("l_shipdate")) >= 1998, "q_resold")
+      s1.join(r, Seq("ck", "pk")).join(s2, Seq("ck", "pk"))
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).as("n_chains"),
+          sum(col("q_sold")).cast("long").as("sold"),
+          sum(col("q_ret")).cast("long").as("returned"),
+          sum(col("q_resold")).cast("long").as("resold"))
+        .orderBy(col("pk"))
     }
   )
 }
