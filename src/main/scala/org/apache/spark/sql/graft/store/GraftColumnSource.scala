@@ -186,7 +186,10 @@ class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
       // batch-id list prunes refs at planning, so touching a few small
       // batches never scans the table
       Option(options.get("batch_ids")).map(
-        _.split(",").iterator.map(_.trim.toLong).toSet))
+        _.split(",").iterator.map(_.trim.toLong).toSet),
+      // strict-freshness matview serving: the rewrite names the view so
+      // the scan re-proves its fingerprint at EXECUTION start
+      Option(options.get("mv_strict")))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // read replicas refuse DSv2 writes too (INSERT INTO graft.t /
@@ -207,7 +210,8 @@ class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
 // ------------------------------- read path -------------------------------
 
 class GraftScanBuilder(tableName: String, fullSchema: StructType,
-    batchIds: Option[Set[Long]] = None)
+    batchIds: Option[Set[Long]] = None,
+    mvStrict: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -236,6 +240,9 @@ class GraftScanBuilder(tableName: String, fullSchema: StructType,
     // would silently aggregate the whole table — decline and let the
     // plain GraftScan (which honors batchIds) feed Spark's aggregate
     if (batchIds.isDefined) return false
+    // strict-freshness matview scans keep the plain GraftScan so the
+    // execution-start freshness re-proof below always runs
+    if (mvStrict.isDefined) return false
     if (conf.getConfString(GraftAggPushdown.CONF_KEY, "true") != "true" ||
         pushed.nonEmpty) return false
     GraftAggPushdown.translate(aggregation, fullSchema, conf.ansiEnabled) match {
@@ -276,7 +283,8 @@ class GraftScanBuilder(tableName: String, fullSchema: StructType,
 
   override def build(): Scan = aggSpec match {
     case Some(spec) => new GraftAggScan(tableName, fullSchema, spec)
-    case None => new GraftScan(tableName, fullSchema, required, pushed, batchIds)
+    case None =>
+      new GraftScan(tableName, fullSchema, required, pushed, batchIds, mvStrict)
   }
 }
 
@@ -291,7 +299,8 @@ case class BatchWork(
 
 class GraftScan(tableName: String, fullSchema: StructType,
     required: StructType, pushedFilters: Array[Filter],
-    batchIds: Option[Set[Long]] = None)
+    batchIds: Option[Set[Long]] = None,
+    mvStrict: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
 
@@ -383,7 +392,24 @@ class GraftScan(tableName: String, fullSchema: StructType,
     BucketRouting.targetBuckets(filters, snapshot.bucketBy,
       snapshot.numBuckets, fullSchema)
 
-  override def planInputPartitions(): Array[InputPartition] = planPartitions()
+  override def planInputPartitions(): Array[InputPartition] = {
+    // strict matview serving (spark.sql.graft.matviewStrictFreshness):
+    // re-prove the view's fingerprint at EXECUTION start, closing the
+    // plan-to-execution skew window the default snapshot-at-plan
+    // semantics leave open. A mutation committed since planning aborts
+    // with an actionable error — a re-run re-plans and either re-proves
+    // or falls back to the base scan.
+    mvStrict.foreach { mv =>
+      if (!MatViews.get(mv).exists(MatViews.isFresh)) {
+        throw new IllegalStateException(
+          s"materialized view '$mv' went stale between planning and " +
+            "execution (strict freshness is on) — re-run the query: a " +
+            "fresh plan re-proves the fingerprint or falls back to the " +
+            "base table")
+      }
+    }
+    planPartitions()
+  }
 
   private def planPartitions(): Array[InputPartition] =
     if (snapshot.numBuckets > 0) {
