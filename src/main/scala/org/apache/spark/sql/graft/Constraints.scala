@@ -213,10 +213,23 @@ object Constraints {
     * counts as a type-parameter bracket only at PAREN DEPTH 0 (type
     * syntax never appears inside parens in this grammar, while
     * comparison operators only appear inside them — `CHECK(a<5)`) and
-    * only when it directly follows an identifier character (`array<`,
-    * `struct<`), so constraint expressions never unbalance the count.
+    * only when it directly follows a TYPE-CONSTRUCTOR keyword
+    * (`array<`, `map<`, `struct<`, `interval<`) — a bare comparison in
+    * a future default/generated-expression grammar (`b int default
+    * a<b`) can then never unbalance the count and swallow the next
+    * column def.
     */
-  private[graft] def splitTopLevel(s: String): Seq[String] = {
+  private def typeConstructorEndsAt(s: String, i: Int): Boolean = {
+    // scan back over the identifier ending at i-1, compare the word
+    var j = i
+    while (j > 0 && (Character.isLetterOrDigit(s.charAt(j - 1)) ||
+      s.charAt(j - 1) == '_')) j -= 1
+    val word = s.substring(j, i).toLowerCase(java.util.Locale.ROOT)
+    word == "array" || word == "map" || word == "struct" || word == "interval"
+  }
+
+  /** exposed for direct spec coverage of the bracket heuristics */
+  def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
     var angle = 0
@@ -226,9 +239,9 @@ object Constraints {
       s.charAt(i) match {
         case '(' => depth += 1
         case ')' => depth -= 1
-        case '<' if depth == 0 && i > 0 &&
-            (Character.isLetterOrDigit(s.charAt(i - 1)) ||
-              s.charAt(i - 1) == '_') => angle += 1
+        case '<' if depth == 0 && angle == 0 && typeConstructorEndsAt(s, i) =>
+          angle += 1
+        case '<' if depth == 0 && angle > 0 => angle += 1
         case '>' if depth == 0 && angle > 0 => angle -= 1
         case q @ ('\'' | '"' | '`') =>
           i += 1

@@ -488,12 +488,14 @@ object LiveCheckpoint {
           if (changed.isEmpty) Map.empty
           else {
             val changedIds = changed.map(_.id)
+            // pack_ids is the pruning contract: the scan returns exactly
+            // the changed packs (no defensive isin re-filter — with many
+            // changed packs that built a thousand-child In at planning)
             val df0 = spark.read.format(GraftRowOps.FORMAT)
               .option("table", table)
               .option("pack_ids", changedIds.mkString(",")).load()
             df0.select(col("*"),
                 df0.metadataColumn(GraftRowTable.PACK_ID_COL).as("__pb"))
-              .filter(col("__pb").isin(changedIds: _*))
               .write.mode("overwrite").partitionBy("__pb")
               .parquet(tmp.toString)
             val back = spark.read.parquet(tmp.toString)
