@@ -79,7 +79,7 @@ object DecayRetentionProbe {
     }
     val rerun = totalBytes()
     println(f"re-run: state=${rerun / 1024.0 / 1024}%.1f MiB " +
-      s"(unchanged=${rerun == after}) in $rerunSec%.1f s")
+      f"(unchanged=${rerun == after}) in $rerunSec%.2f s")
 
     // range query spanning decayed + fresh epochs still answers
     val got = g.queryApproxTSTopK("tk_ret",
