@@ -1120,10 +1120,31 @@ class GraftSession(val spark: SparkSession)
 
 
   /** REFRESH MATERIALIZED VIEW — O(delta) after pure appends (aggregate
-    * only the new batches, merge by group key through putInto), full
-    * rebuild after any delete/update/TTL-expiry (pre-aggregated rows
-    * cannot subtract). Returns the path taken:
-    * "noop" | "incremental" | "full".
+    * only the new batches, merge by group key through putInto), and
+    * O(delta) after FIRST-deletes too when the algebra allows
+    * (SUBTRACTIVE refresh, see below); anything else — updates,
+    * repeat deletes on one batch, TTL-expiry, non-invertible aggregates
+    * — full rebuild. Returns the path taken:
+    * "noop" | "incremental" | "incremental_delete" | "full".
+    *
+    * SUBTRACTIVE path conditions (single-table views): the batch set is
+    * UNCHANGED (a delete that empties a whole batch drops it from the
+    * store, and the vanished payload's rows cannot be re-read) and the
+    * only moved state is delete bitmaps, each on a batch that had NO
+    * bitmap at the recorded fingerprint (the new bitmap IS the
+    * newly-deleted row set — a repeat delete would need the old
+    * bitmap's content, which payload GC may have retired); every aggregate is algebraically invertible
+    * (sum/count/count(*)/avg — min/max/HLL cannot un-see a value); the
+    * view carries a count(*) slot (group-emptiness detection); and every
+    * sum/avg input column is NON-NULLABLE in the base schema (otherwise
+    * removing the last non-null value would need to flip the stored sum
+    * to NULL, which subtraction cannot know). The delta is a
+    * `deleted_rows` maintenance scan of exactly the moved batches,
+    * filtered by the view predicate, aggregated, and SUBTRACTED from the
+    * touched summary rows through putInto; groups whose count reaches 0
+    * stay as zero rows that the rewrite masks (`__gN_cnt > 0`) until the
+    * next rebuild compacts them — so the merge never needs a driver-side
+    * key collect, keeping the path O(delta) at any group cardinality.
     */
   def refreshMaterializedView(name: String): String =
       MatViews.withMaintenanceLock(normalize(name)) {
@@ -1177,8 +1198,70 @@ class GraftSession(val spark: SparkSession)
       MatViews.register(registered())
       "full"
     }
+    // subtractive-path classification: the only moved state on `t` is
+    // delete bitmaps, each appearing on a batch that had NONE recorded
+    // (first delete: the new bitmap is exactly the newly-deleted rows)
+    def firstDeleteMoved(t: String): Option[Set[Long]] = {
+      val f = recorded(t)
+      if (freshNow(t).refIds != f.refIds) return None
+      val now = freshNow(t).fp
+      val moved = f.refIds.filter(id => now.get(id) != f.fp.get(id))
+      val ok = moved.nonEmpty && moved.forall { id =>
+        (f.fp.get(id), now.get(id)) match {
+          case (Some((None, oldUpd)), Some((Some(_), newUpd))) => oldUpd == newUpd
+          case _ => false
+        }
+      }
+      if (ok) Some(moved) else None
+    }
+    def subtractable: Boolean = {
+      val baseSchema = snaps(mv.base).schema
+      def nonNullable(in: String): Boolean =
+        baseSchema.fields.find(_.name.equalsIgnoreCase(in)).exists(!_.nullable)
+      mv.aggs.exists(_.func == "count_star") && mv.aggs.forall(a => a.func match {
+        case "count_star" | "count" => true
+        case "sum" | "avg" => nonNullable(a.input)
+        case _ => false // min/max/approx_distinct cannot un-see a value
+      })
+    }
+    def subtractiveRefresh(movedIds: Set[Long]): String = {
+      val keys = mv.groupCols.map(col)
+      val deleted = spark.read.format(GraftStoreOps.FORMAT)
+        .option("table", mv.base)
+        .option("batch_ids", movedIds.mkString(","))
+        .option("deleted_rows", "true").load()
+      // rows outside the view's predicate never contributed to it
+      val inView = mv.predicate.foldLeft(deleted)((df, p) => df.filter(expr(p)))
+      val cols = MatViewSupport.buildAggs(mv.aggs)
+      val delta = inView.groupBy(keys: _*).agg(cols.head, cols.tail: _*)
+        .localCheckpoint(false)
+      // NULL group keys defeat the keyed merge — correctness wins
+      if (delta.filter(mv.groupCols.map(col(_).isNull)
+          .reduce(_ || _)).take(1).nonEmpty) return rebuild()
+      val storage = mvStorageNames(mv.aggs)
+      val d = storage.foldLeft(delta)((df, n) =>
+        df.withColumnRenamed(n, s"__d_$n"))
+      val mvRows = GraftStoreOps.read(spark, nm) // session-independent
+      // inner join: only groups that lost rows change
+      val merged = mvRows.join(d, mv.groupCols, "inner")
+        .select((mv.groupCols.map(col) ++ storage.map(n =>
+          (col(n) - coalesce(col(s"__d_$n"), lit(0))).as(n))): _*)
+      val schema = mvRows.schema
+      val conformed = merged.select(schema.fieldNames.map(f =>
+        col(f).cast(schema(f).dataType).as(f)).toSeq: _*)
+      MatViews.inMaintenance {
+        GraftStoreOps.putInto(spark, nm, conformed)
+      }
+      MatViews.register(registered())
+      "incremental_delete"
+    }
     val moving = tables.filterNot(identical)
     if (moving.isEmpty) "noop"
+    else if (moving.size == 1 && mv.joins.isEmpty && moving.head == mv.base &&
+      mv.groupCols.nonEmpty && subtractable &&
+      firstDeleteMoved(mv.base).isDefined) {
+      subtractiveRefresh(firstDeleteMoved(mv.base).get)
+    }
     else if (moving.size > 1 || !appendOnly(moving.head) ||
       mv.groupCols.isEmpty) rebuild()
     else {

@@ -413,6 +413,46 @@ object MatViewQueries {
         .orderBy("n_name")
     },
 
+    // ---- SUBTRACTIVE O(delta) maintenance: a FIRST delete refreshes by
+    // reading ONLY the tombstoned rows of the moved batches and
+    // SUBTRACTING them from the touched summary rows (sums/counts
+    // invert; avg subtracts both slots) — the path is asserted
+    // "incremental_delete", serving resumes plan-asserted, and the
+    // result equals the post-delete oracle ----
+    QueryDef.sql(
+      "q_matview_delete_delta",
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM orders
+        |WHERE o_orderkey % 9 <> 5
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      reset(g, "q_mvdd_sum", "q_mvdd_base")
+      g.createTable("q_mvdd_base", Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          // NON-NULLABLE measure: the subtractive path requires it
+          // (removing the last non-null value would need the stored sum
+          // to flip to NULL); testdata carries no nulls, so the
+          // coalesce is type-level only
+          coalesce(col("o_totalprice").cast("decimal(18,4)"),
+            lit(0).cast("decimal(18,4)")).as("amt")),
+        partitionBy = Seq("o_orderpriority"), buckets = 4)
+      g.sql("CREATE MATERIALIZED VIEW q_mvdd_sum AS " +
+        "SELECT o_orderpriority, sum(amt) AS s, count(*) AS n, avg(amt) AS a " +
+        "FROM q_mvdd_base GROUP BY o_orderpriority")
+      g.delete("q_mvdd_base", col("o_orderkey") % 9 === 5)
+      val q = "SELECT o_orderpriority, sum(amt) AS ts, count(*) AS n " +
+        "FROM q_mvdd_base GROUP BY o_orderpriority"
+      assertNotServedBy(s.sql(q), "q_mvdd_sum")
+      val path = g.refreshMaterializedView("q_mvdd_sum")
+      require(path == "incremental_delete", s"first-delete refresh took '$path'")
+      assertServedBy(s.sql(q), "q_mvdd_sum")
+        .select(col("o_orderpriority"), col("ts").cast("double").as("total"), col("n"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---- freshness gate: after a DELETE the view is provably stale —
     // the SAME aggregate must fall back to the base scan (asserted) and
     // still answer post-delete truth; REFRESH takes the "full" path

@@ -13,7 +13,9 @@ import graft.{GraftSession, Tables}
   *  - mv_agg:      the same query served from the matview (rewrite on)
   *  - build:       CREATE MATERIALIZED VIEW cost (one O(table) pass)
   *  - inc_refresh: REFRESH after appending a FIXED 20k-row delta
-  *  - full_refresh: REFRESH after a delete (forced O(table) rebuild)
+  *  - del_sub:     REFRESH after a first-delete on an all-invertible
+  *                 sibling view (SUBTRACTIVE O(delta) path)
+  *  - full_refresh: the SAME delete on the min/max view (O(table) rebuild)
   *
   * Expectation at 100 TB: base_agg and build/full_refresh scale with the
   * table; mv_agg scales with GROUP-KEY CARDINALITY (constant here);
@@ -34,6 +36,9 @@ object MatViewBench {
     val li = Tables.load(spark, dir, "lineitem")
       .select((col("l_partkey") % 997).cast("int").as("gk"),
         col("l_extendedprice").cast("decimal(18,4)").as("amt"),
+        // NON-NULLABLE copy: the subtractive delete-refresh arm needs it
+        coalesce(col("l_extendedprice").cast("decimal(18,4)"),
+          lit(0).cast("decimal(18,4)")).as("amt0"),
         col("l_quantity").cast("double").as("qty"))
 
     def time(f: => Any): Double = {
@@ -45,7 +50,8 @@ object MatViewBench {
       "max(qty) AS mx FROM %s GROUP BY gk"
 
     println(f"${"mult"}%5s ${"rows"}%10s ${"base_agg"}%9s ${"mv_agg"}%9s " +
-      f"${"speedup"}%8s ${"build"}%8s ${"inc_refresh"}%12s ${"full_refresh"}%13s")
+      f"${"speedup"}%8s ${"build"}%8s ${"inc_refresh"}%12s " +
+      f"${"del_sub"}%8s ${"full_refresh"}%13s")
     Seq(1, 16, 64).foreach { m =>
       val base = s"mvp_base_$m"
       val mv = s"mvp_mv_$m"
@@ -59,6 +65,11 @@ object MatViewBench {
       val tBuild = time(g.createMaterializedView(mv,
         s"SELECT gk, sum(amt) AS s, count(*) AS n, min(qty) AS mn, " +
           s"max(qty) AS mx FROM $base GROUP BY gk"))
+      // sibling view with only INVERTIBLE aggregates over the
+      // non-nullable measure — eligible for the subtractive refresh
+      g.createMaterializedView(s"${mv}_inv",
+        s"SELECT gk, sum(amt0) AS s, count(*) AS n, avg(amt0) AS a " +
+          s"FROM $base GROUP BY gk")
       val tMv = minOf(3)(run())
       // fixed-size delta: the same 20k rows at every scale
       g.insert(base, li.limit(20000))
@@ -66,13 +77,21 @@ object MatViewBench {
         val p = g.refreshMaterializedView(mv)
         require(p == "incremental", s"expected incremental, got $p")
       }
+      g.refreshMaterializedView(s"${mv}_inv") // catch up before the delete
       g.delete(base, col("gk") === 996)
+      // SAME delete, two maintenance strategies: the invertible view
+      // subtracts the deleted rows (O(delta)); the min/max view rebuilds
+      val tSub = time {
+        val p = g.refreshMaterializedView(s"${mv}_inv")
+        require(p == "incremental_delete", s"expected incremental_delete, got $p")
+      }
       val tFull = time {
         val p = g.refreshMaterializedView(mv)
         require(p == "full", s"expected full, got $p")
       }
       println(f"$m%5d $rows%10d $tBase%9.3f $tMv%9.3f ${tBase / tMv}%7.1fx " +
-        f"$tBuild%8.3f $tInc%12.3f $tFull%13.3f")
+        f"$tBuild%8.3f $tInc%12.3f $tSub%8.3f $tFull%13.3f")
+      g.dropMaterializedView(s"${mv}_inv")
       g.dropMaterializedView(mv)
       g.dropTable(base)
     }

@@ -189,7 +189,10 @@ class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
         _.split(",").iterator.map(_.trim.toLong).toSet),
       // strict-freshness matview serving: the rewrite names the view so
       // the scan re-proves its fingerprint at EXECUTION start
-      Option(options.get("mv_strict")))
+      Option(options.get("mv_strict")),
+      // maintenance: emit ONLY tombstoned rows (the matview subtractive
+      // delete-refresh reads the newly-deleted rows of pinned batches)
+      Option(options.get("deleted_rows")).exists(_.toBoolean))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // read replicas refuse DSv2 writes too (INSERT INTO graft.t /
@@ -211,7 +214,8 @@ class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
 
 class GraftScanBuilder(tableName: String, fullSchema: StructType,
     batchIds: Option[Set[Long]] = None,
-    mvStrict: Option[String] = None)
+    mvStrict: Option[String] = None,
+    deletedOnly: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -243,6 +247,9 @@ class GraftScanBuilder(tableName: String, fullSchema: StructType,
     // strict-freshness matview scans keep the plain GraftScan so the
     // execution-start freshness re-proof below always runs
     if (mvStrict.isDefined) return false
+    // deleted-rows maintenance reads invert visibility in the reader;
+    // the agg scan enumerates live rows and would answer wrongly
+    if (deletedOnly) return false
     if (conf.getConfString(GraftAggPushdown.CONF_KEY, "true") != "true" ||
         pushed.nonEmpty) return false
     GraftAggPushdown.translate(aggregation, fullSchema, conf.ansiEnabled) match {
@@ -283,8 +290,8 @@ class GraftScanBuilder(tableName: String, fullSchema: StructType,
 
   override def build(): Scan = aggSpec match {
     case Some(spec) => new GraftAggScan(tableName, fullSchema, spec)
-    case None =>
-      new GraftScan(tableName, fullSchema, required, pushed, batchIds, mvStrict)
+    case None => new GraftScan(tableName, fullSchema, required, pushed,
+      batchIds, mvStrict, deletedOnly)
   }
 }
 
@@ -300,7 +307,8 @@ case class BatchWork(
 class GraftScan(tableName: String, fullSchema: StructType,
     required: StructType, pushedFilters: Array[Filter],
     batchIds: Option[Set[Long]] = None,
-    mvStrict: Option[String] = None)
+    mvStrict: Option[String] = None,
+    deletedOnly: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
 
@@ -524,7 +532,8 @@ class GraftScan(tableName: String, fullSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val f = new GraftReaderFactory(fullSchema, required, tableName, leaseId)
+    val f = new GraftReaderFactory(fullSchema, required, tableName, leaseId,
+      deletedOnly)
     GraftColumnStore.get(tableName).foreach(_.addLeaseOwner(leaseId, f))
     f
   }
@@ -539,7 +548,8 @@ case class GraftBucketPartition(bucketId: Int, works: Vector[BatchWork])
 }
 
 class GraftReaderFactory(fullSchema: StructType, required: StructType,
-    tableName: String, leaseId: Long)
+    tableName: String, leaseId: Long,
+    deletedOnly: Boolean = false)
     extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
@@ -572,7 +582,21 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
     val n = w.ref.numRows
     // bitmap payload resolves task-side from the registry; the planned
     // work item carried only the ref
-    val dels = w.deletes.map(_.bitset).getOrElse(BitSet.empty)
+    val dels0 = w.deletes.map(_.bitset).getOrElse(BitSet.empty)
+    // deleted-rows maintenance read: INVERT visibility — suppress the
+    // live rows, emit the tombstoned ones (a batch with no bitmap has
+    // nothing deleted, so everything suppresses). Update deltas still
+    // overlay first: a row updated and later deleted reads back its
+    // last-visible values, which is what a subtractive refresh must
+    // remove from the summary.
+    val dels =
+      if (!deletedOnly) dels0
+      else {
+        val b = scala.collection.mutable.BitSet.empty
+        var i = 0
+        while (i < n) { if (!dels0(i)) b += i; i += 1 }
+        scala.collection.immutable.BitSet.fromBitMaskNoCopy(b.toBitMask)
+      }
     val live = n - dels.size
     val vectors: Array[ColumnVector] = required.fields.map { f =>
       val vec = new OnHeapColumnVector(live, f.dataType)

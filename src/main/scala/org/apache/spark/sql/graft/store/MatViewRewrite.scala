@@ -860,11 +860,21 @@ case class MatViewRewrite(session: SparkSession)
         Alias(d, nm)(exprId = al.exprId, qualifier = al.qualifier)
       case _ => return None
     }
+    // zero-count rows are subtractive-refresh tombstones (a group whose
+    // every row was deleted keeps a zeroed summary row so maintenance
+    // never needs a driver-side key collect) — mask them here; they
+    // contribute nothing to rollup sums but would surface as phantom
+    // groups in exact-group answers. Views without a count(*) slot are
+    // never subtractively maintained, so no filter is added.
+    val masked: LogicalPlan = mv.aggs.indexWhere(_.func == "count_star") match {
+      case -1 => rel
+      case i => Filter(GreaterThan(mvAttr(s"__g${i}_cnt"), Literal(0L)), rel)
+    }
     val scanned: LogicalPlan = filter match {
       case Some(cond) => Filter(cond.transform {
         case a: AttributeReference => mvAttr(a.name)
-      }, rel)
-      case None => rel
+      }, masked)
+      case None => masked
     }
     Some(Aggregate(newGroup, newResult, scanned))
   }

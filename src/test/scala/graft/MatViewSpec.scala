@@ -621,11 +621,87 @@ class MatViewSpec extends SparkTestBase {
     assert(g.refreshMaterializedView("mv16") == "incremental")
     assert(usesMatView(q, "mv16"))
     assert(sorted(spark.sql(q)) == direct(q))
-    // ... and the full-rebuild path after a delete
+    // ... and the delete path: this view's avg(d) input is NULLABLE
+    // (freshBase's d derives through %, which Spark types nullable), so
+    // the subtractive refresh correctly declines — full rebuild
     g.delete("mvb16", col("v") % 10 === 2)
     assert(g.refreshMaterializedView("mv16") == "full")
     assert(sorted(spark.sql(q)) == direct(q))
     g.dropTable("mvb16")
+  }
+
+  test("subtractive refresh: first-delete O(delta), emptied groups masked, repeat-delete falls back") {
+    // bucketed by CAT, not by the group key: emptying group k=6 must
+    // not empty whole batches (the store DROPS a fully-deleted batch,
+    // and a vanished payload cannot be re-read — that case correctly
+    // rebuilds); avg over the NON-NULLABLE v (freshBase's d types
+    // nullable through %, which would also decline)
+    g.createTable("mvb28", spark.range(700).select(
+      (col("id") % 7).cast("int").as("k"),
+      concat(lit("c"), col("id") % 3).as("cat"),
+      (col("id") * 2).as("v"),
+      when(col("id") % 11 === 0, lit(null).cast("long"))
+        .otherwise(col("id")).as("nv")),
+      partitionBy = Seq("cat"), buckets = 4)
+    g.sql("CREATE MATERIALIZED VIEW mv28 AS SELECT k, sum(v) AS sv, " +
+      "count(*) AS n, avg(v) AS av, count(nv) AS cn FROM mvb28 GROUP BY k")
+    val q = "SELECT k, sum(v) AS sv, count(*) AS n, avg(v) AS av, " +
+      "count(nv) AS cn FROM mvb28 GROUP BY k"
+    assert(usesMatView(q, "mv28"))
+    // FIRST delete: empties group k=6 entirely AND trims the others —
+    // the refresh reads ONLY the tombstoned rows of the moved batches
+    // and subtracts (sums/counts invert; avg subtracts both slots;
+    // count(nv) subtracts the non-null count exactly)
+    g.delete("mvb28", col("k") === 6 || col("v") % 10 === 2)
+    assert(!usesMatView(q, "mv28"))
+    assert(g.refreshMaterializedView("mv28") == "incremental_delete")
+    assert(usesMatView(q, "mv28"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    // the emptied group keeps a ZERO summary row in storage (O(delta)
+    // maintenance never collects keys) that the rewrite masks
+    assert(GraftStoreOps_read("mv28").filter(col("__g1_cnt") === 0).count() == 1)
+    assert(spark.sql(q).filter(col("k") === 6).isEmpty)
+    // rollups over the summary ignore the zero row
+    val qg = "SELECT sum(v) AS sv, count(*) AS n FROM mvb28"
+    assert(usesMatView(qg, "mv28"))
+    assert(sorted(spark.sql(qg)) == direct(qg))
+    // appending into the emptied group resurrects it (append merge adds
+    // onto the zeroed slots; the mask lifts once the count is > 0)
+    g.insert("mvb28", spark.range(700, 720).select(
+      lit(6).cast("int").as("k"), lit("cX").as("cat"), col("id").as("v"),
+      col("id").as("nv")))
+    assert(g.refreshMaterializedView("mv28") == "incremental")
+    assert(sorted(spark.sql(q)) == direct(q))
+    assert(spark.sql(q).filter(col("k") === 6).count() == 1)
+    // a SECOND delete lands on batches that already carry a bitmap: the
+    // newly-deleted set would need the OLD bitmap's content (payload GC
+    // may have retired it) — falls back to full, stays correct
+    g.delete("mvb28", col("v") % 10 === 4)
+    assert(g.refreshMaterializedView("mv28") == "full")
+    assert(sorted(spark.sql(q)) == direct(q))
+    g.dropTable("mvb28")
+  }
+
+  test("subtractive refresh declines when the algebra cannot invert") {
+    freshBase("mvb29", rows = 300)
+    // nullable sum input: removing the last non-null value would need
+    // the stored sum to flip to NULL, which subtraction cannot know
+    g.sql("CREATE MATERIALIZED VIEW mv29a AS SELECT k, sum(nv) AS sv, " +
+      "count(*) AS n FROM mvb29 GROUP BY k")
+    // min/max cannot un-see a value
+    g.sql("CREATE MATERIALIZED VIEW mv29b AS SELECT k, max(v) AS mx, " +
+      "count(*) AS n FROM mvb29 GROUP BY k")
+    // no count(*) slot: group emptiness would be undetectable
+    g.sql("CREATE MATERIALIZED VIEW mv29c AS SELECT k, sum(v) AS sv " +
+      "FROM mvb29 GROUP BY k")
+    g.delete("mvb29", col("v") % 7 === 3)
+    assert(g.refreshMaterializedView("mv29a") == "full")
+    assert(g.refreshMaterializedView("mv29b") == "full")
+    assert(g.refreshMaterializedView("mv29c") == "full")
+    val q = "SELECT k, sum(nv) AS sv, count(*) AS n FROM mvb29 GROUP BY k"
+    assert(usesMatView(q, "mv29a"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    g.dropTable("mvb29")
   }
 
   test("filtered view definition rides checkpoint/restore") {
@@ -859,6 +935,47 @@ class MatViewSpec extends SparkTestBase {
     assert(!MatViews.isMatView("mvj2"), "dim drop must cascade the join view")
     assert(!MatViews.isMatView("mvj1"))
     g.dropTable("mvj_fact")
+  }
+
+  test("star-schema view: RANGE predicates contain through the qualified canonical forms") {
+    g.createTable("mvjr_fact", spark.range(600).select(
+      (col("id") % 5).as("fk"), col("id").as("v"), (col("id") % 90).as("age")),
+      partitionBy = Seq("fk"), buckets = 4)
+    g.createTable("mvjr_dim", spark.range(5).select(
+      col("id").as("dk"), concat(lit("r"), col("id") % 2).as("region")))
+    // a range on the FACT column and an equality on the DIM column,
+    // both inside one join view — the qualified `` `t`.`c` >= lit ``
+    // discipline (build executes the strings via expr over per-table
+    // aliases; rewrite matches them verbatim)
+    g.sql("CREATE MATERIALIZED VIEW mvjr AS " +
+      "SELECT region, sum(v) AS sv, count(*) AS n " +
+      "FROM mvjr_fact JOIN mvjr_dim ON fk = dk " +
+      "WHERE age >= 30 AND region = 'r1' GROUP BY region")
+    val q = "SELECT region, sum(v) AS sv, count(*) AS n " +
+      "FROM mvjr_fact JOIN mvjr_dim ON fk = dk " +
+      "WHERE age >= 30 AND region = 'r1' GROUP BY region"
+    assert(usesMatView(q, "mvjr"), "restated fact range + dim equality must serve")
+    assert(sorted(spark.sql(q)) == direct(q))
+    // BETWEEN-introduced pair on the fact side declines (extra bound)
+    val qNarrow = "SELECT region, sum(v) AS sv FROM mvjr_fact " +
+      "JOIN mvjr_dim ON fk = dk " +
+      "WHERE age BETWEEN 30 AND 60 AND region = 'r1' GROUP BY region"
+    assert(!usesMatView(qNarrow, "mvjr"), "narrower window must decline")
+    assert(sorted(spark.sql(qNarrow)) == direct(qNarrow))
+    // shifted bound declines; omitted range declines
+    Seq("WHERE age >= 31 AND region = 'r1'", "WHERE region = 'r1'").foreach { w =>
+      val bad = s"SELECT region, sum(v) AS sv FROM mvjr_fact " +
+        s"JOIN mvjr_dim ON fk = dk $w GROUP BY region"
+      assert(!usesMatView(bad, "mvjr"), s"must decline: $bad")
+      assert(sorted(spark.sql(bad)) == direct(bad))
+    }
+    // fact append → O(delta) refresh re-applies the qualified range
+    g.insert("mvjr_fact", spark.range(600, 700).select(
+      (col("id") % 5).as("fk"), col("id").as("v"), (col("id") % 90).as("age")))
+    assert(g.refreshMaterializedView("mvjr") == "incremental")
+    assert(usesMatView(q, "mvjr"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    g.dropTable("mvjr_fact"); g.dropTable("mvjr_dim")
   }
 
   test("star-schema view: implicitly widened join keys (int = bigint) still match") {
