@@ -1070,21 +1070,33 @@ class GraftSession(val spark: SparkSession)
     * sets — one table for plain views, an aliased equi-join chain for
     * star-schema views (each table aliased by its own name so the
     * canonical qualified conjuncts execute verbatim through expr()).
+    * `deletedOf` swaps ONE table's frame for a `deleted_rows`
+    * maintenance read of the named batches (the subtractive
+    * delete-refresh: the vanished join rows are deleted-rows ⋈ the
+    * other, untouched tables).
     */
   private def mvContents(tables: Seq[String], joinConds: Seq[String],
       pinnedIds: Map[String, Set[Long]], groupCols: Seq[String],
       groupQual: Seq[String], aggs: Seq[MatViews.MvAgg],
-      predicate: Seq[String]): DataFrame = {
+      predicate: Seq[String],
+      deletedOf: Option[(String, Set[Long])] = None): DataFrame = {
+    def frame(t: String): DataFrame = deletedOf match {
+      case Some((mt, ids)) if mt == t =>
+        spark.read.format(GraftStoreOps.FORMAT).option("table", t)
+          .option("batch_ids", ids.mkString(","))
+          .option("deleted_rows", "true").load()
+      case _ => pinnedRead(t, pinnedIds(t))
+    }
     val cols = MatViewSupport.buildAggs(aggs)
     val scan =
       if (tables.size == 1) {
-        predicate.foldLeft(pinnedRead(tables.head, pinnedIds(tables.head)))(
+        predicate.foldLeft(frame(tables.head))(
           (df, p) => df.filter(expr(p)))
       } else {
         // join following the condition graph's connectivity; conditions
         // whose BOTH sides are already joined apply as filters
         val frames: Map[String, DataFrame] = tables.map(t =>
-          t -> pinnedRead(t, pinnedIds(t)).as(t)).toMap
+          t -> frame(t).as(t)).toMap
         def tablesOf(c: String): Seq[String] =
           "`([^`]+)`\\.".r.findAllMatchIn(c).map(_.group(1)).toSeq.distinct
         var joined = Set(tables.head)
@@ -1127,9 +1139,12 @@ class GraftSession(val spark: SparkSession)
     * — full rebuild. Returns the path taken:
     * "noop" | "incremental" | "incremental_delete" | "full".
     *
-    * SUBTRACTIVE path conditions (single-table views): the batch set is
+    * SUBTRACTIVE path conditions (single-table AND join views — for a
+    * join view exactly ONE member table moved, from either side: the
+    * vanished join rows are its deleted rows ⋈ the other,
+    * fingerprint-identical tables): the moving table's batch set is
     * UNCHANGED (a delete that empties a whole batch drops it from the
-    * store, and the vanished payload's rows cannot be re-read) and the
+    * store, and the vanished payload's rows cannot be re-read) and its
     * only moved state is delete bitmaps, each on a batch that had NO
     * bitmap at the recorded fingerprint (the new bitmap IS the
     * newly-deleted row set — a repeat delete would need the old
@@ -1215,25 +1230,31 @@ class GraftSession(val spark: SparkSession)
       if (ok) Some(moved) else None
     }
     def subtractable: Boolean = {
-      val baseSchema = snaps(mv.base).schema
-      def nonNullable(in: String): Boolean =
-        baseSchema.fields.find(_.name.equalsIgnoreCase(in)).exists(!_.nullable)
+      // agg inputs are bare names for single-table views, canonical
+      // `` `t`.`c` `` for join views — nullability resolves against the
+      // OWNING table's snapshot schema
+      def nonNullable(in: String): Boolean = {
+        val (tbl, c) = in match {
+          case MatViewRefresh.QualCol(t, cc) => (t, cc)
+          case _ => (mv.base, in.stripPrefix("`").stripSuffix("`"))
+        }
+        snaps.get(tbl).exists(_.schema.fields
+          .find(_.name.equalsIgnoreCase(c)).exists(!_.nullable))
+      }
       mv.aggs.exists(_.func == "count_star") && mv.aggs.forall(a => a.func match {
         case "count_star" | "count" => true
         case "sum" | "avg" => nonNullable(a.input)
         case _ => false // min/max/approx_distinct cannot un-see a value
       })
     }
-    def subtractiveRefresh(movedIds: Set[Long]): String = {
-      val keys = mv.groupCols.map(col)
-      val deleted = spark.read.format(GraftStoreOps.FORMAT)
-        .option("table", mv.base)
-        .option("batch_ids", movedIds.mkString(","))
-        .option("deleted_rows", "true").load()
-      // rows outside the view's predicate never contributed to it
-      val inView = mv.predicate.foldLeft(deleted)((df, p) => df.filter(expr(p)))
-      val cols = MatViewSupport.buildAggs(mv.aggs)
-      val delta = inView.groupBy(keys: _*).agg(cols.head, cols.tail: _*)
+    def subtractiveRefresh(movingT: String, movedIds: Set[Long]): String = {
+      // vanished rows: the moving table's newly-deleted rows, joined (for
+      // join views) to the OTHER tables — fingerprint-identical, so the
+      // pairs are exactly the join rows that no longer exist; the view
+      // predicate filters rows that never contributed
+      val delta = mvContents(tables, mv.joins.map(_.conds).getOrElse(Nil),
+        freshNow.view.mapValues(_.refIds).toMap, mv.groupCols, mv.groupQual,
+        mv.aggs, mv.predicate, deletedOf = Some((movingT, movedIds)))
         .localCheckpoint(false)
       // NULL group keys defeat the keyed merge — correctness wins
       if (delta.filter(mv.groupCols.map(col(_).isNull)
@@ -1257,10 +1278,12 @@ class GraftSession(val spark: SparkSession)
     }
     val moving = tables.filterNot(identical)
     if (moving.isEmpty) "noop"
-    else if (moving.size == 1 && mv.joins.isEmpty && moving.head == mv.base &&
-      mv.groupCols.nonEmpty && subtractable &&
-      firstDeleteMoved(mv.base).isDefined) {
-      subtractiveRefresh(firstDeleteMoved(mv.base).get)
+    else if (moving.size == 1 && mv.groupCols.nonEmpty && subtractable &&
+      !appendOnly(moving.head) && firstDeleteMoved(moving.head).isDefined) {
+      // one moving table whose only change is FIRST deletes — O(delta)
+      // subtraction, symmetric for fact- or dim-side deletes on join
+      // views (the other tables' fingerprints carry)
+      subtractiveRefresh(moving.head, firstDeleteMoved(moving.head).get)
     }
     else if (moving.size > 1 || !appendOnly(moving.head) ||
       mv.groupCols.isEmpty) rebuild()
@@ -2087,4 +2110,12 @@ object GraftSession {
         spark.conf.set(key, "org.apache.spark.sql.graft.store.GraftCatalog")
       new GraftSession(spark)
     })
+}
+
+/** Shared bits of the matview maintenance paths. */
+private[graft] object MatViewRefresh {
+  /** Canonical qualified column form `` `t`.`c` `` (join-view agg
+    * inputs and predicates carry it; single-table forms are bare).
+    */
+  val QualCol: scala.util.matching.Regex = "`([^`]+)`\\.`([^`]+)`".r
 }

@@ -580,6 +580,35 @@ object TpcdsQueries4 {
           sum(col("q_ret")).cast("long").as("returned"),
           sum(col("q_resold")).cast("long").as("resold"))
         .orderBy(col("pk"))
+    },
+
+    // ---- wave 14: q34/q73 shape — "frequent tickets": orders whose
+    // line count sits in a band, joined back to the customer. The
+    // two-level plan (per-order count + HAVING, THEN the dim joins)
+    // keeps the heavy aggregate on the fact's own key — bucket-local,
+    // no pre-join blowup; the dim joins run on the few surviving
+    // tickets. ----
+    QueryDef.sql(
+      "q_ds_frequent_tickets",
+      """WITH t AS (
+        |  SELECT l_orderkey, count(*) AS cnt
+        |  FROM lineitem GROUP BY l_orderkey HAVING count(*) BETWEEN 6 AND 9)
+        |SELECT c_custkey, o_orderkey, cnt
+        |FROM t JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val tickets = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 6 && col("cnt") <= 9)
+      tickets
+        .join(Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, dir, "customer").select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"), col("cnt"))
+        .orderBy(col("c_custkey"), col("o_orderkey"))
     }
   )
 }

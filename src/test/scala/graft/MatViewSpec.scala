@@ -978,6 +978,36 @@ class MatViewSpec extends SparkTestBase {
     g.dropTable("mvjr_fact"); g.dropTable("mvjr_dim")
   }
 
+  test("star-schema view: subtractive delete refresh works from either side") {
+    g.createTable("mvjd_fact", spark.range(800).select(
+      (col("id") % 40).as("fk"), (col("id") * 2).as("v")),
+      partitionBy = Seq("fk"), buckets = 4)
+    g.createTable("mvjd_dim", spark.range(40).select(
+      col("id").as("dk"), concat(lit("g"), col("id") % 5).as("grp")))
+    g.sql("CREATE MATERIALIZED VIEW mvjd AS SELECT grp, sum(v) AS sv, " +
+      "count(*) AS n FROM mvjd_fact JOIN mvjd_dim ON fk = dk GROUP BY grp")
+    val q = "SELECT grp, sum(v) AS sv, count(*) AS n " +
+      "FROM mvjd_fact JOIN mvjd_dim ON fk = dk GROUP BY grp"
+    assert(usesMatView(q, "mvjd"))
+    // FACT-side first delete → subtractive: deleted fact rows ⋈ dim are
+    // exactly the vanished join rows (the dim fingerprint carries)
+    g.delete("mvjd_fact", col("v") % 10 === 4)
+    assert(g.refreshMaterializedView("mvjd") == "incremental_delete")
+    assert(usesMatView(q, "mvjd"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    // DIM-side first delete → subtractive from the OTHER side: the
+    // deleted dim rows ⋈ full fact remove every pair they anchored
+    g.delete("mvjd_dim", col("dk").isin(7, 12))
+    assert(g.refreshMaterializedView("mvjd") == "incremental_delete")
+    assert(usesMatView(q, "mvjd"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    // a SECOND fact delete lands on already-bitmapped batches → full
+    g.delete("mvjd_fact", col("v") % 10 === 8)
+    assert(g.refreshMaterializedView("mvjd") == "full")
+    assert(sorted(spark.sql(q)) == direct(q))
+    g.dropTable("mvjd_fact"); g.dropTable("mvjd_dim")
+  }
+
   test("star-schema view: implicitly widened join keys (int = bigint) still match") {
     // the analyzer wraps the narrower key in a lossless upcast; the
     // SAME cast appears on the CREATE and the query side, so canonical
