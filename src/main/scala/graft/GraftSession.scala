@@ -958,13 +958,21 @@ class GraftSession(val spark: SparkSession)
       generations: Int = 1, minWidth: Int = 16): DataFrame = {
     import org.apache.spark.sql.functions.{col => c, greatest, least, lit, shiftright}
     val st = s"${name}_sketches"
+    // stores are JVM-global, the managed map is session-local: retention
+    // over JDBC/Thrift runs from sessions that didn't create the store
+    adoptFromStore(st)
+    adoptFromStore(name)
     require(isManaged(st), s"decayApproxTSTopK($name): no sketch table $st — " +
       "created before the sketch sidecar existed, or not an approx-topk store")
     require(generations >= 0, "decayApproxTSTopK: generations must be >= 0")
     require(minWidth >= 1, "decayApproxTSTopK: minWidth must be >= 1")
     val aged = c("bucket_end") <= lit(olderThan).cast("timestamp")
     if (table(st).columns.contains("base_width")) {
-      val target = greatest(shiftright(c("base_width"), generations),
+      // clamp: an int shift masks its distance to 5 bits, so >>32 would
+      // WRAP to a no-op instead of hitting the floor; 31 already shifts
+      // any width to 0, letting the floor take over
+      val g = math.min(generations, 31)
+      val target = greatest(shiftright(c("base_width"), g),
         least(lit(minWidth), c("base_width")), lit(1))
       update(st, aged,
         "sketch" -> org.apache.spark.sql.graft.CmsTopKAggregate
@@ -1277,13 +1285,17 @@ class GraftSession(val spark: SparkSession)
       "incremental_delete"
     }
     val moving = tables.filterNot(identical)
+    // one moving table whose only change is FIRST deletes — O(delta)
+    // subtraction, symmetric for fact- or dim-side deletes on join
+    // views (the other tables' fingerprints carry). Classified once:
+    // the fingerprint diff walks every batch ref of the moving table.
+    val subtractDelta: Option[Set[Long]] =
+      if (moving.size == 1 && mv.groupCols.nonEmpty && subtractable &&
+        !appendOnly(moving.head)) firstDeleteMoved(moving.head)
+      else None
     if (moving.isEmpty) "noop"
-    else if (moving.size == 1 && mv.groupCols.nonEmpty && subtractable &&
-      !appendOnly(moving.head) && firstDeleteMoved(moving.head).isDefined) {
-      // one moving table whose only change is FIRST deletes — O(delta)
-      // subtraction, symmetric for fact- or dim-side deletes on join
-      // views (the other tables' fingerprints carry)
-      subtractiveRefresh(moving.head, firstDeleteMoved(moving.head).get)
+    else if (subtractDelta.isDefined) {
+      subtractiveRefresh(moving.head, subtractDelta.get)
     }
     else if (moving.size > 1 || !appendOnly(moving.head) ||
       mv.groupCols.isEmpty) rebuild()

@@ -391,8 +391,12 @@ case class CmsTopKDecayTo(child: Expression, targetExpr: Expression)
     val buf = CmsTopKAggregate.read(input.asInstanceOf[Array[Byte]])
     if (buf.empty) input
     else {
+      // stop BEFORE a halving would cross below the target: a target not
+      // reachable by exact halving folds to the smallest reachable width
+      // at or ABOVE it — the floor contract ("never below") wins over
+      // folding depth
       var w = buf.width
-      while (w > target && w % 2 == 0) w /= 2
+      while (w / 2 >= target && w % 2 == 0) w /= 2
       if (w == buf.width) input
       else CmsTopKAggregate.write(buf.foldTo(w))
     }

@@ -82,7 +82,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * bindings for guarded UPDATE/DELETE forms the grammar recognizes but
     * delegates).
     */
-  private def graftPlan(rewritten: String): Option[LogicalPlan] = Option(
+  private def graftPlan(rewritten: String,
+      hasParameters: Boolean = false): Option[LogicalPlan] = Option(
     GraftStatements.parse(rewritten) match {
       case Some(PutInto(t, src)) =>
         GraftPutIntoCommand(t, delegate.parsePlan(src))
@@ -99,10 +100,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       // too (a raw DSv2 append would bypass identity fill and CHECK).
       // Guarded on the JVM-GLOBAL registries — a JDBC/Thrift session
       // that didn't create the table still gets enforcement. Everything
-      // else (unconstrained tables, other catalogs) stays native.
-      case Some(InsertInto(t, cols, src)) if constrainedInsertTarget(t).isDefined =>
-        delegate.parsePlan(src) // statement-time parse errors surface here
-        GraftConstrainedInsertCommand(constrainedInsertTarget(t).get, cols, src)
+      // else (unconstrained tables, other catalogs, BY NAME/PARTITION
+      // forms, and PARAMETERIZED statements — the command re-parses its
+      // source with no binding context, so `spark.sql(text, args)` must
+      // keep the native path with its bindings) stays native.
+      case Some(InsertInto(t, cols, src)) if !hasParameters =>
+        constrainedInsertTarget(t) match {
+          case Some(nm) =>
+            delegate.parsePlan(src) // statement-time parse errors surface here
+            GraftConstrainedInsertCommand(nm, cols, src)
+          case None => null // unconstrained: Spark's native INSERT
+        }
       case Some(Update(t, assigns, where)) if g.isManaged(t.toLowerCase) =>
         // validate all embedded expressions NOW (statement-time parse
         // errors); the command re-parses at run — commands must not carry
@@ -265,7 +273,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parsePlanWithParameters(sqlText: String,
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan = {
     val rewritten = StreamWindowRewrite(sqlText)
-    graftPlan(rewritten).getOrElse(
+    // spark.sql(text) with NO args also lands here (it delegates to the
+    // args overload with an empty context) — only ACTUAL bindings gate
+    // the constrained-INSERT intercept off
+    import org.apache.spark.sql.catalyst.parser._
+    val hasParams = ctx match {
+      case p: PositionalParameterContext => p.params.nonEmpty
+      case n: NamedParameterContext => n.params.nonEmpty
+      case h: HybridParameterContext => h.args.nonEmpty
+      case _ => true // unknown context shape: assume bound, stay native
+    }
+    graftPlan(rewritten, hasParameters = hasParams).getOrElse(
       withQualify(rewritten)(delegate.parsePlanWithParameters(_, ctx)))
   }
 

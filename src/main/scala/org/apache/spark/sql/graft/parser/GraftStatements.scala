@@ -381,11 +381,15 @@ object GraftStatements extends RegexParsers {
     // the column list must be tried WITH its source: `INSERT INTO t
     // (SELECT ...)` has a paren too, and only the source-follows shape
     // disambiguates (rep1sep fails on `SELECT *`, backtracking to the
-    // no-list branch, which takes the whole parenthesized source)
+    // no-list branch, which takes the whole parenthesized source).
+    // BY NAME / PARTITION clauses stay with Spark's native INSERT (the
+    // guard below fails this grammar so the whole statement delegates —
+    // those forms would otherwise error at the source re-parse).
     val colList = "(" ~> rep1sep(ident, ",") <~ ")"
     kw("INSERT") ~> kw("INTO") ~> opt(kw("TABLE")) ~> qualIdent ~
-      (colList ~ restAll ^^ { case cs ~ src => (cs, src) } |
-        restAll ^^ (src => (Seq.empty[String], src))) ^^ {
+      (not(kw("BY") | kw("PARTITION") | kw("REPLACE")) ~>
+        (colList ~ restAll ^^ { case cs ~ src => (cs, src) } |
+          restAll ^^ (src => (Seq.empty[String], src)))) ^^ {
         case t ~ ((cols, src)) => InsertInto(t, cols, src)
       }
   }

@@ -149,14 +149,25 @@ class CmsRangeMergeSpec extends SparkTestBase {
       // API face re-run too
       g.decayApproxTSTopK("tk_idem", "2024-01-03 00:00:00", generations = 2)
       assert((lens(), answer()) == after1, "API re-run must be a no-op")
-      // the floor: an absurd generations count cannot fold below MIN
-      // WIDTH — estimates degrade no further than the stated bound
-      g.sql("ALTER TOPK tk_idem DECAY OLDER THAN '2024-01-03 00:00:00' " +
-        "GENERATIONS 30 MIN WIDTH 64")
-      val widths = g.table("tk_idem_sketches")
+      def agedWidths(): Seq[Int] = g.table("tk_idem_sketches")
         .filter(col("bucket_end") <= lit("2024-01-03 00:00:00").cast("timestamp"))
         .select(col("sketch")).collect()
-        .map(r => java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](0)).getInt)
+        .map(r => java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](0)).getInt).toSeq
+      // a floor NOT reachable by exact halving stops ABOVE it (the
+      // "never below" contract wins over folding depth): from width 256,
+      // MIN WIDTH 100 lands on 128 — the halving that would reach 64 is
+      // refused because it crosses the floor
+      g.sql("ALTER TOPK tk_idem DECAY OLDER THAN '2024-01-03 00:00:00' " +
+        "GENERATIONS 30 MIN WIDTH 100")
+      assert(agedWidths().nonEmpty && agedWidths().forall(_ == 128),
+        s"floor-crossing halving must be refused: ${agedWidths()}")
+      // the floor: an absurd generations count cannot fold below MIN
+      // WIDTH — estimates degrade no further than the stated bound
+      // (35 > 31 also exercises the int-shift clamp: >>35 would WRAP to
+      // a no-op without it)
+      g.sql("ALTER TOPK tk_idem DECAY OLDER THAN '2024-01-03 00:00:00' " +
+        "GENERATIONS 35 MIN WIDTH 64")
+      val widths = agedWidths()
       assert(widths.nonEmpty && widths.forall(_ == 64),
         s"floored widths expected 64: ${widths.toSeq}")
       // fresh epochs (beyond the cutoff) never moved

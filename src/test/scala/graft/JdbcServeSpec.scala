@@ -236,6 +236,38 @@ class JdbcServeSpec extends SparkTestBase {
     }
   }
 
+  test("ALTER TOPK retention runs from a session that didn't create the store") {
+    // sketch retention is a maintenance path: the JVM-global store is
+    // shared, the managed map is session-local — the Thrift session must
+    // ADOPT the sketch table before decaying it
+    val g = GraftSession(spark)
+    import spark.implicits._
+    val rows = for { day <- 1 to 3; i <- 1 to 200 } yield
+      (s"$day/$i", java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"),
+        s"k${i % 20}")
+    g.createApproxTSTopK("jdbc_tk", rows.toDF("event_id", "ts", "user_key"),
+      "user_key", "ts", "1 day", 5, width = 512)
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      def agedLen(): Long = g.table("jdbc_tk_sketches")
+        .filter(col("bucket_end") <= lit("2024-01-03 00:00:00").cast("timestamp"))
+        .agg(max(length(col("sketch")).cast("long"))).head().getLong(0)
+      val before = agedLen()
+      st.execute("ALTER TOPK jdbc_tk DECAY OLDER THAN '2024-01-03 00:00:00' " +
+        "GENERATIONS 2")
+      val after = agedLen()
+      assert(after < before / 3, s"aged sketches must shrink ~4x: $before → $after")
+      // the retried retention job over the wire is a no-op too
+      st.execute("ALTER TOPK jdbc_tk DECAY OLDER THAN '2024-01-03 00:00:00' " +
+        "GENERATIONS 2")
+      assert(agedLen() == after, "wire re-run must not decay again")
+    } finally {
+      conn.close()
+      g.dropTable("jdbc_tk"); g.dropTable("jdbc_tk_sketches")
+    }
+  }
+
   test("two concurrent JDBC sessions share one store table with snapshot-consistent reads") {
     val g = GraftSession(spark)
     g.sql("CREATE TABLE jdbc_cc (k bigint, v bigint) USING column " +

@@ -775,4 +775,26 @@ class SqlSurfaceSpec extends SparkTestBase {
     g.sql("SET spark.sql.graft.sqlsurface.probe=42")
     assert(spark.conf.get("spark.sql.graft.sqlsurface.probe") == "42")
   }
+
+  test("constrained INSERT intercept: enforced on the plain form; parameterized and BY NAME keep the native path") {
+    g.sql("CREATE TABLE sqlci (k bigint, v string check (length(v) > 0)) USING row")
+    try {
+      // the plain form routes through the enforcing session insert —
+      // the CHECK fires even though the statement is SQL-only
+      val e = intercept[Exception](
+        spark.sql("INSERT INTO graft.sqlci VALUES (3, '')"))
+      assert(e.getMessage.contains("CHECK constraint"), e.getMessage)
+      spark.sql("INSERT INTO graft.sqlci VALUES (1, 'a')")
+      // PARAMETERIZED statements keep the native path WITH their
+      // bindings (the intercept re-parses its source without a binding
+      // context, so it must decline — previously this threw
+      // UNBOUND_SQL_PARAMETER)
+      spark.sql("INSERT INTO graft.sqlci VALUES (?, ?)",
+        Array(2L, "b").asInstanceOf[Array[Any]])
+      // BY NAME is Spark-native syntax the intercept grammar refuses —
+      // the whole statement delegates and keeps working
+      spark.sql("INSERT INTO graft.sqlci BY NAME SELECT 'c' AS v, 4L AS k")
+      assert(spark.sql("SELECT count(*) FROM graft.sqlci").head().getLong(0) == 3)
+    } finally g.dropTable("sqlci")
+  }
 }
