@@ -883,13 +883,22 @@ class GraftSession(val spark: SparkSession)
     require(normalize(baseTable) != normalize(sampleTable),
       s"a table cannot be registered as its own sample: $baseTable")
     val info = GraftSession.SampleInfo(sampleTable.toLowerCase,
-      qcs.map(_.toLowerCase), params)
+      qcs.map(_.toLowerCase), params, baseFingerprint(baseTable))
     samples.updateWith(baseTable.toLowerCase) {
       case Some(existing) =>
         Some(existing.filterNot(_.table == info.table) :+ info)
       case None => Some(Vector(info))
     }
   }
+
+  /** Current freshness fingerprint of a sample's base, when the base is
+    * a store table (None otherwise — views/external frames carry no
+    * batch metadata to prove against).
+    */
+  private def baseFingerprint(
+      base: String): Option[org.apache.spark.sql.graft.store.MatViews.MvFreshness] =
+    GraftColumnStore.get(normalize(base))
+      .map(t => org.apache.spark.sql.graft.store.MatViews.fingerprint(t.snapshot))
 
   /** createApproxTSTopK (reference SnappySession.createApproxTSTopK:958):
     * materialize per-time-bucket approximate top-k of `keyCol` as a
@@ -1074,28 +1083,46 @@ class GraftSession(val spark: SparkSession)
     df
   }
 
-  /** Build / delta scan of a view's defining query over PINNED batch
+  /** One table's read mode inside a view maintenance scan (the default
+    * is the pinned live read). `MvDeletedRead`: emit only tombstoned
+    * rows of the named batches, minus the per-batch RECORDED bitmaps in
+    * `excludes` — i.e. exactly the rows deleted since the view's
+    * fingerprint. `MvUpdatedRead`: emit only live rows addressed by
+    * update deltas outside `since`, valued as of the recorded delta set
+    * ("old") or the current one ("new").
+    */
+  private sealed trait MvTableRead
+  private case class MvDeletedRead(ids: Set[Long],
+      excludes: Map[Long, Long]) extends MvTableRead
+  private case class MvUpdatedRead(ids: Set[Long], since: Set[Long],
+      which: String) extends MvTableRead
+
+  /** Pre-aggregation scan of a view's defining query over PINNED batch
     * sets — one table for plain views, an aliased equi-join chain for
     * star-schema views (each table aliased by its own name so the
     * canonical qualified conjuncts execute verbatim through expr()).
-    * `deletedOf` swaps ONE table's frame for a `deleted_rows`
-    * maintenance read of the named batches (the subtractive
-    * delete-refresh: the vanished join rows are deleted-rows ⋈ the
-    * other, untouched tables).
+    * `special` swaps ONE table's frame for a maintenance read (the
+    * subtractive / update O(delta) refreshes: the vanished or changed
+    * join rows are that read ⋈ the other, untouched tables).
     */
-  private def mvContents(tables: Seq[String], joinConds: Seq[String],
-      pinnedIds: Map[String, Set[Long]], groupCols: Seq[String],
-      groupQual: Seq[String], aggs: Seq[MatViews.MvAgg],
+  private def mvScan(tables: Seq[String], joinConds: Seq[String],
+      pinnedIds: Map[String, Set[Long]],
       predicate: Seq[String],
-      deletedOf: Option[(String, Set[Long])] = None): DataFrame = {
-    def frame(t: String): DataFrame = deletedOf match {
-      case Some((mt, ids)) if mt == t =>
+      special: Option[(String, MvTableRead)] = None): DataFrame = {
+    def frame(t: String): DataFrame = special match {
+      case Some((mt, MvDeletedRead(ids, excludes))) if mt == t =>
+        val r = spark.read.format(GraftStoreOps.FORMAT).option("table", t)
+          .option("batch_ids", ids.mkString(","))
+          .option("deleted_rows", "true")
+        (if (excludes.isEmpty) r else r.option("exclude_bitmaps",
+          excludes.map { case (b, m) => s"$b:$m" }.mkString(","))).load()
+      case Some((mt, MvUpdatedRead(ids, since, which))) if mt == t =>
         spark.read.format(GraftStoreOps.FORMAT).option("table", t)
           .option("batch_ids", ids.mkString(","))
-          .option("deleted_rows", "true").load()
+          .option("updated_rows", which)
+          .option("since_deltas", since.mkString(",")).load()
       case _ => pinnedRead(t, pinnedIds(t))
     }
-    val cols = MatViewSupport.buildAggs(aggs)
     val scan =
       if (tables.size == 1) {
         predicate.foldLeft(frame(tables.head))(
@@ -1131,21 +1158,43 @@ class GraftSession(val spark: SparkSession)
         remaining.foreach(c => df = df.filter(expr(c)))
         predicate.foldLeft(df)((d0, p) => d0.filter(expr(p)))
       }
-    val keys =
-      if (groupQual.nonEmpty) groupQual.zip(groupCols).map { case (q, b) =>
-        expr(q).as(b) // qualified resolution, bare storage name
-      } else groupCols.map(col)
-    scan.groupBy(keys: _*).agg(cols.head, cols.tail: _*)
+    scan
+  }
+
+  /** Group-key columns of a view scan: qualified resolution for join
+    * views, bare storage names either way.
+    */
+  private def mvKeys(groupCols: Seq[String],
+      groupQual: Seq[String]): Seq[org.apache.spark.sql.Column] =
+    if (groupQual.nonEmpty) groupQual.zip(groupCols).map { case (q, b) =>
+      expr(q).as(b) // qualified resolution, bare storage name
+    } else groupCols.map(col)
+
+  /** Build / delta contents of a view's defining query: [[mvScan]]
+    * aggregated through the storage-column shape.
+    */
+  private def mvContents(tables: Seq[String], joinConds: Seq[String],
+      pinnedIds: Map[String, Set[Long]], groupCols: Seq[String],
+      groupQual: Seq[String], aggs: Seq[MatViews.MvAgg],
+      predicate: Seq[String],
+      special: Option[(String, MvTableRead)] = None): DataFrame = {
+    val cols = MatViewSupport.buildAggs(aggs)
+    val keys = mvKeys(groupCols, groupQual)
+    mvScan(tables, joinConds, pinnedIds, predicate, special)
+      .groupBy(keys: _*).agg(cols.head, cols.tail: _*)
   }
 
 
   /** REFRESH MATERIALIZED VIEW — O(delta) after pure appends (aggregate
-    * only the new batches, merge by group key through putInto), and
-    * O(delta) after FIRST-deletes too when the algebra allows
-    * (SUBTRACTIVE refresh, see below); anything else — updates,
-    * repeat deletes on one batch, TTL-expiry, non-invertible aggregates
-    * — full rebuild. Returns the path taken:
-    * "noop" | "incremental" | "incremental_delete" | "full".
+    * only the new batches, merge by group key through putInto), after
+    * deletes (SUBTRACTIVE refresh — first AND repeat deletes), and
+    * after updates (two-sided subtract-old/add-new refresh); when
+    * subtraction's algebra declines but the move is still delete- or
+    * update-only, a GROUP-PRUNED partial rebuild re-aggregates only the
+    * affected groups; anything else — mixed delete+update on one batch,
+    * TTL-expiry, several moving tables — full rebuild. Returns the path
+    * taken: "noop" | "incremental" | "incremental_delete" |
+    * "incremental_update" | "partial" | "full".
     *
     * SUBTRACTIVE path conditions (single-table AND join views — for a
     * join view exactly ONE member table moved, from either side: the
@@ -1153,21 +1202,45 @@ class GraftSession(val spark: SparkSession)
     * fingerprint-identical tables): the moving table's batch set is
     * UNCHANGED (a delete that empties a whole batch drops it from the
     * store, and the vanished payload's rows cannot be re-read) and its
-    * only moved state is delete bitmaps, each on a batch that had NO
-    * bitmap at the recorded fingerprint (the new bitmap IS the
-    * newly-deleted row set — a repeat delete would need the old
-    * bitmap's content, which payload GC may have retired); every aggregate is algebraically invertible
-    * (sum/count/count(*)/avg — min/max/HLL cannot un-see a value); the
-    * view carries a count(*) slot (group-emptiness detection); and every
-    * sum/avg input column is NON-NULLABLE in the base schema (otherwise
-    * removing the last non-null value would need to flip the stored sum
-    * to NULL, which subtraction cannot know). The delta is a
-    * `deleted_rows` maintenance scan of exactly the moved batches,
-    * filtered by the view predicate, aggregated, and SUBTRACTED from the
-    * touched summary rows through putInto; groups whose count reaches 0
-    * stay as zero rows that the rewrite masks (`__gN_cnt > 0`) until the
-    * next rebuild compacts them — so the merge never needs a driver-side
-    * key collect, keeping the path O(delta) at any group cardinality.
+    * only moved state is delete bitmaps. A batch with NO recorded
+    * bitmap reads its whole current bitmap as the delta; a batch WITH
+    * one (repeat delete) reads current-minus-recorded — the recorded
+    * payload is PINNED by MatViews.register against the GC that the
+    * superseding union swap would otherwise trigger, and resolves
+    * task-side as an exclude mask. Every aggregate must be
+    * algebraically invertible (sum/count/count(*)/avg — min/max/HLL
+    * cannot un-see a value); the view carries a count(*) slot
+    * (group-emptiness detection); and every sum/avg input column is
+    * NON-NULLABLE in the base schema (otherwise removing the last
+    * non-null value would need to flip the stored sum to NULL, which
+    * subtraction cannot know). The delta is a `deleted_rows`
+    * maintenance scan of exactly the moved batches, filtered by the
+    * view predicate, aggregated, and SUBTRACTED from the touched
+    * summary rows through putInto; groups whose count reaches 0 stay as
+    * zero rows that the rewrite masks (`__gN_cnt > 0`) until the next
+    * rebuild compacts them — so the merge never needs a driver-side key
+    * collect, keeping the path O(delta) at any group cardinality.
+    *
+    * UPDATE path (same invertibility gate): the moving table's batch
+    * set AND bitmaps are unchanged, its only moved state is update
+    * deltas that GREW (recorded ids ⊆ current ids — deltas only append
+    * between compactions). Two `updated_rows` maintenance reads of the
+    * moved batches — rows addressed by the NEW deltas valued "old"
+    * (recorded delta set) and "new" (current) — aggregate through the
+    * view shape; old negates, the union sum-merges into the touched
+    * summary rows. A row whose update moved it BETWEEN groups subtracts
+    * from its old group and adds to its new one, including groups the
+    * view has never seen (putInto inserts them).
+    *
+    * PARTIAL rebuild (delete-only or update-only move, any aggregate
+    * mix): the affected group keys — from the tombstoned rows (a
+    * superset of newly-tombstoned is fine: re-aggregating an
+    * already-correct group is idempotent) or the updated rows' old+new
+    * sides — restrict a re-aggregate of the CURRENT base via a
+    * left-semi join (broadcast + dynamic partition pruning keep the
+    * base scan bounded); refreshed groups merge through putInto and
+    * groups that vanished entirely delete by key. O(affected groups'
+    * data), never O(table).
     */
   def refreshMaterializedView(name: String): String =
       MatViews.withMaintenanceLock(normalize(name)) {
@@ -1221,21 +1294,64 @@ class GraftSession(val spark: SparkSession)
       MatViews.register(registered())
       "full"
     }
-    // subtractive-path classification: the only moved state on `t` is
-    // delete bitmaps, each appearing on a batch that had NONE recorded
-    // (first delete: the new bitmap is exactly the newly-deleted rows)
-    def firstDeleteMoved(t: String): Option[Set[Long]] = {
+    // delete-only move classification: the only moved state on `t` is
+    // delete bitmaps (batch set and update deltas unchanged). First AND
+    // repeat deletes qualify — the per-batch delta row-set is the
+    // current bitmap minus the RECORDED one (None recorded = the whole
+    // current bitmap).
+    def deleteOnlyMoved(t: String): Option[Set[Long]] = {
       val f = recorded(t)
       if (freshNow(t).refIds != f.refIds) return None
       val now = freshNow(t).fp
       val moved = f.refIds.filter(id => now.get(id) != f.fp.get(id))
       val ok = moved.nonEmpty && moved.forall { id =>
         (f.fp.get(id), now.get(id)) match {
-          case (Some((None, oldUpd)), Some((Some(_), newUpd))) => oldUpd == newUpd
+          case (Some((_, oldUpd)), Some((Some(_), newUpd))) => oldUpd == newUpd
           case _ => false
         }
       }
       if (ok) Some(moved) else None
+    }
+    // the per-moved-batch RECORDED bitmap ids (the exclude masks of the
+    // deleted_since read), when every recorded payload still resolves.
+    // MatViews.register pins them against the superseding union swap's
+    // GC, so None only for registrations that predate pinning or whose
+    // record raced a concurrent mutation — those take the partial path.
+    def deleteExcludes(t: String, moved: Set[Long]): Option[Map[Long, Long]] = {
+      val f = recorded(t)
+      val excl = Map.newBuilder[Long, Long]
+      val ok = moved.forall { id =>
+        f.fp.get(id).flatMap(_._1) match {
+          case Some(ob) =>
+            if (GraftColumnStore.BatchRegistry.hasBitmap(ob)) {
+              excl += id -> ob; true
+            } else false
+          case None => true // first delete on this batch
+        }
+      }
+      if (ok) Some(excl.result()) else None
+    }
+    // update-only move: batch set AND bitmaps unchanged, update deltas
+    // GREW (recorded ids ⊆ current — deltas only append between
+    // compactions, and compaction changes refIds). Returns the moved
+    // batch ids plus ALL recorded delta ids (`since_deltas`: ids are
+    // globally unique, so a flat set addresses every column's deltas).
+    def updateOnlyMoved(t: String): Option[(Set[Long], Set[Long])] = {
+      val f = recorded(t)
+      if (freshNow(t).refIds != f.refIds) return None
+      val now = freshNow(t).fp
+      val moved = f.refIds.filter(id => now.get(id) != f.fp.get(id))
+      val since = Set.newBuilder[Long]
+      val ok = moved.nonEmpty && moved.forall { id =>
+        (f.fp.get(id), now.get(id)) match {
+          case (Some((oldBm, oldUpd)), Some((newBm, newUpd))) =>
+            oldBm == newBm && oldUpd.toSet.subsetOf(newUpd.toSet) && {
+              since ++= oldUpd; true
+            }
+          case _ => false
+        }
+      }
+      if (ok) Some((moved, since.result())) else None
     }
     def subtractable: Boolean = {
       // agg inputs are bare names for single-table views, canonical
@@ -1255,14 +1371,17 @@ class GraftSession(val spark: SparkSession)
         case _ => false // min/max/approx_distinct cannot un-see a value
       })
     }
-    def subtractiveRefresh(movingT: String, movedIds: Set[Long]): String = {
-      // vanished rows: the moving table's newly-deleted rows, joined (for
-      // join views) to the OTHER tables — fingerprint-identical, so the
+    def subtractiveRefresh(movingT: String, movedIds: Set[Long],
+        excludes: Map[Long, Long]): String = {
+      // vanished rows: the moving table's newly-deleted rows (current
+      // bitmap minus the recorded exclude mask), joined (for join
+      // views) to the OTHER tables — fingerprint-identical, so the
       // pairs are exactly the join rows that no longer exist; the view
       // predicate filters rows that never contributed
       val delta = mvContents(tables, mv.joins.map(_.conds).getOrElse(Nil),
         freshNow.view.mapValues(_.refIds).toMap, mv.groupCols, mv.groupQual,
-        mv.aggs, mv.predicate, deletedOf = Some((movingT, movedIds)))
+        mv.aggs, mv.predicate,
+        special = Some((movingT, MvDeletedRead(movedIds, excludes))))
         .localCheckpoint(false)
       // NULL group keys defeat the keyed merge — correctness wins
       if (delta.filter(mv.groupCols.map(col(_).isNull)
@@ -1284,21 +1403,118 @@ class GraftSession(val spark: SparkSession)
       MatViews.register(registered())
       "incremental_delete"
     }
-    val moving = tables.filterNot(identical)
-    // one moving table whose only change is FIRST deletes — O(delta)
-    // subtraction, symmetric for fact- or dim-side deletes on join
-    // views (the other tables' fingerprints carry). Classified once:
-    // the fingerprint diff walks every batch ref of the moving table.
-    val subtractDelta: Option[Set[Long]] =
-      if (moving.size == 1 && mv.groupCols.nonEmpty && subtractable &&
-        !appendOnly(moving.head)) firstDeleteMoved(moving.head)
-      else None
-    if (moving.isEmpty) "noop"
-    else if (subtractDelta.isDefined) {
-      subtractiveRefresh(moving.head, subtractDelta.get)
+    // two-sided update refresh: rows addressed by the NEW deltas,
+    // valued "old" (recorded delta set) and "new" (current), each
+    // aggregated through the view shape; the old side NEGATES so one
+    // union sum-merge subtracts old contributions and adds new ones —
+    // a row whose update moved it between groups (or across the view
+    // predicate) nets correctly on both sides
+    def updateRefresh(movingT: String, movedIds: Set[Long],
+        since: Set[Long]): String = {
+      val conds = mv.joins.map(_.conds).getOrElse(Nil)
+      val ids = freshNow.view.mapValues(_.refIds).toMap
+      def side(which: String) = mvContents(tables, conds, ids,
+        mv.groupCols, mv.groupQual, mv.aggs, mv.predicate,
+        special = Some((movingT, MvUpdatedRead(movedIds, since, which))))
+      val storage = mvStorageNames(mv.aggs)
+      val negOld = storage.foldLeft(side("old"))((df, n) =>
+        df.withColumn(n, -col(n)))
+      val delta = side("new").unionByName(negOld).localCheckpoint(false)
+      // NULL group keys defeat the keyed merge — correctness wins
+      if (delta.filter(mv.groupCols.map(col(_).isNull)
+          .reduce(_ || _)).take(1).nonEmpty) return rebuild()
+      val keep = mv.groupCols.map(col)
+      val mvRows = GraftStoreOps.read(spark, nm) // session-independent
+      val touched = mvRows.join(delta.select(keep: _*), mv.groupCols, "left_semi")
+      val mergeCols = MatViewSupport.mergeAggs(storage)
+      val merged = touched.unionByName(delta)
+        .groupBy(keep: _*).agg(mergeCols.head, mergeCols.tail: _*)
+      val schema = mvRows.schema
+      val conformed = merged.select(schema.fieldNames.map(f =>
+        col(f).cast(schema(f).dataType).as(f)).toSeq: _*)
+      MatViews.inMaintenance {
+        GraftStoreOps.putInto(spark, nm, conformed)
+      }
+      MatViews.register(registered())
+      "incremental_update"
     }
-    else if (moving.size > 1 || !appendOnly(moving.head) ||
-      mv.groupCols.isEmpty) rebuild()
+    // group-pruned partial rebuild: re-aggregate ONLY the groups in
+    // `touchedKeys` from the CURRENT base (left-semi restriction —
+    // broadcast for small key sets, and the store scan's runtime
+    // filtering prunes batches by the realized keys), merge through
+    // putInto, and DELETE summary rows whose group vanished entirely.
+    // O(affected groups' data), never O(table) — the path non-invertible
+    // aggregates (min/max, nullable measures) take after deletes or
+    // updates. Re-aggregating an already-correct group is idempotent,
+    // so a SUPERSET of the truly-affected keys is always safe.
+    def partialRebuild(touchedKeys: DataFrame): String = {
+      val conds = mv.joins.map(_.conds).getOrElse(Nil)
+      val ids = freshNow.view.mapValues(_.refIds).toMap
+      val touched = touchedKeys.distinct().localCheckpoint(false)
+      // NULL group keys defeat the keyed semi-join/putInto/deleteKeys
+      if (touched.filter(mv.groupCols.map(col(_).isNull)
+          .reduce(_ || _)).take(1).nonEmpty) return rebuild()
+      val cols = MatViewSupport.buildAggs(mv.aggs)
+      val refreshed = mvScan(tables, conds, ids, mv.predicate)
+        .join(touched, mv.groupCols, "left_semi")
+        .groupBy(mvKeys(mv.groupCols, mv.groupQual): _*)
+        .agg(cols.head, cols.tail: _*)
+        .localCheckpoint(false)
+      val mvRows = GraftStoreOps.read(spark, nm) // session-independent
+      val schema = mvRows.schema
+      val conformed = refreshed.select(schema.fieldNames.map(f =>
+        col(f).cast(schema(f).dataType).as(f)).toSeq: _*)
+      // groups whose every contributing row vanished produce no
+      // refreshed row: their summary rows delete by key (the view table
+      // is keyed by the group columns)
+      val vanished = touched.join(
+        refreshed.select(mv.groupCols.map(col): _*), mv.groupCols, "left_anti")
+      MatViews.inMaintenance {
+        GraftStoreOps.deleteKeys(spark, nm, vanished)
+        GraftStoreOps.putInto(spark, nm, conformed)
+      }
+      MatViews.register(registered())
+      "partial"
+    }
+    val moving = tables.filterNot(identical)
+    // exactly one moving table drives every O(delta)/partial path —
+    // symmetric for fact- or dim-side moves on join views (the other
+    // tables' fingerprints carry). Classified once: each fingerprint
+    // diff walks every batch ref of the moving table, driver metadata.
+    if (moving.isEmpty) "noop"
+    else if (moving.size > 1 || mv.groupCols.isEmpty) rebuild()
+    else if (!appendOnly(moving.head)) {
+      val t = moving.head
+      val conds = mv.joins.map(_.conds).getOrElse(Nil)
+      val ids = freshNow.view.mapValues(_.refIds).toMap
+      deleteOnlyMoved(t) match {
+        case Some(moved) =>
+          (if (subtractable) deleteExcludes(t, moved) else None) match {
+            case Some(excl) => subtractiveRefresh(t, moved, excl)
+            case None =>
+              // affected groups = groups of ALL tombstoned rows in the
+              // moved batches — a superset of the newly-tombstoned
+              // (idempotent to re-aggregate), needing no recorded payload
+              partialRebuild(mvScan(tables, conds, ids, mv.predicate,
+                special = Some((t, MvDeletedRead(moved, Map.empty))))
+                .select(mvKeys(mv.groupCols, mv.groupQual): _*))
+          }
+        case None => updateOnlyMoved(t) match {
+          case Some((moved, since)) =>
+            if (subtractable) updateRefresh(t, moved, since)
+            else {
+              // both sides: an update can move a row between groups or
+              // across the view predicate — old and new keys both touch
+              def keysOf(which: String) = mvScan(tables, conds, ids,
+                mv.predicate,
+                special = Some((t, MvUpdatedRead(moved, since, which))))
+                .select(mvKeys(mv.groupCols, mv.groupQual): _*)
+              partialRebuild(keysOf("old").unionByName(keysOf("new")))
+            }
+          case None => rebuild() // mixed delete+update on one batch, expiry, …
+        }
+      }
+    }
     else {
       // O(delta): exactly one table gained batches, everything else is
       // fingerprint-identical — the join rows involving the new batches
@@ -1491,14 +1707,27 @@ class GraftSession(val spark: SparkSession)
     */
   def sysSamples: DataFrame = {
     val rows = samples.toSeq.sortBy(_._1).flatMap { case (base, infos) =>
+      // LIVE freshness verdict, metadata-only (the matview proof): the
+      // recorded fingerprint vs the base's current one. "unknown" when
+      // the base is not a store table (no batch metadata to prove
+      // against). Staleness is ADVISORY — WITH ERROR routing still
+      // answers from the sample (reference semantics: inserts fan in,
+      // deletes/updates skew until the sample is rebuilt).
+      val now = baseFingerprint(base)
       infos.map { i =>
+        val freshVerdict = (i.fresh, now) match {
+          case (Some(rec), Some(cur)) => (rec == cur).toString
+          case _ => "unknown"
+        }
         (i.table, base, i.qcs.mkString(","),
           i.params.map(_.fraction).getOrElse(-1.0),
-          i.params.map(_.reservoirFloor.toLong).getOrElse(-1L))
+          i.params.map(_.reservoirFloor.toLong).getOrElse(-1L),
+          freshVerdict)
       }
     }
     spark.createDataFrame(rows)
-      .toDF("sample_table", "base_table", "qcs", "fraction", "reservoir_floor")
+      .toDF("sample_table", "base_table", "qcs", "fraction",
+        "reservoir_floor", "is_fresh")
   }
 
   /** Align a source to the target's column names: by name when they
@@ -1758,6 +1987,10 @@ class GraftSession(val spark: SparkSession)
     requireWritable(name, "insert")
     val st = stateOf(name)
     val aligned = constrainIncoming(name, st, rows, forPut = false)
+    // pre-insert fingerprint: sample maintenance advances a sample's
+    // recorded freshness only if it was fresh BEFORE this insert — a
+    // sample already skewed by an earlier delete must stay visibly stale
+    val preFresh = baseFingerprint(name)
     val out =
       if (st.rowBacked) {
         aligned.write.format(GraftRowOps.FORMAT)
@@ -1768,7 +2001,7 @@ class GraftSession(val spark: SparkSession)
           .option("table", normalize(name)).mode("append").save()
         table(name)
       } else mutate(name)(s => s.df.unionByName(aligned))
-    maintainSamples(name, aligned)
+    maintainSamples(name, aligned, preFresh)
     maintainMatviews(name)
     out
   }
@@ -1820,7 +2053,8 @@ class GraftSession(val spark: SparkSession)
     * propagate (matches the reference, whose samples are insert-
     * maintained only — rebuild the sample after heavy rewrites).
     */
-  private def maintainSamples(baseName: String, newRows: DataFrame): Unit =
+  private def maintainSamples(baseName: String, newRows: DataFrame,
+      preFresh: Option[org.apache.spark.sql.graft.store.MatViews.MvFreshness]): Unit =
     samples.get(normalize(baseName)).foreach { infos =>
       infos.foreach { info =>
         info.params.foreach { p =>
@@ -1828,6 +2062,15 @@ class GraftSession(val spark: SparkSession)
             newRows, info.qcs, p.fraction, p.reservoirFloor, p.rankKey))
         }
       }
+      // a maintained sample that was FRESH before this insert is
+      // consistent with the base again — advance its fingerprint (the
+      // base snapshot already includes the insert). One already skewed
+      // by an earlier delete/update stays visibly stale, and samples
+      // WITHOUT maintenance params keep their registration fingerprint.
+      val now = baseFingerprint(baseName)
+      if (now.isDefined) samples.updateWith(normalize(baseName))(_.map(_.map(i =>
+        if (i.params.isDefined && i.fresh.isDefined && i.fresh == preFresh)
+          i.copy(fresh = now) else i)))
     }
 
   /** PUT INTO: key-based upsert. Matched target rows are replaced by the
@@ -2094,9 +2337,17 @@ object GraftSession {
 
   /** A registered sample table, its stratification columns, and (when
     * known) the parameters to maintain it under base-table inserts.
+    * `fresh`: the base table's freshness fingerprint at registration /
+    * last maintained fan-in (the same metadata proof the matview tier
+    * uses) — None when the base is not a store table. A base DELETE or
+    * UPDATE leaves sample rows for vanished strata; the fingerprint
+    * makes that skew VISIBLE in `sys.samples.is_fresh` without changing
+    * routing (WITH ERROR still answers from the sample — documented
+    * reference semantics: SampleInsertExec also fans only inserts).
     */
   final case class SampleInfo(table: String, qcs: Seq[String],
-      params: Option[SampleParams] = None)
+      params: Option[SampleParams] = None,
+      fresh: Option[org.apache.spark.sql.graft.store.MatViews.MvFreshness] = None)
 
   /** One `sys.queries` ring-buffer entry. */
   final case class QueryLogEntry(endedAt: java.sql.Timestamp, op: String,

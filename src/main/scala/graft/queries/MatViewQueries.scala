@@ -455,8 +455,10 @@ object MatViewQueries {
 
     // ---- freshness gate: after a DELETE the view is provably stale —
     // the SAME aggregate must fall back to the base scan (asserted) and
-    // still answer post-delete truth; REFRESH takes the "full" path
-    // (pre-aggregated rows cannot subtract) and serving resumes ----
+    // still answer post-delete truth; REFRESH takes the group-pruned
+    // "partial" path (amt is NULLABLE here, so subtraction declines —
+    // only the groups with tombstoned rows re-aggregate) and serving
+    // resumes ----
     QueryDef.sql(
       "q_matview_stale_fallback",
       """SELECT o_orderstatus,
@@ -481,9 +483,177 @@ object MatViewQueries {
       // stale: must NOT serve from the view (results would be pre-delete)
       assertNotServedBy(s.sql(q), "q_mvs_sum")
       val path = g.refreshMaterializedView("q_mvs_sum")
-      require(path == "full", s"post-delete refresh took '$path'")
+      require(path == "partial", s"post-delete refresh took '$path'")
       assertServedBy(s.sql(q), "q_mvs_sum")
         .select(col("o_orderstatus"), col("ts").cast("double").as("total"), col("n"))
         .orderBy("o_orderstatus")
+    },
+
+    // ---- REPEAT-delete O(delta) maintenance (the daily-retention
+    // cadence): a SECOND delete lands on batches that already carry a
+    // bitmap — the newly-deleted rows are (current bitmap) MINUS the
+    // RECORDED one, whose payload the registration PINNED against the
+    // superseding union swap's GC. Both waves plan-assert
+    // "incremental_delete"; the result equals post-both-deletes truth ----
+    QueryDef.sql(
+      "q_matview_delete_delta2",
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM orders
+        |WHERE o_orderkey % 9 <> 5 AND o_orderkey % 9 <> 7
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      reset(g, "q_mvd2_sum", "q_mvd2_base")
+      g.createTable("q_mvd2_base", Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          coalesce(col("o_totalprice").cast("decimal(18,4)"),
+            lit(0).cast("decimal(18,4)")).as("amt")),
+        partitionBy = Seq("o_orderpriority"), buckets = 4)
+      g.sql("CREATE MATERIALIZED VIEW q_mvd2_sum AS " +
+        "SELECT o_orderpriority, sum(amt) AS s, count(*) AS n " +
+        "FROM q_mvd2_base GROUP BY o_orderpriority")
+      g.delete("q_mvd2_base", col("o_orderkey") % 9 === 5)
+      val p1 = g.refreshMaterializedView("q_mvd2_sum")
+      require(p1 == "incremental_delete", s"first-delete refresh took '$p1'")
+      g.delete("q_mvd2_base", col("o_orderkey") % 9 === 7)
+      val p2 = g.refreshMaterializedView("q_mvd2_sum")
+      require(p2 == "incremental_delete", s"repeat-delete refresh took '$p2'")
+      val q = "SELECT o_orderpriority, sum(amt) AS ts, count(*) AS n " +
+        "FROM q_mvd2_base GROUP BY o_orderpriority"
+      assertServedBy(s.sql(q), "q_mvd2_sum")
+        .select(col("o_orderpriority"), col("ts").cast("double").as("total"), col("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- UPDATE O(delta) maintenance: the refresh reads ONLY the rows
+    // addressed by the new update deltas, twice — valued as of the
+    // RECORDED delta set and as of now — and merges the signed
+    // difference into the touched summary rows. Wave 1 scales a
+    // measure; wave 2 MOVES rows between groups (including into a
+    // brand-new group). Both plan-assert "incremental_update" ----
+    QueryDef.sql(
+      "q_matview_update_delta",
+      """SELECT CASE WHEN o_orderkey % 13 = 4
+        |    THEN (o_orderkey % 7) + 10 ELSE o_orderkey % 7 END AS band,
+        |  CAST(sum(CASE WHEN o_orderkey % 11 = 3
+        |    THEN 2 * CAST(o_totalprice AS DECIMAL(18,4))
+        |    ELSE CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY band""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      reset(g, "q_mvu_sum", "q_mvu_base")
+      g.createTable("q_mvu_base", Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (col("o_orderkey") % 7).cast("long").as("band"),
+          coalesce(col("o_totalprice").cast("decimal(18,4)"),
+            lit(0).cast("decimal(18,4)")).as("amt")),
+        partitionBy = Seq("o_orderkey"), buckets = 4)
+      g.sql("CREATE MATERIALIZED VIEW q_mvu_sum AS " +
+        "SELECT band, sum(amt) AS s, count(*) AS n, avg(amt) AS a " +
+        "FROM q_mvu_base GROUP BY band")
+      // wave 1: scale a measure in place
+      g.update("q_mvu_base", col("o_orderkey") % 11 === 3,
+        "amt" -> (col("amt") * 2).cast("decimal(18,4)"))
+      val q = "SELECT band, sum(amt) AS ts, count(*) AS n " +
+        "FROM q_mvu_base GROUP BY band"
+      assertNotServedBy(s.sql(q), "q_mvu_sum")
+      val p1 = g.refreshMaterializedView("q_mvu_sum")
+      require(p1 == "incremental_update", s"measure-update refresh took '$p1'")
+      assertServedBy(s.sql(q), "q_mvu_sum")
+      // wave 2: move rows to band+10 — groups the view has never seen
+      g.update("q_mvu_base", col("o_orderkey") % 13 === 4,
+        "band" -> (col("band") + 10))
+      val p2 = g.refreshMaterializedView("q_mvu_sum")
+      require(p2 == "incremental_update", s"group-move refresh took '$p2'")
+      assertServedBy(s.sql(q), "q_mvu_sum")
+        .select(col("band"), col("ts").cast("double").as("total"), col("n"))
+        .orderBy("band")
+    },
+
+    // ---- IN-predicate views: `col IN (a, b, c)` canonicalizes as a
+    // SORTED, DEDUPLICATED literal list (single survivor folds to `=`,
+    // matching the optimizer's one-element rewrite), so a query's
+    // permuted/duplicated IN matches VERBATIM; different sets decline ----
+    QueryDef.sql(
+      "q_matview_in",
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM orders
+        |WHERE o_orderstatus IN ('F', 'O')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      reset(g, "q_mvi_sum", "q_mvi_base")
+      g.createTable("q_mvi_base", Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,4)").as("amt")),
+        partitionBy = Seq("o_orderpriority"), buckets = 4)
+      // the view lists the IN elements in the OPPOSITE order
+      g.sql("CREATE MATERIALIZED VIEW q_mvi_sum AS " +
+        "SELECT o_orderpriority, sum(amt) AS s, count(*) AS n " +
+        "FROM q_mvi_base WHERE o_orderstatus IN ('O', 'F') " +
+        "GROUP BY o_orderpriority")
+      // ... and the query permutes AND duplicates them — same canonical
+      val q = "SELECT o_orderpriority, sum(amt) AS ts, count(*) AS n " +
+        "FROM q_mvi_base WHERE o_orderstatus IN ('F', 'O', 'F') " +
+        "GROUP BY o_orderpriority"
+      val served = assertServedBy(s.sql(q), "q_mvi_sum")
+      // different element sets want rows the view filtered: decline
+      Seq("o_orderstatus IN ('F')", "o_orderstatus IN ('F', 'O', 'P')")
+        .foreach { w =>
+          assertNotServedBy(s.sql("SELECT o_orderpriority, sum(amt) AS ts " +
+            s"FROM q_mvi_base WHERE $w GROUP BY o_orderpriority"), "q_mvi_sum")
+        }
+      served
+        .select(col("o_orderpriority"), col("ts").cast("double").as("total"), col("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- GROUP-PRUNED partial rebuild: min/max cannot subtract, so a
+    // delete refresh re-aggregates ONLY the groups the tombstoned rows
+    // touched (left-semi restriction over the current base) — asserted
+    // "partial"; a group whose every row vanished loses its summary ROW
+    // (not a mask: min/max views may lack the count slot) ----
+    QueryDef.sql(
+      "q_matview_partial_minmax",
+      """SELECT o_orderpriority,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS lo,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS hi,
+        |  count(*) AS n
+        |FROM orders
+        |WHERE NOT (o_orderpriority = '1-URGENT' OR o_orderkey % 5 = 2)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      reset(g, "q_mvp_sum", "q_mvp_base")
+      // bucketed by o_orderkey, NOT the group column: deleting a whole
+      // priority class must not empty whole batches (a dropped batch
+      // correctly declines the delta paths)
+      g.createTable("q_mvp_base", Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,4)").as("amt")),
+        partitionBy = Seq("o_orderkey"), buckets = 4)
+      g.sql("CREATE MATERIALIZED VIEW q_mvp_sum AS " +
+        "SELECT o_orderpriority, min(amt) AS lo, max(amt) AS hi, " +
+        "count(*) AS n FROM q_mvp_base GROUP BY o_orderpriority")
+      g.delete("q_mvp_base",
+        col("o_orderpriority") === "1-URGENT" || col("o_orderkey") % 5 === 2)
+      val q = "SELECT o_orderpriority, min(amt) AS lo, max(amt) AS hi, " +
+        "count(*) AS n FROM q_mvp_base GROUP BY o_orderpriority"
+      assertNotServedBy(s.sql(q), "q_mvp_sum")
+      val path = g.refreshMaterializedView("q_mvp_sum")
+      require(path == "partial", s"min/max delete refresh took '$path'")
+      val served = assertServedBy(s.sql(q), "q_mvp_sum")
+      require(served.filter(col("o_orderpriority") === "1-URGENT").isEmpty,
+        "vanished group's summary row must be deleted")
+      served
+        .select(col("o_orderpriority"), col("lo").cast("double").as("lo"),
+          col("hi").cast("double").as("hi"), col("n"))
+        .orderBy("o_orderpriority")
     })
 }

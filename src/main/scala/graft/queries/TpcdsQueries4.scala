@@ -609,6 +609,127 @@ object TpcdsQueries4 {
           col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("o_orderkey"), col("cnt"))
         .orderBy(col("c_custkey"), col("o_orderkey"))
+    },
+
+    // ---- wave 14: q77/q80 shape — channel profit-and-loss: per-channel
+    // sales minus returns with a GRAND TOTAL line (rollup-over-union).
+    // The oracle keeps q77's literal union-of-channel-legs; the Spark
+    // plan collapses it — the legs partition ONE fact by l_shipmode, so
+    // a CASE channel derivation reads the fact ONCE, pre-aggregates to
+    // |channels| rows, and the ROLLUP's Expand runs over that pre-agg
+    // (the §24 idiom): the grand total costs 3 rows, not a second scan.
+    // Money in exact 10⁻⁴ units; profit is the sums' difference, never
+    // a float. ----
+    QueryDef.sql(
+      "q_ds_channel_pnl",
+      """WITH ch AS (
+        |  SELECT 'web' AS channel, l_returnflag, l_extendedprice, l_discount
+        |  FROM lineitem WHERE l_linenumber = 1
+        |  UNION ALL
+        |  SELECT 'catalog', l_returnflag, l_extendedprice, l_discount
+        |  FROM lineitem WHERE l_linenumber IN (2, 3)
+        |  UNION ALL
+        |  SELECT 'store', l_returnflag, l_extendedprice, l_discount
+        |  FROM lineitem WHERE l_linenumber >= 4)
+        |SELECT coalesce(channel, 'total') AS channel,
+        |  CAST(coalesce(sum(CASE WHEN l_returnflag <> 'R'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) * 10000 END), 0) AS BIGINT) AS sales_e4,
+        |  CAST(coalesce(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) * 10000 END), 0) AS BIGINT) AS returns_e4,
+        |  CAST(coalesce(sum(CASE WHEN l_returnflag <> 'R'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) * 10000 END), 0)
+        |   - coalesce(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) * 10000 END), 0) AS BIGINT) AS profit_e4
+        |FROM ch
+        |GROUP BY ROLLUP(channel)
+        |ORDER BY channel""".stripMargin) { (s, dir) =>
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)") * 10000
+      // ONE fact pass: channel derived, both legs as conditional sums
+      val pre = Tables.load(s, dir, "lineitem")
+        .select(
+          when(col("l_linenumber") === 1, "web")
+            .when(col("l_linenumber").isin(2, 3), "catalog")
+            .otherwise("store").as("channel"),
+          col("l_returnflag"), rev.as("rev"))
+        .groupBy(col("channel"))
+        .agg(
+          coalesce(sum(when(col("l_returnflag") =!= "R", col("rev"))), lit(0))
+            .cast("long").as("s_e4"),
+          coalesce(sum(when(col("l_returnflag") === "R", col("rev"))), lit(0))
+            .cast("long").as("r_e4"))
+      // rollup over the |channels|-row pre-agg: the Expand triplication
+      // is metadata-scale (sums reassociate)
+      pre.rollup(col("channel"))
+        .agg(sum(col("s_e4")).as("s"), sum(col("r_e4")).as("r"))
+        .select(coalesce(col("channel"), lit("total")).as("channel"),
+          col("s").cast("long").as("sales_e4"),
+          col("r").cast("long").as("returns_e4"),
+          (col("s") - col("r")).cast("long").as("profit_e4"))
+        .orderBy(col("channel"))
+    },
+
+    // ---- wave 14: q4/q74 extension — three-year channel-preference
+    // shift: customers active in ALL of 1995-1997 whose PRIORITY-channel
+    // spend share grew STRICTLY both years. Share growth compares by
+    // integer cross-multiplication (pri96·tot95 > pri95·tot96 ⟺ the
+    // share grew, totals positive) in exact cent units — no division,
+    // no float, no overflow (per-customer yearly cents ≲ 10⁹, products
+    // ≲ 10¹⁸). ONE orders pass, ONE shuffle: the six (year × leg) sums
+    // are conditional aggregates over the same customer grouping, not
+    // six scans or a self-join tower (q4's CTE chain). ----
+    QueryDef.sql(
+      "q_ds_channel_shift",
+      """WITH p AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(sum(CASE WHEN year(o_orderdate) = 1995
+        |      THEN CAST(o_totalprice AS DECIMAL(18,4)) * 100 END) AS BIGINT) AS t95,
+        |    CAST(sum(CASE WHEN year(o_orderdate) = 1996
+        |      THEN CAST(o_totalprice AS DECIMAL(18,4)) * 100 END) AS BIGINT) AS t96,
+        |    CAST(sum(CASE WHEN year(o_orderdate) = 1997
+        |      THEN CAST(o_totalprice AS DECIMAL(18,4)) * 100 END) AS BIGINT) AS t97,
+        |    CAST(coalesce(sum(CASE WHEN year(o_orderdate) = 1995
+        |      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN CAST(o_totalprice AS DECIMAL(18,4)) * 100 END), 0) AS BIGINT) AS p95,
+        |    CAST(coalesce(sum(CASE WHEN year(o_orderdate) = 1996
+        |      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN CAST(o_totalprice AS DECIMAL(18,4)) * 100 END), 0) AS BIGINT) AS p96,
+        |    CAST(coalesce(sum(CASE WHEN year(o_orderdate) = 1997
+        |      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN CAST(o_totalprice AS DECIMAL(18,4)) * 100 END), 0) AS BIGINT) AS p97
+        |  FROM orders
+        |  WHERE year(o_orderdate) IN (1995, 1996, 1997)
+        |  GROUP BY o_custkey)
+        |SELECT ck, p95, t95, p96, t96, p97, t97
+        |FROM p
+        |WHERE t95 IS NOT NULL AND t96 IS NOT NULL AND t97 IS NOT NULL
+        |  AND p96 * t95 > p95 * t96
+        |  AND p97 * t96 > p96 * t97
+        |ORDER BY ck""".stripMargin) { (s, dir) =>
+      val cents = col("o_totalprice").cast("decimal(18,4)") * 100
+      val pri = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      def yearSum(y: Int, leg: org.apache.spark.sql.Column, as: String,
+          zeroed: Boolean) = {
+        val sm = sum(when(year(col("o_orderdate")) === y && leg, cents))
+        (if (zeroed) coalesce(sm, lit(0)) else sm).cast("long").as(as)
+      }
+      Tables.load(s, dir, "orders")
+        .filter(year(col("o_orderdate")).isin(1995, 1996, 1997))
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(
+          yearSum(1995, lit(true), "t95", zeroed = false),
+          yearSum(1996, lit(true), "t96", zeroed = false),
+          yearSum(1997, lit(true), "t97", zeroed = false),
+          yearSum(1995, pri, "p95", zeroed = true),
+          yearSum(1996, pri, "p96", zeroed = true),
+          yearSum(1997, pri, "p97", zeroed = true))
+        .filter(col("t95").isNotNull && col("t96").isNotNull &&
+          col("t97").isNotNull &&
+          col("p96") * col("t95") > col("p95") * col("t96") &&
+          col("p97") * col("t96") > col("p96") * col("t97"))
+        .select(col("ck"), col("p95"), col("t95"), col("p96"), col("t96"),
+          col("p97"), col("t97"))
+        .orderBy(col("ck"))
     }
   )
 }

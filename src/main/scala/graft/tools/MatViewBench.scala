@@ -13,9 +13,17 @@ import graft.{GraftSession, Tables}
   *  - mv_agg:      the same query served from the matview (rewrite on)
   *  - build:       CREATE MATERIALIZED VIEW cost (one O(table) pass)
   *  - inc_refresh: REFRESH after appending a FIXED 20k-row delta
-  *  - del_sub:     REFRESH after a first-delete on an all-invertible
-  *                 sibling view (SUBTRACTIVE O(delta) path)
-  *  - full_refresh: the SAME delete on the min/max view (O(table) rebuild)
+  *  - del_sub:     REFRESH after a delete on an all-invertible sibling
+  *                 view (SUBTRACTIVE O(delta) path, first OR repeat)
+  *  - del_part:    the SAME delete on the min/max view (GROUP-PRUNED
+  *                 partial rebuild, r14 — O(affected groups' data))
+  *  - full_refresh: a mixed update+delete move on the min/max view
+  *                 (the true O(table) rebuild baseline)
+  *
+  * A retention-LADDER arm follows: N successive delete waves on the
+  * invertible view, EVERY refresh must stay "incremental_delete" (the
+  * repeat-delete path — recorded bitmaps pinned, delta = current minus
+  * recorded), cumulative cost compared against N full rebuilds.
   *
   * Expectation at 100 TB: base_agg and build/full_refresh scale with the
   * table; mv_agg scales with GROUP-KEY CARDINALITY (constant here);
@@ -51,7 +59,7 @@ object MatViewBench {
 
     println(f"${"mult"}%5s ${"rows"}%10s ${"base_agg"}%9s ${"mv_agg"}%9s " +
       f"${"speedup"}%8s ${"build"}%8s ${"inc_refresh"}%12s " +
-      f"${"del_sub"}%8s ${"full_refresh"}%13s")
+      f"${"del_sub"}%8s ${"del_part"}%8s ${"full_refresh"}%13s")
     Seq(1, 16, 64).foreach { m =>
       val base = s"mvp_base_$m"
       val mv = s"mvp_mv_$m"
@@ -79,18 +87,26 @@ object MatViewBench {
       }
       g.refreshMaterializedView(s"${mv}_inv") // catch up before the delete
       g.delete(base, col("gk") === 996)
-      // SAME delete, two maintenance strategies: the invertible view
-      // subtracts the deleted rows (O(delta)); the min/max view rebuilds
+      // SAME delete, three maintenance strategies: the invertible view
+      // SUBTRACTS the deleted rows (O(delta)); the min/max view
+      // re-aggregates only the affected GROUP (partial, r14); a mixed
+      // update+delete move forces the true O(table) rebuild baseline
       val tSub = time {
         val p = g.refreshMaterializedView(s"${mv}_inv")
         require(p == "incremental_delete", s"expected incremental_delete, got $p")
       }
+      val tPart = time {
+        val p = g.refreshMaterializedView(mv)
+        require(p == "partial", s"expected partial, got $p")
+      }
+      g.update(base, col("gk") === 995, "qty" -> (col("qty") + 1))
+      g.delete(base, col("gk") === 994)
       val tFull = time {
         val p = g.refreshMaterializedView(mv)
         require(p == "full", s"expected full, got $p")
       }
       println(f"$m%5d $rows%10d $tBase%9.3f $tMv%9.3f ${tBase / tMv}%7.1fx " +
-        f"$tBuild%8.3f $tInc%12.3f $tSub%8.3f $tFull%13.3f")
+        f"$tBuild%8.3f $tInc%12.3f $tSub%8.3f $tPart%8.3f $tFull%13.3f")
       g.dropMaterializedView(s"${mv}_inv")
       g.dropMaterializedView(mv)
       g.dropTable(base)
@@ -127,6 +143,45 @@ object MatViewBench {
         f"${tBase / tMv}%7.1fx $tBuild%8.3f $tInc%12.3f ${Double.NaN}%13.3f")
       g.dropMaterializedView("mvp_jmv")
       g.dropTable("mvp_jfact"); g.dropTable("mvp_jdim")
+    }
+
+    // ---- retention ladder (r14): N successive delete waves at daily-
+    // retention cadence on a x16 base; EVERY wave must refresh
+    // "incremental_delete" (wave 1 is a first delete; waves 2..N land on
+    // already-bitmapped batches and diff against the PINNED recorded
+    // bitmaps). Reported: per-wave time (flat = O(delta)), cumulative,
+    // and one full rebuild for scale.
+    locally {
+      val waves = sys.env.getOrElse("SPARK_GRAFT_LADDER", "30").toInt
+      val rep = li.crossJoin(spark.range(16).toDF("__rep"))
+        .withColumn("day", (col("__rep") * 31 + col("gk") % 31) % waves)
+        .drop("__rep")
+      g.createTable("mvp_lbase", rep)
+      g.createMaterializedView("mvp_lmv",
+        "SELECT gk, sum(amt0) AS s, count(*) AS n FROM mvp_lbase GROUP BY gk")
+      val times = (0 until waves).map { d =>
+        // keep a remnant of every day (gk%5==0): a wave that emptied a
+        // whole batch would DROP it from the store, which correctly
+        // declines the delta path — real retention keeps aggregates too
+        g.delete("mvp_lbase", col("day") === d && col("gk") % 5 =!= 0)
+        time {
+          val p = g.refreshMaterializedView("mvp_lmv")
+          require(p == "incremental_delete", s"wave $d: expected incremental_delete, got $p")
+        }
+      }
+      // force one O(table) rebuild for scale (mixed move)
+      g.update("mvp_lbase", col("gk") === 1, "qty" -> (col("qty") + 1))
+      g.delete("mvp_lbase", col("gk") === 2)
+      val tRebuild = time {
+        require(g.refreshMaterializedView("mvp_lmv") == "full")
+      }
+      println(f"\nretention ladder: $waves waves, per-wave " +
+        f"min=${times.min}%.3f median=${times.sorted.apply(waves / 2)}%.3f " +
+        f"max=${times.max}%.3f cumulative=${times.sum}%.3f s " +
+        f"vs one full rebuild=$tRebuild%.3f s " +
+        f"(${waves}x rebuilds would be ${waves * tRebuild}%.1f s)")
+      g.dropMaterializedView("mvp_lmv")
+      g.dropTable("mvp_lbase")
     }
     spark.stop()
   }

@@ -44,15 +44,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     */
   private def constrainedInsertTarget(t: String): Option[String] = {
     val parts = t.split("\\.")
-    val nm = (parts match {
-      case Array(one) => Some(one)
-      case Array(cat, name) if cat.equalsIgnoreCase("graft") => Some(name)
-      case _ => None
-    }).map(_.toLowerCase)
+    val (nm, qualified) = parts match {
+      case Array(one) => (Some(one.toLowerCase), false)
+      case Array(cat, name) if cat.equalsIgnoreCase("graft") =>
+        (Some(name.toLowerCase), true)
+      case _ => (None, false)
+    }
     nm.filter { n =>
       (org.apache.spark.sql.graft.store.GraftColumnStore.get(n).isDefined ||
         org.apache.spark.sql.graft.store.GraftRowStore.get(n).isDefined) &&
-        org.apache.spark.sql.graft.Constraints.get(n).exists(_.enforced)
+        org.apache.spark.sql.graft.Constraints.get(n).exists(_.enforced) &&
+        // bare names the SESSION resolves to something else — a temp
+        // view or a session-catalog table that shadows a same-named
+        // graft store table created elsewhere — keep the native path:
+        // intercepting would hijack the user's own relation. A managed
+        // name's temp view IS the store table, so isManaged still
+        // intercepts; `graft.`-qualified names are explicit and always
+        // do.
+        (qualified || g.isManaged(n) || !session.catalog.tableExists(n))
     }
   }
 
@@ -101,11 +110,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       // Guarded on the JVM-GLOBAL registries — a JDBC/Thrift session
       // that didn't create the table still gets enforcement. Everything
       // else (unconstrained tables, other catalogs, BY NAME/PARTITION
-      // forms, and PARAMETERIZED statements — the command re-parses its
-      // source with no binding context, so `spark.sql(text, args)` must
-      // keep the native path with its bindings) stays native.
-      case Some(InsertInto(t, cols, src)) if !hasParameters =>
+      // forms) stays native. PARAMETERIZED statements cannot take the
+      // enforcing path (the command re-parses its source with no
+      // binding context) — but routing them native would silently skip
+      // identity fill / CHECK / UNIQUE / FK, so they FAIL FAST instead.
+      case Some(InsertInto(t, cols, src)) =>
         constrainedInsertTarget(t) match {
+          case Some(nm) if hasParameters =>
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "_LEGACY_ERROR_TEMP_3105",
+              messageParameters = Map("message" ->
+                (s"parameterized INSERT into constrained table '$nm' is not " +
+                  "supported (constraint enforcement cannot re-bind parameters); " +
+                  "inline the values or use the session insert API")))
           case Some(nm) =>
             delegate.parsePlan(src) // statement-time parse errors surface here
             GraftConstrainedInsertCommand(nm, cols, src)
@@ -587,8 +604,35 @@ case class GraftConstrainedInsertCommand(table: String, columns: Seq[String],
     val src0 = spark.sql(sourceSql)
     // a column list renames the source's positional output (VALUES
     // yields col1, col2, …) so g.insert's by-name alignment — and the
-    // identity-omitted shape — resolve exactly as the user wrote them
-    val src = if (columns.nonEmpty) src0.toDF(columns: _*) else src0
+    // identity-omitted shape — resolve exactly as the user wrote them.
+    // Validate it against the TARGET schema first: an unknown (typo'd)
+    // or duplicated name would otherwise degrade to a silent positional
+    // rename, landing values in the wrong columns where native Spark
+    // rejects the statement.
+    val src = if (columns.nonEmpty) {
+      val targetCols =
+        org.apache.spark.sql.graft.store.GraftColumnStore.get(table)
+          .map(_.schema).orElse(
+            org.apache.spark.sql.graft.store.GraftRowStore.get(table)
+              .map(_.schema))
+          .map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+      val unknown = columns.filterNot(c =>
+        targetCols.exists(_.equalsIgnoreCase(c)))
+      if (unknown.nonEmpty) throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3105",
+        messageParameters = Map("message" ->
+          (s"INSERT INTO $table: unknown column(s) ${unknown.mkString(", ")} " +
+            s"(table columns: ${targetCols.mkString(", ")})")))
+      val dups = columns.groupBy(_.toLowerCase).collect {
+        case (_, vs) if vs.size > 1 => vs.head
+      }
+      if (dups.nonEmpty) throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3105",
+        messageParameters = Map("message" ->
+          (s"INSERT INTO $table: duplicate column(s) ${dups.mkString(", ")} " +
+            "in the insert column list")))
+      src0.toDF(columns: _*)
+    } else src0
     g.insert(table, src)
     Nil
   }

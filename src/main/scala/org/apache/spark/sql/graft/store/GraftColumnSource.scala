@@ -192,7 +192,22 @@ class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
       Option(options.get("mv_strict")),
       // maintenance: emit ONLY tombstoned rows (the matview subtractive
       // delete-refresh reads the newly-deleted rows of pinned batches)
-      Option(options.get("deleted_rows")).exists(_.toBoolean))
+      Option(options.get("deleted_rows")).exists(_.toBoolean),
+      // repeat-delete refresh: per-batch RECORDED bitmap ids whose rows
+      // are excluded from the deleted_rows read — what remains is
+      // exactly the rows tombstoned SINCE the view's fingerprint
+      // ("bid:bitmapId,bid:bitmapId")
+      Option(options.get("exclude_bitmaps")).map(_.split(",").iterator
+        .map { kv => val Array(b, m) = kv.split(":"); b.trim.toLong -> m.trim.toLong }
+        .toMap).getOrElse(Map.empty),
+      // update-delta refresh: emit ONLY rows addressed by update deltas
+      // NOT in `since_deltas`, valued as of the recorded delta set
+      // ("old") or the current one ("new") — the two sides of the
+      // subtract-old/add-new O(delta) matview refresh after UPDATEs
+      Option(options.get("updated_rows")),
+      Option(options.get("since_deltas")).filter(_.nonEmpty)
+        .map(_.split(",").iterator.map(_.trim.toLong).toSet)
+        .getOrElse(Set.empty))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // read replicas refuse DSv2 writes too (INSERT INTO graft.t /
@@ -215,7 +230,10 @@ class GraftTable(tableName: String, tableSchema: StructType, batchSize: Int,
 class GraftScanBuilder(tableName: String, fullSchema: StructType,
     batchIds: Option[Set[Long]] = None,
     mvStrict: Option[String] = None,
-    deletedOnly: Boolean = false)
+    deletedOnly: Boolean = false,
+    excludeBitmaps: Map[Long, Long] = Map.empty,
+    updatedMode: Option[String] = None,
+    sinceDeltas: Set[Long] = Set.empty)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -247,9 +265,10 @@ class GraftScanBuilder(tableName: String, fullSchema: StructType,
     // strict-freshness matview scans keep the plain GraftScan so the
     // execution-start freshness re-proof below always runs
     if (mvStrict.isDefined) return false
-    // deleted-rows maintenance reads invert visibility in the reader;
-    // the agg scan enumerates live rows and would answer wrongly
-    if (deletedOnly) return false
+    // deleted-rows / updated-rows maintenance reads change visibility in
+    // the reader; the agg scan enumerates live rows and would answer
+    // wrongly
+    if (deletedOnly || updatedMode.isDefined) return false
     if (conf.getConfString(GraftAggPushdown.CONF_KEY, "true") != "true" ||
         pushed.nonEmpty) return false
     GraftAggPushdown.translate(aggregation, fullSchema, conf.ansiEnabled) match {
@@ -291,7 +310,8 @@ class GraftScanBuilder(tableName: String, fullSchema: StructType,
   override def build(): Scan = aggSpec match {
     case Some(spec) => new GraftAggScan(tableName, fullSchema, spec)
     case None => new GraftScan(tableName, fullSchema, required, pushed,
-      batchIds, mvStrict, deletedOnly)
+      batchIds, mvStrict, deletedOnly, excludeBitmaps, updatedMode,
+      sinceDeltas)
   }
 }
 
@@ -302,13 +322,20 @@ class GraftScanBuilder(tableName: String, fullSchema: StructType,
 case class BatchWork(
     ref: GraftColumnStore.BatchRef,
     deletes: Option[GraftColumnStore.DeleteRef],
-    updates: Map[Int, Vector[GraftColumnStore.ColumnDeltaRef]])
+    updates: Map[Int, Vector[GraftColumnStore.ColumnDeltaRef]],
+    // deleted_rows reads only: the RECORDED bitmap id whose rows are
+    // excluded (repeat-delete refresh — what remains is the rows
+    // tombstoned since the matview fingerprint); resolves task-side
+    excludeBitmapId: Option[Long] = None)
 
 class GraftScan(tableName: String, fullSchema: StructType,
     required: StructType, pushedFilters: Array[Filter],
     batchIds: Option[Set[Long]] = None,
     mvStrict: Option[String] = None,
-    deletedOnly: Boolean = false)
+    deletedOnly: Boolean = false,
+    excludeBitmaps: Map[Long, Long] = Map.empty,
+    updatedMode: Option[String] = None,
+    sinceDeltas: Set[Long] = Set.empty)
     extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
 
@@ -361,7 +388,8 @@ class GraftScan(tableName: String, fullSchema: StructType,
 
   private def workFor(ref: GraftColumnStore.BatchRef): BatchWork =
     BatchWork(ref, snapshot.deletes.get(ref.id),
-      snapshot.updates.getOrElse(ref.id, Map.empty))
+      snapshot.updates.getOrElse(ref.id, Map.empty),
+      excludeBitmaps.get(ref.id))
 
   // recomputed when runtime filters arrive; cached per filter state so
   // pruning (and its telemetry) runs once per planning
@@ -407,16 +435,24 @@ class GraftScan(tableName: String, fullSchema: StructType,
     // semantics leave open. A mutation committed since planning aborts
     // with an actionable error — a re-run re-plans and either re-proves
     // or falls back to the base scan.
-    mvStrict.foreach { mv =>
-      if (!MatViews.get(mv).exists(MatViews.isFresh)) {
-        throw new IllegalStateException(
-          s"materialized view '$mv' went stale between planning and " +
-            "execution (strict freshness is on) — re-run the query: a " +
-            "fresh plan re-proves the fingerprint or falls back to the " +
-            "base table")
-      }
-    }
+    strictReprove()
     planPartitions()
+  }
+
+  /** The strict-freshness re-proof itself, shared by planInputPartitions
+    * AND createReaderFactory: Spark plans partitions once per
+    * materialized scan, but a CACHED physical plan (plan cache, AQE
+    * stage reuse) re-executes through createReaderFactory without
+    * re-planning — re-proving in both closes that window too.
+    */
+  private def strictReprove(): Unit = mvStrict.foreach { mv =>
+    if (!MatViews.get(mv).exists(MatViews.isFresh)) {
+      throw new IllegalStateException(
+        s"materialized view '$mv' went stale between planning and " +
+          "execution (strict freshness is on) — re-run the query: a " +
+          "fresh plan re-proves the fingerprint or falls back to the " +
+          "base table")
+    }
   }
 
   private def planPartitions(): Array[InputPartition] =
@@ -532,8 +568,9 @@ class GraftScan(tableName: String, fullSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    strictReprove() // cached-plan re-executions skip planInputPartitions
     val f = new GraftReaderFactory(fullSchema, required, tableName, leaseId,
-      deletedOnly)
+      deletedOnly, updatedMode, sinceDeltas)
     GraftColumnStore.get(tableName).foreach(_.addLeaseOwner(leaseId, f))
     f
   }
@@ -549,7 +586,9 @@ case class GraftBucketPartition(bucketId: Int, works: Vector[BatchWork])
 
 class GraftReaderFactory(fullSchema: StructType, required: StructType,
     tableName: String, leaseId: Long,
-    deletedOnly: Boolean = false)
+    deletedOnly: Boolean = false,
+    updatedMode: Option[String] = None,
+    sinceDeltas: Set[Long] = Set.empty)
     extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
@@ -585,18 +624,44 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
     val dels0 = w.deletes.map(_.bitset).getOrElse(BitSet.empty)
     // deleted-rows maintenance read: INVERT visibility — suppress the
     // live rows, emit the tombstoned ones (a batch with no bitmap has
-    // nothing deleted, so everything suppresses). Update deltas still
-    // overlay first: a row updated and later deleted reads back its
+    // nothing deleted, so everything suppresses). With an exclude
+    // bitmap (repeat-delete refresh), rows ALREADY tombstoned at the
+    // view's recorded fingerprint suppress too — what remains is
+    // exactly the rows deleted SINCE. Update deltas still overlay
+    // first: a row updated and later deleted reads back its
     // last-visible values, which is what a subtractive refresh must
     // remove from the summary.
+    // updated-rows maintenance read: emit only LIVE rows addressed by
+    // an update delta OUTSIDE `sinceDeltas` (i.e. committed since the
+    // view's fingerprint), valued as of the recorded delta set ("old")
+    // or the current one ("new") — the subtract/add sides of the
+    // update refresh. Deltas on ANY column mark the row (an update to
+    // one agg input moves the whole tuple's contribution).
     val dels =
-      if (!deletedOnly) dels0
-      else {
+      if (deletedOnly) {
+        val excl = w.excludeBitmapId match {
+          case Some(id) => BitSet.fromBitMaskNoCopy(
+            GraftColumnStore.BatchRegistry.bitmapWords(id))
+          case None => BitSet.empty
+        }
         val b = scala.collection.mutable.BitSet.empty
         var i = 0
-        while (i < n) { if (!dels0(i)) b += i; i += 1 }
+        while (i < n) { if (!dels0(i) || excl(i)) b += i; i += 1 }
         scala.collection.immutable.BitSet.fromBitMaskNoCopy(b.toBitMask)
-      }
+      } else if (updatedMode.isDefined) {
+        val addressed = scala.collection.mutable.BitSet.empty
+        w.updates.valuesIterator.foreach(_.foreach { dref =>
+          if (!sinceDeltas.contains(dref.deltaId)) {
+            val d = GraftColumnStore.BatchRegistry.delta(dref.deltaId)
+            var k = 0
+            while (k < d.rows.length) { addressed += d.rows(k); k += 1 }
+          }
+        })
+        val b = scala.collection.mutable.BitSet.empty
+        var i = 0
+        while (i < n) { if (dels0(i) || !addressed(i)) b += i; i += 1 }
+        scala.collection.immutable.BitSet.fromBitMaskNoCopy(b.toBitMask)
+      } else dels0
     val live = n - dels.size
     val vectors: Array[ColumnVector] = required.fields.map { f =>
       val vec = new OnHeapColumnVector(live, f.dataType)
@@ -617,7 +682,14 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
           }
         case name =>
           val srcIdx = fullSchema.fieldIndex(name)
-          val updates = w.updates.getOrElse(srcIdx, Vector.empty)
+          // "old" update read: overlay only the deltas the view's
+          // fingerprint RECORDED — the values as of the last refresh
+          val updates = {
+            val all = w.updates.getOrElse(srcIdx, Vector.empty)
+            if (updatedMode.contains("old"))
+              all.filter(d => sinceDeltas.contains(d.deltaId))
+            else all
+          }
           if (updates.isEmpty) {
             // streaming decode, no intermediate materialization
             fillStreaming(vec, f.dataType, batch.columns(srcIdx), dels, live)

@@ -586,6 +586,43 @@ object GraftColumnStore {
     }
     def bitmapWords(id: Long): Array[Long] = bitmaps.getOrElse(id,
       throw new IllegalStateException(s"graftstore delete-bitmap payload missing: $id"))
+
+    // ---- freshness bitmap pins: a registered materialized view records
+    // each batch's delete-bitmap ID in its fingerprint, and the
+    // repeat-delete subtractive refresh derives "newly tombstoned rows"
+    // as (current bitmap) MINUS (recorded bitmap) — so the recorded
+    // payload must outlive the snapshot swap that supersedes it
+    // (applyDeletes unions old|new into a NEW payload and retires both
+    // inputs). Pins are REFCOUNTED (several views can record the same
+    // id); a release arriving while pinned DEFERS until the last unpin.
+    // Pinned state is metadata + the bitmap words (~numRows/8 bytes per
+    // touched batch) — bounded by live bitmap volume, never row data.
+    private val bitmapPins = mutable.Map.empty[Long, Int]
+    private val deferredBitmapFrees = mutable.Set.empty[Long]
+
+    /** Pin `id` against release; no-op if the payload is already gone
+      * (callers re-check [[hasBitmap]] before relying on it).
+      */
+    def pinBitmap(id: Long): Unit = synchronized {
+      if (bitmaps.contains(id))
+        bitmapPins(id) = bitmapPins.getOrElse(id, 0) + 1
+    }
+
+    def unpinBitmap(id: Long): Unit = synchronized {
+      bitmapPins.get(id).foreach { n =>
+        if (n > 1) bitmapPins(id) = n - 1
+        else {
+          bitmapPins.remove(id)
+          if (deferredBitmapFrees.remove(id)) bitmaps.remove(id)
+        }
+      }
+    }
+
+    def hasBitmap(id: Long): Boolean = bitmaps.contains(id)
+
+    /** Pinned-bitmap telemetry: (live pins, deferred frees). */
+    def bitmapPinStats: (Int, Int) =
+      synchronized { (bitmapPins.size, deferredBitmapFrees.size) }
     // synchronized WITH spill(): an unsynchronized release racing a spill
     // could interleave after spill's payload read but before its
     // spilledFiles.put, resurrecting a file entry for a released id (disk
@@ -599,7 +636,10 @@ object GraftColumnStore {
         spilledFiles.remove(id).foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
       deltaIds.foreach(deltas.remove)
-      bitmapIds.foreach(bitmaps.remove)
+      bitmapIds.foreach { id =>
+        if (bitmapPins.contains(id)) deferredBitmapFrees += id
+        else bitmaps.remove(id)
+      }
     }
   }
 

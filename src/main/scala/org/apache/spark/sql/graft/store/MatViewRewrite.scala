@@ -154,8 +154,68 @@ object MatViewSupport extends PredicateHelper {
     */
   def canonicalEq(e: Expression): Option[String] =
     cmpShape(e).map { case (a, op, l) =>
-      s"${canonicalName(a)} $op ${l.sql}"
+      s"${canonicalName(a)} $op ${litSql(l)}"
+    }.orElse(inShape(e).map { case (a, lits) =>
+      inCanon(canonicalName(a), lits)
+    })
+
+  /** Canonical IN rendering: literals SORTED by their rendered form and
+    * deduplicated, so `IN (3, 1, 2, 1)` and `IN (1, 2, 3)` canonicalize
+    * identically on the CREATE and the query side; a single surviving
+    * literal renders as `=` — the optimizer rewrites one-element IN to
+    * EqualTo on the query side, and both roads must land on one string.
+    */
+  private def inCanon(name: String, lits: Seq[Literal]): String =
+    if (lits.size == 1) s"$name = ${litSql(lits.head)}"
+    else s"$name IN (${lits.map(litSql).mkString(", ")})"
+
+  /** `col IN (literals)` in (attribute, column-typed sorted distinct
+    * literals) shape. Matches the analyzed CREATE side (In over a
+    * possibly-cast column) AND the optimized query side (In, or InSet
+    * once OptimizeIn converts past the threshold — its values are
+    * already internal, in the comparison type). Every element must
+    * round-trip into the column's own type (litTo) or the whole
+    * predicate declines; NULL elements decline (IN over NULL is
+    * three-valued, not a row filter the view could have applied).
+    */
+  private def inShape(e: Expression): Option[(AttributeReference, Seq[Literal])] = {
+    def downAll(a: AttributeReference, lits: Seq[Literal]) = {
+      val down = lits.map(l => litTo(l, a.dataType))
+      if (down.exists(_.isEmpty) || down.isEmpty) None
+      else Some((a, down.flatten.map(l => (litSql(l), l))
+        .distinctBy(_._1).sortBy(_._1).map(_._2)))
     }
+    e match {
+      case In(v, list) if list.nonEmpty && list.forall(_.foldable) =>
+        cmpSide(v).flatMap { a =>
+          val lits = list.flatMap(l => scala.util.Try(l.eval()).toOption
+            .filter(_ != null).map(Literal(_, l.dataType)))
+          if (lits.size != list.size) None else downAll(a, lits)
+        }
+      case InSet(v, hset) if hset.nonEmpty =>
+        cmpSide(v).flatMap { a =>
+          if (hset.contains(null)) None
+          else downAll(a, hset.toSeq.map(Literal(_, v.dataType)))
+        }
+      case _ => None
+    }
+  }
+
+  /** Literal rendering for canonical strings. `Literal.sql` renders
+    * TIMESTAMP values in the CURRENT session's `spark.sql.session
+    * .timeZone` — a canonical string built in one session and
+    * re-applied (expr() during refresh, incl. the JDBC adopt path) in a
+    * session with a different zone would silently shift the view's
+    * window. Timestamps render as `timestamp_micros(<epoch-micros>)`
+    * instead: the internal value IS zone-free, so matching AND refresh
+    * agree across sessions regardless of timezone. DATE / TIMESTAMP_NTZ
+    * literals have no zone and keep Literal.sql.
+    */
+  private def litSql(l: Literal): String = l.dataType match {
+    case org.apache.spark.sql.types.TimestampType =>
+      s"timestamp_micros(${l.value.asInstanceOf[Long]}L)"
+    case _ => l.sql
+  }
 
   def canonicalName(a: AttributeReference): String =
     "`" + a.name.toLowerCase(Locale.ROOT) + "`"
@@ -175,8 +235,10 @@ object MatViewSupport extends PredicateHelper {
   def canonicalEqQual(e: Expression,
       owner: AttributeReference => Option[String]): Option[String] =
     cmpShape(e).flatMap { case (a, op, l) =>
-      owner(a).map(t => s"${qualName(t, a.name)} $op ${l.sql}")
-    }
+      owner(a).map(t => s"${qualName(t, a.name)} $op ${litSql(l)}")
+    }.orElse(inShape(e).flatMap { case (a, lits) =>
+      owner(a).map(t => inCanon(qualName(t, a.name), lits))
+    })
 
   /** One side of an equi-join conjunct: a bare column, or a column the
     * analyzer wrapped in a LOSSLESS widening cast (mismatched join-key
@@ -382,7 +444,7 @@ object MatViewSupport extends PredicateHelper {
           val predicate = conjs.result().map { c =>
             canonicalEq(c).getOrElse(fail(
               s"WHERE must be a conjunction of <column> <op> <literal> " +
-                s"comparisons (op: = >= <= > <), got: ${c.sql}"))
+                s"comparisons (op: = >= <= > < IN), got: ${c.sql}"))
           }
           val groupCols = groupExprs.map {
             case a: AttributeReference => a.name
@@ -419,7 +481,7 @@ object MatViewSupport extends PredicateHelper {
               case Some(p) => predicate += p
               case None => fail("join/where conjuncts must be t.a = u.b " +
                 s"equi-joins or <column> <op> <literal> comparisons " +
-                s"(op: = >= <= > <), got: ${c.sql}")
+                s"(op: = >= <= > < IN), got: ${c.sql}")
             }
           }
         }

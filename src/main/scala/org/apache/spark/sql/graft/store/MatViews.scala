@@ -90,8 +90,23 @@ object MatViews {
   // snapshot/sort of the registry on the planning hot path
   private val joinViews = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Delete-bitmap payload ids a view's freshness fingerprints
+    * reference — what [[register]] pins so the repeat-delete
+    * subtractive refresh can still diff "current bitmap minus recorded
+    * bitmap" after applyDeletes supersedes the recorded payload.
+    */
+  private def bitmapIdsOf(mv: MvDef): Set[Long] =
+    (mv.joins.map(_.fresh.values.toSeq).getOrElse(Nil) :+ mv.fresh)
+      .iterator.flatMap(_.fp.valuesIterator.flatMap(_._1)).toSet
+
   def register(mv: MvDef): Unit = {
+    // pin the NEW freshness's bitmap payloads before unpinning the
+    // old registration's — overlapping ids keep a net refcount ≥ 1
+    // throughout, so a concurrent release can never slip between
+    bitmapIdsOf(mv).foreach(GraftColumnStore.BatchRegistry.pinBitmap)
     val old = views.put(mv.name.toLowerCase, mv)
+    old.foreach(o =>
+      bitmapIdsOf(o).foreach(GraftColumnStore.BatchRegistry.unpinBitmap))
     val delta = (if (mv.joins.isDefined) 1 else 0) -
       (if (old.exists(_.joins.isDefined)) 1 else 0)
     if (delta != 0) joinViews.addAndGet(delta)
@@ -99,6 +114,8 @@ object MatViews {
 
   def unregister(name: String): Option[MvDef] = {
     val old = views.remove(name.toLowerCase)
+    old.foreach(o =>
+      bitmapIdsOf(o).foreach(GraftColumnStore.BatchRegistry.unpinBitmap))
     if (old.exists(_.joins.isDefined)) joinViews.decrementAndGet()
     old
   }

@@ -117,6 +117,43 @@ class AqpSpec extends SparkTestBase {
     }
   }
 
+  test("sys.samples freshness: maintained inserts stay fresh, deletes read stale") {
+    val g = GraftSession(spark)
+    g.createTable("sf_base", li.filter(col("l_orderkey") <= 1500))
+    g.createSampleTable("sf_sample", g.table("sf_base"),
+      qcs = Seq("l_returnflag"), fraction = 0.1,
+      reservoirFloor = 20, rankKey = Seq("l_orderkey", "l_linenumber"))
+    g.registerSample("sf_base", "sf_sample", Seq("l_returnflag"),
+      Some(GraftSession.SampleParams(0.1, 20, Seq("l_orderkey", "l_linenumber"))))
+    try {
+      def verdict(): String = spark.sql(
+        "SELECT is_fresh FROM sys.samples WHERE sample_table = 'sf_sample'")
+        .head().getString(0)
+      assert(verdict() == "true", "freshly registered sample reads fresh")
+      // an insert fans into the sample AND advances its fingerprint
+      g.insert("sf_base", g.table("sf_base").limit(100)
+        .withColumn("l_orderkey", col("l_orderkey") + 2000000)
+        .localCheckpoint(true))
+      assert(verdict() == "true", "maintained insert keeps the sample fresh")
+      // a base DELETE leaves sample rows for vanished strata: the skew
+      // is now VISIBLE — but routing still answers (reference
+      // semantics: SampleInsertExec also fans only inserts)
+      g.delete("sf_base", col("l_orderkey") % 5 === 0)
+      assert(verdict() == "false", "base delete must read stale")
+      val approx = g.sql("SELECT count(*) AS n FROM sf_base WITH ERROR 0.5")
+      assert(approx.head().getLong(0) > 0, "WITH ERROR still answers when stale")
+      // a LATER maintained insert must not mask the earlier skew
+      g.insert("sf_base", g.table("sf_base").limit(50)
+        .withColumn("l_orderkey", col("l_orderkey") + 3000000)
+        .localCheckpoint(true))
+      assert(verdict() == "false", "insert after a delete must not mask staleness")
+    } finally {
+      g.samples.remove("sf_base")
+      g.dropTable("sf_sample")
+      g.dropTable("sf_base")
+    }
+  }
+
   test("WITH ERROR sql rewrites onto the sample with weighted aggregates") {
     val g = GraftSession(spark)
     Tables.registerAll(spark, sf)

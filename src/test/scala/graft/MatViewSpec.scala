@@ -109,16 +109,18 @@ class MatViewSpec extends SparkTestBase {
     assert(g.refreshMaterializedView("mv2") == "noop")
   }
 
-  test("delete/update force a full rebuild; results stay correct") {
+  test("delete/update on a min/max view take the group-pruned partial path; results stay correct") {
+    // mv2 carries min(v)/max(v): subtraction cannot un-see a value, so
+    // delete and update refreshes re-aggregate ONLY the affected groups
     g.delete("mvb2", col("v") % 10 === 4)
     val q = "SELECT k, sum(v) AS sv, count(*) AS n FROM mvb2 GROUP BY k"
     assert(!usesMatView(q, "mv2"))
-    assert(g.refreshMaterializedView("mv2") == "full")
+    assert(g.refreshMaterializedView("mv2") == "partial")
     assert(usesMatView(q, "mv2"))
     assert(sorted(spark.sql(q)) == direct(q))
     g.update("mvb2", col("k") === 3, "v" -> (col("v") + 1))
     assert(!usesMatView(q, "mv2"))
-    assert(g.refreshMaterializedView("mv2") == "full")
+    assert(g.refreshMaterializedView("mv2") == "partial")
     assert(sorted(spark.sql(q)) == direct(q))
   }
 
@@ -515,7 +517,8 @@ class MatViewSpec extends SparkTestBase {
     val bad = Seq(
       "SELECT m1.k, sum(m1.v) AS s FROM mvb1 m1 JOIN mvb1 m2 ON m1.k = m2.k GROUP BY m1.k",
       "SELECT k, sum(v) AS s FROM mvb1 WHERE v > nv GROUP BY k", // col-vs-col
-      "SELECT k, sum(v) AS s FROM mvb1 WHERE v IN (1, 2, 3) GROUP BY k",
+      // a general OR is still refused (IN — an OR of equalities on ONE
+      // column — is supported since r14; see the IN-predicate arm)
       "SELECT k, sum(v) AS s FROM mvb1 WHERE cat = 'c1' OR cat = 'c2' GROUP BY k",
       // foldable but Unevaluable pre-FinishAnalysis (current_user() is
       // only substituted by the optimizer): must hit the actionable
@@ -623,14 +626,16 @@ class MatViewSpec extends SparkTestBase {
     assert(sorted(spark.sql(q)) == direct(q))
     // ... and the delete path: this view's avg(d) input is NULLABLE
     // (freshBase's d derives through %, which Spark types nullable), so
-    // the subtractive refresh correctly declines — full rebuild
+    // the subtractive refresh correctly declines — group-pruned partial
+    // rebuild (only groups with tombstoned rows re-aggregate, under the
+    // view predicate)
     g.delete("mvb16", col("v") % 10 === 2)
-    assert(g.refreshMaterializedView("mv16") == "full")
+    assert(g.refreshMaterializedView("mv16") == "partial")
     assert(sorted(spark.sql(q)) == direct(q))
     g.dropTable("mvb16")
   }
 
-  test("subtractive refresh: first-delete O(delta), emptied groups masked, repeat-delete falls back") {
+  test("subtractive refresh: first-delete O(delta), emptied groups masked, repeat-delete O(delta) too") {
     // bucketed by CAT, not by the group key: emptying group k=6 must
     // not empty whole batches (the store DROPS a fully-deleted batch,
     // and a vanished payload cannot be re-read — that case correctly
@@ -674,16 +679,30 @@ class MatViewSpec extends SparkTestBase {
     assert(sorted(spark.sql(q)) == direct(q))
     assert(spark.sql(q).filter(col("k") === 6).count() == 1)
     // a SECOND delete lands on batches that already carry a bitmap: the
-    // newly-deleted set would need the OLD bitmap's content (payload GC
-    // may have retired it) — falls back to full, stays correct
+    // newly-deleted set is (current bitmap) MINUS (recorded bitmap) —
+    // the recorded payload is PINNED by the registration against the
+    // superseding union swap's GC, so the repeat delete stays O(delta)
     g.delete("mvb28", col("v") % 10 === 4)
-    assert(g.refreshMaterializedView("mv28") == "full")
+    assert(g.refreshMaterializedView("mv28") == "incremental_delete")
+    assert(sorted(spark.sql(q)) == direct(q))
+    // ... and a THIRD, retention-cadence style
+    g.delete("mvb28", col("v") % 10 === 6)
+    assert(g.refreshMaterializedView("mv28") == "incremental_delete")
     assert(sorted(spark.sql(q)) == direct(q))
     g.dropTable("mvb28")
   }
 
-  test("subtractive refresh declines when the algebra cannot invert") {
-    freshBase("mvb29", rows = 300)
+  test("when the algebra cannot invert, deletes take the group-pruned partial path") {
+    // bucketed by CAT, not the group key: emptying group k=5 must not
+    // empty whole batches (a fully-deleted batch DROPS from the store,
+    // which correctly declines the delta paths — not what this arm pins)
+    g.createTable("mvb29", spark.range(300).select(
+      (col("id") % 7).cast("int").as("k"),
+      concat(lit("c"), col("id") % 3).as("cat"),
+      (col("id") * 2).as("v"),
+      when(col("id") % 11 === 0, lit(null).cast("long"))
+        .otherwise(col("id")).as("nv")),
+      partitionBy = Seq("cat"), buckets = 4)
     // nullable sum input: removing the last non-null value would need
     // the stored sum to flip to NULL, which subtraction cannot know
     g.sql("CREATE MATERIALIZED VIEW mv29a AS SELECT k, sum(nv) AS sv, " +
@@ -691,16 +710,26 @@ class MatViewSpec extends SparkTestBase {
     // min/max cannot un-see a value
     g.sql("CREATE MATERIALIZED VIEW mv29b AS SELECT k, max(v) AS mx, " +
       "count(*) AS n FROM mvb29 GROUP BY k")
-    // no count(*) slot: group emptiness would be undetectable
+    // no count(*) slot: group emptiness would be undetectable under
+    // subtraction (the partial path detects it structurally instead:
+    // no refreshed row → delete by key)
     g.sql("CREATE MATERIALIZED VIEW mv29c AS SELECT k, sum(v) AS sv " +
       "FROM mvb29 GROUP BY k")
+    // v%7===3 ⟺ id%7===5 ⟺ k===5: the delete empties group k=5
+    // ENTIRELY — the partial rebuild must remove its summary row (not
+    // mask it: these views may lack the count(*) mask slot)
     g.delete("mvb29", col("v") % 7 === 3)
-    assert(g.refreshMaterializedView("mv29a") == "full")
-    assert(g.refreshMaterializedView("mv29b") == "full")
-    assert(g.refreshMaterializedView("mv29c") == "full")
+    assert(g.refreshMaterializedView("mv29a") == "partial")
+    assert(g.refreshMaterializedView("mv29b") == "partial")
+    assert(g.refreshMaterializedView("mv29c") == "partial")
     val q = "SELECT k, sum(nv) AS sv, count(*) AS n FROM mvb29 GROUP BY k"
     assert(usesMatView(q, "mv29a"))
     assert(sorted(spark.sql(q)) == direct(q))
+    assert(spark.sql(q).filter(col("k") === 5).isEmpty,
+      "vanished group's summary row must be deleted")
+    val q2 = "SELECT k, max(v) AS mx, count(*) AS n FROM mvb29 GROUP BY k"
+    assert(usesMatView(q2, "mv29b"))
+    assert(sorted(spark.sql(q2)) == direct(q2))
     g.dropTable("mvb29")
   }
 
@@ -899,9 +928,11 @@ class MatViewSpec extends SparkTestBase {
       "two moving tables must rebuild")
     assert(usesMatView(q, "mvj1"))
     assert(sorted(spark.sql(q)) == direct(q))
-    // delete in the fact: rebuild
+    // delete in the fact: this view carries max(v), so subtraction
+    // declines — the group-pruned partial path re-aggregates only the
+    // (seg, k) groups the tombstoned fact rows touched, through the join
     g.delete("mvj_fact", col("v") % 10 === 4)
-    assert(g.refreshMaterializedView("mvj1") == "full")
+    assert(g.refreshMaterializedView("mvj1") == "partial")
     assert(sorted(spark.sql(q)) == direct(q))
     assert(g.refreshMaterializedView("mvj1") == "noop")
   }
@@ -1001,11 +1032,138 @@ class MatViewSpec extends SparkTestBase {
     assert(g.refreshMaterializedView("mvjd") == "incremental_delete")
     assert(usesMatView(q, "mvjd"))
     assert(sorted(spark.sql(q)) == direct(q))
-    // a SECOND fact delete lands on already-bitmapped batches → full
+    // a SECOND fact delete lands on already-bitmapped batches — the
+    // pinned recorded bitmaps make it O(delta) too, from either side
     g.delete("mvjd_fact", col("v") % 10 === 8)
+    assert(g.refreshMaterializedView("mvjd") == "incremental_delete")
+    assert(sorted(spark.sql(q)) == direct(q))
+    // interleaved APPEND + DELETE between refreshes is neither a pure
+    // append nor a bitmap-only move — correctly rebuilds
+    g.insert("mvjd_fact", spark.range(800, 850).select(
+      (col("id") % 40).as("fk"), (col("id") * 2).as("v")))
+    g.delete("mvjd_fact", col("v") % 10 === 2)
     assert(g.refreshMaterializedView("mvjd") == "full")
     assert(sorted(spark.sql(q)) == direct(q))
+    // delete-then-append ACROSS refreshes: each move classifies alone
+    g.delete("mvjd_fact", col("v") % 20 === 6)
+    assert(g.refreshMaterializedView("mvjd") == "incremental_delete")
+    g.insert("mvjd_fact", spark.range(850, 880).select(
+      (col("id") % 40).as("fk"), (col("id") * 2).as("v")))
+    assert(g.refreshMaterializedView("mvjd") == "incremental")
+    assert(sorted(spark.sql(q)) == direct(q))
     g.dropTable("mvjd_fact"); g.dropTable("mvjd_dim")
+  }
+
+  test("IN-predicate views: set-identity matching, InSet conversion, qualified join form") {
+    freshBase("mvb31", rows = 400)
+    g.sql("CREATE MATERIALIZED VIEW mv31 AS SELECT k, sum(v) AS sv, " +
+      "count(*) AS n FROM mvb31 WHERE cat IN ('c2', 'c0') GROUP BY k")
+    // permuted + duplicated element list → same canonical set
+    val q = "SELECT k, sum(v) AS sv, count(*) AS n FROM mvb31 " +
+      "WHERE cat IN ('c0', 'c2', 'c0') GROUP BY k"
+    assert(usesMatView(q, "mv31"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    // subset / superset / disjoint sets decline
+    Seq("cat IN ('c0')", "cat IN ('c0', 'c1', 'c2')", "cat IN ('c1')")
+      .foreach { w =>
+        val bad = s"SELECT k, sum(v) AS sv FROM mvb31 WHERE $w GROUP BY k"
+        assert(!usesMatView(bad, "mv31"), s"must decline: $w")
+        assert(sorted(spark.sql(bad)) == direct(bad))
+      }
+    // refresh paths keep the predicate semantics
+    g.insert("mvb31", spark.range(400, 480).select(
+      (col("id") % 7).cast("int").as("k"), concat(lit("c"), col("id") % 3).as("cat"),
+      (col("id") * 2).as("v"), (col("id") % 100).cast("double").as("d"),
+      col("id").as("nv")))
+    assert(g.refreshMaterializedView("mv31") == "incremental")
+    assert(sorted(spark.sql(q)) == direct(q))
+    g.dropTable("mvb31")
+
+    // a WIDE value list (past spark.sql.optimizer.inSetConversionThreshold,
+    // default 10) optimizes to InSet on the query side — must still match
+    freshBase("mvb32", rows = 300)
+    val twelve = (0 until 12).map(i => i * 2).mkString(", ") // v ∈ {0..22 even}
+    g.sql("CREATE MATERIALIZED VIEW mv32 AS SELECT k, count(*) AS n, " +
+      s"sum(v) AS sv FROM mvb32 WHERE v IN ($twelve) GROUP BY k")
+    val qWide = "SELECT k, count(*) AS n, sum(v) AS sv FROM mvb32 " +
+      s"WHERE v IN (${(0 until 12).map(i => i * 2).reverse.mkString(", ")}) GROUP BY k"
+    assert(usesMatView(qWide, "mv32"), "InSet-converted IN must match")
+    assert(sorted(spark.sql(qWide)) == direct(qWide))
+    // single-element IN folds to `=` on both sides
+    g.sql("CREATE MATERIALIZED VIEW mv33 AS SELECT k, count(*) AS n " +
+      "FROM mvb32 WHERE cat IN ('c1') GROUP BY k")
+    val qEq = "SELECT k, count(*) AS n FROM mvb32 WHERE cat = 'c1' GROUP BY k"
+    assert(usesMatView(qEq, "mv33"), "IN ('x') must serve cat = 'x'")
+    assert(sorted(spark.sql(qEq)) == direct(qEq))
+    g.dropTable("mvb32")
+  }
+
+  test("update refresh: predicate-crossing, repeated waves, and mixed moves") {
+    g.createTable("mvb30", spark.range(400).select(
+      col("id").as("pk"),
+      (col("id") % 7).cast("int").as("k"),
+      concat(lit("c"), col("id") % 3).as("cat"),
+      (col("id") * 2).as("v")),
+      partitionBy = Seq("pk"), buckets = 4)
+    g.sql("CREATE MATERIALIZED VIEW mv30 AS SELECT k, sum(v) AS sv, " +
+      "count(*) AS n FROM mvb30 WHERE cat = 'c0' GROUP BY k")
+    val q = "SELECT k, sum(v) AS sv, count(*) AS n FROM mvb30 " +
+      "WHERE cat = 'c0' GROUP BY k"
+    assert(usesMatView(q, "mv30"))
+    // rows LEAVING the view predicate: old side subtracts, new side
+    // filters out — net removal
+    g.update("mvb30", col("pk") % 10 === 0, "cat" -> lit("cX"))
+    assert(!usesMatView(q, "mv30"), "update must stale the view")
+    assert(g.refreshMaterializedView("mv30") == "incremental_update")
+    assert(usesMatView(q, "mv30"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    // rows ENTERING the predicate: old side filters out, new side adds
+    g.update("mvb30", col("cat") === "c1" && col("pk") % 4 === 1,
+      "cat" -> lit("c0"))
+    assert(g.refreshMaterializedView("mv30") == "incremental_update")
+    assert(sorted(spark.sql(q)) == direct(q))
+    // repeated measure waves on the SAME rows: the recorded-delta set
+    // keeps each refresh reading only the NEW deltas
+    g.update("mvb30", col("pk") % 6 === 2, "v" -> (col("v") + 5))
+    assert(g.refreshMaterializedView("mv30") == "incremental_update")
+    g.update("mvb30", col("pk") % 6 === 2, "v" -> (col("v") + 5))
+    assert(g.refreshMaterializedView("mv30") == "incremental_update")
+    assert(sorted(spark.sql(q)) == direct(q))
+    // mixed UPDATE + DELETE between refreshes is neither delta shape —
+    // correctly rebuilds
+    g.update("mvb30", col("pk") % 9 === 1, "v" -> (col("v") + 1))
+    g.delete("mvb30", col("pk") % 9 === 5)
+    assert(g.refreshMaterializedView("mv30") == "full")
+    assert(sorted(spark.sql(q)) == direct(q))
+    g.dropTable("mvb30")
+  }
+
+  test("star-schema view: update refresh from either side") {
+    g.createTable("mvju_fact", spark.range(600).select(
+      (col("id") % 30).as("fk"), (col("id") * 2).as("v")),
+      partitionBy = Seq("fk"), buckets = 4)
+    g.createTable("mvju_dim", spark.range(30).select(
+      col("id").as("dk"), concat(lit("g"), col("id") % 5).as("grp")),
+      partitionBy = Seq("dk"), buckets = 2)
+    g.sql("CREATE MATERIALIZED VIEW mvju AS SELECT grp, sum(v) AS sv, " +
+      "count(*) AS n FROM mvju_fact JOIN mvju_dim ON fk = dk GROUP BY grp")
+    val q = "SELECT grp, sum(v) AS sv, count(*) AS n " +
+      "FROM mvju_fact JOIN mvju_dim ON fk = dk GROUP BY grp"
+    assert(usesMatView(q, "mvju"))
+    // a dim ATTRIBUTE update moves whole fan-outs of fact rows between
+    // groups: the old-valued dim rows ⋈ fact subtract, the new-valued
+    // rows ⋈ fact add — including a group the view has never seen
+    g.update("mvju_dim", col("dk") % 6 === 2, "grp" -> lit("gX"))
+    assert(!usesMatView(q, "mvju"), "dim update must stale the view")
+    assert(g.refreshMaterializedView("mvju") == "incremental_update")
+    assert(usesMatView(q, "mvju"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    assert(spark.sql(q).filter(col("grp") === "gX").count() == 1)
+    // fact measure update: the same machinery from the other side
+    g.update("mvju_fact", col("v") % 10 === 6, "v" -> (col("v") + 100))
+    assert(g.refreshMaterializedView("mvju") == "incremental_update")
+    assert(sorted(spark.sql(q)) == direct(q))
+    g.dropTable("mvju_fact"); g.dropTable("mvju_dim")
   }
 
   test("star-schema view: implicitly widened join keys (int = bigint) still match") {

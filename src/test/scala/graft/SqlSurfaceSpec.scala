@@ -462,7 +462,7 @@ class SqlSurfaceSpec extends SparkTestBase {
         "WHERE policy_name = 'sys_pol'").isEmpty)
       // samples / sinkstate: resolvable with the documented schemas
       assert(spark.sql("SELECT sample_table, base_table, qcs, fraction, " +
-        "reservoir_floor FROM sys.samples").columns.length == 5)
+        "reservoir_floor, is_fresh FROM sys.samples").columns.length == 6)
       assert(spark.sql("SELECT query_name, table_name, batch_id " +
         "FROM sys.sinkstate").columns.length == 3)
       assert(spark.sql("SELECT name, mode, epoch, root, pinned, owner_session " +
@@ -785,12 +785,23 @@ class SqlSurfaceSpec extends SparkTestBase {
         spark.sql("INSERT INTO graft.sqlci VALUES (3, '')"))
       assert(e.getMessage.contains("CHECK constraint"), e.getMessage)
       spark.sql("INSERT INTO graft.sqlci VALUES (1, 'a')")
-      // PARAMETERIZED statements keep the native path WITH their
-      // bindings (the intercept re-parses its source without a binding
-      // context, so it must decline — previously this threw
-      // UNBOUND_SQL_PARAMETER)
-      spark.sql("INSERT INTO graft.sqlci VALUES (?, ?)",
-        Array(2L, "b").asInstanceOf[Array[Any]])
+      // PARAMETERIZED statements cannot take the enforcing path (the
+      // command re-parses its source with no binding context) — and
+      // routing them native would SILENTLY skip identity/CHECK/UNIQUE/FK
+      // enforcement, so they FAIL FAST with an actionable message
+      val pe = intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql("INSERT INTO graft.sqlci VALUES (?, ?)",
+          Array(2L, "b").asInstanceOf[Array[Any]]))
+      assert(pe.getMessage.contains("parameterized INSERT"), pe.getMessage)
+      // the session insert API is the supported binding path (enforced)
+      g.insertRows("sqlci", org.apache.spark.sql.Row(2L, "b"))
+      // a typo'd column list is rejected, never positionally misrouted
+      val ce = intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql("INSERT INTO graft.sqlci (k, vv) VALUES (9, 'x')"))
+      assert(ce.getMessage.contains("unknown column"), ce.getMessage)
+      val de = intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql("INSERT INTO graft.sqlci (k, k) VALUES (9, 9)"))
+      assert(de.getMessage.contains("duplicate column"), de.getMessage)
       // BY NAME is Spark-native syntax the intercept grammar refuses —
       // the whole statement delegates and keeps working
       spark.sql("INSERT INTO graft.sqlci BY NAME SELECT 'c' AS v, 4L AS k")
