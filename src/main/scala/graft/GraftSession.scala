@@ -1189,11 +1189,12 @@ class GraftSession(val spark: SparkSession)
     * only the new batches, merge by group key through putInto), after
     * deletes (SUBTRACTIVE refresh — first AND repeat deletes), and
     * after updates (two-sided subtract-old/add-new refresh); when
-    * subtraction's algebra declines but the move is still delete- or
-    * update-only, a GROUP-PRUNED partial rebuild re-aggregates only the
-    * affected groups; anything else — mixed delete+update on one batch,
-    * TTL-expiry, several moving tables — full rebuild. Returns the path
-    * taken: "noop" | "incremental" | "incremental_delete" |
+    * subtraction's algebra declines — or the move MIXES updates and
+    * deletes — a GROUP-PRUNED partial rebuild re-aggregates only the
+    * affected groups; anything else — a changed batch SET (appends mixed
+    * with mutations, emptied batches, compaction), TTL-expiry, several
+    * moving tables — full rebuild. Returns the path taken:
+    * "noop" | "incremental" | "incremental_delete" |
     * "incremental_update" | "partial" | "full".
     *
     * SUBTRACTIVE path conditions (single-table AND join views — for a
@@ -1273,6 +1274,21 @@ class GraftSession(val spark: SparkSession)
     def registered(): MatViews.MvDef = mv.copy(
       fresh = freshNow(mv.base),
       joins = mv.joins.map(_.copy(fresh = freshNow)))
+    // signed-delta safety: a base mutation committing between the
+    // freshNow capture above and a delta scan's snapshot pin would make
+    // the delta disagree with the fingerprint this refresh RECORDS —
+    // the next refresh would then re-apply part of it (double-subtract /
+    // double-add) and, fingerprint finally matching, SERVE the corrupt
+    // summary. Checked AFTER the delta materializes: payload ids never
+    // recycle, so fingerprint(t2) == fingerprint(t0) proves no mutation
+    // committed in [t0, t2], sandwiching the scan's pin at t1. On a
+    // race the caller falls back to rebuild(), whose re-aggregation is
+    // idempotent against current truth (a stale-fingerprint rebuild
+    // never serves and the next refresh converges).
+    def racedMutation(): Boolean = tables.exists { t =>
+      GraftColumnStore.get(t).forall(s =>
+        MatViews.fingerprint(s.snapshot) != freshNow(t))
+    }
     def rebuild(): String = {
       val contents = mvContents(tables, mv.joins.map(_.conds).getOrElse(Nil),
         freshNow.view.mapValues(_.refIds).toMap, mv.groupCols, mv.groupQual,
@@ -1353,6 +1369,28 @@ class GraftSession(val spark: SparkSession)
       }
       if (ok) Some((moved, since.result())) else None
     }
+    // MIXED move (update + delete between refreshes): batch set
+    // unchanged, update deltas only GREW, bitmaps moved freely. Neither
+    // signed-delta path can price this (the delete delta needs recorded
+    // bitmaps, the update delta assumes bitmaps carried), but the
+    // group-pruned partial rebuild can: the affected groups are the
+    // union of the tombstoned rows' groups (a superset is idempotent)
+    // and the updated rows' old+new groups.
+    def mixedMoved(t: String): Option[(Set[Long], Set[Long])] = {
+      val f = recorded(t)
+      if (freshNow(t).refIds != f.refIds) return None
+      val now = freshNow(t).fp
+      val moved = f.refIds.filter(id => now.get(id) != f.fp.get(id))
+      val since = Set.newBuilder[Long]
+      val ok = moved.nonEmpty && moved.forall { id =>
+        (f.fp.get(id), now.get(id)) match {
+          case (Some((_, oldUpd)), Some((_, newUpd))) =>
+            oldUpd.toSet.subsetOf(newUpd.toSet) && { since ++= oldUpd; true }
+          case _ => false
+        }
+      }
+      if (ok) Some((moved, since.result())) else None
+    }
     def subtractable: Boolean = {
       // agg inputs are bare names for single-table views, canonical
       // `` `t`.`c` `` for join views — nullability resolves against the
@@ -1386,6 +1424,7 @@ class GraftSession(val spark: SparkSession)
       // NULL group keys defeat the keyed merge — correctness wins
       if (delta.filter(mv.groupCols.map(col(_).isNull)
           .reduce(_ || _)).take(1).nonEmpty) return rebuild()
+      if (racedMutation()) return rebuild() // see racedMutation scaladoc
       val storage = mvStorageNames(mv.aggs)
       val d = storage.foldLeft(delta)((df, n) =>
         df.withColumnRenamed(n, s"__d_$n"))
@@ -1423,6 +1462,7 @@ class GraftSession(val spark: SparkSession)
       // NULL group keys defeat the keyed merge — correctness wins
       if (delta.filter(mv.groupCols.map(col(_).isNull)
           .reduce(_ || _)).take(1).nonEmpty) return rebuild()
+      if (racedMutation()) return rebuild() // see racedMutation scaladoc
       val keep = mv.groupCols.map(col)
       val mvRows = GraftStoreOps.read(spark, nm) // session-independent
       val touched = mvRows.join(delta.select(keep: _*), mv.groupCols, "left_semi")
@@ -1466,11 +1506,14 @@ class GraftSession(val spark: SparkSession)
         col(f).cast(schema(f).dataType).as(f)).toSeq: _*)
       // groups whose every contributing row vanished produce no
       // refreshed row: their summary rows delete by key (the view table
-      // is keyed by the group columns)
+      // is keyed by the group columns). Guarded — both inputs are
+      // checkpointed, so the emptiness probe is a cheap local join,
+      // while an unconditional deleteKeys would run the bitmap job on
+      // every refresh (the common case has no vanished groups).
       val vanished = touched.join(
         refreshed.select(mv.groupCols.map(col): _*), mv.groupCols, "left_anti")
       MatViews.inMaintenance {
-        GraftStoreOps.deleteKeys(spark, nm, vanished)
+        if (vanished.take(1).nonEmpty) GraftStoreOps.deleteKeys(spark, nm, vanished)
         GraftStoreOps.putInto(spark, nm, conformed)
       }
       MatViews.register(registered())
@@ -1499,20 +1542,32 @@ class GraftSession(val spark: SparkSession)
                 special = Some((t, MvDeletedRead(moved, Map.empty))))
                 .select(mvKeys(mv.groupCols, mv.groupQual): _*))
           }
-        case None => updateOnlyMoved(t) match {
-          case Some((moved, since)) =>
-            if (subtractable) updateRefresh(t, moved, since)
-            else {
-              // both sides: an update can move a row between groups or
-              // across the view predicate — old and new keys both touch
-              def keysOf(which: String) = mvScan(tables, conds, ids,
-                mv.predicate,
-                special = Some((t, MvUpdatedRead(moved, since, which))))
-                .select(mvKeys(mv.groupCols, mv.groupQual): _*)
-              partialRebuild(keysOf("old").unionByName(keysOf("new")))
+        case None =>
+          def updKeys(moved: Set[Long], since: Set[Long], which: String) =
+            mvScan(tables, conds, ids, mv.predicate,
+              special = Some((t, MvUpdatedRead(moved, since, which))))
+              .select(mvKeys(mv.groupCols, mv.groupQual): _*)
+          updateOnlyMoved(t) match {
+            case Some((moved, since)) =>
+              if (subtractable) updateRefresh(t, moved, since)
+              else
+                // both sides: an update can move a row between groups or
+                // across the view predicate — old and new keys both touch
+                partialRebuild(updKeys(moved, since, "old")
+                  .unionByName(updKeys(moved, since, "new")))
+            case None => mixedMoved(t) match {
+              case Some((moved, since)) =>
+                // update + delete between refreshes: affected groups =
+                // tombstoned rows' groups ∪ updated rows' old+new groups
+                val delKeys = mvScan(tables, conds, ids, mv.predicate,
+                  special = Some((t, MvDeletedRead(moved, Map.empty))))
+                  .select(mvKeys(mv.groupCols, mv.groupQual): _*)
+                partialRebuild(delKeys
+                  .unionByName(updKeys(moved, since, "old"))
+                  .unionByName(updKeys(moved, since, "new")))
+              case None => rebuild() // expiry, emptied batches, compaction …
             }
-          case None => rebuild() // mixed delete+update on one batch, expiry, …
-        }
+          }
       }
     }
     else {
@@ -1528,9 +1583,13 @@ class GraftSession(val spark: SparkSession)
         pinned, mv.groupCols, mv.groupQual, mv.aggs, mv.predicate)
         .localCheckpoint(false)
       // a NULL group key defeats the equality-keyed merge join below
-      // (and putInto's key matching) — correctness wins: full rebuild
+      // (and putInto's key matching) — correctness wins: full rebuild.
+      // racedMutation: a delete racing this append-refresh would hide
+      // tombstoned rows from the delta scan while the recorded
+      // fingerprint still claims them — the next refresh's subtractive
+      // path would then remove them a second time (see racedMutation)
       if (delta.filter(mv.groupCols.map(col(_).isNull)
-          .reduce(_ || _)).take(1).nonEmpty) rebuild()
+          .reduce(_ || _)).take(1).nonEmpty || racedMutation()) rebuild()
       else {
         val keep = mv.groupCols.map(col)
         val storage = mvStorageNames(mv.aggs)

@@ -60,7 +60,8 @@ object MatViewBench {
     println(f"${"mult"}%5s ${"rows"}%10s ${"base_agg"}%9s ${"mv_agg"}%9s " +
       f"${"speedup"}%8s ${"build"}%8s ${"inc_refresh"}%12s " +
       f"${"del_sub"}%8s ${"del_part"}%8s ${"full_refresh"}%13s")
-    Seq(1, 16, 64).foreach { m =>
+    sys.env.getOrElse("SPARK_GRAFT_MULTS", "1,16,64").split(",")
+        .map(_.trim).filter(_.nonEmpty).map(_.toInt).foreach { m =>
       val base = s"mvp_base_$m"
       val mv = s"mvp_mv_$m"
       val rep = li.crossJoin(spark.range(m).toDF("__rep")).drop("__rep")
@@ -99,7 +100,10 @@ object MatViewBench {
         val p = g.refreshMaterializedView(mv)
         require(p == "partial", s"expected partial, got $p")
       }
-      g.update(base, col("gk") === 995, "qty" -> (col("qty") + 1))
+      // append+delete between refreshes changes the batch SET — the one
+      // single-table shape that still rebuilds (mixed update+delete now
+      // takes the partial path too)
+      g.insert(base, li.limit(1))
       g.delete(base, col("gk") === 994)
       val tFull = time {
         val p = g.refreshMaterializedView(mv)
@@ -151,9 +155,10 @@ object MatViewBench {
     // already-bitmapped batches and diff against the PINNED recorded
     // bitmaps). Reported: per-wave time (flat = O(delta)), cumulative,
     // and one full rebuild for scale.
-    locally {
+    sys.env.getOrElse("SPARK_GRAFT_LADDER_MULTS", "16").split(",")
+        .map(_.trim).filter(_.nonEmpty).map(_.toInt).foreach { lm =>
       val waves = sys.env.getOrElse("SPARK_GRAFT_LADDER", "30").toInt
-      val rep = li.crossJoin(spark.range(16).toDF("__rep"))
+      val rep = li.crossJoin(spark.range(lm).toDF("__rep"))
         .withColumn("day", (col("__rep") * 31 + col("gk") % 31) % waves)
         .drop("__rep")
       g.createTable("mvp_lbase", rep)
@@ -169,13 +174,16 @@ object MatViewBench {
           require(p == "incremental_delete", s"wave $d: expected incremental_delete, got $p")
         }
       }
-      // force one O(table) rebuild for scale (mixed move)
-      g.update("mvp_lbase", col("gk") === 1, "qty" -> (col("qty") + 1))
-      g.delete("mvp_lbase", col("gk") === 2)
+      // force one O(table) rebuild for scale: append+delete changes the
+      // batch set — deletes alone would stay O(delta), and the delete
+      // must hit KEEPER keys (gk%5==0; the ladder deleted the rest — a
+      // zero-row mutation leaves the fingerprint unmoved = noop)
+      g.insert("mvp_lbase", rep.limit(1))
+      g.delete("mvp_lbase", col("gk") === 5)
       val tRebuild = time {
         require(g.refreshMaterializedView("mvp_lmv") == "full")
       }
-      println(f"\nretention ladder: $waves waves, per-wave " +
+      println(f"\nretention ladder (x$lm base, ${org.apache.spark.sql.graft.store.GraftColumnStore("mvp_lbase").snapshot.rowCount} rows): $waves waves, per-wave " +
         f"min=${times.min}%.3f median=${times.sorted.apply(waves / 2)}%.3f " +
         f"max=${times.max}%.3f cumulative=${times.sum}%.3f s " +
         f"vs one full rebuild=$tRebuild%.3f s " +

@@ -636,6 +636,11 @@ class MatViewSpec extends SparkTestBase {
   }
 
   test("subtractive refresh: first-delete O(delta), emptied groups masked, repeat-delete O(delta) too") {
+    // pin accounting: every register pins the fingerprint's bitmap ids
+    // and unpins the superseded registration's — by drop time the net
+    // live-pin count must return to the pre-test level (no leak)
+    val pinsBefore = org.apache.spark.sql.graft.store
+      .GraftColumnStore.BatchRegistry.bitmapPinStats._1
     // bucketed by CAT, not by the group key: emptying group k=6 must
     // not empty whole batches (the store DROPS a fully-deleted batch,
     // and a vanished payload cannot be re-read — that case correctly
@@ -690,6 +695,9 @@ class MatViewSpec extends SparkTestBase {
     assert(g.refreshMaterializedView("mv28") == "incremental_delete")
     assert(sorted(spark.sql(q)) == direct(q))
     g.dropTable("mvb28")
+    assert(org.apache.spark.sql.graft.store
+      .GraftColumnStore.BatchRegistry.bitmapPinStats._1 == pinsBefore,
+      "bitmap pins must not leak across the view lifecycle")
   }
 
   test("when the algebra cannot invert, deletes take the group-pruned partial path") {
@@ -1129,10 +1137,18 @@ class MatViewSpec extends SparkTestBase {
     g.update("mvb30", col("pk") % 6 === 2, "v" -> (col("v") + 5))
     assert(g.refreshMaterializedView("mv30") == "incremental_update")
     assert(sorted(spark.sql(q)) == direct(q))
-    // mixed UPDATE + DELETE between refreshes is neither delta shape —
-    // correctly rebuilds
+    // mixed UPDATE + DELETE between refreshes: neither signed-delta
+    // shape, but the GROUP-PRUNED partial path covers it — affected
+    // groups are the tombstoned rows' ∪ the updated rows' old+new groups
     g.update("mvb30", col("pk") % 9 === 1, "v" -> (col("v") + 1))
     g.delete("mvb30", col("pk") % 9 === 5)
+    assert(g.refreshMaterializedView("mv30") == "partial")
+    assert(sorted(spark.sql(q)) == direct(q))
+    // append + delete is still neither (refIds changed): full
+    g.insert("mvb30", spark.range(400, 410).select(
+      col("id").as("pk"), (col("id") % 7).cast("int").as("k"),
+      concat(lit("c"), col("id") % 3).as("cat"), (col("id") * 2).as("v")))
+    g.delete("mvb30", col("pk") % 9 === 7)
     assert(g.refreshMaterializedView("mv30") == "full")
     assert(sorted(spark.sql(q)) == direct(q))
     g.dropTable("mvb30")
