@@ -1092,8 +1092,15 @@ class GraftSession(val spark: SparkSession)
     * ("old") or the current one ("new").
     */
   private sealed trait MvTableRead
+  /** `since`/`oldValues`: value the emitted tombstoned rows as of the
+    * RECORDED delta set instead of the current one — the mixed-move
+    * partial rebuild needs the groups a row contributed to at the last
+    * refresh, which an update in the same window may have moved it out
+    * of (valued current, such a row only reveals its NEW group).
+    */
   private case class MvDeletedRead(ids: Set[Long],
-      excludes: Map[Long, Long]) extends MvTableRead
+      excludes: Map[Long, Long], since: Set[Long] = Set.empty,
+      oldValues: Boolean = false) extends MvTableRead
   private case class MvUpdatedRead(ids: Set[Long], since: Set[Long],
       which: String) extends MvTableRead
 
@@ -1110,12 +1117,16 @@ class GraftSession(val spark: SparkSession)
       predicate: Seq[String],
       special: Option[(String, MvTableRead)] = None): DataFrame = {
     def frame(t: String): DataFrame = special match {
-      case Some((mt, MvDeletedRead(ids, excludes))) if mt == t =>
-        val r = spark.read.format(GraftStoreOps.FORMAT).option("table", t)
+      case Some((mt, MvDeletedRead(ids, excludes, since, oldValues))) if mt == t =>
+        val r0 = spark.read.format(GraftStoreOps.FORMAT).option("table", t)
           .option("batch_ids", ids.mkString(","))
           .option("deleted_rows", "true")
-        (if (excludes.isEmpty) r else r.option("exclude_bitmaps",
-          excludes.map { case (b, m) => s"$b:$m" }.mkString(","))).load()
+        val r1 = if (excludes.isEmpty) r0 else r0.option("exclude_bitmaps",
+          excludes.map { case (b, m) => s"$b:$m" }.mkString(","))
+        // deleted visibility + RECORDED-delta value overlay compose in
+        // the reader (visibility checks deletedOnly first)
+        (if (!oldValues) r1 else r1.option("updated_rows", "old")
+          .option("since_deltas", since.mkString(","))).load()
       case Some((mt, MvUpdatedRead(ids, since, which))) if mt == t =>
         spark.read.format(GraftStoreOps.FORMAT).option("table", t)
           .option("batch_ids", ids.mkString(","))
@@ -1273,7 +1284,8 @@ class GraftSession(val spark: SparkSession)
     }
     def registered(): MatViews.MvDef = mv.copy(
       fresh = freshNow(mv.base),
-      joins = mv.joins.map(_.copy(fresh = freshNow)))
+      joins = mv.joins.map(_.copy(fresh = freshNow)),
+      dirty = false)
     // signed-delta safety: a base mutation committing between the
     // freshNow capture above and a delta scan's snapshot pin would make
     // the delta disagree with the fingerprint this refresh RECORDS —
@@ -1290,8 +1302,16 @@ class GraftSession(val spark: SparkSession)
         MatViews.fingerprint(s.snapshot) != freshNow(t))
     }
     def rebuild(): String = {
+      // freshness RE-CAPTURED at rebuild start: rebuild is also the
+      // fallback when freshNow itself was raced (racedMutation), and
+      // the build scan reads CURRENT per-batch state — registering the
+      // older freshNow over newer content would hand the next refresh's
+      // delta paths (which now trust recorded bitmaps/deltas) a
+      // fingerprint that no longer describes the stored rows
+      val fresh2 = tables.map(t =>
+        t -> MatViews.fingerprint(GraftColumnStore(t).snapshot)).toMap
       val contents = mvContents(tables, mv.joins.map(_.conds).getOrElse(Nil),
-        freshNow.view.mapValues(_.refIds).toMap, mv.groupCols, mv.groupQual,
+        fresh2.view.mapValues(_.refIds).toMap, mv.groupCols, mv.groupQual,
         mv.aggs, mv.predicate)
       // buckets from the backing table's OWN snapshot, not session
       // state: a JDBC/other session may refresh a view it didn't create
@@ -1307,26 +1327,54 @@ class GraftSession(val spark: SparkSession)
         createTable(nm, contents, keyColumns = mv.groupCols,
           partitionBy = mv.groupCols, buckets = buckets)
       } catch { case e: Throwable => MatViews.register(mv); throw e }
-      MatViews.register(registered())
+      // post-build re-proof (the racedMutation sandwich, against the
+      // rebuild's OWN capture): on a race the content/fingerprint
+      // pairing is unprovable — register DIRTY, which is stale to the
+      // rewrite AND forces the next refresh to rebuild instead of
+      // running a delta path against an untrustworthy fingerprint
+      val raced = tables.exists(t => GraftColumnStore.get(t).forall(s =>
+        MatViews.fingerprint(s.snapshot) != fresh2(t)))
+      MatViews.register(mv.copy(
+        fresh = fresh2(mv.base),
+        joins = mv.joins.map(_.copy(fresh = fresh2)),
+        dirty = raced))
       "full"
     }
-    // delete-only move classification: the only moved state on `t` is
-    // delete bitmaps (batch set and update deltas unchanged). First AND
-    // repeat deletes qualify — the per-batch delta row-set is the
-    // current bitmap minus the RECORDED one (None recorded = the whole
-    // current bitmap).
-    def deleteOnlyMoved(t: String): Option[Set[Long]] = {
+    // ONE fingerprint-diff walk classifies the moving table: the moved
+    // batch ids, the RECORDED update-delta ids (`since` — globally
+    // unique, so a flat set addresses every column), and which state
+    // kinds moved. None when the batch set changed or any delta set
+    // shrank (appends-with-mutations, emptied batches, compaction) —
+    // the rebuild cases. bitmapsMoved/deltasGrew drive the dispatch:
+    // exactly one ⇒ the specialized delete/update paths, both ⇒ the
+    // mixed partial path. A single walk keeps the three classifications
+    // structurally incapable of diverging.
+    final case class MvMove(moved: Set[Long], since: Set[Long],
+        bitmapsMoved: Boolean, deltasGrew: Boolean)
+    def classifyMove(t: String): Option[MvMove] = {
       val f = recorded(t)
       if (freshNow(t).refIds != f.refIds) return None
       val now = freshNow(t).fp
       val moved = f.refIds.filter(id => now.get(id) != f.fp.get(id))
-      val ok = moved.nonEmpty && moved.forall { id =>
+      if (moved.isEmpty) return None
+      val since = Set.newBuilder[Long]
+      var bm = false
+      var upd = false
+      val ok = moved.forall { id =>
         (f.fp.get(id), now.get(id)) match {
-          case (Some((_, oldUpd)), Some((Some(_), newUpd))) => oldUpd == newUpd
+          case (Some((oldBm, oldUpd)), Some((newBm, newUpd))) =>
+            if (oldBm != newBm) bm = true
+            if (oldUpd != newUpd) upd = true
+            since ++= oldUpd
+            // deltas may only GROW (they append between compactions);
+            // a bitmap can only appear or be superseded, never vanish
+            // (a fully-deleted batch drops and changes refIds above)
+            oldUpd.toSet.subsetOf(newUpd.toSet) &&
+              (oldBm == newBm || newBm.isDefined)
           case _ => false
         }
       }
-      if (ok) Some(moved) else None
+      if (ok) Some(MvMove(moved, since.result(), bm, upd)) else None
     }
     // the per-moved-batch RECORDED bitmap ids (the exclude masks of the
     // deleted_since read), when every recorded payload still resolves.
@@ -1346,50 +1394,6 @@ class GraftSession(val spark: SparkSession)
         }
       }
       if (ok) Some(excl.result()) else None
-    }
-    // update-only move: batch set AND bitmaps unchanged, update deltas
-    // GREW (recorded ids ⊆ current — deltas only append between
-    // compactions, and compaction changes refIds). Returns the moved
-    // batch ids plus ALL recorded delta ids (`since_deltas`: ids are
-    // globally unique, so a flat set addresses every column's deltas).
-    def updateOnlyMoved(t: String): Option[(Set[Long], Set[Long])] = {
-      val f = recorded(t)
-      if (freshNow(t).refIds != f.refIds) return None
-      val now = freshNow(t).fp
-      val moved = f.refIds.filter(id => now.get(id) != f.fp.get(id))
-      val since = Set.newBuilder[Long]
-      val ok = moved.nonEmpty && moved.forall { id =>
-        (f.fp.get(id), now.get(id)) match {
-          case (Some((oldBm, oldUpd)), Some((newBm, newUpd))) =>
-            oldBm == newBm && oldUpd.toSet.subsetOf(newUpd.toSet) && {
-              since ++= oldUpd; true
-            }
-          case _ => false
-        }
-      }
-      if (ok) Some((moved, since.result())) else None
-    }
-    // MIXED move (update + delete between refreshes): batch set
-    // unchanged, update deltas only GREW, bitmaps moved freely. Neither
-    // signed-delta path can price this (the delete delta needs recorded
-    // bitmaps, the update delta assumes bitmaps carried), but the
-    // group-pruned partial rebuild can: the affected groups are the
-    // union of the tombstoned rows' groups (a superset is idempotent)
-    // and the updated rows' old+new groups.
-    def mixedMoved(t: String): Option[(Set[Long], Set[Long])] = {
-      val f = recorded(t)
-      if (freshNow(t).refIds != f.refIds) return None
-      val now = freshNow(t).fp
-      val moved = f.refIds.filter(id => now.get(id) != f.fp.get(id))
-      val since = Set.newBuilder[Long]
-      val ok = moved.nonEmpty && moved.forall { id =>
-        (f.fp.get(id), now.get(id)) match {
-          case (Some((_, oldUpd)), Some((_, newUpd))) =>
-            oldUpd.toSet.subsetOf(newUpd.toSet) && { since ++= oldUpd; true }
-          case _ => false
-        }
-      }
-      if (ok) Some((moved, since.result())) else None
     }
     def subtractable: Boolean = {
       // agg inputs are bare names for single-table views, canonical
@@ -1516,58 +1520,67 @@ class GraftSession(val spark: SparkSession)
         if (vanished.take(1).nonEmpty) GraftStoreOps.deleteKeys(spark, nm, vanished)
         GraftStoreOps.putInto(spark, nm, conformed)
       }
-      MatViews.register(registered())
+      // the partial path's refreshed groups reflect SCAN-time truth
+      // (its re-aggregate intentionally reads current state), so a
+      // mutation racing it leaves content the freshNow fingerprint does
+      // not describe — register DIRTY on a race (stale to the rewrite,
+      // and the next refresh rebuilds instead of trusting the record)
+      MatViews.register(registered().copy(dirty = racedMutation()))
       "partial"
     }
     val moving = tables.filterNot(identical)
     // exactly one moving table drives every O(delta)/partial path —
     // symmetric for fact- or dim-side moves on join views (the other
-    // tables' fingerprints carry). Classified once: each fingerprint
+    // tables' fingerprints carry). Classified once: the fingerprint
     // diff walks every batch ref of the moving table, driver metadata.
-    if (moving.isEmpty) "noop"
+    // A DIRTY registration rebuilds unconditionally: its recorded
+    // fingerprint does not describe its content (a prior refresh
+    // detected a racing mutation), so no delta may trust it.
+    if (mv.dirty) rebuild()
+    else if (moving.isEmpty) "noop"
     else if (moving.size > 1 || mv.groupCols.isEmpty) rebuild()
     else if (!appendOnly(moving.head)) {
       val t = moving.head
       val conds = mv.joins.map(_.conds).getOrElse(Nil)
       val ids = freshNow.view.mapValues(_.refIds).toMap
-      deleteOnlyMoved(t) match {
-        case Some(moved) =>
+      def updKeys(moved: Set[Long], since: Set[Long], which: String) =
+        mvScan(tables, conds, ids, mv.predicate,
+          special = Some((t, MvUpdatedRead(moved, since, which))))
+          .select(mvKeys(mv.groupCols, mv.groupQual): _*)
+      def delKeys(moved: Set[Long], since: Set[Long], oldValues: Boolean) =
+        mvScan(tables, conds, ids, mv.predicate,
+          special = Some((t, MvDeletedRead(moved, Map.empty, since, oldValues))))
+          .select(mvKeys(mv.groupCols, mv.groupQual): _*)
+      classifyMove(t) match {
+        case Some(MvMove(moved, _, true, false)) => // deletes only
           (if (subtractable) deleteExcludes(t, moved) else None) match {
             case Some(excl) => subtractiveRefresh(t, moved, excl)
             case None =>
               // affected groups = groups of ALL tombstoned rows in the
               // moved batches — a superset of the newly-tombstoned
-              // (idempotent to re-aggregate), needing no recorded payload
-              partialRebuild(mvScan(tables, conds, ids, mv.predicate,
-                special = Some((t, MvDeletedRead(moved, Map.empty))))
-                .select(mvKeys(mv.groupCols, mv.groupQual): _*))
+              // (idempotent to re-aggregate), needing no recorded
+              // payload; deltas carried, so current values ARE the
+              // values the summary saw
+              partialRebuild(delKeys(moved, Set.empty, oldValues = false))
           }
-        case None =>
-          def updKeys(moved: Set[Long], since: Set[Long], which: String) =
-            mvScan(tables, conds, ids, mv.predicate,
-              special = Some((t, MvUpdatedRead(moved, since, which))))
-              .select(mvKeys(mv.groupCols, mv.groupQual): _*)
-          updateOnlyMoved(t) match {
-            case Some((moved, since)) =>
-              if (subtractable) updateRefresh(t, moved, since)
-              else
-                // both sides: an update can move a row between groups or
-                // across the view predicate — old and new keys both touch
-                partialRebuild(updKeys(moved, since, "old")
-                  .unionByName(updKeys(moved, since, "new")))
-            case None => mixedMoved(t) match {
-              case Some((moved, since)) =>
-                // update + delete between refreshes: affected groups =
-                // tombstoned rows' groups ∪ updated rows' old+new groups
-                val delKeys = mvScan(tables, conds, ids, mv.predicate,
-                  special = Some((t, MvDeletedRead(moved, Map.empty))))
-                  .select(mvKeys(mv.groupCols, mv.groupQual): _*)
-                partialRebuild(delKeys
-                  .unionByName(updKeys(moved, since, "old"))
-                  .unionByName(updKeys(moved, since, "new")))
-              case None => rebuild() // expiry, emptied batches, compaction …
-            }
-          }
+        case Some(MvMove(moved, since, false, true)) => // updates only
+          if (subtractable) updateRefresh(t, moved, since)
+          else
+            // both sides: an update can move a row between groups or
+            // across the view predicate — old and new keys both touch
+            partialRebuild(updKeys(moved, since, "old")
+              .unionByName(updKeys(moved, since, "new")))
+        case Some(MvMove(moved, since, _, _)) => // mixed update + delete
+          // affected groups = tombstoned rows' groups valued BOTH ways
+          // (an update may have moved a row between groups — or across
+          // the predicate — before its delete, and the updated-rows
+          // reads cannot see it: they filter on the current bitmap)
+          // ∪ the surviving updated rows' old+new groups
+          partialRebuild(delKeys(moved, since, oldValues = false)
+            .unionByName(delKeys(moved, since, oldValues = true))
+            .unionByName(updKeys(moved, since, "old"))
+            .unionByName(updKeys(moved, since, "new")))
+        case None => rebuild() // expiry, emptied batches, compaction …
       }
     }
     else {
@@ -2048,8 +2061,12 @@ class GraftSession(val spark: SparkSession)
     val aligned = constrainIncoming(name, st, rows, forPut = false)
     // pre-insert fingerprint: sample maintenance advances a sample's
     // recorded freshness only if it was fresh BEFORE this insert — a
-    // sample already skewed by an earlier delete must stay visibly stale
-    val preFresh = baseFingerprint(name)
+    // sample already skewed by an earlier delete must stay visibly
+    // stale. Computed only when a sample is registered (the fingerprint
+    // walks every batch ref: O(batches) driver work a plain insert
+    // must not pay)
+    val preFresh =
+      if (samples.contains(normalize(name))) baseFingerprint(name) else None
     val out =
       if (st.rowBacked) {
         aligned.write.format(GraftRowOps.FORMAT)

@@ -79,7 +79,14 @@ object MatViews {
       // empty for single-table views) — the rewrite matches QUALIFIED
       // group identity, storage keeps the bare names (required
       // unambiguous across the joined tables at CREATE)
-      groupQual: Seq[String] = Nil) {
+      groupQual: Seq[String] = Nil,
+      // set when a refresh whose CONTENT reflects scan-time truth
+      // (partial / full rebuild) detected a base mutation racing it —
+      // the recorded fingerprint then describes an OLDER state than the
+      // stored rows, so no delta path may trust it: the next refresh
+      // must rebuild (and the rewrite must not serve, belt-and-braces;
+      // the fingerprint mismatch already blocks it)
+      dirty: Boolean = false) {
     def allTables: Seq[String] = joins.map(_.tables).getOrElse(Seq(base))
   }
 
@@ -166,11 +173,11 @@ object MatViews {
     * defining query iff EVERY base table's live batch set and per-batch
     * mutation state are EXACTLY what the last (re)build recorded.
     */
-  def isFresh(mv: MvDef): Boolean = mv.joins match {
+  def isFresh(mv: MvDef): Boolean = !mv.dirty && (mv.joins match {
     case Some(j) => j.tables.forall(t =>
       j.fresh.get(t).exists(f => tableMatches(t, f)))
     case None => tableMatches(mv.base, mv.fresh)
-  }
+  })
 
   // ---- maintenance serialization ------------------------------------------
 

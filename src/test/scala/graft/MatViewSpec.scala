@@ -1154,6 +1154,61 @@ class MatViewSpec extends SparkTestBase {
     g.dropTable("mvb30")
   }
 
+  test("mixed move: a row updated ACROSS groups and then deleted still corrects its old group") {
+    // the trap: the tombstoned row valued CURRENT only reveals its NEW
+    // group, and the updated-rows reads cannot see it (they filter on
+    // the current bitmap) — the partial path must also read the deleted
+    // rows valued as of the RECORDED deltas to touch the OLD group
+    g.createTable("mvb34", spark.range(300).select(
+      col("id").as("pk"), (col("id") % 7).cast("int").as("k"),
+      concat(lit("c"), col("id") % 3).as("cat"), (col("id") * 2).as("v")),
+      partitionBy = Seq("pk"), buckets = 4)
+    g.sql("CREATE MATERIALIZED VIEW mv34 AS SELECT k, sum(v) AS sv, " +
+      "count(*) AS n FROM mvb34 GROUP BY k")
+    val q = "SELECT k, sum(v) AS sv, count(*) AS n FROM mvb34 GROUP BY k"
+    assert(usesMatView(q, "mv34"))
+    // move pk∈{1, 8} from their groups (k=1) to k=9, then delete them —
+    // group 1 must LOSE their contribution even though no surviving row
+    // or current-valued tombstone mentions it
+    g.update("mvb34", col("pk").isin(1L, 8L), "k" -> lit(9).cast("int"))
+    g.delete("mvb34", col("pk").isin(1L, 8L))
+    assert(g.refreshMaterializedView("mv34") == "partial")
+    assert(sorted(spark.sql(q)) == direct(q),
+      "old group must shed the moved-then-deleted rows")
+    assert(spark.sql(q).filter(col("k") === 9).isEmpty,
+      "the transient group never materializes a row")
+    // …and a row updated OUT OF the predicate then deleted, on a
+    // filtered view: the old-valued tombstone is the only witness
+    g.sql("CREATE MATERIALIZED VIEW mv34f AS SELECT k, sum(v) AS sv, " +
+      "count(*) AS n FROM mvb34 WHERE cat = 'c0' GROUP BY k")
+    val qf = "SELECT k, sum(v) AS sv, count(*) AS n FROM mvb34 " +
+      "WHERE cat = 'c0' GROUP BY k"
+    g.update("mvb34", col("pk").isin(3L, 33L), "cat" -> lit("cX"))
+    g.delete("mvb34", col("pk").isin(3L, 33L))
+    assert(g.refreshMaterializedView("mv34f") == "partial")
+    assert(sorted(spark.sql(qf)) == direct(qf))
+    g.dropTable("mvb34")
+  }
+
+  test("a DIRTY registration never serves and the next refresh rebuilds") {
+    freshBase("mvb35", rows = 200)
+    g.sql("CREATE MATERIALIZED VIEW mv35 AS SELECT k, sum(v) AS sv, " +
+      "count(*) AS n FROM mvb35 GROUP BY k")
+    val q = "SELECT k, sum(v) AS sv, count(*) AS n FROM mvb35 GROUP BY k"
+    assert(usesMatView(q, "mv35"))
+    // simulate the race outcome: content/fingerprint pairing unprovable
+    // (refresh paths set this when racedMutation fires post-scan)
+    MatViews.register(MatViews.get("mv35").get.copy(dirty = true))
+    assert(!usesMatView(q, "mv35"),
+      "a dirty view must not serve even with a matching fingerprint")
+    assert(sorted(spark.sql(q)) == direct(q), "base scan answers meanwhile")
+    assert(g.refreshMaterializedView("mv35") == "full",
+      "dirty forces a rebuild even with no visible move")
+    assert(usesMatView(q, "mv35"), "a clean rebuild serves again")
+    assert(sorted(spark.sql(q)) == direct(q))
+    g.dropTable("mvb35")
+  }
+
   test("star-schema view: update refresh from either side") {
     g.createTable("mvju_fact", spark.range(600).select(
       (col("id") % 30).as("fk"), (col("id") * 2).as("v")),
