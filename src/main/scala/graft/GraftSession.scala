@@ -1078,8 +1078,16 @@ class GraftSession(val spark: SparkSession)
     }
     val joins = if (d.tables.size > 1) Some(MatViews.MvJoin(
       d.tables.map(_._1).sorted, d.joinConds, freshAll)) else None
+    // post-build re-proof (same sandwich as refresh): a mutation racing
+    // the build scan leaves content the captured fingerprint does not
+    // describe — register DIRTY so the first refresh rebuilds instead
+    // of running a delta path against an untrustworthy record
+    val raced = d.tables.exists { case (t, _) =>
+      GraftColumnStore.get(t).forall(s =>
+        MatViews.fingerprint(s.snapshot) != freshAll(t))
+    }
     MatViews.register(MatViews.MvDef(nm, base, d.groupCols, d.aggs, viewSql,
-      freshAll(base), d.predicate, joins, d.groupQual))
+      freshAll(base), d.predicate, joins, d.groupQual, dirty = raced))
     df
   }
 
