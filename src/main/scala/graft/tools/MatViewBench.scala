@@ -149,6 +149,41 @@ object MatViewBench {
       g.dropTable("mvp_jfact"); g.dropTable("mvp_jdim")
     }
 
+    // ---- clustered del_part arm (r14): the partial path's 100 TB win
+    // needs the re-aggregate's semi-join runtime filter to PRUNE the
+    // base scan to the affected groups' batches — which requires the
+    // group column to correlate with batch layout. Same ×16 base and
+    // the same one-group delete, with and without CREATE INDEX on the
+    // group column: clustered, the deleted_rows touched-keys scan and
+    // the re-agg both read a handful of gk-ordered batches; unclustered
+    // (gk uniform per batch) every batch holds every group and the
+    // re-agg degenerates to a full scan + merge.
+    locally {
+      println()
+      Seq(false, true).foreach { clustered =>
+        g.createTable("mvp_cbase", li.crossJoin(spark.range(16).toDF("__rep"))
+          .drop("__rep"))
+        if (clustered) org.apache.spark.sql.graft.store.GraftStoreOps
+          .createIndex(spark, "mvp_cbase", Seq("gk"))
+        g.createMaterializedView("mvp_cmv",
+          "SELECT gk, min(qty) AS mn, max(qty) AS mx, count(*) AS n " +
+            "FROM mvp_cbase GROUP BY gk")
+        g.delete("mvp_cbase", col("gk") === 996)
+        val t = time {
+          val p = g.refreshMaterializedView("mvp_cmv")
+          require(p == "partial", s"expected partial, got $p")
+        }
+        val full = time {
+          g.insert("mvp_cbase", li.limit(1)) // batch-set change → rebuild
+          require(g.refreshMaterializedView("mvp_cmv") == "full")
+        }
+        println(f"del_part ${if (clustered) "CLUSTERED(gk)" else "unclustered"}%14s: " +
+          f"partial=$t%.3f s  full_rebuild=$full%.3f s")
+        g.dropMaterializedView("mvp_cmv")
+        g.dropTable("mvp_cbase")
+      }
+    }
+
     // ---- retention ladder (r14): N successive delete waves at daily-
     // retention cadence on a x16 base; EVERY wave must refresh
     // "incremental_delete" (wave 1 is a first delete; waves 2..N land on
