@@ -173,8 +173,9 @@ object MatViewBench {
           val p = g.refreshMaterializedView("mvp_cmv")
           require(p == "partial", s"expected partial, got $p")
         }
+        g.insert("mvp_cbase", li.limit(1)) // append + delete → rebuild
+        g.delete("mvp_cbase", col("gk") === 995)
         val full = time {
-          g.insert("mvp_cbase", li.limit(1)) // batch-set change → rebuild
           require(g.refreshMaterializedView("mvp_cmv") == "full")
         }
         println(f"del_part ${if (clustered) "CLUSTERED(gk)" else "unclustered"}%14s: " +
