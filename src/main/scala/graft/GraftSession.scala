@@ -900,6 +900,54 @@ class GraftSession(val spark: SparkSession)
     GraftColumnStore.get(normalize(base))
       .map(t => org.apache.spark.sql.graft.store.MatViews.fingerprint(t.snapshot))
 
+  /** Re-stratify a registered sample over the CURRENT base — the repair
+    * path for the staleness `sys.samples.is_fresh` exposes (a base
+    * DELETE/UPDATE skews a sample that only inserts fan into; the
+    * reference has no repair at all — its SampleInsertExec fans inserts
+    * and heavy rewrites demand a manual rebuild). Requires the sample's
+    * build parameters (registered via [[registerSample]] /
+    * CREATE SAMPLE TABLE). Returns "noop" when the recorded fingerprint
+    * still proves the base unchanged, else rebuilds the sample table
+    * with a fresh per-stratum reservoir draw and returns "rebuilt".
+    *
+    * Freshness discipline (matview rebuild's capture rule, advisory
+    * here): the fingerprint is captured BEFORE the draw scans the base —
+    * a mutation racing the rebuild leaves the recorded fingerprint
+    * behind current truth, so `is_fresh` keeps reading false and the
+    * next refresh converges. O-cost: one full base scan + sample write —
+    * there is no cheaper correct path, since a deleted base row may have
+    * been ANY sample row's stratum-mate (per-stratum counts and weights
+    * all shift); the scan is a single pass, shuffled only by QCS.
+    */
+  def refreshSample(sampleName: String): String = {
+    val sn = normalize(sampleName)
+    val entry = samples.toSeq.collectFirst {
+      case (base, infos) if infos.exists(_.table == sn) =>
+        (base, infos.find(_.table == sn).get)
+    }
+    val (base, info) = entry.getOrElse(throw new IllegalArgumentException(
+      s"refreshSample($sampleName): no sample registered under that name"))
+    val p = info.params.getOrElse(throw new IllegalArgumentException(
+      s"refreshSample($sampleName): registered without build parameters " +
+        "(fraction/reservoir/rankKey) — re-register with params or rebuild manually"))
+    val pre = baseFingerprint(base)
+    if (info.fresh.isDefined && info.fresh == pre) "noop"
+    else {
+      val drawn = graft.operators.Aqp.stratifiedSample(
+        table(base), info.qcs, p.fraction, p.reservoirFloor, p.rankKey)
+      // mirror the existing sample table's layout when this session
+      // knows it; createSampleTable's default otherwise
+      val layout = tables.get(sn)
+      createTable(sn, drawn,
+        keyColumns = layout.map(_.keyColumns).getOrElse(Nil),
+        partitionBy = layout.map(_.partitionBy).getOrElse(Nil),
+        buckets = layout.map(_.buckets).filter(_ > 0).getOrElse(32))
+      samples.updateWith(normalize(base))(_.map(_.map(i =>
+        if (i.table == sn) i.copy(fresh = pre) else i)))
+      "rebuilt"
+    }
+  }
+
   /** createApproxTSTopK (reference SnappySession.createApproxTSTopK:958):
     * materialize per-time-bucket approximate top-k of `keyCol` as a
     * managed table queryable via [[queryApproxTSTopK]].
@@ -1211,9 +1259,14 @@ class GraftSession(val spark: SparkSession)
     * subtraction's algebra declines — or the move MIXES updates and
     * deletes — a GROUP-PRUNED partial rebuild re-aggregates only the
     * affected groups; anything else — a changed batch SET (appends mixed
-    * with mutations, emptied batches, compaction), TTL-expiry, several
-    * moving tables — full rebuild. Returns the path taken:
-    * "noop" | "incremental" | "incremental_delete" |
+    * with mutations, emptied batches, compaction), TTL-expiry, a
+    * mutating table among several movers — full rebuild. SEVERAL tables
+    * that each moved by pure appends compose telescopically (one
+    * O(delta) term per mover, see [[telescopedAppendDeltas]]) —
+    * "incremental_multi". GLOBAL views (no GROUP BY) hold one summary
+    * row and fold the same signed deltas into it without a keyed merge.
+    * Returns the path taken:
+    * "noop" | "incremental" | "incremental_multi" | "incremental_delete" |
     * "incremental_update" | "partial" | "full".
     *
     * SUBTRACTIVE path conditions (single-table AND join views — for a
@@ -1499,6 +1552,50 @@ class GraftSession(val spark: SparkSession)
     // aggregates (min/max, nullable measures) take after deletes or
     // updates. Re-aggregating an already-correct group is idempotent,
     // so a SUPERSET of the truly-affected keys is always safe.
+    // Pruning-aware demotion (r14 What's-wrong #1): "partial" beats a
+    // rebuild only when the touched group keys let the store scan PRUNE
+    // batches — under a uniform (unclustered) layout, or when the
+    // touched keys span every group, the semi-join-restricted
+    // re-aggregate reads EVERY batch and then pays the keyed
+    // merge/deleteKeys on top: strictly worse than rebuild below the
+    // scale where rewriting the whole summary dominates. The probe is
+    // driver-metadata-only — one 2-value agg over the (checkpointed)
+    // touched-keys frame for the bounds, then a walk of the base's
+    // batch-stat ranges. Demotes ONLY small bases (row cap, default
+    // 50M): above it the partial path's O(affected-groups) asymptotics
+    // win regardless of layout, so the 100 TB target never demotes.
+    // Scoped to single-table views (a join view's partial scan cost is
+    // not one table's batch list). `CREATE INDEX(<group col>)` clusters
+    // the layout so the probe proves pruning and "partial" stays —
+    // sys.matviews surfaces that advice (layout_advice).
+    def partialCannotPrune(touched: DataFrame): Boolean = {
+      if (!spark.conf.get("spark.sql.graft.matview.partialDemote.enabled",
+          "true").toBoolean) return false
+      if (mv.joins.isDefined || mv.groupCols.isEmpty) return false
+      val snap = GraftColumnStore.get(mv.base).map(_.snapshot)
+        .getOrElse(return false)
+      val cap = spark.conf.get(
+        "spark.sql.graft.matview.partialDemote.maxBaseRows", "50000000").toLong
+      if (snap.refs.map(_.numRows.toLong).sum > cap) return false
+      // tiny batch lists (toy tables, one batch per bucket) have nothing
+      // meaningful to prune AND nothing meaningful to demote — partial
+      // vs rebuild is a wash there; stay on the architecturally-right path
+      if (snap.refs.size < 8) return false
+      val comparable = mv.groupCols.filter { c =>
+        val i = snap.schema.fieldNames.indexOf(c)
+        i >= 0 && GraftColumnStore.statsComparable(snap.schema.fields(i).dataType)
+      }
+      if (comparable.isEmpty) return false // no stats: can't prove either way
+      val aggCols = comparable.flatMap(c => Seq(min(col(c)), max(col(c))))
+      val bounds = touched.agg(aggCols.head, aggCols.tail: _*).head()
+      // the MOST selective group column decides: if any column's stats
+      // skip a meaningful batch share, the partial scan prunes
+      val best = comparable.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.graft.store.BatchPruning.prunableFraction(
+          snap, c, bounds.get(2 * i), bounds.get(2 * i + 1))
+      }.max
+      best < 0.25
+    }
     def partialRebuild(touchedKeys: DataFrame): String = {
       val conds = mv.joins.map(_.conds).getOrElse(Nil)
       val ids = freshNow.view.mapValues(_.refIds).toMap
@@ -1506,6 +1603,7 @@ class GraftSession(val spark: SparkSession)
       // NULL group keys defeat the keyed semi-join/putInto/deleteKeys
       if (touched.filter(mv.groupCols.map(col(_).isNull)
           .reduce(_ || _)).take(1).nonEmpty) return rebuild()
+      if (partialCannotPrune(touched)) return rebuild()
       val cols = MatViewSupport.buildAggs(mv.aggs)
       val refreshed = mvScan(tables, conds, ids, mv.predicate)
         .join(touched, mv.groupCols, "left_semi")
@@ -1537,6 +1635,116 @@ class GraftSession(val spark: SparkSession)
       "partial"
     }
     val moving = tables.filterNot(identical)
+    // telescoping over the moving tables: V(A,B,…) − V(A₀,B₀,…) =
+    // Σᵢ [V(cur₁..ᵢ, rec ᵢ₊₁..ₖ) − V(cur₁..ᵢ₋₁, rec ᵢ..ₖ)] — term i
+    // scans ONLY table i's new batches, paired with the CURRENT batches
+    // of already-processed movers and the RECORDED batches of
+    // not-yet-processed ones (identical tables pin either way, they
+    // carry). Each term is O(that table's delta); the union of the k
+    // terms is exactly the view rows that did not exist at the last
+    // refresh, with no pair counted twice.
+    def telescopedAppendDeltas(movers: Seq[String]): Seq[DataFrame] = {
+      val conds = mv.joins.map(_.conds).getOrElse(Nil)
+      var done = Set.empty[String]
+      movers.map { m =>
+        val pinned = tables.map { t =>
+          t -> (if (t == m) freshNow(t).refIds -- recorded(t).refIds
+          else if (movers.contains(t) && !done.contains(t)) recorded(t).refIds
+          else freshNow(t).refIds)
+        }.toMap
+        done += m
+        mvContents(tables, conds, pinned, mv.groupCols, mv.groupQual,
+          mv.aggs, mv.predicate)
+      }
+    }
+    // keyed merge of an APPEND delta (storage-shaped rows): touched
+    // summary rows ∪ delta, sum/min/max/union-merged by group key
+    // through putInto — shared by the single- and multi-mover paths
+    def appendMerge(delta: DataFrame): Unit = {
+      val keep = mv.groupCols.map(col)
+      val storage = mvStorageNames(mv.aggs)
+      val mvRows = GraftStoreOps.read(spark, nm) // session-independent
+      val touched = mvRows.join(delta.select(keep: _*), mv.groupCols, "left_semi")
+      val mergeCols = MatViewSupport.mergeAggs(storage)
+      val merged = touched.unionByName(delta)
+        .groupBy(keep: _*).agg(mergeCols.head, mergeCols.tail: _*)
+      // conform to the stored schema exactly (sum() widening: decimal
+      // sums grow precision on the merge pass)
+      val schema = mvRows.schema
+      val conformed = merged.select(schema.fieldNames.map(f =>
+        col(f).cast(schema(f).dataType).as(f)).toSeq: _*)
+      MatViews.inMaintenance {
+        GraftStoreOps.putInto(spark, nm, conformed)
+      }
+      MatViews.register(registered())
+    }
+    // GLOBAL-aggregate views (no GROUP BY) hold exactly ONE summary row;
+    // every delta path degenerates to folding a signed single-row delta
+    // into the stored row — no keyed merge, no vanished-group handling.
+    // A view emptied by deletes keeps its zero-count row, which the
+    // rewrite's count mask turns back into empty-input aggregate
+    // semantics (count 0, sum NULL) at serve time. The merged row is
+    // materialized (eager local checkpoint) BEFORE the overwrite drops
+    // the stored row it reads from; the overwrite itself is a
+    // single-row createTable — the O(table) part of a rebuild is its
+    // base scan, which these paths replace with O(delta) reads.
+    def globalRefresh(): String = {
+      val conds = mv.joins.map(_.conds).getOrElse(Nil)
+      val storage = mvStorageNames(mv.aggs)
+      def negate(df: DataFrame): DataFrame = storage.foldLeft(df)((d, n) =>
+        d.withColumn(n, -col(n)))
+      val ids = freshNow.view.mapValues(_.refIds).toMap
+      val (terms, path): (Option[Seq[DataFrame]], String) =
+        if (moving.forall(appendOnly))
+          (Some(telescopedAppendDeltas(moving)),
+            if (moving.size > 1) "incremental_multi" else "incremental")
+        else if (moving.size == 1 && subtractable) {
+          val t = moving.head
+          classifyMove(t) match {
+            case Some(MvMove(moved, _, true, false)) => // deletes only
+              (deleteExcludes(t, moved).map { excl =>
+                Seq(negate(mvContents(tables, conds, ids, mv.groupCols,
+                  mv.groupQual, mv.aggs, mv.predicate,
+                  special = Some((t, MvDeletedRead(moved, excl))))))
+              }, "incremental_delete")
+            case Some(MvMove(moved, since, false, true)) => // updates only
+              def side(which: String) = mvContents(tables, conds, ids,
+                mv.groupCols, mv.groupQual, mv.aggs, mv.predicate,
+                special = Some((t, MvUpdatedRead(moved, since, which))))
+              (Some(Seq(side("new"), negate(side("old")))), "incremental_update")
+            case _ => (None, "")
+          }
+        } else (None, "")
+      terms match {
+        case None => rebuild()
+        case Some(ds) =>
+          val mvRows = GraftStoreOps.read(spark, nm) // session-independent
+          val schema = mvRows.schema
+          val mergeCols = MatViewSupport.mergeAggs(storage)
+          val merged = ds.foldLeft(mvRows: DataFrame)(_ unionByName _)
+            .groupBy().agg(mergeCols.head, mergeCols.tail: _*)
+          val conformed = merged.select(schema.fieldNames.map(f =>
+            col(f).cast(schema(f).dataType).as(f)).toSeq: _*)
+            .localCheckpoint(true)
+          if (racedMutation()) rebuild() // see racedMutation scaladoc
+          else {
+            val buckets = math.max(GraftColumnStore.get(nm)
+              .map(_.snapshot.numBuckets).getOrElse(32), 1)
+            // same supersede/restore discipline as rebuild(): a failed
+            // overwrite must not leave the view silently vanished
+            try MatViews.inMaintenance {
+              createTable(nm, conformed, keyColumns = mv.groupCols,
+                partitionBy = mv.groupCols, buckets = buckets)
+            } catch { case e: Throwable => MatViews.register(mv); throw e }
+            // post-build re-proof (rebuild's dirty sandwich): on a race
+            // the content/fingerprint pairing is unprovable
+            val raced = tables.exists(t => GraftColumnStore.get(t).forall(s =>
+              MatViews.fingerprint(s.snapshot) != freshNow(t)))
+            MatViews.register(registered().copy(dirty = raced))
+            path
+          }
+      }
+    }
     // exactly one moving table drives every O(delta)/partial path —
     // symmetric for fact- or dim-side moves on join views (the other
     // tables' fingerprints carry). Classified once: the fingerprint
@@ -1546,8 +1754,29 @@ class GraftSession(val spark: SparkSession)
     // detected a racing mutation), so no delta may trust it.
     if (mv.dirty) rebuild()
     else if (moving.isEmpty) "noop"
-    else if (moving.size > 1 || mv.groupCols.isEmpty) rebuild()
-    else if (!appendOnly(moving.head)) {
+    else if (mv.groupCols.isEmpty) globalRefresh()
+    else if (moving.forall(appendOnly)) {
+      // pure appends — one mover takes the classic O(delta) merge,
+      // several movers compose telescopically (one term each)
+      val delta = telescopedAppendDeltas(moving)
+        .reduce(_ unionByName _).localCheckpoint(false)
+      // a NULL group key defeats the equality-keyed merge join below
+      // (and putInto's key matching) — correctness wins: full rebuild.
+      // racedMutation: a delete racing this append-refresh would hide
+      // tombstoned rows from the delta scan while the recorded
+      // fingerprint still claims them — the next refresh's subtractive
+      // path would then remove them a second time (see racedMutation)
+      if (delta.filter(mv.groupCols.map(col(_).isNull)
+          .reduce(_ || _)).take(1).nonEmpty || racedMutation()) rebuild()
+      else {
+        appendMerge(delta)
+        if (moving.size > 1) "incremental_multi" else "incremental"
+      }
+    }
+    else if (moving.size > 1) rebuild() // a MUTATING table among several
+      // movers: its delta terms would need recorded-state reads of the
+      // OTHER movers' mutations too — out of the telescoping algebra
+    else {
       val t = moving.head
       val conds = mv.joins.map(_.conds).getOrElse(Nil)
       val ids = freshNow.view.mapValues(_.refIds).toMap
@@ -1591,46 +1820,6 @@ class GraftSession(val spark: SparkSession)
         case None => rebuild() // expiry, emptied batches, compaction …
       }
     }
-    else {
-      // O(delta): exactly one table gained batches, everything else is
-      // fingerprint-identical — the join rows involving the new batches
-      // ARE the delta (old x old pairs are already in the summary)
-      val movingT = moving.head
-      val pinned = tables.map { t =>
-        t -> (if (t == movingT) freshNow(t).refIds -- recorded(t).refIds
-        else freshNow(t).refIds)
-      }.toMap
-      val delta = mvContents(tables, mv.joins.map(_.conds).getOrElse(Nil),
-        pinned, mv.groupCols, mv.groupQual, mv.aggs, mv.predicate)
-        .localCheckpoint(false)
-      // a NULL group key defeats the equality-keyed merge join below
-      // (and putInto's key matching) — correctness wins: full rebuild.
-      // racedMutation: a delete racing this append-refresh would hide
-      // tombstoned rows from the delta scan while the recorded
-      // fingerprint still claims them — the next refresh's subtractive
-      // path would then remove them a second time (see racedMutation)
-      if (delta.filter(mv.groupCols.map(col(_).isNull)
-          .reduce(_ || _)).take(1).nonEmpty || racedMutation()) rebuild()
-      else {
-        val keep = mv.groupCols.map(col)
-        val storage = mvStorageNames(mv.aggs)
-        val mvRows = GraftStoreOps.read(spark, nm) // session-independent
-        val touched = mvRows.join(delta.select(keep: _*), mv.groupCols, "left_semi")
-        val mergeCols = MatViewSupport.mergeAggs(storage)
-        val merged = touched.unionByName(delta)
-          .groupBy(keep: _*).agg(mergeCols.head, mergeCols.tail: _*)
-        // conform to the stored schema exactly (sum() widening: decimal
-        // sums grow precision on the merge pass)
-        val schema = mvRows.schema
-        val conformed = merged.select(schema.fieldNames.map(f =>
-          col(f).cast(schema(f).dataType).as(f)).toSeq: _*)
-        MatViews.inMaintenance {
-          GraftStoreOps.putInto(spark, nm, conformed)
-        }
-        MatViews.register(registered())
-        "incremental"
-      }
-    }
   }
 
   def dropMaterializedView(name: String): Unit =
@@ -1649,13 +1838,31 @@ class GraftSession(val spark: SparkSession)
     */
   def sysMatviews: DataFrame = {
     val rows = MatViews.all.map { m =>
+      // layout advisory (r14 What's-wrong #1): a single-table view whose
+      // base is NOT clustered by a group column takes the partial
+      // refresh path without batch pruning — on small bases the refresh
+      // demotes to a full rebuild (partialCannotPrune), and at any scale
+      // `CREATE INDEX(<group col>)` turns "partial" into a genuinely
+      // pruned O(affected-groups) scan. Metadata-only: the base
+      // snapshot's `sortedBy` vs the view's group columns.
+      val advice =
+        if (m.joins.isDefined || m.groupCols.isEmpty) ""
+        else GraftColumnStore.get(m.base).map(_.snapshot) match {
+          case Some(s) if s.refs.size >= 4 &&
+              !s.sortedBy.exists(m.groupCols.contains) &&
+              !s.bucketBy.exists(m.groupCols.contains) =>
+            s"cluster ${m.base} by a group column for pruned partial " +
+              s"refresh: CREATE INDEX ${m.base}_gk ON ${m.base} " +
+              s"(${m.groupCols.head})"
+          case _ => ""
+        }
       (m.name, m.allTables.mkString(","), m.groupCols.mkString(","),
         m.aggs.map(a => s"${a.func}(${if (a.input.isEmpty) "*" else a.input})")
           .mkString(","),
-        MatViews.isFresh(m), m.sql)
+        MatViews.isFresh(m), advice, m.sql)
     }
     spark.createDataFrame(rows).toDF("name", "base_table", "group_columns",
-      "aggregates", "is_fresh", "definition")
+      "aggregates", "is_fresh", "layout_advice", "definition")
   }
 
   def truncateTable(name: String): DataFrame = {
@@ -2151,6 +2358,18 @@ class GraftSession(val spark: SparkSession)
       // base snapshot already includes the insert). One already skewed
       // by an earlier delete/update stays visibly stale, and samples
       // WITHOUT maintenance params keep their registration fingerprint.
+      // Concurrency note (advisory by design): the post-insert
+      // fingerprint is captured outside any lock, so two inserts racing
+      // on the same base can advance `fresh` to a fingerprint covering
+      // BOTH inserts while the sibling's sample fan-in is still
+      // running — `is_fresh` may transiently read true with rows
+      // missing from the sample. The window closes when the sibling's
+      // fan-in commits (the sample converges to exactly one increment
+      // per insert; fingerprints only ever advance), so the verdict is
+      // eventually consistent — matching its advisory contract
+      // (routing never depends on it). Serializing insert+maintain per
+      // base would close the window at the cost of making every insert
+      // on a sampled base mutually exclusive.
       val now = baseFingerprint(baseName)
       if (now.isDefined) samples.updateWith(normalize(baseName))(_.map(_.map(i =>
         if (i.params.isDefined && i.fresh.isDefined && i.fresh == preFresh)

@@ -455,10 +455,14 @@ object MatViewQueries {
 
     // ---- freshness gate: after a DELETE the view is provably stale —
     // the SAME aggregate must fall back to the base scan (asserted) and
-    // still answer post-delete truth; REFRESH takes the group-pruned
-    // "partial" path (amt is NULLABLE here, so subtraction declines —
-    // only the groups with tombstoned rows re-aggregate) and serving
-    // resumes ----
+    // still answer post-delete truth. The would-be "partial" refresh
+    // (amt is NULLABLE here, so subtraction declines) DEMOTES to a full
+    // rebuild: the delete touches every o_orderstatus group on an
+    // UNCLUSTERED layout, so the prunability probe proves the restricted
+    // re-aggregate would read every batch anyway and the rebuild is
+    // strictly cheaper below the row cap (r14 What's-wrong #1; the
+    // clustered counterpart that KEEPS "partial" is
+    // q_matview_partial_minmax) ----
     QueryDef.sql(
       "q_matview_stale_fallback",
       """SELECT o_orderstatus,
@@ -474,6 +478,12 @@ object MatViewQueries {
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,4)").as("amt")),
         partitionBy = Seq("o_orderkey"), buckets = 4)
+      // clustered by the ROW key, not the group column — o_orderstatus
+      // stays uniform per batch (the unclustered-for-the-group layout),
+      // and the small batches give the demotion probe a real batch list
+      // at every SF
+      org.apache.spark.sql.graft.store.GraftStoreOps.createIndex(
+        s, "q_mvs_base", Seq("o_orderkey"), batchSize = 64)
       g.sql("CREATE MATERIALIZED VIEW q_mvs_sum AS " +
         "SELECT o_orderstatus, sum(amt) AS s, count(*) AS n " +
         "FROM q_mvs_base GROUP BY o_orderstatus")
@@ -483,7 +493,8 @@ object MatViewQueries {
       // stale: must NOT serve from the view (results would be pre-delete)
       assertNotServedBy(s.sql(q), "q_mvs_sum")
       val path = g.refreshMaterializedView("q_mvs_sum")
-      require(path == "partial", s"post-delete refresh took '$path'")
+      require(path == "full",
+        s"all-groups delete on an unclustered layout must demote, took '$path'")
       assertServedBy(s.sql(q), "q_mvs_sum")
         .select(col("o_orderstatus"), col("ts").cast("double").as("total"), col("n"))
         .orderBy("o_orderstatus")
@@ -626,25 +637,48 @@ object MatViewQueries {
         |  CAST(max(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS hi,
         |  count(*) AS n
         |FROM orders
-        |WHERE NOT (o_orderpriority = '1-URGENT' OR o_orderkey % 5 = 2)
+        |WHERE o_orderkey <= 3000
+        |  AND NOT (o_orderpriority = '1-URGENT'
+        |           OR (o_orderpriority = '2-HIGH' AND o_orderkey % 5 = 2))
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
       val g = GraftSession(s)
       reset(g, "q_mvp_sum", "q_mvp_base")
-      // bucketed by o_orderkey, NOT the group column: deleting a whole
-      // priority class must not empty whole batches (a dropped batch
-      // correctly declines the delta paths)
       g.createTable("q_mvp_base", Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"),
           col("o_totalprice").cast("decimal(18,4)").as("amt")),
         partitionBy = Seq("o_orderkey"), buckets = 4)
+      // CLUSTER by the group column (CREATE INDEX): per-batch priority
+      // ranges narrow, so the partial refresh's prunability probe sees
+      // the touched-group restriction skip batches and keeps "partial"
+      // (an unclustered layout below the row cap demotes to rebuild —
+      // see q_matview_stale_fallback); small batches so every SF has
+      // several per bucket. The VIEW windows o_orderkey <= 3000 so a
+      // group can vanish from the summary without its deletes emptying
+      // whole clustered batches (the > 3000 rows keep every batch live —
+      // an emptied batch changes the batch SET and correctly declines
+      // the delta paths to full).
+      // secondary sort by amt DECORRELATES batch boundaries from
+      // o_orderkey (ties in a priority would otherwise keep source key
+      // order, letting the windowed delete empty whole leading batches —
+      // a changed batch set correctly declines every delta path)
+      org.apache.spark.sql.graft.store.GraftStoreOps.createIndex(
+        s, "q_mvp_base", Seq("o_orderpriority", "amt"), batchSize = 128)
       g.sql("CREATE MATERIALIZED VIEW q_mvp_sum AS " +
         "SELECT o_orderpriority, min(amt) AS lo, max(amt) AS hi, " +
-        "count(*) AS n FROM q_mvp_base GROUP BY o_orderpriority")
+        "count(*) AS n FROM q_mvp_base WHERE o_orderkey <= 3000 " +
+        "GROUP BY o_orderpriority")
+      // the delete touches ONLY the two lowest priority classes — the
+      // clustered layout prunes every batch above them; 1-URGENT
+      // vanishes from the view window entirely (its summary row must
+      // go), 2-HIGH is only partially affected
       g.delete("q_mvp_base",
-        col("o_orderpriority") === "1-URGENT" || col("o_orderkey") % 5 === 2)
+        col("o_orderkey") <= 3000 &&
+          (col("o_orderpriority") === "1-URGENT" ||
+            (col("o_orderpriority") === "2-HIGH" && col("o_orderkey") % 5 === 2)))
       val q = "SELECT o_orderpriority, min(amt) AS lo, max(amt) AS hi, " +
-        "count(*) AS n FROM q_mvp_base GROUP BY o_orderpriority"
+        "count(*) AS n FROM q_mvp_base WHERE o_orderkey <= 3000 " +
+        "GROUP BY o_orderpriority"
       assertNotServedBy(s.sql(q), "q_mvp_sum")
       val path = g.refreshMaterializedView("q_mvp_sum")
       require(path == "partial", s"min/max delete refresh took '$path'")
@@ -654,6 +688,141 @@ object MatViewQueries {
       served
         .select(col("o_orderpriority"), col("lo").cast("double").as("lo"),
           col("hi").cast("double").as("hi"), col("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- MULTI-TABLE simultaneous-move refresh (the nightly-ETL
+    // cadence: fact AND dim both gain batches between refreshes): the
+    // per-table append deltas compose TELESCOPICALLY — Δfact ⋈ recorded
+    // dim, then current fact ⋈ Δdim — so the refresh stays O(sum of
+    // deltas) instead of rebuilding; plan-asserted "incremental_multi".
+    // The new-fact×new-dim pairs land in the second term (current fact
+    // includes Δfact), counted exactly once ----
+    QueryDef.sql(
+      "q_matview_multi_append",
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      reset(g, "q_mvm_sum", "q_mvm_fact")
+      if (g.isManaged("q_mvm_dim")) g.dropTable("q_mvm_dim")
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,4)").as("amt"))
+      val customer = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      g.createTable("q_mvm_fact", orders.filter(col("o_orderkey") % 4 =!= 0),
+        partitionBy = Seq("o_custkey"), buckets = 4)
+      g.createTable("q_mvm_dim", customer.filter(col("c_custkey") % 3 =!= 0),
+        partitionBy = Seq("c_custkey"), buckets = 4)
+      g.sql("CREATE MATERIALIZED VIEW q_mvm_sum AS " +
+        "SELECT c_mktsegment, o_orderstatus, sum(amt) AS s, count(*) AS n " +
+        "FROM q_mvm_fact JOIN q_mvm_dim ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment, o_orderstatus")
+      // BOTH tables gain batches before the single refresh (the ETL
+      // wave): new orders of existing customers, existing orders of
+      // new customers, AND new orders of new customers all appear
+      g.insert("q_mvm_fact", orders.filter(col("o_orderkey") % 4 === 0))
+      g.insert("q_mvm_dim", customer.filter(col("c_custkey") % 3 === 0))
+      val qs = "SELECT c_mktsegment, sum(amt) AS ts, count(*) AS n " +
+        "FROM q_mvm_fact JOIN q_mvm_dim ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment"
+      assertNotServedBy(s.sql(qs), "q_mvm_sum")
+      val path = g.refreshMaterializedView("q_mvm_sum")
+      require(path == "incremental_multi",
+        s"fact+dim double-append refresh took '$path'")
+      assertServedBy(s.sql(qs), "q_mvm_sum")
+        .select(col("c_mktsegment"), col("ts").cast("double").as("total"),
+          col("n"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- GLOBAL-aggregate view (no GROUP BY): the single most common
+    // dashboard tile (`SELECT count(*), sum(x) FROM fact`) maintains
+    // O(delta) — the stored summary is ONE row, an append folds the
+    // delta-aggregate in ("incremental") and a delete subtracts the
+    // tombstoned rows' aggregate ("incremental_delete"); both
+    // plan-asserted, serving asserted after each wave ----
+    QueryDef.sql(
+      "q_matview_global",
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 9 <> 4""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      reset(g, "q_mvg_sum", "q_mvg_base")
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          // coalesce: the subtractive gate requires NON-NULLABLE sum
+          // inputs (removing the last non-null value cannot be known
+          // to subtraction)
+          coalesce(col("o_totalprice").cast("decimal(18,4)"),
+            lit(0).cast("decimal(18,4)")).as("amt"))
+      g.createTable("q_mvg_base", orders.filter(col("o_orderkey") % 5 =!= 0),
+        partitionBy = Seq("o_orderkey"), buckets = 4)
+      g.sql("CREATE MATERIALIZED VIEW q_mvg_sum AS " +
+        "SELECT count(*) AS n, sum(amt) AS s FROM q_mvg_base")
+      val qs = "SELECT count(*) AS n, sum(amt) AS ts FROM q_mvg_base"
+      // append wave → single-row fold, "incremental"
+      g.insert("q_mvg_base", orders.filter(col("o_orderkey") % 5 === 0))
+      assertNotServedBy(s.sql(qs), "q_mvg_sum")
+      val p1 = g.refreshMaterializedView("q_mvg_sum")
+      require(p1 == "incremental", s"global append refresh took '$p1'")
+      assertServedBy(s.sql(qs), "q_mvg_sum")
+      // retention wave → single-row subtract, "incremental_delete"
+      g.delete("q_mvg_base", col("o_orderkey") % 9 === 4)
+      assertNotServedBy(s.sql(qs), "q_mvg_sum")
+      val p2 = g.refreshMaterializedView("q_mvg_sum")
+      require(p2 == "incremental_delete", s"global delete refresh took '$p2'")
+      assertServedBy(s.sql(qs), "q_mvg_sum")
+        .select(col("n"), col("ts").cast("double").as("total"))
+    },
+
+    // ---- DISJUNCTIVE predicates: `a = x OR a = y` is IN in disguise —
+    // the canonicalizer folds same-column equality/IN disjunctions into
+    // the sorted IN form, so a view created with OR serves a query
+    // written with IN (and vice versa, any order, duplicates folded);
+    // a disjunct of any other shape (range, different column) declines ----
+    QueryDef.sql(
+      "q_matview_or",
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM orders
+        |WHERE o_orderstatus = 'F' OR o_orderstatus = 'O'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      reset(g, "q_mvo_sum", "q_mvo_base")
+      g.createTable("q_mvo_base", Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,4)").as("amt")),
+        partitionBy = Seq("o_orderpriority"), buckets = 4)
+      // view spelled with OR, reversed element order
+      g.sql("CREATE MATERIALIZED VIEW q_mvo_sum AS " +
+        "SELECT o_orderpriority, sum(amt) AS s, count(*) AS n " +
+        "FROM q_mvo_base WHERE o_orderstatus = 'O' OR o_orderstatus = 'F' " +
+        "GROUP BY o_orderpriority")
+      // ... the IN spelling serves; so does a redundant OR-of-IN mix
+      val q = "SELECT o_orderpriority, sum(amt) AS ts, count(*) AS n " +
+        "FROM q_mvo_base WHERE o_orderstatus IN ('F', 'O') " +
+        "GROUP BY o_orderpriority"
+      val served = assertServedBy(s.sql(q), "q_mvo_sum")
+      assertServedBy(s.sql("SELECT o_orderpriority, sum(amt) AS ts " +
+        "FROM q_mvo_base WHERE o_orderstatus IN ('F') OR o_orderstatus = 'O' " +
+        "GROUP BY o_orderpriority"), "q_mvo_sum")
+      // a range disjunct or a different column cannot fold — decline
+      Seq("o_orderstatus = 'F' OR o_orderstatus > 'N'",
+        "o_orderstatus = 'F' OR o_orderpriority = '5-LOW'",
+        "o_orderstatus = 'F' OR o_orderstatus = 'P'")
+        .foreach { w =>
+          assertNotServedBy(s.sql("SELECT o_orderpriority, sum(amt) AS ts " +
+            s"FROM q_mvo_base WHERE $w GROUP BY o_orderpriority"), "q_mvo_sum")
+        }
+      served
+        .select(col("o_orderpriority"), col("ts").cast("double").as("total"), col("n"))
         .orderBy("o_orderpriority")
     })
 }

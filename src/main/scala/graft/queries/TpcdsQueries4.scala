@@ -730,6 +730,102 @@ object TpcdsQueries4 {
         .select(col("ck"), col("p95"), col("t95"), col("p96"), col("t96"),
           col("p97"), col("t97"))
         .orderBy(col("ck"))
+    },
+
+    // ---- wave 15: q67 FAITHFUL mixed-level ranking — unlike
+    // q_ds_rollup_rank / q_ds_category_topk (which partition BY
+    // lochierarchy, ranking each level separately), q67 ranks ALL
+    // rollup levels TOGETHER within the top partition: detail rows,
+    // brand subtotals and the type subtotal compete in ONE
+    // rank() ordering. The Expand still runs over a full-grouping-key
+    // pre-agg (PERF_NOTES §24), and the window input is
+    // |type·brand·size| rows — metadata scale at any fact size. ----
+    QueryDef.sql(
+      "q_ds_hierarchy_leaders",
+      """WITH g AS (
+        |  SELECT p_type, p_brand, p_size,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) * 10000) AS BIGINT) AS rev_e4
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY ROLLUP(p_type, p_brand, p_size))
+        |SELECT p_type, p_brand, p_size, rev_e4, rk FROM (
+        |  SELECT p_type, p_brand, p_size, rev_e4,
+        |    rank() OVER (PARTITION BY p_type
+        |                 ORDER BY rev_e4 DESC, coalesce(p_brand, ''),
+        |                          coalesce(p_size, -1)) AS rk
+        |  FROM g WHERE p_type IS NOT NULL)
+        |WHERE rk <= 5
+        |ORDER BY p_type, rk""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val part = Tables.load(s, dir, "part")
+      // fact reduced to the full grouping key FIRST; the rollup's
+      // 4-way Expand runs over the pre-agg (sum reassociates)
+      val pre = li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), col("p_brand"), col("p_size"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)") * 10000).as("prev"))
+      val g = pre.rollup(col("p_type"), col("p_brand"), col("p_size"))
+        .agg(sum(col("prev")).cast("long").as("rev_e4"))
+        .filter(col("p_type").isNotNull) // the grand total has no partition
+      val w = Window.partitionBy(col("p_type"))
+        .orderBy(col("rev_e4").desc, coalesce(col("p_brand"), lit("")),
+          coalesce(col("p_size"), lit(-1)))
+      g.withColumn("rk", rank().over(w))
+        .filter(col("rk") <= 5)
+        .select("p_type", "p_brand", "p_size", "rev_e4", "rk")
+        .orderBy(col("p_type"), col("rk"))
+    },
+
+    // ---- wave 15: q14 shape at full strength — items sold through ALL
+    // THREE channels (q14's triple INTERSECT of item sets), feeding a
+    // FILTERED re-aggregate of cross-channel sales. The Spark plan
+    // replaces the 3-scan + 2-shuffle INTERSECT chain with ONE
+    // presence-vector pass (per-item max-of-channel-flags — one fact
+    // scan, one |items|-key shuffle), then a semi join restricts the
+    // re-aggregate; at 100 TB that is 2 fact scans total vs q14's 4+. ----
+    QueryDef.sql(
+      "q_ds_triple_channel",
+      """WITH web AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_linenumber = 1),
+        |cat AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_linenumber IN (2, 3)),
+        |sto AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_linenumber >= 4),
+        |cross_items AS (
+        |  SELECT l_partkey FROM web
+        |  INTERSECT
+        |  SELECT l_partkey FROM cat
+        |  INTERSECT
+        |  SELECT l_partkey FROM sto)
+        |SELECT CASE WHEN l_linenumber = 1 THEN 'web'
+        |            WHEN l_linenumber IN (2, 3) THEN 'catalog'
+        |            ELSE 'store' END AS channel,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * 100) AS BIGINT) AS amt_c
+        |FROM lineitem
+        |WHERE l_quantity > 10
+        |  AND l_partkey IN (SELECT l_partkey FROM cross_items)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val channel = when(col("l_linenumber") === 1, "web")
+        .when(col("l_linenumber").isin(2, 3), "catalog")
+        .otherwise("store")
+      // ONE pass computes each item's channel-presence vector; items in
+      // all three channels survive — equivalent to the triple INTERSECT
+      // of DISTINCT key sets, without materializing any of them
+      val crossItems = li
+        .select(col("l_partkey"), channel.as("ch"))
+        .groupBy(col("l_partkey"))
+        .agg(
+          max(when(col("ch") === "web", 1).otherwise(0)).as("w"),
+          max(when(col("ch") === "catalog", 1).otherwise(0)).as("c"),
+          max(when(col("ch") === "store", 1).otherwise(0)).as("st"))
+        .filter(col("w") === 1 && col("c") === 1 && col("st") === 1)
+        .select(col("l_partkey").as("xk"))
+      li.filter(col("l_quantity") > 10)
+        .join(crossItems, col("l_partkey") === col("xk"), "left_semi")
+        .groupBy(channel.as("channel"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,4)") * 100)
+            .cast("long").as("amt_c"))
+        .orderBy(col("channel"))
     }
   )
 }

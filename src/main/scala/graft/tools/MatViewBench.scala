@@ -53,6 +53,13 @@ object MatViewBench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     def minOf(n: Int)(f: => Any): Double = { f; (1 to n).map(_ => time(f)).min }
+    // standard p50: the two-element average for even N (the upper-median
+    // shortcut overstated even-wave ladders)
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
 
     val q = "SELECT gk, sum(amt) AS s, count(*) AS n, min(qty) AS mn, " +
       "max(qty) AS mx FROM %s GROUP BY gk"
@@ -64,8 +71,20 @@ object MatViewBench {
         .map(_.trim).filter(_.nonEmpty).map(_.toInt).foreach { m =>
       val base = s"mvp_base_$m"
       val mv = s"mvp_mv_$m"
-      val rep = li.crossJoin(spark.range(m).toDF("__rep")).drop("__rep")
-      g.createTable(base, rep)
+      // chunked ingest (r14 What's-wrong #3): one 153M-row createTable at
+      // x256 OOMed the harness under default heap — build the same table
+      // as a create + bounded inserts so the full table arm runs where
+      // the retention ladder already did
+      val chunk = sys.env.getOrElse("SPARK_GRAFT_INGEST_CHUNK", "32").toInt
+      def repOf(n: Int, off: Int = 0): org.apache.spark.sql.DataFrame =
+        li.crossJoin(spark.range(off, off + n).toDF("__rep")).drop("__rep")
+      g.createTable(base, repOf(math.min(m, chunk)))
+      var done = math.min(m, chunk)
+      while (done < m) {
+        val n = math.min(chunk, m - done)
+        g.insert(base, repOf(n, done))
+        done += n
+      }
       val rows = org.apache.spark.sql.graft.store.GraftColumnStore(base).snapshot.rowCount
       val run = () => spark.sql(q.format(base)).write.format("noop").mode("overwrite").save()
       spark.conf.set("spark.sql.graft.matviewRewrite", "false")
@@ -97,8 +116,15 @@ object MatViewBench {
         require(p == "incremental_delete", s"expected incremental_delete, got $p")
       }
       val tPart = time {
-        val p = g.refreshMaterializedView(mv)
-        require(p == "partial", s"expected partial, got $p")
+        // demotion OFF for this reading: the column measures the partial
+        // MECHANISM (uniform layout = its worst case); the demoted
+        // behavior is the del_part arm's subject below
+        spark.conf.set("spark.sql.graft.matview.partialDemote.enabled", "false")
+        try {
+          val p = g.refreshMaterializedView(mv)
+          require(p == "partial", s"expected partial, got $p")
+        } finally spark.conf.set(
+          "spark.sql.graft.matview.partialDemote.enabled", "true")
       }
       // append+delete between refreshes changes the batch SET — the one
       // single-table shape that still rebuilds (mixed update+delete now
@@ -168,10 +194,27 @@ object MatViewBench {
         g.createMaterializedView("mvp_cmv",
           "SELECT gk, min(qty) AS mn, max(qty) AS mx, count(*) AS n " +
             "FROM mvp_cbase GROUP BY gk")
+        // reading 1 — the RAW partial mechanism (demotion off): on the
+        // unclustered layout this is the degenerate scan-plus-merge
         g.delete("mvp_cbase", col("gk") === 996)
-        val t = time {
-          val p = g.refreshMaterializedView("mvp_cmv")
-          require(p == "partial", s"expected partial, got $p")
+        val tRaw = time {
+          spark.conf.set("spark.sql.graft.matview.partialDemote.enabled", "false")
+          try {
+            val p = g.refreshMaterializedView("mvp_cmv")
+            require(p == "partial", s"expected partial, got $p")
+          } finally spark.conf.set(
+            "spark.sql.graft.matview.partialDemote.enabled", "true")
+        }
+        // reading 2 — the DEFAULT behavior (r15 demotion heuristic):
+        // clustered keeps "partial" (the probe proves pruning bites);
+        // unclustered demotes to the cheaper full rebuild
+        g.delete("mvp_cbase", col("gk") === 993)
+        var autoPath = ""
+        val tAuto = time {
+          autoPath = g.refreshMaterializedView("mvp_cmv")
+          require(autoPath == (if (clustered) "partial" else "full"),
+            s"clustered=$clustered expected " +
+              s"${if (clustered) "partial" else "full (demoted)"}, got $autoPath")
         }
         g.insert("mvp_cbase", li.limit(1)) // append + delete → rebuild
         g.delete("mvp_cbase", col("gk") === 995)
@@ -179,7 +222,8 @@ object MatViewBench {
           require(g.refreshMaterializedView("mvp_cmv") == "full")
         }
         println(f"del_part ${if (clustered) "CLUSTERED(gk)" else "unclustered"}%14s: " +
-          f"partial=$t%.3f s  full_rebuild=$full%.3f s")
+          f"partial_raw=$tRaw%.3f s  auto($autoPath)=$tAuto%.3f s  " +
+          f"full_rebuild=$full%.3f s")
         g.dropMaterializedView("mvp_cmv")
         g.dropTable("mvp_cbase")
       }
@@ -220,7 +264,7 @@ object MatViewBench {
         require(g.refreshMaterializedView("mvp_lmv") == "full")
       }
       println(f"\nretention ladder (x$lm base, ${org.apache.spark.sql.graft.store.GraftColumnStore("mvp_lbase").snapshot.rowCount} rows): $waves waves, per-wave " +
-        f"min=${times.min}%.3f median=${times.sorted.apply(waves / 2)}%.3f " +
+        f"min=${times.min}%.3f median=${medianOf(times)}%.3f " +
         f"max=${times.max}%.3f cumulative=${times.sum}%.3f s " +
         f"vs one full rebuild=$tRebuild%.3f s " +
         f"(${waves}x rebuilds would be ${waves * tRebuild}%.1f s)")

@@ -57,11 +57,78 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         // bare names the SESSION resolves to something else — a temp
         // view or a session-catalog table that shadows a same-named
         // graft store table created elsewhere — keep the native path:
-        // intercepting would hijack the user's own relation. A managed
-        // name's temp view IS the store table, so isManaged still
-        // intercepts; `graft.`-qualified names are explicit and always
-        // do.
-        (qualified || g.isManaged(n) || !session.catalog.tableExists(n))
+        // intercepting would hijack the user's own relation.
+        // `graft.`-qualified names are explicit and always intercept. A
+        // session relation that SCANS this store table — a managed
+        // name's own temp view (which IS the store table), a
+        // user-registered passthrough, or a derived view — cannot go
+        // native either: Spark 4 writes INSERTs THROUGH such a view to
+        // the underlying V2 relation, silently bypassing
+        // identity/CHECK/UNIQUE/FK — same-schema shadows enforce,
+        // schema-changing ones fail fast inside [[shadowOfStoreTable]].
+        // (No isManaged short-circuit: a user may REPLACE a managed
+        // name's temp view with their own reshaped shadow — the
+        // analysis-based classification is the only honest gate.)
+        (qualified || !session.catalog.tableExists(n) ||
+          shadowOfStoreTable(n))
+    }
+  }
+
+  /** Classifies the SESSION's own relation for bare name `n` when it
+    * shadows the same-named constrained graft store table. Spark's
+    * native INSERT resolves a temp view over a DSv2 relation by writing
+    * THROUGH it into the underlying table (the view's Filter/Project are
+    * not applied to the write) — so a shadow that scans the store table
+    * can never keep the native path without bypassing enforcement.
+    * Returns false when the shadow is unrelated to the store table (the
+    * user's own relation — native path, Spark decides insertability);
+    * true when it is a passthrough (alias-wrapped only) or exposes the
+    * table's exact schema (names + types, in order) — the enforcing
+    * insert writes the same rows Spark's write-through would, plus the
+    * constraint checks; and THROWS (fail-fast, matching the
+    * parameterized-INSERT discipline) when the shadow reshapes the
+    * schema — the enforcing command cannot reproduce Spark's
+    * view-schema column mapping, and routing native would silently
+    * skip CHECK/UNIQUE/FK/identity.
+    */
+  private def shadowOfStoreTable(n: String): Boolean = {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        strip(s.child)
+      case v: org.apache.spark.sql.catalyst.plans.logical.View =>
+        strip(v.child)
+      case other => other
+    }
+    def storeRel(p: LogicalPlan): Option[DataSourceV2Relation] = p match {
+      case r: DataSourceV2Relation => r.table match {
+        case gt: org.apache.spark.sql.graft.store.GraftTable
+          if gt.storeName.equalsIgnoreCase(n) => Some(r)
+        case rt: org.apache.spark.sql.graft.store.GraftRowTable
+          if rt.name().equalsIgnoreCase(s"graftrow.$n") => Some(r)
+        case _ => None
+      }
+      case _ => None
+    }
+    val stripped =
+      try {
+        val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        strip(classic.table(n).queryExecution.analyzed)
+      } catch { case _: Exception => return false }
+    if (storeRel(stripped).isDefined) true
+    else stripped.collectFirst(Function.unlift(storeRel)) match {
+      case None => false // the user's own unrelated relation
+      case Some(rel) =>
+        def shape(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]) =
+          out.map(a => (a.name.toLowerCase, a.dataType))
+        if (shape(stripped.output) == shape(rel.output)) true
+        else throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3105",
+          messageParameters = Map("message" ->
+            (s"INSERT into '$n' resolves through a derived view of " +
+              s"constrained graft table '$n' with a different schema; " +
+              "Spark would write through the view and bypass constraint " +
+              s"enforcement — insert into graft.$n directly")))
     }
   }
 
@@ -239,6 +306,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftTopkDecayCommand(n, ts, gens, mw)
       case Some(DropMatView(n)) => GraftDropMatViewCommand(n)
       case Some(RefreshMatView(n)) => GraftRefreshMatViewCommand(n)
+      case Some(RefreshSample(n)) => GraftRefreshSampleCommand(n)
       case Some(DropSynonym(n)) => GraftSynonymCommand(n, None)
       case Some(SetIsolation(l)) => GraftSetIsolationCommand(l)
       // Derby SET SCHEMA == Spark USE; without this rewrite Spark's own
@@ -657,6 +725,18 @@ case class GraftRefreshMatViewCommand(name: String) extends LeafRunnableCommand 
       "path", org.apache.spark.sql.types.StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(graft.GraftSession(spark).refreshMaterializedView(name)))
+}
+
+/** REFRESH SAMPLE [TABLE] s — the SQL face of
+  * [[graft.GraftSession.refreshSample]]: re-stratify a registered sample
+  * over the current base (repairs `sys.samples.is_fresh = false`).
+  */
+case class GraftRefreshSampleCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "path", org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.GraftSession(spark).refreshSample(name)))
 }
 
 case class GraftPublishTableCommand(table: String, root: Option[String],

@@ -136,6 +136,10 @@ object GraftStatements extends RegexParsers {
       options: Map[String, String]) extends Stmt
   final case class DropMatView(name: String) extends Stmt
   final case class RefreshMatView(name: String) extends Stmt
+  /** REFRESH SAMPLE [TABLE] s — re-stratify a registered sample over the
+    * current base (the repair path for `sys.samples.is_fresh = false`).
+    */
+  final case class RefreshSample(name: String) extends Stmt
   /** CREATE FUNCTION f AS class [RETURNS type] [USING JAR 'path']
     * (reference SnappyDDLParser.createFunction:765 — the RETURNS clause
     * is Snappy-specific; stock Spark's CREATE FUNCTION lacks it).
@@ -469,6 +473,9 @@ object GraftStatements extends RegexParsers {
   private def refreshMatView: Parser[Stmt] =
     kw("REFRESH") ~> kw("MATERIALIZED") ~> kw("VIEW") ~> ident ^^ RefreshMatView.apply
 
+  private def refreshSample: Parser[Stmt] =
+    kw("REFRESH") ~> kw("SAMPLE") ~> opt(kw("TABLE")) ~> ident ^^ RefreshSample.apply
+
   private def bootstrapCatalog: Parser[Stmt] =
     kw("BOOTSTRAP") ~> kw("CATALOG") ~> opt(kw("FROM") ~> ident) ^^ {
       ds => BootstrapCatalog(ds)
@@ -518,7 +525,7 @@ object GraftStatements extends RegexParsers {
       alterDrop | alterAdd | truncateTable | createDiskstore | dropDiskstore |
       createSynonym | dropSynonym | setIsolation | setSchema |
       publishTable | attachStmt | bootstrapCatalog |
-      createMatView | dropMatView | refreshMatView |
+      createMatView | dropMatView | refreshMatView | refreshSample |
       streamingCtl | grantRevoke | update | delete | insertInto
 
   /** None = not a graft statement (caller delegates to Spark's parser). */

@@ -1030,6 +1030,31 @@ object BatchPruning {
       }
       case None => true
     }
+
+  /** Fraction of the snapshot's batches whose `colName` stats CANNOT
+    * intersect the EXTERNAL value range [lo, hi] — a driver-metadata
+    * prunability probe (the matview partial-path demotion heuristic
+    * asks it whether a touched-keys restriction would let the scan skip
+    * anything). 0.0 when the column has no usable stats or the values
+    * don't convert — "cannot prove pruning", the caller's conservative
+    * answer.
+    */
+  def prunableFraction(snap: GraftColumnStore.TableSnapshot, colName: String,
+      lo: Any, hi: Any): Double = {
+    val idx = snap.schema.fieldNames.indexOf(colName)
+    if (idx < 0 || snap.refs.isEmpty) return 0.0
+    val dt = snap.schema.fields(idx).dataType
+    (internal(dt, lo), internal(dt, hi)) match {
+      case (Some(l), Some(h)) =>
+        val overlapping = snap.refs.count { r =>
+          val st = r.stats(idx)
+          st.min == null || // all-null / absent stats: must be read
+            (compare(dt, st.max, l) >= 0 && compare(dt, st.min, h) <= 0)
+        }
+        1.0 - overlapping.toDouble / snap.refs.size
+      case _ => 0.0
+    }
+  }
 }
 
 // ------------------------------- write path ------------------------------

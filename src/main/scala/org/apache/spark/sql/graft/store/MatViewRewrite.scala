@@ -197,6 +197,32 @@ object MatViewSupport extends PredicateHelper {
           if (hset.contains(null)) None
           else downAll(a, hset.toSeq.map(Literal(_, v.dataType)))
         }
+      // a disjunction of equalities / IN / InSet on the SAME column is
+      // the IN predicate in disguise: `a = 1 OR a = 3` canonicalizes to
+      // `a IN (1, 3)`, so a view created with either spelling serves a
+      // query written with the other (inCanon's sort/dedup makes the
+      // rendering order-free). Any disjunct of another shape — a range,
+      // a different column, IS NULL — declines the whole conjunct (an
+      // OR the view didn't apply can't be proven contained).
+      case o: Or =>
+        def flat(x: Expression): Seq[Expression] = x match {
+          case Or(l, r) => flat(l) ++ flat(r)
+          case other => Seq(other)
+        }
+        val parts = flat(o).map {
+          case eq @ EqualTo(_, _) => cmpShape(eq).collect {
+            case (a, "=", l) => (a, Seq(l))
+          }
+          case in @ (_: In | _: InSet) => inShape(in)
+          case _ => None
+        }
+        if (parts.exists(_.isEmpty)) None
+        else {
+          val ps = parts.flatten
+          val a = ps.head._1
+          if (ps.forall(_._1.exprId == a.exprId)) downAll(a, ps.flatMap(_._2))
+          else None
+        }
       case _ => None
     }
   }

@@ -154,6 +154,55 @@ class AqpSpec extends SparkTestBase {
     }
   }
 
+  test("refreshSample repairs a delete-skewed sample; REFRESH SAMPLE is the SQL face") {
+    val g = GraftSession(spark)
+    g.createTable("rs_base", li.filter(col("l_orderkey") <= 1500))
+    g.createSampleTable("rs_sample", g.table("rs_base"),
+      qcs = Seq("l_returnflag"), fraction = 0.1,
+      reservoirFloor = 20, rankKey = Seq("l_orderkey", "l_linenumber"))
+    g.registerSample("rs_base", "rs_sample", Seq("l_returnflag"),
+      Some(GraftSession.SampleParams(0.1, 20, Seq("l_orderkey", "l_linenumber"))))
+    try {
+      def verdict(): String = spark.sql(
+        "SELECT is_fresh FROM sys.samples WHERE sample_table = 'rs_sample'")
+        .head().getString(0)
+      def approxCount(): Long =
+        g.sql("SELECT count(*) AS n FROM rs_base WITH ERROR 0.5").head().getLong(0)
+      val before = g.table("rs_base").count()
+      assert(g.refreshSample("rs_sample") == "noop",
+        "a provably-fresh sample must not rebuild")
+      // base retention delete: the sample keeps rows for vanished
+      // base rows — estimates answer PRE-delete truth until repaired
+      g.delete("rs_base", col("l_orderkey") % 3 === 0)
+      val after = g.table("rs_base").count()
+      assert(after < before)
+      assert(verdict() == "false")
+      val staleEst = approxCount()
+      assert(math.abs(staleEst - before) < math.abs(staleEst - after),
+        s"stale sample answers pre-delete truth ($staleEst vs $before/$after)")
+      assert(g.refreshSample("rs_sample") == "rebuilt")
+      assert(verdict() == "true", "refreshSample restores provable freshness")
+      val freshEst = approxCount()
+      assert(math.abs(freshEst - after) < math.abs(freshEst - before),
+        s"refreshed sample answers post-delete truth ($freshEst vs $after/$before)")
+      // the SQL face drives the same path
+      g.delete("rs_base", col("l_orderkey") % 7 === 1)
+      assert(verdict() == "false")
+      assert(spark.sql("REFRESH SAMPLE rs_sample").head().getString(0) == "rebuilt")
+      assert(verdict() == "true")
+      assert(spark.sql("REFRESH SAMPLE TABLE rs_sample").head().getString(0) == "noop")
+      // a registration without build parameters cannot re-draw — refuse
+      // loudly instead of silently serving the stale sample
+      g.registerSample("rs_base", "rs_ghost", Seq("l_returnflag"))
+      intercept[IllegalArgumentException](g.refreshSample("rs_ghost"))
+      intercept[IllegalArgumentException](g.refreshSample("rs_nosuch"))
+    } finally {
+      g.samples.remove("rs_base")
+      g.dropTable("rs_sample")
+      g.dropTable("rs_base")
+    }
+  }
+
   test("WITH ERROR sql rewrites onto the sample with weighted aggregates") {
     val g = GraftSession(spark)
     Tables.registerAll(spark, sf)

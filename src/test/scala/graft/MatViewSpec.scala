@@ -517,9 +517,11 @@ class MatViewSpec extends SparkTestBase {
     val bad = Seq(
       "SELECT m1.k, sum(m1.v) AS s FROM mvb1 m1 JOIN mvb1 m2 ON m1.k = m2.k GROUP BY m1.k",
       "SELECT k, sum(v) AS s FROM mvb1 WHERE v > nv GROUP BY k", // col-vs-col
-      // a general OR is still refused (IN — an OR of equalities on ONE
-      // column — is supported since r14; see the IN-predicate arm)
-      "SELECT k, sum(v) AS s FROM mvb1 WHERE cat = 'c1' OR cat = 'c2' GROUP BY k",
+      // a general OR is still refused (same-column equality ORs fold to
+      // IN since r15 — see the disjunctive-predicates arm; a RANGE
+      // disjunct or a two-column OR stays out of the algebra)
+      "SELECT k, sum(v) AS s FROM mvb1 WHERE cat = 'c1' OR cat > 'c2' GROUP BY k",
+      "SELECT k, sum(v) AS s FROM mvb1 WHERE cat = 'c1' OR k = 2 GROUP BY k",
       // foldable but Unevaluable pre-FinishAnalysis (current_user() is
       // only substituted by the optimizer): must hit the actionable
       // refusal, not an opaque UnsupportedOperationException
@@ -926,14 +928,16 @@ class MatViewSpec extends SparkTestBase {
       "a single-table dim append is an additive delta too")
     assert(usesMatView(q, "mvj1"))
     assert(sorted(spark.sql(q)) == direct(q))
-    // BOTH tables appending between refreshes is NOT additive (new×new
-    // pairs would be double-counted by two single-sided deltas) — rebuild
+    // BOTH tables appending between refreshes is not additive from one
+    // side (new×new pairs would double-count under two single-sided
+    // deltas) — the TELESCOPED multi-mover path composes them instead:
+    // Δfact ⋈ recorded dim, then current fact ⋈ Δdim
     g.insert("mvj_fact", spark.range(1200, 1250).select(
       (col("id") % 51).as("fk"), (col("id") % 7).cast("int").as("k"),
       (col("id") * 2).as("v")))
     g.insertRows("mvj_dim", org.apache.spark.sql.Row(51L, "s1", "r1"))
-    assert(g.refreshMaterializedView("mvj1") == "full",
-      "two moving tables must rebuild")
+    assert(g.refreshMaterializedView("mvj1") == "incremental_multi",
+      "two append-only movers must compose, not rebuild")
     assert(usesMatView(q, "mvj1"))
     assert(sorted(spark.sql(q)) == direct(q))
     // delete in the fact: this view carries max(v), so subtraction
@@ -1104,6 +1108,45 @@ class MatViewSpec extends SparkTestBase {
     assert(usesMatView(qEq, "mv33"), "IN ('x') must serve cat = 'x'")
     assert(sorted(spark.sql(qEq)) == direct(qEq))
     g.dropTable("mvb32")
+  }
+
+  test("disjunctive predicates fold to IN: OR-of-equals matches IN views both ways; foreign shapes decline") {
+    freshBase("mvb35", rows = 400)
+    // view spelled with OR — canonicalizes to the sorted IN form
+    g.sql("CREATE MATERIALIZED VIEW mv35 AS SELECT k, sum(v) AS sv, " +
+      "count(*) AS n FROM mvb35 WHERE cat = 'c2' OR cat = 'c0' GROUP BY k")
+    // IN spelling, OR spelling permuted, OR-of-IN mix — one canonical set
+    Seq("cat IN ('c0', 'c2')", "cat = 'c0' OR cat = 'c2'",
+      "cat IN ('c2') OR cat = 'c0' OR cat = 'c2'").foreach { w =>
+      val q = s"SELECT k, sum(v) AS sv, count(*) AS n FROM mvb35 WHERE $w GROUP BY k"
+      assert(usesMatView(q, "mv35"), s"must serve: $w")
+      assert(sorted(spark.sql(q)) == direct(q))
+    }
+    // subset, superset, a range disjunct, a different-column disjunct,
+    // and OR over TWO columns all decline
+    Seq("cat = 'c0'", "cat = 'c0' OR cat = 'c1' OR cat = 'c2'",
+      "cat = 'c0' OR cat > 'c1'", "cat = 'c0' OR k = 3",
+      "cat = 'c2' OR cat IS NULL").foreach { w =>
+      val bad = s"SELECT k, sum(v) AS sv FROM mvb35 WHERE $w GROUP BY k"
+      assert(!usesMatView(bad, "mv35"), s"must decline: $w")
+      assert(sorted(spark.sql(bad)) == direct(bad))
+    }
+    // an IN view serves the OR spelling too (the reverse direction),
+    // and refresh re-applies the canonical predicate correctly
+    g.sql("CREATE MATERIALIZED VIEW mv36 AS SELECT k, count(*) AS n " +
+      "FROM mvb35 WHERE cat IN ('c1', 'c0') GROUP BY k")
+    val qOr = "SELECT k, count(*) AS n FROM mvb35 " +
+      "WHERE cat = 'c1' OR cat = 'c0' GROUP BY k"
+    assert(usesMatView(qOr, "mv36"), "IN view must serve the OR spelling")
+    g.insert("mvb35", spark.range(400, 480).select(
+      (col("id") % 7).cast("int").as("k"),
+      concat(lit("c"), col("id") % 3).as("cat"),
+      (col("id") * 2).as("v"), (col("id") % 100).cast("double").as("d"),
+      col("id").as("nv")))
+    assert(g.refreshMaterializedView("mv36") == "incremental")
+    assert(usesMatView(qOr, "mv36"))
+    assert(sorted(spark.sql(qOr)) == direct(qOr))
+    g.dropTable("mvb35")
   }
 
   test("update refresh: predicate-crossing, repeated waves, and mixed moves") {
@@ -1310,5 +1353,173 @@ class MatViewSpec extends SparkTestBase {
       MatViews.unregister("a_broken_mv21")
       g.dropTable("mvb21")
     }
+  }
+
+  test("multi-table append refresh composes telescopically; any mutation among the movers declines") {
+    def mkFact(rows: Int): DataFrame = spark.range(rows).select(
+      col("id").as("pk"), (col("id") % 50).as("ck"),
+      (col("id") % 20).as("sk"), (col("id") * 3).as("v"))
+    g.createTable("mvb40", mkFact(300), partitionBy = Seq("pk"), buckets = 4)
+    g.createTable("mvd40", spark.range(40).select(col("id").as("dk"),
+      concat(lit("s"), col("id") % 5).as("seg")),
+      partitionBy = Seq("dk"), buckets = 4)
+    g.createTable("mvd41", spark.range(20).select(col("id").as("nk"),
+      concat(lit("n"), col("id") % 3).as("nat")),
+      partitionBy = Seq("nk"), buckets = 4)
+    g.sql("CREATE MATERIALIZED VIEW mv40 AS SELECT seg, nat, sum(v) AS sv, " +
+      "count(*) AS n FROM mvb40 JOIN mvd40 ON ck = dk " +
+      "JOIN mvd41 ON sk = nk GROUP BY seg, nat")
+    val q = "SELECT seg, nat, sum(v) AS sv, count(*) AS n FROM mvb40 " +
+      "JOIN mvd40 ON ck = dk JOIN mvd41 ON sk = nk " +
+      "GROUP BY seg, nat"
+    assert(usesMatView(q, "mv40"))
+    // TWO movers (fact + one dim), third table carries: telescoped —
+    // Δfact ⋈ recorded dims, then current fact ⋈ Δdim ⋈ recorded rest.
+    // The new-fact×new-dim pairs (ck 40-49 × pk 300-399) land exactly once
+    g.insert("mvb40", spark.range(300, 400).select(col("id").as("pk"),
+      (col("id") % 50).as("ck"), (col("id") % 20).as("sk"), (col("id") * 3).as("v")))
+    g.insert("mvd40", spark.range(40, 50).select(col("id").as("dk"),
+      concat(lit("s"), col("id") % 5).as("seg")))
+    assert(!usesMatView(q, "mv40"), "double append must stale the view")
+    assert(g.refreshMaterializedView("mv40") == "incremental_multi")
+    assert(usesMatView(q, "mv40"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    // THREE movers: all append-only still composes
+    g.insert("mvb40", spark.range(400, 440).select(col("id").as("pk"),
+      (col("id") % 50).as("ck"), (col("id") % 20 + 20).as("sk"), (col("id") * 3).as("v")))
+    g.insert("mvd40", spark.range(50, 55).select(col("id").as("dk"),
+      concat(lit("s"), col("id") % 5).as("seg")))
+    g.insert("mvd41", spark.range(20, 40).select(col("id").as("nk"),
+      concat(lit("n"), col("id") % 3).as("nat")))
+    assert(g.refreshMaterializedView("mv40") == "incremental_multi")
+    assert(sorted(spark.sql(q)) == direct(q))
+    // a MUTATION among several movers breaks the telescoping algebra:
+    // append on the fact + delete on a dim → full rebuild
+    g.insert("mvb40", spark.range(440, 460).select(col("id").as("pk"),
+      (col("id") % 50).as("ck"), (col("id") % 40).as("sk"), (col("id") * 3).as("v")))
+    g.delete("mvd40", col("dk") % 7 === 3)
+    assert(g.refreshMaterializedView("mv40") == "full")
+    assert(sorted(spark.sql(q)) == direct(q))
+    // append on the fact + update on a dim → full rebuild
+    g.insert("mvb40", spark.range(460, 470).select(col("id").as("pk"),
+      (col("id") % 50).as("ck"), (col("id") % 40).as("sk"), (col("id") * 3).as("v")))
+    g.update("mvd41", col("nk") % 5 === 1, "nat" -> lit("nX"))
+    assert(g.refreshMaterializedView("mv40") == "full")
+    assert(sorted(spark.sql(q)) == direct(q))
+    g.dropMaterializedView("mv40")
+    Seq("mvb40", "mvd40", "mvd41").foreach(g.dropTable)
+  }
+
+  test("global view: O(delta) append/delete/update waves and emptied-view semantics") {
+    // bucketed by pk so a predicate-class delete never empties a batch
+    g.createTable("mvb42", spark.range(500).select(
+      col("id").as("pk"), (col("id") % 7).cast("int").as("k"),
+      (col("id") * 2).as("v")),
+      partitionBy = Seq("pk"), buckets = 4)
+    g.sql("CREATE MATERIALIZED VIEW mv42 AS SELECT count(*) AS n, " +
+      "sum(v) AS sv, avg(v) AS av FROM mvb42 WHERE k = 3")
+    val q = "SELECT count(*) AS n, sum(v) AS sv, avg(v) AS av " +
+      "FROM mvb42 WHERE k = 3"
+    assert(usesMatView(q, "mv42"), "global view must serve the global query")
+    assert(sorted(spark.sql(q)) == direct(q))
+    // append → single-row fold
+    g.insert("mvb42", spark.range(500, 600).select(col("id").as("pk"),
+      (col("id") % 7).cast("int").as("k"), (col("id") * 2).as("v")))
+    assert(!usesMatView(q, "mv42"))
+    assert(g.refreshMaterializedView("mv42") == "incremental")
+    assert(usesMatView(q, "mv42"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    // delete → single-row subtract
+    g.delete("mvb42", col("k") === 3 && col("pk") % 3 === 0)
+    assert(g.refreshMaterializedView("mv42") == "incremental_delete")
+    assert(sorted(spark.sql(q)) == direct(q))
+    // update (measure scale + predicate crossing) → two-sided fold
+    g.update("mvb42", col("pk") % 4 === 1, "v" -> (col("v") + 7))
+    assert(g.refreshMaterializedView("mv42") == "incremental_update")
+    assert(sorted(spark.sql(q)) == direct(q))
+    // delete EVERY remaining predicate row (batches survive — other k
+    // values keep them live): the stored row zeroes, the rewrite's
+    // count mask turns it back into empty-input semantics (0, NULL, NULL)
+    g.delete("mvb42", col("k") === 3)
+    assert(g.refreshMaterializedView("mv42") == "incremental_delete")
+    assert(usesMatView(q, "mv42"), "an emptied global view still serves")
+    assert(sorted(spark.sql(q)) == direct(q))
+    assert(spark.sql(q).head().getLong(0) == 0L)
+    assert(spark.sql(q).head().isNullAt(1), "sum over no rows must be NULL")
+    g.dropMaterializedView("mv42")
+    g.dropTable("mvb42")
+  }
+
+  test("partial demotion: unclustered small base rebuilds, clustered keeps pruned partial, advisory surfaces") {
+    import org.apache.spark.sql.graft.store.GraftStoreOps
+    val df = spark.range(20000).select(col("id").as("pk"),
+      (col("id") % 40).cast("int").as("gk"), (col("id") % 17).as("q"))
+    g.createTable("mvb50", df, partitionBy = Seq("pk"), buckets = 4)
+    // cluster by the ROW key: gk stays uniform per batch (the layout the
+    // probe must prove unprunable), with a real batch list (~40 refs)
+    GraftStoreOps.createIndex(spark, "mvb50", Seq("pk"), batchSize = 512)
+    g.sql("CREATE MATERIALIZED VIEW mv50 AS SELECT gk, min(q) AS mn, " +
+      "max(q) AS mx, count(*) AS n FROM mvb50 GROUP BY gk")
+    val q = "SELECT gk, min(q) AS mn, max(q) AS mx, count(*) AS n " +
+      "FROM mvb50 GROUP BY gk"
+    // the advisory names the remedy while the layout can't prune
+    def advice(): String = g.sysMatviews.filter(col("name") === "mv50")
+      .head().getAs[String]("layout_advice")
+    assert(advice().contains("CREATE INDEX"), advice())
+    g.delete("mvb50", col("pk") % 10 === 3) // rows in EVERY group
+    assert(g.refreshMaterializedView("mv50") == "full",
+      "group-uniform layout + small base must demote the partial path")
+    assert(sorted(spark.sql(q)) == direct(q))
+    // the partial machinery stays reachable with the heuristic off
+    g.delete("mvb50", col("pk") % 10 === 7)
+    spark.conf.set("spark.sql.graft.matview.partialDemote.enabled", "false")
+    try assert(g.refreshMaterializedView("mv50") == "partial")
+    finally spark.conf.set("spark.sql.graft.matview.partialDemote.enabled", "true")
+    assert(sorted(spark.sql(q)) == direct(q))
+    // re-cluster by the GROUP column: the batch rewrite changes the
+    // batch set (full once), then a one-group delete proves prunable and
+    // the partial path STAYS — and the advisory clears
+    GraftStoreOps.createIndex(spark, "mvb50", Seq("gk"), batchSize = 512)
+    assert(g.refreshMaterializedView("mv50") == "full") // rewritten batch set
+    assert(advice().isEmpty, advice())
+    // gk=8 still has live rows (pk ≡ 8 mod 40 survived both waves); its
+    // batches stay live — neighbours share them under the gk clustering
+    g.delete("mvb50", col("gk") === 8)
+    assert(g.refreshMaterializedView("mv50") == "partial",
+      "clustered layout + one-group delete must keep the pruned partial")
+    assert(sorted(spark.sql(q)) == direct(q))
+    g.dropMaterializedView("mv50")
+    g.dropTable("mvb50")
+  }
+
+  test("global view: nullable measure or min/max declines subtraction to full") {
+    freshBase("mvb43", rows = 300) // nv is NULLABLE
+    g.sql("CREATE MATERIALIZED VIEW mv43 AS SELECT count(*) AS n, " +
+      "sum(nv) AS snv FROM mvb43")
+    g.delete("mvb43", col("k") === 2)
+    assert(g.refreshMaterializedView("mv43") == "full",
+      "nullable sum input cannot subtract")
+    val q = "SELECT count(*) AS n, sum(nv) AS snv FROM mvb43"
+    assert(usesMatView(q, "mv43"))
+    assert(sorted(spark.sql(q)) == direct(q))
+    g.sql("CREATE MATERIALIZED VIEW mv44 AS SELECT count(*) AS n, " +
+      "min(v) AS mnv FROM mvb43")
+    g.delete("mvb43", col("k") === 5)
+    assert(g.refreshMaterializedView("mv44") == "full",
+      "min cannot un-see a deleted value")
+    assert(g.refreshMaterializedView("mv43") == "full")
+    val q2 = "SELECT count(*) AS n, min(v) AS mnv FROM mvb43"
+    assert(usesMatView(q2, "mv44"))
+    assert(sorted(spark.sql(q2)) == direct(q2))
+    // global APPEND folds for ANY aggregate mix (min/max merge fine)
+    g.insert("mvb43", spark.range(300, 350).select(
+      (col("id") % 7).cast("int").as("k"), concat(lit("c"), col("id") % 3).as("cat"),
+      (col("id") * 2).as("v"), (col("id") % 100).cast("double").as("d"),
+      when(col("id") % 11 === 0, lit(null).cast("long")).otherwise(col("id")).as("nv")))
+    assert(g.refreshMaterializedView("mv44") == "incremental")
+    assert(sorted(spark.sql(q2)) == direct(q2))
+    g.dropMaterializedView("mv43")
+    g.dropMaterializedView("mv44")
+    g.dropTable("mvb43")
   }
 }

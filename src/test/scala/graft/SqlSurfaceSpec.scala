@@ -808,4 +808,46 @@ class SqlSurfaceSpec extends SparkTestBase {
       assert(spark.sql("SELECT count(*) FROM graft.sqlci").head().getLong(0) == 3)
     } finally g.dropTable("sqlci")
   }
+
+  test("constrained INSERT intercept: a passthrough temp-view alias of the store table still enforces") {
+    // a second session's store table, shadowed in THIS session by a
+    // user-registered temp view that is a BARE ALIAS of the same store
+    // table — the bare-name INSERT resolves to the alias, and routing it
+    // native would silently bypass the CHECK through the passthrough
+    val g2 = GraftSession(spark.newSession())
+    g2.sql("CREATE TABLE sqlcv (k bigint, v string check (length(v) > 0)) USING row")
+    try {
+      assert(!g.isManaged("sqlcv"), "the table must not be session-managed here")
+      org.apache.spark.sql.graft.store.GraftRowOps.read(spark, "sqlcv")
+        .createOrReplaceTempView("sqlcv")
+      val e = intercept[Exception](
+        spark.sql("INSERT INTO sqlcv VALUES (3, '')"))
+      assert(e.getMessage.contains("CHECK constraint"), e.getMessage)
+      spark.sql("INSERT INTO sqlcv VALUES (1, 'a')")
+      assert(spark.sql("SELECT count(*) FROM graft.sqlcv").head().getLong(0) == 1)
+      // a SAME-SCHEMA derived shadow (filter on top): Spark's native
+      // INSERT would write THROUGH the view to the table, ignoring the
+      // filter — so the intercept still enforces (same rows land, CHECK
+      // holds)
+      spark.sql("SELECT k, v FROM graft.sqlcv WHERE k > 0")
+        .createOrReplaceTempView("sqlcv")
+      val e2 = intercept[Exception](
+        spark.sql("INSERT INTO sqlcv VALUES (9, '')"))
+      assert(e2.getMessage.contains("CHECK constraint"), e2.getMessage)
+      spark.sql("INSERT INTO sqlcv VALUES (9, 'z')")
+      assert(spark.sql("SELECT count(*) FROM graft.sqlcv").head().getLong(0) == 2)
+      // a SCHEMA-RESHAPING shadow: the enforcing command cannot
+      // reproduce Spark's view-schema column mapping, and native would
+      // silently bypass CHECK through the write-through — fail fast
+      spark.sql("SELECT v, k FROM graft.sqlcv").createOrReplaceTempView("sqlcv")
+      val e3 = intercept[Exception](
+        spark.sql("INSERT INTO sqlcv VALUES ('z', 10)"))
+      assert(e3.getMessage.contains("bypass constraint"), e3.getMessage)
+      assert(spark.sql("SELECT count(*) FROM graft.sqlcv").head().getLong(0) == 2,
+        "a reshaped shadow must not be written through")
+    } finally {
+      spark.catalog.dropTempView("sqlcv")
+      g.dropTable("sqlcv")
+    }
+  }
 }
