@@ -935,13 +935,19 @@ class GraftSession(val spark: SparkSession)
     else {
       val drawn = graft.operators.Aqp.stratifiedSample(
         table(base), info.qcs, p.fraction, p.reservoirFloor, p.rankKey)
-      // mirror the existing sample table's layout when this session
-      // knows it; createSampleTable's default otherwise
+      // mirror the sample table's layout from ITS OWN store snapshot —
+      // a JDBC/other session may refresh a sample it didn't create
+      // (rebuild() reads buckets the same way); session state is only
+      // the fallback for non-store-backed samples
+      val snapLayout = GraftColumnStore.get(sn).map(_.snapshot)
       val layout = tables.get(sn)
       createTable(sn, drawn,
-        keyColumns = layout.map(_.keyColumns).getOrElse(Nil),
-        partitionBy = layout.map(_.partitionBy).getOrElse(Nil),
-        buckets = layout.map(_.buckets).filter(_ > 0).getOrElse(32))
+        keyColumns = snapLayout.map(_.keyColumns.toSeq)
+          .orElse(layout.map(_.keyColumns)).getOrElse(Nil),
+        partitionBy = snapLayout.map(_.bucketBy.toSeq)
+          .orElse(layout.map(_.partitionBy)).getOrElse(Nil),
+        buckets = snapLayout.map(_.numBuckets).filter(_ > 0)
+          .orElse(layout.map(_.buckets).filter(_ > 0)).getOrElse(32))
       samples.updateWith(normalize(base))(_.map(_.map(i =>
         if (i.table == sn) i.copy(fresh = pre) else i)))
       "rebuilt"
@@ -1588,13 +1594,18 @@ class GraftSession(val spark: SparkSession)
       if (comparable.isEmpty) return false // no stats: can't prove either way
       val aggCols = comparable.flatMap(c => Seq(min(col(c)), max(col(c))))
       val bounds = touched.agg(aggCols.head, aggCols.tail: _*).head()
+      // an EMPTY touched set (mutation entirely outside the view
+      // predicate) makes the partial path a near-free no-op — keep it
+      if (bounds.isNullAt(0)) return false
       // the MOST selective group column decides: if any column's stats
-      // skip a meaningful batch share, the partial scan prunes
-      val best = comparable.zipWithIndex.map { case (c, i) =>
+      // skip a meaningful batch share, the partial scan prunes. Demote
+      // only on PROOF — a column the probe cannot evaluate (stats
+      // missing, values unconvertible) must never read as "unprunable"
+      val fractions = comparable.zipWithIndex.map { case (c, i) =>
         org.apache.spark.sql.graft.store.BatchPruning.prunableFraction(
           snap, c, bounds.get(2 * i), bounds.get(2 * i + 1))
-      }.max
-      best < 0.25
+      }
+      fractions.forall(_.isDefined) && fractions.flatten.max < 0.25
     }
     def partialRebuild(touchedKeys: DataFrame): String = {
       val conds = mv.joins.map(_.conds).getOrElse(Nil)
@@ -1738,9 +1749,7 @@ class GraftSession(val spark: SparkSession)
             } catch { case e: Throwable => MatViews.register(mv); throw e }
             // post-build re-proof (rebuild's dirty sandwich): on a race
             // the content/fingerprint pairing is unprovable
-            val raced = tables.exists(t => GraftColumnStore.get(t).forall(s =>
-              MatViews.fingerprint(s.snapshot) != freshNow(t)))
-            MatViews.register(registered().copy(dirty = raced))
+            MatViews.register(registered().copy(dirty = racedMutation()))
             path
           }
       }

@@ -75,7 +75,8 @@ object MatViewBench {
       // x256 OOMed the harness under default heap — build the same table
       // as a create + bounded inserts so the full table arm runs where
       // the retention ladder already did
-      val chunk = sys.env.getOrElse("SPARK_GRAFT_INGEST_CHUNK", "32").toInt
+      val chunk = math.max(1,
+        sys.env.getOrElse("SPARK_GRAFT_INGEST_CHUNK", "32").toInt)
       def repOf(n: Int, off: Int = 0): org.apache.spark.sql.DataFrame =
         li.crossJoin(spark.range(off, off + n).toDF("__rep")).drop("__rep")
       g.createTable(base, repOf(math.min(m, chunk)))

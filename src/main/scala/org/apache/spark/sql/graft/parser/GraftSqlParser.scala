@@ -115,9 +115,25 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         strip(classic.table(n).queryExecution.analyzed)
       } catch { case _: Exception => return false }
+    // only a LINEAR Project/Filter chain over the single store relation
+    // is a write-through shadow; a multi-source view (UNION/JOIN/agg)
+    // that merely CONTAINS the relation keeps the native path — Spark
+    // refuses inserting into a multi-relation view, which is the right
+    // error, and intercepting would silently pick one branch as target
+    def linearBase(p: LogicalPlan): Option[DataSourceV2Relation] = p match {
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        linearBase(pr.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        linearBase(f.child)
+      case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        linearBase(s.child)
+      case v: org.apache.spark.sql.catalyst.plans.logical.View =>
+        linearBase(v.child)
+      case other => storeRel(other)
+    }
     if (storeRel(stripped).isDefined) true
-    else stripped.collectFirst(Function.unlift(storeRel)) match {
-      case None => false // the user's own unrelated relation
+    else linearBase(stripped) match {
+      case None => false // unrelated, or not a linear write-through shape
       case Some(rel) =>
         def shape(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]) =
           out.map(a => (a.name.toLowerCase, a.dataType))

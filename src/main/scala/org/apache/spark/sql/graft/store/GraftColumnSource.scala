@@ -971,8 +971,12 @@ object BatchPruning {
       Some(DateTimeUtils.instantToMicros(t))
     case (TimestampNTZType, t: java.time.LocalDateTime) =>
       Some(DateTimeUtils.localDateTimeToMicros(t))
+    case (DateType, d: java.sql.Date) => Some(DateTimeUtils.fromJavaDate(d))
+    case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay.toInt)
     case (LongType, n: Number) => Some(n.longValue())
     case (IntegerType, n: Number) => Some(n.intValue())
+    case (ShortType, n: Number) => Some(n.shortValue())
+    case (ByteType, n: Number) => Some(n.byteValue())
     case (DoubleType, n: Number) => Some(n.doubleValue())
     case (FloatType, n: Number) => Some(n.floatValue())
     case (BooleanType, bb: java.lang.Boolean) => Some(bb.booleanValue())
@@ -1035,14 +1039,14 @@ object BatchPruning {
     * intersect the EXTERNAL value range [lo, hi] — a driver-metadata
     * prunability probe (the matview partial-path demotion heuristic
     * asks it whether a touched-keys restriction would let the scan skip
-    * anything). 0.0 when the column has no usable stats or the values
-    * don't convert — "cannot prove pruning", the caller's conservative
-    * answer.
+    * anything). None when nothing can be PROVEN — no stats, or values
+    * that don't convert — which the caller must treat as "do not
+    * demote", never as "proven unprunable".
     */
   def prunableFraction(snap: GraftColumnStore.TableSnapshot, colName: String,
-      lo: Any, hi: Any): Double = {
+      lo: Any, hi: Any): Option[Double] = {
     val idx = snap.schema.fieldNames.indexOf(colName)
-    if (idx < 0 || snap.refs.isEmpty) return 0.0
+    if (idx < 0 || snap.refs.isEmpty) return None
     val dt = snap.schema.fields(idx).dataType
     (internal(dt, lo), internal(dt, hi)) match {
       case (Some(l), Some(h)) =>
@@ -1051,8 +1055,8 @@ object BatchPruning {
           st.min == null || // all-null / absent stats: must be read
             (compare(dt, st.max, l) >= 0 && compare(dt, st.min, h) <= 0)
         }
-        1.0 - overlapping.toDouble / snap.refs.size
-      case _ => 0.0
+        Some(1.0 - overlapping.toDouble / snap.refs.size)
+      case _ => None
     }
   }
 }

@@ -847,7 +847,7 @@ class SqlSurfaceSpec extends SparkTestBase {
         "a reshaped shadow must not be written through")
     } finally {
       spark.catalog.dropTempView("sqlcv")
-      g.dropTable("sqlcv")
+      g2.dropTable("sqlcv") // the CREATING session owns the registry entry
     }
   }
 }
