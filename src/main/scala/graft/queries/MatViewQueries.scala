@@ -483,7 +483,7 @@ object MatViewQueries {
       // and the small batches give the demotion probe a real batch list
       // at every SF
       org.apache.spark.sql.graft.store.GraftStoreOps.createIndex(
-        s, "q_mvs_base", Seq("o_orderkey"), batchSize = 64)
+        s, "q_mvs_base", Seq("o_orderkey"), batchSize = 128)
       g.sql("CREATE MATERIALIZED VIEW q_mvs_sum AS " +
         "SELECT o_orderstatus, sum(amt) AS s, count(*) AS n " +
         "FROM q_mvs_base GROUP BY o_orderstatus")
@@ -663,7 +663,7 @@ object MatViewQueries {
       // order, letting the windowed delete empty whole leading batches —
       // a changed batch set correctly declines every delta path)
       org.apache.spark.sql.graft.store.GraftStoreOps.createIndex(
-        s, "q_mvp_base", Seq("o_orderpriority", "amt"), batchSize = 128)
+        s, "q_mvp_base", Seq("o_orderpriority", "amt"), batchSize = 1024)
       g.sql("CREATE MATERIALIZED VIEW q_mvp_sum AS " +
         "SELECT o_orderpriority, min(amt) AS lo, max(amt) AS hi, " +
         "count(*) AS n FROM q_mvp_base WHERE o_orderkey <= 3000 " +
