@@ -1580,9 +1580,6 @@ class GraftSession(val spark: SparkSession)
       if (mv.joins.isDefined || mv.groupCols.isEmpty) return false
       val snap = GraftColumnStore.get(mv.base).map(_.snapshot)
         .getOrElse(return false)
-      val cap = spark.conf.get(
-        "spark.sql.graft.matview.partialDemote.maxBaseRows", "50000000").toLong
-      if (snap.refs.map(_.numRows.toLong).sum > cap) return false
       // tiny batch lists (toy tables, one batch per bucket) have nothing
       // meaningful to prune AND nothing meaningful to demote — partial
       // vs rebuild is a wash there; stay on the architecturally-right path
@@ -1592,20 +1589,43 @@ class GraftSession(val spark: SparkSession)
         i >= 0 && GraftColumnStore.statsComparable(snap.schema.fields(i).dataType)
       }
       if (comparable.isEmpty) return false // no stats: can't prove either way
+      // demote only on PROOF — a column the probe cannot evaluate (stats
+      // missing, values unconvertible) must never read as "unprunable";
+      // the MOST selective group column decides (if any column's stats
+      // skip a meaningful batch share, the partial scan prunes)
+      def demote(fractions: Seq[Option[Double]]): Boolean =
+        fractions.forall(_.isDefined) && fractions.flatten.max < 0.25
+      // SMALL touched sets take the per-KEY probe (bounded driver read,
+      // ≤64 keys): it has the scan's realized runtime filter's power —
+      // per-key range + string-bloom membership — so it cannot
+      // mispredict when the keys straddle the column's range on a
+      // clustered layout. Its verdict therefore holds at ANY base size:
+      // an unprunable partial is a strict pessimization at every scale
+      // (both paths scan O(table); partial adds the semi-join, keyed
+      // merge, and vanished-group pass — measured 2.9x worse at 153M
+      // rows, PERF_NOTES §44), so no row cap applies here.
+      val few = touched.limit(65).collect()
+      if (few.isEmpty) return false // empty delta: partial is a near-free no-op
+      if (few.length <= 64) {
+        return demote(comparable.map { c =>
+          org.apache.spark.sql.graft.store.BatchPruning.prunableFractionKeys(
+            snap, c, few.map(_.getAs[Any](c)).distinct.toSeq)
+        })
+      }
+      // LARGE touched sets: the bounds probe, capped — min/max of many
+      // keys usually spans the range anyway, and a bounds misprediction
+      // above the cap would turn a potentially-pruned partial into a
+      // full summary rebuild at 100 TB, so the cap hedges it
+      val cap = spark.conf.get(
+        "spark.sql.graft.matview.partialDemote.maxBaseRows", "50000000").toLong
+      if (snap.refs.map(_.numRows.toLong).sum > cap) return false
       val aggCols = comparable.flatMap(c => Seq(min(col(c)), max(col(c))))
       val bounds = touched.agg(aggCols.head, aggCols.tail: _*).head()
-      // an EMPTY touched set (mutation entirely outside the view
-      // predicate) makes the partial path a near-free no-op — keep it
       if (bounds.isNullAt(0)) return false
-      // the MOST selective group column decides: if any column's stats
-      // skip a meaningful batch share, the partial scan prunes. Demote
-      // only on PROOF — a column the probe cannot evaluate (stats
-      // missing, values unconvertible) must never read as "unprunable"
-      val fractions = comparable.zipWithIndex.map { case (c, i) =>
+      demote(comparable.zipWithIndex.map { case (c, i) =>
         org.apache.spark.sql.graft.store.BatchPruning.prunableFraction(
           snap, c, bounds.get(2 * i), bounds.get(2 * i + 1))
-      }
-      fractions.forall(_.isDefined) && fractions.flatten.max < 0.25
+      })
     }
     def partialRebuild(touchedKeys: DataFrame): String = {
       val conds = mv.joins.map(_.conds).getOrElse(Nil)

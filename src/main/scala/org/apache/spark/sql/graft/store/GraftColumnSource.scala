@@ -1059,6 +1059,36 @@ object BatchPruning {
       case _ => None
     }
   }
+
+  /** Per-KEY variant of [[prunableFraction]]: the fraction of batches
+    * that provably contain NONE of `keys` (EXTERNAL values) — the same
+    * power the scan's realized runtime filter has (range check per key
+    * PLUS the string dictionary-membership bloom), so unlike the bounds
+    * probe it cannot mispredict when a small key set STRADDLES the
+    * column's range on a clustered layout. None when any key fails to
+    * convert. Caller bounds |keys| (the probe is O(batches × keys) on
+    * the driver).
+    */
+  def prunableFractionKeys(snap: GraftColumnStore.TableSnapshot,
+      colName: String, keys: Seq[Any]): Option[Double] = {
+    val idx = snap.schema.fieldNames.indexOf(colName)
+    if (idx < 0 || snap.refs.isEmpty || keys.isEmpty) return None
+    val dt = snap.schema.fields(idx).dataType
+    val ivs = keys.map(internal(dt, _))
+    if (ivs.exists(_.isEmpty)) return None
+    val vals = ivs.flatten
+    val blooms = if (dt == StringType)
+      vals.map(v => GraftColumnStore.bloomBits(v)) else Nil
+    val overlapping = snap.refs.count { r =>
+      val st = r.stats(idx)
+      st.min == null || vals.zipWithIndex.exists { case (v, i) =>
+        compare(dt, v, st.min) >= 0 && compare(dt, v, st.max) <= 0 &&
+          (dt != StringType || st.valueBloom == 0L ||
+            (st.valueBloom & blooms(i)) == blooms(i))
+      }
+    }
+    Some(1.0 - overlapping.toDouble / snap.refs.size)
+  }
 }
 
 // ------------------------------- write path ------------------------------

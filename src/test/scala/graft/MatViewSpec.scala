@@ -1476,17 +1476,34 @@ class MatViewSpec extends SparkTestBase {
     try assert(g.refreshMaterializedView("mv50") == "partial")
     finally spark.conf.set("spark.sql.graft.matview.partialDemote.enabled", "true")
     assert(sorted(spark.sql(q)) == direct(q))
+    // ABOVE the row cap the per-KEY probe still decides (≤64 touched
+    // keys): an unprunable partial loses at EVERY scale, so with the
+    // cap at 0 the uniform layout still demotes
+    g.delete("mvb50", col("pk") % 10 === 9)
+    spark.conf.set("spark.sql.graft.matview.partialDemote.maxBaseRows", "0")
+    try assert(g.refreshMaterializedView("mv50") == "full",
+      "the per-key probe's verdict must not be capped by base size")
+    finally spark.conf.unset("spark.sql.graft.matview.partialDemote.maxBaseRows")
+    assert(sorted(spark.sql(q)) == direct(q))
     // re-cluster by the GROUP column: the batch rewrite changes the
     // batch set (full once), then a one-group delete proves prunable and
     // the partial path STAYS — and the advisory clears
     GraftStoreOps.createIndex(spark, "mvb50", Seq("gk"), batchSize = 512)
     assert(g.refreshMaterializedView("mv50") == "full") // rewritten batch set
     assert(advice().isEmpty, advice())
-    // gk=8 still has live rows (pk ≡ 8 mod 40 survived both waves); its
+    // gk=8 still has live rows (pk ≡ 8 mod 40 survived the waves); its
     // batches stay live — neighbours share them under the gk clustering
     g.delete("mvb50", col("gk") === 8)
     assert(g.refreshMaterializedView("mv50") == "partial",
       "clustered layout + one-group delete must keep the pruned partial")
+    assert(sorted(spark.sql(q)) == direct(q))
+    // STRADDLING key set {1, 38}: min/max bounds span nearly the whole
+    // gk range (a bounds-only probe would call the layout unprunable
+    // and demote) — the per-key probe proves ~90% of the clustered
+    // batches contain neither key and keeps the pruned partial
+    g.delete("mvb50", (col("gk") === 1 || col("gk") === 38) && col("pk") % 3 === 0)
+    assert(g.refreshMaterializedView("mv50") == "partial",
+      "straddling keys on a clustered layout must not demote (per-key probe)")
     assert(sorted(spark.sql(q)) == direct(q))
     g.dropMaterializedView("mv50")
     g.dropTable("mvb50")
