@@ -824,5 +824,51 @@ object MatViewQueries {
       served
         .select(col("o_orderpriority"), col("ts").cast("double").as("total"), col("n"))
         .orderBy("o_orderpriority")
+    },
+
+    // ---- OR-of-RANGES predicates: a disjunction of ranges on one
+    // column normalizes to an interval union (rays merged most-
+    // inclusive, covered points dropped, endpoint-closing), so
+    // equivalent spellings serve each other and the SAME canonical
+    // string re-executes at refresh; near-miss endpoints decline ----
+    QueryDef.sql(
+      "q_matview_or_ranges",
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM orders
+        |WHERE o_orderkey < 1000 OR o_orderkey >= 50000
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val g = GraftSession(s)
+      reset(g, "q_mvr_sum", "q_mvr_base")
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,4)").as("amt"))
+      g.createTable("q_mvr_base", orders.filter(col("o_orderkey") % 5 =!= 0),
+        partitionBy = Seq("o_orderkey"), buckets = 4)
+      // view spelled rays-reversed with a redundant overlapping ray
+      g.sql("CREATE MATERIALIZED VIEW q_mvr_sum AS " +
+        "SELECT o_orderstatus, sum(amt) AS s, count(*) AS n " +
+        "FROM q_mvr_base " +
+        "WHERE o_orderkey >= 50000 OR o_orderkey < 1000 OR o_orderkey < 500 " +
+        "GROUP BY o_orderstatus")
+      val q = "SELECT o_orderstatus, sum(amt) AS ts, count(*) AS n " +
+        "FROM q_mvr_base WHERE o_orderkey < 1000 OR o_orderkey >= 50000 " +
+        "GROUP BY o_orderstatus"
+      val served = assertServedBy(s.sql(q), "q_mvr_sum")
+      // near-miss endpoint / boundary-closedness change the set: decline
+      Seq("o_orderkey < 1000 OR o_orderkey >= 50001",
+        "o_orderkey <= 1000 OR o_orderkey >= 50000").foreach { w =>
+        assertNotServedBy(s.sql("SELECT o_orderstatus, sum(amt) AS ts " +
+          s"FROM q_mvr_base WHERE $w GROUP BY o_orderstatus"), "q_mvr_sum")
+      }
+      // refresh re-executes the canonical union over the append delta
+      g.insert("q_mvr_base", orders.filter(col("o_orderkey") % 5 === 0))
+      val path = g.refreshMaterializedView("q_mvr_sum")
+      require(path == "incremental", s"append refresh took '$path'")
+      assertServedBy(s.sql(q), "q_mvr_sum")
+        .select(col("o_orderstatus"), col("ts").cast("double").as("total"), col("n"))
+        .orderBy("o_orderstatus")
     })
 }

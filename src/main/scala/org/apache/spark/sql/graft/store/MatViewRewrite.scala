@@ -157,7 +157,103 @@ object MatViewSupport extends PredicateHelper {
       s"${canonicalName(a)} $op ${litSql(l)}"
     }.orElse(inShape(e).map { case (a, lits) =>
       inCanon(canonicalName(a), lits)
-    })
+    }).orElse(rangeUnion(e))
+
+  /** Disjunction-of-RANGES canonical form: `a < 5 OR a >= 10` — any mix
+    * of comparisons / IN over ONE column with at least one inequality —
+    * folds to a normalized interval union: one left ray, the uncovered
+    * points sorted, one right ray, rendered as plain SQL so the SAME
+    * string both matches and executes (expr() at build/refresh).
+    * Normalizations make spelling irrelevant: same-side rays keep the
+    * most inclusive bound (`a < 5 OR a < 3` → `a < 5`), covered points
+    * drop, a point ON an open ray's endpoint CLOSES it
+    * (`a < 110 OR a = 110` → `a <= 110`), and a single ray with no
+    * points renders exactly as the plain comparison — so the OR
+    * spelling and `a <= 110` land on one canonical string. Rays that
+    * overlap into a column-domain tautology decline (a view would not
+    * carry one, and set algebra over an unknown domain can't serve it).
+    */
+  private def rangeUnion(e: Expression): Option[String] = e match {
+    case o: Or =>
+      def flat(x: Expression): Seq[Expression] = x match {
+        case Or(l, r) => flat(l) ++ flat(r)
+        case other => Seq(other)
+      }
+      val parts = flat(o).map { d =>
+        cmpShape(d).map { case (a, op, l) => (a, op, Seq(l)) }
+          .orElse(inShape(d).map { case (a, ls) => (a, "=", ls) })
+      }
+      if (parts.exists(_.isEmpty)) return None
+      val ps = parts.flatten
+      val a = ps.head._1
+      if (!ps.forall(_._1.exprId == a.exprId)) return None
+      if (!ps.exists(_._2 != "=")) return None // pure equalities: IN form
+      val dt = a.dataType
+      val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(dt)
+      var left: Option[(Any, Boolean)] = None // (-inf, v) or v]
+      var right: Option[(Any, Boolean)] = None // (v, +inf) or [v
+      var points = Vector.empty[Literal]
+      ps.foreach { case (_, op, ls) =>
+        op match {
+          case "=" => points ++= ls
+          case "<" | "<=" =>
+            val v = ls.head.value; val c = op == "<="
+            left = Some(left match {
+              case Some((lv, lc)) =>
+                if (ord.gt(lv, v)) (lv, lc)
+                else if (ord.lt(lv, v)) (v, c)
+                else (v, lc || c)
+              case None => (v, c)
+            })
+          case _ => // ">" | ">="
+            val v = ls.head.value; val c = op == ">="
+            right = Some(right match {
+              case Some((rv, rc)) =>
+                if (ord.lt(rv, v)) (rv, rc)
+                else if (ord.gt(rv, v)) (v, c)
+                else (v, rc || c)
+              case None => (v, c)
+            })
+        }
+      }
+      var l2 = left; var r2 = right
+      var pts = points.map(p => (litSql(p), p)).distinctBy(_._1)
+        .sortBy(_._1).map(_._2)
+      var changed = true
+      while (changed) {
+        changed = false
+        pts = pts.filter { p =>
+          val v = p.value
+          if (l2.exists { case (lv, lc) =>
+            ord.lt(v, lv) || (lc && ord.equiv(v, lv)) }) false // covered
+          else if (r2.exists { case (rv, rc) =>
+            ord.gt(v, rv) || (rc && ord.equiv(v, rv)) }) false // covered
+          else if (l2.exists { case (lv, lc) => !lc && ord.equiv(v, lv) }) {
+            l2 = l2.map { case (lv, _) => (lv, true) }; changed = true; false
+          } else if (r2.exists { case (rv, rc) => !rc && ord.equiv(v, rv) }) {
+            r2 = r2.map { case (rv, _) => (rv, true) }; changed = true; false
+          } else true
+        }
+      }
+      // overlapping rays cover the whole domain — a tautology: decline
+      // ((-inf,v) ∪ (v,+inf) is NOT one: it excludes v and stays)
+      (l2, r2) match {
+        case (Some((lv, lc)), Some((rv, rc)))
+          if ord.gt(lv, rv) || (ord.equiv(lv, rv) && (lc || rc)) => return None
+        case _ =>
+      }
+      val name = canonicalName(a)
+      def render(v: Any) = litSql(Literal.create(v, dt))
+      val pieces =
+        l2.map { case (v, c) => s"$name ${if (c) "<=" else "<"} ${render(v)}" }.toSeq ++
+          pts.map(p => s"$name = ${litSql(p)}") ++
+          r2.map { case (v, c) => s"$name ${if (c) ">=" else ">"} ${render(v)}" }.toSeq
+      if (pieces.isEmpty) None
+      else if (pieces.size == 1) Some(pieces.head) // degenerate: the plain form
+      else Some(pieces.mkString("(", " OR ", ")"))
+    case _ => None
+  }
 
   /** Canonical IN rendering: literals SORTED by their rendered form and
     * deduplicated, so `IN (3, 1, 2, 1)` and `IN (1, 2, 3)` canonicalize

@@ -518,10 +518,11 @@ class MatViewSpec extends SparkTestBase {
       "SELECT m1.k, sum(m1.v) AS s FROM mvb1 m1 JOIN mvb1 m2 ON m1.k = m2.k GROUP BY m1.k",
       "SELECT k, sum(v) AS s FROM mvb1 WHERE v > nv GROUP BY k", // col-vs-col
       // a general OR is still refused (same-column equality ORs fold to
-      // IN since r15 — see the disjunctive-predicates arm; a RANGE
-      // disjunct or a two-column OR stays out of the algebra)
-      "SELECT k, sum(v) AS s FROM mvb1 WHERE cat = 'c1' OR cat > 'c2' GROUP BY k",
+      // IN and same-column range unions normalize, both since r15 — see
+      // the disjunctive-predicates arms; a TWO-COLUMN OR and a
+      // domain-covering ray overlap stay out of the algebra)
       "SELECT k, sum(v) AS s FROM mvb1 WHERE cat = 'c1' OR k = 2 GROUP BY k",
+      "SELECT k, sum(v) AS s FROM mvb1 WHERE v < 500 OR v >= 400 GROUP BY k",
       // foldable but Unevaluable pre-FinishAnalysis (current_user() is
       // only substituted by the optimizer): must hit the actionable
       // refusal, not an opaque UnsupportedOperationException
@@ -1147,6 +1148,50 @@ class MatViewSpec extends SparkTestBase {
     assert(usesMatView(qOr, "mv36"))
     assert(sorted(spark.sql(qOr)) == direct(qOr))
     g.dropTable("mvb35")
+  }
+
+  test("OR-of-ranges views: interval-union normalization serves equivalent spellings; tautologies and near-misses decline") {
+    freshBase("mvb37", rows = 600)
+    // view spelled low-ray-last with a redundant overlapping ray
+    g.sql("CREATE MATERIALIZED VIEW mv37 AS SELECT k, sum(v) AS sv, " +
+      "count(*) AS n FROM mvb37 WHERE nv >= 440 OR nv < 110 OR nv < 50 " +
+      "GROUP BY k")
+    // equivalent spellings — any order, redundancy folded, covered
+    // points dropped, IN elements absorbed into the rays
+    Seq("nv < 110 OR nv >= 440",
+      "nv >= 440 OR nv < 110",
+      "nv < 110 OR nv >= 440 OR nv >= 500",
+      "nv < 110 OR nv >= 440 OR nv = 50 OR nv IN (445, 500)").foreach { w =>
+      val q = s"SELECT k, sum(v) AS sv, count(*) AS n FROM mvb37 WHERE $w GROUP BY k"
+      assert(usesMatView(q, "mv37"), s"must serve: $w")
+      assert(sorted(spark.sql(q)) == direct(q))
+    }
+    // near-miss endpoints, a third uncovered point, and a closed-vs-open
+    // boundary all change the canonical set — decline
+    Seq("nv < 110 OR nv >= 441", "nv < 110 OR nv > 440",
+      "nv < 110 OR nv >= 440 OR nv = 200", "nv <= 110 OR nv >= 440").foreach { w =>
+      val bad = s"SELECT k, sum(v) AS sv FROM mvb37 WHERE $w GROUP BY k"
+      assert(!usesMatView(bad, "mv37"), s"must decline: $w")
+      assert(sorted(spark.sql(bad)) == direct(bad))
+    }
+    // endpoint-closing normalization: `nv < 110 OR nv = 110` IS
+    // `nv <= 110`, whichever way the view or the query spells it
+    g.sql("CREATE MATERIALIZED VIEW mv38 AS SELECT k, count(*) AS n " +
+      "FROM mvb37 WHERE nv < 110 OR nv = 110 GROUP BY k")
+    val qClosed = "SELECT k, count(*) AS n FROM mvb37 WHERE nv <= 110 GROUP BY k"
+    assert(usesMatView(qClosed, "mv38"), "closed-ray spelling must serve")
+    assert(sorted(spark.sql(qClosed)) == direct(qClosed))
+    // refresh EXECUTES the canonical union (expr() over the base scan)
+    g.insert("mvb37", spark.range(600, 700).select(
+      (col("id") % 7).cast("int").as("k"), concat(lit("c"), col("id") % 3).as("cat"),
+      (col("id") * 2).as("v"), (col("id") % 100).cast("double").as("d"),
+      col("id").as("nv")))
+    assert(g.refreshMaterializedView("mv37") == "incremental")
+    val q2 = "SELECT k, sum(v) AS sv, count(*) AS n FROM mvb37 " +
+      "WHERE nv < 110 OR nv >= 440 GROUP BY k"
+    assert(usesMatView(q2, "mv37"))
+    assert(sorted(spark.sql(q2)) == direct(q2))
+    g.dropTable("mvb37")
   }
 
   test("update refresh: predicate-crossing, repeated waves, and mixed moves") {
