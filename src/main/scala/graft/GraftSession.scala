@@ -1508,7 +1508,8 @@ class GraftSession(val spark: SparkSession)
       val conformed = merged.select(schema.fieldNames.map(f =>
         col(f).cast(schema(f).dataType).as(f)).toSeq: _*)
       MatViews.inMaintenance {
-        GraftStoreOps.putInto(spark, nm, conformed)
+        GraftStoreOps.putInto(spark, nm, conformed,
+          sourceKeyUnique = true) // groupBy(key) / unique-join output
       }
       MatViews.register(registered())
       "incremental_delete"
@@ -1544,7 +1545,8 @@ class GraftSession(val spark: SparkSession)
       val conformed = merged.select(schema.fieldNames.map(f =>
         col(f).cast(schema(f).dataType).as(f)).toSeq: _*)
       MatViews.inMaintenance {
-        GraftStoreOps.putInto(spark, nm, conformed)
+        GraftStoreOps.putInto(spark, nm, conformed,
+          sourceKeyUnique = true) // groupBy(key) / unique-join output
       }
       MatViews.register(registered())
       "incremental_update"
@@ -1655,7 +1657,8 @@ class GraftSession(val spark: SparkSession)
         refreshed.select(mv.groupCols.map(col): _*), mv.groupCols, "left_anti")
       MatViews.inMaintenance {
         if (vanished.take(1).nonEmpty) GraftStoreOps.deleteKeys(spark, nm, vanished)
-        GraftStoreOps.putInto(spark, nm, conformed)
+        GraftStoreOps.putInto(spark, nm, conformed,
+          sourceKeyUnique = true) // groupBy(key) / unique-join output
       }
       // the partial path's refreshed groups reflect SCAN-time truth
       // (its re-aggregate intentionally reads current state), so a
@@ -1705,7 +1708,8 @@ class GraftSession(val spark: SparkSession)
       val conformed = merged.select(schema.fieldNames.map(f =>
         col(f).cast(schema(f).dataType).as(f)).toSeq: _*)
       MatViews.inMaintenance {
-        GraftStoreOps.putInto(spark, nm, conformed)
+        GraftStoreOps.putInto(spark, nm, conformed,
+          sourceKeyUnique = true) // groupBy(key) / unique-join output
       }
       MatViews.register(registered())
     }

@@ -410,15 +410,19 @@ object TpcdsQueries4 {
         |              WHERE lr.l_orderkey = o_orderkey
         |                AND lr.l_returnflag = 'R')""".stripMargin) { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
-      val multiSupp = li.groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("ns"))
-        .filter(col("ns") > 1).select(col("l_orderkey"))
-      val returned = li.filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey").as("r_ok")).distinct()
+      // BOTH existence predicates from ONE lineitem pass: the per-order
+      // aggregate carries the distinct-supplier count AND the
+      // any-returned flag, so lineitem shuffles once (on l_orderkey)
+      // instead of twice, and orders pays one semi join instead of two
+      // (guide §2.3/§2.4 — aggregate before you shuffle, fewer passes)
+      val qualifying = li.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("ns"),
+          max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+        .filter(col("ns") > 1 && col("has_r") === 1)
+        .select(col("l_orderkey"))
       Tables.load(s, dir, "orders")
         .filter(col("o_orderstatus") === "F")
-        .join(multiSupp, col("o_orderkey") === col("l_orderkey"), "left_semi")
-        .join(returned, col("o_orderkey") === col("r_ok"), "left_semi")
+        .join(qualifying, col("o_orderkey") === col("l_orderkey"), "left_semi")
         .agg(countDistinct(col("o_orderkey")).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,4)") * 10000)
             .cast("long").as("total_e4"))

@@ -176,7 +176,17 @@ object GraftStoreOps {
     * reference's ColumnTableBulkOps reformulated as delete + delta-insert,
     * both O(source).
     */
-  def putInto(spark: SparkSession, table: String, source: DataFrame): Unit = {
+  def putInto(spark: SparkSession, table: String, source: DataFrame): Unit =
+    putInto(spark, table, source, sourceKeyUnique = false)
+
+  /** As [[putInto]]; `sourceKeyUnique = true` skips the key
+    * deduplication pass when the CALLER proves the source is unique per
+    * key (the matview refresh merges are groupBy(key) outputs — re-
+    * deduplicating them costs an extra aggregate of the whole merge
+    * frame on every refresh for rows that cannot collide).
+    */
+  def putInto(spark: SparkSession, table: String, source: DataFrame,
+      sourceKeyUnique: Boolean): Unit = {
     ReplicaGuard.requireWritable(table, "putInto")
     MatViews.guardWrite(table)
     val t = GraftColumnStore(table)
@@ -186,9 +196,10 @@ object GraftStoreOps {
     // one materialization feeds both the delete and the append — a
     // consistent source view (reference ColumnTableBulkOps caches the
     // source join for the same reason) and no recomputed dedup shuffle
-    val src = (if (source.columns.toSeq == cols) source
+    val aligned = (if (source.columns.toSeq == cols) source
       else if (source.columns.toSet == cols.toSet) source.select(cols.map(col): _*)
-      else source.toDF(cols: _*)).dropDuplicates(keyCols)
+      else source.toDF(cols: _*))
+    val src = (if (sourceKeyUnique) aligned else aligned.dropDuplicates(keyCols))
       .localCheckpoint(false)
     // matched-key delete bitmaps are computed WITHOUT committing and
     // staged for the append's commit, which applies both in one atomic
