@@ -537,12 +537,18 @@ object TpcdsQueries {
       val li = Tables.load(s, dir, "lineitem")
       val ord = Tables.load(s, dir, "orders")
       val part = Tables.load(s, dir, "part")
-      def chanParts(prio: String) = li
-        .join(ord.filter(col("o_orderpriority") === prio)
-          .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"),
-          "left_semi")
-        .select(col("l_partkey")).distinct()
-      val both = chanParts("1-URGENT").intersect(chanParts("5-LOW"))
+      // the INTERSECT of two per-channel part sets is ONE fact pass with
+      // two channel flags (guide §2.4 — aggregate instead of a second
+      // pass + intersect's two distinct shuffles): a part is in both
+      // channels iff its per-partkey max-flags are both set
+      val both = li.select(col("l_orderkey"), col("l_partkey"))
+        .join(ord.filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_partkey"))
+        .agg(max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("u"),
+          max(when(col("o_orderpriority") === "5-LOW", 1).otherwise(0)).as("w"))
+        .filter(col("u") === 1 && col("w") === 1)
         .select(col("l_partkey").as("bp"))
       li.join(both, col("l_partkey") === col("bp"), "left_semi")
         .join(ord, col("l_orderkey") === col("o_orderkey"))
