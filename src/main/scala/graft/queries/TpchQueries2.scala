@@ -391,6 +391,9 @@ object TpchQueries2 {
       val li = Tables.load(s, dir, "lineitem")
       val l1 = li.filter(col("l_returnflag") === "R")
         .select(col("l_orderkey").as("o1"), col("l_suppkey").as("s1"))
+      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
       val ordF = Tables.load(s, dir, "orders")
         .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
       val suppNat = Tables.load(s, dir, "supplier")
@@ -398,27 +401,9 @@ object TpchQueries2 {
           col("s_nationkey") === col("n_nationkey"))
         .filter(col("n_name").like("NATION_1%"))
         .select(col("s_suppkey"), col("s_name"))
-      // The EXISTS/NOT-EXISTS pair collapses to ONE per-order profile
-      // (guide §2.4 — aggregate instead of self-join): for an R-line of
-      // supplier s1, "some other supplier shares the order" ⟺ the order
-      // has ≥ 2 distinct suppliers, and "no OTHER supplier's line is R"
-      // ⟺ s1 is the order's ONLY R-flag supplier. Two-level aggregate —
-      // per (order, supplier) with an any-R flag, then per order — keeps
-      // the wide shuffle at (key, key, flag) width and replaces the
-      // former l2 semi + l3 anti joins (two more lineitem-scale shuffles
-      // + joins). The profile's filter (n_supp ≥ 2 ∧ exactly one R
-      // supplier) makes it a small inner-join side; l1 rows preserve
-      // multiplicity, so numwait counts are unchanged.
-      val perSupp = li
-        .groupBy(col("l_orderkey").as("po"), col("l_suppkey"))
-        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("any_r"))
-      val profile = perSupp
-        .groupBy(col("po"))
-        .agg(count(lit(1)).as("n_supp"), sum(col("any_r")).as("n_r_supp"))
-        .filter(col("n_supp") >= 2 && col("n_r_supp") === 1)
-        .select(col("po"))
       l1.join(ordF, col("o1") === col("o_orderkey"))
-        .join(profile, col("o1") === col("po"))
+        .join(l2, col("o2") === col("o1") && col("s2") =!= col("s1"), "left_semi")
+        .join(l3, col("o3") === col("o1") && col("s3") =!= col("s1"), "left_anti")
         .join(suppNat, col("s1") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
