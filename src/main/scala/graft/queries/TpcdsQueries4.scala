@@ -415,9 +415,17 @@ object TpcdsQueries4 {
       // any-returned flag, so lineitem shuffles once (on l_orderkey)
       // instead of twice, and orders pays one semi join instead of two
       // (guide §2.3/§2.4 — aggregate before you shuffle, fewer passes)
-      val qualifying = li.groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("ns"),
-          max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+      // two-level form (per (order, supplier) any-R flag, then per
+      // order) rather than countDistinct+max in one aggregate: the
+      // mixed distinct/non-distinct aggregate plans an Expand that
+      // DOUBLES the fact rows before the partial agg — measured +8% at
+      // sf1.0 despite winning at sf0.1; the two-level form keeps the
+      // one-pass win at both scales
+      val qualifying = li
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("r1"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("ns"), max(col("r1")).as("has_r"))
         .filter(col("ns") > 1 && col("has_r") === 1)
         .select(col("l_orderkey"))
       Tables.load(s, dir, "orders")
