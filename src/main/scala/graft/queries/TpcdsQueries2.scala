@@ -180,16 +180,26 @@ object TpcdsQueries2 {
         |  SELECT 'only_1997' AS segment, count(*) AS n
         |  FROM (SELECT * FROM b EXCEPT SELECT * FROM a))
         |ORDER BY segment""".stripMargin) { (s, dir) =>
-      val ord = Tables.load(s, dir, "orders")
-      def yr(y: Int) = ord.filter(year(col("o_orderdate")) === y)
-        .select(col("o_custkey")).distinct()
-      val a = yr(1996)
-      val b = yr(1997)
-      def arm(label: String, df: org.apache.spark.sql.DataFrame) =
-        df.agg(count(lit(1)).as("n")).select(lit(label).as("segment"), col("n"))
-      arm("both", a.intersect(b))
-        .unionAll(arm("only_1996", a.except(b)))
-        .unionAll(arm("only_1997", b.except(a)))
+      // presence-vector form (the q_ds_triple_channel /
+      // q_ds_cross_channel pattern): INTERSECT and both EXCEPTs of the
+      // two yearly key sets fall out of ONE orders pass aggregating
+      // per-customer year flags, then one |customers|-row count pass —
+      // vs two scans + three set ops (each two distinct-shuffles + a
+      // join). The three output rows unpack from the single count row.
+      val flags = Tables.load(s, dir, "orders")
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+        .groupBy(col("o_custkey"))
+        .agg(max(when(year(col("o_orderdate")) === 1996, 1).otherwise(0)).as("a"),
+          max(when(year(col("o_orderdate")) === 1997, 1).otherwise(0)).as("b"))
+      val counts = flags.agg(
+        sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L)).as("nboth"),
+        sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L)).as("n96"),
+        sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L)).as("n97"))
+      counts.select(explode(array(
+          struct(lit("both").as("segment"), col("nboth").as("n")),
+          struct(lit("only_1996").as("segment"), col("n96").as("n")),
+          struct(lit("only_1997").as("segment"), col("n97").as("n")))).as("r"))
+        .select(col("r.segment").as("segment"), col("r.n").as("n"))
         .orderBy(col("segment"))
     },
 
