@@ -104,6 +104,16 @@ object Bench {
       if (only.isDefined) "/tmp/bench_out_partial.json" else "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The full line above is the contract artifact, but at 246 queries it
+    // is ~8 KB and the driver keeps only a bounded stdout TAIL — the line
+    // has been truncated mid-map (and unparseable) since round 13. Print a
+    // compact summary LAST so the tail always ends with one complete,
+    // parseable JSON line carrying the total; the per-query map stays in
+    // the full line and in bench_out.json (the authoritative record).
+    val n = results.count(_._3 >= 0)
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec",""" +
+      f""""stat":"min-of-$runs%d","n_queries":$n%d,"sf":"$sfDir",""" +
+      s""""queries_in":"$outPath"}""")
     spark.stop()
   }
 }

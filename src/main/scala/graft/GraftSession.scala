@@ -1499,17 +1499,23 @@ class GraftSession(val spark: SparkSession)
       val storage = mvStorageNames(mv.aggs)
       val d = storage.foldLeft(delta)((df, n) =>
         df.withColumnRenamed(n, s"__d_$n"))
-      val mvRows = GraftStoreOps.read(spark, nm) // session-independent
-      // inner join: only groups that lost rows change
-      val merged = mvRows.join(d, mv.groupCols, "inner")
+      // inner join (only groups that lost rows change) over the ADDRESSED
+      // view read, checkpointed once: values feed the subtract-merge,
+      // _bid/_rid feed putIntoAddressed's delete side — the view scans
+      // once per refresh instead of twice (see appendMerge)
+      val joined = GraftStoreOps.readAddressed(spark, nm) // session-independent
+        .join(d, mv.groupCols, "inner")
+        .localCheckpoint(false)
+      val merged = joined
         .select((mv.groupCols.map(col) ++ storage.map(n =>
           (col(n) - coalesce(col(s"__d_$n"), lit(0))).as(n))): _*)
-      val schema = mvRows.schema
+      val schema = GraftStoreOps.read(spark, nm).schema
       val conformed = merged.select(schema.fieldNames.map(f =>
         col(f).cast(schema(f).dataType).as(f)).toSeq: _*)
       MatViews.inMaintenance {
-        GraftStoreOps.putInto(spark, nm, conformed,
-          sourceKeyUnique = true) // groupBy(key) / unique-join output
+        // source: unique(view-key) ⋈ unique(groupBy output) — key-unique;
+        // matched: exactly the inner join's view rows
+        GraftStoreOps.putIntoAddressed(spark, nm, conformed, joined)
       }
       MatViews.register(registered())
       "incremental_delete"
@@ -1536,17 +1542,21 @@ class GraftSession(val spark: SparkSession)
           .reduce(_ || _)).take(1).nonEmpty) return rebuild()
       if (racedMutation()) return rebuild() // see racedMutation scaladoc
       val keep = mv.groupCols.map(col)
-      val mvRows = GraftStoreOps.read(spark, nm) // session-independent
-      val touched = mvRows.join(delta.select(keep: _*), mv.groupCols, "left_semi")
+      // addressed + checkpointed touched frame — same single-view-scan
+      // shape as appendMerge (values → merge, _bid/_rid → delete side)
+      val touched = GraftStoreOps.readAddressed(spark, nm) // session-independent
+        .join(delta.select(keep: _*), mv.groupCols, "left_semi")
+        .localCheckpoint(false)
       val mergeCols = MatViewSupport.mergeAggs(storage)
-      val merged = touched.unionByName(delta)
+      val merged = touched.drop("_bid", "_rid").unionByName(delta)
         .groupBy(keep: _*).agg(mergeCols.head, mergeCols.tail: _*)
-      val schema = mvRows.schema
+      val schema = GraftStoreOps.read(spark, nm).schema
       val conformed = merged.select(schema.fieldNames.map(f =>
         col(f).cast(schema(f).dataType).as(f)).toSeq: _*)
       MatViews.inMaintenance {
-        GraftStoreOps.putInto(spark, nm, conformed,
-          sourceKeyUnique = true) // groupBy(key) / unique-join output
+        // source: groupBy(key) output — key-unique; matched: the view
+        // rows whose key ∈ delta keys, exactly putInto's address set
+        GraftStoreOps.putIntoAddressed(spark, nm, conformed, touched)
       }
       MatViews.register(registered())
       "incremental_update"
@@ -1697,19 +1707,26 @@ class GraftSession(val spark: SparkSession)
     def appendMerge(delta: DataFrame): Unit = {
       val keep = mv.groupCols.map(col)
       val storage = mvStorageNames(mv.aggs)
-      val mvRows = GraftStoreOps.read(spark, nm) // session-independent
-      val touched = mvRows.join(delta.select(keep: _*), mv.groupCols, "left_semi")
+      // ADDRESSED view read, semi-joined against the delta keys ONCE and
+      // checkpointed: the same touched frame feeds the merge (values) AND
+      // putIntoAddressed's delete side (_bid/_rid). putInto previously
+      // re-scanned the whole view and re-derived this exact semi join to
+      // address the matched rows — one full view pass per refresh saved.
+      val touched = GraftStoreOps.readAddressed(spark, nm) // session-independent
+        .join(delta.select(keep: _*), mv.groupCols, "left_semi")
+        .localCheckpoint(false)
       val mergeCols = MatViewSupport.mergeAggs(storage)
-      val merged = touched.unionByName(delta)
+      val merged = touched.drop("_bid", "_rid").unionByName(delta)
         .groupBy(keep: _*).agg(mergeCols.head, mergeCols.tail: _*)
       // conform to the stored schema exactly (sum() widening: decimal
       // sums grow precision on the merge pass)
-      val schema = mvRows.schema
+      val schema = GraftStoreOps.read(spark, nm).schema
       val conformed = merged.select(schema.fieldNames.map(f =>
         col(f).cast(schema(f).dataType).as(f)).toSeq: _*)
       MatViews.inMaintenance {
-        GraftStoreOps.putInto(spark, nm, conformed,
-          sourceKeyUnique = true) // groupBy(key) / unique-join output
+        // source: groupBy(key) output — key-unique; matched: the view
+        // rows whose key ∈ delta keys, exactly putInto's address set
+        GraftStoreOps.putIntoAddressed(spark, nm, conformed, touched)
       }
       MatViews.register(registered())
     }

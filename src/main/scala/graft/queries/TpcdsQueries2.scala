@@ -191,10 +191,16 @@ object TpcdsQueries2 {
         .groupBy(col("o_custkey"))
         .agg(max(when(year(col("o_orderdate")) === 1996, 1).otherwise(0)).as("a"),
           max(when(year(col("o_orderdate")) === 1997, 1).otherwise(0)).as("b"))
+      // coalesce: with NO orders in either year, sum() over the empty
+      // flags frame is NULL while the spec's count(*) is 0 — degenerate-
+      // input parity with the declared SQL (ADVICE r15)
       val counts = flags.agg(
-        sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L)).as("nboth"),
-        sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L)).as("n96"),
-        sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L)).as("n97"))
+        coalesce(sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L)),
+          lit(0L)).as("nboth"),
+        coalesce(sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L)),
+          lit(0L)).as("n96"),
+        coalesce(sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L)),
+          lit(0L)).as("n97"))
       counts.select(explode(array(
           struct(lit("both").as("segment"), col("nboth").as("n")),
           struct(lit("only_1996").as("segment"), col("n96").as("n")),

@@ -421,6 +421,11 @@ object TpcdsQueries4 {
       // DOUBLES the fact rows before the partial agg — measured +8% at
       // sf1.0 despite winning at sf0.1; the two-level form keeps the
       // one-pass win at both scales
+      // NOT NULL assumption (ADVICE r15): count(lit(1)) over the
+      // (l_orderkey, l_suppkey) groups counts a NULL-suppkey group where
+      // the spec's count(DISTINCT l_suppkey) would skip it — sound here
+      // because TPC-H l_suppkey is NOT NULL; re-derive before reusing
+      // this shape on nullable keys
       val qualifying = li
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("r1"))

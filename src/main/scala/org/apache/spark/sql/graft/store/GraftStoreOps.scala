@@ -31,12 +31,19 @@ object GraftStoreOps {
   def read(spark: SparkSession, table: String): DataFrame =
     spark.read.format(FORMAT).option("table", table).load()
 
-  /** The scan plus its physical row address (hidden metadata columns). */
-  private def withAddress(spark: SparkSession, table: String): DataFrame = {
+  /** The scan plus its physical row address (hidden metadata columns).
+    * Public for callers that compute a matched-row frame ONCE and thread
+    * it through [[putIntoAddressed]] (the matview refresh merges) — the
+    * address columns are `_bid`/`_rid`, leading.
+    */
+  def readAddressed(spark: SparkSession, table: String): DataFrame = {
     val df = read(spark, table)
     df.select(df.metadataColumn(GraftTable.BATCH_ID_COL).as("_bid"),
       df.metadataColumn(GraftTable.ROW_IDX_COL).as("_rid"), col("*"))
   }
+
+  private def withAddress(spark: SparkSession, table: String): DataFrame =
+    readAddressed(spark, table)
 
   /** DELETE FROM table WHERE cond. */
   def delete(spark: SparkSession, table: String, cond: Column): Unit = {
@@ -184,6 +191,13 @@ object GraftStoreOps {
     * key (the matview refresh merges are groupBy(key) outputs — re-
     * deduplicating them costs an extra aggregate of the whole merge
     * frame on every refresh for rows that cannot collide).
+    *
+    * CONTRACT, not a hint: passing `true` with a duplicate-keyed source
+    * CORRUPTS the table — the matched target rows delete once and every
+    * source duplicate appends, so the keyed-uniqueness invariant breaks
+    * silently. Enable `spark.sql.graft.putInto.verifySourceKeyUnique`
+    * (default false — it costs one aggregate of the source, exactly the
+    * pass this flag exists to skip) to assert the promise in dev runs.
     */
   def putInto(spark: SparkSession, table: String, source: DataFrame,
       sourceKeyUnique: Boolean): Unit = {
@@ -192,15 +206,13 @@ object GraftStoreOps {
     val t = GraftColumnStore(table)
     val keyCols = t.snapshot.keyColumns
     require(keyCols.nonEmpty, s"putInto($table) requires key_columns")
-    val cols = t.schema.fieldNames.toSeq
     // one materialization feeds both the delete and the append — a
     // consistent source view (reference ColumnTableBulkOps caches the
     // source join for the same reason) and no recomputed dedup shuffle
-    val aligned = (if (source.columns.toSeq == cols) source
-      else if (source.columns.toSet == cols.toSet) source.select(cols.map(col): _*)
-      else source.toDF(cols: _*))
+    val aligned = alignToSchema(t, source)
     val src = (if (sourceKeyUnique) aligned else aligned.dropDuplicates(keyCols))
       .localCheckpoint(false)
+    if (sourceKeyUnique) assertSourceKeyUnique(spark, table, src, keyCols)
     // matched-key delete bitmaps are computed WITHOUT committing and
     // staged for the append's commit, which applies both in one atomic
     // snapshot swap: no reader observes keys deleted but not replaced,
@@ -209,6 +221,67 @@ object GraftStoreOps {
     val staged = collectDeleteRefs(spark,
       withAddress(spark, table).join(
         src.select(keyCols.map(col): _*), keyCols, "left_semi"))
+    commitPut(table, src, staged)
+  }
+
+  /** The refresh-merge fast path: as [[putInto]] with a key-unique
+    * source, where the caller ALSO supplies `matched` — the CURRENT rows
+    * of `table` whose key appears in `source`, carrying the `_bid`/`_rid`
+    * address columns of [[readAddressed]]. The matview refresh merges
+    * already semi-join the view against their delta's keys to build the
+    * merge frame; threading that same (checkpointed) frame here drops
+    * putInto's second full scan + semi-join of the table on every
+    * refresh. Same contract discipline as `sourceKeyUnique`: `matched`
+    * must cover EXACTLY the key-matched target rows — missing rows
+    * duplicate keys, extra rows lose them.
+    */
+  def putIntoAddressed(spark: SparkSession, table: String, source: DataFrame,
+      matched: DataFrame): Unit = {
+    ReplicaGuard.requireWritable(table, "putInto")
+    MatViews.guardWrite(table)
+    val t = GraftColumnStore(table)
+    val keyCols = t.snapshot.keyColumns
+    require(keyCols.nonEmpty, s"putInto($table) requires key_columns")
+    // no localCheckpoint here: the source feeds exactly ONE action (the
+    // append) — the delete side reads the caller's matched frame
+    val src = alignToSchema(t, source)
+    assertSourceKeyUnique(spark, table, src, keyCols)
+    val staged = collectDeleteRefs(spark,
+      matched.select(col("_bid"), col("_rid")))
+    commitPut(table, src, staged)
+  }
+
+  private def alignToSchema(t: GraftColumnStore.StoreTable,
+      source: DataFrame): DataFrame = {
+    val cols = t.schema.fieldNames.toSeq
+    if (source.columns.toSeq == cols) source
+    else if (source.columns.toSet == cols.toSet) source.select(cols.map(col): _*)
+    else source.toDF(cols: _*)
+  }
+
+  /** Debug-mode teeth for the `sourceKeyUnique` caller promise (see
+    * [[putInto]]): one count-vs-distinct-count aggregate, only under
+    * `spark.sql.graft.putInto.verifySourceKeyUnique = true`.
+    */
+  private def assertSourceKeyUnique(spark: SparkSession, table: String,
+      src: DataFrame, keyCols: Seq[String]): Unit = {
+    if (!spark.conf.get("spark.sql.graft.putInto.verifySourceKeyUnique",
+        "false").toBoolean) return
+    val Array(n, nKeys) = src.agg(count(lit(1)),
+      count_distinct(struct(keyCols.map(col): _*))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    require(n == nKeys,
+      s"putInto($table): sourceKeyUnique promised but source has $n rows " +
+        s"over $nKeys distinct keys — the caller's uniqueness proof is wrong " +
+        "(this would silently corrupt the keyed table)")
+  }
+
+  /** Stage the delete refs under a fresh token and run the append commit,
+    * which applies both in one atomic snapshot swap (shared tail of the
+    * putInto variants).
+    */
+  private def commitPut(table: String, src: DataFrame,
+      staged: Map[Long, GraftColumnStore.DeleteRef]): Unit = {
     // token-keyed staging: this upsert's commit consumes exactly this
     // set, even with another putInto in flight on the same table
     val token = s"$table#${java.util.UUID.randomUUID()}"

@@ -225,6 +225,52 @@ class GraftStoreSpec extends SparkTestBase {
     g.dropTable("s_put")
   }
 
+  test("putInto sourceKeyUnique: debug assertion catches a broken caller promise") {
+    val g = GraftSession(spark)
+    freshOrders("s_puk")
+    val dup = Tables.load(spark, sf, "orders").filter(col("o_orderkey") % 50 === 0)
+    val broken = dup.unionByName(dup) // deliberately duplicate-keyed
+    // off by default: the promise is NOT checked (the whole point of the
+    // flag is skipping the dedup aggregate), so no error surfaces here —
+    // use a throwaway frame compatible with the upsert to prove no throw
+    GraftStoreOps.putInto(spark, "s_puk", dup, sourceKeyUnique = true)
+    spark.conf.set("spark.sql.graft.putInto.verifySourceKeyUnique", "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        GraftStoreOps.putInto(spark, "s_puk", broken, sourceKeyUnique = true)
+      }
+      assert(e.getMessage.contains("sourceKeyUnique"))
+      // a key-unique source passes the assertion
+      GraftStoreOps.putInto(spark, "s_puk", dup, sourceKeyUnique = true)
+    } finally spark.conf.unset("spark.sql.graft.putInto.verifySourceKeyUnique")
+    g.dropTable("s_puk")
+  }
+
+  test("putIntoAddressed: caller-threaded matched frame upserts like putInto") {
+    val g = GraftSession(spark)
+    freshOrders("s_pia")
+    val orders = Tables.load(spark, sf, "orders")
+    val src = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("UPSERTED"))
+      .unionByName(orders.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + 5000000L)
+        .withColumn("o_orderstatus", lit("FRESH")))
+      .localCheckpoint(true)
+    // the refresh-merge calling convention: addressed read ⋉ source keys
+    val matched = GraftStoreOps.readAddressed(spark, "s_pia")
+      .join(src.select(col("o_orderkey")), Seq("o_orderkey"), "left_semi")
+      .localCheckpoint(false)
+    GraftStoreOps.putIntoAddressed(spark, "s_pia", src, matched)
+    val t = g.table("s_pia")
+    val nMatched = orders.filter(col("o_orderkey") % 10 === 0).count()
+    val nNew = orders.filter(col("o_orderkey") % 10 === 1).count()
+    assert(t.count() == orders.count() + nNew)
+    assert(t.filter(col("o_orderstatus") === "UPSERTED").count() == nMatched)
+    assert(t.filter(col("o_orderstatus") === "FRESH").count() == nNew)
+    assert(t.groupBy("o_orderkey").count().filter(col("count") > 1).count() == 0)
+    g.dropTable("s_pia")
+  }
+
   test("delta row buffer: small appends stay delta until compaction") {
     val g = GraftSession(spark)
     freshOrders("s_buf", buckets = 2)
