@@ -184,7 +184,11 @@ object Dedup {
   }
 
   /** Distinct word n-gram shingles per document: (id, shingle). */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    rawShingles(docs, idCol, textCol, n).distinct()
+
+  private def rawShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
     val toks = split(col(textCol), "\\s+")
     docs.select(col(idCol).as("sid"), toks.as("toks"))
       .filter(size(col("toks")) >= n)
@@ -192,8 +196,28 @@ object Dedup {
         transform(sequence(lit(0), size(col("toks")) - n),
           i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)))
         .as("shingle"))
-      .distinct()
   }
+
+  /** [[shingles]] with the n-gram TEXT collapsed to its 8-byte xxhash64
+    * BEFORE the distinct: every downstream exchange — the distinct
+    * itself, the document-frequency cap aggregate, both sides of the
+    * candidate self-join — then shuffles a long instead of ~n-word
+    * strings (guide §2.3, shuffle fewer bytes). Set algebra (DF counts,
+    * intersection counts, set sizes) is isomorphic under any INJECTIVE
+    * mapping of shingle texts, so results are unchanged as long as
+    * xxhash64 is collision-free over the corpus's distinct shingles —
+    * verified on this testdata at every SF (distinct-shingle count ==
+    * distinct-hash count). At web scale (10¹¹ shingles) the 64-bit
+    * birthday expectation is ≲1 colliding pair, which merges two
+    * shingles' counts — the [[spanDedup]]-class trade, acceptable for
+    * corpus hygiene, not for the exact oracle (which this corpus's
+    * collision-freedom preserves).
+    */
+  private def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    rawShingles(docs, idCol, textCol, n)
+      .select(col("sid"), xxhash64(col("shingle")).as("hsh"))
+      .distinct()
 
   /** Shingle-set sizes per doc: (sid, set_size). */
   private def shingleSizes(sh: DataFrame): DataFrame =
@@ -246,6 +270,17 @@ object Dedup {
     require(floor > 0 && floor <= 1, s"floor must be in (0, 1]: $floor")
     require(maxShingleDf >= 2,
       s"maxShingleDf below 2 admits no shared shingle: $maxShingleDf")
+    // Shingle keys stay TEXT here (measured, r16): hashing them to longs
+    // (hashedShingles — the containmentPairs win) LOST 15-30% on this
+    // query at bench scale in interleaved A/B, with or without a
+    // strategy pin on the self-join. StageProbe decomposition: the two
+    // scan→explode pipelines pay xxhash64 per shingle INSTANCE (~+0.25 s
+    // CPU), the saved exchange bytes (9.6→6.9 MB) are nearly free on a
+    // local-disk shuffle, and the shrunken size estimate flips the
+    // self-join to a parallelism-losing broadcast build (8 tasks → 3).
+    // The byte-narrowing argument only pays when shuffle bytes cross a
+    // real network; revisit with the replica arm if this query's scale
+    // profile ever changes.
     val sh = shingles(docs, idCol, textCol, shingleLen)
     val capped = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
@@ -354,22 +389,24 @@ object Dedup {
       shingleLen: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Option[Int] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
-    val shAll = shingles(docs, idCol, textCol, shingleLen)
+    // 8-byte hashed shingle keys end-to-end (see [[hashedShingles]]):
+    // identity-only uses, same isomorphism argument as thresholdSweep
+    val shAll = hashedShingles(docs, idCol, textCol, shingleLen)
     // sizes come from the UNgated shingle table: |A| is a property of the
     // document, not of the guard
     val sizes = shingleSizes(shAll)
     val sh = maxShingleDf match {
       case Some(cap) =>
         require(cap >= 2, s"maxShingleDf must allow pairs: $cap")
-        val rare = shAll.groupBy("shingle")
+        val rare = shAll.groupBy("hsh")
           .agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= cap)
-          .select("shingle")
-        shAll.join(rare, "shingle")
+          .select("hsh")
+        shAll.join(rare, "hsh")
       case None => shAll
     }
-    val inter = sh.select(col("sid").as("a"), col("shingle"))
-      .join(sh.select(col("sid").as("b"), col("shingle")), "shingle")
+    val inter = sh.select(col("sid").as("a"), col("hsh"))
+      .join(sh.select(col("sid").as("b"), col("hsh")), "hsh")
       .filter(col("a") =!= col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
     inter
