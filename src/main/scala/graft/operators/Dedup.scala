@@ -542,25 +542,60 @@ object Dedup {
       .getOption("spark.sql.graft.measuredBroadcastMaxBytes")
       .map(_.toLong).getOrElse(maxBytes)
     val df = ckpt(df0, scope)
-    // measurable widths only: strings/binary by octet_length (NULL
-    // coalesced to 0 — a null-heavy column must not null out the whole
-    // row's byte term), fixed-width primitives at 8. A column this
-    // cannot measure (arrays, maps, structs) refuses the hint outright —
-    // guessing would let a wide frame under the bound and build exactly
-    // the over-sized driver relation the guard exists to prevent.
-    val widths = df.schema.fields.map { f =>
-      f.dataType match {
-        case StringType | BinaryType =>
-          Some(coalesce(octet_length(col(f.name)).cast("long"), lit(0L)))
-        case _: NumericType | BooleanType | DateType | TimestampType |
-             TimestampNTZType => Some(lit(8L))
-        case _ => None
-      }
+    if (bound <= 0) return df
+    // The eager checkpoint above JUST materialized the frame, so its
+    // block sizes already sit in the driver's storage registry — measure
+    // THERE instead of running a byte-sum aggregate per probe. The probes
+    // were the cost: incrementalMinhash runs 5-6 of them per batch, each
+    // a full plan+schedule+collect round-trip for one number the driver
+    // already holds (StageProbe: the query is job-count-bound). Storage
+    // memSize counts materialized UnsafeRow bytes + object overhead, an
+    // UPPER bound on data bytes, so the guard only gets more
+    // conservative — it can refuse a borderline hint, never admit an
+    // over-sized one (BroadcastPolicySpec's rule is exactly that
+    // direction). It also measures ANY schema (the old per-column width
+    // sum refused arrays/maps/structs outright), so the aggregate
+    // fallback below survives only for frames the registry cannot see.
+    storageBytes(df) match {
+      case Some(bytes) => if (bytes <= bound) broadcast(df) else df
+      case None =>
+        // registry miss (foreign frame, blocks evicted): fall back to
+        // the schema-bounded byte-sum aggregate. Measurable widths only:
+        // strings/binary by octet_length (NULL coalesced to 0), fixed
+        // primitives at 8; a column this cannot measure refuses the hint
+        // outright — guessing would let a wide frame under the bound and
+        // build exactly the over-sized driver relation the guard exists
+        // to prevent.
+        val widths = df.schema.fields.map { f =>
+          f.dataType match {
+            case StringType | BinaryType =>
+              Some(coalesce(octet_length(col(f.name)).cast("long"), lit(0L)))
+            case _: NumericType | BooleanType | DateType | TimestampType |
+                 TimestampNTZType => Some(lit(8L))
+            case _ => None
+          }
+        }
+        if (widths.exists(_.isEmpty)) return df
+        val bytes = df.agg(
+          coalesce(sum(widths.flatten.reduce(_ + _)), lit(0L))).head.getLong(0)
+        if (bytes <= bound) broadcast(df) else df
     }
-    if (widths.exists(_.isEmpty) || bound <= 0) return df
-    val bytes = df.agg(
-      coalesce(sum(widths.flatten.reduce(_ + _)), lit(0L))).head.getLong(0)
-    if (bytes <= bound) broadcast(df) else df
+  }
+
+  /** Materialized size of a (local)checkpointed frame from the driver's
+    * storage registry — memory + disk bytes of its cached blocks, no job.
+    * None when the frame is not a checkpoint scan or its blocks are not
+    * (yet) registered.
+    */
+  private def storageBytes(df: DataFrame): Option[Long] = {
+    val ids = df.queryExecution.analyzed.collectLeaves().collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+    if (ids.isEmpty) return None
+    val infos = df.sparkSession.sparkContext.getRDDStorageInfo
+      .filter(i => ids.contains(i.id))
+    if (infos.length != ids.length) None
+    else Some(infos.map(i => i.memSize + i.diskSize).sum)
   }
 
   /** Semi-join prune of a `(sid, sh)` frame to the given member ids —
