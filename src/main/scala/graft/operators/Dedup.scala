@@ -838,12 +838,21 @@ object Dedup {
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labelsCkpt = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Round 1 folded into initialization: with labels(id) = id, the first
+    // propagation is labels₁(id) = min({id} ∪ neighbors(id)) — ONE
+    // aggregate straight off the edge list (edges are symmetric, so every
+    // member appears as dst). This replaces the init distinct + checkpoint
+    // + the first round's join with a single union+agg pass; `old = id`
+    // keeps the convergence check exact (near-clique dup graphs often
+    // converge HERE, paying one aggregate total).
+    var labelsCkpt = edges.select(col("dst").as("id"), col("src").as("label"))
+      .union(edges.select(col("src").as("id"), col("src").as("label")))
+      .groupBy(col("id")).agg(min(col("label")).as("label"))
+      .select(col("id"), col("id").as("old"), col("label"))
       .localCheckpoint(true)
-    var labels = labelsCkpt
-    var converged = false
-    var it = 0
+    var labels = labelsCkpt.select("id", "label")
+    var converged = labelsCkpt.filter(col("label") =!= col("old")).isEmpty
+    var it = 1
     while (!converged && it < maxIters) {
       val neighborMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("id2")).agg(min(col("label")).as("nmin"))
