@@ -12,6 +12,25 @@ import org.apache.spark.sql.graft.TextHashExpressions
   */
 object TextAnalysis {
 
+  /** Fan a small scan out to the session's parallelism before a
+    * compute-heavy projection (guide §2.5, input skew): a single-file
+    * corpus plans ONE scan task, serializing the whole explode/aggregate
+    * pipeline on one core while the rest idle — StageProbe measured
+    * q_skipgram_pairs as one 1.6 s task on local[32]. Fires only when the
+    * scan has materially fewer partitions than the scheduler has slots;
+    * at real scale the input arrives in many splits and this is the
+    * identity (no added exchange, nothing tuned to the local core count —
+    * the same `splits < slots` gate as the ingest repartition floor).
+    * The round-robin repartition pays one pass of the projected bytes,
+    * worth it exactly when downstream per-row work dominates — the
+    * caller's claim to make. Callers must project FIRST so the exchange
+    * carries only what the computation needs (guide §2.3).
+    */
+  private[operators] def fanOutSmallScan(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= slots) df else df.repartition(slots)
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
@@ -506,31 +525,39 @@ object TextAnalysis {
     */
   def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = split(col(textCol), "\\s+")
+    // bigrams ride as (w1, w2) COLUMN PAIRS, not concatenated strings
+    // (the skipgramPairs lesson): the concat built a fresh string per
+    // bigram INSTANCE — inside an interpreted HOF lambda, twice (the
+    // count subtree and the scoring join side each explode) — and the
+    // prefix aggregate re-parsed it with substring_index; the pair
+    // columns group/join byte-equivalently and c1's prefix key is just
+    // the w1 column. (A fanned-out shared-base variant was measured OUT:
+    // the two consumers prune different columns, so the repartition
+    // exchange does not reuse and the corpus shuffles twice — slower
+    // than the single-task scans it replaced.)
     val bigrams = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("__did"), toks.as("__t"))
       .filter(size(col("__t")) >= 2)
       .select(col("__did"), explode(
         transform(sequence(lit(1), size(col("__t")) - 1),
-          i => concat_ws(" ", element_at(col("__t"), i), element_at(col("__t"), i + 1))))
-        .as("__bg"))
-    val c2 = bigrams.groupBy("__bg").agg(count(lit(1)).as("__c2"))
-    val c1 = c2
-      .withColumn("__w1", substring_index(col("__bg"), " ", 1))
-      .groupBy("__w1").agg(sum(col("__c2")).as("__c1"))
+          i => struct(element_at(col("__t"), i).as("w1"),
+            element_at(col("__t"), i + 1).as("w2")))).as("__p"))
+      .select(col("__did"), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+    val c2 = bigrams.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c2"))
+    val c1 = c2.groupBy("__w1").agg(sum(col("__c2")).as("__c1"))
     val vocab = docs.filter(col(textCol).isNotNull)
       .select(explode(toks).as("__tok")).agg(count_distinct(col("__tok")).as("__v"))
     // score once per DISTINCT bigram (bounded by bigram vocabulary), so
     // the corpus bigram stream pays ONE bounded-key join, not two
     val scores = c2
-      .withColumn("__w1", substring_index(col("__bg"), " ", 1))
       .join(c1, "__w1")
       .crossJoin(broadcast(vocab))
-      .select(col("__bg"),
+      .select(col("__w1"), col("__w2"),
         (-log((col("__c2") + 1).cast("double") / (col("__c1") + col("__v"))))
           .as("__nlp"))
     bigrams
-      .join(scores, "__bg")
+      .join(scores, Seq("__w1", "__w2"))
       .groupBy(col("__did").as(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),
@@ -670,22 +697,30 @@ object TextAnalysis {
   def skipgramPairs(docs: DataFrame, textCol: String, window: Int,
       minCount: Long = 1L): DataFrame = {
     require(window >= 1, s"window must be positive: $window")
-    val base = docs.filter(col(textCol).isNotNull)
-      .select(split(trim(col(textCol)), "\\s+").as("__t"))
+    // fanned out past the single-split scan: the pair fan-out below is
+    // the heaviest per-row projection in the text family (window×tokens
+    // concats), measured as ONE 1.6 s task without this (StageProbe)
+    val base = fanOutSmallScan(docs.filter(col(textCol).isNotNull)
+      .select(split(trim(col(textCol)), "\\s+").as("__t")))
+    // pairs ride as (w1, w2) STRUCTS, not concatenated strings: the
+    // concat built a fresh string per pair and the tail substring_index
+    // re-parsed it — pure per-pair CPU in the hottest projection of the
+    // text family (the HOF lambda is interpreted per element, so every
+    // saved expression counts); grouping on the two columns directly is
+    // byte-equivalent on the shuffle
     base
       .filter(size(col("__t")) >= 2)
       .select(explode(flatten(
         transform(sequence(lit(1), size(col("__t")) - 1), i =>
           transform(
             sequence(lit(1), least(lit(window), size(col("__t")) - i)),
-            d => concat_ws(" ",
-              element_at(col("__t"), i), element_at(col("__t"), i + d))))))
-        .as("__pair"))
-      .groupBy("__pair").agg(count(lit(1)).as("n_pairs"))
+            d => struct(element_at(col("__t"), i).as("w1"),
+              element_at(col("__t"), i + d).as("w2"))))))
+        .as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pairs"))
       .filter(col("n_pairs") >= minCount)
-      .select(substring_index(col("__pair"), " ", 1).as("w1"),
-        substring_index(col("__pair"), " ", -1).as("w2"),
-        col("n_pairs"))
+      .select(col("w1"), col("w2"), col("n_pairs"))
   }
 
   /** Weak-supervision label resolution (the Snorkel/labeling-function

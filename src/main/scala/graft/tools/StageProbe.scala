@@ -32,16 +32,24 @@ object StageProbe {
       .getOrElse(sys.error(s"unknown query $qName"))
 
     case class St(id: Int, name: String, ms: Long, tasks: Int,
-      srBytes: Long, swBytes: Long, records: Long)
+      srBytes: Long, swBytes: Long, records: Long, runMs: Long, maxMs: Long)
     val stages = ArrayBuffer.empty[St]
+    val taskMax = scala.collection.mutable.Map.empty[Int, Long]
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) taskMax.synchronized {
+          val id = te.stageId
+          taskMax(id) = math.max(taskMax.getOrElse(id, 0L),
+            te.taskMetrics.executorRunTime)
+        }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
         val m = i.taskMetrics
         stages += St(i.stageId, i.name.takeWhile(_ != '\n').take(90),
           i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L),
           i.numTasks, m.shuffleReadMetrics.totalBytesRead,
-          m.shuffleWriteMetrics.bytesWritten, m.outputMetrics.recordsWritten)
+          m.shuffleWriteMetrics.bytesWritten, m.outputMetrics.recordsWritten,
+          m.executorRunTime, taskMax.synchronized(taskMax.getOrElse(i.stageId, 0L)))
       }
     })
 
@@ -57,8 +65,8 @@ object StageProbe {
       Thread.sleep(300) // listener drain
       println(f"[stageprobe] $qName rep $r total ${t}%.3f s, ${stages.size} stages")
       stages.sortBy(-_.ms).foreach { s =>
-        println(f"[stage] ${s.ms}%6d ms tasks=${s.tasks}%3d sr=${s.srBytes / 1024}%8d KB " +
-          f"sw=${s.swBytes / 1024}%8d KB :: ${s.name}")
+        println(f"[stage] ${s.ms}%6d ms tasks=${s.tasks}%3d run=${s.runMs}%6d maxTask=${s.maxMs}%5d " +
+          f"sr=${s.srBytes / 1024}%7d KB sw=${s.swBytes / 1024}%7d KB :: ${s.name}")
       }
     }
     spark.stop()
