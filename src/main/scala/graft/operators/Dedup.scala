@@ -972,9 +972,21 @@ object Dedup {
     * wrong as the single index over 10¹¹ documents (there, raise sigBits
     * instead so chunks stay wide).
     */
+  /** `pinShuffleJoin = true` pins the banded self-join to SHUFFLE_MERGE.
+    * The chunk table is corpus × combos rows, but Catalyst cannot see
+    * that: the checkpointed sig frame reports a tiny estimate and an
+    * explode's fan-out is unknowable from stats, so the planner
+    * broadcasts one full exploded side — at 10× bench corpus that is a
+    * 2.25M-row single-threaded driver build (44 s measured,
+    * SimhashScaleProbe r16) and at real scale an OOM. The shuffle join
+    * reuses ONE exchange for both sides and spills gracefully. Callers
+    * gate it on the actual chunk-row count (sig count × combos), so at
+    * small scale the (genuinely cheaper) broadcast stays.
+    */
   def simhashNearDups(sig: DataFrame, maxHamming: Int = 3,
       numChunks: Int = 4, sigBits: Int = 64, comboSize: Int = 1,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      pinShuffleJoin: Boolean = false): DataFrame = {
     require(maxHamming <= numChunks - comboSize,
       s"pigeonhole recall guarantee needs maxHamming <= numChunks - comboSize, " +
         s"got $maxHamming/$numChunks/$comboSize")
@@ -1007,7 +1019,8 @@ object Dedup {
         chunksAll.join(sizes, "bk")
       case None => chunksAll
     }
-    val l = chunks.select(col("bk"), col("sid").as("a"), col("simhash").as("sim_a"))
+    val l0 = chunks.select(col("bk"), col("sid").as("a"), col("simhash").as("sim_a"))
+    val l = if (pinShuffleJoin) l0.hint("shuffle_merge") else l0
     val r = chunks.select(col("bk"), col("sid").as("b"), col("simhash").as("sim_b"))
     // hamming-filter BEFORE the distinct: the raw candidate stream is
     // codegen-filterable in the join's output pipeline — deduplicate

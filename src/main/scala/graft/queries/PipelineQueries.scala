@@ -1115,11 +1115,36 @@ object PipelineQueries {
       val sig = Dedup.simhashSignaturesFast(docs, "doc_id", "text",
           sigBits = 60, md5Portable = true)
         .localCheckpoint(true)
-      // single-chunk banding wins at this corpus size (the packed-long
-      // bucket key is the big lever: 2.3x on the join); comboSize = 2
-      // is the scale path when n grows enough that candidate volume
-      // n^2/2^width dominates the 4.5x explode factor
-      Dedup.simhashNearDups(sig, maxHamming = 8, numChunks = 10, sigBits = 60)
+      // Scale-adaptive banding width. Single-chunk banding (6-bit
+      // chunks, 64 buckets) wins at bench corpus size, but its candidate
+      // volume is n²·numChunks/2^width — quadratic with a tiny constant
+      // that the 10× replica arm exposed (70 s, 78× for 10× docs, r16).
+      // comboSize = 2 keys buckets on chunk PAIRS (12 bits × C(10,2)
+      // combos): ~64× fewer candidates for a 4.5× wider explode, and the
+      // pigeonhole recall-1 guarantee holds (maxHamming 8 ≤ numChunks −
+      // comboSize), so the RESULT is identical — both arms are exact
+      // candidate generators feeding the same exact hamming verify.
+      // The switch point is data-derived (sig is checkpointed, so the
+      // count is a cached-block scan): crossover measured between 5k
+      // docs (combo 1 wins, explode-dominated) and 50k (combo 2 wins,
+      // candidate-dominated); conf-overridable, local default keeps the
+      // driver's bench comparable.
+      val comboDocs = s.conf.getOption("spark.sql.graft.simhash.comboDocs")
+        .map(_.toLong).getOrElse(20000L)
+      val nSig = sig.count() // cached-block scan: sig is checkpointed
+      val comboSize = if (nSig >= comboDocs) 2 else 1
+      // pin the self-join off the broadcast path once the exploded chunk
+      // table outgrows a sane build-side row count (see simhashNearDups
+      // scaladoc: stats cannot see the explode, so the planner would
+      // broadcast a corpus-scale side); data-derived, conf-overridable,
+      // and the bench corpus (50k chunk rows) stays on its measured-
+      // cheaper broadcast plan
+      val maxBcRows = s.conf.getOption("spark.sql.graft.simhash.maxBroadcastChunkRows")
+        .map(_.toLong).getOrElse(500000L)
+      val nCombos = (0 until 10).combinations(comboSize).size
+      Dedup.simhashNearDups(sig, maxHamming = 8, numChunks = 10, sigBits = 60,
+          comboSize = comboSize,
+          pinShuffleJoin = nSig * nCombos >= maxBcRows)
         .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
         .orderBy("a", "b")
     },
